@@ -1,13 +1,658 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators._
+import graft.pipeline.Embedder
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the operator
+  * is SQL-expressible. Column names/types are aligned pairwise; doubles that
+  * depend on accumulation order are computed in exact decimal arithmetic and
+  * cast back, so both engines produce bit-identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to µs — exactly what the
+    * oracle's CAST(ts AS TIMESTAMP) does on the DuckDB side. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Order-independent exact sum of a double expression: accumulate as
+    * decimal (exact, commutative), return double. The DuckDB oracle does the
+    * identical cast chain. */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(24,$scale)")).cast("double")
+  private def dsumSql(e: String, scale: Int = 6): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(24,$scale))) AS DOUBLE)"
+
+  /** Flagship query on sf=0.001: full ingest → chunk → dedup → embed →
+    * store → retrieve pipeline; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    embedSearch(spark, "/root/testdata/sf0.001")
+
+  /** End-to-end RAG slice (SURVEY.md §7.1 step 5): documents → chunk →
+    * dedup → stub-embed → parquet store (staged write + catalog) → top-8
+    * cosine retrieval with normalized scores. */
+  private def embedSearch(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val chunks = Chunker.chunkWithIds(tbl(s, dir, "documents"), "doc_id", "text", 200, 50)
+      .select(col("chunk_id").as("id"), col("chunk").as("text"),
+        map(lit("source"), col("source"), lit("start_index"),
+          col("start_index").cast("string")).as("metadata"))
+    val deduped = Dedup.exactDedup(chunks, "text", "id")
+    val embedded = Embedder.embed(deduped, "text", Embedder.stubEmbed(dim))
+    val root = sys.props("java.io.tmpdir") + "/graft-stores"
+    val name = store.VectorStore.storeName("DOCS", "stub", "hash64", 200, 50, "COSINE", "HNSW")
+    store.VectorStore.write(embedded, root, name,
+      s"""{"alias": "DOCS", "embedding_model": {"provider": "stub", "id": "hash64"},
+         | "chunk_size": 200, "chunk_overlap": 50, "distance_strategy": "COSINE",
+         | "index_type": "HNSW"}""".stripMargin)
+    val stored = store.VectorStore.read(s, root, name)
+    val qv = Embedder.stubEmbed(dim)(Seq("spark join stream merge")).head.toSeq
+    Similarity.topK(stored, "embedding", qv, 8, "COSINE", "id")
+      .select(col("id"), col("text"), col("score"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Aggregations (SURVEY §2.4) -------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 4).as("sum_qty"),
+          dsum(col("l_extendedprice"), 4).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          (dsum(col("l_quantity"), 4) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q09_orders_per_month" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 4).as("total"),
+          (dsum(col("o_totalprice"), 4) / count(lit(1))).as("avg_price"))
+        .orderBy("month")
+    }),
+
+    "q15_file_rollup" -> ((s, dir) => {
+      // A1/A2 per-file metadata rollup (reference vector_store.py:379-396)
+      tbl(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max("n_chars").as("max_chars"),
+          min("doc_id").as("first_doc"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
+
+    "q34_distinct_counts" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // ---- Joins (SURVEY §2.3) --------------------------------------------
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("nation")
+    }),
+
+    "q04_order_priority" -> ((s, dir) => {
+      // EXISTS semi-join (reference J7-shape)
+      val li = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey").distinct()
+      tbl(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_customers_no_orders" -> ((s, dir) => {
+      // insert-if-absent anti-join shape (reference J1, vector_store.py:250-257)
+      val recent = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      tbl(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    "q10_brand_stats" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity"), 4).as("sum_qty"),
+          (dsum(col("l_extendedprice"), 4) / count(lit(1))).as("avg_price"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- Filters / projections / row transforms (SURVEY §2.2) -----------
+    "q06_revenue_filter" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q11_chunk_documents" -> ((s, dir) => {
+      // P1 fixed-window splitter + P2 id enrichment
+      Chunker.chunkWithIds(tbl(s, dir, "documents"), "doc_id", "text", 200, 50)
+        .select(col("doc_id"), col("chunk_index"), col("start_index"),
+          col("chunk_id"), col("chunk"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    "q12_dedup_first" -> ((s, dir) => {
+      // P4 content dedup, first occurrence wins (vector_store.py:112-118)
+      Dedup.exactDedup(tbl(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q13_dedup_keepmax" -> ((s, dir) => {
+      // R3 retrieval dedup keep-max (vs_retriever.py:130-151); "content" = lang
+      Dedup.dedupKeepMax(tbl(s, dir, "documents"), "lang", "n_chars", "doc_id")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang")
+    }),
+
+    "q16_score_normalize" -> ((s, dir) => {
+      // R2 score normalization (vs_retriever.py:267-274)
+      val d = (col("vec_id") % 100).cast("double") / 50.0
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), d.as("distance"),
+          VF.normalizeScore(d, "COSINE").as("cosine_score"),
+          VF.normalizeScore(d, "DOT").as("dot_score"),
+          VF.normalizeScore(d, "EUCLIDEAN").as("euclidean_score"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- Sorts / limits / top-k (SURVEY §2.5) ---------------------------
+    "q08_top3_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q31_topk_global" -> ((s, dir) => {
+      // R4 global top-k → TakeOrderedAndProject, no full sort
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // ---- Set operations (SURVEY §2.6) -----------------------------------
+    "q07_distinct_segments" -> ((s, dir) =>
+      tbl(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    "q30_union_except" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.filter(col("doc_id") % 3 === 0).select("doc_id")
+        .union(d.filter(col("doc_id") % 5 === 0).select("doc_id"))
+        .distinct()
+        .except(d.filter(col("doc_id") % 7 === 0).select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Incremental / change detection (SURVEY §2.9) -------------------
+    "q14_change_detection" -> ((s, dir) => {
+      // J3 etag/mtime classification (oci/bucket.py:152-181); synthesizes
+      // current vs processed listings deterministically from `documents`.
+      val d = tbl(s, dir, "documents")
+      val cur = d.filter(col("doc_id") % 5 =!= 0).select(
+        concat(lit("f"), col("doc_id")).as("name"),
+        when(col("doc_id") % 7 === 0, md5(concat(col("text"), lit("X"))))
+          .otherwise(md5(col("text"))).as("etag"),
+        (col("doc_id") % 11).cast("string").as("time_modified"))
+      val proc = d.filter(col("doc_id") % 5 =!= 4).select(
+        concat(lit("f"), col("doc_id")).as("filename"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+          .otherwise(md5(col("text"))).as("etag"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+          .otherwise((col("doc_id") % 11).cast("string")).as("time_modified"))
+      ChangeDetection.detectChanges(cur, proc).orderBy("name")
+    }),
+
+    "q27_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (batch twin of the streaming operator)
+      streaming.EventStreams.sessionizeBatch(
+          events(s, dir).select("user_id", "ts", "value"), 30 * 60 * 1000L)
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    "q28_tumbling_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // ---- Scalar functions / JSON (SURVEY §2.7) --------------------------
+    "q29_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("n"))
+        .orderBy("k_val")
+    }),
+
+    // ---- Text analysis (beyond-reference training-data ops) -------------
+    "q23_token_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+          TF.tokenCount(col("text")).as("tokens"),
+          TF.approxSubwordCount(col("text")).as("subwords"),
+          TF.punctRatio(col("text")).as("punct_ratio"),
+          TF.digitRatio(col("text")).as("digit_ratio"),
+          TF.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q24_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q25_quality_score" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q26_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- Deduplication family (beyond-reference) ------------------------
+    "q20_minhash_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q21_simhash_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 50)
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 5, threshold = 0.6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q36_embedding_neardup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+          Similarity.hyperplaneBucket("embedding", 64, 4), 0.25)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- Similarity search (J6/R1-R5) -----------------------------------
+    "q17_cosine_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.topK(e, "embedding", qv, 8, "COSINE", "vec_id")
+        .select(col("vec_id"), col("label"), round(col("distance"), 6).as("distance"))
+    }),
+
+    "q18_knn_batch" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.topKBatch(e, "embedding", "vec_id", queries, "qv", "qid", 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q19_mmr" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val picked = Similarity.mmr(e, "embedding", "vec_id", qv, 5, 20, 0.5)
+      s.createDataFrame(picked.zipWithIndex.map { case ((id, sc), i) =>
+        (i + 1, id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }).toDF("rank", "vec_id", "mmr_score")
+    }),
+
+    // ---- Flagship RAG pipeline (rows-only; stub embedder not SQL-expressible)
+    "q32_embed_search" -> ((s, dir) => embedSearch(s, dir)),
+
+    // ---- Multimodal plumbing (binary columns, batch decode stub) --------
+    "q33_multimodal_features" -> ((s, dir) => {
+      val bin = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content_bin"))
+      Multimodal.extractFeatures(bin, "content_bin", featDim = 8)
+        .select(col("doc_id"), col("byte_len"), col("sha256"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ======================================================================
+  def oracleSql: Map[String, String] = {
+    val chunkCorpus =
+      """SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id + 1000 AS doc_id, substring(text, 1, greatest(length(text) - 7, 1)) AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin
+    val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val langMarkers = Seq(
+      "en" -> Seq(" the ", " and ", " is ", " of "),
+      "de" -> Seq(" der ", " und ", " die ", " ist "),
+      "fr" -> Seq(" le ", " les ", " est ", " une "),
+      "es" -> Seq(" el ", " los ", " es ", " una "),
+      "it" -> Seq(" il ", " che ", " per ", " una "))
+    val pad = "(' ' || lower(text) || ' ')"
+    def hitsSql(markers: Seq[String]): String = markers.map { m =>
+      s"CAST((length($pad) - length(replace($pad, '$m', ''))) / ${m.length} AS INT)"
+    }.mkString("(", " + ", ")")
+    val hitCols = langMarkers.map { case (l, ms) => s"${hitsSql(ms)} AS ${l}_hits" }
+    val bestExpr = langMarkers.map(l => s"${l._1}_hits").mkString("greatest(", ", ", ")")
+    val caseExpr = langMarkers.map { case (l, _) =>
+      s"WHEN ${l}_hits = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+
+    Map(
+      "q01_pricing_summary" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsumSql("l_quantity", 4)} AS sum_qty,
+           |  ${dsumSql("l_extendedprice", 4)} AS sum_base_price,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           |  ${dsumSql("l_quantity", 4)} / COUNT(*) AS avg_qty,
+           |  ${dsumSql("l_extendedprice", 4)} / COUNT(*) AS avg_price,
+           |  COUNT(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q09_orders_per_month" ->
+        s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+           |  ${dsumSql("o_totalprice", 4)} AS total,
+           |  ${dsumSql("o_totalprice", 4)} / COUNT(*) AS avg_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q15_file_rollup" ->
+        """SELECT source, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars,
+          |  MIN(doc_id) AS first_doc, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q34_distinct_counts" ->
+        """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+          |  COUNT(DISTINCT l_suppkey) AS n_supps,
+          |  COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+
+      "q03_revenue_by_nation" ->
+        s"""SELECT n_name AS nation,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+      "q04_order_priority" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-01-01')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q05_customers_no_orders" ->
+        """SELECT c_custkey, c_name, c_acctbal FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q10_brand_stats" ->
+        s"""SELECT p_brand, COUNT(*) AS n_items,
+           |  ${dsumSql("l_quantity", 4)} AS sum_qty,
+           |  ${dsumSql("l_extendedprice", 4)} / COUNT(*) AS avg_price
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+      "q06_revenue_filter" ->
+        s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+      "q11_chunk_documents" ->
+        """SELECT doc_id, CAST(s // 150 AS INT) AS chunk_index, CAST(s AS INT) AS start_index,
+          |  CAST(doc_id AS VARCHAR) || '_' || CAST(s // 150 AS VARCHAR) AS chunk_id,
+          |  substring(text, CAST(s AS INT) + 1, 200) AS chunk
+          |FROM documents, unnest(range(0, length(text), 150)) AS t(s)
+          |ORDER BY doc_id, chunk_index""".stripMargin,
+
+      "q12_dedup_first" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q13_dedup_keepmax" ->
+        """SELECT lang, doc_id, n_chars FROM (
+          |  SELECT lang, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY md5(lang) ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents) WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+      "q16_score_normalize" ->
+        """SELECT vec_id, CAST(vec_id % 100 AS DOUBLE) / 50.0 AS distance,
+          |  1.0 - (CAST(vec_id % 100 AS DOUBLE) / 50.0) / 2.0 AS cosine_score,
+          |  CAST(vec_id % 100 AS DOUBLE) / 50.0 AS dot_score,
+          |  1.0 / (1.0 + CAST(vec_id % 100 AS DOUBLE) / 50.0) AS euclidean_score
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      "q08_top3_orders_per_cust" ->
+        """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    CAST(row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+          |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+      "q31_topk_global" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+          |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+      "q07_distinct_segments" ->
+        "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+      "q30_union_except" ->
+        """(SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+          | UNION SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+          |EXCEPT SELECT doc_id FROM documents WHERE doc_id % 7 = 0
+          |ORDER BY doc_id""".stripMargin,
+
+      "q14_change_detection" ->
+        """WITH cur AS (
+          |  SELECT 'f' || CAST(doc_id AS VARCHAR) AS name,
+          |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'X') ELSE md5(text) END AS cur_etag,
+          |    CAST(doc_id % 11 AS VARCHAR) AS cur_mtime, 1 AS cur_present
+          |  FROM documents WHERE doc_id % 5 <> 0),
+          |proc AS (
+          |  SELECT 'f' || CAST(doc_id AS VARCHAR) AS name,
+          |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE md5(text) END AS proc_etag,
+          |    CASE WHEN doc_id % 13 = 0 THEN NULL
+          |         ELSE CAST(doc_id % 11 AS VARCHAR) END AS proc_mtime,
+          |    1 AS proc_present
+          |  FROM documents WHERE doc_id % 5 <> 4)
+          |SELECT name,
+          |  CASE WHEN cur_present IS NULL THEN 'deleted'
+          |       WHEN proc_present IS NULL THEN 'new'
+          |       WHEN proc_etag IS NULL AND proc_mtime IS NULL THEN 'unchanged'
+          |       WHEN COALESCE(cur_etag <> proc_etag, FALSE)
+          |         OR COALESCE(cur_mtime <> proc_mtime, FALSE) THEN 'modified'
+          |       ELSE 'unchanged' END AS status
+          |FROM cur FULL OUTER JOIN proc USING (name)
+          |ORDER BY name""".stripMargin,
+
+      "q27_sessionize" ->
+        """WITH e AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+          |      ELSE 0 END AS new_session
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sess AS (
+          |  SELECT user_id, ts, value,
+          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged)
+          |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+          |  COUNT(*) AS n_events,
+          |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+          |FROM sess GROUP BY user_id, session_id
+          |ORDER BY user_id, session_start""".stripMargin,
+
+      "q28_tumbling_window" ->
+        s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q29_json_props" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, COUNT(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q23_token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toks) AS INT) AS tokens,
+           |  CAST(list_sum(list_transform($toks,
+           |    t -> 1 + CAST(floor((length(t) - 1) / 4) AS INT))) AS INT) AS subwords,
+           |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+           |      / length(text) END AS punct_ratio,
+           |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+           |      / length(text) END AS digit_ratio,
+           |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE
+           |    CAST(len(list_filter(list_transform($toks, t -> lower(t)),
+           |      t -> t IN ('the','and','of','to','in','is','that','for','with','are','was','this','it','on','be','as','by','at'))) AS DOUBLE)
+           |      / len($toks) END AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q24_lang_id" ->
+        s"""SELECT doc_id, $caseExpr AS lang_pred FROM (
+           |  SELECT doc_id, ${langMarkers.map(l => s"${l._1}_hits").mkString(", ")},
+           |    $bestExpr AS best
+           |  FROM (SELECT doc_id, ${hitCols.mkString(", ")} FROM documents)
+           |) ORDER BY doc_id""".stripMargin,
+
+      "q25_quality_score" ->
+        s"""SELECT doc_id, round(
+           |    least(CAST(len($toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+           |  + greatest(0.0, 1.0 - (
+           |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |        CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)
+           |    + (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END)
+           |    ) * 2.0) * 0.3
+           |  + least((CASE WHEN len($toks) = 0 THEN 0.0 ELSE
+           |      CAST(len(list_filter(list_transform($toks, t -> lower(t)),
+           |        t -> t IN ('the','and','of','to','in','is','that','for','with','are','was','this','it','on','be','as','by','at'))) AS DOUBLE)
+           |      / len($toks) END) * 4.0, 1.0) * 0.3, 6) AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q26_fingerprint" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q22_ngram_jaccard" ->
+        s"""WITH corpus AS ($chunkCorpus),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS gram
+           |  FROM corpus, unnest(range(0, length(text) - 4, 1)) AS t(s)
+           |  WHERE length(text) >= 5),
+           |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM grams a JOIN grams b USING (gram)
+           |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q17_cosine_topk" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+          |SELECT vec_id, label,
+          |  round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM embeddings, q
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
+          |LIMIT 8""".stripMargin,
+
+      "q18_knn_batch" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 5)
+          |SELECT query_id, rank, vec_id, round(distance, 6) AS distance FROM (
+          |  SELECT q.query_id, e.vec_id,
+          |    1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS distance,
+          |    CAST(row_number() OVER (PARTITION BY q.query_id
+          |      ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+          |        e.vec_id) AS INT) AS rank
+          |  FROM embeddings e, q)
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q33_multimodal_features" ->
+        """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+          |  sha256(text) AS sha256
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
 }

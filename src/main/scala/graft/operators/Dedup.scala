@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * The reference deduplicates chunk content exactly, keeping the first
+  * occurrence (reference: src/server/app/embed/vector_store.py:96-119
+  * `_prepare_documents`) and keeps the highest-scored duplicate at retrieval
+  * (mcp/tools/vs_retriever.py:130-151). This module implements those two plus
+  * the near-duplicate family a training-data pipeline needs at 100 TB:
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design notes:
+  *  - Exact dedup hashes content to a fixed-width digest *before* the shuffle
+  *    so the exchange carries 16-byte keys, not document bodies.
+  *  - MinHash signatures are computed in one pass per document (map-side,
+  *    no shuffle); only (band_hash → doc_id) pairs shuffle, which is
+  *    `bands × docs` rows of ~24 bytes — independent of document size.
+  *  - Candidate verification joins are equi-joins on band buckets, so
+  *    Catalyst plans them as shuffled hash joins on uniformly-hashed keys;
+  *    no skew unless the corpus is pathologically self-similar (mitigate by
+  *    salting the degenerate empty-document bucket, which we drop up front).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct `textCol`, choosing the row with
+    * the smallest `orderCol` (first occurrence — reference
+    * vector_store.py:112-118 keeps first). Shuffles on md5(text), not text. */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Retrieval-side dedup: keep the highest-`scoreCol` row per distinct
+    * content, ties broken by `tieCol` ascending
+    * (reference: vs_retriever.py:130-151 keep-max). */
+  def dedupKeepMax(df: DataFrame, textCol: String, scoreCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Distinct character n-gram shingles, pure Catalyst
+    * (`sequence`+`transform`), no UDF. */
+  def shingleExpr(textCol: String, n: Int): Column =
+    when(length(col(textCol)) < n, array(col(textCol)))
+      .otherwise(array_distinct(expr(
+        s"transform(sequence(0, length($textCol) - $n), i -> substring($textCol, i + 1, $n))")))
+
+  /** MinHash signature: for each of `numHashes` permutations
+    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p, take the min over shingles.
+    * One pass over the shingle array per hash; all map-side.
+    * Deterministic (seeded a_i, b_i). */
+  /** Base shingle hashes — compute ONCE per row (materialize as a column)
+    * before fanning out into the per-permutation minima: Catalyst does not
+    * CSE across interpreted higher-order expressions, so inlining this into
+    * each of the `numHashes` minima would re-hash every shingle 64×. */
+  def shingleHashes(textCol: String, shingleN: Int): Column =
+    expr(s"transform(${shingleSql(textCol, shingleN)}, s -> pmod(xxhash64(s), 2147483647L))")
+
+  /** MinHash signature over a pre-computed shingle-hash array column:
+    * min over shingles of h_i(x) = (a_i * x + b_i) mod p per permutation.
+    * p = 2^31-1 keeps (a*h + b) under 2^62 — safe in ANSI 64-bit arithmetic.
+    * Deterministic (seeded a_i, b_i). */
+  def minhashFromHashes(hashCol: String, numHashes: Int): Column = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val coeffs = Seq.fill(numHashes)((math.abs(rnd.nextInt()).toLong % (p - 1) + 1,
+                                      math.abs(rnd.nextInt()).toLong % p))
+    val mins = coeffs.map { case (a, b) =>
+      s"array_min(transform($hashCol, h -> (h * ${a}L + ${b}L) % ${p}L))"
+    }
+    expr(s"array(${mins.mkString(",")})")
+  }
+
+  def minhashSignature(textCol: String, shingleN: Int, numHashes: Int): Column =
+    minhashFromHashes(
+      s"transform(${shingleSql(textCol, shingleN)}, s -> pmod(xxhash64(s), 2147483647L))",
+      numHashes)
+
+  private def shingleSql(textCol: String, n: Int): String =
+    s"case when length($textCol) < $n then array($textCol) else " +
+      s"array_distinct(transform(sequence(0, length($textCol) - $n), i -> substring($textCol, i + 1, $n))) end"
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * Signature is split into `bands` bands of `numHashes/bands` rows; docs
+    * sharing any band-hash become a candidate pair. Output:
+    * (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard = fraction
+    * of agreeing signature positions.
+    *
+    * Scale: only (band_idx, band_hash, id, sig) shuffles; the self-join is an
+    * equi-join on (band_idx, band_hash). `est_jaccard` recomputation is
+    * map-side on the joined rows.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    // two-step projection: shingle hashes materialize once per row (Catalyst
+    // keeps the boundary because "_sh" is referenced 64× and is not cheap)
+    val sig = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), shingleHashes(textCol, shingleN).as("_sh"))
+      .select(col("id"), minhashFromHashes("_sh", numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+          .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. One `aggregate` pass per document with a 64-wide counter array —
+    * map-side only, no shuffle. */
+  def simhash(textCol: String): Column = {
+    val tokens = s"filter(split($textCol, '\\\\s+'), t -> t != '')"
+    // bit ops (shiftright/&/shiftleft), not pow(): exact under ANSI, and bit
+    // 63 maps onto the sign bit of the bigint without overflow
+    val votes =
+      s"""aggregate(
+         |  transform($tokens, t -> xxhash64(t)),
+         |  array_repeat(0, 64),
+         |  (acc, h) -> zip_with(acc, transform(sequence(0, 63), j ->
+         |      case when (shiftright(h, j) & 1) = 1 then 1 else -1 end),
+         |    (a, v) -> a + v))""".stripMargin
+    expr(
+      s"""aggregate(
+         |  zip_with($votes, sequence(0, 63), (v, j) ->
+         |      case when v > 0 then shiftleft(1L, j) else 0L end),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+  }
+
+  /** SimHash near-dup candidates via 4×16-bit band blocking (Hamming
+    * distance ≤ 3 guarantees agreement on at least one 16-bit band). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), simhash(textCol).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"), col("id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"), col("id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at least
+    * one n-gram. Shuffles (ngram, id) pairs; join key is the n-gram hash.
+    * For 100 TB use after LSH blocking, not standalone. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("id"),
+        explode(shingleExpr(textCol, n)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count("*").as("sz"))
+    val inter = grams.select(col("id").as("doc_a"), col("gh"))
+      .join(grams.select(col("id").as("doc_b"), col("gh")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, brute force within blocking
+    * buckets. `blockExpr` partitions the corpus (e.g. a coarse LSH sign
+    * bucket from [[graft.operators.Similarity.hyperplaneBucket]]); pass
+    * `lit(0)` for exhaustive O(n²) at small scale. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            block: Column, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val a = df.select(block.as("blk"), col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = df.select(block.as("blk"), col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        cosineSimilarity(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `BINARY` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub; everything Spark-side — schema, batch
+  * shape, partition-local batching, metadata extraction — is real. In
+  * production, swap [[decodeStub]] for a real codec call; the
+  * `mapPartitions`-with-batching shape is exactly what a vectorized
+  * (Arrow/pandas-style) decode UDF compiles to, and parallelism is purely
+  * input-partition driven — no shuffle anywhere in this operator.
+  */
+object Multimodal {
+
+  /** Decoded-asset metadata: what a real decoder would yield alongside the
+    * tensor. The fake "features" are the first `featDim` bytes scaled to
+    * [0,1] — deterministic, shape-correct. */
+  case class AssetMeta(byteLen: Long, sha256: String, features: Array[Float])
+
+  /** STUB — deterministic fake decode. Real implementation would decode the
+    * codec here (JPEG/PNG/WAV frame extraction). */
+  def decodeStub(bytes: Array[Byte], featDim: Int): AssetMeta = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    val feats = Array.tabulate(featDim)(i =>
+      if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f)
+    AssetMeta(bytes.length.toLong, digest, feats)
+  }
+
+  /** Batch feature extraction over a binary column: appends
+    * (byte_len BIGINT, sha256 STRING, features ARRAY<FLOAT>).
+    * Batches of `batchSize` rows per call mirror how a vectorized decoder
+    * amortizes per-call overhead. */
+  def extractFeatures(df: DataFrame, binCol: String, featDim: Int = 8,
+                      batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("sha256", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+          val m = decodeStub(bytes, featDim)
+          Row.fromSeq(r.toSeq ++ Seq(m.byteLen, m.sha256, m.features.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling plan for a (stub) video column: emits one
+    * row per sampled frame index — the explode-side plumbing of a real
+    * frame sampler. */
+  def sampleFrames(df: DataFrame, binCol: String, everyNBytes: Int): DataFrame =
+    df.withColumn("frame_index",
+        explode(sequence(lit(0),
+          greatest(ceil(length(col(binCol)) / everyNBytes) - 1, lit(0)))))
+      .withColumn("frame_offset", col("frame_index") * everyNBytes)
+}

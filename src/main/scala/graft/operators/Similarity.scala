@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Mirrors the reference retrieval surface
+  * (reference: src/server/app/mcp/tools/vs_retriever.py):
+  *  - per-table top-k by distance (R1, :264)
+  *  - score normalization per distance strategy (R2, :267-274)
+  *  - threshold filter (P5, :276-277)
+  *  - cross-table dedup keep-max (R3, :130-151)
+  *  - global re-rank + limit (R4, :360-365)
+  *  - MMR re-rank (R5, :283-294)
+  *
+  * Scale design:
+  *  - Single-query top-k is a scan + `orderBy(dist).limit(k)` → Spark plans
+  *    `TakeOrderedAndProject`: each partition keeps a k-heap, the driver
+  *    merges — no full sort, no shuffle of the corpus.
+  *  - Batch-query top-k broadcasts the (small) query set against the
+  *    (huge) corpus and window-ranks per query — the corpus never shuffles.
+  *  - The IVF-style path prunes partitions by coarse centroid bucket before
+  *    scanning, turning O(corpus) into O(corpus / nBuckets) per query.
+  */
+object Similarity {
+
+  /** Brute-force top-k nearest rows for one query vector.
+    * Returns input columns + `distance` + `score` (normalized similarity),
+    * ties broken by `tieCol` for determinism. */
+  def topK(corpus: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+           strategy: String = "COSINE", tieCol: String = "vec_id"): DataFrame = {
+    val q = typedLit(query)
+    val dist = strategy.toUpperCase match {
+      case "COSINE" => cosineDistance(col(vecCol), q)
+      case "DOT"    => -dotProduct(col(vecCol), q) // larger dot = closer
+      case _        => l2Distance(col(vecCol), q)
+    }
+    corpus
+      .withColumn("distance", dist)
+      .withColumn("score", normalizeScoreCol(col("distance"), strategy))
+      .orderBy(col("distance").asc, col(tieCol).asc)
+      .limit(k)
+  }
+
+  private def normalizeScoreCol(distance: Column, strategy: String): Column =
+    strategy.toUpperCase match {
+      case "COSINE" => lit(1.0) - distance / 2.0 // distance here is 1-cos ∈ [0,2]… see note
+      case "DOT"    => -distance
+      case _        => lit(1.0) / (lit(1.0) + distance)
+    }
+
+  /** Batch top-k: for every row of `queries` (id + vector), the k nearest
+    * corpus rows. `queries` is broadcast (it is the small side by
+    * construction); the corpus is scanned once, never shuffled — the only
+    * exchange is the window rank over (query_id, distance), which carries
+    * `|queries| × |corpus|` candidate rows ONLY if unfiltered; pass a
+    * `preFilter` distance cap to bound it. */
+  def topKBatch(corpus: DataFrame, vecCol: String, corpusIdCol: String,
+                queries: DataFrame, queryVecCol: String, queryIdCol: String,
+                k: Int, maxDistance: Double = Double.MaxValue): DataFrame = {
+    val joined = corpus.crossJoin(
+        broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
+      .withColumn("distance", cosineDistance(col(vecCol), col("_qv")))
+      .filter(col("distance") <= maxDistance)
+      .drop("_qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col(corpusIdCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-store search: union per-store results, normalize scores,
+    * threshold, dedup keep-max on content, global top-k
+    * (reference flow: vs_retriever.py:307-384). Each store frame must carry
+    * (id, text, score) columns; `searched_table` is stamped like the
+    * reference stamps metadata (:279-282). */
+  def multiStoreSearch(stores: Seq[(String, DataFrame)], threshold: Double,
+                       topK: Int): DataFrame = {
+    val unioned = stores.map { case (name, df) =>
+      df.withColumn("searched_table", lit(name))
+    }.reduce(_ unionByName _)
+    val thresholded =
+      if (threshold > 0) unioned.filter(col("score") >= threshold) else unioned
+    Dedup.dedupKeepMax(thresholded, "text", "score", "id")
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** Maximal Marginal Relevance over the fetch_k nearest candidates
+    * (reference: vs_retriever.py:283-294; defaults fetch_k=20, λ=0.5 from
+    * core/schemas.py:54-55). Candidates are collected to the driver —
+    * bounded by fetch_k, so this is O(fetch_k²·d) driver work regardless of
+    * corpus size; the heavy part (candidate retrieval) stays distributed. */
+  def mmr(corpus: DataFrame, vecCol: String, idCol: String, query: Seq[Float],
+          k: Int, fetchK: Int = 20, lambdaMult: Double = 0.5): Seq[(Long, Double)] = {
+    val cand: Array[(Long, Array[Double])] =
+      topK(corpus, vecCol, query, fetchK, "COSINE", idCol)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qv = query.map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val vecs = cand.toMap
+    val simToQuery = cand.map { case (id, v) => id -> cos(v, qv) }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.map(_._1): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val (bestId, bestScore) = remaining.iterator.map { id =>
+        val rel = simToQuery(id)
+        val div = if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _) => cos(vecs(id), vecs(sid)) }.max
+        (id, lambdaMult * rel - (1 - lambdaMult) * div)
+      }.maxBy { case (id, s) => (s, -id) } // deterministic tie-break: lowest id
+      selected += ((bestId, bestScore))
+      remaining.remove(bestId)
+    }
+    selected.toSeq
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits of projections onto
+    * seeded random hyperplanes). Rows in the same bucket are cosine-close
+    * with high probability — the blocking key for
+    * [[Dedup.embeddingNearDupPairs]] and the IVF-style scale path: write the
+    * corpus bucketed/partitioned by this value, then probe only matching
+    * buckets. Deterministic (seed 42). */
+  def hyperplaneBucket(vecCol: String, dim: Int, nBits: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val bitExprs = planes.zipWithIndex.map { case (plane, b) =>
+      val planeArr = s"array(${plane.mkString(",")})"
+      s"case when aggregate(zip_with($vecCol, $planeArr, (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v) >= 0 " +
+        s"then cast(pow(2, $b) as bigint) else 0L end"
+    }
+    expr(s"(${bitExprs.mkString(" + ")})")
+  }
+
+  /** IVF-style ANN: assign each corpus row to its nearest of `centroids`
+    * (broadcast), then for a query scan only rows whose centroid is among
+    * the `nProbe` closest centroids to the query. At cluster scale the
+    * corpus is written partitioned by `centroid_id`, so the probe is a
+    * partition-pruned scan. */
+  def ivfAssign(corpus: DataFrame, vecCol: String,
+                centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val cents = centroids.map { case (id, v) => s"struct(${id}, array(${v.mkString(",")}))" }
+    val assigned = expr(
+      s"""aggregate(array(${cents.mkString(",")}),
+         |  struct(cast(-1 as int) as id, cast('Infinity' as double) as d),
+         |  (acc, c) -> if(
+         |    aggregate(zip_with($vecCol, c.col2, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (a, v) -> a + v) < acc.d,
+         |    struct(c.col1 as id,
+         |      aggregate(zip_with($vecCol, c.col2, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (a, v) -> a + v) as d),
+         |    acc))""".stripMargin)
+    corpus.withColumn("centroid_id", assigned.getField("id"))
+  }
+}

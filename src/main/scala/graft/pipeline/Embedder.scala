@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding stage.
+  *
+  * The reference embeds chunks in batches of 500 against a remote model with
+  * an optional `60/rpm` inter-batch sleep
+  * (reference: src/server/app/embed/vector_store.py:158-186
+  * `_embed_documents_in_batches`). In Spark the same shape is
+  * `mapPartitions` with intra-partition batching: each task groups its rows
+  * into batches and calls the (pluggable) embedding function once per batch —
+  * the canonical Spark batched-UDF pattern. No shuffle; parallelism = input
+  * partitions.
+  *
+  * This environment has no network, so the default embedder is a
+  * deterministic seeded hash projection (pure `String => Array[Float]`,
+  * L2-normalized) — every test and oracle check is exactly reproducible.
+  */
+object Embedder {
+
+  type EmbedFn = Seq[String] => Seq[Array[Float]]
+
+  /** Deterministic stub: token hashes scattered into `dim` buckets (signed,
+    * feature-hashing style), then L2-normalized. Same text → same vector. */
+  def stubEmbed(dim: Int): EmbedFn = texts => texts.map { t =>
+    val v = new Array[Float](dim)
+    var i = 0
+    val toks = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    while (i < toks.length) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 42)
+      val idx = math.floorMod(h, dim)
+      v(idx) += (if ((h >>> 31) == 0) 1f else -1f)
+      i += 1
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+
+  /** Batch-embed `textCol` into an `embedding ARRAY<FLOAT>` column.
+    * `batchSize` mirrors the reference's 500 (vector_store.py:164). */
+  def embed(df: DataFrame, textCol: String, fn: EmbedFn,
+            batchSize: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = fn(batch.map(r => Option(r.getString(idx)).getOrElse("")))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** RAG query pipeline with build-time conditional topology.
+  *
+  * Mirrors the reference's vecsearch Flow graph — optional rephrase →
+  * optional discovery/table-selection → retrieve (always) → optional grade →
+  * format answer (reference: src/server/app/agentspec/flow_vecsearch.py:
+  * 307-443), with LLM steps as injected function slots exactly where the
+  * reference has LlmNodes (rephrase vs_rephrase.py:35-145, selection
+  * vs_retriever.py:53-127, grade vs_grade.py:27-99, synthesize
+  * multi_tool.py:122-139). Deterministic default slots make the pipeline
+  * fully testable offline.
+  *
+  * Route resolution matches runtime/common.py:86-96: LLM_ONLY / NL2SQL /
+  * VECSEARCH / COMBINED from the enabled-tools set; COMBINED classifies then
+  * runs both branches and synthesizes (multi_tool.py:141-181).
+  */
+object RagPipeline {
+
+  sealed trait Route
+  case object LlmOnly extends Route
+  case object Nl2Sql extends Route
+  case object VecSearch extends Route
+  case object Combined extends Route
+
+  /** reference runtime/common.py:86-96 */
+  def resolveRoute(vecSearchEnabled: Boolean, nl2sqlEnabled: Boolean): Route =
+    (vecSearchEnabled, nl2sqlEnabled) match {
+      case (true, true)   => Combined
+      case (true, false)  => VecSearch
+      case (false, true)  => Nl2Sql
+      case (false, false) => LlmOnly
+    }
+
+  /** LLM-step function slots (deterministic defaults; swap in real models
+    * in production). */
+  case class Slots(
+      rephrase: (String, Seq[(String, String)]) => String =
+        (q, hist) => q, // reference falls back to the original on any issue
+      selectTables: (String, Seq[String]) => Seq[String] =
+        (_, catalog) => catalog.take(3), // reference caps at DEFAULT_MAX_TABLES=3
+      grade: (String, String) => Boolean = (_, _) => true, // API failure → "yes"
+      answer: (String, Seq[String]) => String =
+        (q, docs) => s"[$q] -> ${docs.size} docs",
+      classify: String => String = q =>
+        if (q.toLowerCase.matches(".*\\b(sum|count|average|total|how many)\\b.*")) "nl2sql"
+        else "vecsearch",
+      synthesize: (String, String, String) => String =
+        (q, sqlAns, vsAns) => s"$sqlAns\n$vsAns")
+
+  case class Config(
+      topK: Int = 8,            // reference core/schemas.py:52
+      scoreThreshold: Double = 0.65, // :53
+      fetchK: Int = 20,         // :54
+      lambdaMult: Double = 0.5, // :55
+      searchType: String = "similarity", // or "mmr"
+      rephraseEnabled: Boolean = false,
+      gradeEnabled: Boolean = false)
+
+  case class Result(answer: String, docs: DataFrame, route: Route)
+
+  /** Single-line-or-original rephrase guard
+    * (reference: vs_rephrase.py:35-45 — multi-line or empty output is
+    * rejected in favor of the original question). */
+  def guardRephrase(original: String, rephrased: String): String = {
+    val t = rephrased.trim
+    if (t.isEmpty || t.contains("\n")) original else t
+  }
+
+  /** Strip ```json fences from an LLM payload
+    * (reference: vs_retriever.py:35, :106-111). */
+  def unfence(s: String): String =
+    s.trim.replaceAll("(?s)^```(?:json)?\\s*", "").replaceAll("\\s*```$", "").trim
+
+  /** Vector-search branch: rephrase? → select stores → per-store top-k →
+    * normalize/threshold/dedup/global top-k → grade? → answer. */
+  def vecSearch(spark: SparkSession, stores: Map[String, DataFrame],
+                question: String, history: Seq[(String, String)],
+                embed: Embedder.EmbedFn, cfg: Config, slots: Slots): Result = {
+    // rephrase only with ≥2 turns of history (reference vs_rephrase.py guard)
+    val q0 = if (cfg.rephraseEnabled && history.size >= 2)
+      guardRephrase(question, slots.rephrase(question, history)) else question
+    val selected = slots.selectTables(q0, stores.keys.toSeq.sorted).take(3)
+    val qVec = embed(Seq(q0)).head.toSeq
+    val perStore = selected.flatMap { name =>
+      stores.get(name).map { df =>
+        name -> Similarity.topK(df, "embedding", qVec, cfg.topK, "COSINE", "id")
+          .select(col("id"), col("text"), col("score"))
+      }
+    }
+    val merged =
+      if (perStore.isEmpty) spark.emptyDataFrame
+      else Similarity.multiStoreSearch(perStore, cfg.scoreThreshold, cfg.topK)
+    val docs = merged.collect().map(_.getAs[String]("text")).toSeq
+    val graded = if (cfg.gradeEnabled && !slots.grade(q0, docs.mkString("\n")))
+      Seq.empty[String] else docs // "no" empties the docs (vs_grade contract)
+    Result(slots.answer(q0, graded), merged, VecSearch)
+  }
+
+  /** Full routed chat execution (§3.1 of SURVEY.md). */
+  def execute(spark: SparkSession, stores: Map[String, DataFrame],
+              question: String, history: Seq[(String, String)],
+              embed: Embedder.EmbedFn,
+              runSql: String => String,
+              cfg: Config = Config(), slots: Slots = Slots(),
+              vecSearchEnabled: Boolean = true,
+              nl2sqlEnabled: Boolean = false): Result =
+    resolveRoute(vecSearchEnabled, nl2sqlEnabled) match {
+      case LlmOnly => Result(slots.answer(question, Seq.empty), spark.emptyDataFrame, LlmOnly)
+      case VecSearch => vecSearch(spark, stores, question, history, embed, cfg, slots)
+      case Nl2Sql => Result(runSql(question), spark.emptyDataFrame, Nl2Sql)
+      case Combined =>
+        slots.classify(question) match {
+          case "nl2sql" => Result(runSql(question), spark.emptyDataFrame, Combined)
+          case "vecsearch" =>
+            vecSearch(spark, stores, question, history, embed, cfg, slots).copy(route = Combined)
+          case _ =>
+            val vs = vecSearch(spark, stores, question, history, embed, cfg, slots)
+            val sqlAns = runSql(question)
+            Result(slots.synthesize(question, sqlAns, vs.answer), vs.docs, Combined)
+        }
+    }
+}

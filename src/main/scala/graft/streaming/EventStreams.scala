@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming / incremental surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no true stream processing — its incremental pattern is
+  * the etag/mtime refresh loop (reference: src/server/app/embed/refresh.py:
+  * 28-143, SURVEY.md §2.9). Here that becomes idiomatic Structured
+  * Streaming: file-source for new-data detection, watermarked windowed
+  * aggregates, and `flatMapGroupsWithState` sessionization for the custom
+  * state machine the reference keeps in `aio_embed_jobs`.
+  *
+  * Every streaming transform is written against a plain `DataFrame`, so the
+  * identical code path runs in batch mode (for the DuckDB oracle) and in
+  * `readStream` mode — the Structured Streaming contract.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate: events per (window, event_type) with sum /
+    * avg of value. Batch and streaming share this plan; in streaming, pair
+    * with `withWatermark("ts", ...)` upstream. */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+
+  /** Sliding-window aggregate (length, slide). */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+
+  /** Streaming variant with watermark, ready for `writeStream` with append
+    * mode (late data beyond `delay` dropped deterministically). */
+  def tumblingCountsStream(events: DataFrame, windowLen: String, delay: String): DataFrame =
+    tumblingCounts(events.withWatermark("ts", delay), windowLen)
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Int, sum_value: Double)
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState` + event-time timeout): a session closes after
+    * `gapMs` of user inactivity. The streaming analog of the reference's
+    * job-state machine with its heartbeat/reaper timeouts
+    * (reference: embed/jobs.py:54-57, 188-313). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.sumValue))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.sumValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (for the oracle):
+    * classic gaps-and-islands — session breaks where the gap from the
+    * previous event exceeds `gapMs`. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // exact integer µs arithmetic so the DuckDB oracle (epoch_us) agrees bit-for-bit
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      // decimal accumulation → order-independent exact sum (oracle parity)
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(24,6)")).cast("double").as("sum_value"))
+      .drop("session_id")
+  }
+
+  /** Incremental refresh as a `foreachBatch` micro-batch: for each batch of
+    * newly-listed files, classify against the store's processed aggregate
+    * and merge only new/modified (the ST1 pattern, refresh.py:28-143). */
+  def refreshBatch(spark: SparkSession, storeRoot: String, storeName: String,
+                   listing: DataFrame,
+                   embedAndChunk: DataFrame => DataFrame): Map[String, Long] = {
+    import graft.operators.ChangeDetection
+    import graft.store.VectorStore
+    val store = VectorStore.read(spark, storeRoot, storeName)
+    val processed = VectorStore.processedFiles(store)
+    // Materialize the classification BEFORE mutating the store: Spark
+    // invalidates cached plans that read a path when that path is written
+    // (CacheManager.recacheByPath), so a lazy frame would silently
+    // re-classify against the already-refreshed store.
+    val statuses = ChangeDetection.detectChanges(listing, processed)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val changed = statuses.collect { case (n, s) if s == "new" || s == "modified" => n }
+    if (changed.nonEmpty) {
+      VectorStore.deleteStale(spark, storeRoot, storeName,
+        changed.toSeq) // modified files' stale chunks drop first (J2)
+      val delta = embedAndChunk(listing.filter(col("name").isin(changed.toSeq: _*)))
+      VectorStore.merge(spark, storeRoot, storeName, delta) // then J1 merge
+    }
+    statuses.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Chunker
+
+/** Mirrors the reference splitter tests
+  * (reference: src/server/tests/embed/test_document.py:99-133) plus
+  * seeded randomized invariants (coverage / reconstruction / spacing). */
+class ChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(text: String, size: Int, overlap: Int): Seq[(Int, Int, String)] =
+    Chunker.chunk(Seq((1L, text)).toDF("doc_id", "text"), "text", size, overlap)
+      .select("chunk_index", "start_index", "chunk")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+
+  test("windows advance by size - overlap and record start_index") {
+    val out = chunksOf("abcdefghij", 4, 2) // step 2: starts 0,2,4,6,8
+    assert(out.map(_._2) == Seq(0, 2, 4, 6, 8))
+    assert(out.map(_._3) == Seq("abcd", "cdef", "efgh", "ghij", "ij"))
+  }
+
+  test("no overlap → exact partition") {
+    val out = chunksOf("abcdefgh", 4, 0)
+    assert(out.map(_._3) == Seq("abcd", "efgh"))
+  }
+
+  test("text shorter than window → single chunk") {
+    assert(chunksOf("ab", 10, 3).map(_._3) == Seq("ab"))
+  }
+
+  test("empty text → no chunks") {
+    assert(chunksOf("", 10, 3).isEmpty)
+  }
+
+  test("invalid overlap rejected (reference document.py:80-86)") {
+    intercept[IllegalArgumentException](chunksOf("abc", 4, 4))
+    intercept[IllegalArgumentException](chunksOf("abc", 0, 0))
+  }
+
+  test("chunk ids follow {key}_{idx} (reference document.py:113-130)") {
+    val out = Chunker.chunkWithIds(
+        Seq((7L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text", 4, 0)
+      .select("chunk_id").as[String].collect().toSeq
+    assert(out == Seq("7_0", "7_1"))
+  }
+
+  test("property: coverage, reconstruction, and spacing invariants (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val text = rnd.alphanumeric.take(rnd.nextInt(400)).mkString
+      val size = 2 + rnd.nextInt(49)
+      val ov = rnd.nextInt(size)
+      val out = chunksOf(text, size, ov)
+      if (text.isEmpty) assert(out.isEmpty)
+      else {
+        val step = size - ov
+        // every char position is covered by at least one chunk
+        val covered = out.flatMap { case (_, s, c) => s until (s + c.length) }.toSet
+        assert(covered == text.indices.toSet, s"size=$size ov=$ov len=${text.length}")
+        // chunks reconstruct the text from their start indices
+        out.foreach { case (_, s, c) => assert(text.substring(s, s + c.length) == c) }
+        assert(out.map(_._2) == out.indices.map(_ * step))
+      }
+    }
+  }
+}

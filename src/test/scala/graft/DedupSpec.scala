@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps first occurrence (reference vector_store.py:112-118)") {
+    val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("keep-max dedup keeps highest score, ties → lowest id (vs_retriever.py:140-148)") {
+    val df = Seq((1L, "a", 0.5), (2L, "a", 0.9), (3L, "a", 0.9), (4L, "b", 0.1))
+      .toDF("id", "text", "score")
+    val out = Dedup.dedupKeepMax(df, "text", "score", "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 4L))
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val near = base + " now"
+    val far = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text", 5, 64, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash est_jaccard ≈ 1 for identical docs") {
+    val df = Seq((1L, "identical text content here"), (2L, "identical text content here"))
+      .toDF("id", "text")
+    val est = Dedup.minhashLshPairs(df, "id", "text", 5, 64, 8, 0.5)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs get hamming 0; near docs small hamming") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, base), (3L, base + " lambda")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val map = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(map((1L, 2L)) == 0L)
+  }
+
+  test("ngram jaccard: exact similarity for hand-checked pair") {
+    // grams("abcd",3) = {abc, bcd}; grams("abcde",3) = {abc, bcd, cde}
+    // intersection 2, union 3 → 2/3
+    val df = Seq((1L, "abcd"), (2L, "abcde")).toDF("id", "text")
+    val j = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.1)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(j - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("embedding near-dup finds cosine-close pairs within blocks") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", lit(0), 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

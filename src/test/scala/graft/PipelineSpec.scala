@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Embedder, RagPipeline}
+import graft.plans.SelectOnly
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stub embedder is deterministic and L2-normalized") {
+    val e = Embedder.stubEmbed(16)
+    val a = e(Seq("hello world"))
+    val b = e(Seq("hello world"))
+    assert(a.head.toSeq == b.head.toSeq)
+    val norm = math.sqrt(a.head.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
+  test("embed stage appends ARRAY<FLOAT> via mapPartitions batching") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text")
+    val out = Embedder.embed(df, "text", Embedder.stubEmbed(8), batchSize = 2)
+    assert(out.schema("embedding").dataType.typeName == "array")
+    val vecs = out.select("id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(vecs(1L) == vecs(3L)) // same text → same vector
+    assert(vecs(1L) != vecs(2L))
+  }
+
+  test("route resolution matches reference runtime/common.py:86-96") {
+    import RagPipeline._
+    assert(resolveRoute(vecSearchEnabled = true, nl2sqlEnabled = true) == Combined)
+    assert(resolveRoute(vecSearchEnabled = true, nl2sqlEnabled = false) == VecSearch)
+    assert(resolveRoute(vecSearchEnabled = false, nl2sqlEnabled = true) == Nl2Sql)
+    assert(resolveRoute(vecSearchEnabled = false, nl2sqlEnabled = false) == LlmOnly)
+  }
+
+  test("rephrase guard: multi-line or empty → original (vs_rephrase.py:35-45)") {
+    assert(RagPipeline.guardRephrase("orig", "better query") == "better query")
+    assert(RagPipeline.guardRephrase("orig", "two\nlines") == "orig")
+    assert(RagPipeline.guardRephrase("orig", "   ") == "orig")
+  }
+
+  test("unfence strips ```json fences (vs_retriever.py:35)") {
+    assert(RagPipeline.unfence("```json\n[1,2]\n```") == "[1,2]")
+    assert(RagPipeline.unfence("plain") == "plain")
+  }
+
+  test("end-to-end vecsearch route over a stub store") {
+    val embed = Embedder.stubEmbed(16)
+    val docs = Seq("spark catalyst optimizer", "streaming watermark windows",
+      "vector similarity search")
+    val store = Embedder.embed(
+      docs.zipWithIndex.map { case (t, i) => (s"d_$i", t) }.toDF("id", "text"),
+      "text", embed)
+    val res = RagPipeline.execute(spark, Map("S1" -> store),
+      "catalyst optimizer", Seq.empty, embed, _ => "",
+      RagPipeline.Config(topK = 2, scoreThreshold = 0.0))
+    assert(res.route == RagPipeline.VecSearch)
+    val top = res.docs.select("text").as[String].collect()
+    assert(top.contains("spark catalyst optimizer"))
+  }
+
+  test("SELECT-only guard accepts queries, rejects DDL/DML (embed/utils.py:35-70)") {
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("guard_t")
+    assert(SelectOnly.isSelectOnly(spark, "SELECT * FROM guard_t"))
+    assert(SelectOnly.isSelectOnly(spark, "WITH x AS (SELECT 1) SELECT * FROM x"))
+    assert(!SelectOnly.isSelectOnly(spark, "DROP TABLE guard_t"))
+    assert(!SelectOnly.isSelectOnly(spark, "INSERT INTO guard_t VALUES (2, 'b')"))
+    assert(!SelectOnly.isSelectOnly(spark, "CREATE TABLE z (a INT) USING parquet"))
+    assert(!SelectOnly.isSelectOnly(spark, "not sql at all"))
+    assert(SelectOnly.runSelectOnly(spark, "SELECT 1 AS one").count() == 1)
+    intercept[IllegalArgumentException](
+      SelectOnly.runSelectOnly(spark, "DROP TABLE guard_t"))
+  }
+
+  test("result cap errors past maxRows (reference database/sql.py:19-24)") {
+    spark.range(100).createOrReplaceTempView("cap_t")
+    intercept[IllegalStateException](
+      SelectOnly.executeCapped(spark, "SELECT * FROM cap_t", maxRows = 50))
+    assert(SelectOnly.executeCapped(spark, "SELECT * FROM cap_t", maxRows = 200)
+      .count() == 100)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f)), (5L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+
+  test("topK orders by cosine distance with deterministic ties") {
+    val out = Similarity.topK(corpus, "embedding", Seq(1.0f, 0.0f), 3, "COSINE", "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 5L))
+  }
+
+  test("COSINE score normalization matches reference formula (1 - d/2 over d=1-cos)") {
+    val out = Similarity.topK(corpus, "embedding", Seq(1.0f, 0.0f), 5, "COSINE", "vec_id")
+      .select("vec_id", "score").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)       // identical vector
+    assert(math.abs(out(3L) - 0.5) < 1e-12)       // orthogonal
+    assert(math.abs(out(4L) - 0.0) < 1e-12)       // opposite
+  }
+
+  test("vector function identities") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(
+      dotProduct(col("a"), col("b")), l2Norm(col("a")),
+      cosineSimilarity(col("a"), col("b")), l2Distance(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 25.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("zero-norm vectors get similarity 0, not NaN") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(cosineSimilarity(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("multiStoreSearch: threshold, dedup keep-max, global top-k (vs_retriever flow)") {
+    val s1 = Seq(("a", "doc one", 0.9), ("b", "doc two", 0.7)).toDF("id", "text", "score")
+    val s2 = Seq(("c", "doc one", 0.95), ("d", "doc three", 0.4)).toDF("id", "text", "score")
+    val out = Similarity.multiStoreSearch(Seq("s1" -> s1, "s2" -> s2), 0.65, 8)
+      .select("id", "text", "score", "searched_table")
+      .as[(String, String, Double, String)].collect().toSeq
+    // doc three filtered (0.4 < 0.65); "doc one" deduped keeping 0.95 from s2
+    assert(out.map(_._1) == Seq("c", "b"))
+    assert(out.head._4 == "s2")
+  }
+
+  test("MMR with λ=1 reduces to pure relevance top-k") {
+    val mmr = Similarity.mmr(corpus, "embedding", "vec_id", Seq(1.0f, 0.0f), 3, 5, 1.0)
+    assert(mmr.map(_._1) == Seq(1L, 2L, 5L))
+  }
+
+  test("MMR with diversity-heavy λ avoids the near-duplicate second pick") {
+    // λ=0.3 after picking 1: near-duplicate 2 scores 0.3·0.994 − 0.7·0.994 ≈ −0.40;
+    // the anti-correlated vector 4 scores 0.3·(−1) − 0.7·(−1) = +0.4 → most
+    // diverse pick wins (standard MMR with signed cosine).
+    val mmr = Similarity.mmr(corpus, "embedding", "vec_id", Seq(1.0f, 0.0f), 2, 5, 0.3)
+    assert(mmr.head._1 == 1L)
+    assert(mmr(1)._1 == 4L)
+  }
+
+  test("batch top-k ranks per query") {
+    val qs = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f))).toDF("qid", "qv")
+    val out = Similarity.topKBatch(corpus, "embedding", "vec_id", qs, "qv", "qid", 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L), (200L, 3L)))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.VectorStore
+import graft.operators.ChangeDetection
+import java.nio.file.Files
+
+class StoreAndRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-store-test").toString
+
+  private def chunkRow(id: String, text: String, fname: String) =
+    (id, text, Map("filename" -> fname, "etag" -> s"e-$fname", "time_modified" -> "t1"),
+      Seq(1.0f, 0.0f))
+
+  test("store name generation matches the reference rule " +
+       "(pinned by tests/embed/test_vector_store.py:35-48)") {
+    assert(VectorStore.storeName("openai", "openai", "text-embedding-3-small",
+        1000, 100, "COSINE", "HNSW")
+      == "OPENAI_OPENAI_TEXT_EMBEDDING_3_SMALL_1000_100_COSINE_HNSW")
+  }
+
+  test("filename alias: short names pass through, long names truncate with digest") {
+    assert(VectorStore.filenameAlias("doc.txt") == "DOC_TXT")
+    val long = VectorStore.filenameAlias("a-very-long-filename-that-exceeds.pdf")
+    assert(long.length == 21 && long.startsWith("A_VERY_LONG_"))
+  }
+
+  test("write → read → merge is insert-if-absent (reference J1)") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("a_1", "beta", "a"))
+      .toDF("id", "text", "metadata", "embedding")
+    VectorStore.write(df, root, "T1", """{"alias": "t1"}""")
+    val incoming = Seq(chunkRow("a_1", "beta CHANGED", "a"), chunkRow("b_0", "gamma", "b"))
+      .toDF("id", "text", "metadata", "embedding")
+    val inserted = VectorStore.merge(spark, root, "T1", incoming)
+    assert(inserted == 1) // a_1 already present → only b_0 inserted
+    val after = VectorStore.read(spark, root, "T1")
+    assert(after.count() == 3)
+    // existing row NOT overwritten (insert-if-absent, not upsert)
+    assert(after.filter(col("id") === "a_1").select("text").as[String].head() == "beta")
+  }
+
+  test("stale delete removes only the named files' chunks (reference J2)") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("b_0", "beta", "b"))
+      .toDF("id", "text", "metadata", "embedding")
+    VectorStore.write(df, root, "T2", """{"alias": "t2"}""")
+    VectorStore.deleteStale(spark, root, "T2", Seq("a"))
+    val left = VectorStore.read(spark, root, "T2").select("id").as[String].collect()
+    assert(left.toSeq == Seq("b_0"))
+  }
+
+  test("catalog lists stores after write") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("x", "x", "x")).toDF("id", "text", "metadata", "embedding")
+    VectorStore.write(df, root, "S_ONE", """{"alias": "one"}""")
+    VectorStore.write(df, root, "S_TWO", """{"alias": "two"}""")
+    assert(VectorStore.listStores(root).toSet == Set("S_ONE", "S_TWO"))
+  }
+
+  test("processedFiles rolls chunks up to one row per file (reference A1)") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("a_0", "t1", "a"), chunkRow("a_1", "t2", "a"),
+      chunkRow("b_0", "t3", "b")).toDF("id", "text", "metadata", "embedding")
+    VectorStore.write(df, root, "T3", "{}")
+    val rolled = VectorStore.processedFiles(VectorStore.read(spark, root, "T3"))
+      .select("filename", "chunks").as[(String, Long)].collect().toMap
+    assert(rolled == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("change detection classifies new/modified/deleted/unchanged/legacy " +
+       "(reference oci/bucket.py:164-178; tests test_vector_store.py:372-434)") {
+    val current = Seq(
+      ("new.txt", "e1", "t1"), ("mod.txt", "e2-changed", "t2"),
+      ("same.txt", "e3", "t3"), ("legacy.txt", "e4", "t4"))
+      .toDF("name", "etag", "time_modified")
+    val processed = Seq(
+      ("mod.txt", Some("e2"), Some("t2")), ("same.txt", Some("e3"), Some("t3")),
+      ("legacy.txt", None, None), ("gone.txt", Some("e5"), Some("t5")))
+      .toDF("filename", "etag", "time_modified")
+    val out = ChangeDetection.detectChanges(current, processed)
+      .as[(String, String)].collect().toMap
+    assert(out == Map(
+      "new.txt" -> "new", "mod.txt" -> "modified", "same.txt" -> "unchanged",
+      "legacy.txt" -> "unchanged", "gone.txt" -> "deleted"))
+  }
+}

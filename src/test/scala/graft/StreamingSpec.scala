@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("tumbling window aggregates run identically in batch mode") {
+    val df = Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(61), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStreams.tumblingCounts(df, "1 hour")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L))
+    assert(out.map(_._3).toSet == Set(3.0, 4.0))
+  }
+
+  test("streaming tumbling window with watermark produces same aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamed = EventStreams.tumblingCountsStream(
+      mem.toDF.toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("tumbling_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0))
+      mem.addData((ts(200), "click", 9.0)) // advances watermark past hour 0
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect()
+      assert(rows.contains(("click", 2L, 3.0))) // hour-0 window finalized
+    } finally q.stop()
+  }
+
+  test("sessionization: batch gaps-and-islands semantics") {
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),  // session 1 (gap 10m < 30m)
+      (1L, ts(100), 3.0),                   // session 2
+      (2L, ts(0), 5.0))                     // user 2, one session
+      .toDF("user_id", "ts", "value")
+    val out = EventStreams.sessionizeBatch(df, 30 * 60 * 1000L)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("sessionization: streaming flatMapGroupsWithState closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(0), 1L, "click", 1.0), Event(2, ts(10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes session 1's timeout → emitted
+      mem.addData(Event(3, ts(600), 1L, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(1200), 1L, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select("user_id", "n_events", "sum_value").as[(Long, Int, Double)].collect()
+      assert(rows.contains((1L, 2, 3.0))) // first session: 2 events, sum 3.0
+    } finally q.stop()
+  }
+
+  test("foreachBatch-style incremental refresh: only changed files re-embedded " +
+       "(reference refresh.py:28-143)") {
+    import graft.store.VectorStore
+    val root = java.nio.file.Files.createTempDirectory("graft-refresh").toString
+    val initial = Seq(
+      ("a_0", "alpha", Map("filename" -> "a", "etag" -> "e-a", "time_modified" -> "t1"), Seq(1.0f)),
+      ("b_0", "beta", Map("filename" -> "b", "etag" -> "e-b", "time_modified" -> "t1"), Seq(1.0f)))
+      .toDF("id", "text", "metadata", "embedding")
+    VectorStore.write(initial, root, "R1", "{}")
+    // b modified (new etag), c new, a unchanged
+    val listing = Seq(
+      ("a", "e-a", "t1"), ("b", "e-b2", "t1"), ("c", "e-c", "t1"))
+      .toDF("name", "etag", "time_modified")
+    val counts = EventStreams.refreshBatch(spark, root, "R1", listing,
+      changed => changed.select(
+        concat(col("name"), lit("_0")).as("id"),
+        concat(lit("text-"), col("name")).as("text"),
+        map(lit("filename"), col("name"), lit("etag"), col("etag"),
+          lit("time_modified"), col("time_modified")).as("metadata"),
+        array(lit(2.0f)).as("embedding")))
+    assert(counts == Map("unchanged" -> 1L, "modified" -> 1L, "new" -> 1L))
+    val after = VectorStore.read(spark, root, "R1")
+    assert(after.count() == 3) // a_0 untouched, b_0 re-embedded, c_0 added
+    val bText = after.filter(col("id") === "b_0").select("text").as[String].head()
+    assert(bText == "text-b") // modified file's chunk was replaced
+  }
+}
