@@ -365,6 +365,52 @@ object SparkEntry {
     // ---- Flagship RAG pipeline (rows-only; stub embedder not SQL-expressible)
     "q32_embed_search" -> ((s, dir) => embedSearch(s, dir)),
 
+    // ---- IVF-style ANN assignment (scale path for similarity search) ----
+    "q35_ivf_assign" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      Similarity.assignNearestCentroid(e, "embedding", "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("centroid_dist"), 6).as("centroid_dist"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- Testbed evaluation (SURVEY §3.3: answer → judge → report) ------
+    "q37_testbed_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qa0 = testbed.Testbed.generateTestset(
+          tbl(s, dir, "documents"), "text", "doc_id",
+          questions = 2, chunkSize = 40, minChunks = 5)
+        .withColumn("reference_answer", upper(expr("substring(reference_context, 1, 16)")))
+        .withColumn("agent_answer", lit(null).cast("string"))
+        .withColumn("correctness", lit(null).cast("boolean"))
+        .as[testbed.Testbed.QARecord]
+      val answered = testbed.Testbed.collectAnswers(qa0, q => q.toUpperCase)
+      val judged = testbed.Testbed.judge(answered,
+        (q, a, ref) => a == q.toUpperCase && ref.length % 2 == 0)
+      testbed.Testbed.reportByTopic(judged.toDF())
+        .select(col("topic"), col("n"), col("n_correct"), col("correctness"))
+        .orderBy("topic")
+    }),
+
+    // ---- NL2SQL execution surface (SELECT-only guard → spark.sql) -------
+    "q38_nl2sql" -> ((s, dir) => {
+      Seq("part", "supplier").foreach { t =>
+        tbl(s, dir, t).createOrReplaceTempView(t)
+      }
+      plans.SelectOnly.executeCapped(s,
+        """SELECT p_brand, count(*) AS n, max(p_retailprice) AS max_price
+          |FROM part WHERE p_size >= 30 GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    }),
+
+    // ---- Web-scrape row transforms (P7 slugify) -------------------------
+    "q39_slugify" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.slugify(expr("substring(text, 1, 50)")).as("slug"))
+        .orderBy("doc_id")),
+
     // ---- Multimodal plumbing (binary columns, batch decode stub) --------
     "q33_multimodal_features" -> ((s, dir) => {
       val bin = tbl(s, dir, "documents")
@@ -648,6 +694,49 @@ object SparkEntry {
           |        e.vec_id) AS INT) AS rank
           |  FROM embeddings e, q)
           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q35_ivf_assign" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8)
+          |SELECT vec_id, centroid_id, round(centroid_dist, 6) AS centroid_dist FROM (
+          |  SELECT e.vec_id, c.cid AS centroid_id,
+          |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS centroid_dist,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |  FROM embeddings e, c)
+          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+      "q37_testbed_eval" ->
+        """WITH chunks AS (
+          |  SELECT doc_id, CAST(s // 36 AS INT) AS ci,
+          |    substring(text, CAST(s AS INT) + 1, 40) AS chunk
+          |  FROM documents, unnest(range(0, length(text), 36)) AS t(s)),
+          |elig AS (
+          |  SELECT doc_id, ci, chunk,
+          |    COUNT(*) OVER (PARTITION BY doc_id) AS nch
+          |  FROM chunks),
+          |ranked AS (
+          |  SELECT doc_id, ci, chunk,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY ci) AS rk
+          |  FROM elig WHERE nch >= 5),
+          |final AS (
+          |  SELECT CAST(doc_id AS VARCHAR) AS topic,
+          |    (least(length(chunk), 16) % 2 = 0) AS correct
+          |  FROM ranked WHERE rk <= 2)
+          |SELECT topic, COUNT(*) AS n,
+          |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+          |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS correctness
+          |FROM final GROUP BY topic ORDER BY topic""".stripMargin,
+
+      "q38_nl2sql" ->
+        """SELECT p_brand, count(*) AS n, max(p_retailprice) AS max_price
+          |FROM part WHERE p_size >= 30 GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+      "q39_slugify" ->
+        """SELECT doc_id,
+          |  substring(regexp_replace(regexp_replace(lower(substring(text, 1, 50)),
+          |    '[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g'), 1, 40) AS slug
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q33_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -104,6 +104,26 @@ object TextFunctions {
     * order-sensitive — equal texts get equal fingerprints. The modulus keeps
     * intermediate products under 2^35, so the identical fold is expressible
     * in engines with checked 64-bit arithmetic (the DuckDB oracle). */
+  /** Slugify (reference P7, webscrape.py:105-110): lowercase, collapse
+    * non-word runs to single dashes, strip edge dashes, cap at `maxLen`.
+    * Pure regexp chain — portable to the SQL oracle. (The reference also
+    * NFKD-normalizes; for non-ASCII input compose with [[nfkcNormalize]].) */
+  def slugify(text: Column, maxLen: Int = 40): Column =
+    substring(
+      regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", "-"), "^-|-$", ""),
+      1, maxLen)
+
+  /** NFKC unicode normalization + whitespace collapse (reference P6,
+    * webscrape.py:44-48). Needs java.text.Normalizer → small UDF; keep OUT
+    * of perf-critical paths (chunk/dedup pipelines normalize at ingest
+    * boundary once). */
+  val nfkcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+        .replaceAll("\\s+", " ").trim
+    }
+
   def fingerprint(textCol: String): Column =
     expr(s"aggregate(transform(sequence(1, length($textCol)), i -> cast(ascii(substring($textCol, i, 1)) as bigint)), " +
       s"0L, (acc, c) -> pmod(acc * 31 + c, 1000000007L))")

@@ -196,13 +196,13 @@ object Dedup {
     * `lit(0)` for exhaustive O(n²) at small scale. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             block: Column, minCosine: Double): DataFrame = {
-    import graft.functions.VectorFunctions._
+    graft.plans.VectorExpressions.register(df.sparkSession)
     val a = df.select(block.as("blk"), col(idCol).as("doc_a"), col(vecCol).as("va"))
     val b = df.select(block.as("blk"), col(idCol).as("doc_b"), col(vecCol).as("vb"))
     a.join(b, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        cosineSimilarity(col("va"), col("vb")).as("cosine"))
+        (lit(1.0) - call_function("graft_cosine_distance", col("va"), col("vb"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 }

@@ -27,17 +27,27 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Distance column using the codegen'd native expression
+    * ([[graft.plans.VectorExpressions]]) — registered on demand; falls back
+    * to the HOF composition only if registration is impossible. Both forms
+    * produce bit-identical values (same fold order). */
+  private def distCol(spark: org.apache.spark.sql.SparkSession,
+                      a: Column, b: Column, strategy: String): Column = {
+    graft.plans.VectorExpressions.register(spark)
+    strategy.toUpperCase match {
+      case "COSINE" => call_function("graft_cosine_distance", a, b)
+      case "DOT"    => -call_function("graft_dot_product", a, b) // larger dot = closer
+      case _        => call_function("graft_l2_distance", a, b)
+    }
+  }
+
   /** Brute-force top-k nearest rows for one query vector.
     * Returns input columns + `distance` + `score` (normalized similarity),
     * ties broken by `tieCol` for determinism. */
   def topK(corpus: DataFrame, vecCol: String, query: Seq[Float], k: Int,
            strategy: String = "COSINE", tieCol: String = "vec_id"): DataFrame = {
     val q = typedLit(query)
-    val dist = strategy.toUpperCase match {
-      case "COSINE" => cosineDistance(col(vecCol), q)
-      case "DOT"    => -dotProduct(col(vecCol), q) // larger dot = closer
-      case _        => l2Distance(col(vecCol), q)
-    }
+    val dist = distCol(corpus.sparkSession, col(vecCol), q, strategy)
     corpus
       .withColumn("distance", dist)
       .withColumn("score", normalizeScoreCol(col("distance"), strategy))
@@ -63,7 +73,7 @@ object Similarity {
                 k: Int, maxDistance: Double = Double.MaxValue): DataFrame = {
     val joined = corpus.crossJoin(
         broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
-      .withColumn("distance", cosineDistance(col(vecCol), col("_qv")))
+      .withColumn("distance", distCol(corpus.sparkSession, col(vecCol), col("_qv"), "COSINE"))
       .filter(col("distance") <= maxDistance)
       .drop("_qv")
     val w = Window.partitionBy(col("query_id"))
@@ -139,6 +149,30 @@ object Similarity {
         s"then cast(pow(2, $b) as bigint) else 0L end"
     }
     expr(s"(${bitExprs.mkString(" + ")})")
+  }
+
+  /** IVF assignment via broadcast argmin join: append `centroid_id` (and
+    * `centroid_dist`) of the nearest centroid. The centroid set is broadcast
+    * (it is small by construction); the corpus never shuffles. At cluster
+    * scale, write the output `partitionBy("centroid_id")` — probes then
+    * become partition-pruned scans of the `nProbe` nearest buckets
+    * instead of full-corpus scans (see also [[ivfAssign]] for the
+    * literal-centroid variant). */
+  def assignNearestCentroid(corpus: DataFrame, vecCol: String, idCol: String,
+                            centroids: DataFrame, cidCol: String,
+                            cvecCol: String): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    val cents = broadcast(centroids.select(
+      col(cidCol).as("_cid"), col(cvecCol).as("_cv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("centroid_dist").asc, col("_cid").asc)
+    corpus.crossJoin(cents)
+      .withColumn("centroid_dist",
+        call_function("graft_l2_distance", col(vecCol), col("_cv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumnRenamed("_cid", "centroid_id")
+      .drop("_cv", "_rn")
   }
 
   /** IVF-style ANN: assign each corpus row to its nearest of `centroids`

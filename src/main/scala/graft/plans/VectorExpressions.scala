@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd vector-distance expressions over `ARRAY<FLOAT>`.
+  *
+  * The portable reference semantics live in
+  * [[graft.functions.VectorFunctions]] as `zip_with`/`aggregate`
+  * compositions; those higher-order expressions are CodegenFallback in
+  * Spark — every element crosses an interpreted lambda. These expressions
+  * generate a tight primitive loop instead (one pass, no allocation), which
+  * is what the 100 TB hot path needs. Accumulation order and formulas are
+  * IDENTICAL to the HOF forms (sequential left-to-right double adds), so
+  * swapping one for the other never changes a result bit.
+  *
+  * Distance semantics mirror the reference's strategies
+  * (reference: src/server/app/embed/schemas.py:12;
+  * mcp/tools/vs_retriever.py:267-274).
+  */
+object VectorExpressions {
+
+  private def floatArrayType = ArrayType(FloatType, containsNull = false)
+
+  abstract class FloatVecBinary extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+
+  /** dot(a, b) — sequential double accumulation. */
+  case class DotProductExpr(left: Expression, right: Expression) extends FloatVecBinary {
+    override def prettyName: String = "graft_dot_product"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      dot
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cosine distance 1 - cos(a,b); zero-norm input → distance 1 (cos 0),
+    * matching VectorFunctions.cosineSimilarity's zero guard. Denominator is
+    * sqrt(na)*sqrt(nb) — same association as the HOF form. */
+  case class CosineDistanceExpr(left: Expression, right: Expression) extends FloatVecBinary {
+    override def prettyName: String = "graft_cosine_distance"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 1.0 else 1.0 - dot / denom
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val den = ctx.freshName("den")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double x = (double) $a.getFloat($i);
+           |  double y = (double) $b.getFloat($i);
+           |  $dot += x * y; $na += x * x; $nb += y * y;
+           |}
+           |double $den = Math.sqrt($na) * Math.sqrt($nb);
+           |${ev.value} = ($den == 0.0) ? 1.0 : 1.0 - $dot / $den;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Euclidean distance ||a-b||. */
+  case class L2DistanceExpr(left: Expression, right: Expression) extends FloatVecBinary {
+    override def prettyName: String = "graft_l2_distance"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        acc += d * d; i += 1
+      }
+      math.sqrt(acc)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+           |  $acc += d * d;
+           |}
+           |${ev.value} = Math.sqrt($acc);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot_product" -> (args => DotProductExpr(args(0), args(1))),
+    "graft_cosine_distance" -> (args => CosineDistanceExpr(args(0), args(1))),
+    "graft_l2_distance" -> (args => L2DistanceExpr(args(0), args(1))))
+
+  /** Register on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo(VectorExpressions.getClass.getName, name),
+      builder)
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry.functionExists(
+      FunctionIdentifier("graft_cosine_distance"))
+}
+
+/** `spark.sql.extensions`-style plugin: injects the vector functions into
+  * every session built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_product"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot_product"),
+      (args: Seq[Expression]) => VectorExpressions.DotProductExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine_distance"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cosine_distance"),
+      (args: Seq[Expression]) => VectorExpressions.CosineDistanceExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2_distance"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_l2_distance"),
+      (args: Seq[Expression]) => VectorExpressions.L2DistanceExpr(args(0), args(1))))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.testbed
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation testbed: Q&A records → answer collection → LLM-judge
+  * correctness → aggregate report.
+  *
+  * Mirrors the reference testbed (reference: src/server/app/testbed/):
+  *  - QARecord shape (testbed/schemas.py:35-56)
+  *  - per-record judge returning {correctness, reason} at temperature 0
+  *    (testbed/metrics.py:43-120, L8)
+  *  - correctness mean + per-topic breakdown persisted with the report
+  *    (metrics.py:74-115, A6; endpoints/testbed.py:303-312)
+  *  - testset generation from chunked documents (generation.py:66-109, L9)
+  *    with the 10-chunk minimum floor (generation.py:26-29).
+  *
+  * The answer and judge functions are slots (the reference calls an LLM;
+  * tests inject deterministic stubs). Judging is a real distributed
+  * `Dataset.map` — per-row, unlike the per-query driver-side LLM steps.
+  */
+object Testbed {
+
+  case class QARecord(
+      id: String, question: String, reference_answer: String,
+      reference_context: String, topic: String,
+      agent_answer: Option[String] = None, correctness: Option[Boolean] = None)
+
+  case class Evaluation(correctness: Double, byTopic: Map[String, Double], n: Long)
+
+  /** Collect answers: run the answer slot over each record (§3.3 step 3). */
+  def collectAnswers(qa: Dataset[QARecord], answer: String => String): Dataset[QARecord] = {
+    import qa.sparkSession.implicits._
+    qa.map(r => r.copy(agent_answer = Some(answer(r.question))))
+  }
+
+  /** Judge each answered record (L8): per-row map with a pure judge slot. */
+  def judge(qa: Dataset[QARecord],
+            judgeFn: (String, String, String) => Boolean): Dataset[QARecord] = {
+    import qa.sparkSession.implicits._
+    qa.map { r =>
+      r.copy(correctness =
+        Some(judgeFn(r.question, r.agent_answer.getOrElse(""), r.reference_answer)))
+    }
+  }
+
+  /** Correctness mean + per-topic breakdown (A6). Aggregation is pushed to
+    * the engine; only the per-topic summary reaches the driver. */
+  def report(judged: Dataset[QARecord]): Evaluation = {
+    val agg = judged.toDF()
+      .agg(avg(col("correctness").cast("double")).as("mean"),
+        count(lit(1)).as("n")).head()
+    val byTopic = judged.toDF()
+      .groupBy("topic")
+      .agg(avg(col("correctness").cast("double")).as("mean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Evaluation(agg.getDouble(0), byTopic, agg.getLong(1))
+  }
+
+  /** DataFrame twin of [[report]] for the declarative surface: per-topic
+    * correctness with exact decimal-free arithmetic (count ratios). */
+  def reportByTopic(judged: DataFrame): DataFrame =
+    judged
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n"),
+        sum(col("correctness").cast("int")).as("n_correct"))
+      .withColumn("correctness", col("n_correct").cast("double") / col("n"))
+
+  /** Testset generation (L9): chunk each document, floor-guard, then emit
+    * one simple question per chunk round-robin up to `questions` total,
+    * apportioned `divmod`-style across files
+    * (reference: endpoints/testbed.py:242-246, A7). */
+  def generateTestset(docs: DataFrame, textCol: String, keyCol: String,
+                      questions: Int, chunkSize: Int = 512,
+                      minChunks: Int = 10): DataFrame = {
+    import graft.operators.Chunker
+    val chunks = Chunker.chunk(docs, textCol, chunkSize, chunkSize / 10)
+    val eligible = chunks
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
+      .filter(col("_n") >= minChunks) // reference MIN_CHUNKS_PER_FILE floor
+      .drop("_n")
+    eligible
+      .withColumn("qa_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col("chunk_index"))))
+      .filter(col("qa_rank") <= lit(questions))
+      .select(
+        concat(lit("q-"), col(keyCol), lit("-"), col("chunk_index")).as("id"),
+        concat(lit("What does this passage say? "),
+          substring(col("chunk"), 1, 64)).as("question"),
+        col("chunk").as("reference_context"),
+        col(keyCol).cast("string").as("topic"))
+  }
+}
