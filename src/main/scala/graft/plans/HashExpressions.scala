@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup family.
+  *
+  * The declarative forms in [[graft.operators.Dedup]]
+  * (`transform(sequence(...), substring...)` → `xxhash64` → 64×`array_min`)
+  * pay per-element interpreted-lambda overhead plus a substring allocation
+  * per shingle. These expressions do the same work in one tight loop over
+  * the UTF-8 bytes — no intermediate string array, one virtual call per ROW
+  * (the loop body is compiled JVM code, so CodegenFallback costs nothing
+  * measurable here).
+  *
+  * Hash compatibility: shingle/token hashes are XXH64(seed 42) over the
+  * UTF-8 bytes — exactly what Spark's `xxhash64` computes — so the native
+  * and declarative pipelines produce identical signatures on ASCII input
+  * (byte windows == char windows). Verified by HashExpressionsSpec.
+  */
+object HashExpressions {
+
+  private val SEED = 42L
+  private val P = 2147483647L // 2^31-1, matches Dedup.minhashFromHashes
+
+  /** Distinct XXH64 hashes of the n-byte windows of a string (the whole
+    * string if shorter than n) — native twin of Dedup.shingleHashes,
+    * already reduced mod 2^31-1. */
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_shingle_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
+      if (len < n) {
+        val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off, len, SEED), P)
+        return new GenericArrayData(Array(h))
+      }
+      val seen = new java.util.HashSet[java.lang.Long](len * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off + i, n, SEED), P)
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** XXH64 hashes of whitespace-delimited tokens (ASCII whitespace runs) —
+    * native twin of `transform(filter(split(text,'\s+'), _ != ''), xxhash64)`. */
+  case class TokenHashesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_token_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    private def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
+      val out = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < len) {
+        while (i < len && isSpace(s.getByte(i))) i += 1
+        val start = i
+        while (i < len && !isSpace(s.getByte(i))) i += 1
+        if (i > start) out += XXH64.hashUnsafeBytes(base, off + start, i - start, SEED)
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature from pre-reduced hashes: same seeded (a_i, b_i)
+    * permutations as Dedup.minhashFromHashes, all minima in one pass. */
+  case class MinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_minhash_sig"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+    private lazy val (as, bs) = {
+      val rnd = new scala.util.Random(42)
+      val pairs = Array.fill(numHashes)((math.abs(rnd.nextInt()).toLong % (P - 1) + 1,
+                                         math.abs(rnd.nextInt()).toLong % P))
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = (h * as(j) + bs(j)) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash from token hashes: per-bit majority vote, native twin
+    * of Dedup.simhash's aggregate/zip_with form. */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "graft_simhash64"
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L; var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(getClass.getName, "graft_shingle_hashes"),
+      args => ShingleHashesExpr(args(0),
+        args(1).eval(null).asInstanceOf[Int]))
+    reg.registerFunction(FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(getClass.getName, "graft_token_hashes"),
+      args => TokenHashesExpr(args(0)))
+    reg.registerFunction(FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(getClass.getName, "graft_minhash_sig"),
+      args => MinHashSigExpr(args(0), args(1).eval(null).asInstanceOf[Int]))
+    reg.registerFunction(FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(getClass.getName, "graft_simhash64"),
+      args => SimHash64Expr(args(0)))
+  }
+}

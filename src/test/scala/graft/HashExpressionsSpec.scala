@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.plans.HashExpressions
+
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = {
+    HashExpressions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val words = Seq("spark", "join", "merge", "batch", "window", "scan", "agg")
+    (1 to 50).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(40))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("id", "text")
+  }
+
+  test("native shingle hashes equal the declarative form on ASCII input") {
+    val rows = df.select(
+      array_sort(call_function("graft_shingle_hashes", col("text"), lit(5))).as("native"),
+      array_sort(Dedup.shingleHashes("text", 5)).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("native minhash signature equals the declarative form") {
+    val rows = df.select(
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_hashes", col("text"), lit(5)), lit(64)).as("native"),
+      Dedup.minhashSignature("text", 5, 64).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("native simhash equals the declarative form") {
+    val rows = df.select(
+      call_function("graft_simhash64",
+        call_function("graft_token_hashes", col("text"))).as("native"),
+      Dedup.simhash("text").as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("short text (< n) hashes the whole string, like the declarative branch") {
+    val rows = Seq("ab").toDF("text").select(
+      call_function("graft_shingle_hashes", col("text"), lit(5)).as("native"),
+      Dedup.shingleHashes("text", 5).as("hof")).head()
+    assert(rows.getSeq[Long](0) == rows.getSeq[Long](1))
+    assert(rows.getSeq[Long](0).length == 1)
+  }
+
+  test("token hashes skip leading/trailing/repeated whitespace") {
+    val n = Seq("  a  b \t c ").toDF("text")
+      .select(call_function("graft_token_hashes", col("text"))).head().getSeq[Long](0)
+    assert(n.length == 3)
+  }
+}
