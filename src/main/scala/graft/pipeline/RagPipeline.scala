@@ -21,6 +21,27 @@ import graft.operators.Similarity
   */
 object RagPipeline {
 
+  /** Token-usage accounting folded across pipeline steps/models
+    * (reference A5: runtime/common.py:150-160 `add_usage`;
+    * langgraph/session.py:87-109). */
+  case class TokenUsage(prompt: Long = 0, completion: Long = 0) {
+    def total: Long = prompt + completion
+    def +(other: TokenUsage): TokenUsage =
+      TokenUsage(prompt + other.prompt, completion + other.completion)
+  }
+
+  object TokenUsage {
+    def fold(usages: Seq[TokenUsage]): TokenUsage =
+      usages.foldLeft(TokenUsage())(_ + _)
+
+    /** Distributed fold over a usage DataFrame (prompt, completion). */
+    def foldDf(df: org.apache.spark.sql.DataFrame): TokenUsage = {
+      val r = df.agg(sum("prompt").as("p"), sum("completion").as("c")).head()
+      TokenUsage(Option(r.get(0)).map(_.toString.toLong).getOrElse(0L),
+        Option(r.get(1)).map(_.toString.toLong).getOrElse(0L))
+    }
+  }
+
   sealed trait Route
   case object LlmOnly extends Route
   case object Nl2Sql extends Route

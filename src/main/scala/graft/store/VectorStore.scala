@@ -52,9 +52,7 @@ object VectorStore {
 
   private def catalogPath(root: String) = Paths.get(root, "_catalog.json")
 
-  /** Write (overwrite) a store and record its config in the catalog. */
-  def write(df: DataFrame, root: String, name: String, configJson: String): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$name")
+  private def updateCatalog(root: String, name: String, configJson: String): Unit = {
     val cat = catalogPath(root)
     val existing = if (Files.exists(cat)) Files.readString(cat) else "{}"
     // minimal JSON object merge on top-level key
@@ -69,8 +67,42 @@ object VectorStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Write (overwrite) a store and record its config in the catalog. */
+  def write(df: DataFrame, root: String, name: String, configJson: String): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$name")
+    updateCatalog(root, name, configJson)
+  }
+
   def read(spark: SparkSession, root: String, name: String): DataFrame =
     spark.read.parquet(s"$root/$name")
+
+  /** Write a store hash-partitioned by filename bucket. At 100 TB this is
+    * the layout that makes stale-file deletes (J2) and per-file refresh
+    * touch `1/numBuckets` of the data instead of a full rewrite, and lets
+    * filename-filtered scans partition-prune (`PartitionFilters` in
+    * explain). The IVF layout does the same with `centroid_id` for ANN
+    * probes. */
+  def writePartitioned(df: DataFrame, root: String, name: String,
+                       configJson: String, numBuckets: Int = 64): Unit = {
+    val bucketed = df.withColumn("file_bucket",
+      pmod(xxhash64(element_at(col("metadata"), "filename")), lit(numBuckets)).cast("int"))
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("file_bucket").parquet(s"$root/$name")
+    updateCatalog(root, name, configJson)
+  }
+
+  /** Read only the partitions that can contain `filename` — the pruned
+    * probe path for a store written with [[writePartitioned]]. The filter
+    * lands in the scan's `PartitionFilters`, so only 1/numBuckets of the
+    * store is listed and read. */
+  def readForFilename(spark: SparkSession, root: String, name: String,
+                      filename: String, numBuckets: Int = 64): DataFrame =
+    spark.read.parquet(s"$root/$name")
+      .filter(col("file_bucket") ===
+        expr(s"cast(pmod(xxhash64('${filename.replace("'", "''")}'), $numBuckets) as int)"))
+      // residual within-bucket filter; the bucket predicate above is what
+      // prunes the scan to 1/numBuckets of the store
+      .filter(element_at(col("metadata"), "filename") === filename)
 
   /** List catalogued store names (discovery — registry.py:29-77). */
   def listStores(root: String): Seq[String] = {

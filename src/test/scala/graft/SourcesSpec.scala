@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DocumentSource, WebScrape}
+import graft.store.VectorStore
+import graft.pipeline.RagPipeline.TokenUsage
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("webscrape: blocklist stripped, sections split on headings (S8)") {
+    val html =
+      """<html><head><style>.x{}</style><script>evil()</script></head>
+        |<body><nav>menu menu</nav>
+        |<h1>Intro</h1><p>First &amp; second.</p>
+        |<h2>Details</h2><p>More   text.</p><footer>foot</footer>
+        |</body></html>""".stripMargin
+    val out = WebScrape.extractSections(html)
+    assert(out == Seq("Intro" -> "First & second.", "Details" -> "More text."))
+  }
+
+  test("webscrape: distributed sections explode") {
+    val df = Seq((1L, "<h1>A</h1>one<h2>B</h2>two")).toDF("page_id", "html")
+    val out = WebScrape.sections(df, "html")
+      .select("section_index", "title", "content")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out == Seq((0, "A", "one"), (1, "B", "two")))
+  }
+
+  test("document source: extension dispatch, stub formats, skip accounting (S1-S6)") {
+    val dir = Files.createTempDirectory("graft-docs").toString
+    Files.writeString(Paths.get(dir, "a.txt"), "plain text")
+    Files.writeString(Paths.get(dir, "b.md"), "# heading")
+    Files.writeString(Paths.get(dir, "c.pdf"), "%PDF-fake")
+    Files.writeString(Paths.get(dir, "d.xyz"), "???")
+    val corpus = DocumentSource.loadCorpus(spark, dir).cache()
+    val byName = corpus.select("filename", "text", "parse_ok")
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byName("a.txt") == (("plain text", true)))
+    assert(byName("c.pdf")._1.startsWith("[pdf-stub"))
+    assert(!byName("d.xyz")._2)
+    val summary = DocumentSource.summary(corpus)
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("processed" -> 3L, "skipped" -> 1L))
+  }
+
+  test("file listing feeds change detection (S10 shape)") {
+    val dir = Files.createTempDirectory("graft-list").toString
+    Files.writeString(Paths.get(dir, "x.txt"), "xx")
+    val listing = DocumentSource.listFiles(spark, dir)
+    val row = listing.head()
+    assert(row.getAs[String]("name").endsWith("x.txt"))
+    assert(row.getAs[Long]("size") == 2L)
+    assert(row.getAs[String]("etag").length == 32)
+  }
+
+  test("flattenName: a/b.txt → a_b.txt (oci/bucket.py:121-124)") {
+    assert(DocumentSource.flattenName("a/b.txt") == "a_b.txt")
+  }
+
+  test("token usage folds across steps (A5, runtime/common.py:150-160)") {
+    val folded = TokenUsage.fold(Seq(TokenUsage(10, 5), TokenUsage(3, 2), TokenUsage()))
+    assert(folded == TokenUsage(13, 7) && folded.total == 20)
+    val viaDf = TokenUsage.foldDf(Seq((10L, 5L), (3L, 2L)).toDF("prompt", "completion"))
+    assert(viaDf == TokenUsage(13, 7))
+  }
+
+  test("partitioned store write prunes partitions on filename probe") {
+    val root = Files.createTempDirectory("graft-part").toString
+    val rows = (0 until 200).map { i =>
+      (s"f$i-0", s"text $i", Map("filename" -> s"file-${i % 20}"), Seq(1.0f))
+    }
+    val df = rows.toDF("id", "text", "metadata", "embedding")
+    VectorStore.writePartitioned(df, root, "P1", "{}", numBuckets = 8)
+    val probe = VectorStore.readForFilename(spark, root, "P1", "file-3", numBuckets = 8)
+    val got = probe.select("id").as[String].collect().toSet
+    val expected = rows.filter(_._3("filename") == "file-3").map(_._1).toSet
+    assert(got == expected)
+    // the filter must land in PartitionFilters (prune, not post-scan filter)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("file_bucket"))
+  }
+}
