@@ -411,6 +411,36 @@ object SparkEntry {
           TF.slugify(expr("substring(text, 1, 50)")).as("slug"))
         .orderBy("doc_id")),
 
+    // ---- Web-scrape section extraction (S8) -----------------------------
+    "q40_webscrape_sections" -> ((s, dir) => {
+      val pages = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<html><script>skip()</script><h1>"), col("source"),
+            lit("</h1>"), col("text"), lit("</html>")).as("html"))
+      sources.WebScrape.sections(pages, "html")
+        .select(col("doc_id"), col("section_index"), col("title"), col("content"))
+        .orderBy("doc_id", "section_index")
+    }),
+
+    // ---- File-corpus ingest (S1-S6; rows-only — reads a generated corpus)
+    "q41_file_ingest" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val corpusDir = Files.createDirectories(
+        Paths.get(sys.props("java.io.tmpdir"), "graft-ingest-corpus")).toString
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect()
+      docs.foreach { r =>
+        Files.writeString(Paths.get(corpusDir, s"doc${r.getLong(0)}.txt"), r.getString(1))
+      }
+      Files.writeString(Paths.get(corpusDir, "readme.md"), "# corpus")
+      Files.writeString(Paths.get(corpusDir, "binary.pdf"), "%PDF-fake")
+      Files.writeString(Paths.get(corpusDir, "data.bin"), "xx")
+      val corpus = sources.DocumentSource.loadCorpus(s, corpusDir)
+      corpus.select(col("filename"), col("ext"), col("parse_ok"),
+          length(col("text")).as("text_len"), col("skip_reason"))
+        .orderBy("filename")
+    }),
+
     // ---- Multimodal plumbing (binary columns, batch decode stub) --------
     "q33_multimodal_features" -> ((s, dir) => {
       val bin = tbl(s, dir, "documents")
@@ -737,6 +767,11 @@ object SparkEntry {
           |  substring(regexp_replace(regexp_replace(lower(substring(text, 1, 50)),
           |    '[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g'), 1, 40) AS slug
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q40_webscrape_sections" ->
+        """SELECT doc_id, 0 AS section_index, source AS title,
+          |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS content
+          |FROM documents ORDER BY doc_id, section_index""".stripMargin,
 
       "q33_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
