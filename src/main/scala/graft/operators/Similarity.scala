@@ -63,23 +63,63 @@ object Similarity {
     }
 
   /** Batch top-k: for every row of `queries` (id + vector), the k nearest
-    * corpus rows. `queries` is broadcast (it is the small side by
-    * construction); the corpus is scanned once, never shuffled — the only
-    * exchange is the window rank over (query_id, distance), which carries
-    * `|queries| × |corpus|` candidate rows ONLY if unfiltered; pass a
-    * `preFilter` distance cap to bound it. */
+    * corpus rows as (query_id, rank, <corpusIdCol>, distance).
+    *
+    * Scale shape: the query set is collected and shipped in the task
+    * closure (it is the small side by construction — the reference caps it
+    * at 3 stores × top_k). Each corpus partition keeps a local k-bounded
+    * heap per query, so the only exchange carries at most
+    * `partitions × |queries| × k` candidate rows — independent of corpus
+    * size — before the final exact window rank. Results are identical to
+    * the naive crossJoin+rank (same distance, same (distance, id) order):
+    * a row outside its partition's top-k can never be in the global top-k.
+    */
   def topKBatch(corpus: DataFrame, vecCol: String, corpusIdCol: String,
                 queries: DataFrame, queryVecCol: String, queryIdCol: String,
-                k: Int, maxDistance: Double = Double.MaxValue): DataFrame = {
-    val joined = corpus.crossJoin(
-        broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))))
-      .withColumn("distance", distCol(corpus.sparkSession, col(vecCol), col("_qv"), "COSINE"))
-      .filter(col("distance") <= maxDistance)
-      .drop("_qv")
+                k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val slim = corpus.select(col(corpusIdCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val candidates = slim.mapPartitions { it =>
+      // per-query bounded worst-first queue; ordering matches the final rank
+      val heaps = qs.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      }.toMap
+      it.foreach { case (id, vec) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, qv) = qs(qi)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(vec.length, qv.length)
+          while (i < n) {
+            val x = vec(i).toDouble; val y = qv(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          val d = if (denom == 0.0) 1.0 else 1.0 - dot / denom
+          val heap = heaps(qid)
+          if (heap.size < k) heap.enqueue((d, id))
+          else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+                     .lt((d, id), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, id))
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, heap) =>
+        heap.iterator.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", corpusIdCol, "distance")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("distance").asc, col(corpusIdCol).asc)
-    joined.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(corpusIdCol), col("distance"))
   }
 
   /** Multi-store search: union per-store results, normalize scores,
@@ -173,6 +213,25 @@ object Similarity {
       .filter(col("_rn") === 1)
       .withColumnRenamed("_cid", "centroid_id")
       .drop("_cv", "_rn")
+  }
+
+  /** IVF probe: search only the `nProbe` buckets whose centroids are
+    * nearest the query. `assigned` is a corpus with `centroid_id` (from
+    * [[assignNearestCentroid]]); when it is stored
+    * `partitionBy("centroid_id")`, the `isin` filter partition-prunes, so
+    * the scan touches `nProbe / nBuckets` of the corpus. Recall is
+    * approximate (standard IVF trade-off); nProbe = nBuckets ≡ exact. */
+  def ivfSearch(assigned: DataFrame, vecCol: String, idCol: String,
+                centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
+                k: Int, nProbe: Int): DataFrame = {
+    val probeIds = centroids.map { case (cid, cv) =>
+      var acc = 0.0; var i = 0
+      val n = math.min(cv.length, query.length)
+      while (i < n) { val d = cv(i) - query(i); acc += d * d; i += 1 }
+      (math.sqrt(acc), cid)
+    }.sorted.take(nProbe).map(_._2)
+    topK(assigned.filter(col("centroid_id").isin(probeIds: _*)),
+      vecCol, query, k, "COSINE", idCol)
   }
 
   /** IVF-style ANN: assign each corpus row to its nearest of `centroids`

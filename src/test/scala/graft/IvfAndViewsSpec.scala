@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.SecureViews
+
+class IvfAndViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF probe finds the true neighbor when its bucket is probed") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val centroids = Seq(0 -> Seq(1.0f, 0.0f), 1 -> Seq(0.0f, 1.0f))
+    val assigned = Similarity.ivfAssign(corpus, "embedding", centroids)
+    val buckets = assigned.select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    assert(buckets == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    val hits = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+        centroids, Seq(0.9f, 0.1f), k = 2, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits == Seq(2L, 1L)) // only bucket 0 scanned; nearest first
+  }
+
+  test("assignNearestCentroid matches ivfAssign's literal-centroid variant") {
+    val corpus = (1 to 50).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(0.0f, 0.0f), 1 -> Seq(6.0f, 4.0f), 2 -> Seq(3.0f, 2.0f))
+    val viaLiteral = Similarity.ivfAssign(corpus, "embedding", cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val centsDf = cents.map { case (id, v) => (id, v) }.toDF("cid", "cv")
+    val viaJoin = Similarity.assignNearestCentroid(
+        corpus, "embedding", "vec_id", centsDf, "cid", "cv")
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(viaLiteral == viaJoin)
+  }
+
+  test("restricted view: column grant, row grant, masking (§2.10)") {
+    val df = Seq((1L, "alice", "s3cret", 100.0), (2L, "bob", "hunter2", -5.0))
+      .toDF("id", "name", "password", "balance")
+    val view = SecureViews.restrict(df,
+      allowedCols = Seq("id", "name", "password"),
+      rowPredicate = Some(col("balance") > 0),
+      maskedCols = Set("password"))
+    val rows = view.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "alice" && rows.head.getString(2) == "***")
+    assert(!view.columns.contains("balance"))
+    intercept[IllegalArgumentException](
+      SecureViews.restrict(df, Seq("nope")))
+  }
+
+  test("view names validate as identifiers (deepsec/database.py:55-67)") {
+    assert(SecureViews.isValidIdentifier("VS_TABLE_1"))
+    assert(!SecureViews.isValidIdentifier("bad-name"))
+    assert(!SecureViews.isValidIdentifier("1bad"))
+    assert(!SecureViews.isValidIdentifier("x; DROP TABLE t"))
+    val df = Seq((1, "a")).toDF("id", "v")
+    SecureViews.grantView(spark, "sv_ok", df, Seq("id"))
+    assert(spark.table("sv_ok").columns.toSeq == Seq("id"))
+    intercept[IllegalArgumentException](
+      SecureViews.grantView(spark, "bad name", df, Seq("id")))
+  }
+}
