@@ -262,6 +262,15 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    "q42_sliding_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- Scalar functions / JSON (SURVEY §2.7) --------------------------
     "q29_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -634,6 +643,17 @@ object SparkEntry {
         s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            |  COUNT(*) AS n, ${dsumSql("value")} AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q42_sliding_window" ->
+        s"""WITH e AS (
+           |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
+           |expanded AS (
+           |  SELECT make_timestamp((us // 900000000 - k) * 900000000) AS window_start,
+           |    event_type, value
+           |  FROM e, unnest(range(0, 4)) AS t(k))
+           |SELECT window_start, event_type, COUNT(*) AS n,
+           |  ${dsumSql("value")} AS sum_value
+           |FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q29_json_props" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, COUNT(*) AS n

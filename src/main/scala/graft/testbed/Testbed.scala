@@ -66,6 +66,16 @@ object Testbed {
         sum(col("correctness").cast("int")).as("n_correct"))
       .withColumn("correctness", col("n_correct").cast("double") / col("n"))
 
+  /** `divmod` round-robin question apportioning across files
+    * (reference A7, endpoints/testbed.py:242-246): each file gets
+    * `questions / files`, the first `questions % files` get one extra. */
+  def apportion(questions: Int, numFiles: Int): Seq[Int] = {
+    require(numFiles > 0)
+    val base = questions / numFiles
+    val extra = questions % numFiles
+    (0 until numFiles).map(i => base + (if (i < extra) 1 else 0))
+  }
+
   /** Testset generation (L9): chunk each document, floor-guard, then emit
     * one simple question per chunk round-robin up to `questions` total,
     * apportioned `divmod`-style across files
