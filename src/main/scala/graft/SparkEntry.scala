@@ -247,8 +247,8 @@ object SparkEntry {
 
     "q27_sessionize" -> ((s, dir) => {
       // gap-based sessionization (batch twin of the streaming operator)
-      streaming.EventStreams.sessionizeBatch(
-          events(s, dir).select("user_id", "ts", "value"), 30 * 60 * 1000L)
+      streaming.EventStreams.sessionizeNative(
+          events(s, dir).select("user_id", "ts", "value"), "30 minutes")
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
         .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
@@ -625,7 +625,7 @@ object SparkEntry {
           |flagged AS (
           |  SELECT user_id, ts, value,
           |    CASE WHEN lag(ts) OVER w IS NULL
-          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
           |      ELSE 0 END AS new_session
           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
           |sess AS (

@@ -59,6 +59,54 @@ class PipelineSpec extends SparkSpec {
     assert(top.contains("spark catalyst optimizer"))
   }
 
+  test("combined route: classifier picks nl2sql for aggregate-ish questions " +
+       "(multi_tool.py:108-120)") {
+    val res = RagPipeline.execute(spark, Map.empty,
+      "how many orders total", Seq.empty, Embedder.stubEmbed(8),
+      q => s"SQL[$q]", vecSearchEnabled = true, nl2sqlEnabled = true)
+    assert(res.route == RagPipeline.Combined)
+    assert(res.answer == "SQL[how many orders total]")
+  }
+
+  test("combined route: vecsearch-classified question skips SQL") {
+    val embed = Embedder.stubEmbed(8)
+    val store = Embedder.embed(Seq(("d_0", "catalyst rules")).toDF("id", "text"), "text", embed)
+    var sqlCalled = false
+    val res = RagPipeline.execute(spark, Map("S" -> store),
+      "tell me about catalyst", Seq.empty, embed,
+      _ => { sqlCalled = true; "SQL" },
+      RagPipeline.Config(scoreThreshold = 0.0),
+      vecSearchEnabled = true, nl2sqlEnabled = true)
+    assert(res.route == RagPipeline.Combined && !sqlCalled)
+  }
+
+  test("combined route with 'both' classifier synthesizes SQL and search answers " +
+       "(multi_tool.py:122-181)") {
+    val embed = Embedder.stubEmbed(8)
+    val store = Embedder.embed(Seq(("d_0", "spark docs")).toDF("id", "text"), "text", embed)
+    val slots = RagPipeline.Slots(classify = _ => "both",
+      synthesize = (q, sqlAns, vsAns) => s"merged($sqlAns + $vsAns)")
+    val res = RagPipeline.execute(spark, Map("S" -> store),
+      "question", Seq.empty, embed, _ => "sql-answer",
+      RagPipeline.Config(scoreThreshold = 0.0), slots,
+      vecSearchEnabled = true, nl2sqlEnabled = true)
+    assert(res.answer.startsWith("merged(sql-answer + "))
+  }
+
+  test("rephrase slot fires only with ≥2 turns of history (vs_rephrase guard)") {
+    val embed = Embedder.stubEmbed(8)
+    val store = Embedder.embed(Seq(("d_0", "alpha beta")).toDF("id", "text"), "text", embed)
+    var rephrased = 0
+    val slots = RagPipeline.Slots(rephrase = (q, _) => { rephrased += 1; q + " (re)" })
+    val cfg = RagPipeline.Config(scoreThreshold = 0.0, rephraseEnabled = true)
+    RagPipeline.execute(spark, Map("S" -> store), "q", Seq.empty, embed, _ => "",
+      cfg, slots)
+    assert(rephrased == 0) // no history → skipped
+    val hist = Seq("user" -> "a", "assistant" -> "b")
+    RagPipeline.execute(spark, Map("S" -> store), "q", hist, embed, _ => "", cfg, slots)
+    assert(rephrased == 1)
+  }
+
   test("SELECT-only guard accepts queries, rejects DDL/DML (embed/utils.py:35-70)") {
     Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("guard_t")
     assert(SelectOnly.isSelectOnly(spark, "SELECT * FROM guard_t"))
