@@ -151,6 +151,21 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    "q43_revenue_by_region" -> ((s, dir) => {
+      // 5-table chain exercising every dimension incl. region; dims broadcast
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("r_name").as("region"))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("region")
+    }),
+
     // ---- Filters / projections / row transforms (SURVEY §2.2) -----------
     "q06_revenue_filter" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -523,6 +538,18 @@ object SparkEntry {
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+      "q43_revenue_by_region" ->
+        s"""SELECT r_name AS region,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_items, COUNT(DISTINCT c_custkey) AS n_customers
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           |GROUP BY r_name ORDER BY region""".stripMargin,
 
       "q04_order_priority" ->
         """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

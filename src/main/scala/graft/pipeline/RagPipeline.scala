@@ -97,6 +97,19 @@ object RagPipeline {
   def unfence(s: String): String =
     s.trim.replaceAll("(?s)^```(?:json)?\\s*", "").replaceAll("\\s*```$", "").trim
 
+  /** Validate an LLM table-selection payload against the real catalog
+    * (reference L3, vs_retriever.py:53-127): unfence, extract the JSON
+    * string list, keep only names that exist, cap at `maxTables` (=3,
+    * DEFAULT_MAX_TABLES), fall back to the first catalog table when nothing
+    * valid survives. */
+  def validateTableSelection(raw: String, catalog: Seq[String],
+                             maxTables: Int = 3): Seq[String] = {
+    val names = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(unfence(raw)).map(_.group(1)).toSeq
+    val valid = names.filter(catalog.contains).distinct.take(maxTables)
+    if (valid.nonEmpty) valid else catalog.take(1)
+  }
+
   /** Vector-search branch: rephrase? → select stores → per-store top-k →
     * normalize/threshold/dedup/global top-k → grade? → answer. */
   def vecSearch(spark: SparkSession, stores: Map[String, DataFrame],

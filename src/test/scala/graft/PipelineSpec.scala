@@ -44,6 +44,29 @@ class PipelineSpec extends SparkSpec {
     assert(RagPipeline.unfence("plain") == "plain")
   }
 
+  test("table selection validated against catalog, capped at 3, fallback first " +
+       "(vs_retriever.py:53-127)") {
+    val catalog = Seq("T_A", "T_B", "T_C", "T_D")
+    assert(RagPipeline.validateTableSelection("""["T_B", "T_A"]""", catalog)
+      == Seq("T_B", "T_A"))
+    assert(RagPipeline.validateTableSelection(
+      "```json\n[\"T_A\",\"T_B\",\"T_C\",\"T_D\"]\n```", catalog)
+      == Seq("T_A", "T_B", "T_C")) // capped at DEFAULT_MAX_TABLES
+    assert(RagPipeline.validateTableSelection("""["NOPE", "ALSO_NO"]""", catalog)
+      == Seq("T_A")) // nothing valid → first table fallback
+    assert(RagPipeline.validateTableSelection("not json at all", catalog) == Seq("T_A"))
+  }
+
+  test("grade 'no' empties the retrieved docs (vs_grade.py contract)") {
+    val embed = Embedder.stubEmbed(8)
+    val store = Embedder.embed(Seq(("d_0", "some text")).toDF("id", "text"), "text", embed)
+    val slots = RagPipeline.Slots(grade = (_, _) => false,
+      answer = (_, docs) => s"docs=${docs.size}")
+    val res = RagPipeline.execute(spark, Map("S" -> store), "q", Seq.empty, embed,
+      _ => "", RagPipeline.Config(scoreThreshold = 0.0, gradeEnabled = true), slots)
+    assert(res.answer == "docs=0")
+  }
+
   test("end-to-end vecsearch route over a stub store") {
     val embed = Embedder.stubEmbed(16)
     val docs = Seq("spark catalyst optimizer", "streaming watermark windows",
