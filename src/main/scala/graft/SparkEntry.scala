@@ -101,6 +101,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q44_file_stats" -> ((s, dir) => {
+      // A2 file statistics with orphan accounting (vector_store.py:447-531):
+      // legacy chunks with no filename roll into an __orphan__ row
+      val store = tbl(s, dir, "documents").select(
+        when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("source")).as("filename"),
+        col("n_chars"), col("doc_id"))
+      store.groupBy(coalesce(col("filename"), lit("__orphan__")).as("filename"))
+        .agg(count(lit(1)).as("n_chunks"), max("n_chars").as("max_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("filename")
+    }),
+
     "q34_distinct_counts" -> ((s, dir) => {
       tbl(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -523,6 +536,12 @@ object SparkEntry {
         """SELECT source, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars,
           |  MIN(doc_id) AS first_doc, CAST(SUM(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q44_file_stats" ->
+        """SELECT COALESCE(CASE WHEN doc_id % 10 = 0 THEN NULL ELSE source END,
+          |    '__orphan__') AS filename,
+          |  COUNT(*) AS n_chunks, MAX(n_chars) AS max_chars, MIN(doc_id) AS first_doc
+          |FROM documents GROUP BY 1 ORDER BY filename""".stripMargin,
 
       "q34_distinct_counts" ->
         """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

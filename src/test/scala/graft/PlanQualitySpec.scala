@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression guards for physical-plan quality — the properties that make
+  * these operators survive a 100× scale-up. A correctness-green change that
+  * breaks one of these (filter stops pushing down, a dimension stops
+  * broadcasting, top-k becomes a full sort) fails here, not in production.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  /** Execute first so AQE finalizes, then inspect the real physical plan
+    * (the pre-execution adaptive plan hides scan details and codegen). */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q06: all predicates reach the parquet scan; only needed columns read") {
+    val p = plan("q06_revenue_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    // projection pruning: 4 of 11 lineitem columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"))
+  }
+
+  test("q03: dimension tables broadcast (no shuffled join of the fact table)") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q31: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q31_topk_global")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial+final with whole-stage codegen") {
+    val p = plan("q01_pricing_summary")
+    // "* Node" marks whole-stage-codegen membership in formatted explain
+    assert(p.contains("* HashAggregate"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q12: exact dedup shuffles digests, not document bodies") {
+    val p = plan("q12_dedup_first")
+    assert(p.contains("md5")) // partition key is the 16-byte digest
+  }
+
+  test("q17: single-query top-k is a take-ordered scan (no corpus shuffle)") {
+    val p = plan("q17_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("graft_cosine_distance")) // native codegen expression in use
+  }
+}
