@@ -291,10 +291,8 @@ object SparkEntry {
     }),
 
     "q42_sliding_window" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+      streaming.EventStreams.slidingCounts(events(s, dir), "1 hour", "15 minutes")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
     }),

@@ -32,12 +32,14 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
 
-  /** Sliding-window aggregate (length, slide). */
+  /** Sliding-window aggregate (length, slide); decimal-exact value sum. */
   def slidingCounts(events: DataFrame, windowLen: String, slide: String): DataFrame =
     events.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col("event_type"), col("n"))
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("sum_value"))
 
   /** Streaming variant with watermark, ready for `writeStream` with append
     * mode (late data beyond `delay` dropped deterministically). */

@@ -41,6 +41,13 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(cosineSimilarity(col("a"), col("b"))).head().getDouble(0) == 0.0)
   }
 
+  test("l2Normalize yields unit vectors; zero vector passes through") {
+    val df = Seq((Seq(3.0f, 4.0f), Seq(0.0f, 0.0f))).toDF("a", "z")
+    val r = df.select(l2Normalize(col("a")), l2Normalize(col("z"))).head()
+    assert(r.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(r.getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
   test("multiStoreSearch: threshold, dedup keep-max, global top-k (vs_retriever flow)") {
     val s1 = Seq(("a", "doc one", 0.9), ("b", "doc two", 0.7)).toDF("id", "text", "score")
     val s2 = Seq(("c", "doc one", 0.95), ("d", "doc three", 0.4)).toDF("id", "text", "score")

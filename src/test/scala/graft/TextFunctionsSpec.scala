@@ -30,6 +30,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](TF.stopwordRatio(col("text")), "The cat and dog") == 0.5)
   }
 
+  test("mean word length") {
+    assert(one[Double](TF.meanWordLength(col("text")), "ab abcd") == 3.0)
+    assert(one[Double](TF.meanWordLength(col("text")), "") == 0.0)
+  }
+
   test("langId picks the language with most marker hits; no hits → und") {
     assert(one[String](TF.langId(col("text")), "this is the best of the tests") == "en")
     assert(one[String](TF.langId(col("text")), "das ist der Hund und die Katze") == "de")

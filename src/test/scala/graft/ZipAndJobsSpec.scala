@@ -71,6 +71,22 @@ class ZipAndJobsSpec extends SparkSpec {
     assert(transition(running, Queued, 300) == running)
   }
 
+  test("heartbeat updates only running jobs") {
+    import JobTracker._
+    val running = Job("r", Running, heartbeatAt = 0, updatedAt = 0)
+    assert(heartbeat(running, 500).heartbeatAt == 500)
+    val queued = Job("q", Queued, heartbeatAt = 0, updatedAt = 0)
+    assert(heartbeat(queued, 500).heartbeatAt == 0)
+  }
+
+  test("multimodal frame sampling emits one row per frame offset") {
+    import graft.operators.Multimodal
+    val df = Seq((1L, Array.fill[Byte](10)(1))).toDF("id", "bin")
+    val out = Multimodal.sampleFrames(df, "bin", everyNBytes = 4)
+      .select("frame_index", "frame_offset").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 4L), (2L, 8L))) // ceil(10/4) = 3 frames
+  }
+
   test("stale reaper and TTL expiry (jobs.py:54-57,130-166)") {
     import JobTracker._
     val fresh = Job("a", Running, heartbeatAt = 900_000, updatedAt = 0)
