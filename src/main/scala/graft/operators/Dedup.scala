@@ -28,12 +28,18 @@ object Dedup {
 
   /** Exact dedup: keep one row per distinct `textCol`, choosing the row with
     * the smallest `orderCol` (first occurrence — reference
-    * vector_store.py:112-118 keeps first). Shuffles on md5(text), not text. */
+    * vector_store.py:112-118 keeps first).
+    *
+    * Implemented as `min_by` aggregation, not a window: partial aggregation
+    * collapses duplicates map-side before the exchange, so a viral document
+    * duplicated a million times costs one row per input partition on the
+    * wire instead of hot-keying one reducer. Shuffle key is md5(text)
+    * (16 bytes), never the document body. */
   def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("_key"))
+      .agg(min_by(struct(cols.map(col): _*), col(orderCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
   /** Retrieval-side dedup: keep the highest-`scoreCol` row per distinct
