@@ -39,9 +39,13 @@ object Embedder {
   }
 
   /** Batch-embed `textCol` into an `embedding ARRAY<FLOAT>` column.
-    * `batchSize` mirrors the reference's 500 (vector_store.py:164). */
+    * `batchSize` mirrors the reference's 500 (vector_store.py:164);
+    * `rateLimitRpm > 0` sleeps `60/rpm` seconds between batches within each
+    * partition (vector_store.py:183-186) — per-partition, so the effective
+    * aggregate rate is rpm × parallelism; size the limit for the provider
+    * accordingly (or run the embed stage with a capped partition count). */
   def embed(df: DataFrame, textCol: String, fn: EmbedFn,
-            batchSize: Int = 500): DataFrame = {
+            batchSize: Int = 500, rateLimitRpm: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField("embedding",
@@ -49,7 +53,10 @@ object Embedder {
     val idx = df.schema.fieldIndex(textCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { it =>
+      var first = true
       it.grouped(batchSize).flatMap { batch =>
+        if (!first && rateLimitRpm > 0) Thread.sleep(60000L / rateLimitRpm)
+        first = false
         val vecs = fn(batch.map(r => Option(r.getString(idx)).getOrElse("")))
         batch.iterator.zip(vecs.iterator).map { case (r, v) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
