@@ -114,6 +114,19 @@ object SparkEntry {
         .orderBy("filename")
     }),
 
+    "q45_rollup" -> ((s, dir) => {
+      // multi-level aggregation (beyond the reference — it has no grouping
+      // sets); subtotal levels labeled via coalesce so null-ordering
+      // differences between engines never matter
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
     "q34_distinct_counts" -> ((s, dir) => {
       tbl(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -540,6 +553,13 @@ object SparkEntry {
           |    '__orphan__') AS filename,
           |  COUNT(*) AS n_chunks, MAX(n_chars) AS max_chars, MIN(doc_id) AS first_doc
           |FROM documents GROUP BY 1 ORDER BY filename""".stripMargin,
+
+      "q45_rollup" ->
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+           |  COUNT(*) AS n, ${dsumSql("l_quantity", 4)} AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY returnflag, linestatus""".stripMargin,
 
       "q34_distinct_counts" ->
         """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -30,69 +30,118 @@ object HashExpressions {
   private val SEED = 42L
   private val P = 2147483647L // 2^31-1, matches Dedup.minhashFromHashes
 
+  // Static helpers invoked from generated code: whole-stage codegen emits a
+  // direct call (no InternalRow boxing, no interpreted dispatch), and the
+  // loop bodies below are JIT-compiled once for every call site.
+
+  def shingleEval(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
+    if (len < n) {
+      val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off, len, SEED), P)
+      return new GenericArrayData(Array(h))
+    }
+    val seen = new java.util.HashSet[java.lang.Long](len * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off + i, n, SEED), P)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def tokenEval(s: UTF8String): ArrayData = {
+    val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
+    def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(s.getByte(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(s.getByte(i))) i += 1
+      if (i > start) out += XXH64.hashUnsafeBytes(base, off + start, i - start, SEED)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def minhashEval(hs: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = hs.numElements()
+    val k = as.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashEval(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private val helper = "graft.plans.HashExpressions"
+
   /** Distinct XXH64 hashes of the n-byte windows of a string (the whole
     * string if shorter than n) — native twin of Dedup.shingleHashes,
-    * already reduced mod 2^31-1. */
-  case class ShingleHashesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+    * already reduced mod 2^31-1. Codegen emits a direct static call, so the
+    * surrounding projection stays in one whole-stage-codegen span. */
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def prettyName: String = "graft_shingle_hashes"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
-      if (len < n) {
-        val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off, len, SEED), P)
-        return new GenericArrayData(Array(h))
-      }
-      val seen = new java.util.HashSet[java.lang.Long](len * 2)
-      val out = new scala.collection.mutable.ArrayBuffer[Long](len - n + 1)
-      var i = 0
-      while (i <= len - n) {
-        val h = java.lang.Math.floorMod(XXH64.hashUnsafeBytes(base, off + i, n, SEED), P)
-        if (seen.add(h)) out += h
-        i += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      shingleEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.shingleEval($c, $n);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** XXH64 hashes of whitespace-delimited tokens (ASCII whitespace runs) —
     * native twin of `transform(filter(split(text,'\s+'), _ != ''), xxhash64)`. */
-  case class TokenHashesExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class TokenHashesExpr(child: Expression) extends UnaryExpression {
     override def prettyName: String = "graft_token_hashes"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
     }
-    private def isSpace(b: Byte): Boolean =
-      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String]
-      val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
-      val out = new scala.collection.mutable.ArrayBuffer[Long]()
-      var i = 0
-      while (i < len) {
-        while (i < len && isSpace(s.getByte(i))) i += 1
-        val start = i
-        while (i < len && !isSpace(s.getByte(i))) i += 1
-        if (i > start) out += XXH64.hashUnsafeBytes(base, off + start, i - start, SEED)
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      tokenEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.tokenEval($c);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** MinHash signature from pre-reduced hashes: same seeded (a_i, b_i)
-    * permutations as Dedup.minhashFromHashes, all minima in one pass. */
-  case class MinHashSigExpr(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+    * permutations as Dedup.minhashFromHashes, all minima in one pass. The
+    * coefficient arrays ride into generated code as reference objects. */
+  case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
     override def prettyName: String = "graft_minhash_sig"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -105,54 +154,30 @@ object HashExpressions {
                                          math.abs(rnd.nextInt()).toLong % P))
       (pairs.map(_._1), pairs.map(_._2))
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData]
-      val n = hs.numElements()
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val h = hs.getLong(i)
-        var j = 0
-        while (j < numHashes) {
-          val v = (h * as(j) + bs(j)) % P
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
+    override protected def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[ArrayData], as, bs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $helper.minhashEval($c, $aRef, $bRef);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** 64-bit SimHash from token hashes: per-bit majority vote, native twin
     * of Dedup.simhash's aggregate/zip_with form. */
-  case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def prettyName: String = "graft_simhash64"
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got ${t.simpleString}")
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData]
-      val n = hs.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        val h = hs.getLong(i)
-        var j = 0
-        while (j < 64) {
-          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-        i += 1
-      }
-      var out = 0L; var j = 0
-      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
-      out
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.simhashEval($c);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
