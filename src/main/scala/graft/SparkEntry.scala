@@ -254,6 +254,50 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q46_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q47_string_funcs" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          upper(col("source")).as("up"),
+          lpad(col("lang"), 5, "_").as("padded"),
+          reverse(col("source")).as("rev"),
+          expr("substring(text, 3, 8)").as("sub"),
+          replace(col("source"), lit("src"), lit("origin")).as("repl"),
+          levenshtein(col("source"), col("lang")).as("lev"),
+          instr(col("text"), "spark").cast("long").as("pos"),
+          repeat(col("lang"), 3).as("rep"),
+          concat_ws("|", col("source"), col("lang")).as("joined"),
+          sha2(col("source"), 256).as("sha"))
+        .orderBy("doc_id")),
+
+    "q48_date_funcs" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"), // 0=Sunday, both engines
+          dayofyear(col("o_orderdate")).as("doy"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          datediff(lit("2002-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
+        .orderBy("o_orderkey")),
+
     // ---- Set operations (SURVEY §2.6) -----------------------------------
     "q07_distinct_segments" -> ((s, dir) =>
       tbl(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
@@ -650,6 +694,45 @@ object SparkEntry {
       "q31_topk_global" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
           |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+      "q46_window_funcs" ->
+        """SELECT o_custkey, o_orderkey,
+          |  lag(o_totalprice, 1) OVER w AS prev_price,
+          |  lead(o_totalprice, 1) OVER w AS next_price,
+          |  CAST(ntile(4) OVER w AS INT) AS quartile,
+          |  percent_rank() OVER w AS pct_rank,
+          |  cume_dist() OVER w AS cume
+          |FROM orders WHERE o_custkey < 100
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q47_string_funcs" ->
+        """SELECT doc_id,
+          |  upper(source) AS up,
+          |  lpad(lang, 5, '_') AS padded,
+          |  reverse(source) AS rev,
+          |  substring(text, 3, 8) AS sub,
+          |  replace(source, 'src', 'origin') AS repl,
+          |  CAST(levenshtein(source, lang) AS INT) AS lev,
+          |  CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+          |  repeat(lang, 3) AS rep,
+          |  concat_ws('|', source, lang) AS joined,
+          |  sha256(source) AS sha
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q48_date_funcs" ->
+        """SELECT o_orderkey,
+          |  CAST(year(o_orderdate) AS INT) AS y,
+          |  CAST(quarter(o_orderdate) AS INT) AS q,
+          |  CAST(month(o_orderdate) AS INT) AS m,
+          |  CAST(dayofmonth(o_orderdate) AS INT) AS d,
+          |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+          |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+          |  strftime(CAST(last_day(o_orderdate) AS DATE), '%Y-%m-%d') AS month_end,
+          |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+          |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+          |FROM orders WHERE o_orderkey < 2000
+          |ORDER BY o_orderkey""".stripMargin,
 
       "q07_distinct_segments" ->
         "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
