@@ -102,18 +102,20 @@ object Dedup {
     * (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard = fraction
     * of agreeing signature positions.
     *
-    * Scale: only (band_idx, band_hash, id, sig) shuffles; the self-join is an
-    * equi-join on (band_idx, band_hash). `est_jaccard` recomputation is
-    * map-side on the joined rows.
+    * Scale shape: signatures are computed in ONE pass (native expressions —
+    * graft.plans.HashExpressions), then (band, id, sig) rows group by band
+    * bucket and pairs expand bucket-locally. A self-join formulation would
+    * evaluate the signature pipeline once per join side; here the corpus is
+    * hashed once and the only exchange is the bucket groupBy. Buckets
+    * larger than `maxBucketSize` are dropped — an over-full bucket is a
+    * useless discriminator (standard LSH practice) and would otherwise
+    * expand quadratically in one task.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    // native single-pass pipeline: byte-window shingle hashing + all minima
-    // in one loop per row (graft.plans.HashExpressions; ~20× the interpreted
-    // HOF form, which remains as the tested reference semantics)
     graft.plans.HashExpressions.register(df.sparkSession)
     val sig = df
       .filter(length(col(textCol)) > 0)
@@ -124,18 +126,30 @@ object Dedup {
     val banded = sig.select(col("id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
           .as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+    bucketPairs(banded, "sig", maxBucketSize)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
+        // est_jaccard is symmetric, so least/greatest id normalization is safe
+        (expr("size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))").cast("double")
           / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
       .distinct()
   }
+
+  /** Group banded rows by (band_idx, band_hash) and expand the within-bucket
+    * pair combinations — one row per unordered pair, exposed as structs
+    * `x`/`y` each carrying (id, <payloadCol>). */
+  private def bucketPairs(banded: DataFrame, payloadCol: String,
+                          maxBucketSize: Int): DataFrame =
+    banded
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(struct(col("id"), col(payloadCol))).as("bucket"))
+      .filter(size(col("bucket")).between(2, maxBucketSize))
+      .select(explode(expr(
+        """flatten(transform(bucket, (e, i) ->
+          |  transform(slice(bucket, i + 2, size(bucket) - i - 1), f ->
+          |    struct(e as x, f as y))))""".stripMargin)).as("pair"))
+      .select(col("pair.x").as("x"), col("pair.y").as("y"))
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes. One `aggregate` pass per document with a 64-wide counter array —
@@ -161,7 +175,7 @@ object Dedup {
   /** SimHash near-dup candidates via 4×16-bit band blocking (Hamming
     * distance ≤ 3 guarantees agreement on at least one 16-bit band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
     val sh = df.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
@@ -169,15 +183,13 @@ object Dedup {
           call_function("graft_token_hashes", col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
-        .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
+        .as(Seq("band_idx", "band_hash")))
+    bucketPairs(banded, "sh", maxBucketSize)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
+        expr("bit_count(x.sh ^ y.sh)").as("hamming")) // XOR is symmetric
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
