@@ -197,12 +197,20 @@ object Dedup {
     * For 100 TB use after LSH blocking, not standalone. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = df.filter(length(col(textCol)) >= n)
+    val eligible = df.filter(length(col(textCol)) >= n)
+    val grams = eligible
       .select(col(idCol).as("id"),
         explode(shingleExpr(textCol, n)).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("gh"))
       .distinct()
-    val sizes = grams.groupBy("id").agg(count("*").as("sz"))
+    // per-doc distinct-gram counts computed map-side from the text (no
+    // groupBy over the exploded frame — one less shuffle, one less pass);
+    // 64-bit hashes keep the distinct count collision-free in practice
+    val sizes = eligible.select(col(idCol).as("id"),
+      size(array_distinct(expr(
+        s"transform(${shingleSql(textCol, n)}, s -> xxhash64(s))"))).cast("long").as("sz"))
+    // the two join sides below share one exchange (identical plans → Spark's
+    // ReuseExchange); intersection counts shuffle only (gh, id) pairs
     val inter = grams.select(col("id").as("doc_a"), col("gh"))
       .join(grams.select(col("id").as("doc_b"), col("gh")), Seq("gh"))
       .filter(col("doc_a") < col("doc_b"))
