@@ -228,14 +228,18 @@ object Dedup {
     * bucket from [[graft.operators.Similarity.hyperplaneBucket]]); pass
     * `lit(0)` for exhaustive O(n²) at small scale. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            block: Column, minCosine: Double): DataFrame = {
+                            block: Column, minCosine: Double,
+                            maxBucketSize: Int = 10000): DataFrame = {
     graft.plans.VectorExpressions.register(df.sparkSession)
-    val a = df.select(block.as("blk"), col(idCol).as("doc_a"), col(vecCol).as("va"))
-    val b = df.select(block.as("blk"), col(idCol).as("doc_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (lit(1.0) - call_function("graft_cosine_distance", col("va"), col("vb"))).as("cosine"))
+    // blocking expression (e.g. an LSH sign bucket) evaluates ONCE per row;
+    // pairs expand bucket-locally like the text-LSH path above
+    val banded = df.select(lit(0).as("band_idx"), block.as("band_hash"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+    bucketPairs(banded, "vec", maxBucketSize)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
+        (lit(1.0) - call_function("graft_cosine_distance", col("x.vec"), col("y.vec")))
+          .as("cosine")) // cosine is symmetric under the id normalization
       .filter(col("cosine") >= minCosine)
   }
 }
