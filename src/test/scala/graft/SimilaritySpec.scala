@@ -25,6 +25,18 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(4L) - 0.0) < 1e-12)       // opposite
   }
 
+  test("topK DOT strategy ranks by inner product descending") {
+    val out = Similarity.topK(corpus, "embedding", Seq(1.0f, 0.0f), 3, "DOT", "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 5L)) // dots: 1.0, 0.9, 0.7
+  }
+
+  test("topK EUCLIDEAN strategy ranks by L2 distance ascending") {
+    val out = Similarity.topK(corpus, "embedding", Seq(0.0f, 1.0f), 2, "EUCLIDEAN", "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 5L)) // exact match first, then (0.7, 0.7)
+  }
+
   test("vector function identities") {
     val df = Seq((Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     val r = df.select(
