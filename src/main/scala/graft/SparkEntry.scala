@@ -422,6 +422,7 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings")
       Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
           Similarity.hyperplaneBucket("embedding", 64, 4), 0.25)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -943,7 +944,121 @@ object SparkEntry {
       "q33_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
           |  sha256(text) AS sha256
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q20_minhash_pairs" -> minhashOracleSql,
+      "q21_simhash_pairs" -> simhashOracleSql,
+      "q36_embedding_neardup" -> embeddingNearDupOracleSql
     )
+  }
+
+  // ---- Generated oracles for the hash/LSH pipelines --------------------
+  // The Spark side uses rolling-polynomial hashes and seeded constants
+  // precisely so these oracles can replay the IDENTICAL arithmetic in
+  // DuckDB: same shingle/token hashes, same permutations, same banding,
+  // same pair expansion — an exact-match check of the whole LSH pipeline,
+  // not just a row count.
+
+  private val HP = 2147483647L // 2^31-1, mirrors HashExpressions.P
+
+  /** DuckDB rolling polynomial over the chars of `s` — twin of
+    * HashExpressions.shinglePolyEval / Dedup's aggregate(...) form.
+    * (list_reduce starts from the first element; Spark's aggregate starts
+    * from 0, and (0*B + c1) % p == c1, so the folds coincide.) */
+  private def duckPoly(s: String, base: Long): String =
+    s"list_reduce(list_transform(range(1, length($s) + 1), " +
+      s"j -> CAST(unicode(substring($s, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $base + c) % $HP)"
+
+  /** Full-corpus near-dup input: every document plus a 7-chars-shorter twin
+    * (same construction as q20/q21's Spark side). */
+  private val nearDupCorpus =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id,
+      |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
+      |FROM documents""".stripMargin
+
+  private def minhashOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(64)
+    val winHash = "list_reduce(list_transform(range(i, i + 5), " +
+      "j -> CAST(unicode(substring(text, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $b1 + c) % $HP)"
+    val sig = (0 until 64)
+      .map(k => s"list_min(list_transform(hashes, h -> (h * ${as(k)} + ${bs(k)}) % $HP))")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH corpus AS ($nearDupCorpus),
+       |hs AS (
+       |  SELECT doc_id, CASE WHEN length(text) < 5
+       |    THEN [${duckPoly("text", b1)}]
+       |    ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> $winHash))
+       |    END AS hashes
+       |  FROM corpus WHERE length(text) > 0),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b,
+       |    list_reduce(list_transform(range(b * 8 + 1, b * 8 + 9), k -> sig[CAST(k AS INT)]),
+       |      (a, v) -> (a * $b1 + v) % $HP) AS band_hash
+       |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b,
+       |    list_count(list_filter(range(1, 65),
+       |      i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) / 64.0 AS est_jaccard
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard FROM pairs
+       |WHERE est_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val tokenHash = s"${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}"
+    s"""WITH corpus AS ($nearDupCorpus),
+       |ths AS (
+       |  SELECT doc_id, list_transform($toks, t -> $tokenHash) AS th
+       |  FROM corpus WHERE length(text) > 0),
+       |shs AS (
+       |  SELECT doc_id, CAST(list_reduce(list_transform(range(0, 64), j ->
+       |      CASE WHEN 2 * len(list_filter(th, h -> ((h >> CAST(j AS INT)) & 1) = 1)) > len(th)
+       |        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
+       |    (a, v) -> a + v) AS BIGINT) AS sh
+       |  FROM ths),
+       |banded AS (
+       |  SELECT doc_id, sh, b, (sh >> CAST(b * 16 AS INT)) & 65535 AS band_hash
+       |  FROM shs, unnest(range(0, 4)) AS t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b,
+       |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def embeddingNearDupOracleSql: String = {
+    val planes = operators.Similarity.hyperplanePlanes(64, 4)
+    // per-plane dot product replayed with Spark's association: left fold in
+    // array order (list_reduce's first-element init == aggregate's 0.0+p1)
+    val bits = planes.zipWithIndex.map { case (plane, b) =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_transform(range(1, 65), " +
+        s"i -> v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c) >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", "\n    + ", ")")
+    // 1.0 - (1.0 - sim) replays the Spark side's double rounding exactly
+    val cosine = "1.0 - (1.0 - list_cosine_similarity(x.v, y.v))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bits AS bucket FROM e)
+       |SELECT least(x.vec_id, y.vec_id) AS doc_a,
+       |  greatest(x.vec_id, y.vec_id) AS doc_b,
+       |  round($cosine, 6) AS cosine
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE $cosine >= 0.25
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

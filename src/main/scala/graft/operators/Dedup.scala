@@ -61,15 +61,28 @@ object Dedup {
         s"transform(sequence(0, length($textCol) - $n), i -> substring($textCol, i + 1, $n))")))
 
   /** MinHash signature: for each of `numHashes` permutations
-    * h_i(x) = (a_i * xxhash64(x) + b_i) mod p, take the min over shingles.
+    * h_i(x) = (a_i * polyhash(x) + b_i) mod p, take the min over shingles.
     * One pass over the shingle array per hash; all map-side.
-    * Deterministic (seeded a_i, b_i). */
+    * Deterministic (seeded a_i, b_i).
+    *
+    * The base hash is a rolling polynomial over character codes
+    * (Rabin-Karp, base 1000003 mod 2^31-1) rather than xxhash64: same LSH
+    * behavior, but recomputable in plain SQL — the DuckDB oracle replays
+    * the identical pipeline, turning the near-dup detector from a
+    * rows-only check into an exact-match one. */
   /** Base shingle hashes — compute ONCE per row (materialize as a column)
     * before fanning out into the per-permutation minima: Catalyst does not
     * CSE across interpreted higher-order expressions, so inlining this into
-    * each of the `numHashes` minima would re-hash every shingle 64×. */
+    * each of the `numHashes` minima would re-hash every shingle 64×.
+    * Distinct AFTER hashing (dedup by hash), matching the native expr. */
   def shingleHashes(textCol: String, shingleN: Int): Column =
-    expr(s"transform(${shingleSql(textCol, shingleN)}, s -> pmod(xxhash64(s), 2147483647L))")
+    expr(s"array_distinct(transform(${rawShingleSql(textCol, shingleN)}, s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))")
+
+  /** Rolling polynomial over the character codes of `s`:
+    * fold((acc * base + ascii(char)) mod 2^31-1). SQL-expressible on both
+    * Spark and DuckDB — the parity anchor for the whole dedup family. */
+  private def polyhashSql(s: String, base: Long): String =
+    s"aggregate(sequence(1, length($s)), 0L, (acc, i) -> (acc * ${base}L + ascii(substring($s, i, 1))) % 2147483647L)"
 
   /** MinHash signature over a pre-computed shingle-hash array column:
     * min over shingles of h_i(x) = (a_i * x + b_i) mod p per permutation.
@@ -88,8 +101,12 @@ object Dedup {
 
   def minhashSignature(textCol: String, shingleN: Int, numHashes: Int): Column =
     minhashFromHashes(
-      s"transform(${shingleSql(textCol, shingleN)}, s -> pmod(xxhash64(s), 2147483647L))",
+      s"array_distinct(transform(${rawShingleSql(textCol, shingleN)}, s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))",
       numHashes)
+
+  private def rawShingleSql(textCol: String, n: Int): String =
+    s"case when length($textCol) < $n then array($textCol) else " +
+      s"transform(sequence(0, length($textCol) - $n), i -> substring($textCol, i + 1, $n)) end"
 
   private def shingleSql(textCol: String, n: Int): String =
     s"case when length($textCol) < $n then array($textCol) else " +
@@ -121,10 +138,13 @@ object Dedup {
       .filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         call_function("graft_minhash_sig",
-          call_function("graft_shingle_hashes", col(textCol), lit(shingleN)),
+          call_function("graft_shingle_polyhashes", col(textCol), lit(shingleN)),
           lit(numHashes)).as("sig"))
+    // band hash = polynomial fold over the band's signature values — like
+    // the base hash, chosen over xxhash64 so the DuckDB oracle can replay it
     val banded = sig.select(col("id"), col("sig"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+            s"aggregate(slice(sig, b * $rows + 1, $rows), 0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L))"))
           .as(Seq("band_idx", "band_hash")))
     bucketPairs(banded, "sig", maxBucketSize)
       .select(least(col("x.id"), col("y.id")).as("doc_a"),
@@ -151,16 +171,21 @@ object Dedup {
           |    struct(e as x, f as y))))""".stripMargin)).as("pair"))
       .select(col("pair.x").as("x"), col("pair.y").as("y"))
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. One `aggregate` pass per document with a 64-wide counter array —
-    * map-side only, no shuffle. */
+  /** SimHash over whitespace tokens: per-bit majority vote of 62-bit
+    * two-polynomial token hashes (h1 * 2^31 + h2 — SQL-expressible, so the
+    * DuckDB oracle replays it; bits 62-63 stay zero). One `aggregate` pass
+    * per document with a 64-wide counter array — map-side only, no shuffle. */
   def simhash(textCol: String): Column = {
     val tokens = s"filter(split($textCol, '\\\\s+'), t -> t != '')"
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val tokenHash =
+      s"${polyhashSql("t", b1)} * 2147483648L + ${polyhashSql("t", b2)}"
     // bit ops (shiftright/&/shiftleft), not pow(): exact under ANSI, and bit
     // 63 maps onto the sign bit of the bigint without overflow
     val votes =
       s"""aggregate(
-         |  transform($tokens, t -> xxhash64(t)),
+         |  transform($tokens, t -> $tokenHash),
          |  array_repeat(0, 64),
          |  (acc, h) -> zip_with(acc, transform(sequence(0, 63), j ->
          |      case when (shiftright(h, j) & 1) = 1 then 1 else -1 end),
@@ -180,7 +205,7 @@ object Dedup {
     val sh = df.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
         call_function("graft_simhash64",
-          call_function("graft_token_hashes", col(textCol))).as("sh"))
+          call_function("graft_token_polyhashes", col(textCol))).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
         .as(Seq("band_idx", "band_hash")))

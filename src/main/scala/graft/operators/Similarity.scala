@@ -180,9 +180,15 @@ object Similarity {
     * [[Dedup.embeddingNearDupPairs]] and the IVF-style scale path: write the
     * corpus bucketed/partitioned by this value, then probe only matching
     * buckets. Deterministic (seed 42). */
-  def hyperplaneBucket(vecCol: String, dim: Int, nBits: Int): Column = {
+  /** The seeded hyperplanes behind [[hyperplaneBucket]] — public so the
+    * correctness oracle can embed the identical literals in its SQL. */
+  def hyperplanePlanes(dim: Int, nBits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    val planes = Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def hyperplaneBucket(vecCol: String, dim: Int, nBits: Int): Column = {
+    val planes = hyperplanePlanes(dim, nBits)
     val bitExprs = planes.zipWithIndex.map { case (plane, b) =>
       val planeArr = s"array(${plane.mkString(",")})"
       s"case when aggregate(zip_with($vecCol, $planeArr, (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v) >= 0 " +

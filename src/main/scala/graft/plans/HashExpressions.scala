@@ -29,6 +29,21 @@ object HashExpressions {
 
   private val SEED = 42L
   private val P = 2147483647L // 2^31-1, matches Dedup.minhashFromHashes
+  /** Rolling-polynomial bases (Rabin-Karp). Kept SQL-expressible on purpose:
+    * the DuckDB correctness oracle recomputes the identical hash with
+    * `list_reduce` over character codes, which xxhash64 cannot do. */
+  val PolyBase1 = 1000003L
+  val PolyBase2 = 999983L
+
+  /** The seeded permutation coefficients (a_i, b_i) shared by the native
+    * MinHashSigExpr, the declarative Dedup.minhashFromHashes, and the
+    * generated DuckDB oracle SQL — single source of truth. */
+  def minhashCoeffs(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val pairs = Array.fill(numHashes)((math.abs(rnd.nextInt()).toLong % (P - 1) + 1,
+                                       math.abs(rnd.nextInt()).toLong % P))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
 
   // Static helpers invoked from generated code: whole-stage codegen emits a
   // direct call (no InternalRow boxing, no interpreted dispatch), and the
@@ -62,6 +77,55 @@ object HashExpressions {
       val start = i
       while (i < len && !isSpace(s.getByte(i))) i += 1
       if (i > start) out += XXH64.hashUnsafeBytes(base, off + start, i - start, SEED)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct rolling-polynomial hashes of the n-byte windows:
+    * h = fold((acc * B1 + byte) mod p). ASCII bytes coincide with the
+    * `ascii(substring(...))` codes the declarative/DuckDB twins use. */
+  def shinglePolyEval(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numBytes()
+    def winHash(start: Int, w: Int): Long = {
+      var h = 0L; var i = start
+      while (i < start + w) { h = (h * PolyBase1 + (s.getByte(i) & 0xff)) % P; i += 1 }
+      h
+    }
+    if (len < n) return new GenericArrayData(Array(winHash(0, len)))
+    val seen = new java.util.HashSet[java.lang.Long](len * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val h = winHash(i, n)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** 62-bit token hashes: two rolling polynomials (bases B1, B2) mod p,
+    * combined as h1 * 2^31 + h2. Bits 62-63 are always zero, so the SimHash
+    * majority vote leaves them unset — a 62-bit effective SimHash. */
+  def tokenPolyEval(s: UTF8String): ArrayData = {
+    val len = s.numBytes()
+    def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(s.getByte(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(s.getByte(i))) i += 1
+      if (i > start) {
+        var h1 = 0L; var h2 = 0L; var j = start
+        while (j < i) {
+          val c = (s.getByte(j) & 0xff).toLong
+          h1 = (h1 * PolyBase1 + c) % P
+          h2 = (h2 * PolyBase2 + c) % P
+          j += 1
+        }
+        out += h1 * 2147483648L + h2
+      }
     }
     new GenericArrayData(out.toArray)
   }
@@ -138,6 +202,38 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct rolling-polynomial shingle hashes — the oracle-checkable twin
+    * of [[ShingleHashesExpr]] (see [[shinglePolyEval]]). */
+  case class ShinglePolyHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_shingle_polyhashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      shinglePolyEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.shinglePolyEval($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 62-bit two-polynomial token hashes — the oracle-checkable twin of
+    * [[TokenHashesExpr]] (see [[tokenPolyEval]]). */
+  case class TokenPolyHashesExpr(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_token_polyhashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      tokenPolyEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.tokenPolyEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature from pre-reduced hashes: same seeded (a_i, b_i)
     * permutations as Dedup.minhashFromHashes, all minima in one pass. The
     * coefficient arrays ride into generated code as reference objects. */
@@ -148,12 +244,7 @@ object HashExpressions {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got ${t.simpleString}")
     }
-    private lazy val (as, bs) = {
-      val rnd = new scala.util.Random(42)
-      val pairs = Array.fill(numHashes)((math.abs(rnd.nextInt()).toLong % (P - 1) + 1,
-                                         math.abs(rnd.nextInt()).toLong % P))
-      (pairs.map(_._1), pairs.map(_._2))
-    }
+    private lazy val (as, bs) = minhashCoeffs(numHashes)
     override protected def nullSafeEval(input: Any): Any =
       minhashEval(input.asInstanceOf[ArrayData], as, bs)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -190,6 +281,13 @@ object HashExpressions {
     reg.registerFunction(FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(getClass.getName, "graft_token_hashes"),
       args => TokenHashesExpr(args(0)))
+    reg.registerFunction(FunctionIdentifier("graft_shingle_polyhashes"),
+      new ExpressionInfo(getClass.getName, "graft_shingle_polyhashes"),
+      args => ShinglePolyHashesExpr(args(0),
+        args(1).eval(null).asInstanceOf[Int]))
+    reg.registerFunction(FunctionIdentifier("graft_token_polyhashes"),
+      new ExpressionInfo(getClass.getName, "graft_token_polyhashes"),
+      args => TokenPolyHashesExpr(args(0)))
     reg.registerFunction(FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(getClass.getName, "graft_minhash_sig"),
       args => MinHashSigExpr(args(0), args(1).eval(null).asInstanceOf[Int]))

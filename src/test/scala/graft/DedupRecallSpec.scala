@@ -23,10 +23,11 @@ class DedupRecallSpec extends SparkSpec {
     val found = Dedup.minhashLshPairs(corpus, "doc_id", "text", 5, 64, 8, 0.8)
       .filter(col("doc_b") === col("doc_a") + 1000000)
       .count()
-    // the handful of misses are the shortest docs (~49 chars), where losing
-    // 7 chars drops true Jaccard to ~0.8 and 8-row band collision odds fall —
+    // the rare miss is the shortest docs (~49 chars), where losing 7 chars
+    // drops true Jaccard to ~0.8 and 8-row band collision odds fall —
     // expected LSH behavior at these parameters, pinned deterministically
-    assert(found == 496, s"minhash recall $found/$truePairs")
+    // (the polynomial hash family lands at 499/500 here)
+    assert(found == 499, s"minhash recall $found/$truePairs")
   }
 
   test("simhash (hamming ≤ 3) recalls most constructed near-dups") {

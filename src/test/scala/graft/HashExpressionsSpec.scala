@@ -16,9 +16,9 @@ class HashExpressionsSpec extends SparkSpec {
     }.toDF("id", "text")
   }
 
-  test("native shingle hashes equal the declarative form on ASCII input") {
+  test("native polynomial shingle hashes equal the declarative form on ASCII input") {
     val rows = df.select(
-      array_sort(call_function("graft_shingle_hashes", col("text"), lit(5))).as("native"),
+      array_sort(call_function("graft_shingle_polyhashes", col("text"), lit(5))).as("native"),
       array_sort(Dedup.shingleHashes("text", 5)).as("hof")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
@@ -26,30 +26,49 @@ class HashExpressionsSpec extends SparkSpec {
   test("native minhash signature equals the declarative form") {
     val rows = df.select(
       call_function("graft_minhash_sig",
-        call_function("graft_shingle_hashes", col("text"), lit(5)), lit(64)).as("native"),
+        call_function("graft_shingle_polyhashes", col("text"), lit(5)), lit(64)).as("native"),
       Dedup.minhashSignature("text", 5, 64).as("hof")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
-  test("native simhash equals the declarative form") {
+  test("native simhash over polynomial token hashes equals the declarative form") {
     val rows = df.select(
       call_function("graft_simhash64",
-        call_function("graft_token_hashes", col("text"))).as("native"),
+        call_function("graft_token_polyhashes", col("text"))).as("native"),
       Dedup.simhash("text").as("hof")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("polynomial hash matches the hand-computed rolling fold") {
+    // polyhash("ab") = (97 * 1000003 + 98) mod (2^31-1)
+    val h = Seq("ab").toDF("text")
+      .select(call_function("graft_shingle_polyhashes", col("text"), lit(5)))
+      .head().getSeq[Long](0)
+    assert(h == Seq(97L * HashExpressions.PolyBase1 + 98L))
+  }
+
   test("short text (< n) hashes the whole string, like the declarative branch") {
     val rows = Seq("ab").toDF("text").select(
-      call_function("graft_shingle_hashes", col("text"), lit(5)).as("native"),
+      call_function("graft_shingle_polyhashes", col("text"), lit(5)).as("native"),
       Dedup.shingleHashes("text", 5).as("hof")).head()
     assert(rows.getSeq[Long](0) == rows.getSeq[Long](1))
     assert(rows.getSeq[Long](0).length == 1)
   }
 
-  test("token hashes skip leading/trailing/repeated whitespace") {
+  test("62-bit token hashes: bits 62-63 clear; whitespace runs skipped") {
     val n = Seq("  a  b \t c ").toDF("text")
-      .select(call_function("graft_token_hashes", col("text"))).head().getSeq[Long](0)
+      .select(call_function("graft_token_polyhashes", col("text"))).head().getSeq[Long](0)
     assert(n.length == 3)
+    assert(n.forall(h => h >= 0 && (h >> 62) == 0))
+  }
+
+  test("xxhash64-based shingle/token exprs stay available and consistent") {
+    val rows = df.select(
+      call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"),
+      call_function("graft_token_hashes", col("text")).as("th")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).nonEmpty)
+      assert(r.getSeq[Long](1).nonEmpty)
+    }
   }
 }
