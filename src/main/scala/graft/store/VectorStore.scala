@@ -126,6 +126,48 @@ object VectorStore {
     n
   }
 
+  /** Row-level upsert (Delta-style MERGE: WHEN MATCHED THEN UPDATE, WHEN NOT
+    * MATCHED THEN INSERT) against a store written with [[writePartitioned]].
+    * Only the filename-hash buckets present in `incoming` are read and
+    * rewritten — the remaining partitions are never listed, read, or
+    * touched, so the rewrite cost scales with the delta, not the store
+    * (the reference's upsert is delete-children-then-reinsert,
+    * testbed/database.py:83-121; its merge is staged `_TMP` + anti-join,
+    * vector_store.py:250-257 — this is both, bounded to affected buckets).
+    * Bucket swaps are individually atomic (rename), not transactional as a
+    * group — same guarantee as the reference's executemany delete loop.
+    * Returns (updated, inserted). */
+  def upsertPartitioned(spark: SparkSession, root: String, name: String,
+                        incoming: DataFrame, numBuckets: Int = 64): (Long, Long) = {
+    val path = s"$root/$name"
+    val bucketed = incoming.withColumn("file_bucket",
+      pmod(xxhash64(element_at(col("metadata"), "filename")), lit(numBuckets)).cast("int"))
+      .cache()
+    val buckets = bucketed.select("file_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // partition-pruned read: only the affected buckets are scanned
+    val existing = spark.read.parquet(path)
+      .filter(col("file_bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+    val updated = bucketed.join(existing.select("id"), Seq("id"), "left_semi").count()
+    val inserted = bucketed.count() - updated
+    val staging = s"$root/_staging_$name"
+    existing.join(bucketed.select("id"), Seq("id"), "left_anti")
+      .unionByName(bucketed)
+      .write.mode(SaveMode.Overwrite).partitionBy("file_bucket").parquet(staging)
+    buckets.foreach { b =>
+      val src = Paths.get(staging, s"file_bucket=$b")
+      val dst = Paths.get(path, s"file_bucket=$b")
+      val old = Paths.get(s"$root/_old_${name}_b$b")
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(staging).toFile)
+    bucketed.unpersist()
+    (updated, inserted)
+  }
+
   /** Delete all chunks belonging to `filenames` (stale-file delete before
     * re-embed — reference J2, vector_store.py:239-245: DELETE WHERE
     * JSON_VALUE(metadata,'$.filename') = :fname). Plain Parquet has no

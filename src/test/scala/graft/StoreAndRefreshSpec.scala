@@ -43,6 +43,49 @@ class StoreAndRefreshSpec extends SparkSpec {
     assert(after.filter(col("id") === "a_1").select("text").as[String].head() == "beta")
   }
 
+  test("partitioned upsert rewrites only the affected buckets " +
+       "(Delta-style MERGE, reference J8)") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("a_1", "beta", "a"),
+      chunkRow("b_0", "gamma", "b"), chunkRow("c_0", "delta", "c"))
+      .toDF("id", "text", "metadata", "embedding")
+    VectorStore.writePartitioned(df, root, "U1", """{"alias": "u1"}""", numBuckets = 8)
+
+    // snapshot the on-disk files of every bucket before the upsert
+    def bucketFiles(): Map[String, Set[String]] = {
+      val dir = java.nio.file.Paths.get(root, "U1")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("file_bucket="))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.list(p).iterator().asScala
+            .map(f => f.getFileName.toString + ":" + java.nio.file.Files.getLastModifiedTime(f))
+            .toSet)
+        .toMap
+    }
+    val before = bucketFiles()
+
+    // update a_1, insert a_2 — both filename "a", so exactly one bucket moves
+    val incoming = Seq(chunkRow("a_1", "beta UPDATED", "a"), chunkRow("a_2", "new", "a"))
+      .toDF("id", "text", "metadata", "embedding")
+    val (updated, inserted) = VectorStore.upsertPartitioned(spark, root, "U1", incoming, 8)
+    assert((updated, inserted) == (1L, 1L))
+
+    val after = VectorStore.read(spark, root, "U1")
+    assert(after.count() == 5)
+    assert(after.filter(col("id") === "a_1").select("text").as[String].head() == "beta UPDATED")
+    assert(after.filter(col("id") === "a_0").select("text").as[String].head() == "alpha")
+
+    // buckets not containing filename "a" are bit-identical (never rewritten)
+    val aBucket = "file_bucket=" + before.keys.map(_.stripPrefix("file_bucket=")).find { b =>
+      incoming.sparkSession.range(1).select(
+        expr(s"cast(pmod(xxhash64('a'), 8) as int)")).head().getInt(0).toString == b
+    }.get
+    val untouched = bucketFiles().filter(_._1 != aBucket)
+    assert(untouched == before.filter(_._1 != aBucket))
+    assert(untouched.nonEmpty)
+  }
+
   test("stale delete removes only the named files' chunks (reference J2)") {
     val root = freshRoot()
     val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("b_0", "beta", "b"))

@@ -41,6 +41,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregate streams end-to-end into a parquet sink " +
+       "(watermark finalizes windows in append mode)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft-winsink").toString
+    val src = dir + "/src"; val out = dir + "/out"; val ckpt = dir + "/ckpt"
+    val events = Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(30), "view", 5.0),
+      (ts(61), "click", 4.0), (ts(200), "click", 9.0))
+      .toDF("ts", "event_type", "value")
+    events.write.parquet(src)
+
+    val streamed = EventStreams.tumblingCountsStream(
+      spark.readStream.schema(events.schema).parquet(src), "1 hour", "10 minutes")
+    val q = streamed.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000); q.stop()
+
+    // append mode emits exactly the windows whose end precedes the final
+    // watermark (max event time - delay) — replay that cut in batch
+    val watermark = ts(200).getTime - 10 * 60000L
+    val expected = EventStreams.tumblingCounts(events, "1 hour")
+      .filter(col("window_end") <= new Timestamp(watermark).toString)
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    val sunk = spark.read.parquet(out)
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(sunk == expected)
+    assert(sunk.contains(("click", 2L, 3.0)) && sunk.contains(("view", 1L, 5.0)))
+  }
+
   test("sessionization: batch gaps-and-islands semantics") {
     val df = Seq(
       (1L, ts(0), 1.0), (1L, ts(10), 2.0),  // session 1 (gap 10m < 30m)
