@@ -60,7 +60,7 @@ object SparkEntry {
     val stored = store.VectorStore.read(s, root, name)
     val qv = Embedder.stubEmbed(dim)(Seq("spark join stream merge")).head.toSeq
     Similarity.topK(stored, "embedding", qv, 8, "COSINE", "id")
-      .select(col("id"), col("text"), col("score"))
+      .select(col("id"), col("text"), round(col("score"), 6).as("score"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -948,8 +948,120 @@ object SparkEntry {
 
       "q20_minhash_pairs" -> minhashOracleSql,
       "q21_simhash_pairs" -> simhashOracleSql,
-      "q36_embedding_neardup" -> embeddingNearDupOracleSql
+      "q36_embedding_neardup" -> embeddingNearDupOracleSql,
+      "q19_mmr" -> mmrOracleSql,
+      "q32_embed_search" -> embedSearchOracleSql,
+
+      // File-corpus ingest: the corpus q41 loads is generated from the
+      // documents table plus three constant files, so the expected parse
+      // dispatch (txt/md parsed, pdf stubbed with its byte count, .bin
+      // skipped) and round-tripped text lengths are exactly derivable.
+      // "[pdf-stub bytes=9]" is 18 chars ("%PDF-fake" is 9 bytes).
+      "q41_file_ingest" ->
+        """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+          |  'txt' AS ext, true AS parse_ok, CAST(length(text) AS INT) AS text_len,
+          |  CAST(NULL AS VARCHAR) AS skip_reason
+          |FROM documents WHERE doc_id < 20
+          |UNION ALL SELECT 'readme.md', 'md', true, 8, NULL
+          |UNION ALL SELECT 'binary.pdf', 'pdf', true, 18, NULL
+          |UNION ALL SELECT 'data.bin', 'bin', false, NULL, 'unsupported extension: bin'
+          |ORDER BY filename""".stripMargin
     )
+  }
+
+  /** End-to-end RAG-slice oracle: chunk (200/50) → dedup-keep-min-id →
+    * stub feature-hash embed → top-8 cosine with normalized score — the
+    * identical pipeline embedSearch runs through the parquet store, replayed
+    * in one SQL statement (the store write is a side effect; the oracle
+    * checks the retrieval result). The query vector is the Scala stub's
+    * output embedded as exact-double literals. */
+  private def embedSearchOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val qv = pipeline.Embedder.stubEmbed(64)(Seq("spark join stream merge")).head
+    val qvLits = qv.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    val toks = "list_filter(regexp_split_to_array(lower(ctext), '\\W+'), x -> x <> '')"
+    val tokHash = s"list_reduce(list_transform(range(1, length(t) + 1), " +
+      s"j -> CAST(unicode(substring(t, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $b1 + c) % 2147483647)"
+    val dist = s"1.0 - list_cosine_similarity(CAST(v AS DOUBLE[]), $qvLits)"
+    s"""WITH chunks AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(s // 150 AS VARCHAR) AS id,
+       |    substring(text, CAST(s AS INT) + 1, 200) AS ctext
+       |  FROM documents, unnest(range(0, length(text), 150)) AS t(s)),
+       |dedup AS (
+       |  SELECT id, ctext FROM (
+       |    SELECT id, ctext,
+       |      row_number() OVER (PARTITION BY md5(ctext) ORDER BY id) AS rn
+       |    FROM chunks) WHERE rn = 1),
+       |hashed AS (
+       |  SELECT id, ctext, list_transform($toks, t -> $tokHash) AS hs FROM dedup),
+       |raws AS (
+       |  SELECT id, ctext, list_transform(range(0, 64), b ->
+       |      len(list_filter(hs, h -> h % 64 = b AND ((h >> 6) & 1) = 0))
+       |    - len(list_filter(hs, h -> h % 64 = b AND ((h >> 6) & 1) = 1))) AS raw
+       |  FROM hashed),
+       |normed AS (
+       |  SELECT id, ctext,
+       |    sqrt(CAST(list_reduce(list_transform(raw, x -> x * x), (a, c) -> a + c) AS DOUBLE)) AS nrm,
+       |    raw
+       |  FROM raws),
+       |emb AS (
+       |  SELECT id, ctext,
+       |    CASE WHEN nrm > 0
+       |      THEN list_transform(raw, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))
+       |      ELSE list_transform(raw, x -> CAST(0.0 AS FLOAT)) END AS v
+       |  FROM normed)
+       |SELECT id, ctext AS text, round(1.0 - ($dist) / 2.0, 6) AS score
+       |FROM emb
+       |ORDER BY $dist, id
+       |LIMIT 8""".stripMargin
+  }
+
+  /** MMR oracle: the k=5 greedy selection unrolled into chained CTEs —
+    * each step picks the argmax of λ·sim(q,d) − (1−λ)·max sim(d, selected)
+    * over the remaining candidates, exactly like Similarity.mmr. The
+    * driver-side cosine (dot / sqrt(na*nb), sequential left folds) is
+    * replayed with explicit list_reduce folds so the doubles match
+    * bit-for-bit. */
+  private def mmrOracleSql: String = {
+    def cosSql(a: String, b: String): String = {
+      def f(p: String) =
+        s"list_reduce(list_transform(range(1, 65), i -> $p), (x, y) -> x + y)"
+      val dot = f(s"$a[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+      val na = f(s"$a[CAST(i AS INT)] * $a[CAST(i AS INT)]")
+      val nb = f(s"$b[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+      s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END"
+    }
+    val k = 5
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings, q
+       |  ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
+       |  LIMIT 20),
+       |scored AS (SELECT vec_id, v, ${cosSql("v", "qv")} AS rel FROM cand, q),
+       |sel1 AS (SELECT vec_id, v, 0.5 * rel - 0.5 * 0.0 AS score
+       |  FROM scored ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    for (n <- 2 to k) {
+      val prevIds = (1 until n).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")
+      val prevSel = (1 until n).map(i => s"SELECT v FROM sel$i").mkString(" UNION ALL ")
+      // join + group-by rather than a correlated scalar subquery: DuckDB
+      // lambdas cannot capture correlated outer columns
+      sb ++= s""",
+         |rem$n AS (SELECT * FROM scored WHERE vec_id NOT IN ($prevIds)),
+         |div$n AS (
+         |  SELECT r.vec_id, max(${cosSql("r.v", "s.v")}) AS div
+         |  FROM rem$n r CROSS JOIN ($prevSel) s GROUP BY r.vec_id),
+         |sel$n AS (
+         |  SELECT r.vec_id, r.v, 0.5 * r.rel - 0.5 * d.div AS score
+         |  FROM rem$n r JOIN div$n d ON r.vec_id = d.vec_id
+         |  ORDER BY score DESC, r.vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= (1 to k).map(n =>
+        s"SELECT CAST($n AS INT) AS rank, vec_id, round(score, 6) AS mmr_score FROM sel$n")
+      .mkString("\nSELECT rank, vec_id, mmr_score FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rank")
+    sb.toString
   }
 
   // ---- Generated oracles for the hash/LSH pipelines --------------------

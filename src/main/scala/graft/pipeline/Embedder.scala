@@ -23,15 +23,24 @@ object Embedder {
   type EmbedFn = Seq[String] => Seq[Array[Float]]
 
   /** Deterministic stub: token hashes scattered into `dim` buckets (signed,
-    * feature-hashing style), then L2-normalized. Same text → same vector. */
+    * feature-hashing style), then L2-normalized. Same text → same vector.
+    * The token hash is the engine's rolling polynomial
+    * (graft.plans.HashExpressions.PolyBase1 mod 2^31-1) with the sign drawn
+    * from bit 6 — SQL-expressible on purpose, so the end-to-end
+    * chunk→embed→search pipeline can be replayed by the DuckDB oracle. */
   def stubEmbed(dim: Int): EmbedFn = texts => texts.map { t =>
     val v = new Array[Float](dim)
     var i = 0
     val toks = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
     while (i < toks.length) {
-      val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 42)
-      val idx = math.floorMod(h, dim)
-      v(idx) += (if ((h >>> 31) == 0) 1f else -1f)
+      val s = toks(i)
+      var h = 0L; var j = 0
+      while (j < s.length) {
+        h = (h * graft.plans.HashExpressions.PolyBase1 + s.charAt(j)) % 2147483647L
+        j += 1
+      }
+      val idx = (h % dim).toInt
+      v(idx) += (if (((h >> 6) & 1L) == 0L) 1f else -1f)
       i += 1
     }
     val norm = math.sqrt(v.map(x => x.toDouble * x).sum)

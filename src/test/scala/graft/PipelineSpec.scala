@@ -17,7 +17,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("embed stage appends ARRAY<FLOAT> via mapPartitions batching") {
-    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text")
+    val df = Seq((1L, "alpha"), (2L, "delta"), (3L, "alpha")).toDF("id", "text")
     val out = Embedder.embed(df, "text", Embedder.stubEmbed(8), batchSize = 2)
     assert(out.schema("embedding").dataType.typeName == "array")
     val vecs = out.select("id", "embedding").as[(Long, Seq[Float])].collect().toMap
