@@ -135,6 +135,81 @@ object SparkEntry {
     }),
 
     // ---- Joins (SURVEY §2.3) --------------------------------------------
+    "q02_trade_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: revenue between customer-nation and supplier-nation
+      // pairs. nation is broadcast twice (25 rows); the fact-side joins
+      // shuffle on their keys. supplier (100·sf rows) auto-broadcasts
+      // under AQE.
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val custNation = tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val suppNation = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("supp_nation"), col("cust_nation"))
+        .limit(20)
+    }),
+
+    "q49_cube" -> ((s, dir) => {
+      // full CUBE over (returnflag, linestatus) — grouping-set breadth
+      // beyond the reference (it has no grouping sets at all)
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    "q50_pivot" -> ((s, dir) => {
+      // pivot with an explicit value list (deterministic output schema);
+      // the oracle is the equivalent conditional aggregation
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity"), 4))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("f_qty"),
+          coalesce(col("O"), lit(0.0)).as("o_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q51_moving_avg" -> ((s, dir) => {
+      // rows-frame window: per-customer moving average over the last 3
+      // orders by date (decimal sum / count, divided as doubles for parity)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(col("o_totalprice").cast("decimal(24,4)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("mov_avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q52_below_avg_bigticket" -> ((s, dir) => {
+      // TPC-H Q17 shape: per-part average joined back against the facts —
+      // the aggregate side reduces to part-cardinality before the join
+      val perPart = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("p_key"))
+        .agg((dsum(col("l_quantity"), 4) / count(lit(1))).as("avg_qty"))
+      tbl(s, dir, "lineitem")
+        .join(perPart, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.9) * col("avg_qty"))
+        .agg(dsum(col("l_extendedprice"), 4).as("below_avg_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q03_revenue_by_nation" -> ((s, dir) => {
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       tbl(s, dir, "lineitem")
@@ -598,6 +673,56 @@ object SparkEntry {
           |    '__orphan__') AS filename,
           |  COUNT(*) AS n_chunks, MAX(n_chars) AS max_chars, MIN(doc_id) AS first_doc
           |FROM documents GROUP BY 1 ORDER BY filename""".stripMargin,
+
+      "q02_trade_volume" ->
+        s"""SELECT supp_nation, cust_nation, revenue, n_items FROM (
+           |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |    COUNT(*) AS n_items
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |  WHERE cn.n_name <> sn.n_name
+           |  GROUP BY 1, 2)
+           |ORDER BY revenue DESC, supp_nation, cust_nation
+           |LIMIT 20""".stripMargin,
+
+      "q49_cube" ->
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+           |  COUNT(*) AS n, ${dsumSql("l_quantity", 4)} AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY returnflag, linestatus""".stripMargin,
+
+      "q50_pivot" ->
+        """SELECT l_returnflag,
+          |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+          |    THEN CAST(l_quantity AS DECIMAL(24,4)) END) AS DOUBLE), 0.0) AS f_qty,
+          |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+          |    THEN CAST(l_quantity AS DECIMAL(24,4)) END) AS DOUBLE), 0.0) AS o_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q51_moving_avg" ->
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) OVER w AS DOUBLE)
+          |    / COUNT(*) OVER w AS mov_avg3
+          |FROM orders WHERE o_custkey < 200
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+      "q52_below_avg_bigticket" ->
+        s"""WITH pp AS (
+           |  SELECT l_partkey AS p_key,
+           |    ${dsumSql("l_quantity", 4)} / COUNT(*) AS avg_qty
+           |  FROM lineitem GROUP BY 1)
+           |SELECT ${dsumSql("l_extendedprice", 4)} AS below_avg_revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN pp ON l_partkey = p_key
+           |WHERE l_quantity < 0.9 * avg_qty""".stripMargin,
 
       "q45_rollup" ->
         s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
