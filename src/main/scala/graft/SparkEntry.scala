@@ -210,6 +210,17 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q53_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (sort-based; round(6) absorbs the
+      // engines' different interpolation association)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q03_revenue_by_nation" -> ((s, dir) => {
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       tbl(s, dir, "lineitem")
@@ -723,6 +734,13 @@ object SparkEntry {
            |  COUNT(*) AS n_items
            |FROM lineitem JOIN pp ON l_partkey = p_key
            |WHERE l_quantity < 0.9 * avg_qty""".stripMargin,
+
+      "q53_percentiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+          |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+          |  COUNT(*) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q45_rollup" ->
         s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
