@@ -34,6 +34,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q02: all four dimension sides broadcast; the only large join is fact-fact") {
+    val p = plan("q02_trade_volume")
+    // nation (×2), customer+nation, supplier+nation all broadcast;
+    // lineitem⋈orders stays the single big join (SMJ pre-AQE)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1)
+  }
+
   test("q31: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("q31_topk_global")
     assert(p.contains("TakeOrderedAndProject"))
