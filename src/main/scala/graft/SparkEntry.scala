@@ -541,8 +541,44 @@ object SparkEntry {
       }).toDF("rank", "vec_id", "mmr_score")
     }),
 
-    // ---- Flagship RAG pipeline (rows-only; stub embedder not SQL-expressible)
+    // ---- Flagship RAG pipeline (oracle replays the whole chunk→embed→
+    // search chain; the store write is a side effect)
     "q32_embed_search" -> ((s, dir) => embedSearch(s, dir)),
+
+    "q54_ivf_search" -> ((s, dir) => {
+      // IVF probe path: assign the corpus to its nearest centroid, then
+      // scan only the nProbe=2 centroid buckets closest to the query —
+      // at cluster scale the corpus is written partitionBy(centroid_id)
+      // and this becomes a partition-pruned scan
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val cents = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      Similarity.ivfSearch(assigned, "embedding", "vec_id", cents, qv, 8, 2)
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
+    "q55_multistore_search" -> ((s, dir) => {
+      // the reference's flagship retrieval composite (vs_retriever.py:
+      // 307-384): per-store top-k → union → threshold → dedup keep-max on
+      // content → global top-k, with the searched table stamped
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      def searchStore(df: DataFrame) =
+        Similarity.topK(df, "embedding", qv, 8, "COSINE", "vec_id")
+          .select(col("vec_id").as("id"),
+            concat(lit("vec-"), col("vec_id") % 50).as("text"), col("score"))
+      val even = searchStore(e.filter(col("label") % 2 === 0))
+      val odd = searchStore(e.filter(col("label") % 2 === 1))
+      Similarity.multiStoreSearch(Seq("even" -> even, "odd" -> odd), 0.55, 8)
+        .select(col("searched_table"), col("id"), col("text"),
+          round(col("score"), 6).as("score"))
+    }),
 
     // ---- IVF-style ANN assignment (scale path for similarity search) ----
     "q35_ivf_assign" -> ((s, dir) => {
@@ -734,6 +770,40 @@ object SparkEntry {
            |  COUNT(*) AS n_items
            |FROM lineitem JOIN pp ON l_partkey = p_key
            |WHERE l_quantity < 0.9 * avg_qty""".stripMargin,
+
+      "q54_ivf_search" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |assign AS (
+          |  SELECT vec_id, centroid_id FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |probes AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid LIMIT 2)
+          |SELECT e.vec_id, a.centroid_id,
+          |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          |WHERE a.centroid_id IN (SELECT cid FROM probes)
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), e.vec_id
+          |LIMIT 8""".stripMargin,
+
+      "q55_multistore_search" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |scored AS (
+          |  SELECT CASE WHEN label % 2 = 0 THEN 'even' ELSE 'odd' END AS searched_table,
+          |    vec_id AS id, 'vec-' || CAST(vec_id % 50 AS VARCHAR) AS text,
+          |    1.0 - (1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) / 2.0 AS score,
+          |    row_number() OVER (PARTITION BY label % 2
+          |      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id) AS rk
+          |  FROM embeddings, q),
+          |top AS (SELECT * FROM scored WHERE rk <= 8 AND score >= 0.55),
+          |dedup AS (SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, id) AS rn
+          |  FROM top) WHERE rn = 1)
+          |SELECT searched_table, id, text, round(score, 6) AS score
+          |FROM dedup ORDER BY score DESC, id LIMIT 8""".stripMargin,
 
       "q53_percentiles" ->
         """SELECT l_returnflag,

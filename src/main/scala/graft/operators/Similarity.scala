@@ -233,7 +233,8 @@ object Similarity {
     val probeIds = centroids.map { case (cid, cv) =>
       var acc = 0.0; var i = 0
       val n = math.min(cv.length, query.length)
-      while (i < n) { val d = cv(i) - query(i); acc += d * d; i += 1 }
+      // double-precision diffs, matching list_distance on DOUBLE[] (oracle)
+      while (i < n) { val d = cv(i).toDouble - query(i).toDouble; acc += d * d; i += 1 }
       (math.sqrt(acc), cid)
     }.sorted.take(nProbe).map(_._2)
     topK(assigned.filter(col("centroid_id").isin(probeIds: _*)),
