@@ -486,6 +486,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q56_dedup_clusters" -> ((s, dir) => {
+      // cluster-level dedup: LSH pairs → connected components → min-id rep
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     "q21_simhash_pairs" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text")).union(
@@ -1160,6 +1173,7 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q20_minhash_pairs" -> minhashOracleSql,
+      "q56_dedup_clusters" -> dedupClustersOracleSql,
       "q21_simhash_pairs" -> simhashOracleSql,
       "q36_embedding_neardup" -> embeddingNearDupOracleSql,
       "q19_mmr" -> mmrOracleSql,
@@ -1304,7 +1318,9 @@ object SparkEntry {
       |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
       |FROM documents""".stripMargin
 
-  private def minhashOracleSql: String = {
+  /** The corpus→signatures→bands→candidate-pairs CTE chain shared by the
+    * minhash-pairs and cluster-dedup oracles. */
+  private def minhashPairCtes: String = {
     val b1 = graft.plans.HashExpressions.PolyBase1
     val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(64)
     val winHash = "list_reduce(list_transform(range(i, i + 5), " +
@@ -1313,7 +1329,7 @@ object SparkEntry {
     val sig = (0 until 64)
       .map(k => s"list_min(list_transform(hashes, h -> (h * ${as(k)} + ${bs(k)}) % $HP))")
       .mkString("[", ",\n    ", "]")
-    s"""WITH corpus AS ($nearDupCorpus),
+    s"""corpus AS ($nearDupCorpus),
        |hs AS (
        |  SELECT doc_id, CASE WHEN length(text) < 5
        |    THEN [${duckPoly("text", b1)}]
@@ -1332,10 +1348,30 @@ object SparkEntry {
        |    list_count(list_filter(range(1, 65),
        |      i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) / 64.0 AS est_jaccard
        |  FROM banded x JOIN banded y
-       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""WITH $minhashPairCtes
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |WHERE est_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Cluster-dedup oracle: transitive closure over the near-dup pairs via a
+    * recursive CTE; each node's representative is the minimum doc_id
+    * reachable in its component — exactly what iterative min-label
+    * propagation converges to on the Spark side. */
+  private def dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs WHERE est_jaccard >= 0.8
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs WHERE est_jaccard >= 0.8),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+       |SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
 
   private def simhashOracleSql: String = {
     val b1 = graft.plans.HashExpressions.PolyBase1

@@ -248,6 +248,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: every node's label
+    * converges to the minimum id in its component — the "keep one document
+    * per duplicate CLUSTER" step that follows pair detection in a
+    * training-data dedup pipeline (pairs alone under-delete transitive
+    * duplicates A≈B≈C).
+    *
+    * Iterative min-label propagation, one join+aggregate per round, driver
+    * loop until fixpoint. Near-dup graphs have tiny diameters (duplicate
+    * clusters are near-cliques), so this converges in a handful of rounds;
+    * each round shuffles only (edge, label) pairs. Returns (id, cluster_rep).
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                    maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dlbl").as("nlbl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force within blocking
     * buckets. `blockExpr` partitions the corpus (e.g. a coarse LSH sign
     * bucket from [[graft.operators.Similarity.hyperplaneBucket]]); pass

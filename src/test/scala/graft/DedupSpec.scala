@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 2.0 / 3.0) < 1e-12)
   }
 
+  test("cluster dedup: min-label propagation resolves transitive chains") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .select("id", "cluster_rep").as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding near-dup finds cosine-close pairs within blocks") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
