@@ -494,7 +494,7 @@ object SparkEntry {
           expr("substring(text, 1, greatest(length(text) - 7, 1))")))
       val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
         shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
-      Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      Dedup.dedupClusters(pairs, "doc_a", "doc_b", edgePartitions = 8)
         .select(col("id").as("doc_id"), col("cluster_rep"))
         .orderBy("doc_id")
     }),
@@ -641,10 +641,14 @@ object SparkEntry {
 
     // ---- Web-scrape section extraction (S8) -----------------------------
     "q40_webscrape_sections" -> ((s, dir) => {
+      // synthesized two-section pages: exercises script stripping, heading
+      // splits, entity unescaping, and whitespace normalization
       val pages = tbl(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("<html><script>skip()</script><h1>"), col("source"),
-            lit("</h1>"), col("text"), lit("</html>")).as("html"))
+            lit("</h1>"), expr("substring(text, 1, 120)"),
+            lit("<h2>Details &amp; more</h2>"), expr("substring(text, 121)"),
+            lit("</html>")).as("html"))
       sources.WebScrape.sections(pages, "html")
         .select(col("doc_id"), col("section_index"), col("title"), col("content"))
         .orderBy("doc_id", "section_index")
@@ -1163,9 +1167,16 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q40_webscrape_sections" ->
-        """SELECT doc_id, 0 AS section_index, source AS title,
-          |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS content
-          |FROM documents ORDER BY doc_id, section_index""".stripMargin,
+        """SELECT doc_id, section_index, title, content FROM (
+          |  SELECT doc_id, 0 AS section_index, source AS title,
+          |    trim(regexp_replace(substring(text, 1, 120), '\s+', ' ', 'g')) AS content
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 1, 'Details & more',
+          |    trim(regexp_replace(substring(text, 121), '\s+', ' ', 'g'))
+          |  FROM documents
+          |  WHERE length(trim(regexp_replace(substring(text, 121), '\s+', ' ', 'g'))) > 0)
+          |ORDER BY doc_id, section_index""".stripMargin,
 
       "q33_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -259,30 +259,44 @@ object Dedup {
     * clusters are near-cliques), so this converges in a handful of rounds;
     * each round shuffles only (edge, label) pairs. Returns (id, cluster_rep).
     */
-  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                    maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).cache()
-    labels.count()
+  def dedupClusters(pairs0: DataFrame, aCol: String, bCol: String,
+                    maxIters: Int = 20, edgePartitions: Int = 0): DataFrame = {
+    val spark = pairs0.sparkSession
+    val nParts = if (edgePartitions > 0) edgePartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // the pair pipeline (often LSH) is expensive — evaluate it ONCE for the
+    // four edge projections below
+    val pairs = pairs0.cache()
+    val a = col(aCol); val b = col(bCol)
+    // undirected edges PLUS self-loops: every node then appears as a `src`
+    // with its own id among the neighbor labels, so one join+min-aggregate
+    // per round is the full update rule (no left-join/coalesce pass).
+    // Duplicate edges are harmless under min. The cache is repartitioned by
+    // the join key — the iteration joins then reuse that distribution, and
+    // the cache doesn't inherit the pair-explode's many near-empty
+    // partitions (which would tax every round with dead task overhead).
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .union(pairs.select(a.as("src"), a.as("dst")))
+      .union(pairs.select(b.as("src"), b.as("dst")))
+      .repartition(nParts, col("dst")).cache()
+    // round 1 needs no label table: the initial label of `dst` IS dst
+    var labels = edges.groupBy(col("src").as("id")).agg(min("dst").as("lbl")).cache()
     var changed = 1L
-    var iters = 0
+    var iters = 1
     while (changed > 0 && iters < maxIters) {
-      val prop = edges
+      val next = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dlbl").as("nlbl"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .groupBy(col("src").as("id")).agg(min("dlbl").as("lbl")).cache()
+      // both sides are hash-partitioned by id from their aggregates, so the
+      // convergence check joins without an exchange
       changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
       labels = next
       iters += 1
     }
+    pairs.unpersist()
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
