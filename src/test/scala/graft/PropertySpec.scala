@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.{Chunker, Dedup, Similarity}
+
+/** Property-based invariants (SURVEY.md §5 test plan): splitter coverage /
+  * reconstruction, dedup idempotence, top-k ⊆ full-sort prefix, and
+  * MMR(λ=1) ≡ cosine top-k. ScalaCheck drives the input generation; the
+  * operators run on real Spark plans. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def passes(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.chooseNum(1, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' ')))
+        .map(_.mkString))
+
+  test("splitter: windows cover the text, start indexes advance by step, " +
+       "chunks reconstruct the text") {
+    val sizeOverlap = for {
+      size <- Gen.chooseNum(2, 64)
+      overlap <- Gen.chooseNum(0, size - 1)
+    } yield (size, overlap)
+    passes(Prop.forAll(asciiText, sizeOverlap) { case (text, (size, overlap)) =>
+      val step = size - overlap
+      val chunks = Chunker.chunk(Seq(Tuple1(text)).toDF("text"), "text", size, overlap)
+        .select("chunk_index", "start_index", "chunk")
+        .as[(Int, Int, String)].collect().sortBy(_._1)
+      val starts = chunks.map(_._2)
+      val expectedStarts = 0.until(text.length, step)
+      val reconstructed = chunks.map { case (_, s, c) => c.take(step) }.mkString
+      starts.sameElements(expectedStarts) &&
+        chunks.forall { case (_, s, c) => c == text.substring(s, math.min(s + size, text.length)) } &&
+        reconstructed == text
+    })
+  }
+
+  test("exact dedup: idempotent, keeps first occurrence, output has distinct texts") {
+    val docs: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      texts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "longer text"))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    passes(Prop.forAll(docs) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "text", "doc_id")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val twice = Dedup.exactDedup(once.toSeq.toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val expected = rows.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq.sortBy(_._1)
+      once.toSeq == expected && twice.toSeq == once.toSeq
+    })
+  }
+
+  test("top-k is exactly the k-prefix of the full (distance, id) sort") {
+    val corpus: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.chooseNum(2, 30)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toFloat)))
+    } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    passes(Prop.forAll(corpus, Gen.chooseNum(1, 10)) { (rows, k) =>
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      val q = rows.head._2.map(_.toFloat).toSeq
+      val top = Similarity.topK(df, "embedding", q, k, "COSINE", "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      val full = Similarity.topK(df, "embedding", q, rows.length, "COSINE", "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      top == full.take(math.min(k, rows.length))
+    })
+  }
+
+  test("MMR with λ=1 degenerates to cosine top-k order") {
+    val corpus: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.chooseNum(3, 20)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(1, 9).map(_.toFloat)))
+    } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    passes(Prop.forAll(corpus) { rows =>
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      val q = rows.head._2.map(_.toFloat).toSeq
+      val k = math.min(3, rows.length)
+      val mmr = Similarity.mmr(df, "embedding", "vec_id", q, k, fetchK = rows.length,
+        lambdaMult = 1.0).map(_._1)
+      val top = Similarity.topK(df, "embedding", q, k, "COSINE", "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      mmr == top
+    })
+  }
+}
