@@ -90,10 +90,8 @@ object Dedup {
     * Deterministic (seeded a_i, b_i). */
   def minhashFromHashes(hashCol: String, numHashes: Int): Column = {
     val p = 2147483647L
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(numHashes)((math.abs(rnd.nextInt()).toLong % (p - 1) + 1,
-                                      math.abs(rnd.nextInt()).toLong % p))
-    val mins = coeffs.map { case (a, b) =>
+    val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(numHashes)
+    val mins = as.zip(bs).map { case (a, b) =>
       s"array_min(transform($hashCol, h -> (h * ${a}L + ${b}L) % ${p}L))"
     }
     expr(s"array(${mins.mkString(",")})")

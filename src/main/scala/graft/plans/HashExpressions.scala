@@ -20,10 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the loop body is compiled JVM code, so CodegenFallback costs nothing
   * measurable here).
   *
-  * Hash compatibility: shingle/token hashes are XXH64(seed 42) over the
-  * UTF-8 bytes — exactly what Spark's `xxhash64` computes — so the native
-  * and declarative pipelines produce identical signatures on ASCII input
-  * (byte windows == char windows). Verified by HashExpressionsSpec.
+  * Hash families: the QUERY PATH uses rolling polynomial hashes
+  * (`graft_shingle_polyhashes` / `graft_token_polyhashes`, bases PolyBase1/2
+  * mod 2^31-1) because the DuckDB correctness oracle can replay them in
+  * plain SQL; XXH64(seed 42) variants (`graft_shingle_hashes` /
+  * `graft_token_hashes`, matching Spark's `xxhash64` on ASCII) remain
+  * registered for callers who prefer the avalanche family. Native and
+  * declarative pipelines produce identical values on ASCII input (byte
+  * windows == char windows). Verified by HashExpressionsSpec.
   */
 object HashExpressions {
 
