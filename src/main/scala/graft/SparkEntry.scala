@@ -1278,7 +1278,7 @@ object SparkEntry {
        |  FROM embeddings, q
        |  ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id
        |  LIMIT 20),
-       |scored AS (SELECT vec_id, v, ${cosSql("v", "qv")} AS rel FROM cand, q),
+       |scored AS MATERIALIZED (SELECT vec_id, v, ${cosSql("v", "qv")} AS rel FROM cand, q),
        |sel1 AS (SELECT vec_id, v, 0.5 * rel - 0.5 * 0.0 AS score
        |  FROM scored ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
     for (n <- 2 to k) {
