@@ -558,6 +558,19 @@ object SparkEntry {
     // search chain; the store write is a side effect)
     "q32_embed_search" -> ((s, dir) => embedSearch(s, dir)),
 
+    "q57_quantize_embeddings" -> ((s, dir) => {
+      // symmetric int8 quantization of the embedding column — the 4×
+      // storage cut for a 100 TB vector store, with per-row reconstruction
+      // error as the quality gate
+      val e = tbl(s, dir, "embeddings")
+      e.withColumn("scale", VF.quantScale(col("embedding")))
+        .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("l1_q"),
+          VF.quantError(col("embedding"), col("q"), col("scale")).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     "q54_ivf_search" -> ((s, dir) => {
       // IVF probe path: assign the corpus to its nearest centroid, then
       // scan only the nProbe=2 centroid buckets closest to the query —
@@ -787,6 +800,20 @@ object SparkEntry {
            |  COUNT(*) AS n_items
            |FROM lineitem JOIN pp ON l_partkey = p_key
            |WHERE l_quantity < 0.9 * avg_qty""".stripMargin,
+
+      "q57_quantize_embeddings" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+          |qz AS (SELECT vec_id, v, scale,
+          |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS INT))
+          |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INT)) END AS q
+          |  FROM s)
+          |SELECT vec_id, scale,
+          |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q,
+          |  list_max(list_transform(range(1, 65),
+          |    i -> abs(v[CAST(i AS INT)] - q[CAST(i AS INT)] * scale))) AS max_err
+          |FROM qz ORDER BY vec_id""".stripMargin,
 
       "q54_ivf_search" ->
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

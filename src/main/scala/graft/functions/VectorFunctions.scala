@@ -69,4 +69,27 @@ object VectorFunctions {
     when(n === 0.0, transform(a, x => x.cast("double")))
       .otherwise(transform(a, x => x.cast("double") / n))
   }
+
+  /** Per-vector symmetric int8 quantization scale: max |x| / 127.
+    * At 100 TB this is the 4× storage cut for a vector store —
+    * `ARRAY<FLOAT>` → `ARRAY<TINYINT>` + one float scale per row. */
+  def quantScale(a: Column): Column =
+    array_max(transform(a, x => abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 quantization of a float vector given its scale;
+    * zero scale (zero vector) quantizes to zeros. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    when(scale === 0.0, transform(a, _ => lit(0).cast("int")))
+      .otherwise(transform(a, x => round(x.cast("double") / scale, 0).cast("int")))
+
+  /** Dequantized reconstruction: q * scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Max absolute reconstruction error of int8 quantization — the
+    * quality metric that decides whether the 4× storage cut is safe for a
+    * given embedding family (bounded by scale/2 for symmetric rounding). */
+  def quantError(a: Column, q: Column, scale: Column): Column =
+    array_max(zip_with(a, dequantize(q, scale),
+      (x, r) => abs(x.cast("double") - r)))
 }

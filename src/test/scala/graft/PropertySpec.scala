@@ -73,6 +73,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2") {
+    import graft.functions.{VectorFunctions => VF}
+    val vecs: Gen[List[Float]] =
+      Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 100.0f))
+    passes(Prop.forAll(vecs) { v =>
+      val row = Seq(Tuple1(v)).toDF("embedding")
+        .withColumn("scale", VF.quantScale(col("embedding")))
+        .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("scale"),
+          VF.quantError(col("embedding"), col("q"), col("scale")).as("err"),
+          expr("array_max(transform(q, x -> abs(x)))").as("qmax"))
+        .head()
+      val (scale, err, qmax) = (row.getDouble(0), row.getDouble(1), row.getInt(2))
+      err <= scale / 2 + 1e-9 && qmax <= 127
+    })
+  }
+
   test("MMR with λ=1 degenerates to cosine top-k order") {
     val corpus: Gen[List[(Long, List[Float])]] = for {
       n <- Gen.chooseNum(3, 20)
