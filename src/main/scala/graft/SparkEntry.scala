@@ -571,6 +571,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q58_quantized_search" -> ((s, dir) => {
+      // retrieval over the int8-quantized store: dequantize and rank —
+      // the end-to-end check that the 4× storage cut preserves search
+      val e = tbl(s, dir, "embeddings")
+      val scale = VF.quantScale(col("embedding"))
+      val deq = e.select(col("vec_id"),
+        VF.dequantize(VF.quantizeInt8(col("embedding"), scale), scale).as("demb"))
+      val qv = deq.filter(col("vec_id") === 0).select("demb")
+        .head().getSeq[Double](0)
+      deq.withColumn("distance", VF.cosineDistance(col("demb"), typedLit(qv)))
+        .orderBy(col("distance"), col("vec_id"))
+        .limit(8)
+        .select(col("vec_id"), round(col("distance"), 6).as("distance"))
+    }),
+
     "q54_ivf_search" -> ((s, dir) => {
       // IVF probe path: assign the corpus to its nearest centroid, then
       // scan only the nProbe=2 centroid buckets closest to the query —
@@ -814,6 +829,21 @@ object SparkEntry {
           |  list_max(list_transform(range(1, 65),
           |    i -> abs(v[CAST(i AS INT)] - q[CAST(i AS INT)] * scale))) AS max_err
           |FROM qz ORDER BY vec_id""".stripMargin,
+
+      "q58_quantized_search" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+          |d AS (SELECT vec_id,
+          |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+          |       ELSE list_transform(v, x -> CAST(round(x / scale) AS INT) * scale) END AS demb
+          |  FROM s),
+          |qv AS (SELECT demb AS qv FROM d WHERE vec_id = 0)
+          |SELECT d.vec_id,
+          |  round(1.0 - list_cosine_similarity(d.demb, qv), 6) AS distance
+          |FROM d, qv
+          |ORDER BY 1.0 - list_cosine_similarity(d.demb, qv), d.vec_id
+          |LIMIT 8""".stripMargin,
 
       "q54_ivf_search" ->
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
