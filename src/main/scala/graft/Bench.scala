@@ -14,19 +14,28 @@ object Bench {
     // query; queries then run in sorted order for stable per-round deltas
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case t: Throwable =>
-          System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-          -1L
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            -1L
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = runAll()
+    // second pass: plan/codegen/footer costs amortized — the per-query
+    // steady state a long-lived session (or a 1000-executor cluster
+    // re-running the shape) actually pays. Reported alongside, primary
+    // metric stays the cold first pass for round-over-round comparability.
+    val steady = runAll()
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
+      s""""steady_total":$steadyTotal,"steady":${json(steady)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
