@@ -701,6 +701,17 @@ object SparkEntry {
         .orderBy("filename")
     }),
 
+    "q59_frame_sample" -> ((s, dir) => {
+      // frame-sampling plan over an opaque binary column: one row per
+      // sampled frame (index, byte offset) — the explode side of a video
+      // frame sampler, no shuffle, parallelism = input partitions
+      val bin = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content_bin"))
+      Multimodal.sampleFrames(bin, "content_bin", 100)
+        .select(col("doc_id"), col("frame_index"), col("frame_offset"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
     // ---- Multimodal plumbing (binary columns, batch decode stub) --------
     "q33_multimodal_features" -> ((s, dir) => {
       val bin = tbl(s, dir, "documents")
@@ -1239,6 +1250,12 @@ object SparkEntry {
         """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
           |  sha256(text) AS sha256
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q59_frame_sample" ->
+        """SELECT doc_id, s AS frame_index, s * 100 AS frame_offset
+          |FROM documents,
+          |  unnest(range(0, greatest(CAST(ceil(length(text) / 100.0) AS BIGINT), 1))) AS t(s)
+          |ORDER BY doc_id, frame_index""".stripMargin,
 
       "q20_minhash_pairs" -> minhashOracleSql,
       "q56_dedup_clusters" -> dedupClustersOracleSql,
