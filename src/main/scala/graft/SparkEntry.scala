@@ -210,6 +210,29 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q60_promo_revenue" -> ((s, dir) => {
+      // TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim join
+      // (part auto-broadcasts under AQE at bench scale)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val promoRev = when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * dsum(promoRev) / dsum(rev)).as("promo_pct"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q61_shipmode_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape: join + per-group conditional counts
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     "q53_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (sort-based; round(6) absorbs the
       // engines' different interpolation association)
@@ -889,6 +912,21 @@ object SparkEntry {
           |  FROM top) WHERE rn = 1)
           |SELECT searched_table, id, text, round(score, 6) AS score
           |FROM dedup ORDER BY score DESC, id LIMIT 8""".stripMargin,
+
+      "q60_promo_revenue" ->
+        s"""SELECT 100.0 * ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           |    / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_pct,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+      "q61_shipmode_priority" ->
+        """SELECT l_linestatus,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
       "q53_percentiles" ->
         """SELECT l_returnflag,
