@@ -448,6 +448,41 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    "q62_interval_join" -> ((s, dir) => {
+      // range join: per click, views by the same user in the preceding 10
+      // minutes — equi-key on user_id keeps it a hash/SMJ join with a
+      // range residual, not a quadratic theta-join
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      clicks.join(views,
+          clicks("user_id") === views("user_id") &&
+            col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("v_ts") < col("c_ts"),
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("v_ts")).as("n_views"))
+        .orderBy("event_id")
+    }),
+
+    "q63_asof_join" -> ((s, dir) => {
+      // as-of join: each purchase enriched with the latest same-user click
+      // at or before it (Joins.asOfJoin: one shuffle, no range explosion)
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      Joins.asOfJoin(purchases, clicks, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_ts").cast("timestamp_ntz").as("click_ts"),
+          col("asof_value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
     "q28_tumbling_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
@@ -1122,6 +1157,25 @@ object SparkEntry {
           |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, session_id
           |ORDER BY user_id, session_start""".stripMargin,
+
+      "q62_interval_join" ->
+        """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+          |c AS (SELECT event_id, user_id, ts AS c_ts FROM ev WHERE event_type = 'click'),
+          |v AS (SELECT user_id, ts AS v_ts FROM ev WHERE event_type = 'view')
+          |SELECT c.event_id, COUNT(v.v_ts) AS n_views
+          |FROM c LEFT JOIN v ON c.user_id = v.user_id
+          |  AND v.v_ts >= c.c_ts - INTERVAL 10 MINUTE AND v.v_ts < c.c_ts
+          |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+
+      "q63_asof_join" ->
+        """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type, value FROM events),
+          |p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, p.ts,
+          |  c.ts AS click_ts, c.value AS click_value
+          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+          |ORDER BY p.event_id""".stripMargin,
 
       "q28_tumbling_window" ->
         s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,

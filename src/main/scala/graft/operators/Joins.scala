@@ -32,6 +32,45 @@ object Joins {
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** As-of join: enrich each `left` row with the LATEST `right` row whose
+    * `time` is at or before the left row's, per `key` — the point-in-time
+    * join Spark lacks as a built-in (SURVEY §2.3 notes the reference has no
+    * as-of/range joins; this is the beyond-reference time-series surface).
+    *
+    * Implemented as a tagged union + per-key running
+    * `last(_, ignoreNulls)` window: ONE shuffle on `key`, no range
+    * explosion, and the window sort is (time, side) with right rows first
+    * so 'at or before' ties resolve to the right row. At 100 TB this
+    * shuffles each side once — same cost as a plain equi-join — versus the
+    * quadratic blowup of an inequality theta-join.
+    *
+    * Right-side columns come back as `{prefix}{time}` and `{prefix}{c}` for
+    * each c in `rightVals` (NULL when no right row precedes). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               rightVals: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rStruct = right.select(col(key), col(time),
+      struct((time +: rightVals).map(col): _*).as("_rrow"))
+    val l2 = left
+      .withColumn("_rrow", lit(null).cast(rStruct.schema("_rrow").dataType))
+      .withColumn("_side", lit(1))
+    val r2 = left.columns.filterNot(Set(key, time))
+      .foldLeft(rStruct.withColumn("_side", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      .select(l2.columns.map(col): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l2.unionByName(r2)
+      .withColumn("_last", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_rrow", "_side")
+    (time +: rightVals)
+      .foldLeft(joined)((df, c) => df.withColumn(prefix + c, col(s"_last.$c")))
+      .drop("_last")
+  }
+
   /** Insert-if-absent (reference J1): rows of `incoming` whose key is not in
     * `existing`. */
   def insertIfAbsent(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =

@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("asOfJoin: latest right row at or before each left row, per key") {
+    val left = Seq(
+      (1L, 10L, ts(10), "p10"), (2L, 10L, ts(30), "p30"),
+      (3L, 20L, ts(5), "p5"))
+      .toDF("event_id", "user_id", "ts", "tag")
+    val right = Seq(
+      (10L, ts(3), 1.0), (10L, ts(10), 2.0), (10L, ts(20), 3.0),
+      (20L, ts(9), 9.0))
+      .toDF("user_id", "ts", "value")
+    val out = Joins.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    // equal timestamps match (at-or-before): event 1 picks the ts(10) click
+    assert(out == Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None))
+  }
+
+  test("asOfJoin preserves left rows with no preceding right row") {
+    val left = Seq((1L, 5L, ts(1), 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((5L, ts(2), 7.0)).toDF("user_id", "ts", "value")
+    val row = Joins.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select("asof_ts", "asof_value").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+}
