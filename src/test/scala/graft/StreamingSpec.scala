@@ -106,6 +106,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps one row per event id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = mem.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3), 2.0), (3L, ts(4), 3.0)) // id 2 still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch-style incremental refresh: only changed files re-embedded " +
        "(reference refresh.py:28-143)") {
     import graft.store.VectorStore
