@@ -266,6 +266,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q64_salted_join" -> ((s, dir) => {
+      // salted equi-join under the oracle gate: the salt fans a hot key
+      // over `salt` reducers but MUST NOT change the result — the oracle
+      // is the plain join
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val ords = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Joins.saltedJoin(li, ords, "o_orderkey", salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q05_customers_no_orders" -> ((s, dir) => {
       // insert-if-absent anti-join shape (reference J1, vector_store.py:250-257)
       val recent = tbl(s, dir, "orders")
@@ -1157,6 +1170,12 @@ object SparkEntry {
           |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, session_id
           |ORDER BY user_id, session_start""".stripMargin,
+
+      "q64_salted_join" ->
+        s"""SELECT o_orderpriority, ${dsumSql("l_quantity", 4)} AS sum_qty,
+           |  COUNT(*) AS n
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
       "q62_interval_join" ->
         """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
