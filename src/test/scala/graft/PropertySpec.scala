@@ -73,6 +73,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asOfJoin matches the brute-force latest-at-or-before lookup") {
+    import graft.operators.Joins
+    val gen = for {
+      nl <- Gen.chooseNum(1, 15)
+      nr <- Gen.chooseNum(0, 15)
+      lrows <- Gen.listOfN(nl, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))
+      rrows <- Gen.listOfN(nr, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))
+    } yield (lrows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rrows.map { case (k, t) => (k, t, k * 1000.0 + t) })
+    passes(Prop.forAll(gen) { case (lrows, rrows) =>
+      val left = lrows.toDF("event_id", "user_id", "ts")
+      // brute force needs a deterministic pick on (key, ts) ties: keep max value
+      val rdedup = rrows.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toList
+      val right = rdedup.toDF("user_id", "ts", "value")
+      val got = Joins.asOfJoin(left, right, "user_id", "ts", Seq("value"))
+        .select("event_id", "asof_value").as[(Long, Option[Double])]
+        .collect().toMap
+      val expect = lrows.map { case (id, k, t) =>
+        id -> rdedup.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      got == expect
+    })
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2") {
     import graft.functions.{VectorFunctions => VF}
     val vecs: Gen[List[Float]] =
