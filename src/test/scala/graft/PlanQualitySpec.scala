@@ -42,6 +42,16 @@ class PlanQualitySpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).size <= 1)
   }
 
+  test("q63: as-of join is one shuffle (union + window), no range explosion") {
+    // examine only the executed (final) AQE plan, not the initial twin
+    val p = plan("q63_asof_join").split("== Initial Plan ==").head
+    // a single hash exchange on the join key feeds the running-last window;
+    // the final orderBy adds its own exchange — nothing else may shuffle
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 2, p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q31: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("q31_topk_global")
     assert(p.contains("TakeOrderedAndProject"))
