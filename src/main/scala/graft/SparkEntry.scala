@@ -332,6 +332,25 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    "q65_stratified_sample" -> ((s, dir) => {
+      // deterministic hash-bucket sampling + train/eval split: stable
+      // across runs, partitionings, and engines — unlike rand()-based
+      // sampleBy (reproducibility is the point for training corpora)
+      val d = tbl(s, dir, "documents")
+      Sampling.trainTestSplit(
+          Sampling.stratifiedSample(d, "doc_id", "lang", Map("en" -> 50), 10),
+          "doc_id", 80)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    "q66_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct sketch: deterministic (value-set function), mergeable,
+      // exactly oracle-replayable — vs HLL++ whose estimate depends on
+      // partition merge order
+      Sketches.kmvDistinct(tbl(s, dir, "lineitem"), "l_partkey", 256)
+    }),
+
     "q12_dedup_first" -> ((s, dir) => {
       // P4 content dedup, first occurrence wins (vector_store.py:112-118)
       Dedup.exactDedup(tbl(s, dir, "documents"), "text", "doc_id")
@@ -1049,6 +1068,25 @@ object SparkEntry {
           |  substring(text, CAST(s AS INT) + 1, 200) AS chunk
           |FROM documents, unnest(range(0, length(text), 150)) AS t(s)
           |ORDER BY doc_id, chunk_index""".stripMargin,
+
+      "q65_stratified_sample" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN (doc_id * 999983) % 2147483647 % 100 < 80
+          |    THEN 'train' ELSE 'eval' END AS split
+          |FROM documents
+          |WHERE (doc_id * 1000003) % 2147483647 % 100
+          |  < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q66_kmv_distinct" ->
+        """WITH h0 AS (SELECT DISTINCT (l_partkey * 1000003) % 2147483647 AS h FROM lineitem),
+          |h1 AS (SELECT (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT DISTINCT (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |kmin AS (SELECT h FROM h2 ORDER BY h LIMIT 256)
+          |SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+          |    ELSE 255.0 * 2147483647 / MAX(h) END AS estimate,
+          |  COUNT(*) AS n_hashes
+          |FROM kmin""".stripMargin,
 
       "q12_dedup_first" ->
         """SELECT doc_id, source, n_chars FROM (

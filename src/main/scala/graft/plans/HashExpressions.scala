@@ -32,7 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashExpressions {
 
   private val SEED = 42L
-  private val P = 2147483647L // 2^31-1, matches Dedup.minhashFromHashes
+  /** 2^31-1 — the shared modulus of every polynomial/affine hash here. */
+  val P2n31: Long = 2147483647L
+  private val P = P2n31 // matches Dedup.minhashFromHashes
   /** Rolling-polynomial bases (Rabin-Karp). Kept SQL-expressible on purpose:
     * the DuckDB correctness oracle recomputes the identical hash with
     * `list_reduce` over character codes, which xxhash64 cannot do. */

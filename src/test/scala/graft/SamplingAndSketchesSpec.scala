@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, Sketches}
+
+class SamplingAndSketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and approximately honors strata rates") {
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val once = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 50), 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    val twice = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 50), 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(once == twice) // pure function of the key — no rand()
+    val en = once.count(_ % 4 == 0).toDouble / 500
+    val xx = once.count(_ % 4 != 0).toDouble / 1500
+    assert(en > 0.4 && en < 0.6, s"en rate $en")
+    assert(xx > 0.05 && xx < 0.15, s"xx rate $xx")
+  }
+
+  test("train/test split is stable and near the requested fraction") {
+    val df = (0L until 1000L).map(Tuple1(_)).toDF("id")
+    val split = Sampling.trainTestSplit(df, "id", 80)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(split("train") > 700 && split("train") < 900)
+    assert(split("train") + split("eval") == 1000)
+  }
+
+  test("KMV is exact below k and within ~15% above k (deterministic)") {
+    val small = (0L until 100L).map(Tuple1(_)).toDF("k")
+    val exact = Sketches.kmvDistinct(small, "k", 256)
+      .as[(Double, Long)].head()
+    assert(exact == ((100.0, 100L)))
+
+    val big = (0L until 20000L).map(i => Tuple1(i % 5000)).toDF("k")
+    val (est, n) = Sketches.kmvDistinct(big, "k", 256).as[(Double, Long)].head()
+    assert(n == 256)
+    assert(math.abs(est - 5000) / 5000 < 0.15, s"estimate $est for 5000 distinct")
+  }
+}
