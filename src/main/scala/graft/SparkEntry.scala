@@ -344,6 +344,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q67_bloom_filter" -> ((s, dir) => {
+      // Bloom build+probe (the runtime join-pruning shape): bits built
+      // over big-quantity orderkeys, probed by all orders; flagged ⊇ build
+      // with a bounded false-positive overshoot
+      val m = 131072; val k = 3
+      val build = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("key")).distinct()
+      val bits = Sketches.bloomBits(build, "key", m, k)
+      val probe = tbl(s, dir, "orders").select(col("o_orderkey").as("key"))
+      val flagged = Sketches.bloomProbe(probe, "key", bits, m, k)
+      build.agg(count(lit(1)).as("n_build"))
+        .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+        .crossJoin(flagged.join(build, Seq("key"), "left_anti")
+          .agg(count(lit(1)).as("n_false_pos")))
+    }),
+
     "q66_kmv_distinct" -> ((s, dir) => {
       // KMV distinct sketch: deterministic (value-set function), mergeable,
       // exactly oracle-replayable — vs HLL++ whose estimate depends on
@@ -1077,6 +1093,34 @@ object SparkEntry {
           |WHERE (doc_id * 1000003) % 2147483647 % 100
           |  < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
           |ORDER BY doc_id""".stripMargin,
+
+      "q67_bloom_filter" ->
+        """WITH build AS (
+          |  SELECT DISTINCT l_orderkey AS key FROM lineitem WHERE l_quantity > 45),
+          |probe AS (SELECT o_orderkey AS key FROM orders),
+          |bh0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM build),
+          |bh1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM bh0),
+          |bh2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM bh1),
+          |bits AS (SELECT DISTINCT (h1 + i * h2) % 131072 AS bit
+          |  FROM bh2, unnest(range(0, 3)) AS t(i)),
+          |ph0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM probe),
+          |ph1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ph0),
+          |ph2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ph1),
+          |ppos AS (SELECT key, (h1 + i * h2) % 131072 AS bit
+          |  FROM ph2, unnest(range(0, 3)) AS t(i)),
+          |flagged AS (
+          |  SELECT key FROM ppos JOIN bits USING (bit)
+          |  GROUP BY key HAVING COUNT(*) = 3)
+          |SELECT (SELECT COUNT(*) FROM build) AS n_build,
+          |  (SELECT COUNT(*) FROM flagged) AS n_flagged,
+          |  (SELECT COUNT(*) FROM flagged
+          |   WHERE key NOT IN (SELECT key FROM build)) AS n_false_pos""".stripMargin,
 
       "q66_kmv_distinct" ->
         """WITH h0 AS (SELECT DISTINCT (l_partkey * 1000003) % 2147483647 AS h FROM lineitem),

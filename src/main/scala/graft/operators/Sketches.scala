@@ -31,6 +31,35 @@ object Sketches {
     pmod(h1.bitwiseXOR(shiftright(h1, 13)) * Mix, lit(P))
   }
 
+  /** Bloom-filter bit set over a key column: standard double hashing
+    * (Kirsch-Mitzenmacher), position_i = (h1 + i*h2) mod m. The "filter"
+    * is a DataFrame of distinct set bits — broadcastable to probe sides,
+    * exactly the shape of engine runtime-filter join pruning. */
+  def bloomBits(df: DataFrame, keyCol: String, m: Int, k: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L)) // odd stride → cycles through all of [0, m)
+    val positions = array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+    df.select(explode(positions).as("bit")).distinct()
+  }
+
+  /** Probe: keys of `df` whose k positions are ALL set in `bits`
+    * (supersets the true build set; the false-positive rate is the Bloom
+    * trade-off). Probe positions join against the broadcast bit set and a
+    * key passes when all k position-indexes matched. */
+  def bloomProbe(df: DataFrame, keyCol: String, bits: DataFrame,
+                 m: Int, k: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L))
+    val positions = array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+    df.select(col(keyCol), posexplode(positions).as(Seq("pidx", "bit")))
+      .join(broadcast(bits), "bit")
+      .groupBy(keyCol).agg(count(lit(1)).as("_matched"))
+      .filter(col("_matched") === k)
+      .select(keyCol)
+  }
+
   /** KMV estimate of |distinct keyCol|: (k-1) * P / h_k where h_k is the
     * k-th smallest distinct hash. Exact when fewer than k distinct values
     * exist (falls back to the distinct count). Returns a 1-row frame
