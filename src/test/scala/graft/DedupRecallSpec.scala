@@ -39,6 +39,33 @@ class DedupRecallSpec extends SparkSpec {
     assert(found >= (truePairs * 0.6).toInt, s"simhash recall $found/$truePairs")
   }
 
+  test("hyperplane blocking recalls most cosine near-dups vs exhaustive") {
+    import graft.operators.{Dedup, Similarity}
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 150 base vectors + a slightly-perturbed twin each (cosine ≈ 0.995)
+    val base = (0 until 150).map(i => (i.toLong, unit()))
+    val rows = base ++ base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rnd.nextGaussian().toFloat * 0.03f))
+    }
+    val df = rows.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val exhaustive = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", lit(0), 0.98)
+      .filter(col("doc_b") === col("doc_a") + 1000L).count()
+    val blocked = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        Similarity.hyperplaneBucket("embedding", dim, 4), 0.98)
+      .filter(col("doc_b") === col("doc_a") + 1000L).count()
+    assert(exhaustive >= 140, s"exhaustive found $exhaustive/150")
+    // 4 sign bits: a twin lands in the same bucket unless a near-zero
+    // projection flips — pin the deterministic recall floor
+    assert(blocked >= (exhaustive * 0.8).toLong,
+      s"blocked recall $blocked of $exhaustive")
+  }
+
   test("ngram jaccard verification confirms candidates above threshold exactly") {
     val subset = docs.filter(col("doc_id") < 50)
     val sub = subset.union(subset.select(col("doc_id") + 1000,
