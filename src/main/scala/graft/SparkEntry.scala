@@ -8,10 +8,15 @@ import graft.operators._
 import graft.pipeline.Embedder
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the operator
-  * is SQL-expressible. Column names/types are aligned pairwise; doubles that
-  * depend on accumulation order are computed in exact decimal arithmetic and
-  * cast back, so both engines produce bit-identical values.
+  * SURVEY.md §2 (see COVERAGE.md for the full matrix), each with a
+  * DuckDB-equivalent `oracleSql`: every query here is SQL-expressible by
+  * construction, including the hash/LSH/sketch pipelines, which use
+  * rolling-polynomial and xorshift-multiply hashes with seeded constants
+  * embedded as literals precisely so the oracle can replay the identical
+  * arithmetic (see NOTES.md "oracle-expressible hash architecture").
+  * Column names/types are aligned pairwise; doubles that depend on
+  * accumulation order are computed in exact decimal arithmetic and cast
+  * back, so both engines produce bit-identical values.
   */
 object SparkEntry {
 
