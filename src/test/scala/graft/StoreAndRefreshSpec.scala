@@ -86,6 +86,19 @@ class StoreAndRefreshSpec extends SparkSpec {
     assert(untouched.nonEmpty)
   }
 
+  test("upsert → partition-pruned probe returns the updated row") {
+    val root = freshRoot()
+    val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("b_0", "beta", "b"))
+      .toDF("id", "text", "metadata", "embedding")
+    VectorStore.writePartitioned(df, root, "U2", """{"alias": "u2"}""", numBuckets = 8)
+    VectorStore.upsertPartitioned(spark, root, "U2",
+      Seq(chunkRow("a_0", "alpha v2", "a")).toDF("id", "text", "metadata", "embedding"), 8)
+    // the filename probe prunes to bucket(a) and must see the upserted text
+    val probed = VectorStore.readForFilename(spark, root, "U2", "a", numBuckets = 8)
+      .select("id", "text").as[(String, String)].collect().toSeq
+    assert(probed == Seq(("a_0", "alpha v2")))
+  }
+
   test("stale delete removes only the named files' chunks (reference J2)") {
     val root = freshRoot()
     val df = Seq(chunkRow("a_0", "alpha", "a"), chunkRow("b_0", "beta", "b"))
