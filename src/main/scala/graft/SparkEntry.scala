@@ -536,6 +536,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q68_scd_intervals" -> ((s, dir) => {
+      // SCD2-style temporal modeling: each event opens a validity interval
+      // closed by the user's next event (lead window); open intervals are
+      // the current state
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir).filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          lead(col("ts"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from")
+    }),
+
+    "q69_funnel" -> ((s, dir) => {
+      // strict ordered funnel: first view → first click after it → first
+      // purchase after that; per-stage reductions stay user-cardinality
+      val ev = events(s, dir)
+      def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts"))
+      val v = stage("view").groupBy("user_id").agg(min("ts").as("tv"))
+      val c = stage("click").join(v, "user_id").filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+    }),
+
     "q28_tumbling_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("window_start"),
@@ -1263,6 +1292,27 @@ object SparkEntry {
            |  COUNT(*) AS n
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q68_scd_intervals" ->
+        """SELECT user_id, event_type,
+          |  CAST(ts AS TIMESTAMP) AS valid_from,
+          |  lead(CAST(ts AS TIMESTAMP), 1) OVER
+          |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+          |  lead(CAST(ts AS TIMESTAMP), 1) OVER
+          |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL AS is_current
+          |FROM events WHERE user_id < 100
+          |ORDER BY user_id, valid_from""".stripMargin,
+
+      "q69_funnel" ->
+        """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |v AS (SELECT user_id, MIN(ts) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM ev e JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM ev e JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+          |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+          |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+          |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
 
       "q62_interval_join" ->
         """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
