@@ -589,6 +589,21 @@ object SparkEntry {
     }),
 
     // ---- Text analysis (beyond-reference training-data ops) -------------
+    "q70_bigram_counts" -> ((s, dir) => {
+      // n-gram LM statistics: top-20 token bigrams across the corpus —
+      // explode is map-side, the only shuffle is the count aggregation,
+      // and top-k plans as TakeOrderedAndProject
+      val toks = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+      tbl(s, dir, "documents")
+        .select(explode(expr(
+          s"case when size($toks) < 2 then cast(array() as array<string>) " +
+            s"else transform(sequence(1, size($toks) - 1), " +
+            s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1))) end")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(20)
+    }),
+
     "q23_token_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1118,6 +1133,16 @@ object SparkEntry {
           |  substring(text, CAST(s AS INT) + 1, 200) AS chunk
           |FROM documents, unnest(range(0, length(text), 150)) AS t(s)
           |ORDER BY doc_id, chunk_index""".stripMargin,
+
+      "q70_bigram_counts" ->
+        """WITH toks AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |bg AS (
+          |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i))
+          |SELECT bigram, COUNT(*) AS n FROM bg
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
       "q65_stratified_sample" ->
         """SELECT doc_id, lang,
