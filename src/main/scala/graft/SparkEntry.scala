@@ -593,12 +593,15 @@ object SparkEntry {
       // n-gram LM statistics: top-20 token bigrams across the corpus —
       // explode is map-side, the only shuffle is the count aggregation,
       // and top-k plans as TakeOrderedAndProject
-      val toks = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+      // tokenize ONCE into a column: Catalyst does not CSE interpreted
+      // higher-order expressions, so inlining the split into the per-index
+      // lambda would re-split the text per bigram (quadratic)
       tbl(s, dir, "documents")
+        .select(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("t"))
         .select(explode(expr(
-          s"case when size($toks) < 2 then cast(array() as array<string>) " +
-            s"else transform(sequence(1, size($toks) - 1), " +
-            s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1))) end")).as("bigram"))
+          "case when size(t) < 2 then cast(array() as array<string>) " +
+            "else transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) end")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(20)
