@@ -27,15 +27,20 @@ object Bench {
     val results = runAll()
     // second pass: plan/codegen/footer costs amortized — the per-query
     // steady state a long-lived session (or a 1000-executor cluster
-    // re-running the shape) actually pays. Reported alongside, primary
-    // metric stays the cold first pass for round-over-round comparability.
+    // re-running the shape) actually pays. Only its total is reported:
+    // the downstream harness keeps a bounded tail of stdout, so the
+    // JSON line must stay compact (short qNN keys, 3-decimal values).
     val steady = runAll()
-    def json(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def short(name: String): String = name.takeWhile(_ != '_')
+    val keys = results.map { case (k, _) => short(k) }
+    val qkeys = if (keys.distinct.size == keys.size) keys else results.map(_._1)
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qjson = qkeys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""steady_total":$steadyTotal,"steady":${json(steady)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,""" +
+      s""""steady_total":${fmt(steadyTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1355,7 +1355,8 @@ object SparkEntry {
         """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
           |    event_type, value FROM events),
           |p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
-          |c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+          |c AS (SELECT user_id, ts, MAX(value) AS value FROM ev
+          |  WHERE event_type = 'click' GROUP BY user_id, ts)
           |SELECT p.event_id, p.user_id, p.ts,
           |  c.ts AS click_ts, c.value AS click_value
           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -1660,6 +1661,9 @@ object SparkEntry {
   // not just a row count.
 
   private val HP = 2147483647L // 2^31-1, mirrors HashExpressions.P
+  // Band-bucket cap replayed in the oracle CTEs (QUALIFY) so the Spark
+  // side's over-full-bucket drop can never cause a spurious mismatch.
+  private val MaxBucket = operators.Dedup.DefaultMaxBucketSize
 
   /** DuckDB rolling polynomial over the chars of `s` — twin of
     * HashExpressions.shinglePolyEval / Dedup's aggregate(...) form.
@@ -1698,11 +1702,14 @@ object SparkEntry {
        |    END AS hashes
        |  FROM corpus WHERE length(text) > 0),
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs),
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, sig, b,
        |    list_reduce(list_transform(range(b * 8 + 1, b * 8 + 9), k -> sig[CAST(k AS INT)]),
        |      (a, v) -> (a * $b1 + v) % $HP) AS band_hash
        |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+       |banded AS (
+       |  SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),
        |pairs AS (
        |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
        |    greatest(x.doc_id, y.doc_id) AS doc_b,
@@ -1749,9 +1756,12 @@ object SparkEntry {
        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END),
        |    (a, v) -> a + v) AS BIGINT) AS sh
        |  FROM ths),
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, sh, b, (sh >> CAST(b * 16 AS INT)) & 65535 AS band_hash
        |  FROM shs, unnest(range(0, 4)) AS t(b)),
+       |banded AS (
+       |  SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),
        |pairs AS (
        |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
        |    greatest(x.doc_id, y.doc_id) AS doc_b,
@@ -1775,7 +1785,9 @@ object SparkEntry {
     // 1.0 - (1.0 - sim) replays the Spark side's double rounding exactly
     val cosine = "1.0 - (1.0 - list_cosine_similarity(x.v, y.v))"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, $bits AS bucket FROM e)
+       |b0 AS (SELECT vec_id, v, $bits AS bucket FROM e),
+       |b AS (SELECT * FROM b0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= $MaxBucket)
        |SELECT least(x.vec_id, y.vec_id) AS doc_a,
        |  greatest(x.vec_id, y.vec_id) AS doc_b,
        |  round($cosine, 6) AS cosine

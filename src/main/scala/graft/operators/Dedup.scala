@@ -128,7 +128,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -153,6 +154,11 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
       .distinct()
   }
+
+  /** Shared band-bucket cap. The generated DuckDB oracles replicate this
+    * exact value in a QUALIFY clause so the candidate-pair sets stay
+    * bit-identical even on a corpus with a degenerate hot bucket. */
+  val DefaultMaxBucketSize: Int = 10000
 
   /** Group banded rows by (band_idx, band_hash) and expand the within-bucket
     * pair combinations — one row per unordered pair, exposed as structs
@@ -198,7 +204,8 @@ object Dedup {
   /** SimHash near-dup candidates via 4×16-bit band blocking (Hamming
     * distance ≤ 3 guarantees agreement on at least one 16-bit band). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
     val sh = df.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("id"),
@@ -296,6 +303,15 @@ object Dedup {
     }
     pairs.unpersist()
     edges.unpersist()
+    // Surfacing non-convergence beats silently returning wrong
+    // representatives: a component with diameter > maxIters would leave
+    // some nodes labeled with a non-minimal id. Near-dup graphs are
+    // near-cliques, so hitting this means the input wasn't one.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters iterations " +
+          s"($changed labels still changing); raise maxIters for " +
+          "high-diameter graphs")
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
 
@@ -305,7 +321,7 @@ object Dedup {
     * `lit(0)` for exhaustive O(n²) at small scale. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             block: Column, minCosine: Double,
-                            maxBucketSize: Int = 10000): DataFrame = {
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     graft.plans.VectorExpressions.register(df.sparkSession)
     // blocking expression (e.g. an LSH sign bucket) evaluates ONCE per row;
     // pairs expand bucket-locally like the text-LSH path above

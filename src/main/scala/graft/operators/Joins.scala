@@ -59,8 +59,13 @@ object Joins {
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
       .select(l2.columns.map(col): _*)
+    // Third sort key: the right-row struct itself. Multiple right rows
+    // with equal (key, time) would otherwise leave last() nondeterministic;
+    // struct ordering is field-wise, so ties resolve to the max payload.
+    // (Left rows carry a null _rrow but sort after all right rows at equal
+    // time via _side, so the null never decides an ordering.)
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col("_side").asc)
+      .orderBy(col(time).asc, col("_side").asc, col("_rrow").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l2.unionByName(r2)
       .withColumn("_last", last(col("_rrow"), ignoreNulls = true).over(w))

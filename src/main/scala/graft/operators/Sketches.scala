@@ -43,19 +43,23 @@ object Sketches {
     df.select(explode(positions).as("bit")).distinct()
   }
 
-  /** Probe: keys of `df` whose k positions are ALL set in `bits`
+  /** Probe: distinct keys of `df` whose k positions are ALL set in `bits`
     * (supersets the true build set; the false-positive rate is the Bloom
-    * trade-off). Probe positions join against the broadcast bit set and a
-    * key passes when all k position-indexes matched. */
+    * trade-off). Probe keys are deduplicated before exploding positions —
+    * a key appearing N times would otherwise match N*k != k position
+    * indexes and be dropped, a false NEGATIVE violating the superset
+    * guarantee — and a key passes when all k distinct position-indexes
+    * matched. */
   def bloomProbe(df: DataFrame, keyCol: String, bits: DataFrame,
                  m: Int, k: Int): DataFrame = {
     val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
     val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
       .bitwiseOR(lit(1L))
     val positions = array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
-    df.select(col(keyCol), posexplode(positions).as(Seq("pidx", "bit")))
+    df.select(col(keyCol)).distinct()
+      .select(col(keyCol), posexplode(positions).as(Seq("pidx", "bit")))
       .join(broadcast(bits), "bit")
-      .groupBy(keyCol).agg(count(lit(1)).as("_matched"))
+      .groupBy(keyCol).agg(countDistinct(col("pidx")).as("_matched"))
       .filter(col("_matched") === k)
       .select(keyCol)
   }

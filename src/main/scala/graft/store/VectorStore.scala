@@ -143,8 +143,30 @@ object VectorStore {
     val bucketed = incoming.withColumn("file_bucket",
       pmod(xxhash64(element_at(col("metadata"), "filename")), lit(numBuckets)).cast("int"))
       .cache()
+    // Fail fast on a null filename: it would hash to a null bucket, NPE
+    // below, and (worse) land rows no bucket-pruned read could find.
+    val nullFn = bucketed.filter(col("file_bucket").isNull).count()
+    if (nullFn > 0)
+      throw new IllegalArgumentException(
+        s"upsertPartitioned: $nullFn incoming row(s) have a null " +
+          "metadata.filename; every row must carry a non-null filename")
     val buckets = bucketed.select("file_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
+    // An id's filename is IMMUTABLE under this layout: the merge prunes to
+    // the buckets of incoming filenames, so an id re-appearing under a NEW
+    // filename would leave its old row stranded in an untouched bucket —
+    // a duplicate id after the merge. Guard with an id-column-only scan
+    // (column-pruned) of the unaffected buckets.
+    val strayIds = spark.read.parquet(path)
+      .filter(!col("file_bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .select("id")
+      .join(bucketed.select("id"), Seq("id"), "left_semi").count()
+    if (strayIds > 0)
+      throw new IllegalArgumentException(
+        s"upsertPartitioned: $strayIds incoming id(s) already exist under a " +
+          "different filename bucket; an id's filename is immutable — " +
+          "delete the old rows (deleteStale) before re-ingesting under a " +
+          "new filename")
     // partition-pruned read: only the affected buckets are scanned
     val existing = spark.read.parquet(path)
       .filter(col("file_bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
