@@ -354,15 +354,19 @@ object SparkEntry {
       // over big-quantity orderkeys, probed by all orders; flagged ⊇ build
       // with a bounded false-positive overshoot
       val m = 131072; val k = 3
+      // build is read three times (bit packing, FP anti-join, n_build) —
+      // cache the ~|build| keys instead of rescanning lineitem each time
       val build = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
-        .select(col("l_orderkey").as("key")).distinct()
-      val bits = Sketches.bloomBits(build, "key", m, k)
+        .select(col("l_orderkey").as("key")).distinct().cache()
+      val words = Sketches.packBits(Sketches.bloomBits(build, "key", m, k), m)
       val probe = tbl(s, dir, "orders").select(col("o_orderkey").as("key"))
-      val flagged = Sketches.bloomProbe(probe, "key", bits, m, k)
-      build.agg(count(lit(1)).as("n_build"))
-        .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
-        .crossJoin(flagged.join(build, Seq("key"), "left_anti")
-          .agg(count(lit(1)).as("n_false_pos")))
+      val flagged = Sketches.bloomProbePacked(probe, "key", words, m, k)
+      // one pass over flagged for both counts (the left join marks build
+      // membership; build is small enough that Catalyst broadcasts it)
+      val stats = flagged.join(build.withColumn("_inb", lit(1)), Seq("key"), "left")
+        .agg(count(lit(1)).as("n_flagged"),
+          coalesce(sum(when(col("_inb").isNull, 1L).otherwise(0L)), lit(0L)).as("n_false_pos"))
+      build.agg(count(lit(1)).as("n_build")).crossJoin(stats)
     }),
 
     "q66_kmv_distinct" -> ((s, dir) => {
@@ -731,11 +735,17 @@ object SparkEntry {
 
     "q58_quantized_search" -> ((s, dir) => {
       // retrieval over the int8-quantized store: dequantize and rank —
-      // the end-to-end check that the 4× storage cut preserves search
+      // the end-to-end check that the 4× storage cut preserves search.
+      // scale/q are materialized as columns FIRST: passing the quantScale
+      // expression straight into the per-element lambdas would re-evaluate
+      // the O(d) array_max once per element (O(d²) per row — measured 2×
+      // the whole query's runtime at sf0.1)
       val e = tbl(s, dir, "embeddings")
-      val scale = VF.quantScale(col("embedding"))
-      val deq = e.select(col("vec_id"),
-        VF.dequantize(VF.quantizeInt8(col("embedding"), scale), scale).as("demb"))
+      val deq = e
+        .withColumn("scale", VF.quantScale(col("embedding")))
+        .withColumn("q", VF.quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"),
+          VF.dequantize(col("q"), col("scale")).as("demb"))
       val qv = deq.filter(col("vec_id") === 0).select("demb")
         .head().getSeq[Double](0)
       deq.withColumn("distance", VF.cosineDistance(col("demb"), typedLit(qv)))

@@ -269,39 +269,44 @@ object Dedup {
     val spark = pairs0.sparkSession
     val nParts = if (edgePartitions > 0) edgePartitions
       else spark.sessionState.conf.numShufflePartitions
-    // the pair pipeline (often LSH) is expensive — evaluate it ONCE for the
-    // four edge projections below
-    val pairs = pairs0.cache()
-    val a = col(aCol); val b = col(bCol)
     // undirected edges PLUS self-loops: every node then appears as a `src`
     // with its own id among the neighbor labels, so one join+min-aggregate
     // per round is the full update rule (no left-join/coalesce pass).
-    // Duplicate edges are harmless under min. The cache is repartitioned by
-    // the join key — the iteration joins then reuse that distribution, and
-    // the cache doesn't inherit the pair-explode's many near-empty
-    // partitions (which would tax every round with dead task overhead).
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
-      .union(pairs.select(a.as("src"), a.as("dst")))
-      .union(pairs.select(b.as("src"), b.as("dst")))
+    // Duplicate edges are harmless under min. The 4-way expansion is a
+    // single explode over ONE evaluation of the (often expensive LSH) pair
+    // pipeline — a 4-branch union would re-run that pipeline per branch.
+    // The cache is repartitioned by the join key: the iteration joins reuse
+    // that distribution, and the cache doesn't inherit the pair-explode's
+    // many near-empty partitions (which would tax every round with dead
+    // task overhead).
+    val a = col(aCol); val b = col(bCol)
+    val edges = pairs0.select(explode(array(
+        struct(a.as("src"), b.as("dst")),
+        struct(b.as("src"), a.as("dst")),
+        struct(a.as("src"), a.as("dst")),
+        struct(b.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(nParts, col("dst")).cache()
     // round 1 needs no label table: the initial label of `dst` IS dst
     var labels = edges.groupBy(col("src").as("id")).agg(min("dst").as("lbl")).cache()
     var changed = 1L
     var iters = 1
     while (changed > 0 && iters < maxIters) {
+      // ONE action per round: the self-loop row (dst = src) carries the
+      // node's own previous label through the join, so the same aggregate
+      // yields both the new label and the old one — the convergence check
+      // is a filter over this round's result, not a second join
       val next = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("dlbl").as("lbl")).cache()
-      // both sides are hash-partitioned by id from their aggregates, so the
-      // convergence check joins without an exchange
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
+        .groupBy(col("src").as("id"))
+        .agg(min("dlbl").as("lbl"),
+          min(when(col("dst") === col("src"), col("dlbl"))).as("old"))
+        .cache()
+      changed = next.filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
       labels = next
       iters += 1
     }
-    pairs.unpersist()
     edges.unpersist()
     // Surfacing non-convergence beats silently returning wrong
     // representatives: a component with diameter > maxIters would leave

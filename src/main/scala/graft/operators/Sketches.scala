@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   private val P = graft.plans.HashExpressions.P2n31
-  private val Mix = 73244475L // 32-bit integer-hash mixing constant
+  private val Mix = graft.plans.HashExpressions.Mix
 
   /** Scrambled hash of a numeric key into [0, 2^31-1): affine step + two
     * xorshift-multiply rounds. A bare affine hash of consecutive keys is
@@ -62,6 +62,38 @@ object Sketches {
       .groupBy(keyCol).agg(countDistinct(col("pidx")).as("_matched"))
       .filter(col("_matched") === k)
       .select(keyCol)
+  }
+
+  /** Pack a [[bloomBits]] bit frame into `m/64` little-endian words on the
+    * driver — 16 KB for m = 2^17. This is the broadcastable runtime-filter
+    * form: Spark's own `InjectRuntimeFilter` ships Bloom filters to probe
+    * sides the same way, and at 100 TB a 16 KB literal beating a 1.8M-row
+    * shuffle+join is exactly the point of a Bloom filter. */
+  def packBits(bits: DataFrame, m: Int): Array[Long] = {
+    val words = new Array[Long]((m + 63) / 64)
+    // bits are distinct, so SUM of the per-bit masks is the bitwise OR
+    bits.selectExpr("cast(bit div 64 as int) as w",
+        "shiftleft(1L, cast(bit % 64 as int)) as mask")
+      .groupBy("w").agg(sum("mask").as("word"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Probe against a packed bit set: distinct keys whose k positions are
+    * ALL set. Pure map-side expression over the broadcast words — the
+    * only shuffle is the key dedup, vs. the explode+join+aggregate a
+    * bit-frame probe needs. Semantically identical to probing the
+    * [[bloomBits]] frame (same superset-of-build guarantee). Uses the
+    * native [[graft.plans.HashExpressions.BloomProbeExpr]] — composing it
+    * from Column ops put a 2048-element array literal into codegen, whose
+    * generated filter exceeded the JIT huge-method limit and ran ~9× slower
+    * in the bytecode interpreter. */
+  def bloomProbePacked(df: DataFrame, keyCol: String, words: Array[Long],
+                       m: Int, k: Int): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.select(col(keyCol)).distinct()
+      .filter(call_function("graft_bloom_probe",
+        col(keyCol), typedLit(words.toSeq), lit(m), lit(k)))
   }
 
   /** KMV estimate of |distinct keyCol|: (k-1) * P / h_k where h_k is the

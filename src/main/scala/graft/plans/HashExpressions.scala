@@ -40,6 +40,36 @@ object HashExpressions {
     * `list_reduce` over character codes, which xxhash64 cannot do. */
   val PolyBase1 = 1000003L
   val PolyBase2 = 999983L
+  /** 32-bit integer-hash mixing constant shared with
+    * [[graft.operators.Sketches.keyHash]] and the generated oracle SQL. */
+  val Mix = 73244475L
+
+  /** JVM twin of [[graft.operators.Sketches.keyHash]]: affine step + two
+    * xorshift-multiply rounds, all mod 2^31-1. Every op (wrap-free for
+    * |key| < 2^31ish inputs) matches the Column form bit for bit. */
+  def scrambleHash(key: Long, base: Long): Long = {
+    val h0 = java.lang.Math.floorMod(key * base, P2n31)
+    val h1 = java.lang.Math.floorMod((h0 ^ (h0 >> 16)) * Mix, P2n31)
+    java.lang.Math.floorMod((h1 ^ (h1 >> 13)) * Mix, P2n31)
+  }
+
+  /** Bloom membership against a packed bit set: all k double-hashed
+    * positions (Kirsch-Mitzenmacher, h1 + i*h2 mod m) set. Static helper so
+    * generated code is one call — the words array rides in as a reference
+    * object, NOT a codegen'd array literal (a 2048-element literal pushed
+    * the generated filter past HotSpot's 8000-byte huge-method limit and
+    * the whole stage ran interpreted). */
+  def bloomContains(key: Long, words: Array[Long], m: Int, k: Int): Boolean = {
+    val h1 = scrambleHash(key, PolyBase1)
+    val h2 = scrambleHash(key, PolyBase2) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h1 + i * h2, m.toLong)
+      if (((words((pos >> 6).toInt) >> (pos & 63)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
 
   /** The seeded permutation coefficients (a_i, b_i) shared by the native
     * MinHashSigExpr, the declarative Dedup.minhashFromHashes, and the
@@ -278,6 +308,28 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Packed-bitmap Bloom probe: key LONG → BOOLEAN, true iff all k
+    * positions are set. The bit words are absorbed into the expression
+    * object at resolution (arg 1 must be a foldable array literal), so
+    * codegen stays a single static call. */
+  case class BloomProbeExpr(child: Expression, words: Array[Long], m: Int, k: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_bloom_probe"
+    override def dataType: DataType = BooleanType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected BIGINT, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      bloomContains(input.asInstanceOf[Long], words, m, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $helper.bloomContains($c, $wRef, $m, $k);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(FunctionIdentifier("graft_shingle_hashes"),
@@ -300,5 +352,11 @@ object HashExpressions {
     reg.registerFunction(FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(getClass.getName, "graft_simhash64"),
       args => SimHash64Expr(args(0)))
+    reg.registerFunction(FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(getClass.getName, "graft_bloom_probe"),
+      args => BloomProbeExpr(args(0),
+        args(1).eval(null).asInstanceOf[ArrayData].toLongArray(),
+        args(2).eval(null).asInstanceOf[Int],
+        args(3).eval(null).asInstanceOf[Int]))
   }
 }

@@ -28,6 +28,21 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(split("train") + split("eval") == 1000)
   }
 
+  test("packed Bloom probe ≡ bit-frame probe, and both superset the build set") {
+    val m = 4096; val k = 3
+    val build = (0L until 300L).map(i => Tuple1(i * 7)).toDF("key")
+    val probe = (0L until 3000L).map(Tuple1(_)).toDF("key")
+    val bits = Sketches.bloomBits(build, "key", m, k)
+    val viaFrame = Sketches.bloomProbe(probe, "key", bits, m, k)
+      .as[Long].collect().toSet
+    val words = Sketches.packBits(bits, m)
+    val viaPacked = Sketches.bloomProbePacked(probe, "key", words, m, k)
+      .as[Long].collect().toSet
+    assert(viaPacked == viaFrame) // the native expr replays keyHash bit-for-bit
+    val inRange = (0L until 300L).map(_ * 7).filter(_ < 3000).toSet
+    assert(inRange.subsetOf(viaPacked)) // no false negatives
+  }
+
   test("KMV is exact below k and within ~15% above k (deterministic)") {
     val small = (0L until 100L).map(Tuple1(_)).toDF("k")
     val exact = Sketches.kmvDistinct(small, "k", 256)
