@@ -369,6 +369,30 @@ object SparkEntry {
       build.agg(count(lit(1)).as("n_build")).crossJoin(stats)
     }),
 
+    "q74_cms_heavy_hitters" -> ((s, dir) => {
+      // count-min sketch heavy hitters: the 4×1024 counter grid is fixed
+      // size regardless of input (map-side partial agg), estimates join the
+      // broadcast grid; est ≥ true is the CMS guarantee under the oracle
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey").as("key"))
+      val counters = Sketches.cmsCounters(li, "key", 4, 1024)
+      val top = li.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("key")).limit(10)
+      Sketches.cmsEstimate(top, "key", counters, 4, 1024)
+        .join(top, "key")
+        .select(col("key"), col("true_cnt"), col("cms_est"))
+        .orderBy(desc("true_cnt"), col("key"))
+    }),
+
+    "q75_hll_distinct" -> ((s, dir) => {
+      // order-independent HyperLogLog per group (exact-oracle twin of
+      // approx_count_distinct, whose HLL++ merge order is layout-dependent)
+      val ev = events(s, dir)
+      val est = Sketches.hllDistinctByGroup(ev, "event_type", "user_id", 5)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, "event_type").orderBy("event_type")
+    }),
+
     "q66_kmv_distinct" -> ((s, dir) => {
       // KMV distinct sketch: deterministic (value-set function), mergeable,
       // exactly oracle-replayable — vs HLL++ whose estimate depends on
@@ -609,6 +633,32 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("bigram"))
         .limit(20)
+    }),
+
+    "q71_gopher_quality" -> ((s, dir) =>
+      // Gopher-style document quality gate (word-count / mean-word-length /
+      // stopword / uniqueness bounds) — single-pass HOF metrics, no shuffle
+      TextQuality.gopherMetrics(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q72_bigram_repetition" -> ((s, dir) =>
+      // duplicate/top bigram fractions (Gopher's repetition filters) —
+      // ONE (doc, bigram) shuffle with map-side partial aggregation
+      TextQuality.bigramRepetition(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q73_pii_redact" -> ((s, dir) => {
+      // regex PII scrub (C4-style): the synthetic corpus carries no PII, so
+      // inject deterministic email/IP spans per doc, then count + redact
+      val withPii = tbl(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" contact doc"), col("doc_id"),
+          lit("@example.com from 10.0."), col("doc_id") % 256,
+          lit("."), (col("doc_id") * 7) % 256))
+      TextQuality.piiRedact(withPii, "text2")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          length(col("redacted")).as("redacted_len"),
+          expr("right(redacted, 40)").as("redacted_tail"))
+        .orderBy("doc_id")
     }),
 
     "q23_token_stats" -> ((s, dir) => {
@@ -1157,6 +1207,57 @@ object SparkEntry {
           |SELECT bigram, COUNT(*) AS n FROM bg
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
+      "q71_gopher_quality" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(t) AS INT) AS n_words,
+          |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_word_len,
+          |    CAST(len(list_filter(t, x -> x IN ('a','the','of','to','and','in','is','on','for','it'))) AS DOUBLE) / len(t) AS stopword_frac,
+          |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_frac,
+          |    CAST(list_max(list_transform(t, x -> length(x))) AS INT) AS max_word_len
+          |  FROM toks)
+          |SELECT doc_id, n_words, mean_word_len, stopword_frac, unique_frac, max_word_len,
+          |  (n_words >= 30 AND mean_word_len BETWEEN 4.0 AND 5.0
+          |   AND stopword_frac >= 0.03 AND unique_frac >= 0.35) AS quality_pass
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q72_bigram_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+          |  FROM toks, unnest(range(1, len(t))) AS u(i)
+          |  WHERE len(t) >= 2),
+          |per AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+          |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          |  COUNT(*) AS distinct_bigrams,
+          |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac,
+          |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+          |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q73_pii_redact" ->
+        """WITH aug AS (
+          |  SELECT doc_id, text || ' contact doc' || CAST(doc_id AS VARCHAR)
+          |    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text2
+          |  FROM documents),
+          |red AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+          |    CAST(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+          |    regexp_replace(regexp_replace(text2,
+          |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+          |  FROM aug)
+          |SELECT doc_id, n_emails, n_ips,
+          |  CAST(length(redacted) AS INT) AS redacted_len,
+          |  right(redacted, 40) AS redacted_tail
+          |FROM red ORDER BY doc_id""".stripMargin,
+
       "q65_stratified_sample" ->
         """SELECT doc_id, lang,
           |  CASE WHEN (doc_id * 999983) % 2147483647 % 100 < 80
@@ -1193,6 +1294,47 @@ object SparkEntry {
           |  (SELECT COUNT(*) FROM flagged) AS n_flagged,
           |  (SELECT COUNT(*) FROM flagged
           |   WHERE key NOT IN (SELECT key FROM build)) AS n_false_pos""".stripMargin,
+
+      "q74_cms_heavy_hitters" ->
+        """WITH keys AS (SELECT l_partkey AS key FROM lineitem),
+          |ch0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM keys),
+          |ch1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ch0),
+          |ch2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ch1),
+          |cells AS (SELECT d, (h1 + d * h2) % 1024 AS pos, COUNT(*) AS c
+          |  FROM ch2, unnest(range(0, 4)) AS t(d) GROUP BY d, pos),
+          |top AS (SELECT key, COUNT(*) AS true_cnt FROM keys GROUP BY key
+          |  ORDER BY true_cnt DESC, key LIMIT 10),
+          |th0 AS (SELECT key, true_cnt, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM top),
+          |th1 AS (SELECT key, true_cnt, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM th0),
+          |th2 AS (SELECT key, true_cnt, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM th1),
+          |tpos AS (SELECT key, true_cnt, d, (h1 + d * h2) % 1024 AS pos
+          |  FROM th2, unnest(range(0, 4)) AS t(d))
+          |SELECT key, true_cnt, MIN(COALESCE(c, CAST(0 AS BIGINT))) AS cms_est
+          |FROM tpos LEFT JOIN cells USING (d, pos)
+          |GROUP BY key, true_cnt ORDER BY true_cnt DESC, key""".stripMargin,
+
+      "q75_hll_distinct" ->
+        s"""WITH ev AS (SELECT event_type, user_id AS key FROM events),
+          |kh0 AS (SELECT event_type, (key * 1000003) % 2147483647 AS a0 FROM ev),
+          |kh1 AS (SELECT event_type, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+          |kh2 AS (SELECT event_type, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+          |br AS (SELECT event_type, h >> 26 AS b,
+          |    CASE WHEN (h & 67108863) = 0 THEN 27
+          |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+          |mb AS (SELECT event_type, b, MAX(rho) AS mx FROM br GROUP BY event_type, b),
+          |hs AS (SELECT event_type,
+          |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+          |    COUNT(*) AS nb FROM mb GROUP BY event_type),
+          |ex AS (SELECT event_type, COUNT(DISTINCT key) AS n_exact FROM ev GROUP BY event_type)
+          |SELECT ex.event_type, n_exact,
+          |  ${Sketches.hllFactor(5)} / CAST(present + (32 - nb) * 134217728 AS DOUBLE) AS hll_est
+          |FROM ex JOIN hs USING (event_type) ORDER BY event_type""".stripMargin,
 
       "q66_kmv_distinct" ->
         """WITH h0 AS (SELECT DISTINCT (l_partkey * 1000003) % 2147483647 AS h FROM lineitem),

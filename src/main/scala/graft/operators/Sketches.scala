@@ -96,6 +96,80 @@ object Sketches {
         col(keyCol), typedLit(words.toSeq), lit(m), lit(k)))
   }
 
+  /** Count-min sketch counters over a key column: a depth×width counter
+    * grid, positions from the same Kirsch-Mitzenmacher double hashing as
+    * the Bloom family. The frame is at most depth×width rows regardless of
+    * input size — partial aggregation collapses the exploded (d, pos)
+    * stream map-side, so the shuffle carries ≤ depth×width rows per
+    * partition. The canonical approximate-heavy-hitters shape at 100 TB:
+    * counters are broadcastable, mergeable (cell-wise sum), deterministic. */
+  def cmsCounters(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L))
+    df.select(posexplode(array((0 until depth).map(d =>
+        pmod(h1 + lit(d.toLong) * h2, lit(width))): _*)).as(Seq("d", "pos")))
+      .groupBy("d", "pos").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a CMS counter frame: min over the depth rows of
+    * the key's counter cells (≥ true count, never under). Counters join
+    * broadcast — the grid is tiny by construction. */
+  def cmsEstimate(keys: DataFrame, keyCol: String, counters: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L))
+    keys.select(col(keyCol), posexplode(array((0 until depth).map(d =>
+        pmod(h1 + lit(d.toLong) * h2, lit(width))): _*)).as(Seq("d", "pos")))
+      .join(broadcast(counters), Seq("d", "pos"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
+  /** HyperLogLog distinct estimate per group, m = 2^bucketBits buckets.
+    *
+    * Spark's own `approx_count_distinct` (HLL++) merges partition sketches
+    * in partitioning-dependent order; like [[kmvDistinct]], this variant is
+    * a pure function of the value set AND exactly SQL-replayable: rho comes
+    * from `length(bin(r))` (exact integer string op, identical in DuckDB),
+    * and the harmonic sum Σ 2^-Mj is scaled by 2^rhoBits so it accumulates
+    * as an exact integer — no float-summation order to disagree on. The
+    * final alpha·m²·2^rhoBits numerator is ONE double literal, so the
+    * single division is bit-identical across engines.
+    *
+    * Raw-regime HLL (no small-range linear-counting branch): callers pick
+    * bucketBits so expected cardinality > 2.5·m. */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                         bucketBits: Int = 5): DataFrame = {
+    val m = 1 << bucketBits
+    val rhoBits = 31 - bucketBits
+    val h = keyHash(col(keyCol))
+    val bucket = shiftright(h, rhoBits)
+    val r = h.bitwiseAND(lit((1L << rhoBits) - 1))
+    val rho = when(r === 0, lit(rhoBits + 1))
+      .otherwise(lit(rhoBits + 1) - length(bin(r)))
+    val factor = hllFactor(bucketBits)
+    df.select(col(groupCol), bucket.as("b"), rho.as("rho"))
+      .groupBy(col(groupCol), col("b")).agg(max("rho").as("mx"))
+      .groupBy(col(groupCol))
+      .agg(sum(expr(s"shiftleft(1L, ${rhoBits + 1} - mx)")).as("present"),
+        count(lit(1)).as("nb"))
+      .select(col(groupCol),
+        (lit(factor) / (col("present") +
+          (lit(m.toLong) - col("nb")) * lit(1L << (rhoBits + 1))).cast("double"))
+          .as("hll_est"))
+  }
+
+  /** alpha_m · m² · 2^(rhoBits+1), precomputed on the driver so both the
+    * Spark plan and the generated oracle SQL embed the identical double
+    * literal (shortest-repr round trip). */
+  def hllFactor(bucketBits: Int): Double = {
+    val m = (1 << bucketBits).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, (31 - bucketBits + 1).toDouble)
+  }
+
   /** KMV estimate of |distinct keyCol|: (k-1) * P / h_k where h_k is the
     * k-th smallest distinct hash. Exact when fewer than k distinct values
     * exist (falls back to the distinct count). Returns a 1-row frame

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus quality filtering for LLM training-data pipelines.
+  *
+  * The reference has no corpus-quality surface (it embeds whatever the
+  * loader produces — reference: src/server/app/embed package), but any pipeline
+  * feeding a trainer at 100 TB runs document-level quality gates first.
+  * These implement the standard public recipes: Gopher-style quality
+  * heuristics (Rae et al. 2021, "Scaling Language Models", §A1.1 — word
+  * count / mean word length / stopword presence bounds) and
+  * repetition-based filters (ibid. §A1.1 duplicate n-gram fractions), plus
+  * regex PII redaction as popularized by C4 (Raffel et al. 2020, §2.2).
+  *
+  * Scale shape: the per-document metrics are single-pass Catalyst HOF
+  * expressions — no shuffle at all, they pipeline into whatever follows.
+  * The bigram-repetition stats explode (doc, bigram) pairs through ONE
+  * partial-aggregated groupBy — the same shape as the corpus bigram LM
+  * counts (q70) — because a per-doc HOF multiplicity count would be
+  * O(words²) per document. Every metric is exact integer arithmetic or a
+  * single double division, so the DuckDB oracle replays it bit-for-bit.
+  */
+object TextQuality {
+
+  /** Shared stopword list (tiny on purpose — the corpus is synthetic; at
+    * production scale you'd broadcast a real per-language list). */
+  val Stopwords: Seq[String] = Seq("a", "the", "of", "to", "and", "in", "is", "on", "for", "it")
+
+  /** Whitespace tokens, empty-run safe. */
+  def tokens(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => t =!= "")
+
+  /** Gopher-style per-document quality metrics + pass flag.
+    * Thresholds are calibrated to the synthetic corpus so both classes
+    * occur; the production values from the paper differ only in constants.
+    * All metrics are exact (int counts, one double division each). */
+  def gopherMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("_toks", toks)
+      .withColumn("n_words", size(col("_toks")))
+      .withColumn("sum_len",
+        aggregate(col("_toks"), lit(0L), (a, t) => a + length(t)))
+      .withColumn("mean_word_len",
+        col("sum_len").cast("double") / col("n_words"))
+      .withColumn("stopword_frac",
+        size(filter(col("_toks"), t => t.isInCollection(Stopwords))).cast("double")
+          / col("n_words"))
+      .withColumn("unique_frac",
+        size(array_distinct(col("_toks"))).cast("double") / col("n_words"))
+      .withColumn("max_word_len",
+        array_max(transform(col("_toks"), t => length(t))))
+      .withColumn("quality_pass",
+        col("n_words") >= 30 &&
+          col("mean_word_len").between(4.0, 5.0) &&
+          col("stopword_frac") >= 0.03 &&
+          col("unique_frac") >= 0.35)
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("stopword_frac"), col("unique_frac"), col("max_word_len"),
+        col("quality_pass"))
+  }
+
+  /** Word-bigram array of a token array: ["a b", "b c", ...]. */
+  private def bigramsOf(toksCol: Column): Column =
+    transform(sequence(lit(1), size(toksCol) - 1),
+      i => concat(element_at(toksCol, i), lit(" "), element_at(toksCol, i + 1)))
+
+  /** Per-document bigram repetition statistics (Gopher's duplicate-n-gram
+    * family): total/distinct bigram counts, the duplicate fraction, and the
+    * top-bigram fraction (count of the most frequent bigram / total).
+    *
+    * Shuffles (doc, bigram) once; partial aggregation collapses repeats
+    * map-side, so a pathologically repetitive document costs one row per
+    * distinct bigram per partition on the wire. */
+  def bigramRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize ONCE into a column: Catalyst does not CSE interpreted HOFs,
+    // so passing the tokens() expression into the per-index lambda would
+    // re-split the text per bigram (O(words²) per document — measured 40×
+    // this query's runtime at sf0.1)
+    val perBigram = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(bigramsOf(col("_t"))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    perBigram.groupBy(col(idCol))
+      .agg(sum("c").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max("c").as("top_count"))
+      .select(col(idCol),
+        col("n_bigrams"), col("distinct_bigrams"),
+        (lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_count").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** Email / IPv4 regexes kept to RE2-compatible syntax so Java regex
+    * (Spark) and RE2 (DuckDB) agree on every match. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count and redact PII-shaped spans (emails, IPv4s). Returns the input
+    * columns plus n_emails / n_ips / redacted text. Pure map-side. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"))
+}

@@ -43,6 +43,29 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(inRange.subsetOf(viaPacked)) // no false negatives
   }
 
+  test("CMS estimates dominate true counts and are exact for isolated keys") {
+    // 500 distinct keys, key i appearing (i % 10) + 1 times
+    val rows = (0L until 500L).flatMap(i => Seq.fill((i % 10).toInt + 1)(Tuple1(i)))
+    val df = rows.toDF("key")
+    val counters = Sketches.cmsCounters(df, "key", 4, 1024)
+    val truth = df.groupBy("key").count()
+    val est = Sketches.cmsEstimate(truth, "key", counters, 4, 1024)
+      .join(truth, "key").as[(Long, Long, Long)].collect()
+    assert(est.length == 500)
+    est.foreach { case (k, e, t) => assert(e >= t, s"key $k: est $e < true $t") }
+  }
+
+  test("HLL per-group estimate is deterministic and within ~2σ (m=32 → σ≈18%)") {
+    // gcd(3, 2000) = 1, so every group sees all 2000 key residues
+    val df = (0L until 6000L).map(i => (s"g${i % 3}", i % 2000)).toDF("g", "key")
+    val once = Sketches.hllDistinctByGroup(df, "g", "key", 5)
+      .as[(String, Double)].collect().toMap
+    val twice = Sketches.hllDistinctByGroup(df.repartition(7), "g", "key", 5)
+      .as[(String, Double)].collect().toMap
+    assert(once == twice) // pure function of the value set — layout-independent
+    once.values.foreach(v => assert(math.abs(v - 2000) / 2000 < 0.4, s"estimate $v"))
+  }
+
   test("KMV is exact below k and within ~15% above k (deterministic)") {
     val small = (0L until 100L).map(Tuple1(_)).toDF("k")
     val exact = Sketches.kmvDistinct(small, "k", 256)

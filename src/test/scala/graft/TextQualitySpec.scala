@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextQuality
+
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher metrics match hand computation") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val r = TextQuality.gopherMetrics(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(r.getAs[Double]("mean_word_len") == 17.0 / 6) // t-h-e c-a-t ... 17 chars
+    assert(r.getAs[Double]("stopword_frac") == 3.0 / 6) // the, on, the
+    assert(r.getAs[Double]("unique_frac") == 5.0 / 6) // 'the' repeats
+    assert(r.getAs[Int]("max_word_len") == 3)
+    assert(!r.getAs[Boolean]("quality_pass")) // fails n_words >= 30
+  }
+
+  test("bigram repetition: dup and top fractions match hand computation") {
+    // bigrams: "a b","b a","a b","b c" → 4 total, 3 distinct, top "a b"=2
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextQuality.bigramRepetition(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") == 4L)
+    assert(r.getAs[Long]("distinct_bigrams") == 3L)
+    assert(r.getAs[Double]("dup_bigram_frac") == 1.0 - 3.0 / 4)
+    assert(r.getAs[Double]("top_bigram_frac") == 2.0 / 4)
+  }
+
+  test("a perfectly repetitive doc maxes the duplicate fraction") {
+    val df = Seq((1L, ("x y " * 50).trim)).toDF("doc_id", "text")
+    val r = TextQuality.bigramRepetition(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_bigrams") == 99L)
+    assert(r.getAs[Long]("distinct_bigrams") == 2L) // "x y" and "y x"
+    assert(r.getAs[Double]("top_bigram_frac") == 50.0 / 99)
+  }
+
+  test("pii redaction counts and masks emails and ipv4s") {
+    val df = Seq(
+      (1L, "reach me at bob@corp.example or 192.168.0.12 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextQuality.piiRedact(df, "text").orderBy("doc_id")
+      .select("n_emails", "n_ips", "redacted").as[(Int, Int, String)].collect()
+    assert(r(0) == ((1, 1, "reach me at <EMAIL> or <IP> thanks")))
+    assert(r(1) == ((0, 0, "no pii here at all")))
+  }
+}
