@@ -30,6 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 78 queries x several codegen'd stages each blows through the default
+  // 100-entry generated-class cache; evictions made the second bench pass
+  // recompile everything (steady total stepped 40s -> 52s at 78 queries)
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   // the box has 128 GiB; 8g made the bench GC-bound (random queries went
   // 10x slower as the cold pass accumulated cached plans + codegen)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",

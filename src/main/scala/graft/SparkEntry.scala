@@ -661,6 +661,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q76_zorder_layout" -> ((s, dir) =>
+      // Morton-code clustering: bucket lineitem into 64 z-ranges of
+      // (partkey, suppkey) and report per-bucket min/max — the footer
+      // stats a reader prunes on; narrow ranges in BOTH dims = skipping
+      // works for predicates on either column
+      DataLayout.zOrderStats(
+          tbl(s, dir, "lineitem")
+            .select((col("l_partkey") % 1024).as("px"),
+              (col("l_suppkey") % 1024).as("sy")),
+          "px", "sy", bits = 10, nBuckets = 64)
+        .orderBy("bucket")),
+
+    "q77_skew_profile" -> ((s, dir) =>
+      // pre-shuffle join-key audit: hottest keys + ratio to the mean key
+      // frequency — the decision input for saltedJoin (q64) / AQE skew
+      DataLayout.skewProfile(
+          tbl(s, dir, "lineitem").select(col("l_partkey")), "l_partkey", 10)),
+
+    "q78_tfidf_top_terms" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF terms over a 50-doc slice (exact-ratio IDF)
+      TextQuality.tfidfTopTerms(
+          tbl(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
+
     "q23_token_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1206,6 +1230,37 @@ object SparkEntry {
           |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i))
           |SELECT bigram, COUNT(*) AS n FROM bg
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+      "q76_zorder_layout" ->
+        """WITH xy AS (SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sy FROM lineitem),
+          |z AS (SELECT px, sy, list_sum(list_transform(range(0, 10),
+          |    i -> (((px >> i) & 1) << (2*i)) + (((sy >> i) & 1) << (2*i+1)))) AS zv
+          |  FROM xy)
+          |SELECT CAST(zv // 16384 AS INT) AS bucket, COUNT(*) AS n_rows,
+          |  MIN(px) AS min_x, MAX(px) AS max_x, MIN(sy) AS min_y, MAX(sy) AS max_y
+          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "q77_skew_profile" ->
+        """WITH c AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+          |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+          |SELECT l_partkey, cnt, CAST(cnt * n_keys AS DOUBLE) / total AS ratio_to_mean
+          |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+
+      "q78_tfidf_top_terms" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+          |toks AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term
+          |  FROM d),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+          |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM d),
+          |scored AS (SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS score
+          |  FROM tf JOIN dfq USING (term), nd),
+          |rk AS (SELECT doc_id, term, score,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+          |  FROM scored)
+          |SELECT doc_id, rank, term, score FROM rk
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
       "q71_gopher_quality" ->
         """WITH toks AS (

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout and shuffle-health operators.
+  *
+  * The reference runs on a managed store and never chooses file layout
+  * (reference: src/server/app/database package hands storage to the DB);
+  * a Spark pipeline at 100 TB chooses it constantly — multi-dimensional
+  * clustering decides how many files a 2-predicate scan can skip, and a
+  * key-frequency audit decides whether a join needs salting (see
+  * [[Joins.saltedJoin]]) before the shuffle falls over, not after.
+  */
+object DataLayout {
+
+  /** Morton (z-order) code: interleave the low `bits` bits of two
+    * non-negative columns — x in even positions, y in odd. Sorting or
+    * range-bucketing by this value co-locates rows that are close in BOTH
+    * dimensions, which is what makes min/max file skipping work for
+    * predicates on either column. Flat sum of shift/mask terms — whole
+    * codegen, no HOF. */
+  def zValue2(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Per-file min/max skipping stats for a z-ordered layout: bucket rows
+    * into `nBuckets` equal z-ranges (stand-ins for files) and report each
+    * bucket's row count and per-dimension min/max — exactly the footer
+    * stats a reader would prune on. Narrow ranges = effective skipping. */
+  def zOrderStats(df: DataFrame, xCol: String, yCol: String,
+                  bits: Int, nBuckets: Int): DataFrame = {
+    val span = (1L << (2 * bits)) / nBuckets
+    // integer division, not `/`+cast: Spark casts double→int by truncation
+    // but DuckDB by rounding, so the oracle could land keys one bucket off
+    df.withColumn("_z", zValue2(col(xCol), col(yCol), bits))
+      .withColumn("bucket", expr(s"_z div $span").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(xCol).as(s"min_x"), max(xCol).as(s"max_x"),
+        min(yCol).as(s"min_y"), max(yCol).as(s"max_y"))
+  }
+
+  /** Join-key skew audit: the `topK` hottest keys with their frequency
+    * ratio against the mean key frequency. Ratio ≫ 1 means the shuffle
+    * partition owning that key runs long — feed those keys to a salted
+    * join or AQE skew handling. One groupBy + a broadcast of two numbers.
+    * The ratio is (cnt · n_keys) / total — exact integers into ONE double
+    * division, so the oracle replays it bit-for-bit. */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        ((col("cnt") * col("n_keys")).cast("double") / col("total"))
+          .as("ratio_to_mean"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topK)
+  }
+}

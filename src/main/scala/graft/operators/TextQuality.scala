@@ -94,6 +94,31 @@ object TextQuality {
         (col("top_count").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Per-document top TF-IDF terms. IDF is the exact ratio N/df (no log —
+    * one double division, so the oracle replays it exactly; the ranking is
+    * monotone in the log form anyway for fixed tf). Shuffles (doc, term)
+    * once for tf, once for df; both collapse map-side. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).as("n_docs")) // stays lazy — no collect
+    val termFreq = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    termFreq.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"),
+        col("term"), col("score"))
+  }
+
   /** Email / IPv4 regexes kept to RE2-compatible syntax so Java regex
     * (Spark) and RE2 (DuckDB) agree on every match. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

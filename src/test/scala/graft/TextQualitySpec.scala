@@ -35,6 +35,14 @@ class TextQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("top_bigram_frac") == 50.0 / 99)
   }
 
+  test("tf-idf ranks doc-exclusive frequent terms first") {
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val r = TextQuality.tfidfTopTerms(df, "doc_id", "text", 1)
+      .orderBy("doc_id").as[(Long, Int, String, Double)].collect()
+    // doc1: x has tf=2, df=1 → 2·2/1 = 4; doc2: z has tf=1, df=1 → 2
+    assert(r.toSeq == Seq((1L, 1, "x", 4.0), (2L, 1, "z", 2.0)))
+  }
+
   test("pii redaction counts and masks emails and ipv4s") {
     val df = Seq(
       (1L, "reach me at bob@corp.example or 192.168.0.12 thanks"),
