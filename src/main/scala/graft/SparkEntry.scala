@@ -685,6 +685,38 @@ object SparkEntry {
           tbl(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")),
 
+    // ---- Governance (SURVEY §2.10) --------------------------------------
+    "q79_governed_view" -> ((s, dir) => {
+      // row policy (semi-join against an allowlist) + column masking +
+      // numeric generalization — a governed view that still prunes at scan
+      val policy = tbl(s, dir, "nation").filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"))
+      Governance.applyRowPolicy(tbl(s, dir, "customer"), "c_nationkey",
+          policy, "n_nationkey")
+        .select(col("c_custkey"),
+          Governance.maskTail(col("c_name"), 9).as("name_masked"),
+          Governance.generalize(col("c_acctbal"), 100.0).as("bal_band"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "q80_url_safety" -> ((s, dir) => {
+      // SSRF URL guard (the webscrape front-gate): synthesize a URL column
+      // with unsafe schemes/hosts mixed in, then classify
+      val d = tbl(s, dir, "documents")
+      val url = when(col("doc_id") % 7 === 0,
+          concat(lit("http://10."), col("doc_id") % 256, lit(".0.1/x")))
+        .when(col("doc_id") % 11 === 0, lit("file:///etc/passwd"))
+        .when(col("doc_id") % 13 === 0, lit("http://localhost/admin"))
+        .when(col("doc_id") % 5 === 0,
+          concat(lit("http://192.168.1."), col("doc_id") % 256, lit("/p")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id")))
+      d.select(col("doc_id"), url.as("url"))
+        .withColumn("is_safe", Governance.urlIsSafe(col("url")))
+        .orderBy("doc_id")
+    }),
+
     "q23_token_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       d.select(col("doc_id"),
@@ -1261,6 +1293,34 @@ object SparkEntry {
           |  FROM scored)
           |SELECT doc_id, rank, term, score FROM rk
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "q79_governed_view" ->
+        """SELECT c_custkey,
+          |  substring(c_name, 1, 9) || repeat('*', greatest(length(c_name) - 9, 0)) AS name_masked,
+          |  floor(c_acctbal / 100) * 100 AS bal_band,
+          |  c_mktsegment
+          |FROM customer
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+          |ORDER BY c_custkey""".stripMargin,
+
+      "q80_url_safety" ->
+        """WITH u AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 7 = 0 THEN 'http://10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1/x'
+          |       WHEN doc_id % 11 = 0 THEN 'file:///etc/passwd'
+          |       WHEN doc_id % 13 = 0 THEN 'http://localhost/admin'
+          |       WHEN doc_id % 5 = 0 THEN 'http://192.168.1.' || CAST(doc_id % 256 AS VARCHAR) || '/p'
+          |       ELSE 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) END AS url
+          |  FROM documents),
+          |h AS (SELECT doc_id, url, regexp_extract(url, '^https?://([^/:]+)', 1) AS host FROM u)
+          |SELECT doc_id, url,
+          |  (regexp_matches(url, '^https?://')
+          |   AND NOT host = 'localhost'
+          |   AND NOT regexp_matches(host, '^127\.')
+          |   AND NOT regexp_matches(host, '^10\.')
+          |   AND NOT regexp_matches(host, '^192\.168\.')
+          |   AND NOT regexp_matches(host, '^172\.(1[6-9]|2[0-9]|3[01])\.')
+          |   AND NOT regexp_matches(host, '^169\.254\.')) AS is_safe
+          |FROM h ORDER BY doc_id""".stripMargin,
 
       "q71_gopher_quality" ->
         """WITH toks AS (

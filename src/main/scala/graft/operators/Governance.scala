@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row- and column-level governance as plan-level operators (SURVEY §2.10).
+  *
+  * The reference enforces data roles with row/column grants via validated
+  * DDL (reference: src/server/app/deepsec/database.py:229-434) and guards
+  * outbound URLs against SSRF (src/url_safety.py, used by
+  * webscrape.py:113-119). On Spark the same semantics are views: a row
+  * policy is a semi-join against an allowlist (never a collected IN-list —
+  * the policy table can be large and changes independently), a column
+  * grant is a projection, and masking is an expression. All of it stays
+  * inside Catalyst, so pushdown/pruning still apply to governed views —
+  * at 100 TB the row policy PRUNES the scan rather than post-filtering.
+  */
+object Governance {
+
+  /** Row-level policy: keep rows whose `keyCol` appears in the policy
+    * frame's `policyKeyCol`. Left-semi join — broadcastable when small,
+    * shuffle-safe when not. */
+  def applyRowPolicy(df: DataFrame, keyCol: String,
+                     policy: DataFrame, policyKeyCol: String): DataFrame =
+    df.join(policy.select(col(policyKeyCol).as(keyCol)).distinct(),
+      Seq(keyCol), "left_semi")
+
+  /** Mask the tail of a string column: keep the first `keep` chars, replace
+    * the rest with '*' of the same length (format-preserving). */
+  def maskTail(c: Column, keep: Int): Column =
+    concat(substring(c, 1, keep),
+      repeat(lit("*"), greatest(length(c) - keep, lit(0))))
+
+  /** Bucket a numeric column to `width`-sized bands (generalization, the
+    * k-anonymity move): floor(x / width) * width. floor() is exact and
+    * identical across engines — double→int CASTs are not (Spark truncates,
+    * DuckDB rounds). */
+  def generalize(c: Column, width: Double): Column =
+    floor(c / width) * width
+
+  /** SSRF-safe URL predicate, mirroring the reference's url_safety checks:
+    * http(s) scheme only, no localhost, no RFC-1918 / link-local / loopback
+    * literal hosts. RE2-compatible regexes so the oracle replays exactly. */
+  def urlIsSafe(url: Column): Column = {
+    val host = regexp_extract(url, "^https?://([^/:]+)", 1)
+    url.rlike("^https?://") &&
+      !(host === "localhost") &&
+      !host.rlike("^127\\.") &&
+      !host.rlike("^10\\.") &&
+      !host.rlike("^192\\.168\\.") &&
+      !host.rlike("^172\\.(1[6-9]|2[0-9]|3[01])\\.") &&
+      !host.rlike("^169\\.254\\.")
+  }
+}
