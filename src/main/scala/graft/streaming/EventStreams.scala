@@ -46,6 +46,22 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame, windowLen: String, delay: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", delay), windowLen)
 
+  /** Watermarked stream-stream inner join (click attribution): pair each
+    * impression with the clicks of the same ad within `within` AFTER it.
+    * Both sides carry watermarks, and the time-range predicate bounds the
+    * join state Spark must buffer — without it a stream-stream join keeps
+    * unbounded state; with it, rows older than watermark + range are
+    * evicted. Input schemas: impressions(ad_id, imp_ts), clicks(click_ad,
+    * click_ts, click_val). The identical plan runs in batch (where it is
+    * the q62-style interval join) and under `readStream`. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      within: String, delay: String): DataFrame =
+    impressions.withWatermark("imp_ts", delay)
+      .join(clicks.withWatermark("click_ts", delay),
+        expr(s"ad_id = click_ad AND click_ts >= imp_ts " +
+          s"AND click_ts <= imp_ts + interval $within"))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"), col("click_val"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)

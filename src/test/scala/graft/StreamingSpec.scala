@@ -124,6 +124,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks attribute to impressions within the range, " +
+       "identical result in batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.attributeClicks(
+      imps.toDF.toDF("ad_id", "imp_ts"),
+      clicks.toDF.toDF("click_ad", "click_ts", "click_val"),
+      within = "45 minutes", delay = "10 minutes")
+    val q = joined.writeStream.format("memory")
+      .queryName("attrib_test").outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((7L, ts(0)), (8L, ts(0)))
+      clicks.addData((7L, ts(30), 1.5), // 30 min after ad 7's impression — in range
+        (7L, ts(300), 9.9), // 5 hours later — outside the range
+        (9L, ts(10), 2.0)) // no matching impression
+      q.processAllAvailable()
+      val rows = spark.table("attrib_test")
+        .select("ad_id", "click_val").as[(Long, Double)].collect().toSeq
+      assert(rows == Seq((7L, 1.5)))
+    } finally q.stop()
+
+    // the SAME operator runs in batch mode with identical semantics
+    val batch = EventStreams.attributeClicks(
+      Seq((7L, ts(0)), (8L, ts(0))).toDF("ad_id", "imp_ts"),
+      Seq((7L, ts(30), 1.5), (7L, ts(300), 9.9), (9L, ts(10), 2.0))
+        .toDF("click_ad", "click_ts", "click_val"),
+      within = "45 minutes", delay = "10 minutes")
+      .select("ad_id", "click_val").as[(Long, Double)].collect().toSeq
+    assert(batch == Seq((7L, 1.5)))
+  }
+
   test("foreachBatch-style incremental refresh: only changed files re-embedded " +
        "(reference refresh.py:28-143)") {
     import graft.store.VectorStore
