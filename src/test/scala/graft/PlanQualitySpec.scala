@@ -74,4 +74,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("graft_cosine_distance")) // native codegen expression in use
   }
+
+  test("q67: packed bloom probe is a map-side filter — no probe-side join") {
+    val p = plan("q67_bloom_filter")
+    assert(p.contains("graft_bloom_probe")) // native expr with reference-object words
+    // the probe stream must NOT explode positions and join the bit frame:
+    // its only wide op is the key dedup; the remaining joins are the tiny
+    // flagged⋈build stats joins
+    assert(!p.contains("posexplode"))
+  }
+
+  test("q74: CMS counter grid aggregates partially map-side") {
+    val p = plan("q74_cms_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    // the estimate side joins the tiny counter grid broadcast
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q76: z-order stats stay in one whole-stage-codegen aggregate — no HOFs") {
+    val p = plan("q76_zorder_layout")
+    assert(p.contains("* HashAggregate"))
+    assert(!p.contains("CodegenFallback"), "z-value must be flat shift/mask terms")
+  }
+
+  test("q79: the governed view's row policy prunes via a broadcast semi-join") {
+    val p = plan("q79_governed_view")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin")) // allowlist broadcasts
+  }
 }
