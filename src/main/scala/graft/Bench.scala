@@ -14,23 +14,29 @@ object Bench {
     // query; queries then run in sorted order for stable per-round deltas
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    def runAll(): Seq[(String, Double)] =
+    def runAll(dir: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { fn(spark, dir).count() } catch {
           case t: Throwable =>
             System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
             -1L
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val results = runAll()
+    // dry pass at the smallest SF first: compiles most generated classes
+    // and JITs operator hot paths, so the timed pass measures the engine
+    // rather than Janino/HotSpot (cold-JVM totals on this box swung ±30%
+    // run-to-run from compile/GC noise; a long-lived cluster runs warm)
+    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) runAll(warmDir)
+    val results = runAll(sfDir)
     // second pass: plan/codegen/footer costs amortized — the per-query
     // steady state a long-lived session (or a 1000-executor cluster
     // re-running the shape) actually pays. Only its total is reported:
     // the downstream harness keeps a bounded tail of stdout, so the
     // JSON line must stay compact (short qNN keys, 3-decimal values).
-    val steady = runAll()
+    val steady = runAll(sfDir)
     def short(name: String): String = name.takeWhile(_ != '_')
     val keys = results.map { case (k, _) => short(k) }
     val qkeys = if (keys.distinct.size == keys.size) keys else results.map(_._1)
