@@ -685,6 +685,22 @@ object SparkEntry {
           tbl(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text", 3)
         .orderBy("doc_id", "rank")),
 
+    "q81_record_linkage" -> ((s, dir) => {
+      // entity resolution: link each document to its best match in a
+      // shifted-window view of the corpus — blocking on (lang, source)
+      // keeps candidates quadratic only within tiny blocks
+      val d = tbl(s, dir, "documents")
+      val blk = concat(col("lang"), lit("|"), col("source"))
+      val leftT = d.select(col("doc_id"), blk.as("blk"),
+          expr("substring(text, 1, 60)").as("name"))
+        .filter(length(col("name")) >= 3)
+      val rightT = d.select((col("doc_id") + 1000000).as("doc_id"), blk.as("blk"),
+          expr("substring(text, 8, 60)").as("name"))
+        .filter(length(col("name")) >= 3)
+      Linkage.bestMatch(leftT, "doc_id", rightT, "doc_id", "blk", "name", 0.3)
+        .orderBy("l_id")
+    }),
+
     // ---- Governance (SURVEY §2.10) --------------------------------------
     "q79_governed_view" -> ((s, dir) => {
       // row policy (semi-join against an allowlist) + column masking +
@@ -1293,6 +1309,36 @@ object SparkEntry {
           |  FROM scored)
           |SELECT doc_id, rank, term, score FROM rk
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "q81_record_linkage" -> {
+        val b1 = graft.plans.HashExpressions.PolyBase1
+        val winHash = "list_reduce(list_transform(range(i, i + 3), " +
+          "j -> CAST(unicode(substring(name, CAST(j AS INT), 1)) AS BIGINT)), " +
+          s"(a, c) -> (a * $b1 + c) % $HP)"
+        s"""WITH lt AS (SELECT doc_id AS l_id, lang || '|' || source AS blk,
+           |    substring(text, 1, 60) AS name FROM documents
+           |  WHERE length(substring(text, 1, 60)) >= 3),
+           |rt AS (SELECT doc_id + 1000000 AS r_id, lang || '|' || source AS blk,
+           |    substring(text, 8, 60) AS name FROM documents
+           |  WHERE length(substring(text, 8, 60)) >= 3),
+           |lh AS (SELECT l_id, blk,
+           |    list_distinct(list_transform(range(1, length(name) - 1), i -> $winHash)) AS h
+           |  FROM lt),
+           |rh AS (SELECT r_id, blk,
+           |    list_distinct(list_transform(range(1, length(name) - 1), i -> $winHash)) AS h
+           |  FROM rt),
+           |cand AS (SELECT l_id, r_id,
+           |    len(list_intersect(lh.h, rh.h)) AS inter,
+           |    len(lh.h) AS la, len(rh.h) AS lb
+           |  FROM lh JOIN rh USING (blk)),
+           |sc AS (SELECT l_id, r_id,
+           |    CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard FROM cand),
+           |rk AS (SELECT l_id, r_id, jaccard,
+           |    row_number() OVER (PARTITION BY l_id ORDER BY jaccard DESC, r_id) AS rn
+           |  FROM sc WHERE jaccard >= 0.3)
+           |SELECT l_id, r_id AS matched_id, jaccard FROM rk
+           |WHERE rn = 1 ORDER BY l_id""".stripMargin
+      },
 
       "q79_governed_view" ->
         """SELECT c_custkey,

@@ -202,6 +202,23 @@ object HashExpressions {
     out
   }
 
+  /** |set(a) ∩ set(b)| for two DISTINCT-element long arrays (shingle-hash
+    * sets are distinct by construction). One hash set over the smaller
+    * side, one membership scan over the larger — the tight-loop twin of
+    * `size(array_intersect(a, b))`, which allocates boxed collections per
+    * row and dominated the record-linkage candidate scoring. */
+  def interSizeEval(a: ArrayData, b: ArrayData): Int = {
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    var out = 0; i = 0
+    val m = big.numElements()
+    while (i < m) { if (set.contains(big.getLong(i))) out += 1; i += 1 }
+    out
+  }
+
   private val helper = "graft.plans.HashExpressions"
 
   /** Distinct XXH64 hashes of the n-byte windows of a string (the whole
@@ -308,6 +325,25 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Intersection size of two distinct-element ARRAY<BIGINT> columns. */
+  case class InterSizeExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "graft_inter_size"
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected two ARRAY<BIGINT>, got ${l.simpleString} / ${r.simpleString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      interSizeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.interSizeEval($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Packed-bitmap Bloom probe: key LONG → BOOLEAN, true iff all k
     * positions are set. The bit words are absorbed into the expression
     * object at resolution (arg 1 must be a foldable array literal), so
@@ -352,6 +388,9 @@ object HashExpressions {
     reg.registerFunction(FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(getClass.getName, "graft_simhash64"),
       args => SimHash64Expr(args(0)))
+    reg.registerFunction(FunctionIdentifier("graft_inter_size"),
+      new ExpressionInfo(getClass.getName, "graft_inter_size"),
+      args => InterSizeExpr(args(0), args(1)))
     reg.registerFunction(FunctionIdentifier("graft_bloom_probe"),
       new ExpressionInfo(getClass.getName, "graft_bloom_probe"),
       args => BloomProbeExpr(args(0),

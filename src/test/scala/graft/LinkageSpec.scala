@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("best match picks the most similar in-block candidate, above threshold only") {
+    val left = Seq(
+      (1L, "b1", "johnathan smith"),
+      (2L, "b1", "maria gonzalez"),
+      (3L, "b2", "totally unique name")).toDF("id", "blk", "name")
+    val right = Seq(
+      (10L, "b1", "jonathan smith"), // near-dup of 1
+      (11L, "b1", "maria gonzales"), // near-dup of 2
+      (12L, "b1", "zzzz qqqq xxxx"), // decoy, low similarity
+      (13L, "b3", "totally unique name")) // exact text but WRONG block
+      .toDF("id", "blk", "name")
+    val got = Linkage.bestMatch(left, "id", right, "id", "blk", "name", 0.3)
+      .select("l_id", "matched_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 11L)) // 3 has no in-block candidate
+  }
+
+  test("jaccard is trigram-set based and symmetric under the hash") {
+    val left = Seq((1L, "b", "abcdef")).toDF("id", "blk", "name")
+    val right = Seq((2L, "b", "abcdef")).toDF("id", "blk", "name")
+    val j = Linkage.bestMatch(left, "id", right, "id", "blk", "name", 0.0)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0) // identical strings → identical trigram sets
+  }
+}
