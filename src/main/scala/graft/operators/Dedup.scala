@@ -259,28 +259,46 @@ object Dedup {
     * training-data dedup pipeline (pairs alone under-delete transitive
     * duplicates A≈B≈C).
     *
-    * Iterative min-label propagation, one join+aggregate per round, driver
-    * loop until fixpoint. Near-dup graphs have tiny diameters (duplicate
-    * clusters are near-cliques), so this converges in a handful of rounds;
-    * each round shuffles only (edge, label) pairs. Returns (id, cluster_rep).
-    */
+    * Two execution paths, picked by the edge count:
+    *  - The pair graph after LSH blocking + threshold filtering is orders
+    *    of magnitude smaller than the corpus (it holds only duplicates).
+    *    At or below `collectThreshold` edges it is collected and solved
+    *    with driver union-find — one Spark action total, versus one
+    *    join+aggregate action per propagation round.
+    *  - Above the threshold (billions of near-dup edges at 100 TB),
+    *    iterative min-label propagation: one join+aggregate per round,
+    *    driver loop until fixpoint, each round shuffling only
+    *    (edge, label) pairs. Near-dup graphs have tiny diameters
+    *    (duplicate clusters are near-cliques), so few rounds suffice.
+    *
+    * Both paths compute the identical fixpoint (min id per component).
+    * Returns (id, cluster_rep). */
   def dedupClusters(pairs0: DataFrame, aCol: String, bCol: String,
-                    maxIters: Int = 20, edgePartitions: Int = 0): DataFrame = {
+                    maxIters: Int = 20, edgePartitions: Int = 0,
+                    collectThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs0.sparkSession
     val nParts = if (edgePartitions > 0) edgePartitions
       else spark.sessionState.conf.numShufflePartitions
+    // The (often expensive LSH) pair pipeline is evaluated ONCE into this
+    // cache; the path choice, the driver collect, and the distributed
+    // edge expansion all read it.
+    val pairs = pairs0.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val nEdges = pairs.count()
+    if (nEdges <= collectThreshold) {
+      val out = unionFindLabels(pairs)
+      pairs.unpersist()
+      return out
+    }
     // undirected edges PLUS self-loops: every node then appears as a `src`
     // with its own id among the neighbor labels, so one join+min-aggregate
     // per round is the full update rule (no left-join/coalesce pass).
-    // Duplicate edges are harmless under min. The 4-way expansion is a
-    // single explode over ONE evaluation of the (often expensive LSH) pair
-    // pipeline — a 4-branch union would re-run that pipeline per branch.
+    // Duplicate edges are harmless under min.
     // The cache is repartitioned by the join key: the iteration joins reuse
     // that distribution, and the cache doesn't inherit the pair-explode's
     // many near-empty partitions (which would tax every round with dead
     // task overhead).
-    val a = col(aCol); val b = col(bCol)
-    val edges = pairs0.select(explode(array(
+    val a = col("src"); val b = col("dst")
+    val edges = pairs.select(explode(array(
         struct(a.as("src"), b.as("dst")),
         struct(b.as("src"), a.as("dst")),
         struct(a.as("src"), a.as("dst")),
@@ -308,6 +326,7 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    pairs.unpersist()
     // Surfacing non-convergence beats silently returning wrong
     // representatives: a component with diameter > maxIters would leave
     // some nodes labeled with a non-minimal id. Near-dup graphs are
@@ -318,6 +337,43 @@ object Dedup {
           s"($changed labels still changing); raise maxIters for " +
           "high-diameter graphs")
     labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+
+  /** Driver union-find over a collected (src, dst) edge frame: union by
+    * min root with path compression, so every tree root ends as the
+    * minimum id of its component — the same fixpoint the distributed
+    * min-label loop converges to. Ids compare via their natural ordering
+    * (Comparable), matching Spark's `min` on the column type. */
+  private def unionFindLabels(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema.fields(0).dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      var p = parent.get(root)
+      while (p != null && p != root) { root = p; p = parent.get(root) }
+      // path compression: point the chain at the root
+      var cur = x
+      while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val nodes = new java.util.LinkedHashSet[Any]()
+    pairs.collect().foreach { r =>
+      val x = r.get(0); val y = r.get(1)
+      nodes.add(x); nodes.add(y)
+      val rx = find(x); val ry = find(y)
+      if (rx != ry) {
+        if (lt(rx, ry)) parent.put(ry, rx) else parent.put(rx, ry)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_rep", idType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size())
+    nodes.forEach(n => rows.add(org.apache.spark.sql.Row(n, find(n))))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Embedding-cosine near-duplicate pairs, brute force within blocking

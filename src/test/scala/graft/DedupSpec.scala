@@ -66,6 +66,30 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("cluster dedup: driver union-find and distributed loop agree") {
+    // chain of diameter 5 plus a separate clique and a 2-cycle duplicate edge
+    val pairs = Seq((10L, 9L), (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L), (31L, 30L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .select("id", "cluster_rep").as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.dedupClusters(pairs, "doc_a", "doc_b",
+        collectThreshold = -1L)
+      .select("id", "cluster_rep").as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(5L) == 5L && viaDriver(10L) == 5L && viaDriver(22L) == 20L
+      && viaDriver(31L) == 30L)
+  }
+
+  test("cluster dedup: string ids use natural ordering on both paths") {
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("doc_a", "doc_b")
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+    assert(Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap == expect)
+    assert(Dedup.dedupClusters(pairs, "doc_a", "doc_b", collectThreshold = -1L)
+      .as[(String, String)].collect().toMap == expect)
+  }
+
   test("embedding near-dup finds cosine-close pairs within blocks") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
