@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record linkage (entity resolution): block, score, keep best match.
@@ -13,7 +12,10 @@ import org.apache.spark.sql.functions._
   * never a cross join; at 100 TB the blocking join is an ordinary shuffled
   * hash join and the block size bounds the quadratic term, (2) a cheap
   * similarity score per candidate pair, (3) best-match-per-record via a
-  * window, which shuffles once on the left id.
+  * `min_by` hash aggregate: partial aggregation collapses candidates
+  * map-side inside the block partitions, so the only post-join shuffle
+  * carries one row per (partition, left id) — a sort-window alternative
+  * would shuffle and sort EVERY scored candidate.
   *
   * The score is character-trigram Jaccard over the same rolling-polynomial
   * hashes the dedup family uses (graft_shingle_polyhashes), so the DuckDB
@@ -29,23 +31,31 @@ object Linkage {
                 blockCol: String, nameCol: String,
                 threshold: Double): DataFrame = {
     graft.plans.HashExpressions.register(left.sparkSession)
+    // Arrays are sorted ONCE per row here so the per-pair intersection is
+    // a zero-allocation two-pointer merge: a block of size s scores s²
+    // pairs but holds only 2s rows, so any per-pair set/collection build
+    // (array_intersect, a HashSet) dominates the whole operator.
     def prep(df: DataFrame, id: String, pfx: String) =
       df.select(col(id).as(s"${pfx}_id"), col(blockCol).as(s"${pfx}_blk"),
-        call_function("graft_shingle_polyhashes", col(nameCol), lit(3)).as(s"${pfx}_h"))
+        sort_array(call_function("graft_shingle_polyhashes",
+          col(nameCol), lit(3))).as(s"${pfx}_h"))
     val l = prep(left, leftId, "l")
     val r = prep(right, rightId, "r")
-    // native tight-loop intersection: size(array_intersect(...)) builds
-    // boxed collections per candidate pair and dominated the block scoring
-    val inter = call_function("graft_inter_size", col("l_h"), col("r_h"))
-    val w = Window.partitionBy("l_id").orderBy(col("jaccard").desc, col("r_id"))
+    val inter = call_function("graft_inter_size_sorted", col("l_h"), col("r_h"))
+    // ordering struct: highest jaccard first, smallest r_id on ties —
+    // struct comparison is lexicographic, so min_by over (-jaccard, r_id)
+    // is exactly ROW_NUMBER() OVER (ORDER BY jaccard DESC, r_id) = 1,
+    // but runs as a combinable hash aggregate instead of a global sort.
     l.join(r, col("l_blk") === col("r_blk"))
       .withColumn("_inter", inter)
       .withColumn("jaccard",
         col("_inter").cast("double") /
           (size(col("l_h")) + size(col("r_h")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col("l_id"), col("r_id").as("matched_id"), col("jaccard"))
+      .groupBy("l_id")
+      .agg(min_by(struct(col("r_id"), col("jaccard")),
+        struct(-col("jaccard"), col("r_id"))).as("_best"))
+      .select(col("l_id"), col("_best.r_id").as("matched_id"),
+        col("_best.jaccard").as("jaccard"))
   }
 }

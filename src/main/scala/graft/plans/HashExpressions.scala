@@ -207,6 +207,23 @@ object HashExpressions {
     * side, one membership scan over the larger — the tight-loop twin of
     * `size(array_intersect(a, b))`, which allocates boxed collections per
     * row and dominated the record-linkage candidate scoring. */
+  /** Intersection size of two individually-SORTED long arrays by
+    * two-pointer merge: zero allocation per call. The candidate-pair
+    * scorer calls this once per pair (|L_b|·|R_b| times per block), so
+    * per-call HashSet building dominated block scoring — sorting each
+    * row's array ONCE before the join amortizes to nothing. */
+  def interSizeSortedEval(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var out = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { out += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    out
+  }
+
   def interSizeEval(a: ArrayData, b: ArrayData): Int = {
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
@@ -344,6 +361,30 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Intersection size of two SORTED distinct ARRAY<BIGINT> columns via
+    * two-pointer merge (see [[interSizeSortedEval]]). Callers must
+    * `sort_array` both inputs — done once per row before a pair join,
+    * versus per-pair set building inside it. */
+  case class InterSizeSortedExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "graft_inter_size_sorted"
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected two ARRAY<BIGINT>, got ${l.simpleString} / ${r.simpleString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      interSizeSortedEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (a, b) => s"${ev.value} = $helper.interSizeSortedEval($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Packed-bitmap Bloom probe: key LONG → BOOLEAN, true iff all k
     * positions are set. The bit words are absorbed into the expression
     * object at resolution (arg 1 must be a foldable array literal), so
@@ -391,6 +432,9 @@ object HashExpressions {
     reg.registerFunction(FunctionIdentifier("graft_inter_size"),
       new ExpressionInfo(getClass.getName, "graft_inter_size"),
       args => InterSizeExpr(args(0), args(1)))
+    reg.registerFunction(FunctionIdentifier("graft_inter_size_sorted"),
+      new ExpressionInfo(getClass.getName, "graft_inter_size_sorted"),
+      args => InterSizeSortedExpr(args(0), args(1)))
     reg.registerFunction(FunctionIdentifier("graft_bloom_probe"),
       new ExpressionInfo(getClass.getName, "graft_bloom_probe"),
       args => BloomProbeExpr(args(0),
