@@ -701,6 +701,58 @@ object SparkEntry {
         .orderBy("l_id")
     }),
 
+    "q82_compaction_plan" -> ((s, dir) =>
+      // key-aligned small-file compaction plan over the ship-date order:
+      // files cut every 5000 rows but never splitting a date, so planned
+      // min/max ranges are disjoint and a date predicate prunes to one
+      // file run. The write path is DataLayout.compact (range-partition +
+      // rolling maxRecordsPerFile); this is its audit view.
+      DataLayout.compactionPlan(
+          tbl(s, dir, "lineitem").select(col("l_shipdate")), "l_shipdate", 5000)
+        .select(col("file_id"), col("n_keys"), col("n_rows"),
+          col("min_key").cast("timestamp_ntz").as("min_key"),
+          col("max_key").cast("timestamp_ntz").as("max_key"))
+        .orderBy("file_id")),
+
+    "q83_domain_mix" -> ((s, dir) =>
+      // resample the corpus to a 40% en / 15%-each other-language mix:
+      // the largest mix-consistent total is kept, rows chosen by the
+      // deterministic hash-bucket rule (reproducible across engines)
+      Sampling.domainMix(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+            "fr" -> 0.15, "zh" -> 0.15))
+        .select(col("doc_id"), col("lang"), col("keep_frac"), col("n_domain"))
+        .orderBy("doc_id")),
+
+    "q84_contamination" -> ((s, dir) => {
+      // benchmark decontamination: 8-gram containment of each "eval" doc
+      // (a substring probe set) in every training doc — containment, not
+      // Jaccard, so a short benchmark buried in a long page still flags
+      val d = tbl(s, dir, "documents")
+      val eval = d.filter(col("doc_id") % 250 === 0)
+        .select(col("doc_id").as("eval_id"),
+          expr("substring(text, 20, 200)").as("etext"))
+      Dedup.contaminationCheck(d, "doc_id", "text",
+          eval, "eval_id", "etext", n = 8, threshold = 0.4)
+        .orderBy("train_id", "eval_id")
+    }),
+
+    "q85_pack_plan" -> ((s, dir) =>
+      // sequence-packing assignment: concatenate docs per lang shard in
+      // doc_id order into 2000-token training windows; spans_boundary
+      // marks docs crossing a window seam
+      Chunker.packSequences(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              TF.tokenCount(col("text")).as("tokens"))
+            .filter(col("tokens") > 0),
+          "lang", "doc_id", "tokens", 2000)
+        .select(col("doc_id"), col("lang"), col("tokens"),
+          col("pack_id"), col("spans_boundary"))
+        .orderBy("doc_id")),
+
     // ---- Governance (SURVEY §2.10) --------------------------------------
     "q79_governed_view" -> ((s, dir) => {
       // row policy (semi-join against an allowlist) + column masking +
@@ -1339,6 +1391,73 @@ object SparkEntry {
            |SELECT l_id, r_id AS matched_id, jaccard FROM rk
            |WHERE rn = 1 ORDER BY l_id""".stripMargin
       },
+
+      "q82_compaction_plan" ->
+        """WITH c AS (SELECT l_shipdate, COUNT(*) AS cnt FROM lineitem GROUP BY l_shipdate),
+          |p AS (SELECT l_shipdate, cnt,
+          |    COALESCE(SUM(cnt) OVER (ORDER BY l_shipdate
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          |  FROM c)
+          |SELECT CAST(cum // 5000 AS INT) AS file_id, COUNT(*) AS n_keys,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          |  MIN(l_shipdate) AS min_key, MAX(l_shipdate) AS max_key
+          |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+      "q83_domain_mix" ->
+        """WITH c AS (SELECT lang, COUNT(*) AS n_domain FROM documents GROUP BY lang),
+          |s AS (SELECT lang, n_domain,
+          |    CAST(CASE lang WHEN 'en' THEN 0.4 ELSE 0.15 END AS DOUBLE) AS share
+          |  FROM c),
+          |t AS (SELECT MIN(CAST(n_domain AS DOUBLE) / share) AS tmax FROM s),
+          |k AS (SELECT lang, n_domain,
+          |    LEAST(CAST(1.0 AS DOUBLE), tmax * share / CAST(n_domain AS DOUBLE)) AS keep_frac
+          |  FROM s, t),
+          |h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1)
+          |SELECT d.doc_id, d.lang, k.keep_frac, k.n_domain
+          |FROM documents d JOIN k USING (lang) JOIN h2 USING (doc_id)
+          |WHERE CAST(h2.h AS DOUBLE) / 2147483647 < k.keep_frac
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q84_contamination" -> {
+        val b1 = graft.plans.HashExpressions.PolyBase1
+        def winHash(t: String, n: Int) =
+          s"list_reduce(list_transform(range(i, i + $n), " +
+            s"j -> CAST(unicode(substring($t, CAST(j AS INT), 1)) AS BIGINT)), " +
+            s"(a, c) -> (a * $b1 + c) % $HP)"
+        s"""WITH ev AS (SELECT doc_id AS eval_id, substring(text, 20, 200) AS t
+           |    FROM documents WHERE doc_id % 250 = 0 AND length(substring(text, 20, 200)) >= 8),
+           |evg AS (SELECT eval_id,
+           |    unnest(list_distinct(list_transform(range(1, length(t) - 6), i -> ${winHash("t", 8)}))) AS gh
+           |  FROM ev),
+           |evsz AS (SELECT eval_id,
+           |    CAST(len(list_distinct(list_transform(range(1, length(t) - 6), i -> ${winHash("t", 8)}))) AS BIGINT) AS eval_sz
+           |  FROM ev),
+           |tr AS (SELECT doc_id AS train_id, text AS t FROM documents WHERE length(text) >= 8),
+           |trg AS (SELECT train_id,
+           |    unnest(list_distinct(list_transform(range(1, length(t) - 6), i -> ${winHash("t", 8)}))) AS gh
+           |  FROM tr),
+           |inter AS (SELECT train_id, eval_id, COUNT(*) AS n
+           |  FROM trg JOIN evg USING (gh) GROUP BY train_id, eval_id)
+           |SELECT train_id, eval_id, CAST(n AS DOUBLE) / eval_sz AS contamination
+           |FROM inter JOIN evsz USING (eval_id)
+           |WHERE CAST(n AS DOUBLE) / eval_sz >= 0.4
+           |ORDER BY train_id, eval_id""".stripMargin
+      },
+
+      "q85_pack_plan" ->
+        """WITH t AS (SELECT doc_id, lang,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS tokens
+          |  FROM documents),
+          |nz AS (SELECT * FROM t WHERE tokens > 0),
+          |p AS (SELECT doc_id, lang, tokens,
+          |    COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          |  FROM nz)
+          |SELECT doc_id, lang, tokens, CAST(s // 2000 AS INT) AS pack_id,
+          |  ((s + tokens - 1) // 2000) > (s // 2000) AS spans_boundary
+          |FROM p ORDER BY doc_id""".stripMargin,
 
       "q79_governed_view" ->
         """SELECT c_custkey,

@@ -54,4 +54,28 @@ object Chunker {
                    chunkSize: Int, chunkOverlap: Int): DataFrame =
     chunk(df, textCol, chunkSize, chunkOverlap)
       .withColumn("chunk_id", concat(col(keyCol).cast("string"), lit("_"), col("chunk_index")))
+
+  /** Sequence-packing assignment for training batches: documents are
+    * concatenated in (`shardCol`, `orderCol`) order into fixed
+    * `budget`-token windows (the FlashAttention-style packed-batch
+    * layout). A doc starting at exclusive-prefix-sum position s gets
+    * `pack_id = s div budget`; `spans_boundary` marks docs whose token
+    * run crosses into the next window (the trainer either splits them
+    * there or masks across the seam). Pure window arithmetic — exact,
+    * deterministic, engine-replayable.
+    *
+    * Scale shape: the running sum partitions by `shardCol` (shard ≈ a
+    * training-data file group), so each shard's cumsum runs independently
+    * — no global window bottleneck; pack ids are per-shard. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_start", coalesce(sum(tokensCol).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"_start div $budget").cast("int"))
+      .withColumn("spans_boundary",
+        expr(s"(_start + $tokensCol - 1) div $budget").cast("int") > col("pack_id"))
+      .drop("_start")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout and shuffle-health operators.
@@ -42,6 +43,44 @@ object DataLayout {
         min(xCol).as(s"min_x"), max(xCol).as(s"max_x"),
         min(yCol).as(s"min_y"), max(yCol).as(s"max_y"))
   }
+
+  /** Small-file compaction plan with KEY-ALIGNED file boundaries: files
+    * are cut every `targetRows` rows along the sort-key order, but never
+    * split a key across files — so the planned files' min/max key ranges
+    * are disjoint and a point/range predicate prunes to one file run
+    * (splitting a key would overlap adjacent footers and defeat
+    * skipping). Returns one row per planned file: (file_id, n_keys,
+    * n_rows, min_key, max_key).
+    *
+    * Scale shape: the cumulative sum runs over the per-KEY aggregate
+    * (|distinct keys|, not |rows| — the groupBy collapses map-side), so
+    * the global window orders the small frame a partition-count audit
+    * would build anyway. For near-unique keys, pre-bucket the key (e.g.
+    * date_trunc) before planning. */
+  def compactionPlan(df: DataFrame, sortCol: String, targetRows: Long): DataFrame = {
+    val w = Window.orderBy(sortCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.groupBy(sortCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("_cum_excl", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("file_id", expr(s"_cum_excl div $targetRows").cast("int"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        min(sortCol).as("min_key"), max(sortCol).as("max_key"))
+  }
+
+  /** Realize a compaction: cluster by the sort key and write at most
+    * `maxRecordsPerFile` rows per file. `repartitionByRange` +
+    * `sortWithinPartitions` is Spark's native large-scale compaction
+    * shape — sampled range boundaries (no global sort bottleneck), then
+    * each task streams its sorted run straight into rolling files. The
+    * exact row-count boundaries of [[compactionPlan]] are the AUDIT view;
+    * the write path trades exact counts for a single pass. */
+  def compact(df: DataFrame, path: String, sortCol: String,
+              nFiles: Int, maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
 
   /** Join-key skew audit: the `topK` hottest keys with their frequency
     * ratio against the mean key frequency. Ratio ≫ 1 means the shuffle

@@ -253,6 +253,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination check: for each (train doc, eval doc) pair,
+    * the CONTAINMENT of the eval doc's distinct n-gram set in the train
+    * doc — |grams(eval) ∩ grams(train)| / |grams(eval)|. Decontamination
+    * needs containment, not Jaccard: a 100-word benchmark question buried
+    * in a 10k-word web page has tiny Jaccard but containment 1.0.
+    *
+    * Scale shape: the eval benchmark is orders of magnitude smaller than
+    * the corpus, so its exploded (gram-hash, eval_id) frame BROADCASTS —
+    * the 100 TB train side streams map-side through the hash join and
+    * only the matched (train_id, eval_id) hits shuffle into the
+    * containment count. Train gram sets are never collected anywhere.
+    * Returns (train_id, eval_id, contamination ≥ threshold). */
+  def contaminationCheck(train: DataFrame, trainId: String, trainText: String,
+                         eval: DataFrame, evalId: String, evalText: String,
+                         n: Int, threshold: Double): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, pfx: String) =
+      df.filter(length(col(text)) >= n)
+        .select(col(id).as(s"${pfx}_id"),
+          explode(expr(s"array_distinct(transform(${rawShingleSql(text, n)}, " +
+            s"s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))"))
+            .as("gh"))
+    val evalGrams = grams(eval, evalId, evalText, "eval")
+    val evalSizes = eval.filter(length(col(evalText)) >= n)
+      .select(col(evalId).as("eval_id"),
+        size(expr(s"array_distinct(transform(${rawShingleSql(evalText, n)}, " +
+          s"s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))"))
+          .cast("long").as("eval_sz"))
+    grams(train, trainId, trainText, "train")
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(evalSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        (col("inter").cast("double") / col("eval_sz")).as("contamination"))
+      .filter(col("contamination") >= threshold)
+  }
+
   /** Connected components over near-duplicate pairs: every node's label
     * converges to the minimum id in its component — the "keep one document
     * per duplicate CLUSTER" step that follows pair detection in a

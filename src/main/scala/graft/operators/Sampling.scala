@@ -39,4 +39,47 @@ object Sampling {
   def trainTestSplit(df: DataFrame, keyCol: String, trainPct: Int): DataFrame =
     df.withColumn("split",
       when(hashBucket(col(keyCol), 100, B2) < trainPct, "train").otherwise("eval"))
+
+  /** Resample a corpus to a TARGET DOMAIN MIX — the "50% web, 30% code,
+    * 20% books" knob of a training-data pipeline — keeping as much data
+    * as the mix allows and never duplicating a row.
+    *
+    * Given target shares per domain (must cover every domain present;
+    * shares > 0), the largest total T consistent with the mix is
+    * min_g(count_g / share_g); domain g then keeps T·share_g of its
+    * count_g rows. Row selection is the same deterministic hash-bucket
+    * rule as [[stratifiedSample]]: keep when hash(key)/P < keep_frac_g —
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Fully declarative two-aggregate shape: per-domain counts (tiny) →
+    * broadcast min → per-row pushable filter. No driver action, no
+    * shuffle of the corpus itself. Output adds (keep_frac, n_domain). */
+  def domainMix(df: DataFrame, keyCol: String, domainCol: String,
+                targetShare: Map[String, Double]): DataFrame = {
+    require(targetShare.nonEmpty && targetShare.values.forall(_ > 0),
+      "domainMix: every target share must be positive")
+    val counts = df.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).as("n_domain"))
+      .withColumn("_share", targetShare.foldLeft(lit(Double.NaN)) {
+        case (acc, (v, s)) => when(col("_dom") === v, s).otherwise(acc)
+      })
+    // T = min over domains of count/share; a domain absent from the map
+    // yields NaN which ANSI min propagates — surfacing the config error
+    val tmax = counts.agg(
+      min(col("n_domain").cast("double") / col("_share")).as("_tmax"))
+    val keep = counts.crossJoin(broadcast(tmax))
+      .select(col("_dom"),
+        least(lit(1.0), col("_tmax") * col("_share") /
+          col("n_domain").cast("double")).as("keep_frac"),
+        col("n_domain"))
+    // Scrambled hash, not the affine bucket: a CONTINUOUS threshold on
+    // hash/P needs uniformity over [0,1), and the affine map of small
+    // consecutive keys is a lattice ramp (i·B1 stays below P for
+    // i < P/B1, so the ratio grows linearly). The xorshift-multiply
+    // mixer (same as the KMV/Bloom family) restores uniformity; coarse
+    // WIDTH-100 buckets as in [[stratifiedSample]] don't feel the ramp.
+    df.join(broadcast(keep), col(domainCol) === col("_dom"))
+      .filter(Sketches.keyHash(col(keyCol)).cast("double") / P < col("keep_frac"))
+      .drop("_dom")
+  }
 }

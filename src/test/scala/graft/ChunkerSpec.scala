@@ -64,4 +64,19 @@ class ChunkerSpec extends SparkSpec {
       }
     }
   }
+
+  test("sequence packing assigns budget-aligned pack ids per shard") {
+    // shard A: tokens 900,900,900 → starts 0,900,1800 → all pack 0; only
+    // doc 3 (1800..2699) crosses the 2000 seam. shard B: an exactly-full
+    // window (2000) does NOT span; the next doc starts pack 1.
+    val df = Seq((1L, "A", 900), (2L, "A", 900), (3L, "A", 900),
+        (10L, "B", 2000), (11L, "B", 50))
+      .toDF("id", "shard", "tokens")
+    val got = graft.operators.Chunker
+      .packSequences(df, "shard", "id", "tokens", 2000)
+      .select("id", "pack_id", "spans_boundary")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0, false), (2L, 0, false), (3L, 0, true),
+      (10L, 0, false), (11L, 1, false)))
+  }
 }

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].collect().toMap == expect)
   }
 
+  test("contamination check flags containment, not jaccard") {
+    // eval doc is a short probe fully contained in a much longer train
+    // doc: jaccard is tiny but containment is 1.0
+    val probe = "the quick brown fox jumps over the lazy dog"
+    val train = Seq(
+      (1L, ("padding " * 50) + probe + (" trailer" * 50)),
+      (2L, "completely unrelated content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, probe)).toDF("eval_id", "etext")
+    val got = Dedup.contaminationCheck(train, "doc_id", "text",
+        eval, "eval_id", "etext", n = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._1 == 1L && got.head._2 == 100L && got.head._3 == 1.0)
+  }
+
   test("embedding near-dup finds cosine-close pairs within blocks") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

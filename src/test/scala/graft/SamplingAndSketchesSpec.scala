@@ -77,4 +77,27 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(n == 256)
     assert(math.abs(est - 5000) / 5000 < 0.15, s"estimate $est for 5000 distinct")
   }
+
+  test("domain mix hits the target proportions within hash-sampling noise") {
+    // 3000 a / 1000 b → target 50/50: b is the binding domain (keeps all
+    // ~1000), a keeps ~1000 of 3000
+    val df = ((0L until 3000L).map((_, "a")) ++ (3000L until 4000L).map((_, "b")))
+      .toDF("id", "dom")
+    val out = Sampling.domainMix(df, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+    val byDom = out.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byDom("b") - 1000L) <= 60, s"binding domain kept ${byDom("b")}")
+    assert(math.abs(byDom("a") - 1000L) <= 60, s"sampled domain kept ${byDom("a")}")
+    // deterministic: independent of partitioning
+    val again = Sampling.domainMix(df.repartition(13), "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("domain mix keeps everything when the data already matches the mix") {
+    val df = ((0L until 500L).map((_, "a")) ++ (500L until 1000L).map((_, "b")))
+      .toDF("id", "dom")
+    val out = Sampling.domainMix(df, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.count() == 1000L) // keep_frac = 1.0 for both
+  }
 }
