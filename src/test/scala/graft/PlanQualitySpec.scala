@@ -102,4 +102,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"))
     assert(!p.contains("SortMergeJoin")) // allowlist broadcasts
   }
+
+  test("q75: per-group HLL is two partial-capable aggregates, never a sort") {
+    val p = plan("q75_hll_distinct")
+    // (group, bucket) max-rho then (group) harmonic sum — both hash
+    // aggregates with map-side partials; a sort-based fallback would
+    // mean the rho column stopped being fixed-width
+    assert(p.contains("partial_max") && p.contains("partial_sum"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q77: skew audit ends in a bounded top-k, not a global sort") {
+    val p = plan("q77_skew_profile").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+    // the two-number totals frame must broadcast into the counts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q82: compaction plan windows over the per-key aggregate, not rows") {
+    val p = plan("q82_compaction_plan")
+    // groupBy(key) BEFORE the cumulative-sum window: the window's input
+    // is the aggregated frame (one row per key), so a partial aggregate
+    // must appear in the plan feeding the Window
+    assert(p.contains("Window"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("q84: contamination check broadcasts the eval side; train never shuffles grams") {
+    val p = plan("q84_contamination").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"))
+    // only the matched (train,eval) hits and the final orderBy shuffle;
+    // the exploded train gram stream itself must not exchange
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q85: packing cumsum partitions by shard (no single-partition window)") {
+    val p = plan("q85_pack_plan")
+    assert(p.contains("Window"))
+    // the window exchange hashes on the shard column, not a global
+    // SinglePartition gather
+    assert(p.contains("hashpartitioning(lang"),
+      "expected a shard-hash exchange feeding the window")
+  }
 }
