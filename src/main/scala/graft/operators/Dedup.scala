@@ -268,17 +268,19 @@ object Dedup {
   def contaminationCheck(train: DataFrame, trainId: String, trainText: String,
                          eval: DataFrame, evalId: String, evalText: String,
                          n: Int, threshold: Double): DataFrame = {
+    graft.plans.HashExpressions.register(train.sparkSession)
+    // native distinct-window-polyhash expr, not the HOF SQL twin: the
+    // train side hashes EVERY corpus document, and the interpreted
+    // transform/aggregate chain was ~10× the whole operator's runtime
     def grams(df: DataFrame, id: String, text: String, pfx: String) =
       df.filter(length(col(text)) >= n)
         .select(col(id).as(s"${pfx}_id"),
-          explode(expr(s"array_distinct(transform(${rawShingleSql(text, n)}, " +
-            s"s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))"))
+          explode(call_function("graft_shingle_polyhashes", col(text), lit(n)))
             .as("gh"))
     val evalGrams = grams(eval, evalId, evalText, "eval")
     val evalSizes = eval.filter(length(col(evalText)) >= n)
       .select(col(evalId).as("eval_id"),
-        size(expr(s"array_distinct(transform(${rawShingleSql(evalText, n)}, " +
-          s"s -> ${polyhashSql("s", graft.plans.HashExpressions.PolyBase1)}))"))
+        size(call_function("graft_shingle_polyhashes", col(evalText), lit(n)))
           .cast("long").as("eval_sz"))
     grams(train, trainId, trainText, "train")
       .join(broadcast(evalGrams), "gh")
