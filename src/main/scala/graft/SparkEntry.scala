@@ -753,6 +753,15 @@ object SparkEntry {
           col("pack_id"), col("spans_boundary"))
         .orderBy("doc_id")),
 
+    "q86_temperature_mix" -> ((s, dir) =>
+      // α=0.5 temperature rebalancing (mT5 recipe): thin head languages
+      // toward √count shares; the rarest language keeps everything
+      Sampling.temperatureMix(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("keep_frac"), col("n_domain"))
+        .orderBy("doc_id")),
+
     // ---- Governance (SURVEY §2.10) --------------------------------------
     "q79_governed_view" -> ((s, dir) => {
       // row policy (semi-join against an allowlist) + column masking +
@@ -1412,6 +1421,20 @@ object SparkEntry {
           |k AS (SELECT lang, n_domain,
           |    LEAST(CAST(1.0 AS DOUBLE), tmax * share / CAST(n_domain AS DOUBLE)) AS keep_frac
           |  FROM s, t),
+          |h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1)
+          |SELECT d.doc_id, d.lang, k.keep_frac, k.n_domain
+          |FROM documents d JOIN k USING (lang) JOIN h2 USING (doc_id)
+          |WHERE CAST(h2.h AS DOUBLE) / 2147483647 < k.keep_frac
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q86_temperature_mix" ->
+        """WITH c AS (SELECT lang, COUNT(*) AS n_domain FROM documents GROUP BY lang),
+          |m AS (SELECT MIN(n_domain) AS mn FROM c),
+          |k AS (SELECT lang, n_domain,
+          |    SQRT(CAST(mn AS DOUBLE) / CAST(n_domain AS DOUBLE)) AS keep_frac
+          |  FROM c, m),
           |h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h FROM documents),
           |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
           |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1)

@@ -82,4 +82,32 @@ object Sampling {
       .filter(Sketches.keyHash(col(keyCol)).cast("double") / P < col("keep_frac"))
       .drop("_dom")
   }
+
+  /** Temperature-based domain rebalancing at α = 0.5 (the mT5/mC4
+    * multilingual recipe): target shares ∝ √count_g, which damps the
+    * head domains and boosts the tail without the full flattening of a
+    * uniform mix. Downsampling only — the over-represented domains are
+    * thinned to the share the √-law assigns them relative to the most
+    * UNDER-represented domain (keep_frac = 1 there), and no row is ever
+    * duplicated.
+    *
+    * keep_frac_g = (√c_g / c_g) / max_h(√c_h / c_h) = √(min_h c_h / c_g):
+    * a closed form needing only per-domain counts and the global min —
+    * same tiny two-aggregate broadcast shape as [[domainMix]]. α is
+    * pinned to 0.5 because IEEE `sqrt` rounds identically everywhere,
+    * while a general `pow(c, α)` is not correctly-rounded and can differ
+    * between engines in the last ulp — poison for an exact-replay gate. */
+  def temperatureMix(df: DataFrame, keyCol: String, domainCol: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("_dom"))
+      .agg(count(lit(1)).as("n_domain"))
+    val minCnt = counts.agg(min("n_domain").as("_min_cnt"))
+    val keep = counts.crossJoin(broadcast(minCnt))
+      .select(col("_dom"),
+        sqrt(col("_min_cnt").cast("double") / col("n_domain").cast("double"))
+          .as("keep_frac"),
+        col("n_domain"))
+    df.join(broadcast(keep), col(domainCol) === col("_dom"))
+      .filter(Sketches.keyHash(col(keyCol)).cast("double") / P < col("keep_frac"))
+      .drop("_dom")
+  }
 }

@@ -407,39 +407,31 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Name → builder for every hash-family function, shared by the
+    * per-session [[register]] and the `spark.sql.extensions` plugin
+    * ([[GraftExtensions]]). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hashes" -> (args => ShingleHashesExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_token_hashes" -> (args => TokenHashesExpr(args(0))),
+    "graft_shingle_polyhashes" -> (args => ShinglePolyHashesExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_token_polyhashes" -> (args => TokenPolyHashesExpr(args(0))),
+    "graft_minhash_sig" -> (args => MinHashSigExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_simhash64" -> (args => SimHash64Expr(args(0))),
+    "graft_inter_size" -> (args => InterSizeExpr(args(0), args(1))),
+    "graft_inter_size_sorted" -> (args => InterSizeSortedExpr(args(0), args(1))),
+    "graft_bloom_probe" -> (args => BloomProbeExpr(args(0),
+      args(1).eval(null).asInstanceOf[ArrayData].toLongArray(),
+      args(2).eval(null).asInstanceOf[Int],
+      args(3).eval(null).asInstanceOf[Int])))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(FunctionIdentifier("graft_shingle_hashes"),
-      new ExpressionInfo(getClass.getName, "graft_shingle_hashes"),
-      args => ShingleHashesExpr(args(0),
-        args(1).eval(null).asInstanceOf[Int]))
-    reg.registerFunction(FunctionIdentifier("graft_token_hashes"),
-      new ExpressionInfo(getClass.getName, "graft_token_hashes"),
-      args => TokenHashesExpr(args(0)))
-    reg.registerFunction(FunctionIdentifier("graft_shingle_polyhashes"),
-      new ExpressionInfo(getClass.getName, "graft_shingle_polyhashes"),
-      args => ShinglePolyHashesExpr(args(0),
-        args(1).eval(null).asInstanceOf[Int]))
-    reg.registerFunction(FunctionIdentifier("graft_token_polyhashes"),
-      new ExpressionInfo(getClass.getName, "graft_token_polyhashes"),
-      args => TokenPolyHashesExpr(args(0)))
-    reg.registerFunction(FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(getClass.getName, "graft_minhash_sig"),
-      args => MinHashSigExpr(args(0), args(1).eval(null).asInstanceOf[Int]))
-    reg.registerFunction(FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(getClass.getName, "graft_simhash64"),
-      args => SimHash64Expr(args(0)))
-    reg.registerFunction(FunctionIdentifier("graft_inter_size"),
-      new ExpressionInfo(getClass.getName, "graft_inter_size"),
-      args => InterSizeExpr(args(0), args(1)))
-    reg.registerFunction(FunctionIdentifier("graft_inter_size_sorted"),
-      new ExpressionInfo(getClass.getName, "graft_inter_size_sorted"),
-      args => InterSizeSortedExpr(args(0), args(1)))
-    reg.registerFunction(FunctionIdentifier("graft_bloom_probe"),
-      new ExpressionInfo(getClass.getName, "graft_bloom_probe"),
-      args => BloomProbeExpr(args(0),
-        args(1).eval(null).asInstanceOf[ArrayData].toLongArray(),
-        args(2).eval(null).asInstanceOf[Int],
-        args(3).eval(null).asInstanceOf[Int]))
+    builders.foreach { case (name, builder) =>
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name), builder)
+    }
   }
 }

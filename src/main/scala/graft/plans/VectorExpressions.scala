@@ -135,10 +135,13 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Name → builder for the vector-math functions, shared by the
+    * per-session [[register]] and [[GraftExtensions]]. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot_product" -> (args => DotProductExpr(args(0), args(1))),
     "graft_cosine_distance" -> (args => CosineDistanceExpr(args(0), args(1))),
     "graft_l2_distance" -> (args => L2DistanceExpr(args(0), args(1))))
+  private def functions = builders
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = functions.foreach { case (name, builder) =>
@@ -153,22 +156,21 @@ object VectorExpressions {
       FunctionIdentifier("graft_cosine_distance"))
 }
 
-/** `spark.sql.extensions`-style plugin: injects the vector functions into
-  * every session built with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+/** `spark.sql.extensions` plugin: injects the ENTIRE graft function
+  * surface — vector math plus the hash/LSH family — into every session
+  * built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * This is the library's standard entry point for SQL-only users (and
+  * for Thrift/Connect servers where per-session `register` calls are
+  * not an option); programmatic users can still call
+  * `VectorExpressions.register` / `HashExpressions.register`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot_product"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_dot_product"),
-      (args: Seq[Expression]) => VectorExpressions.DotProductExpr(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine_distance"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cosine_distance"),
-      (args: Seq[Expression]) => VectorExpressions.CosineDistanceExpr(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_l2_distance"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_l2_distance"),
-      (args: Seq[Expression]) => VectorExpressions.L2DistanceExpr(args(0), args(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    (VectorExpressions.builders ++ HashExpressions.builders).foreach {
+      case (name, builder) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
 }

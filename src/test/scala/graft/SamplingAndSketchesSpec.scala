@@ -100,4 +100,15 @@ class SamplingAndSketchesSpec extends SparkSpec {
     val out = Sampling.domainMix(df, "id", "dom", Map("a" -> 0.5, "b" -> 0.5))
     assert(out.count() == 1000L) // keep_frac = 1.0 for both
   }
+
+  test("temperature mix thins heads by sqrt(min/count) and keeps the tail whole") {
+    // 4000 a / 1000 b / 250 c → keep fracs √(250/4000)=0.25, 0.5, 1.0
+    val df = ((0L until 4000L).map((_, "a")) ++ (4000L until 5000L).map((_, "b"))
+        ++ (5000L until 5250L).map((_, "c"))).toDF("id", "dom")
+    val byDom = Sampling.temperatureMix(df, "id", "dom")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("c") == 250L) // rarest domain: keep_frac exactly 1
+    assert(math.abs(byDom("a") - 1000L) <= 80, s"a kept ${byDom("a")}")
+    assert(math.abs(byDom("b") - 500L) <= 60, s"b kept ${byDom("b")}")
+  }
 }

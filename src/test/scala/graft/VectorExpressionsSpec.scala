@@ -58,7 +58,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
-  test("extensions plugin exposes the same injections without error") {
+  test("extensions plugin injects the full function surface (vector + hash families)") {
     new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // the plugin and register() share one builder list per family, so the
+    // SQL-name surface is identical by construction; pin its breadth here
+    val names = (graft.plans.VectorExpressions.builders
+      ++ graft.plans.HashExpressions.builders).map(_._1)
+    assert(names.size == names.distinct.size)
+    assert(names.toSet.contains("graft_cosine_distance")
+      && names.toSet.contains("graft_minhash_sig")
+      && names.size >= 12)
   }
 }
