@@ -238,6 +238,135 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    "q88_returned_custs" -> ((s, dir) => {
+      // TPC-H Q10 shape: returned-items revenue per customer over a
+      // half-year — facts shuffle on their join keys, nation broadcasts,
+      // and the top-20 plans as TakeOrderedAndProject (no global sort)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q89_order_count_dist" -> ((s, dir) => {
+      // TPC-H Q13 shape: left outer join + double aggregation — order
+      // count per customer INCLUDING zero-order customers, then the
+      // distribution of those counts (second agg input is customer-
+      // cardinality, so the second shuffle is tiny)
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") =!= "F"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    "q90_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity clears a threshold —
+      // the HAVING side reduces lineitem to order cardinality BEFORE any
+      // join, so the join input is the few qualifying orders, not the facts
+      val big = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(dsum(col("l_quantity"), 4).as("sum_qty"))
+        .filter(col("sum_qty") > 350)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("b_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    }),
+
+    "q91_brand_disjunction" -> ((s, dir) => {
+      // TPC-H Q19 shape: OR-of-ANDs predicate mixing fact and dim columns —
+      // nothing prunes the scan, but the whole disjunction stays inside
+      // one whole-stage-codegen'd filter after the join
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 40)))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q92_national_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one supplier-nation's share of a customer-region's
+      // revenue by order year — two broadcast dim pipelines (nation×2,
+      // region, supplier) around one fact shuffle
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val asiaCust = tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")
+            .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
+            / dsum(rev)).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
+    "q93_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+      // revenue — the scalar max is an aggregate of the already-reduced
+      // per-supplier frame, broadcast back (no second scan of the facts)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val perSupp = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum(rev).as("total_revenue"))
+      perSupp
+        .crossJoin(broadcast(perSupp.agg(max("total_revenue").as("_mx"))))
+        .filter(col("total_revenue") === col("_mx"))
+        .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q94_rich_idle_custs" -> ((s, dir) => {
+      // TPC-H Q22 shape: above-average-balance customers with no recent
+      // orders — scalar-avg subquery broadcast as a 1-row frame, anti-join
+      // against recent orders, per-nation rollup
+      val cust = tbl(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(24,6)")).cast("double")
+          / count(lit(1))).as("_avg"))
+      val recent = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("_avg"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("nation")
+    }),
+
     "q53_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (sort-based; round(6) absorbs the
       // engines' different interpolation association)
@@ -737,6 +866,18 @@ object SparkEntry {
       Dedup.contaminationCheck(d, "doc_id", "text",
           eval, "eval_id", "etext", n = 8, threshold = 0.4)
         .orderBy("train_id", "eval_id")
+    }),
+
+    "q87_dup_spans" -> ((s, dir) => {
+      // exact duplicated-span extraction (token 8-grams) over the near-dup
+      // corpus — the substring-level step after pair/cluster detection:
+      // WHICH ranges of a document are copies, not just which documents
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.dupSpans(corpus, "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
     }),
 
     "q85_pack_plan" -> ((s, dir) =>
@@ -1255,6 +1396,97 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+      "q88_returned_custs" ->
+        s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01'
+           |GROUP BY c_custkey, c_name, c_acctbal, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+      "q89_order_count_dist" ->
+        """WITH cnt AS (
+          |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN (
+          |    SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+          |    ON c_custkey = o_custkey
+          |  GROUP BY c_custkey)
+          |SELECT c_count, COUNT(*) AS custdist FROM cnt
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      "q90_big_orders" ->
+        s"""WITH big AS (
+           |  SELECT l_orderkey, ${dsumSql("l_quantity", 4)} AS sum_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING ${dsumSql("l_quantity", 4)} > 350)
+           |SELECT c_custkey, c_name, o_orderkey,
+           |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           |  o_totalprice, sum_qty
+           |FROM orders
+           |JOIN big ON o_orderkey = l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+      "q91_brand_disjunction" ->
+        s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 1 AND 21)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+           |       AND l_quantity BETWEEN 10 AND 30)
+           |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+           |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+      "q92_national_share" ->
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           |  ${dsumSql("CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           |    / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation cn ON c_nationkey = cn.n_nationkey
+           |JOIN region ON cn.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation sn ON s_nationkey = sn.n_nationkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+      "q93_top_supplier" ->
+        s"""WITH pers AS (
+           |  SELECT l_suppkey,
+           |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM pers JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM pers)
+           |ORDER BY s_suppkey""".stripMargin,
+
+      "q94_rich_idle_custs" ->
+        s"""WITH avg_bal AS (
+           |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE)
+           |    / COUNT(*) AS a
+           |  FROM customer WHERE c_acctbal > 0)
+           |SELECT n_name AS nation, COUNT(*) AS n_custs,
+           |  ${dsumSql("c_acctbal")} AS total_bal
+           |FROM customer CROSS JOIN avg_bal
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE c_acctbal > a
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+           |GROUP BY n_name ORDER BY nation""".stripMargin,
 
       "q53_percentiles" ->
         """SELECT l_returnflag,
@@ -1992,6 +2224,7 @@ object SparkEntry {
       "q20_minhash_pairs" -> minhashOracleSql,
       "q56_dedup_clusters" -> dedupClustersOracleSql,
       "q21_simhash_pairs" -> simhashOracleSql,
+      "q87_dup_spans" -> dupSpansOracleSql,
       "q36_embedding_neardup" -> embeddingNearDupOracleSql,
       "q19_mmr" -> mmrOracleSql,
       "q32_embed_search" -> embedSearchOracleSql,
@@ -2195,6 +2428,39 @@ object SparkEntry {
        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  /** Duplicated-span oracle: replay of [[operators.Dedup.dupSpans]] at
+    * n = 8 — identical token two-polynomial hashes (reduced mod p), the
+    * identical window fold, the same ≥2-occurrences gate, and the same
+    * gaps-and-islands merge. list_reduce's first-element init equals the
+    * Spark fold's (0*B + x1) % p == x1 (every th value is already < p). */
+  private def dupSpansOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH corpus AS ($nearDupCorpus),
+       |ths AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |    t -> $tokenHash) AS th
+       |  FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    list_reduce(list_transform(range(CAST(i AS INT) + 1, CAST(i AS INT) + 9),
+       |      j -> th[CAST(j AS INT)]), (a, c) -> (a * $b2 + c) % $HP) AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 7, 0))) AS u(i)),
+       |dpos AS (
+       |  SELECT doc_id, pos FROM grams
+       |  QUALIFY COUNT(*) OVER (PARTITION BY gh) >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dpos)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       |  MAX(pos) - MIN(pos) + 8 AS span_tokens, COUNT(*) AS n_grams
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   private def simhashOracleSql: String = {
     val b1 = graft.plans.HashExpressions.PolyBase1

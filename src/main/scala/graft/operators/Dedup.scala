@@ -291,6 +291,53 @@ object Dedup {
       .filter(col("contamination") >= threshold)
   }
 
+  /** Exact duplicated-SPAN extraction: the token-level analog of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as a
+    * shuffle-friendly positional n-gram index — a distributed suffix
+    * array is impractical, but "every duplicated substring of ≥ L tokens
+    * contains a duplicated n-gram at every position" makes the gram
+    * index an exact detector for spans of ≥ n tokens.
+    *
+    * Pipeline: positional window hashes (native
+    * [[graft.plans.HashExpressions.GramPolyHashesExpr]], one tight loop
+    * per document) → corpus-wide occurrence count per gram hash (window
+    * over the hash — ONE shuffle keyed by a uniform 31-bit hash, no
+    * join-back) → per-document gaps-and-islands merge of consecutive
+    * duplicated positions (pos − row_number) → one span row per island.
+    *
+    * Scale shape: the exchanged stream is (id, pos, hash) ~ 20 bytes per
+    * token — independent of document size; both windows and the final
+    * aggregate partition on uniformly-distributed keys (gram hash, then
+    * doc id). A gram repeated corpus-wide (boilerplate) concentrates in
+    * one partition only for the count, which is a sum — AQE skew split
+    * handles a pathological hot hash.
+    *
+    * A gram is "duplicated" when it occurs ≥ `minDup` times anywhere in
+    * the corpus — including twice within one document, which is exactly
+    * the within-doc boilerplate repetition a training-data pipeline also
+    * wants flagged. Returns (id, span_start, span_end, span_tokens,
+    * n_grams), token positions 0-based inclusive. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+               minDup: Int = 2): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val grams = df.select(col(idCol),
+      posexplode(call_function("graft_gram_polyhashes", col(textCol), lit(n)))
+        .as(Seq("pos", "gh")))
+    val dup = grams
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("_cnt") >= minDup)
+    val wPos = Window.partitionBy(idCol).orderBy("pos")
+    dup.withColumn("_grp", col("pos") - row_number().over(wPos))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n) - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"),
+        col("n_grams"))
+  }
+
   /** Connected components over near-duplicate pairs: every node's label
     * converges to the minimum id in its component — the "keep one document
     * per duplicate CLUSTER" step that follows pair detection in a

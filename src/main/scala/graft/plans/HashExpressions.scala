@@ -166,6 +166,28 @@ object HashExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Positional token-n-gram window hashes: tokenize (same whitespace set
+    * as [[tokenPolyEval]]), reduce each 62-bit token hash mod p, then fold
+    * each n-token window as (acc * B2 + tok) mod p. Index i of the result
+    * is the hash of tokens [i, i+n) — POSITIONS are preserved (no distinct):
+    * the duplicated-span extractor needs to know WHERE a gram sits, not
+    * just that it occurs. Documents shorter than n tokens yield an empty
+    * array. acc < p = 2^31 and B2 < 2^20, so the fold stays under 2^52 —
+    * safe in 64-bit ANSI arithmetic on both engines. */
+  def gramPolyEval(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenPolyEval(s).toLongArray()
+    val m = th.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L; var j = i
+      while (j < i + n) { acc = (acc * PolyBase2 + th(j) % P) % P; j += 1 }
+      out(i) = acc; i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashEval(hs: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val n = hs.numElements()
     val k = as.length
@@ -304,6 +326,21 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Positional token-n-gram window hashes — see [[gramPolyEval]]. */
+  case class GramPolyHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_gram_polyhashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      gramPolyEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.gramPolyEval($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature from pre-reduced hashes: same seeded (a_i, b_i)
     * permutations as Dedup.minhashFromHashes, all minima in one pass. The
     * coefficient arrays ride into generated code as reference objects. */
@@ -417,6 +454,8 @@ object HashExpressions {
     "graft_shingle_polyhashes" -> (args => ShinglePolyHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_token_polyhashes" -> (args => TokenPolyHashesExpr(args(0))),
+    "graft_gram_polyhashes" -> (args => GramPolyHashesExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
     "graft_minhash_sig" -> (args => MinHashSigExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash64" -> (args => SimHash64Expr(args(0))),

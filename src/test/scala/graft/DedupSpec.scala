@@ -106,6 +106,35 @@ class DedupSpec extends SparkSpec {
     assert(got.head._1 == 1L && got.head._2 == 100L && got.head._3 == 1.0)
   }
 
+  test("dup spans: shared token run becomes one maximal span per doc") {
+    // 10 shared tokens; with n=3 the duplicated gram positions are the 8
+    // window starts inside the run, merging to one island per document
+    val run = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val df = Seq(
+      (1L, run + " only1 only2"),
+      (2L, "pre1 pre2 " + run),
+      (3L, "nothing in common with anybody else here")).toDF("id", "text")
+    val got = Dedup.dupSpans(df, "id", "text", n = 3)
+      .select("id", "span_start", "span_end", "span_tokens", "n_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 9L, 10L, 8L), (2L, 2L, 11L, 10L, 8L)))
+  }
+
+  test("dup spans: within-doc repetition flags both copies as spans") {
+    // grams of "p q r s p q r s" at n=3: (p q r) at 0 and 4, (q r s) at 1
+    // and 5 — two islands {0,1} and {4,5}, each spanning 4 tokens
+    val df = Seq((1L, "p q r s p q r s")).toDF("id", "text")
+    val got = Dedup.dupSpans(df, "id", "text", n = 3)
+      .select("span_start", "span_end", "span_tokens", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 3L, 4L, 2L), (4L, 7L, 4L, 2L)))
+  }
+
+  test("dup spans: docs shorter than n tokens yield no grams and no spans") {
+    val df = Seq((1L, "a b"), (2L, "a b")).toDF("id", "text")
+    assert(Dedup.dupSpans(df, "id", "text", n = 3).count() == 0L)
+  }
+
   test("embedding near-dup finds cosine-close pairs within blocks") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

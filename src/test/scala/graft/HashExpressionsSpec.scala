@@ -62,6 +62,36 @@ class HashExpressionsSpec extends SparkSpec {
     assert(n.forall(h => h >= 0 && (h >> 62) == 0))
   }
 
+  test("gram window hashes equal the HOF fold over reduced token hashes") {
+    // declarative twin of gramPolyEval: tokens → two-poly hash mod p →
+    // per-window fold — the same arithmetic the DuckDB oracle replays
+    val p = HashExpressions.P2n31
+    val b2 = HashExpressions.PolyBase2
+    val n = 3
+    val hof = expr(
+      s"""transform(sequence(0, size(_th) - $n),
+         |  i -> aggregate(slice(_th, i + 1, $n), 0L,
+         |    (a, c) -> (a * ${b2}L + c % ${p}L) % ${p}L))""".stripMargin)
+    val rows = df
+      .withColumn("_th", call_function("graft_token_polyhashes", col("text")))
+      .filter(size(col("_th")) >= n)
+      .select(call_function("graft_gram_polyhashes", col("text"), lit(n)).as("native"),
+        hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("gram window hashes keep positions: repeated window repeats its hash") {
+    val g = Seq(("x y x y", 1)).toDF("text", "i")
+      .select(call_function("graft_gram_polyhashes", col("text"), lit(2)))
+      .head().getSeq[Long](0)
+    assert(g.length == 3 && g(0) == g(2) && g(0) != g(1))
+    val short = Seq(("one two", 1)).toDF("text", "i")
+      .select(call_function("graft_gram_polyhashes", col("text"), lit(3)))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("xxhash64-based shingle/token exprs stay available and consistent") {
     val rows = df.select(
       call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"),
