@@ -136,6 +136,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q87: dup spans is two keyed windows + final sort — three exchanges, no joins") {
+    val p = plan("q87_dup_spans").split("== Initial Plan ==").head
+    // gram-hash occurrence window, per-doc islands window, output orderBy —
+    // nothing else may shuffle, and duplicated-gram detection must not
+    // plan as a self-join of the gram stream
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 3, p.linesIterator.take(40).mkString("\n"))
+    assert("Window \\(\\d+\\)".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("q88: returned-customers top-20 is TakeOrderedAndProject over broadcast joins") {
+    val p = plan("q88_returned_custs").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q90: big-orders threshold aggregates lineitem BEFORE the joins") {
+    val p = plan("q90_big_orders").split("== Initial Plan ==").head
+    // the HAVING side reduces to order cardinality pre-join (partial+final
+    // HashAggregate), then the tiny qualifying frame joins broadcast-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q91: the OR-of-ANDs predicate pushes per-relation conjuncts to both scans") {
+    val p = plan("q91_brand_disjunction")
+    // lineitem side: the quantity disjunction reaches the parquet scan;
+    // part side: the brand disjunction reaches its scan
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("Or(And("), "expected the disjunction pushed to a scan")
+  }
+
+  test("q93: scalar-max side broadcasts as a 1-row build (no shuffle-join of the agg)") {
+    val p = plan("q93_top_supplier").split("== Initial Plan ==").head
+    assert(p.contains("Cross BuildRight"), "expected the 1-row max frame broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q94: rich-idle customers anti-join + 1-row avg broadcast") {
+    val p = plan("q94_rich_idle_custs").split("== Initial Plan ==").head
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("Cross BuildRight"), "expected the scalar avg broadcast")
+  }
+
   test("q85: packing cumsum partitions by shard (no single-partition window)") {
     val p = plan("q85_pack_plan")
     assert(p.contains("Window"))
