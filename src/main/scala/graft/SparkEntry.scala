@@ -319,9 +319,14 @@ object SparkEntry {
       val suppNation = tbl(s, dir, "supplier")
         .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      tbl(s, dir, "lineitem")
-        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // reduce orders to ASIA customers BEFORE touching the facts: the
+      // dim-filtered orders side is ~region-share of orders, so the
+      // fact join's build side shrinks 5× (broadcastable far longer)
+      val ordersAsia = tbl(s, dir, "orders")
         .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      tbl(s, dir, "lineitem")
+        .join(ordersAsia, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg((dsum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
@@ -789,6 +794,12 @@ object SparkEntry {
           expr("right(redacted, 40)").as("redacted_tail"))
         .orderBy("doc_id")
     }),
+
+    "q95_rare_bigrams" -> ((s, dir) =>
+      // perplexity-proxy quality gate: per-doc rare-bigram stats against
+      // the corpus's own bigram counts (exact-integer CCNet stand-in)
+      TextQuality.rareBigramStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     "q76_zorder_layout" -> ((s, dir) =>
       // Morton-code clustering: bucket lineitem into 64 z-ranges of
@@ -2225,6 +2236,7 @@ object SparkEntry {
       "q56_dedup_clusters" -> dedupClustersOracleSql,
       "q21_simhash_pairs" -> simhashOracleSql,
       "q87_dup_spans" -> dupSpansOracleSql,
+      "q95_rare_bigrams" -> rareBigramsOracleSql,
       "q36_embedding_neardup" -> embeddingNearDupOracleSql,
       "q19_mmr" -> mmrOracleSql,
       "q32_embed_search" -> embedSearchOracleSql,
@@ -2460,6 +2472,33 @@ object SparkEntry {
        |  MAX(pos) - MIN(pos) + 8 AS span_tokens, COUNT(*) AS n_grams
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** Rare-bigram oracle: replay of TextQuality.rareBigramStats — same
+    * token hashes as [[dupSpansOracleSql]], window size 2, corpus-count
+    * window, per-doc integer rollup; rare_frac is one double division of
+    * two exact integers on both sides. */
+  private def rareBigramsOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH ths AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |    t -> $tokenHash) AS th
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    (th[CAST(i AS INT) + 1] * $b2 + th[CAST(i AS INT) + 2]) % $HP AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
+       |cnt AS (
+       |  SELECT doc_id, COUNT(*) OVER (PARTITION BY gh) AS c FROM grams)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS rare_frac,
+       |  MIN(c) AS min_count
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def simhashOracleSql: String = {

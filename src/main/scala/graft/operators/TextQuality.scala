@@ -122,6 +122,38 @@ object TextQuality {
   /** Email / IPv4 regexes kept to RE2-compatible syntax so Java regex
     * (Spark) and RE2 (DuckDB) agree on every match. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** Perplexity-proxy quality filter without a float LM: per-document
+    * rare-bigram statistics against the corpus's own bigram counts — a
+    * document dominated by corpus-rare bigrams is exactly the document a
+    * CCNet-style LM-perplexity gate (Wenzek et al. 2020) scores badly,
+    * but every number here is integer arithmetic or one double division,
+    * so the DuckDB oracle replays it bit-for-bit (a sum of log-probs
+    * would be association-order-dependent and unverifiable).
+    *
+    * Pipeline: positional bigram hashes (native
+    * `graft_gram_polyhashes(text, 2)` — no string concat), corpus-wide
+    * occurrence count per hash (window over the hash, ONE shuffle, no
+    * join-back against a counts table), then a per-document rollup.
+    * Returns (id, n_bigrams, n_rare, rare_frac, min_count) where a
+    * bigram is "rare" when its corpus count ≤ `rareMax` (its own
+    * occurrence included). */
+  def rareBigramStats(df: DataFrame, idCol: String, textCol: String,
+                      rareMax: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+        explode(call_function("graft_gram_polyhashes", col(textCol), lit(2)))
+          .as("gh"))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        min("_cnt").as("min_count"))
+      .select(col(idCol), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),
+        col("min_count"))
+  }
+
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Count and redact PII-shaped spans (emails, IPv4s). Returns the input

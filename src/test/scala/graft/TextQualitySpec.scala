@@ -43,6 +43,23 @@ class TextQualitySpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 1, "x", 4.0), (2L, 1, "z", 2.0)))
   }
 
+  test("rare-bigram stats match hand computation against the corpus LM") {
+    // corpus bigrams: "a b" ×3 (docs 1,1,2), "b a" ×1 (doc 1), "c d" ×1
+    // (doc 3) — with rareMax=2 the "a b" occurrences are common (count 3),
+    // "b a" and "c d" are rare
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: a b, b a, a b
+      (2L, "a b"),       // bigram: a b
+      (3L, "c d")).toDF("doc_id", "text")
+    val r = TextQuality.rareBigramStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_bigrams", "n_rare", "rare_frac", "min_count")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(r(0) == ((3L, 1L, 1.0 / 3.0, 1L))) // doc 1: b a is rare
+    assert(r(1) == ((1L, 0L, 0.0, 3L)))       // doc 2: a b is common
+    assert(r(2) == ((1L, 1L, 1.0, 1L)))       // doc 3: c d is rare
+  }
+
   test("pii redaction counts and masks emails and ipv4s") {
     val df = Seq(
       (1L, "reach me at bob@corp.example or 192.168.0.12 thanks"),
