@@ -866,6 +866,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("keep_frac"), col("n_domain"))
         .orderBy("doc_id")),
 
+    "q96_domain_cap" -> ((s, dir) =>
+      // C4/RefinedWeb-style per-host page cap: at most 20 docs per source,
+      // chosen by deterministic scrambled-hash rank (stable under
+      // re-partitioning), rank-limit plans as WindowGroupLimit
+      Sampling.domainCap(
+          tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", cap = 20)
+        .orderBy("doc_id")),
+
     "q84_contamination" -> ((s, dir) => {
       // benchmark decontamination: 8-gram containment of each "eval" doc
       // (a substring probe set) in every training doc — containment, not
@@ -1654,6 +1663,15 @@ object SparkEntry {
           |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
           |  MIN(l_shipdate) AS min_key, MAX(l_shipdate) AS max_key
           |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+      "q96_domain_cap" ->
+        """WITH h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |rk AS (SELECT d.doc_id, d.source,
+          |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY h2.h, d.doc_id) AS rk
+          |  FROM documents d JOIN h2 USING (doc_id))
+          |SELECT doc_id, source FROM rk WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
       "q83_domain_mix" ->
         """WITH c AS (SELECT lang, COUNT(*) AS n_domain FROM documents GROUP BY lang),

@@ -97,6 +97,24 @@ object Sampling {
     * pinned to 0.5 because IEEE `sqrt` rounds identically everywhere,
     * while a general `pow(c, α)` is not correctly-rounded and can differ
     * between engines in the last ulp — poison for an exact-replay gate. */
+  /** Per-domain document cap (the C4/RefinedWeb "max pages per host"
+    * gate): keep at most `cap` rows per domain, chosen deterministically
+    * by scrambled key hash (ties by key) — NOT by input order, so the
+    * result is stable under re-partitioning and re-runs. One shuffle on
+    * the domain; the window's rank-limit plans as WindowGroupLimit, so
+    * each partition keeps a cap-sized heap per domain instead of fully
+    * sorting it (hot hosts are exactly where this matters at 100 TB). */
+  def domainCap(df: DataFrame, keyCol: String, domainCol: String,
+                cap: Int): DataFrame = {
+    require(cap > 0, "domainCap: cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(Sketches.keyHash(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
+
   def temperatureMix(df: DataFrame, keyCol: String, domainCol: String): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("_dom"))
       .agg(count(lit(1)).as("n_domain"))

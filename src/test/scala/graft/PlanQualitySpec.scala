@@ -182,6 +182,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Cross BuildRight"), "expected the scalar avg broadcast")
   }
 
+  test("q96: per-domain cap plans as WindowGroupLimit (map-side cap before shuffle)") {
+    val p = plan("q96_domain_cap")
+    // partial + final group-limit: each input partition keeps a cap-sized
+    // heap per domain BEFORE the exchange — a hot host never floods a task
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, "expected partial+final group limit")
+  }
+
   test("q85: packing cumsum partitions by shard (no single-partition window)") {
     val p = plan("q85_pack_plan")
     assert(p.contains("Window"))

@@ -101,6 +101,18 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out.count() == 1000L) // keep_frac = 1.0 for both
   }
 
+  test("domain cap keeps at most cap rows per domain, deterministically") {
+    val df = ((0L until 100L).map((_, "big")) ++ (100L until 105L).map((_, "small")))
+      .toDF("id", "dom")
+    val out = Sampling.domainCap(df, "id", "dom", cap = 10)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("big") == 10L && byDom("small") == 5L)
+    // stable under re-partitioning: same surviving ids
+    val again = Sampling.domainCap(df.repartition(7), "id", "dom", cap = 10)
+    assert(out.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("temperature mix thins heads by sqrt(min/count) and keeps the tail whole") {
     // 4000 a / 1000 b / 250 c → keep fracs √(250/4000)=0.25, 0.5, 1.0
     val df = ((0L until 4000L).map((_, "a")) ++ (4000L until 5000L).map((_, "b"))
