@@ -923,6 +923,51 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("keep_frac"), col("n_domain"))
         .orderBy("doc_id")),
 
+    // ---- Lexical retrieval (beyond ref; pairs with the vector surface) --
+    "q97_inverted_index" -> ((s, dir) =>
+      // index build: (term, doc) partial-count → one per-TERM aggregate;
+      // posting lists emerge sorted by doc id. The output reduces each
+      // list to content/order checksums so the oracle compares scalars
+      // (the array itself is pinned by RetrievalSpec)
+      Retrieval.invertedIndex(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("term"), col("df"), col("cf"),
+          element_at(col("postings"), 1).getField("id").as("first_id"),
+          element_at(col("postings"), -1).getField("id").as("last_id"),
+          expr("aggregate(postings, 0L, (a, p) -> a + p.id * p.tf)")
+            .as("dot_check"),
+          expr("aggregate(zip_with(postings, sequence(1, size(postings)), " +
+            "(p, i) -> p.id * i), 0L, (a, x) -> a + x)").as("ord_check"))
+        .orderBy("term")),
+
+    "q98_bm25" -> ((s, dir) =>
+      // BM25 ranking for a 4-term query: the token explode is filtered to
+      // the query's terms BEFORE the shuffle, corpus stats ride along
+      // broadcast, top-k plans as TakeOrderedAndProject
+      Retrieval.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector", "window"), 20)),
+
+    "q99_c4_lines" -> ((s, dir) => {
+      // C4-style line-level filter over 12-token pseudo-lines (the corpus
+      // has no newlines): keep lines with ≥5 words, no blocklisted word,
+      // first occurrence within the doc; doc kept iff ≥2 lines survive.
+      // Pure map-side HOF logic — zero shuffle
+      val d = tbl(s, dir, "documents")
+        .withColumn("_toks", TextQuality.tokens(col("text")))
+        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+      TextQuality.c4LineFilter(d, "lines", minWords = 5,
+          blocklist = Seq("slow"), minLines = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept"),
+          length(col("kept_text")).as("kept_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q100_classifier" -> ((s, dir) =>
+      // hashed-bigram linear quality classifier (fastText-shaped scoring
+      // against a deterministic weight function): map-side feature hash →
+      // weight fold → mean margin; no shuffle at any scale
+      TextQuality.classifierScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- Governance (SURVEY §2.10) --------------------------------------
     "q79_governed_view" -> ((s, dir) => {
       // row policy (semi-join against an allowlist) + column masking +
@@ -1114,6 +1159,22 @@ object SparkEntry {
       Similarity.ivfSearch(assigned, "embedding", "vec_id", cents, qv, 8, 2)
         .select(col("vec_id"), col("centroid_id"),
           round(col("distance"), 6).as("distance"))
+    }),
+
+    "q101_knn_graph" -> ((s, dir) => {
+      // bucket-local kNN graph (NN-descent/SemDeDup stage 1): IVF-assign
+      // to 8 broadcast centroids, then top-3 cosine neighbors within each
+      // cell — the self-join shuffles only on centroid_id (free when the
+      // corpus is stored partitionBy(centroid_id))
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+        .withColumn("distance", round(col("distance"), 6))
+        .orderBy("id", "rank")
     }),
 
     "q55_multistore_search" -> ((s, dir) => {
@@ -2255,6 +2316,84 @@ object SparkEntry {
       "q21_simhash_pairs" -> simhashOracleSql,
       "q87_dup_spans" -> dupSpansOracleSql,
       "q95_rare_bigrams" -> rareBigramsOracleSql,
+      "q100_classifier" -> classifierOracleSql,
+
+      "q97_inverted_index" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT term, id, COUNT(*) AS tf FROM toks GROUP BY term, id),
+          |pos AS (SELECT term, id, tf,
+          |    row_number() OVER (PARTITION BY term ORDER BY id) AS rn FROM tf)
+          |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+          |  MIN(id) AS first_id, MAX(id) AS last_id,
+          |  CAST(SUM(id * tf) AS BIGINT) AS dot_check,
+          |  CAST(SUM(id * rn) AS BIGINT) AS ord_check
+          |FROM pos GROUP BY term ORDER BY term""".stripMargin,
+
+      "q98_bm25" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  GROUP BY id, dl, term),
+          |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
+          |scored AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM tf JOIN dfq USING (term), stats)
+          |SELECT id,
+          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
+          |  COUNT(*) AS n_matched
+          |FROM scored GROUP BY id
+          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+
+      "q99_c4_lines" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(0, CAST(floor((len(toks) - 1) / 12) AS BIGINT) + 1),
+          |      i -> array_to_string(toks[CAST(i * 12 + 1 AS INT) : CAST(i * 12 + 12 AS INT)], ' '))
+          |    END AS lines
+          |  FROM d),
+          |k AS (SELECT doc_id, lines,
+          |    list_filter(lines, (ln, i) ->
+          |      len(list_filter(str_split(ln, ' '), w -> w <> '')) >= 5
+          |      AND len(list_filter(['slow'], w -> list_contains(str_split(ln, ' '), w))) = 0
+          |      AND list_position(lines, ln) = i) AS kept_lines
+          |  FROM l)
+          |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+          |  CAST(len(kept_lines) AS INT) AS n_kept,
+          |  len(kept_lines) >= 2 AS kept,
+          |  CAST(length(coalesce(array_to_string(kept_lines, ' '), '')) AS INT) AS kept_len
+          |FROM k ORDER BY doc_id""".stripMargin,
+
+      "q101_knn_graph" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |rk AS (SELECT id, nbr_id, distance,
+          |    CAST(row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS INT) AS rank
+          |  FROM p)
+          |SELECT id, rank, nbr_id, round(distance, 6) AS distance
+          |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
       "q36_embedding_neardup" -> embeddingNearDupOracleSql,
       "q19_mmr" -> mmrOracleSql,
       "q32_embed_search" -> embedSearchOracleSql,
@@ -2517,6 +2656,35 @@ object SparkEntry {
        |    AS rare_frac,
        |  MIN(c) AS min_count
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Classifier oracle: replay of TextQuality.classifierScore — the same
+    * positional bigram hashes as [[rareBigramsOracleSql]], then the shared
+    * xorshift-multiply scramble (Sketches.keyHash) as weight source; every
+    * number is integer arithmetic except the final margin division. */
+  private def classifierOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val mix = graft.plans.HashExpressions.Mix
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH ths AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |    t -> $tokenHash) AS th
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    (th[CAST(i AS INT) + 1] * $b2 + th[CAST(i AS INT) + 2]) % $HP AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
+       |h0 AS (SELECT doc_id, (gh * $b1) % $HP AS h FROM grams),
+       |h1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+       |h2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+       |  CAST(SUM(h % 1001 - 500) AS BIGINT) AS raw_margin,
+       |  CAST(CAST(SUM(h % 1001 - 500) AS BIGINT) AS DOUBLE)
+       |    / (COUNT(*) * 1000) AS margin,
+       |  CAST(SUM(h % 1001 - 500) AS BIGINT) > 0 AS label
+       |FROM h2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def simhashOracleSql: String = {

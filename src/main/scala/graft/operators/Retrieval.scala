@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (lexical) retrieval over a text corpus: inverted-index build and
+  * BM25 ranking. Complements the dense-vector surface in [[Similarity]] the
+  * same way the reference pairs its vector store with keyword search
+  * (reference: src/server/app/mcp/tools/vs_retriever.py ranks by vector
+  * distance only; the index/sum shapes here are the standard Lucene/BM25
+  * formulation, Robertson & Zaragoza 2009).
+  *
+  * Scale design:
+  *  - The index build is two hash aggregations: (term, doc) partial-counted
+  *    map-side, then one shuffle keyed by TERM. Posting lists come out of
+  *    `collect_list` inside the term aggregate — each term's postings land
+  *    on one reducer, which is exactly the layout an index shard wants
+  *    (write `partitionBy(bucket(term))` and a query touches one shard).
+  *    Degenerate hot terms (stopwords) are the known skew risk: cap or drop
+  *    them with `maxDf` — at 100 TB a stopword posting list is useless for
+  *    ranking anyway (idf ≈ 0) and would single-reducer-bottleneck the
+  *    build. The cap is applied AFTER the (term,doc) aggregate, where the
+  *    per-term row count is already known, so dropped terms never ship
+  *    their postings.
+  *  - BM25 scoring never materializes a doc × term matrix: the token
+  *    explode is filtered to the query's terms BEFORE the aggregate (the
+  *    shuffle carries only matching (doc, term) pairs), document length and
+  *    the corpus stats ride along as broadcast scalars, and the final
+  *    top-k plans as TakeOrderedAndProject (per-partition k-heaps).
+  *
+  * Oracle parity: tf/df/dl are exact integers; avgdl is one double
+  * division; the per-term BM25 contribution is a fixed parenthesization of
+  * correctly-rounded double ops, so both engines agree bit-for-bit except
+  * for `ln` (idf), whose last-ulp may differ between libm builds — scores
+  * are therefore summed in exact decimal and rounded to 6 decimals, per
+  * NOTES.md parity rule 2.
+  */
+object Retrieval {
+
+  /** Lowercased whitespace tokens (empty-run safe) — the shared analyzer. */
+  def analyze(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => t =!= "")
+
+  /** Inverted index: one row per term with document frequency `df`,
+    * collection frequency `cf`, and the posting list sorted by doc id
+    * (`postings: ARRAY<STRUCT<id, tf>>`). Terms appearing in more than
+    * `maxDf` documents are dropped when `maxDf > 0` (stopword guard — see
+    * class doc for why this matters at scale). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = 0L): DataFrame = {
+    val tf = df
+      .select(col(idCol).cast("long").as("id"), explode(analyze(col(textCol))).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val index = tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("cf"),
+      sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
+    if (maxDf > 0) index.filter(col("df") <= maxDf) else index
+  }
+
+  /** BM25 scores for one bag-of-terms query: top-`k` documents as
+    * (id, score, n_matched). `k1`/`b` are the standard Lucene defaults.
+    * Scores are rounded to 6 decimals (see class doc). */
+  def bm25(df: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"), analyze(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // corpus stats: one tiny aggregate, broadcast into the scorer
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // only the query's terms survive to the shuffle
+    val tf = docs
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val idf = log(
+      (col("n_docs") - col("term_df") + lit(0.5)) / (col("term_df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)).cast("double") /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy("id")
+      .agg(
+        round(sum(col("contrib").cast("decimal(27,15)")).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

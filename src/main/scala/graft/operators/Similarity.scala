@@ -241,6 +241,40 @@ object Similarity {
       vecCol, query, k, "COSINE", idCol)
   }
 
+  /** Bucket-local k-nearest-neighbor graph: for every row of `assigned`
+    * (a corpus carrying `centroid_id` from [[assignNearestCentroid]]), its
+    * `k` nearest cosine neighbors AMONG ROWS OF THE SAME IVF CELL —
+    * the standard first stage of NN-descent / disk-ANN graph builds and of
+    * SemDeDup-style cluster-then-dedup pipelines: candidate generation
+    * never leaves the cell, so the only shuffle is the self-join's hash
+    * exchange on `centroid_id` (co-located for free when the corpus is
+    * stored `partitionBy("centroid_id")`). Recall is the IVF trade-off:
+    * cross-cell true neighbors are missed by construction — size `nlist`
+    * so cells hold ~√N rows and feed an NN-descent refinement for higher
+    * recall. Cell size also bounds the quadratic term: a hot cell of C
+    * rows scores C² pairs — audit with [[graft.operators.DataLayout
+    * .skewProfile]] and split hot cells before building at 100 TB.
+    * Returns (id, rank, nbr_id, distance), ties broken by neighbor id. */
+  def knnGraph(assigned: DataFrame, vecCol: String, idCol: String,
+               k: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.plans.VectorExpressions.register(spark)
+    val left = assigned.select(col("centroid_id"), col(idCol).as("id"),
+      col(vecCol).as("_lv"))
+    val right = assigned.select(col("centroid_id"), col(idCol).as("nbr_id"),
+      col(vecCol).as("_rv"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("distance").asc, col("nbr_id").asc)
+    left.join(right, Seq("centroid_id"))
+      .filter(col("id") =!= col("nbr_id"))
+      .withColumn("distance",
+        call_function("graft_cosine_distance", col("_lv"), col("_rv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"),
+        col("nbr_id"), col("distance"))
+  }
+
   /** IVF-style ANN: assign each corpus row to its nearest of `centroids`
     * (broadcast), then for a query scan only rows whose centroid is among
     * the `nProbe` closest centroids to the query. At cluster scale the

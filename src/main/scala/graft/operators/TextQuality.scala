@@ -164,4 +164,77 @@ object TextQuality {
       .withColumn("redacted",
         regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"))
+
+  /** C4-style line-level corpus filter (Raffel et al. 2020 §2.2 adapted to
+    * this corpus: the C4 heuristics operate per newline-delimited line; the
+    * synthetic corpus has no newlines or punctuation, so callers pass an
+    * already-split `ARRAY<STRING>` lines column — see
+    * [[tokenLines]] for the deterministic splitter the gated query uses).
+    *
+    * Per line, keep iff: (1) at least `minWords` whitespace words,
+    * (2) no blocklisted word, (3) not a duplicate of an earlier line in the
+    * SAME document (C4 dedups repeated boilerplate lines within a page,
+    * keep-first). Per document: drop the document entirely when fewer than
+    * `minLines` lines survive.
+    *
+    * Everything is HOF array logic — pure map-side, zero shuffle, and every
+    * number is an integer count, so the oracle replays it exactly.
+    * Returns (input columns..., n_lines, n_kept, kept, kept_text). */
+  def c4LineFilter(df: DataFrame, linesCol: String, minWords: Int = 5,
+                   blocklist: Seq[String] = Seq("slow"), minLines: Int = 3): DataFrame = {
+    val bl = blocklist.map(w => s"'$w'").mkString("array(", ",", ")")
+    // keep-first within-doc dedup: a line survives only if its first
+    // occurrence index is its own index (array_position is 1-based)
+    val keptExpr = expr(
+      s"""filter($linesCol, (ln, i) ->
+         |  size(filter(split(ln, ' '), w -> w != '')) >= $minWords
+         |  and not exists($bl, w -> array_contains(split(ln, ' '), w))
+         |  and array_position($linesCol, ln) = i + 1)""".stripMargin)
+    df.withColumn("n_lines", size(col(linesCol)))
+      .withColumn("_kept_lines", keptExpr)
+      .withColumn("n_kept", size(col("_kept_lines")))
+      .withColumn("kept", col("n_kept") >= minLines)
+      .withColumn("kept_text", array_join(col("_kept_lines"), " "))
+      .drop("_kept_lines")
+  }
+
+  /** Deterministic `width`-token line splitter for corpora without
+    * newlines: lines are consecutive `width`-token windows of the
+    * pre-tokenized array column `toksCol`, joined by single spaces. (On
+    * real web text you'd `split(text, '\n')` instead.) Takes a COLUMN NAME
+    * of an already-materialized token array — Catalyst does not CSE
+    * interpreted HOFs, so inlining the tokenizer here would re-split per
+    * window (NOTES.md). Empty docs yield an empty line array. */
+  def tokenLines(toksCol: String, width: Int): Column =
+    expr(
+      s"""case when size($toksCol) = 0 then cast(array() as array<string>)
+         |else transform(
+         |  sequence(0, cast(floor((size($toksCol) - 1) / $width) as int)),
+         |  i -> array_join(slice($toksCol, i * $width + 1, $width), ' ')) end""".stripMargin)
+
+  /** Hashed-bigram linear quality classifier (fastText/DCLM-style stand-in:
+    * Joulin et al. 2017 trains weights; here they are a fixed seeded
+    * function of the feature hash, which keeps the OPERATOR shape — feature
+    * hashing, weight lookup, mean margin — while staying replayable in the
+    * oracle). Feature = positional token-bigram hash
+    * (`graft_gram_polyhashes(text, 2)`); weight(h) = scrambleHash(h) mod
+    * 1001 - 500 ∈ [-500, 500]; margin = Σ weight / (1000 · n_features), one
+    * double division at the end. Pure map-side scoring (the aggregate is a
+    * per-row HOF fold, not a shuffle) — exactly how a 100 TB corpus scores
+    * against a broadcast weight table. Returns (id, n_feats, raw_margin,
+    * margin, label). */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_gram_polyhashes", col(textCol), lit(2)).as("_fh"))
+      .withColumn("n_feats", size(col("_fh")))
+      .withColumn("raw_margin",
+        aggregate(col("_fh"), lit(0L),
+          (acc, h) => acc + pmod(Sketches.keyHash(h), lit(1001L)) - lit(500L)))
+      .withColumn("margin",
+        when(col("n_feats") === 0, lit(0.0)).otherwise(
+          col("raw_margin").cast("double") / (col("n_feats") * lit(1000L))))
+      .withColumn("label", (col("raw_margin") > 0).cast("boolean"))
+      .drop("_fh")
+  }
 }

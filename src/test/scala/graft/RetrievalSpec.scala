@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators.{Retrieval, Similarity, TextQuality}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inverted index: postings sorted by doc id, df/cf exact") {
+    val df = Seq((3L, "b a b"), (1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(idx.keySet == Set("a", "b"))
+    def postings(r: Row): Seq[(Long, Long)] =
+      r.getSeq[Row](r.fieldIndex("postings")).toSeq
+        .map(p => (p.getLong(0), p.getLong(1)))
+    val a = idx("a")
+    assert(a.getAs[Long]("df") == 3L && a.getAs[Long]("cf") == 3L)
+    assert(postings(a).map(_._1) == Seq(1L, 2L, 3L))
+    val b = idx("b")
+    assert(b.getAs[Long]("df") == 2L && b.getAs[Long]("cf") == 3L)
+    // (id, tf) pairs, sorted by id; doc 3 has tf 2
+    assert(postings(b) == Seq((1L, 1L), (3L, 2L)))
+  }
+
+  test("inverted index: maxDf drops stopword-grade terms") {
+    val df = Seq((1L, "the x"), (2L, "the y"), (3L, "the z")).toDF("doc_id", "text")
+    val terms = Retrieval.invertedIndex(df, "doc_id", "text", maxDf = 2)
+      .select("term").as[String].collect().toSet
+    assert(terms == Set("x", "y", "z")) // 'the' (df=3) dropped
+  }
+
+  test("bm25: tf monotone, rarer term outweighs common at equal tf") {
+    // docs of equal length; 'rare' in one doc, 'common' in all
+    val df = Seq(
+      (1L, "rare common pad1 pad2"), (2L, "common pad3 pad4 pad5"),
+      (3L, "common pad6 pad7 pad8")).toDF("doc_id", "text")
+    val scores = Retrieval.bm25(df, "doc_id", "text", Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 matches both terms and holds the only 'rare' hit → top score
+    assert(scores(1L) > scores(2L))
+    assert(scores(2L) == scores(3L)) // symmetric docs tie exactly
+    val n = Retrieval.bm25(df, "doc_id", "text", Seq("rare", "common"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n(1L) == 2L && n(2L) == 1L)
+  }
+
+  test("bm25: length normalization favors the shorter doc at equal tf") {
+    val df = Seq(
+      (1L, "term a b"), (2L, "term a b c d e f g h")).toDF("doc_id", "text")
+    val s = Retrieval.bm25(df, "doc_id", "text", Seq("term"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L))
+  }
+
+  test("knn graph: neighbors stay within the IVF cell, ranks deterministic") {
+    // two well-separated clusters → cells never mix
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.05f, 0.8f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+      cents, "cid", "cv")
+    val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 2).collect()
+    val byId = g.groupBy(_.getLong(0))
+    assert(byId.keySet == rows.map(_._1).toSet)
+    // cluster membership: neighbors of 0/1/2 are within {0,1,2}
+    byId.foreach { case (id, nbrs) =>
+      val cell = if (id < 10) Set(0L, 1L, 2L) else Set(10L, 11L, 12L)
+      assert(nbrs.map(_.getAs[Long]("nbr_id")).toSet.subsetOf(cell - id))
+      assert(nbrs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+    }
+  }
+
+  test("c4 line filter: word-count, blocklist, and keep-first dedup rules") {
+    val df = Seq(
+      // line 1 ok; line 2 = dup of 1 (dropped); line 3 blocklisted;
+      // line 4 too short
+      (1L, Seq("alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon",
+        "one two slow four five", "tiny line"))).toDF("doc_id", "lines")
+    val r = TextQuality.c4LineFilter(df, "lines", minWords = 5,
+      blocklist = Seq("slow"), minLines = 2).head()
+    assert(r.getAs[Int]("n_lines") == 4)
+    assert(r.getAs[Int]("n_kept") == 1)
+    assert(!r.getAs[Boolean]("kept"))
+    assert(r.getAs[String]("kept_text") == "alpha beta gamma delta epsilon")
+  }
+
+  test("token lines: fixed-width windows cover all tokens, last line short") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .withColumn("_toks", TextQuality.tokens(col("text")))
+      .withColumn("lines", TextQuality.tokenLines("_toks", 2))
+    val lines = df.select("lines").as[Seq[String]].head()
+    assert(lines == Seq("a b", "c d", "e"))
+  }
+
+  test("classifier score: margin is the mean of per-feature weights") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TextQuality.classifierScore(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_feats") == 2) // bigrams: "a b", "b c"
+    val raw = r.getAs[Long]("raw_margin")
+    assert(raw >= -1000L && raw <= 1000L)
+    assert(r.getAs[Double]("margin") == raw.toDouble / 2000.0)
+    assert(r.getAs[Boolean]("label") == (raw > 0))
+  }
+}
