@@ -112,6 +112,39 @@ object EventStreams {
       }
   }
 
+  case class PackDoc(shard: String, doc_id: Long, tokens: Long)
+  case class PackCursor(cum: Long)
+  case class PackAssign(shard: String, doc_id: Long, tokens: Long,
+                        pack_id: Int, spans_boundary: Boolean)
+
+  /** Streaming sequence packing: the incremental twin of
+    * [[graft.operators.Chunker.packSequences]]. Documents arrive on a
+    * stream; each shard keeps ONE number of state (the running token
+    * total), so state is O(shards) regardless of stream length — the
+    * bounded-state property that makes this viable as a continuous
+    * training-data feed. Within a micro-batch, docs are packed in
+    * `doc_id` order; across batches the cursor carries over, so when the
+    * source delivers docs in per-shard order (e.g. a file source reading
+    * ordered shard files) the assignment is IDENTICAL to the batch
+    * operator's — pinned by StreamingSpec. */
+  def packSequencesStream(docs: Dataset[PackDoc], budget: Long): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackCursor, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: String, it: Iterator[PackDoc], state: GroupState[PackCursor]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val packId = (cum / budget).toInt
+            val spans = ((cum + d.tokens - 1) / budget).toInt > packId
+            cum += d.tokens
+            PackAssign(shard, d.doc_id, d.tokens, packId, spans)
+          }
+          state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
+
   /** Sessionization via Spark's native `session_window` aggregation: one
     * hash-merge aggregation instead of the two window passes + groupBy of
     * [[sessionizeBatch]] (~3× less work on a 1M-row batch). Boundary

@@ -66,4 +66,27 @@ class DataLayoutSpec extends SparkSpec {
     assert(back.agg(sum("v")).as[Long].head() == (0L until 1000L).sum)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("compact write path: per-file key ranges are disjoint and capped") {
+    // the footer-stats contract a reader prunes on: ordered by min key,
+    // file N's max <= file N+1's min (boundaries may share one key), and
+    // no file exceeds maxRecordsPerFile
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toFile
+    val out = s"${dir.getAbsolutePath}/t"
+    val df = (0L until 2000L).map(i => ((i * 7919L) % 100, i)).toDF("k", "v")
+    DataLayout.compact(df, out, "k", nFiles = 4, maxRecordsPerFile = 250)
+    val stats = spark.read.parquet(out)
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+      .orderBy("mn", "mx")
+      .as[(String, Long, Long, Long)].collect()
+    assert(stats.forall(_._4 <= 250L))
+    assert(stats.length >= 8) // 4 ranges, each split by the cap
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"overlapping file ranges: $a vs $b")
+    case _ => ()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -182,4 +182,37 @@ class StreamingSpec extends SparkSpec {
     val bText = after.filter(col("id") === "b_0").select("text").as[String].head()
     assert(bText == "text-b") // modified file's chunk was replaced
   }
+
+  test("streaming sequence packing matches the batch operator across batches") {
+    import graft.streaming.EventStreams.{PackAssign, PackDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      PackDoc("en", 1L, 800L), PackDoc("en", 2L, 900L), PackDoc("en", 3L, 700L),
+      PackDoc("en", 4L, 2500L), PackDoc("de", 1L, 1999L), PackDoc("de", 2L, 1L))
+    val mem = MemoryStream[PackDoc]
+    val q = EventStreams.packSequencesStream(mem.toDS(), budget = 2000L)
+      .writeStream.format("memory").queryName("pack_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // per-shard in-order delivery split across two micro-batches: the
+      // cursor must carry over the batch boundary
+      mem.addData(docs.take(3))
+      q.processAllAvailable()
+      mem.addData(docs.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("pack_test").as[PackAssign].collect()
+        .map(p => (p.shard, p.doc_id) -> ((p.pack_id, p.spans_boundary))).toMap
+      val batch = graft.operators.Chunker.packSequences(
+          docs.toDF("shard", "doc_id", "tokens"), "shard", "doc_id", "tokens", 2000L)
+        .select(col("shard"), col("doc_id"), col("pack_id"), col("spans_boundary"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getInt(2), r.getBoolean(3)))).toMap
+      assert(streamed == batch)
+      // state is one cursor per shard: doc 4 lands after 800+900+700=2400
+      // tokens → pack 1, and crosses into pack 2 (2400+2500-1 div 2000)
+      assert(streamed(("en", 4L)) == ((1, true)))
+      assert(streamed(("de", 2L)) == ((0, false))) // token 1999 fills pack 0 exactly
+    } finally q.stop()
+  }
 }
