@@ -197,4 +197,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"),
       "expected a shard-hash exchange feeding the window")
   }
+
+  test("q98: BM25 joins broadcast (df + stats are tiny); top-k is not a full sort") {
+    val p = plan("q98_bm25").split("== Initial Plan ==").head
+    // term-df and corpus-stats sides ride in broadcast — the (doc, term)
+    // frame never re-shuffles for them
+    assert(!p.contains("SortMergeJoin"), "expected broadcast joins only")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q97: index build is two aggregates; nothing else shuffles") {
+    val p = plan("q97_inverted_index").split("== Initial Plan ==").head
+    // (term, id) partial+final, then per-term partial+final collect_list,
+    // plus the presentation orderBy — at most 3 exchanges, no joins
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 3,
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q101: kNN graph — broadcast centroid assign, one equi-join on the cell id") {
+    val full = plan("q101_knn_graph")
+    val p = full.split("== Initial Plan ==").head
+    // pair generation is an EQUI-join on centroid_id (cell-local work; AQE
+    // may choose broadcast-hash at tiny SF) — never a cartesian expansion
+    assert(!p.contains("CartesianProduct"))
+    assert("Join Inner".r.findAllIn(full).nonEmpty || full.contains("HashJoin"))
+    assert(full.contains("centroid_id"), "expected the self-join keyed on centroid_id")
+  }
+
+  test("q99/q100: line filter and classifier stay map-side (no mid-plan exchange)") {
+    for (q <- Seq("q99_c4_lines", "q100_classifier")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      // one exchange only: the final presentation orderBy
+      assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 1,
+        s"$q grew a shuffle:\n" + p.linesIterator.take(25).mkString("\n"))
+      assert(!p.contains("Join"))
+    }
+  }
 }
