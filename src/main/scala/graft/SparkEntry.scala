@@ -968,6 +968,54 @@ object SparkEntry {
       TextQuality.classifierScore(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q102_hll_merge" -> ((s, dir) => {
+      // shard-mergeable HLL: per-(shard, group) register tables — what a
+      // 1000-executor pipeline PERSISTS per partition — then a max-merge
+      // and finish that never rescans the raw keys. Register max is
+      // associative/commutative, so any merge tree gives the identical
+      // estimate (spec-pinned against the direct single-pass sketch)
+      val ev = events(s, dir)
+        .withColumn("shard", (col("event_id") % 4).cast("int"))
+      val regs = Sketches.hllRegisters(ev, Seq("shard", "event_type"), "user_id")
+      Sketches.hllMergeEstimate(regs, "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q103_ann_recall" -> ((s, dir) => {
+      // ANN quality gate: recall@3 of the declarative batch IVF probe
+      // (nProbe=2 of 8 cells, probe set broadcast — the corpus never
+      // shuffles) against the exact top-3 — the measurement that decides
+      // whether an IVF config is safe to trust at full scale
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
+        centroids, "cid", "cv", queries, "qv", "qid", 3, 2)
+      val exact = Similarity.topKBatch(e, "embedding", "vec_id",
+        queries, "qv", "qid", 3)
+      Similarity.recallAtK(approx, exact, "query_id", "vec_id", 3)
+        .orderBy("query_id")
+    }),
+
+    "q104_index_store" -> ((s, dir) => {
+      // persisted inverted index, bucketed by term hash: a term lookup is
+      // a partition-pruned scan of |terms| bucket directories, not the
+      // full index (IndexStoreSpec pins the PartitionFilters)
+      val idx = Retrieval.invertedIndex(tbl(s, dir, "documents"), "doc_id", "text")
+      val root = sys.props("java.io.tmpdir") + "/graft-index-store"
+      store.IndexStore.write(idx, root, nBuckets = 8)
+      store.IndexStore.lookup(s, root, Seq("spark", "join", "vector"), 8)
+        .select(col("term"), col("df"), col("cf"),
+          expr("aggregate(postings, 0L, (a, p) -> a + p.id * p.tf)")
+            .as("dot_check"))
+        .orderBy("term")
+    }),
+
     // ---- Governance (SURVEY §2.10) --------------------------------------
     "q79_governed_view" -> ((s, dir) => {
       // row policy (semi-join against an allowlist) + column masking +
@@ -2317,6 +2365,65 @@ object SparkEntry {
       "q87_dup_spans" -> dupSpansOracleSql,
       "q95_rare_bigrams" -> rareBigramsOracleSql,
       "q100_classifier" -> classifierOracleSql,
+
+      // Same register replay as q75 (shard-merge collapses exactly to the
+      // direct sketch because max is associative): reuse that arithmetic.
+      "q102_hll_merge" ->
+        s"""WITH ev AS (SELECT event_type, user_id AS key FROM events),
+          |kh0 AS (SELECT event_type, (key * 1000003) % 2147483647 AS a0 FROM ev),
+          |kh1 AS (SELECT event_type, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+          |kh2 AS (SELECT event_type, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+          |br AS (SELECT event_type, h >> 26 AS b,
+          |    CASE WHEN (h & 67108863) = 0 THEN 27
+          |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+          |mb AS (SELECT event_type, b, MAX(rho) AS mx FROM br GROUP BY event_type, b),
+          |hs AS (SELECT event_type,
+          |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+          |    COUNT(*) AS nb FROM mb GROUP BY event_type)
+          |SELECT event_type,
+          |  ${Sketches.hllFactor(5)} / CAST(present + (32 - nb) * 134217728 AS DOUBLE) AS hll_est
+          |FROM hs ORDER BY event_type""".stripMargin,
+
+      "q103_ann_recall" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |probe AS (SELECT query_id, qv, cid FROM (
+          |    SELECT q.query_id, q.qv, c.cid,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_distance(qv, c.cv), c.cid) AS rn
+          |    FROM q, c) WHERE rn <= 2),
+          |approx AS (SELECT query_id, vec_id FROM (
+          |    SELECT p.query_id, a.vec_id,
+          |      row_number() OVER (PARTITION BY p.query_id
+          |        ORDER BY 1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv),
+          |          a.vec_id) AS rk
+          |    FROM a JOIN probe p ON a.centroid_id = p.cid) WHERE rk <= 3),
+          |exact AS (SELECT query_id, vec_id FROM (
+          |    SELECT q.query_id, e.vec_id,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+          |          e.vec_id) AS rk
+          |    FROM embeddings e, q) WHERE rk <= 3)
+          |SELECT x.query_id, COUNT(*) AS n_hit, CAST(COUNT(*) AS DOUBLE) / 3 AS recall
+          |FROM exact x JOIN approx ap USING (query_id, vec_id)
+          |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
+      "q104_index_store" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT term, id, COUNT(*) AS tf FROM toks GROUP BY term, id)
+          |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+          |  CAST(SUM(id * tf) AS BIGINT) AS dot_check
+          |FROM tf WHERE term IN ('spark', 'join', 'vector')
+          |GROUP BY term ORDER BY term""".stripMargin,
 
       "q97_inverted_index" ->
         """WITH toks AS (SELECT doc_id AS id,

@@ -241,6 +241,53 @@ object Similarity {
       vecCol, query, k, "COSINE", idCol)
   }
 
+  /** Batch IVF probe, fully declarative: each query searches only the
+    * `nProbe` cells whose centroids are nearest it. The probe set
+    * (queries × nProbe, small by construction) BROADCASTS into an
+    * equi-join on `centroid_id` — the corpus never shuffles and, stored
+    * `partitionBy("centroid_id")`, only probed partitions are scanned.
+    * Returns (query_id, rank, idCol, distance) like [[topKBatch]];
+    * recall < 1 is the IVF trade-off — measure it with [[recallAtK]]. */
+  def ivfSearchBatch(assigned: DataFrame, vecCol: String, idCol: String,
+                     centroids: DataFrame, cidCol: String, cvecCol: String,
+                     queries: DataFrame, queryVecCol: String, queryIdCol: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(assigned.sparkSession)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("_cdist").asc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("_qv"))
+      .crossJoin(broadcast(centroids.select(
+        col(cidCol).as("centroid_id"), col(cvecCol).as("_cv"))))
+      .withColumn("_cdist", call_function("graft_l2_distance", col("_qv"), col("_cv")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select(col("centroid_id"), col("query_id"), col("_qv"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("distance",
+        call_function("graft_cosine_distance", col(vecCol), col("_qv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col(idCol), col("distance"))
+  }
+
+  /** Recall@k of an approximate result set against the exact one: both
+    * frames carry (queryIdCol, idCol); recall = |approx ∩ exact| / k per
+    * query. The standard ANN quality gate — run it on a sampled query set
+    * before trusting an IVF/LSH configuration at full scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryIdCol: String,
+                idCol: String, k: Int): DataFrame = {
+    val a = approx.select(col(queryIdCol), col(idCol))
+    val e = exact.select(col(queryIdCol), col(idCol))
+    e.join(a, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hit"))
+      .select(col(queryIdCol), col("n_hit"),
+        (col("n_hit").cast("double") / k).as("recall"))
+  }
+
   /** Bucket-local k-nearest-neighbor graph: for every row of `assigned`
     * (a corpus carrying `centroid_id` from [[assignNearestCentroid]]), its
     * `k` nearest cosine neighbors AMONG ROWS OF THE SAME IVF CELL —

@@ -141,17 +141,38 @@ object Sketches {
     * Raw-regime HLL (no small-range linear-counting branch): callers pick
     * bucketBits so expected cardinality > 2.5·m. */
   def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
-                         bucketBits: Int = 5): DataFrame = {
-    val m = 1 << bucketBits
+                         bucketBits: Int = 5): DataFrame =
+    hllMergeEstimate(hllRegisters(df, Seq(groupCol), keyCol, bucketBits),
+      groupCol, bucketBits)
+
+  /** The MERGEABLE form of the per-group HLL: one row per (groupCols…, b)
+    * with the register value mx = max rho. This is the sketch a 100 TB
+    * pipeline persists per shard/partition — registers from any number of
+    * shards union and re-aggregate with max() ([[hllMergeEstimate]])
+    * WITHOUT rescanning the raw keys, because max is associative and
+    * commutative. m registers per group bound the sketch size. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                   bucketBits: Int = 5): DataFrame = {
     val rhoBits = 31 - bucketBits
     val h = keyHash(col(keyCol))
     val bucket = shiftright(h, rhoBits)
     val r = h.bitwiseAND(lit((1L << rhoBits) - 1))
     val rho = when(r === 0, lit(rhoBits + 1))
       .otherwise(lit(rhoBits + 1) - length(bin(r)))
+    df.select(groupCols.map(col) :+ bucket.as("b") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("b"): _*).agg(max("rho").as("mx"))
+  }
+
+  /** Merge register tables (max per bucket) and finish the raw-regime HLL
+    * estimate — the second-level aggregation over [[hllRegisters]] output
+    * from one or many shards. */
+  def hllMergeEstimate(registers: DataFrame, groupCol: String,
+                       bucketBits: Int = 5): DataFrame = {
+    val m = 1 << bucketBits
+    val rhoBits = 31 - bucketBits
     val factor = hllFactor(bucketBits)
-    df.select(col(groupCol), bucket.as("b"), rho.as("rho"))
-      .groupBy(col(groupCol), col("b")).agg(max("rho").as("mx"))
+    registers
+      .groupBy(col(groupCol), col("b")).agg(max("mx").as("mx"))
       .groupBy(col(groupCol))
       .agg(sum(expr(s"shiftleft(1L, ${rhoBits + 1} - mx)")).as("present"),
         count(lit(1)).as("nb"))

@@ -22,6 +22,28 @@ class IvfAndViewsSpec extends SparkSpec {
     assert(hits == Seq(2L, 1L)) // only bucket 0 scanned; nearest first
   }
 
+  test("batch IVF probe matches the single-query probe per query") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.95f))).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0f, 0.0f), 1 -> Seq(0.0f, 1.0f))
+    val centsDf = cents.toDF("cid", "cv")
+    val assigned = Similarity.assignNearestCentroid(
+      corpus, "embedding", "vec_id", centsDf, "cid", "cv")
+    val queries = Seq((100L, Seq(0.9f, 0.1f)), (200L, Seq(0.1f, 0.9f)))
+    val batch = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
+        centsDf, "cid", "cv", queries.toDF("qid", "qv"), "qv", "qid",
+        k = 2, nProbe = 1)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+          cents, qv, k = 2, nProbe = 1)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid).sortBy(_._2).map(_._3).toSeq == single)
+    }
+  }
+
   test("assignNearestCentroid matches ivfAssign's literal-centroid variant") {
     val corpus = (1 to 50).map { i =>
       (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat))

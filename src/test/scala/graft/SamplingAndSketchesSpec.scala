@@ -123,4 +123,32 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(math.abs(byDom("a") - 1000L) <= 80, s"a kept ${byDom("a")}")
     assert(math.abs(byDom("b") - 500L) <= 60, s"b kept ${byDom("b")}")
   }
+
+  test("HLL registers merge to the exact same estimate as the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 3000L).map(i => (i % 97 + i / 800 * 1000, s"g${i % 3}", i % 5))
+      .toDF("key", "g", "shard")
+    val direct = Sketches.hllDistinctByGroup(df, "g", "key", 5)
+      .as[(String, Double)].collect().toMap
+    // shard-level register tables (what each partition persists), merged
+    val regs = Sketches.hllRegisters(df, Seq("shard", "g"), "key", 5)
+    val merged = Sketches.hllMergeEstimate(regs, "g", 5)
+      .as[(String, Double)].collect().toMap
+    assert(merged == direct) // max is associative: any merge tree is exact
+    // register table is bounded: ≤ m rows per (shard, group)
+    val maxRegs = regs.groupBy("shard", "g").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxRegs <= 32L)
+  }
+
+  test("recall@k matches hand-computed overlap per query") {
+    import graft.operators.Similarity
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L)).toDF("qid", "id")
+    val r = Similarity.recallAtK(approx, exact, "qid", "id", 2)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, 0.5)))
+    assert(r(2L) == ((1L, 0.5)))
+  }
 }
