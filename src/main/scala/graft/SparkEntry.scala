@@ -968,6 +968,24 @@ object SparkEntry {
       TextQuality.classifierScore(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q105_cms_merge" -> ((s, dir) => {
+      // shard-mergeable count-min: per-shard 4×1024 grids (what each
+      // ingest partition persists), summed into one grid — cells are
+      // linear, so the merged grid is bit-identical to the single-pass
+      // one (spec-pinned); heavy-hitter estimates read the merged grid
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_partkey").as("key"),
+          (col("l_orderkey") % 4).cast("int").as("shard"))
+      val merged = Sketches.cmsMerge(
+        Sketches.cmsCountersSharded(li, Seq("shard"), "key", 4, 1024))
+      val top = li.groupBy("key").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("key")).limit(10)
+      Sketches.cmsEstimate(top, "key", merged, 4, 1024)
+        .join(top, "key")
+        .select(col("key"), col("true_cnt"), col("cms_est"))
+        .orderBy(desc("true_cnt"), col("key"))
+    }),
+
     "q102_hll_merge" -> ((s, dir) => {
       // shard-mergeable HLL: per-(shard, group) register tables — what a
       // 1000-executor pipeline PERSISTS per partition — then a max-merge
@@ -1968,29 +1986,10 @@ object SparkEntry {
           |  (SELECT COUNT(*) FROM flagged
           |   WHERE key NOT IN (SELECT key FROM build)) AS n_false_pos""".stripMargin,
 
-      "q74_cms_heavy_hitters" ->
-        """WITH keys AS (SELECT l_partkey AS key FROM lineitem),
-          |ch0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
-          |    (key * 999983) % 2147483647 AS b0 FROM keys),
-          |ch1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
-          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ch0),
-          |ch2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
-          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ch1),
-          |cells AS (SELECT d, (h1 + d * h2) % 1024 AS pos, COUNT(*) AS c
-          |  FROM ch2, unnest(range(0, 4)) AS t(d) GROUP BY d, pos),
-          |top AS (SELECT key, COUNT(*) AS true_cnt FROM keys GROUP BY key
-          |  ORDER BY true_cnt DESC, key LIMIT 10),
-          |th0 AS (SELECT key, true_cnt, (key * 1000003) % 2147483647 AS a0,
-          |    (key * 999983) % 2147483647 AS b0 FROM top),
-          |th1 AS (SELECT key, true_cnt, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
-          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM th0),
-          |th2 AS (SELECT key, true_cnt, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
-          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM th1),
-          |tpos AS (SELECT key, true_cnt, d, (h1 + d * h2) % 1024 AS pos
-          |  FROM th2, unnest(range(0, 4)) AS t(d))
-          |SELECT key, true_cnt, MIN(COALESCE(c, CAST(0 AS BIGINT))) AS cms_est
-          |FROM tpos LEFT JOIN cells USING (d, pos)
-          |GROUP BY key, true_cnt ORDER BY true_cnt DESC, key""".stripMargin,
+      "q74_cms_heavy_hitters" -> cmsHeavyHittersOracleSql,
+      // shard-merged CMS grid ≡ the single-pass grid (cells are linear
+      // counts), so the merge query replays against the same oracle
+      "q105_cms_merge" -> cmsHeavyHittersOracleSql,
 
       "q75_hll_distinct" ->
         s"""WITH ev AS (SELECT event_type, user_id AS key FROM events),
@@ -2764,6 +2763,33 @@ object SparkEntry {
        |  MIN(c) AS min_count
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** CMS heavy-hitter oracle (q74 and its shard-merge twin q105 — the
+    * merged grid is bit-identical to the single-pass one, so both replay
+    * against the same SQL). */
+  private def cmsHeavyHittersOracleSql: String =
+    """WITH keys AS (SELECT l_partkey AS key FROM lineitem),
+      |ch0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+      |    (key * 999983) % 2147483647 AS b0 FROM keys),
+      |ch1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+      |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ch0),
+      |ch2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+      |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ch1),
+      |cells AS (SELECT d, (h1 + d * h2) % 1024 AS pos, COUNT(*) AS c
+      |  FROM ch2, unnest(range(0, 4)) AS t(d) GROUP BY d, pos),
+      |top AS (SELECT key, COUNT(*) AS true_cnt FROM keys GROUP BY key
+      |  ORDER BY true_cnt DESC, key LIMIT 10),
+      |th0 AS (SELECT key, true_cnt, (key * 1000003) % 2147483647 AS a0,
+      |    (key * 999983) % 2147483647 AS b0 FROM top),
+      |th1 AS (SELECT key, true_cnt, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+      |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM th0),
+      |th2 AS (SELECT key, true_cnt, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+      |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM th1),
+      |tpos AS (SELECT key, true_cnt, d, (h1 + d * h2) % 1024 AS pos
+      |  FROM th2, unnest(range(0, 4)) AS t(d))
+      |SELECT key, true_cnt, MIN(COALESCE(c, CAST(0 AS BIGINT))) AS cms_est
+      |FROM tpos LEFT JOIN cells USING (d, pos)
+      |GROUP BY key, true_cnt ORDER BY true_cnt DESC, key""".stripMargin
 
   /** Classifier oracle: replay of TextQuality.classifierScore — the same
     * positional bigram hashes as [[rareBigramsOracleSql]], then the shared

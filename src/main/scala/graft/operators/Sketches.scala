@@ -112,6 +112,27 @@ object Sketches {
       .groupBy("d", "pos").agg(count(lit(1)).as("c"))
   }
 
+  /** Per-shard CMS counter grids: [[cmsCounters]] keyed additionally by
+    * `shardCols` — the persistable form. Count-min cells are LINEAR
+    * (c = Σ shard cells), so shards write their own grids and any number
+    * of them later merge with [[cmsMerge]] without rescanning keys —
+    * the additive twin of [[hllRegisters]]' max-merge. */
+  def cmsCountersSharded(df: DataFrame, shardCols: Seq[String], keyCol: String,
+                         depth: Int, width: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L))
+    df.select(shardCols.map(col) :+ posexplode(array((0 until depth).map(d =>
+        pmod(h1 + lit(d.toLong) * h2, lit(width))): _*)).as(Seq("d", "pos")): _*)
+      .groupBy(shardCols.map(col) :+ col("d") :+ col("pos"): _*)
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge sharded CMS grids by summing cells — yields exactly the grid
+    * [[cmsCounters]] builds in one pass over the union of the shards. */
+  def cmsMerge(counters: DataFrame): DataFrame =
+    counters.groupBy("d", "pos").agg(sum("c").as("c"))
+
   /** Point estimates from a CMS counter frame: min over the depth rows of
     * the key's counter cells (≥ true count, never under). Counters join
     * broadcast — the grid is tiny by construction. */

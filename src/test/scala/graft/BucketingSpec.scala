@@ -37,4 +37,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("partitioned fact + filtered dim join dynamic-partition-prunes the scan") {
+    // the OTHER scan-pruning pillar at 100 TB: a fact table partitioned by
+    // a dim-derived key only reads the partitions the dim filter selects —
+    // the partition filter arrives at RUNTIME from the broadcast side
+    val dir = Files.createTempDirectory("graft_dpp").toFile
+    val fact = (0L until 5000L)
+      .map(i => (i, s"p${i % 10}", i * 2)).toDF("id", "part_key", "v")
+    fact.write.partitionBy("part_key").mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/fact")
+    Seq(("p3", "keep"), ("p7", "keep"), ("p3x", "drop"))
+      .toDF("part_key", "tag")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/dim")
+    val dim = spark.read.parquet(s"${dir.getAbsolutePath}/dim")
+    val joined = spark.read.parquet(s"${dir.getAbsolutePath}/fact")
+      .join(dim.filter(col("tag") === "keep"), "part_key")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "expected a runtime dynamicpruning partition filter:\n" +
+        p.linesIterator.take(25).mkString("\n"))
+    assert(joined.count() == 1000L) // 2 of 10 partitions survive
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -141,6 +141,16 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(maxRegs <= 32L)
   }
 
+  test("sharded CMS grids merge to exactly the single-pass grid") {
+    val df = (0L until 2000L).map(i => (i % 37, (i % 6).toInt)).toDF("key", "shard")
+    val direct = Sketches.cmsCounters(df, "key", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsCountersSharded(df, Seq("shard"), "key", 4, 64))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct) // cells are linear: Σ shard grids ≡ one pass
+  }
+
   test("recall@k matches hand-computed overlap per query") {
     import graft.operators.Similarity
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "id")
