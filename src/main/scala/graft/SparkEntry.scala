@@ -968,6 +968,21 @@ object SparkEntry {
       TextQuality.classifierScore(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "q106_index_bm25" -> ((s, dir) => {
+      // BM25 served FROM the persisted bucketed index (q104's store):
+      // posting lookup partition-prunes to |terms| buckets, the matched
+      // postings broadcast into the doc-length join — the corpus-sized
+      // side never shuffles. Arithmetic-identical to q98 (same oracle)
+      val d = tbl(s, dir, "documents")
+      val idx = Retrieval.invertedIndex(d, "doc_id", "text")
+      val root = sys.props("java.io.tmpdir") + "/graft-index-store-bm25"
+      store.IndexStore.write(idx, root, nBuckets = 8)
+      val dl = d.select(col("doc_id").cast("long").as("id"),
+        size(Retrieval.analyze(col("text"))).cast("long").as("dl"))
+      Retrieval.bm25FromIndex(s, root, 8, dl,
+        Seq("spark", "join", "vector", "window"), 20)
+    }),
+
     "q105_cms_merge" -> ((s, dir) => {
       // shard-mergeable count-min: per-shard 4×1024 grids (what each
       // ingest partition persists), summed into one grid — cells are
@@ -2437,28 +2452,10 @@ object SparkEntry {
           |  CAST(SUM(id * rn) AS BIGINT) AS ord_check
           |FROM pos GROUP BY term ORDER BY term""".stripMargin,
 
-      "q98_bm25" ->
-        """WITH docs AS (SELECT doc_id AS id,
-          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-          |  FROM documents),
-          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
-          |stats AS (SELECT COUNT(*) AS n_docs,
-          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-          |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
-          |    SELECT id, dl, unnest(t) AS term FROM dl)
-          |  WHERE term IN ('spark', 'join', 'vector', 'window')
-          |  GROUP BY id, dl, term),
-          |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
-          |scored AS (SELECT id,
-          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
-          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
-          |      AS contrib
-          |  FROM tf JOIN dfq USING (term), stats)
-          |SELECT id,
-          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
-          |  COUNT(*) AS n_matched
-          |FROM scored GROUP BY id
-          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+      "q98_bm25" -> bm25OracleSql,
+      // index-served BM25 is arithmetic-identical to the scan path —
+      // same oracle proves the persisted index serves the same scores
+      "q106_index_bm25" -> bm25OracleSql,
 
       "q99_c4_lines" ->
         """WITH d AS (SELECT doc_id,
@@ -2763,6 +2760,32 @@ object SparkEntry {
        |  MIN(c) AS min_count
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** BM25 oracle (q98 scan path and q106 index-serving path — the scorer
+    * is shared, so both produce bit-identical top-k). ln's last ulp is not
+    * cross-engine safe: contributions sum in exact decimal, round(,6). */
+  private def bm25OracleSql: String =
+    """WITH docs AS (SELECT doc_id AS id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT id, dl, unnest(t) AS term FROM dl)
+      |  WHERE term IN ('spark', 'join', 'vector', 'window')
+      |  GROUP BY id, dl, term),
+      |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
+      |scored AS (SELECT id,
+      |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+      |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      |      AS contrib
+      |  FROM tf JOIN dfq USING (term), stats)
+      |SELECT id,
+      |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
+      |  COUNT(*) AS n_matched
+      |FROM scored GROUP BY id
+      |ORDER BY score DESC, id LIMIT 20""".stripMargin
 
   /** CMS heavy-hitter oracle (q74 and its shard-merge twin q105 — the
     * merged grid is bit-identical to the single-pass one, so both replay

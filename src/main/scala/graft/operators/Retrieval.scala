@@ -66,16 +66,29 @@ object Retrieval {
            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = df.select(col(idCol).cast("long").as("id"), analyze(col(textCol)).as("t"))
       .select(col("id"), col("t"), size(col("t")).cast("long").as("dl"))
-    // corpus stats: one tiny aggregate, broadcast into the scorer
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // only the query's terms survive to the shuffle
     val tf = docs
       .select(col("id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    scoreBm25(tf, dfreq, docLengthStats(docs.select(col("id"), col("dl"))),
+      k, k1, b)
+  }
+
+  /** (n_docs, avgdl) from a (id, dl) frame — one tiny aggregate that
+    * broadcasts into the scorer. */
+  def docLengthStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Shared BM25 finish over a per-(id, dl, term) tf frame + per-term df
+    * frame + 1-row stats frame: idf · tf-norm summed in exact decimal,
+    * rounded to 6, top-k. Used by both the scan path ([[bm25]]) and the
+    * index-serving path ([[bm25FromIndex]]) — identical arithmetic, so
+    * both replay against the same oracle. */
+  private def scoreBm25(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                        k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(
       (col("n_docs") - col("term_df") + lit(0.5)) / (col("term_df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf") * (lit(k1) + 1.0)).cast("double") /
@@ -89,5 +102,26 @@ object Retrieval {
         count(lit(1)).as("n_matched"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** BM25 served from a PERSISTED index ([[graft.store.IndexStore]]):
+    * posting lists for the query's terms come from a partition-pruned
+    * lookup (|terms| buckets read, not the corpus), document lengths from
+    * a precomputed (id, dl) side table. The exploded postings frame is
+    * tiny (matched docs only) and broadcasts into the dl join, so the
+    * heavy side never shuffles — the serving shape of a 100 TB index.
+    * Output and arithmetic are identical to [[bm25]] (same oracle). */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    nBuckets: Int, docLengths: DataFrame, queryTerms: Seq[String],
+                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = graft.store.IndexStore.lookup(spark, indexPath, queryTerms, nBuckets)
+    val tf = postings
+      .select(col("term"), col("df").as("term_df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("term_df"), col("p.id").as("id"), col("p.tf").as("tf"))
+    val dfreq = tf.select(col("term"), col("term_df")).distinct()
+    val matched = broadcast(tf.select(col("term"), col("id"), col("tf")))
+      .join(docLengths.select(col("id"), col("dl")), "id")
+    scoreBm25(matched, dfreq, docLengthStats(docLengths.select(col("id"), col("dl"))),
+      k, k1, b)
   }
 }

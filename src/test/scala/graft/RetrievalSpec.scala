@@ -54,6 +54,26 @@ class RetrievalSpec extends SparkSpec {
     assert(s(1L) > s(2L))
   }
 
+  test("index-served BM25 equals the scan-path scores exactly") {
+    val df = Seq(
+      (1L, "apple banana apple cherry"), (2L, "banana cherry date"),
+      (3L, "apple fig grape here pad"), (4L, "cherry cherry cherry pad"))
+      .toDF("doc_id", "text")
+    val terms = Seq("apple", "cherry")
+    val scan = Retrieval.bm25(df, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toFile
+    val path = s"${dir.getAbsolutePath}/idx"
+    graft.store.IndexStore.write(
+      Retrieval.invertedIndex(df, "doc_id", "text"), path, nBuckets = 4)
+    val dl = df.select(col("doc_id").cast("long").as("id"),
+      size(Retrieval.analyze(col("text"))).cast("long").as("dl"))
+    val served = Retrieval.bm25FromIndex(spark, path, 4, dl, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served == scan) // same arithmetic, same order, bit-identical
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("knn graph: neighbors stay within the IVF cell, ranks deterministic") {
     // two well-separated clusters → cells never mix
     val rows = Seq(
