@@ -983,6 +983,21 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q107_retention" -> ((s, dir) =>
+      // weekly retention cohorts: first-seen week per user, then the
+      // (cohort, week) engagement matrix — one user-keyed shuffle, one
+      // (cohort, week) shuffle, cohort sizes broadcast
+      streaming.EventStreams.retentionCohorts(events(s, dir))),
+
+    "q108_hist_quantiles" -> ((s, dir) => {
+      // mergeable numeric-profiling sketch: fixed 50-bin histogram of
+      // l_quantity (O(nBuckets) state, layout-independent unlike
+      // percentile_approx), then interpolated p50/p90/p99
+      val hist = Sketches.histogramCounts(
+        tbl(s, dir, "lineitem"), "l_quantity", 0.0, 50.0, 50)
+      Sketches.histogramQuantiles(hist, 0.0, 50.0, 50, Seq(0.5, 0.9, 0.99))
+    }),
+
     "q105_cms_merge" -> ((s, dir) => {
       // shard-mergeable count-min: per-shard 4×1024 grids (what each
       // ingest partition persists), summed into one grid — cells are
@@ -2453,6 +2468,33 @@ object SparkEntry {
           |FROM pos GROUP BY term ORDER BY term""".stripMargin,
 
       "q98_bm25" -> bm25OracleSql,
+
+      "q107_retention" ->
+        """WITH ev AS (SELECT DISTINCT user_id,
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') // 7 AS INT) AS wk
+          |  FROM events),
+          |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+          |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_n FROM cohort GROUP BY cohort_week),
+          |m AS (SELECT c.cohort_week, e.wk, COUNT(*) AS n_users
+          |  FROM ev e JOIN cohort c USING (user_id) GROUP BY c.cohort_week, e.wk)
+          |SELECT m.cohort_week, m.wk - m.cohort_week AS week_offset, n_users,
+          |  CAST(n_users AS DOUBLE) / cohort_n AS frac
+          |FROM m JOIN sizes USING (cohort_week)
+          |ORDER BY cohort_week, week_offset""".stripMargin,
+
+      "q108_hist_quantiles" ->
+        """WITH h AS (SELECT CAST(least(greatest(floor((l_quantity - 0.0) / 1.0), 0), 49) AS BIGINT) AS b,
+          |    COUNT(*) AS c
+          |  FROM lineitem GROUP BY b),
+          |cum AS (SELECT b, c, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+          |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+          |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+          |t AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS target FROM qs, n),
+          |sel AS (SELECT q, target, b, c, cum,
+          |    row_number() OVER (PARTITION BY q ORDER BY b) AS rn
+          |  FROM t JOIN cum ON cum >= target)
+          |SELECT q, 0.0 + 1.0 * (b + CAST(target - (cum - c) AS DOUBLE) / c) AS est
+          |FROM sel WHERE rn = 1 ORDER BY q""".stripMargin,
       // index-served BM25 is arithmetic-identical to the scan path —
       // same oracle proves the persisted index serves the same scores
       "q106_index_bm25" -> bm25OracleSql,

@@ -212,6 +212,50 @@ object Sketches {
     alpha * m * m * math.pow(2.0, (31 - bucketBits + 1).toDouble)
   }
 
+  /** Fixed-boundary histogram of a numeric column: bucket counts over
+    * `nBuckets` equal-width bins of [lo, hi), values clamped to the edge
+    * bins. The MERGEABLE quantile sketch for numeric profiling at scale —
+    * bucket counts are linear (sum-merge across shards like [[cmsMerge]]),
+    * the grid is O(nBuckets) regardless of input, and unlike t-digest /
+    * `percentile_approx` the result is a pure function of the value
+    * multiset (no merge-order dependence), so the oracle replays it
+    * exactly. */
+  def histogramCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                      nBuckets: Int): DataFrame = {
+    val w = (hi - lo) / nBuckets
+    df.select(least(greatest(
+        floor((col(valueCol) - lit(lo)) / lit(w)), lit(0L)),
+        lit((nBuckets - 1).toLong)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates from a histogram: for each q, rank
+    * target = ceil(q·n), then linear interpolation inside the first bucket
+    * whose cumulative count reaches the target:
+    * est = lo + w · (b + (target - cum_below) / c_b). The cumsum window
+    * runs over nBuckets rows — a single tiny partition by construction. */
+  def histogramQuantiles(hist: DataFrame, lo: Double, hi: Double,
+                         nBuckets: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBuckets
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+    val total = hist.agg(sum("c").as("n"))
+    val qlits = hist.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    val qdf = cum.crossJoin(broadcast(total))
+      .crossJoin(broadcast(qlits))
+      .withColumn("target", ceil(col("q") * col("n")))
+      .filter(col("cum") >= col("target"))
+      .groupBy("q", "target")
+      .agg(min(struct(col("b"), col("cum"), col("c"))).as("s"))
+    qdf.select(col("q"),
+        (lit(lo) + lit(w) * (col("s.b") +
+          (col("target") - (col("s.cum") - col("s.c"))).cast("double") / col("s.c")))
+          .as("est"))
+      .orderBy("q")
+  }
+
   /** KMV estimate of |distinct keyCol|: (k-1) * P / h_k where h_k is the
     * k-th smallest distinct hash. Exact when fewer than k distinct values
     * exist (falls back to the distinct count). Returns a 1-row frame

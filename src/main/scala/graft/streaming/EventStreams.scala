@@ -112,6 +112,29 @@ object EventStreams {
       }
   }
 
+  /** Weekly retention cohorts: users grouped by first-seen week; for each
+    * (cohort, later week) the distinct returning users and the fraction of
+    * the cohort they represent — the standard engagement matrix. Shape at
+    * scale: one shuffle keyed by user (first-seen + per-user dedup), one
+    * by (cohort, week), cohort sizes broadcast; nothing quadratic. Every
+    * number is an integer count into one double division (oracle-exact).
+    * Weeks are epoch-day/7 (timezone-free), not date_trunc. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)").as("wk"))
+    val perUserWeek = ev.distinct()
+    val cohort = perUserWeek.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    perUserWeek.join(cohort, "user_id")
+      .groupBy("cohort_week", "wk").agg(count(lit(1)).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"),
+        col("n_users"),
+        (col("n_users").cast("double") / col("cohort_n")).as("frac"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   case class PackDoc(shard: String, doc_id: Long, tokens: Long)
   case class PackCursor(cum: Long)
   case class PackAssign(shard: String, doc_id: Long, tokens: Long,

@@ -151,6 +151,31 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(merged == direct) // cells are linear: Σ shard grids ≡ one pass
   }
 
+  test("histogram quantiles interpolate exactly on a hand-computed grid") {
+    // 100 values 0.5..99.5 into 10 bins of width 10 → each bin holds 10
+    val df = (0 until 100).map(i => Tuple1(i + 0.5)).toDF("v")
+    val hist = Sketches.histogramCounts(df, "v", 0.0, 100.0, 10)
+    assert(hist.as[(Long, Long)].collect().toMap.values.forall(_ == 10L))
+    val qs = Sketches.histogramQuantiles(hist, 0.0, 100.0, 10, Seq(0.5, 0.95))
+      .as[(Double, Double)].collect().toMap
+    // p50: target=50, bucket 4 (cum 50), est = 40 + 10*(50-40)/10 = 50
+    assert(qs(0.5) == 50.0)
+    // p95: target=95, bucket 9 (cum 100), est = 90 + 10*(95-90)/10 = 95
+    assert(qs(0.95) == 95.0)
+  }
+
+  test("histogram counts sum-merge across shards like any linear sketch") {
+    val df = (0L until 1000L).map(i => (i % 100 + 0.5, (i % 3).toInt)).toDF("v", "shard")
+    val direct = Sketches.histogramCounts(df, "v", 0.0, 100.0, 20)
+      .as[(Long, Long)].collect().toMap
+    val sharded = (0 until 3).map(sh =>
+        Sketches.histogramCounts(df.filter(col("shard") === sh), "v", 0.0, 100.0, 20))
+      .reduce(_ unionByName _)
+      .groupBy("b").agg(sum("c").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(sharded == direct)
+  }
+
   test("recall@k matches hand-computed overlap per query") {
     import graft.operators.Similarity
     val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "id")

@@ -183,6 +183,22 @@ class StreamingSpec extends SparkSpec {
     assert(bText == "text-b") // modified file's chunk was replaced
   }
 
+  test("retention cohorts match a hand-computed engagement matrix") {
+    // week length = 7 days; user 1 seen weeks 0 and 1, user 2 week 0 only,
+    // user 3 joins week 1
+    def wk(week: Int, day: Int) =
+      new Timestamp((week * 7L + day) * 86400000L)
+    val ev = Seq(
+      (1L, wk(0, 1)), (1L, wk(0, 2)), (1L, wk(1, 0)),
+      (2L, wk(0, 3)), (3L, wk(1, 4))).toDF("user_id", "ts")
+    val r = graft.streaming.EventStreams.retentionCohorts(ev)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (0, 0, 2L, 1.0),   // cohort week 0: both users present
+      (0, 1, 1L, 0.5),   // only user 1 returns in week 1
+      (1, 0, 1L, 1.0)))  // cohort week 1: user 3
+  }
+
   test("streaming sequence packing matches the batch operator across batches") {
     import graft.streaming.EventStreams.{PackAssign, PackDoc}
     implicit val sqlCtx = spark.sqlContext
