@@ -37,6 +37,12 @@ object Bench {
     // the downstream harness keeps a bounded tail of stdout, so the
     // JSON line must stay compact (short qNN keys, 3-decimal values).
     val steady = runAll(sfDir)
+    // local tuning aid: per-query steady times to stderr (the driver only
+    // parses the stdout JSON line, which must stay compact)
+    if (sys.env.contains("SPARK_GRAFT_STEADY_DETAIL"))
+      steady.sortBy(-_._2).foreach { case (n, t) =>
+        System.err.println(f"steady $n%-28s $t%8.3f s")
+      }
     def short(name: String): String = name.takeWhile(_ != '_')
     val keys = results.map { case (k, _) => short(k) }
     val qkeys = if (keys.distinct.size == keys.size) keys else results.map(_._1)

@@ -88,8 +88,10 @@ object TextFunctions {
     val padded = concat(lit(" "), lower(text), lit(" "))
     def hits(markers: Seq[String]): Column =
       markers.map { m =>
-        // number of occurrences of marker m (allowing overlap-free count)
-        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+        // number of occurrences of marker m (overlap-free count); literal
+        // replace, not regexp_replace — the markers are plain strings and
+        // the regex engine cost 20 compiled-pattern passes per row
+        ((length(padded) - length(replace(padded, lit(m), lit(""))))
           / m.length).cast("int")
       }.reduce(_ + _)
     val scored = langMarkers.map { case (lang, m) => (lang, hits(m)) }
