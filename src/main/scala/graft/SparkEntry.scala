@@ -983,6 +983,40 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q109_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical ranks fused with dense cosine ranks
+      // by Reciprocal Rank Fusion — rank-based, so the incompatible score
+      // scales never matter; both lists are top-k-bounded, so the fuse is
+      // trivially cheap no matter the corpus
+      val lex = Retrieval.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "vector", "window"), 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+      val e = tbl(s, dir, "embeddings")
+      val dense = Similarity.topKBatch(e, "embedding", "vec_id",
+          e.filter(col("vec_id") === 0).select(col("vec_id").as("qid"),
+            col("embedding").as("qv")), "qv", "qid", 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex.select(col("id"), col("rank")), dense), "id", 10)
+    }),
+
+    "q110_window_anomaly" -> ((s, dir) =>
+      // per-type z-score anomalies from order-independent decimal sums
+      // (Spark's stddev aggregates in partition order — not replayable);
+      // one broadcast of per-group stats + a map-side filter
+      Stats.zscoreAnomalies(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", sigmas = 2.0)
+        .orderBy("event_id")),
+
+    "q111_group_corr" -> ((s, dir) =>
+      // grouped Pearson correlation from the six order-independent sums —
+      // one hash aggregate with map-side partials; sqrt is IEEE-exact so
+      // the oracle replays the value bit-for-bit
+      Stats.groupCorrelation(tbl(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     "q107_retention" -> ((s, dir) =>
       // weekly retention cohorts: first-seen week per user, then the
       // (cohort, week) engagement matrix — one user-keyed shuffle, one
@@ -2468,6 +2502,50 @@ object SparkEntry {
           |FROM pos GROUP BY term ORDER BY term""".stripMargin,
 
       "q98_bm25" -> bm25OracleSql,
+
+      "q109_hybrid_rrf" ->
+        s"""WITH lexbase AS ($bm25OracleSql),
+          |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+          |  FROM lexbase),
+          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |dense AS (SELECT vec_id AS id, rank FROM (
+          |    SELECT e.vec_id,
+          |      CAST(row_number() OVER (ORDER BY
+          |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv),
+          |        e.vec_id) AS INT) AS rank
+          |    FROM embeddings e, q) WHERE rank <= 20),
+          |u AS (SELECT id, 1.0 / (60 + rank) AS contrib FROM lex
+          |  UNION ALL SELECT id, 1.0 / (60 + rank) FROM dense)
+          |SELECT id,
+          |  CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE) AS rrf_score,
+          |  COUNT(*) AS n_lists
+          |FROM u GROUP BY id
+          |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+      "q110_window_anomaly" ->
+        """WITH ev AS (SELECT event_id, event_type, value FROM events),
+          |st AS (SELECT event_type, COUNT(*) AS n,
+          |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS s,
+          |    CAST(SUM(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE) AS ss
+          |  FROM ev GROUP BY event_type)
+          |SELECT event_id, event_type, value,
+          |  (value - s / n) / sqrt((ss - s * s / n) / n) AS z
+          |FROM ev JOIN st USING (event_type)
+          |WHERE abs((value - s / n) / sqrt((ss - s * s / n) / n)) > 2.0
+          |ORDER BY event_id""".stripMargin,
+
+      "q111_group_corr" ->
+        """WITH st AS (SELECT l_returnflag, COUNT(*) AS n,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          |  round((n * sxy - sx * sy) /
+          |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr
+          |FROM st ORDER BY l_returnflag""".stripMargin,
 
       "q107_retention" ->
         """WITH ev AS (SELECT DISTINCT user_id,

@@ -104,6 +104,28 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of ranked result lists:
+    * score(id) = Σ_lists 1/(c + rank). The standard hybrid-retrieval
+    * combiner for lexical (BM25) + dense (vector) rankings — rank-based,
+    * so the two scorers' incompatible score scales never matter. Each
+    * input frame carries (idCol, rank); lists are tiny (top-k), so the
+    * union and aggregate are driver-scale no matter the corpus. The per
+    * -list quotient is one correctly-rounded double division and the sum
+    * accumulates in exact decimal — oracle-replayable. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    val unioned = rankings
+      .map(_.select(col(idCol).cast("long").as("id"), col("rank")))
+      .reduce(_ unionByName _)
+    unioned
+      .withColumn("contrib", lit(1.0) / (lit(c) + col("rank")))
+      .groupBy("id")
+      .agg(sum(col("contrib").cast("decimal(27,15)")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** BM25 served from a PERSISTED index ([[graft.store.IndexStore]]):
     * posting lists for the query's terms come from a partition-pruned
     * lookup (|terms| buckets read, not the corpus), document lengths from

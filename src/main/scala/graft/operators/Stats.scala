@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-replay statistical profiling: anomaly flags and correlations whose
+  * every intermediate is either an exact decimal accumulation or a
+  * correctly-rounded double op in a FIXED parenthesization, so the DuckDB
+  * oracle reproduces them bit-for-bit (sqrt IS correctly rounded per
+  * IEEE 754 — unlike ln/exp/pow, it is replay-safe; see NOTES.md parity
+  * rules 5/11). Spark's own stddev/corr aggregate doubles in partition
+  * order and are NOT replayable — these compute the same statistics from
+  * order-independent decimal sums. */
+object Stats {
+
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(24,$scale)")).cast("double")
+
+  /** Per-group z-score anomalies: rows where |value − mean| > `sigmas`·σ
+    * (population σ). One group aggregate (broadcast back) + one map-side
+    * filter — the profile a 100 TB quality monitor runs per column.
+    * Returns the flagged rows with their z-score. */
+  def zscoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
+                      sigmas: Double = 2.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      dsum(col(valueCol)).as("s"),
+      dsum(col(valueCol) * col(valueCol)).as("ss"))
+    val mean = col("s") / col("n")
+    val variance = (col("ss") - col("s") * col("s") / col("n")) / col("n")
+    val std = sqrt(variance)
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z", (col(valueCol) - mean) / std)
+      .filter(abs(col("z")) > sigmas)
+      .select(df.columns.map(col) :+ col("z"): _*)
+  }
+
+  /** Pearson correlation of two columns per group, from the six
+    * order-independent sums: r = (n·Σxy − Σx·Σy) /
+    * (sqrt(n·Σx² − Σx²̄) · sqrt(n·Σy² − Σy²̄)). One hash aggregate with
+    * map-side partials — a full column-pair correlation matrix is just
+    * this over each pair. */
+  def groupCorrelation(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+      .select(col(groupCol), col("n"),
+        // round(,12): Σy² at scale 6 has an integer representation past
+        // 2^53, and decimal→double conversion is correctly rounded in
+        // Spark (BigDecimal) but not in DuckDB's int128 path — a 1-ulp
+        // divergence that survives the algebra at ~1e-15 relative
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("corr"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Stats}
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("z-score anomalies flag exactly the >2σ rows") {
+    // group g: nine 10s and one 30 → mean 12, σ = sqrt((9*4 + 324)/10) = 6
+    // z(30) = 3, z(10) = -1/3 → only the 30 is flagged
+    val df = (Seq.fill(9)(10.0) :+ 30.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    val out = Stats.zscoreAnomalies(df, "g", "v", 2.0)
+      .select("id", "v", "z").as[(Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(9L))
+    assert(out.head._3 == 3.0)
+  }
+
+  test("group correlation hits ±1 on perfectly (anti)correlated data") {
+    val df = (1 to 50).flatMap(i => Seq(
+      ("pos", i.toDouble, 2.0 * i + 3.0),
+      ("neg", i.toDouble, -1.0 * i + 100.0))).toDF("g", "x", "y")
+    val r = Stats.groupCorrelation(df, "g", "x", "y")
+      .select("g", "corr").as[(String, Double)].collect().toMap
+    assert(r("pos") == 1.0)
+    assert(r("neg") == -1.0)
+  }
+
+  test("rrf fusion: ranks combine as 1/(c+rank) and doc in both lists wins") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", 10, c = 60)
+      .as[(Long, Double, Long)].collect()
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(out.head._1 == 2L) // in both lists: 1/62 + 1/61 beats 1/61
+    // decimal(27,15) accumulation truncates past 15 decimals — compare
+    // within that tolerance
+    assert(math.abs(byId(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(byId(1L) - 1.0 / 61) < 1e-12)
+    val lists = out.map(t => t._1 -> t._3).toMap
+    assert(lists(2L) == 2L && lists(1L) == 1L)
+  }
+}
