@@ -234,4 +234,40 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Join"))
     }
   }
+
+  test("q102/q105: sketch merges are pure hash aggregates (no sort, no join)") {
+    for (q <- Seq("q102_hll_merge", "q105_cms_merge")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("SortAggregate"), s"$q fell back to sort aggregation")
+      if (q.startsWith("q102")) assert(!p.contains("Join"))
+    }
+  }
+
+  test("q103: recall eval — probe set broadcasts; the corpus side never shuffle-joins") {
+    val p = plan("q103_ann_recall").split("== Initial Plan ==").head
+    // every join in the plan is broadcast (probe set, centroid set, exact
+    // side) — a SortMergeJoin would mean the corpus started shuffling
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q110/q111: stats profile is one aggregate + broadcast-back, no sort agg") {
+    val p110 = plan("q110_window_anomaly").split("== Initial Plan ==").head
+    assert(p110.contains("BroadcastHashJoin") && !p110.contains("SortMergeJoin"))
+    val p111 = plan("q111_group_corr").split("== Initial Plan ==").head
+    assert(p111.contains("HashAggregate") && !p111.contains("SortAggregate"))
+    assert(!p111.contains("Join"))
+  }
+
+  test("q107: retention is two keyed shuffles + a broadcast of cohort sizes") {
+    val p = plan("q107_retention").split("== Initial Plan ==").head
+    // cohort sizes (tiny) must broadcast; user/week aggregates shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q109: RRF fuse ends in a bounded top-k, not a global sort") {
+    val p = plan("q109_hybrid_rrf").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
