@@ -983,6 +983,24 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q112_incremental_dedup" -> ((s, dir) => {
+      // incremental ingest dedup: the corpus's LSH band signatures are the
+      // STORED table (hashed once, ever); a 50-doc new batch is hashed,
+      // broadcast, and probed against matching band buckets — corpus
+      // growth costs O(batch) per ingest, not O(corpus)
+      val d = tbl(s, dir, "documents")
+      val stored = Dedup.bandSignatures(
+        d.select(col("doc_id"), col("text")), "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8)
+      val newBatch = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 7, 1))").as("text"))
+      val newSigs = Dedup.bandSignatures(newBatch, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8)
+      Dedup.incrementalDedupProbe(stored, newSigs, 64, threshold = 0.8)
+        .orderBy("new_id", "stored_id")
+    }),
+
     "q109_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical ranks fused with dense cosine ranks
       // by Reciprocal Rank Fusion — rank-based, so the incompatible score
@@ -2428,6 +2446,7 @@ object SparkEntry {
       "q87_dup_spans" -> dupSpansOracleSql,
       "q95_rare_bigrams" -> rareBigramsOracleSql,
       "q100_classifier" -> classifierOracleSql,
+      "q112_incremental_dedup" -> incrementalDedupOracleSql,
 
       // Same register replay as q75 (shard-merge collapses exactly to the
       // direct sketch because max is associative): reuse that arithmetic.
@@ -2803,6 +2822,47 @@ object SparkEntry {
     s"""WITH $minhashPairCtes
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |WHERE est_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental-dedup oracle: signatures/bands for the stored corpus and
+    * the 50-doc new batch (same arithmetic as [[minhashPairCtes]]), joined
+    * on the band bucket — no bucket cap, matching the probe operator. */
+  private def incrementalDedupOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(64)
+    val winHash = "list_reduce(list_transform(range(i, i + 5), " +
+      "j -> CAST(unicode(substring(text, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $b1 + c) % $HP)"
+    val sig = (0 until 64)
+      .map(k => s"list_min(list_transform(hashes, h -> (h * ${as(k)} + ${bs(k)}) % $HP))")
+      .mkString("[", ",\n    ", "]")
+    def side(src: String, p: String): String =
+      s"""hs_$p AS (
+         |  SELECT doc_id, CASE WHEN length(text) < 5
+         |    THEN [${duckPoly("text", b1)}]
+         |    ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> $winHash))
+         |    END AS hashes
+         |  FROM $src WHERE length(text) > 0),
+         |sigs_$p AS (SELECT doc_id, $sig AS sig FROM hs_$p),
+         |banded_$p AS (
+         |  SELECT doc_id, sig, b,
+         |    list_reduce(list_transform(range(b * 8 + 1, b * 8 + 9), k -> sig[CAST(k AS INT)]),
+         |      (a, v) -> (a * $b1 + v) % $HP) AS band_hash
+         |  FROM sigs_$p, unnest(range(0, 8)) AS t(b))""".stripMargin
+    s"""WITH newd AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    substring(text, 1, greatest(length(text) - 7, 1)) AS text
+       |  FROM documents WHERE doc_id < 50),
+       |${side("documents", "st")},
+       |${side("newd", "nw")}
+       |SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS stored_id,
+       |  list_count(list_filter(range(1, 65),
+       |    i -> n.sig[CAST(i AS INT)] = s.sig[CAST(i AS INT)])) / 64.0 AS est_jaccard
+       |FROM banded_nw n JOIN banded_st s
+       |  ON n.b = s.b AND n.band_hash = s.band_hash
+       |WHERE list_count(list_filter(range(1, 65),
+       |    i -> n.sig[CAST(i AS INT)] = s.sig[CAST(i AS INT)])) / 64.0 >= 0.8
+       |ORDER BY new_id, stored_id""".stripMargin
+  }
 
   /** Cluster-dedup oracle: transitive closure over the near-dup pairs via a
     * recursive CTE; each node's representative is the minimum doc_id

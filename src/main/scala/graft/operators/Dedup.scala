@@ -130,6 +130,27 @@ object Dedup {
                       shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = bandSignatures(df, idCol, textCol, shingleN, numHashes, bands)
+    bucketPairs(banded, "sig", maxBucketSize)
+      .select(least(col("x.id"), col("y.id")).as("doc_a"),
+        greatest(col("x.id"), col("y.id")).as("doc_b"),
+        // est_jaccard is symmetric, so least/greatest id normalization is safe
+        (expr("size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))").cast("double")
+          / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
+      .distinct()
+  }
+
+  /** Per-doc LSH band signatures in STORABLE form: one row per (id, band)
+    * with the full minhash signature and the band's bucket hash — the
+    * table an incremental-ingest pipeline persists (written
+    * `partitionBy(band_idx)` / bucketed by band_hash at scale) so that new
+    * batches probe it without re-hashing the corpus
+    * ([[incrementalDedupProbe]]). Also the internal first stage of
+    * [[minhashLshPairs]]. */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 5, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     graft.plans.HashExpressions.register(df.sparkSession)
@@ -141,17 +162,33 @@ object Dedup {
           lit(numHashes)).as("sig"))
     // band hash = polynomial fold over the band's signature values — like
     // the base hash, chosen over xxhash64 so the DuckDB oracle can replay it
-    val banded = sig.select(col("id"), col("sig"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-            s"aggregate(slice(sig, b * $rows + 1, $rows), 0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L))"))
-          .as(Seq("band_idx", "band_hash")))
-    bucketPairs(banded, "sig", maxBucketSize)
-      .select(least(col("x.id"), col("y.id")).as("doc_a"),
-        greatest(col("x.id"), col("y.id")).as("doc_b"),
-        // est_jaccard is symmetric, so least/greatest id normalization is safe
-        (expr("size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))").cast("double")
-          / lit(numHashes)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
+    sig.select(col("id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"aggregate(slice(sig, b * $rows + 1, $rows), 0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L))"))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental dedup: probe a NEW batch against STORED band signatures.
+    * Candidates share any (band_idx, band_hash); est_jaccard is the
+    * fraction of agreeing signature positions, thresholded like
+    * [[minhashLshPairs]]. The stored side is only READ (and only its
+    * matching band buckets, when persisted partitioned/bucketed on the
+    * band key); only the new batch — typically orders of magnitude
+    * smaller — is hashed, and it BROADCASTS into the join, so corpus
+    * growth costs O(batch), not O(corpus), per ingest. Returns
+    * (new_id, stored_id, est_jaccard). */
+  def incrementalDedupProbe(storedSigs: DataFrame, newSigs: DataFrame,
+                            numHashes: Int = 64,
+                            threshold: Double = 0.5): DataFrame = {
+    val s = storedSigs.select(col("band_idx"), col("band_hash"),
+      col("id").as("stored_id"), col("sig").as("_ssig"))
+    val n = broadcast(newSigs.select(col("band_idx"), col("band_hash"),
+      col("id").as("new_id"), col("sig").as("_nsig")))
+    s.join(n, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("stored_id"),
+        (expr("size(filter(zip_with(_nsig, _ssig, (p, q) -> p = q), v -> v))")
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
       .distinct()
   }
 

@@ -144,4 +144,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("incremental probe finds stored near-dups without re-pairing the corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val stored = Dedup.bandSignatures(
+      Seq((1L, base), (2L, "completely different content about spark shuffles here"))
+        .toDF("doc_id", "text"), "doc_id", "text", 5, 64, 8)
+    // new batch: a near-copy of doc 1 and a novel doc
+    val newSigs = Dedup.bandSignatures(
+      Seq((100L, base.dropRight(6)), (200L, "nothing like anything stored xyzzy"))
+        .toDF("doc_id", "text"), "doc_id", "text", 5, 64, 8)
+    val hits = Dedup.incrementalDedupProbe(stored, newSigs, 64, 0.5)
+      .select("new_id", "stored_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((100L, 1L)))
+    assert(!hits.exists(_._1 == 200L))
+    // parity with the batch pair generator on the union (no bucket-cap
+    // effects at this size): probe pairs ⊆ full-LSH pairs
+    val full = Dedup.minhashLshPairs(
+        Seq((1L, base), (2L, "completely different content about spark shuffles here"),
+          (100L, base.dropRight(6)), (200L, "nothing like anything stored xyzzy"))
+          .toDF("doc_id", "text"), "doc_id", "text", 5, 64, 8, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(hits.forall { case (n, s) => full.contains((math.min(n, s), math.max(n, s))) })
+  }
 }
