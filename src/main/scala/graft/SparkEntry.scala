@@ -983,6 +983,26 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q113_phash_neardup" -> ((s, dir) => {
+      // perceptual-hash near-dup over (stub-)decoded binary assets: aHash
+      // bits from the decoded pixel array, then the same 4×16-bit band
+      // blocking + Hamming verify as SimHash — one pipeline for text and
+      // image fingerprints. Twins perturb ONE leading byte, so they land
+      // within Hamming ≤ 3 of their original
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("concat('X', substring(text, 2))")))
+      val bin = corpus.select(col("doc_id"),
+        col("text").cast("binary").as("content_bin"))
+      val hashed = Multimodal.extractFeatures(bin, "content_bin", featDim = 64)
+        .withColumn("m", Multimodal.featureMean(col("features")))
+        .select(col("doc_id"),
+          Multimodal.aHash64(col("features"), col("m")).as("ph"))
+      Dedup.hammingPairs64(hashed, "doc_id", "ph", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q112_incremental_dedup" -> ((s, dir) => {
       // incremental ingest dedup: the corpus's LSH band signatures are the
       // STORED table (hashed once, ever); a 50-doc new batch is hashed,
@@ -2447,6 +2467,7 @@ object SparkEntry {
       "q95_rare_bigrams" -> rareBigramsOracleSql,
       "q100_classifier" -> classifierOracleSql,
       "q112_incremental_dedup" -> incrementalDedupOracleSql,
+      "q113_phash_neardup" -> phashOracleSql,
 
       // Same register replay as q75 (shard-merge collapses exactly to the
       // direct sketch because max is associative): reuse that arithmetic.
@@ -3041,6 +3062,45 @@ object SparkEntry {
        |banded0 AS (
        |  SELECT doc_id, sh, b, (sh >> CAST(b * 16 AS INT)) & 65535 AS band_hash
        |  FROM shs, unnest(range(0, 4)) AS t(b)),
+       |banded AS (
+       |  SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b,
+       |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Perceptual-hash oracle: replay of the stub decode (first-64-byte
+    * pixels, double-divide-then-cast-FLOAT — verified exact for all 256
+    * byte values), the double-fold mean, the aHash bit vote, and the
+    * SimHash-style band/pair machinery. */
+  private def phashOracleSql: String = {
+    val px = "list_transform(range(1, 65), i -> CASE WHEN i <= length(text) " +
+      "THEN CAST(CAST(unicode(substring(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0 AS FLOAT) " +
+      "ELSE CAST(0.0 AS FLOAT) END)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'X' || substring(text, 2) AS text
+       |  FROM documents),
+       |px AS (SELECT doc_id, $px AS pxl FROM corpus),
+       |mh AS (SELECT doc_id, pxl,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(pxl, v -> CAST(v AS DOUBLE))), (a, b) -> a + b) / 64 AS m
+       |  FROM px),
+       |ah AS (SELECT doc_id, CAST(list_reduce(list_transform(range(1, 64), j ->
+       |      CASE WHEN CAST(pxl[CAST(j AS INT)] AS DOUBLE) > m
+       |        THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) ELSE CAST(0 AS BIGINT) END),
+       |    (a, v) -> a + v) AS BIGINT) AS sh
+       |  FROM mh),
+       |banded0 AS (
+       |  SELECT doc_id, sh, b, (sh >> CAST(b * 16 AS INT)) & 65535 AS band_hash
+       |  FROM ah, unnest(range(0, 4)) AS t(b)),
        |banded AS (
        |  SELECT * FROM banded0
        |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),

@@ -248,6 +248,18 @@ object Dedup {
       .select(col(idCol).as("id"),
         call_function("graft_simhash64",
           call_function("graft_token_polyhashes", col(textCol))).as("sh"))
+    hammingPairs64(sh, "id", "sh", maxHamming, maxBucketSize)
+  }
+
+  /** Near-dup candidate pairs over ANY 64-bit fingerprint column (SimHash,
+    * perceptual aHash/pHash, …) via the same 4×16-bit band blocking:
+    * Hamming ≤ 3 guarantees at least one agreeing band, so candidate
+    * generation is one groupBy + bucket-local expansion — never a
+    * quadratic self-join. Returns (doc_a, doc_b, hamming). */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(sh, b * 16) & 65535)"))
         .as(Seq("band_idx", "band_hash")))

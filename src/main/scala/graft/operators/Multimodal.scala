@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions._
@@ -55,6 +55,27 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Mean of a float-features array, accumulated in double (exact float→
+    * double widening, fixed left fold — oracle-replayable). MATERIALIZE the
+    * result as a column before passing it to [[aHash64]]: Catalyst does not
+    * CSE interpreted HOFs, so inlining would recompute the mean per pixel. */
+  def featureMean(featCol: Column): Column =
+    aggregate(featCol, lit(0.0), (a, v) => a + v) / size(featCol)
+
+  /** 63-bit average-hash (aHash — the classic perceptual image hash) over a
+    * decoded pixel/feature array: bit j set iff pixel_{j+1} exceeds the
+    * mean (mean still over ALL pixels). On real decoders the array is the
+    * 8×8 grayscale downsample; here it is the stub's byte features — the
+    * hash→band→Hamming pipeline ([[Dedup.hammingPairs64]]) is identical
+    * either way. Bit 63 stays clear so the value is positive in engines
+    * with checked 64-bit shifts — the same design as the 62-bit SimHash. */
+  def aHash64(featCol: Column, meanCol: Column): Column =
+    aggregate(
+      zip_with(slice(featCol, 1, 63), sequence(lit(0), lit(62)), (v, j) =>
+        when(v.cast("double") > meanCol,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
 
   /** Deterministic frame sampling plan for a (stub) video column: emits one
     * row per sampled frame index — the explode-side plumbing of a real

@@ -145,6 +145,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("aHash flags a one-pixel perturbation as near-dup, distinct images as far") {
+    import graft.operators.Multimodal
+    val texts = Seq(
+      (1L, "a" * 32 + "z" * 40),          // half low, half high pixels
+      (2L, "b" + "a" * 31 + "z" * 40),    // one leading byte perturbed
+      (3L, ("az" * 40)))                  // alternating — different pattern
+    val bin = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("b"))
+    val hashed = Multimodal.extractFeatures(bin, "b", featDim = 64)
+      .withColumn("m", Multimodal.featureMean(col("features")))
+      .select(col("doc_id"), Multimodal.aHash64(col("features"), col("m")).as("ph"))
+    val byId = hashed.as[(Long, Long)].collect().toMap
+    assert(byId.values.forall(_ >= 0L)) // bit 63 clear by design
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(2L)) <= 3)
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(3L)) > 3)
+    val pairs = Dedup.hammingPairs64(hashed, "doc_id", "ph", 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("incremental probe finds stored near-dups without re-pairing the corpus") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val stored = Dedup.bandSignatures(
