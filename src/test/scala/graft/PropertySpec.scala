@@ -131,4 +131,33 @@ class PropertySpec extends SparkSpec {
       mmr == top
     })
   }
+
+  test("bm25 scores are invariant under row order / partitioning") {
+    import graft.operators.Retrieval
+    val docsGen = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(8, Gen.oneOf("spark", "join", "scan", "agg", "pad"))
+        .map(_.mkString(" "))))
+    passes(Prop.forAll(docsGen) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def run(df: org.apache.spark.sql.DataFrame) =
+        Retrieval.bm25(df, "doc_id", "text", Seq("spark", "join"), 100)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val a = run(rows.toDF("doc_id", "text"))
+      val b = run(scala.util.Random.shuffle(rows).toDF("doc_id", "text").repartition(5))
+      a == b // decimal-accumulated scoring is a pure function of the corpus
+    })
+  }
+
+  test("histogram quantile estimates are monotone in q and bounded by [lo, hi]") {
+    import graft.operators.Sketches
+    val valsGen = Gen.chooseNum(5, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0.0, 100.0)))
+    passes(Prop.forAll(valsGen) { vs =>
+      val hist = Sketches.histogramCounts(vs.map(Tuple1(_)).toDF("v"), "v", 0.0, 100.0, 16)
+      val qs = Sketches.histogramQuantiles(hist, 0.0, 100.0, 16, Seq(0.1, 0.5, 0.9))
+        .as[(Double, Double)].collect().sortBy(_._1).map(_._2)
+      qs.length == 3 && qs.sliding(2).forall { case Array(x, y) => x <= y; case _ => true } &&
+        qs.forall(e => e >= 0.0 && e <= 100.0)
+    })
+  }
 }
