@@ -995,10 +995,10 @@ object SparkEntry {
           expr("concat('X', substring(text, 2))")))
       val bin = corpus.select(col("doc_id"),
         col("text").cast("binary").as("content_bin"))
-      val hashed = Multimodal.extractFeatures(bin, "content_bin", featDim = 64)
-        .withColumn("m", Multimodal.featureMean(col("features")))
-        .select(col("doc_id"),
-          Multimodal.aHash64(col("features"), col("m")).as("ph"))
+      // one tight per-row loop (decode → mean → bit vote); the declarative
+      // featureMean/aHash64 twin is bit-identical (DedupSpec) but pays
+      // ~128 interpreted lambda evals per row
+      val hashed = Multimodal.perceptualHashes(bin, "doc_id", "content_bin", 64)
       Dedup.hammingPairs64(hashed, "doc_id", "ph", maxHamming = 3)
         .orderBy("doc_a", "doc_b")
     }),

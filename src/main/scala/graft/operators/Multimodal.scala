@@ -77,6 +77,47 @@ object Multimodal {
           call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
       lit(0L), (a, x) => a + x)
 
+  /** JVM twin of decode-stub → [[featureMean]] → [[aHash64]] in ONE tight
+    * loop per row (no 64-element array materialization, no interpreted
+    * lambdas — the HOF composition costs ~64 boxed lambda evals per stage
+    * per row and dominated the q113 bench). Bit-identical to the
+    * declarative pipeline: float pixel division, double mean fold, strict
+    * `>` vote, 63-bit result (pinned by DedupSpec). */
+  def perceptualHashStub(bytes: Array[Byte], nPixels: Int): Long = {
+    var sum = 0.0
+    var i = 0
+    while (i < nPixels) {
+      val px = if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f
+      sum += px
+      i += 1
+    }
+    val mean = sum / nPixels
+    var h = 0L
+    i = 0
+    while (i < 63) {
+      val px = if (i < bytes.length) (bytes(i) & 0xff) / 255.0f else 0.0f
+      if (px.toDouble > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual-hash column for a corpus: (id, ph) via [[perceptualHashStub]]
+    * over the binary column — the production shape (real decoders run here
+    * too; the per-row loop is where a JPEG downsample would go). */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String,
+                       nPixels: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        (id, perceptualHashStub(
+          Option(bytes).getOrElse(Array.emptyByteArray), nPixels))
+      }
+      .toDF(idCol, "ph")
+  }
+
   /** Deterministic frame sampling plan for a (stub) video column: emits one
     * row per sampled frame index — the explode-side plumbing of a real
     * frame sampler. */

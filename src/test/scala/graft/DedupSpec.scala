@@ -163,6 +163,10 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.hammingPairs64(hashed, "doc_id", "ph", 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+    // the tight-loop production path is bit-identical to the HOF pipeline
+    val fast = Multimodal.perceptualHashes(bin, "doc_id", "b", 64)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == byId)
   }
 
   test("incremental probe finds stored near-dups without re-pairing the corpus") {
