@@ -21,8 +21,18 @@ object Stats {
     * filter — the profile a 100 TB quality monitor runs per column.
     * Returns the flagged rows with their z-score. */
   def zscoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
-                      sigmas: Double = 2.0): DataFrame = {
-    val stats = df.groupBy(col(groupCol)).agg(
+                      sigmas: Double = 2.0): DataFrame =
+    zscoreAnomaliesAgainst(df, df, groupCol, valueCol, sigmas)
+
+  /** [[zscoreAnomalies]] with the profile computed from a SEPARATE
+    * (historical) frame — the online-monitoring shape: profile a trusted
+    * window once, broadcast its per-group stats, and filter a live STREAM
+    * against them (stream-static broadcast join; works unchanged under
+    * `readStream`, pinned by StreamingSpec). */
+  def zscoreAnomaliesAgainst(df: DataFrame, profile: DataFrame,
+                             groupCol: String, valueCol: String,
+                             sigmas: Double = 2.0): DataFrame = {
+    val stats = profile.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       dsum(col(valueCol)).as("s"),
       dsum(col(valueCol) * col(valueCol)).as("ss"))

@@ -183,6 +183,26 @@ class StreamingSpec extends SparkSpec {
     assert(bText == "text-b") // modified file's chunk was replaced
   }
 
+  test("z-score filter runs on a stream against a static broadcast profile") {
+    implicit val sqlCtx = spark.sqlContext
+    // profile: mean 12, σ = 6 (nine 10s + one 30, as in StatsSpec)
+    val profile = (Seq.fill(9)(10.0) :+ 30.0).map(v => ("g", v)).toDF("g", "v")
+    val mem = MemoryStream[(String, Double)]
+    val flagged = graft.operators.Stats.zscoreAnomaliesAgainst(
+      mem.toDF.toDF("g", "v"), profile, "g", "v", 2.0)
+    val q = flagged.writeStream.format("memory").queryName("anomaly_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(("g", 11.0), ("g", 40.0), ("g", 23.0), ("g", 25.0))
+      q.processAllAvailable()
+      val hits = spark.table("anomaly_test").select("v", "z")
+        .as[(Double, Double)].collect().toMap
+      // |z| > 2 ⇔ outside 12 ± 12 → only 40 (z = 28/6); 25 is z ≈ 2.17
+      assert(hits.keySet == Set(40.0, 25.0))
+      assert(math.abs(hits(40.0) - 28.0 / 6) < 1e-12)
+    } finally q.stop()
+  }
+
   test("retention cohorts match a hand-computed engagement matrix") {
     // week length = 7 days; user 1 seen weeks 0 and 1, user 2 week 0 only,
     // user 3 joins week 1
