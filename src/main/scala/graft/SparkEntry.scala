@@ -983,6 +983,33 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q114_url_canonical" -> ((s, dir) => {
+      // crawl-tier URL dedup: five cosmetic variants per URL group (case,
+      // default port, fragment, tracking params, param order) collapse to
+      // two canonical keys — the cheapest dedup tier, BEFORE any content
+      // hashing; one groupBy on the canonical string
+      val d = tbl(s, dir, "documents")
+      val g = expr("cast(doc_id div 5 as string)")
+      val p = expr("cast((doc_id div 5) % 7 as string)")
+      val url = when(col("doc_id") % 5 === 0,
+          concat(lit("https://SITE"), g, lit(".example.com/path"), p))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://site"), g, lit(".example.com:443/path"), p,
+            lit("?utm_source=x")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("https://site"), g, lit(".example.com/path"), p, lit("#frag")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("https://site"), g, lit(".example.com/path"), p, lit("?b=2&a=1")))
+        .otherwise(
+          concat(lit("https://site"), g, lit(".example.com/path"), p,
+            lit("?a=1&b=2&utm_campaign=z")))
+      d.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), Governance.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("min_doc"))
+        .orderBy("canonical_url")
+    }),
+
     "q113_phash_neardup" -> ((s, dir) => {
       // perceptual-hash near-dup over (stub-)decoded binary assets: aHash
       // bits from the decoded pixel array, then the same 4×16-bit band
@@ -2468,6 +2495,42 @@ object SparkEntry {
       "q100_classifier" -> classifierOracleSql,
       "q112_incremental_dedup" -> incrementalDedupOracleSql,
       "q113_phash_neardup" -> phashOracleSql,
+
+      "q114_url_canonical" ->
+        """WITH base AS (SELECT doc_id,
+          |    CAST(doc_id // 5 AS VARCHAR) AS g,
+          |    CAST((doc_id // 5) % 7 AS VARCHAR) AS p
+          |  FROM documents),
+          |u AS (SELECT doc_id,
+          |    CASE doc_id % 5
+          |      WHEN 0 THEN 'https://SITE' || g || '.example.com/path' || p
+          |      WHEN 1 THEN 'https://site' || g || '.example.com:443/path' || p || '?utm_source=x'
+          |      WHEN 2 THEN 'https://site' || g || '.example.com/path' || p || '#frag'
+          |      WHEN 3 THEN 'https://site' || g || '.example.com/path' || p || '?b=2&a=1'
+          |      ELSE 'https://site' || g || '.example.com/path' || p || '?a=1&b=2&utm_campaign=z'
+          |    END AS url FROM base),
+          |parts AS (SELECT doc_id,
+          |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+          |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+          |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+          |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+          |    regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+          |canon AS (SELECT doc_id,
+          |    scheme || '://' || host ||
+          |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+          |        AND NOT (scheme = 'https' AND port = '443')
+          |      THEN ':' || port ELSE '' END ||
+          |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+          |    CASE WHEN len(list_filter(str_split(query, '&'), q ->
+          |        q <> '' AND NOT starts_with(q, 'utm_')
+          |        AND NOT starts_with(q, 'fbclid=') AND NOT starts_with(q, 'gclid='))) > 0
+          |      THEN '?' || array_to_string(list_sort(list_filter(str_split(query, '&'), q ->
+          |        q <> '' AND NOT starts_with(q, 'utm_')
+          |        AND NOT starts_with(q, 'fbclid=') AND NOT starts_with(q, 'gclid='))), '&')
+          |      ELSE '' END AS canonical_url
+          |  FROM parts)
+          |SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS min_doc
+          |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
       // Same register replay as q75 (shard-merge collapses exactly to the
       // direct sketch because max is associative): reuse that arithmetic.

@@ -38,6 +38,34 @@ object Governance {
   def generalize(c: Column, width: Double): Column =
     floor(c / width) * width
 
+  /** Canonical URL (the C4/CommonCrawl dedup key): lowercase scheme+host,
+    * default :80/:443 ports stripped, fragment dropped, tracking params
+    * (utm_*, fbclid, gclid) removed, remaining query params SORTED so
+    * param order never splits a dedup group, empty path → '/'. Pure
+    * regexp/array column ops in the RE2-compatible subset, so the oracle
+    * replays every step. Two pages fetched via cosmetically-different
+    * URLs collapse to one key BEFORE any content hashing — the cheapest
+    * dedup tier in a crawl pipeline. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1))
+    val port = regexp_extract(url, "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = sort_array(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
+        !p.startsWith("gclid=")))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   /** SSRF-safe URL predicate, mirroring the reference's url_safety checks:
     * http(s) scheme only, no localhost, no RFC-1918 / link-local / loopback
     * literal hosts. RE2-compatible regexes so the oracle replays exactly. */

@@ -44,4 +44,22 @@ class GovernanceSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toMap
     cases.foreach { case (u, expect) => assert(got(u) == expect, u) }
   }
+
+  test("URL canonicalization collapses cosmetic variants, keeps real differences") {
+    val cases = Seq(
+      "https://Example.COM/a" -> "https://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a", // real port kept
+      "https://example.com/a#section" -> "https://example.com/a",
+      "https://example.com/a?utm_source=x&b=2&a=1&fbclid=z" ->
+        "https://example.com/a?a=1&b=2",
+      "https://example.com/a?b=2&a=1" -> "https://example.com/a?a=1&b=2",
+      "https://example.com" -> "https://example.com/", // empty path → '/'
+      "https://example.com/a?x=1" -> "https://example.com/a?x=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Governance.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, expect) => assert(got(u) == expect, u) }
+  }
 }
