@@ -81,4 +81,27 @@ class SourcesSpec extends SparkSpec {
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("file_bucket"))
   }
+
+  test("schema drift across ingest batches: mergeSchema union + null backfill") {
+    // month 1 ships (id, text); month 2 adds a lang column — the corpus
+    // must stay readable as ONE table with nulls backfilled, and column
+    // pruning must still reach the scan for old-schema queries
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Seq((1L, "alpha")).toDF("id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "beta", "en")).toDF("id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.columns.toSet == Set("id", "text", "lang", "batch"))
+    val rows = all.select("id", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("en"))) // old rows backfill null
+    // normalization: a stable downstream schema with an explicit default
+    val normalized = all.withColumn("lang", coalesce(col("lang"), lit("und")))
+    assert(normalized.filter(col("lang") === "und").count() == 1L)
+    // pruning: selecting old columns reads only them (+ the partition col)
+    val p = all.select("text").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<text:string>"), p.linesIterator.take(8).mkString("\n"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
