@@ -983,6 +983,23 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q115_negative_samples" -> ((s, dir) => {
+      // contrastive-training negatives: per anchor, the k smallest
+      // scrambled pair hashes outside the anchor's IVF cell — pure
+      // function of the ids, so pairs are reproducible across reruns,
+      // repartitions, and cluster sizes
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("centroid_id"))
+      val anchors = assigned.filter(col("vec_id") < 5)
+      Sampling.negativeSamples(assigned, "vec_id", "centroid_id",
+          anchors, "vec_id", "centroid_id", k = 4)
+        .orderBy("anchor_id", "rank")
+    }),
+
     "q114_url_canonical" -> ((s, dir) => {
       // crawl-tier URL dedup: five cosmetic variants per URL group (case,
       // default port, fragment, tracking params, param order) collapse to
@@ -2495,6 +2512,28 @@ object SparkEntry {
       "q100_classifier" -> classifierOracleSql,
       "q112_incremental_dedup" -> incrementalDedupOracleSql,
       "q113_phash_neardup" -> phashOracleSql,
+
+      "q115_negative_samples" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, centroid_id FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |anch AS (SELECT vec_id AS anchor_id, centroid_id AS acell FROM a WHERE vec_id < 5),
+          |pairs AS (SELECT anchor_id, t.vec_id AS cid
+          |  FROM a t, anch
+          |  WHERE t.vec_id <> anchor_id AND t.centroid_id <> acell),
+          |h0 AS (SELECT anchor_id, cid,
+          |    ((anchor_id * 100003 + cid) * 1000003) % 2147483647 AS h FROM pairs),
+          |h1 AS (SELECT anchor_id, cid, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT anchor_id, cid, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |rk AS (SELECT anchor_id, cid, h,
+          |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY h, cid) AS INT) AS rank
+          |  FROM h2)
+          |SELECT anchor_id, rank, cid AS neg_id, h AS pair_hash
+          |FROM rk WHERE rank <= 4 ORDER BY anchor_id, rank""".stripMargin,
 
       "q114_url_canonical" ->
         """WITH base AS (SELECT doc_id,

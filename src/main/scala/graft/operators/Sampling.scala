@@ -115,6 +115,37 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, the `k` corpus rows with the smallest scrambled PAIR hash,
+    * excluding the anchor itself and its own IVF cell (same-cell rows are
+    * likely positives — the standard coarse positive filter). Pure
+    * function of the ids: re-running, re-partitioning, or growing the
+    * cluster never changes a training pair. Anchors broadcast (they are a
+    * batch, the corpus is the big side); ranking shuffles on anchor_id.
+    * At 100 TB, bound the per-anchor sort by pre-thresholding the pair
+    * hash (`sampleBp` basis points of candidates survive BEFORE the
+    * window — hash-uniform, so top-k is unchanged as long as
+    * k ≪ surviving count). */
+  def negativeSamples(assigned: DataFrame, idCol: String, cellCol: String,
+                      anchors: DataFrame, anchorIdCol: String,
+                      anchorCellCol: String, k: Int,
+                      sampleBp: Int = 10000): DataFrame = {
+    val a = broadcast(anchors.select(col(anchorIdCol).cast("long").as("anchor_id"),
+      col(anchorCellCol).as("_acell")))
+    val pairHash = Sketches.keyHash(col("anchor_id") * 100003L + col("_cid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("anchor_id"))
+      .orderBy(col("_h").asc, col("_cid").asc)
+    assigned.select(col(idCol).cast("long").as("_cid"), col(cellCol).as("_ccell"))
+      .crossJoin(a)
+      .filter(col("_cid") =!= col("anchor_id") && col("_ccell") =!= col("_acell"))
+      .withColumn("_h", pairHash)
+      .filter(pmod(col("_h"), lit(10000L)) < sampleBp)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("anchor_id"), col("_rk").cast("int").as("rank"),
+        col("_cid").as("neg_id"), col("_h").as("pair_hash"))
+  }
+
   def temperatureMix(df: DataFrame, keyCol: String, domainCol: String): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("_dom"))
       .agg(count(lit(1)).as("n_domain"))

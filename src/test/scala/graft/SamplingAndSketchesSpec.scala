@@ -124,6 +124,20 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(math.abs(byDom("b") - 500L) <= 60, s"b kept ${byDom("b")}")
   }
 
+  test("negative samples: k per anchor, never same-cell, stable under repartition") {
+    val assigned = (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("id", "cell")
+    val anchors = assigned.filter(col("id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(df, "id", "cell", anchors, "id", "cell", k = 5)
+        .select("anchor_id", "rank", "neg_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val out = run(assigned)
+    assert(out.groupBy(_._1).forall(_._2.size == 5))
+    // anchor a lives in cell a%4 — no negative may share it
+    assert(out.forall { case (a, _, n) => n % 4 != a % 4 && n != a })
+    assert(run(assigned.repartition(7)) == out) // pure function of the ids
+  }
+
   test("HLL registers merge to the exact same estimate as the direct sketch") {
     import org.apache.spark.sql.functions._
     val df = (0L until 3000L).map(i => (i % 97 + i / 800 * 1000, s"g${i % 3}", i % 5))
