@@ -52,11 +52,20 @@ object Retrieval {
     val tf = df
       .select(col(idCol).cast("long").as("id"), explode(analyze(col(textCol))).as("term"))
       .groupBy("term", "id").agg(count(lit(1)).as("tf"))
-    val index = tf.groupBy("term").agg(
+    // the stopword guard must fire BEFORE collect_list: an over-cap term's
+    // posting list is exactly the single-reducer skew we are guarding
+    // against, so it must never be materialized. The window count shares
+    // the term-hash exchange with the aggregate below (one shuffle total).
+    val kept =
+      if (maxDf > 0)
+        tf.withColumn("_tdf", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("term")))
+          .filter(col("_tdf") <= maxDf).drop("_tdf")
+      else tf
+    kept.groupBy("term").agg(
       count(lit(1)).as("df"),
       sum("tf").as("cf"),
       sort_array(collect_list(struct(col("id"), col("tf")))).as("postings"))
-    if (maxDf > 0) index.filter(col("df") <= maxDf) else index
   }
 
   /** BM25 scores for one bag-of-terms query: top-`k` documents as

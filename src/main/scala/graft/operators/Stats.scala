@@ -19,7 +19,9 @@ object Stats {
   /** Per-group z-score anomalies: rows where |value − mean| > `sigmas`·σ
     * (population σ). One group aggregate (broadcast back) + one map-side
     * filter — the profile a 100 TB quality monitor runs per column.
-    * Returns the flagged rows with their z-score. */
+    * Returns the flagged rows with their z-score. A constant group has
+    * σ = 0 → z is NaN and no row is flagged (NaN > x is false) — the
+    * desired behavior: a constant column has no outliers. */
   def zscoreAnomalies(df: DataFrame, groupCol: String, valueCol: String,
                       sigmas: Double = 2.0): DataFrame =
     zscoreAnomaliesAgainst(df, df, groupCol, valueCol, sigmas)
