@@ -45,7 +45,9 @@ object Governance {
     * regexp/array column ops in the RE2-compatible subset, so the oracle
     * replays every step. Two pages fetched via cosmetically-different
     * URLs collapse to one key BEFORE any content hashing — the cheapest
-    * dedup tier in a crawl pipeline. */
+    * dedup tier in a crawl pipeline. Precondition: run [[urlIsSafe]] (or
+    * any scheme://host validation) first — schemeless or IPv6-literal
+    * inputs are out of this parser's RE2-safe subset. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1))
