@@ -983,6 +983,15 @@ object SparkEntry {
         Seq("spark", "join", "vector", "window"), 20)
     }),
 
+    "q116_epoch_mix" -> ((s, dir) =>
+      // epoch-weighted mixing (Llama-style): en runs 2.5 epochs (2 copies
+      // + hash-coin third), fr thins to 0.5, others 1 — duplication and
+      // thinning in one map-side operator, rows never shuffle
+      Sampling.epochMix(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.5))
+        .orderBy("doc_id", "epoch")),
+
     "q115_negative_samples" -> ((s, dir) => {
       // contrastive-training negatives: per anchor, the k smallest
       // scrambled pair hashes outside the anchor's IVF cell — pure
@@ -2512,6 +2521,22 @@ object SparkEntry {
       "q100_classifier" -> classifierOracleSql,
       "q112_incremental_dedup" -> incrementalDedupOracleSql,
       "q113_phash_neardup" -> phashOracleSql,
+
+      "q116_epoch_mix" ->
+        """WITH w AS (SELECT doc_id, lang,
+          |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5
+          |      ELSE 1.0 END AS wt
+          |  FROM documents),
+          |h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |n AS (SELECT w.doc_id, w.lang,
+          |    CAST(floor(wt) AS BIGINT) +
+          |      CASE WHEN CAST(h AS DOUBLE) / 2147483647 < wt - floor(wt)
+          |        THEN 1 ELSE 0 END AS n
+          |  FROM w JOIN h2 USING (doc_id))
+          |SELECT doc_id, lang, epoch FROM n, unnest(range(0, n)) AS t(epoch)
+          |WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
 
       "q115_negative_samples" ->
         """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv

@@ -115,6 +115,30 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Epoch-weighted domain mixing: each row appears `floor(w)` times plus
+    * one more with probability `frac(w)` (hash-deterministic), where `w`
+    * is its domain's target weight — the Llama/DoReMi-style recipe where
+    * high-quality domains run MULTIPLE epochs (w > 1 upsamples by
+    * duplication, w < 1 thins — one operator subsumes both directions).
+    * Output rows carry an `epoch` column (0-based copy index) for
+    * downstream shard shuffling. The explode is map-side; rows never
+    * shuffle. Deterministic per key: rerunning or repartitioning yields
+    * the identical multiset. Unspecified domains default to weight 1. */
+  def epochMix(df: DataFrame, keyCol: String, domainCol: String,
+               weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (dom, wt)) =>
+      when(col(domainCol) === dom, lit(wt)).otherwise(acc)
+    }
+    val base = floor(w).cast("long")
+    val frac = w - floor(w)
+    val extra = when(Sketches.keyHash(col(keyCol)).cast("double") / P < frac, 1L)
+      .otherwise(0L)
+    df.withColumn("_n", base + extra)
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
   /** Deterministic negative sampling for contrastive training: for each
     * anchor, the `k` corpus rows with the smallest scrambled PAIR hash,
     * excluding the anchor itself and its own IVF cell (same-cell rows are

@@ -124,6 +124,28 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(math.abs(byDom("b") - 500L) <= 60, s"b kept ${byDom("b")}")
   }
 
+  test("epoch mix duplicates by floor(w) plus a hash coin for the fraction") {
+    val df = ((0L until 1000L).map((_, "hi")) ++ (1000L until 2000L).map((_, "lo"))
+        ++ (2000L until 2100L).map((_, "other"))).toDF("id", "dom")
+    val out = Sampling.epochMix(df, "id", "dom", Map("hi" -> 2.25, "lo" -> 0.5))
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom("other") == 100L) // unspecified domain: weight 1
+    // hi: 2 guaranteed epochs + ~25% third copies
+    assert(byDom("hi") >= 2100L && byDom("hi") <= 2400L, s"hi got ${byDom("hi")}")
+    assert(math.abs(byDom("lo") - 500L) <= 60, s"lo got ${byDom("lo")}")
+    // every hi row has epochs 0 and 1; epoch indexes are dense per row
+    val epochs = out.filter(col("dom") === "hi")
+      .groupBy("id").agg(collect_list("epoch").as("e"))
+      .select(expr("size(e)"), expr("array_min(e)"), expr("array_max(e)"))
+      .as[(Int, Long, Long)].collect()
+    assert(epochs.forall { case (n, mn, mx) => mn == 0L && mx == n - 1 })
+    // deterministic under repartition
+    val again = Sampling.epochMix(df.repartition(7), "id", "dom",
+      Map("hi" -> 2.25, "lo" -> 0.5))
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again == out.select("id", "epoch").as[(Long, Long)].collect().toSet)
+  }
+
   test("negative samples: k per anchor, never same-cell, stable under repartition") {
     val assigned = (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("id", "cell")
     val anchors = assigned.filter(col("id") < 3)
