@@ -966,6 +966,7 @@ object SparkEntry {
       // against a deterministic weight function): map-side feature hash →
       // weight fold → mean margin; no shuffle at any scale
       TextQuality.classifierScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_feats", "raw_margin", "margin", "label")
         .orderBy("doc_id")),
 
     "q106_index_bm25" -> ((s, dir) => {
@@ -981,6 +982,32 @@ object SparkEntry {
         size(Retrieval.analyze(col("text"))).cast("long").as("dl"))
       Retrieval.bm25FromIndex(s, root, 8, dl,
         Seq("spark", "join", "vector", "window"), 20)
+    }),
+
+    "q117_training_export" -> ((s, dir) => {
+      // the capstone data-prep DAG in one query: Gopher quality gate →
+      // hashed-bigram classifier gate → exact dedup (keep-first) →
+      // per-source cap → per-lang sequence packing. Every stage is an
+      // operator already proven under its own oracle; the composite
+      // replays as one chained-CTE oracle. Map-side gates run before any
+      // shuffle; the dedup/cap/pack shuffles operate on the SHRUNK corpus
+      val d = tbl(s, dir, "documents")
+      val gids = TextQuality.gopherMetrics(d, "doc_id", "text")
+        .filter(col("quality_pass")).select("doc_id")
+      val gated = d.join(gids, "doc_id")
+        .select("doc_id", "text", "lang", "source")
+      val classified = TextQuality.classifierScore(gated, "doc_id", "text")
+        .filter(col("label"))
+        .select("doc_id", "text", "lang", "source")
+      val deduped = Dedup.exactDedup(classified, "text", "doc_id")
+      val capped = Sampling.domainCap(deduped, "doc_id", "source", cap = 20)
+      val withTokens = capped
+        .withColumn("tokens", size(TextQuality.tokens(col("text"))))
+        .filter(col("tokens") > 0)
+        .select("doc_id", "lang", "source", "tokens")
+      Chunker.packSequences(withTokens, "lang", "doc_id", "tokens", 2000)
+        .select("doc_id", "lang", "source", "tokens", "pack_id", "spans_boundary")
+        .orderBy("doc_id")
     }),
 
     "q116_epoch_mix" -> ((s, dir) =>
@@ -2521,6 +2548,7 @@ object SparkEntry {
       "q100_classifier" -> classifierOracleSql,
       "q112_incremental_dedup" -> incrementalDedupOracleSql,
       "q113_phash_neardup" -> phashOracleSql,
+      "q117_training_export" -> trainingExportOracleSql,
 
       "q116_epoch_mix" ->
         """WITH w AS (SELECT doc_id, lang,
@@ -3114,6 +3142,71 @@ object SparkEntry {
       |  COUNT(*) AS n_matched
       |FROM scored GROUP BY id
       |ORDER BY score DESC, id LIMIT 20""".stripMargin
+
+  /** Training-export oracle: the q117 composite replayed as one chained
+    * CTE pipeline — Gopher gate (q71's expression), classifier gate
+    * (q100's hash chain), keep-first dedup (q12's md5 window), per-source
+    * hash cap (q96's scramble), per-lang packing cumsum (q85's window). */
+  private def trainingExportOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val mix = graft.plans.HashExpressions.Mix
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |gpass AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+       |      CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mwl,
+       |      CAST(len(list_filter(t, x -> x IN ('a','the','of','to','and','in','is','on','for','it'))) AS DOUBLE) / len(t) AS swf,
+       |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uf
+       |    FROM toks)
+       |  WHERE n_words >= 30 AND mwl BETWEEN 4.0 AND 5.0
+       |    AND swf >= 0.03 AND uf >= 0.35),
+       |ths AS (
+       |  SELECT d.doc_id, list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |    t -> $tokenHash) AS th
+       |  FROM documents d JOIN gpass USING (doc_id)),
+       |grams AS (
+       |  SELECT doc_id,
+       |    (th[CAST(i AS INT) + 1] * $b2 + th[CAST(i AS INT) + 2]) % $HP AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
+       |ch0 AS (SELECT doc_id, (gh * $b1) % $HP AS h FROM grams),
+       |ch1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM ch0),
+       |ch2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM ch1),
+       |ckeep AS (
+       |  SELECT doc_id FROM ch2 GROUP BY doc_id
+       |  HAVING CAST(SUM(h % 1001 - 500) AS BIGINT) > 0),
+       |dd AS (
+       |  SELECT doc_id FROM (
+       |    SELECT d.doc_id,
+       |      row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+       |    FROM documents d JOIN ckeep USING (doc_id))
+       |  WHERE rn = 1),
+       |kh0 AS (SELECT doc_id, (doc_id * 1000003) % $HP AS h FROM documents JOIN dd USING (doc_id)),
+       |kh1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM kh0),
+       |kh2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM kh1),
+       |capped AS (
+       |  SELECT doc_id FROM (
+       |    SELECT d.doc_id,
+       |      row_number() OVER (PARTITION BY d.source ORDER BY kh2.h, d.doc_id) AS rk
+       |    FROM documents d JOIN kh2 USING (doc_id))
+       |  WHERE rk <= 20),
+       |tok2 AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '')) AS INT) AS tokens
+       |  FROM documents d JOIN capped USING (doc_id)),
+       |nz AS (SELECT * FROM tok2 WHERE tokens > 0),
+       |p AS (SELECT doc_id, lang, source, tokens,
+       |    COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |  FROM nz)
+       |SELECT doc_id, lang, source, tokens, CAST(s // 2000 AS INT) AS pack_id,
+       |  ((s + tokens - 1) // 2000) > (s // 2000) AS spans_boundary
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 
   /** CMS heavy-hitter oracle (q74 and its shard-merge twin q105 — the
     * merged grid is bit-identical to the single-pass one, so both replay

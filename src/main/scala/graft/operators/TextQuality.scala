@@ -225,8 +225,10 @@ object TextQuality {
     * margin, label). */
   def classifierScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
-    df.select(col(idCol),
-        call_function("graft_gram_polyhashes", col(textCol), lit(2)).as("_fh"))
+    // retains the input columns (a gate should carry its payload through —
+    // the training-export composite q117 filters on `label` and keeps going)
+    df.withColumn("_fh",
+        call_function("graft_gram_polyhashes", col(textCol), lit(2)))
       .withColumn("n_feats", size(col("_fh")))
       .withColumn("raw_margin",
         aggregate(col("_fh"), lit(0L),
