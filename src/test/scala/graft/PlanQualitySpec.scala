@@ -270,4 +270,30 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q109_hybrid_rrf").split("== Initial Plan ==").head
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q112: incremental probe broadcasts the new batch; no pair cartesian") {
+    val p = plan("q112_incremental_dedup").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q114/q116: URL canonical dedup and epoch mix never join") {
+    for (q <- Seq("q114_url_canonical", "q116_epoch_mix")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+  }
+
+  test("q115: negative sampling — anchors ride broadcast, corpus never sort-merges") {
+    val p = plan("q115_negative_samples").split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q117: the export composite keeps every join broadcast at gate scale") {
+    val p = plan("q117_training_export").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    // WindowGroupLimit from the per-source cap must survive composition
+    assert(p.contains("WindowGroupLimit"), "expected the domain-cap group limit")
+  }
 }
