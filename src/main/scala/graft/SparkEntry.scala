@@ -1168,6 +1168,19 @@ object SparkEntry {
         .orderBy(desc("true_cnt"), col("key"))
     }),
 
+    "q118_hourly_hll" -> ((s, dir) => {
+      // sketch-over-time: distinct users per hour via the same mergeable
+      // HLL as q75/q102, with the exact count alongside — the dashboard
+      // query a stream materializes from persisted hourly registers
+      // instead of rescanning raw events
+      val ev = events(s, dir)
+        .withColumn("hr", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+        .select(col("hr"), col("user_id"))
+      val est = Sketches.hllDistinctByGroup(ev, "hr", "user_id")
+      val exact = ev.groupBy("hr").agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, "hr").orderBy("hr")
+    }),
+
     "q102_hll_merge" -> ((s, dir) => {
       // shard-mergeable HLL: per-(shard, group) register tables — what a
       // 1000-executor pipeline PERSISTS per partition — then a max-merge
@@ -2623,6 +2636,24 @@ object SparkEntry {
           |  FROM parts)
           |SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS min_doc
           |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+      "q118_hourly_hll" ->
+        s"""WITH ev AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+          |    user_id AS key FROM events),
+          |kh0 AS (SELECT hr, (key * 1000003) % 2147483647 AS a0 FROM ev),
+          |kh1 AS (SELECT hr, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+          |kh2 AS (SELECT hr, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+          |br AS (SELECT hr, h >> 26 AS b,
+          |    CASE WHEN (h & 67108863) = 0 THEN 27
+          |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+          |mb AS (SELECT hr, b, MAX(rho) AS mx FROM br GROUP BY hr, b),
+          |hs AS (SELECT hr,
+          |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+          |    COUNT(*) AS nb FROM mb GROUP BY hr),
+          |ex AS (SELECT hr, COUNT(DISTINCT key) AS n_exact FROM ev GROUP BY hr)
+          |SELECT ex.hr, ${Sketches.hllFactor(5)} / CAST(present + (32 - nb) * 134217728 AS DOUBLE) AS hll_est,
+          |  n_exact
+          |FROM ex JOIN hs USING (hr) ORDER BY hr""".stripMargin,
 
       // Same register replay as q75 (shard-merge collapses exactly to the
       // direct sketch because max is associative): reuse that arithmetic.
