@@ -1069,7 +1069,12 @@ object SparkEntry {
       // blocking + Hamming verify as SimHash — one pipeline for text and
       // image fingerprints. Twins perturb ONE leading byte, so they land
       // within Hamming ≤ 3 of their original
+      // ASCII-only gate, mirrored in the oracle: the stub hashes UTF-8
+      // BYTES while the oracle replays per-character CODE POINTS — equal
+      // only for ASCII, so non-ASCII docs are excluded by construction on
+      // both sides rather than trusting the corpus generator
       val d = tbl(s, dir, "documents")
+        .filter(!col("text").rlike("[^\\x00-\\x7F]"))
       val corpus = d.select(col("doc_id"), col("text")).union(
         d.select(col("doc_id") + 1000000,
           expr("concat('X', substring(text, 2))")))
@@ -1423,10 +1428,10 @@ object SparkEntry {
     }),
 
     "q101_knn_graph" -> ((s, dir) => {
-      // bucket-local kNN graph (NN-descent/SemDeDup stage 1): IVF-assign
-      // to 8 broadcast centroids, then top-3 cosine neighbors within each
-      // cell — the self-join shuffles only on centroid_id (free when the
-      // corpus is stored partitionBy(centroid_id))
+      // bucket-local kNN graph (NN-descent/SemDeDup stage 1): map-side
+      // IVF assignment to 8 centroids, then top-3 cosine neighbors within
+      // each cell — the self-join shuffles only on centroid_id (free when
+      // the corpus is stored partitionBy(centroid_id))
       val e = tbl(s, dir, "embeddings")
       val centroids = e.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
@@ -1436,6 +1441,53 @@ object SparkEntry {
       Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
         .withColumn("distance", round(col("distance"), 6))
         .orderBy("id", "rank")
+    }),
+
+    "q119_nn_descent" -> ((s, dir) => {
+      // NN-descent refinement (HNSW-family graph build, Dong et al. 2011):
+      // the bucket-local graph's components never LEAVE their IVF cell, so
+      // the seed unions a deterministic ring (i → i+1 — the replayable
+      // stand-in for NN-descent's random seed graph) to give expansion a
+      // path between cells; one neighbor-of-neighbor round then reaches
+      // true neighbors IVF blocking misses by construction. The sampled
+      // recall@3 gate shows base vs refined side by side — refined can
+      // only match or beat base (superset re-rank)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val base = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      graft.plans.VectorExpressions.register(s)
+      val ring = e.select(col("vec_id").as("id"), col("embedding").as("_lv"))
+        .join(e.select((col("vec_id") - 1).as("id"), col("vec_id").as("nbr_id"),
+          col("embedding").as("_rv")), Seq("id"))
+        .select(col("id"), col("nbr_id"),
+          call_function("graft_cosine_distance", col("_lv"), col("_rv")).as("distance"))
+      val seed = base.select(col("id"), col("nbr_id"), col("distance"))
+        .unionByName(ring)
+      val refined = Similarity.nnDescentRefine(seed, e, "embedding", "vec_id", 3)
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // exact top-3 TRUE neighbors (self excluded) of the sampled nodes
+      val wEx = Window.partitionBy("query_id")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      val exact3 = Similarity.topKBatch(e, "embedding", "vec_id",
+          queries, "qv", "qid", 4)
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("_rk", row_number().over(wEx)).filter(col("_rk") <= 3)
+        .select(col("query_id").as("id"), col("vec_id").as("nbr_id"))
+      def evalRecall(g: DataFrame) = Similarity.recallAtK(
+        g.filter(col("id") < 50).select(col("id"), col("nbr_id")),
+        exact3, "id", "nbr_id", 3)
+      evalRecall(base)
+        .withColumnRenamed("n_hit", "n_hit_base")
+        .withColumnRenamed("recall", "recall_base")
+        .join(evalRecall(refined)
+          .withColumnRenamed("n_hit", "n_hit_ref")
+          .withColumnRenamed("recall", "recall_ref"), Seq("id"))
+        .orderBy("id")
     }),
 
     "q55_multistore_search" -> ((s, dir) => {
@@ -2619,7 +2671,7 @@ object SparkEntry {
           |    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
           |    regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
           |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS rawpath,
-          |    regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+          |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query FROM u),
           |canon AS (SELECT doc_id,
           |    scheme || '://' || host ||
           |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
@@ -2699,10 +2751,14 @@ object SparkEntry {
           |      row_number() OVER (PARTITION BY q.query_id
           |        ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
           |          e.vec_id) AS rk
-          |    FROM embeddings e, q) WHERE rk <= 3)
-          |SELECT x.query_id, COUNT(*) AS n_hit, CAST(COUNT(*) AS DOUBLE) / 3 AS recall
-          |FROM exact x JOIN approx ap USING (query_id, vec_id)
-          |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+          |    FROM embeddings e, q) WHERE rk <= 3),
+          |hits AS (SELECT x.query_id, COUNT(*) AS n_hit
+          |  FROM exact x JOIN approx ap USING (query_id, vec_id)
+          |  GROUP BY x.query_id)
+          |SELECT qs.query_id, coalesce(h.n_hit, 0) AS n_hit,
+          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall
+          |FROM (SELECT DISTINCT query_id FROM exact) qs
+          |LEFT JOIN hits h USING (query_id) ORDER BY qs.query_id""".stripMargin,
 
       "q104_index_store" ->
         """WITH toks AS (SELECT doc_id AS id,
@@ -2843,6 +2899,66 @@ object SparkEntry {
           |  FROM p)
           |SELECT id, rank, nbr_id, round(distance, 6) AS distance
           |FROM rk WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+      // q101's graph replayed, then one NN-descent round: undirected
+      // expansion → neighbor-of-neighbor candidates → cosine re-rank →
+      // recall@3 of base vs refined on the sampled nodes
+      "q119_nn_descent" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g0 AS (SELECT id, nbr_id, distance FROM (
+          |    SELECT id, nbr_id, distance,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM p) WHERE rk <= 3),
+          |seed AS (SELECT id, nbr_id FROM g0
+          |  UNION ALL SELECT l.vec_id AS id, r.vec_id AS nbr_id
+          |  FROM embeddings l JOIN embeddings r ON r.vec_id = l.vec_id + 1),
+          |und AS (SELECT id, nbr_id FROM seed
+          |  UNION SELECT nbr_id AS id, id AS nbr_id FROM seed),
+          |nn AS (SELECT x.id, y.nbr_id FROM und x JOIN und y ON x.nbr_id = y.id
+          |    WHERE x.id <> y.nbr_id
+          |  UNION SELECT id, nbr_id FROM und),
+          |sc AS (SELECT nn.id, nn.nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM nn JOIN embeddings l ON nn.id = l.vec_id
+          |    JOIN embeddings r ON nn.nbr_id = r.vec_id),
+          |g1 AS (SELECT id, nbr_id FROM (
+          |    SELECT id, nbr_id,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM sc) WHERE rk <= 3),
+          |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 50),
+          |ex AS (SELECT qid AS id, vec_id AS nbr_id FROM (
+          |    SELECT q.qid, e.vec_id,
+          |      row_number() OVER (PARTITION BY q.qid
+          |        ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+          |          e.vec_id) AS rk
+          |    FROM embeddings e, q WHERE e.vec_id <> q.qid) WHERE rk <= 3),
+          |hb AS (SELECT ex.id, COUNT(*) AS n FROM ex
+          |  JOIN (SELECT id, nbr_id FROM g0 WHERE id < 50) b USING (id, nbr_id)
+          |  GROUP BY ex.id),
+          |hr AS (SELECT ex.id, COUNT(*) AS n FROM ex
+          |  JOIN (SELECT id, nbr_id FROM g1 WHERE id < 50) r USING (id, nbr_id)
+          |  GROUP BY ex.id)
+          |SELECT qs.id,
+          |  CAST(coalesce(hb.n, 0) AS BIGINT) AS n_hit_base,
+          |  CAST(coalesce(hb.n, 0) AS DOUBLE) / 3 AS recall_base,
+          |  CAST(coalesce(hr.n, 0) AS BIGINT) AS n_hit_ref,
+          |  CAST(coalesce(hr.n, 0) AS DOUBLE) / 3 AS recall_ref
+          |FROM (SELECT DISTINCT id FROM ex) qs
+          |LEFT JOIN hb USING (id) LEFT JOIN hr USING (id)
+          |ORDER BY qs.id""".stripMargin,
       "q36_embedding_neardup" -> embeddingNearDupOracleSql,
       "q19_mmr" -> mmrOracleSql,
       "q32_embed_search" -> embedSearchOracleSql,
@@ -3061,10 +3177,14 @@ object SparkEntry {
        |  FROM documents WHERE doc_id < 50),
        |${side("documents", "st")},
        |${side("newd", "nw")}
+       |, capped_st AS (
+       |  SELECT doc_id, sig, b, band_hash FROM banded_st
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash)
+       |    <= ${graft.operators.Dedup.DefaultMaxBucketSize})
        |SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS stored_id,
        |  list_count(list_filter(range(1, 65),
        |    i -> n.sig[CAST(i AS INT)] = s.sig[CAST(i AS INT)])) / 64.0 AS est_jaccard
-       |FROM banded_nw n JOIN banded_st s
+       |FROM banded_nw n JOIN capped_st s
        |  ON n.b = s.b AND n.band_hash = s.band_hash
        |WHERE list_count(list_filter(range(1, 65),
        |    i -> n.sig[CAST(i AS INT)] = s.sig[CAST(i AS INT)])) / 64.0 >= 0.8
@@ -3286,13 +3406,17 @@ object SparkEntry {
        |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
        |h0 AS (SELECT doc_id, (gh * $b1) % $HP AS h FROM grams),
        |h1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
-       |h2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1)
-       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats,
-       |  CAST(SUM(h % 1001 - 500) AS BIGINT) AS raw_margin,
-       |  CAST(CAST(SUM(h % 1001 - 500) AS BIGINT) AS DOUBLE)
-       |    / (COUNT(*) * 1000) AS margin,
-       |  CAST(SUM(h % 1001 - 500) AS BIGINT) > 0 AS label
-       |FROM h2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |h2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+       |    CAST(SUM(h % 1001 - 500) AS BIGINT) AS raw_margin
+       |  FROM h2 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_feats, 0) AS n_feats,
+       |  CAST(coalesce(a.raw_margin, 0) AS BIGINT) AS raw_margin,
+       |  CASE WHEN coalesce(a.n_feats, 0) = 0 THEN 0.0
+       |    ELSE CAST(a.raw_margin AS DOUBLE) / (a.n_feats * 1000) END AS margin,
+       |  coalesce(a.raw_margin, 0) > 0 AS label
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def simhashOracleSql: String = {
@@ -3334,11 +3458,14 @@ object SparkEntry {
     val px = "list_transform(range(1, 65), i -> CASE WHEN i <= length(text) " +
       "THEN CAST(CAST(unicode(substring(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0 AS FLOAT) " +
       "ELSE CAST(0.0 AS FLOAT) END)"
-    s"""WITH corpus AS (
+    s"""WITH ascii_docs AS (
        |  SELECT doc_id, text FROM documents
+       |  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')),
+       |corpus AS (
+       |  SELECT doc_id, text FROM ascii_docs
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS doc_id, 'X' || substring(text, 2) AS text
-       |  FROM documents),
+       |  FROM ascii_docs),
        |px AS (SELECT doc_id, $px AS pxl FROM corpus),
        |mh AS (SELECT doc_id, pxl,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -175,16 +175,33 @@ object Dedup {
     * matching band buckets, when persisted partitioned/bucketed on the
     * band key); only the new batch — typically orders of magnitude
     * smaller — is hashed, and it BROADCASTS into the join, so corpus
-    * growth costs O(batch), not O(corpus), per ingest. Returns
+    * growth costs O(batch), not O(corpus), per ingest.
+    *
+    * Degenerate hot buckets are capped like the batch path: stored band
+    * buckets larger than `maxBucketSize` are skipped BEFORE pairing, so a
+    * pile of near-identical short documents can't fan out O(bucket×batch)
+    * candidates. The cap counts the STORED bucket only (the batch path
+    * counts the merged corpus bucket, which an un-merged probe cannot
+    * see) — the q112 oracle replays this stored-side count exactly. The
+    * count window touches only stored rows whose band key matched the
+    * batch (a semi-join against the broadcast keys precedes it), keeping
+    * the shuffle O(matched), not O(corpus). Returns
     * (new_id, stored_id, est_jaccard). */
   def incrementalDedupProbe(storedSigs: DataFrame, newSigs: DataFrame,
                             numHashes: Int = 64,
-                            threshold: Double = 0.5): DataFrame = {
-    val s = storedSigs.select(col("band_idx"), col("band_hash"),
-      col("id").as("stored_id"), col("sig").as("_ssig"))
+                            threshold: Double = 0.5,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val n = broadcast(newSigs.select(col("band_idx"), col("band_hash"),
       col("id").as("new_id"), col("sig").as("_nsig")))
-    s.join(n, Seq("band_idx", "band_hash"))
+    val keys = broadcast(newSigs.select(col("band_idx"), col("band_hash")).distinct())
+    val sMatched = storedSigs.select(col("band_idx"), col("band_hash"),
+        col("id").as("stored_id"), col("sig").as("_ssig"))
+      .join(keys, Seq("band_idx", "band_hash"), "left_semi")
+    val sCapped = sMatched
+      .withColumn("_bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
+    sCapped.join(n, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("stored_id"),
         (expr("size(filter(zip_with(_nsig, _ssig, (p, q) -> p = q), v -> v))")
           .cast("double") / lit(numHashes)).as("est_jaccard"))

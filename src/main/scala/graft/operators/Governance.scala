@@ -57,7 +57,9 @@ object Governance {
       !(scheme === "https" && port === "443")
     val rawPath = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // query must PRECEDE any fragment: a '?' inside '#frag?x=1' is part of
+    // the fragment, not a query — [^#?]* pins the match before the first '#'
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = sort_array(filter(split(query, "&"), p =>
       p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
         !p.startsWith("gclid=")))

@@ -104,7 +104,13 @@ object Multimodal {
 
   /** Perceptual-hash column for a corpus: (id, ph) via [[perceptualHashStub]]
     * over the binary column — the production shape (real decoders run here
-    * too; the per-row loop is where a JPEG downsample would go). */
+    * too; the per-row loop is where a JPEG downsample would go).
+    *
+    * Oracle-parity precondition: the stub reads raw BYTES (`b & 0xff`). A
+    * SQL replay over a text column sees per-character CODE POINTS, which
+    * agree with UTF-8 bytes only for ASCII — callers gating text-derived
+    * binaries must exclude non-ASCII rows on BOTH sides (as q113 does).
+    * Real image bytes have no such caveat. */
   def perceptualHashes(df: DataFrame, idCol: String, binCol: String,
                        nPixels: Int = 64): DataFrame = {
     val spark = df.sparkSession

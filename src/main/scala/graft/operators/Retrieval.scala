@@ -138,20 +138,31 @@ object Retrieval {
   /** BM25 served from a PERSISTED index ([[graft.store.IndexStore]]):
     * posting lists for the query's terms come from a partition-pruned
     * lookup (|terms| buckets read, not the corpus), document lengths from
-    * a precomputed (id, dl) side table. The exploded postings frame is
-    * tiny (matched docs only) and broadcasts into the dl join, so the
-    * heavy side never shuffles — the serving shape of a 100 TB index.
+    * a precomputed (id, dl) side table.
+    *
+    * Join strategy is SIZE-AWARE, not assumed: the index already knows how
+    * many (term, doc) pairs the query matches — the sum of the per-term
+    * `df` column, read here from the same pruned buckets before planning.
+    * Only when that count is at most `maxBroadcastPairs` does the matched
+    * frame get a broadcast hint (rare terms: the dl side never shuffles);
+    * a stopword-grade term over a 100 TB corpus instead leaves the choice
+    * to Catalyst/AQE rather than failing on the broadcast limit.
     * Output and arithmetic are identical to [[bm25]] (same oracle). */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     nBuckets: Int, docLengths: DataFrame, queryTerms: Seq[String],
-                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k: Int, k1: Double = 1.2, b: Double = 0.75,
+                    maxBroadcastPairs: Long = 4000000L): DataFrame = {
     val postings = graft.store.IndexStore.lookup(spark, indexPath, queryTerms, nBuckets)
     val tf = postings
       .select(col("term"), col("df").as("term_df"), explode(col("postings")).as("p"))
       .select(col("term"), col("term_df"), col("p.id").as("id"), col("p.tf").as("tf"))
     val dfreq = tf.select(col("term"), col("term_df")).distinct()
-    val matched = broadcast(tf.select(col("term"), col("id"), col("tf")))
-      .join(docLengths.select(col("id"), col("dl")), "id")
+    // |terms| rows from pruned buckets — a driver-cheap pre-count that
+    // decides the plan, the same way AQE would but before the first stage
+    val matchedPairs = postings.agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+    val slim = tf.select(col("term"), col("id"), col("tf"))
+    val probe = if (matchedPairs <= maxBroadcastPairs) broadcast(slim) else slim
+    val matched = probe.join(docLengths.select(col("id"), col("dl")), "id")
     scoreBm25(matched, dfreq, docLengthStats(docLengths.select(col("id"), col("dl"))),
       k, k1, b)
   }

@@ -174,6 +174,49 @@ object Similarity {
     selected.toSeq
   }
 
+  /** MMR for fetch_k far beyond driver reach (SURVEY §7.3's 100 TB note):
+    * the candidate pool stays a cached DISTRIBUTED frame and each of the k
+    * greedy picks is one argmax job — a map (λ·rel − (1−λ)·max-sim-to-
+    * selected, selected rides the closure as ≤ k literals) followed by a
+    * TakeOrdered(1). k · O(fetch_k / cores) wall-clock, O(k·dim) driver
+    * memory — versus [[mmr]]'s O(fetch_k·dim) driver collect. Same greedy
+    * selection and tie-break (score desc, id asc) as [[mmr]]; scores can
+    * differ from it only in the last ulp (the driver path associates the
+    * cosine denominator as √(na·nb), the expression path as √na·√nb —
+    * MmrSpec pins selection parity and λ=1 ≡ [[topK]]). */
+  def mmrDistributed(corpus: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], k: Int, fetchK: Int = 20,
+                     lambdaMult: Double = 0.5): Seq[(Long, Double)] = {
+    val spark = corpus.sparkSession
+    graft.plans.VectorExpressions.register(spark)
+    val cand = topK(corpus, vecCol, query, fetchK, "COSINE", idCol)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        (lit(1.0) - col("distance")).as("rel"))
+      .cache()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Seq[Float])]
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val divCol = selected.map { case (_, _, sv) =>
+        lit(1.0) - call_function("graft_cosine_distance", col("v"), typedLit(sv))
+      }.reduceOption(greatest(_, _)).getOrElse(lit(0.0))
+      val rest =
+        if (selected.isEmpty) cand
+        else cand.filter(!col("id").isin(selected.map(_._1).toSeq: _*))
+      val pick = rest
+        .withColumn("mmr",
+          lit(lambdaMult) * col("rel") - lit(1.0 - lambdaMult) * divCol)
+        .orderBy(col("mmr").desc, col("id").asc)
+        .limit(1).collect().headOption
+      pick match {
+        case Some(r) =>
+          selected += ((r.getLong(0), r.getDouble(3), r.getSeq[Float](1)))
+        case None => exhausted = true
+      }
+    }
+    cand.unpersist()
+    selected.map(t => (t._1, t._2)).toSeq
+  }
+
   /** Random-hyperplane LSH bucket id (nBits sign bits of projections onto
     * seeded random hyperplanes). Rows in the same bucket are cosine-close
     * with high probability — the blocking key for
@@ -197,28 +240,44 @@ object Similarity {
     expr(s"(${bitExprs.mkString(" + ")})")
   }
 
-  /** IVF assignment via broadcast argmin join: append `centroid_id` (and
-    * `centroid_dist`) of the nearest centroid. The centroid set is broadcast
-    * (it is small by construction); the corpus never shuffles. At cluster
-    * scale, write the output `partitionBy("centroid_id")` — probes then
-    * become partition-pruned scans of the `nProbe` nearest buckets
-    * instead of full-corpus scans (see also [[ivfAssign]] for the
-    * literal-centroid variant). */
+  /** IVF assignment as a pure map-side argmin: the centroid set (small by
+    * construction — it used to be the broadcast side) is collected and
+    * folded into ONE expression per row — `least` over
+    * `struct(l2_dist, cid)` candidates, so ties break to the smallest
+    * centroid id exactly like the former window rank. Appends
+    * `centroid_id` and `centroid_dist` (same `graft_l2_distance` values,
+    * bit-identical).
+    *
+    * Scale shape: ZERO joins and ZERO shuffles — at 100 TB the corpus
+    * streams through whole-stage codegen once, where the previous
+    * crossJoin+window shuffled the corpus × nCentroids expansion by row
+    * id before the argmin filter. `idCol` is kept for API stability but
+    * no longer needed by the plan. Write the output
+    * `partitionBy("centroid_id")` — probes then become partition-pruned
+    * scans of the `nProbe` nearest buckets (see also [[ivfAssign]] for
+    * the literal-centroid variant of the same fold). */
   def assignNearestCentroid(corpus: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, cidCol: String,
                             cvecCol: String): DataFrame = {
     graft.plans.VectorExpressions.register(corpus.sparkSession)
-    val cents = broadcast(centroids.select(
-      col(cidCol).as("_cid"), col(cvecCol).as("_cv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("centroid_dist").asc, col("_cid").asc)
-    corpus.crossJoin(cents)
-      .withColumn("centroid_dist",
-        call_function("graft_l2_distance", col(vecCol), col("_cv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .withColumnRenamed("_cid", "centroid_id")
-      .drop("_cv", "_rn")
+    val cents = centroids
+      .select(col(cidCol).cast("int"), col(cvecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignNearestCentroid: empty centroid set")
+    val candidates = cents.map { case (cid, cv) =>
+      struct(
+        call_function("graft_l2_distance", col(vecCol), typedLit(cv)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val best = if (candidates.length == 1) candidates.head
+               else least(candidates.toIndexedSeq: _*)
+    corpus
+      .withColumn("_best", best)
+      .withColumn("centroid_id", col("_best.cid"))
+      .withColumn("centroid_dist", col("_best.d"))
+      .drop("_best")
   }
 
   /** IVF probe: search only the `nProbe` buckets whose centroids are
@@ -277,15 +336,23 @@ object Similarity {
   /** Recall@k of an approximate result set against the exact one: both
     * frames carry (queryIdCol, idCol); recall = |approx ∩ exact| / k per
     * query. The standard ANN quality gate — run it on a sampled query set
-    * before trusting an IVF/LSH configuration at full scale. */
+    * before trusting an IVF/LSH configuration at full scale.
+    *
+    * Every query in `exact` gets a row: a query whose approx results hit
+    * NONE of its true neighbors reports `n_hit = 0, recall = 0.0` instead
+    * of vanishing — the worst performers are exactly the rows the gate
+    * exists to surface. */
   def recallAtK(approx: DataFrame, exact: DataFrame, queryIdCol: String,
                 idCol: String, k: Int): DataFrame = {
     val a = approx.select(col(queryIdCol), col(idCol))
     val e = exact.select(col(queryIdCol), col(idCol))
-    e.join(a, Seq(queryIdCol, idCol), "left_semi")
+    val hits = e.join(a, Seq(queryIdCol, idCol), "left_semi")
       .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hit"))
-      .select(col(queryIdCol), col("n_hit"),
-        (col("n_hit").cast("double") / k).as("recall"))
+    e.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** Bucket-local k-nearest-neighbor graph: for every row of `assigned`
@@ -317,6 +384,60 @@ object Similarity {
       .withColumn("distance",
         call_function("graft_cosine_distance", col("_lv"), col("_rv")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"),
+        col("nbr_id"), col("distance"))
+  }
+
+  /** NN-descent refinement over a kNN graph (Dong et al., WWW 2011 — the
+    * graph-build family behind HNSW-class indexes): each iteration expands
+    * candidates to NEIGHBORS-OF-NEIGHBORS over the undirected graph (if B
+    * is near A and C is near B, C is likely near A), re-scores, and keeps
+    * the k nearest per node. Closes exactly the misses bucket-local
+    * [[knnGraph]] makes by construction (true neighbors in a different IVF
+    * cell become reachable through shared neighbors), so sampled
+    * [[recallAtK]] can only rise: each round re-ranks a SUPERSET of the
+    * current edge set under the same (distance, id) order.
+    *
+    * Scale shape: every step is an equi-join — the undirected expansion is
+    * a union, candidate generation is a self-join on the shared node id,
+    * and re-scoring joins the (≤ 2·N·k-row) candidate set to the corpus on
+    * id twice. Nothing is quadratic in N; per-round cost is bounded by
+    * degree² per node (classic NN-descent samples candidates to tighten
+    * this bound — unnecessary until degrees are far above k).
+    * Input/output schema matches [[knnGraph]]: (id, rank, nbr_id,
+    * distance), cosine, ties by neighbor id. */
+  def nnDescentRefine(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                      idCol: String, k: Int, iters: Int = 1): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    var edges = graph.select(col("id"), col("nbr_id"))
+    var scored: DataFrame = graph.select(col("id"), col("nbr_id"), col("distance"))
+    for (_ <- 1 to iters) {
+      val und = edges
+        .union(edges.select(col("nbr_id").as("id"), col("id").as("nbr_id")))
+        .distinct()
+      val cands = und.as("a")
+        .join(und.as("b"), col("a.nbr_id") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.nbr_id").as("nbr_id"))
+        .filter(col("id") =!= col("nbr_id"))
+        .union(und)
+        .distinct()
+      scored = cands
+        .join(vecs, cands("id") === vecs("_vid"))
+        .select(col("id"), col("nbr_id"), col("_vv").as("_lv"))
+        .join(vecs, col("nbr_id") === col("_vid"))
+        .select(col("id"), col("nbr_id"),
+          call_function("graft_cosine_distance", col("_lv"), col("_vv")).as("distance"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("distance").asc, col("nbr_id").asc)
+      scored = scored.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k).drop("_rk")
+      edges = scored.select(col("id"), col("nbr_id"))
+    }
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("distance").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank").cast("int").as("rank"),
         col("nbr_id"), col("distance"))

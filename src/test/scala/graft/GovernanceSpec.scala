@@ -56,10 +56,55 @@ class GovernanceSpec extends SparkSpec {
         "https://example.com/a?a=1&b=2",
       "https://example.com/a?b=2&a=1" -> "https://example.com/a?a=1&b=2",
       "https://example.com" -> "https://example.com/", // empty path → '/'
-      "https://example.com/a?x=1" -> "https://example.com/a?x=1")
+      "https://example.com/a?x=1" -> "https://example.com/a?x=1",
+      // a '?' INSIDE the fragment is not a query — the whole fragment drops
+      "https://example.com/a#sec?x=1" -> "https://example.com/a",
+      "https://example.com/a?b=2#sec?x=1" -> "https://example.com/a?b=2")
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), Governance.canonicalizeUrl(col("url")).as("c"))
       .as[(String, String)].collect().toMap
     cases.foreach { case (u, expect) => assert(got(u) == expect, u) }
+  }
+
+  test("grant catalog: grant/revoke visibility, role union, row filters OR") {
+    import graft.plans.Grants._
+    val t = Seq((1L, "alice", 700.0, "EU"), (2L, "bob", 50.0, "US"),
+      (3L, "carol", 900.0, "EU")).toDF("id", "name", "bal", "region")
+    val cat0 = GrantCatalog.empty
+      .grant("analyst", TableGrant("cust", Seq("id", "name", "bal"),
+        maskedCols = Set("name"), rowFilterSql = Some("region = 'EU'")))
+      .grant("auditor", TableGrant("cust", Seq("id", "name"),
+        rowFilterSql = Some("bal > 800")))
+      .addMember("u1", "analyst")
+    // single role: projection, masking, row filter all apply
+    val v1 = cat0.viewFor("u1", "cust", t)
+    assert(v1.columns.toSeq == Seq("id", "name", "bal"))
+    assert(v1.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(v1.select("name").as[String].collect().forall(_ == "***"))
+    // no grant → AccessDenied, not an empty frame
+    intercept[AccessDenied](cat0.viewFor("u2", "cust", t))
+    intercept[AccessDenied](cat0.viewFor("u1", "orders", t))
+    // second role widens: name unmasks (one granting role leaves it clear),
+    // filters OR (EU ∪ bal>800 — here the same rows)
+    val cat1 = cat0.addMember("u1", "auditor")
+    val v2 = cat1.viewFor("u1", "cust", t)
+    assert(v2.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(v2.filter(col("id") === 1L).select("name").as[String].head() == "alice")
+    // revoke drops access back to the remaining role
+    val cat2 = cat1.revoke("analyst", "cust").removeMember("u1", "analyst")
+    val v3 = cat2.viewFor("u1", "cust", t)
+    assert(v3.columns.toSeq == Seq("id", "name"))
+    assert(v3.select("id").as[Long].collect().toSeq == Seq(3L))
+    // revoking the last grant removes access entirely
+    intercept[AccessDenied](
+      cat2.revoke("auditor", "cust").viewFor("u1", "cust", t))
+    // catalog immutability: the original catalog still masks and filters
+    assert(cat0.viewFor("u1", "cust", t).select("name")
+      .as[String].collect().forall(_ == "***"))
+    // invalid identifiers rejected at grant time
+    intercept[IllegalArgumentException](
+      cat0.grant("r;drop", TableGrant("cust", Seq("id"))))
+    intercept[IllegalArgumentException](
+      cat0.grant("r", TableGrant("cust", Seq("id; --"))))
   }
 }

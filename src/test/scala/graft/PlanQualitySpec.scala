@@ -225,6 +225,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(full.contains("centroid_id"), "expected the self-join keyed on centroid_id")
   }
 
+  test("q35: centroid assignment is a pure map — no join, no window, one exchange") {
+    val p = plan("q35_ivf_assign").split("== Initial Plan ==").head
+    // the argmin folds inside the row's projection: the corpus×centroid
+    // expansion (former crossJoin+window) must never reappear
+    assert(!p.contains("Join"), "centroid argmin must not join/expand the corpus")
+    assert(!p.contains("Window"), "centroid argmin must fold map-side, not window-rank")
+    // the only exchange is the final presentation orderBy
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 1,
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("q99/q100: line filter and classifier stay map-side (no mid-plan exchange)") {
     for (q <- Seq("q99_c4_lines", "q100_classifier")) {
       val p = plan(q).split("== Initial Plan ==").head

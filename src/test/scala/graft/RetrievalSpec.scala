@@ -71,6 +71,13 @@ class RetrievalSpec extends SparkSpec {
     val served = Retrieval.bm25FromIndex(spark, path, 4, dl, terms, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(served == scan) // same arithmetic, same order, bit-identical
+    // hot-term path: a df-sum over the broadcast cap must drop the hint
+    // (AQE/planner picks the strategy) with bit-identical output — the
+    // 100 TB stopword case where a forced broadcast would kill the job
+    val servedHot = Retrieval.bm25FromIndex(spark, path, 4, dl, terms, 10,
+        maxBroadcastPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(servedHot == scan)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
@@ -93,6 +100,26 @@ class RetrievalSpec extends SparkSpec {
       assert(nbrs.map(_.getAs[Long]("nbr_id")).toSet.subsetOf(cell - id))
       assert(nbrs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
     }
+  }
+
+  test("nn-descent: neighbor-of-neighbor round recovers a 2-hop true neighbor") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    // seed chain 0→1→2→3: 0's TRUE nearest (2) is two hops away — only the
+    // neighbor-of-neighbor expansion can surface it as a candidate
+    graft.plans.VectorExpressions.register(spark)
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("id", "nbr_id")
+    val seed = ring
+      .join(e.select(col("vec_id").as("id"), col("embedding").as("_l")), "id")
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("_r")), "nbr_id")
+      .select(col("id"), col("nbr_id"),
+        call_function("graft_cosine_distance", col("_l"), col("_r")).as("distance"))
+    val refined = Similarity.nnDescentRefine(seed, e, "embedding", "vec_id", 1)
+    val top = refined.filter(col("rank") === 1)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toMap
+    assert(top(0L) == 2L) // displaced the seed's orthogonal neighbor 1
+    assert(top(2L) == 0L) // reverse+expansion found 0 from 2's side too
   }
 
   test("c4 line filter: word-count, blocklist, and keep-first dedup rules") {
@@ -125,5 +152,22 @@ class RetrievalSpec extends SparkSpec {
     assert(raw >= -1000L && raw <= 1000L)
     assert(r.getAs[Double]("margin") == raw.toDouble / 2000.0)
     assert(r.getAs[Boolean]("label") == (raw > 0))
+  }
+
+  test("classifier score: 0- and 1-token docs still get a verdict row") {
+    // a quality gate must emit SOMETHING for every input row — q117
+    // filters on `label`, so a vanished row would silently pass the gate
+    val df = Seq((1L, ""), (2L, "solo"), (3L, "a b")).toDF("doc_id", "text")
+    val rows = TextQuality.classifierScore(df, "doc_id", "text")
+      .select("doc_id", "n_feats", "raw_margin", "margin", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    for (id <- Seq(1L, 2L)) {
+      assert(rows(id).getAs[Int]("n_feats") == 0)
+      assert(rows(id).getAs[Long]("raw_margin") == 0L)
+      assert(rows(id).getAs[Double]("margin") == 0.0)
+      assert(!rows(id).getAs[Boolean]("label"))
+    }
+    assert(rows(3L).getAs[Int]("n_feats") == 1)
   }
 }

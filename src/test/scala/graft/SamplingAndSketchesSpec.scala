@@ -222,4 +222,18 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(r(1L) == ((1L, 0.5)))
     assert(r(2L) == ((1L, 0.5)))
   }
+
+  test("recall@k keeps zero-hit queries as explicit 0-recall rows") {
+    import graft.operators.Similarity
+    val approx = Seq((1L, 10L), (2L, 99L)).toDF("qid", "id")
+    val exact = Seq((1L, 10L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "id")
+    val r = Similarity.recallAtK(approx, exact, "qid", "id", 2)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.size == 3, "every exact-side query must appear")
+    assert(r(1L) == ((1L, 0.5)))
+    assert(r(2L) == ((0L, 0.0))) // approx hit none of q2's true neighbors
+    assert(r(3L) == ((0L, 0.0))) // query entirely absent from approx
+  }
 }

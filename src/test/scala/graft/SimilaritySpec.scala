@@ -85,6 +85,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr(1)._1 == 4L)
   }
 
+  test("distributed MMR: λ=1 ≡ top-k; selection and scores match driver MMR") {
+    val q = Seq(1.0f, 0.0f)
+    // λ=1: pure relevance — identical ids to topK
+    val rel = Similarity.mmrDistributed(corpus, "embedding", "vec_id", q, 3, 5, 1.0)
+    assert(rel.map(_._1) == Seq(1L, 2L, 5L))
+    // diversity-heavy λ: same greedy picks as the driver path, scores
+    // equal to the last ulp (associativity of the cosine denominator)
+    for (lam <- Seq(0.3, 0.5, 0.7)) {
+      val drv = Similarity.mmr(corpus, "embedding", "vec_id", q, 3, 5, lam)
+      val dst = Similarity.mmrDistributed(corpus, "embedding", "vec_id", q, 3, 5, lam)
+      assert(dst.map(_._1) == drv.map(_._1), s"selection diverged at λ=$lam")
+      dst.zip(drv).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12, s"score diverged at λ=$lam: $a vs $b")
+      }
+    }
+    // k beyond the candidate pool: stops at the pool, no infinite loop
+    val all = Similarity.mmrDistributed(corpus, "embedding", "vec_id", q, 10, 5, 0.5)
+    assert(all.size == 5)
+  }
+
   test("batch top-k ranks per query") {
     val qs = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f))).toDF("qid", "qv")
     val out = Similarity.topKBatch(corpus, "embedding", "vec_id", qs, "qv", "qid", 1)
