@@ -1490,6 +1490,76 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q123_kmeans" -> ((s, dir) => {
+      // the IVF coarse-codebook BUILD (the step the reference delegates
+      // to its DB's index build): 2 Lloyd rounds from a deterministic
+      // seed — zero-join argmin assignment + one decimal-exact hash
+      // aggregate per round; only k×dim doubles visit the driver
+      val e = tbl(s, dir, "embeddings")
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      operators.Clustering.kmeans(e, "embedding", init, iters = 2)
+        .select(col("cid"), col("dim"), round(col("mean"), 6).as("mean"))
+        .orderBy("cid", "dim")
+    }),
+
+    "q121_index_merge" -> ((s, dir) => {
+      // incremental index ingest: base build on the first 400 docs, then
+      // MERGE the rest — only the batch's term-hash buckets are read,
+      // re-aggregated, and atomically swapped; the lookup result must be
+      // indistinguishable from a full rebuild (the oracle computes over
+      // ALL documents)
+      val d = tbl(s, dir, "documents")
+      val root = sys.props("java.io.tmpdir") + "/graft-index-merge"
+      val base = Retrieval.invertedIndex(
+        d.filter(col("doc_id") < 400), "doc_id", "text")
+      store.IndexStore.write(base, root, nBuckets = 8)
+      val batch = Retrieval.invertedIndex(
+        d.filter(col("doc_id") >= 400), "doc_id", "text")
+      store.IndexStore.merge(s, root, batch, nBuckets = 8)
+      store.IndexStore.lookup(s, root, Seq("spark", "join", "vector"), 8)
+        .select(col("term"), col("df"), col("cf"),
+          expr("aggregate(postings, 0L, (a, p) -> a + p.id * p.tf)")
+            .as("dot_check"))
+        .orderBy("term")
+    }),
+
+    "q122_truncated_rerank" -> ((s, dir) => {
+      // Matryoshka-style two-stage search: coarse rank on the first 32 of
+      // 64 dims (half the scan arithmetic at full scale), exact re-rank of
+      // the 50-row shortlist — both stages TakeOrderedAndProject, the
+      // corpus never shuffles
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0)
+      Similarity.truncatedRerank(e, "embedding", "vec_id", qv,
+          k = 8, dPrime = 32, shortlistK = 50)
+        .select(col("vec_id"), round(col("coarse_dist"), 6).as("coarse_dist"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
+    "q120_ann_store" -> ((s, dir) => {
+      // the IVF store end-to-end (the 100 TB serving shape): assign →
+      // persist partitionBy(centroid_id) → probe reads ONLY the nProbe
+      // nearest cell DIRECTORIES — partition pruning in the scan's
+      // PartitionFilters (IndexStoreSpec's ANN twin pins it), not a
+      // post-scan filter
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val root = sys.props("java.io.tmpdir") + "/graft-ann-store"
+      store.AnnStore.write(assigned, root)
+      val cents = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val qv = e.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+      store.AnnStore.probe(s, root, cents, qv, "embedding", "vec_id", 8, 2)
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
     "q55_multistore_search" -> ((s, dir) => {
       // the reference's flagship retrieval composite (vs_retriever.py:
       // 307-384): per-store top-k → union → threshold → dedup keep-max on
@@ -1744,6 +1814,77 @@ object SparkEntry {
 
       "q54_ivf_search" ->
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |assign AS (
+          |  SELECT vec_id, centroid_id FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |probes AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid LIMIT 2)
+          |SELECT e.vec_id, a.centroid_id,
+          |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          |WHERE a.centroid_id IN (SELECT cid FROM probes)
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), e.vec_id
+          |LIMIT 8""".stripMargin,
+
+      // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
+      // fold — sqrt is monotone, ties by cid), decimal-exact means,
+      // list(m ORDER BY dim) rebuilds round-2 centroids
+      "q123_kmeans" ->
+        """WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a1 AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c0 c) WHERE rn = 1),
+          |m1 AS (SELECT centroid_id AS cid, CAST(i AS INT) AS dim,
+          |    CAST(SUM(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+          |      / COUNT(*) AS m
+          |  FROM a1, unnest(range(0, 64)) AS t(i) GROUP BY centroid_id, i),
+          |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+          |a2 AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c1 c) WHERE rn = 1),
+          |m2 AS (SELECT centroid_id AS cid, CAST(i AS INT) AS dim,
+          |    CAST(SUM(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE)
+          |      / COUNT(*) AS m
+          |  FROM a2, unnest(range(0, 64)) AS t(i) GROUP BY centroid_id, i)
+          |SELECT cid, dim, round(m, 6) AS mean FROM m2 ORDER BY cid, dim""".stripMargin,
+
+      // identical to q104's full-corpus replay: the merged store must be
+      // indistinguishable from an index built over ALL documents
+      "q121_index_merge" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+          |  FROM documents),
+          |tf AS (SELECT term, id, COUNT(*) AS tf FROM toks GROUP BY term, id)
+          |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+          |  CAST(SUM(id * tf) AS BIGINT) AS dot_check
+          |FROM tf WHERE term IN ('spark', 'join', 'vector')
+          |GROUP BY term ORDER BY term""".stripMargin,
+
+      "q122_truncated_rerank" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2),
+          |short AS (
+          |  SELECT vec_id, embedding,
+          |    1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[])[1:32], qv[1:32]) AS coarse_dist
+          |  FROM embeddings, q ORDER BY coarse_dist, vec_id LIMIT 50)
+          |SELECT s.vec_id, round(s.coarse_dist, 6) AS coarse_dist,
+          |  round(1.0 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM short s, q
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), qv), s.vec_id
+          |LIMIT 8""".stripMargin,
+
+      // q54's assignment+probe replay with a different query vector — the
+      // store write/read is Spark-side plumbing the oracle need not see
+      "q120_ann_store" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
           |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
           |  FROM embeddings WHERE vec_id < 8),
           |assign AS (

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) — the IVF coarse-quantizer
+  * BUILD step the reference delegates to its database's index build
+  * (reference: src/server/app/embed/vector_store.py:266-271). Completes
+  * the ANN lifecycle here: build (this) → assign → store partitioned by
+  * cell ([[graft.store.AnnStore]]) → probe → refine → recall gate.
+  *
+  * Scale shape per iteration:
+  *  - assignment is the SAME zero-join argmin fold as
+  *    [[Similarity.assignNearestCentroid]]'s large-nlist path — the
+  *    centroid array rides the plan as one folded literal, the corpus
+  *    streams through whole-stage codegen, nothing joins or shuffles;
+  *  - the new means are ONE hash aggregate on (cluster, dim) — partial
+  *    map-side combine, k·dim result rows;
+  *  - only the k·dim centroid doubles visit the driver between rounds.
+  *
+  * Determinism / oracle parity: the caller supplies the seed centroids
+  * (no RNG); per-dim means accumulate in exact decimal then divide once
+  * in double, so the result is partition-order-independent and a SQL
+  * engine replays it bit-for-bit. Ties in assignment break to the
+  * smallest cluster id. A cluster that captures no rows keeps its
+  * previous centroid for the next round (it simply has no mean rows —
+  * callers replaying in SQL should seed from in-distribution points so
+  * the case never triggers).
+  */
+object Clustering {
+
+  /** Run `iters` Lloyd rounds from `init` (cid → centroid, double
+    * precision) and return the FINAL round's per-dimension means as
+    * (cid INT, dim INT, mean DOUBLE) — `k × dim` rows, the coarse
+    * codebook an IVF layout partitions by. */
+  def kmeans(corpus: DataFrame, vecCol: String,
+             init: Seq[(Int, Seq[Double])], iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one iteration")
+    require(init.nonEmpty, "kmeans needs seed centroids")
+    var cents: Seq[(Int, Seq[Double])] = init.sortBy(_._1)
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      // string round-trip keeps the exact double bits across the parser
+      val arr = cents.map { case (cid, cv) =>
+        val lits = cv.map(d => s"CAST('$d' AS DOUBLE)").mkString(",")
+        s"struct(CAST($cid AS INT) AS cid, array($lits) AS cv)"
+      }.mkString("array(", ",", ")")
+      val sqDist = s"aggregate(zip_with($vecCol, c.cv, " +
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)"
+      val best = expr(
+        s"""aggregate($arr,
+           |  struct(CAST(-1 AS INT) AS cid, CAST('Infinity' AS DOUBLE) AS d),
+           |  (acc, c) -> if($sqDist < acc.d, struct(c.cid AS cid, $sqDist AS d), acc))"""
+          .stripMargin)
+      means = corpus
+        .withColumn("cid", best.getField("cid"))
+        .select(col("cid"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("v").cast("decimal(27,15)")).cast("double") /
+          count(lit(1))).as("mean"))
+      val byCid = means.collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+    }
+    means
+  }
+}

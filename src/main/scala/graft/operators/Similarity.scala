@@ -258,7 +258,8 @@ object Similarity {
     * the literal-centroid variant of the same fold). */
   def assignNearestCentroid(corpus: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, cidCol: String,
-                            cvecCol: String): DataFrame = {
+                            cvecCol: String,
+                            maxFoldCentroids: Int = 256): DataFrame = {
     graft.plans.VectorExpressions.register(corpus.sparkSession)
     val cents = centroids
       .select(col(cidCol).cast("int"), col(cvecCol).cast("array<float>"))
@@ -266,18 +267,44 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(cents.nonEmpty, "assignNearestCentroid: empty centroid set")
-    val candidates = cents.map { case (cid, cv) =>
-      struct(
-        call_function("graft_l2_distance", col(vecCol), typedLit(cv)).as("d"),
-        lit(cid).as("cid"))
+    if (cents.length <= maxFoldCentroids) {
+      val candidates = cents.map { case (cid, cv) =>
+        struct(
+          call_function("graft_l2_distance", col(vecCol), typedLit(cv)).as("d"),
+          lit(cid).as("cid"))
+      }
+      val best = if (candidates.length == 1) candidates.head
+                 else least(candidates.toIndexedSeq: _*)
+      corpus
+        .withColumn("_best", best)
+        .withColumn("centroid_id", col("_best.cid"))
+        .withColumn("centroid_dist", col("_best.d"))
+        .drop("_best")
+    } else {
+      // nlist beyond what one generated expression tolerates (real IVF
+      // runs 4k-65k cells — a 65k-arm `least` would sink Janino): scan the
+      // centroid array per row with a single `aggregate` fold instead.
+      // Still a pure map — one array literal in the plan, zero joins, the
+      // same (dist, cid) tie-break; only the distance association differs
+      // (squared-sum fold == l2² — argmin-equivalent, and the emitted
+      // centroid_dist takes a final sqrt to stay bit-comparable).
+      val arr = cents.map { case (cid, cv) =>
+        s"struct(cast($cid as int) as cid, cast(array(${cv.mkString(",")}) as array<float>) as cv)"
+      }.mkString("array(", ",", ")")
+      val best = expr(
+        s"""aggregate($arr,
+           |  struct(cast(-1 as int) as cid, cast('Infinity' as double) as d),
+           |  (acc, c) -> if(
+           |    aggregate(zip_with($vecCol, c.cv, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v) < acc.d,
+           |    struct(c.cid as cid,
+           |      aggregate(zip_with($vecCol, c.cv, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v) as d),
+           |    acc))""".stripMargin)
+      corpus
+        .withColumn("_best", best)
+        .withColumn("centroid_id", col("_best.cid"))
+        .withColumn("centroid_dist", sqrt(col("_best.d")))
+        .drop("_best")
     }
-    val best = if (candidates.length == 1) candidates.head
-               else least(candidates.toIndexedSeq: _*)
-    corpus
-      .withColumn("_best", best)
-      .withColumn("centroid_id", col("_best.cid"))
-      .withColumn("centroid_dist", col("_best.d"))
-      .drop("_best")
   }
 
   /** IVF probe: search only the `nProbe` buckets whose centroids are
@@ -289,16 +316,23 @@ object Similarity {
   def ivfSearch(assigned: DataFrame, vecCol: String, idCol: String,
                 centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
                 k: Int, nProbe: Int): DataFrame = {
-    val probeIds = centroids.map { case (cid, cv) =>
+    val probeIds = nearestCentroidIds(centroids, query, nProbe)
+    topK(assigned.filter(col("centroid_id").isin(probeIds: _*)),
+      vecCol, query, k, "COSINE", idCol)
+  }
+
+  /** The `nProbe` centroid ids nearest `query` by L2, ties to the smaller
+    * id — the probe-selection rule shared by [[ivfSearch]] and
+    * [[graft.store.AnnStore.probe]]. */
+  def nearestCentroidIds(centroids: Seq[(Int, Seq[Float])],
+                         query: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids.map { case (cid, cv) =>
       var acc = 0.0; var i = 0
       val n = math.min(cv.length, query.length)
       // double-precision diffs, matching list_distance on DOUBLE[] (oracle)
       while (i < n) { val d = cv(i).toDouble - query(i).toDouble; acc += d * d; i += 1 }
       (math.sqrt(acc), cid)
     }.sorted.take(nProbe).map(_._2)
-    topK(assigned.filter(col("centroid_id").isin(probeIds: _*)),
-      vecCol, query, k, "COSINE", idCol)
-  }
 
   /** Batch IVF probe, fully declarative: each query searches only the
     * `nProbe` cells whose centroids are nearest it. The probe set
@@ -387,6 +421,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank").cast("int").as("rank"),
         col("nbr_id"), col("distance"))
+  }
+
+  /** Two-stage truncated-vector search (the Matryoshka/MRL serving
+    * pattern, Kusupati et al. 2022): stage 1 ranks the corpus by cosine on
+    * the FIRST `dPrime` dimensions and keeps a `shortlistK` shortlist;
+    * stage 2 re-ranks only the shortlist at full dimension. Both stages
+    * plan as TakeOrderedAndProject (per-partition k-heaps — the corpus
+    * never shuffles), and at 100 TB stage 1 reads a prefix slice, cutting
+    * scan arithmetic by dim/dPrime while stage 2 touches `shortlistK`
+    * rows. Exact whenever the shortlist covers the true top-k
+    * (shortlistK = corpus size ≡ [[topK]], spec-pinned); qualify a
+    * (dPrime, shortlistK) config with [[recallAtK]] like any ANN setup.
+    * Returns input columns + `coarse_dist` + `distance`, k rows. */
+  def truncatedRerank(corpus: DataFrame, vecCol: String, idCol: String,
+                      query: Seq[Float], k: Int, dPrime: Int,
+                      shortlistK: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    val qt = typedLit(query.take(dPrime))
+    val qf = typedLit(query)
+    corpus
+      .withColumn("coarse_dist", call_function("graft_cosine_distance",
+        slice(col(vecCol), 1, dPrime), qt))
+      .orderBy(col("coarse_dist").asc, col(idCol).asc)
+      .limit(shortlistK)
+      .withColumn("distance",
+        call_function("graft_cosine_distance", col(vecCol), qf))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
   }
 
   /** NN-descent refinement over a kNN graph (Dong et al., WWW 2011 — the

@@ -42,6 +42,49 @@ object IndexStore {
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
   }
 
+  /** Merge a NEW batch's inverted index into a persisted store WITHOUT
+    * rebuilding untouched buckets: only the buckets the batch's terms hash
+    * into are read, re-aggregated (df/cf sum, posting lists concatenated
+    * and re-sorted) and swapped back via the staging-dir + atomic-rename
+    * protocol [[VectorStore.upsertPartitioned]] uses — the incremental
+    * ingest path, so index maintenance cost scales with the batch, not
+    * the corpus. Precondition (standard append ingest): the batch's doc
+    * ids are NEW — re-ingesting an existing doc would double-count its
+    * postings; delete-then-merge for replacement. An empty batch is a
+    * no-op. */
+  def merge(spark: SparkSession, path: String, newIndex: DataFrame,
+            nBuckets: Int): Unit = {
+    implicit val s: SparkSession = spark
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val bucketed = newIndex.withColumn("bucket", termBucket("term", nBuckets))
+      .cache()
+    val buckets = bucketed.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty) { bucketed.unpersist(); return }
+    // partition-pruned read: only the touched buckets are scanned
+    val existing = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+    val merged = existing.unionByName(bucketed)
+      .groupBy("bucket", "term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"),
+        sort_array(flatten(collect_list(col("postings")))).as("postings"))
+      .select("term", "df", "cf", "postings", "bucket")
+    val staging = path + "_staging"
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    buckets.foreach { b =>
+      val src = Paths.get(staging, s"bucket=$b")
+      val dst = Paths.get(path, s"bucket=$b")
+      val old = Paths.get(s"${path}_old_b$b")
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(staging).toFile)
+    bucketed.unpersist()
+  }
+
   /** Look up posting lists for `terms`: computes their buckets and reads
     * ONLY those partitions (partition pruning on the bucket filter — the
     * scan's PartitionFilters prove it; pinned by IndexStoreSpec). */

@@ -38,4 +38,66 @@ class IndexStoreSpec extends SparkSpec {
     assert(look.select("term").as[String].collect().toSeq == Seq("term7"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("incremental merge equals a full rebuild; untouched buckets stay put") {
+    val c1 = (0 until 32).map(i => (i.toLong, s"alpha t$i shared"))
+      .toDF("doc_id", "text")
+    val c2 = Seq((100L, "alpha beta"), (101L, "beta shared"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxm").toFile
+    val path = s"${dir.getAbsolutePath}/idx"
+    IndexStore.write(Retrieval.invertedIndex(c1, "doc_id", "text"), path, 8)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val touched = Seq("alpha", "beta", "shared").toDF("term")
+      .select(IndexStore.termBucket("term", 8).as("b")).as[Int].collect().toSet
+    def listing(b: Int): Set[String] = {
+      val d = new java.io.File(s"$path/bucket=$b")
+      if (d.exists()) d.list().toSet else Set.empty
+    }
+    val before = (0 until 8).filterNot(touched).map(b => b -> listing(b)).toMap
+    IndexStore.merge(spark, path,
+      Retrieval.invertedIndex(c2, "doc_id", "text"), 8)
+    // untouched bucket directories were never rewritten (same files)
+    before.foreach { case (b, files) => assert(listing(b) == files, s"bucket $b") }
+    // merged store ≡ full rebuild over the union corpus
+    val rebuiltPath = s"${dir.getAbsolutePath}/full"
+    IndexStore.write(
+      Retrieval.invertedIndex(c1.unionByName(c2), "doc_id", "text"), rebuiltPath, 8)
+    def all(p: String) = spark.read.parquet(p)
+      .select(col("term"), col("df"), col("cf"), to_json(col("postings")).as("p"))
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(all(path) == all(rebuiltPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("ANN store: probe partition-prunes to the nProbe cell directories") {
+    import graft.operators.Similarity
+    import graft.store.AnnStore
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.95f)),
+      (5L, Seq(-1.0f, 0.0f)), (6L, Seq(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(1.0f, 0.0f), 1 -> Seq(0.0f, 1.0f), 2 -> Seq(-1.0f, 0.0f))
+    val centsDf = cents.toDF("cid", "cv")
+    val assigned = Similarity.assignNearestCentroid(
+      corpus, "embedding", "vec_id", centsDf, "cid", "cv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toFile
+    val path = s"${dir.getAbsolutePath}/ann"
+    AnnStore.write(assigned, path)
+    val probed = AnnStore.probe(spark, path, cents, Seq(0.9f, 0.1f),
+      "embedding", "vec_id", k = 4, nProbe = 1)
+    val p = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the centroid filter must prune cell DIRECTORIES, not post-filter rows
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined, p)
+    // only cell 0's members are reachable with nProbe=1
+    assert(probed.select("vec_id").as[Long].collect().toSeq == Seq(2L, 1L))
+    // probe ≡ ivfSearch on the same assignment (store adds no semantics)
+    val direct = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+        cents, Seq(0.9f, 0.1f), k = 4, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.select("vec_id").as[Long].collect().toSeq == direct)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -44,6 +44,44 @@ class IvfAndViewsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans: Lloyd rounds recover separated cluster means; empty seed is kept") {
+    import graft.operators.Clustering
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.1f, -0.1f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    // seed 2 in-distribution centroids + one that captures nothing
+    val init = Seq(0 -> Seq(0.8, 0.2), 1 -> Seq(0.2, 0.8), 2 -> Seq(100.0, 100.0))
+    val m = Clustering.kmeans(pts, "embedding", init, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // converged means of the two true clusters
+    assert(math.abs(m((0, 0)) - 1.0) < 1e-6)
+    assert(math.abs(m((0, 1)) - 0.0) < 1e-6)
+    assert(math.abs(m((1, 0)) - 0.0) < 1e-6)
+    assert(math.abs(m((1, 1)) - 1.0) < 1e-6)
+    // the empty cluster emits no mean rows and nothing crashes
+    assert(m.keys.map(_._1).toSet == Set(0, 1))
+  }
+
+  test("assignNearestCentroid: fold and array-scan paths agree bit-for-bit") {
+    // the >maxFoldCentroids path (real IVF nlist sizes) must produce the
+    // identical assignment AND distance as the least-fold path
+    val corpus = (1 to 60).map { i =>
+      (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Seq(0.0f, 0.0f), 1 -> Seq(6.0f, 4.0f), 2 -> Seq(3.0f, 2.0f))
+      .toDF("cid", "cv")
+    val fold = Similarity.assignNearestCentroid(
+        corpus, "embedding", "vec_id", cents, "cid", "cv")
+      .select("vec_id", "centroid_id", "centroid_dist")
+      .as[(Long, Int, Double)].collect().toSet
+    val scan = Similarity.assignNearestCentroid(
+        corpus, "embedding", "vec_id", cents, "cid", "cv", maxFoldCentroids = 0)
+      .select("vec_id", "centroid_id", "centroid_dist")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(scan == fold)
+  }
+
   test("assignNearestCentroid matches ivfAssign's literal-centroid variant") {
     val corpus = (1 to 50).map { i =>
       (i.toLong, Seq((i % 7).toFloat, (i % 5).toFloat))

@@ -236,6 +236,26 @@ class PlanQualitySpec extends SparkSpec {
       p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("q119: NN-descent stays equi-join shaped — no cartesian expansion") {
+    val p = plan("q119_nn_descent")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must join on shared node ids, never cross")
+  }
+
+  test("q120: the ANN store probe partition-prunes its cell directories") {
+    val p = plan("q120_ann_store")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "probe must prune cells at the directory level")
+  }
+
+  test("q122: both truncated-rerank stages are bounded top-k, never full sorts") {
+    val p = plan("q122_truncated_rerank").split("== Initial Plan ==").head
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "coarse shortlist and re-rank must both keep per-partition heaps")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range exchange means a stage fell back to a global sort")
+  }
+
   test("q99/q100: line filter and classifier stay map-side (no mid-plan exchange)") {
     for (q <- Seq("q99_c4_lines", "q100_classifier")) {
       val p = plan(q).split("== Initial Plan ==").head

@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr(1)._1 == 4L)
   }
 
+  test("truncated rerank: full shortlist ≡ exact top-k; shortlist bounds output") {
+    val q = Seq(1.0f, 0.0f)
+    val exact = Similarity.topK(corpus, "embedding", q, 3, "COSINE", "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    // a corpus-wide shortlist makes stage 2 exact even with a 1-dim coarse
+    val full = Similarity.truncatedRerank(corpus, "embedding", "vec_id", q,
+        k = 3, dPrime = 1, shortlistK = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact)
+    // a 1-row shortlist caps the result regardless of k
+    val narrow = Similarity.truncatedRerank(corpus, "embedding", "vec_id", q,
+      k = 3, dPrime = 2, shortlistK = 1)
+    assert(narrow.count() == 1)
+  }
+
   test("distributed MMR: λ=1 ≡ top-k; selection and scores match driver MMR") {
     val q = Seq(1.0f, 0.0f)
     // λ=1: pure relevance — identical ids to topK
