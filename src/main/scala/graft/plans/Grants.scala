@@ -106,5 +106,28 @@ object Grants {
 
   object GrantCatalog {
     val empty: GrantCatalog = new GrantCatalog(Map.empty, Map.empty)
+
+    /** Load a catalog from plain policy TABLES — the deployable form: a
+      * grants frame (role STRING, table STRING, allowed_cols ARRAY<STRING>,
+      * masked_cols ARRAY<STRING>, row_filter STRING nullable) and a
+      * memberships frame (principal STRING, role STRING). Policy data
+      * stays data — versioned, diffable, joinable — and becomes an
+      * enforcing catalog in one call; identifiers validate on load. */
+    def fromPolicyTables(grants: DataFrame, members: DataFrame): GrantCatalog = {
+      var cat = empty
+      grants.select(col("role").cast("string"), col("table").cast("string"),
+          col("allowed_cols").cast("array<string>"),
+          col("masked_cols").cast("array<string>"),
+          col("row_filter").cast("string"))
+        .collect().foreach { r =>
+          cat = cat.grant(r.getString(0), TableGrant(r.getString(1),
+            r.getSeq[String](2).toSeq,
+            Option(r.getSeq[String](3)).map(_.toSet).getOrElse(Set.empty),
+            Option(r.getString(4))))
+        }
+      members.select(col("principal").cast("string"), col("role").cast("string"))
+        .collect().foreach(r => cat = cat.addMember(r.getString(0), r.getString(1)))
+      cat
+    }
   }
 }

@@ -230,4 +230,36 @@ object EventStreams {
     }
     statuses.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
   }
+
+  /** Streaming incremental dedup as a `foreachBatch` stage: band-sign the
+    * micro-batch, probe the PERSISTED signature store
+    * ([[graft.operators.Dedup.incrementalDedupProbe]] — only matching band
+    * buckets are read, the batch broadcasts, hot stored buckets are
+    * capped), then APPEND the batch's own signatures so every later batch
+    * also dedups against this one. The store grows with the corpus but
+    * each batch pays O(batch) — the streaming twin of q112's batch probe.
+    * Returns (new_id, stored_id, est_jaccard) pairs at or above
+    * `threshold`, materialized BEFORE the append: writing a path
+    * invalidates cached plans reading it (recacheByPath), so a lazy probe
+    * would otherwise silently re-run against a store that already
+    * contains the batch and report every batch doc as its own duplicate. */
+  def dedupProbeBatch(spark: SparkSession, sigStorePath: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8): Seq[(Long, Long, Double)] = {
+    import graft.operators.Dedup
+    val newSigs = Dedup
+      .bandSignatures(batch, idCol, textCol, shingleN, numHashes, bands)
+      .select(col("id").cast("long").as("id"), col("sig"),
+        col("band_idx"), col("band_hash"))
+      .cache()
+    val stored = spark.read.parquet(sigStorePath)
+    val pairs = Dedup.incrementalDedupProbe(stored, newSigs,
+        numHashes = numHashes, threshold = threshold)
+      .select(col("new_id"), col("stored_id"), col("est_jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    newSigs.write.mode("append").parquet(sigStorePath)
+    newSigs.unpersist()
+    pairs.sorted
+  }
 }

@@ -107,4 +107,26 @@ class GovernanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       cat0.grant("r", TableGrant("cust", Seq("id; --"))))
   }
+
+  test("grant catalog loads from plain policy tables") {
+    import graft.plans.Grants._
+    val t = Seq((1L, "alice", 700.0, "EU"), (2L, "bob", 50.0, "US"),
+      (3L, "carol", 900.0, "EU")).toDF("id", "name", "bal", "region")
+    val grants = Seq(
+      ("analyst", "cust", Seq("id", "name", "bal"), Seq("name"), Some("region = 'EU'")),
+      ("auditor", "cust", Seq("id", "name"), Seq.empty[String], None))
+      .toDF("role", "table", "allowed_cols", "masked_cols", "row_filter")
+    val members = Seq(("u1", "analyst"), ("u9", "auditor"))
+      .toDF("principal", "role")
+    val cat = GrantCatalog.fromPolicyTables(grants, members)
+    val v = cat.viewFor("u1", "cust", t)
+    assert(v.columns.toSeq == Seq("id", "name", "bal"))
+    assert(v.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(v.select("name").as[String].collect().forall(_ == "***"))
+    // auditor role: no filter, unmasked, narrower projection
+    val v9 = cat.viewFor("u9", "cust", t)
+    assert(v9.columns.toSeq == Seq("id", "name"))
+    assert(v9.count() == 3)
+    intercept[AccessDenied](cat.viewFor("u2", "cust", t))
+  }
 }

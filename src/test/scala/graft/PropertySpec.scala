@@ -73,6 +73,52 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("truncated rerank: hits grow with the shortlist; full shortlist ≡ exact") {
+    val corpus: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.chooseNum(4, 24)
+      vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toFloat)))
+    } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    passes(Prop.forAll(corpus) { rows =>
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      val q = rows.head._2.toSeq
+      val exact = Similarity.topK(df, "embedding", q, 3, "COSINE", "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      def hits(shortlist: Int): Int =
+        Similarity.truncatedRerank(df, "embedding", "vec_id", q, 3, 2, shortlist)
+          .select("vec_id").as[Long].collect().count(exact)
+      // a larger shortlist is a candidate SUPERSET: hits can only grow,
+      // and a corpus-wide shortlist recovers the exact top-k
+      hits(3) <= hits(rows.length) && hits(rows.length) == math.min(3, exact.size)
+    })
+  }
+
+  test("nn-descent: every node's best refined neighbor is at least as close as its best seed edge") {
+    val corpus: Gen[List[(Long, List[Float])]] = for {
+      n <- Gen.chooseNum(4, 16)
+      vecs <- Gen.listOfN(n, Gen.listOfN(3, Gen.chooseNum(-4, 4).map(_.toFloat)))
+    } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    passes(Prop.forAll(corpus) { rows =>
+      val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      graft.plans.VectorExpressions.register(spark)
+      // seed: ring i → i+1
+      val ring = rows.indices.dropRight(1)
+        .map(i => (rows(i)._1, rows(i + 1)._1)).toDF("id", "nbr_id")
+      val seed = ring
+        .join(df.select(col("vec_id").as("id"), col("embedding").as("_l")), "id")
+        .join(df.select(col("vec_id").as("nbr_id"), col("embedding").as("_r")), "nbr_id")
+        .select(col("id"), col("nbr_id"),
+          call_function("graft_cosine_distance", col("_l"), col("_r")).as("distance"))
+      val seedBest = seed.groupBy("id").agg(min("distance").as("d"))
+        .as[(Long, Double)].collect().toMap
+      val refinedBest = Similarity.nnDescentRefine(seed, df, "embedding", "vec_id", 2)
+        .groupBy("id").agg(min("distance").as("d"))
+        .as[(Long, Double)].collect().toMap
+      // the refined candidate set contains every seed edge, so the per-node
+      // best distance never regresses (1e-12 for float/double re-score)
+      seedBest.forall { case (id, d) => refinedBest(id) <= d + 1e-12 }
+    })
+  }
+
   test("asOfJoin matches the brute-force latest-at-or-before lookup") {
     import graft.operators.Joins
     val gen = for {

@@ -251,4 +251,31 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(("de", 2L)) == ((0, false))) // token 1999 fills pack 0 exactly
     } finally q.stop()
   }
+
+  test("streaming dedup probe: later batches see earlier batches' signatures") {
+    import graft.operators.Dedup
+    import graft.streaming.EventStreams
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toFile
+    val path = s"${dir.getAbsolutePath}/sigs"
+    // bootstrap the store with the seed corpus's signatures
+    val seed = Seq((1L, base), (2L, "completely unrelated text about spark plans"))
+      .toDF("doc_id", "text")
+    Dedup.bandSignatures(seed, "doc_id", "text")
+      .select(col("id").cast("long").as("id"), col("sig"),
+        col("band_idx"), col("band_hash"))
+      .write.parquet(path)
+    // batch 1: one near-dup of doc 1 + one fresh doc
+    val b1 = EventStreams.dedupProbeBatch(spark, path,
+      Seq((10L, base + "!"), (11L, "fresh doc with its own words entirely"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(b1.map(t => (t._1, t._2)) == Seq((10L, 1L)))
+    // batch 2: a near-dup of BATCH 1's doc 11 — only visible because the
+    // probe appended batch 1's signatures to the store
+    val b2 = EventStreams.dedupProbeBatch(spark, path,
+      Seq((20L, "fresh doc with its own words entirely?"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(b2.map(t => (t._1, t._2)) == Seq((20L, 11L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
