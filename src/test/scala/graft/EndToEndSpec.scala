@@ -96,4 +96,44 @@ class EndToEndSpec extends SparkSpec {
     assert(!streamTexts.exists(_.contains("watermarks")), // old content purged
       s"stale chunk survived refresh: ${streamTexts.mkString("; ")}")
   }
+
+  test("IVF lifecycle: k-means build → assign → store → pruned probe → recall gate") {
+    import graft.operators.{Clustering, Similarity}
+    import graft.store.AnnStore
+    // two well-separated blobs of 4-dim vectors (30 per blob)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Seq(1.0f, 0.0f, (i % 5) * 0.01f, 0.0f))
+    } ++ (100 until 130).map { i =>
+      (i.toLong, Seq(0.0f, 1.0f, 0.0f, (i % 5) * 0.01f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    // 1. BUILD: Lloyd rounds from two in-distribution seeds
+    val init = Seq(0 -> Seq(0.9, 0.1, 0.0, 0.0), 1 -> Seq(0.1, 0.9, 0.0, 0.0))
+    val means = Clustering.kmeans(corpus, "embedding", init, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val codebook = means.groupBy(_._1).map { case (cid, ds) =>
+      (cid, ds.sortBy(_._2).map(_._3.toFloat).toSeq)
+    }.toSeq.sortBy(_._1)
+    assert(codebook.map(_._1) == Seq(0, 1))
+    // 2. ASSIGN + 3. STORE partitioned by cell
+    val centsDf = codebook.toDF("cid", "cv")
+    val assigned = Similarity.assignNearestCentroid(
+      corpus, "embedding", "vec_id", centsDf, "cid", "cv")
+    val dir = Files.createTempDirectory("graft-e2e-ann").toFile
+    val path = s"${dir.getAbsolutePath}/ann"
+    AnnStore.write(assigned.select(col("vec_id"), col("embedding"), col("centroid_id")), path)
+    // 4. PROBE: nProbe=1 reads one cell directory
+    val q = Seq(0.95f, 0.05f, 0.02f, 0.0f)
+    val probed = AnnStore.probe(spark, path, codebook, q,
+      "embedding", "vec_id", k = 5, nProbe = 1)
+    // 5. GATE: with separated blobs, one probed cell holds the true top-5
+    val exact = Similarity.topK(corpus, "embedding", q, 5, "COSINE", "vec_id")
+      .select(col("vec_id").as("qid2"), col("vec_id"))
+    val recall = Similarity.recallAtK(
+        probed.select(lit(1L).as("qid2"), col("vec_id")),
+        exact.select(lit(1L).as("qid2"), col("vec_id")), "qid2", "vec_id", 5)
+      .select("recall").as[Double].head()
+    assert(recall == 1.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
