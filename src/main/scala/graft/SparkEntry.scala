@@ -1490,6 +1490,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q124_pq_search" -> ((s, dir) => {
+      // product quantization serving: 64-dim floats become 4 codes
+      // (map-side argmin per subspace), then query scoring is pure table
+      // lookups (ADC) — the memory/compute compression that makes a
+      // 100 TB vector corpus scannable; recall trade-off gated like any
+      // ANN config
+      val e = tbl(s, dir, "embeddings")
+      val cb = operators.Quantization.pqCodebook(64, 4, 4)
+      val qv = e.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+      val encoded = operators.Quantization.pqEncode(e, "embedding", cb)
+      operators.Quantization.pqSearch(encoded, "vec_id", qv, cb, 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+    }),
+
     "q123_kmeans" -> ((s, dir) => {
       // the IVF coarse-codebook BUILD (the step the reference delegates
       // to its DB's index build): 2 Lloyd rounds from a deterministic
@@ -1829,6 +1843,8 @@ object SparkEntry {
           |WHERE a.centroid_id IN (SELECT cid FROM probes)
           |ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), e.vec_id
           |LIMIT 8""".stripMargin,
+
+      "q124_pq_search" -> pqOracleSql,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,
@@ -3330,6 +3346,38 @@ object SparkEntry {
        |WHERE list_count(list_filter(range(1, 65),
        |    i -> n.sig[CAST(i AS INT)] = s.sig[CAST(i AS INT)])) / 64.0 >= 0.8
        |ORDER BY new_id, stored_id""".stripMargin
+  }
+
+  /** PQ oracle: replay encode (per-subspace struct-sort argmin over the
+    * same seeded codebook literals, list_reduce first-element init ≡ the
+    * Spark 0D fold) and ADC scoring (the query's distance table recomputed
+    * from the same literals, summed left-to-right like the Spark
+    * `aggregate(sequence(...))` fold). */
+  private def pqOracleSql: String = {
+    val cb = operators.Quantization.pqCodebook(64, 4, 4)
+    def sliceDist(vecExpr: String, s: Int, c: Int): String = {
+      val lits = cb(s)(c).mkString("[", ", ", "]")
+      val x = s"CAST($vecExpr[CAST(${s * 16} + i AS INT)] AS DOUBLE)"
+      s"list_reduce(list_transform(range(1, 17), i -> " +
+        s"($x - ($lits)[CAST(i AS INT)]) * ($x - ($lits)[CAST(i AS INT)])), (a, v) -> a + v)"
+    }
+    def codeExpr(s: Int): String = {
+      val structs = (0 until 4)
+        .map(c => s"struct_pack(d := ${sliceDist("e.embedding", s, c)}, c := $c)")
+        .mkString(", ")
+      s"((list_sort([$structs]))[1]).c"
+    }
+    val codeCols = (0 until 4).map(s => s"${codeExpr(s)} AS code$s").mkString(",\n    ")
+    def tList(s: Int): String =
+      (0 until 4).map(c => sliceDist("qv", s, c)).mkString("[", ", ", "]")
+    val adc = (0 until 4).map(s => s"(${tList(s)})[code$s + 1]").mkString(" + ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3),
+       |coded AS (SELECT e.vec_id,
+       |    $codeCols,
+       |    qv
+       |  FROM embeddings e, q)
+       |SELECT vec_id, round($adc, 6) AS adc_dist
+       |FROM coded ORDER BY $adc, vec_id LIMIT 10""".stripMargin
   }
 
   /** Cluster-dedup oracle: transitive closure over the near-dup pairs via a

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., TPAMI 2011) — the memory-compression
+  * half of large-scale ANN serving: a `dim`-wide float vector becomes `m`
+  * small integer codes (one per subspace), and query scoring becomes
+  * table lookups instead of float math.
+  *
+  * Shapes:
+  *  - ENCODE is a pure map: per subspace, an argmin fold over the
+  *    codebook on that slice — the same `least(struct(d, c))` shape as
+  *    [[Similarity.assignNearestCentroid]], m times on dim/m-wide slices.
+  *    No join, no shuffle; at 100 TB the corpus streams through once and
+  *    the output is m bytes-ish per row instead of 4·dim.
+  *  - SEARCH is asymmetric distance (ADC): the query's per-subspace
+  *    distance TABLE (m × ksub doubles) is built once on the driver and
+  *    folded into the scan as a literal — score(row) = Σ_s
+  *    table[s][code_s], one array lookup + add per subspace per row, then
+  *    top-k as TakeOrderedAndProject. The corpus never shuffles and never
+  *    touches the original floats.
+  *
+  * The codebook here is deterministic seeded Gaussian ([[pqCodebook]]) so
+  * the DuckDB oracle can embed identical literals; a production build
+  * trains each subspace book with [[Clustering.kmeans]] on the slice —
+  * the encode/search shapes are unchanged. Approximation quality is the
+  * PQ trade-off: qualify a (m, ksub) config with [[Similarity.recallAtK]]
+  * like any ANN setup.
+  */
+object Quantization {
+
+  /** Deterministic PQ codebook: m subspaces × ksub centroids × (dim/m)
+    * values, seeded Gaussian (seed 7) — public so correctness oracles can
+    * embed the identical literals. */
+  def pqCodebook(dim: Int, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val rnd = new scala.util.Random(7)
+    Array.fill(m, ksub, dim / m)(rnd.nextGaussian())
+  }
+
+  /** Append `codes ARRAY<INT>` (length m): per subspace, the index of the
+    * nearest codebook centroid on that slice by squared L2, ties to the
+    * lower index. Pure map-side fold. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    val codeExprs = cb.zipWithIndex.map { case (book, s) =>
+      val cands = book.zipWithIndex.map { case (cent, c) =>
+        val lits = cent.map(d => s"CAST('$d' AS DOUBLE)").mkString(",")
+        s"struct(aggregate(zip_with(slice($vecCol, ${s * subDim + 1}, $subDim), " +
+          s"array($lits), (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          s"0D, (a, v) -> a + v) AS d, $c AS c)"
+      }.mkString(", ")
+      s"least($cands).c"
+    }
+    df.withColumn("codes", expr(s"array(${codeExprs.mkString(",")})"))
+  }
+
+  /** The query's per-subspace squared-L2 distance table (m × ksub),
+    * computed once on the driver — the only place the query's floats are
+    * touched. Left-fold sum order, so a SQL replay agrees exactly. */
+  def adcTable(query: Seq[Float], cb: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val subDim = cb(0)(0).length
+    cb.zipWithIndex.map { case (book, s) =>
+      book.map { cent =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = query(s * subDim + i).toDouble - cent(i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: `adc_dist` = Σ_s table[s][code_s]
+    * via a literal table fold; ties by id. Returns input columns +
+    * `adc_dist`, k rows. */
+  def pqSearch(encoded: DataFrame, idCol: String, query: Seq[Float],
+               cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = cb.length
+    val table = adcTable(query, cb)
+    val tableLit = table.map(row =>
+        row.map(d => s"CAST('$d' AS DOUBLE)").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val adc = expr(
+      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
+         |  acc + element_at(element_at($tableLit, s + 1),
+         |    element_at(codes, s + 1) + 1))""".stripMargin)
+    encoded.withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

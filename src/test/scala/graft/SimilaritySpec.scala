@@ -85,6 +85,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr(1)._1 == 4L)
   }
 
+  test("PQ: codes pick the nearest subspace centroid; ADC equals the " +
+       "distance to the reconstructed vector") {
+    import graft.operators.Quantization
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, -0.5)))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.4f, 0.6f)),
+      (2L, Seq(0.1f, 0.9f, -0.4f, -0.6f))).toDF("vec_id", "embedding")
+    val enc = Quantization.pqEncode(df, "embedding", cb)
+    val codes = enc.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1))
+    val q = Seq(1.0f, 0.0f, 0.5f, 0.5f)
+    val hits = Quantization.pqSearch(enc, "vec_id", q, cb, 2)
+      .select("vec_id", "adc_dist").as[(Long, Double)].collect().toMap
+    // definitional identity: ADC = Σ_s ||q_s − centroid(code_s)||², the
+    // distance to the row's RECONSTRUCTED vector — bit-exact (same folds)
+    val t = Quantization.adcTable(q, cb)
+    assert(hits(1L) == t(0)(0) + t(1)(0))
+    assert(hits(2L) == t(0)(1) + t(1)(1))
+  }
+
   test("truncated rerank: full shortlist ≡ exact top-k; shortlist bounds output") {
     val q = Seq(1.0f, 0.0f)
     val exact = Similarity.topK(corpus, "embedding", q, 3, "COSINE", "vec_id")
