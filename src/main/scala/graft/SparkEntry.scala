@@ -23,6 +23,13 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM token for the store-writing queries' scratch directories:
+    * repeat runs inside one process reuse (and overwrite) the same dirs,
+    * while two processes on the same host can never race each other's
+    * half-swapped buckets. */
+  private lazy val tmpToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read nanos as long and truncate to µs — exactly what the
     * oracle's CAST(ts AS TIMESTAMP) does on the DuckDB side. */
@@ -976,7 +983,7 @@ object SparkEntry {
       // side never shuffles. Arithmetic-identical to q98 (same oracle)
       val d = tbl(s, dir, "documents")
       val idx = Retrieval.invertedIndex(d, "doc_id", "text")
-      val root = sys.props("java.io.tmpdir") + "/graft-index-store-bm25"
+      val root = sys.props("java.io.tmpdir") + s"/graft-index-store-bm25-$tmpToken"
       store.IndexStore.write(idx, root, nBuckets = 8)
       val dl = d.select(col("doc_id").cast("long").as("id"),
         size(Retrieval.analyze(col("text"))).cast("long").as("dl"))
@@ -1225,7 +1232,7 @@ object SparkEntry {
       // a partition-pruned scan of |terms| bucket directories, not the
       // full index (IndexStoreSpec pins the PartitionFilters)
       val idx = Retrieval.invertedIndex(tbl(s, dir, "documents"), "doc_id", "text")
-      val root = sys.props("java.io.tmpdir") + "/graft-index-store"
+      val root = sys.props("java.io.tmpdir") + s"/graft-index-store-$tmpToken"
       store.IndexStore.write(idx, root, nBuckets = 8)
       store.IndexStore.lookup(s, root, Seq("spark", "join", "vector"), 8)
         .select(col("term"), col("df"), col("cf"),
@@ -1525,7 +1532,7 @@ object SparkEntry {
       // indistinguishable from a full rebuild (the oracle computes over
       // ALL documents)
       val d = tbl(s, dir, "documents")
-      val root = sys.props("java.io.tmpdir") + "/graft-index-merge"
+      val root = sys.props("java.io.tmpdir") + s"/graft-index-merge-$tmpToken"
       val base = Retrieval.invertedIndex(
         d.filter(col("doc_id") < 400), "doc_id", "text")
       store.IndexStore.write(base, root, nBuckets = 8)
@@ -1564,7 +1571,7 @@ object SparkEntry {
       val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
           centroids, "cid", "cv")
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val root = sys.props("java.io.tmpdir") + "/graft-ann-store"
+      val root = sys.props("java.io.tmpdir") + s"/graft-ann-store-$tmpToken"
       store.AnnStore.write(assigned, root)
       val cents = centroids.collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq

@@ -40,7 +40,10 @@ object Clustering {
     var cents: Seq[(Int, Seq[Double])] = init.sortBy(_._1)
     var means: DataFrame = null
     for (_ <- 1 to iters) {
-      // string round-trip keeps the exact double bits across the parser
+      // string round-trip keeps the exact double bits across the parser;
+      // transform → array_min evaluates each distance ONCE (HOF lambdas
+      // get no CSE — an aggregate-with-if fold would compute every
+      // distance twice), ties lexicographic to the smaller cid
       val arr = cents.map { case (cid, cv) =>
         val lits = cv.map(d => s"CAST('$d' AS DOUBLE)").mkString(",")
         s"struct(CAST($cid AS INT) AS cid, array($lits) AS cv)"
@@ -48,10 +51,7 @@ object Clustering {
       val sqDist = s"aggregate(zip_with($vecCol, c.cv, " +
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)"
       val best = expr(
-        s"""aggregate($arr,
-           |  struct(CAST(-1 AS INT) AS cid, CAST('Infinity' AS DOUBLE) AS d),
-           |  (acc, c) -> if($sqDist < acc.d, struct(c.cid AS cid, $sqDist AS d), acc))"""
-          .stripMargin)
+        s"array_min(transform($arr, c -> struct($sqDist AS d, c.cid AS cid)))")
       means = corpus
         .withColumn("cid", best.getField("cid"))
         .select(col("cid"),
@@ -59,12 +59,18 @@ object Clustering {
         .groupBy("cid", "dim")
         .agg((sum(col("v").cast("decimal(27,15)")).cast("double") /
           count(lit(1))).as("mean"))
-      val byCid = means.collect()
+      // one corpus pass per round: the collected rows both update the
+      // centroids AND back the returned frame (a lazy `means` would make
+      // the caller's action re-run the whole final round)
+      val rows = means.collect()
+      val byCid = rows
         .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
         }
       cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+      means = corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.parallelize(rows.toSeq, 1), means.schema)
     }
     means
   }

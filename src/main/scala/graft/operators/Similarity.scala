@@ -255,7 +255,12 @@ object Similarity {
     * no longer needed by the plan. Write the output
     * `partitionBy("centroid_id")` — probes then become partition-pruned
     * scans of the `nProbe` nearest buckets (see also [[ivfAssign]] for
-    * the literal-centroid variant of the same fold). */
+    * the literal-centroid variant of the same fold).
+    *
+    * NOTE the centroid frame is collected EAGERLY at call time (it must
+    * become plan literals), so constructing the assignment runs one small
+    * Spark job and an empty centroid set fails fast here rather than
+    * yielding an empty result at execution. */
   def assignNearestCentroid(corpus: DataFrame, vecCol: String, idCol: String,
                             centroids: DataFrame, cidCol: String,
                             cvecCol: String,
@@ -283,22 +288,20 @@ object Similarity {
     } else {
       // nlist beyond what one generated expression tolerates (real IVF
       // runs 4k-65k cells — a 65k-arm `least` would sink Janino): scan the
-      // centroid array per row with a single `aggregate` fold instead.
-      // Still a pure map — one array literal in the plan, zero joins, the
-      // same (dist, cid) tie-break; only the distance association differs
-      // (squared-sum fold == l2² — argmin-equivalent, and the emitted
-      // centroid_dist takes a final sqrt to stay bit-comparable).
+      // centroid array per row with transform → array_min. Each distance
+      // evaluates ONCE (HOF lambdas get no common-subexpression
+      // elimination, so an aggregate-with-if fold would compute every
+      // distance twice). Still a pure map — one array literal in the
+      // plan, zero joins, the same (dist, cid) lexicographic tie-break;
+      // the fold sums squared diffs (argmin-equivalent) and the emitted
+      // centroid_dist takes a final sqrt to stay bit-comparable.
       val arr = cents.map { case (cid, cv) =>
         s"struct(cast($cid as int) as cid, cast(array(${cv.mkString(",")}) as array<float>) as cv)"
       }.mkString("array(", ",", ")")
       val best = expr(
-        s"""aggregate($arr,
-           |  struct(cast(-1 as int) as cid, cast('Infinity' as double) as d),
-           |  (acc, c) -> if(
-           |    aggregate(zip_with($vecCol, c.cv, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v) < acc.d,
-           |    struct(c.cid as cid,
-           |      aggregate(zip_with($vecCol, c.cv, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v) as d),
-           |    acc))""".stripMargin)
+        s"""array_min(transform($arr, c -> struct(
+           |  aggregate(zip_with($vecCol, c.cv, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v) as d,
+           |  c.cid as cid)))""".stripMargin)
       corpus
         .withColumn("_best", best)
         .withColumn("centroid_id", col("_best.cid"))

@@ -74,7 +74,15 @@ object Grants {
 
     /** The principal's effective grant on `table` across all their roles:
       * columns union, a column is masked only when EVERY granting role
-      * masks it, row filters OR (None anywhere → unfiltered). */
+      * masks it, row filters OR (None anywhere → unfiltered).
+      *
+      * Privileges are TABLE-scoped, exactly like SQL role semantics
+      * (and the reference's data-role grants): rows and columns merge
+      * independently, so a principal holding {rows-of-EU, name-masked}
+      * and {rows-of-rich, name-clear} sees name clear on EU rows too.
+      * Deployments needing (row, column)-scoped masking should model it
+      * as separate tables/views per sensitivity tier rather than
+      * expecting the role union to scope masks per row. */
     def effectiveGrant(principal: String, table: String): Option[TableGrant] = {
       val gs = memberships.getOrElse(principal, Set.empty).toSeq.sorted
         .flatMap(r => roleGrants.getOrElse(r, Map.empty).get(table))

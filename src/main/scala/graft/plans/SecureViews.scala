@@ -23,16 +23,23 @@ object SecureViews {
 
   /** Build a restricted view: only `allowedCols`, only rows matching
     * `rowPredicate` (None → all rows). Masked columns are replaced by a
-    * redaction literal instead of dropped when listed in `maskedCols`. */
+    * redaction literal instead of dropped when listed in `maskedCols`.
+    *
+    * The row predicate is applied to the UNPROJECTED, UNMASKED frame: a
+    * policy like `name = 'alice'` must see the table's real values (and
+    * may reference columns the grant doesn't expose) — filtering after
+    * masking would compare against the redaction literal and return the
+    * wrong row set. Catalyst still pushes the filter into the scan; the
+    * projection/masking happens above it. */
   def restrict(df: DataFrame, allowedCols: Seq[String],
                rowPredicate: Option[Column] = None,
                maskedCols: Set[String] = Set.empty): DataFrame = {
     require(allowedCols.nonEmpty, "at least one column must be granted")
     allowedCols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
-    val projected = df.select(allowedCols.map { c =>
+    val filtered = rowPredicate.fold(df)(df.filter)
+    filtered.select(allowedCols.map { c =>
       if (maskedCols.contains(c)) lit("***").as(c) else col(c)
     }: _*)
-    rowPredicate.fold(projected)(projected.filter)
   }
 
   /** Register the restricted view under a validated name. */

@@ -72,10 +72,17 @@ object IndexStore {
     val staging = path + "_staging"
     merged.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    // Bucket swaps are individually atomic (rename), not transactional as
+    // a group — a crash between the two moves can leave ONE bucket absent
+    // until re-merged (same guarantee as VectorStore.upsertPartitioned).
+    // A leftover _old dir from a crashed cleanup is garbage: delete it
+    // up front so a previous crash can never wedge future merges.
     buckets.foreach { b =>
       val src = Paths.get(staging, s"bucket=$b")
       val dst = Paths.get(path, s"bucket=$b")
       val old = Paths.get(s"${path}_old_b$b")
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
       if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(old))

@@ -180,6 +180,10 @@ object VectorStore {
       val src = Paths.get(staging, s"file_bucket=$b")
       val dst = Paths.get(path, s"file_bucket=$b")
       val old = Paths.get(s"$root/_old_${name}_b$b")
+      // a leftover _old dir from a crashed cleanup would make the next
+      // dst→old move throw; it is garbage — clear it before swapping
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
       if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(old))

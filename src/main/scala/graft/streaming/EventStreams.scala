@@ -235,16 +235,23 @@ object EventStreams {
     * micro-batch, probe the PERSISTED signature store
     * ([[graft.operators.Dedup.incrementalDedupProbe]] — only matching band
     * buckets are read, the batch broadcasts, hot stored buckets are
-    * capped), then APPEND the batch's own signatures so every later batch
+    * capped), then write the batch's own signatures so every later batch
     * also dedups against this one. The store grows with the corpus but
     * each batch pays O(batch) — the streaming twin of q112's batch probe.
-    * Returns (new_id, stored_id, est_jaccard) pairs at or above
-    * `threshold`, materialized BEFORE the append: writing a path
-    * invalidates cached plans reading it (recacheByPath), so a lazy probe
-    * would otherwise silently re-run against a store that already
-    * contains the batch and report every batch doc as its own duplicate. */
+    *
+    * REPLAY-SAFE: foreachBatch is at-least-once, so each batch lands in
+    * its own `batch=<id>` partition with OVERWRITE (a re-run replaces its
+    * first attempt instead of double-appending) and the probe excludes
+    * the current batch id (a replay would otherwise match attempt 1's
+    * signatures and report every doc as its own duplicate). Pass the
+    * `batchId` foreachBatch hands you. The store bootstrap writes
+    * `batch=-1`-style seed partitions the same way. Pairs are
+    * materialized BEFORE the write (recacheByPath would invalidate the
+    * lazy probe). Returns sorted (new_id, stored_id, est_jaccard) at or
+    * above `threshold`. */
   def dedupProbeBatch(spark: SparkSession, sigStorePath: String,
-                      batch: DataFrame, idCol: String, textCol: String,
+                      batch: DataFrame, batchId: Long,
+                      idCol: String, textCol: String,
                       shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): Seq[(Long, Long, Double)] = {
     import graft.operators.Dedup
@@ -254,11 +261,13 @@ object EventStreams {
         col("band_idx"), col("band_hash"))
       .cache()
     val stored = spark.read.parquet(sigStorePath)
+      .filter(col("batch") =!= batchId)
+      .drop("batch")
     val pairs = Dedup.incrementalDedupProbe(stored, newSigs,
         numHashes = numHashes, threshold = threshold)
       .select(col("new_id"), col("stored_id"), col("est_jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    newSigs.write.mode("append").parquet(sigStorePath)
+    newSigs.write.mode("overwrite").parquet(s"$sigStorePath/batch=$batchId")
     newSigs.unpersist()
     pairs.sorted
   }

@@ -109,6 +109,20 @@ class IvfAndViewsSpec extends SparkSpec {
     assert(!view.columns.contains("balance"))
     intercept[IllegalArgumentException](
       SecureViews.restrict(df, Seq("nope")))
+    // the row predicate sees REAL values, even on a masked column — a
+    // post-masking filter would compare against "***" and return nothing
+    val byMasked = SecureViews.restrict(df,
+      allowedCols = Seq("id", "password"),
+      rowPredicate = Some(col("password") === "s3cret"),
+      maskedCols = Set("password")).collect()
+    assert(byMasked.length == 1 && byMasked.head.getLong(0) == 1L)
+    assert(byMasked.head.getString(1) == "***") // still masked in output
+    // and the inverted predicate excludes exactly that row
+    val inverted = SecureViews.restrict(df,
+      allowedCols = Seq("id", "password"),
+      rowPredicate = Some(col("password") =!= "s3cret"),
+      maskedCols = Set("password")).collect()
+    assert(inverted.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("view names validate as identifiers (deepsec/database.py:55-67)") {

@@ -258,24 +258,32 @@ class StreamingSpec extends SparkSpec {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toFile
     val path = s"${dir.getAbsolutePath}/sigs"
-    // bootstrap the store with the seed corpus's signatures
+    // bootstrap the store with the seed corpus's signatures (batch=-1)
     val seed = Seq((1L, base), (2L, "completely unrelated text about spark plans"))
       .toDF("doc_id", "text")
     Dedup.bandSignatures(seed, "doc_id", "text")
       .select(col("id").cast("long").as("id"), col("sig"),
         col("band_idx"), col("band_hash"))
-      .write.parquet(path)
+      .write.parquet(s"$path/batch=-1")
     // batch 1: one near-dup of doc 1 + one fresh doc
-    val b1 = EventStreams.dedupProbeBatch(spark, path,
-      Seq((10L, base + "!"), (11L, "fresh doc with its own words entirely"))
-        .toDF("doc_id", "text"), "doc_id", "text")
+    val batch1 = Seq((10L, base + "!"), (11L, "fresh doc with its own words entirely"))
+      .toDF("doc_id", "text")
+    val b1 = EventStreams.dedupProbeBatch(spark, path, batch1, 1L, "doc_id", "text")
     assert(b1.map(t => (t._1, t._2)) == Seq((10L, 1L)))
     // batch 2: a near-dup of BATCH 1's doc 11 — only visible because the
-    // probe appended batch 1's signatures to the store
-    val b2 = EventStreams.dedupProbeBatch(spark, path,
-      Seq((20L, "fresh doc with its own words entirely?"))
-        .toDF("doc_id", "text"), "doc_id", "text")
+    // probe persisted batch 1's signatures into the store
+    val batch2 = Seq((20L, "fresh doc with its own words entirely?"))
+      .toDF("doc_id", "text")
+    val b2 = EventStreams.dedupProbeBatch(spark, path, batch2, 2L, "doc_id", "text")
     assert(b2.map(t => (t._1, t._2)) == Seq((20L, 11L)))
+    // at-least-once REPLAY of batch 2 (same batchId): identical result —
+    // no self-matches against its own first attempt, no double-append
+    val b2replay = EventStreams.dedupProbeBatch(spark, path, batch2, 2L, "doc_id", "text")
+    assert(b2replay == b2)
+    // and a replay of batch 1 still cannot see batch 2 pairs change
+    val b1replay = EventStreams.dedupProbeBatch(spark, path, batch1, 1L, "doc_id", "text")
+    assert(b1replay.map(t => (t._1, t._2)).contains((10L, 1L)))
+    assert(!b1replay.exists(t => t._1 == t._2), "self-match leaked through replay")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 }
