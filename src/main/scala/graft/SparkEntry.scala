@@ -1672,6 +1672,24 @@ object SparkEntry {
       Files.writeString(Paths.get(corpusDir, "readme.md"), "# corpus")
       Files.writeString(Paths.get(corpusDir, "binary.pdf"), "%PDF-fake")
       Files.writeString(Paths.get(corpusDir, "data.bin"), "xx")
+      // REAL binary fixtures for the JDK-only extractors: a DOCX (zip +
+      // word/document.xml) and a PDF with an uncompressed content stream —
+      // expected text is a constant, so text_len is oracle-checkable
+      val docxBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+        z.write(("<?xml version=\"1.0\"?><w:document><w:body>" +
+          "<w:p><w:r><w:t>Spark ingest works</w:t></w:r></w:p>" +
+          "<w:p><w:r><w:t xml:space=\"preserve\">Second paragraph</w:t></w:r></w:p>" +
+          "</w:body></w:document>").getBytes("UTF-8"))
+        z.closeEntry(); z.close(); bos.toByteArray
+      }
+      Files.write(Paths.get(corpusDir, "report.docx"), docxBytes)
+      Files.write(Paths.get(corpusDir, "real.pdf"),
+        ("%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n" +
+          "BT /F1 12 Tf (Hello from a real PDF) Tj ET\n" +
+          "endstream\nendobj\ntrailer\n<<>>\n%%EOF").getBytes("ISO-8859-1"))
       val corpus = sources.DocumentSource.loadCorpus(s, corpusDir)
       corpus.select(col("filename"), col("ext"), col("parse_ok"),
           length(col("text")).as("text_len"), col("skip_reason"))
@@ -3128,17 +3146,21 @@ object SparkEntry {
       "q32_embed_search" -> embedSearchOracleSql,
 
       // File-corpus ingest: the corpus q41 loads is generated from the
-      // documents table plus three constant files, so the expected parse
-      // dispatch (txt/md parsed, pdf stubbed with its byte count, .bin
-      // skipped) and round-tripped text lengths are exactly derivable.
-      // "[pdf-stub bytes=9]" is 18 chars ("%PDF-fake" is 9 bytes).
+      // documents table plus constant files, so the expected parse
+      // dispatch and text lengths are exactly derivable: txt/md parse
+      // directly; real.pdf extracts "Hello from a real PDF" (21) via the
+      // JDK Tj parser; report.docx extracts two paragraphs (35) via
+      // zip+XML; binary.pdf has no text stream → "[pdf-no-text bytes=9]"
+      // (21 chars); .bin is skipped.
       "q41_file_ingest" ->
         """SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
           |  'txt' AS ext, true AS parse_ok, CAST(length(text) AS INT) AS text_len,
           |  CAST(NULL AS VARCHAR) AS skip_reason
           |FROM documents WHERE doc_id < 20
           |UNION ALL SELECT 'readme.md', 'md', true, 8, NULL
-          |UNION ALL SELECT 'binary.pdf', 'pdf', true, 18, NULL
+          |UNION ALL SELECT 'binary.pdf', 'pdf', true, 21, NULL
+          |UNION ALL SELECT 'real.pdf', 'pdf', true, 21, NULL
+          |UNION ALL SELECT 'report.docx', 'docx', true, 35, NULL
           |UNION ALL SELECT 'data.bin', 'bin', false, NULL, 'unsupported extension: bin'
           |ORDER BY filename""".stripMargin
     )

@@ -15,12 +15,19 @@ import org.apache.spark.sql.types._
   * Hadoop FS layer — the same layer that reads object storage at cluster
   * scale) plus an extension-dispatched parse function per row.
   *
-  * Text-native formats parse for real; binary formats (pdf/docx/pptx/xlsx)
-  * have no codec in this container — they dispatch to a clearly-marked
-  * deterministic STUB that yields a typed placeholder, keeping the
-  * pipeline shape (schema, dispatch, error accounting) real and tested.
+  * Text-native formats parse directly; the binary formats (pdf/docx/pptx/
+  * xlsx) extract for REAL via the JDK-only [[BinaryText]] parsers (zip+XML
+  * for OOXML, Flate streams + Tj/TJ operators for PDF). A file whose
+  * extraction yields no text (scanned/encrypted PDF, numeric-only XLSX,
+  * corrupt archive) degrades to a typed `[<ext>-no-text bytes=N]` marker
+  * with `parse_ok = true` — the file was read and dispatched; it simply
+  * carries no extractable text, mirroring the reference's behavior of
+  * indexing whatever the fast loader returns.
   */
 object DocumentSource {
+
+  private def orMarker(kind: String, b: Array[Byte], text: String): String =
+    if (text.trim.nonEmpty) text else s"[$kind-no-text bytes=${b.length}]"
 
   /** Extension-dispatch parse map (the reference's FAST_LOADERS analog). */
   val parsers: Map[String, Array[Byte] => String] = Map(
@@ -29,12 +36,10 @@ object DocumentSource {
     "csv" -> (b => new String(b, "UTF-8").linesIterator.mkString("\n")),
     "html" -> (b => WebScrape.extractSections(new String(b, "UTF-8"))
       .map { case (t, c) => if (t.nonEmpty) s"$t\n$c" else c }.mkString("\n\n")),
-    // STUB: no PDF/Office codecs in this runtime. Deterministic placeholder
-    // keeps schema + dispatch real; swap for PDFBox/POI calls in production.
-    "pdf" -> (b => s"[pdf-stub bytes=${b.length}]"),
-    "docx" -> (b => s"[docx-stub bytes=${b.length}]"),
-    "pptx" -> (b => s"[pptx-stub bytes=${b.length}]"),
-    "xlsx" -> (b => s"[xlsx-stub bytes=${b.length}]"))
+    "pdf" -> (b => orMarker("pdf", b, BinaryText.extractPdf(b))),
+    "docx" -> (b => orMarker("docx", b, BinaryText.extractDocx(b))),
+    "pptx" -> (b => orMarker("pptx", b, BinaryText.extractPptx(b))),
+    "xlsx" -> (b => orMarker("xlsx", b, BinaryText.extractXlsx(b))))
 
   private def ext(path: String): String = {
     val i = path.lastIndexOf('.')

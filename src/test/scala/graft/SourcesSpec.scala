@@ -38,11 +38,57 @@ class SourcesSpec extends SparkSpec {
     val byName = corpus.select("filename", "text", "parse_ok")
       .as[(String, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(byName("a.txt") == (("plain text", true)))
-    assert(byName("c.pdf")._1.startsWith("[pdf-stub"))
+    assert(byName("c.pdf")._1.startsWith("[pdf-no-text"))
     assert(!byName("d.xyz")._2)
     val summary = DocumentSource.summary(corpus)
       .as[(String, Long)].collect().toMap
     assert(summary == Map("processed" -> 3L, "skipped" -> 1L))
+  }
+
+  test("JDK-only binary extractors: DOCX/PPTX/XLSX zip+XML and PDF Tj/TJ streams") {
+    import graft.sources.BinaryText
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, content) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    // DOCX: runs concatenate within a paragraph, paragraphs newline-join,
+    // entities unescape
+    val docx = zipOf("word/document.xml" ->
+      ("<w:document><w:body><w:p><w:r><w:t>Tom </w:t></w:r>" +
+        "<w:r><w:t xml:space=\"preserve\">&amp; Jerry</w:t></w:r></w:p>" +
+        "<w:p><w:r><w:t>Line 2</w:t></w:r></w:p></w:body></w:document>"))
+    assert(BinaryText.extractDocx(docx) == "Tom & Jerry\nLine 2")
+    // PPTX: slides ordered numerically (slide10 after slide2)
+    val pptx = zipOf(
+      "ppt/slides/slide10.xml" -> "<p:sld><a:t>ten</a:t></p:sld>",
+      "ppt/slides/slide2.xml" -> "<p:sld><a:t>two</a:t></p:sld>")
+    assert(BinaryText.extractPptx(pptx) == "two\n\nten")
+    // XLSX: shared strings only; numeric-only sheets yield empty
+    val xlsx = zipOf("xl/sharedStrings.xml" ->
+      "<sst><si><t>alpha</t></si><si><t>beta &lt;3</t></si></sst>")
+    assert(BinaryText.extractXlsx(xlsx) == "alpha\nbeta <3")
+    assert(BinaryText.extractXlsx(zipOf("xl/worksheets/sheet1.xml" -> "<x/>")) == "")
+    // PDF: uncompressed stream with Tj + TJ kerned array and escapes
+    val rawPdf = ("%PDF-1.4\nstream\nBT (Plain \\(quoted\\)) Tj " +
+      "[(ker) -20 (ned)] TJ ET\nendstream").getBytes("ISO-8859-1")
+    assert(BinaryText.extractPdf(rawPdf) == "Plain (quoted) kerned")
+    // PDF: Flate-compressed stream decodes through Inflater
+    val content = "BT (Deflated text) Tj ET".getBytes("ISO-8859-1")
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    val flatePdf = ("%PDF-1.4\nstream\n").getBytes("ISO-8859-1") ++
+      out.toByteArray ++ "\nendstream".getBytes("ISO-8859-1")
+    assert(BinaryText.extractPdf(flatePdf) == "Deflated text")
+    // corrupt zip degrades to empty (→ caller's no-text marker), no throw
+    assert(BinaryText.extractDocx("not a zip".getBytes("UTF-8")) == "")
   }
 
   test("file listing feeds change detection (S10 shape)") {
