@@ -1686,6 +1686,20 @@ object SparkEntry {
         z.closeEntry(); z.close(); bos.toByteArray
       }
       Files.write(Paths.get(corpusDir, "report.docx"), docxBytes)
+      val xlsxBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        z.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+        z.write("<sst><si><t>region</t></si><si><t>total</t></si></sst>".getBytes("UTF-8"))
+        z.closeEntry()
+        z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+        z.write(("<worksheet><sheetData>" +
+          "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\" t=\"s\"><v>1</v></c></row>" +
+          "<row r=\"2\"><c r=\"A2\"><v>7</v></c><c r=\"B2\"><v>950</v></c></row>" +
+          "</sheetData></worksheet>").getBytes("UTF-8"))
+        z.closeEntry(); z.close(); bos.toByteArray
+      }
+      Files.write(Paths.get(corpusDir, "table.xlsx"), xlsxBytes)
       Files.write(Paths.get(corpusDir, "real.pdf"),
         ("%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n" +
           "BT /F1 12 Tf (Hello from a real PDF) Tj ET\n" +
@@ -3161,6 +3175,7 @@ object SparkEntry {
           |UNION ALL SELECT 'binary.pdf', 'pdf', true, 21, NULL
           |UNION ALL SELECT 'real.pdf', 'pdf', true, 21, NULL
           |UNION ALL SELECT 'report.docx', 'docx', true, 35, NULL
+          |UNION ALL SELECT 'table.xlsx', 'xlsx', true, 18, NULL
           |UNION ALL SELECT 'data.bin', 'bin', false, NULL, 'unsupported extension: bin'
           |ORDER BY filename""".stripMargin
     )

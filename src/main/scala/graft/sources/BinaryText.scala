@@ -73,14 +73,40 @@ object BinaryText {
       }
       .sortBy(_._1).map(_._2).filter(_.nonEmpty).mkString("\n\n")
 
-  /** XLSX: the shared-string table (one line per string) — the text
-    * payload of typical spreadsheets; numeric-only sheets yield empty. */
-  def extractXlsx(bytes: Array[Byte]): String =
-    zipEntries(bytes, _ == "xl/sharedStrings.xml").map(_._2).mkString match {
-      case "" => ""
-      case xml => ST.findAllMatchIn(xml)
-        .map(m => unescapeXml(m.group(1))).filter(_.nonEmpty).mkString("\n")
-    }
+  private val SheetName = "xl/worksheets/sheet(\\d+)\\.xml".r
+  private val RowXml = "(?s)<row[^>]*>(.*?)</row>".r
+  private val CellXml = "(?s)<c([^>]*)>(.*?)</c>".r
+  private val CellV = "(?s)<v[^>]*>(.*?)</v>".r
+
+  /** XLSX: reconstruct the cell grid per worksheet (sheets in numeric
+    * order) — shared-string cells (`t="s"`) resolve through
+    * xl/sharedStrings.xml, other cells take their raw `<v>` value;
+    * cells join by tabs, rows by newlines, sheets by blank lines — the
+    * row-wise text an openpyxl-style fast loader yields. Workbooks with
+    * no worksheet entries fall back to the shared-string table alone. */
+  def extractXlsx(bytes: Array[Byte]): String = {
+    val shared: IndexedSeq[String] =
+      zipEntries(bytes, _ == "xl/sharedStrings.xml").map(_._2).mkString match {
+        case "" => IndexedSeq.empty
+        case xml => ST.findAllMatchIn(xml).map(m => unescapeXml(m.group(1))).toIndexedSeq
+      }
+    val sheets = zipEntries(bytes, n => SheetName.pattern.matcher(n).matches())
+      .map { case (name, xml) =>
+        val SheetName(n) = name
+        val rows = RowXml.findAllMatchIn(xml).map { r =>
+          CellXml.findAllMatchIn(r.group(1)).flatMap { c =>
+            val v = CellV.findFirstMatchIn(c.group(2)).map(_.group(1))
+            if (c.group(1).contains("t=\"s\""))
+              v.flatMap(i => shared.lift(i.trim.toInt))
+            else v.map(unescapeXml)
+          }.mkString("\t")
+        }.filter(_.nonEmpty).mkString("\n")
+        (n.toInt, rows)
+      }
+      .sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    if (sheets.nonEmpty) sheets.mkString("\n\n")
+    else shared.filter(_.nonEmpty).mkString("\n")
+  }
 
   /** PDF: scan for `stream … endstream` segments, inflate each (raw bytes
     * kept when not Flate), then pull `(…) Tj` / `[…] TJ` text-showing

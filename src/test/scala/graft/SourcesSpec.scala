@@ -68,10 +68,21 @@ class SourcesSpec extends SparkSpec {
       "ppt/slides/slide10.xml" -> "<p:sld><a:t>ten</a:t></p:sld>",
       "ppt/slides/slide2.xml" -> "<p:sld><a:t>two</a:t></p:sld>")
     assert(BinaryText.extractPptx(pptx) == "two\n\nten")
-    // XLSX: shared strings only; numeric-only sheets yield empty
-    val xlsx = zipOf("xl/sharedStrings.xml" ->
-      "<sst><si><t>alpha</t></si><si><t>beta &lt;3</t></si></sst>")
-    assert(BinaryText.extractXlsx(xlsx) == "alpha\nbeta <3")
+    // XLSX: cell grid reconstruction — shared-string refs resolve, raw
+    // numeric <v> cells pass through, tabs between cells, rows newline
+    val xlsx = zipOf(
+      "xl/sharedStrings.xml" ->
+        "<sst><si><t>alpha</t></si><si><t>beta &lt;3</t></si></sst>",
+      "xl/worksheets/sheet1.xml" ->
+        ("<worksheet><sheetData>" +
+          "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c><c r=\"B1\"><v>42</v></c></row>" +
+          "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>1</v></c></row>" +
+          "</sheetData></worksheet>"))
+    assert(BinaryText.extractXlsx(xlsx) == "alpha\t42\nbeta <3")
+    // workbook with shared strings but no worksheets falls back to them
+    val sstOnly = zipOf("xl/sharedStrings.xml" -> "<sst><si><t>solo</t></si></sst>")
+    assert(BinaryText.extractXlsx(sstOnly) == "solo")
+    // numeric-only workbook with empty rows yields empty → no-text marker
     assert(BinaryText.extractXlsx(zipOf("xl/worksheets/sheet1.xml" -> "<x/>")) == "")
     // PDF: uncompressed stream with Tj + TJ kerned array and escapes
     val rawPdf = ("%PDF-1.4\nstream\nBT (Plain \\(quoted\\)) Tj " +
