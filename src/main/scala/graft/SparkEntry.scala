@@ -1663,7 +1663,7 @@ object SparkEntry {
     "q41_file_ingest" -> ((s, dir) => {
       import java.nio.file.{Files, Paths}
       val corpusDir = Files.createDirectories(
-        Paths.get(sys.props("java.io.tmpdir"), "graft-ingest-corpus")).toString
+        Paths.get(sys.props("java.io.tmpdir"), s"graft-ingest-corpus-$tmpToken")).toString
       val docs = tbl(s, dir, "documents").filter(col("doc_id") < 20)
         .select("doc_id", "text").collect()
       docs.foreach { r =>

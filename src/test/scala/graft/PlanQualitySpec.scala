@@ -248,6 +248,15 @@ class PlanQualitySpec extends SparkSpec {
       "probe must prune cells at the directory level")
   }
 
+  test("q124: PQ encode + ADC stay map-side; the result is a bounded top-k") {
+    val p = plan("q124_pq_search").split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "PQ scoring must not join — codes and the " +
+      "ADC table are plan literals")
+    assert(!p.contains("Window"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC top-k must keep per-partition heaps")
+  }
+
   test("q122: both truncated-rerank stages are bounded top-k, never full sorts") {
     val p = plan("q122_truncated_rerank").split("== Initial Plan ==").head
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
