@@ -149,6 +149,46 @@ object BinaryText {
     out.filter(_.nonEmpty).mkString(" ")
   }
 
+  /** Deep-parse structurer — the TEXT-level half of the reference's deep
+    * parsing mode (Docling markdown export, embed/document.py:192-222):
+    * reconstruct document STRUCTURE from already-extracted text as
+    * markdown. Runs of tab-separated lines (the XLSX/CSV grid shape)
+    * become GitHub tables, heading-like lines (short, letterful, no
+    * sentence punctuation, ALL-CAPS or every word capitalized) get `##`,
+    * and bullet variants normalize to `-`. Deterministic rules, so specs
+    * replay it exactly. Actual OCR of scanned pages needs a vision
+    * model and remains out of scope (SURVEY §2.1 S5). */
+  def structureMarkdown(text: String): String = {
+    val lines = text.split("\n", -1)
+    val out = ArrayBuffer.empty[String]
+    def isHeading(t: String): Boolean =
+      t.nonEmpty && t.length <= 60 && !t.exists(c => ".!?;:,".contains(c)) &&
+        t.exists(_.isLetter) &&
+        (t == t.toUpperCase ||
+          t.split("\\s+").forall(_.headOption.exists(c => c.isUpper || c.isDigit)))
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).contains('\t')) {
+        val start = i
+        while (i < lines.length && lines(i).contains('\t')) i += 1
+        val rows = lines.slice(start, i).map(_.split("\t", -1).toSeq)
+        val width = rows.map(_.length).max
+        def row(r: Seq[String]) = r.padTo(width, "").mkString("| ", " | ", " |")
+        out += row(rows.head)
+        out += Seq.fill(width)("---").mkString("| ", " | ", " |")
+        rows.tail.foreach(r => out += row(r))
+      } else {
+        val t = lines(i).trim
+        if (t.startsWith("- ") || t.startsWith("* ") || t.startsWith("• "))
+          out += ("- " + t.drop(2).trim)
+        else if (isHeading(t)) out += ("## " + t)
+        else out += lines(i)
+        i += 1
+      }
+    }
+    out.mkString("\n")
+  }
+
   private def inflateOrRaw(raw: Array[Byte]): String = {
     val inf = new Inflater()
     try {

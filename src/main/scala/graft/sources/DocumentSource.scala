@@ -71,8 +71,12 @@ object DocumentSource {
   /** Load + parse a corpus: one row per file with (path, filename, ext,
     * size, time_modified, text, parse_ok). Unknown extensions yield
     * parse_ok=false with a reason — the reference's skipped_files
-    * accounting (document.py:271-318, A8). */
-  def loadCorpus(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    * accounting (document.py:271-318, A8). `deep = true` is the
+    * reference's deep parsing mode: extracted text additionally passes
+    * [[BinaryText.structureMarkdown]] (tables/headings/lists as
+    * markdown — the Docling-export shape, minus OCR). */
+  def loadCorpus(spark: SparkSession, dir: String, glob: String = "*",
+                 deep: Boolean = false): DataFrame = {
     val raw = spark.read.format("binaryFile").load(s"$dir/$glob")
       .select(col("path"), col("length").as("size"),
         col("modificationTime").as("time_modified"), col("content"))
@@ -92,8 +96,10 @@ object DocumentSource {
         val bytes = r.getAs[Array[Byte]]("content")
         parsers.get(e) match {
           case Some(p) =>
-            try Row(path, fname, e, r.getLong(1), r.getTimestamp(2), p(bytes), true, null)
-            catch { case ex: Exception =>
+            try {
+              val text = if (deep) BinaryText.structureMarkdown(p(bytes)) else p(bytes)
+              Row(path, fname, e, r.getLong(1), r.getTimestamp(2), text, true, null)
+            } catch { case ex: Exception =>
               Row(path, fname, e, r.getLong(1), r.getTimestamp(2), null, false,
                 s"parse-error: ${ex.getMessage}")
             }

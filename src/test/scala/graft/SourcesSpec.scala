@@ -102,6 +102,31 @@ class SourcesSpec extends SparkSpec {
     assert(BinaryText.extractDocx("not a zip".getBytes("UTF-8")) == "")
   }
 
+  test("deep parse: tab grids become markdown tables, headings and bullets normalize") {
+    import graft.sources.BinaryText
+    val text = "SUMMARY\nregion\ttotal\nemea\t7\n• first\n* second\nplain sentence here."
+    assert(BinaryText.structureMarkdown(text) ==
+      "## SUMMARY\n| region | total |\n| --- | --- |\n| emea | 7 |\n" +
+        "- first\n- second\nplain sentence here.")
+    // deep-mode corpus load structures the XLSX grid end-to-end
+    val dir = Files.createTempDirectory("graft-deep").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+    z.write("<sst><si><t>region</t></si><si><t>total</t></si></sst>".getBytes("UTF-8"))
+    z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(("<worksheet><sheetData>" +
+      "<row><c t=\"s\"><v>0</v></c><c t=\"s\"><v>1</v></c></row>" +
+      "<row><c><v>7</v></c><c><v>950</v></c></row>" +
+      "</sheetData></worksheet>").getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    Files.write(Paths.get(dir, "t.xlsx"), bos.toByteArray)
+    val deepText = DocumentSource.loadCorpus(spark, dir, deep = true)
+      .select("text").as[String].head()
+    assert(deepText == "| region | total |\n| --- | --- |\n| 7 | 950 |")
+  }
+
   test("file listing feeds change detection (S10 shape)") {
     val dir = Files.createTempDirectory("graft-list").toString
     Files.writeString(Paths.get(dir, "x.txt"), "xx")
