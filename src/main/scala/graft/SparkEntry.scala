@@ -1728,6 +1728,92 @@ object SparkEntry {
       Multimodal.extractFeatures(bin, "content_bin", featDim = 8)
         .select(col("doc_id"), col("byte_len"), col("sha256"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Multimodal REAL codecs (JDK ImageIO / javax.sound) -------------
+    "q125_image_decode" -> ((s, dir) => {
+      // REAL image codec round-trip: a deterministic 16×16 gray PNG per doc
+      // (pixel(x,y) = (x·7 + y·13 + doc_id·31) mod 256) is encoded AND
+      // decoded with the JDK's real PNG codec, then 8×8 average-pooled into
+      // mean + 63-bit aHash. PNG is lossless, so the oracle replays the
+      // stats arithmetically — the codec is in the loop, the math is exact.
+      // Both stages are one map each: at 100 TB the decode cost rides the
+      // scan stage, zero shuffle
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val px = Array.tabulate(256)(i =>
+            (((i % 16) * 7 + (i / 16) * 13 + id * 31) % 256).toInt)
+          (id, graft.sources.BinaryMedia.encodeGrayPng(16, 16, px))
+        }.toDF("doc_id", "img")
+      Multimodal.decodeImageStats(imgs, "doc_id", "img")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_gray"), 6).as("mean_gray"), col("ahash"))
+        .orderBy("doc_id")
+    }),
+
+    "q126_image_neardup" -> ((s, dir) => {
+      // perceptual near-dup over REAL decoded pixels: docs sharing
+      // doc_id mod 20 get near-identical GIF images (one pixel bumped per
+      // doc), decoded with the JDK's real GIF codec into aHash63, then the
+      // same 4×16-band Hamming machinery as SimHash/q113 — proving the
+      // image path feeds the existing dedup stack unchanged
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400).as[Long]
+        .map { id =>
+          val px = Array.tabulate(256) { i =>
+            val x = i % 16; val y = i / 16
+            val base = (x * 7 + y * 13 + (id % 20) * 31) % 256
+            val bump = if (x == id % 16 && y == (id / 16) % 16) 1 + id % 7 else 0L
+            ((base + bump) % 256).toInt
+          }
+          (id, graft.sources.BinaryMedia.encodeGrayGif(16, 16, px))
+        }.toDF("doc_id", "img")
+      val hashed = Multimodal.decodeImageStats(imgs, "doc_id", "img")
+        .select(col("doc_id"), col("ahash"))
+      Dedup.hammingPairs64(hashed, "doc_id", "ahash", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q127_wav_decode" -> ((s, dir) => {
+      // REAL audio codec: a deterministic 16-bit PCM mono WAV per doc
+      // (128 + doc_id mod 64 samples, sample(i) = (doc_id·31 + i·17) mod
+      // 4096 − 2048) decoded via javax.sound.sampled — count, peak and
+      // mean-square energy replayed arithmetically by the oracle
+      import s.implicits._
+      val wavs = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (128 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 4096) - 2048).toShort)
+          (id, graft.sources.BinaryMedia.encodeWavPcm16(samples, 8000))
+        }.toDF("doc_id", "wav")
+      Multimodal.decodeWavStats(wavs, "doc_id", "wav")
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("peak"), round(col("mean_square"), 6).as("mean_square"))
+        .orderBy("doc_id")
+    }),
+
+    "q128_gif_frames" -> ((s, dir) => {
+      // REAL video-style frame sampling: an animated GIF per doc
+      // (3 + doc_id mod 5 frames of 8×8, pixel = (x·3 + y·5 + f·11 +
+      // doc_id·7) mod 256), every 2nd frame decoded to its mean gray via
+      // the JDK GIF reader — the explode shape of q59 with an actual codec
+      // in the loop, still zero shuffle
+      import s.implicits._
+      val gifs = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 1000).as[Long]
+        .map { id =>
+          val nf = (3 + id % 5).toInt
+          val frames = (0 until nf).map(f => Array.tabulate(64)(i =>
+            (((i % 8) * 3 + (i / 8) * 5 + f * 11 + id * 7) % 256).toInt))
+          (id, graft.sources.BinaryMedia.encodeAnimatedGif(8, 8, frames))
+        }.toDF("doc_id", "gif")
+      Multimodal.gifFrameMeans(gifs, "doc_id", "gif", everyN = 2)
+        .select(col("doc_id"), col("frame_index"),
+          round(col("frame_mean"), 6).as("frame_mean"))
+        .orderBy("doc_id", "frame_index")
     })
   )
 
@@ -2801,6 +2887,51 @@ object SparkEntry {
           |  unnest(range(0, greatest(CAST(ceil(length(text) / 100.0) AS BIGINT), 1))) AS t(s)
           |ORDER BY doc_id, frame_index""".stripMargin,
 
+      // PNG is lossless: the oracle replays decode(encode(img)) == img
+      // arithmetically — generator pixels → integer 2×2 pool → mean/aHash
+      "q125_image_decode" ->
+        """WITH blocks AS (
+          |  SELECT doc_id, by * 8 + bx AS j,
+          |    (  ((2*bx)   * 7 + (2*by)   * 13 + doc_id * 31) % 256
+          |     + ((2*bx+1) * 7 + (2*by)   * 13 + doc_id * 31) % 256
+          |     + ((2*bx)   * 7 + (2*by+1) * 13 + doc_id * 31) % 256
+          |     + ((2*bx+1) * 7 + (2*by+1) * 13 + doc_id * 31) % 256) // 4 AS bv
+          |  FROM documents, unnest(range(0, 8)) t1(bx), unnest(range(0, 8)) t2(by)),
+          |m AS (SELECT doc_id, sum(bv) / 64.0 AS mean FROM blocks GROUP BY doc_id),
+          |h AS (SELECT b.doc_id,
+          |    sum(CASE WHEN b.j < 63 AND CAST(b.bv AS DOUBLE) > m.mean
+          |      THEN (CAST(1 AS BIGINT) << CAST(b.j AS INT)) ELSE 0 END) AS ahash
+          |  FROM blocks b JOIN m ON b.doc_id = m.doc_id GROUP BY b.doc_id)
+          |SELECT m.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  round(m.mean, 6) AS mean_gray, CAST(h.ahash AS BIGINT) AS ahash
+          |FROM m JOIN h ON m.doc_id = h.doc_id ORDER BY m.doc_id""".stripMargin,
+
+      "q126_image_neardup" -> imageNearDupOracleSql,
+
+      "q127_wav_decode" ->
+        """WITH s AS (
+          |  SELECT doc_id, ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+          |  FROM documents, unnest(range(0, 128 + doc_id % 64)) t(i)),
+          |a AS (SELECT doc_id, count(*) AS n, max(abs(v)) AS peak,
+          |    round(CAST(sum(v * v) AS DOUBLE) / count(*), 6) AS mean_square
+          |  FROM s GROUP BY doc_id)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+          |  CAST(8000 AS INT) AS sample_rate, CAST(peak AS BIGINT) AS peak,
+          |  mean_square
+          |FROM a ORDER BY doc_id""".stripMargin,
+
+      "q128_gif_frames" ->
+        """WITH f AS (
+          |  SELECT doc_id, fi
+          |  FROM documents, unnest(range(0, 3 + doc_id % 5)) t(fi)
+          |  WHERE doc_id < 1000 AND fi % 2 = 0),
+          |p AS (SELECT doc_id, fi,
+          |    sum(((i % 8) * 3 + (i // 8) * 5 + fi * 11 + doc_id * 7) % 256) AS s
+          |  FROM f, unnest(range(0, 64)) t2(i) GROUP BY doc_id, fi)
+          |SELECT doc_id, CAST(fi AS INT) AS frame_index,
+          |  round(CAST(s AS DOUBLE) / 64.0, 6) AS frame_mean
+          |FROM p ORDER BY doc_id, frame_index""".stripMargin,
+
       "q20_minhash_pairs" -> minhashOracleSql,
       "q56_dedup_clusters" -> dedupClustersOracleSql,
       "q21_simhash_pairs" -> simhashOracleSql,
@@ -3724,6 +3855,39 @@ object SparkEntry {
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Replays q126's full real-codec pipeline arithmetically: GIF is
+    * lossless for gray, so generator pixels → integer 2×2 pool → aHash63 →
+    * the same 4×16-band Hamming join as the q113 oracle. */
+  private def imageNearDupOracleSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id, i % 16 AS x, i // 16 AS y,
+       |    ((((i % 16) * 7 + (i // 16) * 13 + (doc_id % 20) * 31) % 256
+       |      + CASE WHEN (i % 16) = doc_id % 16 AND (i // 16) = (doc_id // 16) % 16
+       |          THEN 1 + doc_id % 7 ELSE 0 END) % 256) AS v
+       |  FROM documents, unnest(range(0, 256)) t(i) WHERE doc_id < 400),
+       |blocks AS (
+       |  SELECT doc_id, (y // 2) * 8 + (x // 2) AS j, sum(v) // 4 AS bv
+       |  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)),
+       |m AS (SELECT doc_id, sum(bv) / 64.0 AS mean FROM blocks GROUP BY doc_id),
+       |h AS (SELECT b.doc_id,
+       |    CAST(sum(CASE WHEN b.j < 63 AND CAST(b.bv AS DOUBLE) > m.mean
+       |      THEN (CAST(1 AS BIGINT) << CAST(b.j AS INT)) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM blocks b JOIN m ON b.doc_id = m.doc_id GROUP BY b.doc_id),
+       |banded0 AS (
+       |  SELECT doc_id, sh, b, (sh >> CAST(b * 16 AS INT)) & 65535 AS band_hash
+       |  FROM h, unnest(range(0, 4)) AS t(b)),
+       |banded AS (
+       |  SELECT * FROM banded0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b,
+       |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   private def embeddingNearDupOracleSql: String = {
     val planes = operators.Similarity.hyperplanePlanes(64, 4)

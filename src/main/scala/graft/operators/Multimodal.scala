@@ -132,4 +132,88 @@ object Multimodal {
         explode(sequence(lit(0),
           greatest(ceil(length(col(binCol)) / everyNBytes) - 1, lit(0)))))
       .withColumn("frame_offset", col("frame_index") * everyNBytes)
+
+  // ---- REAL decoders (JDK codecs via sources.BinaryMedia) ----------------
+
+  /** REAL image decode over a binary column — `javax.imageio` (PNG/GIF/BMP/
+    * JPEG), not the stub: per row, decode → integer 8×8 average-pool →
+    * mean + 63-bit aHash ([[graft.sources.BinaryMedia.aHash63]]). Purely
+    * map-side (one Dataset.map, no shuffle); parallelism is input-partition
+    * driven, which is exactly how a 100 TB image corpus scans — the codec
+    * cost rides inside the scan stage. Undecodable or non-8-divisible
+    * rasters yield a `decode_ok = false` marker row (nulls for stats), the
+    * same typed-skip accounting as [[graft.sources.DocumentSource]]. */
+  def decodeImageStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val decoded = graft.sources.BinaryMedia
+          .decodeGrayImage(Option(bytes).getOrElse(Array.emptyByteArray))
+        val pooled = decoded.flatMap(graft.sources.BinaryMedia.avgPool8)
+        (pooled, decoded) match {
+          case (Some(blocks), Some(img)) =>
+            var sum = 0L; var i = 0
+            while (i < 64) { sum += blocks(i); i += 1 }
+            (id, true, Some(img.width), Some(img.height),
+              Some(sum / 64.0), Some(graft.sources.BinaryMedia.aHash63(blocks)))
+          case _ => (id, false, None, None, None, None)
+        }
+      }
+      .toDF(idCol, "decode_ok", "width", "height", "mean_gray", "ahash")
+  }
+
+  /** REAL WAV decode over a binary column — `javax.sound.sampled`, 16-bit
+    * PCM: per row emits sample count, container rate, peak |amplitude| and
+    * the mean-square energy (integer sum of squares ÷ n — exact in double
+    * far past any real clip length). Map-side only, like
+    * [[decodeImageStats]]. */
+  def decodeWavStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.sources.BinaryMedia
+          .decodeWavPcm16(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(a) =>
+            var peak = 0L; var sq = 0.0; var i = 0
+            while (i < a.samples.length) {
+              val s = a.samples(i).toLong
+              if (math.abs(s) > peak) peak = math.abs(s)
+              sq += (s * s).toDouble
+              i += 1
+            }
+            val n = a.samples.length
+            (id, true, Some(n.toLong), Some(a.sampleRate),
+              Some(peak), Some(if (n == 0) 0.0 else sq / n))
+          case None => (id, false, None, None, None, None)
+        }
+      }
+      .toDF(idCol, "decode_ok", "n_samples", "sample_rate", "peak", "mean_square")
+  }
+
+  /** REAL frame sampling over an animated-GIF binary column: decode all
+    * frames (`javax.imageio` GIF reader), keep every `everyN`-th, emit
+    * (frame_index, mean gray). The row-explode shape of [[sampleFrames]]
+    * with an actual codec in the loop — still zero shuffle. */
+  def gifFrameMeans(df: DataFrame, idCol: String, binCol: String,
+                    everyN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.sources.BinaryMedia
+          .decodeGifFrames(Option(bytes).getOrElse(Array.emptyByteArray))
+          .zipWithIndex
+          .collect { case (img, fIdx) if fIdx % everyN == 0 =>
+            var sum = 0L; var i = 0
+            while (i < img.gray.length) { sum += img.gray(i); i += 1 }
+            (id, fIdx, sum / math.max(img.gray.length, 1).toDouble)
+          }
+      }
+      .toDF(idCol, "frame_index", "frame_mean")
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.BinaryMedia
+import org.apache.spark.sql.functions._
+
+/** Real JDK media codecs (BinaryMedia) + the decode operators over them. */
+class MediaCodecSpec extends SparkSpec {
+
+  private def pattern(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13 + seed * 31) % 256)
+
+  test("gray PNG round-trips bit-exactly through the JDK codec") {
+    val pix = pattern(16, 16, 5)
+    val bytes = BinaryMedia.encodeGrayPng(16, 16, pix)
+    val img = BinaryMedia.decodeGrayImage(bytes).get
+    assert(img.width == 16 && img.height == 16)
+    assert(img.gray.toSeq == pix.toSeq)
+  }
+
+  test("gray GIF round-trips bit-exactly and matches the PNG path") {
+    val pix = pattern(16, 16, 9)
+    val viaGif = BinaryMedia.decodeGrayImage(BinaryMedia.encodeGrayGif(16, 16, pix)).get
+    val viaPng = BinaryMedia.decodeGrayImage(BinaryMedia.encodeGrayPng(16, 16, pix)).get
+    assert(viaGif.gray.toSeq == pix.toSeq)
+    assert(viaGif.gray.toSeq == viaPng.gray.toSeq)
+  }
+
+  test("animated GIF preserves every frame in order") {
+    val frames = (0 until 5).map(f => pattern(8, 8, f))
+    val bytes = BinaryMedia.encodeAnimatedGif(8, 8, frames)
+    val back = BinaryMedia.decodeGifFrames(bytes)
+    assert(back.length == 5)
+    back.zip(frames).foreach { case (img, want) =>
+      assert(img.width == 8 && img.gray.toSeq == want.toSeq)
+    }
+  }
+
+  test("WAV PCM16 round-trips samples and rate through javax.sound") {
+    val samples = Array.tabulate(300)(i => (((i * 17 + 31) % 4096) - 2048).toShort)
+    val a = BinaryMedia.decodeWavPcm16(BinaryMedia.encodeWavPcm16(samples, 8000)).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("undecodable bytes yield None, never throw") {
+    val junk = Array.tabulate(64)(i => (i * 37 % 256).toByte)
+    assert(BinaryMedia.decodeGrayImage(junk).isEmpty)
+    assert(BinaryMedia.decodeWavPcm16(junk).isEmpty)
+    assert(BinaryMedia.decodeGifFrames(junk).isEmpty)
+    assert(BinaryMedia.decodeGrayImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("avgPool8 is the integer block mean; odd shapes pool to None") {
+    val flat = Array.fill(256)(10)
+    flat(0) = 14 // block (0,0) sum = 14+10+10+10 = 44 -> 11
+    val pooled = BinaryMedia.avgPool8(BinaryMedia.GrayImage(16, 16, flat)).get
+    assert(pooled(0) == 11 && pooled.drop(1).forall(_ == 10))
+    assert(BinaryMedia.avgPool8(BinaryMedia.GrayImage(12, 16, new Array[Int](192))).isEmpty)
+  }
+
+  test("aHash63 votes strict-> against the 64-block mean, bit 63 clear") {
+    val blocks = Array.tabulate(64)(i => if (i % 2 == 0) 200 else 10)
+    val h = BinaryMedia.aHash63(blocks)
+    assert(h >= 0L) // bit 63 never set
+    (0 until 63).foreach { j =>
+      assert((((h >> j) & 1L) == 1L) == (blocks(j) > 105.0), s"bit $j")
+    }
+    // block 63 (odd -> 10, below mean) carries no bit either way
+    assert(BinaryMedia.aHash63(blocks.updated(63, 255)) >= 0L)
+  }
+
+  test("decodeImageStats emits exact pooled stats and typed failure rows") {
+    val pix = pattern(16, 16, 3)
+    val good = BinaryMedia.encodeGrayPng(16, 16, pix)
+    val df = spark.createDataFrame(Seq(
+      (1L, good), (2L, Array.tabulate(32)(_.toByte)))).toDF("id", "img")
+    val out = Multimodal.decodeImageStats(df, "id", "img")
+      .orderBy("id").collect()
+    val blocks = BinaryMedia.avgPool8(BinaryMedia.GrayImage(16, 16, pix)).get
+    val wantMean = blocks.map(_.toLong).sum / 64.0
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 16 && out(0).getInt(3) == 16)
+    assert(out(0).getDouble(4) == wantMean)
+    assert(out(0).getLong(5) == BinaryMedia.aHash63(blocks))
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2) && out(1).isNullAt(5))
+  }
+
+  test("decodeWavStats: count, peak and mean-square match the samples") {
+    val samples = Array[Short](100, -200, 300, -400)
+    val df = spark.createDataFrame(Seq(
+      (7L, BinaryMedia.encodeWavPcm16(samples, 8000)),
+      (8L, Array[Byte](1, 2, 3)))).toDF("id", "wav")
+    val out = Multimodal.decodeWavStats(df, "id", "wav").orderBy("id").collect()
+    assert(out(0).getBoolean(1) && out(0).getLong(2) == 4L)
+    assert(out(0).getInt(3) == 8000 && out(0).getLong(4) == 400L)
+    assert(out(0).getDouble(5) == (100.0 * 100 + 200 * 200 + 300 * 300 + 400 * 400) / 4)
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2))
+  }
+
+  test("gifFrameMeans samples every Nth frame with exact means") {
+    val frames = (0 until 5).map(f => Array.fill(64)(f * 10))
+    val df = spark.createDataFrame(Seq(
+      (1L, BinaryMedia.encodeAnimatedGif(8, 8, frames)))).toDF("id", "gif")
+    val out = Multimodal.gifFrameMeans(df, "id", "gif", everyN = 2)
+      .orderBy("frame_index").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0.0, 20.0, 40.0))
+  }
+
+  test("color rasters reduce via integer ITU-R 601 luma") {
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red -> 299*255/1000 = 76
+    img.setRGB(1, 0, 0x00ff00) // pure green -> 587*255/1000 = 149
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val g = BinaryMedia.decodeGrayImage(bos.toByteArray).get
+    assert(g.gray.toSeq == Seq(76, 149))
+  }
+}
