@@ -1740,7 +1740,9 @@ object SparkEntry {
       // Both stages are one map each: at 100 TB the decode cost rides the
       // scan stage, zero shuffle
       import s.implicits._
-      val imgs = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val imgs = tbl(s, dir, "documents").select(col("doc_id"))
+        .repartition(32) // spread codec work: ids are 8 bytes, encode is the cost
+        .as[Long]
         .map { id =>
           val px = Array.tabulate(256)(i =>
             (((i % 16) * 7 + (i / 16) * 13 + id * 31) % 256).toInt)
@@ -1760,7 +1762,8 @@ object SparkEntry {
       // image path feeds the existing dedup stack unchanged
       import s.implicits._
       val imgs = tbl(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 400).as[Long]
+        .filter(col("doc_id") < 400)
+        .repartition(32).as[Long]
         .map { id =>
           val px = Array.tabulate(256) { i =>
             val x = i % 16; val y = i / 16
@@ -1782,7 +1785,8 @@ object SparkEntry {
       // 4096 − 2048) decoded via javax.sound.sampled — count, peak and
       // mean-square energy replayed arithmetically by the oracle
       import s.implicits._
-      val wavs = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val wavs = tbl(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
         .map { id =>
           val n = (128 + id % 64).toInt
           val samples = Array.tabulate(n)(i =>
@@ -1803,7 +1807,8 @@ object SparkEntry {
       // in the loop, still zero shuffle
       import s.implicits._
       val gifs = tbl(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 1000).as[Long]
+        .filter(col("doc_id") < 1000)
+        .repartition(32).as[Long]
         .map { id =>
           val nf = (3 + id % 5).toInt
           val frames = (0 until nf).map(f => Array.tabulate(64)(i =>
@@ -1814,6 +1819,27 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_index"),
           round(col("frame_mean"), 6).as("frame_mean"))
         .orderBy("doc_id", "frame_index")
+    }),
+
+    "q129_graph_search" -> ((s, dir) => {
+      // the serving half of the graph-index (HNSW) family: greedy beam
+      // search over the bucket-local kNN graph — entry points 0..3, two
+      // expand→score→keep-8 rounds, top-5 answer for query vec 5. The
+      // corpus is touched only via equi-joins on candidate ids
+      // (O(beam·degree) scorings per round, never a scan)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      Similarity.graphBeamSearch(graph, e, "embedding", "vec_id",
+          queryId = 5L, entryIds = Seq(0L, 1L, 2L, 3L),
+          beam = 8, iters = 2, k = 5)
+        .select(col("rank"), col("vec_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("rank")
     })
   )
 
@@ -2907,6 +2933,47 @@ object SparkEntry {
           |FROM m JOIN h ON m.doc_id = h.doc_id ORDER BY m.doc_id""".stripMargin,
 
       "q126_image_neardup" -> imageNearDupOracleSql,
+
+      // q101's graph replayed, then the beam rounds unrolled: each round
+      // is expand-neighbors ∪ beam → score vs the query → keep 8
+      "q129_graph_search" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g AS (SELECT id, nbr_id FROM (
+          |    SELECT id, nbr_id,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM p) WHERE rk <= 3),
+          |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM ev WHERE vec_id = 5),
+          |b0 AS (SELECT vec_id AS cand,
+          |    1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM ev, q WHERE vec_id IN (0, 1, 2, 3)
+          |  ORDER BY distance, cand LIMIT 8),
+          |x1 AS (SELECT DISTINCT cand FROM (
+          |  SELECT g.nbr_id AS cand FROM b0 JOIN g ON g.id = b0.cand
+          |  UNION ALL SELECT cand FROM b0)),
+          |b1 AS (SELECT x1.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM x1 JOIN ev ON ev.vec_id = x1.cand, q
+          |  ORDER BY distance, cand LIMIT 8),
+          |x2 AS (SELECT DISTINCT cand FROM (
+          |  SELECT g.nbr_id AS cand FROM b1 JOIN g ON g.id = b1.cand
+          |  UNION ALL SELECT cand FROM b1)),
+          |b2 AS (SELECT x2.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM x2 JOIN ev ON ev.vec_id = x2.cand, q
+          |  ORDER BY distance, cand LIMIT 8)
+          |SELECT CAST(row_number() OVER (ORDER BY distance, cand) AS INT) AS rank,
+          |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
+          |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
 
       "q127_wav_decode" ->
         """WITH s AS (

@@ -454,6 +454,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** HNSW-style greedy graph SEARCH over a prebuilt kNN graph (the serving
+    * half of the graph-index family; [[knnGraph]] + [[nnDescentRefine]] are
+    * the build half — reference index types at
+    * src/server/app/embed/schemas.py:17): starting from fixed entry
+    * points, each round expands the current beam's out-neighbors, scores
+    * every candidate against the query, and keeps the `beam` nearest
+    * (ties by id). After `iters` rounds the top `k` of the beam is the
+    * answer, ranked.
+    *
+    * Scale shape: the corpus is touched ONLY through equi-joins on the
+    * candidate ids — O(beam · degree) vector scorings per round, never a
+    * scan. The query vector rides along as a one-row broadcast, so at
+    * 100 TB this is `iters` broadcast-joins against an id-partitioned
+    * store, which is precisely why graph indexes serve point queries that
+    * IVF probes (which scan whole cells) cannot match. Greedy beam search
+    * is approximate exactly like HNSW's: [[recallAtK]] gates a
+    * (beam, iters) config; with a complete graph and beam ≥ corpus it
+    * degenerates to exact [[topK]] (spec-pinned). */
+  def graphBeamSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                      idCol: String, queryId: Long, entryIds: Seq[Long],
+                      beam: Int, iters: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val vecs = corpus.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).as("_vv"))
+    val qv = broadcast(vecs.filter(col("_vid") === queryId)
+      .select(col("_vv").as("_qv")))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(vecs, cands("cand") === vecs("_vid"))
+      .crossJoin(qv)
+      .select(col("cand"), call_function("graft_cosine_distance",
+        col("_vv"), col("_qv")).as("distance"))
+      .orderBy(col("distance").asc, col("cand").asc)
+      .limit(beam)
+    val edges = graph.select(col("id"), col("nbr_id"))
+    var beamDf = score(entryIds.toDF("cand"))
+    for (_ <- 1 to iters) {
+      val expanded = beamDf.select(col("cand").as("id"))
+        .join(edges, "id")
+        .select(col("nbr_id").as("cand"))
+        .union(beamDf.select(col("cand")))
+        .distinct()
+      beamDf = score(expanded)
+    }
+    val w = Window.orderBy(col("distance").asc, col("cand").asc)
+    beamDf.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("cand").as(idCol), col("distance"))
+  }
+
   /** NN-descent refinement over a kNN graph (Dong et al., WWW 2011 — the
     * graph-build family behind HNSW-class indexes): each iteration expands
     * candidates to NEIGHBORS-OF-NEIGHBORS over the undirected graph (if B

@@ -148,4 +148,32 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(out == Set((100L, 1L), (200L, 3L)))
   }
+
+  test("graph beam search on a complete graph with full beam ≡ exact top-k") {
+    // complete graph: one centroid bucket, k = n-1 neighbors each
+    val assigned = corpus.withColumn("centroid_id", lit(0))
+    val complete = Similarity.knnGraph(assigned, "embedding", "vec_id", 4)
+    val got = Similarity.graphBeamSearch(complete, corpus, "embedding",
+        "vec_id", queryId = 1L, entryIds = Seq(3L), beam = 5, iters = 1, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    // query vec 1 itself ranks first (distance 0), then 2, then 5 — the
+    // same order as exact topK for (1,0)
+    assert(got == Seq(1L, 2L, 5L))
+  }
+
+  test("graph beam search: beam keeps the `beam` nearest with id ties, " +
+    "and a second iteration can only improve the best distance") {
+    val assigned = corpus.withColumn("centroid_id", lit(0))
+    val complete = Similarity.knnGraph(assigned, "embedding", "vec_id", 2)
+    def best(iters: Int): Double =
+      Similarity.graphBeamSearch(complete, corpus, "embedding", "vec_id",
+          queryId = 1L, entryIds = Seq(4L), beam = 2, iters = iters, k = 1)
+        .select("distance").as[Double].head()
+    assert(best(2) <= best(1) + 1e-15)
+    val out = Similarity.graphBeamSearch(complete, corpus, "embedding",
+        "vec_id", queryId = 1L, entryIds = Seq(4L), beam = 2, iters = 2, k = 5)
+      .collect()
+    assert(out.length == 2) // k capped by beam size
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
 }
