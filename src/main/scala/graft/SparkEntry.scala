@@ -1840,6 +1840,16 @@ object SparkEntry {
         .select(col("rank"), col("vec_id"),
           round(col("distance"), 6).as("distance"))
         .orderBy("rank")
+    }),
+
+    "q130_bpe_merges" -> ((s, dir) => {
+      // BPE tokenizer induction over the corpus (Sennrich 2016): one
+      // corpus pass builds the distinct-word table, then each merge round
+      // is a vocab-sized pair count + a 1-row argmax broadcast back into a
+      // map-side rewrite — rounds cost O(vocab), never O(corpus). Three
+      // rounds, learned merges out; the oracle unrolls the loop as CTEs
+      val wc = operators.Bpe.wordCounts(tbl(s, dir, "documents"), "text")
+      operators.Bpe.learnMerges(wc, iters = 3).orderBy("rank")
     })
   )
 
@@ -2975,6 +2985,8 @@ object SparkEntry {
           |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
           |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
 
+      "q130_bpe_merges" -> bpeOracleSql,
+
       "q127_wav_decode" ->
         """WITH s AS (
           |  SELECT doc_id, ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
@@ -3921,6 +3933,36 @@ object SparkEntry {
        |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Unrolls q130's BPE learn loop: per round, adjacent-pair counts over
+    * the chr(31)-joined symbol strings, argmax with (count DESC, a, b)
+    * ties, then a greedy leftmost-non-overlapping `replace` — identical
+    * semantics in both engines. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(w, chr(31)) AS sy, freq FROM w${r - 1}) s,
+         |    unnest(range(1, len(sy))) t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, a, b LIMIT 1),
+         |w$r AS (SELECT replace(w, a || chr(31) || b, a || b) AS w, freq
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 3).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, a AS sym_a, b AS sym_b, pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       |w0 AS (SELECT array_to_string(string_split(word, ''), chr(31)) AS w, freq
+       |  FROM wc),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
   }
 
   /** Replays q126's full real-codec pipeline arithmetically: GIF is
