@@ -336,4 +336,31 @@ class PlanQualitySpec extends SparkSpec {
     // WindowGroupLimit from the per-source cap must survive composition
     assert(p.contains("WindowGroupLimit"), "expected the domain-cap group limit")
   }
+
+  test("q125/q127: real-codec decode stays map-side — only the generator " +
+    "spread and the output sort may exchange") {
+    for (q <- Seq("q125_image_decode", "q127_wav_decode")) {
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$q grew a join")
+      // repartition(32) of the 8-byte ids + the final orderBy: nothing else
+      assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 2,
+        s"$q shuffles beyond generator-spread + sort")
+    }
+  }
+
+  test("q129: beam search never scans — candidate joins broadcast, " +
+    "no cartesian anywhere") {
+    val p = plan("q129_graph_search").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    // every beam round ends in a bounded top-k, never a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q130: BPE rounds are hash aggregates + 1-row broadcasts back") {
+    val p = plan("q130_bpe_merges").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the per-round argmax rides back as a broadcast into the rewrite
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "argmax should be a bounded top-1")
+  }
 }
