@@ -1850,6 +1850,22 @@ object SparkEntry {
       // rounds, learned merges out; the oracle unrolls the loop as CTEs
       val wc = operators.Bpe.wordCounts(tbl(s, dir, "documents"), "text")
       operators.Bpe.learnMerges(wc, iters = 3).orderBy("rank")
+    }),
+
+    "q131_kmv_overlap" -> ((s, dir) => {
+      // cross-corpus overlap with NO exact intersect: content fingerprints
+      // → per-side KMV k-min sketches → union-sketch membership — Jaccard
+      // and intersection-size estimates from 2×64 longs, however large the
+      // corpora; the two windows share docs 150-349 by construction
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint("text").as("fp"))
+      Sketches.kmvJaccard(
+          d.filter(col("doc_id") < 350), d.filter(col("doc_id") >= 150),
+          "fp", 64)
+        .select(col("n_union"), col("n_both"),
+          round(col("union_est"), 6).as("union_est"),
+          round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("intersection_est"), 6).as("intersection_est"))
     })
   )
 
@@ -2986,6 +3002,38 @@ object SparkEntry {
           |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
 
       "q130_bpe_merges" -> bpeOracleSql,
+
+      // q66's hash chain over q26's fingerprint; side sketches → union
+      // k-min → membership counts, estimates replayed in the same op order
+      "q131_kmv_overlap" ->
+        """WITH fp AS (SELECT doc_id,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(text) + 1),
+          |        i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+          |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+          |  FROM documents),
+          |hs AS (SELECT doc_id, (xor(h1, h1 >> 13) * 73244475) % 2147483647 AS h FROM (
+          |    SELECT doc_id, (xor(h0, h0 >> 16) * 73244475) % 2147483647 AS h1 FROM (
+          |      SELECT doc_id, (fp * 1000003) % 2147483647 AS h0 FROM fp))),
+          |ka AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE doc_id < 350)
+          |  ORDER BY h LIMIT 64),
+          |kb AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE doc_id >= 150)
+          |  ORDER BY h LIMIT 64),
+          |u AS (SELECT h, max(a) AS in_a, max(b) AS in_b FROM (
+          |    SELECT h, 1 AS a, 0 AS b FROM ka
+          |    UNION ALL SELECT h, 0 AS a, 1 AS b FROM kb) s
+          |  GROUP BY h ORDER BY h LIMIT 64),
+          |agg AS (SELECT count(*) AS n_union,
+          |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          |    max(h) AS hk FROM u)
+          |SELECT n_union, n_both,
+          |  round(CASE WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+          |    ELSE 63.0 * 2147483647 / hk END, 6) AS union_est,
+          |  round(CAST(n_both AS DOUBLE) / n_union, 6) AS jaccard_est,
+          |  round((CAST(n_both AS DOUBLE) / n_union) *
+          |    (CASE WHEN n_union < 64 THEN CAST(n_union AS DOUBLE)
+          |     ELSE 63.0 * 2147483647 / hk END), 6) AS intersection_est
+          |FROM agg""".stripMargin,
 
       "q127_wav_decode" ->
         """WITH s AS (

@@ -270,4 +270,37 @@ object Sketches {
         .otherwise(lit((k - 1).toDouble) * P / max("h")).as("estimate"),
       count(lit(1)).as("n_hashes"))
   }
+
+  /** KMV two-set overlap (Beyer et al., SIGMOD 2007): build each side's
+    * k-min sketch, keep the k smallest hashes of their union, and count
+    * union-sketch hashes present in BOTH side sketches — Jaccard ≈
+    * n_both / n_union, intersection ≈ Jaccard × the union's KMV distinct
+    * estimate. Estimates corpus overlap with NO exact intersect: at 100 TB
+    * each side collapses to k longs through bounded TakeOrdered heaps, and
+    * like [[kmvDistinct]] the result is a pure value-set function —
+    * deterministic under any partitioning, mergeable, oracle-replayable.
+    * Returns one row: (n_union, n_both, union_est, jaccard_est,
+    * intersection_est). */
+  def kmvJaccard(dfA: DataFrame, dfB: DataFrame, keyCol: String,
+                 k: Int = 256): DataFrame = {
+    def sk(df: DataFrame, inB: Int) =
+      df.select(keyHash(col(keyCol)).as("h")).distinct()
+        .orderBy("h").limit(k)
+        .select(col("h"), lit(1 - inB).as("a"), lit(inB).as("b"))
+    val unionEst = when(col("n_union") < k, col("n_union").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * P / col("_hk"))
+    sk(dfA, 0).unionByName(sk(dfB, 1))
+      .groupBy("h").agg(max("a").as("in_a"), max("b").as("in_b"))
+      .orderBy("h").limit(k)
+      .agg(
+        count(lit(1)).as("n_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        max("h").as("_hk"))
+      .select(col("n_union"), col("n_both"),
+        unionEst.as("union_est"),
+        (col("n_both").cast("double") / col("n_union")).as("jaccard_est"),
+        ((col("n_both").cast("double") / col("n_union")) * unionEst)
+          .as("intersection_est"))
+  }
 }

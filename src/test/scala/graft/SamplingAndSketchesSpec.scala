@@ -78,6 +78,34 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(math.abs(est - 5000) / 5000 < 0.15, s"estimate $est for 5000 distinct")
   }
 
+  test("KMV Jaccard: identical sets → 1, disjoint sets → 0, and the " +
+    "estimate tracks true overlap above k") {
+    val a = (0L until 120L).map(Tuple1(_)).toDF("k")
+    val same = Sketches.kmvJaccard(a, a, "k", 64)
+      .select("n_union", "n_both", "jaccard_est").as[(Long, Long, Double)].head()
+    assert(same == ((64L, 64L, 1.0)))
+
+    val b = (1000L until 1120L).map(Tuple1(_)).toDF("k")
+    val disj = Sketches.kmvJaccard(a, b, "k", 64)
+      .select("n_both", "jaccard_est").as[(Long, Double)].head()
+    assert(disj == ((0L, 0.0)))
+
+    // |A|=3000, |B|=3000, |A∩B|=1000 → J = 1000/5000 = 0.2
+    val bigA = (0L until 3000L).map(Tuple1(_)).toDF("k")
+    val bigB = (2000L until 5000L).map(Tuple1(_)).toDF("k")
+    val r = Sketches.kmvJaccard(bigA, bigB, "k", 256)
+    val (j, inter) = r.select("jaccard_est", "intersection_est")
+      .as[(Double, Double)].head()
+    assert(math.abs(j - 0.2) < 0.08, s"jaccard $j for true 0.2")
+    assert(math.abs(inter - 1000) / 1000 < 0.4, s"intersection $inter for 1000")
+    // below-k exact fallback: union estimate equals the true union size
+    val ua = (0L until 30L).map(Tuple1(_)).toDF("k")
+    val ub = (20L until 50L).map(Tuple1(_)).toDF("k")
+    val (nu, ue) = Sketches.kmvJaccard(ua, ub, "k", 64)
+      .select("n_union", "union_est").as[(Long, Double)].head()
+    assert(nu == 50L && ue == 50.0)
+  }
+
   test("domain mix hits the target proportions within hash-sampling noise") {
     // 3000 a / 1000 b → target 50/50: b is the binding domain (keeps all
     // ~1000), a keeps ~1000 of 3000
