@@ -64,8 +64,15 @@ object Bpe {
   }
 
   /** Apply learned merges to a word table — the tokenize side: replay the
-    * merge list in rank order, return each word's final symbol array. */
+    * merge list in rank order, return each word's final symbol array.
+    * Symbols must be `[a-z]+` (what [[learnMerges]] produces from
+    * [[wordCounts]] input) — enforced, since they are spliced into an
+    * expression string. */
   def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require(a.matches("[a-z]+") && b.matches("[a-z]+"),
+        s"merge symbols must be [a-z]+, got ($a, $b)")
+    }
     var w = words.select(col("word"),
       expr("array_join(filter(split(word, ''), x -> x != ''), chr(31))").as("_w"))
     merges.foreach { case (a, b) =>

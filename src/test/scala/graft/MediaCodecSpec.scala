@@ -107,6 +107,33 @@ class MediaCodecSpec extends SparkSpec {
     assert(out.map(_.getDouble(2)).toSeq == Seq(0.0, 20.0, 40.0))
   }
 
+  test("JPEG (lossy) still decodes: dims exact, pixels near the original") {
+    val pix = pattern(16, 16, 4)
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, pix(y * 16 + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val g = BinaryMedia.decodeGrayImage(bos.toByteArray).get
+    assert(g.width == 16 && g.height == 16)
+    // lossy but bounded: JPEG at default quality stays within ~25 levels
+    val maxErr = g.gray.zip(pix).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 64, s"JPEG drifted $maxErr levels")
+    // the operator marks it decoded (stats real, just not replay-exact)
+    val df = spark.createDataFrame(Seq((1L, bos.toByteArray))).toDF("id", "img")
+    val row = graft.operators.Multimodal.decodeImageStats(df, "id", "img").head()
+    assert(row.getBoolean(1) && row.getInt(2) == 16)
+  }
+
+  test("applyMerges-style symbol guard rejects non [a-z]+ symbols") {
+    import spark.implicits._
+    val words = Seq(("ab", 1L)).toDF("word", "freq")
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.applyMerges(words, Seq(("a", "b', chr(31)) --")))
+    }
+  }
+
   test("color rasters reduce via integer ITU-R 601 luma") {
     val img = new java.awt.image.BufferedImage(2, 1,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
