@@ -1866,6 +1866,31 @@ object SparkEntry {
           round(col("union_est"), 6).as("union_est"),
           round(col("jaccard_est"), 6).as("jaccard_est"),
           round(col("intersection_est"), 6).as("intersection_est"))
+    }),
+
+    "q132_ann_merge" -> ((s, dir) => {
+      // incremental vector ingest: build the IVF store on even ids, MERGE
+      // the odd-id batch — only the cells the batch lands in are read and
+      // atomically swapped (ingest cost scales with the batch); the probe
+      // must be indistinguishable from a full rebuild, so the oracle
+      // computes over ALL embeddings
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val base = Similarity.assignNearestCentroid(
+          e.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val root = sys.props("java.io.tmpdir") + s"/graft-ann-merge-$tmpToken"
+      store.AnnStore.write(base, root)
+      store.AnnStore.merge(s, root, e.filter(col("vec_id") % 2 === 1),
+        centroids, "cid", "cv", "embedding", "vec_id")
+      val cents = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val qv = e.filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0)
+      store.AnnStore.probe(s, root, cents, qv, "embedding", "vec_id", 8, 2)
+        .select(col("vec_id"), col("centroid_id"),
+          round(col("distance"), 6).as("distance"))
     })
   )
 
@@ -2076,6 +2101,26 @@ object SparkEntry {
 
       // q54's assignment+probe replay with a different query vector — the
       // store write/read is Spark-side plumbing the oracle need not see
+      // merged store ≡ full rebuild: same oracle shape as q120, computed
+      // over ALL embeddings (query vec 2)
+      "q132_ann_merge" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2),
+          |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |assign AS (
+          |  SELECT vec_id, centroid_id FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |probes AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid LIMIT 2)
+          |SELECT e.vec_id, a.centroid_id,
+          |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          |WHERE a.centroid_id IN (SELECT cid FROM probes)
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), e.vec_id
+          |LIMIT 8""".stripMargin,
+
       "q120_ann_store" ->
         """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
           |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv

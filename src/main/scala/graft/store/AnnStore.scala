@@ -30,6 +30,51 @@ object AnnStore {
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
+  /** Merge a NEW vector batch into a persisted IVF store WITHOUT touching
+    * unaffected cells: the batch is assigned map-side to the SAME fixed
+    * centroids, only the cell directories it lands in are read back,
+    * unioned, and swapped via the staging + atomic-rename protocol of
+    * [[IndexStore.merge]] — vector ingest cost scales with the batch, not
+    * the corpus, which is how a 100 TB vector store grows daily without a
+    * rebuild. Preconditions match IndexStore.merge: batch ids are new
+    * (delete-then-merge for replacement), and the codebook is the store's
+    * (centroid drift is a rebuild, not a merge). Empty batch is a no-op. */
+  def merge(spark: SparkSession, path: String, batch: DataFrame,
+            centroids: DataFrame, cidCol: String, cvCol: String,
+            vecCol: String, idCol: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val assigned = Similarity.assignNearestCentroid(batch, vecCol, idCol,
+        centroids, cidCol, cvCol)
+      .select(col(idCol), col(vecCol), col("centroid_id")).cache()
+    val cells = assigned.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (cells.isEmpty) { assigned.unpersist(); return }
+    // partition-pruned read: only the touched cells are scanned
+    val existing = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val merged = existing.unionByName(assigned)
+    val staging = path + "_staging"
+    merged.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    // same guarantee as IndexStore.merge: each swap is atomic, the group
+    // is not — a crash leaves at most one cell absent until re-merged;
+    // stale _old dirs from a crashed cleanup are deleted up front
+    cells.foreach { cell =>
+      val src = Paths.get(staging, s"centroid_id=$cell")
+      val dst = Paths.get(path, s"centroid_id=$cell")
+      val old = Paths.get(s"${path}_old_c$cell")
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(staging).toFile)
+    assigned.unpersist()
+  }
+
   /** Top-k over ONLY the `nProbe` cells nearest the query: the
     * `centroid_id` filter lands in the scan's PartitionFilters, so
     * unprobed cell directories are never opened. Output matches

@@ -100,4 +100,41 @@ class IndexStoreSpec extends SparkSpec {
     assert(probed.select("vec_id").as[Long].collect().toSeq == direct)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("ANN store merge equals a full rebuild; untouched cells stay put") {
+    import graft.operators.Similarity
+    import graft.store.AnnStore
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.95f)),
+      (5L, Seq(-1.0f, 0.0f)), (6L, Seq(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val centsDf = Seq(0 -> Seq(1.0f, 0.0f), 1 -> Seq(0.0f, 1.0f),
+      2 -> Seq(-1.0f, 0.0f)).toDF("cid", "cv")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Similarity.assignNearestCentroid(df, "embedding", "vec_id",
+        centsDf, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_m").toFile
+    val mergedPath = s"${dir.getAbsolutePath}/merged"
+    val fullPath = s"${dir.getAbsolutePath}/full"
+    // base = vectors 1,2 (cell 0 only); batch = the rest (cells 1 and 2)
+    AnnStore.write(assign(corpus.filter(col("vec_id") <= 2)), mergedPath)
+    val cell0Before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(mergedPath, "centroid_id=0"))
+    AnnStore.merge(spark, mergedPath, corpus.filter(col("vec_id") > 2),
+      centsDf, "cid", "cv", "embedding", "vec_id")
+    AnnStore.write(assign(corpus), fullPath)
+    def slurp(p: String) = spark.read.parquet(p)
+      .select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toSet
+    assert(slurp(mergedPath) == slurp(fullPath))
+    // the batch touched cells 1/2 only: cell 0's directory was not swapped
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(mergedPath, "centroid_id=0")) == cell0Before)
+    // no staging or _old leftovers
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mergedPath + "_staging")))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
