@@ -1891,6 +1891,52 @@ object SparkEntry {
       store.AnnStore.probe(s, root, cents, qv, "embedding", "vec_id", 8, 2)
         .select(col("vec_id"), col("centroid_id"),
           round(col("distance"), 6).as("distance"))
+    }),
+
+    "q133_bpe_encode" -> ((s, dir) => {
+      // the tokenize half of the BPE lifecycle: learn 3 merges (q130),
+      // then APPLY them to the distinct-word table and report the top-20
+      // vocabulary symbols by weighted occurrence — corpus tokenization is
+      // a map-side rewrite of the vocab-sized word table, never a second
+      // corpus pass; the 3 learned merges are the only driver-side rows
+      val wc = operators.Bpe.wordCounts(tbl(s, dir, "documents"), "text")
+      val merges = operators.Bpe.learnMerges(wc, iters = 3).orderBy("rank")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      operators.Bpe.applyMerges(wc, merges)
+        .select(explode(col("tokens")).as("token"), col("word"), col("freq"))
+        .groupBy("token")
+        .agg(countDistinct("word").as("n_words"), sum("freq").as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(20)
+    }),
+
+    "q134_dsir_select" -> ((s, dir) => {
+      // DSIR importance selection (Xie 2023): hashed-bigram bucket counts
+      // for the src0 target domain vs the raw corpus -> fixed-point
+      // importance ratios -> map-side per-doc weight fold -> top-25% keep;
+      // integer arithmetic end to end, so the oracle replays it exactly
+      Sampling.dsirSelect(tbl(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", buckets = 64, selectPct = 25)
+        .select(col("doc_id"), col("n_feats"), col("weight"),
+          col("rank"), col("selected"))
+        .orderBy("doc_id")
+    }),
+
+    "q135_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas 2023): map-side IVF cell assignment scopes the
+      // cosine pair search; of any within-cell pair >= 0.35 the member
+      // closer to its centroid is dropped, keeping the cluster's diverse
+      // outliers — cluster-level semantic dedup over the same centroids
+      // as q35, single equi-shuffle on the cell id
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      Dedup.semanticDedup(e, "vec_id", "embedding", centroids, "cid", "cv",
+          minCosine = 0.35)
+        .select(col("id").as("vec_id"), col("centroid_id"),
+          round(col("centroid_dist"), 6).as("centroid_dist"), col("kept"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3048,6 +3094,12 @@ object SparkEntry {
 
       "q130_bpe_merges" -> bpeOracleSql,
 
+      "q133_bpe_encode" -> bpeEncodeOracleSql,
+
+      "q134_dsir_select" -> dsirOracleSql,
+
+      "q135_semantic_dedup" -> semanticDedupOracleSql,
+
       // q66's hash chain over q26's fingerprint; side sketches → union
       // k-min → membership counts, estimates replayed in the same op order
       "q131_kmv_overlap" ->
@@ -4032,7 +4084,10 @@ object SparkEntry {
     * the chr(31)-joined symbol strings, argmax with (count DESC, a, b)
     * ties, then a greedy leftmost-non-overlapping `replace` — identical
     * semantics in both engines. */
-  private def bpeOracleSql: String = {
+  /** Shared CTE prefix replaying `Bpe.wordCounts` + 3 `learnMerges` rounds:
+    * defines `wc`, `w0`, and per-round `p{r}`/`b{r}`/`w{r}` — `w3` is the
+    * fully-merged word table, `b1..b3` the learned merges. */
+  private def bpePrefixSql: String = {
     val rounds = (1 to 3).map { r =>
       s"""p$r AS (SELECT sy[i] AS a, sy[i + 1] AS b,
          |    CAST(sum(freq) AS BIGINT) AS pair_count
@@ -4044,19 +4099,109 @@ object SparkEntry {
          |w$r AS (SELECT replace(w, a || chr(31) || b, a || b) AS w, freq
          |  FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to 3).map(r =>
-      s"SELECT CAST($r AS INT) AS rank, a AS sym_a, b AS sym_b, pair_count FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH wc AS (SELECT word, count(*) AS freq FROM (
+    s"""wc AS (SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
        |    FROM documents) u
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
        |w0 AS (SELECT array_to_string(string_split(word, ''), chr(31)) AS w, freq
        |  FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val out = (1 to 3).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, a AS sym_a, b AS sym_b, pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpePrefixSql
        |$out
        |ORDER BY rank""".stripMargin
   }
+
+  /** Replays q133: the merged word table `w3` IS `applyMerges(wc, merges)`
+    * (the separator-joined symbol string is a bijection with the word — no
+    * two words collapse), so tokenization is just splitting `w3.w`. */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpePrefixSql,
+       |tok AS (SELECT unnest(string_split(w, chr(31))) AS token, w, freq
+       |  FROM w3)
+       |SELECT token, count(DISTINCT w) AS n_words,
+       |  CAST(sum(freq) AS BIGINT) AS occurrences
+       |FROM tok GROUP BY token
+       |ORDER BY occurrences DESC, token LIMIT 20""".stripMargin
+
+  /** Replays q134: the q100 classifier's gram-hash pipeline (ths→grams→
+    * scramble) bucketed mod 64; fixed-point importance ratios
+    * ((t+1)·10^6 // (r+1)) summed per doc as exact BIGINTs; top-25% by
+    * (weight DESC, doc_id) with floor semantics — all integer arithmetic,
+    * featureless docs kept at weight 0 via the LEFT JOIN. */
+  private def dsirOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val mix = graft.plans.HashExpressions.Mix
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH ths AS (
+       |  SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+       |    list_transform(
+       |      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> $tokenHash) AS th
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_t,
+       |    (th[CAST(i AS INT) + 1] * $b2 + th[CAST(i AS INT) + 2]) % $HP AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
+       |h0 AS (SELECT doc_id, is_t, (gh * $b1) % $HP AS h FROM grams),
+       |h1 AS (SELECT doc_id, is_t, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+       |h2 AS (SELECT doc_id, is_t, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1),
+       |bks AS (SELECT doc_id, is_t, h % 64 AS b FROM h2),
+       |cnt AS (SELECT b, count(*) AS raw_cnt, sum(is_t) AS t_cnt
+       |  FROM bks GROUP BY b),
+       |rat AS (SELECT b,
+       |    CAST(((t_cnt + 1) * 1000000) // (raw_cnt + 1) AS BIGINT) AS r
+       |  FROM cnt),
+       |dw AS (SELECT doc_id, CAST(count(*) AS INT) AS n_feats,
+       |    CAST(sum(r) AS BIGINT) AS weight
+       |  FROM bks JOIN rat USING (b) GROUP BY doc_id),
+       |alldocs AS (SELECT d.doc_id, coalesce(dw.n_feats, 0) AS n_feats,
+       |    CAST(coalesce(dw.weight, 0) AS BIGINT) AS weight
+       |  FROM documents d LEFT JOIN dw USING (doc_id)),
+       |rk AS (SELECT doc_id, n_feats, weight,
+       |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank,
+       |    count(*) OVER () AS total
+       |  FROM alldocs)
+       |SELECT doc_id, n_feats, weight, rank,
+       |  rank * 100 <= total * 25 AS selected
+       |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays q135: the q35 assignment CTE scopes pairs to cells; the
+    * `1.0 - (1.0 - sim)` form replays Spark's cosine double rounding
+    * (q36), and the loser of each >= 0.35 pair is the member closer to
+    * its centroid (tie: larger id) — cap mirrored like the LSH oracles. */
+  private def semanticDedupOracleSql: String =
+    s"""WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+       |    CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |a0 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+       |    c.cid AS centroid_id,
+       |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS centroid_dist,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+       |  FROM embeddings e, c),
+       |a AS (SELECT vec_id, v, centroid_id, centroid_dist FROM a0 WHERE rn = 1),
+       |ac AS (SELECT * FROM a
+       |  QUALIFY COUNT(*) OVER (PARTITION BY centroid_id) <= $MaxBucket),
+       |losers AS (SELECT DISTINCT
+       |    CASE WHEN x.centroid_dist < y.centroid_dist THEN x.vec_id
+       |      WHEN x.centroid_dist > y.centroid_dist THEN y.vec_id
+       |      ELSE greatest(x.vec_id, y.vec_id) END AS lid
+       |  FROM ac x JOIN ac y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE 1.0 - (1.0 - list_cosine_similarity(x.v, y.v)) >= 0.35)
+       |SELECT a.vec_id, a.centroid_id,
+       |  round(a.centroid_dist, 6) AS centroid_dist,
+       |  l.lid IS NULL AS kept
+       |FROM a LEFT JOIN losers l ON a.vec_id = l.lid
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Replays q126's full real-codec pipeline arithmetically: GIF is
     * lossless for gray, so generator pixels → integer 2×2 pool → aHash63 →

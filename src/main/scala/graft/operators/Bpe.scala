@@ -64,21 +64,22 @@ object Bpe {
   }
 
   /** Apply learned merges to a word table — the tokenize side: replay the
-    * merge list in rank order, return each word's final symbol array.
-    * Symbols must be `[a-z]+` (what [[learnMerges]] produces from
-    * [[wordCounts]] input) — enforced, since they are spliced into an
-    * expression string. */
+    * merge list in rank order, append each word's final symbol array as
+    * `tokens` (other input columns ride through, so a frequency-weighted
+    * word table tokenizes in place). Symbols must be `[a-z]+` (what
+    * [[learnMerges]] produces from [[wordCounts]] input) — enforced, since
+    * they are spliced into an expression string. */
   def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     merges.foreach { case (a, b) =>
       require(a.matches("[a-z]+") && b.matches("[a-z]+"),
         s"merge symbols must be [a-z]+, got ($a, $b)")
     }
-    var w = words.select(col("word"),
-      expr("array_join(filter(split(word, ''), x -> x != ''), chr(31))").as("_w"))
+    var w = words.withColumn("_w",
+      expr("array_join(filter(split(word, ''), x -> x != ''), chr(31))"))
     merges.foreach { case (a, b) =>
       w = w.withColumn("_w", expr(
         s"replace(_w, concat('$a', chr(31), '$b'), concat('$a', '$b'))"))
     }
-    w.select(col("word"), expr("split(_w, chr(31))").as("tokens"))
+    w.withColumn("tokens", expr("split(_w, chr(31))")).drop("_w")
   }
 }

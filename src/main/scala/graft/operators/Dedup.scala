@@ -546,4 +546,51 @@ object Dedup {
           .as("cosine")) // cosine is symmetric under the id normalization
       .filter(col("cosine") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication scoped to coarse k-means cells. Every vector is
+    * assigned to its nearest centroid (the map-side argmin fold of
+    * [[graft.operators.Similarity.assignNearestCentroid]] — zero joins);
+    * pairs are compared only WITHIN a cell, and of any pair with cosine ≥
+    * `minCosine` the member CLOSER to its centroid is dropped — the
+    * paper's keep-low-centroid-similarity rule, which retains each
+    * cluster's diverse outliers. Distance ties drop the larger id.
+    *
+    * Scale shape: one equi-shuffle on `centroid_id`; pair expansion is
+    * cell-local, and `k` is chosen to grow with the corpus so cells stay
+    * bounded (the paper runs k ≈ √n; `maxCellSize` is the same safety
+    * valve as the LSH bucket cap and must be replicated in any oracle).
+    * Single pass — removal is not chained through already-removed rows,
+    * matching the reference implementation.
+    *
+    * Returns (id, centroid_id, centroid_dist, kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cidCol: String, cvCol: String,
+                    minCosine: Double,
+                    maxCellSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.plans.VectorExpressions.register(df.sparkSession)
+    val assigned = graft.operators.Similarity
+      .assignNearestCentroid(df, vecCol, idCol, centroids, cidCol, cvCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("centroid_id"), col("centroid_dist"))
+    val capped = assigned
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("centroid_id")))
+      .filter(col("_n") <= maxCellSize)
+      .drop("_n")
+    val losers = capped.as("x")
+      .join(capped.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.id") < col("y.id"))
+      .filter(lit(1.0) -
+        call_function("graft_cosine_distance", col("x.vec"), col("y.vec"))
+        >= minCosine)
+      .select(
+        when(col("x.centroid_dist") < col("y.centroid_dist"), col("x.id"))
+          .when(col("x.centroid_dist") > col("y.centroid_dist"), col("y.id"))
+          .otherwise(greatest(col("x.id"), col("y.id"))).as("_lid"))
+      .distinct()
+    assigned.join(losers, col("id") === col("_lid"), "left")
+      .withColumn("kept", col("_lid").isNull)
+      .select(col("id"), col("centroid_id"), col("centroid_dist"), col("kept"))
+  }
 }

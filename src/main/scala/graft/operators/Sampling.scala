@@ -170,6 +170,74 @@ object Sampling {
         col("_cid").as("neg_id"), col("_h").as("pair_hash"))
   }
 
+  /** DSIR-shaped importance selection (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-n-gram profile resembles a
+    * TARGET domain relative to the raw corpus, then keep the top
+    * `selectPct` percent. Features are the positional token-bigram hashes
+    * of the q100 quality classifier; each falls into one of `buckets` hash
+    * buckets, whose add-one-smoothed target/raw count ratio is the
+    * per-feature importance; a document's weight is the sum of its
+    * features' ratios.
+    *
+    * Replay-exactness: the paper's log-likelihood-ratio needs `ln`, which
+    * is not correctly rounded and differs between the JVM and DuckDB libm
+    * (NOTES parity rule 5) — so the ratio rides as FIXED-POINT integers
+    * instead, `((t_b + 1) · 10^6) div (r_b + 1)`, and the per-doc weight
+    * is an exact order-independent BIGINT sum. Monotone per bucket, zero
+    * float ops. (10^6 scale: `t_b ≤ 10^12` features keeps the product
+    * under 2^63.)
+    *
+    * Shape at 100 TB: bucket counts are one tiny partial-agg shuffle
+    * (`buckets` keys); the ratio table folds back into the scan as a
+    * one-row broadcast MAP, so scoring is a pure map-side HOF fold over
+    * each row's feature array — no explode join, no per-doc shuffle. The
+    * final top-percent rank is a global window (fine for a gate /
+    * sampled audit); at corpus scale pick the weight threshold from a
+    * histogram sketch (q108 shape) and filter map-side instead.
+    *
+    * Featureless docs (< 2 tokens) stay in the output with weight 0 —
+    * they rank last rather than silently vanishing (the q100-oracle
+    * lesson). Returns (input columns..., n_feats, weight, rank, selected);
+    * `selected` iff `rank · 100 ≤ total · selectPct` (floor semantics). */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int = 64,
+                 selectPct: Int = 25): DataFrame = {
+    require(buckets >= 1 && selectPct >= 0 && selectPct <= 100,
+      "need buckets >= 1 and selectPct in [0, 100]")
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val feats = call_function("graft_gram_polyhashes", col(textCol), lit(2))
+    def bucketOf(h: Column): Column =
+      pmod(Sketches.keyHash(h), lit(buckets.toLong))
+    val Scale = 1000000L
+    val counts = df
+      .select(explode(feats).as("gh"),
+        when(targetPred, 1L).otherwise(0L).as("is_t"))
+      .select(bucketOf(col("gh")).as("b"), col("is_t"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("raw_cnt"), sum("is_t").as("t_cnt"))
+    // one-row broadcast map bucket -> fixed-point ratio; buckets no
+    // feature ever hashed into default to the smoothed prior 1/1 = Scale
+    val ratioMap = counts.agg(map_from_entries(collect_list(struct(col("b"),
+      expr(s"((t_cnt + 1L) * ${Scale}L) div (raw_cnt + 1L)")))).as("_rmap"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col(idCol))
+    val allW = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    df.crossJoin(broadcast(ratioMap))
+      .withColumn("_fh", feats)
+      .withColumn("n_feats", size(col("_fh")))
+      .withColumn("weight", aggregate(col("_fh"), lit(0L),
+        // try_element_at: a bucket NO feature corpus-wide hashed into is
+        // absent from the map (ANSI element_at would throw) — such a
+        // bucket can also never be probed, but stay total anyway
+        (acc, h) => acc + coalesce(try_element_at(col("_rmap"), bucketOf(h)), lit(Scale))))
+      .drop("_fh", "_rmap")
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("selected",
+        col("rank") * 100 <= count(lit(1)).over(allW) * selectPct)
+  }
+
   def temperatureMix(df: DataFrame, keyCol: String, domainCol: String): DataFrame = {
     val counts = df.groupBy(col(domainCol).as("_dom"))
       .agg(count(lit(1)).as("n_domain"))

@@ -37,9 +37,33 @@ class BpeSpec extends SparkSpec {
   test("applyMerges tokenizes with the learned merge list in rank order") {
     val words = Seq(("aab", 1L), ("b", 1L)).toDF("word", "freq")
     val toks = Bpe.applyMerges(words, Seq(("a", "a"), ("aa", "b")))
+      .select("word", "tokens")
       .as[(String, Seq[String])].collect().toMap
     assert(toks("aab") == Seq("aab"))
     assert(toks("b") == Seq("b"))
+  }
+
+  test("applyMerges rides input columns through (freq-weighted tokenize)") {
+    val words = Seq(("abc", 5L)).toDF("word", "freq")
+    val out = Bpe.applyMerges(words, Seq(("a", "b")))
+      .select("word", "freq", "tokens")
+      .as[(String, Long, Seq[String])].collect().toSeq
+    assert(out == Seq(("abc", 5L, Seq("ab", "c"))))
+  }
+
+  test("learn -> apply round-trip: corpus tokenizes with its own merges") {
+    val df = Seq("low lower lowest", "low low").toDF("text")
+    val wc = Bpe.wordCounts(df, "text")
+    val merges = Bpe.learnMerges(wc, iters = 3).orderBy("rank")
+      .select("sym_a", "sym_b").as[(String, String)].collect().toSeq
+    val toks = Bpe.applyMerges(wc, merges)
+      .select("word", "tokens").as[(String, Seq[String])].collect().toMap
+    // merges learned: (l,o)x5 -> (lo,w)x5 -> (low,e)x2; every word
+    // reassembles from its tokens
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(toks == Map("low" -> Seq("low"), "lower" -> Seq("lowe", "r"),
+      "lowest" -> Seq("lowe", "s", "t")))
+    toks.foreach { case (w, ts) => assert(ts.mkString == w) }
   }
 
   test("single-char words contribute no pairs but keep their frequency") {

@@ -191,4 +191,35 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(hits.forall { case (n, s) => full.contains((math.min(n, s), math.max(n, s))) })
   }
+
+  test("SemDeDup: within-cell near-pairs drop the member closer to its centroid") {
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cv")
+    val df = Seq(
+      (10L, Seq(10f, 0f)),   // cell 0, dist 9 — far outlier, kept
+      (11L, Seq(5f, 0f)),    // cell 0, dist 4, cos(10,11)=1 -> closer, dropped
+      (12L, Seq(2f, 1.9f)),  // cell 0, cos≈0.72 < 0.9 with both -> kept
+      (13L, Seq(0f, 3f)),    // cell 1, dist 2
+      (14L, Seq(0f, 3f)),    // cell 1, identical -> tie, larger id dropped
+      (15L, Seq(0.9f, 1.1f)) // cell 1, dissimilar -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        cents, "cid", "cv", minCosine = 0.9)
+      .select("id", "centroid_id", "kept")
+      .as[(Long, Int, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L),
+      "every vector stays in the output, flagged not deleted")
+    assert(out(10L) == ((0, true)), "the cell-0 outlier survives")
+    assert(out(11L) == ((0, false)), "the closer-to-centroid twin is dropped")
+    assert(out(12L) == ((0, true)), "sub-threshold cosine is no duplicate")
+    assert(out(13L) == ((1, true)), "distance tie keeps the smaller id")
+    assert(out(14L) == ((1, false)), "distance tie drops the larger id")
+    assert(out(15L) == ((1, true)))
+    // the cell-size cap is a no-pairing valve, not a row filter: capped
+    // cells skip dedup but their rows stay (and stay kept)
+    val capped = Dedup.semanticDedup(df, "vec_id", "embedding",
+        cents, "cid", "cv", minCosine = 0.9, maxCellSize = 2)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(capped.size == 6 && capped.values.forall(identity))
+  }
 }

@@ -264,4 +264,39 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(r(2L) == ((0L, 0.0))) // approx hit none of q2's true neighbors
     assert(r(3L) == ((0L, 0.0))) // query entirely absent from approx
   }
+
+  test("DSIR: target-looking docs outrank raw-only docs; selection is floor(pct)") {
+    // 4 docs sharing the target phrase + 4 of unrelated filler; the two
+    // held-out docs (not flagged as target) that REPEAT the target bigrams
+    // must outrank the filler docs
+    val target = "spark shuffle exchange partition"
+    val df = Seq(
+      (1L, target, "tgt"), (2L, target, "tgt"),
+      (3L, target + " " + target, "raw"),     // target-looking, unlabeled
+      (4L, target, "raw"),                    // target-looking, unlabeled
+      (5L, "completely unrelated words entirely", "raw"),
+      (6L, "other filler text goes here now", "raw"),
+      (7L, "nothing in common with anything", "raw"),
+      (8L, "", "raw")                         // featureless: must survive
+    ).toDF("doc_id", "text", "dom")
+    val out = Sampling.dsirSelect(df, "doc_id", "text",
+        col("dom") === "tgt", buckets = 16, selectPct = 25)
+      .select("doc_id", "n_feats", "weight", "rank", "selected")
+      .as[(Long, Int, Long, Int, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(out.size == 8, "every doc stays in the output")
+    assert(out(8L)._2 == 0 && out(8L)._3 == 0L, "featureless doc scores 0")
+    // per-feature average weight: target docs' buckets carry high ratios
+    def avg(id: Long): Double = out(id)._3.toDouble / math.max(out(id)._2, 1)
+    assert(avg(3L) > avg(5L) && avg(4L) > avg(6L),
+      "target-profile docs carry higher importance per feature")
+    // floor semantics: 8 docs * 25% = 2 selected, ranks 1 and 2
+    assert(out.values.count(_._5) == 2)
+    assert(out.values.filter(_._5).map(_._4).toSet == Set(1, 2))
+    // deterministic under repartition
+    val again = Sampling.dsirSelect(df.repartition(7), "doc_id", "text",
+        col("dom") === "tgt", buckets = 16, selectPct = 25)
+      .select("doc_id", "weight").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, t) => again(id) == t._3 })
+  }
 }
