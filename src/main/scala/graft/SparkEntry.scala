@@ -1937,6 +1937,44 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("centroid_id"),
           round(col("centroid_dist"), 6).as("centroid_dist"), col("kept"))
         .orderBy("vec_id")
+    }),
+
+    "q136_pagerank" -> ((s, dir) => {
+      // prototypicality selection: PageRank centrality over the q101 kNN
+      // graph — central docs are representative, low-rank docs isolated;
+      // fixed-point BIGINT mass so the 3 power iterations replay exactly;
+      // each round is the 2-shuffle Pregel shape (join ranks on src,
+      // groupBy dst) over the SAME degree-annotated edge list
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.ranked(GraphAnalytics.pageRank(graph, "id", "nbr_id", 3))
+        .select(col("id").as("vec_id"), col("pr"), col("rk"))
+        .orderBy("rk")
+    }),
+
+    "q137_ppr_expand" -> ((s, dir) => {
+      // seed-set expansion by personalized PageRank: teleport mass
+      // restricted to 5 trusted seeds diffuses along kNN edges — the
+      // graph-diffusion "related documents" signal for curation; same
+      // fixed-point rounds as q136, teleport share split across seeds
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val seeds = e.filter(col("vec_id") < 5).select("vec_id")
+      GraphAnalytics.personalizedPageRank(graph, "id", "nbr_id",
+          seeds, "vec_id", 3)
+        .filter(col("pr") > 0)
+        .select(col("id").as("vec_id"), col("base").as("teleport"), col("pr"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3100,6 +3138,10 @@ object SparkEntry {
 
       "q135_semantic_dedup" -> semanticDedupOracleSql,
 
+      "q136_pagerank" -> pageRankOracleSql,
+
+      "q137_ppr_expand" -> pprOracleSql,
+
       // q66's hash chain over q26's fingerprint; side sketches → union
       // k-min → membership counts, estimates replayed in the same op order
       "q131_kmv_overlap" ->
@@ -4171,6 +4213,78 @@ object SparkEntry {
        |SELECT doc_id, n_feats, weight, rank,
        |  rank * 100 <= total * 25 AS selected
        |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE prefix replaying the q101 kNN-graph build: `g0` is the
+    * top-3-per-node edge list (id, nbr_id) over the 8-centroid map-side
+    * assignment, plus `nodes`/`nn`/`dg` (node set, node count,
+    * out-degrees) for the PageRank oracles. */
+  private def knnEdgesPrefixSql: String =
+    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT vec_id, embedding, centroid_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+      |    FROM embeddings e, c) WHERE rn = 1),
+      |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+      |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+      |      CAST(r.embedding AS DOUBLE[])) AS distance
+      |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+      |    AND l.vec_id <> r.vec_id),
+      |g0 AS (SELECT id, nbr_id FROM (
+      |    SELECT id, nbr_id,
+      |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+      |    FROM p) WHERE rk <= 3),
+      |nodes AS (SELECT DISTINCT id FROM (
+      |    SELECT id FROM g0 UNION ALL SELECT nbr_id FROM g0)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |dg AS (SELECT id AS src, count(*) AS deg FROM g0 GROUP BY id)""".stripMargin
+
+  /** One fixed-point power-iteration round per call: `s{r}` folds each
+    * node's `pr div deg` share onto its out-neighbors (BIGINT sum, cast
+    * back from DuckDB's HUGEINT), `r{r}` re-mixes with the teleport term
+    * `newPr` — identical integer arithmetic to [[GraphAnalytics]]. */
+  private def prRoundSql(r: Int, newPr: String): String =
+    s"""s$r AS (SELECT g.nbr_id AS id, CAST(sum(r${r - 1}.pr // d.deg) AS BIGINT) AS insum
+       |  FROM g0 g JOIN dg d ON g.id = d.src JOIN r${r - 1} ON g.id = r${r - 1}.id
+       |  GROUP BY g.nbr_id),
+       |r$r AS (SELECT b.id, b.base, CAST($newPr AS BIGINT) AS pr
+       |  FROM b LEFT JOIN s$r s USING (id))""".stripMargin
+
+  /** Replays q136: uniform fixed-point start mass, 3 rounds of
+    * `(15·base)//100 + (85·insum)//100`, final rank ordered ties-to-id. */
+  private def pageRankOracleSql: String = {
+    val rounds = (1 to 3).map(r =>
+      prRoundSql(r, "(15 * b.base) // 100 + (85 * coalesce(s.insum, 0)) // 100"))
+      .mkString(",\n")
+    s"""$knnEdgesPrefixSql,
+       |b AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS base FROM nodes, nn),
+       |r0 AS (SELECT id, base, base AS pr FROM b),
+       |$rounds
+       |SELECT id AS vec_id, pr,
+       |  CAST(row_number() OVER (ORDER BY pr DESC, id) AS INT) AS rk
+       |FROM r3 ORDER BY rk""".stripMargin
+  }
+
+  /** Replays q137: the 15% teleport mass split across the 5 seeds, then
+    * 3 diffusion rounds `base + (85·insum)//100`; only reached nodes
+    * (pr > 0) are returned. */
+  private def pprOracleSql: String = {
+    val rounds = (1 to 3).map(r =>
+      prRoundSql(r, "b.base + (85 * coalesce(s.insum, 0)) // 100"))
+      .mkString(",\n")
+    s"""$knnEdgesPrefixSql,
+       |seeds AS (SELECT DISTINCT vec_id AS id FROM embeddings WHERE vec_id < 5),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |b AS (SELECT n.id, CASE WHEN s.id IS NOT NULL
+       |    THEN CAST(((15 * 1000000000000) // 100) // ns AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS base
+       |  FROM nodes n LEFT JOIN seeds s ON n.id = s.id, ns),
+       |r0 AS (SELECT id, base, base AS pr FROM b),
+       |$rounds
+       |SELECT id AS vec_id, base AS teleport, pr
+       |FROM r3 WHERE pr > 0 ORDER BY vec_id""".stripMargin
   }
 
   /** Replays q135: the q35 assignment CTE scopes pairs to cells; the

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over document/vector graphs — the corpus-structure
+  * signal of prototypicality-based data curation: rank examples by how
+  * central they are in the near-neighbor graph (central ≈ representative,
+  * isolated ≈ noise or exotica), then select or weight by that rank. The
+  * reference ranks retrieval results by vector distance alone
+  * (`src/server/app/embed/vector_store.py`); centrality extends the same
+  * kNN machinery (q101) from per-query ranking to corpus-level structure.
+  *
+  * Replay-exactness: PageRank's textbook form is all double division and
+  * order-dependent float sums. Here rank mass rides as FIXED-POINT
+  * BIGINTs (`scale` units spread over the nodes) and every step is
+  * integer arithmetic — `pr div deg` per edge, BIGINT sums (exact and
+  * order-independent under any partitioning), and the damping mix
+  * `(15·base) div 100 + (85·insum) div 100`. The DuckDB oracle replays
+  * every iteration bit-for-bit with `//`. Truncation loses at most a few
+  * units of 10⁻¹² mass per node per round — irrelevant to ranking, vital
+  * to determinism. */
+object GraphAnalytics {
+
+  /** Fixed-point PageRank (Page et al. 1999, damping d = 0.85) over an
+    * edge list, `iters` synchronous power iterations from a uniform
+    * start.
+    *
+    * Scale shape: out-degrees and the degree-annotated edge list are
+    * computed ONCE; each iteration is one equi-join of the rank table
+    * onto the edges' src plus one `groupBy(dst)` BIGINT sum — the
+    * Pregel shape, 2 shuffles per round, with map-side partial sums
+    * doing the heavy lifting. The node count rides as a one-row
+    * broadcast. Nothing is collected to the driver.
+    *
+    * Dangling nodes (in-edges only) receive the teleport share but
+    * forward nothing — the standard "removed dangling" simplification;
+    * total mass then shrinks by their share each round. Deterministic
+    * either way, and a kNN graph has none (every member of a cell of
+    * size ≥ 2 has out-neighbors).
+    *
+    * Returns (id, base, pr): the node id, the uniform start mass, and
+    * the final fixed-point rank — all BIGINT. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, "src") // static across iterations
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), expr(s"${scale}L div n").as("base"))
+      .withColumn("pr", col("base"))
+    (1 to iters).foreach { _ =>
+      val sums = ewd
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      ranks = ranks.select("id", "base")
+        .join(sums, col("id") === col("dst"), "left")
+        .select(col("id"), col("base"),
+          (expr("(15L * base) div 100L") +
+            expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+    }
+    ranks
+  }
+
+  /** [[pageRank]] with teleport restricted to `seedPred` nodes —
+    * personalized PageRank (random walk with restart): diffusion from a
+    * seed set through the graph, the classic "related documents" /
+    * seed-expansion signal for retrieval and curation (expand a small
+    * trusted set along near-duplicate edges). Seeds split the full
+    * teleport mass `(15·scale) div 100` equally; non-seeds get rank only
+    * through in-edges. Same fixed-point arithmetic, same 2-shuffle
+    * Pregel rounds. Returns (id, base, pr) where `base` is the node's
+    * personal teleport share (0 for non-seeds). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedIdCol: String,
+                           iters: Int = 3,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seedIds = seeds.select(col(seedIdCol).cast("long").as("id")).distinct()
+    val nSeedRow = seedIds.agg(count(lit(1)).as("ns"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, "src")
+    // teleport share: seeds split (15% of scale) equally; start = share
+    var ranks = nodes
+      .join(seedIds.withColumn("_s", lit(1)), Seq("id"), "left")
+      .crossJoin(broadcast(nSeedRow))
+      .select(col("id"),
+        when(col("_s").isNotNull,
+          expr(s"((15L * ${scale}L) div 100L) div ns")).otherwise(lit(0L))
+          .as("base"))
+      .withColumn("pr", col("base"))
+    (1 to iters).foreach { _ =>
+      val sums = ewd
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("insum"))
+      ranks = ranks.select("id", "base")
+        .join(sums, col("id") === col("dst"), "left")
+        .select(col("id"), col("base"),
+          (col("base") + expr("(85L * coalesce(insum, 0L)) div 100L"))
+            .as("pr"))
+    }
+    ranks
+  }
+
+  /** Rank rows of a [[pageRank]] result: (id, pr, rk) ordered by
+    * descending rank, ties to the smaller id. The global window is the
+    * presentation step — at corpus scale, select by a pr threshold from
+    * a histogram sketch instead (q108 shape). */
+  def ranked(pr: DataFrame): DataFrame =
+    pr.select(col("id"), col("pr"),
+      row_number().over(Window.orderBy(col("pr").desc, col("id")))
+        .cast("int").as("rk"))
+}

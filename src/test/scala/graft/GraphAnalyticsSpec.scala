@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAnalytics
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("pageRank on a ring stays exactly uniform") {
+    // 0→1→...→9→0: deg 1 everywhere, insum = pr, so every round maps the
+    // uniform vector to itself (up to identical truncation) — all equal
+    val edges = (0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong))
+      .toDF("src", "dst")
+    val pr = GraphAnalytics.pageRank(edges, "src", "dst", iters = 4)
+      .select("pr").as[Long].collect()
+    assert(pr.length == 10)
+    assert(pr.distinct.length == 1)
+    // fixed point of x = (15·base)div100 + (85·x)div100 from x = base
+    val base = S / 10
+    var x = base
+    (1 to 4).foreach(_ => x = (15L * base) / 100L + (85L * x) / 100L)
+    assert(pr.head == x)
+  }
+
+  test("pageRank on a 2-chain matches hand-computed fixed-point values") {
+    // 1→2 only: base = S/2; r1(1) = 15%·base, r1(2) = 15%·base + 85%·base
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphAnalytics.pageRank(edges, "src", "dst", iters = 1)
+      .select("id", "pr").as[(Long, Long)].collect().toMap
+    val base = S / 2
+    assert(out(1L) == (15L * base) / 100L)
+    assert(out(2L) == (15L * base) / 100L + (85L * base) / 100L)
+  }
+
+  test("star graph: center outranks every spoke") {
+    val edges = ((1 to 8).map(i => (i.toLong, 0L)) ++
+      (1 to 8).map(i => (0L, i.toLong))).toDF("src", "dst")
+    val ranked = GraphAnalytics.ranked(
+      GraphAnalytics.pageRank(edges, "src", "dst", iters = 3))
+      .select("id", "rk").as[(Long, Int)].collect().toMap
+    assert(ranked(0L) == 1)
+  }
+
+  test("pageRank is deterministic under repartitioning") {
+    val edges = (0 until 60).flatMap { i =>
+      Seq((i.toLong, ((i * 7 + 1) % 60).toLong),
+        (i.toLong, ((i * 13 + 2) % 60).toLong))
+    }.toDF("src", "dst")
+    val a = GraphAnalytics.pageRank(edges, "src", "dst", 3)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val b = GraphAnalytics.pageRank(edges.repartition(7), "src", "dst", 3)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("personalized pageRank: non-seed mass comes only through in-edges") {
+    // 1→2→3, 3→1; seed {1}: teleport lands on 1 only, 2 and 3 gain rank
+    // purely by diffusion; node 4 (4→1 edge, unreachable FROM the seed)
+    // ends with pr 0 and is filterable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphAnalytics.personalizedPageRank(
+        edges, "src", "dst", seeds, "id", iters = 3)
+      .select("id", "base", "pr").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val share = (15L * S / 100L) / 1L
+    assert(out(1L)._1 == share && out(2L)._1 == 0L && out(4L)._1 == 0L)
+    assert(out(2L)._2 > 0L && out(3L)._2 > 0L)
+    assert(out(4L)._2 == 0L)
+    // hand-roll round 1 for node 2: base(2)=0, insum = pr(1) div deg(1)=share
+    // (1's only out-edge is →2) → pr(2) = 85%·share
+    val r1n2 = (85L * share) / 100L
+    val oneRound = GraphAnalytics.personalizedPageRank(
+        edges, "src", "dst", seeds, "id", iters = 1)
+      .filter(col("id") === 2L).select("pr").as[Long].head()
+    assert(oneRound == r1n2)
+  }
+
+  test("total mass is conserved within truncation loss when no node dangles") {
+    val edges = (0 until 20).map(i => (i.toLong, ((i + 3) % 20).toLong))
+      .toDF("src", "dst")
+    val pr = GraphAnalytics.pageRank(edges, "src", "dst", 3)
+      .select("pr").as[Long].collect()
+    val total = pr.sum
+    // each node truncates < 1 unit at div-by-deg, the 15/85 split < 2 more,
+    // per round → loss bounded by 3·rounds·n units
+    assert(total <= S && total >= S - 3L * 3L * 20L)
+  }
+}
