@@ -1975,6 +1975,44 @@ object SparkEntry {
         .filter(col("pr") > 0)
         .select(col("id").as("vec_id"), col("base").as("teleport"), col("pr"))
         .orderBy("vec_id")
+    }),
+
+    "q138_semantic_contamination" -> ((s, dir) => {
+      // embedding-level decontamination (q84's semantic twin): train docs
+      // within cosine 0.35 of ANY eval doc are flagged, with hit count,
+      // max cosine, and the witness eval id; cell-scoped train×eval with
+      // the eval side broadcast — the train corpus is never shuffled
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val train = e.filter(col("vec_id") % 17 =!= 3)
+      val evalDf = e.filter(col("vec_id") % 17 === 3)
+      Dedup.semanticContamination(train, "vec_id", "embedding",
+          evalDf, "vec_id", "embedding", centroids, "cid", "cv",
+          minCosine = 0.35)
+        .select(col("id").as("vec_id"), col("centroid_id"),
+          col("n_eval_hits"), round(col("max_cosine"), 6).as("max_cosine"),
+          col("witness_eid"), col("contaminated"))
+        .orderBy("vec_id")
+    }),
+
+    "q139_label_propagation" -> ((s, dir) => {
+      // semi-supervised label spreading: clamp the labels of the first
+      // 200 vectors, majority-vote them 2 rounds along kNN edges (ties to
+      // the smallest label) — each round one join + integer count agg,
+      // replayed exactly by the oracle
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val seeds = e.filter(col("vec_id") < 200).select("vec_id", "label")
+      GraphAnalytics.labelPropagation(graph, "id", "nbr_id",
+          seeds, "vec_id", "label", iters = 2)
+        .select(col("id").as("vec_id"), col("label"), col("origin"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3142,6 +3180,10 @@ object SparkEntry {
 
       "q137_ppr_expand" -> pprOracleSql,
 
+      "q138_semantic_contamination" -> semanticContaminationOracleSql,
+
+      "q139_label_propagation" -> labelPropagationOracleSql,
+
       // q66's hash chain over q26's fingerprint; side sketches → union
       // k-min → membership counts, estimates replayed in the same op order
       "q131_kmv_overlap" ->
@@ -4285,6 +4327,70 @@ object SparkEntry {
        |$rounds
        |SELECT id AS vec_id, base AS teleport, pr
        |FROM r3 WHERE pr > 0 ORDER BY vec_id""".stripMargin
+  }
+
+  /** Replays q138: the q135 assignment CTE keeps the vectors; train/eval
+    * split by `vec_id % 17`, cell-scoped pairs at cosine ≥ 0.35 (the
+    * `1.0 - (1.0 - sim)` double-rounding replay), per-train hit count +
+    * exact max cosine + witness (highest cosine, ties to smaller eval
+    * id); clean docs kept with zero hits. */
+  private def semanticContaminationOracleSql: String =
+    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+      |    CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |a0 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+      |    c.cid AS centroid_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+      |  FROM embeddings e, c),
+      |a AS (SELECT vec_id, v, centroid_id FROM a0 WHERE rn = 1),
+      |t AS (SELECT * FROM a WHERE vec_id % 17 <> 3),
+      |ev AS (SELECT * FROM a WHERE vec_id % 17 = 3),
+      |h AS (SELECT t.vec_id AS id, ev.vec_id AS eid,
+      |    1.0 - (1.0 - list_cosine_similarity(t.v, ev.v)) AS cos
+      |  FROM t JOIN ev ON t.centroid_id = ev.centroid_id
+      |  WHERE 1.0 - (1.0 - list_cosine_similarity(t.v, ev.v)) >= 0.35),
+      |s AS (SELECT id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+      |    max(cos) AS max_cosine
+      |  FROM h GROUP BY id),
+      |w AS (SELECT id, eid FROM (
+      |    SELECT id, eid,
+      |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, eid) AS rn
+      |    FROM h) WHERE rn = 1)
+      |SELECT t.vec_id, t.centroid_id,
+      |  CAST(coalesce(s.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+      |  round(s.max_cosine, 6) AS max_cosine, w.eid AS witness_eid,
+      |  s.id IS NOT NULL AS contaminated
+      |FROM t LEFT JOIN s ON t.vec_id = s.id LEFT JOIN w ON t.vec_id = w.id
+      |ORDER BY t.vec_id""".stripMargin
+
+  /** Replays q139: the q101 graph, seed labels clamped, two synchronous
+    * majority-vote rounds (count DESC, label ASC ties); a node with no
+    * labeled in-neighbor keeps its previous label (or stays NULL). */
+  private def labelPropagationOracleSql: String = {
+    def round(r: Int): String =
+      s"""v$r AS (SELECT g.nbr_id AS dst, l.label, count(*) AS n
+         |  FROM g0 g JOIN l${r - 1} l ON g.id = l.id
+         |  WHERE l.label IS NOT NULL GROUP BY g.nbr_id, l.label),
+         |b$r AS (SELECT dst, label AS vote FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+         |    FROM v$r) WHERE rn = 1),
+         |l$r AS (SELECT l.id, l.seed,
+         |    coalesce(l.seed, b.vote, l.label) AS label
+         |  FROM l${r - 1} l LEFT JOIN b$r b ON l.id = b.dst)""".stripMargin
+    s"""$knnEdgesPrefixSql,
+       |seeds AS (SELECT DISTINCT vec_id AS id, CAST(label AS INT) AS seed
+       |  FROM embeddings WHERE vec_id < 200),
+       |l0 AS (SELECT n.id, s.seed, s.seed AS label
+       |  FROM nodes n LEFT JOIN seeds s USING (id)),
+       |${round(1)},
+       |${round(2)}
+       |SELECT id AS vec_id, label,
+       |  CASE WHEN seed IS NOT NULL THEN 'seed'
+       |    WHEN label IS NOT NULL THEN 'propagated'
+       |    ELSE 'unlabeled' END AS origin
+       |FROM l2 ORDER BY vec_id""".stripMargin
   }
 
   /** Replays q135: the q35 assignment CTE scopes pairs to cells; the

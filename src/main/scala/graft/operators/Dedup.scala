@@ -593,4 +593,51 @@ object Dedup {
       .withColumn("kept", col("_lid").isNull)
       .select(col("id"), col("centroid_id"), col("centroid_dist"), col("kept"))
   }
+
+  /** Embedding-level decontamination — the semantic twin of
+    * [[contaminationCheck]]'s n-gram containment: flag every TRAIN
+    * document whose embedding is within cosine `minCosine` of ANY eval
+    * document, so paraphrased eval leakage that shares no 8-gram still
+    * gets caught. Both corpora are assigned map-side to the same coarse
+    * centroids (the [[semanticDedup]] cells); candidate pairs are
+    * train×eval WITHIN a cell only, and the eval side rides as a
+    * broadcast — so the corpus-sized train frame is never shuffled at
+    * all: assignment folds into the scan, the cell join is broadcast,
+    * and the only exchange is the per-train-id hit aggregate.
+    *
+    * Per train doc: hit count, max cosine (max of doubles is exact and
+    * order-independent), and the witness eval id (highest cosine, ties
+    * to the smaller id). Clean docs stay in the output with zero hits —
+    * contamination reports must account for every document. */
+  def semanticContamination(train: DataFrame, trainIdCol: String,
+                            trainVecCol: String, evalDf: DataFrame,
+                            evalIdCol: String, evalVecCol: String,
+                            centroids: DataFrame, cidCol: String,
+                            cvCol: String, minCosine: Double): DataFrame = {
+    graft.plans.VectorExpressions.register(train.sparkSession)
+    val ta = graft.operators.Similarity
+      .assignNearestCentroid(train, trainVecCol, trainIdCol,
+        centroids, cidCol, cvCol)
+      .select(col(trainIdCol).as("id"), col(trainVecCol).as("_tv"),
+        col("centroid_id"))
+    val ea = graft.operators.Similarity
+      .assignNearestCentroid(evalDf, evalVecCol, evalIdCol,
+        centroids, cidCol, cvCol)
+      .select(col(evalIdCol).as("_eid"), col(evalVecCol).as("_ev"),
+        col("centroid_id"))
+    val hits = ta.join(broadcast(ea), Seq("centroid_id"))
+      .withColumn("_cos", lit(1.0) -
+        call_function("graft_cosine_distance", col("_tv"), col("_ev")))
+      .filter(col("_cos") >= minCosine)
+    val agg = hits.groupBy("id").agg(
+      count(lit(1)).as("n_eval_hits"),
+      max(col("_cos")).as("max_cosine"),
+      min_by(col("_eid"), struct((-col("_cos")).as("c"), col("_eid").as("e")))
+        .as("witness_eid"))
+    ta.select("id", "centroid_id").join(agg, Seq("id"), "left")
+      .select(col("id"), col("centroid_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("max_cosine"), col("witness_eid"),
+        col("n_eval_hits").isNotNull.as("contaminated"))
+  }
 }

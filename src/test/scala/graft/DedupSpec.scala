@@ -222,4 +222,26 @@ class DedupSpec extends SparkSpec {
       .select("id", "kept").as[(Long, Boolean)].collect().toMap
     assert(capped.size == 6 && capped.values.forall(identity))
   }
+
+  test("semantic contamination: near-eval train docs flagged, witness ties to smaller id") {
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cv")
+    val train = Seq(
+      (10L, Seq(10f, 0f)),  // cell 0: cos 1.0 with evals 100/102, .995 with 101
+      (11L, Seq(2f, 1.9f)), // cell 0: max cos ≈ 0.79 < 0.9 → clean
+      (12L, Seq(0f, 5f))    // cell 1: no eval in cell → clean
+    ).toDF("vec_id", "embedding")
+    val ev = Seq(
+      (100L, Seq(3f, 0f)), (101L, Seq(1f, 0.1f)), (102L, Seq(20f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContamination(train, "vec_id", "embedding",
+        ev, "vec_id", "embedding", cents, "cid", "cv", minCosine = 0.9)
+      .select("id", "n_eval_hits", "witness_eid", "contaminated")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "clean docs stay in the output")
+    // 100 and 102 tie at cosine exactly 1.0 → witness is the smaller id
+    assert(out(10L) == ((3L, Some(100L), true)))
+    assert(out(11L) == ((0L, None, false)))
+    assert(out(12L) == ((0L, None, false)))
+  }
 }

@@ -78,6 +78,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(oneRound == r1n2)
   }
 
+  test("label propagation: clamped seeds, smallest-label ties, synchronous rounds") {
+    // 1→2 and 3→2 (2 hears both seeds), 2→4 (second-hop), 4→5 (too far
+    // for 2 rounds), 2→1 (the clamp: 1's vote would be 5, seed 7 wins)
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L), (4L, 5L), (2L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7), (3L, 5)).toDF("id", "lab")
+    val out = GraphAnalytics.labelPropagation(
+        edges, "src", "dst", seeds, "id", "lab", iters = 2)
+      .select("id", "label", "origin").as[(Long, Option[Int], String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((Some(7), "seed")), "seeds never change")
+    assert(out(2L) == ((Some(5), "propagated")), "1-1 count tie → label 5")
+    assert(out(4L) == ((Some(5), "propagated")), "second hop reached in round 2")
+    assert(out(5L) == ((None, "unlabeled")),
+      "synchronous rounds: round-2 votes use round-1 labels, 5 is 3 hops out")
+  }
+
   test("total mass is conserved within truncation loss when no node dangles") {
     val edges = (0 until 20).map(i => (i.toLong, ((i + 3) % 20).toLong))
       .toDF("src", "dst")
