@@ -2013,6 +2013,40 @@ object SparkEntry {
           seeds, "vec_id", "label", iters = 2)
         .select(col("id").as("vec_id"), col("label"), col("origin"))
         .orderBy("vec_id")
+    }),
+
+    "q140_bloom_join" -> ((s, dir) => {
+      // Bloom runtime-filter join pruning: the urgent-orders dim builds a
+      // 16 KB packed bitmap; lineitem rows are dropped map-side in the
+      // scan stage before the join shuffle. n_joined proves prefilter ∘
+      // join ≡ plain join; n_false_pass is the bounded Bloom overshoot
+      // that the join then discards
+      val m = 131072; val k = 3
+      val dim = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("key")).distinct().cache()
+      val fact = tbl(s, dir, "lineitem").select(col("l_orderkey"))
+      val pruned = Joins.bloomPrefilter(fact, "l_orderkey", dim, "key", m, k)
+        .cache()
+      val joined = pruned.join(dim, pruned("l_orderkey") === dim("key"))
+      fact.agg(count(lit(1)).as("n_fact"))
+        .crossJoin(pruned.agg(count(lit(1)).as("n_pass")))
+        .crossJoin(joined.agg(count(lit(1)).as("n_joined")))
+        .withColumn("n_false_pass", col("n_pass") - col("n_joined"))
+    }),
+
+    "q141_cluster_quality" -> ((s, dir) => {
+      // codebook quality gate (the k-means elbow input): per-cell point
+      // count + inertia from the SAME map-side assignment as q35, with a
+      // rollup total row — squared distances are exact double products,
+      // accumulated in decimal so the sum is order-independent
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+      Clustering.clusterQuality(assigned, "centroid_id", "centroid_dist")
+        .orderBy(col("centroid_id").asc_nulls_last)
     })
   )
 
@@ -3183,6 +3217,59 @@ object SparkEntry {
       "q138_semantic_contamination" -> semanticContaminationOracleSql,
 
       "q139_label_propagation" -> labelPropagationOracleSql,
+
+      // replays the q67 double-hash Bloom arithmetic over the urgent-dim
+      // keys, then row-level fact pruning + the exact join counts
+      "q140_bloom_join" ->
+        """WITH dim AS (SELECT DISTINCT o_orderkey AS key FROM orders
+          |  WHERE o_orderpriority = '1-URGENT'),
+          |bh0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM dim),
+          |bh1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM bh0),
+          |bh2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM bh1),
+          |bits AS (SELECT DISTINCT (h1 + i * h2) % 131072 AS bit
+          |  FROM bh2, unnest(range(0, 3)) AS t(i)),
+          |fk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+          |ph0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM fk),
+          |ph1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ph0),
+          |ph2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ph1),
+          |ppos AS (SELECT key, (h1 + i * h2) % 131072 AS bit
+          |  FROM ph2, unnest(range(0, 3)) AS t(i)),
+          |pass AS (SELECT key FROM ppos JOIN bits USING (bit)
+          |  GROUP BY key HAVING COUNT(*) = 3),
+          |stats AS (SELECT
+          |  (SELECT COUNT(*) FROM lineitem) AS n_fact,
+          |  (SELECT COUNT(*) FROM lineitem JOIN pass ON l_orderkey = key) AS n_pass,
+          |  (SELECT COUNT(*) FROM lineitem JOIN dim ON l_orderkey = key) AS n_joined)
+          |SELECT n_fact, n_pass, n_joined,
+          |  n_pass - n_joined AS n_false_pass FROM stats""".stripMargin,
+
+      // the q35 assignment, squared-distance inertia in exact decimal,
+      // rollup total via UNION ALL (NULL cell id)
+      "q141_cluster_quality" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a0 AS (SELECT e.vec_id, c.cid AS centroid_id,
+          |    list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS centroid_dist,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |  FROM embeddings e, c),
+          |a AS (SELECT vec_id, centroid_id, centroid_dist FROM a0 WHERE rn = 1),
+          |grp AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_points,
+          |    CAST(sum(CAST(centroid_dist * centroid_dist AS DECIMAL(30,12))) AS DOUBLE) AS inertia
+          |  FROM a GROUP BY centroid_id),
+          |tot AS (SELECT CAST(NULL AS INT) AS centroid_id,
+          |    CAST(count(*) AS BIGINT) AS n_points,
+          |    CAST(sum(CAST(centroid_dist * centroid_dist AS DECIMAL(30,12))) AS DOUBLE) AS inertia
+          |  FROM a)
+          |SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM tot)
+          |ORDER BY centroid_id NULLS LAST""".stripMargin,
 
       // q66's hash chain over q26's fingerprint; side sketches → union
       // k-min → membership counts, estimates replayed in the same op order

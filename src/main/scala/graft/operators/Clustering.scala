@@ -74,4 +74,17 @@ object Clustering {
     }
     means
   }
+
+  /** Codebook quality (the elbow-curve input): per-cell point count and
+    * inertia (Σ squared distance to the assigned centroid) with a rollup
+    * total row (`cellCol` NULL). One hash aggregate over the map-side
+    * assignment — squaring the distance is one exact double multiply,
+    * and the sum accumulates in decimal so it is order-independent and
+    * oracle-replayable (NOTES parity rules). */
+  def clusterQuality(assigned: DataFrame, cellCol: String,
+                     distCol: String): DataFrame =
+    assigned.rollup(col(cellCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum((col(distCol) * col(distCol)).cast("decimal(30,12)"))
+          .cast("double").as("inertia"))
 }

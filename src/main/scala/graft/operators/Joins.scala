@@ -16,6 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Bloom runtime-filter for a join's probe side: build a packed Bloom
+    * bitmap over the dim side's distinct keys (a bounded `m/64`-word
+    * driver collect — 16 KB at m = 2¹⁷) and drop fact rows map-side
+    * BEFORE they reach the join's shuffle. No false negatives, so
+    * `bloomPrefilter(fact) ⋈ dim  ≡  fact ⋈ dim` exactly — the Bloom's
+    * false positives are eliminated by the join itself; what the filter
+    * buys is that the ~(1 − |dim∩fact|/|fact|) non-matching majority of
+    * a 100 TB fact table never enters the exchange. This is the shape of
+    * Spark's own `InjectRuntimeFilter`, exposed as an operator so the
+    * pruning is explicit, testable, and usable ahead of non-join sinks
+    * too. The probe is the native `graft_bloom_probe` expression —
+    * pure map-side, rides the scan stage. */
+  def bloomPrefilter(fact: DataFrame, factKeyCol: String,
+                     dim: DataFrame, dimKeyCol: String,
+                     m: Int = 131072, k: Int = 3): DataFrame = {
+    graft.plans.HashExpressions.register(fact.sparkSession)
+    val dimKeys = dim.select(col(dimKeyCol).as("key")).distinct()
+    val words = Sketches.packBits(Sketches.bloomBits(dimKeys, "key", m, k), m)
+    fact.filter(call_function("graft_bloom_probe",
+      col(factKeyCol), typedLit(words.toSeq), lit(m), lit(k)))
+  }
+
+  /** [[bloomPrefilter]] composed with the equi-join it protects: result
+    * rows are exactly `fact ⋈ dim`'s. */
+  def bloomPrunedJoin(fact: DataFrame, factKeyCol: String,
+                      dim: DataFrame, dimKeyCol: String,
+                      m: Int = 131072, k: Int = 3): DataFrame = {
+    val pruned = bloomPrefilter(fact, factKeyCol, dim, dimKeyCol, m, k)
+    pruned.join(dim, pruned(factKeyCol) === dim(dimKeyCol))
+  }
+
   /** Salted equi-join: replicate each `right` row `salt` ways and scatter
     * `left` rows uniformly across the replicas, so a skewed join key fans
     * out over `salt` reducers instead of one.

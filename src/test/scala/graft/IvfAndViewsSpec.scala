@@ -63,6 +63,18 @@ class IvfAndViewsSpec extends SparkSpec {
     assert(m.keys.map(_._1).toSet == Set(0, 1))
   }
 
+  test("clusterQuality: per-cell inertia plus a rollup total row") {
+    import graft.operators.Clustering
+    val assigned = Seq(
+      (1L, 0, 2.0), (2L, 0, 3.0), // cell 0: inertia 4 + 9 = 13
+      (3L, 1, 1.0)                // cell 1: inertia 1
+    ).toDF("vec_id", "centroid_id", "centroid_dist")
+    val out = Clustering.clusterQuality(assigned, "centroid_id", "centroid_dist")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((Some(0), 2L, 13.0), (Some(1), 1L, 1.0), (None, 3L, 14.0)))
+  }
+
   test("assignNearestCentroid: fold and array-scan paths agree bit-for-bit") {
     // the >maxFoldCentroids path (real IVF nlist sizes) must produce the
     // identical assignment AND distance as the least-fold path

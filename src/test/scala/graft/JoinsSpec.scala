@@ -32,4 +32,22 @@ class JoinsSpec extends SparkSpec {
       .select("asof_ts", "asof_value").head()
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  test("bloomPrunedJoin ≡ plain join; prefilter passes every matching row") {
+    val fact = (1L to 400L).map(i => (i, s"row$i")).toDF("fk", "payload")
+    val dim = Seq((7L, "a"), (23L, "b"), (399L, "c")).toDF("dk", "attr")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    val pruned = Joins.bloomPrunedJoin(fact, "fk", dim, "dk")
+      .select("fk", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    assert(pruned == plain, "false positives die in the join; no false negatives")
+    // the prefilter alone is a superset of matching rows and (with m=2^17
+    // over 3 keys) drops the overwhelming majority of non-matching ones
+    val pass = Joins.bloomPrefilter(fact, "fk", dim, "dk")
+      .select("fk").as[Long].collect().toSet
+    assert(Set(7L, 23L, 399L).subsetOf(pass))
+    assert(pass.size < 50, s"prefilter kept ${pass.size} of 400")
+  }
 }

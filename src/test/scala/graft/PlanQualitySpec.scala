@@ -363,4 +363,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(p.contains("TakeOrderedAndProject"), "argmax should be a bounded top-1")
   }
+
+  test("q136/q139: iterative graph rounds reuse the cached edge list") {
+    // the expensive kNN pair join must materialize ONCE; later power /
+    // vote iterations read the InMemoryRelation, not the join lineage
+    for (q <- Seq("q136_pagerank", "q139_label_propagation")) {
+      val p = plan(q)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$q should hit the edge cache in every round")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q140: the Bloom prefilter is a map-side Filter ahead of the join") {
+    // the probe itself must plan as scan + Filter with NO exchange — the
+    // pruning happens before any shuffle by construction
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet").select("l_orderkey")
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val pf = graft.operators.Joins.bloomPrefilter(fact, "l_orderkey", dim, "key")
+    val pp = pf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pp.contains("graft_bloom_probe"))
+    assert(!"Exchange \\(\\d+\\)".r.findFirstIn(pp).isDefined,
+      "prefilter must be pure map-side")
+    // and the full stats query never sort-merges the fact table (the
+    // bloom probe lives inside the cached InMemoryRelation build)
+    val p = plan("q140_bloom_join").split("== Initial Plan ==").head
+    assert(p.contains("InMemoryTableScan") && !p.contains("SortMergeJoin"))
+  }
 }
