@@ -2047,6 +2047,20 @@ object SparkEntry {
           centroids, "cid", "cv")
       Clustering.clusterQuality(assigned, "centroid_id", "centroid_dist")
         .orderBy(col("centroid_id").asc_nulls_last)
+    }),
+
+    "q142_similarity_join" -> ((s, dir) => {
+      // EXACT all-pairs 5-gram-shingle Jaccard ≥ 0.6 via prefix + length
+      // filtering — candidates only from each doc's rarest df-ordered
+      // prefix shingles, so no LSH miss risk (q20 estimates; this is
+      // ground truth). Exact all-pairs is the bounded-slice validation
+      // tool (it measures q20/q21's recall); the slice is capped like
+      // q22's, the LSH family is the open-corpus path
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 600)
+      val toks = d.select(col("doc_id").as("id"),
+        explode(Dedup.shingleExpr("text", 5)).as("tok"))
+      Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.6)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -3248,6 +3262,29 @@ object SparkEntry {
           |  (SELECT COUNT(*) FROM lineitem JOIN dim ON l_orderkey = key) AS n_joined)
           |SELECT n_fact, n_pass, n_joined,
           |  n_pass - n_joined AS n_false_pass FROM stats""".stripMargin,
+
+      // brute-force exact Jaccard over every shared-token pair — the
+      // prefix-filtered algorithm must produce the IDENTICAL pair set
+      // (completeness of the prefix bound is what's being gated)
+      "q142_similarity_join" ->
+        """WITH g AS (
+          |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS tok
+          |  FROM documents, unnest(range(0, length(text) - 4, 1)) AS t(s)
+          |  WHERE length(text) >= 5 AND doc_id < 600
+          |  UNION
+          |  SELECT doc_id, text AS tok FROM documents
+          |  WHERE length(text) < 5 AND doc_id < 600),
+          |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(count(*) AS BIGINT) AS nc
+          |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b,
+          |  CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+          |FROM pr JOIN sz sa ON doc_a = sa.doc_id
+          |  JOIN sz sb ON doc_b = sb.doc_id
+          |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       // the q35 assignment, squared-distance inertia in exact decimal,
       // rollup total via UNION ALL (NULL cell id)

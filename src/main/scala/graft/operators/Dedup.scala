@@ -594,6 +594,73 @@ object Dedup {
       .select(col("id"), col("centroid_id"), col("centroid_dist"), col("kept"))
   }
 
+  /** Exact word-set similarity self-join with AllPairs/PPJoin prefix
+    * filtering (Bayardo et al. 2007, "Scaling Up All Pairs Similarity
+    * Search"): every pair with token-set Jaccard ≥ `tau`, EXACTLY — no
+    * LSH false-negative risk — yet without [[ngramJaccardPairs]]'
+    * every-shared-token candidate explosion. Tokens are globally ordered
+    * rarest-first (document frequency asc, token asc); each document
+    * generates candidates only from its first `n − ⌈τ·n⌉ + 1` tokens in
+    * that order. The guarantee: two sets with Jaccard ≥ τ must share a
+    * token inside both prefixes, so the candidate set is complete; it is
+    * small because prefixes are short and hold the RAREST tokens —
+    * stopword-grade tokens never generate a candidate (the df-ordering
+    * is what makes this viable at corpus scale, same insight as the
+    * inverted-index maxDf guard).
+    *
+    * Input is any (id, token) frame — words, shingles, or hashes; pick
+    * the token unit for the corpus (char n-grams discriminate where a
+    * shared-vocabulary corpus makes word sets near-identical). Rows are
+    * deduplicated here, so callers can pass raw exploded tokens; tokens
+    * are xxhash64'd internally so every shuffle ships longs, not strings
+    * (collision-free in practice at 64 bits — the q22 argument — and
+    * invisible in the output, which is why a raw-token oracle still
+    * replays it).
+    *
+    * Candidate pruning: the prefix filter, PLUS the PPJoin length filter
+    * — Jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ, so size-incompatible
+    * pairs are dropped before the verify join. Even so, exact all-pairs
+    * is the ground-truth/validation tool: at full 100 TB scale run the
+    * LSH family (q20/q21) and use this on bounded slices to measure
+    * their recall.
+    *
+    * Shuffles: token df (tiny agg), per-doc rank (one window by id),
+    * candidate equi-join on prefix tokens, and one verify join per
+    * candidate pair — all equi-shuffles, nothing quadratic in the
+    * corpus. Returns (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def prefixFilterJoin(tokens: DataFrame, idCol: String, tokCol: String,
+                       tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "need tau in (0, 1]")
+    val toks = tokens
+      .select(col(idCol).as("id"), xxhash64(col(tokCol)).as("tok")).distinct()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "id")
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("id", "tok", "sz")
+    val cand = prefix.select(col("id").as("doc_a"), col("tok"),
+        col("sz").as("_sa"))
+      .join(prefix.select(col("id").as("doc_b"), col("tok"),
+        col("sz").as("_sb")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("_sb") * lit(tau) <= col("_sa") && col("_sa") * lit(tau) <= col("_sb"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_nc"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("_sa")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("_sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("_nc").cast("double") / (col("_sa") + col("_sb") - col("_nc")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Embedding-level decontamination — the semantic twin of
     * [[contaminationCheck]]'s n-gram containment: flag every TRAIN
     * document whose embedding is within cosine `minCosine` of ANY eval

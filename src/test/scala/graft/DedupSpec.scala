@@ -223,6 +223,29 @@ class DedupSpec extends SparkSpec {
     assert(capped.size == 6 && capped.values.forall(identity))
   }
 
+  test("prefixFilterJoin: exact Jaccard pairs; a shared stopword alone never pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the weather in paris is lovely this time of year"),
+      (4L, "completely different content about spark shuffles the"))
+    val toks = docs.toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+    val out = Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.6)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // brute force: only (1,2) passes — inter 7 of union 9; every doc
+    // shares "the" but a stopword-grade token is never a prefix token
+    assert(out == Set((1L, 2L, 7.0 / 9.0)))
+    // tau = 1.0: the 1-token prefix still finds exact-duplicate sets
+    val dup = Seq((5L, "alpha beta"), (6L, "beta alpha"), (7L, "alpha gamma"))
+    val dupToks = dup.toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+    val exact = Dedup.prefixFilterJoin(dupToks, "id", "tok", tau = 1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((5L, 6L)))
+  }
+
   test("semantic contamination: near-eval train docs flagged, witness ties to smaller id") {
     val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cid", "cv")
     val train = Seq(
