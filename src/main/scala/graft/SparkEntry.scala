@@ -2061,6 +2061,32 @@ object SparkEntry {
         explode(Dedup.shingleExpr("text", 5)).as("tok"))
       Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.6)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "q143_lsh_recall" -> ((s, dir) => {
+      // the dedup-config qualification gate (the q103 recall@k idea
+      // applied to LSH): on a bounded near-dup corpus, q20's MinHash-LSH
+      // pairs are scored against q142's EXACT prefix-filtered ground
+      // truth — recall says whether 64 hashes × 8 bands is safe to trust
+      // before a full-corpus run, precision what the est_jaccard cut
+      // over-flags
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+        .select("doc_a", "doc_b").cache()
+      val toks = corpus.select(col("doc_id").as("id"),
+        explode(Dedup.shingleExpr("text", 5)).as("tok"))
+      val exact = Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.8)
+        .select("doc_a", "doc_b").cache()
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        .withColumn("precision", col("n_hit").cast("double") / col("n_lsh"))
     })
   )
 
@@ -3286,6 +3312,8 @@ object SparkEntry {
           |WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      "q143_lsh_recall" -> lshRecallOracleSql,
+
       // the q35 assignment, squared-distance inertia in exact decimal,
       // rollup total via UNION ALL (NULL cell id)
       "q141_cluster_quality" ->
@@ -3871,7 +3899,12 @@ object SparkEntry {
 
   /** The corpus→signatures→bands→candidate-pairs CTE chain shared by the
     * minhash-pairs and cluster-dedup oracles. */
-  private def minhashPairCtes: String = {
+  private def minhashPairCtes: String = minhashPairCtesFor(nearDupCorpus)
+
+  /** [[minhashPairCtes]] over an arbitrary corpus SELECT — the q143
+    * recall gate runs the same signature/band replay on a bounded
+    * slice. */
+  private def minhashPairCtesFor(corpusSql: String): String = {
     val b1 = graft.plans.HashExpressions.PolyBase1
     val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(64)
     val winHash = "list_reduce(list_transform(range(i, i + 5), " +
@@ -3880,7 +3913,7 @@ object SparkEntry {
     val sig = (0 until 64)
       .map(k => s"list_min(list_transform(hashes, h -> (h * ${as(k)} + ${bs(k)}) % $HP))")
       .mkString("[", ",\n    ", "]")
-    s"""corpus AS ($nearDupCorpus),
+    s"""corpus AS ($corpusSql),
        |hs AS (
        |  SELECT doc_id, CASE WHEN length(text) < 5
        |    THEN [${duckPoly("text", b1)}]
@@ -3909,6 +3942,42 @@ object SparkEntry {
     s"""WITH $minhashPairCtes
        |SELECT doc_a, doc_b, est_jaccard FROM pairs
        |WHERE est_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Replays q143: the q20 signature/band arithmetic AND the q142
+    * brute-force exact Jaccard, both over the bounded near-dup corpus,
+    * folded to the single recall/precision stats row. */
+  private def lshRecallOracleSql: String = {
+    val boundedCorpus =
+      """SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id,
+        |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
+        |FROM documents WHERE doc_id < 300""".stripMargin
+    s"""WITH ${minhashPairCtesFor(boundedCorpus)},
+       |lsh AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.8),
+       |g AS (
+       |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS tok
+       |  FROM corpus, unnest(range(0, length(text) - 4, 1)) AS t(s)
+       |  WHERE length(text) >= 5
+       |  UNION
+       |  SELECT doc_id, text AS tok FROM corpus WHERE length(text) < 5),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT doc_a, doc_b FROM pr
+       |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.8),
+       |hit AS (SELECT ex.doc_a, ex.doc_b FROM ex JOIN lsh USING (doc_a, doc_b))
+       |SELECT (SELECT count(*) FROM ex) AS n_exact,
+       |  (SELECT count(*) FROM lsh) AS n_lsh,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+       |    (SELECT count(*) FROM ex) AS recall,
+       |  CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+       |    (SELECT count(*) FROM lsh) AS precision""".stripMargin
+  }
 
   /** Incremental-dedup oracle: signatures/bands for the stored corpus and
     * the 50-doc new batch (same arithmetic as [[minhashPairCtes]]), joined
