@@ -2087,6 +2087,80 @@ object SparkEntry {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
         .withColumn("precision", col("n_hit").cast("double") / col("n_lsh"))
+    }),
+
+    "q144_local_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q5: revenue from intra-nation trade in one region/year —
+      // the 6-way join; region/nation/supplier/customer all broadcast,
+      // lineitem⋈orders stays the only fact-fact shuffle
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val rn = broadcast(tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region"))
+          .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(rn, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    "q145_waiting_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape (adapted: lineitem has no commit/receipt dates, so
+      // "the blocker" is the strictly-latest shipper on the order): for
+      // 'F' orders with multiple suppliers, count per supplier the orders
+      // where THEIR ship date beats every co-supplier's — semi + anti
+      // equi-joins on the order key, no correlated re-scan
+      val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l1 = l
+        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = l.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      val waiting = l1
+        .join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3") &&
+          col("d3") >= col("l_shipdate"), "left_anti")
+      waiting
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    "q146_nation_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape (no partsupp table → revenue in place of profit):
+      // per supplier-nation per order-year revenue on 'red' parts; part/
+      // supplier/nation broadcast, one fact-fact shuffle
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("nation"), desc("o_year"))
     })
   )
 
@@ -3313,6 +3387,41 @@ object SparkEntry {
           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "q143_lsh_recall" -> lshRecallOracleSql,
+
+      "q144_local_supplier_volume" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+          |FROM lineitem, orders, supplier, customer, nation, region
+          |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+      "q145_waiting_suppliers" ->
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1, orders, supplier
+          |WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+          |  AND l1.l_suppkey = s_suppkey
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_shipdate >= l1.l_shipdate)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+      "q146_nation_profit" ->
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+          |FROM lineitem, part, orders, supplier, nation
+          |WHERE l_partkey = p_partkey AND p_name LIKE '%red%'
+          |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          |  AND s_nationkey = n_nationkey
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
 
       // the q35 assignment, squared-distance inertia in exact decimal,
       // rollup total via UNION ALL (NULL cell id)

@@ -375,6 +375,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q145: exists/not-exists plan as hash semi/anti joins on the order key") {
+    // the <>/>= extras must ride as join-condition residuals, not force
+    // a nested-loop or cartesian re-scan of lineitem
+    val p = plan("q145_waiting_suppliers").split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q140: the Bloom prefilter is a map-side Filter ahead of the join") {
     // the probe itself must plan as scan + Filter with NO exchange — the
     // pruning happens before any shuffle by construction
