@@ -2161,6 +2161,28 @@ object SparkEntry {
           year(col("o_orderdate")).as("o_year"))
         .agg(dsum(rev).as("revenue"))
         .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    "q147_drift_chi2" -> ((s, dir) => {
+      // corpus-composition drift monitor: χ² of the source mix between a
+      // third of the corpus and the rest (mod-3 split crosses the
+      // generator's mod-20 source cycle, so every category lands in both
+      // snapshots), per-category contributions plus a decimal-accumulated
+      // total row (NULL category) — each term is a fixed parenthesization
+      // of correctly-rounded double ops, so the oracle replays it
+      // bit-for-bit
+      val d = tbl(s, dir, "documents")
+      val per = Stats.chiSquareDrift(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0), "source")
+      val total = per.agg(
+        sum("n_ref").as("n_ref"), sum("n_cur").as("n_cur"),
+        sum(col("contrib").cast("decimal(32,10)")).cast("double").as("_chi2"))
+        .select(lit(null).cast("string").as("category"),
+          col("n_ref"), col("n_cur"),
+          lit(null).cast("double").as("expected"),
+          col("_chi2").as("contrib"))
+      per.unionByName(total).orderBy(col("category").asc_nulls_last)
     })
   )
 
@@ -3413,6 +3435,32 @@ object SparkEntry {
           |      AND l3.l_suppkey <> l1.l_suppkey
           |      AND l3.l_shipdate >= l1.l_shipdate)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+      "q147_drift_chi2" ->
+        """WITH r AS (SELECT source AS category, count(*) AS n_ref
+          |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+          |c AS (SELECT source AS category, count(*) AS n_cur
+          |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+          |j AS (SELECT coalesce(r.category, c.category) AS category,
+          |    CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+          |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+          |  FROM r FULL JOIN c ON r.category = c.category),
+          |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+          |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+          |e AS (SELECT category, n_ref, n_cur,
+          |    CASE WHEN n_ref > 0 THEN CAST(tc * n_ref AS DOUBLE) / tr END AS expected
+          |  FROM j, t),
+          |d AS (SELECT *, CAST(n_cur AS DOUBLE) - expected AS dd FROM e),
+          |p AS (SELECT category, n_ref, n_cur, expected,
+          |    (dd * dd) / expected AS contrib FROM d),
+          |tot AS (SELECT CAST(NULL AS VARCHAR) AS category,
+          |    CAST(sum(n_ref) AS BIGINT) AS n_ref,
+          |    CAST(sum(n_cur) AS BIGINT) AS n_cur,
+          |    CAST(NULL AS DOUBLE) AS expected,
+          |    CAST(sum(CAST(contrib AS DECIMAL(32,10))) AS DOUBLE) AS contrib
+          |  FROM p)
+          |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM tot)
+          |ORDER BY category NULLS LAST""".stripMargin,
 
       "q146_nation_profit" ->
         """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,

@@ -69,4 +69,43 @@ object Stats {
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("corr"))
   }
+
+  /** Two-sample chi-square drift profile between a reference and a
+    * current snapshot of a categorical column — the corpus-composition
+    * monitor a 100 TB ingest runs per batch (did the source / language /
+    * domain mix shift?). Per category: both counts, the expected current
+    * count under the reference distribution `e = (tc·n_ref)/tr`, and the
+    * χ² contribution `(n_cur − e)²/e`.
+    *
+    * Replay-exactness: every term is integer counts into a FIXED
+    * parenthesization of correctly-rounded double ops (one product, one
+    * divide, one subtract, one square, one divide — no `ln`/`pow`), so
+    * DuckDB reproduces each contribution bit-for-bit; callers total the
+    * contributions with a decimal accumulate (see q147). Categories
+    * ABSENT from the reference have no defined expectation — they emit
+    * NULL expected/contrib rather than vanishing (the q100 lesson), and
+    * a drift gate should treat any such row as an automatic flag.
+    *
+    * Shape: two count aggregates, a full outer join on the category
+    * (both frames are |categories|-sized), totals as a one-row
+    * broadcast. Nothing corpus-sized leaves the scan stage. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame,
+                     catCol: String): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val j = r.join(c, Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("expected",
+        when(col("n_ref") > 0,
+          (col("_tc") * col("n_ref")).cast("double") / col("_tr")))
+      .withColumn("_d", col("n_cur").cast("double") - col("expected"))
+      .withColumn("contrib", (col("_d") * col("_d")) / col("expected"))
+      .select("category", "n_ref", "n_cur", "expected", "contrib")
+  }
 }

@@ -17,6 +17,25 @@ class StatsSpec extends SparkSpec {
     assert(out.head._3 == 3.0)
   }
 
+  test("chiSquareDrift: hand-computed contributions; ref-absent category flags NULL") {
+    import graft.operators.Stats.chiSquareDrift
+    val ref = Seq("a", "a", "a", "b").toDF("src")
+    val cur = Seq("a", "b", "b", "b", "c").toDF("src")
+    val out = chiSquareDrift(ref, cur, "src").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val ea = (5L * 3L).toDouble / 4L // 3.75
+    val eb = (5L * 1L).toDouble / 4L // 1.25
+    val ca = ((1.0 - ea) * (1.0 - ea)) / ea
+    val cb = ((3.0 - eb) * (3.0 - eb)) / eb
+    assert(out("a") == ((3L, 1L, Some(ea), Some(ca))))
+    assert(out("b") == ((1L, 3L, Some(eb), Some(cb))))
+    // 'c' never seen in the reference: no expectation, explicit NULLs —
+    // a drift gate treats the row itself as the alarm
+    assert(out("c") == ((0L, 1L, None, None)))
+  }
+
   test("group correlation hits ±1 on perfectly (anti)correlated data") {
     val df = (1 to 50).flatMap(i => Seq(
       ("pos", i.toDouble, 2.0 * i + 3.0),
