@@ -2183,6 +2183,21 @@ object SparkEntry {
           lit(null).cast("double").as("expected"),
           col("_chi2").as("contrib"))
       per.unionByName(total).orderBy(col("category").asc_nulls_last)
+    }),
+
+    "q148_bq_search" -> ((s, dir) => {
+      // the 1-bit end of the quantization family (q57 int8 → q124 PQ →
+      // here 64 dims in ONE long): sign-bit pack map-side, Hamming
+      // XOR+popcount shortlist as a bounded TakeOrdered heap, exact
+      // cosine re-rank of the 50-row shortlist — the corpus never
+      // shuffles in either stage
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 2).select("embedding")
+        .head().getSeq[Float](0)
+      Quantization.bqSearch(e, "vec_id", "embedding", qv,
+          k = 8, shortlistK = 50)
+        .select(col("vec_id"), col("hamming"),
+          round(col("distance"), 6).as("distance"))
     })
   )
 
@@ -3435,6 +3450,31 @@ object SparkEntry {
           |      AND l3.l_suppkey <> l1.l_suppkey
           |      AND l3.l_shipdate >= l1.l_shipdate)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+      // replays the sign-bit pack (list_reduce OR-fold), Hamming
+      // shortlist, and exact-cosine rerank of q148
+      "q148_bq_search" -> {
+        // DuckDB range-checks 1<<63; the sign bit rides as its literal
+        val pack = (v: String) =>
+          s"list_reduce(list_transform(range(0, 64), i -> " +
+            s"CASE WHEN $v[CAST(i AS INT) + 1] > 0 " +
+            s"THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT) " +
+            s"ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END) " +
+            s"ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)"
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+           |    ${pack("embedding")} AS qbq
+           |  FROM embeddings WHERE vec_id = 2),
+           |b AS (SELECT vec_id, embedding, ${pack("embedding")} AS bq
+           |  FROM embeddings),
+           |short AS (SELECT vec_id, embedding,
+           |    CAST(bit_count(xor(bq, qbq)) AS INT) AS hamming
+           |  FROM b, q ORDER BY hamming, vec_id LIMIT 50)
+           |SELECT s.vec_id, s.hamming,
+           |  round(1.0 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), qv), 6) AS distance
+           |FROM short s, q
+           |ORDER BY 1.0 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), qv), s.vec_id
+           |LIMIT 8""".stripMargin
+      },
 
       "q147_drift_chi2" ->
         """WITH r AS (SELECT source AS category, count(*) AS n_ref

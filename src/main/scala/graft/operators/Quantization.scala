@@ -80,6 +80,45 @@ object Quantization {
   /** ADC top-k over a PQ-encoded corpus: `adc_dist` = Σ_s table[s][code_s]
     * via a literal table fold; ties by id. Returns input columns +
     * `adc_dist`, k rows. */
+  /** Binary quantization: the sign bits (x > 0) of a ≤ 64-dim vector
+    * packed into ONE long — 32× smaller than the float32 vector, and a
+    * Hamming distance that is a single XOR + popcount. The aggressive
+    * end of the quantization family (float → int8 q57 → PQ q124 →
+    * 1 bit/dim here); the shortlist it produces must be re-ranked with
+    * exact distances. Map-side fold over the row's own vector — no
+    * shuffle, no join. */
+  def binaryQuantize(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 64, "binary quantization packs into one long")
+    df.withColumn("bq", expr(
+      s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+        s"acc | IF(element_at($vecCol, i + 1) > 0D, shiftleft(1L, i), 0L))"))
+  }
+
+  /** Driver-side twin of [[binaryQuantize]] for the query vector. */
+  def bqPack(v: Seq[Float]): Long =
+    v.zipWithIndex.foldLeft(0L) { case (a, (x, i)) =>
+      if (x > 0f) a | (1L << i) else a
+    }
+
+  /** Two-stage binary-quantized search: Hamming shortlist over the packed
+    * bits (pure map-side XOR+popcount into a bounded TakeOrdered heap —
+    * the corpus never shuffles), then exact cosine re-rank of the
+    * shortlist. Ties break to the smaller id at both stages. */
+  def bqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+               query: Seq[Float], k: Int, shortlistK: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    val qbq = bqPack(query)
+    binaryQuantize(corpus, vecCol, query.length)
+      .withColumn("hamming", expr(s"bit_count(bq ^ ${qbq}L)"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(shortlistK)
+      .withColumn("distance",
+        call_function("graft_cosine_distance", col(vecCol), typedLit(query)))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("distance"))
+  }
+
   def pqSearch(encoded: DataFrame, idCol: String, query: Seq[Float],
                cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val m = cb.length

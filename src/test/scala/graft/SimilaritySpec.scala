@@ -107,6 +107,31 @@ class SimilaritySpec extends SparkSpec {
     assert(hits(2L) == t(0)(1) + t(1)(1))
   }
 
+  test("binary quantization: expr pack ≡ driver pack incl. the sign bit; " +
+       "full-shortlist bqSearch ≡ exact top-k") {
+    import graft.operators.Quantization
+    // 64-dim vectors exercising bit 63 (a positive last component makes
+    // the packed long NEGATIVE)
+    val v1 = (0 until 64).map(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val v2 = (0 until 64).map(i => if (i < 32) 1.0f else -0.5f)
+    val v3 = (0 until 64).map(_ => 1.0f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val packed = Quantization.binaryQuantize(df, "embedding", 64)
+      .select("vec_id", "bq").as[(Long, Long)].collect().toMap
+    for ((id, v) <- Seq(1L -> v1, 2L -> v2, 3L -> v3)) {
+      assert(packed(id) == Quantization.bqPack(v), s"vec $id")
+    }
+    assert(packed(1L) < 0L && packed(3L) == -1L, "bit 63 set → negative long")
+    // shortlist = corpus size makes the Hamming stage a no-op filter, so
+    // the re-rank must equal the exact cosine top-k
+    val exact = Similarity.topK(df, "embedding", v2, 3, "COSINE", "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val bq = Quantization.bqSearch(df, "vec_id", "embedding", v2,
+        k = 3, shortlistK = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(bq == exact)
+  }
+
   test("truncated rerank: full shortlist ≡ exact top-k; shortlist bounds output") {
     val q = Seq(1.0f, 0.0f)
     val exact = Similarity.topK(corpus, "embedding", q, 3, "COSINE", "vec_id")
