@@ -2198,7 +2198,86 @@ object SparkEntry {
           k = 8, shortlistK = 50)
         .select(col("vec_id"), col("hamming"),
           round(col("distance"), 6).as("distance"))
-    })
+    }),
+
+    "q149_shipping_priority" -> ((s, dir) => {
+      // TPC-H Q3: revenue of yet-unshipped orders for one market segment
+      // — the last partsupp-free TPC-H shape. Both date filters push to
+      // the scans; the filtered customer dim broadcasts; top-10 is a
+      // bounded TakeOrdered, never a global sort.
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      tbl(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .join(tbl(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q150_margin_mining" -> ((s, dir) => {
+      // LASER-style margin mining (Artetxe & Schwenk 2019) between the
+      // even-id batch (bounded query slice) and the odd-id half of the
+      // embedding corpus: best target per source by RATIO margin — raw
+      // cosine normalized by both sides' k-NN neighborhood density —
+      // two bounded-heap corpus passes, no corpus shuffle
+      val e = tbl(s, dir, "embeddings")
+      val src = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+      Similarity.marginMining(src, "vec_id", tgt, "vec_id", "embedding",
+          k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy("src_id")
+    }),
+
+    "q151_split_assign" -> ((s, dir) => {
+      // near-dup-safe train/val/test split: split keyed on the LSH dedup
+      // CLUSTER representative, so near-duplicate families can never
+      // straddle splits (train/test leakage); the audit output pins
+      // per-split doc/cluster/char counts and n_straddle = 0
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val labels = Dedup.dedupClusters(pairs, "doc_a", "doc_b", edgePartitions = 8)
+      val sp = Sampling.clusterSplit(corpus, "doc_id", labels, "id", "cluster_rep")
+      val agg = sp.groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("cluster_rep").as("n_clusters"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      val straddle = sp.groupBy("cluster_rep")
+        .agg(countDistinct("split").as("_ns"))
+        .filter(col("_ns") > 1)
+        .agg(count(lit(1)).as("n_straddle"))
+      agg.crossJoin(broadcast(straddle)).orderBy("split")
+    }),
+
+    "q152_ewma_monitor" -> ((s, dir) => {
+      // EWMA control chart over the per-type event stream: α=1/2
+      // geometric weights over ≤16 predecessors, all arithmetic
+      // replay-exact (power-of-two scaling + decimal accumulate)
+      Stats.ewmaMonitor(events(s, dir), "event_type", "ts", "event_id",
+          "value", window = 16, minHistory = 4, threshold = 120.0)
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("n_history"), round(col("ewma"), 6).as("ewma"),
+          round(col("deviation"), 6).as("deviation"))
+        .orderBy("event_type", "event_id")
+    }),
+
+    "q153_span_corruption" -> ((s, dir) =>
+      // deterministic T5-style span-corruption plan: per-doc mask layout
+      // as a pure function of (doc_id, token count) — reproducible
+      // across runs, partitionings, and engines
+      Chunker.spanCorruptionPlan(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ======================================================================
@@ -3476,6 +3555,94 @@ object SparkEntry {
            |LIMIT 8""".stripMargin
       },
 
+      "q149_shipping_priority" ->
+        s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+           |FROM lineitem, orders, customer
+           |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           |  AND c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1995-03-15'
+           |  AND l_shipdate > TIMESTAMP '1995-03-15'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, o_orderdate, l_orderkey
+           |LIMIT 10""".stripMargin,
+
+      // cos rides as 1 − (1 − cos): the SAME double-op sequence as the
+      // Spark heap (distance-domain ordering, then back) — see
+      // Similarity.marginMining
+      "q150_margin_mining" ->
+        """WITH s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+          |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 400),
+          |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+          |  FROM embeddings WHERE vec_id % 2 = 1),
+          |fwd0 AS (SELECT sid, tid,
+          |    1.0 - list_cosine_similarity(sv, tv) AS dist FROM s, t),
+          |fwd AS (SELECT sid, tid, 1.0 - dist AS cos,
+          |    row_number() OVER (PARTITION BY sid ORDER BY dist, tid) AS rn
+          |  FROM fwd0),
+          |fk AS (SELECT * FROM fwd WHERE rn <= 4),
+          |cand AS (SELECT DISTINCT tid FROM fk),
+          |bwd0 AS (SELECT c.tid, s2.sid,
+          |    1.0 - list_cosine_similarity(t2.tv, s2.sv) AS dist
+          |  FROM cand c JOIN t t2 USING (tid), s s2),
+          |bwd AS (SELECT tid, 1.0 - dist AS cos,
+          |    row_number() OVER (PARTITION BY tid ORDER BY dist, sid) AS rn
+          |  FROM bwd0),
+          |fsum AS (SELECT sid, SUM(CAST(cos AS DECIMAL(30,12))) AS fs
+          |  FROM fk GROUP BY sid),
+          |bsum AS (SELECT tid, SUM(CAST(cos AS DECIMAL(30,12))) AS bs
+          |  FROM bwd WHERE rn <= 4 GROUP BY tid),
+          |scored AS (SELECT f.sid, f.tid, f.cos,
+          |    (8.0 * f.cos) / CAST(fs + bs AS DOUBLE) AS margin
+          |  FROM fk f JOIN fsum USING (sid) JOIN bsum USING (tid)),
+          |best AS (SELECT *, row_number() OVER (PARTITION BY sid
+          |    ORDER BY margin DESC, tid) AS brn FROM scored)
+          |SELECT sid AS src_id, tid AS tgt_id, round(cos, 6) AS cosine,
+          |  round(margin, 6) AS margin
+          |FROM best WHERE brn = 1 AND margin > 1.0 ORDER BY src_id""".stripMargin,
+
+      "q151_split_assign" -> splitAssignOracleSql,
+
+      "q152_ewma_monitor" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+          |w AS (SELECT event_type, event_id, value,
+          |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          |      ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING) AS hist
+          |  FROM e),
+          |f AS (SELECT event_type, event_id, value, hist,
+          |    len(hist) AS L FROM w WHERE len(hist) >= 4),
+          |g AS (SELECT event_type, event_id, value, L,
+          |    CAST(list_reduce(list_transform(hist, (v, i) ->
+          |        CAST(v / CAST(1 << (L - i + 1) AS DOUBLE) AS DECIMAL(38,18))),
+          |      (a, x) -> a + x) AS DOUBLE)
+          |      / (1.0 - 1.0 / CAST(1 << L AS DOUBLE)) AS ewma
+          |  FROM f)
+          |SELECT event_type, event_id, value, CAST(L AS INT) AS n_history,
+          |  round(ewma, 6) AS ewma, round(value - ewma, 6) AS deviation
+          |FROM g WHERE abs(value - ewma) > 120.0
+          |ORDER BY event_type, event_id""".stripMargin,
+
+      "q153_span_corruption" ->
+        """WITH t AS (SELECT doc_id, CAST(len(list_filter(
+          |    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT)
+          |      AS n_tokens
+          |  FROM documents),
+          |b AS (SELECT doc_id, n_tokens,
+          |    CAST(n_tokens // 20 AS BIGINT) AS n_spans FROM t),
+          |h0 AS (SELECT doc_id, ((doc_id * 31) * 1000003) % 2147483647 AS h
+          |  FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1)
+          |SELECT b.doc_id, b.n_tokens, n_spans,
+          |  n_spans * 3 AS n_masked,
+          |  n_tokens - n_spans * 3 + n_spans AS input_len,
+          |  n_spans * 3 + n_spans AS target_len,
+          |  CASE WHEN n_spans > 0 THEN h2.h % 18 END AS first_span_offset
+          |FROM b JOIN h2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
       "q147_drift_chi2" ->
         """WITH r AS (SELECT source AS category, count(*) AS n_ref
           |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
@@ -4257,6 +4424,41 @@ object SparkEntry {
     * recursive CTE; each node's representative is the minimum doc_id
     * reachable in its component — exactly what iterative min-label
     * propagation converges to on the Spark side. */
+  /** q151: the q56 cluster replay (same pair CTEs + transitive reach),
+    * then split = keyHash_base999983(cluster rep) mod 10 over the FULL
+    * corpus (singletons represent themselves), aggregated per split with
+    * the global straddle audit. */
+  private def splitAssignOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs WHERE est_jaccard >= 0.8
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs WHERE est_jaccard >= 0.8),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |labels AS (SELECT s AS doc_id, least(s, min(d)) AS rep
+       |  FROM reach GROUP BY s),
+       |j AS (SELECT c.doc_id, coalesce(l.rep, c.doc_id) AS rep,
+       |    length(c.text) AS len
+       |  FROM corpus c LEFT JOIN labels l USING (doc_id)),
+       |sh0 AS (SELECT doc_id, rep, len, (rep * 999983) % 2147483647 AS h FROM j),
+       |sh1 AS (SELECT doc_id, rep, len,
+       |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM sh0),
+       |sh2 AS (SELECT doc_id, rep, len,
+       |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM sh1),
+       |sp AS (SELECT doc_id, rep, len,
+       |    CASE WHEN h % 10 < 8 THEN 'train'
+       |         WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM sh2),
+       |str AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_straddle FROM (
+       |  SELECT rep FROM sp GROUP BY rep HAVING COUNT(DISTINCT split) > 1))
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(len) AS BIGINT) AS n_chars, n_straddle
+       |FROM sp, str GROUP BY split, n_straddle ORDER BY split""".stripMargin
+
   private def dedupClustersOracleSql: String =
     s"""WITH RECURSIVE $minhashPairCtes,
        |edges AS (

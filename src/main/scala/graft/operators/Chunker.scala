@@ -78,4 +78,37 @@ object Chunker {
         expr(s"(_start + $tokensCol - 1) div $budget").cast("int") > col("pack_id"))
       .drop("_start")
   }
+
+  /** Deterministic span-corruption plan (the T5/UL2 denoising-objective
+    * layout, Raffel 2020 §3.1.4): each document's whitespace-token stream
+    * is cut into `blockTokens`-token blocks; every FULL block masks one
+    * `spanTokens`-token span whose offset within the block is
+    * `scrambleHash(docId·31 + block) mod (blockTokens − spanTokens + 1)`
+    * — spans never overlap or cross blocks by construction, and the plan
+    * is a pure function of (doc id, token count): two pipeline runs, or
+    * two engines, mask the IDENTICAL positions (`rand()`-based masking is
+    * not reproducible across partitionings; this is).
+    *
+    * Per doc: token/span/masked counts and the resulting encoder/decoder
+    * lengths under sentinel-token packing (each span collapses to one
+    * sentinel on the input side and expands to sentinel+span on the
+    * target side). All integer arithmetic — the oracle replays it
+    * exactly. Scalar projection only: no shuffle, no state; the 100 TB
+    * cost is the tokenize split, shared with every other text operator. */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+                         blockTokens: Int = 20, spanTokens: Int = 3): DataFrame = {
+    require(spanTokens < blockTokens, "span must fit inside its block")
+    val nToks = size(split_part_tokens(col(textCol)))
+    df.select(col(idCol), nToks.as("n_tokens"))
+      .withColumn("n_spans", expr(s"n_tokens div $blockTokens").cast("long"))
+      .withColumn("n_masked", col("n_spans") * spanTokens)
+      .withColumn("input_len", col("n_tokens") - col("n_masked") + col("n_spans"))
+      .withColumn("target_len", col("n_masked") + col("n_spans"))
+      .withColumn("first_span_offset",
+        when(col("n_spans") > 0, Sketches.keyHash(col(idCol).cast("long") * 31)
+          % (blockTokens - spanTokens + 1)))
+  }
+
+  private def split_part_tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 }

@@ -251,4 +251,38 @@ object Sampling {
       .filter(Sketches.keyHash(col(keyCol)).cast("double") / P < col("keep_frac"))
       .drop("_dom")
   }
+
+  /** Near-dup-safe train/val/test split: the split is a hash of the
+    * document's DEDUP-CLUSTER representative, not of the document itself,
+    * so a family of near-duplicates lands in ONE split by construction —
+    * the leakage mode a per-doc [[trainTestSplit]] cannot prevent (a
+    * near-copy of a training doc in the eval split inflates eval scores;
+    * see Lee 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §6). `labels` carries (idCol, repCol) from
+    * [[Dedup.dedupClusters]] over the corpus's candidate pairs; docs
+    * absent from it (singletons — LSH emitted no pair) represent
+    * themselves. Split cut: rep-hash mod 10 → 0-7 train, 8 val, 9 test.
+    *
+    * Returns one row per doc: (idCol, cluster_rep, split). Audit it with
+    * the aggregate the q151 gate pins: per-split doc/cluster/char counts
+    * plus a global `n_straddle` — clusters seen in >1 split — which this
+    * construction makes ZERO (the audit exists to catch a regression
+    * that re-keys the hash to the doc id).
+    *
+    * Scale shape: one left join doc→label (labels frame is |clustered
+    * docs|-sized, far smaller than the corpus after LSH) and a scalar
+    * projection; the split column is a pushable partition key for the
+    * training-export write. */
+  def clusterSplit(docs: DataFrame, idCol: String,
+                   labels: DataFrame, labelIdCol: String, repCol: String,
+                   valBucket: Int = 8): DataFrame = {
+    val l = labels.select(col(labelIdCol).as(idCol), col(repCol).as("_rep"))
+    docs.join(l, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("_rep"), col(idCol)))
+      .withColumn("_h", Sketches.keyHash(col("cluster_rep"), B2) % 10)
+      .withColumn("split",
+        when(col("_h") < valBucket, "train")
+          .when(col("_h") === valBucket, "val").otherwise("test"))
+      .drop("_rep", "_h")
+  }
 }

@@ -559,6 +559,56 @@ object Similarity {
         col("nbr_id"), col("distance"))
   }
 
+  /** Margin-based candidate mining (the ratio margin of Artetxe &
+    * Schwenk 2019, the LASER bitext-mining criterion): for each vector of
+    * a bounded `src` query set, its best `tgt`-side match scored not by
+    * raw cosine but by the cosine NORMALIZED against both sides'
+    * neighborhood density —
+    * `margin(x,y) = 2k·cos(x,y) / (Σ_{z∈NNk(x,tgt)} cos(x,z)
+    *                               + Σ_{z∈NNk(y,src)} cos(y,z))`
+    * — which suppresses hub vectors that are close to everything. A pair
+    * is emitted only when its margin exceeds `minMargin` (1.0 = "closer
+    * than the average nearest neighbor"); per source, the single best
+    * candidate by margin survives (ties → smaller target id).
+    *
+    * Shape at scale: two [[topKBatch]] passes (forward src→tgt over the
+    * bounded query slice, backward over its ≤|src|·k distinct candidates)
+    * — each a map-side bounded heap over the corpus, no corpus shuffle;
+    * the margin algebra is two tiny aggregates joined back to the k·|src|
+    * forward edges. Cosines sum in exact decimal so the margin (one
+    * double divide) replays bit-for-bit in the oracle.
+    *
+    * Returns (src_id, tgt_id, cosine, margin) ordered by src_id. */
+  def marginMining(src: DataFrame, srcIdCol: String, tgt: DataFrame,
+                   tgtIdCol: String, vecCol: String, k: Int,
+                   minMargin: Double = 1.0): DataFrame = {
+    // cos reconstructed as 1 − distance: the SAME two rounding steps the
+    // oracle replays (cos → 1−cos in the heap → back), keeping doubles
+    // bit-identical on both sides
+    val fwd = topKBatch(tgt, vecCol, tgtIdCol, src, vecCol, srcIdCol, k)
+      .select(col("query_id").as("src_id"), col(tgtIdCol).as("tgt_id"),
+        (lit(1.0) - col("distance")).as("cos"))
+    val cands = tgt.join(
+      fwd.select(col("tgt_id").as(tgtIdCol)).distinct(), tgtIdCol)
+    val bwd = topKBatch(src, vecCol, srcIdCol, cands, vecCol, tgtIdCol, k)
+      .select(col("query_id").as("tgt_id"),
+        (lit(1.0) - col("distance")).as("cos"))
+    val dec = "decimal(30,12)"
+    val fsum = fwd.groupBy("src_id")
+      .agg(sum(col("cos").cast(dec)).as("_fsum"))
+    val bsum = bwd.groupBy("tgt_id")
+      .agg(sum(col("cos").cast(dec)).as("_bsum"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    fwd.join(fsum, "src_id").join(bsum, "tgt_id")
+      .withColumn("margin", (lit(2.0 * k) * col("cos")) /
+        (col("_fsum") + col("_bsum")).cast("double"))
+      .withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1 && col("margin") > minMargin)
+      .select(col("src_id"), col("tgt_id"),
+        col("cos").as("cosine"), col("margin"))
+  }
+
   /** IVF-style ANN: assign each corpus row to its nearest of `centroids`
     * (broadcast), then for a query scan only rows whose centroid is among
     * the `nProbe` closest centroids to the query. At cluster scale the

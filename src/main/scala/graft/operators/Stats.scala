@@ -108,4 +108,52 @@ object Stats {
       .withColumn("contrib", (col("_d") * col("_d")) / col("expected"))
       .select("category", "n_ref", "n_cur", "expected", "contrib")
   }
+
+  /** EWMA control chart over per-group ordered series: each row is scored
+    * against the geometrically-weighted mean of its (up to) `window`
+    * PREDECESSORS with α = 1/2 — weight 2⁻¹ for the most recent, 2⁻ʲ for
+    * j back, normalized by 1 − 2⁻ᴸ over the L available. Rows whose
+    * |value − ewma| exceeds `threshold` are returned — the drift/spike
+    * monitor shape (EWMA chart, Roberts 1959) for a per-key metric
+    * stream.
+    *
+    * Replay-exactness: 2⁻ʲ weights are exact powers of two (computed as
+    * `v / (1<<j)` — an exact double scaling, no `pow`), each term is then
+    * decimal-truncated and summed exactly, and the final
+    * divide-by-(1 − 2⁻ᴸ) is one correctly-rounded double op — bit-for-bit
+    * reproducible by the DuckDB oracle, which matters because the
+    * anomaly FLAG compares the unrounded deviation against the
+    * threshold. Rows with fewer than `minHistory` predecessors are
+    * unscored (a 1-row history is all weight-½ noise).
+    *
+    * Shape at scale: ONE shuffle (window partition by group); the
+    * weighted fold is a map-side higher-order function over a ≤`window`
+    * element frame list — no self-join, no explode. */
+  def ewmaMonitor(df: DataFrame, groupCol: String, orderCol: String,
+                  tieCol: String, valueCol: String, window: Int = 16,
+                  minHistory: Int = 4, threshold: Double = 2.0): DataFrame = {
+    require(window <= 30, "weights 2^-j underflow decimal scale past 30")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(orderCol).asc, col(tieCol).asc)
+      .rowsBetween(-window, -1)
+    // frame list is oldest-first: element i of L is j = L-i+1 steps back
+    val hist = collect_list(col(valueCol)).over(w)
+    df.withColumn("_hist", hist)
+      .withColumn("_L", size(col("_hist")))
+      .filter(col("_L") >= minHistory)
+      .withColumn("_wsum", expr(
+        """aggregate(
+          |  zip_with(_hist, sequence(1, _L),
+          |    (v, i) -> CAST(v / CAST(shiftleft(1L, _L - i + 1) AS DOUBLE)
+          |                   AS DECIMAL(38,18))),
+          |  CAST(0 AS DECIMAL(38,18)),
+          |  (a, x) -> CAST(a + x AS DECIMAL(38,18)))""".stripMargin))
+      .withColumn("ewma", col("_wsum").cast("double") /
+        (lit(1.0) - lit(1.0) / expr("CAST(shiftleft(1L, _L) AS DOUBLE)")))
+      .withColumn("deviation", col(valueCol) - col("ewma"))
+      .filter(abs(col("deviation")) > threshold)
+      .select(col(groupCol), col(orderCol), col(tieCol), col(valueCol),
+        col("_L").as("n_history"), col("ewma"), col("deviation"))
+  }
 }

@@ -79,4 +79,25 @@ class ChunkerSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0, false), (2L, 0, false), (3L, 0, true),
       (10L, 0, false), (11L, 1, false)))
   }
+
+  test("spanCorruptionPlan: counts are pure integer functions of (id, tokens)") {
+    val df = Seq((7L, (1 to 45).map(i => s"t$i").mkString(" ")),
+        (9L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Chunker.spanCorruptionPlan(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r45 = out(7L)
+    // 45 tokens -> 2 full 20-blocks -> 2 spans of 3: 6 masked,
+    // encoder 45-6+2=41, decoder 6+2=8
+    assert(r45.getInt(1) == 45 && r45.getLong(2) == 2 && r45.getLong(3) == 6)
+    assert(r45.getLong(4) == 41 && r45.getLong(5) == 8)
+    val off = r45.getLong(6)
+    assert(off >= 0 && off < 18)
+    // the offset is the documented hash: reproducible across runs/engines
+    assert(off == graft.plans.HashExpressions.scrambleHash(
+      7L * 31, graft.plans.HashExpressions.PolyBase1) % 18)
+    // 3 tokens: no full block -> zero spans, null offset, identity lengths
+    val r3 = out(9L)
+    assert(r3.getLong(2) == 0 && r3.getLong(4) == 3 && r3.isNullAt(6))
+  }
 }

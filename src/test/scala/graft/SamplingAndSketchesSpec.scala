@@ -299,4 +299,25 @@ class SamplingAndSketchesSpec extends SparkSpec {
       .select("doc_id", "weight").as[(Long, Long)].collect().toMap
     assert(out.forall { case (id, t) => again(id) == t._3 })
   }
+
+  test("clusterSplit: near-dup families land in exactly one split") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "aa"), (2L, "ab"), (3L, "ac"), (4L, "ad"))
+      .toDF("doc_id", "text")
+    // docs 1,2,3 are one cluster (rep 1); doc 4 is a singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("id", "cluster_rep")
+    val out = Sampling.clusterSplit(docs, "doc_id", labels, "id", "cluster_rep")
+      .select("doc_id", "cluster_rep", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 1L, 4L))
+    // whole cluster shares one split; split of the rep id decides it
+    assert(out.take(3).map(_._3).distinct.length == 1)
+    assert(Set("train", "val", "test").contains(out(3)._3))
+    // the split is the documented rep-hash rule (replayable)
+    val h = graft.plans.HashExpressions.scrambleHash(
+      1L, graft.plans.HashExpressions.PolyBase2) % 10
+    val want = if (h < 8) "train" else if (h == 8) "val" else "test"
+    assert(out.head._3 == want)
+  }
 }

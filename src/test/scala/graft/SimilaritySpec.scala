@@ -201,4 +201,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 2) // k capped by beam size
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
   }
+
+  test("marginMining matches a brute-force reference on a small set") {
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def vec(i: Long): Array[Float] =
+      Array((i % 5 + 1).toFloat, (i % 3 + 1).toFloat, (i % 7 + 1).toFloat, 1f)
+    val srcIds = (0L to 10L by 2).toSeq
+    val tgtIds = (1L to 13L by 2).toSeq
+    val k = 3
+    val src = srcIds.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val tgt = tgtIds.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // reference: forward/backward top-k by (distance, id), ratio margin
+    def topk(qs: Seq[Long], cs: Seq[Long]) = qs.map { q =>
+      q -> cs.map(c => (cosDist(vec(q), vec(c)), c)).sorted.take(k)
+    }.toMap
+    val fwd = topk(srcIds, tgtIds)
+    val cands = fwd.values.flatten.map(_._2).toSeq.distinct
+    val bwd = topk(cands, srcIds)
+    val expected = srcIds.flatMap { s =>
+      val fs = fwd(s).map(p => BigDecimal(1.0 - p._1).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      val best = fwd(s).map { case (d, t) =>
+        val bs = bwd(t).map(p => BigDecimal(1.0 - p._1).setScale(12,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        val m = (2.0 * k * (1.0 - d)) / (fs + bs).toDouble
+        (t, 1.0 - d, m)
+      }.maxBy { case (t, _, m) => (m, -t) }
+      if (best._3 > 1.0) Some((s, best._1, best._2, best._3)) else None
+    }
+    val got = Similarity.marginMining(src, "vec_id", tgt, "vec_id",
+        "embedding", k, minMargin = 1.0)
+      .select("src_id", "tgt_id", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2)) == expected.map(e => (e._1, e._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-12 && math.abs(g._4 - e._4) < 1e-12)
+    }
+  }
 }

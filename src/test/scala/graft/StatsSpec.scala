@@ -60,4 +60,26 @@ class StatsSpec extends SparkSpec {
     val lists = out.map(t => t._1 -> t._3).toMap
     assert(lists(2L) == 2L && lists(1L) == 1L)
   }
+
+  test("ewmaMonitor: hand-computed geometric weights, first rows unscored") {
+    // series in one group: 8, 4, 6 (ordered by t). Row t=1 has no history.
+    // t=2: hist=[8], L=1 -> wsum = 8/2 = 4, norm = 1/2 -> ewma = 8, dev = -4
+    // t=3: hist=[8,4], L=2 -> 8/4 + 4/2 = 4, norm = 3/4 -> ewma = 16/3
+    val df = Seq((1L, "g", 8.0), (2L, "g", 4.0), (3L, "g", 6.0))
+      .toDF("t", "g", "v")
+    val out = Stats.ewmaMonitor(df, "g", "t", "t", "v",
+        window = 16, minHistory = 1, threshold = 0.5)
+      .select("t", "n_history", "ewma", "deviation")
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 3L))
+    assert(out(0) == ((2L, 1, 8.0, -4.0)))
+    assert(out(1)._2 == 2 && math.abs(out(1)._3 - 16.0 / 3) < 1e-15)
+    assert(math.abs(out(1)._4 - (6.0 - 16.0 / 3)) < 1e-15)
+  }
+
+  test("ewmaMonitor: rows below minHistory or threshold are not flagged") {
+    val df = (1 to 10).map(i => (i.toLong, "g", 10.0)).toDF("t", "g", "v")
+    // constant series: deviation is exactly 0 everywhere -> nothing flagged
+    assert(Stats.ewmaMonitor(df, "g", "t", "t", "v", 16, 1, 1e-9).count() == 0)
+  }
 }
