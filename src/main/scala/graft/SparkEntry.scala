@@ -2277,7 +2277,46 @@ object SparkEntry {
       // as a pure function of (doc_id, token count) — reproducible
       // across runs, partitionings, and engines
       Chunker.spanCorruptionPlan(tbl(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q154_priority_sample" -> ((s, dir) =>
+      // token-weighted audit sample: 100 docs by Duffield-Lund-Thorup
+      // priority, est_weight = max(w, τ) making char totals unbiased;
+      // deterministic hash uniforms, bounded TakeOrdered heap
+      Sampling.prioritySample(tbl(s, dir, "documents"), "doc_id",
+          "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("priority"), 6).as("priority"),
+          round(col("est_weight"), 6).as("est_weight"))
+        .orderBy("doc_id")),
+
+    "q155_dedup_report" -> ((s, dir) => {
+      // dedup savings audit: near-dup cluster size histogram with the
+      // chars reclaimable under keep-representative — the planning
+      // number a dedup run is justified by
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val labels = Dedup.dedupClusters(pairs, "doc_a", "doc_b", edgePartitions = 8)
+      val j = corpus
+        .join(labels.select(col("id").as("doc_id"), col("cluster_rep")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("rep"),
+          length(col("text")).as("len"))
+      val perCluster = j.groupBy("rep").agg(
+        count(lit(1)).as("cluster_size"),
+        sum(col("len")).cast("long").as("chars_total"),
+        min_by(col("len"), col("doc_id")).cast("long").as("chars_rep"))
+      perCluster.groupBy("cluster_size").agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("chars_total")).cast("long").as("chars_total"),
+          sum(col("chars_total") - col("chars_rep")).cast("long").as("chars_savable"))
+        .orderBy("cluster_size")
+    })
   )
 
   // ======================================================================
@@ -3603,6 +3642,26 @@ object SparkEntry {
 
       "q151_split_assign" -> splitAssignOracleSql,
 
+      "q154_priority_sample" ->
+        """WITH h0 AS (SELECT doc_id, (doc_id * 1000003) % 2147483647 AS h
+          |  FROM documents),
+          |h1 AS (SELECT doc_id, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT doc_id, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |p AS (SELECT d.doc_id, d.n_chars,
+          |    (CAST(d.n_chars AS DOUBLE) * 2147483647) / CAST(h + 1 AS DOUBLE)
+          |      AS priority
+          |  FROM documents d JOIN h2 USING (doc_id)),
+          |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+          |    AS rn FROM p),
+          |tau AS (SELECT priority AS tau FROM r WHERE rn = 101)
+          |SELECT doc_id, n_chars, round(priority, 6) AS priority,
+          |  round(greatest(CAST(n_chars AS DOUBLE), tau), 6) AS est_weight
+          |FROM r, tau WHERE rn <= 100 ORDER BY doc_id""".stripMargin,
+
+      "q155_dedup_report" -> dedupReportOracleSql,
+
       "q152_ewma_monitor" ->
         """WITH e AS (SELECT event_id, event_type,
           |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -4458,6 +4517,32 @@ object SparkEntry {
        |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
        |  CAST(SUM(len) AS BIGINT) AS n_chars, n_straddle
        |FROM sp, str GROUP BY split, n_straddle ORDER BY split""".stripMargin
+
+  /** q155: the q56 cluster replay, then per-cluster size/chars with the
+    * representative's chars via arg_min, histogrammed by cluster size. */
+  private def dedupReportOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs WHERE est_jaccard >= 0.8
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs WHERE est_jaccard >= 0.8),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |labels AS (SELECT s AS doc_id, least(s, min(d)) AS rep
+       |  FROM reach GROUP BY s),
+       |j AS (SELECT c.doc_id, coalesce(l.rep, c.doc_id) AS rep,
+       |    length(c.text) AS len
+       |  FROM corpus c LEFT JOIN labels l USING (doc_id)),
+       |pc AS (SELECT rep, COUNT(*) AS cluster_size,
+       |    CAST(SUM(len) AS BIGINT) AS chars_total,
+       |    CAST(arg_min(len, doc_id) AS BIGINT) AS chars_rep
+       |  FROM j GROUP BY rep)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+       |  CAST(SUM(chars_total - chars_rep) AS BIGINT) AS chars_savable
+       |FROM pc GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   private def dedupClustersOracleSql: String =
     s"""WITH RECURSIVE $minhashPairCtes,

@@ -252,6 +252,35 @@ object Sampling {
       .drop("_dom")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a size-k weighted
+    * sample without replacement whose Horvitz-Thompson estimates are
+    * near-optimal — the standard way to sample documents PROPORTIONAL TO
+    * TOKEN COUNT so a 1% audit sample represents 1% of the tokens, not 1%
+    * of the (length-skewed) documents. Each row gets priority
+    * `w / u` with `u = (hash+1)/P` a deterministic uniform in (0,1]; the
+    * k highest priorities are the sample, the (k+1)-th is the threshold
+    * τ, and `est_weight = max(w, τ)` makes Σ est_weight an unbiased
+    * estimator of Σ w over ANY subset. Deterministic u (the same
+    * scrambled-hash family as the samplers above) → the same sample
+    * every run, any partitioning, either engine.
+    *
+    * Scale shape: priority is a scalar projection; top-(k+1) is a
+    * bounded TakeOrdered heap (map-side partial heaps, never a global
+    * sort); τ broadcasts back as a 1-row frame. */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    // +1: the hash lands in [0, P) and u must never be 0
+    val u = (Sketches.keyHash(col(keyCol)) + 1).cast("double")
+    val ranked = df
+      .withColumn("priority", col(weightCol).cast("double") * P / u)
+      .orderBy(col("priority").desc, col(keyCol).asc)
+      .limit(k + 1)
+    val tau = ranked.agg(min("priority").as("tau"))
+    ranked.orderBy(col("priority").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight", greatest(col(weightCol).cast("double"), col("tau")))
+  }
+
   /** Near-dup-safe train/val/test split: the split is a hash of the
     * document's DEDUP-CLUSTER representative, not of the document itself,
     * so a family of near-duplicates lands in ONE split by construction —

@@ -320,4 +320,24 @@ class SamplingAndSketchesSpec extends SparkSpec {
     val want = if (h < 8) "train" else if (h == 8) "val" else "test"
     assert(out.head._3 == want)
   }
+
+  test("prioritySample: top-k by deterministic priority with HT threshold") {
+    import graft.operators.Sampling
+    import graft.plans.HashExpressions.{scrambleHash, PolyBase1, P2n31}
+    val rows = Seq((1L, 100L), (2L, 10L), (3L, 1000L), (4L, 50L),
+      (5L, 500L), (6L, 5L))
+    val df = rows.toDF("id", "w")
+    def pr(id: Long, w: Long): Double =
+      w.toDouble * P2n31 / (scrambleHash(id, PolyBase1) + 1).toDouble
+    val ranked = rows.map { case (i, w) => (i, w, pr(i, w)) }
+      .sortBy(t => (-t._3, t._1))
+    val k = 3
+    val tau = ranked(k)._3 // the (k+1)-th priority
+    val want = ranked.take(k)
+      .map(t => (t._1, math.max(t._2.toDouble, tau))).sortBy(_._1)
+    val got = Sampling.prioritySample(df, "id", "w", k)
+      .select("id", "est_weight").as[(Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
 }
