@@ -2316,6 +2316,67 @@ object SparkEntry {
           sum(col("chars_total")).cast("long").as("chars_total"),
           sum(col("chars_total") - col("chars_rep")).cast("long").as("chars_savable"))
         .orderBy("cluster_size")
+    }),
+
+    "q156_bigram_lm" -> ((s, dir) =>
+      // corpus-trained bigram-LM surprisal per document (the CCNet
+      // perplexity gate) in exact integer log2 units — bit-length of the
+      // exact corpus counts, BIGINT sums, one final division
+      NgramLm.bigramLmScore(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q157_pmi_collocations" -> ((s, dir) =>
+      // phrase mining: top-20 collocations by exact PMI ratio; the
+      // unigram vocabulary broadcasts onto the bigram table, top-k is a
+      // bounded heap
+      NgramLm.pmiCollocations(tbl(s, dir, "documents"), "text",
+        minCount = 5L, k = 20)),
+
+    "q158_classifier_auc" -> ((s, dir) => {
+      // ranking power of the hashed-bigram quality classifier against the
+      // Gopher heuristic gate: exact Mann-Whitney AUC with tie correction,
+      // all-BIGINT numerator (u2 = 2U), single output row
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      Evaluation.aucByRankSum(scored, "margin", "quality_pass")
+    }),
+
+    "q159_calibration" -> ((s, dir) => {
+      // reliability diagram of the classifier margin vs the Gopher gate:
+      // 10 fixed bins over [-0.5, 0.5], per-bin size + positive fraction
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      Evaluation.calibrationBins(scored, "margin", "quality_pass", nBins = 10)
+        .orderBy("bin")
+    }),
+
+    "q160_shard_moves" -> ((s, dir) =>
+      // rendezvous-hash shard routing + resize audit: per current shard
+      // (of 16), keys moved when growing to 17 — expect ≈ 1/17; pure
+      // map-side argmax fold, no shuffle before the 16-row aggregate
+      DataLayout.shardMovement(
+          tbl(s, dir, "documents").select(col("doc_id")), "doc_id", 16)
+        .orderBy("shard")),
+
+    "q161_knn_triangles" -> ((s, dir) => {
+      // structure audit of the q101 kNN graph: undirected triangle census
+      // + transitivity via the canonical a<b<c node-iterator join (fan-out
+      // bounded by the kNN degree cap)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      GraphAnalytics.triangleStats(
+        Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
+        "id", "nbr_id")
     })
   )
 
@@ -3662,6 +3723,54 @@ object SparkEntry {
 
       "q155_dedup_report" -> dedupReportOracleSql,
 
+      "q156_bigram_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, t[CAST(i AS INT)] AS ctx,
+          |    t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          |  WHERE len(t) >= 2),
+          |c AS (
+          |  SELECT doc_id,
+          |    CAST(length(bin(COUNT(*) OVER (PARTITION BY ctx))) -
+          |      length(bin(COUNT(*) OVER (PARTITION BY bg))) AS BIGINT) AS s
+          |  FROM g)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(s) AS BIGINT) AS surprisal_bits,
+          |  CAST(MAX(s) AS BIGINT) AS max_surprisal,
+          |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS bits_per_bigram
+          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q157_pmi_collocations" ->
+        """WITH toks AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tok
+          |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+          |tt AS (SELECT CAST(SUM(c_tok) AS BIGINT) AS n_tokens FROM uni),
+          |bgc AS (
+          |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+          |    CAST(COUNT(*) AS BIGINT) AS c_bg
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          |  GROUP BY 1, 2),
+          |tb AS (SELECT CAST(SUM(c_bg) AS BIGINT) AS n_bigrams FROM bgc)
+          |SELECT b.w1, b.w2, b.c_bg, u1.c_tok AS c1, u2.c_tok AS c2,
+          |  CAST(b.c_bg AS DOUBLE) * n_tokens / n_bigrams * n_tokens
+          |    / u1.c_tok / u2.c_tok AS pmi_ratio
+          |FROM bgc b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok, tt, tb
+          |WHERE b.c_bg >= 5
+          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      "q158_classifier_auc" -> classifierAucOracleSql,
+
+      "q159_calibration" -> calibrationOracleSql,
+
+      "q160_shard_moves" -> shardMovesOracleSql,
+
+      "q161_knn_triangles" -> knnTrianglesOracleSql,
+
       "q152_ewma_monitor" ->
         """WITH e AS (SELECT event_id, event_type,
           |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -4543,6 +4652,118 @@ object SparkEntry {
        |  CAST(SUM(chars_total) AS BIGINT) AS chars_total,
        |  CAST(SUM(chars_total - chars_rep) AS BIGINT) AS chars_savable
        |FROM pc GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** Shared CTE chain for q158/q159: the q100 classifier-margin replay
+    * and the q71 Gopher gate, joined into `scored(doc_id, margin,
+    * quality_pass)`. */
+  private def scoredMarginCtes: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val mix = graft.plans.HashExpressions.Mix
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH ths AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |    t -> $tokenHash) AS th
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    (th[CAST(i AS INT) + 1] * $b2 + th[CAST(i AS INT) + 2]) % $HP AS gh
+       |  FROM ths, unnest(range(0, greatest(len(th) - 1, 0))) AS u(i)),
+       |h0 AS (SELECT doc_id, (gh * $b1) % $HP AS h FROM grams),
+       |h1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+       |h2 AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1),
+       |cagg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats,
+       |    CAST(SUM(h % 1001 - 500) AS BIGINT) AS raw_margin
+       |  FROM h2 GROUP BY doc_id),
+       |marg AS (SELECT d.doc_id,
+       |    CASE WHEN coalesce(a.n_feats, 0) = 0 THEN 0.0
+       |      ELSE CAST(a.raw_margin AS DOUBLE) / (a.n_feats * 1000) END AS margin
+       |  FROM documents d LEFT JOIN cagg a USING (doc_id)),
+       |gt AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS INT) AS n_words,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_word_len,
+       |    CAST(len(list_filter(t, x -> x IN ('a','the','of','to','and','in','is','on','for','it'))) AS DOUBLE) / len(t) AS stopword_frac,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_frac
+       |  FROM gt),
+       |scored AS (SELECT m.doc_id, m.margin,
+       |    (q.n_words >= 30 AND q.mean_word_len BETWEEN 4.0 AND 5.0
+       |     AND q.stopword_frac >= 0.03 AND q.unique_frac >= 0.35) AS quality_pass
+       |  FROM marg m JOIN gm q USING (doc_id))""".stripMargin
+  }
+
+  /** Replays q158: distinct-score tallies, cumulative negatives below,
+    * doubled rank-sum `u2`, one final division. */
+  private def classifierAucOracleSql: String =
+    s"""$scoredMarginCtes,
+       |bys AS (SELECT margin AS s,
+       |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN quality_pass THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM scored GROUP BY margin),
+       |cum AS (SELECT np, nn,
+       |    coalesce(SUM(nn) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+       |  FROM bys)
+       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |  CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+       |  CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE) / (2 * SUM(np) * SUM(nn)) AS auc
+       |FROM cum""".stripMargin
+
+  /** Replays q159: the fixed [-0.5, 0.5] 10-bin float binning expression
+    * verbatim, then per-bin integer tallies. */
+  private def calibrationOracleSql: String =
+    s"""$scoredMarginCtes
+       |SELECT CAST(least(greatest(CAST(floor((margin + 0.5) * 10) AS INT), 0), 9) AS INT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_pos,
+       |  MIN(margin) AS min_score, MAX(margin) AS max_score
+       |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Replays q160: the scramble-hash chain of `doc_id·131 + s` per
+    * shard, argmax by (hash DESC, s), for 16 and 17 shards. */
+  private def shardMovesOracleSql: String = {
+    val mix = graft.plans.HashExpressions.Mix
+    def assign(n: Int, name: String): String =
+      s"""p$name AS (SELECT doc_id, CAST(s AS INT) AS s,
+         |    ((CAST(doc_id AS BIGINT) * 131 + s) * 1000003) % $HP AS h
+         |  FROM documents, unnest(range(0, $n)) AS r$name(s)),
+         |q$name AS (SELECT doc_id, s, (xor(h, h >> 16) * $mix) % $HP AS h FROM p$name),
+         |w$name AS (SELECT doc_id, s, (xor(h, h >> 13) * $mix) % $HP AS h FROM q$name),
+         |a$name AS (SELECT doc_id, s AS shard FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+         |    FROM w$name) WHERE rn = 1)""".stripMargin
+    s"""WITH ${assign(16, "c")},
+       |${assign(17, "n")}
+       |SELECT c.shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN c.shard <> n.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       |  CAST(SUM(CASE WHEN c.shard <> n.shard THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS moved_frac
+       |FROM ac c JOIN an n USING (doc_id)
+       |GROUP BY c.shard ORDER BY c.shard""".stripMargin
+  }
+
+  /** Replays q161: the q101 graph canonicalized to a < b, degree-sum
+    * wedges, and the (a,b)⋈(b,c)⋈(a,c) triangle join. */
+  private def knnTrianglesOracleSql: String =
+    s"""$knnEdgesPrefixSql,
+       |und AS (SELECT DISTINCT least(id, nbr_id) AS a, greatest(id, nbr_id) AS b
+       |  FROM g0 WHERE id <> nbr_id),
+       |degu AS (SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v),
+       |wt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM degu),
+       |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+       |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CAST(3 * n_triangles AS DOUBLE) / n_wedges AS transitivity
+       |FROM wt, ec, tc""".stripMargin
 
   private def dedupClustersOracleSql: String =
     s"""WITH RECURSIVE $minhashPairCtes,

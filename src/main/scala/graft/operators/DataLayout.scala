@@ -82,6 +82,41 @@ object DataLayout {
       .write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)
 
+  /** Rendezvous (highest-random-weight) shard of a numeric key
+    * (Thaler & Ravishankar 1998): shard = argmax over s ∈ [0, nShards)
+    * of hash(key, s), ties to the smaller s. The property that makes it
+    * the shard router of every large distributed store: growing
+    * nShards → nShards+1 moves only ~1/(nShards+1) of the keys (those
+    * whose new shard's hash beats all old ones), where mod-N moves
+    * almost everything. Pure per-row array fold — zero shuffle, zero
+    * state, any executor computes the same shard for the same key.
+    *
+    * The per-(key, shard) hash is the [[Sketches.keyHash]] scramble of
+    * `key·131 + s`, so the oracle replays the exact chain. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    val scored = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        Sketches.keyHash(key.cast("long") * lit(131L) + s).as("h"),
+        (-s).as("ns")))
+    // array_max on structs is lexicographic: max h, then max ns = min s
+    (-array_max(scored).getField("ns")).cast("int")
+  }
+
+  /** Resize-movement audit for [[rendezvousShard]]: per CURRENT shard
+    * (out of `nShards`), how many keys live there and how many would
+    * move when growing to `nShards + 1` — the capacity-planning number
+    * for a shard split. Expect moved/total ≈ 1/(nShards+1). Map-side
+    * double assignment, one small aggregation. */
+  def shardMovement(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard", rendezvousShard(col(keyCol), nShards))
+      .withColumn("_next", rendezvousShard(col(keyCol), nShards + 1))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("shard") =!= col("_next"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("shard"), col("n_keys"), col("n_moved"),
+        (col("n_moved").cast("double") / col("n_keys")).as("moved_frac"))
+
   /** Join-key skew audit: the `topK` hottest keys with their frequency
     * ratio against the mean key frequency. Ratio ≫ 1 means the shuffle
     * partition owning that key runs long — feed those keys to a salted

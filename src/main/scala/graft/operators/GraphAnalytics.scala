@@ -126,6 +126,47 @@ object GraphAnalytics {
       row_number().over(Window.orderBy(col("pr").desc, col("id")))
         .cast("int").as("rk"))
 
+  /** Global triangle census of a directed edge list treated as an
+    * UNDIRECTED graph: nodes, undirected edges, wedges (paths of length
+    * 2) and triangles, plus the transitivity ratio `3·T / W` — the
+    * standard structure audit of a kNN graph (a healthy near-neighbor
+    * graph is highly transitive; a transitivity collapse means the
+    * candidate generation is mixing unrelated cells).
+    *
+    * Shape: edges canonicalize to a < b and dedup (one shuffle); the
+    * triangle join is the node-iterator algorithm — (a,b)⋈(b,c) then a
+    * closing semi-equi-join on (a,c), all on the canonical ordering so
+    * each triangle counts exactly ONCE. On a kNN graph the join fan-out
+    * is bounded by the degree cap (≤ 2k), which is what makes this the
+    * 100 TB-safe formulation (arbitrary graphs would first orient edges
+    * by degree). Wedge terms `deg·(deg-1) div 2` are exact (the product
+    * is even). Returns one row (n_nodes, n_edges, n_wedges,
+    * n_triangles, transitivity). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache() // referenced three times by the triangle join
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedge = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    wedge.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((lit(3L) * col("n_triangles")).cast("double") / col("n_wedges"))
+          .as("transitivity"))
+  }
+
   /** Synchronous label propagation (Zhu & Ghahramani 2002 hard-label
     * variant): spread known labels from a seed subset along graph edges
     * by per-node majority vote — the semi-supervised way to extend a

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the "perplexity
+  * filter" family of LLM data curation (CCNet, Wenzek et al. 2020;
+  * RedPajama/Dolma quality pipelines score documents with a KenLM
+  * bigram/5-gram model and drop the worst tail). The reference has no
+  * corpus-statistics surface at all (it embeds whatever the loader
+  * yields — reference: src/server/app/embed package); at 100 TB these are the
+  * gates that run BEFORE anything is embedded.
+  *
+  * Replay-exactness: a float `Σ log p` is association-order-dependent,
+  * so scores here ride in INTEGER LOG2 units — `ilog2(c) =
+  * length(bin(c)) - 1`, the bit-length of the exact corpus count — and
+  * every sum is a BIGINT sum (exact and order-independent under any
+  * partitioning). The DuckDB oracle replays `length(bin(...))`
+  * bit-for-bit. One double division at the very end per document.
+  */
+object NgramLm {
+
+  /** Floor(log2(c)) of a positive BIGINT count, exactly, in both
+    * engines: the bit-length of the binary string minus one. */
+  private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** Per-document bigram-LM surprisal against the corpus's OWN bigram
+    * model: for each in-document bigram (a,b), the integer surprisal
+    * `ilog2 c(a·) - ilog2 c(ab)` ≈ log2 1/p(b|a), where c(ab) is the
+    * corpus count of the bigram and c(a·) the corpus count of `a` as a
+    * bigram prefix (the LM's context count — no smoothing needed: every
+    * scored bigram occurs at least once in its own corpus). High
+    * `bits_per_bigram` = the corpus LM is surprised = the document a
+    * CCNet-style perplexity gate drops.
+    *
+    * Scale shape: one (doc, bigram) explode, then corpus counts via two
+    * count-windows (bigram key, then prefix key — the [[TextQuality
+    * .rareBigramStats]] shape: no join-back against a counts table) and
+    * one per-doc rollup; 3 key shuffles total, each with map-side
+    * partial aggregation. Returns (id, n_bigrams, surprisal_bits,
+    * max_surprisal, bits_per_bigram). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize ONCE into a column: Catalyst does not CSE interpreted
+    // HOFs — inlining the split per bigram index would be O(words²)/doc
+    val grams = df
+      .select(col(idCol), TextQuality.tokens(lower(col(textCol))).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(" +
+          "element_at(_t, i) as ctx, " +
+          "concat(element_at(_t, i), ' ', element_at(_t, i + 1)) as bg))"))
+        .as("g"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.bg").as("bg"))
+    val counted = grams
+      .withColumn("_cbg", count(lit(1)).over(Window.partitionBy("bg")))
+      .withColumn("_cctx", count(lit(1)).over(Window.partitionBy("ctx")))
+      .withColumn("_s", ilog2(col("_cctx")) - ilog2(col("_cbg")))
+    counted.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("_s").as("surprisal_bits"),
+        max("_s").as("max_surprisal"))
+      .select(col(idCol), col("n_bigrams"), col("surprisal_bits"),
+        col("max_surprisal"),
+        (col("surprisal_bits").cast("double") / col("n_bigrams"))
+          .as("bits_per_bigram"))
+  }
+
+  /** Top-k collocations by pointwise mutual information over the corpus
+    * bigram table — the classic phrase-mining step (Church & Hanks 1990)
+    * that decides which token pairs become single vocabulary units.
+    * Reported as the exact PMI RATIO `p(ab) / (p(a)·p(b)) =
+    * c_ab·N²/(B·c_a·c_b)` (monotone with PMI, no log), evaluated as
+    * exact BIGINTs through a fixed left-to-right chain of double
+    * operations so the oracle replays the identical IEEE values.
+    *
+    * Scale shape: unigram and bigram counts collapse map-side; the
+    * unigram table is a language VOCABULARY (bounded, frequency-sorted
+    * Zipf head) and broadcasts onto the bigram table twice — no shuffle
+    * after the two count aggregations; top-k is a bounded TakeOrdered
+    * heap. Returns (w1, w2, c_bg, c1, c2, pmi_ratio). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = df.select(TextQuality.tokens(lower(col(textCol))).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val totals = uni.agg(sum("c_tok").cast("long").as("n_tokens"))
+    val bg = toks.filter(size(col("_t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(" +
+          "element_at(_t, i) as w1, element_at(_t, i + 1) as w2))")).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val totalsB = bg.agg(sum("c_bg").cast("long").as("n_bigrams"))
+    bg.filter(col("c_bg") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c_tok").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c_tok").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(totalsB))
+      // fixed evaluation order — mirrored verbatim in the oracle SQL
+      .withColumn("pmi_ratio",
+        col("c_bg").cast("double") * col("n_tokens") / col("n_bigrams")
+          * col("n_tokens") / col("c1") / col("c2"))
+      .select(col("w1"), col("w2"), col("c_bg"), col("c1"), col("c2"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DataLayout, Evaluation, GraphAnalytics, NgramLm}
+import graft.plans.HashExpressions.{scrambleHash, PolyBase1}
+
+class NgramLmAndEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramLmScore: integer-log2 surprisal against the corpus's own counts") {
+    // corpus bigrams: "a b"×2, "b a"×1, "a c"×1; prefix counts: a·=3, b·=1
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "surprisal_bits", "max_surprisal")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1: (a b): ilog2(3)-ilog2(2)=0 twice; (b a): ilog2(1)-ilog2(1)=0
+    // doc2: (a c): ilog2(3)-ilog2(1)=1
+    assert(out == Seq((1L, 3L, 0L, 0L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("bigramLmScore: single-token and empty docs are excluded") {
+    val df = Seq((1L, "x"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val ids = NgramLm.bigramLmScore(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
+
+  test("pmiCollocations: exact ratio and ordering") {
+    // 3 docs, each "p q" plus filler so p,q occur only together
+    val df = Seq.tabulate(5)(i => Tuple1(s"p q f$i g$i")).toDF("text")
+    val out = NgramLm.pmiCollocations(df, "text", minCount = 5L, k = 5)
+      .select("w1", "w2", "c_bg", "c1", "c2", "pmi_ratio")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only "p q" reaches minCount=5; N=20 tokens, B=15 bigrams
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(("p", "q", 5L)))
+    val want = 5.0 * 20 / 15 * 20 / 5 / 5
+    assert(out.head._6 == want)
+  }
+
+  test("aucByRankSum: hand-checked AUC with a tie") {
+    val df = Seq((0.9, true), (0.8, false), (0.8, true), (0.3, false))
+      .toDF("score", "label")
+    val (np, nn, u2, auc) = Evaluation.aucByRankSum(df, "score", "label")
+      .as[(Long, Long, Long, Double)].head()
+    // pairs: 0.9 beats both negs, 0.8T ties 0.8F (½) and beats 0.3
+    assert((np, nn, u2) == (2L, 2L, 7L))
+    assert(auc == 0.875)
+  }
+
+  test("aucByRankSum: perfect separation gives 1.0") {
+    val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("score", "label")
+    assert(Evaluation.aucByRankSum(df, "score", "label")
+      .select("auc").as[Double].head() == 1.0)
+  }
+
+  test("calibrationBins: fixed edges, clamped extremes") {
+    val df = Seq((-0.5, false), (-0.06, false), (0.04, true), (0.5, true))
+      .toDF("margin", "label")
+    val out = Evaluation.calibrationBins(df, "margin", "label", 10)
+      .orderBy("bin").select("bin", "n", "n_pos")
+      .as[(Int, Long, Long)].collect().toSeq
+    // -0.5→bin0, -0.06→floor(4.4)=4, 0.04→floor(5.4)=5, 0.5→floor(10)→clamp 9
+    assert(out == Seq((0, 1L, 0L), (4, 1L, 0L), (5, 1L, 1L), (9, 1L, 1L)))
+  }
+
+  test("rendezvousShard matches the scalar argmax and moves only to the new shard") {
+    val keys = (0L until 500L).map(Tuple1(_)).toDF("id")
+    val out = keys
+      .withColumn("s16", DataLayout.rendezvousShard(col("id"), 16))
+      .withColumn("s17", DataLayout.rendezvousShard(col("id"), 17))
+      .as[(Long, Int, Int)].collect().toSeq
+    def hrw(k: Long, n: Int): Int =
+      (0 until n).map(s => (scrambleHash(k * 131L + s, PolyBase1), -s))
+        .max match { case (_, ns) => -ns }
+    out.foreach { case (k, s16, s17) =>
+      assert(s16 == hrw(k, 16) && s17 == hrw(k, 17))
+      if (s16 != s17) assert(s17 == 16) // HRW: movers go only to the added shard
+    }
+    val movedFrac = out.count(t => t._2 != t._3).toDouble / out.size
+    assert(movedFrac > 0.01 && movedFrac < 0.15, s"moved $movedFrac")
+  }
+
+  test("triangleStats: triangle plus pendant, direction-insensitive") {
+    // undirected triangle {1,2,3} + pendant 4; fed with duplicate reversed edges
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val (nodes, es, wedges, tris, trans) =
+      GraphAnalytics.triangleStats(edges, "src", "dst")
+        .as[(Long, Long, Long, Long, Double)].head()
+    // degrees 2,2,3,1 → wedges 1+1+3+0 = 5
+    assert((nodes, es, wedges, tris) == (4L, 4L, 5L, 1L))
+    assert(trans == 3.0 / 5)
+  }
+}
