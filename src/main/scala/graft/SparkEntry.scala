@@ -2377,6 +2377,44 @@ object SparkEntry {
       GraphAnalytics.triangleStats(
         Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
         "id", "nbr_id")
+    }),
+
+    "q162_token_entropy" -> ((s, dir) =>
+      // per-doc unigram entropy (repetition/compressibility gate) in
+      // exact integer log2 units — two map-side-combined aggregates
+      NgramLm.tokenEntropy(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q163_zipf_octaves" -> ((s, dir) =>
+      // vocabulary health: term/occurrence mass per log2-frequency octave
+      // (Zipf decay audit) — the per-shard corpus monitor
+      NgramLm.zipfOctaves(tbl(s, dir, "documents"), "text")
+        .orderBy("octave")),
+
+    "q164_domain_report" -> ((s, dir) => {
+      // per-source curation report card (Dolma-style): volume, Gopher
+      // pass rate, exact-dup rate (content fingerprint), decimal-exact
+      // mean classifier margin — the dashboard a 100 TB curation run is
+      // steered by; one corpus scan feeds classifier+fingerprint, the
+      // Gopher gate joins on doc_id
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .withColumn("_fp", TF.fingerprint("text"))
+        .withColumn("_fpn", count(lit(1)).over(Window.partitionBy("_fp")))
+      scored
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"),
+          sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("_fpn") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(col("margin").cast("decimal(24,6)")).cast("double").as("_sm"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"),
+          (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
+          (col("_sm") / col("n_docs")).as("mean_margin"))
+        .orderBy("source")
     })
   )
 
@@ -3771,6 +3809,37 @@ object SparkEntry {
 
       "q161_knn_triangles" -> knnTrianglesOracleSql,
 
+      "q162_token_entropy" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+          |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+          |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+          |    CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_clog
+          |  FROM tc GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_distinct,
+          |  CAST(n_tokens * (length(bin(n_tokens)) - 1) - sum_clog AS BIGINT) AS entropy_bits,
+          |  CAST(n_tokens * (length(bin(n_tokens)) - 1) - sum_clog AS DOUBLE)
+          |    / n_tokens AS bits_per_token
+          |FROM agg ORDER BY doc_id""".stripMargin,
+
+      "q163_zipf_octaves" ->
+        """WITH toks AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |c AS (SELECT tok, COUNT(*) AS c
+          |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok)
+          |SELECT CAST(length(bin(c)) - 1 AS INT) AS octave,
+          |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+          |  CAST(SUM(c) AS BIGINT) AS n_occurrences,
+          |  CAST(MIN(c) AS BIGINT) AS min_count,
+          |  CAST(MAX(c) AS BIGINT) AS max_count
+          |FROM c GROUP BY 1 ORDER BY octave""".stripMargin,
+
+      "q164_domain_report" -> domainReportOracleSql,
+
       "q152_ewma_monitor" ->
         """WITH e AS (SELECT event_id, event_type,
           |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -4746,6 +4815,27 @@ object SparkEntry {
        |FROM ac c JOIN an n USING (doc_id)
        |GROUP BY c.shard ORDER BY c.shard""".stripMargin
   }
+
+  /** Replays q164: the q158 scored CTEs plus the q26 fingerprint with a
+    * duplicate-count window, rolled up per source with a decimal-exact
+    * margin mean. */
+  private def domainReportOracleSql: String =
+    s"""$scoredMarginCtes,
+       |fp AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(text) + 1),
+       |        i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+       |  FROM documents),
+       |fpn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) AS fpn FROM fp),
+       |j AS (SELECT d.source, d.n_chars, s.margin, s.quality_pass, f.fpn
+       |  FROM documents d JOIN scored s USING (doc_id) JOIN fpn f USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pass_rate,
+       |  CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+       |  CAST(SUM(CAST(margin AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS mean_margin
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   /** Replays q161: the q101 graph canonicalized to a < b, degree-sum
     * wedges, and the (a,b)⋈(b,c)⋈(a,c) triangle join. */

@@ -66,6 +66,50 @@ object NgramLm {
           .as("bits_per_bigram"))
   }
 
+  /** Per-document unigram entropy in exact integer log2 units:
+    * `n·H ≈ n·ilog2(n) − Σ_t c_t·ilog2(c_t)` over the document's own
+    * token counts — the repetition/compressibility signal (a document
+    * whose tokens are dominated by a few repeats has near-zero entropy;
+    * boilerplate and keyword-stuffed spam score lowest). The floor-log2
+    * form keeps every term a BIGINT, exact under any partitioning.
+    *
+    * Scale shape: one (doc, token) count aggregate + one per-doc rollup,
+    * both collapsing map-side — the [[TextQuality.bigramRepetition]]
+    * shape (a per-doc HOF count would be O(words²) per document).
+    * Returns (id, n_tokens, n_distinct, entropy_bits, bits_per_token). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = df
+      .select(col(idCol), explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * ilog2(col("c"))).cast("long").as("_sum_clog"))
+      .withColumn("entropy_bits",
+        col("n_tokens") * ilog2(col("n_tokens")) - col("_sum_clog"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("entropy_bits"),
+        (col("entropy_bits").cast("double") / col("n_tokens"))
+          .as("bits_per_token"))
+  }
+
+  /** Zipf octave audit of the corpus vocabulary: bucket every term by
+    * the integer log2 of its corpus frequency and report terms and
+    * occurrence mass per octave. A healthy natural-language corpus
+    * shows geometric decay of `n_terms` across octaves (Zipf's law);
+    * a bulge in a high octave is boilerplate, a bloated octave 0 is
+    * OCR noise / tokenizer damage. Two map-side-combined aggregates
+    * over the vocabulary — the shard-level corpus-health monitor.
+    * Returns (octave, n_terms, n_occurrences, min_count, max_count). */
+  def zipfOctaves(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy(ilog2(col("c")).cast("int").as("octave"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum("c").cast("long").as("n_occurrences"),
+        min("c").cast("long").as("min_count"),
+        max("c").cast("long").as("max_count"))
+
   /** Top-k collocations by pointwise mutual information over the corpus
     * bigram table — the classic phrase-mining step (Church & Hanks 1990)
     * that decides which token pairs become single vocabulary units.

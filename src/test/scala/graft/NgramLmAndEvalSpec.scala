@@ -64,6 +64,26 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out == Seq((0, 1L, 0L), (4, 1L, 0L), (5, 1L, 1L), (9, 1L, 1L)))
   }
 
+  test("tokenEntropy: integer-log2 entropy, constant doc scores zero") {
+    val df = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = NgramLm.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct", "entropy_bits")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc1: 4·ilog2(4) − 4·ilog2(4) = 0; doc2: 4·2 − 4·0 = 8
+    assert(out == Seq((1L, 4L, 1L, 0L), (2L, 4L, 4L, 8L)))
+  }
+
+  test("zipfOctaves: terms bucket by log2 of corpus frequency") {
+    // freq: "a"×4 (octave 2), "b"×2, "c"×2 (octave 1), "d"×1 (octave 0)
+    val df = Seq(Tuple1("a a b c d"), Tuple1("a a b c")).toDF("text")
+    val out = NgramLm.zipfOctaves(df, "text")
+      .orderBy("octave")
+      .select("octave", "n_terms", "n_occurrences")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 1L, 1L), (1, 2L, 4L), (2, 1L, 4L)))
+  }
+
   test("rendezvousShard matches the scalar argmax and moves only to the new shard") {
     val keys = (0L until 500L).map(Tuple1(_)).toDF("id")
     val out = keys
