@@ -2415,7 +2415,97 @@ object SparkEntry {
           (col("n_dup").cast("double") / col("n_docs")).as("dup_rate"),
           (col("_sm") / col("n_docs")).as("mean_margin"))
         .orderBy("source")
-    })
+    }),
+
+    "q165_winnowing" -> ((s, dir) => {
+      // MOSS winnowing fingerprints: shared-passage pairs the shingle-set
+      // LSH family can only approximate — each doc and its truncated twin
+      // share every window outside the cut tail
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Winnowing.sharedFingerprintPairs(corpus, "doc_id", "text",
+          k = 8, w = 16, minShared = 4)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q166_edit_verified" -> ((s, dir) => {
+      // two-stage near-dup: LSH proposes, exact Levenshtein confirms —
+      // the O(len²) DP runs only on LSH survivors, never corpus-wide
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.editVerifiedPairs(corpus, "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
+          minEditSim = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q167_ndcg" -> ((s, dir) => {
+      // graded ranking quality of the q103 IVF probe: nDCG@3 with exact
+      // rational discounts (integer DCG numerators, one final division)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
+        centroids, "cid", "cv", queries, "qv", "qid", 3, 2)
+      val exact = Similarity.topKBatch(e, "embedding", "vec_id",
+        queries, "qv", "qid", 3)
+      Evaluation.ndcgRational(approx, exact, "query_id", "vec_id", "rank", 3)
+        .orderBy("query_id")
+    }),
+
+    "q168_rater_kappa" -> ((s, dir) => {
+      // Cohen's κ between the model-based gate (q100 classifier label)
+      // and the rule-based one (q71 Gopher pass) — beyond-chance
+      // agreement, the sanity check before either filters a corpus
+      val d = tbl(s, dir, "documents")
+      Evaluation.cohenKappa(
+        TextQuality.classifierScore(d, "doc_id", "text")
+          .select(col("doc_id"), col("label"))
+          .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+            .select(col("doc_id"), col("quality_pass")), Seq("doc_id")),
+        "label", "quality_pass")
+    }),
+
+    "q169_distinct_ngrams" -> ((s, dir) =>
+      // distinct-1/2/3 diversity per source — template-dominated sources
+      // score low even when per-document dedup passes
+      NgramLm.distinctNgrams(tbl(s, dir, "documents"), "source", "text", 3)
+        .orderBy("source", "n")),
+
+    "q170_ks_drift" -> ((s, dir) => {
+      // exact two-sample KS over the event value distribution (mod-3
+      // snapshot split as q147): integer cross-multiplied CDF gaps,
+      // one division at the end
+      val e = events(s, dir).filter(col("value").isNotNull)
+      Stats.ksStatistic(
+        e.filter(col("event_id") % 3 === 0),
+        e.filter(col("event_id") % 3 =!= 0), "value")
+    }),
+
+    "q171_gini_sources" -> ((s, dir) =>
+      // token-mass concentration across sources — the mix audit number
+      Stats.giniConcentration(
+        tbl(s, dir, "documents").select(col("source"),
+          size(TextQuality.tokens(lower(col("text")))).cast("long").as("w")),
+        "source", "w")),
+
+    "q172_kcenter" -> ((s, dir) =>
+      // greedy k-center coreset: 6 maximally-diverse exemplars under
+      // cosine distance, each round one distributed argmax job
+      Clustering.kCenterGreedy(tbl(s, dir, "embeddings"), "embedding",
+          "vec_id", 6)
+        .select(col("sel_rank"), col("id").as("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("sel_rank"))
   )
 
   // ======================================================================
@@ -3840,6 +3930,51 @@ object SparkEntry {
 
       "q164_domain_report" -> domainReportOracleSql,
 
+      "q165_winnowing" -> winnowingOracleSql,
+
+      "q166_edit_verified" -> editVerifiedOracleSql,
+
+      "q167_ndcg" -> ndcgOracleSql,
+
+      "q168_rater_kappa" -> raterKappaOracleSql,
+
+      "q169_distinct_ngrams" -> distinctNgramsOracleSql,
+
+      "q170_ks_drift" ->
+        """WITH e AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+          |r AS (SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS nr
+          |  FROM e WHERE event_id % 3 = 0 GROUP BY value),
+          |c AS (SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS nc
+          |  FROM e WHERE event_id % 3 <> 0 GROUP BY value),
+          |m AS (SELECT coalesce(r.v, c.v) AS v, coalesce(nr, 0) AS nr,
+          |    coalesce(nc, 0) AS nc FROM r FULL JOIN c ON r.v = c.v),
+          |t AS (SELECT CAST(SUM(nr) AS BIGINT) AS tr, CAST(SUM(nc) AS BIGINT) AS tc FROM m),
+          |cum AS (SELECT v, SUM(nr) OVER w AS cr, SUM(nc) OVER w AS cc FROM m
+          |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |best AS (SELECT abs(cr * tc - cc * tr) AS g, v FROM cum, t
+          |  ORDER BY g DESC, v ASC LIMIT 1)
+          |SELECT t.tr AS n_ref, t.tc AS n_cur, CAST(b.g AS BIGINT) AS d_num,
+          |  CAST(t.tr * t.tc AS BIGINT) AS d_denom,
+          |  CAST(b.g AS DOUBLE) / (t.tr * t.tc) AS ks_d, b.v AS d_at
+          |FROM t, best b""".stripMargin,
+
+      "q171_gini_sources" ->
+        """WITH tc AS (SELECT source,
+          |    CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> ''))) AS BIGINT) AS w
+          |  FROM documents GROUP BY source),
+          |rk AS (SELECT source, w, row_number() OVER (ORDER BY w, source) AS i FROM tc),
+          |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+          |    CAST(SUM(w) AS BIGINT) AS total_weight,
+          |    CAST(SUM(i * w) AS BIGINT) AS iw FROM rk)
+          |SELECT n_groups, total_weight,
+          |  CAST(2 * iw - (n_groups + 1) * total_weight AS BIGINT) AS gini_num,
+          |  CAST(2 * iw - (n_groups + 1) * total_weight AS DOUBLE)
+          |    / (n_groups * total_weight) AS gini
+          |FROM agg""".stripMargin,
+
+      "q172_kcenter" -> kcenterOracleSql,
+
       "q152_ewma_monitor" ->
         """WITH e AS (SELECT event_id, event_type,
           |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -4836,6 +4971,179 @@ object SparkEntry {
        |  CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
        |  CAST(SUM(CAST(margin AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS mean_margin
        |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** Replays q165: the near-dup corpus → per-char code points → k-gram
+    * polynomial hashes (k=8) → min of each w=16 window → distinct
+    * fingerprints → stop-fp cap (2..50 docs) → shared-fp pair counts.
+    * Identical mod-p arithmetic to [[Winnowing.fingerprints]]; DuckDB's
+    * first-element `list_reduce` init is made explicit with a prepended
+    * 0 (0·31 + c₁ ≡ c₁). */
+  private def winnowingOracleSql: String =
+    s"""WITH corpus AS ($nearDupCorpus),
+       |codes AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+       |    i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+       |  FROM corpus WHERE length(text) >= 23),
+       |khash AS (
+       |  SELECT doc_id, list_transform(range(1, len(cs) - 6),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cs, i, i + 7)),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+       |  FROM codes),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp
+       |  FROM khash, unnest(list_distinct(list_transform(range(1, len(hs) - 14),
+       |    t -> list_aggregate(list_slice(hs, t, t + 15), 'min')))) AS u(fp)),
+       |bounded AS (
+       |  SELECT doc_id, fp FROM fps
+       |  QUALIFY COUNT(*) OVER (PARTITION BY fp) BETWEEN 2 AND 50)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM bounded x JOIN bounded y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Replays q166: the q20 LSH pair CTEs, survivors joined back to their
+    * texts and confirmed with DuckDB's own Levenshtein. */
+  private def editVerifiedOracleSql: String =
+    s"""WITH $minhashPairCtes,
+       |ver AS (
+       |  SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |    1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |      / greatest(length(a.text), length(b.text)) AS edit_sim
+       |  FROM pairs p
+       |  JOIN corpus a ON p.doc_a = a.doc_id
+       |  JOIN corpus b ON p.doc_b = b.doc_id
+       |  WHERE p.est_jaccard >= 0.8)
+       |SELECT doc_a, doc_b, est_jaccard, lev, edit_sim,
+       |  edit_sim >= 0.9 AS verified
+       |FROM ver ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Replays q167: the q103 IVF/exact CTE chain keeping ranks, then the
+    * rational-discount DCG (L = lcm(1..3) = 6, gain 4−rank, integer
+    * weight 6//r) and one final division. */
+  private def ndcgOracleSql: String =
+    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT vec_id, embedding, centroid_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+      |    FROM embeddings e, c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |probe AS (SELECT query_id, qv, cid FROM (
+      |    SELECT q.query_id, q.qv, c.cid,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_distance(qv, c.cv), c.cid) AS rn
+      |    FROM q, c) WHERE rn <= 2),
+      |approx AS (SELECT query_id, vec_id, rk FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY 1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), p.qv),
+      |          a.vec_id) AS rk
+      |    FROM a JOIN probe p ON a.centroid_id = p.cid) WHERE rk <= 3),
+      |exact AS (SELECT query_id, vec_id, rk FROM (
+      |    SELECT q.query_id, e.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+      |          e.vec_id) AS rk
+      |    FROM embeddings e, q) WHERE rk <= 3),
+      |rel AS (SELECT query_id, vec_id, CAST(4 - rk AS BIGINT) AS rel FROM exact),
+      |dcg AS (SELECT ap.query_id,
+      |    CAST(SUM(coalesce(r.rel, 0) * (6 // ap.rk)) AS BIGINT) AS dcg_num
+      |  FROM approx ap LEFT JOIN rel r USING (query_id, vec_id)
+      |  GROUP BY ap.query_id),
+      |idcg AS (SELECT query_id,
+      |    CAST(SUM(rel * (6 // (4 - rel))) AS BIGINT) AS idcg_num
+      |  FROM rel GROUP BY query_id)
+      |SELECT i.query_id, coalesce(d.dcg_num, 0) AS dcg_num, i.idcg_num,
+      |  CAST(coalesce(d.dcg_num, 0) AS DOUBLE) / i.idcg_num AS ndcg
+      |FROM idcg i LEFT JOIN dcg d USING (query_id) ORDER BY i.query_id""".stripMargin
+
+  /** Replays q168: the q158 scored CTEs plus the classifier label
+    * (raw_margin > 0, 0-feature docs labelled false via the left join),
+    * folded to the 2×2 contingency table and the exact-integer κ. */
+  private def raterKappaOracleSql: String = {
+    val chance = "(n_both + n_a_only) * (n_both + n_b_only) + " +
+      "(n_b_only + n_neither) * (n_a_only + n_neither)"
+    s"""$scoredMarginCtes,
+       |lbl AS (SELECT d.doc_id, coalesce(a.raw_margin, 0) > 0 AS label
+       |  FROM documents d LEFT JOIN cagg a USING (doc_id)),
+       |j AS (SELECT l.label, s.quality_pass
+       |  FROM lbl l JOIN scored s USING (doc_id)),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN label AND quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN label AND NOT quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+       |  CAST(SUM(CASE WHEN NOT label AND quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+       |  CAST(SUM(CASE WHEN NOT label AND NOT quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |  FROM j)
+       |SELECT n, n_both, n_a_only, n_b_only, n_neither,
+       |  CAST(n_both + n_neither AS DOUBLE) / n AS po,
+       |  CAST($chance AS DOUBLE) / (n * n) AS pe,
+       |  CAST(n * (n_both + n_neither) - ($chance) AS DOUBLE)
+       |    / (n * n - ($chance)) AS kappa
+       |FROM agg""".stripMargin
+  }
+
+  /** Replays q169 for n = 1..3: token n-grams joined with spaces,
+    * counted total and distinct per source. */
+  private def distinctNgramsOracleSql: String = {
+    val per = (1 to 3).map { n =>
+      s"""SELECT source, CAST($n AS INT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+         |FROM (SELECT source, unnest(list_transform(
+         |    range(1, greatest(len(t) - ${n - 1}, 0) + 1),
+         |    i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS g
+         |  FROM toks)
+         |GROUP BY source""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT source, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x <> '') AS t
+       |  FROM documents)
+       |SELECT source, n, n_total, n_distinct,
+       |  CAST(n_distinct AS DOUBLE) / n_total AS distinct_ratio
+       |FROM ($per)
+       |ORDER BY source, n""".stripMargin
+  }
+
+  /** Replays q172: greedy k-center unrolled CTE-per-pick (the q19 MMR
+    * oracle pattern), with the cosine fold replayed in the same
+    * index order and √na·√nb denominator as CosineDistanceExpr. */
+  private def kcenterOracleSql: String = {
+    def fold(p: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $p), (x, y) -> x + y)"
+    def cosDist(a: String, b: String): String = {
+      val dot = fold(s"$a[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+      val na = fold(s"$a[CAST(i AS INT)] * $a[CAST(i AS INT)]")
+      val nb = fold(s"$b[CAST(i AS INT)] * $b[CAST(i AS INT)]")
+      s"CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 1.0 " +
+        s"ELSE 1.0 - $dot / (sqrt($na) * sqrt($nb)) END"
+    }
+    val k = 6
+    val sb = new StringBuilder
+    sb ++= """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sel1 AS (SELECT vec_id, v, 0.0 AS d FROM emb
+      |  WHERE vec_id = (SELECT min(vec_id) FROM emb))""".stripMargin
+    for (n <- 2 to k) {
+      val prevIds = (1 until n).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")
+      val prevSel = (1 until n).map(i => s"SELECT v FROM sel$i").mkString(" UNION ALL ")
+      sb ++= s""",
+         |rem$n AS (SELECT * FROM emb WHERE vec_id NOT IN ($prevIds)),
+         |d$n AS (SELECT r.vec_id, min(${cosDist("r.v", "s.v")}) AS d
+         |  FROM rem$n r CROSS JOIN ($prevSel) s GROUP BY r.vec_id),
+         |sel$n AS (SELECT r.vec_id, r.v, d.d
+         |  FROM rem$n r JOIN d$n d ON r.vec_id = d.vec_id
+         |  ORDER BY d.d DESC, r.vec_id LIMIT 1)""".stripMargin
+    }
+    sb ++= (1 to k).map(n =>
+        s"SELECT CAST($n AS INT) AS sel_rank, vec_id, round(d, 6) AS dist FROM sel$n")
+      .mkString("\nSELECT sel_rank, vec_id, dist FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY sel_rank")
+    sb.toString
+  }
 
   /** Replays q161: the q101 graph canonicalized to a < b, degree-sum
     * wedges, and the (a,b)⋈(b,c)⋈(a,c) triangle join. */

@@ -87,4 +87,46 @@ object Clustering {
       .agg(count(lit(1)).as("n_points"),
         sum((col(distCol) * col(distCol)).cast("decimal(30,12)"))
           .cast("double").as("inertia"))
+
+  /** Greedy k-center (farthest-point / Gonzalez 1985) selection of `k`
+    * maximally-diverse representatives under cosine distance — the
+    * coreset / diversity-sampling primitive (pick the prompts to
+    * human-review, seed centroids far apart, cover the embedding space
+    * with k exemplars; 2-approximation to the optimal k-center cover).
+    *
+    * Deterministic: seeds at the minimum id, each round picks the point
+    * FARTHEST from the chosen set (ties to the smallest id). Like
+    * [[Similarity.mmrDistributed]], the corpus stays a cached
+    * distributed frame; each of the k−1 rounds is one argmax job whose
+    * chosen-set rides the closure as ≤ k vector literals — O(k·dim)
+    * driver memory, never a corpus collect. Returns (sel_rank, id,
+    * dist) where dist is the distance from the picked point to the
+    * previously-chosen set (0.0 for the seed) — the decreasing sequence
+    * whose last value is the achieved covering radius. */
+  def kCenterGreedy(corpus: DataFrame, vecCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.VectorExpressions.register(spark)
+    val cand = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).cache()
+    try {
+      val seed = cand.orderBy(col("id").asc).limit(1).collect().head
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Seq[Float])](
+        (seed.getLong(0), 0.0, seed.getSeq[Float](1)))
+      while (selected.size < k) {
+        val minDist = selected.map { case (_, _, sv) =>
+          call_function("graft_cosine_distance", col("v"), typedLit(sv))
+        }.reduce(least(_, _))
+        val pick = cand.filter(!col("id").isin(selected.map(_._1).toSeq: _*))
+          .withColumn("_d", minDist)
+          .orderBy(col("_d").desc, col("id").asc)
+          .limit(1).select(col("id"), col("_d"), col("v")).collect().head
+        selected += ((pick.getLong(0), pick.getDouble(1), pick.getSeq[Float](2)))
+      }
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case ((id, d, _), i) => (i + 1, id, d) }.toSeq
+        .toDF("sel_rank", "id", "dist")
+    } finally cand.unpersist()
+  }
 }

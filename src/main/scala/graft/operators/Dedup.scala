@@ -141,6 +141,35 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs VERIFIED by exact edit distance — the standard
+    * two-stage near-dup pipeline: [[minhashLshPairs]] proposes (cheap,
+    * set-semantics, order-blind), Levenshtein confirms (exact,
+    * order-aware — it separates a true re-edit from a shuffled bag of
+    * the same shingles, which Jaccard cannot). The O(len²) DP runs only
+    * on the LSH survivors, never corpus-wide; texts join onto the pair
+    * list by id, so the corpus is scanned once per side and only pair
+    * rows carry text into the (codegen'd built-in) `levenshtein`.
+    * Returns (doc_a, doc_b, est_jaccard, lev, edit_sim, verified) with
+    * edit_sim = 1 − lev/max(len_a, len_b). */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5, minEditSim: Double = 0.8,
+                        maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucketSize)
+    val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"))
+    pairs
+      .join(texts.select(col("_tid"), col("_txt").as("_ta")),
+        col("doc_a") === col("_tid")).drop("_tid")
+      .join(texts.select(col("_tid"), col("_txt").as("_tb")),
+        col("doc_b") === col("_tid")).drop("_tid")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        levenshtein(col("_ta"), col("_tb")).cast("long").as("lev"),
+        (lit(1.0) - levenshtein(col("_ta"), col("_tb")).cast("double") /
+          greatest(length(col("_ta")), length(col("_tb")))).as("edit_sim"))
+      .withColumn("verified", col("edit_sim") >= minEditSim)
+  }
+
   /** Per-doc LSH band signatures in STORABLE form: one row per (id, band)
     * with the full minhash signature and the band's bucket hash — the
     * table an incremental-ingest pipeline persists (written

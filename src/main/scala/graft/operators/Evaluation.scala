@@ -72,4 +72,67 @@ object Evaluation {
       .select(col("bin"), col("n"), col("n_pos"),
         (col("n_pos").cast("double") / col("n")).as("frac_pos"),
         col("min_score"), col("max_score"))
+
+  /** nDCG@k of an approximate ranking against the exact one, with
+    * RATIONAL discounts: gain = k+1−exact_rank (graded), discount 1/r
+    * scaled by L = lcm(1..k) so every DCG term `gain·(L/r)` is an exact
+    * BIGINT — the log2 discount's irrational terms would make the sum
+    * order-dependent in floats. Numerator and denominator stay integers
+    * until the single final division, so the metric is exact under any
+    * partitioning (the same discipline as [[aucByRankSum]]).
+    *
+    * Both inputs carry (queryIdCol, idCol, rankCol) with rank 1..k.
+    * Scale shape: one broadcast-sized join per (query, result) row plus
+    * a per-query rollup — no corpus-sized shuffle. Returns
+    * (queryIdCol, dcg_num, idcg_num, ndcg). */
+  def ndcgRational(approx: DataFrame, exact: DataFrame, queryIdCol: String,
+                   idCol: String, rankCol: String, k: Int): DataFrame = {
+    val lcmK = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val rel = exact.select(col(queryIdCol), col(idCol),
+      (lit(k + 1) - col(rankCol)).cast("long").as("_rel"))
+    val dcg = approx
+      .select(col(queryIdCol), col(idCol), col(rankCol).cast("long").as("_r"))
+      .join(rel, Seq(queryIdCol, idCol), "left")
+      .groupBy(col(queryIdCol))
+      // `div`, not `/`: lcmK % r == 0 so the weight is an exact BIGINT
+      .agg(sum(coalesce(col("_rel"), lit(0L)) * expr(s"${lcmK}L div _r"))
+        .cast("long").as("dcg_num"))
+    val idcg = rel
+      .groupBy(col(queryIdCol))
+      // ideal ordering: rels are k..1, so ideal rank of gain g is k+1−g
+      .agg(sum(col("_rel") * expr(s"${lcmK}L div (${k + 1}L - _rel)"))
+        .cast("long").as("idcg_num"))
+    idcg.join(dcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("dcg_num"), lit(0L)).as("dcg_num"), col("idcg_num"),
+        (coalesce(col("dcg_num"), lit(0L)).cast("double") / col("idcg_num"))
+          .as("ndcg"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Cohen's κ agreement between two boolean raters over the same rows —
+    * the standard check that a cheap model-based quality gate agrees
+    * with a rule-based one beyond chance before either is trusted to
+    * filter a 100 TB corpus. Entirely integer contingency counts; κ is
+    * the single exact ratio (N·Σdiag − Σ_c rowN_c·colN_c) /
+    * (N² − Σ_c rowN_c·colN_c), divided once at the end.
+    * One map-side-combined aggregate → one row:
+    * (n, n_both, n_a_only, n_b_only, n_neither, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+        sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("_agree", col("n_both") + col("n_neither"))
+      .withColumn("_chance",
+        (col("n_both") + col("n_a_only")) * (col("n_both") + col("n_b_only")) +
+          (col("n_b_only") + col("n_neither")) * (col("n_a_only") + col("n_neither")))
+      .select(col("n"), col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"),
+        (col("_agree").cast("double") / col("n")).as("po"),
+        (col("_chance").cast("double") / (col("n") * col("n"))).as("pe"),
+        ((col("n") * col("_agree") - col("_chance")).cast("double") /
+          (col("n") * col("n") - col("_chance"))).as("kappa"))
 }

@@ -110,6 +110,31 @@ object NgramLm {
         min("c").cast("long").as("min_count"),
         max("c").cast("long").as("max_count"))
 
+  /** Distinct-n diversity per group: for each n in 1..maxN, the count
+    * and distinct count of token n-grams and their ratio — the standard
+    * corpus diversity metric (Li et al. 2016's distinct-1/distinct-2);
+    * a low ratio flags template/boilerplate-dominated sources that
+    * survive per-document dedup. One explode + aggregate per n, each
+    * with a map-side partial; the distinct count is exact (a 100 TB run
+    * would swap in [[Sketches]] HLL — this is the audit-grade version).
+    * Returns (groupCol, n, n_total, n_distinct, distinct_ratio). */
+  def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
+                     maxN: Int = 3): DataFrame = {
+    val toks = df.select(col(groupCol),
+      TextQuality.tokens(lower(col(textCol))).as("_t"))
+    (1 to maxN).map { n =>
+      toks
+        .select(col(groupCol), explode(expr(
+          s"transform(sequence(1, greatest(size(_t) - ${n - 1}, 0)), " +
+            s"i -> array_join(slice(_t, i, $n), ' '))")).as("_g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_total"),
+          count_distinct(col("_g")).as("n_distinct"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_total")).as("distinct_ratio"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Top-k collocations by pointwise mutual information over the corpus
     * bigram table — the classic phrase-mining step (Church & Hanks 1990)
     * that decides which token pairs become single vocabulary units.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact-replay statistical profiling: anomaly flags and correlations whose
@@ -156,4 +157,60 @@ object Stats {
       .select(col(groupCol), col(orderCol), col(tieCol), col(valueCol),
         col("_L").as("n_history"), col("ewma"), col("deviation"))
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic between a reference
+    * and a current numeric sample — the CONTINUOUS-distribution drift
+    * gate that complements [[chiSquareDrift]]'s categorical one. D =
+    * max_x |F_ref(x) − F_cur(x)| is computed in pure integer arithmetic:
+    * at every distinct value the cross-multiplied gap
+    * |cumRef·nCur − cumCur·nRef| is a BIGINT, divided by nRef·nCur only
+    * at the end — no float CDFs, exact under any partitioning.
+    *
+    * Scale shape: each side collapses to its distinct values map-side;
+    * the ordered cumulative window runs over |distinct values| rows.
+    * Returns one row (n_ref, n_cur, d_num, d_denom, ks_d, d_at). */
+  def ksStatistic(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.groupBy(col(valueCol).as("_v")).agg(count(lit(1)).as(n))
+    val counts = side(ref, "_nr").join(side(cur, "_nc"), Seq("_v"), "full")
+      .select(col("_v"), coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nc"), lit(0L)).as("_nc"))
+    val tot = counts.agg(sum("_nr").cast("long").as("_tr"),
+      sum("_nc").cast("long").as("_tc"))
+    val w = Window.orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_gap",
+        abs(sum("_nr").over(w) * col("_tc") - sum("_nc").over(w) * col("_tr")))
+      // argmax with deterministic tie-break: largest gap, then smallest value
+      .agg(first(col("_tr")).as("n_ref"), first(col("_tc")).as("n_cur"),
+        max(struct(col("_gap"), (-col("_v")).as("_nv"))).as("_best"))
+      .select(col("n_ref"), col("n_cur"),
+        col("_best._gap").as("d_num"),
+        (col("n_ref") * col("n_cur")).as("d_denom"),
+        (col("_best._gap").cast("double") / (col("n_ref") * col("n_cur")))
+          .as("ks_d"),
+        (-col("_best._nv")).as("d_at"))
+  }
+
+  /** Gini concentration of an integer weight across groups — how
+    * concentrated the corpus's token mass is over sources/domains (a
+    * 100 TB mix audit: G→0 balanced, G→1 one domain dominates). Exact
+    * rational arithmetic over the per-group BIGINT totals: with groups
+    * sorted by weight ascending and 1-indexed, G = (2·Σ i·w_i − (n+1)·Σw)
+    * / (n·Σw) — integers until the final division. The per-group rollup
+    * collapses map-side; the rank window runs over |groups| rows.
+    * Returns one row (n_groups, total_weight, gini_num, gini). */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(sum(col(weightCol)).cast("long").as("_w"))
+      .withColumn("_i",
+        row_number().over(Window.orderBy(col("_w"), col(groupCol))))
+      .agg(count(lit(1)).as("n_groups"), sum("_w").cast("long").as("total_weight"),
+        sum(col("_i") * col("_w")).cast("long").as("_iw"))
+      .select(col("n_groups"), col("total_weight"),
+        (lit(2L) * col("_iw") - (col("n_groups") + 1L) * col("total_weight"))
+          .as("gini_num"),
+        ((lit(2L) * col("_iw") - (col("n_groups") + 1L) * col("total_weight"))
+          .cast("double") / (col("n_groups") * col("total_weight"))).as("gini"))
 }
