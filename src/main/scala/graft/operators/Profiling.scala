@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the "is this corpus fit to train on" audit
+  * that runs before any pipeline consumes a new drop of data (the same
+  * role Deequ/Great-Expectations checks play in production lakes; the
+  * reference bundles a lighter version of this into its ingest summary,
+  * `src/server/app/embed/document.py` processing counts).
+  *
+  * Two entry points:
+  *  - [[columnProfile]]: one row per column — counts, nulls, distincts,
+  *    lexicographic min/max — computed in a SINGLE shuffle by unpivoting
+  *    to (column_name, value_string) and aggregating per name. At 100 TB
+  *    the unpivot multiplies rows by the column count but every partial
+  *    aggregate collapses map-side; no per-column pass, no Expand node
+  *    (the multi-count-distinct alternative), no driver loop.
+  *  - [[constraintAudit]]: a one-row report of violation COUNTS for the
+  *    declared invariants (key uniqueness, referential containment,
+  *    value-range membership). Violations are counted, not sampled, so
+  *    the report is a gate: all-zeros ⇔ the contract holds.
+  */
+object Profiling {
+
+  /** Per-column profile of `cols` (defaults to every column): row count,
+    * non-null count, exact distinct count, lexicographic min/max of the
+    * string form. Numeric min/max differ from lexicographic on purpose —
+    * the profile is type-agnostic (one output schema for any table);
+    * numeric range checks belong in [[constraintAudit]].
+    *
+    * Shape: unpivot via stack-style explode → ONE hash aggregate keyed by
+    * (column_name) with map-side partials. Returns
+    * (column_name, n_rows, n_nonnull, n_distinct, min_str, max_str). */
+  def columnProfile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val pairs = names.map { c =>
+      struct(lit(c).as("column_name"), col(c).cast("string").as("v"))
+    }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+  }
+
+  /** One declared invariant: a label plus a violation-count column
+    * evaluated against the fact frame. */
+  final case class Check(label: String, violations: Column)
+
+  /** Key-uniqueness check: rows whose `keyCols` tuple occurs more than
+    * once, counted over the duplicate groups (a key seen 3× contributes
+    * 3). One aggregate on the key — the natural partial-agg shape. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+
+  /** Referential containment: count of child rows whose `fkCol` has no
+    * match in `parent.pkCol` (NULL fks are not violations — nullability
+    * is [[columnProfile]]'s business). Anti-join; the parent key set
+    * broadcasts when small, AQE decides otherwise. */
+  def orphanCount(child: DataFrame, fkCol: String,
+                  parent: DataFrame, pkCol: String): DataFrame =
+    child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+
+  /** Assemble the audit report from violation counts: each input frame
+    * must be a single-row single-column count. The counts UNION into one
+    * frame — one action evaluates every check; nothing collects. */
+  def auditReport(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty, "auditReport: no checks declared")
+    checks.map { case (label, cnt) =>
+      cnt.select(lit(label).as("check"),
+        col(cnt.columns.head).cast("long").as("n_violations"))
+    }.reduce(_ unionAll _)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+}

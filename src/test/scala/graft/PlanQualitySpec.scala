@@ -401,4 +401,51 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q140_bloom_join").split("== Initial Plan ==").head
     assert(p.contains("InMemoryTableScan") && !p.contains("SortMergeJoin"))
   }
+
+  test("q173: correlated-min join-back — one fact shuffle, argmin broadcast back") {
+    // the (part, supp) cost groupBy is the ONLY exchange of fact data;
+    // part/supplier/nation/region AND the per-part min all broadcast
+    val p = plan("q173_min_cost_supplier").split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q174: nation-pair disjunction broadcasts; lineitem⋈orders is the one big join") {
+    val full = plan("q174_volume_shipping")
+    val p = full.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1)
+    // the ship-date range reaches the scan (scan details print after the
+    // AQE plan tree, so check the full explain text)
+    assert(full.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q175: scalar-subquery threshold rides as a broadcast, not a second scan pass") {
+    val p = plan("q175_important_parts").split("== Initial Plan ==").head
+    // semi-join exclusion broadcast + 1-row total broadcast; the per-part
+    // aggregate is the only exchange of lineitem data (plus final sort)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q176: NOT-IN exclusion is a broadcast anti-join before the distinct") {
+    val full = plan("q176_supplier_part_counts")
+    // the anti-join is authored as a broadcast LeftAnti; at this SF there
+    // are no negative-balance suppliers, so AQE's empty-relation
+    // propagation may legitimately erase it from the FINAL plan — pin the
+    // authored shape on the initial plan and no-sort-merge on the final
+    assert(full.contains("LeftAnti"))
+    assert(!full.split("== Initial Plan ==").head.contains("SortMergeJoin"))
+  }
+
+  test("q177: nested-aggregate threshold folds to one conditional groupBy") {
+    // ONE shuffle of lineitem (the (part,supp) groupBy with two sums);
+    // the 'red parts' filter and the supplier semi-join both broadcast
+    val p = plan("q177_excess_capacity").split("== Initial Plan ==").head
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
+  }
 }

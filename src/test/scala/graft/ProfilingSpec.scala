@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Option("alpha"), Option(10)),
+    (2L, Option("beta"), None),
+    (3L, None, Option(10)),
+    (3L, Option("alpha"), Option(30))
+  ).toDF("id", "name", "score")
+
+  test("columnProfile: counts, nulls, distincts, lexicographic min/max") {
+    val p = Profiling.columnProfile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "name", "score"))
+    val id = p("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 4L && id.getLong(3) === 3L)
+    assert(id.getString(4) === "1" && id.getString(5) === "3")
+    val name = p("name")
+    assert(name.getLong(2) === 3L)   // one null
+    assert(name.getLong(3) === 2L)   // alpha, beta
+    assert(name.getString(4) === "alpha" && name.getString(5) === "beta")
+    val score = p("score")
+    assert(score.getLong(2) === 3L && score.getLong(3) === 2L)
+    // lexicographic, NOT numeric: "10" < "30"
+    assert(score.getString(4) === "10" && score.getString(5) === "30")
+  }
+
+  test("columnProfile: restricted column list profiles only those columns") {
+    val p = Profiling.columnProfile(df, Seq("name"))
+    assert(p.collect().map(_.getString(0)).toSeq === Seq("name"))
+  }
+
+  test("duplicateKeys counts every row of a duplicated group") {
+    val d = Profiling.duplicateKeys(df, Seq("id")).collect()
+    assert(d.length === 1 && d(0).getLong(1) === 2L) // id=3 twice
+  }
+
+  test("orphanCount: unmatched non-null fks only") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Option(1L), Option(9L), Option(8L), None).toDF("fk")
+    val n = Profiling.orphanCount(child, "fk", parent, "pk")
+      .collect()(0).getLong(0)
+    assert(n === 2L) // 9 and 8; the NULL fk is not a violation
+  }
+
+  test("auditReport: one row per check, passed ⇔ zero violations") {
+    val rpt = Profiling.auditReport(Seq(
+      "dups" -> Profiling.duplicateKeys(df, Seq("id"))
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("n")),
+      "clean" -> df.filter(col("id") < 0).agg(count(lit(1)).as("n"))
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rpt("dups") === ((2L, false)))
+    assert(rpt("clean") === ((0L, true)))
+  }
+}
