@@ -2744,7 +2744,152 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .withColumn("frac", col("n").cast("double")
           .divide(sum("n").over(Window.partitionBy("lang"))))
-        .orderBy("lang", "lang_pred"))
+        .orderBy("lang", "lang_pred")),
+
+    "q183_pareto_frontier" -> ((s, dir) => {
+      // 2-criteria skyline (Pareto frontier) document selection: keep every
+      // doc not dominated on (quality, token count) — the "best of both"
+      // curation set. Sort-free formulation: per-quality-level max tokens
+      // (one aggregate), running max over STRICTLY higher levels (window
+      // over the level table only — bounded ≤ 10^6+1 rows by the round-6
+      // quality grid, so it broadcasts and the corpus never globally sorts),
+      // then an equi-join back
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val lvl = d.groupBy("quality").agg(max("n_tokens").as("_lm"))
+      val wl = Window.orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run = lvl.withColumn("_pm", max("_lm").over(wl))
+      d.join(broadcast(run), "quality")
+        .filter(col("n_tokens") === col("_lm") &&
+          (col("_pm").isNull || col("n_tokens") > col("_pm")))
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy(desc("quality"), desc("n_tokens"), col("doc_id"))
+    }),
+
+    "q184_group_trend" -> ((s, dir) => {
+      // exact OLS drift line per event_type: value ~ seconds since the
+      // group's first event. Every sufficient statistic accumulates as an
+      // exact INTEGER (seconds × value-cents), so no decimal-rounding
+      // parity hazards; slope/R² then evaluate in double over those exact
+      // sums — identical expression trees on both engines. One shuffle
+      val e = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("xs"),
+          round(col("value") * 100).cast("long").as("v100"))
+      val g = e.groupBy("event_type").agg(min("xs").as("_x0"))
+      val d = e.join(broadcast(g), "event_type")
+        .withColumn("x", col("xs") - col("_x0"))
+      val dec = (c: Column) => sum(c.cast("decimal(38,0)")).cast("double")
+      val sums = d.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dec(col("x")).as("sx"), dec(col("v100")).as("sy"),
+        dec(col("x") * col("x")).as("sxx"),
+        dec(col("x") * col("v100")).as("sxy"),
+        dec(col("v100") * col("v100")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denX = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("event_type"), col("n").cast("long").as("n"),
+          (col("sy") / col("n") / 100.0).as("mean_value"),
+          (num / denX * 86400.0 / 100.0).as("slope_per_day"),
+          (num * num / (denX * denY)).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    "q185_agg_maintenance" -> ((s, dir) => {
+      // materialized-view maintenance: a per-source aggregate STATE (the
+      // 90% already ingested) merged with a new-batch DELTA aggregate via
+      // one outer join of commutative-monoid states (sum/sum/max) — the
+      // incremental path never rescans the base data. The ORACLE computes
+      // the full aggregate directly, so the hash match IS the proof that
+      // state ⊕ delta ≡ full recompute
+      val docs = tbl(s, dir, "documents")
+      def roll(df: DataFrame) = df.groupBy("source").agg(
+        count(lit(1)).as("n"), sum(col("n_chars")).as("c"), max("doc_id").as("m"))
+      val state = roll(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("source"), col("n").as("na"), col("c").as("ca"), col("m").as("ma"))
+      val delta = roll(docs.filter(col("doc_id") % 10 === 0))
+        .select(col("source"), col("n").as("nb"), col("c").as("cb"), col("m").as("mb"))
+      state.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n_docs"),
+          (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("total_chars"),
+          greatest(col("ma"), col("mb")).as("max_doc_id"))
+        .orderBy("source")
+    }),
+
+    "q186_sparse_cosine" -> ((s, dir) => {
+      // lexical doc-doc similarity: idf-weighted sparse cosine assembled
+      // from ONE posting self-join on the term (never a dense all-pairs
+      // scan); integer bit-length idf keeps every sum exact. Shingle
+      // terms (q142's tokenizer) because the corpus's 31-word vocabulary
+      // makes word-level tf-idf degenerate; bounded slice like q142, the
+      // LSH family stays the open-corpus path
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 600)
+      val toks = d.select(col("doc_id").as("id"),
+        explode(Dedup.shingleExpr("text", 5)).as("term"))
+      Retrieval.sparseCosineJoin(toks, "id", "term",
+          tau = 0.5, minDf = 2, maxDf = 120)
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q187_markov_transitions" -> ((s, dir) => {
+      // next-event Markov transition matrix over WITHIN-SESSION pairs
+      // (the behavioral-sequence summary funnels/q69 don't give): a pair
+      // is consecutive events of one user ≤ 30 min apart — one user
+      // window (same shuffle as sessionization), integer-µs gap test,
+      // then a tiny matrix aggregate + per-from row normalization
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      events(s, dir).select("user_id", "event_id", "ts", "event_type")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("from_type").isNotNull && col("_gap") <= gapUs)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob", col("n").cast("double")
+          .divide(sum("n").over(Window.partitionBy("from_type"))))
+        .orderBy("from_type", "to_type")
+    }),
+
+    "q188_orc_roundtrip" -> ((s, dir) => {
+      // format-portability gate: a lineitem slice written as ORC (the
+      // second columnar format in the source/sink matrix), read back with
+      // a pushed filter and aggregated — hash-matching the parquet-fed
+      // oracle proves the engine is format-agnostic end to end
+      val out = sys.props("java.io.tmpdir") + s"/graft-orc-$tmpToken/lineitem"
+      tbl(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q189_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink/source parity (upgrades S14 from spec-only to
+      // oracle-gated): orders slice → CSV with header + explicit µs
+      // timestamp format → read back under the parquet schema →
+      // aggregate. Doubles survive via shortest-round-trip formatting;
+      // the oracle aggregates the same slice straight from parquet
+      val src = tbl(s, dir, "orders")
+      val out = sys.props("java.io.tmpdir") + s"/graft-csv-$tmpToken/orders"
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      src.filter(col("o_orderkey") % 5 === 0)
+        .write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", tsFmt).csv(out)
+      s.read.schema(src.schema).option("header", "true")
+        .option("timestampFormat", tsFmt).csv(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"),
+          max(col("o_orderdate")).cast("timestamp_ntz").as("last_order"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   // ======================================================================
@@ -2755,6 +2900,20 @@ object SparkEntry {
         |SELECT doc_id + 1000 AS doc_id, substring(text, 1, greatest(length(text) - 7, 1)) AS text
         |FROM documents WHERE doc_id < 50""".stripMargin
     val toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    // TF.qualityScore replay (shared by q25 and q183)
+    val qualitySql =
+      s"""round(
+         |    least(CAST(len($toks) AS DOUBLE) / 20.0, 1.0) * 0.4
+         |  + greatest(0.0, 1.0 - (
+         |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |        CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)
+         |    + (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END)
+         |    ) * 2.0) * 0.3
+         |  + least((CASE WHEN len($toks) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter(list_transform($toks, t -> lower(t)),
+         |        t -> t IN ('the','and','of','to','in','is','that','for','with','are','was','this','it','on','be','as','by','at'))) AS DOUBLE)
+         |      / len($toks) END) * 4.0, 1.0) * 0.3, 6)""".stripMargin
     val langMarkers = Seq(
       "en" -> Seq(" the ", " and ", " is ", " of "),
       "de" -> Seq(" der ", " und ", " die ", " ist "),
@@ -2934,6 +3093,113 @@ object SparkEntry {
            |  CAST(count(*) AS DOUBLE)
            |    / SUM(count(*)) OVER (PARTITION BY lang) AS frac
            |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q183_pareto_frontier" ->
+        s"""WITH d AS (SELECT doc_id, $qualitySql AS quality,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |lvl AS (SELECT quality, max(n_tokens) AS lm FROM d GROUP BY quality),
+           |run AS (SELECT quality, lm, max(lm) OVER (ORDER BY quality DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM lvl)
+           |SELECT d.doc_id, d.quality, d.n_tokens
+           |FROM d JOIN run r ON d.quality = r.quality
+           |WHERE d.n_tokens = r.lm AND (r.pm IS NULL OR d.n_tokens > r.pm)
+           |ORDER BY d.quality DESC, d.n_tokens DESC, d.doc_id""".stripMargin,
+
+      "q184_group_trend" ->
+        """WITH e AS (SELECT event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS xs,
+          |    CAST(round(value * 100) AS BIGINT) AS v100
+          |  FROM events WHERE value IS NOT NULL),
+          |g AS (SELECT event_type, min(xs) AS x0 FROM e GROUP BY event_type),
+          |d AS (SELECT e.event_type, e.xs - g.x0 AS x, e.v100
+          |  FROM e JOIN g USING (event_type)),
+          |s AS (SELECT event_type,
+          |    CAST(count(*) AS DOUBLE) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(x * v100 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+          |    CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE) AS syy
+          |  FROM d GROUP BY event_type)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  sy / n / 100.0 AS mean_value,
+          |  (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0 / 100.0
+          |    AS slope_per_day,
+          |  (n * sxy - sx * sy) * (n * sxy - sx * sy)
+          |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+          |FROM s ORDER BY event_type""".stripMargin,
+
+      // full recompute on purpose: matching the Spark side's state⊕delta
+      // merge path proves the maintenance is equivalent to a rebuild
+      "q185_agg_maintenance" ->
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  max(doc_id) AS max_doc_id
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "q186_sparse_cosine" ->
+        """WITH g AS (
+          |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS tok
+          |  FROM documents, unnest(range(0, length(text) - 4, 1)) AS t(s)
+          |  WHERE length(text) >= 5 AND doc_id < 600
+          |  UNION
+          |  SELECT doc_id, text AS tok FROM documents
+          |  WHERE length(text) < 5 AND doc_id < 600),
+          |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM g),
+          |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM g GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df FROM tf
+          |  GROUP BY term HAVING count(*) BETWEEN 2 AND 120),
+          |w AS (SELECT tf.doc_id, tf.term,
+          |    tf.tf * (length(bin(n_docs // df)) - 1) AS w
+          |  FROM tf JOIN dfq USING (term), nd
+          |  WHERE tf.tf * (length(bin(n_docs // df)) - 1) > 0),
+          |nsq AS (SELECT doc_id, SUM(w * w) AS nsq FROM w GROUP BY doc_id),
+          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, dot,
+          |  round(CAST(dot AS DOUBLE)
+          |    / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6)
+          |    AS cosine
+          |FROM p JOIN nsq na ON p.doc_a = na.doc_id
+          |  JOIN nsq nb ON p.doc_b = nb.doc_id
+          |WHERE CAST(dot AS DOUBLE)
+          |    / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q187_markov_transitions" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |l AS (SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS from_type,
+          |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap_us
+          |  FROM e),
+          |p AS (SELECT from_type, event_type AS to_type, count(*) AS n FROM l
+          |  WHERE from_type IS NOT NULL AND gap_us <= 1800000000 GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS prob
+          |FROM p ORDER BY 1, 2""".stripMargin,
+
+      // fed from PARQUET on purpose: the Spark side answers from its ORC
+      // round trip, so the match proves format fidelity
+      "q188_orc_roundtrip" ->
+        s"""SELECT l_returnflag, count(*) AS n,
+           |  ${dsumSql("l_extendedprice")} AS total
+           |FROM lineitem
+           |WHERE l_orderkey % 7 = 0
+           |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q189_csv_roundtrip" ->
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  ${dsumSql("o_totalprice", 4)} AS total,
+           |  max(o_orderdate) AS last_order
+           |FROM orders WHERE o_orderkey % 5 = 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,
@@ -3744,18 +4010,7 @@ object SparkEntry {
            |) ORDER BY doc_id""".stripMargin,
 
       "q25_quality_score" ->
-        s"""SELECT doc_id, round(
-           |    least(CAST(len($toks) AS DOUBLE) / 20.0, 1.0) * 0.4
-           |  + greatest(0.0, 1.0 - (
-           |      (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |        CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)
-           |    + (CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END)
-           |    ) * 2.0) * 0.3
-           |  + least((CASE WHEN len($toks) = 0 THEN 0.0 ELSE
-           |      CAST(len(list_filter(list_transform($toks, t -> lower(t)),
-           |        t -> t IN ('the','and','of','to','in','is','that','for','with','are','was','this','it','on','be','as','by','at'))) AS DOUBLE)
-           |      / len($toks) END) * 4.0, 1.0) * 0.3, 6) AS quality
+        s"""SELECT doc_id, $qualitySql AS quality
            |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q26_fingerprint" ->

@@ -169,4 +169,61 @@ object Retrieval {
     scoreBm25(matched, dfreq, docLengthStats(docLengths.select(col("id"), col("dl"))),
       k, k1, b)
   }
+
+  /** Sparse TF-IDF cosine similarity self-join via posting-list joins —
+    * the document-document twin of [[bm25]]'s document-query scoring, and
+    * the lexical counterpart of the dense-embedding pair search (q36):
+    * docs become sparse term-weight vectors, and every dot product is
+    * assembled from ONE equi-join of postings on the term (Σ over shared
+    * terms of w_a·w_b), never a dense all-pairs scan.
+    *
+    * Exactness: the idf is the INTEGER floor(log2(N / df)) via the
+    * bit-length identity (`length(bin(x)) - 1`), so weights, dot products
+    * and squared norms are all exact integer arithmetic (order-independent
+    * sums); the only floating point is the final sqrt/divide, an identical
+    * expression tree in both engines.
+    *
+    * Scale: terms with df < minDf (nothing to pair) or df > maxDf
+    * (stopword-grade fan-out: a term's join contribution is df², so a cap
+    * bounds the candidate count exactly like [[invertedIndex]]'s maxDf
+    * guard) are pruned BEFORE the self-join; norms are computed over the
+    * same kept postings so pruning is consistent on both sides of the
+    * cosine. Returns (doc_a, doc_b, dot, cosine) for pairs with
+    * cosine ≥ tau, doc_a < doc_b.
+    *
+    * Takes an exploded (id, term) frame so the tokenizer composes: words
+    * for a natural corpus, character shingles ([[Dedup.shingleExpr]]) for
+    * one with a tiny shared vocabulary — on the synthetic corpus the
+    * word-level variant is DEGENERATE (31 distinct words → every doc
+    * keeps ~1 discriminative term and all pair cosines collapse to 1.0),
+    * which is the same reason q142 shingles. */
+  def sparseCosineJoin(toks: DataFrame, idCol: String, termCol: String,
+                       tau: Double, minDf: Int = 2, maxDf: Int = 200): DataFrame = {
+    val tf = toks.select(col(idCol).as("id"), col(termCol).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val nDocs = tf.select(col("id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    // integer idf: floor(log2(N / df)) = bit_length(N div df) - 1
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf", length(bin(expr("n_docs div df"))) - 1)
+      .withColumn("w", col("tf") * col("idf"))
+      .filter(col("w") > 0)
+      .select(col("id"), col("term"), col("w"))
+    val nsq = w.groupBy("id").agg(sum(col("w") * col("w")).as("nsq"))
+    val pairs = w.select(col("id").as("doc_a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("id").as("doc_b"), col("term"), col("w").as("wb")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    pairs
+      .join(nsq.select(col("id").as("doc_a"), col("nsq").as("_na")), "doc_a")
+      .join(nsq.select(col("id").as("doc_b"), col("nsq").as("_nb")), "doc_b")
+      .withColumn("cosine",
+        col("dot").cast("double") / (sqrt(col("_na").cast("double")) *
+          sqrt(col("_nb").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
+  }
 }

@@ -440,6 +440,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(!full.split("== Initial Plan ==").head.contains("SortMergeJoin"))
   }
 
+  test("q188: the ORC read-back pushes the ship-date filter into the scan") {
+    val full = plan("q188_orc_roundtrip")
+    assert(full.contains("Scan orc"))
+    assert(full.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
   test("q177: nested-aggregate threshold folds to one conditional groupBy") {
     // ONE shuffle of lineitem (the (part,supp) groupBy with two sums);
     // the 'red parts' filter and the supplier semi-join both broadcast

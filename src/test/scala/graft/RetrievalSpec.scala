@@ -170,4 +170,28 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(rows(3L).getAs[Int]("n_feats") == 1)
   }
+
+  test("sparse cosine join: clones score 1.0, disjoint docs never pair, df caps prune") {
+    import org.apache.spark.sql.functions._
+    // doc 1 ≡ doc 2 (clones over terms a,b); docs 3/5/6 pairwise share ONE
+    // of their two kept terms (c,g / c,h / g,h); doc 4's only term appears
+    // once → minDf prunes it out of every vector
+    val toks = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "c"), (3L, "g"), (4L, "e"),
+      (5L, "c"), (5L, "h"), (6L, "g"), (6L, "h")
+    ).toDF("id", "term")
+    val out = Retrieval.sparseCosineJoin(toks, "id", "term",
+      tau = 0.0, minDf = 2, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12) // identical sparse vectors
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L))) // no shared term
+    assert(out.keySet.forall { case (a, b) => a < b })
+    // docs 3 and 5 share c of their two equal-weight terms: cosine = 1/2
+    assert(math.abs(out((3L, 5L)) - 0.5) < 1e-12)
+    // a stopword-grade term is pruned by maxDf: with maxDf=1 nothing pairs
+    val pruned = Retrieval.sparseCosineJoin(toks, "id", "term",
+      tau = 0.0, minDf = 2, maxDf = 1)
+    assert(pruned.count() === 0L)
+  }
 }
