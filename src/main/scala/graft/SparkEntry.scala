@@ -2889,6 +2889,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 4).as("total"),
           max(col("o_orderdate")).cast("timestamp_ntz").as("last_order"))
         .orderBy("o_orderpriority")
+    }),
+
+    "q190_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines sink/source parity completes the format matrix
+      // (parquet native, ORC q188, CSV q189): a documents slice → JSON →
+      // read back under the parquet schema → per-lang rollup whose
+      // polynomial content fingerprint SUM proves the text survived the
+      // escape/unescape byte-for-byte, not just the row counts
+      val src = tbl(s, dir, "documents")
+      val out = sys.props("java.io.tmpdir") + s"/graft-json-$tmpToken/documents"
+      src.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("total_chars"),
+          sum(TF.fingerprint("text")).as("fp_sum"))
+        .orderBy("lang")
+    }),
+
+    "q191_spearman" -> ((s, dir) =>
+      // monotone-invariant rank correlation (quantity vs price per
+      // return flag) — Pearson over doubled average ranks, which stay
+      // integers under ties; two windows on one group exchange, then the
+      // q111 six-sum aggregate in decimal
+      Stats.spearman(tbl(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    "q192_kcore" -> ((s, dir) => {
+      // dense-core extraction over the q101 kNN graph: 2 synchronous
+      // peel rounds at k=4 — boilerplate/template families show up as
+      // high-coreness clusters even when no pair crosses a duplicate
+      // threshold; each round is one degree aggregate + two semi-joins
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.kCorePeel(graph, "id", "nbr_id", k = 4, rounds = 2)
+        .select(col("id").as("vec_id"), col("deg"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3200,6 +3244,41 @@ object SparkEntry {
            |  max(o_orderdate) AS last_order
            |FROM orders WHERE o_orderkey % 5 = 0
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // fed from PARQUET: the Spark side answers from its JSON round
+      // trip; the fingerprint sum pins byte-exact text fidelity
+      "q190_json_roundtrip" ->
+        """SELECT lang, count(*) AS n,
+          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS BIGINT) AS fp_sum
+          |FROM documents WHERE doc_id % 3 = 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // doubled average ranks (2·rank() + ties − 1 — integers), then the
+      // q111 six-sum Pearson; the doubling cancels in the ratio
+      "q191_spearman" ->
+        """WITH rk AS (SELECT l_returnflag,
+          |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+          |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+          |    2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+          |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+          |  FROM lineitem),
+          |st AS (SELECT l_returnflag, COUNT(*) AS n,
+          |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(ry AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(rx AS DECIMAL(19,0)) * CAST(ry AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+          |  FROM rk GROUP BY l_returnflag)
+          |SELECT l_returnflag, n,
+          |  round((n * sxy - sx * sy) /
+          |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS rho
+          |FROM st ORDER BY l_returnflag""".stripMargin,
+
+      "q192_kcore" -> kCoreOracleSql,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,
@@ -6277,6 +6356,28 @@ object SparkEntry {
        |  GROUP BY g.nbr_id),
        |r$r AS (SELECT b.id, b.base, CAST($newPr AS BIGINT) AS pr
        |  FROM b LEFT JOIN s$r s USING (id))""".stripMargin
+
+  /** Replays q192: the q101 kNN graph canonicalized to undirected a<b
+    * edges, then 2 synchronous k=4 peel rounds — each round a degree
+    * count over the surviving edges, a `deg >= 4` node filter, and an
+    * edge filter to surviving endpoints; output is the last round's
+    * survivors with that round's degree. */
+  private def kCoreOracleSql: String = {
+    def round(r: Int): String =
+      s"""d$r AS (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM u${r - 1} UNION ALL SELECT b FROM u${r - 1})
+         |  GROUP BY v),
+         |k$r AS (SELECT v, deg FROM d$r WHERE deg >= 4),
+         |u$r AS (SELECT a, b FROM u${r - 1}
+         |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))""".stripMargin
+    s"""$knnEdgesPrefixSql,
+       |u0 AS (SELECT DISTINCT least(id, nbr_id) AS a, greatest(id, nbr_id) AS b
+       |  FROM g0 WHERE id <> nbr_id),
+       |${round(1)},
+       |${round(2)}
+       |SELECT v AS vec_id, CAST(deg AS BIGINT) AS deg
+       |FROM k2 ORDER BY vec_id""".stripMargin
+  }
 
   /** Replays q136: uniform fixed-point start mass, 3 rounds of
     * `(15·base)//100 + (85·insum)//100`, final rank ordered ties-to-id. */

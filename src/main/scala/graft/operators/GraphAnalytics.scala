@@ -179,6 +179,51 @@ object GraphAnalytics {
           .as("transitivity"))
   }
 
+  /** Bounded synchronous k-core peel (Seidman 1983) of a directed edge
+    * list treated as UNDIRECTED: each round computes degrees over the
+    * surviving subgraph, drops nodes with degree < `k`, and drops their
+    * incident edges. After enough rounds this is exactly the k-core (the
+    * maximal subgraph of minimum degree ≥ k) — the graph-density
+    * complement to component-based dedup clustering: dense cores of a
+    * near-neighbor graph are template/boilerplate families even when no
+    * single pair crosses a duplicate threshold. A round that removes
+    * nothing is a fixpoint, so extra rounds are no-ops (idempotent) —
+    * callers gate a FIXED `rounds` for replay determinism and pick it ≥
+    * the expected peel depth.
+    *
+    * Shape: canonicalize+dedup is one shuffle, done ONCE; each round is
+    * one degree aggregate plus two semi-joins of the edge list onto the
+    * survivor set — all equi-joins with map-side partial counts, nothing
+    * driver-side. Each round's edge set references the previous round's
+    * THREE times (degree count + two semi-joins), so the lineage grows
+    * 3^rounds — `localCheckpoint` (eager) truncates it to depth 1 per
+    * round; without it even the plan-description STRING is exponential
+    * (caching dedups execution but not the plan tree). Returns the
+    * surviving nodes as (id, deg) with the degree measured in the LAST
+    * round's subgraph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var keep: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      keep = deg.localCheckpoint() // materialized once, read by 2 joins + output
+        .filter(col("deg") >= k)
+      und = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    keep.select(col("v").as("id"), col("deg"))
+  }
+
   /** Synchronous label propagation (Zhu & Ghahramani 2002 hard-label
     * variant): spread known labels from a seed subset along graph edges
     * by per-node majority vote — the semi-supervised way to extend a

@@ -193,6 +193,40 @@ object Stats {
         (-col("_best._nv")).as("d_at"))
   }
 
+  /** Spearman rank correlation per group — the robust (monotone-invariant)
+    * complement to [[groupCorrelation]]: Pearson over DOUBLED average
+    * ranks, which stay INTEGERS under ties (avg rank of a tie run =
+    * cnt_less + (cnt_eq+1)/2, so 2·avgRank = 2·rank() + cnt_eq − 1 — no
+    * fractional rank arithmetic to keep in sync across engines). The rank
+    * transform is two windows sharing one group exchange; the correlation
+    * is the same six order-independent decimal sums as
+    * [[groupCorrelation]] (doubling ranks scales both variables by 2,
+    * which cancels in ρ). round(,12) for the same decimal→double 1-ulp
+    * reason. Rank squares reach n³ per group — summed as decimal(38,0),
+    * exact to ~10³⁸ (group rows ≲ 10¹² at scale). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val pg = Window.partitionBy(col(groupCol))
+    def rank2(c: String): Column =
+      lit(2L) * rank().over(pg.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))) - lit(1L)
+    val ranks = df.select(col(groupCol),
+      rank2(xCol).as("_rx"), rank2(yCol).as("_ry"))
+    def s0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    def sp(a: Column, b: Column) =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+    ranks.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        s0(col("_rx")).as("sx"), s0(col("_ry")).as("sy"),
+        sp(col("_rx"), col("_rx")).as("sxx"),
+        sp(col("_ry"), col("_ry")).as("syy"),
+        sp(col("_rx"), col("_ry")).as("sxy"))
+      .select(col(groupCol), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("rho"))
+  }
+
   /** Gini concentration of an integer weight across groups — how
     * concentrated the corpus's token mass is over sources/domains (a
     * 100 TB mix audit: G→0 balanced, G→1 one domain dominates). Exact

@@ -43,6 +43,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ranked(0L) == 1)
   }
 
+  test("kCorePeel: clique survives, pendant path peels away; extra rounds no-op") {
+    // 5-clique (deg 4 each) + path 0-10-11-12 hanging off node 0
+    val clique = for (i <- 0 until 5; j <- 0 until 5 if i != j)
+      yield (i.toLong, j.toLong)
+    val path = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ path).toDF("src", "dst")
+    val core = GraphAnalytics.kCorePeel(edges, "src", "dst", k = 4, rounds = 3)
+      .select("id", "deg").as[(Long, Long)].collect().toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core.values.toSet == Set(4L))
+    // fixpoint: more rounds change nothing
+    val core5 = GraphAnalytics.kCorePeel(edges, "src", "dst", k = 4, rounds = 5)
+      .select("id", "deg").as[(Long, Long)].collect().toMap
+    assert(core5 == core)
+  }
+
+  test("kCorePeel peels iteratively, not just by initial degree") {
+    // path 1-2-3-4-5: every internal node has deg 2, but the 2-core of a
+    // path is EMPTY — endpoints peel first, exposing new endpoints
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    // one round only removes the endpoints' neighbors' support gradually
+    val r1 = GraphAnalytics.kCorePeel(edges, "src", "dst", k = 2, rounds = 1)
+      .select("id").as[Long].collect().toSet
+    assert(r1 == Set(2L, 3L, 4L)) // internal nodes still look 2-ish
+    val r3 = GraphAnalytics.kCorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .count()
+    assert(r3 == 0L) // fully peeled
+  }
+
   test("pageRank is deterministic under repartitioning") {
     val edges = (0 until 60).flatMap { i =>
       Seq((i.toLong, ((i * 7 + 1) % 60).toLong),

@@ -46,6 +46,36 @@ class StatsSpec extends SparkSpec {
     assert(r("neg") == -1.0)
   }
 
+  test("spearman: ±1 on monotone data, invariant under monotone transforms") {
+    // x vs x³ is nonlinear but perfectly monotone → ρ = 1 (Pearson < 1)
+    val df = (1 to 40).flatMap(i => Seq(
+      ("mono", i.toDouble, i.toDouble * i * i),
+      ("anti", i.toDouble, -3.0 * i + 7.0))).toDF("g", "x", "y")
+    val rho = Stats.spearman(df, "g", "x", "y")
+      .select("g", "rho").as[(String, Double)].collect().toMap
+    assert(rho("mono") == 1.0)
+    assert(rho("anti") == -1.0)
+    val pear = Stats.groupCorrelation(df, "g", "x", "y")
+      .select("g", "corr").as[(String, Double)].collect().toMap
+    assert(pear("mono") < 1.0)
+  }
+
+  test("spearman handles ties via doubled average ranks") {
+    // x = (1,1,2), y = (10,10,20): tie run shares rank; still ρ = 1
+    val df = Seq(("g", 1.0, 10.0), ("g", 1.0, 10.0), ("g", 2.0, 20.0))
+      .toDF("g", "x", "y")
+    val rho = Stats.spearman(df, "g", "x", "y")
+      .select("rho").as[Double].head()
+    assert(rho == 1.0)
+    // x ties but y doesn't: hand value for ranks rx=(3,3,6)/2, ry=(1,2,3)
+    val df2 = Seq(("g", 1.0, 10.0), ("g", 1.0, 11.0), ("g", 2.0, 20.0))
+      .toDF("g", "x", "y")
+    val rho2 = Stats.spearman(df2, "g", "x", "y")
+      .select("rho").as[Double].head()
+    // doubled ranks rx=(3,3,6), ry=(2,4,6) → ρ = 3/(2·sqrt(3)) = sqrt(3)/2
+    assert(math.abs(rho2 - math.sqrt(3.0) / 2.0) < 1e-12)
+  }
+
   test("rrf fusion: ranks combine as 1/(c+rank) and doc in both lists wins") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
