@@ -2933,6 +2933,33 @@ object SparkEntry {
       GraphAnalytics.kCorePeel(graph, "id", "nbr_id", k = 4, rounds = 2)
         .select(col("id").as("vec_id"), col("deg"))
         .orderBy("vec_id")
+    }),
+
+    "q193_top_component" -> ((s, dir) =>
+      // dominant-direction audit (all-but-the-top, Mu 2018): 2 power-
+      // iteration rounds v → XᵀXv, each ONE hash aggregate of 64 decimal
+      // sums (map-side partials; the corpus never shuffles); loadings +
+      // the eigenvalue estimate replay bit-for-bit from decimal/sqrt ops
+      Spectral.topComponent(tbl(s, dir, "embeddings"), "embedding",
+          dim = 64, rounds = 2)
+        .select(col("dim"), round(col("loading"), 6).as("loading"),
+          round(col("lambda"), 6).as("lambda"))
+        .orderBy("dim")),
+
+    "q194_hubness" -> ((s, dir) => {
+      // k-occurrence (in-degree) histogram of the q101 kNN graph — the
+      // hubness pathology audit that decides whether ANN needs
+      // dominant-direction removal; zero-in-degree antihubs counted via
+      // the node-table left join
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.inDegreeHistogram(graph, "nbr_id", e, "vec_id")
+        .orderBy("n_in")
     })
   )
 
@@ -3279,6 +3306,41 @@ object SparkEntry {
           |FROM st ORDER BY l_returnflag""".stripMargin,
 
       "q192_kcore" -> kCoreOracleSql,
+
+      // two power-iteration rounds replayed: per-row dots and per-dim
+      // sums as exact DECIMAL(38,18) accumulations, norms via IEEE sqrt;
+      // round(,6) absorbs the decimal→double 1-ulp engine divergence on
+      // sums whose integer representation passes 2^53 (NOTES rule on
+      // decimal→double)
+      "q193_top_component" ->
+        """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s1 AS (SELECT vec_id,
+          |    CAST(SUM(CAST(v[CAST(i AS INT) + 1] * 0.125 AS DECIMAL(38,18))) AS DOUBLE) AS s
+          |  FROM x, unnest(range(0, 64)) AS t(i) GROUP BY vec_id),
+          |w1 AS (SELECT CAST(i AS INT) AS dim,
+          |    CAST(SUM(CAST(s1.s * x.v[CAST(i AS INT) + 1] AS DECIMAL(38,18))) AS DOUBLE) AS w
+          |  FROM x JOIN s1 USING (vec_id), unnest(range(0, 64)) AS t(i) GROUP BY i),
+          |n1 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w1),
+          |v1 AS (SELECT dim, w / nrm AS vd FROM w1, n1),
+          |s2 AS (SELECT x.vec_id,
+          |    CAST(SUM(CAST(x.v[v1.dim + 1] * v1.vd AS DECIMAL(38,18))) AS DOUBLE) AS s
+          |  FROM x, v1 GROUP BY x.vec_id),
+          |w2 AS (SELECT CAST(i AS INT) AS dim,
+          |    CAST(SUM(CAST(s2.s * x.v[CAST(i AS INT) + 1] AS DECIMAL(38,18))) AS DOUBLE) AS w
+          |  FROM x JOIN s2 USING (vec_id), unnest(range(0, 64)) AS t(i) GROUP BY i),
+          |n2 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM w2)
+          |SELECT dim, round(w / nrm, 6) AS loading, round(nrm, 6) AS lambda
+          |FROM w2, n2 ORDER BY dim""".stripMargin,
+
+      // q101's graph replay, then the k-occurrence histogram with
+      // zero-in-degree antihubs kept by the node-table left join
+      "q194_hubness" ->
+        s"""$knnEdgesPrefixSql,
+           |ind AS (SELECT nbr_id, count(*) AS n_in FROM g0 GROUP BY nbr_id),
+           |alln AS (SELECT e.vec_id, CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in
+           |  FROM embeddings e LEFT JOIN ind i ON e.vec_id = i.nbr_id)
+           |SELECT n_in, count(*) AS n_nodes FROM alln
+           |GROUP BY n_in ORDER BY n_in""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,

@@ -179,6 +179,31 @@ object GraphAnalytics {
           .as("transitivity"))
   }
 
+  /** Hubness audit of a directed kNN graph (Radovanović et al. 2010):
+    * the distribution of k-OCCURRENCE — how many other points' top-k
+    * lists each node appears in (its in-degree; out-degree is fixed at
+    * k). High-dimensional embedding spaces grow "hubs" that appear in
+    * thousands of neighbor lists while antihubs appear in none; a
+    * heavy-tailed k-occurrence histogram predicts degraded ANN recall
+    * and is the standard trigger for dominant-direction removal
+    * ([[Spectral.topComponent]]) or norm re-centering.
+    *
+    * `nodes` supplies the full population so zero-in-degree antihubs are
+    * COUNTED, not silently absent (the q100/recallAtK lesson). Shape:
+    * one in-degree aggregate over the edge list, a left join from the
+    * node table, one |distinct degrees|-sized histogram aggregate —
+    * map-side partials everywhere, nothing driver-side. Returns
+    * (n_in, n_nodes) ordered by n_in. */
+  def inDegreeHistogram(edges: DataFrame, dstCol: String,
+                        nodes: DataFrame, nodeIdCol: String): DataFrame = {
+    val indeg = edges.groupBy(col(dstCol).cast("long").as("_d"))
+      .agg(count(lit(1)).as("_n_in"))
+    nodes.select(col(nodeIdCol).cast("long").as("_id"))
+      .join(indeg, col("_id") === col("_d"), "left")
+      .select(coalesce(col("_n_in"), lit(0L)).as("n_in"))
+      .groupBy("n_in").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Bounded synchronous k-core peel (Seidman 1983) of a directed edge
     * list treated as UNDIRECTED: each round computes degrees over the
     * surviving subgraph, drops nodes with degree < `k`, and drops their

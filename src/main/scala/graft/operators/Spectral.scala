@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dominant-direction analysis of an embedding corpus by distributed
+  * power iteration — the spectral diagnostic behind "all-but-the-top"
+  * embedding post-processing (Mu & Viswanath 2018): stub or real encoder
+  * embeddings concentrate variance in a few directions, and ANN recall /
+  * cosine contrast improve when the top component is projected out. This
+  * computes that top component (of the UNCENTERED second-moment matrix
+  * XᵀX, i.e. the top right-singular direction of the corpus matrix)
+  * without ever materializing the d×d Gram matrix.
+  *
+  * Each round maps v → XᵀXv in two corpus passes folded into ONE
+  * aggregate: per row the scalar s = x·v (a 64-element decimal fold —
+  * exact, order-independent), then d per-dimension decimal sums
+  * Σᵢ sᵢ·xᵢ[d] in a single hash aggregate with map-side partials —
+  * nothing corpus-sized shuffles; only d running sums per partition.
+  * The d-vector of sums is normalized IN-ENGINE (decimal norm², IEEE
+  * sqrt, one divide) and the unit vector re-enters the next round as a
+  * collected literal (d doubles through the driver per round — bounded,
+  * and `Double.toString` round-trips bit-exactly).
+  *
+  * Replay-exactness: every float→double widening is exact; every product
+  * and divide is one correctly-rounded double op in a fixed
+  * parenthesization; every SUM accumulates as DECIMAL(38,18) (exact,
+  * commutative); sqrt is IEEE-correctly-rounded (NOTES parity rules 5/11)
+  * — so a DuckDB oracle replays each round bit-for-bit with unnest +
+  * decimal sums.
+  *
+  * Caveat: power iteration needs v₀ not orthogonal to the top component;
+  * the uniform start `1/sqrt(d)` works for any corpus with a nonzero
+  * mean-ish dominant direction (a corpus engineered to be exactly
+  * orthogonal to uniform would converge to a lower component — pass a
+  * different `v0` then).
+  */
+object Spectral {
+
+  private def d18(c: Column): Column = c.cast("decimal(38,18)")
+
+  /** Per-row dot product with a constant vector as an exact decimal fold:
+    * products are correctly-rounded double ops truncated to
+    * DECIMAL(38,18), summed exactly in array order (= any order). */
+  private def dotConst(vecCol: String, v: Array[Double]): Column = {
+    val varr = array(v.map(lit): _*)
+    aggregate(
+      zip_with(col(vecCol), varr, (x, w) => d18(x.cast("double") * w)),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
+      (acc, p) => d18(acc + p)).cast("double")
+  }
+
+  /** One power-iteration round: returns the UN-normalized image w = XᵀXv
+    * plus its norm, as a (dim, w, nrm) frame of `dim` rows. */
+  private def roundFrame(df: DataFrame, vecCol: String, dim: Int,
+                         v: Array[Double]): DataFrame = {
+    val withS = df.select(dotConst(vecCol, v).as("_s"), col(vecCol).as("_v"))
+    val sumCols = (0 until dim).map { d =>
+      sum(d18(col("_s") * element_at(col("_v"), d + 1).cast("double")))
+        .cast("double").as(s"_w$d")
+    }
+    val sums = withS.agg(sumCols.head, sumCols.tail: _*)
+    val wrows = sums.select(
+      posexplode(array((0 until dim).map(d => col(s"_w$d")): _*))
+        .as(Seq("dim", "w")))
+    val nrm = wrows
+      .agg(sum(d18(col("w") * col("w"))).cast("double").as("_n2"))
+      .select(sqrt(col("_n2")).as("nrm"))
+    wrows.crossJoin(broadcast(nrm))
+  }
+
+  /** Top principal direction of the uncentered second moment after
+    * `rounds` power iterations from the uniform unit start (or `v0`).
+    * Returns `dim` rows (dim INT, loading DOUBLE, lambda DOUBLE) where
+    * `loading` is the unit-vector entry and `lambda` = ‖XᵀXv‖ of the
+    * final round — the dominant-eigenvalue estimate of XᵀX (its share of
+    * Σ‖x‖² is the variance-concentration audit number). */
+  def topComponent(df: DataFrame, vecCol: String, dim: Int, rounds: Int,
+                   v0: Option[Array[Double]] = None): DataFrame = {
+    require(dim >= 1 && rounds >= 1, "need dim >= 1 and rounds >= 1")
+    var v = v0.getOrElse(Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+    require(v.length == dim, s"v0 must have $dim entries")
+    var frame: DataFrame = null
+    (1 to rounds).foreach { r =>
+      frame = roundFrame(df, vecCol, dim, v)
+      // d doubles through the driver per round — bounded by the embedding
+      // dimension, never by the corpus; the final round stays lazy (the
+      // caller's action is its only execution)
+      if (r < rounds)
+        v = frame.orderBy("dim")
+          .select((col("w") / col("nrm")).as("vd"))
+          .collect().map(_.getDouble(0))
+    }
+    frame.select(col("dim").cast("int").as("dim"),
+      (col("w") / col("nrm")).as("loading"), col("nrm").as("lambda"))
+  }
+}

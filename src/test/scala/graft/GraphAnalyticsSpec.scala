@@ -43,6 +43,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ranked(0L) == 1)
   }
 
+  test("inDegreeHistogram counts zero-in-degree antihubs") {
+    // edges: 1→0, 2→0, 3→0 (0 is a hub), 0→1; nodes 0..4 (4 isolated)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("id")
+    val h = GraphAnalytics.inDegreeHistogram(edges, "dst", nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    // in-degrees: 0→3, 1→1, 2/3/4→0 ⇒ hist {0:3, 1:1, 3:1}
+    assert(h == Map(0L -> 3L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("kCorePeel: clique survives, pendant path peels away; extra rounds no-op") {
     // 5-clique (deg 4 each) + path 0-10-11-12 hanging off node 0
     val clique = for (i <- 0 until 5; j <- 0 until 5 if i != j)

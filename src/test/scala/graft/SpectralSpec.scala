@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Spectral
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topComponent recovers the direction of a rank-1 corpus") {
+    // every x_i = c_i · u with u = (.5,.5,.5,.5) unit: XᵀXv = (Σc²)(u·v)u,
+    // so ONE round already yields loading = u and λ = Σc² · (u·v₀) with
+    // v₀ uniform (u·v₀ = 1)
+    val u = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val df = Seq(1.0f, 2.0f, 3.0f).zipWithIndex
+      .map { case (c, i) => (i.toLong, u.map(_ * c).toSeq) }
+      .toDF("vec_id", "embedding")
+    val out = Spectral.topComponent(df, "embedding", dim = 4, rounds = 2)
+      .orderBy("dim")
+      .select("loading", "lambda").as[(Double, Double)].collect()
+    out.foreach { case (l, lam) =>
+      assert(math.abs(l - 0.5) < 1e-9)
+      assert(math.abs(lam - 14.0) < 1e-9) // Σc² = 1+4+9
+    }
+  }
+
+  test("topComponent prefers the dominant direction of a two-cluster corpus") {
+    // 10 vectors along e1, 2 along e2 → top component is ±e1
+    val df = ((0 until 10).map(i => (i.toLong, Seq(2.0f, 0.0f, 0.0f, 0.0f))) ++
+      Seq((100L, Seq(0.0f, 1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val loads = Spectral.topComponent(df, "embedding", dim = 4, rounds = 4)
+      .orderBy("dim").select("loading").as[Double].collect()
+    assert(math.abs(math.abs(loads(0)) - 1.0) < 1e-6)
+    assert(math.abs(loads(1)) < 1e-3)
+  }
+
+  test("topComponent is deterministic under repartitioning") {
+    val df = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 7 + d * 13) % 11 - 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    def run(p: Int) =
+      Spectral.topComponent(df.repartition(p), "embedding", 8, 2)
+        .orderBy("dim").select("loading", "lambda")
+        .as[(Double, Double)].collect().toSeq
+    assert(run(1) == run(13)) // exact decimal sums → bit-identical
+  }
+}
