@@ -63,18 +63,17 @@ object GraphAnalytics {
         .join(ranks.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      val prev = ranks
-      // the next round reads `ranks` TWICE (mass send + teleport mix);
-      // materializing each round caps the lineage — without this the
-      // recompute tree doubles per iteration (Pregel superstep rule)
-      ranks = prev.select("id", "base")
+      // the next round reads `ranks` TWICE (mass send + teleport mix), so
+      // lineage doubles per iteration; an eager localCheckpoint both
+      // materializes the superstep (Pregel barrier) and TRUNCATES the
+      // plan to depth 1 — caching alone dedups execution but leaves the
+      // 2^iters plan tree (even its description string is exponential)
+      ranks = ranks.select("id", "base")
         .join(sums, col("id") === col("dst"), "left")
         .select(col("id"), col("base"),
           (expr("(15L * base) div 100L") +
             expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
-        .cache()
-      ranks.count()
-      prev.unpersist()
+        .localCheckpoint()
     }
     ranks
   }
@@ -115,16 +114,13 @@ object GraphAnalytics {
         .join(ranks.select(col("id").as("src"), col("pr")), "src")
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("insum"))
-      val prev = ranks
-      // materialize per round — see [[pageRank]]'s superstep rule
-      ranks = prev.select("id", "base")
+      // superstep barrier + lineage truncation — see [[pageRank]]
+      ranks = ranks.select("id", "base")
         .join(sums, col("id") === col("dst"), "left")
         .select(col("id"), col("base"),
           (col("base") + expr("(85L * coalesce(insum, 0L)) div 100L"))
             .as("pr"))
-        .cache()
-      ranks.count()
-      prev.unpersist()
+        .localCheckpoint()
     }
     ranks
   }
@@ -285,15 +281,12 @@ object GraphAnalytics {
         .groupBy(col("dst"))
         .agg(min_by(col("label"),
           struct((-col("_n")).as("n"), col("label").as("l"))).as("_vote"))
-      val prev = labels
-      // materialize per round — see [[pageRank]]'s superstep rule
-      labels = prev.select("id", "_seed", "label")
+      // superstep barrier + lineage truncation — see [[pageRank]]
+      labels = labels.select("id", "_seed", "label")
         .join(votes, col("id") === col("dst"), "left")
         .select(col("id"), col("_seed"),
           coalesce(col("_seed"), col("_vote"), col("label")).as("label"))
-        .cache()
-      labels.count()
-      prev.unpersist()
+        .localCheckpoint()
     }
     labels.select(col("id"), col("label"),
       when(col("_seed").isNotNull, lit("seed"))
