@@ -2960,7 +2960,34 @@ object SparkEntry {
       val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
       GraphAnalytics.inDegreeHistogram(graph, "nbr_id", e, "vec_id")
         .orderBy("n_in")
-    })
+    }),
+
+    "q195_pack_efficiency" -> ((s, dir) =>
+      // packing audit over the q85 assignment: per-shard window count,
+      // final-window waste, and boundary-crossing docs — the number a
+      // packing config is judged by; one extra hash aggregate on the
+      // already-gated packing path
+      Chunker.packEfficiency(
+          Chunker.packSequences(
+            tbl(s, dir, "documents")
+              .select(col("doc_id"), col("lang"),
+                TF.tokenCount(col("text")).as("tokens"))
+              .filter(col("tokens") > 0),
+            "lang", "doc_id", "tokens", 2000),
+          "lang", "tokens", "spans_boundary", 2000)
+        .orderBy("lang")),
+
+    "q196_budget_curve" -> ((s, dir) =>
+      // quality-vs-token-budget operating curve: cumulative tokens of
+      // all docs at-or-above each quality level — corpus collapses to
+      // the level table first (q183's sort-free argument), the running
+      // sum windows over levels only
+      Sampling.budgetCurve(
+          tbl(s, dir, "documents")
+            .select(TF.qualityScore(col("text")).as("quality"),
+              TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "quality", "n_tokens")
+        .orderBy(desc("quality")))
   )
 
   // ======================================================================
@@ -3341,6 +3368,45 @@ object SparkEntry {
            |  FROM embeddings e LEFT JOIN ind i ON e.vec_id = i.nbr_id)
            |SELECT n_in, count(*) AS n_nodes FROM alln
            |GROUP BY n_in ORDER BY n_in""".stripMargin,
+
+      // the q85 packing CTE rolled up per shard; window count and waste
+      // in integer // arithmetic
+      "q195_pack_efficiency" ->
+        """WITH t AS (SELECT doc_id, lang,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS tokens
+          |  FROM documents),
+          |nz AS (SELECT * FROM t WHERE tokens > 0),
+          |p AS (SELECT doc_id, lang, tokens,
+          |    COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+          |  FROM nz),
+          |pk AS (SELECT lang, tokens,
+          |    ((s + tokens - 1) // 2000) > (s // 2000) AS spans_boundary
+          |  FROM p),
+          |a AS (SELECT lang, count(*) AS n_docs,
+          |    CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+          |    CAST(SUM(CAST(spans_boundary AS INT)) AS BIGINT) AS n_boundary_docs
+          |  FROM pk GROUP BY lang)
+          |SELECT lang, n_docs, total_tokens, n_boundary_docs,
+          |  (total_tokens + 1999) // 2000 AS n_windows,
+          |  ((total_tokens + 1999) // 2000) * 2000 - total_tokens AS waste_tokens,
+          |  CAST(total_tokens AS DOUBLE)
+          |    / (((total_tokens + 1999) // 2000) * 2000) AS fill_frac
+          |FROM a ORDER BY lang""".stripMargin,
+
+      "q196_budget_curve" ->
+        s"""WITH d AS (SELECT $qualitySql AS quality,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |lvl AS (SELECT quality, count(*) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+           |  FROM d GROUP BY quality)
+           |SELECT quality, n_docs, tokens,
+           |  CAST(SUM(n_docs) OVER (ORDER BY quality DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+           |  CAST(SUM(tokens) OVER (ORDER BY quality DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |FROM lvl ORDER BY quality DESC""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,

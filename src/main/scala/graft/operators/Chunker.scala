@@ -79,6 +79,32 @@ object Chunker {
       .drop("_start")
   }
 
+  /** Packing-efficiency audit over a [[packSequences]] assignment: per
+    * shard, the document/token totals, the boundary-crossing document
+    * count (content split across a training-window seam — the packing
+    * quality cost), the window count `ceil(total/windowTokens)`, and
+    * the waste in the final ragged window (`fill_frac` → 1 means the
+    * budget is fully used; concatenative packing wastes at most one
+    * window per shard, so low fill flags shards too small for their
+    * window size). One hash aggregate with map-side partials — the
+    * planning number a packing run is judged by, all integer arithmetic
+    * except the final fraction. */
+  def packEfficiency(packed: DataFrame, shardCol: String, tokensCol: String,
+                     boundaryCol: String, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, "need windowTokens >= 1")
+    val nWin = expr(s"(total_tokens + ${windowTokens - 1}) div $windowTokens")
+    packed.groupBy(col(shardCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("total_tokens"),
+        sum(col(boundaryCol).cast("int")).cast("long").as("n_boundary_docs"))
+      .select(col(shardCol), col("n_docs"), col("total_tokens"),
+        col("n_boundary_docs"),
+        nWin.as("n_windows"),
+        (nWin * windowTokens - col("total_tokens")).as("waste_tokens"),
+        (col("total_tokens").cast("double") / (nWin * windowTokens))
+          .as("fill_frac"))
+  }
+
   /** Deterministic span-corruption plan (the T5/UL2 denoising-objective
     * layout, Raffel 2020 §3.1.4): each document's whitespace-token stream
     * is cut into `blockTokens`-token blocks; every FULL block masks one

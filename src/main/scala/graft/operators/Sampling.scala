@@ -314,4 +314,30 @@ object Sampling {
           .when(col("_h") === valBucket, "val").otherwise("test"))
       .drop("_rep", "_h")
   }
+
+  /** Quality-vs-token-budget operating curve: for each distinct quality
+    * level, the docs/tokens AT that level and the cumulative docs/tokens
+    * of everything at-or-above it — "a budget of B tokens buys quality ≥
+    * q" read directly off `cum_tokens`. This is the selection curve a
+    * curation run consults BEFORE fixing a quality threshold (pair it
+    * with [[domainCap]]/[[temperatureMix]] once the cut is chosen).
+    *
+    * Sort-free at corpus scale (the q183 skyline argument): the corpus
+    * collapses to the per-LEVEL aggregate first (map-side partials), and
+    * the running sum windows over the level table only — bounded by the
+    * quality grid (≤ 10⁶+1 levels at round-6 scores), never by the
+    * corpus, so it broadcasts/single-partitions harmlessly. */
+  def budgetCurve(df: DataFrame, qualityCol: String,
+                  weightCol: String): DataFrame = {
+    val lvl = df.groupBy(col(qualityCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(weightCol)).cast("long").as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(qualityCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    lvl.select(col(qualityCol), col("n_docs"), col("tokens"),
+      sum("n_docs").over(w).cast("long").as("cum_docs"),
+      sum("tokens").over(w).cast("long").as("cum_tokens"))
+  }
 }

@@ -80,6 +80,25 @@ class ChunkerSpec extends SparkSpec {
       (10L, 0, false), (11L, 1, false)))
   }
 
+  test("packEfficiency: window count, waste, and boundary docs per shard") {
+    // A: 2700 tokens → 2 windows, waste 1300, doc 3 spans the seam
+    // B: 2050 tokens → 2 windows, waste 1950, nothing spans (2000 exact)
+    val df = Seq((1L, "A", 900), (2L, "A", 900), (3L, "A", 900),
+        (10L, "B", 2000), (11L, "B", 50))
+      .toDF("id", "shard", "tokens")
+    val packed = graft.operators.Chunker
+      .packSequences(df, "shard", "id", "tokens", 2000)
+    val eff = graft.operators.Chunker
+      .packEfficiency(packed, "shard", "tokens", "spans_boundary", 2000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = eff("A")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 2700 && a.getLong(3) == 1)
+    assert(a.getLong(4) == 2 && a.getLong(5) == 1300)
+    assert(a.getDouble(6) == 2700.0 / 4000.0)
+    val b = eff("B")
+    assert(b.getLong(2) == 2050 && b.getLong(3) == 0 && b.getLong(4) == 2)
+  }
+
   test("spanCorruptionPlan: counts are pure integer functions of (id, tokens)") {
     val df = Seq((7L, (1 to 45).map(i => s"t$i").mkString(" ")),
         (9L, "a b c"))

@@ -6,6 +6,17 @@ import graft.operators.{Sampling, Sketches}
 class SamplingAndSketchesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("budgetCurve: cumulative tokens step down the quality levels") {
+    // levels: 0.9 → (2 docs, 30 tok), 0.5 → (1, 5), 0.1 → (3, 9)
+    val df = Seq((0.9, 10L), (0.9, 20L), (0.5, 5L),
+        (0.1, 3L), (0.1, 3L), (0.1, 3L)).toDF("q", "w")
+    val out = Sampling.budgetCurve(df, "q", "w")
+      .orderBy(org.apache.spark.sql.functions.desc("q"))
+      .as[(Double, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0.9, 2L, 30L, 2L, 30L),
+      (0.5, 1L, 5L, 3L, 35L), (0.1, 3L, 9L, 6L, 44L)))
+  }
+
   test("hash sampling is deterministic and approximately honors strata rates") {
     val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "xx"))
       .toDF("id", "lang")
