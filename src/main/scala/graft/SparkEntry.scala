@@ -2987,7 +2987,32 @@ object SparkEntry {
             .select(TF.qualityScore(col("text")).as("quality"),
               TF.tokenCount(col("text")).cast("long").as("n_tokens")),
           "quality", "n_tokens")
-        .orderBy(desc("quality")))
+        .orderBy(desc("quality")))    ,
+
+    "q197_multiprobe_lsh" -> ((s, dir) => {
+      // multi-probe hyperplane LSH (Lv 2007): the query probes its own
+      // sign-bit bucket plus the 8 Hamming-1 flips — 9 literal codes, so
+      // the plan is scan → map-side code → IN filter → exact cosine →
+      // TakeOrdered; no shuffle, no join, and the IN list partition-
+      // prunes a bucket-partitioned store
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.multiProbeSearch(e, "embedding", "vec_id", qv,
+          dim = 64, nBits = 8, k = 8)
+        .select(col("vec_id"), col("bucket"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
+    "q198_burstiness" -> ((s, dir) =>
+      // stream-hygiene audit: index of dispersion of per-minute event
+      // counts per type — D ≈ 1 organic, ≫ 1 bursty bot traffic; exact
+      // BIGINT rational with one final divide, two map-side-partial
+      // aggregates
+      Stats.dispersionIndex(
+          events(s, dir).select(col("event_type"), col("ts")),
+          "event_type", "ts", bucketSeconds = 60L)
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -3407,6 +3432,40 @@ object SparkEntry {
            |  CAST(SUM(tokens) OVER (ORDER BY quality DESC
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            |FROM lvl ORDER BY quality DESC""".stripMargin,
+
+      // query code + 8 Hamming-1 flips computed in SQL from the same
+      // left-fold plane dots, then the exact-cosine rerank of the
+      // probed buckets
+      "q197_multiprobe_lsh" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |    FROM embeddings WHERE vec_id = 0),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v,
+           |    CAST(${hyperplaneBitsSql("v", 8)} AS BIGINT) AS bucket FROM e),
+           |qc AS (SELECT ${hyperplaneBitsSql("qv", 8)} AS code FROM q),
+           |probes AS (SELECT CASE WHEN i = 8 THEN code
+           |    ELSE xor(code, (CAST(1 AS BIGINT) << CAST(i AS INT))) END AS p
+           |  FROM qc, unnest(range(0, 9)) AS t(i))
+           |SELECT b.vec_id, b.bucket,
+           |  round(1.0 - list_cosine_similarity(b.v, q.qv), 6) AS distance
+           |FROM b, q WHERE b.bucket IN (SELECT p FROM probes)
+           |ORDER BY 1.0 - list_cosine_similarity(b.v, q.qv), b.vec_id
+           |LIMIT 8""".stripMargin,
+
+      "q198_burstiness" ->
+        """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |bc AS (SELECT event_type, epoch_us(ts) // 60000000 AS b, count(*) AS c
+          |  FROM e GROUP BY 1, 2),
+          |a AS (SELECT event_type, count(*) AS n_buckets,
+          |    CAST(SUM(c) AS BIGINT) AS n_events,
+          |    CAST(SUM(c * c) AS BIGINT) AS scc
+          |  FROM bc GROUP BY event_type)
+          |SELECT event_type, n_buckets, n_events,
+          |  n_buckets * scc - n_events * n_events AS d_num,
+          |  n_buckets * n_events AS d_denom,
+          |  CAST(n_buckets * scc - n_events * n_events AS DOUBLE)
+          |    / (n_buckets * n_events) AS dispersion
+          |FROM a ORDER BY event_type""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,
@@ -6669,16 +6728,21 @@ object SparkEntry {
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
-  private def embeddingNearDupOracleSql: String = {
-    val planes = operators.Similarity.hyperplanePlanes(64, 4)
-    // per-plane dot product replayed with Spark's association: left fold in
-    // array order (list_reduce's first-element init == aggregate's 0.0+p1)
-    val bits = planes.zipWithIndex.map { case (plane, b) =>
+  /** Hyperplane sign-bit code of DOUBLE[] column `v`, replayed with
+    * Spark's association: left fold in array order (list_reduce's
+    * first-element init == aggregate's 0.0+p1). */
+  private def hyperplaneBitsSql(v: String, nBits: Int): String = {
+    val planes = operators.Similarity.hyperplanePlanes(64, nBits)
+    planes.zipWithIndex.map { case (plane, b) =>
       val lits = plane.mkString("[", ", ", "]")
       s"CASE WHEN list_reduce(list_transform(range(1, 65), " +
-        s"i -> v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c) >= 0 " +
+        s"i -> $v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c) >= 0 " +
         s"THEN ${1L << b} ELSE 0 END"
     }.mkString("(", "\n    + ", ")")
+  }
+
+  private def embeddingNearDupOracleSql: String = {
+    val bits = hyperplaneBitsSql("v", 4)
     // 1.0 - (1.0 - sim) replays the Spark side's double rounding exactly
     val cosine = "1.0 - (1.0 - list_cosine_similarity(x.v, y.v))"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

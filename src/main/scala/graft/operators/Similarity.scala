@@ -240,6 +240,47 @@ object Similarity {
     expr(s"(${bitExprs.mkString(" + ")})")
   }
 
+  /** The [[hyperplaneBucket]] code of one DRIVER-side vector — the
+    * identical left-fold association (`0.0 + x₀·y₀ + x₁·y₁ + …`), so the
+    * driver code and the expression code agree bit-for-bit. */
+  def hyperplaneCode(v: Seq[Float], dim: Int, nBits: Int): Long =
+    hyperplanePlanes(dim, nBits).zipWithIndex.map { case (plane, b) =>
+      val dot = (0 until dim).foldLeft(0.0)((a, i) => a + v(i).toDouble * plane(i))
+      if (dot >= 0) 1L << b else 0L
+    }.sum
+
+  /** Multi-probe hyperplane-LSH search (Lv et al. 2007): top-k cosine
+    * neighbors from ONLY the query's own hyperplane bucket plus its
+    * `nBits` Hamming-1 perturbations — the classic recall fix that makes
+    * one LSH table serve where naive bucketing needs many. A vector
+    * whose code differs from the query's in one sign bit sits across one
+    * hyperplane — by far the most likely miss — so probing the flipped
+    * codes recovers most of it for (nBits+1)/2^nBits of the corpus
+    * scanned.
+    *
+    * Scale shape: the probe set is nBits+1 LITERALS (the query's code is
+    * computed driver-side — one 64-float fold), so the plan is scan →
+    * map-side bucket expression → IN filter → exact cosine →
+    * TakeOrderedAndProject: no shuffle, no join, and with the corpus
+    * written `partitionBy(bucket)` the IN list partition-prunes exactly
+    * like the IVF store ([[graft.store.AnnStore]]). Returns (idCol,
+    * bucket, distance) — the same exact re-rank contract as [[topK]]. */
+  def multiProbeSearch(corpus: DataFrame, vecCol: String, idCol: String,
+                       query: Seq[Float], dim: Int, nBits: Int,
+                       k: Int): DataFrame = {
+    val qCode = hyperplaneCode(query, dim, nBits)
+    val probes = qCode +: (0 until nBits).map(b => qCode ^ (1L << b))
+    val qArr = typedLit(query)
+    corpus
+      .withColumn("bucket", hyperplaneBucket(vecCol, dim, nBits))
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("distance",
+        distCol(corpus.sparkSession, col(vecCol), qArr, "COSINE"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("bucket"), col("distance"))
+  }
+
   /** IVF assignment as a pure map-side argmin: the centroid set (small by
     * construction — it used to be the broadcast side) is collected and
     * folded into ONE expression per row — `least` over

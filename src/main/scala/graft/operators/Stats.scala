@@ -227,6 +227,40 @@ object Stats {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("rho"))
   }
 
+  /** Burstiness audit: the index of dispersion (Fano factor) of per-bucket
+    * event counts for each group — D = variance/mean of the counts over
+    * fixed time buckets. A Poisson-ish organic stream has D ≈ 1;
+    * D ≫ 1 flags bursty machine traffic (crawler floods, replayed logs)
+    * and D ≪ 1 suspiciously regular schedules — the stream-hygiene
+    * complement to [[chiSquareDrift]]'s composition monitor.
+    *
+    * Exact rational arithmetic: with n buckets and integer counts c,
+    * D = (n·Σc² − (Σc)²) / (n·Σc) — BIGINT numerator/denominator, one
+    * double divide at the end (population variance over the group's
+    * OBSERVED buckets; silent minutes outside them are not imputed).
+    * Two hash aggregates with map-side partials — bucket counts collapse
+    * in the scan stage; nothing corpus-sized shuffles. Buckets are
+    * epoch-µs integer division (timezone-free, replayable). */
+  def dispersionIndex(df: DataFrame, groupCol: String, tsCol: String,
+                      bucketSeconds: Long = 60L): DataFrame = {
+    require(bucketSeconds >= 1, "need bucketSeconds >= 1")
+    val buckets = df
+      .groupBy(col(groupCol),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    buckets.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_buckets"),
+        sum("_c").cast("long").as("n_events"),
+        sum(col("_c") * col("_c")).cast("long").as("_scc"))
+      .select(col(groupCol), col("n_buckets"), col("n_events"),
+        (col("n_buckets") * col("_scc") - col("n_events") * col("n_events"))
+          .as("d_num"),
+        (col("n_buckets") * col("n_events")).as("d_denom"),
+        ((col("n_buckets") * col("_scc") - col("n_events") * col("n_events"))
+          .cast("double") / (col("n_buckets") * col("n_events")))
+          .as("dispersion"))
+  }
+
   /** Gini concentration of an integer weight across groups — how
     * concentrated the corpus's token mass is over sources/domains (a
     * 100 TB mix audit: G→0 balanced, G→1 one domain dominates). Exact

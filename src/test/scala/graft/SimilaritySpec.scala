@@ -17,6 +17,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 5L))
   }
 
+  test("multiProbeSearch with a full probe set equals exact topK") {
+    // nBits = 1 → probes = {code, code^1} = BOTH buckets, so the probe
+    // filter drops nothing and the re-rank must equal brute-force topK
+    val big = (0 until 60).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 13 + d * 7) % 17 - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val qv = (0 until 64).map(d => ((d * 7) % 17 - 8).toFloat / 8f)
+    val mp = Similarity.multiProbeSearch(big, "embedding", "vec_id", qv,
+        dim = 64, nBits = 1, k = 5)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    val ex = Similarity.topK(big, "embedding", qv, 5, "COSINE", "vec_id")
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(mp == ex)
+  }
+
+  test("hyperplaneCode (driver) equals hyperplaneBucket (expression)") {
+    val big = (0 until 40).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 31 + d * 11) % 23 - 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val fromExpr = big
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucket("embedding", 64, 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = big.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.hyperplaneCode(v, 64, 8) == fromExpr(id), s"id=$id")
+    }
+  }
+
   test("COSINE score normalization matches reference formula (1 - d/2 over d=1-cos)") {
     val out = Similarity.topK(corpus, "embedding", Seq(1.0f, 0.0f), 5, "COSINE", "vec_id")
       .select("vec_id", "score").as[(Long, Double)].collect().toMap

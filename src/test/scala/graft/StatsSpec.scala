@@ -46,6 +46,26 @@ class StatsSpec extends SparkSpec {
     assert(r("neg") == -1.0)
   }
 
+  test("dispersionIndex: constant buckets give D=0; hand value for (1,3)") {
+    import java.sql.Timestamp
+    def ts(min: Int, sec: Int) =
+      Timestamp.valueOf(f"2026-01-01 00:$min%02d:$sec%02d")
+    // type "flat": 2 per minute over 3 minutes → variance 0
+    val flat = for (m <- 0 until 3; s <- Seq(1, 31)) yield ("flat", ts(m, s))
+    // type "burst": minute 0 has 1 event, minute 1 has 3 → D = 0.5
+    val burst = Seq(("burst", ts(0, 5)), ("burst", ts(1, 5)),
+      ("burst", ts(1, 15)), ("burst", ts(1, 25)))
+    val df = (flat ++ burst).toDF("t", "ts")
+    val out = Stats.dispersionIndex(df, "t", "ts", 60L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = out("flat")
+    assert(f.getLong(1) == 3 && f.getLong(2) == 6 && f.getLong(3) == 0)
+    assert(f.getDouble(5) == 0.0)
+    val b = out("burst")
+    // n=2, Σc=4, Σc²=10 → num = 2·10−16 = 4, denom = 8 → D = 0.5
+    assert(b.getLong(3) == 4 && b.getLong(4) == 8 && b.getDouble(5) == 0.5)
+  }
+
   test("spearman: ±1 on monotone data, invariant under monotone transforms") {
     // x vs x³ is nonlinear but perfectly monotone → ρ = 1 (Pearson < 1)
     val df = (1 to 40).flatMap(i => Seq(
