@@ -81,4 +81,24 @@ object Profiling {
     }.reduce(_ unionAll _)
       .withColumn("passed", col("n_violations") === 0L)
   }
+
+  /** Zero-extra-pass pipeline instrumentation via Spark's `observe`: the
+    * given aggregate metrics ride the NEXT action on the returned frame —
+    * accumulator-style, computed in the same tasks that do the real work
+    * (a separate `.agg(...)` action would rescan the input; at 100 TB
+    * that is a second pass over the corpus just for counters). Read the
+    * metrics from the returned [[org.apache.spark.sql.Observation]]
+    * AFTER an action, e.g. a sink write — this is how an export job
+    * reports its gate counts (docs seen / dropped / tokens written)
+    * without re-deriving them.
+    *
+    * Metrics must be aggregate expressions with no distinct and no
+    * result-dependent ordering (Spark's `observe` contract). Name each
+    * with `.as(...)` — `Observation.get` is keyed by those names. */
+  def withObservedMetrics(df: DataFrame, name: String,
+                          metrics: Seq[Column]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "withObservedMetrics: no metrics declared")
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -382,6 +382,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q193: power-iteration rounds aggregate map-side — the corpus never shuffles") {
+    // each round is scan → project(fold) → partial agg → SinglePartition
+    // exchange of ONE 64-sum row; no corpus-sized Exchange, no explode of
+    // the corpus (posexplode runs over the 1-row sums frame only), no join
+    // against anything corpus-sized
+    val p = plan("q193_top_component").split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // every Exchange is SinglePartition (aggregate partials or the 64-row
+    // frames) — a hashpartitioning Exchange would mean corpus rows moved
+    assert(!p.contains("hashpartitioning"),
+      "corpus rows must not shuffle in the power-iteration rounds")
+  }
+
+  test("q197: multi-probe LSH is scan → filter → TakeOrdered, zero shuffles") {
+    val p = plan("q197_multiprobe_lsh").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"),
+      "probe-list filter + rerank must be a single scan stage")
+    assert(!p.contains("Join"), "the probe set rides as literals, not a join")
+  }
+
+  test("q192: the k-core result reads the superstep checkpoint") {
+    val p = plan("q192_kcore")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.length < 20000, "plan string must stay round-bounded")
+  }
+
   test("q145: exists/not-exists plan as hash semi/anti joins on the order key") {
     // the <>/>= extras must ride as join-condition residuals, not force
     // a nested-loop or cartesian re-scan of lineitem

@@ -57,4 +57,28 @@ class ProfilingSpec extends SparkSpec {
     assert(rpt("dups") === ((2L, false)))
     assert(rpt("clean") === ((0L, true)))
   }
+
+  test("withObservedMetrics: export-gate counters ride the sink action") {
+    // a filter-then-write pipeline observed BEFORE the gate: the counters
+    // come out of the same tasks as the write — no second scan
+    val docs = (0 until 100).map(i => (i.toLong, i % 5, (i % 7).toLong))
+      .toDF("doc_id", "quality", "tokens")
+    val (observed, obs) = Profiling.withObservedMetrics(docs, "export_gate",
+      Seq(count(lit(1)).as("n_seen"),
+        sum(when(col("quality") >= 3, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("quality") >= 3, col("tokens")).otherwise(0L))
+          .as("tokens_kept")))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-obs").toString + "/exp"
+    observed.filter(col("quality") >= 3).write.mode("overwrite").parquet(out)
+    val m = obs.get
+    assert(m("n_seen") == 100L)
+    assert(m("n_kept") == 40L) // quality 3,4 of 0..4 → 2/5 of 100
+    // cross-check against an explicit aggregate of the same predicate
+    val expTok = docs.filter(col("quality") >= 3)
+      .agg(sum("tokens")).head().getLong(0)
+    assert(m("tokens_kept") == expTok)
+    // and the write really only contains the gated rows
+    assert(spark.read.parquet(out).count() == 40L)
+  }
 }
