@@ -3012,7 +3012,38 @@ object SparkEntry {
       Stats.dispersionIndex(
           events(s, dir).select(col("event_type"), col("ts")),
           "event_type", "ts", bucketSeconds = 60L)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q199_heldout_surprisal" -> ((s, dir) => {
+      // train/val generalization gate: bigram LM fitted on the 80% train
+      // split scores the 20% val split — OOV-bigram rate + bits/bigram
+      // read the distribution gap; LM count tables are vocab-sized joins
+      val d = tbl(s, dir, "documents")
+      NgramLm.bigramLmScoreAgainst(
+          d.filter(col("doc_id") % 10 < 8),
+          d.filter(col("doc_id") % 10 >= 8), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q200_multiprobe_recall" -> ((s, dir) => {
+      // the q103 recall discipline applied to the multi-probe LSH path:
+      // recall@8 of q197's probe-and-rerank against exact top-8 over 5
+      // queries — qualifies the nBits/probe-set config before serving
+      val e = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qvs = queries.orderBy("qid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val approx = qvs.map { case (qid, qv) =>
+        Similarity.multiProbeSearch(e, "embedding", "vec_id", qv,
+            dim = 64, nBits = 8, k = 8)
+          .select(lit(qid).as("query_id"), col("vec_id"))
+      }.reduce(_ unionAll _)
+      val exact = Similarity.topKBatch(e, "embedding", "vec_id",
+        queries, "qv", "qid", 8)
+      Similarity.recallAtK(approx, exact, "query_id", "vec_id", 8)
+        .orderBy("query_id")
+    })
   )
 
   // ======================================================================
@@ -3466,6 +3497,70 @@ object SparkEntry {
           |  CAST(n_buckets * scc - n_events * n_events AS DOUBLE)
           |    / (n_buckets * n_events) AS dispersion
           |FROM a ORDER BY event_type""".stripMargin,
+
+      // LM counts from the train split only; val bigrams LEFT JOIN the
+      // count tables; ilog2 difference = bin-length difference (the -1s
+      // cancel); OOV rows counted, excluded from the surprisal sum
+      "q199_heldout_surprisal" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, t[CAST(i AS INT)] AS ctx,
+          |    t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          |  WHERE len(t) >= 2),
+          |tg AS (SELECT * FROM g WHERE doc_id % 10 < 8),
+          |vg AS (SELECT * FROM g WHERE doc_id % 10 >= 8),
+          |bgc AS (SELECT bg, count(*) AS cbg FROM tg GROUP BY bg),
+          |ctxc AS (SELECT ctx, count(*) AS cctx FROM tg GROUP BY ctx),
+          |j AS (SELECT vg.doc_id, b.cbg, c.cctx
+          |  FROM vg LEFT JOIN bgc b USING (bg) LEFT JOIN ctxc c USING (ctx))
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(CASE WHEN cbg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  CAST(coalesce(SUM(CASE WHEN cbg IS NOT NULL
+          |    THEN length(bin(cctx)) - length(bin(cbg)) END), 0) AS BIGINT)
+          |    AS surprisal_bits,
+          |  CASE WHEN count(*) > SUM(CASE WHEN cbg IS NULL THEN 1 ELSE 0 END)
+          |    THEN CAST(coalesce(SUM(CASE WHEN cbg IS NOT NULL
+          |        THEN length(bin(cctx)) - length(bin(cbg)) END), 0) AS DOUBLE)
+          |      / (count(*) - SUM(CASE WHEN cbg IS NULL THEN 1 ELSE 0 END))
+          |  END AS bits_per_scored
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q197's probe logic generalized per query (code + flips joined by
+      // query), then the q103 recall replay against exact top-8
+      "q200_multiprobe_recall" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |b AS (SELECT vec_id, v,
+           |    CAST(${hyperplaneBitsSql("v", 8)} AS BIGINT) AS bucket FROM e),
+           |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id < 5),
+           |qc AS (SELECT query_id, qv,
+           |    CAST(${hyperplaneBitsSql("qv", 8)} AS BIGINT) AS code FROM q),
+           |probes AS (SELECT query_id, CASE WHEN i = 8 THEN code
+           |    ELSE xor(code, (CAST(1 AS BIGINT) << CAST(i AS INT))) END AS p
+           |  FROM qc, unnest(range(0, 9)) AS t(i)),
+           |approx AS (SELECT query_id, vec_id FROM (
+           |    SELECT qc.query_id, b.vec_id,
+           |      row_number() OVER (PARTITION BY qc.query_id
+           |        ORDER BY 1.0 - list_cosine_similarity(b.v, qc.qv), b.vec_id) AS rk
+           |    FROM b JOIN (SELECT DISTINCT query_id, p FROM probes) pr
+           |        ON b.bucket = pr.p
+           |      JOIN qc ON pr.query_id = qc.query_id) WHERE rk <= 8),
+           |exact AS (SELECT query_id, vec_id FROM (
+           |    SELECT q.query_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY 1.0 - list_cosine_similarity(e.v, q.qv), e.vec_id) AS rk
+           |    FROM e, q) WHERE rk <= 8),
+           |hits AS (SELECT x.query_id, COUNT(*) AS n_hit
+           |  FROM exact x JOIN approx ap USING (query_id, vec_id)
+           |  GROUP BY x.query_id)
+           |SELECT qs.query_id, coalesce(h.n_hit, 0) AS n_hit,
+           |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 8 AS recall
+           |FROM (SELECT DISTINCT query_id FROM exact) qs
+           |LEFT JOIN hits h USING (query_id)
+           |ORDER BY qs.query_id""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,

@@ -40,11 +40,12 @@ object NgramLm {
     * one per-doc rollup; 3 key shuffles total, each with map-side
     * partial aggregation. Returns (id, n_bigrams, surprisal_bits,
     * max_surprisal, bits_per_bigram). */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokenize ONCE into a column: Catalyst does not CSE interpreted
-    // HOFs — inlining the split per bigram index would be O(words²)/doc
-    val grams = df
-      .select(col(idCol), TextQuality.tokens(lower(col(textCol))).as("_t"))
+  /** The (id, ctx, bg) bigram stream of a corpus — tokenized ONCE into a
+    * column (Catalyst does not CSE interpreted HOFs; inlining the split
+    * per bigram index would be O(words²)/doc). */
+  private def bigramsOf(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol), TextQuality.tokens(lower(col(textCol))).as("_t"))
       .filter(size(col("_t")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(_t) - 1), i -> struct(" +
@@ -52,6 +53,9 @@ object NgramLm {
           "concat(element_at(_t, i), ' ', element_at(_t, i + 1)) as bg))"))
         .as("g"))
       .select(col(idCol), col("g.ctx").as("ctx"), col("g.bg").as("bg"))
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = bigramsOf(df, idCol, textCol)
     val counted = grams
       .withColumn("_cbg", count(lit(1)).over(Window.partitionBy("bg")))
       .withColumn("_cctx", count(lit(1)).over(Window.partitionBy("ctx")))
@@ -64,6 +68,46 @@ object NgramLm {
         col("max_surprisal"),
         (col("surprisal_bits").cast("double") / col("n_bigrams"))
           .as("bits_per_bigram"))
+  }
+
+  /** [[bigramLmScore]] with the LM trained on a SEPARATE corpus — the
+    * held-out generalization gate: fit the bigram counts on the train
+    * split, score the validation split, and read the train/val gap off
+    * `bits_per_scored` plus the out-of-vocabulary bigram rate. A val set
+    * whose surprisal ≈ the train split's own is drawn from the same
+    * distribution; a spike means leakage-free splits are measuring real
+    * generalization (or drift, if `scored` is a new ingest batch — this
+    * doubles as the LM-based drift monitor).
+    *
+    * Unseen bigrams have no defined count ratio, so they are COUNTED
+    * (`n_oov`, the q100 absent-rows lesson) and excluded from the
+    * surprisal sum rather than smoothed — smoothing constants are tuning
+    * noise under an exact-replay contract. `bits_per_scored` divides by
+    * the scored (seen) bigrams only and is NULL when everything is OOV.
+    *
+    * Scale shape: the train stream collapses to (bg) and (ctx) count
+    * tables (vocab-sized, map-side partials); the scored stream joins
+    * those two tables (AQE broadcasts them when small) and rolls up per
+    * doc — no windows over the combined corpora. */
+  def bigramLmScoreAgainst(train: DataFrame, scored: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val tg = bigramsOf(train, idCol, textCol)
+    val bgC = tg.groupBy("bg").agg(count(lit(1)).as("_cbg"))
+    val ctxC = tg.groupBy("ctx").agg(count(lit(1)).as("_cctx"))
+    bigramsOf(scored, idCol, textCol)
+      .join(bgC, Seq("bg"), "left")
+      .join(ctxC, Seq("ctx"), "left")
+      .withColumn("_s",
+        when(col("_cbg").isNotNull, ilog2(col("_cctx")) - ilog2(col("_cbg"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_cbg").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum("_s"), lit(0L)).as("surprisal_bits"))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
+        col("surprisal_bits"),
+        when(col("n_bigrams") > col("n_oov"),
+          col("surprisal_bits").cast("double") /
+            (col("n_bigrams") - col("n_oov"))).as("bits_per_scored"))
   }
 
   /** Per-document unigram entropy in exact integer log2 units:

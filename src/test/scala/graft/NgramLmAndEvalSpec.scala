@@ -26,6 +26,23 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(ids == Set(3L))
   }
 
+  test("bigramLmScoreAgainst: held-out scoring with OOV bigrams counted") {
+    // train: "a b a b a c" → bigrams ab,ba,ab,ba,ac; c(ab)=2, c(ba)=2,
+    // c(ac)=1; ctx a=3, b=2. val doc 100: "a b x" → ab (seen:
+    // s = ilog2(3)-ilog2(2) = 1-1 = 0) and "b x" (OOV)
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val valDf = Seq((100L, "a b x"), (101L, "z z")).toDF("doc_id", "text")
+    val out = graft.operators.NgramLm
+      .bigramLmScoreAgainst(train, valDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val v = out(100L)
+    assert(v.getLong(1) == 2 && v.getLong(2) == 1) // 2 bigrams, 1 oov
+    assert(v.getLong(3) == 0 && v.getDouble(4) == 0.0)
+    // doc 101: single bigram "z z", fully OOV → null bits_per_scored
+    val z = out(101L)
+    assert(z.getLong(1) == 1 && z.getLong(2) == 1 && z.isNullAt(4))
+  }
+
   test("pmiCollocations: exact ratio and ordering") {
     // 3 docs, each "p q" plus filler so p,q occur only together
     val df = Seq.tabulate(5)(i => Tuple1(s"p q f$i g$i")).toDF("text")
