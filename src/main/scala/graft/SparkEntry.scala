@@ -3043,7 +3043,30 @@ object SparkEntry {
         queries, "qv", "qid", 8)
       Similarity.recallAtK(approx, exact, "query_id", "vec_id", 8)
         .orderBy("query_id")
-    })
+    }),
+
+    "q201_source_overlap" -> ((s, dir) => {
+      // provenance audit: distinct texts shared verbatim between source
+      // pairs (mirrors / double-ingests); a synthetic "mirror" source
+      // re-posts every 5th doc so the matrix is non-trivial at any SF.
+      // Texts collapse to 16-byte digests before the pair join
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("text"), col("source")).unionAll(
+        d.filter(col("doc_id") % 5 === 0)
+          .select(col("text"), lit("mirror").as("source")))
+      Dedup.crossSourceOverlap(corpus, "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
+    "q202_trimmed_mean" -> ((s, dir) =>
+      // robust per-type value summary: exact 10%-per-side trimmed mean
+      // with deterministic tie ranks; fully-trimmed groups keep a NULL
+      // row instead of vanishing
+      Stats.trimmedMean(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("value"), col("event_id")),
+          "event_type", "value", "event_id", trimTenths = 1)
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -3561,6 +3584,39 @@ object SparkEntry {
            |FROM (SELECT DISTINCT query_id FROM exact) qs
            |LEFT JOIN hits h USING (query_id)
            |ORDER BY qs.query_id""".stripMargin,
+
+      "q201_source_overlap" ->
+        """WITH corpus AS (
+          |  SELECT text, source FROM documents
+          |  UNION ALL
+          |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 5 = 0),
+          |hs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus)
+          |SELECT a.source AS source_a, b.source AS source_b,
+          |  count(*) AS n_shared
+          |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // rank/count windows share the partition; cut = (n*1)//10 per
+      // side; fully-trimmed groups keep a NULL-mean row
+      "q202_trimmed_mean" ->
+        """WITH e AS (SELECT event_type, value, event_id FROM events
+          |  WHERE value IS NOT NULL),
+          |r AS (SELECT event_type, value,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY value, event_id) AS rk,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM e),
+          |k AS (SELECT event_type, value, n,
+          |    rk > (n * 1) // 10 AND rk <= n - (n * 1) // 10 AS keep
+          |  FROM r)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0
+          |    THEN CAST(SUM(CASE WHEN keep
+          |        THEN CAST(value AS DECIMAL(24,6)) END) AS DOUBLE)
+          |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+          |  END AS trimmed_mean
+          |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,

@@ -736,4 +736,28 @@ object Dedup {
         col("max_cosine"), col("witness_eid"),
         col("n_eval_hits").isNotNull.as("contaminated"))
   }
+
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many DISTINCT document texts they share verbatim — the provenance
+    * audit behind per-source dedup budgeting (mirror sites, scraped
+    * re-posts, and pipeline double-ingests show up as hot pairs; the
+    * per-source savings then feed [[graft.operators.Sampling.domainCap]]
+    * decisions). Pairs are canonical `source_a < source_b`.
+    *
+    * Shape: texts collapse to (md5, source) DISTINCT first (16-byte
+    * digests on the wire, map-side partial dedup — the [[exactDedup]]
+    * argument), then a self-equi-join on the digest whose fan-out is
+    * bounded by sources-per-digest ≤ |sources|, then a |sources|²-sized
+    * aggregate. Nothing document-sized shuffles. */
+  def crossSourceOverlap(df: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val hs = df.select(md5(col(textCol).cast("binary")).as("_h"),
+        col(sourceCol).as("_src"))
+      .distinct()
+    hs.select(col("_h"), col("_src").as("source_a"))
+      .join(hs.select(col("_h"), col("_src").as("source_b")), Seq("_h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

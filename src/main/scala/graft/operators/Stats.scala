@@ -227,6 +227,39 @@ object Stats {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 12).as("rho"))
   }
 
+  /** Exact trimmed mean per group: drop the lowest and highest
+    * `trimTenths`/10 of rows by (value, tie) rank, then the exact
+    * decimal mean of the kept middle — the robust location estimate
+    * between the mean (outlier-fragile) and the median (throws away
+    * everything); the metric-summary shape for per-group latency /
+    * value columns with heavy tails. Cut counts are `n div (10/k)`-style
+    * integer arithmetic (`cut = n·trimTenths div 10`), deterministic
+    * under ties via the tie column.
+    *
+    * One window shuffle (rank + count share the group exchange) and one
+    * hash aggregate. Returns (group, n, n_kept, trimmed_mean); a group
+    * where trimming removes everything (n ≤ 2·cut) yields NULL mean. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  tieCol: String, trimTenths: Int = 1): DataFrame = {
+    require(trimTenths >= 0 && trimTenths <= 4, "trim 0..4 tenths per side")
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol),
+        row_number().over(w.orderBy(col(valueCol), col(tieCol))).as("_rk"),
+        count(lit(1)).over(w).as("_n"))
+      .withColumn("_cut", expr(s"(_n * $trimTenths) div 10"))
+      .withColumn("_keep",
+        col("_rk") > col("_cut") && col("_rk") <= col("_n") - col("_cut"))
+    // conditional aggregate, not a filter: a fully-trimmed group stays a
+    // row with NULL mean instead of vanishing (the q100 absent-rows rule)
+    ranked.groupBy(col(groupCol)).agg(
+        max("_n").as("n"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        dsum(when(col("_keep"), col(valueCol))).as("_s"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        when(col("n_kept") > 0, col("_s") / col("n_kept"))
+          .as("trimmed_mean"))
+  }
+
   /** Burstiness audit: the index of dispersion (Fano factor) of per-bucket
     * event counts for each group — D = variance/mean of the counts over
     * fixed time buckets. A Poisson-ish organic stream has D ≈ 1;

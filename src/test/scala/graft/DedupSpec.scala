@@ -20,6 +20,16 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 4L))
   }
 
+  test("crossSourceOverlap counts distinct shared texts per canonical pair") {
+    val df = Seq(
+      ("hello", "a"), ("hello", "b"), ("hello", "b"), // dup within b: once
+      ("world", "a"), ("world", "c"),
+      ("only-a", "a")).toDF("text", "source")
+    val out = graft.operators.Dedup.crossSourceOverlap(df, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", 1L), ("a", "c", 1L)))
+  }
+
   test("minhash LSH finds near-duplicates, not unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog repeatedly every single day"
     val near = base + " now"

