@@ -3066,7 +3066,37 @@ object SparkEntry {
           events(s, dir).filter(col("value").isNotNull)
             .select(col("event_type"), col("value"), col("event_id")),
           "event_type", "value", "event_id", trimTenths = 1)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q203_mean_pooling" -> ((s, dir) => {
+      // doc-level vector from chunk embeddings: chunk (200/50) →
+      // stub-embed → per-doc mean pool; the pooled norm is the topical-
+      // coherence feature. Explode collapses to (doc, dim) partials
+      // map-side; the full chunk→embed→pool chain replays in the oracle
+      val chunks = Chunker.chunkWithIds(tbl(s, dir, "documents"),
+          "doc_id", "text", 200, 50)
+        .select(col("doc_id"), col("chunk").as("ctext"))
+      val emb = Embedder.embed(chunks, "ctext", Embedder.stubEmbed(64))
+      Embedder.meanPool(emb, "doc_id", "embedding")
+        .select(col("doc_id"), col("n_chunks"),
+          round(col("pool_norm"), 6).as("pool_norm"))
+        .orderBy("doc_id")
+    }),
+
+    "q204_auc_by_lang" -> ((s, dir) => {
+      // per-language slice of the q158 gate: exact Mann-Whitney AUC of
+      // the hashed-bigram classifier against the Gopher label, stratified
+      // by lang — the bias audit before a corpus-wide threshold;
+      // single-class strata keep NULL-auc rows
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Evaluation.aucByRankSumBy(scored, "lang", "margin", "quality_pass")
+        .orderBy("lang")
+    })
   )
 
   // ======================================================================
@@ -3617,6 +3647,29 @@ object SparkEntry {
           |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END)
           |  END AS trimmed_mean
           |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q203_mean_pooling" -> meanPoolOracleSql,
+
+      // the q158 CTEs joined to lang; rank-sum windows partition by
+      // lang; single-class strata emit NULL auc
+      "q204_auc_by_lang" ->
+        s"""$scoredMarginCtes,
+           |bys AS (SELECT d.lang, margin AS s,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 0 ELSE 1 END) AS BIGINT) AS nn
+           |  FROM scored JOIN documents d USING (doc_id)
+           |  GROUP BY d.lang, margin),
+           |cum AS (SELECT lang, np, nn,
+           |    coalesce(SUM(nn) OVER (PARTITION BY lang ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+           |  FROM bys)
+           |SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pos,
+           |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+           |  CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+           |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+           |    THEN CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
+           |      / (2 * SUM(np) * SUM(nn)) END AS auc
+           |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
 
       // two Lloyd rounds replayed: window-argmin assignment (≡ the Spark
       // fold — sqrt is monotone, ties by cid), decimal-exact means,
@@ -5616,6 +5669,50 @@ object SparkEntry {
        |FROM emb
        |ORDER BY $dist, id
        |LIMIT 8""".stripMargin
+  }
+
+  /** Replays q203: the q32 chunk→stub-embed chain (no dedup) carrying
+    * doc_id, then per-(doc, dim) DECIMAL(38,18) mean sums and the pooled
+    * norm under one IEEE sqrt. */
+  private def meanPoolOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val toks = "list_filter(regexp_split_to_array(lower(ctext), '\\W+'), x -> x <> '')"
+    val tokHash = s"list_reduce(list_transform(range(1, length(t) + 1), " +
+      s"j -> CAST(unicode(substring(t, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $b1 + c) % 2147483647)"
+    s"""WITH chunks AS (
+       |  SELECT doc_id, substring(text, CAST(s AS INT) + 1, 200) AS ctext
+       |  FROM documents, unnest(range(0, length(text), 150)) AS t(s)),
+       |hashed AS (
+       |  SELECT doc_id, list_transform($toks, t -> $tokHash) AS hs FROM chunks),
+       |raws AS (
+       |  SELECT doc_id, list_transform(range(0, 64), b ->
+       |      len(list_filter(hs, h -> h % 64 = b AND ((h >> 6) & 1) = 0))
+       |    - len(list_filter(hs, h -> h % 64 = b AND ((h >> 6) & 1) = 1))) AS raw
+       |  FROM hashed),
+       |normed AS (
+       |  SELECT doc_id,
+       |    sqrt(CAST(list_reduce(list_transform(raw, x -> x * x), (a, c) -> a + c) AS DOUBLE)) AS nrm,
+       |    raw
+       |  FROM raws),
+       |emb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nrm > 0
+       |      THEN list_transform(raw, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))
+       |      ELSE list_transform(raw, x -> CAST(0.0 AS FLOAT)) END AS v
+       |  FROM normed),
+       |px AS (
+       |  SELECT doc_id, CAST(i AS INT) AS dim,
+       |    CAST(v[CAST(i AS INT) + 1] AS DOUBLE) AS x
+       |  FROM emb, unnest(range(0, 64)) AS t(i)),
+       |m AS (
+       |  SELECT doc_id, dim, count(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s
+       |  FROM px GROUP BY doc_id, dim)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chunks,
+       |  round(sqrt(CAST(SUM(CAST((s / n) * (s / n) AS DECIMAL(38,18))) AS DOUBLE)), 6)
+       |    AS pool_norm
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** MMR oracle: the k=5 greedy selection unrolled into chained CTEs —

@@ -49,6 +49,36 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** [[aucByRankSum]] per group — the fairness/bias slice of the same
+    * exact statistic: a classifier whose global AUC is healthy can still
+    * be near-random on one language or source, and that slice is what a
+    * per-stratum quality gate must see before the classifier's threshold
+    * is applied corpus-wide. Same doubled-BIGINT arithmetic; the
+    * cumulative window partitions by group so each stratum's rank-sum is
+    * independent. A single-class group (no positives or no negatives)
+    * has no defined AUC — it keeps its row with NULL auc (the q100
+    * absent-rows rule). Returns (group, n_pos, n_neg, u2, auc). */
+  def aucByRankSumBy(scored: DataFrame, groupCol: String, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(groupCol), col(scoreCol).as("_s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("_cum_nn", coalesce(sum("_nn").over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(sum("_np").cast("long").as("n_pos"),
+        sum("_nn").cast("long").as("n_neg"),
+        sum(col("_np") * (lit(2L) * col("_cum_nn") + col("_nn")))
+          .cast("long").as("u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double") / (lit(2L) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
   /** Reliability diagram: bin a score known to lie in [-0.5, 0.5]
     * (a [[TextQuality.classifierScore]] margin) into `nBins` fixed
     * equal-width bins and report each bin's size and positive fraction —

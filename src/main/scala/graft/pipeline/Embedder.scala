@@ -73,4 +73,32 @@ object Embedder {
       }
     }(enc)
   }
+
+  /** Doc-level mean-pooling of chunk embeddings — the standard way a
+    * chunked corpus gets one retrieval/clustering vector per document
+    * (average of its chunk vectors). Emits the pooled vector's summary,
+    * not the array itself: chunk count and the pooled L2 norm — the norm
+    * IS the coherence signal (chunks pointing the same way pool to norm
+    * ≈ 1 after unit-chunk embedding; topically scattered docs pool
+    * toward 0), which makes it the doc-level drift/quality feature.
+    *
+    * Replay-exactness: per-dimension means accumulate as DECIMAL(38,18)
+    * sums of exact float→double widenings over a count divide; the norm
+    * is a decimal sum of correctly-rounded squared means under one IEEE
+    * sqrt.
+    *
+    * Shape: one posexplode fan-out (rows × dim) that collapses to
+    * (group, dim) partial sums map-side, one (group)-keyed rollup — the
+    * standard distributed vector-mean; nothing driver-side. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(38,18)")
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("_n"),
+        sum(d18(col("_x").cast("double"))).cast("double").as("_s"))
+      .withColumn("_m", col("_s") / col("_n"))
+      .groupBy(col(groupCol))
+      .agg(max("_n").as("n_chunks"),
+        sqrt(sum(d18(col("_m") * col("_m"))).cast("double")).as("pool_norm"))
+  }
 }

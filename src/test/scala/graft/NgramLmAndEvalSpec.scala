@@ -65,6 +65,23 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(auc == 0.875)
   }
 
+  test("aucByRankSumBy: per-group equals global on one group; single-class NULL") {
+    val df = Seq((0.9, true), (0.8, false), (0.7, true), (0.1, false))
+      .map { case (s, l) => ("g", s, l) }.toDF("grp", "s", "l")
+    val grouped = Evaluation.aucByRankSumBy(df, "grp", "s", "l").head()
+    val global = Evaluation.aucByRankSum(df, "s", "l").head()
+    assert(grouped.getLong(1) == global.getLong(0))
+    assert(grouped.getLong(3) == global.getLong(2))
+    assert(grouped.getDouble(4) == global.getDouble(3))
+    // a stratum with only positives keeps its row with NULL auc
+    val mixed = df.unionAll(
+      Seq(("onlypos", 0.5, true), ("onlypos", 0.6, true))
+        .toDF("grp", "s", "l"))
+    val rows = Evaluation.aucByRankSumBy(mixed, "grp", "s", "l")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("onlypos").getLong(2) == 0 && rows("onlypos").isNullAt(4))
+  }
+
   test("aucByRankSum: perfect separation gives 1.0") {
     val df = (1 to 10).map(i => (i.toDouble, i > 5)).toDF("score", "label")
     assert(Evaluation.aucByRankSum(df, "score", "label")

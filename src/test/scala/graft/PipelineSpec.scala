@@ -25,6 +25,19 @@ class PipelineSpec extends SparkSpec {
     assert(vecs(1L) != vecs(2L))
   }
 
+  test("meanPool: hand-computed pooled norm; unit chunks pool to coherence") {
+    // doc 1: orthogonal unit chunks (1,0) and (0,1) → mean (.5,.5),
+    // norm = sqrt(.5) ; doc 2: one chunk (0,1) → norm 1 (fully coherent)
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+        (2L, Seq(0.0f, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val out = Embedder.meanPool(df, "doc_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2)
+    assert(math.abs(out(1L)._2 - math.sqrt(0.5)) < 1e-12)
+    assert(out(2L) == ((1L, 1.0)))
+  }
+
   test("route resolution matches reference runtime/common.py:86-96") {
     import RagPipeline._
     assert(resolveRoute(vecSearchEnabled = true, nl2sqlEnabled = true) == Combined)
