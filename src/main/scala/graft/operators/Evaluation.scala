@@ -29,25 +29,13 @@ object Evaluation {
     * Scale shape: one groupBy collapses the corpus to its distinct
     * score values map-side; the ordered cumulative window then runs
     * over |distinct scores| rows, not |corpus| rows, and the result is
-    * a single row. Returns (n_pos, n_neg, u2, auc). */
+    * a single row. Returns (n_pos, n_neg, u2, auc); a single-class
+    * input (P = 0 or N = 0) yields NULL auc. Delegates to
+    * [[aucByRankSumBy]] with a constant group. */
   def aucByRankSum(scored: DataFrame, scoreCol: String,
-                   labelCol: String): DataFrame = {
-    val byScore = scored
-      .groupBy(col(scoreCol).as("_s"))
-      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nn"))
-    val w = Window.orderBy("_s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byScore
-      .withColumn("_cum_nn", coalesce(sum("_nn").over(w), lit(0L)))
-      .agg(sum("_np").cast("long").as("n_pos"),
-        sum("_nn").cast("long").as("n_neg"),
-        sum(col("_np") * (lit(2L) * col("_cum_nn") + col("_nn")))
-          .cast("long").as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
-        (col("u2").cast("double") / (lit(2L) * col("n_pos") * col("n_neg")))
-          .as("auc"))
-  }
+                   labelCol: String): DataFrame =
+    aucByRankSumBy(scored.withColumn("_g", lit(1)), "_g", scoreCol, labelCol)
+      .drop("_g")
 
   /** [[aucByRankSum]] per group — the fairness/bias slice of the same
     * exact statistic: a classifier whose global AUC is healthy can still

@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   * (`src/server/app/embed/vector_store.py`); centrality extends the same
   * kNN machinery (q101) from per-query ranking to corpus-level structure.
   *
+  * Superstep materialization: each iterative op here ends every round
+  * with an EAGER `localCheckpoint` — the round's state is referenced
+  * more than once by the next round, so without truncation the logical
+  * plan (and even its description string) grows exponentially in the
+  * round count; caching dedups execution but not the plan tree.
+  * Trade-off, on purpose: localCheckpoint blocks are unreplicated
+  * executor state, so an executor lost mid-iteration fails the job
+  * instead of recomputing (use reliable `checkpoint()` to durable
+  * storage — one-line swap — when running with preemptible executors
+  * or dynamic deallocation), and superseded round blocks are freed by
+  * the ContextCleaner when their RDDs are GC'd rather than eagerly —
+  * bounded by one round's state times the GC lag, negligible for the
+  * node/edge tables these loops carry.
+  *
   * Replay-exactness: PageRank's textbook form is all double division and
   * order-dependent float sums. Here rank mass rides as FIXED-POINT
   * BIGINTs (`scale` units spread over the nodes) and every step is
@@ -232,15 +246,18 @@ object GraphAnalytics {
       .distinct()
       .localCheckpoint()
     var keep: DataFrame = null
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
       keep = deg.localCheckpoint() // materialized once, read by 2 joins + output
         .filter(col("deg") >= k)
-      und = und
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+      // the final round's survivor set is the result — don't pay two
+      // joins + a materialization for an edge set nobody reads
+      if (r < rounds)
+        und = und
+          .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint()
     }
     keep.select(col("v").as("id"), col("deg"))
   }

@@ -25,6 +25,21 @@ object NgramLm {
     * engines: the bit-length of the binary string minus one. */
   private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
 
+  /** The raw (id, ctx, bg) bigram stream of a corpus — the shared
+    * tokenize-and-explode stage. Tokenizes ONCE into a column: Catalyst
+    * does not CSE interpreted HOFs, so inlining the split per bigram
+    * index would be O(words²)/doc. */
+  private def bigramsOf(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol), TextQuality.tokens(lower(col(textCol))).as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(" +
+          "element_at(_t, i) as ctx, " +
+          "concat(element_at(_t, i), ' ', element_at(_t, i + 1)) as bg))"))
+        .as("g"))
+      .select(col(idCol), col("g.ctx").as("ctx"), col("g.bg").as("bg"))
+
   /** Per-document bigram-LM surprisal against the corpus's OWN bigram
     * model: for each in-document bigram (a,b), the integer surprisal
     * `ilog2 c(a·) - ilog2 c(ab)` ≈ log2 1/p(b|a), where c(ab) is the
@@ -40,20 +55,6 @@ object NgramLm {
     * one per-doc rollup; 3 key shuffles total, each with map-side
     * partial aggregation. Returns (id, n_bigrams, surprisal_bits,
     * max_surprisal, bits_per_bigram). */
-  /** The (id, ctx, bg) bigram stream of a corpus — tokenized ONCE into a
-    * column (Catalyst does not CSE interpreted HOFs; inlining the split
-    * per bigram index would be O(words²)/doc). */
-  private def bigramsOf(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame =
-    df.select(col(idCol), TextQuality.tokens(lower(col(textCol))).as("_t"))
-      .filter(size(col("_t")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(_t) - 1), i -> struct(" +
-          "element_at(_t, i) as ctx, " +
-          "concat(element_at(_t, i), ' ', element_at(_t, i + 1)) as bg))"))
-        .as("g"))
-      .select(col(idCol), col("g.ctx").as("ctx"), col("g.bg").as("bg"))
-
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = bigramsOf(df, idCol, textCol)
     val counted = grams

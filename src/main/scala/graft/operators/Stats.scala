@@ -210,8 +210,13 @@ object Stats {
     def rank2(c: String): Column =
       lit(2L) * rank().over(pg.orderBy(col(c))) +
         count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))) - lit(1L)
-    val ranks = df.select(col(groupCol),
-      rank2(xCol).as("_rx"), rank2(yCol).as("_ry"))
+    // pairwise-complete: a NULL in either column would otherwise be
+    // RANKED (Spark sorts nulls first, other engines last — a silent
+    // cross-engine divergence) — drop the pair instead
+    val ranks = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol),
+        rank2(xCol).as("_rx"), rank2(yCol).as("_ry"))
     def s0(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
     def sp(a: Column, b: Column) =
       sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
@@ -277,9 +282,15 @@ object Stats {
   def dispersionIndex(df: DataFrame, groupCol: String, tsCol: String,
                       bucketSeconds: Long = 60L): DataFrame = {
     require(bucketSeconds >= 1, "need bucketSeconds >= 1")
+    // FLOOR division (matching SQL //): plain `div` truncates toward
+    // zero, which would make the bucket at the epoch twice as wide for
+    // any stream containing (corrupt) pre-1970 timestamps
+    val n = bucketSeconds * 1000000L
+    val us = s"unix_micros($tsCol)"
     val buckets = df
       .groupBy(col(groupCol),
-        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("_b"))
+        expr(s"($us div $n) - (CASE WHEN $us % $n < 0 THEN 1 ELSE 0 END)")
+          .as("_b"))
       .agg(count(lit(1)).as("_c"))
     buckets.groupBy(col(groupCol)).agg(
         count(lit(1)).as("n_buckets"),
