@@ -3096,6 +3096,37 @@ object SparkEntry {
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
       Evaluation.aucByRankSumBy(scored, "lang", "margin", "quality_pass")
         .orderBy("lang")
+    }),
+
+    "q205_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer fertility audit: tokens-per-word and chars-per-token
+      // per language under the q130-learned merges — the number that
+      // flags a vocabulary under-serving a language (high fertility =
+      // more sequence length for the same text). Merges learn once
+      // globally; the apply is a map-side rewrite of the per-lang
+      // vocab-sized word table, never a second corpus pass
+      val d = tbl(s, dir, "documents")
+      val merges = operators.Bpe
+        .learnMerges(operators.Bpe.wordCounts(d, "text"), iters = 3)
+        .orderBy("rank").select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val wl = d.select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      operators.Bpe.applyMerges(wl, merges)
+        .select(col("lang"), col("freq"),
+          size(col("tokens")).as("ntok"), length(col("word")).as("nchr"))
+        .groupBy("lang").agg(
+          sum("freq").as("n_words"),
+          sum(col("freq") * col("ntok")).as("n_tokens"),
+          sum(col("freq") * col("nchr")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          (col("n_tokens").cast("double") / col("n_words"))
+            .as("tokens_per_word"),
+          (col("n_chars").cast("double") / col("n_tokens"))
+            .as("chars_per_token"))
+        .orderBy("lang")
     })
   )
 
@@ -3649,6 +3680,8 @@ object SparkEntry {
           |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q203_mean_pooling" -> meanPoolOracleSql,
+
+      "q205_tokenizer_fertility" -> tokenizerFertilityOracleSql,
 
       // the q158 CTEs joined to lang; rank-sum windows partition by
       // lang; single-class strata emit NULL auc
@@ -6689,6 +6722,34 @@ object SparkEntry {
        |  FROM wc),
        |$rounds""".stripMargin
   }
+
+  /** Replays q205: the q130 learn chain (b1..b3) applied to a PER-LANG
+    * word table, then the fertility rollup — tokens/word and
+    * chars/token per language. */
+  private def tokenizerFertilityOracleSql: String =
+    s"""WITH $bpePrefixSql,
+       |wl AS (SELECT lang, word, count(*) AS freq FROM (
+       |    SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents) u
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY lang, word),
+       |a0 AS (SELECT lang, word, freq,
+       |    array_to_string(string_split(word, ''), chr(31)) AS w FROM wl),
+       |a1 AS (SELECT lang, word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM a0, b1),
+       |a2 AS (SELECT lang, word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM a1, b2),
+       |a3 AS (SELECT lang, word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM a2, b3),
+       |f AS (SELECT lang, freq,
+       |    CAST(len(string_split(w, chr(31))) AS INT) AS ntok,
+       |    length(word) AS nchr
+       |  FROM a3)
+       |SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+       |  CAST(SUM(freq * ntok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(freq * nchr) AS BIGINT) AS n_chars,
+       |  CAST(SUM(freq * ntok) AS DOUBLE) / SUM(freq) AS tokens_per_word,
+       |  CAST(SUM(freq * nchr) AS DOUBLE) / SUM(freq * ntok) AS chars_per_token
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private def bpeOracleSql: String = {
     val out = (1 to 3).map(r =>
