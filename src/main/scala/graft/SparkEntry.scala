@@ -3127,6 +3127,23 @@ object SparkEntry {
           (col("n_chars").cast("double") / col("n_tokens"))
             .as("chars_per_token"))
         .orderBy("lang")
+    }),
+
+    "q206_join_size_estimate" -> ((s, dir) => {
+      // sketch-based join-cardinality statistic (AMS/CMS F2): self-join
+      // size on l_partkey estimated from the 4×1024 grid alone — min
+      // over depth of Σ cell² — vs the exact Σ c_k²; the broadcast-vs-
+      // shuffle decision input a 100 TB optimizer reads from sketches,
+      // never from a key rescan
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey").as("key"))
+      val grid = Sketches.cmsCounters(li, "key", 4, 1024)
+      val est = Sketches.cmsInnerProduct(grid, grid)
+      val exact = li.groupBy("key").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).cast("long").as("exact_f2"))
+      est.crossJoin(exact)
+        .select(col("inner_product_est"), col("exact_f2"),
+          (col("inner_product_est").cast("double") / col("exact_f2"))
+            .as("over_ratio"))
     })
   )
 
@@ -3682,6 +3699,27 @@ object SparkEntry {
       "q203_mean_pooling" -> meanPoolOracleSql,
 
       "q205_tokenizer_fertility" -> tokenizerFertilityOracleSql,
+
+      // the q74 CMS cell replay, then min-over-depth of Σ cell² vs the
+      // exact second frequency moment
+      "q206_join_size_estimate" ->
+        """WITH keys AS (SELECT l_partkey AS key FROM lineitem),
+          |ch0 AS (SELECT key, (key * 1000003) % 2147483647 AS a0,
+          |    (key * 999983) % 2147483647 AS b0 FROM keys),
+          |ch1 AS (SELECT key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1,
+          |    (xor(b0, b0 >> 16) * 73244475) % 2147483647 AS b1 FROM ch0),
+          |ch2 AS (SELECT key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h1,
+          |    ((xor(b1, b1 >> 13) * 73244475) % 2147483647) | 1 AS h2 FROM ch1),
+          |cells AS (SELECT d, (h1 + d * h2) % 1024 AS pos, COUNT(*) AS c
+          |  FROM ch2, unnest(range(0, 4)) AS t(d) GROUP BY d, pos),
+          |dots AS (SELECT d, CAST(SUM(c * c) AS BIGINT) AS dot
+          |  FROM cells GROUP BY d),
+          |est AS (SELECT MIN(dot) AS inner_product_est FROM dots),
+          |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM (
+          |    SELECT COUNT(*) AS c FROM keys GROUP BY key))
+          |SELECT inner_product_est, exact_f2,
+          |  CAST(inner_product_est AS DOUBLE) / exact_f2 AS over_ratio
+          |FROM est, ex""".stripMargin,
 
       // the q158 CTEs joined to lang; rank-sum windows partition by
       // lang; single-class strata emit NULL auc

@@ -133,6 +133,26 @@ object Sketches {
   def cmsMerge(counters: DataFrame): DataFrame =
     counters.groupBy("d", "pos").agg(sum("c").as("c"))
 
+  /** Inner-product (join-size) estimate from two CMS grids (Cormode &
+    * Muthukrishnan 2005 §4.2): for each depth row, the dot product of
+    * the two width-vectors upper-bounds Σ_k a_k·b_k (hash collisions
+    * only ADD mass); the min over depth rows is the classic
+    * equi-join-cardinality estimate — and with `a eq b`, the self-join
+    * size / second frequency moment F2. This is the optimizer statistic
+    * that decides shuffle-vs-broadcast and skew handling at 100 TB from
+    * two O(depth×width) sketches, no key rescans. Counts are exact
+    * BIGINTs, so the estimate replays deterministically; Σc² stays in
+    * BIGINT range for per-grid mass up to ~3·10⁹ rows per depth — shard
+    * the grids ([[cmsCountersSharded]]) beyond that. Returns one row
+    * (inner_product_est). */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("d"), col("pos"), col("c").as("_ca"))
+    val r = b.select(col("d"), col("pos"), col("c").as("_cb"))
+    l.join(r, Seq("d", "pos"))
+      .groupBy("d").agg(sum(col("_ca") * col("_cb")).cast("long").as("_dot"))
+      .agg(min("_dot").as("inner_product_est"))
+  }
+
   /** Point estimates from a CMS counter frame: min over the depth rows of
     * the key's counter cells (≥ true count, never under). Counters join
     * broadcast — the grid is tiny by construction. */

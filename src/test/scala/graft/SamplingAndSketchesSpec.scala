@@ -6,6 +6,22 @@ import graft.operators.{Sampling, Sketches}
 class SamplingAndSketchesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cmsInnerProduct: ≥ exact F2 always, = with a collision-free grid") {
+    import graft.operators.Sketches
+    // 4 distinct keys, width 4096 → collisions vanishingly unlikely
+    val df = (Seq.fill(3)(10L) ++ Seq.fill(2)(20L) ++ Seq(30L, 40L))
+      .toDF("key")
+    val grid = Sketches.cmsCounters(df, "key", 4, 4096)
+    val est = Sketches.cmsInnerProduct(grid, grid)
+      .head().getLong(0)
+    val exactF2 = 9L + 4L + 1L + 1L
+    assert(est == exactF2)
+    // a tight grid (width 2) forces collisions → strict overestimate
+    val tight = Sketches.cmsCounters(df, "key", 4, 2)
+    val est2 = Sketches.cmsInnerProduct(tight, tight).head().getLong(0)
+    assert(est2 >= exactF2)
+  }
+
   test("budgetCurve: cumulative tokens step down the quality levels") {
     // levels: 0.9 → (2 docs, 30 tok), 0.5 → (1, 5), 0.1 → (3, 9)
     val df = Seq((0.9, 10L), (0.9, 20L), (0.5, 5L),
