@@ -3144,7 +3144,104 @@ object SparkEntry {
         .select(col("inner_product_est"), col("exact_f2"),
           (col("inner_product_est").cast("double") / col("exact_f2"))
             .as("over_ratio"))
-    })
+    }),
+
+    "q207_bbit_minhash" -> ((s, dir) => {
+      // b-bit minhash (Li & König 2010): q20's LSH pairs re-estimated
+      // from ONE packed 63-bit signature per doc (8 bytes vs 256 for the
+      // full array — the signature table you can keep hot at 100 TB);
+      // per pair the whole cost is XOR + popcount. est_jaccard (full
+      // sig) rides along so the query itself exhibits the estimator's
+      // agreement with the 64-value estimate on true near-dups
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val bs = Dedup.bbitSignatures(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64)
+      pairs
+        .join(bs.select(col("id").as("doc_a"), col("bsig").as("_ba")), "doc_a")
+        .join(bs.select(col("id").as("doc_b"), col("bsig").as("_bb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          Dedup.bbitEstimate(col("_ba"), col("_bb")).as("est_bbit"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q208_chi2_terms" -> ((s, dir) => {
+      // χ² token feature selection against the lang='en' label — the
+      // vocabulary audit behind a fastText-style classifier (and the
+      // label-leak detector): exact-integer 2×2 contingency per term,
+      // one map-side-combined aggregate over distinct (doc, term) pairs
+      Evaluation.chi2TopTerms(
+        tbl(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+        "doc_id", "text", "is_en", topK = 30)
+    }),
+
+    "q209_golden_record" -> ((s, dir) => {
+      // golden-record survivorship over the q56 dedup clusters: each
+      // cluster collapses to one canonical record — min id, mode lang /
+      // source (ties to the smallest value), max kept-text length. The
+      // "merge & survive" step an MDM/curation pipeline runs after
+      // linkage; all mode picks are min_by hash aggregates, no windows
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val clusters = Dedup.dedupClusters(pairs, "doc_a", "doc_b",
+        edgePartitions = 8)
+      val attrs = clusters
+        .join(corpus, clusters("id") === corpus("doc_id"))
+        .join(d.select(col("doc_id").as("_base"), col("lang"), col("source")),
+          expr("id % 1000000") === col("_base"))
+        .select(col("cluster_rep"), col("id"), col("lang"), col("source"),
+          length(col("text")).as("kept_chars"))
+      Linkage.goldenRecords(attrs, "id", "cluster_rep",
+          modeCols = Seq("lang", "source"), maxCols = Seq("kept_chars"))
+        .orderBy("cluster_id")
+    }),
+
+    "q210_containment" -> ((s, dir) => {
+      // exact containment self-join (Broder's resemblance-vs-containment
+      // split): half-prefix twins are shingle-SUBSETS of their base docs
+      // — near-zero Jaccard pairs that only containment finds (quote /
+      // superstring dedup). Prefix filter on the contained side only;
+      // bounded slice, like q142's ground-truth role
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 400)
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) div 2, 5))")))
+      val toks = corpus.select(col("doc_id").as("id"),
+        explode(Dedup.shingleExpr("text", 5)).as("tok"))
+      Dedup.containmentJoin(toks, "id", "tok", tau = 0.9)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q211_theilsen" -> ((s, dir) => {
+      // Theil–Sen robust drift per event_type: lower-median of pairwise
+      // slopes between exact daily sums — the trend line q184's OLS
+      // cannot have dragged by outlier days. Pairs are over DAYS (one
+      // bounded self-join), never events
+      val e = events(s, dir).filter(col("value").isNotNull)
+      val daily = e.groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v100"))
+      Stats.theilSenSlope(daily, "event_type", "day", "v100")
+        .select(col("event_type"), col("n_points"), col("n_pairs"),
+          (col("ts_slope") / 100.0).as("slope_per_day"))
+        .orderBy("event_type")
+    }),
+
+    "q212_bootstrap" -> ((s, dir) =>
+      // deterministic Poisson bootstrap of mean doc length: per-(row,
+      // rep) multiplicities are Binomial(8,1/8) draws from the scrambled
+      // key hash — reproducible error bars in one corpus pass, the
+      // uncertainty primitive eval dashboards need at 100 TB
+      Stats.bootstrapMeans(tbl(s, dir, "documents"), "doc_id", "n_chars",
+        reps = 32))
   )
 
   // ======================================================================
@@ -3720,6 +3817,103 @@ object SparkEntry {
           |SELECT inner_product_est, exact_f2,
           |  CAST(inner_product_est AS DOUBLE) / exact_f2 AS over_ratio
           |FROM est, ex""".stripMargin,
+
+      // the q20 signature CTEs plus a packed-LSB column; the estimate is
+      // the same XOR+popcount the Spark side runs
+      "q207_bbit_minhash" ->
+        s"""WITH $minhashPairCtes,
+           |bsig AS (SELECT doc_id,
+           |    CAST(list_sum(list_transform(range(1, 64),
+           |      k -> (sig[CAST(k AS INT)] % 2) << (k - 1))) AS BIGINT) AS bsig
+           |  FROM sigs),
+           |p2 AS (SELECT doc_a, doc_b, est_jaccard FROM pairs
+           |  WHERE est_jaccard >= 0.8)
+           |SELECT doc_a, doc_b, est_jaccard,
+           |  greatest(0.0,
+           |    2.0 * (63 - bit_count(xor(a.bsig, b.bsig))) / 63.0 - 1.0)
+           |    AS est_bbit
+           |FROM p2 JOIN bsig a ON doc_a = a.doc_id
+           |  JOIN bsig b ON doc_b = b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q208_chi2_terms" ->
+        """WITH lab AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
+          |pres AS (SELECT doc_id, lab, t.term
+          |  FROM lab, unnest(list_distinct(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))
+          |    AS t(term)),
+          |tot AS (SELECT
+          |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n0
+          |  FROM lab),
+          |pt AS (SELECT term,
+          |    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          |    CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS b
+          |  FROM pres GROUP BY term),
+          |x AS (SELECT term, a, b, n1 - a AS c, n0 - b AS d, n1 + n0 AS n
+          |  FROM pt, tot)
+          |SELECT term, a AS n_label, b AS n_rest,
+          |  CASE WHEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+          |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) = 0.0
+          |    THEN 0.0
+          |    ELSE CAST(n AS DOUBLE)
+          |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |         - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+          |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+          |         - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+          |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+          |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+          |  END AS chi2
+          |FROM x ORDER BY chi2 DESC, term LIMIT 30""".stripMargin,
+
+      "q209_golden_record" -> goldenRecordOracleSql,
+
+      "q210_containment" -> containmentOracleSql,
+
+      // q184's exact daily buckets, then the pairwise-slope median —
+      // slopes are single double divisions of exact integers, the rank
+      // pick replays (slope, xi, xj) ordering with // lower-median
+      "q211_theilsen" ->
+        """WITH e AS (SELECT event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+          |      AS day,
+          |    CAST(round(value * 100) AS BIGINT) AS v100
+          |  FROM events WHERE value IS NOT NULL),
+          |daily AS (SELECT event_type, day, CAST(SUM(v100) AS BIGINT) AS v
+          |  FROM e GROUP BY 1, 2),
+          |p AS (SELECT a.event_type, a.day AS xi, b.day AS xj,
+          |    CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+          |      AS slope
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.day < b.day),
+          |r AS (SELECT event_type, slope,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY slope, xi, xj) AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS np
+          |  FROM p)
+          |SELECT event_type,
+          |  CAST(ceil((1.0 + sqrt(1.0 + 8.0 * np)) / 2) AS BIGINT)
+          |    AS n_points,
+          |  np AS n_pairs, slope / 100.0 AS slope_per_day
+          |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin,
+
+      // the keyHash chain of doc_id·8209 + rep·127 + j, kept draws are
+      // h ≡ 0 (mod 8) — Binomial(8, 1/8) multiplicities summed per rep
+      "q212_bootstrap" ->
+        """WITH rj AS (SELECT doc_id, n_chars, CAST(r AS INT) AS rep,
+          |    doc_id * 8209 + r * 127 + j AS k
+          |  FROM documents, unnest(range(0, 32)) AS t(r),
+          |    unnest(range(0, 8)) AS u(j)),
+          |h0 AS (SELECT rep, n_chars, (k * 1000003) % 2147483647 AS h
+          |  FROM rj),
+          |h1 AS (SELECT rep, n_chars,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT rep, n_chars,
+          |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1)
+          |SELECT rep, CAST(count(*) AS BIGINT) AS n_draws,
+          |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+          |    AS boot_mean
+          |FROM h2 WHERE h % 8 = 0 GROUP BY rep ORDER BY rep""".stripMargin,
 
       // the q158 CTEs joined to lang; rank-sum windows partition by
       // lang; single-class strata emit NULL auc
@@ -6448,6 +6642,71 @@ object SparkEntry {
        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  /** Replays q209: the q56 cluster CTEs, members joined back to their
+    * base-document attributes (id mod 1e6), then survivorship — min id,
+    * count, max kept length, and per-field mode with (count DESC, value)
+    * tie-break, exactly [[operators.Linkage.goldenRecords]]' min_by
+    * struct ordering. */
+  private def goldenRecordOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs WHERE est_jaccard >= 0.8
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs WHERE est_jaccard >= 0.8),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |cl AS (SELECT s AS id, least(s, min(d)) AS cluster_rep
+       |  FROM reach GROUP BY s),
+       |attrs AS (SELECT cl.cluster_rep, cl.id, d.lang, d.source,
+       |    CAST(length(c.text) AS INT) AS nch
+       |  FROM cl JOIN corpus c ON cl.id = c.doc_id
+       |  JOIN documents d ON cl.id % 1000000 = d.doc_id),
+       |base AS (SELECT cluster_rep AS cluster_id, min(id) AS canonical_id,
+       |    CAST(count(*) AS BIGINT) AS n_members, max(nch) AS kept_chars
+       |  FROM attrs GROUP BY cluster_rep),
+       |mlc AS (SELECT cluster_rep, lang, count(*) AS c
+       |  FROM attrs GROUP BY 1, 2),
+       |ml AS (SELECT cluster_rep AS cluster_id, lang FROM mlc
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_rep
+       |    ORDER BY c DESC, lang) = 1),
+       |msc AS (SELECT cluster_rep, source, count(*) AS c
+       |  FROM attrs GROUP BY 1, 2),
+       |ms AS (SELECT cluster_rep AS cluster_id, source FROM msc
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_rep
+       |    ORDER BY c DESC, source) = 1)
+       |SELECT b.cluster_id, b.canonical_id, b.n_members, b.kept_chars,
+       |  ml.lang, ms.source
+       |FROM base b JOIN ml USING (cluster_id) JOIN ms USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
+  /** Replays q210: the half-prefix corpus, full shared-token ordered-pair
+    * counts (no prefix/length pruning — those only drop candidates the
+    * verify would reject), containment = shared / |A|. */
+  private def containmentOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substring(text, 1, greatest(length(text) // 2, 5)) AS text
+      |  FROM documents WHERE doc_id < 400),
+      |g AS (
+      |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS tok
+      |  FROM corpus, unnest(range(0, length(text) - 4, 1)) AS t(s)
+      |  WHERE length(text) >= 5
+      |  UNION
+      |  SELECT doc_id, text AS tok FROM corpus WHERE length(text) < 5),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS nc
+      |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / sa.n AS containment
+      |FROM pr JOIN sz sa ON doc_a = sa.doc_id
+      |WHERE CAST(nc AS DOUBLE) / sa.n >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Duplicated-span oracle: replay of [[operators.Dedup.dupSpans]] at
     * n = 8 — identical token two-polynomial hashes (reduced mod p), the

@@ -690,6 +690,92 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** 1-bit MinHash signatures (Li & König 2010, "b-Bit Minwise Hashing"):
+    * keep only the LOWEST bit of each MinHash permutation value and pack
+    * the bits into ONE long — a 63-bit signature instead of 63 × 4-byte
+    * values, a ~32× smaller signature store. For near-identical docs
+    * (the dedup regime) the resolution loss is negligible: with Jaccard J
+    * each bit agrees with probability ½ + J/2, so
+    * Ĵ = 2·(agree_frac − ½), estimated from one XOR + popcount per pair.
+    *
+    * At 100 TB this is the signature table you can afford to keep hot:
+    * 8 bytes/doc streams through a broadcast or a bucketed join where the
+    * full signature array would spill. 63 bits, not 64 — the packed value
+    * stays a non-negative BIGINT (and DuckDB rejects `1 << 63` under its
+    * checked shift, so the oracle replays the same 63-bit packing).
+    * Returns (id, bsig). */
+  def bbitSignatures(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 5, numHashes: Int = 64): DataFrame = {
+    val nBits = math.min(numHashes, 63)
+    graft.plans.HashExpressions.register(df.sparkSession)
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_polyhashes", col(textCol), lit(shingleN)),
+          lit(numHashes)).as("_sig"))
+      .select(col("id"), expr(
+        s"aggregate(sequence(0, ${nBits - 1}), 0L, " +
+          "(acc, k) -> acc + shiftleft(_sig[k] % 2L, k))").as("bsig"))
+  }
+
+  /** b-bit Jaccard estimate for a pair of packed signatures:
+    * Ĵ = 2·(matching_bits/nBits) − 1, clamped at 0 (a pair agreeing on
+    * fewer than half the bits is random, not similar). One XOR and one
+    * popcount — the whole per-pair cost. */
+  def bbitEstimate(aSig: Column, bSig: Column, nBits: Int = 63): Column =
+    greatest(lit(0.0),
+      lit(2.0) * (lit(nBits) - bit_count(aSig.bitwiseXOR(bSig)))
+        / lit(nBits.toDouble) - lit(1.0))
+
+  /** Exact set-CONTAINMENT self-join — the asymmetric twin of
+    * [[prefixFilterJoin]]: every ordered pair (a, b), a ≠ b, with
+    * |A ∩ B| / |A| ≥ `tau` — "most of A's tokens appear in B". Jaccard
+    * misses subset relationships (a quote inside a 100× longer document
+    * has tiny Jaccard but containment ≈ 1), and quote/superstring
+    * detection is exactly what near-dup pipelines need containment for
+    * (Broder 1997 distinguishes resemblance from containment).
+    *
+    * Prefix filtering adapts asymmetrically: only the CONTAINED side can
+    * be prefix-pruned (containment ≥ τ forces a shared token in A's first
+    * |A| − ⌈τ·|A|⌉ + 1 rarest tokens; B must index every token, since
+    * containment puts no upper bound on |B|). The one admissible length
+    * filter — |B| ≥ τ·|A| — drops size-incompatible candidates before the
+    * verify join. Like [[prefixFilterJoin]] this is the bounded-slice
+    * ground-truth tool; df-ordered prefixes keep stopword-grade tokens
+    * from generating candidates.
+    *
+    * Returns (doc_a, doc_b, containment): doc_a's token set is contained
+    * in doc_b's to degree ≥ τ. */
+  def containmentJoin(tokens: DataFrame, idCol: String, tokCol: String,
+                      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "need tau in (0, 1]")
+    val toks = tokens
+      .select(col(idCol).as("id"), xxhash64(col(tokCol)).as("tok")).distinct()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixA = toks.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "id")
+      .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("id").as("doc_a"), col("tok"), col("sz").as("_sa"))
+    val cand = prefixA
+      .join(toks.join(sizes, "id")
+        .select(col("id").as("doc_b"), col("tok"), col("sz").as("_sb")),
+        Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("_sb") >= col("_sa") * lit(tau))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(toks.select(col("id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_nc"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("_sa")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("_nc").cast("double") / col("_sa")).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** Embedding-level decontamination — the semantic twin of
     * [[contaminationCheck]]'s n-gram containment: flag every TRAIN
     * document whose embedding is within cosine `minCosine` of ANY eval

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,4 +153,50 @@ object Evaluation {
         (col("_chance").cast("double") / (col("n") * col("n"))).as("pe"),
         ((col("n") * col("_agree") - col("_chance")).cast("double") /
           (col("n") * col("n") - col("_chance"))).as("kappa"))
+
+  /** χ² feature selection over document terms — the token-level
+    * discrimination audit behind every fastText-style quality/domain
+    * classifier: for each term, the 2×2 presence/label contingency
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), where a/b = labeled/
+    * unlabeled docs containing the term and c/d the docs without it.
+    * The top-χ² terms are the vocabulary worth hashing into the model
+    * ([[TextQuality.classifierScore]]'s features), and the audit that
+    * catches label-leaking tokens before training.
+    *
+    * Scale shape: distinct (doc, term) presence pairs collapse to one
+    * per-term aggregate with map-side partials (two conditional sums);
+    * the label totals ride as a one-row broadcast. All contingency
+    * counts are exact BIGINTs; χ² evaluates in double over those exact
+    * integers with one fixed expression tree, so an oracle replays it
+    * bit-for-bit. Terms present in every document (degenerate zero
+    * denominator) score 0. Returns the `topK` rows
+    * (term, n_label, n_rest, chi2), ties broken by term. */
+  def chi2TopTerms(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String, topK: Int): DataFrame = {
+    val present = docs
+      .select(col(idCol).as("_id"), col(labelCol).cast("boolean").as("_lab"),
+        explode(array_distinct(
+          filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))).as("term"))
+    val totals = docs
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_n1"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_n0"))
+    val perTerm = present.groupBy("term").agg(
+      sum(when(col("_lab"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("_lab"), 0L).otherwise(1L)).as("b"))
+    val d = (c: Column) => c.cast("double")
+    perTerm.crossJoin(broadcast(totals))
+      .withColumn("c", col("_n1") - col("a"))
+      .withColumn("d", col("_n0") - col("b"))
+      .withColumn("chi2", {
+        val num = d(col("a")) * d(col("d")) - d(col("b")) * d(col("c"))
+        val den = d(col("a") + col("b")) * d(col("c") + col("d")) *
+          d(col("a") + col("c")) * d(col("b") + col("d"))
+        when(den === 0.0, 0.0)
+          .otherwise(d(col("_n1") + col("_n0")) * num * num / den)
+      })
+      .select(col("term"), col("a").as("n_label"), col("b").as("n_rest"),
+        col("chi2"))
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(topK)
+  }
 }

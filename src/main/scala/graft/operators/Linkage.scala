@@ -58,4 +58,36 @@ object Linkage {
       .select(col("l_id"), col("_best.r_id").as("matched_id"),
         col("_best.jaccard").as("jaccard"))
   }
+
+  /** Golden-record survivorship: collapse each linkage/dedup cluster to
+    * ONE canonical record — the step after [[bestMatch]]/
+    * [[Dedup.dedupClusters]] that master-data pipelines call "merge &
+    * survive". Per cluster: `canonical_id` = smallest member id,
+    * `n_members` = cluster size, each categorical field resolves to its
+    * MODE (most frequent value, ties to the lexicographically smallest —
+    * fully deterministic), and each numeric field in `maxCols` to its MAX
+    * (longest text, latest timestamp, etc.).
+    *
+    * Scale shape: one `groupBy(cluster, value)` count per categorical
+    * field (map-side combinable — a million-member cluster ships one row
+    * per distinct value per partition, never the members), then a
+    * `min_by(struct(-cnt, value))` argmax per cluster; numeric max folds
+    * into a single aggregate. No windows, no sorts, no member collection.
+    * `records` must carry `clusterCol`; fields not listed survive via the
+    * canonical member implicitly (join back on canonical_id if needed). */
+  def goldenRecords(records: DataFrame, idCol: String, clusterCol: String,
+                    modeCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val aggs = min(col(idCol)).as("canonical_id") +:
+      count(lit(1)).as("n_members") +: maxCols.map(c => max(col(c)).as(c))
+    val base = records.groupBy(col(clusterCol).as("cluster_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    modeCols.foldLeft(base) { (acc, c) =>
+      val mode = records
+        .groupBy(col(clusterCol).as("cluster_id"), col(c).as("_v"))
+        .agg(count(lit(1)).as("_cnt"))
+        .groupBy("cluster_id")
+        .agg(min_by(col("_v"), struct(-col("_cnt"), col("_v"))).as(c))
+      acc.join(mode, "cluster_id")
+    }
+  }
 }

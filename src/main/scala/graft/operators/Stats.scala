@@ -325,4 +325,82 @@ object Stats {
           .as("gini_num"),
         ((lit(2L) * col("_iw") - (col("n_groups") + 1L) * col("total_weight"))
           .cast("double") / (col("n_groups") * col("total_weight"))).as("gini"))
+
+  /** Theil–Sen robust trend per group: the LOWER MEDIAN of all pairwise
+    * slopes (v_j − v_i)/(x_j − x_i) between the group's bucketed points —
+    * the drift estimator that shrugs off the outlier days the q184 OLS
+    * line chases (breakdown point ≈ 29%). Input must already be one row
+    * per (group, x): bucket first (a day of events → one exact sum), so
+    * the quadratic pair term is over BUCKETS — bounded by the time range
+    * (3 years of days = 1000 points → 500k pair rows per group), never by
+    * the corpus. The pair generator is a within-group equi-self-join;
+    * slopes divide exact-integer-derived doubles, so each is the same
+    * IEEE double in any engine; the median picks rank ⌈n/2⌉ ordered by
+    * (slope, x_i, x_j) — fully deterministic under ties.
+    * Returns (group, n_points, n_pairs, ts_slope). */
+  def theilSenSlope(buckets: DataFrame, groupCol: String, xCol: String,
+                    valueCol: String): DataFrame = {
+    val a = buckets.select(col(groupCol).as("_g"), col(xCol).as("_xi"),
+      col(valueCol).as("_vi"))
+    val b = buckets.select(col(groupCol).as("_g"), col(xCol).as("_xj"),
+      col(valueCol).as("_vj"))
+    val slopes = a.join(b, Seq("_g")).filter(col("_xi") < col("_xj"))
+      .select(col("_g"), col("_xi"), col("_xj"),
+        ((col("_vj") - col("_vi")).cast("double") /
+          (col("_xj") - col("_xi")).cast("double")).as("_slope"))
+    val ranked = slopes.withColumn("_rn", row_number().over(
+        Window.partitionBy("_g")
+          .orderBy(col("_slope"), col("_xi"), col("_xj"))))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy("_g")))
+    ranked.filter(expr("_rn = (_np + 1) div 2"))
+      .select(col("_g").as(groupCol),
+        ceil((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("_np"))) / 2)
+          .cast("long").as("n_points"),
+        col("_np").as("n_pairs"), col("_slope").as("ts_slope"))
+  }
+
+  /** Deterministic Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): `reps` resampled means of an
+    * integer metric, each row's per-rep multiplicity drawn as
+    * Binomial(8, 1/8) ≈ Poisson(1) from the scrambled key hash — so the
+    * "resampling" is a pure function of (id, rep): reproducible across
+    * reruns and partitionings, and replayable by an oracle. Sampling WITH
+    * replacement cannot be expressed as a hash threshold per row (that
+    * gives Bernoulli); per-row multiplicities are the standard
+    * distributed-bootstrap trick — no global n needed, one pass, and the
+    * rep dimension fans out map-side (corpus × reps rows into one
+    * combinable aggregate, no shuffle of the corpus itself).
+    *
+    * Sums are exact BIGINTs; each bootstrap mean is one double division.
+    * Returns `reps` rows (rep, n_draws, boot_mean) — the empirical
+    * sampling distribution; CI bounds are rank picks off these rows. */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     reps: Int = 32): DataFrame = {
+    require(reps >= 1, "need reps >= 1")
+    val drawn = df.select(col(idCol).cast("long").as("_id"),
+        col(valueCol).cast("long").as("_v"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("rep"))
+      .withColumn("_w", expr(
+        "size(filter(sequence(0, 7), j -> " +
+          s"${keyHashSql("_id * 8209 + rep * 127 + j")} % 8 = 0))"))
+    drawn.groupBy("rep").agg(
+        sum(col("_w")).cast("long").as("n_draws"),
+        sum(col("_w") * col("_v")).cast("long").as("_wv"))
+      .select(col("rep"), col("n_draws"),
+        (col("_wv").cast("double") / col("n_draws")).as("boot_mean"))
+      .orderBy("rep")
+  }
+
+  /** SQL text of [[Sketches.keyHash]] (affine + two xorshift-multiply
+    * rounds mod 2^31−1) over an integer SQL expression — inlined so HOF
+    * lambdas can use it (they cannot reference outer columns twice via
+    * CTE steps). Mirrored by the DuckDB oracle's replay. */
+  private def keyHashSql(k: String): String = {
+    val p = 2147483647L
+    val mix = graft.plans.HashExpressions.Mix
+    val b = graft.plans.HashExpressions.PolyBase1
+    val h0 = s"pmod(($k) * $b, ${p}L)"
+    val h1 = s"pmod(($h0 ^ shiftright($h0, 16)) * $mix, ${p}L)"
+    s"pmod(($h1 ^ shiftright($h1, 13)) * $mix, ${p}L)"
+  }
 }

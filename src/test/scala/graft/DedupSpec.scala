@@ -277,4 +277,36 @@ class DedupSpec extends SparkSpec {
     assert(out(11L) == ((0L, None, false)))
     assert(out(12L) == ((0L, None, false)))
   }
+
+  test("bbitSignatures: identical texts share the packed signature; estimate is 1") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with other words here"))
+      .toDF("id", "text")
+    val sigs = Dedup.bbitSignatures(df, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.forall(_ >= 0L)) // 63-bit packing stays non-negative
+    val est = df.sparkSession.range(1).select(
+      Dedup.bbitEstimate(lit(sigs(1L)), lit(sigs(2L))).as("e"),
+      Dedup.bbitEstimate(lit(sigs(1L)), lit(sigs(3L))).as("d"))
+      .as[(Double, Double)].head()
+    assert(est._1 == 1.0)
+    assert(est._2 >= 0.0 && est._2 < 0.5) // unrelated docs: clamped noise
+  }
+
+  test("containmentJoin: subset detected asymmetrically; Jaccard-low pair still found") {
+    // A = {a,b,c} fully inside B = {a..j}: containment(A->B) = 1 but
+    // Jaccard = 3/10 — the pair prefixFilterJoin(tau=.9) cannot emit.
+    // C = {a,b,x}: containment(C->B) = 2/3 < 0.9 -> excluded
+    val toks = (Seq("a", "b", "c").map(t => (1L, t)) ++
+      ('a' to 'j').map(t => (2L, t.toString)) ++
+      Seq("a", "b", "x").map(t => (3L, t))).toDF("id", "tok")
+    val out = Dedup.containmentJoin(toks, "id", "tok", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+    assert(Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.9)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).count() == 0)
+  }
 }

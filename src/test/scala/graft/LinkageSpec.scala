@@ -28,4 +28,19 @@ class LinkageSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(j == 1.0) // identical strings → identical trigram sets
   }
+
+  test("goldenRecords: mode survivorship with deterministic ties, max and min folds") {
+    val recs = Seq(
+      (1L, 10L, "en", "s1", 10), (2L, 10L, "fr", "s2", 20),
+      (3L, 10L, "en", "s1", 15),
+      // cluster 20: lang tie en/fr 1-1 -> lexicographically smaller "en"
+      (4L, 20L, "fr", "s9", 5), (5L, 20L, "en", "s9", 3))
+      .toDF("id", "cluster", "lang", "source", "nch")
+    val out = graft.operators.Linkage
+      .goldenRecords(recs, "id", "cluster", Seq("lang", "source"), Seq("nch"))
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Int, String, String)].collect().toSeq
+    assert(out == Seq((10L, 1L, 3L, 20, "en", "s1"),
+      (20L, 4L, 2L, 5, "en", "s9")))
+  }
 }

@@ -146,4 +146,21 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert((nodes, es, wedges, tris) == (4L, 4L, 5L, 1L))
     assert(trans == 3.0 / 5)
   }
+
+  test("chi2TopTerms: perfect discriminator scores N, universal term scores 0") {
+    val docs = Seq((1L, "pos the aa", true), (2L, "pos the bb", true),
+      (3L, "neg the aa", false), (4L, "neg the cc", false))
+      .toDF("doc_id", "text", "lab")
+    val out = graft.operators.Evaluation
+      .chi2TopTerms(docs, "doc_id", "text", "lab", topK = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // "pos": a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4 = N
+    assert(out("pos") == (("pos", 2L, 0L, 4.0)))
+    assert(out("neg") == (("neg", 0L, 2L, 4.0)))
+    // "the" in every doc: zero denominator -> defined 0, not NULL/NaN
+    assert(out("the") == (("the", 2L, 2L, 0.0)))
+    // "aa" in one of each class: independent -> chi2 = 0
+    assert(out("aa")._4 == 0.0)
+  }
 }

@@ -151,4 +151,40 @@ class StatsSpec extends SparkSpec {
     // constant series: deviation is exactly 0 everywhere -> nothing flagged
     assert(Stats.ewmaMonitor(df, "g", "t", "t", "v", 16, 1, 1e-9).count() == 0)
   }
+
+  test("theilSenSlope: outlier day cannot drag the median slope") {
+    // five points on v = 10x except one wild outlier at x=4.
+    // 10 pairwise slopes; 6 of them are exactly 10 -> lower median = 10
+    val df = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 1000L))
+      .map { case (x, v) => ("g", x, v) }.toDF("g", "x", "v")
+    val out = graft.operators.Stats.theilSenSlope(df, "g", "x", "v")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("g", 5L, 10L, 10.0)))
+  }
+
+  test("theilSenSlope: even pair count picks the deterministic lower median") {
+    // 4 points -> 6 pairs; slopes sorted: lower median is rank 3
+    val df = Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L))
+      .map { case (x, v) => ("g", x, v) }.toDF("g", "x", "v")
+    val slopes = for {
+      Seq((xi, vi), (xj, vj)) <- Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L))
+        .combinations(2).toSeq
+    } yield ((vj - vi).toDouble / (xj - xi), xi, xj)
+    val expected = slopes.sortBy(t => (t._1, t._2, t._3)).apply(2)._1
+    val out = graft.operators.Stats.theilSenSlope(df, "g", "x", "v")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(out._3 == 6L && out._4 == expected)
+  }
+
+  test("bootstrapMeans: constant metric -> every resampled mean is that constant") {
+    val df = (0L until 200L).map(i => (i, 7L)).toDF("id", "v")
+    val out = graft.operators.Stats.bootstrapMeans(df, "id", "v", reps = 16)
+      .as[(Int, Long, Double)].collect()
+    assert(out.length == 16)
+    assert(out.forall(_._3 == 7.0))
+    // Binomial(8,1/8) draws over 200 rows: every rep keeps a nontrivial,
+    // varying number of draws (not Bernoulli-0/1, not the full corpus)
+    assert(out.forall(r => r._2 > 100 && r._2 < 300))
+    assert(out.map(_._2).distinct.length > 1)
+  }
 }
