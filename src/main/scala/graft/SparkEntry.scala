@@ -3241,7 +3241,50 @@ object SparkEntry {
       // key hash — reproducible error bars in one corpus pass, the
       // uncertainty primitive eval dashboards need at 100 TB
       Stats.bootstrapMeans(tbl(s, dir, "documents"), "doc_id", "n_chars",
-        reps = 32))
+        reps = 32)),
+
+    "q213_frequent_itemsets" -> ((s, dir) =>
+      // Apriori/SON frequent token itemsets at 40% support — boilerplate
+      // and template-bundle mining; candidate expansion is per-document
+      // over broadcast-pruned frequent items, counts are map-side
+      // combinable aggregates, the level-3 Apriori prune is lossless so
+      // the oracle thresholds directly
+      operators.Itemsets.frequentItemsets(tbl(s, dir, "documents"),
+        "doc_id", "text", supNum = 2, supDen = 5)),
+
+    "q214_grid_dbscan" -> ((s, dir) =>
+      // grid-density clustering of the embedding corpus: density on
+      // hyperplane sign-CELLS (≤ 2^6), clusters = components of
+      // Hamming-1-adjacent core cells, sparse cells are NULL-cluster
+      // noise. The corpus only ever maps and counts; the graph work is
+      // on ≤ 64 nodes by construction
+      operators.Clustering.gridDbscan(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, nBits = 6, minPts = 10)
+        .orderBy("id")),
+
+    "q215_path_trigrams" -> ((s, dir) => {
+      // top within-session 3-step event paths — the sequence-mining
+      // extension of q187's transition matrix (funnels show ONE declared
+      // path; this surfaces the paths users actually take). One user
+      // window, two leads, session gap ≤ 30 min between consecutive
+      // steps, then a tiny combinable count and a bounded top-20
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      events(s, dir).select("user_id", "event_id", "ts", "event_type")
+        .withColumn("_t1", lead(col("event_type"), 1).over(w))
+        .withColumn("_t2", lead(col("event_type"), 2).over(w))
+        .withColumn("_g1", unix_micros(lead(col("ts"), 1).over(w))
+          - unix_micros(col("ts")))
+        .withColumn("_g2", unix_micros(lead(col("ts"), 2).over(w))
+          - unix_micros(lead(col("ts"), 1).over(w)))
+        .filter(col("_t2").isNotNull &&
+          col("_g1") <= gapUs && col("_g2") <= gapUs)
+        .groupBy(col("event_type").as("step1"), col("_t1").as("step2"),
+          col("_t2").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    })
   )
 
   // ======================================================================
@@ -3914,6 +3957,57 @@ object SparkEntry {
           |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / count(*)
           |    AS boot_mean
           |FROM h2 WHERE h % 8 = 0 GROUP BY rep ORDER BY rep""".stripMargin,
+
+      // direct support thresholding — the Spark side's Apriori prune is
+      // lossless (support monotonicity), so the oracle never replays it
+      "q213_frequent_itemsets" ->
+        """WITH t AS (SELECT doc_id AS id, u.item
+          |  FROM documents, unnest(list_distinct(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))
+          |    AS u(item)),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          |l1 AS (SELECT item, CAST(count(*) AS BIGINT) AS support
+          |  FROM t GROUP BY item),
+          |l2 AS (SELECT a.item AS item_a, b.item AS item_b,
+          |    CAST(count(*) AS BIGINT) AS support
+          |  FROM t a JOIN t b ON a.id = b.id AND a.item < b.item
+          |  GROUP BY 1, 2),
+          |l3 AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+          |    CAST(count(*) AS BIGINT) AS support
+          |  FROM t a JOIN t b ON a.id = b.id AND a.item < b.item
+          |  JOIN t c ON b.id = c.id AND b.item < c.item
+          |  GROUP BY 1, 2, 3)
+          |SELECT CAST(1 AS INT) AS k, item AS item_a,
+          |  CAST(NULL AS VARCHAR) AS item_b, CAST(NULL AS VARCHAR) AS item_c,
+          |  support
+          |FROM l1, n WHERE support >= (n * 2) // 5
+          |UNION ALL
+          |SELECT CAST(2 AS INT), item_a, item_b, CAST(NULL AS VARCHAR),
+          |  support
+          |FROM l2, n WHERE support >= (n * 2) // 5
+          |UNION ALL
+          |SELECT CAST(3 AS INT), item_a, item_b, item_c, support
+          |FROM l3, n WHERE support >= (n * 2) // 5
+          |ORDER BY k, item_a, item_b, item_c""".stripMargin,
+
+      "q214_grid_dbscan" -> gridDbscanOracleSql,
+
+      "q215_path_trigrams" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |l AS (SELECT event_type AS step1,
+          |    lead(event_type, 1) OVER w AS step2,
+          |    lead(event_type, 2) OVER w AS step3,
+          |    epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS g1,
+          |    epoch_us(lead(ts, 2) OVER w) - epoch_us(lead(ts, 1) OVER w)
+          |      AS g2
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+          |FROM l
+          |WHERE step3 IS NOT NULL AND g1 <= 1800000000 AND g2 <= 1800000000
+          |GROUP BY 1, 2, 3
+          |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
 
       // the q158 CTEs joined to lang; rank-sum windows partition by
       // lang; single-class strata emit NULL auc
@@ -7345,6 +7439,35 @@ object SparkEntry {
         s"i -> $v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c) >= 0 " +
         s"THEN ${1L << b} ELSE 0 END"
     }.mkString("(", "\n    + ", ")")
+  }
+
+  /** Replays q214: hyperplane sign-cells over the embedding corpus, core
+    * cells at minPts = 10, components of the Hamming-1 core-cell graph
+    * via a recursive reach (≤ 64 nodes), labels = least cell in the
+    * component; isolated core cells label themselves; non-core cells are
+    * NULL-cluster noise. */
+  private def gridDbscanOracleSql: String = {
+    val bits = hyperplaneBitsSql("v", 6)
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, CAST($bits AS BIGINT) AS cell FROM e),
+       |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_pts
+       |  FROM b GROUP BY cell),
+       |core AS (SELECT cell FROM cc WHERE n_pts >= 10),
+       |edges AS (SELECT a.cell AS s, b2.cell AS d
+       |  FROM core a JOIN core b2 ON bit_count(xor(a.cell, b2.cell)) = 1),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+       |lab AS (SELECT c.cell,
+       |    least(c.cell, coalesce(m.md, c.cell)) AS cluster
+       |  FROM core c LEFT JOIN
+       |    (SELECT s, min(d) AS md FROM reach GROUP BY s) m ON c.cell = m.s)
+       |SELECT b.vec_id AS id, b.cell, cc.n_pts,
+       |  lab.cluster IS NOT NULL AS is_core, lab.cluster
+       |FROM b JOIN cc USING (cell) LEFT JOIN lab ON b.cell = lab.cell
+       |ORDER BY id""".stripMargin
   }
 
   private def embeddingNearDupOracleSql: String = {

@@ -129,4 +129,54 @@ object Clustering {
         .toDF("sel_rank", "id", "dist")
     } finally cand.unpersist()
   }
+
+  /** Grid-density clustering (the GriDBSCAN/grid-DBSCAN family): density
+    * lives on CELLS, not points — the DBSCAN shape that survives 100 TB.
+    * Points map to their [[Similarity.hyperplaneBucket]] sign-cell (one
+    * map-side fold, no shuffle); a cell with ≥ `minPts` points is CORE;
+    * clusters are connected components of core cells adjacent at Hamming
+    * distance 1 (one flipped hyperplane = neighboring region of the
+    * sphere). Points in non-core cells are noise (NULL cluster).
+    *
+    * Scale shape: the only corpus-sized work is the cell assignment and
+    * one count aggregate; the component computation runs on the CELL
+    * GRAPH — at most 2^nBits nodes by construction, so a driver
+    * union-find is exact and O(2^nBits·nBits), and the labels broadcast
+    * back. Labels are canonical (smallest cell code in the component) —
+    * deterministic under any partitioning, replayable by a recursive
+    * oracle over the same ≤ 2^nBits-node graph.
+    * Returns (id, cell, n_pts, is_core, cluster). */
+  def gridDbscan(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nBits: Int, minPts: Long): DataFrame = {
+    require(nBits >= 1 && nBits <= 20, "need 1 <= nBits <= 20")
+    val coded = df.select(col(idCol).as("id"),
+      Similarity.hyperplaneBucket(vecCol, dim, nBits).as("cell"))
+    val counts = coded.groupBy("cell").agg(count(lit(1)).as("n_pts"))
+    val core = counts.filter(col("n_pts") >= minPts)
+      .select("cell").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted // bounded: <= 2^nBits cells
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for (c <- core; b <- 0 until nBits) {
+      val n = c ^ (1L << b)
+      if (parent.contains(n)) {
+        val (ra, rb) = (find(c), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labels = broadcast(
+      core.map(c => (c, find(c))).toSeq.toDF("cell", "cluster"))
+    coded.join(counts, "cell")
+      .join(labels, Seq("cell"), "left")
+      .select(col("id"), col("cell"), col("n_pts"),
+        col("cluster").isNotNull.as("is_core"), col("cluster"))
+  }
 }

@@ -148,4 +148,55 @@ class IvfAndViewsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       SecureViews.grantView(spark, "bad name", df, Seq("id")))
   }
+
+  test("gridDbscan: labels equal a reference component computation; noise is NULL") {
+    // deterministic pseudo-random 64-dim vectors; expected clusters are
+    // recomputed in the test from the driver-side hyperplaneCode twin
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map(i => (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.Clustering
+      .gridDbscan(df, "vec_id", "embedding", dim = 64, nBits = 4, minPts = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toList
+    // reference: driver-side codes -> counts -> core -> components
+    val codes = vecs.map { case (id, v) =>
+      id -> Similarity.hyperplaneCode(v, 64, 4)
+    }.toMap
+    val counts = codes.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val core = counts.filter(_._2 >= 6).keySet
+    def root(c: Long, seen: Set[Long]): Long = { // min cell reachable
+      val nbrs = (0 until 4).map(b => c ^ (1L << b)).filter(core).filterNot(seen)
+      (c +: nbrs.map(n => root(n, seen + c))).min
+    }
+    val expectLabel = core.map(c => c -> root(c, Set())).toMap
+    assert(out.nonEmpty && out.size == 120)
+    out.foreach { case (id, cell, nPts, isCore, cluster) =>
+      assert(cell == codes(id))
+      assert(nPts == counts(cell))
+      assert(isCore == core.contains(cell))
+      assert(cluster == (if (core.contains(cell)) Some(expectLabel(cell)) else None))
+    }
+    // sanity: the parameterization actually produces both clusters and noise
+    assert(out.exists(_._5.isEmpty) && out.exists(_._5.nonEmpty))
+  }
+
+  test("frequentItemsets: hand-computed supports, Apriori levels, threshold div") {
+    // 5 docs, threshold = (5*2) div 5 = 2 docs
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b"), (4L, "c d"), (5L, "d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Itemsets
+      .frequentItemsets(docs, "doc_id", "text", 2, 5)
+      .collect().map(r => (r.getInt(0),
+        r.getString(1), Option(r.getString(2)), Option(r.getString(3)),
+        r.getLong(4))).toSet
+    val expected = Set(
+      (1, "a", None, None, 3L), (1, "b", None, None, 3L),
+      (1, "c", None, None, 3L), (1, "d", None, None, 2L),
+      (2, "a", Some("b"), None, 3L), (2, "a", Some("c"), None, 2L),
+      (2, "b", Some("c"), None, 2L),
+      (3, "a", Some("b"), Some("c"), 2L))
+    assert(out == expected)
+  }
 }
