@@ -3284,6 +3284,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
         .limit(20)
+    }),
+
+    "q216_clustering_ari" -> ((s, dir) => {
+      // external clustering validation: purity + EXACT adjusted Rand
+      // index of the IVF cell assignment vs the embeddings' labels —
+      // pure pair-counting (binomials of exact BIGINTs), no NMI logs;
+      // the corpus collapses to one |cells|×|labels| contingency
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(
+        e, "embedding", "vec_id", centroids, "cid", "cv")
+      Evaluation.clusterAgreement(assigned, "centroid_id", "label")
+    }),
+
+    "q217_source_ablation" -> ((s, dir) => {
+      // leave-one-source-out AUC in ONE pass: the doubled rank-sum
+      // decomposes over (pos source, neg source), so U_without(s) =
+      // U_total − row_s − col_s + U(s,s) — data valuation for "which
+      // source props up / drags down the quality classifier"
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Evaluation.sourceAblationAuc(scored, "source", "margin",
+          "quality_pass")
+        .orderBy("source")
     })
   )
 
@@ -3991,6 +4020,104 @@ object SparkEntry {
           |ORDER BY k, item_a, item_b, item_c""".stripMargin,
 
       "q214_grid_dbscan" -> gridDbscanOracleSql,
+
+      // q35's assignment subquery → one contingency → pair-count ARI;
+      // every binomial is BIGINT, // 2, the ratio one fixed double tree
+      "q216_clustering_ari" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a0 AS (SELECT e.vec_id, e.label, c.cid AS centroid_id,
+          |    row_number() OVER (PARTITION BY e.vec_id
+          |      ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |        c.cid) AS rn
+          |  FROM embeddings e, c),
+          |a AS (SELECT vec_id, label, centroid_id FROM a0 WHERE rn = 1),
+          |ct AS (SELECT centroid_id AS cc, label AS ll,
+          |    CAST(count(*) AS BIGINT) AS nij FROM a GROUP BY 1, 2),
+          |sij AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT)
+          |    AS sum_ij FROM ct),
+          |ai AS (SELECT cc, CAST(SUM(nij) AS BIGINT) AS a,
+          |    CAST(MAX(nij) AS BIGINT) AS mx FROM ct GROUP BY cc),
+          |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+          |    CAST(SUM((a * (a - 1)) // 2) AS BIGINT) AS sum_a,
+          |    CAST(SUM(a) AS BIGINT) AS n,
+          |    CAST(SUM(mx) AS BIGINT) AS purity_num FROM ai),
+          |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+          |    CAST(SUM((b * (b - 1)) // 2) AS BIGINT) AS sum_b
+          |  FROM (SELECT ll, CAST(SUM(nij) AS BIGINT) AS b
+          |    FROM ct GROUP BY ll))
+          |SELECT n, n_clusters, n_labels, sum_ij, sum_a, sum_b, purity_num,
+          |  CAST(purity_num AS DOUBLE) / CAST(n AS DOUBLE) AS purity,
+          |  (CAST(sum_ij AS DOUBLE)
+          |     - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+          |       / CAST((n * (n - 1)) // 2 AS DOUBLE))
+          |  / ((CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE)) / 2.0
+          |     - CAST(sum_a AS DOUBLE) * CAST(sum_b AS DOUBLE)
+          |       / CAST((n * (n - 1)) // 2 AS DOUBLE)) AS ari
+          |FROM sa, sij, sb""".stripMargin,
+
+      // the q158 scored CTEs joined to source; the U matrix decomposes
+      // the doubled rank-sum by (pos source, neg source) over a dense
+      // score × source negative grid
+      "q217_source_ablation" ->
+        s"""$scoredMarginCtes,
+           |sdoc AS (SELECT s.doc_id, s.margin, s.quality_pass, d.source
+           |  FROM scored s JOIN documents d USING (doc_id)),
+           |bys AS (SELECT margin AS s, source AS src,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS np,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS nn
+           |  FROM sdoc GROUP BY 1, 2),
+           |grid AS (SELECT sc.s, sr.src, coalesce(b.nn, 0) AS nn
+           |  FROM (SELECT DISTINCT s FROM bys) sc
+           |  CROSS JOIN (SELECT DISTINCT src FROM bys) sr
+           |  LEFT JOIN bys b ON sc.s = b.s AND sr.src = b.src),
+           |ng AS (SELECT s, src, nn,
+           |    coalesce(SUM(nn) OVER (PARTITION BY src ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_nn
+           |  FROM grid),
+           |u AS (SELECT p.src AS sp, n.src AS sn,
+           |    CAST(SUM(p.np * (2 * n.cum_nn + n.nn)) AS BIGINT) AS u2
+           |  FROM (SELECT s, src, np FROM bys WHERE np > 0) p
+           |  JOIN ng n ON p.s = n.s GROUP BY 1, 2),
+           |tot AS (SELECT source AS src,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS p,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS nneg
+           |  FROM sdoc GROUP BY 1),
+           |g AS (SELECT CAST(SUM(p) AS BIGINT) AS pt,
+           |    CAST(SUM(nneg) AS BIGINT) AS nt FROM tot),
+           |ut AS (SELECT CAST(SUM(u2) AS BIGINT) AS u2t FROM u),
+           |ru AS (SELECT sp AS src, CAST(SUM(u2) AS BIGINT) AS ur
+           |  FROM u GROUP BY sp),
+           |cu AS (SELECT sn AS src, CAST(SUM(u2) AS BIGINT) AS uc
+           |  FROM u GROUP BY sn),
+           |du AS (SELECT sp AS src, u2 AS ud FROM u WHERE sp = sn)
+           |SELECT t.src AS source,
+           |  pt - p AS n_pos_excl, nt - nneg AS n_neg_excl,
+           |  u2t - coalesce(ur, 0) - coalesce(uc, 0) + coalesce(ud, 0)
+           |    AS u2_excl,
+           |  CASE WHEN pt > 0 AND nt > 0
+           |    THEN CAST(u2t AS DOUBLE) / (2 * pt * nt) END AS auc_full,
+           |  CASE WHEN pt - p > 0 AND nt - nneg > 0
+           |    THEN CAST(u2t - coalesce(ur, 0) - coalesce(uc, 0)
+           |        + coalesce(ud, 0) AS DOUBLE)
+           |      / (2 * (pt - p) * (nt - nneg)) END AS auc_without,
+           |  (CASE WHEN pt - p > 0 AND nt - nneg > 0
+           |    THEN CAST(u2t - coalesce(ur, 0) - coalesce(uc, 0)
+           |        + coalesce(ud, 0) AS DOUBLE)
+           |      / (2 * (pt - p) * (nt - nneg)) END)
+           |  - (CASE WHEN pt > 0 AND nt > 0
+           |    THEN CAST(u2t AS DOUBLE) / (2 * pt * nt) END) AS delta_auc
+           |FROM tot t CROSS JOIN g CROSS JOIN ut
+           |LEFT JOIN ru ON t.src = ru.src
+           |LEFT JOIN cu ON t.src = cu.src
+           |LEFT JOIN du ON t.src = du.src
+           |ORDER BY source""".stripMargin,
 
       "q215_path_trigrams" ->
         """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -154,6 +154,115 @@ object Evaluation {
         ((col("n") * col("_agree") - col("_chance")).cast("double") /
           (col("n") * col("n") - col("_chance"))).as("kappa"))
 
+  /** External clustering validation against reference labels: purity and
+    * the EXACT adjusted Rand index. A clustering (IVF cells, dedup
+    * clusters, grid-DBSCAN) is only trusted for curation once its
+    * agreement with a known partition is measured; ARI is the standard
+    * chance-corrected statistic and — unlike NMI, whose entropies need
+    * transcendental logs — is pure pair-counting: every term is a
+    * binomial C(x,2) of an exact BIGINT, so the whole statistic replays
+    * cross-engine (the final ratio is one fixed double tree).
+    *
+    * Scale shape: ONE contingency aggregate (cluster, label) with
+    * map-side partials — the corpus collapses to |clusters|·|labels|
+    * rows; everything after runs on that tiny table. Returns one row
+    * (n, n_clusters, n_labels, sum_ij, sum_a, sum_b, purity_num,
+    * purity, ari). */
+  def clusterAgreement(df: DataFrame, clusterCol: String,
+                       labelCol: String): DataFrame = {
+    val ct = df.groupBy(col(clusterCol).as("_c"), col(labelCol).as("_l"))
+      .agg(count(lit(1)).as("nij"))
+    val sij = ct.agg(
+      sum(expr("(nij * (nij - 1)) div 2")).cast("long").as("sum_ij"))
+    val ai = ct.groupBy("_c").agg(sum("nij").as("a"), max("nij").as("mx"))
+    val sa = ai.agg(count(lit(1)).as("n_clusters"),
+      sum(expr("(a * (a - 1)) div 2")).cast("long").as("sum_a"),
+      sum("a").cast("long").as("n"),
+      sum("mx").cast("long").as("purity_num"))
+    val sb = ct.groupBy("_l").agg(sum("nij").as("b"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr("(b * (b - 1)) div 2")).cast("long").as("sum_b"))
+    val d = (c: Column) => c.cast("double")
+    val joined = sa.crossJoin(broadcast(sij)).crossJoin(broadcast(sb))
+      .withColumn("_c2n", expr("(n * (n - 1)) div 2"))
+    val expPairs = d(col("sum_a")) * d(col("sum_b")) / d(col("_c2n"))
+    joined.select(col("n"), col("n_clusters"), col("n_labels"),
+      col("sum_ij"), col("sum_a"), col("sum_b"), col("purity_num"),
+      (d(col("purity_num")) / d(col("n"))).as("purity"),
+      ((d(col("sum_ij")) - expPairs) /
+        ((d(col("sum_a")) + d(col("sum_b"))) / 2.0 - expPairs)).as("ari"))
+  }
+
+  /** Leave-one-source-out AUC — source ablation for the data-valuation
+    * question "which source is propping up (or dragging down) the
+    * classifier?": for every source, the exact Mann-Whitney AUC of the
+    * corpus WITHOUT that source, from ONE pass. Recomputing per source
+    * would rescan the corpus |sources| times; instead the doubled
+    * rank-sum decomposes over (positive's source, negative's source)
+    * pairs — U = Σ U(sp, sn) — so U_without(s) =
+    * U_total − row_s − col_s + U(s,s), all exact BIGINTs.
+    *
+    * Scale shape: one (score, source) tally aggregate collapses the
+    * corpus; the cumulative-negative grid and the U matrix live on
+    * |distinct scores| × |sources| rows (an audit op — sources are tens,
+    * not millions). Returns per source: (source, n_pos_excl, n_neg_excl,
+    * u2_excl, auc_full, auc_without, delta_auc); a removal that leaves a
+    * single-class corpus yields NULL auc_without/delta_auc. */
+  def sourceAblationAuc(scored: DataFrame, sourceCol: String,
+                        scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("_s"), col(sourceCol).as("_src"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nn"))
+    val grid = byScore.select("_s").distinct()
+      .crossJoin(broadcast(byScore.select("_src").distinct()))
+      .join(byScore.select("_s", "_src", "_nn"), Seq("_s", "_src"), "left")
+      .na.fill(0L, Seq("_nn"))
+    val w = Window.partitionBy("_src").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val negGrid = grid
+      .withColumn("_cum_nn", coalesce(sum("_nn").over(w), lit(0L)))
+    val u = byScore.filter(col("_np") > 0)
+      .select(col("_s"), col("_src").as("_sp"), col("_np"))
+      .join(negGrid.select(col("_s"), col("_src").as("_sn"),
+        col("_cum_nn"), col("_nn")), Seq("_s"))
+      .groupBy("_sp", "_sn")
+      .agg(sum(col("_np") * (lit(2L) * col("_cum_nn") + col("_nn")))
+        .cast("long").as("_u2"))
+    val tot = scored.groupBy(col(sourceCol))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("_nneg"))
+    val g = tot.agg(sum("_p").cast("long").as("_pt"),
+      sum("_nneg").cast("long").as("_nt"))
+    val ut = u.agg(sum("_u2").cast("long").as("_u2t"))
+    val rowU = u.groupBy(col("_sp").as(sourceCol))
+      .agg(sum("_u2").cast("long").as("_ur"))
+    val colU = u.groupBy(col("_sn").as(sourceCol))
+      .agg(sum("_u2").cast("long").as("_uc"))
+    val diagU = u.filter(col("_sp") === col("_sn"))
+      .select(col("_sp").as(sourceCol), col("_u2").as("_ud"))
+    val d = (c: Column) => c.cast("double")
+    tot.join(rowU, Seq(sourceCol), "left").join(colU, Seq(sourceCol), "left")
+      .join(diagU, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("_ur", "_uc", "_ud"))
+      .crossJoin(broadcast(g)).crossJoin(broadcast(ut))
+      .withColumn("n_pos_excl", col("_pt") - col("_p"))
+      .withColumn("n_neg_excl", col("_nt") - col("_nneg"))
+      .withColumn("u2_excl",
+        col("_u2t") - col("_ur") - col("_uc") + col("_ud"))
+      .withColumn("auc_full",
+        when(col("_pt") > 0 && col("_nt") > 0,
+          d(col("_u2t")) / (lit(2L) * col("_pt") * col("_nt"))))
+      .withColumn("auc_without",
+        when(col("n_pos_excl") > 0 && col("n_neg_excl") > 0,
+          d(col("u2_excl")) /
+            (lit(2L) * col("n_pos_excl") * col("n_neg_excl"))))
+      .withColumn("delta_auc", col("auc_without") - col("auc_full"))
+      .select(col(sourceCol), col("n_pos_excl"), col("n_neg_excl"),
+        col("u2_excl"), col("auc_full"), col("auc_without"),
+        col("delta_auc"))
+  }
+
   /** χ² feature selection over document terms — the token-level
     * discrimination audit behind every fastText-style quality/domain
     * classifier: for each term, the 2×2 presence/label contingency

@@ -163,4 +163,48 @@ class NgramLmAndEvalSpec extends SparkSpec {
     // "aa" in one of each class: independent -> chi2 = 0
     assert(out("aa")._4 == 0.0)
   }
+
+  test("clusterAgreement: hand-computed ARI and purity; perfect match gives 1") {
+    // clusters {A:[x,x,y], B:[y,y]}: sum_ij=2, a=(3,2)->sum_a=4,
+    // b=(x:2,y:3)->sum_b=4, purity=4/5, C(5,2)=10, exp=1.6,
+    // ARI = (2-1.6)/(4-1.6) = 1/6
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "y"), ("B", "y"))
+      .toDF("c", "l")
+    val r = graft.operators.Evaluation.clusterAgreement(df, "c", "l")
+      .collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getLong(3) == 2 && r.getLong(4) == 4 && r.getLong(5) == 4)
+    assert(r.getLong(6) == 4 && r.getDouble(7) == 0.8)
+    assert(math.abs(r.getDouble(8) - 0.4 / 2.4) < 1e-15)
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("c", "l")
+    assert(graft.operators.Evaluation.clusterAgreement(perfect, "c", "l")
+      .collect().head.getDouble(8) == 1.0)
+  }
+
+  test("sourceAblationAuc equals a direct AUC recomputation without each source") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      val src = s"s${i % 4}"
+      val label = rnd.nextBoolean()
+      // label-correlated score with ties and per-source shift
+      val score = (if (label) 2 else 0) + rnd.nextInt(4) + (i % 4) * 0.5
+      (i.toLong, src, score, label)
+    }
+    val df = rows.toDF("id", "src", "score", "lab")
+    val out = graft.operators.Evaluation
+      .sourceAblationAuc(df, "src", "score", "lab")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    for (s <- Seq("s0", "s1", "s2", "s3")) {
+      val direct = graft.operators.Evaluation
+        .aucByRankSum(df.filter(col("src") =!= s), "score", "lab")
+        .collect().head
+      val (np, nn, u2, auc) = out(s)
+      assert(np == direct.getLong(0), s"n_pos $s")
+      assert(nn == direct.getLong(1), s"n_neg $s")
+      assert(u2 == direct.getLong(2), s"u2 $s")
+      assert(auc == direct.getDouble(3), s"auc $s")
+    }
+  }
 }
