@@ -3313,7 +3313,30 @@ object SparkEntry {
       Evaluation.sourceAblationAuc(scored, "source", "margin",
           "quality_pass")
         .orderBy("source")
-    })
+    }),
+
+    "q218_k_anonymity" -> ((s, dir) =>
+      // k-anonymity / l-diversity release gate over the (lang, length
+      // bucket) quasi-identifier with source as the sensitive attribute:
+      // classes under k=5 rows or l=3 distinct sources are the
+      // suppress/generalize worklist. One map-side-combinable aggregate
+      operators.Governance.kAnonymityAudit(
+          tbl(s, dir, "documents")
+            .withColumn("len_bucket", expr("n_chars div 100")),
+          Seq("lang", "len_bucket"), "source", k = 5, l = 3)
+        .orderBy("lang", "len_bucket")),
+
+    "q219_fd_audit" -> ((s, dir) =>
+      // declared-candidate functional-dependency audit: the PK FD
+      // o_orderkey→o_custkey must hold exactly; the other three are
+      // near/non-FDs whose violating-class counts profile the schema.
+      // Four tiny aggregates union into one action
+      operators.Profiling.fdAudit(tbl(s, dir, "orders"),
+          Seq(("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderpriority")))
+        .unionByName(operators.Profiling.fdAudit(tbl(s, dir, "lineitem"),
+          Seq(("l_orderkey", "l_suppkey"), ("l_partkey", "l_suppkey"))))
+        .orderBy("lhs_col", "rhs_col"))
   )
 
   // ======================================================================
@@ -4118,6 +4141,16 @@ object SparkEntry {
            |LEFT JOIN cu ON t.src = cu.src
            |LEFT JOIN du ON t.src = du.src
            |ORDER BY source""".stripMargin,
+
+      "q218_k_anonymity" ->
+        """SELECT lang, n_chars // 100 AS len_bucket,
+          |  CAST(count(*) AS BIGINT) AS class_size,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS l_div,
+          |  count(*) < 5 AS k_violation,
+          |  count(DISTINCT source) < 3 AS l_violation
+          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q219_fd_audit" -> fdAuditOracleSql,
 
       "q215_path_trigrams" ->
         """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -7566,6 +7599,25 @@ object SparkEntry {
         s"i -> $v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c) >= 0 " +
         s"THEN ${1L << b} ELSE 0 END"
     }.mkString("(", "\n    + ", ")")
+  }
+
+  /** Replays q219: per declared (table, lhs, rhs) candidate, distinct
+    * pairs → per-lhs rhs counts → class/violation/max rollup, unioned. */
+  private def fdAuditOracleSql: String = {
+    val cands = Seq(("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_orderkey", "l_suppkey"),
+      ("lineitem", "l_partkey", "l_suppkey"))
+    cands.map { case (t, l, r) =>
+      s"""SELECT '$l' AS lhs_col, '$r' AS rhs_col,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(MAX(nr) AS BIGINT) AS max_rhs_per_class,
+         |  SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT l, CAST(count(*) AS BIGINT) AS nr
+         |  FROM (SELECT DISTINCT $l AS l, $r AS r FROM $t) GROUP BY l)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY lhs_col, rhs_col")
   }
 
   /** Replays q214: hyperplane sign-cells over the embedding corpus, core

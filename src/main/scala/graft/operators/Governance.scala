@@ -70,6 +70,29 @@ object Governance {
         .otherwise(lit("")))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns — the
+    * release gate a governed export runs before publishing "anonymized"
+    * rows (Sweeney 2002; Machanavajjhala 2007): every equivalence class
+    * of the quasi-identifier tuple must hold ≥ k rows (else its members
+    * are re-identifiable) and ≥ l distinct sensitive values (else the
+    * class size hides nothing — everyone in it shares the secret).
+    *
+    * One aggregate: the corpus collapses to its QI classes map-side
+    * (class count bounded by the QI domain product, not the corpus);
+    * `countDistinct` within the class is exact. Returns one row per
+    * class: (qiCols..., class_size, l_div, k_violation, l_violation) —
+    * the publishable subset is the all-false rows, and the violating
+    * rows ARE the remediation worklist (suppress or generalize them). */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("l_div") < l)
+  }
+
   /** SSRF-safe URL predicate, mirroring the reference's url_safety checks:
     * http(s) scheme only, no localhost, no RFC-1918 / link-local / loopback
     * literal hosts. RE2-compatible regexes so the oracle replays exactly. */

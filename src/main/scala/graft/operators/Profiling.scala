@@ -82,6 +82,34 @@ object Profiling {
       .withColumn("passed", col("n_violations") === 0L)
   }
 
+  /** Approximate functional-dependency audit over DECLARED candidate
+    * column pairs — the schema-discovery profiling step (Tane/Metanome
+    * family, restricted to given candidates; blind n² discovery over
+    * wide tables is a different cost class): for each lhs → rhs
+    * candidate, how many lhs equivalence classes map to more than one
+    * rhs value, and the worst fan-out. `n_violating = 0` ⇔ the FD holds
+    * exactly; a small violating fraction flags a *near*-FD — usually
+    * dirty data or a latent business rule worth a constraint.
+    *
+    * Per candidate: one (lhs, rhs) distinct-pair aggregate, then a
+    * per-lhs rollup — both map-side-combinable; candidates union into
+    * ONE frame so a single action audits the declared set. Returns
+    * (lhs_col, rhs_col, n_classes, n_violating, max_rhs_per_class,
+    * holds). */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdAudit: no candidates declared")
+    candidates.map { case (lhs, rhs) =>
+      df.select(col(lhs).as("_l"), col(rhs).as("_r")).distinct()
+        .groupBy("_l").agg(count(lit(1)).as("_nr"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("_nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("_nr").as("max_rhs_per_class"))
+        .select(lit(lhs).as("lhs_col"), lit(rhs).as("rhs_col"),
+          col("n_classes"), col("n_violating"), col("max_rhs_per_class"))
+    }.reduce(_ unionAll _)
+      .withColumn("holds", col("n_violating") === 0L)
+  }
+
   /** Zero-extra-pass pipeline instrumentation via Spark's `observe`: the
     * given aggregate metrics ride the NEXT action on the returned frame —
     * accumulator-style, computed in the same tasks that do the real work

@@ -129,4 +129,25 @@ class GovernanceSpec extends SparkSpec {
     assert(v9.count() == 3)
     intercept[AccessDenied](cat.viewFor("u2", "cust", t))
   }
+
+  test("kAnonymityAudit: class sizes, l-diversity, violation flags") {
+    val df = Seq(
+      // class (en, 1): 5 rows, 3 sensitive values -> passes both
+      ("en", 1L, "a"), ("en", 1L, "a"), ("en", 1L, "b"),
+      ("en", 1L, "c"), ("en", 1L, "c"),
+      // class (en, 2): 2 rows -> k-violation; 2 distinct -> l-violation
+      ("en", 2L, "a"), ("en", 2L, "b"),
+      // class (fr, 1): 6 rows but all one sensitive value -> l-violation only
+      ("fr", 1L, "a"), ("fr", 1L, "a"), ("fr", 1L, "a"),
+      ("fr", 1L, "a"), ("fr", 1L, "a"), ("fr", 1L, "a"))
+      .toDF("lang", "bucket", "secret")
+    val out = graft.operators.Governance
+      .kAnonymityAudit(df, Seq("lang", "bucket"), "secret", k = 5, l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out(("en", 1L)) == ((5L, 3L, false, false)))
+    assert(out(("en", 2L)) == ((2L, 2L, true, true)))
+    assert(out(("fr", 1L)) == ((6L, 1L, false, true)))
+  }
 }

@@ -81,4 +81,18 @@ class ProfilingSpec extends SparkSpec {
     // and the write really only contains the gated rows
     assert(spark.read.parquet(out).count() == 40L)
   }
+
+  test("fdAudit: exact FD holds, near-FD counts violating classes and fan-out") {
+    val df = Seq((1L, 10L, "x"), (2L, 10L, "x"), (3L, 20L, "y"),
+      (3L, 20L, "y"), (4L, 20L, "z"))
+      .toDF("pk", "grp", "v")
+    val out = graft.operators.Profiling
+      .fdAudit(df, Seq(("pk", "grp"), ("grp", "v")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // pk -> grp: 4 classes, each one grp -> holds
+    assert(out(("pk", "grp"))  == ((4L, 0L, 1L, true)))
+    // grp -> v: grp 10 -> {x}, grp 20 -> {y, z} -> 1 violating, max 2
+    assert(out(("grp", "v")) == ((2L, 1L, 2L, false)))
+  }
 }
