@@ -3336,7 +3336,50 @@ object SparkEntry {
             ("o_custkey", "o_orderpriority")))
         .unionByName(operators.Profiling.fdAudit(tbl(s, dir, "lineitem"),
           Seq(("l_orderkey", "l_suppkey"), ("l_partkey", "l_suppkey"))))
-        .orderBy("lhs_col", "rhs_col"))
+        .orderBy("lhs_col", "rhs_col")),
+
+    "q220_cluster_evolution" -> ((s, dir) => {
+      // dedup-ops snapshot diff: clusters of the 300-doc old corpus vs
+      // the full corpus — per old cluster: split (members now under
+      // several reps), merged (a new cluster absorbed several old ones),
+      // grown (new-corpus joiners), or stable. The question every
+      // incremental dedup ingest has to answer before promoting
+      val d = tbl(s, dir, "documents")
+      def corpus(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("text")).union(
+          df.select(col("doc_id") + 1000000,
+            expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      def clusters(c: org.apache.spark.sql.DataFrame) =
+        Dedup.dedupClusters(
+          Dedup.minhashLshPairs(c, "doc_id", "text",
+            shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8),
+          "doc_a", "doc_b", edgePartitions = 8)
+      Dedup.clusterEvolution(
+          clusters(corpus(d.filter(col("doc_id") < 300))),
+          clusters(corpus(d)))
+        .orderBy("old_rep")
+    }),
+
+    "q221_clean_block" -> ((s, dir) => {
+      // clean-block salvage: the longest contiguous run of C4-passing
+      // 12-token pseudo-lines per doc — main-content extraction where
+      // q99 keeps scattered lines; one doc-window shuffle (q87's
+      // gaps-and-islands shape)
+      val d = tbl(s, dir, "documents")
+        .withColumn("_toks", TextQuality.tokens(col("text")))
+        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+      TextQuality.cleanBlock(d, "doc_id", "lines", minWords = 5,
+          blocklist = Seq("slow"))
+        .orderBy("id")
+    }),
+
+    "q222_boilerplate" -> ((s, dir) =>
+      // per-source template detection: the modal 8-token document prefix
+      // and its share — a stamped header/footer bug owns a large share;
+      // one (source, prefix) count + min_by argmax, no sorts
+      TextQuality.boilerplatePrefix(tbl(s, dir, "documents"), "source",
+          "text", prefixTokens = 8, shareThreshold = 0.2)
+        .orderBy("source"))
   )
 
   // ======================================================================
@@ -4151,6 +4194,61 @@ object SparkEntry {
           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q219_fd_audit" -> fdAuditOracleSql,
+
+      "q220_cluster_evolution" -> clusterEvolutionOracleSql,
+
+      // q99's line CTEs → pass predicate → gaps-and-islands → per-doc
+      // argmax run; docs with no passing line keep a best_len-0 row
+      "q221_clean_block" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+          |      AS toks
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(0, CAST(floor((len(toks) - 1) / 12) AS BIGINT) + 1),
+          |      i -> array_to_string(toks[CAST(i * 12 + 1 AS INT) : CAST(i * 12 + 12 AS INT)], ' '))
+          |    END AS lines
+          |  FROM d),
+          |x AS (SELECT doc_id, CAST(i AS INT) AS idx,
+          |    lines[CAST(i AS INT) + 1] AS ln
+          |  FROM l, unnest(range(0, len(lines))) AS u(i)),
+          |p AS (SELECT doc_id, idx FROM x WHERE
+          |  len(list_filter(str_split(ln, ' '), w -> w <> '')) >= 5
+          |  AND len(list_filter(['slow'],
+          |    w -> list_contains(str_split(ln, ' '), w))) = 0),
+          |g AS (SELECT doc_id, idx,
+          |    idx - (row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1)
+          |      AS grp
+          |  FROM p),
+          |runs AS (SELECT doc_id, CAST(min(idx) AS INT) AS start,
+          |    CAST(count(*) AS BIGINT) AS len
+          |  FROM g GROUP BY doc_id, grp),
+          |best AS (SELECT doc_id, start, len FROM runs
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY len DESC, start) = 1)
+          |SELECT l.doc_id AS id, CAST(len(l.lines) AS INT) AS n_lines,
+          |  best.start AS best_start, coalesce(best.len, 0) AS best_len
+          |FROM l LEFT JOIN best ON l.doc_id = best.doc_id
+          |ORDER BY id""".stripMargin,
+
+      "q222_boilerplate" ->
+        """WITH d AS (SELECT source,
+          |    array_to_string(list_filter(
+          |      regexp_split_to_array(text, '\s+'), x -> x <> '')[1:8], ' ')
+          |      AS pfx
+          |  FROM documents),
+          |c AS (SELECT source, pfx, CAST(count(*) AS BIGINT) AS n
+          |  FROM d GROUP BY 1, 2),
+          |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM d GROUP BY source),
+          |top AS (SELECT source, pfx, n FROM c
+          |  QUALIFY row_number() OVER (PARTITION BY source
+          |    ORDER BY n DESC, pfx) = 1)
+          |SELECT t.source, nd.n_docs, t.pfx AS top_prefix, t.n AS top_n,
+          |  CAST(t.n AS DOUBLE) / nd.n_docs AS top_share,
+          |  CAST(t.n AS DOUBLE) / nd.n_docs >= 0.2 AS is_template
+          |FROM top t JOIN nd USING (source) ORDER BY source""".stripMargin,
 
       "q215_path_trigrams" ->
         """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -6896,6 +6994,96 @@ object SparkEntry {
        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
        |SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
+  /** [[minhashPairCtesFor]] with SUFFIXED CTE names so two corpora's
+    * full signature→band→pair chains can coexist in one WITH clause
+    * (q220 runs the old and new snapshots side by side). */
+  private def minhashPairCtesSfx(corpusSql: String, sfx: String): String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val (as, bs) = graft.plans.HashExpressions.minhashCoeffs(64)
+    val winHash = "list_reduce(list_transform(range(i, i + 5), " +
+      "j -> CAST(unicode(substring(text, CAST(j AS INT), 1)) AS BIGINT)), " +
+      s"(a, c) -> (a * $b1 + c) % $HP)"
+    val sig = (0 until 64)
+      .map(k => s"list_min(list_transform(hashes, h -> (h * ${as(k)} + ${bs(k)}) % $HP))")
+      .mkString("[", ",\n    ", "]")
+    s"""corpus_$sfx AS ($corpusSql),
+       |hs_$sfx AS (
+       |  SELECT doc_id, CASE WHEN length(text) < 5
+       |    THEN [${duckPoly("text", b1)}]
+       |    ELSE list_distinct(list_transform(range(1, length(text) - 3), i -> $winHash))
+       |    END AS hashes
+       |  FROM corpus_$sfx WHERE length(text) > 0),
+       |sigs_$sfx AS (SELECT doc_id, $sig AS sig FROM hs_$sfx),
+       |banded0_$sfx AS (
+       |  SELECT doc_id, sig, b,
+       |    list_reduce(list_transform(range(b * 8 + 1, b * 8 + 9), k -> sig[CAST(k AS INT)]),
+       |      (a, v) -> (a * $b1 + v) % $HP) AS band_hash
+       |  FROM sigs_$sfx, unnest(range(0, 8)) AS tb_$sfx(b)),
+       |banded_$sfx AS (
+       |  SELECT * FROM banded0_$sfx
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= $MaxBucket),
+       |pairs_$sfx AS (
+       |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+       |    greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM banded_$sfx x JOIN banded_$sfx y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |  WHERE list_count(list_filter(range(1, 65),
+       |      i -> x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)])) / 64.0 >= 0.8),
+       |edges_$sfx AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs_$sfx
+       |  UNION
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs_$sfx),
+       |reach_$sfx(s, d) AS (
+       |  SELECT s, d FROM edges_$sfx
+       |  UNION
+       |  SELECT r.s, e.d FROM reach_$sfx r JOIN edges_$sfx e ON r.d = e.s),
+       |cl_$sfx AS (SELECT s AS id, least(s, min(d)) AS cluster_rep
+       |  FROM reach_$sfx GROUP BY s)""".stripMargin
+  }
+
+  /** Replays q220: old- and new-snapshot cluster chains side by side,
+    * membership join (unclustered old members become their own singleton
+    * rep), per-new-rep stats, then the split ≻ merged ≻ grown ≻ stable
+    * classification exactly as [[operators.Dedup.clusterEvolution]]. */
+  private def clusterEvolutionOracleSql: String = {
+    val oldCorpus =
+      """SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id,
+        |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
+        |FROM documents WHERE doc_id < 300""".stripMargin
+    s"""WITH RECURSIVE ${minhashPairCtesSfx(oldCorpus, "o")},
+       |${minhashPairCtesSfx(nearDupCorpus, "n")},
+       |j AS (SELECT o.id, o.cluster_rep AS old_rep,
+       |    coalesce(n.cluster_rep, o.id) AS new_rep
+       |  FROM cl_o o LEFT JOIN cl_n n ON o.id = n.id),
+       |rs AS (SELECT new_rep,
+       |    CAST(count(DISTINCT old_rep) AS BIGINT) AS n_old_in_new,
+       |    CAST(count(*) AS BIGINT) AS old_members_in_new
+       |  FROM j GROUP BY new_rep),
+       |ns AS (SELECT cluster_rep AS new_rep, CAST(count(*) AS BIGINT)
+       |    AS new_size FROM cl_n GROUP BY 1),
+       |t2 AS (SELECT t.old_rep, t.new_rep, rs.n_old_in_new,
+       |    rs.old_members_in_new,
+       |    coalesce(ns.new_size, rs.old_members_in_new) AS new_size
+       |  FROM (SELECT DISTINCT old_rep, new_rep FROM j) t
+       |  JOIN rs ON t.new_rep = rs.new_rep
+       |  LEFT JOIN ns ON t.new_rep = ns.new_rep),
+       |po AS (SELECT old_rep, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM j GROUP BY old_rep),
+       |ag AS (SELECT old_rep, CAST(count(*) AS BIGINT) AS n_new_reps,
+       |    CAST(max(n_old_in_new) AS BIGINT) AS max_old_in_new,
+       |    CAST(SUM(new_size - old_members_in_new) AS BIGINT) AS n_joiners
+       |  FROM t2 GROUP BY old_rep)
+       |SELECT po.old_rep, po.n_members, ag.n_new_reps, ag.max_old_in_new,
+       |  ag.n_joiners,
+       |  CASE WHEN ag.n_new_reps > 1 THEN 'split'
+       |    WHEN ag.max_old_in_new > 1 THEN 'merged'
+       |    WHEN ag.n_joiners > 0 THEN 'grown'
+       |    ELSE 'stable' END AS class
+       |FROM po JOIN ag USING (old_rep) ORDER BY old_rep""".stripMargin
+  }
 
   /** Replays q209: the q56 cluster CTEs, members joined back to their
     * base-document attributes (id mod 1e6), then survivorship — min id,

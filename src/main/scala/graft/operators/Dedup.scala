@@ -690,6 +690,56 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Dedup-cluster EVOLUTION between two corpus snapshots — the ops
+    * question behind every incremental dedup run: "did this batch merge
+    * previously-distinct clusters, split any (a capped hot bucket can
+    * drop pairs), or just grow them?". Inputs are two [[dedupClusters]]
+    * outputs (id, cluster_rep); every old-snapshot member is expected to
+    * exist in the new corpus (an old member unclustered in the new run
+    * becomes its own singleton rep).
+    *
+    * Per OLD cluster: `n_new_reps` (> 1 ⇒ the cluster split),
+    * `max_old_in_new` (> 1 ⇒ some new cluster absorbed members of
+    * several old clusters — a merge), `n_joiners` (new-corpus members in
+    * the touched new clusters beyond the old-corpus contributors —
+    * growth), and the classification
+    * split ≻ merged ≻ grown ≻ stable (first matching, in that order —
+    * a cluster can both split and merge; split is the alarming one).
+    *
+    * Scale shape: one id equi-join of the two membership tables plus
+    * three small aggregates keyed by cluster rep — no text, no
+    * signatures, no quadratic anything. */
+  def clusterEvolution(oldMembers: DataFrame,
+                       newMembers: DataFrame): DataFrame = {
+    val j = oldMembers.select(col("id"), col("cluster_rep").as("old_rep"))
+      .join(newMembers.select(col("id"), col("cluster_rep").as("new_rep")),
+        Seq("id"), "left")
+      .withColumn("new_rep", coalesce(col("new_rep"), col("id")))
+    val repStats = j.groupBy("new_rep").agg(
+      countDistinct("old_rep").as("_n_old_in_new"),
+      count(lit(1)).as("_old_members_in_new"))
+    val newSizes = newMembers.groupBy(col("cluster_rep").as("new_rep"))
+      .agg(count(lit(1)).as("_new_size"))
+    // per (old cluster, touched new rep): one row, with that rep's stats
+    val touched = j.select("old_rep", "new_rep").distinct()
+      .join(repStats, "new_rep")
+      .join(newSizes, Seq("new_rep"), "left")
+      .withColumn("_new_size",
+        coalesce(col("_new_size"), col("_old_members_in_new")))
+    val perOld = j.groupBy("old_rep").agg(count(lit(1)).as("n_members"))
+    val agg = touched.groupBy("old_rep").agg(
+      count(lit(1)).as("n_new_reps"),
+      max("_n_old_in_new").as("max_old_in_new"),
+      sum(col("_new_size") - col("_old_members_in_new")).cast("long")
+        .as("n_joiners"))
+    perOld.join(agg, "old_rep")
+      .withColumn("class",
+        when(col("n_new_reps") > 1, "split")
+          .when(col("max_old_in_new") > 1, "merged")
+          .when(col("n_joiners") > 0, "grown")
+          .otherwise("stable"))
+  }
+
   /** 1-bit MinHash signatures (Li & König 2010, "b-Bit Minwise Hashing"):
     * keep only the LOWEST bit of each MinHash permutation value and pack
     * the bits into ONE long — a 63-bit signature instead of 63 × 4-byte

@@ -198,6 +198,75 @@ object TextQuality {
       .drop("_kept_lines")
   }
 
+  /** Clean-block salvage — the refinement between "keep the doc" and
+    * "drop the doc": the LONGEST CONTIGUOUS run of lines passing the C4
+    * per-line predicate (≥ `minWords` words, no blocklisted word). Where
+    * [[c4LineFilter]] keeps scattered surviving lines, salvage pipelines
+    * (trafilatura-style main-content extraction) want one coherent
+    * block — headers, nav, and footers fall off the ends, and a single
+    * bad line in the middle caps what is salvageable.
+    *
+    * Gaps-and-islands: passing lines keep their original index; island
+    * id = idx − (rank among passing lines) — constant within a
+    * consecutive run. One window per doc (the q87 dupSpans shape), then
+    * a `min_by(struct(-len, start))` argmax — no global sort. Docs with
+    * no passing line keep their row (best_len 0, NULL start).
+    * Returns (id, n_lines, best_start, best_len). */
+  def cleanBlock(df: DataFrame, idCol: String, linesCol: String,
+                 minWords: Int = 5,
+                 blocklist: Seq[String] = Seq("slow")): DataFrame = {
+    val bl = blocklist.map(w => s"'$w'").mkString("array(", ",", ")")
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(col(linesCol)).as(Seq("idx", "ln")))
+    val pass = lines.filter(expr(
+      s"""size(filter(split(ln, ' '), w -> w != '')) >= $minWords
+         | and not exists($bl, w -> array_contains(split(ln, ' '), w))"""
+        .stripMargin))
+    val isl = pass.withColumn("_grp", col("idx") -
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("idx")) - 1))
+    val best = isl.groupBy("id", "_grp")
+      .agg(min("idx").as("start"), count(lit(1)).as("len"))
+      .groupBy("id")
+      .agg(min_by(struct(col("start"), col("len")),
+        struct(-col("len"), col("start"))).as("_b"))
+    df.select(col(idCol).as("id"), size(col(linesCol)).as("n_lines"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"), col("n_lines"), col("_b.start").as("best_start"),
+        coalesce(col("_b.len"), lit(0L)).as("best_len"))
+  }
+
+  /** Per-source boilerplate-template detection: the modal `prefixTokens`-
+    * token document prefix and its share of the source's documents. A
+    * crawler or export bug that stamps the same header on a whole source
+    * shows up as one prefix owning a large share — the C4-adjacent
+    * source-level audit that per-line dedup cannot see (it dedups WITHIN
+    * documents). One (source, prefix) count with map-side partials, then
+    * a `min_by` argmax per source; ties break to the smaller prefix.
+    * Returns (sourceCol, n_docs, top_prefix, top_n, top_share,
+    * is_template = share ≥ threshold). */
+  def boilerplatePrefix(df: DataFrame, sourceCol: String, textCol: String,
+                        prefixTokens: Int = 8,
+                        shareThreshold: Double = 0.2): DataFrame = {
+    val withPfx = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_pfx",
+        expr(s"array_join(slice(_toks, 1, $prefixTokens), ' ')"))
+    val counts = withPfx.groupBy(col(sourceCol), col("_pfx"))
+      .agg(count(lit(1)).as("_n"))
+    val nDocs = withPfx.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.groupBy(col(sourceCol))
+      .agg(min_by(struct(col("_pfx"), col("_n")),
+        struct(-col("_n"), col("_pfx"))).as("_t"))
+      .join(nDocs, sourceCol)
+      .select(col(sourceCol), col("n_docs"),
+        col("_t._pfx").as("top_prefix"), col("_t._n").as("top_n"),
+        (col("_t._n").cast("double") / col("n_docs")).as("top_share"),
+        (col("_t._n").cast("double") / col("n_docs") >= shareThreshold)
+          .as("is_template"))
+  }
+
   /** Deterministic `width`-token line splitter for corpora without
     * newlines: lines are consecutive `width`-token windows of the
     * pre-tokenized array column `toksCol`, joined by single spaces. (On

@@ -309,4 +309,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.9)
       .filter(col("doc_a") === 1 && col("doc_b") === 2).count() == 0)
   }
+
+  test("clusterEvolution: split, merged, grown, stable classes") {
+    val oldM = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // A: will split (3 leaves)
+      (4L, 4L), (5L, 4L),             // B: will grow (6 joins)
+      (7L, 7L), (8L, 7L),             // C: will merge with D
+      (9L, 9L), (10L, 9L),            // D: will merge with C
+      (11L, 11L), (12L, 11L))         // E: unchanged -> stable
+      .toDF("id", "cluster_rep")
+    val newM = Seq(
+      (1L, 1L), (2L, 1L),             // 3 is gone (singleton)
+      (4L, 4L), (5L, 4L), (6L, 4L),   // B + joiner 6
+      (7L, 7L), (8L, 7L), (9L, 7L), (10L, 7L), // C+D merged
+      (11L, 11L), (12L, 11L))
+      .toDF("id", "cluster_rep")
+    val out = Dedup.clusterEvolution(oldM, newM)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(out(1L) == ((3L, 2L, 1L, 0L, "split")))
+    assert(out(4L) == ((2L, 1L, 1L, 1L, "grown")))
+    assert(out(7L) == ((2L, 1L, 2L, 0L, "merged")))
+    assert(out(9L) == ((2L, 1L, 2L, 0L, "merged")))
+    assert(out(11L) == ((2L, 1L, 1L, 0L, "stable")))
+  }
 }

@@ -69,4 +69,37 @@ class TextQualitySpec extends SparkSpec {
     assert(r(0) == ((1, 1, "reach me at <EMAIL> or <IP> thanks")))
     assert(r(1) == ((0, 0, "no pii here at all")))
   }
+
+  test("cleanBlock: longest contiguous passing run; no-pass doc keeps a zero row") {
+    // pass iff >= 2 words and no 'bad'
+    val df = Seq(
+      (1L, Seq("one two", "bad here", "a b", "c d", "e f", "bad x", "y z")),
+      (2L, Seq("bad", "bad")),
+      (3L, Seq[String]()))
+      .toDF("doc_id", "lines")
+    val out = graft.operators.TextQuality
+      .cleanBlock(df, "doc_id", "lines", minWords = 2, blocklist = Seq("bad"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getLong(3)))).toMap
+    assert(out(1L) == ((7, Some(2), 3L))) // run [2,3,4] beats [0] and [6]
+    assert(out(2L) == ((2, None, 0L)))
+    assert(out(3L) == ((0, None, 0L)))
+  }
+
+  test("boilerplatePrefix: modal prefix share and template flag") {
+    val df = Seq(
+      ("s1", "h1 h2 t a"), ("s1", "h1 h2 t b"), ("s1", "other text x"),
+      ("s2", "u v w"), ("s2", "p q r"))
+      .toDF("source", "text")
+    val out = graft.operators.TextQuality
+      .boilerplatePrefix(df, "source", "text", prefixTokens = 3,
+        shareThreshold = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(out("s1") == ((3L, "h1 h2 t", 2L, 2.0 / 3, true)))
+    // s2: 1-1 tie -> lexicographically smaller prefix wins, share 0.5
+    assert(out("s2") == ((2L, "p q r", 1L, 0.5, true)))
+  }
 }
