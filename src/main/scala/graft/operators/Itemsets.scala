@@ -42,6 +42,13 @@ object Itemsets {
     val l1 = keepFrequent(
       t.groupBy("item").agg(count(lit(1)).as("support")))
     val tf = t.join(broadcast(l1.select("item")), Seq("item"), "left_semi")
+    // Candidate levels expand through codegen'd id self-joins. MEASURED
+    // ALTERNATIVE (do not redo): per-doc sorted baskets via collect_set
+    // with map-side HOF combination expansion halves the shuffles but ran
+    // 2× SLOWER at sf0.1 (16.7 s vs 7.4 s min-of-3) — nested interpreted
+    // transforms allocate a struct per candidate, while the joins stay
+    // inside whole-stage codegen. The shuffles here are (id, item) rows
+    // hashed by id — small and uniform.
     val l2 = keepFrequent(tf.select(col("id"), col("item").as("item_a"))
       .join(tf.select(col("id"), col("item").as("item_b")), Seq("id"))
       .filter(col("item_a") < col("item_b"))
