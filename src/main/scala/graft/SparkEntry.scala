@@ -3379,7 +3379,36 @@ object SparkEntry {
       // one (source, prefix) count + min_by argmax, no sorts
       TextQuality.boilerplatePrefix(tbl(s, dir, "documents"), "source",
           "text", prefixTokens = 8, shareThreshold = 0.2)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "q223_preference_pairs" -> ((s, dir) => {
+      // DPO-style preference-pair mining: each Gopher-passing doc pairs
+      // with the length-CLOSEST failing doc of the same language —
+      // length matching is the confound control, lang the comparability
+      // block; group equi-join + one min_by argmin, no global sort
+      val d = tbl(s, dir, "documents")
+      val labeled = TextQuality.gopherMetrics(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality_pass"))
+        .join(d.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"))
+      Sampling.preferencePairs(labeled, "doc_id", "lang", "n_chars",
+          "quality_pass")
+        .orderBy("chosen_id")
+    }),
+
+    "q224_maxsim" -> ((s, dir) => {
+      // late-interaction MaxSim (ColBERT shape): doc and query as 8×8-dim
+      // sub-vectors, score = Σ over query slices of max dot vs any doc
+      // slice — per-aspect matching a pooled vector can't express. Query
+      // slices ride as literals: scan → 64 inline dot folds →
+      // TakeOrderedAndProject, zero shuffle
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.maxSimSearch(e, "embedding", "vec_id", q,
+          dim = 64, slices = 8, k = 10)
+        .select(col("vec_id"), round(col("maxsim"), 6).as("maxsim"))
+    })
   )
 
   // ======================================================================
@@ -4196,6 +4225,30 @@ object SparkEntry {
       "q219_fd_audit" -> fdAuditOracleSql,
 
       "q220_cluster_evolution" -> clusterEvolutionOracleSql,
+
+      // the q158 scored CTEs give the Gopher gate; block join on lang,
+      // argmin by (len_diff, rejected_id) replayed as a QUALIFY window
+      "q223_preference_pairs" ->
+        s"""$scoredMarginCtes,
+           |lab AS (SELECT s.doc_id, s.quality_pass, d.lang, d.n_chars
+           |  FROM scored s JOIN documents d USING (doc_id)),
+           |ch AS (SELECT lang, doc_id AS chosen_id, n_chars AS chosen_len
+           |  FROM lab WHERE quality_pass),
+           |rj AS (SELECT lang, doc_id AS rejected_id,
+           |    n_chars AS rejected_len
+           |  FROM lab WHERE NOT quality_pass),
+           |p AS (SELECT ch.chosen_id, rj.rejected_id, ch.chosen_len,
+           |    rj.rejected_len,
+           |    abs(ch.chosen_len - rj.rejected_len) AS len_diff
+           |  FROM ch JOIN rj ON ch.lang = rj.lang)
+           |SELECT chosen_id, rejected_id, chosen_len, rejected_len,
+           |  len_diff
+           |FROM p
+           |QUALIFY row_number() OVER (PARTITION BY chosen_id
+           |  ORDER BY len_diff, rejected_id) = 1
+           |ORDER BY chosen_id""".stripMargin,
+
+      "q224_maxsim" -> maxSimOracleSql,
 
       // q99's line CTEs → pass predicate → gaps-and-islands → per-doc
       // argmax run; docs with no passing line keep a best_len-0 row
@@ -7835,6 +7888,28 @@ object SparkEntry {
        |  lab.cluster IS NOT NULL AS is_core, lab.cluster
        |FROM b JOIN cc USING (cell) LEFT JOIN lab ON b.cell = lab.cell
        |ORDER BY id""".stripMargin
+  }
+
+  /** Replays q224: the query row's sub-vectors come from the table (the
+    * Spark side folds the same values in as literals — float→double is
+    * exact, so the products coincide); 8×8 dots as fixed-order
+    * list_reduce folds, Σ of per-query-slice maxima, top-10 by the
+    * unrounded score. */
+  private def maxSimOracleSql: String = {
+    def dot(ds: Int, qs: Int): String =
+      s"list_reduce(list_transform(range(1, 9), " +
+        s"i -> v[${ds * 8} + CAST(i AS INT)] * qv[${qs * 8} + CAST(i AS INT)]), " +
+        "(a, c) -> a + c)"
+    val score = (0 until 8).map { qs =>
+      "greatest(" + (0 until 8).map(ds => dot(ds, qs)).mkString(",\n      ") + ")"
+    }.mkString("(", ")\n    + (", ")")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings)
+       |SELECT vec_id, round(s, 6) AS maxsim FROM (
+       |  SELECT vec_id, $score AS s
+       |  FROM e, q ORDER BY s DESC, vec_id LIMIT 10)""".stripMargin
   }
 
   private def embeddingNearDupOracleSql: String = {

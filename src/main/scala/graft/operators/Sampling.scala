@@ -340,4 +340,39 @@ object Sampling {
       sum("n_docs").over(w).cast("long").as("cum_docs"),
       sum("tokens").over(w).cast("long").as("cum_tokens"))
   }
+
+  /** Preference-pair mining for DPO/RLHF-style training data: every
+    * label-positive document (`chosen`) pairs with the LENGTH-CLOSEST
+    * label-negative document (`rejected`) from the same group — length
+    * matching is the standard confound control (a preference model
+    * trained on unmatched pairs learns "longer is better", not quality),
+    * and the group key (here a prompt cluster / language) keeps pairs
+    * comparable.
+    *
+    * Shape: the [[Linkage.bestMatch]] discipline — candidates from a
+    * group equi-join (never a cross join; the group bounds the quadratic
+    * term), then ONE `min_by(struct(len_diff, rejected_id))` hash
+    * aggregate per chosen doc: partial aggregation collapses candidates
+    * map-side, nothing global sorts. Deterministic under ties (smaller
+    * rejected id). Returns (chosen_id, rejected_id, chosen_len,
+    * rejected_len, len_diff). */
+  def preferencePairs(docs: DataFrame, idCol: String, groupCol: String,
+                      lenCol: String, labelCol: String): DataFrame = {
+    val ch = docs.filter(col(labelCol))
+      .select(col(groupCol).as("_g"), col(idCol).as("chosen_id"),
+        col(lenCol).cast("long").as("chosen_len"))
+    val rj = docs.filter(!col(labelCol))
+      .select(col(groupCol).as("_g"), col(idCol).as("rejected_id"),
+        col(lenCol).cast("long").as("rejected_len"))
+    ch.join(rj, Seq("_g"))
+      .withColumn("len_diff", abs(col("chosen_len") - col("rejected_len")))
+      .groupBy("chosen_id")
+      .agg(min(col("chosen_len")).as("chosen_len"),
+        min_by(struct(col("rejected_id"), col("rejected_len"),
+            col("len_diff")),
+          struct(col("len_diff"), col("rejected_id"))).as("_best"))
+      .select(col("chosen_id"), col("_best.rejected_id").as("rejected_id"),
+        col("chosen_len"), col("_best.rejected_len").as("rejected_len"),
+        col("_best.len_diff").as("len_diff"))
+  }
 }

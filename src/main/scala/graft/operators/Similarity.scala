@@ -217,6 +217,44 @@ object Similarity {
     selected.map(t => (t._1, t._2)).toSeq
   }
 
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) MaxSim
+    * scoring: document and query are MULTI-vector — here `slices` sub-
+    * vectors of `subDim = dim/slices` dims each — and the score is
+    * Σ over query sub-vectors of the MAX dot product against any
+    * document sub-vector. Late interaction keeps per-token granularity
+    * a single pooled vector destroys (a doc matching all query aspects
+    * in different places outranks one matching one aspect everywhere).
+    *
+    * Scale shape: the query sub-vectors are driver-side literals folded
+    * into ONE map-side expression (slices² inline dot folds per row) —
+    * scan → score → TakeOrderedAndProject, no shuffle, no join; at
+    * store scale this runs AFTER an ANN shortlist (compose with
+    * [[topK]]/[[ivfSearch]] exactly like the PQ rerank). All arithmetic
+    * is fixed-order double folds over exact float→double casts, so an
+    * oracle replays it bit-for-bit. Returns the top `k`
+    * (idCol, maxsim), ties to the smaller id. */
+  def maxSimSearch(corpus: DataFrame, vecCol: String, idCol: String,
+                   query: Seq[Float], dim: Int, slices: Int,
+                   k: Int): DataFrame = {
+    require(slices >= 1 && dim % slices == 0, "slices must divide dim")
+    require(query.length == dim, s"query must have $dim dims")
+    val sub = dim / slices
+    def dotSql(ds: Int, q: Seq[Float]): String = {
+      val lits = q.map(_.toDouble.toString).mkString(",")
+      s"aggregate(zip_with(slice($vecCol, ${ds * sub + 1}, $sub), " +
+        s"array($lits), (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
+    }
+    val score = (0 until slices).map { qs =>
+      val q = query.slice(qs * sub, (qs + 1) * sub)
+      val dots = (0 until slices).map(ds => dotSql(ds, q))
+      if (dots.size == 1) dots.head // greatest() requires >1 argument
+      else "greatest(" + dots.mkString(",") + ")"
+    }.mkString("(", ") + (", ")")
+    corpus.select(col(idCol), expr(score).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucket id (nBits sign bits of projections onto
     * seeded random hyperplanes). Rows in the same bucket are cosine-close
     * with high probability — the blocking key for

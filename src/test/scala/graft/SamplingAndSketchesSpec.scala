@@ -367,4 +367,21 @@ class SamplingAndSketchesSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("preferencePairs: length-closest negative in-group, deterministic ties") {
+    val docs = Seq(
+      (1L, "en", 100L, true), (2L, "en", 130L, false), (3L, "en", 90L, false),
+      // chosen 4 ties 50-diff to rejected 5 and 6 -> smaller id 5 wins
+      (4L, "fr", 200L, true), (5L, "fr", 150L, false), (6L, "fr", 250L, false),
+      // group with no negative: chosen 7 emits no pair
+      (7L, "zh", 10L, true))
+      .toDF("id", "lang", "len", "good")
+    val out = graft.operators.Sampling
+      .preferencePairs(docs, "id", "lang", "len", "good")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 100L, 90L, 10L)),
+      4L -> ((5L, 200L, 150L, 50L))))
+  }
 }

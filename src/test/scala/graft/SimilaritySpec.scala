@@ -275,4 +275,33 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(g._3 - e._3) < 1e-12 && math.abs(g._4 - e._4) < 1e-12)
     }
   }
+
+  test("maxSimSearch matches a driver-side MaxSim reference; slices=1 is plain dot") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def maxsim(v: Seq[Float], slices: Int): Double = {
+      val sub = 16 / slices
+      (0 until slices).map { qs =>
+        val qsl = q.slice(qs * sub, (qs + 1) * sub)
+        (0 until slices).map(ds =>
+          dot(v.slice(ds * sub, (ds + 1) * sub), qsl)).max
+      }.sum
+    }
+    for (slices <- Seq(1, 4)) {
+      val out = Similarity.maxSimSearch(df, "embedding", "vec_id", q,
+          dim = 16, slices = slices, k = 5)
+        .as[(Long, Double)].collect()
+      val expect = vecs.map { case (id, v) => (id, maxsim(v, slices)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      assert(out.toSeq == expect.toSeq, s"slices=$slices")
+    }
+    // slices=1 degenerates to the plain full-vector dot product
+    val full = Similarity.maxSimSearch(df, "embedding", "vec_id", q, 16, 1, 1)
+      .as[(Long, Double)].head()
+    assert(full._2 == vecs.map(v => dot(v._2, q)).max)
+  }
 }
