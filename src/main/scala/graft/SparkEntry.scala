@@ -3408,6 +3408,28 @@ object SparkEntry {
       Similarity.maxSimSearch(e, "embedding", "vec_id", q,
           dim = 64, slices = 8, k = 10)
         .select(col("vec_id"), round(col("maxsim"), 6).as("maxsim"))
+    }),
+
+    "q225_attribution" -> ((s, dir) =>
+      // multi-touch attribution: each purchase credits the user's views
+      // in the prior 7 days — linear and U-shaped 40/20/40 models in
+      // exact integer micro-credits (floor div), so the lag-curve sums
+      // replay as BIGINTs under any partitioning
+      streaming.EventStreams.multiTouchAttribution(events(s, dir),
+          "purchase", "view", windowDays = 7)
+        .orderBy("lag_days")),
+
+    "q226_ab_test" -> ((s, dir) => {
+      // hash-bucketed A/B readout: users split by the scrambled key hash
+      // (a null experiment — |t| should be small), per-user purchase
+      // cents, Welch's t from decimal-exact sufficient statistics
+      val perUser = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("v100"))
+        .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
+      Stats.welchTTest(perUser, "arm", "v100")
     })
   )
 
@@ -4249,6 +4271,61 @@ object SparkEntry {
            |ORDER BY chosen_id""".stripMargin,
 
       "q224_maxsim" -> maxSimOracleSql,
+
+      "q225_attribution" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |conv AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts
+          |  FROM e WHERE event_type = 'purchase'),
+          |touch AS (SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tts
+          |  FROM e WHERE event_type = 'view'),
+          |j AS (SELECT conv_id, touch_id, cts, tts
+          |  FROM conv JOIN touch USING (user_id)
+          |  WHERE tts < cts AND tts >= cts - 604800000000),
+          |p AS (SELECT conv_id, (cts - tts) // 86400000000 AS lag_days,
+          |    COUNT(*) OVER (PARTITION BY conv_id) AS n,
+          |    row_number() OVER (PARTITION BY conv_id
+          |      ORDER BY tts, touch_id) AS pos
+          |  FROM j),
+          |c AS (SELECT lag_days, 1000000 // n AS linear_mc,
+          |    CASE WHEN n = 1 THEN 1000000
+          |      WHEN pos = 1 OR pos = n THEN 400000
+          |      ELSE 200000 // (n - 2) END AS position_mc
+          |  FROM p)
+          |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_touches,
+          |  CAST(SUM(linear_mc) AS BIGINT) AS linear_mcredit,
+          |  CAST(SUM(position_mc) AS BIGINT) AS position_mcredit
+          |FROM c GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+
+      // the q206/q212 keyHash chain on user_id splits the arms; Welch's
+      // t over decimal-exact (n, Σv, Σv²) with the identical tree
+      "q226_ab_test" ->
+        """WITH pu AS (SELECT user_id,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS v100
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |h0 AS (SELECT v100, (user_id * 1000003) % 2147483647 AS h FROM pu),
+          |h1 AS (SELECT v100, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT v100, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |arm AS (SELECT v100, h % 2 = 0 AS arm FROM h2),
+          |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+          |    CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS sv_a,
+          |    CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE) AS svv_a
+          |  FROM arm WHERE arm),
+          |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+          |    CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS sv_b,
+          |    CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE) AS svv_b
+          |  FROM arm WHERE NOT arm)
+          |SELECT n_a, n_b, sv_a / n_a AS mean_a, sv_b / n_b AS mean_b,
+          |  sv_a / n_a - sv_b / n_b AS diff,
+          |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+          |    (sv_a / n_a - sv_b / n_b)
+          |    / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+          |      + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b)
+          |  END AS t_stat
+          |FROM sa, sb""".stripMargin,
 
       // q99's line CTEs → pass predicate → gaps-and-islands → per-doc
       // argmax run; docs with no passing line keep a best_len-0 row

@@ -391,6 +391,35 @@ object Stats {
       .orderBy("rep")
   }
 
+  /** Welch's two-sample t statistic over an INTEGER metric (value-cents)
+    * — the A/B readout: unequal variances, no pooling assumption. Every
+    * sufficient statistic (n, Σv, Σv²) accumulates as an exact decimal
+    * per arm — the same discipline as [[groupCorrelation]] — and the
+    * statistic evaluates in one fixed double tree over those exact sums
+    * (sqrt is replay-safe; sample variance uses n−1). Arms are the two
+    * values of boolean `armCol`. Returns one row:
+    * (n_a, n_b, mean_a, mean_b, diff, t_stat); an arm with < 2
+    * observations yields NULL t_stat. */
+  def welchTTest(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
+    def side(flag: Boolean, sfx: String) = df.filter(col(armCol) === flag)
+      .agg(count(lit(1)).as(s"n_$sfx"),
+        sum(col(valueCol).cast("decimal(38,0)")).cast("double").as(s"sv_$sfx"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(38,0)"))
+          .cast("double").as(s"svv_$sfx"))
+    def mean(sfx: String) = col(s"sv_$sfx") / col(s"n_$sfx")
+    def variance(sfx: String) =
+      (col(s"svv_$sfx") - col(s"sv_$sfx") * col(s"sv_$sfx") / col(s"n_$sfx")) /
+        (col(s"n_$sfx") - 1)
+    side(true, "a").crossJoin(side(false, "b"))
+      .select(col("n_a"), col("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        (mean("a") - mean("b")).as("diff"),
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          (mean("a") - mean("b")) /
+            sqrt(variance("a") / col("n_a") + variance("b") / col("n_b")))
+          .as("t_stat"))
+  }
+
   /** SQL text of [[Sketches.keyHash]] (affine + two xorshift-multiply
     * rounds mod 2^31−1) over an integer SQL expression — inlined so HOF
     * lambdas can use it (they cannot reference outer columns twice via

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -119,6 +120,49 @@ object EventStreams {
     * by (cohort, week), cohort sizes broadcast; nothing quadratic. Every
     * number is an integer count into one double division (oracle-exact).
     * Weeks are epoch-day/7 (timezone-free), not date_trunc. */
+  /** Batch multi-touch attribution: every `convType` event distributes
+    * credit over the SAME USER's `touchType` events in the preceding
+    * `windowDays` — the marketing twin of [[attributeClicks]]' streaming
+    * last-touch join, upgraded to the two standard multi-touch models:
+    * linear (1/n per touch) and position-based (U-shaped 40/20/40 —
+    * first and last touch 40% each, middles split 20%).
+    *
+    * Credits are INTEGER MICRO-UNITS with floor division (`1000000 div
+    * n`) — deliberately not doubles: per-touch fractions summed as
+    * floats would be partition-order-dependent, while integer credits
+    * sum exactly under any partitioning (remainder micro-units are
+    * dropped, a documented and deterministic convention). One user
+    * equi-join bounded by the window, one per-conversion count/rank
+    * window, one final lag rollup. Returns per touch-to-conversion lag
+    * day: (lag_days, n_touches, linear_mcredit, position_mcredit). */
+  def multiTouchAttribution(events: DataFrame, convType: String,
+                            touchType: String,
+                            windowDays: Int): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("cts"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        unix_micros(col("ts")).as("tts"))
+    val win = windowDays * 86400000000L
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("cts") && col("tts") >= col("cts") - win)
+    val w = Window.partitionBy("conv_id")
+    val wOrd = Window.partitionBy("conv_id").orderBy(col("tts"), col("touch_id"))
+    j.withColumn("n", count(lit(1)).over(w))
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("lag_days", expr("(cts - tts) div 86400000000"))
+      .withColumn("linear_mc", expr("1000000 div n"))
+      .withColumn("position_mc", expr(
+        """case when n = 1 then 1000000
+          |when pos = 1 or pos = n then 400000
+          |else 200000 div (n - 2) end""".stripMargin))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("linear_mc").cast("long").as("linear_mcredit"),
+        sum("position_mc").cast("long").as("position_mcredit"))
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
       expr("cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)").as("wk"))

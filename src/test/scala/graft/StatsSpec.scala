@@ -187,4 +187,19 @@ class StatsSpec extends SparkSpec {
     assert(out.forall(r => r._2 > 100 && r._2 < 300))
     assert(out.map(_._2).distinct.length > 1)
   }
+
+  test("welchTTest: hand-computed statistic; tiny arm gives NULL t") {
+    // arm A: 1, 2, 3 (mean 2, var 1); arm B: 5, 7 (mean 6, var 2)
+    // t = (2-6)/sqrt(1/3 + 2/2) = -4/sqrt(4/3)
+    val df = Seq((true, 1L), (true, 2L), (true, 3L), (false, 5L), (false, 7L))
+      .toDF("arm", "v")
+    val r = graft.operators.Stats.welchTTest(df, "arm", "v").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 6.0)
+    assert(r.getDouble(4) == -4.0)
+    assert(math.abs(r.getDouble(5) - (-4.0 / math.sqrt(4.0 / 3))) < 1e-12)
+    val tiny = Seq((true, 1L), (false, 5L)).toDF("arm", "v")
+    assert(graft.operators.Stats.welchTTest(tiny, "arm", "v")
+      .collect().head.isNullAt(5))
+  }
 }

@@ -286,4 +286,26 @@ class StreamingSpec extends SparkSpec {
     assert(!b1replay.exists(t => t._1 == t._2), "self-match leaked through replay")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("multiTouchAttribution: hand-computed linear and U-shaped credits") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: purchase at t=100min with 3 prior views (t=10, 20, 30)
+    //   linear: 333333 each; position: 400000, 200000, 400000
+    // user 2: purchase at t=50 with 1 view (t=40): both models 1000000
+    // user 3: view outside the 7-day window -> no credit
+    val rows = Seq(
+      (1L, 101L, ts(100), "purchase"), (1L, 1L, ts(10), "view"),
+      (1L, 2L, ts(20), "view"), (1L, 3L, ts(30), "view"),
+      (2L, 102L, ts(50), "purchase"), (2L, 4L, ts(40), "view"),
+      (3L, 103L, ts(20000), "purchase"), (3L, 5L, ts(1), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.streaming.EventStreams
+      .multiTouchAttribution(rows, "purchase", "view", windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // all lags are 0 days; totals: linear 3*333333 + 1000000,
+    // position 400000+200000+400000 + 1000000
+    assert(out == Map(0L -> ((4L, 1999999L, 2000000L))))
+  }
 }
