@@ -3430,6 +3430,79 @@ object SparkEntry {
           .as("v100"))
         .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
       Stats.welchTTest(perUser, "arm", "v100")
+    }),
+
+    "q227_prf_expansion" -> ((s, dir) => {
+      // pseudo-relevance feedback (RM3-lite): BM25 round 1 → top-2
+      // co-occurring terms from the top-5 docs (by total tf, ties to the
+      // smaller term) join the query → BM25 round 2. The classic
+      // query-understanding step between raw BM25 (q98) and hybrid
+      // fusion (q109); the expansion terms are 2 strings on the driver
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+      val q0 = Seq("spark", "join", "vector", "window")
+      val top5 = Retrieval.bm25(d, "doc_id", "text", q0, 5).select("id")
+      val expTerms = d
+        .join(top5, d("doc_id") === top5("id"), "left_semi")
+        .select(explode(Retrieval.analyze(col("text"))).as("term"))
+        .filter(!col("term").isin(q0: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(2)
+        .select("term").as[String].collect().toSeq
+      Retrieval.bm25(d, "doc_id", "text", q0 ++ expTerms, 10)
+    }),
+
+    "q228_khop" -> ((s, dir) => {
+      // k-hop reachability audit of the q101 kNN graph from seed 0:
+      // frontier sizes for 1..3 directed hops — the expansion-rate
+      // sanity check for graph beam search (q129); three equi-joins on
+      // a k-bounded edge list
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val h0 = e.filter(col("vec_id") === 0).select(col("vec_id").as("node"))
+      def expand(frontier: DataFrame, visited: DataFrame) =
+        frontier.join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+      val h1 = expand(h0, h0)
+      val v1 = h0.union(h1)
+      val h2 = expand(h1, v1)
+      val v2 = v1.union(h2)
+      val h3 = expand(h2, v2)
+      def su(df: DataFrame, hop: Int) = df.agg(lit(hop).as("hop"),
+        count(lit(1)).as("n_nodes"), min("node").as("min_id"),
+        max("node").as("max_id"))
+      su(h1, 1).unionByName(su(h2, 2)).unionByName(su(h3, 3))
+        .orderBy("hop")
+    }),
+
+    "q229_centroid_drift" -> ((s, dir) => {
+      // embedding-space drift monitor: per-label centroid vs the global
+      // centroid, L2 over per-dim means from DECIMAL-exact sums (the
+      // q193 discipline — a plain double sum over dims would be
+      // partition-order-dependent); flags a stratum drifting away from
+      // the corpus in representation space
+      val dims = tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val dsum18 = (c: Column) => sum(c.cast("decimal(38,18)")).cast("double")
+      val per = dims.groupBy("label", "dim")
+        .agg(dsum18(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("mean", col("sx") / col("n"))
+      val glob = dims.groupBy("dim")
+        .agg((dsum18(col("x")) / count(lit(1))).as("gmean"))
+      per.join(glob, "dim")
+        .withColumn("d2",
+          (col("mean") - col("gmean")) * (col("mean") - col("gmean")))
+        .groupBy("label")
+        .agg(max("n").as("n_vectors"),
+          round(sqrt(dsum18(col("d2"))), 6).as("drift"))
+        .orderBy("label")
     })
   )
 
@@ -4296,6 +4369,99 @@ object SparkEntry {
           |  CAST(SUM(linear_mc) AS BIGINT) AS linear_mcredit,
           |  CAST(SUM(position_mc) AS BIGINT) AS position_mcredit
           |FROM c GROUP BY lag_days ORDER BY lag_days""".stripMargin,
+
+      // q98's scoring CTEs run twice: round-1 top-5 picks the expansion
+      // terms (total tf desc, term), round 2 scores the joined term set
+      "q227_prf_expansion" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tf1 AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  GROUP BY id, dl, term),
+          |dfq1 AS (SELECT term, COUNT(*) AS term_df FROM tf1 GROUP BY term),
+          |sc1 AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM tf1 JOIN dfq1 USING (term), stats),
+          |top5 AS (SELECT id,
+          |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6)
+          |      AS score
+          |  FROM sc1 GROUP BY id ORDER BY score DESC, id LIMIT 5),
+          |expt AS (SELECT term FROM (
+          |    SELECT term, COUNT(*) AS cnt FROM (
+          |      SELECT unnest(t) AS term FROM dl JOIN top5 USING (id))
+          |    WHERE term NOT IN ('spark', 'join', 'vector', 'window')
+          |    GROUP BY term)
+          |  ORDER BY cnt DESC, term LIMIT 2),
+          |t2 AS (SELECT unnest(['spark', 'join', 'vector', 'window']) AS term
+          |  UNION ALL SELECT term FROM expt),
+          |tf2 AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl) u
+          |  JOIN t2 USING (term)
+          |  GROUP BY id, dl, term),
+          |dfq2 AS (SELECT term, COUNT(*) AS term_df FROM tf2 GROUP BY term),
+          |sc2 AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM tf2 JOIN dfq2 USING (term), stats)
+          |SELECT id,
+          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6)
+          |    AS score,
+          |  COUNT(*) AS n_matched
+          |FROM sc2 GROUP BY id
+          |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+      // the q101 edge CTEs; three frontier expansions with NOT-IN
+      // visited sets
+      "q228_khop" ->
+        s"""$knnEdgesPrefixSql,
+           |h1 AS (SELECT DISTINCT nbr_id AS node FROM g0 WHERE id = 0),
+           |v1 AS (SELECT CAST(0 AS BIGINT) AS node UNION SELECT node FROM h1),
+           |h2 AS (SELECT DISTINCT g0.nbr_id AS node
+           |  FROM h1 JOIN g0 ON h1.node = g0.id
+           |  WHERE g0.nbr_id NOT IN (SELECT node FROM v1)),
+           |v2 AS (SELECT node FROM v1 UNION SELECT node FROM h2),
+           |h3 AS (SELECT DISTINCT g0.nbr_id AS node
+           |  FROM h2 JOIN g0 ON h2.node = g0.id
+           |  WHERE g0.nbr_id NOT IN (SELECT node FROM v2))
+           |SELECT CAST(1 AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           |  min(node) AS min_id, max(node) AS max_id FROM h1
+           |UNION ALL
+           |SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT), min(node),
+           |  max(node) FROM h2
+           |UNION ALL
+           |SELECT CAST(3 AS INT), CAST(count(*) AS BIGINT), min(node),
+           |  max(node) FROM h3
+           |ORDER BY hop""".stripMargin,
+
+      // per-dim decimal-exact means (q193 discipline), diff², decimal
+      // re-accumulation across dims, sqrt+round once
+      "q229_centroid_drift" ->
+        """WITH dims AS (SELECT label, CAST(i AS INT) - 1 AS dim,
+          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          |  FROM embeddings, unnest(range(1, 65)) AS u(i)),
+          |per AS (SELECT label, dim,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM dims GROUP BY 1, 2),
+          |perm AS (SELECT label, dim, sx / n AS mean, n FROM per),
+          |gl AS (SELECT dim,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |      AS gmean
+          |  FROM dims GROUP BY dim),
+          |d2 AS (SELECT label, n, (mean - gmean) * (mean - gmean) AS d2
+          |  FROM perm JOIN gl USING (dim))
+          |SELECT label, max(n) AS n_vectors,
+          |  round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)), 6)
+          |    AS drift
+          |FROM d2 GROUP BY label ORDER BY label""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
