@@ -3503,6 +3503,45 @@ object SparkEntry {
         .agg(max("n").as("n_vectors"),
           round(sqrt(dsum18(col("d2"))), 6).as("drift"))
         .orderBy("label")
+    }),
+
+    "q230_scd2_merge" -> ((s, dir) => {
+      // SCD2 incremental merge: intervals persisted at the Jan-20 cutoff
+      // + the later event batch, merged WITHOUT rewriting closed history
+      // — the oracle REBUILDS from all events, so the hash match is the
+      // merge ≡ rebuild proof (q185's discipline on the dimension table)
+      val ev = events(s, dir).filter(col("user_id") < 100)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val state = ev.filter(col("ts") < cut)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          lead(col("ts"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+      ChangeDetection.scd2Merge(state, ev.filter(col("ts") >= cut))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    "q231_rank_stability" -> ((s, dir) => {
+      // ranker promote-gate: overlap@10 + exact Kendall tau between the
+      // plain BM25 top-10 and its PRF-expanded rerun (q227) — "how much
+      // did the expansion actually move the ordering?"
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+      val q0 = Seq("spark", "join", "vector", "window")
+      def ranked(df: org.apache.spark.sql.DataFrame) = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      val a = ranked(Retrieval.bm25(d, "doc_id", "text", q0, 10))
+      val top5 = Retrieval.bm25(d, "doc_id", "text", q0, 5).select("id")
+      val expTerms = d
+        .join(top5, d("doc_id") === top5("id"), "left_semi")
+        .select(explode(Retrieval.analyze(col("text"))).as("term"))
+        .filter(!col("term").isin(q0: _*))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(2)
+        .select("term").as[String].collect().toSeq
+      val b = ranked(Retrieval.bm25(d, "doc_id", "text", q0 ++ expTerms, 10))
+      Evaluation.rankAgreement(a, b, "id", "rank", k = 10)
     })
   )
 
@@ -4462,6 +4501,83 @@ object SparkEntry {
           |  round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(38,18))) AS DOUBLE)), 6)
           |    AS drift
           |FROM d2 GROUP BY label ORDER BY label""".stripMargin,
+
+      // REBUILD from all events — matching the Spark side's incremental
+      // merge path proves merge(state, delta) ≡ rebuild
+      "q230_scd2_merge" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events WHERE user_id < 100)
+          |SELECT user_id, event_type, ts AS valid_from,
+          |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |    AS valid_to,
+          |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |    IS NULL AS is_current
+          |FROM e ORDER BY user_id, valid_from""".stripMargin,
+
+      // the q227 CTE chain ranked twice; concordant/discordant pair
+      // counts over the common ids, tau = (2C − P)/P
+      "q231_rank_stability" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tf1 AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  GROUP BY id, dl, term),
+          |dfq1 AS (SELECT term, COUNT(*) AS term_df FROM tf1 GROUP BY term),
+          |sc1 AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM tf1 JOIN dfq1 USING (term), stats),
+          |s1 AS (SELECT id,
+          |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6)
+          |      AS score
+          |  FROM sc1 GROUP BY id),
+          |ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id)
+          |    AS rka
+          |  FROM (SELECT id, score FROM s1 ORDER BY score DESC, id LIMIT 10)),
+          |top5 AS (SELECT id FROM s1 ORDER BY score DESC, id LIMIT 5),
+          |expt AS (SELECT term FROM (
+          |    SELECT term, COUNT(*) AS cnt FROM (
+          |      SELECT unnest(t) AS term FROM dl JOIN top5 USING (id))
+          |    WHERE term NOT IN ('spark', 'join', 'vector', 'window')
+          |    GROUP BY term)
+          |  ORDER BY cnt DESC, term LIMIT 2),
+          |t2 AS (SELECT unnest(['spark', 'join', 'vector', 'window']) AS term
+          |  UNION ALL SELECT term FROM expt),
+          |tf2 AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl) u
+          |  JOIN t2 USING (term)
+          |  GROUP BY id, dl, term),
+          |dfq2 AS (SELECT term, COUNT(*) AS term_df FROM tf2 GROUP BY term),
+          |sc2 AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM tf2 JOIN dfq2 USING (term), stats),
+          |rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id)
+          |    AS rkb
+          |  FROM (SELECT id,
+          |      round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6)
+          |        AS score
+          |    FROM sc2 GROUP BY id ORDER BY score DESC, id LIMIT 10)),
+          |cm AS (SELECT ra.id, rka, rkb FROM ra JOIN rb USING (id)),
+          |pr AS (SELECT CASE WHEN (a.rka - b.rka) * (a.rkb - b.rkb) > 0
+          |      THEN 1 ELSE 0 END AS conc
+          |  FROM cm a JOIN cm b ON a.id < b.id),
+          |pa AS (SELECT CAST(count(*) AS BIGINT) AS np,
+          |    CAST(coalesce(SUM(conc), 0) AS BIGINT) AS c FROM pr),
+          |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM cm)
+          |SELECT n_common,
+          |  CAST(n_common AS DOUBLE) / 10 AS overlap_at_k,
+          |  c AS n_concordant, np - c AS n_discordant,
+          |  CASE WHEN np > 0
+          |    THEN CAST(2 * c - np AS DOUBLE) / np END AS tau
+          |FROM nc, pa""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

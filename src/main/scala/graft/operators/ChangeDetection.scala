@@ -41,4 +41,42 @@ object ChangeDetection {
                 coalesce(col("cur_mtime") =!= col("proc_mtime"), lit(false)), "modified")
           .otherwise("unchanged").as("status"))
   }
+
+  /** SCD Type-2 INCREMENTAL MERGE: apply a batch of later change events
+    * to a persisted interval table without rebuilding history — the
+    * dimension-maintenance twin of the q185 aggregate-maintenance proof
+    * (merge(state, delta) ≡ rebuild(all), and the oracle gate computes
+    * the rebuild). `state` is a (key, attr, valid_from, valid_to,
+    * is_current) interval table; `deltaEvents` are raw (key, event_id,
+    * ts, attr) rows ALL later than every state row (the ingest-cutoff
+    * contract).
+    *
+    * Three pieces, none touching closed history: closed state rows pass
+    * through untouched (at 100 TB that is the whole point — history is
+    * immutable and never rewritten), each key's open interval closes at
+    * the key's first delta timestamp (one tiny per-key aggregate,
+    * broadcast-joined onto the current rows only), and the delta builds
+    * its own intervals with the same lead window. */
+  def scd2Merge(state: DataFrame, deltaEvents: DataFrame,
+                keyCol: String = "user_id", attrCol: String = "event_type",
+                tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val deltaIv = deltaEvents
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).cast("timestamp_ntz").as("valid_from"),
+        lead(col(tsCol), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+    val firstDelta = deltaEvents.groupBy(col(keyCol))
+      .agg(min(col(tsCol).cast("timestamp_ntz")).as("_fd"))
+    val cols = Seq(keyCol, attrCol, "valid_from", "valid_to", "is_current")
+    val closedPass = state.filter(!col("is_current"))
+      .select(cols.map(col): _*)
+    val currentFixed = state.filter(col("is_current"))
+      .join(broadcast(firstDelta), Seq(keyCol), "left")
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        coalesce(col("_fd"), col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+    closedPass.unionByName(currentFixed).unionByName(deltaIv.select(cols.map(col): _*))
+  }
 }

@@ -308,4 +308,35 @@ object Evaluation {
       .orderBy(col("chi2").desc, col("term"))
       .limit(topK)
   }
+
+  /** Ranking-stability audit between two top-k lists (e.g. a scorer
+    * change, BM25 vs its PRF-expanded rerun): overlap@k plus the EXACT
+    * Kendall tau on the common documents — concordant/discordant pair
+    * counts over the two rank columns, all integers until one final
+    * division (ranks within a list are distinct, so no tie terms). The
+    * promote-gate question for any ranker change: "how much did the
+    * ordering actually move?". Lists are top-k — driver-scale frames —
+    * so every join here is trivially broadcast. Returns one row:
+    * (n_common, overlap_at_k, n_concordant, n_discordant, tau);
+    * tau is NULL when fewer than 2 common docs. */
+  def rankAgreement(a: DataFrame, b: DataFrame, idCol: String,
+                    rankCol: String, k: Int): DataFrame = {
+    val cm = a.select(col(idCol).as("_id"), col(rankCol).as("_ra"))
+      .join(b.select(col(idCol).as("_id"), col(rankCol).as("_rb")), "_id")
+    val pairs = cm.toDF("_id", "_ra", "_rb")
+      .join(cm.toDF("_id2", "_ra2", "_rb2"), col("_id") < col("_id2"))
+      .select(when((col("_ra") - col("_ra2")) * (col("_rb") - col("_rb2")) > 0,
+        1L).otherwise(0L).as("_conc"))
+    val pa = pairs.agg(count(lit(1)).as("_np"),
+      sum("_conc").cast("long").as("n_concordant"))
+    cm.agg(count(lit(1)).as("n_common")).crossJoin(pa)
+      .select(col("n_common"),
+        (col("n_common").cast("double") / k).as("overlap_at_k"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        (col("_np") - coalesce(col("n_concordant"), lit(0L)))
+          .as("n_discordant"),
+        when(col("_np") > 0,
+          (lit(2L) * coalesce(col("n_concordant"), lit(0L)) - col("_np"))
+            .cast("double") / col("_np")).as("tau"))
+  }
 }

@@ -207,4 +207,24 @@ class NgramLmAndEvalSpec extends SparkSpec {
       assert(auc == direct.getDouble(3), s"auc $s")
     }
   }
+
+  test("rankAgreement: identical lists tau=1, reversed tau=-1, partial overlap") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val same = graft.operators.Evaluation.rankAgreement(a, a, "id", "rank", 4)
+      .collect().head
+    assert(same.getLong(0) == 4 && same.getDouble(1) == 1.0)
+    assert(same.getDouble(4) == 1.0)
+    val rev = Seq((1L, 4), (2L, 3), (3L, 2), (4L, 1)).toDF("id", "rank")
+    assert(graft.operators.Evaluation.rankAgreement(a, rev, "id", "rank", 4)
+      .collect().head.getDouble(4) == -1.0)
+    // b shares ids 2,3 with a; ranks agree in order -> tau = 1, overlap 0.5
+    val b = Seq((2L, 1), (3L, 2), (9L, 3), (8L, 4)).toDF("id", "rank")
+    val p = graft.operators.Evaluation.rankAgreement(a, b, "id", "rank", 4)
+      .collect().head
+    assert(p.getLong(0) == 2 && p.getDouble(1) == 0.5 && p.getDouble(4) == 1.0)
+    // single common doc: no pairs -> NULL tau
+    val c = Seq((1L, 1), (7L, 2)).toDF("id", "rank")
+    assert(graft.operators.Evaluation.rankAgreement(a, c, "id", "rank", 4)
+      .collect().head.isNullAt(4))
+  }
 }

@@ -143,4 +143,31 @@ class StoreAndRefreshSpec extends SparkSpec {
       "new.txt" -> "new", "mod.txt" -> "modified", "same.txt" -> "unchanged",
       "legacy.txt" -> "unchanged", "gone.txt" -> "deleted"))
   }
+
+  test("scd2Merge equals a full rebuild; closed history passes untouched") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val all = Seq(
+      (1L, 1L, ts(10), "a"), (1L, 2L, ts(20), "b"), (1L, 3L, ts(40), "c"),
+      (2L, 4L, ts(15), "x"),                      // user 2: no delta rows
+      (3L, 5L, ts(35), "new"))                    // user 3: delta-only
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val cut = ts(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    def build(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        lead(col("ts"), 1).over(w).cast("timestamp_ntz").as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+    val merged = graft.operators.ChangeDetection
+      .scd2Merge(build(all.filter(col("ts") < cut)),
+        all.filter(col("ts") >= cut))
+      .orderBy("user_id", "valid_from").collect().toSeq
+    val rebuilt = build(all).orderBy("user_id", "valid_from").collect().toSeq
+    assert(merged == rebuilt)
+    // the formerly-open interval of user 1 closed at the first delta ts
+    val u1b = merged.find(r => r.getLong(0) == 1 && r.getString(1) == "b").get
+    assert(!u1b.isNullAt(3) && !u1b.getBoolean(4)) // timestamp_ntz: LocalDateTime
+  }
 }
