@@ -3542,6 +3542,21 @@ object SparkEntry {
         .select("term").as[String].collect().toSeq
       val b = ranked(Retrieval.bm25(d, "doc_id", "text", q0 ++ expTerms, 10))
       Evaluation.rankAgreement(a, b, "id", "rank", k = 10)
+    }),
+
+    "q232_topk_agg" -> ((s, dir) => {
+      // per-source top-3 quality docs via the native bounded-heap
+      // aggregate (graft_top_k → ObjectHashAggregate): map-side partial
+      // heaps mean the shuffle carries ≤3 rows per (task, source) where
+      // the q08-style window form shuffles and sorts EVERY row. DESC is
+      // encoded by negation; doc_id makes the tuple total
+      val d = tbl(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+      graft.plans.TopKAggregate.topKRows(d, Seq("source"),
+          Seq((-col("quality")).as("nq"), col("doc_id").as("doc_id")),
+          Nil, k = 3)
+        .select(col("source"), col("doc_id"), (-col("nq")).as("quality"))
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -4578,6 +4593,18 @@ object SparkEntry {
           |  CASE WHEN np > 0
           |    THEN CAST(2 * c - np AS DOUBLE) / np END AS tau
           |FROM nc, pa""".stripMargin,
+
+      // row_number window replay of the bounded-heap aggregate —
+      // identical quality replay as q25, DESC + doc_id tie-break
+      "q232_topk_agg" ->
+        s"""WITH d AS (SELECT source, doc_id, $qualitySql AS quality
+           |  FROM documents),
+           |r AS (SELECT source, doc_id, quality,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id) AS rn
+           |  FROM d)
+           |SELECT source, doc_id, quality FROM r WHERE rn <= 3
+           |ORDER BY source, doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

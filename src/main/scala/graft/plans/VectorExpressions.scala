@@ -166,7 +166,8 @@ object VectorExpressions {
   * `VectorExpressions.register` / `HashExpressions.register`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    (VectorExpressions.builders ++ HashExpressions.builders).foreach {
+    (VectorExpressions.builders ++ HashExpressions.builders ++
+        TopKAggregate.builders).foreach {
       case (name, builder) =>
         ext.injectFunction((
           FunctionIdentifier(name),
