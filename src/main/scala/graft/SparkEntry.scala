@@ -3557,6 +3557,53 @@ object SparkEntry {
           Nil, k = 3)
         .select(col("source"), col("doc_id"), (-col("nq")).as("quality"))
         .orderBy("source", "doc_id")
+    }),
+
+    "q233_phrase_match" -> ((s, dir) =>
+      // exact consecutive-token phrase scan: per-row HOF over the token
+      // array, zero shuffle — grep-shaped, the right plan for a phrase
+      // query without a prebuilt positional index
+      Retrieval.phraseMatch(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join"))
+        .orderBy("id")),
+
+    "q234_min_span" -> ((s, dir) =>
+      // minimal covering span (proximity): smallest token window holding
+      // all three query terms — hits filtered map-side, ONE shuffle by
+      // doc id, |terms| running-max window columns
+      Retrieval.minSpanProximity(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"))
+        .orderBy("id")),
+
+    "q235_snippet" -> ((s, dir) =>
+      // keyword-in-context: the 8-token window with the most distinct
+      // query terms (ties → earliest), with its text — bounded self-join
+      // of query-term hits only, never token × token
+      Retrieval.bestSnippet(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"), width = 8)
+        .orderBy("id")),
+
+    "q236_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry source strengths from head-to-head quality duels:
+      // consecutive same-lang docs duel, higher quality wins (tie → the
+      // earlier doc). One corpus window builds the duels; the 3 MM
+      // rounds run on the bounded source × source match matrix
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          TF.qualityScore(col("text")).as("q"))
+      val duels = d
+        .withColumn("n_doc", lead("doc_id", 1).over(w))
+        .withColumn("n_src", lead("source", 1).over(w))
+        .withColumn("n_q", lead("q", 1).over(w))
+        .filter(col("n_doc").isNotNull && col("source") =!= col("n_src"))
+        .select(
+          when(col("q") >= col("n_q"), col("source")).otherwise(col("n_src"))
+            .as("win"),
+          when(col("q") >= col("n_q"), col("n_src")).otherwise(col("source"))
+            .as("lose"))
+      Evaluation.bradleyTerry(duels, "win", "lose", iters = 3)
+        .orderBy("item")
     })
   )
 
@@ -4605,6 +4652,120 @@ object SparkEntry {
            |  FROM d)
            |SELECT source, doc_id, quality FROM r WHERE rn <= 3
            |ORDER BY source, doc_id""".stripMargin,
+
+      // 1-based window starts replayed with a range unnest; j+1 never
+      // exceeds len(t) because range's stop is exclusive
+      "q233_phrase_match" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |st AS (SELECT id, j FROM toks, unnest(range(1, len(t))) AS r(j)
+          |  WHERE t[j] = 'hash' AND t[j+1] = 'join')
+          |SELECT id, CAST(count(*) AS INT) AS n_occurrences,
+          |  CAST(min(j) AS INT) AS first_pos
+          |FROM st GROUP BY id ORDER BY id""".stripMargin,
+
+      // identical running-max last-seen windows; covers require all
+      // three terms seen at or before the current hit
+      "q234_min_span" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |hits AS (SELECT id, j AS pos, t[j] AS term
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS r(j)
+          |  WHERE t[j] IN ('spark', 'vector', 'merge')),
+          |wl AS (SELECT id, pos,
+          |    max(CASE WHEN term = 'spark' THEN pos END)
+          |      OVER (PARTITION BY id ORDER BY pos) AS l0,
+          |    max(CASE WHEN term = 'vector' THEN pos END)
+          |      OVER (PARTITION BY id ORDER BY pos) AS l1,
+          |    max(CASE WHEN term = 'merge' THEN pos END)
+          |      OVER (PARTITION BY id ORDER BY pos) AS l2
+          |  FROM hits)
+          |SELECT id, CAST(min(pos - least(l0, l1, l2) + 1) AS INT)
+          |    AS min_span,
+          |  count(*) AS n_covers
+          |FROM wl
+          |WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+          |GROUP BY id ORDER BY id""".stripMargin,
+
+      // bounded hit × hit self-join per doc; DuckDB list slice is
+      // 1-based inclusive → [start : start+7] is the 8-token window
+      "q235_snippet" ->
+        """WITH toks AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |hits AS (SELECT id, j AS pos, t[j] AS term
+          |  FROM toks, unnest(range(1, len(t) + 1)) AS r(j)
+          |  WHERE t[j] IN ('spark', 'vector', 'merge')),
+          |win AS (SELECT a.id, a.pos AS start,
+          |    count(DISTINCT b.term) AS n_terms
+          |  FROM hits a JOIN hits b ON a.id = b.id
+          |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+          |  GROUP BY a.id, a.pos),
+          |best AS (SELECT id, start, n_terms, row_number()
+          |    OVER (PARTITION BY id ORDER BY n_terms DESC, start) AS rn
+          |  FROM win)
+          |SELECT b.id, CAST(b.start AS INT) AS start, b.n_terms,
+          |  array_to_string(t[b.start : b.start + 7], ' ') AS snippet
+          |FROM best b JOIN toks USING (id) WHERE rn = 1
+          |ORDER BY id""".stripMargin,
+
+      // the 3 MM rounds unrolled as CTE pairs (dN = decimal-summed
+      // opponent denominators, sN = wins/dN); identical division trees
+      "q236_bradley_terry" ->
+        s"""WITH d AS (SELECT doc_id, lang, source, $qualitySql AS q
+           |  FROM documents),
+           |du AS (SELECT source, q,
+           |    lead(doc_id) OVER w AS n_doc,
+           |    lead(source) OVER w AS n_src,
+           |    lead(q) OVER w AS n_q
+           |  FROM d WINDOW w AS (PARTITION BY lang ORDER BY doc_id)),
+           |pw AS (SELECT
+           |    CASE WHEN q >= n_q THEN source ELSE n_src END AS win,
+           |    CASE WHEN q >= n_q THEN n_src ELSE source END AS lose
+           |  FROM du WHERE n_doc IS NOT NULL AND source <> n_src),
+           |wn AS (SELECT win AS item, CAST(count(*) AS BIGINT) AS wins
+           |  FROM pw GROUP BY 1),
+           |mm AS (SELECT i, j, count(*) AS m FROM (
+           |    SELECT win AS i, lose AS j FROM pw
+           |    UNION ALL SELECT lose AS i, win AS j FROM pw)
+           |  GROUP BY i, j),
+           |it AS (SELECT DISTINCT i AS item FROM mm),
+           |w0 AS (SELECT item, CAST(coalesce(wins, 0) AS BIGINT) AS wins
+           |  FROM it LEFT JOIN wn USING (item)),
+           |s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM it),
+           |d1 AS (SELECT mm.i, CAST(SUM(CAST(
+           |      CAST(m AS DOUBLE) / (si.s + sj.s) AS DECIMAL(38,18)))
+           |    AS DOUBLE) AS dd
+           |  FROM mm JOIN s0 si ON mm.i = si.item
+           |    JOIN s0 sj ON mm.j = sj.item GROUP BY mm.i),
+           |s1 AS (SELECT w0.item, CAST(wins AS DOUBLE) / dd AS s
+           |  FROM w0 JOIN d1 ON w0.item = d1.i),
+           |d2 AS (SELECT mm.i, CAST(SUM(CAST(
+           |      CAST(m AS DOUBLE) / (si.s + sj.s) AS DECIMAL(38,18)))
+           |    AS DOUBLE) AS dd
+           |  FROM mm JOIN s1 si ON mm.i = si.item
+           |    JOIN s1 sj ON mm.j = sj.item GROUP BY mm.i),
+           |s2 AS (SELECT w0.item, CAST(wins AS DOUBLE) / dd AS s
+           |  FROM w0 JOIN d2 ON w0.item = d2.i),
+           |d3 AS (SELECT mm.i, CAST(SUM(CAST(
+           |      CAST(m AS DOUBLE) / (si.s + sj.s) AS DECIMAL(38,18)))
+           |    AS DOUBLE) AS dd
+           |  FROM mm JOIN s2 si ON mm.i = si.item
+           |    JOIN s2 sj ON mm.j = sj.item GROUP BY mm.i),
+           |s3 AS (SELECT w0.item, CAST(wins AS DOUBLE) / dd AS s
+           |  FROM w0 JOIN d3 ON w0.item = d3.i),
+           |tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+           |    AS tot FROM s3),
+           |gm AS (SELECT i AS item, CAST(SUM(m) AS BIGINT) AS n_duels
+           |  FROM mm GROUP BY 1)
+           |SELECT item, n_duels, wins, round(s / tot, 6) AS strength
+           |FROM w0 JOIN s3 USING (item) JOIN gm USING (item), tot
+           |ORDER BY item""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

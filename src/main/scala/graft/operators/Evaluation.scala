@@ -339,4 +339,51 @@ object Evaluation {
           (lit(2L) * coalesce(col("n_concordant"), lit(0L)) - col("_np"))
             .cast("double") / col("_np")).as("tau"))
   }
+
+  /** Bradley–Terry strength fit from pairwise duels — the standard
+    * aggregate readout of preference data (the reward-model baseline for
+    * RLHF-style corpora; Hunter 2004's MM iteration). `pairs` has one row
+    * per duel (winner item, loser item); returns per item its play/win
+    * counts and the strength after `iters` fixed MM rounds
+    * s_i ← W_i / Σ_j m_ij/(s_i+s_j), started from s=1 and normalized to
+    * sum 1 at the end.
+    *
+    * Scale + replay shape: the duel aggregation is the only pass over the
+    * data — the iteration runs on the ITEM × ITEM match matrix (items are
+    * bounded: sources, models, arms — never documents). Each round's
+    * opponent sum accumulates in DECIMAL(38,18) (order-independent), and
+    * every division is a single double op on identical operand trees, so
+    * the DuckDB oracle unrolls the same `iters` CTEs bit-for-bit. A
+    * never-winning item fixes at strength 0 (the MM fixpoint). */
+  def bradleyTerry(pairs: DataFrame, winCol: String, loseCol: String,
+                   iters: Int = 3): DataFrame = {
+    val wins = pairs.groupBy(col(winCol).as("item"))
+      .agg(count(lit(1)).as("wins"))
+    // symmetric match counts m(i,j): duels between i and j in either order
+    val d1 = pairs.select(col(winCol).as("i"), col(loseCol).as("j"))
+    val m = d1.union(d1.select(col("j"), col("i")))
+      .groupBy("i", "j").agg(count(lit(1)).as("m"))
+    val items = m.select(col("i").as("item")).distinct()
+    val w = items.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+    val dec = (c: Column) => sum(c.cast("decimal(38,18)")).cast("double")
+    var s = w.select(col("item"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val denom = m
+        .join(s.select(col("item").as("i"), col("s").as("si")), "i")
+        .join(s.select(col("item").as("j"), col("s").as("sj")), "j")
+        .groupBy("i")
+        .agg(dec(col("m").cast("double") / (col("si") + col("sj"))).as("d"))
+      s = w.join(denom.select(col("i").as("item"), col("d")), "item")
+        .select(col("item"),
+          (col("wins").cast("double") / col("d")).as("s"))
+    }
+    val total = s.agg(dec(col("s")).as("tot"))
+    val games = m.groupBy("i").agg(sum("m").as("n_duels"))
+    w.join(s, "item")
+      .join(games.select(col("i").as("item"), col("n_duels")), "item")
+      .crossJoin(broadcast(total))
+      .select(col("item"), col("n_duels"), col("wins"),
+        round(col("s") / col("tot"), 6).as("strength"))
+  }
 }

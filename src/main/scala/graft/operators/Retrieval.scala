@@ -226,4 +226,93 @@ object Retrieval {
       .filter(col("cosine") >= tau)
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
   }
+
+  // ---- Positional retrieval: phrase, proximity, snippets ----------------
+
+  /** Exact phrase match: documents containing `phrase` as CONSECUTIVE
+    * tokens, with occurrence count and the 1-based position of the first
+    * occurrence. Evaluated per-row over the token array with codegen'd
+    * higher-order functions — a phrase scan is a map-side filter, ZERO
+    * shuffle (grep-shaped, perfect at 100 TB). The join-based alternative
+    * (n-way self-join of a positional index on pos−i) only wins when a
+    * prebuilt index can prune the corpus scan; over raw text this form
+    * strictly dominates. */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch: empty phrase")
+    val n = phrase.length
+    val startsFor = (t: Column) =>
+      when(size(t) >= n,
+        filter(sequence(lit(1), size(t) - (n - 1)),
+          j => phrase.zipWithIndex.map { case (wd, i) =>
+            element_at(t, (j + lit(i)).cast("int")) === lit(wd)
+          }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).cast("long").as("id"),
+        startsFor(analyze(col(textCol))).as("_starts"))
+      .filter(size(col("_starts")) > 0)
+      .select(col("id"), size(col("_starts")).as("n_occurrences"),
+        col("_starts")(0).as("first_pos"))
+  }
+
+  /** Minimal covering span (Clarke et al. 2000 proximity): for each doc
+    * containing ALL `terms`, the length of the smallest token window that
+    * contains every term at least once. One shuffle keyed by doc id: the
+    * token explode is filtered to query terms map-side, then |terms|
+    * running-max window columns over (id ORDER BY pos) give, at each hit,
+    * the last-seen position of every term — span at that hit is
+    * pos − min(last seen) + 1, and the doc's min-span is the min over its
+    * hits (the standard one-pass sliding-cover argument). Positions are
+    * 1-based. */
+  def minSpanProximity(df: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "minSpanProximity: no terms")
+    val hits = df.select(col(idCol).cast("long").as("id"),
+        posexplode(analyze(col(textCol))).as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("term"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val withLast = hits.select(
+      col("id") +: col("pos") +: terms.zipWithIndex.map { case (tm, i) =>
+        max(when(col("term") === tm, col("pos"))).over(w).as(s"_l$i")
+      }: _*)
+    withLast
+      .filter(terms.indices.map(i => col(s"_l$i").isNotNull).reduce(_ && _))
+      .withColumn("span",
+        col("pos") - least(terms.indices.map(i => col(s"_l$i")): _*) + 1)
+      .groupBy("id")
+      .agg(min("span").as("min_span"), count(lit(1)).as("n_covers"))
+  }
+
+  /** Best keyword-in-context snippet: the `width`-token window with the
+    * most DISTINCT query terms (ties → earliest start), plus the window
+    * text. Query-term hits per doc are few, so the windowed count is a
+    * bounded self-join of hits on (id, pos ≤ pos₂ < pos+width) — never a
+    * doc × doc or token × token expansion; the final text slice joins the
+    * winning start back to the token array. */
+  def bestSnippet(df: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], width: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bestSnippet: no terms")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      analyze(col(textCol)).as("_t"))
+    val hits = toks.select(col("id"),
+        posexplode(col("_t")).as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("term"))
+    val a = hits.select(col("id"), col("pos").as("start"))
+    val b = hits.select(col("id"), col("pos").as("p2"), col("term"))
+    val windows = a.join(b, Seq("id"))
+      .filter(col("p2") >= col("start") && col("p2") < col("start") + width)
+      .groupBy("id", "start")
+      .agg(countDistinct("term").as("n_terms"))
+    val best = windows.groupBy("id").agg(
+      min_by(struct(col("start"), col("n_terms")),
+        struct((-col("n_terms")).as("nt"), col("start"))).as("_b"))
+      .select(col("id"), col("_b.start").as("start"),
+        col("_b.n_terms").as("n_terms"))
+    best.join(toks, "id")
+      .select(col("id"), col("start"), col("n_terms"),
+        array_join(slice(col("_t"), col("start"), lit(width)), " ")
+          .as("snippet"))
+  }
 }

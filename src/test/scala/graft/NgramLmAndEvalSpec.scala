@@ -227,4 +227,24 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(graft.operators.Evaluation.rankAgreement(a, c, "id", "rank", 4)
       .collect().head.isNullAt(4))
   }
+
+  test("bradleyTerry: 2:1 duel record converges to 2/3 vs 1/3") {
+    // A beats B twice, B beats A once → m_AB = 3, W = (2, 1). The MM map
+    // fixes at s_A/s_B = 2 after one round; normalized 2/3 and 1/3.
+    val pairs = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("win", "lose")
+    val out = graft.operators.Evaluation.bradleyTerry(pairs, "win", "lose", 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((3L, 2L, 0.666667)))
+    assert(out("B") == ((3L, 1L, 0.333333)))
+  }
+
+  test("bradleyTerry: a never-winning item fixes at strength 0") {
+    val pairs = Seq(("A", "B"), ("A", "C"), ("C", "B")).toDF("win", "lose")
+    val out = graft.operators.Evaluation.bradleyTerry(pairs, "win", "lose", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("B") == 0.0)
+    assert(out("A") > out("C") && out("C") > 0.0)
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
 }

@@ -194,4 +194,44 @@ class RetrievalSpec extends SparkSpec {
       tau = 0.0, minDf = 2, maxDf = 1)
     assert(pruned.count() === 0L)
   }
+
+  test("phraseMatch: consecutive-only, counts overlaps, 1-based positions") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 1 and 4
+      (2L, "b a c"),       // reversed — no match
+      (3L, "a x b"),       // gap — no match
+      (4L, "a"),           // shorter than the phrase
+      (5L, "A B")          // analyzer lowercases
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ((2, 1)), 5L -> ((1, 1))))
+  }
+
+  test("minSpanProximity: hand-checked spans; docs missing a term drop") {
+    val docs = Seq(
+      (1L, "x p q x r"),     // p..r span 4 (pos 2..5); q..r also in it
+      (2L, "p x x q r p"),   // tightest cover: q(4) r(5) p(6) → 3
+      (3L, "p q p q")        // r never appears → excluded
+    ).toDF("doc_id", "text")
+    val out = Retrieval.minSpanProximity(docs, "doc_id", "text",
+        Seq("p", "q", "r")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 4, 2L -> 3))
+  }
+
+  test("bestSnippet: densest window wins, ties go to the earliest start") {
+    val docs = Seq(
+      // q(4) r(5) p(6) pack 3 distinct terms; the window at p(1) holds 1
+      (1L, "p x x q r p x"),
+      // p(1) q(2) both in the window from 1 (2 terms); r is far right
+      (2L, "p q x x x x x x x x r")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bestSnippet(docs, "doc_id", "text",
+        Seq("p", "q", "r"), width = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((4, 3L, "q r p")))
+    assert(out(2L) == ((1, 2L, "p q x")))
+  }
 }
