@@ -3604,6 +3604,46 @@ object SparkEntry {
             .as("lose"))
       Evaluation.bradleyTerry(duels, "win", "lose", iters = 3)
         .orderBy("item")
+    }),
+
+    "q237_audio_vad" -> ((s, dir) => {
+      // energy-threshold voice-activity segmentation over REAL WAV clips
+      // (the q127 corpus): 32-sample frames, exact BIGINT energies,
+      // frames ≥ 20M merged gaps-and-islands into speech segments
+      import s.implicits._
+      val wavs = tbl(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
+        .map { id =>
+          val n = (128 + id % 64).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 4096) - 2048).toShort)
+          (id, graft.sources.BinaryMedia.encodeWavPcm16(samples, 8000))
+        }.toDF("doc_id", "wav")
+      Multimodal.vadSegments(wavs, "doc_id", "wav", frameLen = 32,
+          energyThreshold = 20000000L)
+        .orderBy("id", "start_frame")
+    }),
+
+    "q238_benford" -> ((s, dir) =>
+      // Benford first-digit audit of order totals — the synthetic-data /
+      // fabricated-numbers smell test; digits from the exact cents
+      // rendering, expectations as fixed 6 dp literals
+      Profiling.benfordAudit(tbl(s, dir, "orders"),
+          round(col("o_totalprice") * 100).cast("long"))
+        .orderBy("digit")),
+
+    "q239_link_prediction" -> ((s, dir) => {
+      // common-neighbor/Jaccard link prediction over the q101 kNN graph:
+      // the "should-be-neighbors" candidates that densify a kNN graph
+      // before NN-descent; one shared-neighbor self-join, hub-capped
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val edges = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.linkPrediction(edges, "id", "nbr_id", topN = 20)
     })
   )
 
@@ -4766,6 +4806,72 @@ object SparkEntry {
            |SELECT item, n_duels, wins, round(s / tot, 6) AS strength
            |FROM w0 JOIN s3 USING (item) JOIN gm USING (item), tot
            |ORDER BY item""".stripMargin,
+
+      // the q127 synthetic PCM replayed arithmetically: 32-sample frame
+      // energies (partial trailing frame dropped), islands by
+      // frame − row_number
+      "q237_audio_vad" ->
+        """WITH sm AS (SELECT doc_id, i,
+          |    ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+          |  FROM documents, unnest(range(0, 128 + doc_id % 64)) t(i)),
+          |fr AS (SELECT doc_id, i // 32 AS frame,
+          |    CAST(SUM(v * v) AS BIGINT) AS energy
+          |  FROM sm WHERE i // 32 < (128 + doc_id % 64) // 32
+          |  GROUP BY doc_id, i // 32),
+          |sp AS (SELECT doc_id, frame, energy,
+          |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+          |      AS isl
+          |  FROM fr WHERE energy >= 20000000)
+          |SELECT doc_id AS id, CAST(min(frame) AS INT) AS start_frame,
+          |  CAST(max(frame) AS INT) AS end_frame, count(*) AS n_frames,
+          |  CAST(SUM(energy) AS BIGINT) AS energy
+          |FROM sp GROUP BY doc_id, isl ORDER BY id, start_frame""".stripMargin,
+
+      // integer-cents rendering gives the first digit; expectations are
+      // the same 6 dp literals the Spark side embeds
+      "q238_benford" ->
+        """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          |  FROM orders WHERE round(o_totalprice * 100) > 0),
+          |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT)
+          |    AS digit FROM c),
+          |n AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+          |t AS (SELECT SUM(n) AS tot FROM n),
+          |e AS (SELECT digit, n,
+          |    CAST(n AS DOUBLE) / tot AS share,
+          |    CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+          |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+          |      WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+          |      WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+          |      WHEN 9 THEN 0.045757 ELSE 0.0 END AS expected_share
+          |  FROM n, t)
+          |SELECT digit, n, share, expected_share,
+          |  abs(share - expected_share) AS abs_dev
+          |FROM e ORDER BY digit""".stripMargin,
+
+      // undirected q101 edges → shared-neighbor self-join; jaccard is a
+      // single exact-int division; top-20 totally ordered
+      "q239_link_prediction" ->
+        s"""$knnEdgesPrefixSql,
+           |u0 AS (SELECT DISTINCT least(id, nbr_id) AS a,
+           |    greatest(id, nbr_id) AS b
+           |  FROM g0 WHERE id <> nbr_id),
+           |nb AS (SELECT a AS v, b AS n FROM u0
+           |  UNION ALL SELECT b AS v, a AS n FROM u0),
+           |dg2 AS (SELECT v, count(*) AS deg FROM nb GROUP BY v),
+           |cn AS (SELECT x.v AS xa, y.v AS yb, count(*) AS n_common
+           |  FROM nb x JOIN nb y ON x.n = y.n AND x.v < y.v
+           |  GROUP BY x.v, y.v),
+           |cand AS (SELECT xa, yb, n_common FROM cn
+           |  WHERE NOT EXISTS (SELECT 1 FROM u0
+           |    WHERE u0.a = cn.xa AND u0.b = cn.yb)),
+           |j AS (SELECT xa AS node_a, yb AS node_b,
+           |    CAST(n_common AS BIGINT) AS n_common,
+           |    CAST(n_common AS DOUBLE) / (dx.deg + dy.deg - n_common)
+           |      AS jaccard
+           |  FROM cand JOIN dg2 dx ON cand.xa = dx.v
+           |    JOIN dg2 dy ON cand.yb = dy.v)
+           |SELECT node_a, node_b, n_common, jaccard FROM j
+           |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

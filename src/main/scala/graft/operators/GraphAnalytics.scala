@@ -310,4 +310,47 @@ object GraphAnalytics {
         .when(col("label").isNotNull, lit("propagated"))
         .otherwise(lit("unlabeled")).as("origin"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    * for non-adjacent node pairs of the undirected graph, the shared
+    * neighbor count and Jaccard coefficient |N(a)∩N(b)| / |N(a)∪N(b)|,
+    * top `topN` by (jaccard DESC, a, b) — the "these two SHOULD be
+    * neighbors" readout used to densify a kNN graph before NN-descent.
+    *
+    * Scale shape: candidate pairs come from one self-join of the
+    * neighbor list on the shared neighbor — cost Σ_v deg(v)², bounded on
+    * a kNN graph (out-degree k; in-degree = hubness, audited by q194).
+    * `maxDeg > 0` drops hub nodes from candidate GENERATION (standard
+    * hub exclusion) so a celebrity node can't quadratically explode the
+    * join at 100 TB; degrees for the Jaccard denominator keep the full
+    * graph. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topN: Int, maxDeg: Int = 0): DataFrame = {
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val nbrs = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val deg = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
+    // the self-join below fans out deg(n)² pairs per SHARED neighbor n,
+    // so the hub cap excludes rows whose shared neighbor is a hub
+    val gen = if (maxDeg > 0)
+      nbrs.join(broadcast(deg.filter(col("deg") > maxDeg)
+        .select(col("v").as("n"))), Seq("n"), "left_anti")
+    else nbrs
+    val cand = gen.select(col("v").as("x"), col("n"))
+      .join(gen.select(col("v").as("y"), col("n")), "n")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+      .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("x"), col("deg").as("_dx")), "x")
+      .join(deg.select(col("v").as("y"), col("deg").as("_dy")), "y")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("_dx") + col("_dy") - col("n_common")))
+      .orderBy(col("jaccard").desc, col("x"), col("y")).limit(topN)
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("n_common"), col("jaccard"))
+  }
 }

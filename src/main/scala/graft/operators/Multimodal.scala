@@ -216,4 +216,45 @@ object Multimodal {
       }
       .toDF(idCol, "frame_index", "frame_mean")
   }
+
+  /** Energy-threshold voice-activity segmentation over a WAV binary
+    * column: decode (REAL `javax.sound.sampled` PCM16), frame into
+    * `frameLen`-sample windows (trailing partial frame dropped), keep
+    * frames with integer sum-of-squares energy ≥ `energyThreshold`, and
+    * merge consecutive kept frames into segments (gaps-and-islands:
+    * frame − row_number is constant within a run). The decode+energy pass
+    * is map-side; the only shuffle is the per-clip island window — one
+    * exchange keyed by clip id, exactly the q221 clean-block shape on
+    * audio. Energies are exact BIGINTs, so the oracle replays the
+    * segmentation arithmetically. */
+  def vadSegments(df: DataFrame, idCol: String, binCol: String,
+                  frameLen: Int, energyThreshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.sources.BinaryMedia
+          .decodeWavPcm16(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(a) =>
+            val nFrames = a.samples.length / frameLen
+            (0 until nFrames).map { f =>
+              var e = 0L; var i = f * frameLen
+              while (i < (f + 1) * frameLen) {
+                val s = a.samples(i).toLong; e += s * s; i += 1
+              }
+              (id, f, e)
+            }
+          case None => Nil
+        }
+      }.toDF("id", "frame", "energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame")
+    frames.filter(col("energy") >= energyThreshold)
+      .withColumn("_isl", col("frame") - row_number().over(w))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy"))
+      .select("id", "start_frame", "end_frame", "n_frames", "energy")
+  }
 }

@@ -129,4 +129,34 @@ object Profiling {
     val obs = org.apache.spark.sql.Observation(name)
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** Benford first-significant-digit p = log10(1+1/d), 6 dp — shared with
+    * the q238 oracle literals. */
+  val BenfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** Benford's-law audit of a positive integer amount column (cents):
+    * observed share of each first significant digit vs the log10(1+1/d)
+    * expectation — the classic fabricated-numbers / synthetic-data smell
+    * test. One map-side digit projection + a 9-row aggregate; the first
+    * digit comes from the integer's decimal rendering (engine-identical,
+    * no float log in the data path — the expectations are fixed 6 dp
+    * literals). */
+  def benfordAudit(df: DataFrame, amountCents: Column): DataFrame = {
+    val counts = df.select(amountCents.cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("_tot"))
+    val expected = BenfordExpected.foldLeft(lit(0.0)) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("_tot"))
+      .withColumn("expected_share", expected)
+      .withColumn("abs_dev", abs(col("share") - col("expected_share")))
+      .select("digit", "n", "share", "expected_share", "abs_dev")
+  }
 }

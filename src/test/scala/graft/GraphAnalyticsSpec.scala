@@ -144,4 +144,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     // per round → loss bounded by 3·rounds·n units
     assert(total <= S && total >= S - 3L * 3L * 20L)
   }
+
+  test("linkPrediction: path endpoints pair via the middle; hub cap empties it") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id", "nbr_id")
+    val out = graft.operators.GraphAnalytics
+      .linkPrediction(edges, "id", "nbr_id", topN = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only 1–3 (shared neighbor 2, not adjacent); J = 1/(1+1−1) = 1
+    assert(out == Seq((1L, 3L, 1L, 1.0)))
+    // maxDeg=1 drops node 2 from generation → no candidates at all
+    assert(graft.operators.GraphAnalytics
+      .linkPrediction(edges, "id", "nbr_id", 10, maxDeg = 1).count() == 0L)
+    // existing edges are never proposed: a triangle yields nothing new
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id", "nbr_id")
+    assert(graft.operators.GraphAnalytics
+      .linkPrediction(tri, "id", "nbr_id", 10).count() == 0L)
+  }
 }

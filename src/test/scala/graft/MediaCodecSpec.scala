@@ -144,4 +144,20 @@ class MediaCodecSpec extends SparkSpec {
     val g = BinaryMedia.decodeGrayImage(bos.toByteArray).get
     assert(g.gray.toSeq == Seq(76, 149))
   }
+
+  test("vadSegments: islands merge, quiet frames split, partial frame drops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // frames of 2: [0,0]=0, [100,100]=20k, [100,100]=20k, [0,0]=0,
+    // [100,100]=20k; the final lone sample is a partial frame — dropped
+    val samples = Array[Short](0, 0, 100, 100, 100, 100, 0, 0, 100, 100, 7)
+    val df = Seq((1L, BinaryMedia.encodeWavPcm16(samples, 8000)))
+      .toDF("doc_id", "wav")
+    val segs = graft.operators.Multimodal
+      .vadSegments(df, "doc_id", "wav", frameLen = 2, energyThreshold = 1L)
+      .orderBy("start_frame")
+      .select("start_frame", "end_frame", "n_frames", "energy")
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    assert(segs == Seq((1, 2, 2L, 40000L), (4, 4, 1L, 20000L)))
+  }
 }

@@ -95,4 +95,17 @@ class ProfilingSpec extends SparkSpec {
     // grp -> v: grp 10 -> {x}, grp 20 -> {y, z} -> 1 violating, max 2
     assert(out(("grp", "v")) == ((2L, 1L, 2L, false)))
   }
+
+  test("benfordAudit: digit shares and fixed expectations; non-positive drop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(123L, 19L, 250L, 987L, 111L, 0L, -5L).toDF("cents")
+    val out = graft.operators.Profiling.benfordAudit(df, col("cents"))
+      .orderBy("digit")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 3L), (2, 1L), (9, 1L)))
+    val d1 = out.head
+    assert(d1._3 == 3.0 / 5.0 && d1._4 == 0.301030)
+    assert(math.abs(d1._5 - (0.6 - 0.301030)) < 1e-12)
+  }
 }
