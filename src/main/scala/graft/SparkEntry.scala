@@ -3644,7 +3644,47 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val edges = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
       GraphAnalytics.linkPrediction(edges, "id", "nbr_id", topN = 20)
-    })
+    }),
+
+    "q240_textrank" -> ((s, dir) =>
+      // TextRank keyword centrality: the q136 fixed-point PageRank run on
+      // the word co-occurrence graph (pairs within 2 tokens) instead of
+      // the kNN doc graph — corpus stages shuffle by doc, the PR rounds
+      // run on the bounded vocabulary graph
+      GraphAnalytics.textRankKeywords(tbl(s, dir, "documents"),
+          "doc_id", "text", coWindow = 2, iters = 3)
+        .orderBy("rk")),
+
+    "q241_skip_audit" -> ((s, dir) => {
+      // min/max data-skipping audit: the SAME year-1997 predicate scans
+      // ~every file under arrival order but prunes most under
+      // sort-on-write — the quantified reason compaction (q82) sorts
+      val o = tbl(s, dir, "orders")
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-12-31").cast("timestamp")
+      val arrival = DataLayout.skipStats(o,
+        expr("o_orderkey div 100"), col("o_orderdate"), lo, hi)
+      val sorted = DataLayout.skipStats(
+        o.withColumn("_rn",
+          row_number().over(Window.orderBy("o_orderdate", "o_orderkey"))),
+        expr("(_rn - 1) div 100"), col("o_orderdate"), lo, hi)
+      DataLayout.skipSummary(Seq("arrival" -> arrival,
+          "date_sorted" -> sorted))
+        .orderBy("layout")
+    }),
+
+    "q242_quantile_norm" -> ((s, dir) =>
+      // quantile normalization: each source's quality distribution maps
+      // onto the global one (batch-effect correction before mixing
+      // scorer outputs) — integer rank arithmetic into a 100-level
+      // broadcast table
+      Stats.quantileNormalize(
+          tbl(s, dir, "documents")
+            .withColumn("quality", TF.qualityScore(col("text"))),
+          "source", "quality", "doc_id", levels = 100)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("v").as("quality"), col("q_norm"))
+        .orderBy("doc_id"))
   )
 
   // ======================================================================
@@ -4872,6 +4912,55 @@ object SparkEntry {
            |    JOIN dg2 dy ON cand.yb = dy.v)
            |SELECT node_a, node_b, n_common, jaccard FROM j
            |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
+
+      "q240_textrank" -> textRankOracleSql,
+
+      // per-layout zone maps: min/max per file id, skippable when the
+      // [min,max] misses the 1997 range entirely
+      "q241_skip_audit" ->
+        """WITH pr AS (SELECT CAST('1997-01-01' AS TIMESTAMP) AS lo,
+          |    CAST('1997-12-31' AS TIMESTAMP) AS hi),
+          |a AS (SELECT o_orderkey // 100 AS f, o_orderdate AS p
+          |  FROM orders),
+          |af AS (SELECT f, min(p) AS mn, max(p) AS mx, count(*) AS nr
+          |  FROM a GROUP BY f),
+          |s AS (SELECT (row_number() OVER (ORDER BY o_orderdate,
+          |      o_orderkey) - 1) // 100 AS f, o_orderdate AS p
+          |  FROM orders),
+          |sf AS (SELECT f, min(p) AS mn, max(p) AS mx, count(*) AS nr
+          |  FROM s GROUP BY f),
+          |u AS (SELECT 'arrival' AS layout, mn, mx, nr FROM af
+          |  UNION ALL SELECT 'date_sorted', mn, mx, nr FROM sf)
+          |SELECT layout, count(*) AS n_files,
+          |  CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_skippable,
+          |  CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN nr ELSE 0 END)
+          |    AS BIGINT) AS rows_skipped,
+          |  CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*) AS file_skip_frac
+          |FROM u, pr GROUP BY layout ORDER BY layout""".stripMargin,
+
+      // within-source rank → ⌈100·r/m⌉ level → global value at rank
+      // (lv·n)//100 — all integer arithmetic into a 100-row table
+      "q242_quantile_norm" ->
+        s"""WITH d AS (SELECT doc_id, source, $qualitySql AS q
+           |  FROM documents),
+           |rk AS (SELECT doc_id, source, q,
+           |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id)
+           |      AS r,
+           |    count(*) OVER (PARTITION BY source) AS m
+           |  FROM d),
+           |gl AS (SELECT q, row_number() OVER (ORDER BY q, doc_id) AS gr
+           |  FROM d),
+           |nn AS (SELECT count(*) AS n FROM d),
+           |tb AS (SELECT x.lv, gl.q AS q_norm FROM (
+           |    SELECT l.lv, greatest(1, (l.lv * n) // 100) AS grank
+           |    FROM (SELECT unnest(range(1, 101)) AS lv) l, nn) x
+           |  JOIN gl ON gl.gr = x.grank)
+           |SELECT rk.doc_id, rk.source, rk.q AS quality, tb.q_norm
+           |FROM rk JOIN tb
+           |  ON tb.lv = (100 * rk.r + rk.m - 1) // rk.m
+           |ORDER BY doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
@@ -8297,6 +8386,47 @@ object SparkEntry {
        |  GROUP BY g.nbr_id),
        |r$r AS (SELECT b.id, b.base, CAST($newPr AS BIGINT) AS pr
        |  FROM b LEFT JOIN s$r s USING (id))""".stripMargin
+
+  /** Replays q240: the word co-occurrence graph (distinct unordered
+    * within-2 pairs → both directions over a row_number dictionary), then
+    * the SAME three [[prRoundSql]] fixed-point rounds as q136. */
+  private def textRankOracleSql: String = {
+    val rounds = (1 to 3).map(r =>
+      prRoundSql(r, "(15 * b.base) // 100 + (85 * coalesce(s.insum, 0)) // 100"))
+      .mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, j AS pos, t[j] AS term
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS r(j)),
+       |up AS (SELECT DISTINCT least(a.term, b.term) AS w1,
+       |    greatest(a.term, b.term) AS w2
+       |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       |    AND b.pos > a.pos AND b.pos <= a.pos + 2
+       |    AND a.term <> b.term),
+       |dict AS (SELECT term,
+       |    CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS wid
+       |  FROM (SELECT w1 AS term FROM up UNION SELECT w2 FROM up)),
+       |g0 AS (SELECT d1.wid AS id, d2.wid AS nbr_id
+       |  FROM up JOIN dict d1 ON up.w1 = d1.term
+       |    JOIN dict d2 ON up.w2 = d2.term
+       |  UNION ALL
+       |  SELECT d2.wid AS id, d1.wid AS nbr_id
+       |  FROM up JOIN dict d1 ON up.w1 = d1.term
+       |    JOIN dict d2 ON up.w2 = d2.term),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |    SELECT id FROM g0 UNION ALL SELECT nbr_id FROM g0)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |dg AS (SELECT id AS src, count(*) AS deg FROM g0 GROUP BY id),
+       |b AS (SELECT id, CAST(1000000000000 // n AS BIGINT) AS base
+       |  FROM nodes, nn),
+       |r0 AS (SELECT id, base, base AS pr FROM b),
+       |$rounds
+       |SELECT d.term, pr,
+       |  CAST(row_number() OVER (ORDER BY pr DESC, r3.id) AS INT) AS rk
+       |FROM r3 JOIN dict d ON r3.id = d.wid ORDER BY rk""".stripMargin
+  }
 
   /** Replays q192: the q101 kNN graph canonicalized to undirected a<b
     * edges, then 2 synchronous k=4 peel rounds — each round a degree

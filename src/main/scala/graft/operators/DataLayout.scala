@@ -133,4 +133,36 @@ object DataLayout {
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topK)
   }
+
+  /** Min/max data-skipping audit: given a file assignment (`fileExpr` —
+    * any deterministic row → file mapping, e.g. arrival order vs a
+    * sort-on-write rank) and a range predicate [lo, hi] on `probe`,
+    * computes per-file zone-map stats and whether the file is SKIPPABLE
+    * (its [min, max] misses the predicate entirely) — the quantified
+    * "why sort-on-write matters" number: parquet row-group pruning only
+    * fires when the layout clusters the probe column. One aggregate by
+    * file id; nothing row-wise survives. */
+  def skipStats(df: DataFrame, fileExpr: Column, probe: Column,
+                lo: Column, hi: Column): DataFrame =
+    df.select(fileExpr.as("file_id"), probe.as("p"))
+      .groupBy("file_id")
+      .agg(min("p").as("f_min"), max("p").as("f_max"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("skippable", col("f_max") < lo || col("f_min") > hi)
+
+  /** [[skipStats]] rolled up to one row per labeled layout: file count,
+    * skippable files, and the row/file skip fractions a predicate on
+    * `probe` achieves under that layout. */
+  def skipSummary(layouts: Seq[(String, DataFrame)]): DataFrame =
+    layouts.map { case (name, stats) =>
+      stats.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skippable"),
+        sum(when(col("skippable"), col("n_rows")).otherwise(0L))
+          .as("rows_skipped"),
+        (sum(when(col("skippable"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("file_skip_frac"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_skippable"),
+          col("rows_skipped"), col("file_skip_frac"))
+    }.reduce(_ unionByName _)
 }

@@ -353,4 +353,41 @@ object GraphAnalytics {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("n_common"), col("jaccard"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): [[pageRank]]
+    * over the word co-occurrence graph — distinct unordered word pairs
+    * co-occurring within `coWindow` tokens anywhere in the corpus, both
+    * directions — returning every vocabulary word with its fixed-point
+    * rank and position. The corpus-heavy stages (position explode,
+    * windowed pair self-join keyed by doc) are the familiar shuffle-by-doc
+    * shapes; the PR iterations then run on the VOCABULARY graph, which is
+    * bounded (so is the global `row_number` dictionary window — vocab,
+    * never corpus). */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       coWindow: Int = 2, iters: Int = 3): DataFrame = {
+    val pos = docs.select(col(idCol).as("_doc"),
+        posexplode(Retrieval.analyze(col(textCol))).as(Seq("p0", "term")))
+      .select(col("_doc"), (col("p0") + 1).as("pos"), col("term"))
+    val up = pos.alias("a").join(pos.alias("b"),
+        col("a._doc") === col("b._doc") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + coWindow &&
+        col("a.term") =!= col("b.term"))
+      .select(least(col("a.term"), col("b.term")).as("w1"),
+        greatest(col("a.term"), col("b.term")).as("w2"))
+      .distinct()
+    val dict = up.select(col("w1").as("term"))
+      .union(up.select(col("w2").as("term"))).distinct()
+      .withColumn("wid",
+        row_number().over(Window.orderBy("term")).cast("long"))
+    val edges = up
+      .join(dict.select(col("term").as("w1"), col("wid").as("ida")), "w1")
+      .join(dict.select(col("term").as("w2"), col("wid").as("idb")), "w2")
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val both = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    ranked(pageRank(both, "src", "dst", iters))
+      .join(dict.select(col("wid").as("id"), col("term")), "id")
+      .select(col("term"), col("pr"), col("rk"))
+  }
 }

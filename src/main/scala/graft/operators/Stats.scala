@@ -432,4 +432,40 @@ object Stats {
     val h1 = s"pmod(($h0 ^ shiftright($h0, 16)) * $mix, ${p}L)"
     s"pmod(($h1 ^ shiftright($h1, 13)) * $mix, ${p}L)"
   }
+
+  /** Quantile normalization: map each group's value distribution onto the
+    * GLOBAL distribution (the batch-effect correction used to make scores
+    * from different scorers/sources comparable before mixing). Each row's
+    * within-group rank r of m becomes percentile level ⌈levels·r/m⌉, and
+    * the row is assigned the global value at that level — all integer
+    * rank arithmetic (ties broken by `idCol`), so the mapping replays
+    * exactly.
+    *
+    * Scale: the group windows shuffle by group; the LEVEL TABLE is the
+    * one global structure, built from a global rank window here (exact,
+    * for the gate) — at 100 TB swap that one input for merged histogram
+    * quantiles (q108) and keep everything else; per-row mapping is then a
+    * broadcast join against `levels` rows. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, levels: Int = 100): DataFrame = {
+    val vals = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).as("v"))
+    val wg = Window.partitionBy("grp").orderBy("v", "id")
+    val ranked = vals
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("grp")))
+    val wGlob = Window.orderBy("v", "id")
+    val glob = vals
+      .withColumn("gr", row_number().over(wGlob).cast("long"))
+    val nRow = glob.agg(count(lit(1)).as("n"))
+    val table = glob.sparkSession.range(1, levels + 1)
+      .select(col("id").as("lv")).crossJoin(broadcast(nRow))
+      .withColumn("grank", greatest(lit(1L), expr(s"(lv * n) div $levels")))
+      .join(glob.select(col("gr").as("grank"), col("v").as("q_norm")), "grank")
+      .select("lv", "q_norm")
+    ranked
+      .withColumn("lv", expr(s"($levels * r + m - 1) div m"))
+      .join(broadcast(table), "lv")
+      .select(col("id"), col("grp"), col("v"), col("q_norm"))
+  }
 }

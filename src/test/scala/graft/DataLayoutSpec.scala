@@ -34,6 +34,25 @@ class DataLayoutSpec extends SparkSpec {
     assert(top(1)._2 == 1L)
   }
 
+  test("skipStats/skipSummary: sorted layout prunes, shuffled layout cannot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values 1..100; predicate [41, 60]; files of 20 rows
+    // sorted layout: files [1-20][21-40][41-60][61-80][81-100] → 4 skippable
+    // "shuffled" layout: file = v % 5 → every file spans the range → 0
+    val df = (1 to 100).map(_.toLong).toDF("v")
+    val sorted = graft.operators.DataLayout.skipStats(df,
+      expr("(v - 1) div 20"), col("v"), lit(41L), lit(60L))
+    val shuffled = graft.operators.DataLayout.skipStats(df,
+      expr("v % 5"), col("v"), lit(41L), lit(60L))
+    val out = graft.operators.DataLayout
+      .skipSummary(Seq("sorted" -> sorted, "shuffled" -> shuffled))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("sorted") == ((5L, 4L, 80L, 0.8)))
+    assert(out("shuffled") == ((5L, 0L, 0L, 0.0)))
+  }
+
   test("compaction plan cuts key-aligned files with disjoint key ranges") {
     // keys 0..9, 10 rows each; target 25 rows/file → files of 3,3,3,1 keys
     val df = (0L until 100L).map(i => Tuple1(i % 10)).toDF("k")

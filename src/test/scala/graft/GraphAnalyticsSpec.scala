@@ -161,4 +161,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(graft.operators.GraphAnalytics
       .linkPrediction(tri, "id", "nbr_id", 10).count() == 0L)
   }
+
+  test("textRankKeywords: the shared hub word out-ranks the leaves") {
+    import spark.implicits._
+    // "hub" co-occurs with every leaf; leaves only see the hub (+ the
+    // adjacent leaf inside the ±2 window)
+    val docs = Seq((1L, "aa hub bb"), (2L, "cc hub dd"), (3L, "ee hub ff"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.GraphAnalytics
+      .textRankKeywords(docs, "doc_id", "text")
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(out.head._1 == "hub") // rk 1
+    assert(out.map(_._1).toSet ==
+      Set("hub", "aa", "bb", "cc", "dd", "ee", "ff"))
+    // ranks are a permutation 1..7
+    assert(out.map(_._3).toSeq == (1 to 7))
+  }
 }

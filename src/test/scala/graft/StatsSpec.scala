@@ -6,6 +6,25 @@ import graft.operators.{Retrieval, Stats}
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantileNormalize: identical groups map onto the global values") {
+    // two groups with the SAME distribution → q_norm stays within the
+    // original value set and preserves order within each group
+    val df = (1 to 10).flatMap(i => Seq(("a", i.toLong * 2, i.toDouble),
+      ("b", i.toLong * 2 + 1, i.toDouble))).toDF("g", "id", "v")
+    val out = graft.operators.Stats.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 20)
+    // every normalized value is one of the global observed values
+    assert(out.forall { case (_, _, qn) => (1 to 10).map(_.toDouble).contains(qn) })
+    // the max of each group maps to the global max
+    assert(out.filter(_._2 == 10.0).forall(_._3 == 10.0))
+    // monotone within group
+    for (g <- Seq("a", "b")) {
+      val gs = out.filter(_._1 == g).sortBy(_._2).map(_._3)
+      assert(gs.zip(gs.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
   test("z-score anomalies flag exactly the >2σ rows") {
     // group g: nine 10s and one 30 → mean 12, σ = sqrt((9*4 + 324)/10) = 6
     // z(30) = 3, z(10) = -1/3 → only the 30 is flagged
