@@ -3684,7 +3684,31 @@ object SparkEntry {
           "source", "quality", "doc_id", levels = 100)
         .select(col("id").as("doc_id"), col("grp").as("source"),
           col("v").as("quality"), col("q_norm"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q243_concurrency_peak" -> ((s, dir) =>
+      // sweep-line peak concurrency over the q27 sessions: +1/−1
+      // boundary events, running sum, earliest peak instant — the
+      // connection-pool / rate-limit capacity number
+      streaming.EventStreams.concurrencyPeak(
+        streaming.EventStreams.sessionizeBatch(events(s, dir),
+          gapMs = 1800000L))
+        // NTZ at the edge: UTC session makes this an identity on values,
+        // and the µs parquet encoding matches the oracle (q230 precedent)
+        .withColumn("peak_at", col("peak_at").cast("timestamp_ntz"))),
+
+    "q244_lift_table" -> ((s, dir) => {
+      // cumulative-gains deciles of the hashed-bigram classifier against
+      // the Gopher gate (the q158 pairing): per rank-decile positives and
+      // the cumulative lift over random — the model-promotion curve
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      Evaluation.liftTable(scored, "doc_id", "margin", "quality_pass", 10)
+        .orderBy("bucket")
+    })
   )
 
   // ======================================================================
@@ -4961,6 +4985,64 @@ object SparkEntry {
            |FROM rk JOIN tb
            |  ON tb.lv = (100 * rk.r + rk.m - 1) // rk.m
            |ORDER BY doc_id""".stripMargin,
+
+      // the q27 session CTEs; +1 rows order before −1 at equal ts
+      // (closed intervals), peak_at is the earliest max
+      "q243_concurrency_peak" ->
+        """WITH e AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sx AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged),
+          |sess AS (SELECT MIN(ts) AS session_start, MAX(ts) AS session_end
+          |  FROM sx GROUP BY user_id, session_id),
+          |ev AS (SELECT session_start AS ts, 1 AS d FROM sess
+          |  UNION ALL SELECT session_end, -1 FROM sess),
+          |cum AS (SELECT ts, d, SUM(d) OVER (ORDER BY ts, d DESC
+          |    ROWS UNBOUNDED PRECEDING) AS c FROM ev),
+          |pk AS (SELECT CAST(max(c) AS BIGINT) AS peak_concurrent FROM cum),
+          |pa AS (SELECT min(ts) AS peak_at FROM cum, pk
+          |  WHERE c = peak_concurrent),
+          |ns AS (SELECT count(*) AS n_sessions FROM sess)
+          |SELECT n_sessions, peak_concurrent, peak_at
+          |FROM ns, pk, pa""".stripMargin,
+
+      // the q158 scored CTEs; ceil-rank deciles, HUGEINT window sums
+      // cast back to BIGINT, lift = one exact-int double division
+      "q244_lift_table" ->
+        s"""$scoredMarginCtes,
+           |tot AS (SELECT count(*) AS tn,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS tp
+           |  FROM scored),
+           |rk AS (SELECT doc_id, quality_pass,
+           |    row_number() OVER (ORDER BY margin DESC, doc_id) AS r
+           |  FROM scored),
+           |bk AS (SELECT (10 * r + tn - 1) // tn AS bucket, quality_pass,
+           |    tn, tp FROM rk, tot),
+           |per AS (SELECT bucket, count(*) AS n,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_pos,
+           |    max(tn) AS tn, max(tp) AS tp
+           |  FROM bk GROUP BY bucket),
+           |cm AS (SELECT bucket, n, n_pos,
+           |    CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           |      AS BIGINT) AS cum_n,
+           |    CAST(SUM(n_pos) OVER (ORDER BY bucket
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+           |    tn, tp FROM per)
+           |SELECT bucket, n, n_pos, cum_n, cum_pos,
+           |  CASE WHEN tp > 0 THEN CAST(cum_pos * tn AS DOUBLE)
+           |    / (cum_n * tp) END AS cum_lift
+           |FROM cm ORDER BY bucket""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

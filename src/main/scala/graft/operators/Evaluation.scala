@@ -340,6 +340,38 @@ object Evaluation {
             .cast("double") / col("_np")).as("tau"))
   }
 
+  /** Cumulative gains / lift table: rows ranked by score DESC (ties →
+    * `idCol`) split into `buckets` equal rank slices; per slice the
+    * positive count plus running totals and the cumulative lift
+    * (cum_pos·N) / (cum_n·P) — "how much better than random is the top
+    * X%", the model-promotion readout that complements AUC (q158) and
+    * calibration (q159). Rank arithmetic is exact integers; lift is one
+    * double division. The global rank window is the same exact-gate /
+    * histogram-at-scale trade as [[Stats.quantileNormalize]]. */
+  def liftTable(scored: DataFrame, idCol: String, scoreCol: String,
+                labelCol: String, buckets: Int = 10): DataFrame = {
+    val tot = scored.agg(count(lit(1)).as("_tn"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("_tp"))
+    val ranked = scored
+      .withColumn("_r", row_number()
+        .over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"($buckets * _r + _tn - 1) div _tn"))
+    val per = ranked.groupBy("bucket").agg(
+      count(lit(1)).as("n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+      max("_tn").as("_tn"), max("_tp").as("_tp"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .withColumn("cum_lift", when(col("_tp") > 0,
+        (col("cum_pos") * col("_tn")).cast("double") /
+          (col("cum_n") * col("_tp"))))
+      .select("bucket", "n", "n_pos", "cum_n", "cum_pos", "cum_lift")
+  }
+
   /** Bradley–Terry strength fit from pairwise duels — the standard
     * aggregate readout of preference data (the reward-model baseline for
     * RLHF-style corpora; Hunter 2004's MM iteration). `pairs` has one row

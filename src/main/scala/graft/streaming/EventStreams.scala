@@ -249,6 +249,34 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Sweep-line concurrency peak over a session table: +1 at each
+    * session_start, −1 at each session_end (closed intervals — starts
+    * order before ends at an equal timestamp), running sum, global max —
+    * "how many sessions were open at once", the capacity number behind
+    * connection-pool and rate-limit sizing. One row out: session count,
+    * the peak, and the earliest instant it was reached.
+    *
+    * The running sum is one GLOBAL ordered window over 2·n_sessions
+    * boundary rows — bounded by the session table, not the event log; at
+    * 100 TB partition the sweep by calendar day (sessions there are
+    * day-bounded) and take the per-day max. */
+  def concurrencyPeak(sessions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = sessions.select(col("session_start").as("ts"), lit(1).as("d"))
+      .unionByName(sessions
+        .select(col("session_end").as("ts"), lit(-1).as("d")))
+    val w = Window.orderBy(col("ts"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ev.withColumn("c", sum("d").over(w))
+    val peak = cum.agg(max("c").as("peak_concurrent"))
+    val n = sessions.agg(count(lit(1)).as("n_sessions"))
+    cum.crossJoin(broadcast(peak))
+      .filter(col("c") === col("peak_concurrent"))
+      .groupBy("peak_concurrent").agg(min("ts").as("peak_at"))
+      .crossJoin(broadcast(n))
+      .select(col("n_sessions"), col("peak_concurrent"), col("peak_at"))
+  }
+
   /** Incremental refresh as a `foreachBatch` micro-batch: for each batch of
     * newly-listed files, classify against the store's processed aggregate
     * and merge only new/modified (the ST1 pattern, refresh.py:28-143). */

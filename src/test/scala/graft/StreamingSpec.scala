@@ -308,4 +308,35 @@ class StreamingSpec extends SparkSpec {
     // position 400000+200000+400000 + 1000000
     assert(out == Map(0L -> ((4L, 1999999L, 2000000L))))
   }
+
+  test("concurrencyPeak: closed intervals, starts count before ends") {
+    import org.apache.spark.sql.functions._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // [1,10] [2,5] [3,4] → all three open at t=3; [20,21] [21,22] touch
+    // at t=21 (closed) → 2, but the global peak is 3 at t=3
+    val sess = Seq((ts(1), ts(10)), (ts(2), ts(5)), (ts(3), ts(4)),
+        (ts(20), ts(21)), (ts(21), ts(22)))
+      .toDF("session_start", "session_end")
+    val out = graft.streaming.EventStreams.concurrencyPeak(sess).collect().head
+    assert(out.getLong(0) == 5L)
+    assert(out.getLong(1) == 3L)
+    assert(out.getTimestamp(2) == ts(3))
+  }
+
+  test("liftTable: perfect top-half classifier has lift 2 then decays to 1") {
+    import org.apache.spark.sql.functions._
+    val scored = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 5))
+      .toDF("id", "score", "label")
+    val out = graft.operators.Evaluation
+      .liftTable(scored, "id", "score", "label", buckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.forall(_._2 == 2L)) // equal buckets
+    // top buckets all-positive → lift 2.0; full population → 1.0
+    assert(out.head == ((1L, 2L, 2L, 2L, 2L, 2.0)))
+    assert(out(2) == ((3L, 2L, 1L, 6L, 5L, 5.0 * 10 / (6 * 5))))
+    assert(out.last == ((5L, 2L, 0L, 10L, 5L, 1.0)))
+  }
 }
