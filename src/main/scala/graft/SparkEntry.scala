@@ -3708,6 +3708,37 @@ object SparkEntry {
           .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
       Evaluation.liftTable(scored, "doc_id", "margin", "quality_pass", 10)
         .orderBy("bucket")
+    }),
+
+    "q245_passage_agg" -> ((s, dir) =>
+      // MaxP-style passage aggregation: q11's chunks score by exact
+      // query-term counts (zero-shuffle HOF), docs score
+      // best + 0.2·(sum − best), top-10 with the best-chunk pointer
+      Retrieval.passageAggregate(
+          Chunker.chunkWithIds(tbl(s, dir, "documents"), "doc_id", "text",
+            200, 50),
+          "doc_id", "chunk_id", "chunk",
+          Seq("spark", "join", "merge"), decay = 0.2, k = 10)),
+
+    "q246_cuped" -> ((s, dir) => {
+      // CUPED-adjusted A/B readout on the q226 hash arms: pre-period
+      // view count is the covariate, post-period purchase cents the
+      // outcome — θ from exact sums, per-arm raw vs adjusted means
+      val ev = events(s, dir)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val pre = ev.filter(col("event_type") === "view" && col("ts") < cut)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val out = ev.filter(col("event_type") === "purchase" &&
+          col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val joined = ev.select("user_id").distinct()
+        .join(pre, Seq("user_id"), "left")
+        .join(out, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
+      Stats.cupedAdjust(joined, "arm", "x", "y").orderBy("arm")
     })
   )
 
@@ -5043,6 +5074,84 @@ object SparkEntry {
            |  CASE WHEN tp > 0 THEN CAST(cum_pos * tn AS DOUBLE)
            |    / (cum_n * tp) END AS cum_lift
            |FROM cm ORDER BY bucket""".stripMargin,
+
+      // q11's chunk replay scored by query-term token counts; doc score
+      // best + 0.2·(sum − best); arg-best chunk via a per-doc window
+      "q245_passage_agg" ->
+        """WITH ch AS (SELECT doc_id,
+          |    CAST(doc_id AS VARCHAR) || '_' || CAST(s // 150 AS VARCHAR)
+          |      AS chunk_id,
+          |    substring(text, CAST(s AS INT) + 1, 200) AS chunk
+          |  FROM documents, unnest(range(0, length(text), 150)) AS t(s)),
+          |sc AS (SELECT doc_id, chunk_id,
+          |    CAST(len(list_filter(
+          |      list_filter(regexp_split_to_array(lower(chunk), '\s+'),
+          |        x -> x <> ''),
+          |      x -> x IN ('spark', 'join', 'merge'))) AS BIGINT) AS score
+          |  FROM ch),
+          |pos AS (SELECT * FROM sc WHERE score > 0),
+          |rk AS (SELECT doc_id, chunk_id, score, row_number()
+          |    OVER (PARTITION BY doc_id ORDER BY score DESC, chunk_id)
+          |      AS rn
+          |  FROM pos),
+          |ag AS (SELECT doc_id, count(*) AS n_chunks,
+          |    CAST(max(score) AS BIGINT) AS best_score,
+          |    CAST(SUM(score) AS BIGINT) AS total_score
+          |  FROM pos GROUP BY doc_id),
+          |j AS (SELECT ag.doc_id, ag.n_chunks, ag.best_score,
+          |    ag.total_score, rk.chunk_id AS best_chunk_id,
+          |    CAST(ag.best_score AS DOUBLE) +
+          |      0.2 * CAST(ag.total_score - ag.best_score AS DOUBLE)
+          |      AS doc_score
+          |  FROM ag JOIN rk ON ag.doc_id = rk.doc_id AND rk.rn = 1)
+          |SELECT doc_id, n_chunks, best_score, total_score, best_chunk_id,
+          |  doc_score
+          |FROM j ORDER BY doc_score DESC, doc_id LIMIT 10""".stripMargin,
+
+      // the q226 hash-arm chain over per-user (pre views, post cents);
+      // θ and x̄ from one exact-sum row, identical adjustment trees
+      "q246_cuped" ->
+        """WITH uu AS (SELECT DISTINCT user_id FROM events),
+          |px AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          |  FROM events WHERE event_type = 'view'
+          |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+          |  GROUP BY user_id),
+          |py AS (SELECT user_id,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events WHERE event_type = 'purchase'
+          |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20'
+          |  GROUP BY user_id),
+          |base AS (SELECT uu.user_id, coalesce(x, 0) AS x,
+          |    coalesce(y, 0) AS y
+          |  FROM uu LEFT JOIN px USING (user_id)
+          |    LEFT JOIN py USING (user_id)),
+          |h0 AS (SELECT x, y, (user_id * 1000003) % 2147483647 AS h
+          |  FROM base),
+          |h1 AS (SELECT x, y, (xor(h, h >> 16) * 73244475) % 2147483647
+          |    AS h FROM h0),
+          |h2 AS (SELECT x, y, (xor(h, h >> 13) * 73244475) % 2147483647
+          |    AS h FROM h1),
+          |arm AS (SELECT x, y, h % 2 = 0 AS arm FROM h2),
+          |g AS (SELECT count(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          |    CAST(SUM(y) AS BIGINT) AS sy,
+          |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+          |    CAST(SUM(x * y) AS BIGINT) AS sxy
+          |  FROM arm),
+          |th AS (SELECT CASE WHEN n * sxx - sx * sx <> 0
+          |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+          |      / CAST(n * sxx - sx * sx AS DOUBLE) ELSE 0.0 END AS theta,
+          |    CAST(sx AS DOUBLE) / n AS xbar
+          |  FROM g),
+          |adj AS (SELECT arm, y,
+          |    CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar)
+          |      AS y_adj, theta
+          |  FROM arm, th)
+          |SELECT arm, count(*) AS n_users,
+          |  CAST(SUM(y) AS DOUBLE) / count(*) AS mean_raw,
+          |  CAST(SUM(CAST(y_adj AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |    AS mean_adj,
+          |  max(theta) AS theta
+          |FROM adj GROUP BY arm ORDER BY arm""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

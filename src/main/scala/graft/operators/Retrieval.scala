@@ -284,6 +284,36 @@ object Retrieval {
       .agg(min("span").as("min_span"), count(lit(1)).as("n_covers"))
   }
 
+  /** Passage-to-document score aggregation (the MaxP/SumP family,
+    * Dai & Callan 2019): chunks score individually — here the exact
+    * query-term occurrence count, a zero-shuffle HOF over the chunk
+    * text — and a document scores `best + decay·(sum − best)`: dominated
+    * by its best passage, with diminishing credit for additional hits.
+    * Returns the top-`k` docs with their best chunk id (the snippet
+    * pointer). One groupBy(doc) after map-side scoring; the top-k is
+    * TakeOrderedAndProject. */
+  def passageAggregate(chunks: DataFrame, docCol: String, chunkIdCol: String,
+                       textCol: String, terms: Seq[String],
+                       decay: Double = 0.2, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "passageAggregate: no terms")
+    val sc = chunks.select(col(docCol).as("doc_id"),
+        col(chunkIdCol).as("chunk_id"),
+        size(filter(analyze(col(textCol)),
+          t => terms.map(w => t === lit(w)).reduce(_ || _)))
+          .cast("long").as("score"))
+      .filter(col("score") > 0)
+    sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max("score").as("best_score"),
+        sum("score").as("total_score"),
+        min_by(col("chunk_id"),
+          struct((-col("score")).as("ns"), col("chunk_id")))
+          .as("best_chunk_id"))
+      .withColumn("doc_score", col("best_score").cast("double") +
+        lit(decay) * (col("total_score") - col("best_score")).cast("double"))
+      .orderBy(col("doc_score").desc, col("doc_id")).limit(k)
+  }
+
   /** Best keyword-in-context snippet: the `width`-token window with the
     * most DISTINCT query terms (ties → earliest start), plus the window
     * text. Query-term hits per doc are few, so the windowed count is a

@@ -433,6 +433,38 @@ object Stats {
     s"pmod(($h1 ^ shiftright($h1, 13)) * $mix, ${p}L)"
   }
 
+  /** CUPED variance reduction (Deng et al. 2013): regress the outcome on
+    * a pre-experiment covariate (θ = cov(x,y)/var(x), pooled), adjust
+    * y_adj = y − θ·(x − x̄), and report per-arm raw vs adjusted means —
+    * the standard way to tighten an A/B readout without more traffic.
+    * θ and x̄ come from exact BIGINT sums in single double divisions; each
+    * row's y_adj is then the identical double tree on both engines, and
+    * the arm means accumulate in decimal. A constant covariate
+    * (var(x) = 0) degrades to θ = 0 — raw means, no adjustment. */
+  def cupedAdjust(df: DataFrame, armCol: String, preCol: String,
+                  outcomeCol: String): DataFrame = {
+    val d = df.select(col(armCol).as("arm"), col(preCol).cast("long").as("x"),
+      col(outcomeCol).cast("long").as("y"))
+    val g = d.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val gg = g.select(
+      when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .otherwise(lit(0.0)).as("theta"),
+      (col("sx").cast("double") / col("n")).as("xbar"))
+    d.crossJoin(broadcast(gg))
+      .withColumn("y_adj", col("y").cast("double") -
+        col("theta") * (col("x").cast("double") - col("xbar")))
+      .groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        (sum("y").cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("y_adj").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mean_adj"),
+        max("theta").as("theta"))
+  }
+
   /** Quantile normalization: map each group's value distribution onto the
     * GLOBAL distribution (the batch-effect correction used to make scores
     * from different scorers/sources comparable before mixing). Each row's

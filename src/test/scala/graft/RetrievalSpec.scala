@@ -220,6 +220,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Map(1L -> 4, 2L -> 3))
   }
 
+  test("passageAggregate: best-passage dominance with decayed extras") {
+    val chunks = Seq(
+      (1L, "1_0", "p p p x"),  // score 3 (best)
+      (1L, "1_1", "p x x x"),  // score 1
+      (2L, "2_0", "p p x x"),  // score 2
+      (3L, "3_0", "x x x x")   // score 0 → dropped
+    ).toDF("doc_id", "chunk_id", "chunk")
+    val out = Retrieval.passageAggregate(chunks, "doc_id", "chunk_id",
+        "chunk", Seq("p"), decay = 0.2, k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getDouble(5)))).toMap
+    // doc 1: best 3, total 4 → 3 + 0.2·1 = 3.2, best chunk 1_0
+    assert(out(1L) == ((2L, 3L, 4L, "1_0", 3.2)))
+    assert(out(2L) == ((1L, 2L, 2L, "2_0", 2.0)))
+    assert(!out.contains(3L))
+  }
+
   test("bestSnippet: densest window wins, ties go to the earliest start") {
     val docs = Seq(
       // q(4) r(5) p(6) pack 3 distinct terms; the window at p(1) holds 1

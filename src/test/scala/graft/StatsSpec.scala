@@ -6,6 +6,29 @@ import graft.operators.{Retrieval, Stats}
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cupedAdjust: perfectly-correlated covariate removes all variance") {
+    // y = 10x exactly → θ = 10; y_adj = y − 10(x − x̄) = 10·x̄ for every
+    // row → both arms' adjusted means equal the global raw mean
+    val df = Seq((true, 1L, 10L), (true, 3L, 30L), (false, 2L, 20L),
+        (false, 6L, 60L)).toDF("arm", "x", "y")
+    val out = graft.operators.Stats.cupedAdjust(df, "arm", "x", "y")
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(true)._4 == 10.0 && out(false)._4 == 10.0) // theta
+    assert(out(true)._3 == 30.0 && out(false)._3 == 30.0) // adjusted means
+    assert(out(true)._2 == 20.0 && out(false)._2 == 40.0) // raw means
+  }
+
+  test("cupedAdjust: constant covariate degrades to theta 0, raw means") {
+    val df = Seq((true, 5L, 10L), (false, 5L, 30L)).toDF("arm", "x", "y")
+    val out = graft.operators.Stats.cupedAdjust(df, "arm", "x", "y")
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(true) == ((10.0, 10.0, 0.0)))
+    assert(out(false) == ((30.0, 30.0, 0.0)))
+  }
+
   test("quantileNormalize: identical groups map onto the global values") {
     // two groups with the SAME distribution → q_norm stays within the
     // original value set and preserves order within each group
