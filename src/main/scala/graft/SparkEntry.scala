@@ -3739,7 +3739,29 @@ object SparkEntry {
           coalesce(col("y"), lit(0L)).as("y"))
         .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
       Stats.cupedAdjust(joined, "arm", "x", "y").orderBy("arm")
-    })
+    }),
+
+    "q247_bm25f" -> ((s, dir) => {
+      // fielded BM25: the first 5 tokens act as a ×2-boosted title over
+      // the body — weighted tf/dl fold BEFORE the one BM25 saturation,
+      // same pushed-down term filter and decimal scoring as q98
+      val toks = Retrieval.analyze(col("text"))
+      val d = tbl(s, dir, "documents")
+        .withColumn("title", array_join(slice(toks, 1, 5), " "))
+        .withColumn("body",
+          array_join(slice(toks, lit(6), greatest(size(toks) - 5, lit(0))),
+            " "))
+      Retrieval.bm25Fielded(d, "doc_id", Seq("title" -> 2, "body" -> 1),
+        Seq("spark", "join", "vector", "window"), k = 10)
+    }),
+
+    "q248_lateness_audit" -> ((s, dir) =>
+      // watermark sizing from the log itself: arrival order = event_id,
+      // running-max event time, drop counts at 1 min / 10 min / 1 h
+      // candidate delays — picks `withWatermark` empirically
+      streaming.EventStreams.latenessAudit(events(s, dir),
+          Seq(60000L, 600000L, 3600000L))
+        .orderBy("delay_ms"))
   )
 
   // ======================================================================
@@ -5152,6 +5174,54 @@ object SparkEntry {
           |    AS mean_adj,
           |  max(theta) AS theta
           |FROM adj GROUP BY arm ORDER BY arm""".stripMargin,
+
+      // q98's CTE chain with ×2 title weights folded into tf and dl
+      // before the one saturation pass
+      "q247_bm25f" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |fl AS (SELECT id, t[1:5] AS title, t[6:] AS body FROM docs),
+          |dl AS (SELECT id,
+          |    CAST(2 * len(title) + len(body) AS BIGINT) AS dl,
+          |    title, body FROM fl),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tfu AS (SELECT id, dl, term, 2 AS w FROM (
+          |    SELECT id, dl, unnest(title) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  UNION ALL SELECT id, dl, term, 1 AS w FROM (
+          |    SELECT id, dl, unnest(body) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')),
+          |tf1 AS (SELECT id, dl, term, CAST(SUM(w) AS BIGINT) AS tf
+          |  FROM tfu GROUP BY id, dl, term),
+          |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf1 GROUP BY term),
+          |sc AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 *
+          |        (1.0 - 0.75 + 0.75 * dl / avgdl))) AS contrib
+          |  FROM tf1 JOIN dfq USING (term), stats)
+          |SELECT id,
+          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6)
+          |    AS score,
+          |  count(*) AS n_matched
+          |FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
+      // arrival order = event_id; runmax − ts vs each candidate delay
+      "q248_lateness_audit" ->
+        """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP))
+          |    AS ts_us FROM events),
+          |lm AS (SELECT ts_us, max(ts_us) OVER (ORDER BY event_id
+          |    ROWS UNBOUNDED PRECEDING) - ts_us AS late_us FROM e),
+          |d AS (SELECT CAST(unnest([60000, 600000, 3600000]) AS BIGINT)
+          |    AS delay_ms)
+          |SELECT delay_ms, count(*) AS n_events,
+          |  CAST(SUM(CASE WHEN late_us > delay_ms * 1000 THEN 1 ELSE 0
+          |    END) AS BIGINT) AS n_dropped,
+          |  CAST(SUM(CASE WHEN late_us > delay_ms * 1000 THEN 1 ELSE 0
+          |    END) AS DOUBLE) / count(*) AS dropped_frac
+          |FROM lm, d GROUP BY delay_ms ORDER BY delay_ms""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -85,6 +85,34 @@ object Retrieval {
       k, k1, b)
   }
 
+  /** Fielded BM25 (BM25F-lite, Robertson et al. 2004): per-field integer
+    * boost weights fold into a weighted term frequency and a weighted
+    * document length (`wtf = Σ_f w_f·tf_f`, `wdl = Σ_f w_f·len_f`), then
+    * the standard BM25 saturation runs ONCE on the weighted counts — a
+    * title hit counts `w_title`× a body hit without double-counting idf.
+    * Same pushed-down term filter, same shuffle shape, same exact-decimal
+    * scoring as [[bm25]] (one extra union per field before the
+    * aggregate). */
+  def bm25Fielded(df: DataFrame, idCol: String, fields: Seq[(String, Int)],
+                  queryTerms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty, "bm25Fielded: no fields")
+    val docs = df.select(
+      col(idCol).cast("long").as("id") +:
+        fields.map { case (f, _) => analyze(col(f)).as(s"_t_$f") }: _*)
+      .withColumn("dl", fields.map { case (f, w) =>
+        size(col(s"_t_$f")).cast("long") * w }.reduce(_ + _))
+    val tf = fields.map { case (f, w) =>
+      docs.select(col("id"), col("dl"), explode(col(s"_t_$f")).as("term"),
+        lit(w.toLong).as("w"))
+    }.reduce(_ unionByName _)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(sum("w").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    scoreBm25(tf, dfreq, docLengthStats(docs.select(col("id"), col("dl"))),
+      k, k1, b)
+  }
+
   /** (n_docs, avgdl) from a (id, dl) frame — one tiny aggregate that
     * broadcasts into the scorer. */
   def docLengthStats(dl: DataFrame): DataFrame =

@@ -277,6 +277,36 @@ object EventStreams {
       .select(col("n_sessions"), col("peak_concurrent"), col("peak_at"))
   }
 
+  /** Watermark-delay sizing audit: replay the log in ARRIVAL order
+    * (`event_id` — the ingest sequence), track the running max event
+    * time, and for each candidate watermark delay report how many events
+    * would arrive later than the watermark allows (late_us =
+    * runmax − ts > delay) — i.e. be DROPPED by a streaming aggregation
+    * with that `withWatermark` setting. The empirical basis for choosing
+    * the delay instead of guessing. One global arrival-order window
+    * (bounded here; at scale the same audit runs per ingest partition,
+    * where arrival order actually exists) + one conditional aggregate per
+    * candidate. */
+  def latenessAudit(events: DataFrame, delaysMs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events
+      .withColumn("_ts_us", unix_micros(col("ts")))
+      .withColumn("_late_us",
+        max("_ts_us").over(w) - col("_ts_us"))
+    delaysMs.map { d =>
+      late.agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("_late_us") > d * 1000L, 1L).otherwise(0L))
+          .as("n_dropped"),
+        (sum(when(col("_late_us") > d * 1000L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("dropped_frac"))
+        .select(lit(d).as("delay_ms"), col("n_events"), col("n_dropped"),
+          col("dropped_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental refresh as a `foreachBatch` micro-batch: for each batch of
     * newly-listed files, classify against the store's processed aggregate
     * and merge only new/modified (the ST1 pattern, refresh.py:28-143). */

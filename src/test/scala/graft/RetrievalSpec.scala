@@ -220,6 +220,18 @@ class RetrievalSpec extends SparkSpec {
     assert(out == Map(1L -> 4, 2L -> 3))
   }
 
+  test("bm25Fielded: a title hit outranks the same hit in the body") {
+    // same weighted dl (2·1 + 2 = 4); doc 1 has the query term in the
+    // boosted field → wtf 2 vs 1 → strictly higher score
+    val docs = Seq((1L, "p", "x y"), (2L, "x", "p y"))
+      .toDF("doc_id", "title", "body")
+    val out = Retrieval.bm25Fielded(docs, "doc_id",
+        Seq("title" -> 2, "body" -> 1), Seq("p"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > 0.0)
+  }
+
   test("passageAggregate: best-passage dominance with decayed extras") {
     val chunks = Seq(
       (1L, "1_0", "p p p x"),  // score 3 (best)

@@ -323,6 +323,21 @@ class StreamingSpec extends SparkSpec {
     assert(out.getTimestamp(2) == ts(3))
   }
 
+  test("latenessAudit: drops counted against the arrival-order high-water mark") {
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // arrival by event_id; event times 600, 610, 605, 540 minutes →
+    // lateness 0, 0, 5 min, 70 min
+    val ev = Seq((1L, ts(600)), (2L, ts(610)), (3L, ts(605)), (4L, ts(540)))
+      .toDF("event_id", "ts")
+    val out = graft.streaming.EventStreams
+      .latenessAudit(ev, Seq(60000L, 3600000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(60000L) == ((4L, 2L)))   // 5 min and 70 min both late
+    assert(out(3600000L) == ((4L, 1L))) // only the 70 min straggler
+  }
+
   test("liftTable: perfect top-half classifier has lift 2 then decays to 1") {
     import org.apache.spark.sql.functions._
     val scored = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 5))
