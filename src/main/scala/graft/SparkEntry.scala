@@ -3761,7 +3761,32 @@ object SparkEntry {
       // candidate delays — picks `withWatermark` empirically
       streaming.EventStreams.latenessAudit(events(s, dir),
           Seq(60000L, 600000L, 3600000L))
-        .orderBy("delay_ms"))
+        .orderBy("delay_ms")),
+
+    "q249_dp_counts" -> ((s, dir) =>
+      // DP-style release counts per (source, lang): bounded two-sided
+      // geometric noise drawn from the seeded keyHash uniform of the
+      // group key fingerprint — pure BIGINT threshold compares, clamped
+      // at zero; the perturb-side companion to the q218 k-anonymity gate
+      Governance.dpNoisyCounts(tbl(s, dir, "documents"),
+          Seq("source", "lang"))
+        .orderBy("source", "lang")),
+
+    "q250_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking: doc names + 2-char-deleted twins
+      // rank by name, pair within a 4-rank window, verify by exact
+      // Levenshtein ≤ 3 — the hash-block-complementary linkage path
+      val d = tbl(s, dir, "documents")
+      val base = d.select(col("doc_id").as("id"),
+        expr("substring(text, 1, 40)").as("name"))
+      val twins = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("id"),
+          concat(expr("substring(text, 1, 20)"),
+            expr("substring(text, 23, 18)")).as("name"))
+      Linkage.sortedNeighborhood(base.unionByName(twins), "id", "name",
+          window = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // ======================================================================
@@ -4819,7 +4844,7 @@ object SparkEntry {
           |  FROM documents),
           |st AS (SELECT id, j FROM toks, unnest(range(1, len(t))) AS r(j)
           |  WHERE t[j] = 'hash' AND t[j+1] = 'join')
-          |SELECT id, CAST(count(*) AS INT) AS n_occurrences,
+          |SELECT id, count(*) AS n_occurrences,
           |  CAST(min(j) AS INT) AS first_pos
           |FROM st GROUP BY id ORDER BY id""".stripMargin,
 
@@ -5222,6 +5247,57 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN late_us > delay_ms * 1000 THEN 1 ELSE 0
           |    END) AS DOUBLE) / count(*) AS dropped_frac
           |FROM lm, d GROUP BY delay_ms ORDER BY delay_ms""".stripMargin,
+
+      // the q26 fingerprint fold on the group key, the q226 keyHash
+      // chain, then pure-BIGINT CDF threshold compares
+      "q249_dp_counts" ->
+        """WITH c AS (SELECT source, lang, count(*) AS n,
+          |    source || '|' || lang AS gk
+          |  FROM documents GROUP BY source, lang),
+          |fp AS (SELECT source, lang, n,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(range(1, length(gk) + 1),
+          |        i -> CAST(ord(substring(gk, CAST(i AS INT), 1))
+          |          AS BIGINT))),
+          |      (acc, ch) -> (acc * 31 + ch) % 1000000007) AS f
+          |  FROM c),
+          |h0 AS (SELECT source, lang, n, (f * 1000003) % 2147483647 AS h
+          |  FROM fp),
+          |h1 AS (SELECT source, lang, n,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT source, lang, n,
+          |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |nz AS (SELECT source, lang, n, CAST(CASE
+          |    WHEN h < 2803503 THEN -8 WHEN h < 8410510 THEN -7
+          |    WHEN h < 19624524 THEN -6 WHEN h < 42052551 THEN -5
+          |    WHEN h < 86908607 THEN -4 WHEN h < 176620717 THEN -3
+          |    WHEN h < 356044938 THEN -2 WHEN h < 714893381 THEN -1
+          |    WHEN h < 1432590265 THEN 0 WHEN h < 1791438708 THEN 1
+          |    WHEN h < 1970862929 THEN 2 WHEN h < 2060575039 THEN 3
+          |    WHEN h < 2105431095 THEN 4 WHEN h < 2127859122 THEN 5
+          |    WHEN h < 2139073136 THEN 6 WHEN h < 2144680143 THEN 7
+          |    ELSE 8 END AS BIGINT) AS noise
+          |  FROM h2)
+          |SELECT source, lang, n, noise,
+          |  greatest(CAST(0 AS BIGINT), n + noise) AS noisy_n
+          |FROM nz ORDER BY source, lang""".stripMargin,
+
+      // rank by name, 3 offset equi-joins, exact levenshtein verify
+      "q250_sorted_neighborhood" ->
+        """WITH base AS (SELECT doc_id AS id, substring(text, 1, 40)
+          |    AS name FROM documents
+          |  UNION ALL SELECT doc_id + 1000000,
+          |    substring(text, 1, 20) || substring(text, 23, 18)
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |rk AS (SELECT id, name, row_number()
+          |    OVER (ORDER BY name, id) AS r FROM base),
+          |cand AS (SELECT a.id AS id_a, a.name AS name_a, b.id AS id_b,
+          |    b.name AS name_b
+          |  FROM rk a JOIN rk b ON b.r - a.r BETWEEN 1 AND 3)
+          |SELECT id_a, id_b, name_a, name_b,
+          |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+          |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -387,8 +387,14 @@ object Evaluation {
     * every division is a single double op on identical operand trees, so
     * the DuckDB oracle unrolls the same `iters` CTEs bit-for-bit. A
     * never-winning item fixes at strength 0 (the MM fixpoint). */
-  def bradleyTerry(pairs: DataFrame, winCol: String, loseCol: String,
+  def bradleyTerry(pairs0: DataFrame, winCol: String, loseCol: String,
                    iters: Int = 3): DataFrame = {
+    // the duel frame feeds wins, the match matrix, AND every MM round's
+    // joins — materialize it once (eager, lineage-truncating) so an
+    // expensive upstream build (a corpus window) runs once, not ~2·iters
+    // times (the pageRank e.cache() precedent; 2.9 s → sub-second at
+    // sf0.1)
+    val pairs = pairs0.select(col(winCol), col(loseCol)).localCheckpoint()
     val wins = pairs.groupBy(col(winCol).as("item"))
       .agg(count(lit(1)).as("wins"))
     // symmetric match counts m(i,j): duels between i and j in either order

@@ -106,4 +106,39 @@ object Governance {
       !host.rlike("^172\\.(1[6-9]|2[0-9]|3[01])\\.") &&
       !host.rlike("^169\\.254\\.")
   }
+
+  /** Integer CDF thresholds (×2³¹−1) of the BOUNDED two-sided geometric
+    * noise distribution P(k) ∝ (1/2)^|k|, k ∈ [−8, 8] — shared verbatim
+    * with the q249 oracle's CASE arms. */
+  val GeometricCdf: Seq[(Int, Long)] = Seq(
+    -8 -> 2803503L, -7 -> 8410510L, -6 -> 19624524L, -5 -> 42052551L,
+    -4 -> 86908607L, -3 -> 176620717L, -2 -> 356044938L, -1 -> 714893381L,
+    0 -> 1432590265L, 1 -> 1791438708L, 2 -> 1970862929L,
+    3 -> 2060575039L, 4 -> 2105431095L, 5 -> 2127859122L,
+    6 -> 2139073136L, 7 -> 2144680143L)
+
+  /** Differential-privacy-style noisy release counts: per-group counts
+    * plus bounded two-sided geometric noise (the discrete Laplace /
+    * geometric mechanism of Ghosh et al. 2009, truncated at ±8), clamped
+    * at zero. The "randomness" is the seeded [[Sketches.keyHash]] uniform
+    * of the group key's rolling fingerprint — DETERMINISTIC by design, so
+    * release runs are reproducible and the oracle replays the draw; a
+    * production deployment would swap the seed per release epoch. Noise
+    * selection is pure BIGINT threshold compares (no float sampling).
+    * Complements [[kAnonymityAudit]]: suppress small classes there,
+    * perturb the published counts here. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_gk", concat_ws("|", groupCols.map(col): _*))
+      .withColumn("_u",
+        Sketches.keyHash(graft.functions.TextFunctions.fingerprint("_gk")))
+    val noise = GeometricCdf.foldRight(lit(8L): Column) {
+      case ((k, t), acc) => when(col("_u") < t, lit(k.toLong)).otherwise(acc)
+    }
+    counts.withColumn("noise", noise)
+      .withColumn("noisy_n", greatest(lit(0L), col("n") + col("noise")))
+      .select(groupCols.map(col) ++
+        Seq(col("n"), col("noise"), col("noisy_n")): _*)
+  }
 }

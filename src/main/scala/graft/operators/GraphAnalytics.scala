@@ -368,14 +368,20 @@ object GraphAnalytics {
     val pos = docs.select(col(idCol).as("_doc"),
         posexplode(Retrieval.analyze(col(textCol))).as(Seq("p0", "term")))
       .select(col("_doc"), (col("p0") + 1).as("pos"), col("term"))
-    val up = pos.alias("a").join(pos.alias("b"),
-        col("a._doc") === col("b._doc") &&
-        col("b.pos") > col("a.pos") &&
-        col("b.pos") <= col("a.pos") + coWindow &&
-        col("a.term") =!= col("b.term"))
-      .select(least(col("a.term"), col("b.term")).as("w1"),
-        greatest(col("a.term"), col("b.term")).as("w2"))
+    // pairs within coWindow via LEADS on the one per-doc window — a
+    // positional self-join with the range predicate degrades to a
+    // per-doc cartesian (len² per doc; 3 s vs sub-second at sf0.1)
+    val w = Window.partitionBy("_doc").orderBy("pos")
+    val up = (1 to coWindow).map { o =>
+      pos.withColumn("nbr", lead("term", o).over(w))
+    }.reduce(_ unionByName _)
+      .filter(col("nbr").isNotNull && col("term") =!= col("nbr"))
+      .select(least(col("term"), col("nbr")).as("w1"),
+        greatest(col("term"), col("nbr")).as("w2"))
       .distinct()
+      // vocabulary-bounded; feeds dict, edges AND the final term join —
+      // materialize once so the corpus window never re-runs per branch
+      .localCheckpoint()
     val dict = up.select(col("w1").as("term"))
       .union(up.select(col("w2").as("term"))).distinct()
       .withColumn("wid",

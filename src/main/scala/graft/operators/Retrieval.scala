@@ -259,28 +259,30 @@ object Retrieval {
 
   /** Exact phrase match: documents containing `phrase` as CONSECUTIVE
     * tokens, with occurrence count and the 1-based position of the first
-    * occurrence. Evaluated per-row over the token array with codegen'd
-    * higher-order functions — a phrase scan is a map-side filter, ZERO
-    * shuffle (grep-shaped, perfect at 100 TB). The join-based alternative
-    * (n-way self-join of a positional index on pos−i) only wins when a
-    * prebuilt index can prune the corpus scan; over raw text this form
-    * strictly dominates. */
+    * occurrence. Shape: the position explode is filtered to the phrase's
+    * OWN words map-side (almost everything dies at the scan), then
+    * word i's positions equi-join word 0's on (id, pos − i) — the
+    * standard positional-index phrase intersection, n−1 hash joins on
+    * keys that survive the prune. (A per-row higher-order-function scan
+    * was tried first: HOF lambdas evaluate interpreted, ~10× slower than
+    * these codegen'd joins at sf0.1 — see NOTES.) */
   def phraseMatch(df: DataFrame, idCol: String, textCol: String,
                   phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseMatch: empty phrase")
-    val n = phrase.length
-    val startsFor = (t: Column) =>
-      when(size(t) >= n,
-        filter(sequence(lit(1), size(t) - (n - 1)),
-          j => phrase.zipWithIndex.map { case (wd, i) =>
-            element_at(t, (j + lit(i)).cast("int")) === lit(wd)
-          }.reduce(_ && _)))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).cast("long").as("id"),
-        startsFor(analyze(col(textCol))).as("_starts"))
-      .filter(size(col("_starts")) > 0)
-      .select(col("id"), size(col("_starts")).as("n_occurrences"),
-        col("_starts")(0).as("first_pos"))
+    val pos = df.select(col(idCol).cast("long").as("id"),
+        posexplode(analyze(col(textCol))).as(Seq("p0", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("term"))
+    val f0 = pos.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos").as("start"))
+    val starts = phrase.zipWithIndex.tail.foldLeft(f0) {
+      case (acc, (wd, i)) =>
+        acc.join(pos.filter(col("term") === wd)
+          .select(col("id"), (col("pos") - i).as("start")),
+          Seq("id", "start"))
+    }
+    starts.groupBy("id")
+      .agg(count(lit(1)).as("n_occurrences"), min("start").as("first_pos"))
   }
 
   /** Minimal covering span (Clarke et al. 2000 proximity): for each doc

@@ -150,4 +150,28 @@ class GovernanceSpec extends SparkSpec {
     assert(out(("en", 2L)) == ((2L, 2L, true, true)))
     assert(out(("fr", 1L)) == ((6L, 1L, false, true)))
   }
+
+  test("dpNoisyCounts: deterministic bounded noise, zero clamp, exact CDF draw") {
+    import graft.plans.HashExpressions
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "en"), ("s2", "fr"))
+      .toDF("source", "lang")
+    val out = graft.operators.Governance
+      .dpNoisyCounts(df, Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // replay the draw on the driver: fingerprint then scrambled hash
+    def fp(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    def noiseOf(key: String): Long = {
+      val u = HashExpressions.scrambleHash(fp(key), HashExpressions.PolyBase1)
+      val th = graft.operators.Governance.GeometricCdf
+      th.collectFirst { case (k, t) if u < t => k.toLong }.getOrElse(8L)
+    }
+    for (((src, lg), (n, noise, noisy)) <- out) {
+      assert(noise == noiseOf(s"$src|$lg"))
+      assert(noise >= -8L && noise <= 8L)
+      assert(noisy == math.max(0L, n + noise))
+    }
+    assert(out(("s1", "en"))._1 == 3L && out(("s2", "fr"))._1 == 1L)
+  }
 }

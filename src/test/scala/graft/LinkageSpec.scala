@@ -43,4 +43,23 @@ class LinkageSpec extends SparkSpec {
     assert(out == Seq((10L, 1L, 3L, 20, "en", "s1"),
       (20L, 4L, 2L, 5, "en", "s9")))
   }
+
+  test("sortedNeighborhood: adjacent near-identicals pair, distant names never") {
+    val recs = Seq(
+      (1L, "alpha document one"),
+      (2L, "alpha document onX"),   // dist 1 from id 1, adjacent in sort
+      (3L, "zz totally different"),
+      (4L, "alpha documenz one")    // dist 1 from id 1, 2 from id 2
+    ).toDF("id", "name")
+    val out = graft.operators.Linkage
+      .sortedNeighborhood(recs, "id", "name", window = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    // sort order: "alpha document onX"(2) < "alpha document one"(1)
+    //   < "alpha documenz one"(4) < "zz..."(3)
+    assert(out((2L, 1L)) == 1)
+    assert(out((1L, 4L)) == 1)
+    assert(out((2L, 4L)) == 2)
+    // id 3 pairs with nothing within dist 2
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }

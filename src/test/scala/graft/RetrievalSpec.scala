@@ -204,8 +204,8 @@ class RetrievalSpec extends SparkSpec {
       (5L, "A B")          // analyzer lowercases
     ).toDF("doc_id", "text")
     val out = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("a", "b"))
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    assert(out == Map(1L -> ((2, 1)), 5L -> ((1, 1))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ((2L, 1)), 5L -> ((1L, 1))))
   }
 
   test("minSpanProximity: hand-checked spans; docs missing a term drop") {
