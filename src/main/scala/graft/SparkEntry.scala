@@ -3786,6 +3786,21 @@ object SparkEntry {
       Linkage.sortedNeighborhood(base.unionByName(twins), "id", "name",
           window = 4, maxDist = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q251_kaplan_meier" -> ((s, dir) => {
+      // churn survival curve: per-user lifetime in whole hours (first →
+      // last event), churn OBSERVED only when the user went quiet ≥ 12 h
+      // before the log ends (else censored) — the product-limit estimate
+      // plain retention means get wrong under censoring
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val gmax = per.agg(max("t1").as("gm"))
+      val life = per.crossJoin(broadcast(gmax))
+        .select(expr("(t1 - t0) div 3600000000").as("t"),
+          (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
+      Stats.kaplanMeier(life, "t", "observed").orderBy("t")
     })
   )
 
@@ -5298,6 +5313,36 @@ object SparkEntry {
           |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
           |FROM cand WHERE levenshtein(name_a, name_b) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // suffix-sum at-risk counts; the survival product folds the SAME
+      // ordered factor list (list_reduce over list(f ORDER BY u))
+      "q251_kaplan_meier" ->
+        """WITH per AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+          |  FROM events GROUP BY user_id),
+          |gm AS (SELECT max(t1) AS gm FROM per),
+          |life AS (SELECT (t1 - t0) // 3600000000 AS t,
+          |    t1 < gm - 43200000000 AS observed FROM per, gm),
+          |pt AS (SELECT t, count(*) AS n_all,
+          |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS d
+          |  FROM life GROUP BY t),
+          |tt AS (SELECT CAST(SUM(n_all) AS BIGINT) AS N FROM pt),
+          |ar AS (SELECT t, d, N - CAST(coalesce(SUM(n_all)
+          |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |        AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+          |  FROM pt, tt),
+          |st AS (SELECT t, n_at_risk, d AS n_events,
+          |    CAST(n_at_risk - d AS DOUBLE) / n_at_risk AS f
+          |  FROM ar WHERE d > 0)
+          |SELECT a.t, a.n_at_risk, a.n_events,
+          |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          |    list(CAST(b.f AS DOUBLE) ORDER BY b.t)), (x, y) -> x * y)
+          |    AS survival
+          |FROM st a JOIN st b ON b.t <= a.t
+          |GROUP BY a.t, a.n_at_risk, a.n_events
+          |ORDER BY a.t""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

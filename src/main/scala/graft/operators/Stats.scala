@@ -433,6 +433,41 @@ object Stats {
     s"pmod(($h1 ^ shiftright($h1, 13)) * $mix, ${p}L)"
   }
 
+  /** Kaplan–Meier survival estimate over right-censored lifetimes: rows
+    * are (duration `tCol`, event-observed `obsCol` — false = censored);
+    * output is one row per EVENT time with the at-risk count, event
+    * count, and the product-limit survival Ŝ(t) = Π_{u≤t} (1 − d_u/n_u)
+    * — the churn/retention curve that plain means get wrong under
+    * censoring.
+    *
+    * Replay discipline: at-risk counts are suffix sums (exact BIGINT);
+    * each step factor is one exact-int double division; the cumulative
+    * product folds an ORDERED factor list (`aggregate(array_sort(...))`
+    * here, `list_reduce(list(... ORDER BY u))` in the oracle) — same
+    * order, same doubles, bit-identical. The step table is bounded by
+    * DISTINCT durations (days/hours — never corpus-sized), so the t≤u
+    * prefix join and the global step window are small by construction. */
+  def kaplanMeier(life: DataFrame, tCol: String, obsCol: String): DataFrame = {
+    val perT = life.groupBy(col(tCol).as("t"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col(obsCol), 1L).otherwise(0L)).as("d"))
+    val tot = perT.agg(sum("n_all").as("_N"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = perT.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("_N") - coalesce(sum("n_all").over(wPrev), lit(0L)))
+    val steps = atRisk.filter(col("d") > 0)
+      .withColumn("f",
+        (col("n_at_risk") - col("d")).cast("double") / col("n_at_risk"))
+    val factors = steps.select(col("t").as("u"), col("f"))
+    steps.select(col("t"), col("n_at_risk"), col("d").as("n_events"))
+      .join(factors, col("u") <= col("t"))
+      .groupBy("t", "n_at_risk", "n_events")
+      .agg(expr("aggregate(array_sort(collect_list(struct(u, f))), " +
+        "cast(1.0 as double), (acc, x) -> acc * x.f)").as("survival"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): regress the outcome on
     * a pre-experiment covariate (θ = cov(x,y)/var(x), pooled), adjust
     * y_adj = y − θ·(x − x̄), and report per-arm raw vs adjusted means —

@@ -489,4 +489,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial+final
   }
+
+  test("q233: phrase match never builds a per-doc cartesian") {
+    // map-side term prune then equi-joins — no range-condition join
+    // degeneration (BroadcastNestedLoop/Cartesian) anywhere
+    val p = plan("q233_phrase_match").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window")) // and no rank-window fallback
+  }
+
+  test("q245: passage aggregation is partial+final doc aggregate, top-k take") {
+    // min_by's struct ordering selects SortAggregate — still two-phase
+    // (map-side partial before the exchange), which is the property that
+    // matters; the final pick is TakeOrderedAndProject, never a full sort
+    val p = plan("q245_passage_agg").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q247: fielded BM25 top-k takes, no fact-fact shuffle join") {
+    // dims (df/stats) broadcast; the only cross join is the 1-row stats
+    // frame; final selection is TakeOrderedAndProject
+    val p = plan("q247_bm25f").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q250: sorted-neighborhood candidates come from equi-joins on rank") {
+    val p = plan("q250_sorted_neighborhood").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

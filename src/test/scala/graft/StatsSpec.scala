@@ -6,6 +6,17 @@ import graft.operators.{Retrieval, Stats}
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kaplanMeier: textbook product-limit steps; censored rows consume risk only") {
+    val life = Seq((1L, true), (2L, true), (3L, false)).toDF("t", "obs")
+    val out = graft.operators.Stats.kaplanMeier(life, "t", "obs")
+      .orderBy("t").as[(Long, Long, Long, Double)].collect().toSeq
+    // t=1: 3 at risk, 1 event → S = 2/3; t=2: 2 at risk, 1 event → S = 1/3
+    assert(out == Seq((1L, 3L, 1L, 2.0 / 3.0), (2L, 2L, 1L, (2.0 / 3.0) * 0.5)))
+    // all-censored input yields an empty curve
+    val cens = Seq((1L, false), (5L, false)).toDF("t", "obs")
+    assert(graft.operators.Stats.kaplanMeier(cens, "t", "obs").count() == 0L)
+  }
+
   test("cupedAdjust: perfectly-correlated covariate removes all variance") {
     // y = 10x exactly → θ = 10; y_adj = y − 10(x − x̄) = 10·x̄ for every
     // row → both arms' adjusted means equal the global raw mean
