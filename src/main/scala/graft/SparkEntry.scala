@@ -3801,6 +3801,37 @@ object SparkEntry {
         .select(expr("(t1 - t0) div 3600000000").as("t"),
           (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
       Stats.kaplanMeier(life, "t", "observed").orderBy("t")
+    }),
+
+    "q252_cusum" -> ((s, dir) =>
+      // CUSUM level-shift scan over daily event counts: exact BIGINT
+      // scaled deviations T·cum − t·total, |peak| rows flagged — the
+      // changepoint monitor that complements q152's EWMA smoothing
+      Stats.cusumChangepoint(
+          events(s, dir).groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "day", "n_events")
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+
+    "q253_lagged_corr" -> ((s, dir) => {
+      // lead/lag cross-correlation: daily view counts vs daily purchase
+      // cents at lags −3..+3 — "do views drive purchases days later?";
+      // 7 small date-shifted joins into the q111 exact-sum Pearson
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("y"))
+      val pairs = (-3 to 3).map { l =>
+        daily.select(col("day"), col("x"))
+          .join(daily.select(date_sub(col("day"), l).as("day"), col("y")),
+            "day")
+          .select(lit(l).as("lag"), col("x"), col("y"))
+      }.reduce(_ unionByName _)
+      Stats.groupCorrelation(pairs, "lag", "x", "y").orderBy("lag")
     })
   )
 
@@ -5343,6 +5374,49 @@ object SparkEntry {
           |FROM st a JOIN st b ON b.t <= a.t
           |GROUP BY a.t, a.n_at_risk, a.n_events
           |ORDER BY a.t""".stripMargin,
+
+      // scaled CUSUM: T·cum − t·total, all BIGINT; ties all flagged
+      "q252_cusum" ->
+        """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+          |  FROM events GROUP BY 1),
+          |tt AS (SELECT count(*) AS T, CAST(SUM(n_events) AS BIGINT) AS S
+          |  FROM d),
+          |c AS (SELECT day, n_events,
+          |    CAST(T * SUM(n_events) OVER (ORDER BY day
+          |        ROWS UNBOUNDED PRECEDING)
+          |      - row_number() OVER (ORDER BY day) * S AS BIGINT) AS cusum
+          |  FROM d, tt),
+          |m AS (SELECT max(abs(cusum)) AS mx FROM c)
+          |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, cusum,
+          |  abs(cusum) = mx AS is_peak
+          |FROM c, m ORDER BY day""".stripMargin,
+
+      // 7 date-shifted self-joins of the daily frame into the q111
+      // exact-decimal Pearson
+      "q253_lagged_corr" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+          |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS x,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase'
+          |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |      AS BIGINT) AS y
+          |  FROM events GROUP BY 1),
+          |lg AS (SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS INT)
+          |    AS lag),
+          |pr AS (SELECT lag, a.x AS x, b.y AS y
+          |  FROM lg, daily a JOIN daily b ON b.day = a.day + lag),
+          |st AS (SELECT lag, COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+          |  FROM pr GROUP BY lag)
+          |SELECT lag, n,
+          |  round((n * sxy - sx * sy) /
+          |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+          |    AS corr
+          |FROM st ORDER BY lag""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

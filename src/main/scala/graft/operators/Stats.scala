@@ -433,6 +433,31 @@ object Stats {
     s"pmod(($h1 ^ shiftright($h1, 13)) * $mix, ${p}L)"
   }
 
+  /** CUSUM changepoint scan (Page 1954, scaled form): over an ordered
+    * series, C_t = T·Σ_{i≤t} x_i − t·Σx — the cumulative deviation from
+    * the global mean with the 1/T division cleared, so every value is an
+    * exact BIGINT. |C| peaks at the most likely level-shift point; rows
+    * achieving the global max are flagged. The series is an ordered
+    * aggregate (days, hours — bounded), so the global order window is
+    * small by construction. */
+  def cusumChangepoint(series: DataFrame, orderCol: String,
+                       valueCol: String): DataFrame = {
+    val tot = series.agg(count(lit(1)).as("_T"), sum(valueCol).as("_S"))
+    val wCum = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // "_rn", not "_t": the analyzer is case-INSENSITIVE, so a column
+    // named "_t" silently REPLACES the "_T" total via withColumn
+    val cum = series.crossJoin(broadcast(tot))
+      .withColumn("_rn", row_number().over(Window.orderBy(orderCol))
+        .cast("long"))
+      .withColumn("cusum",
+        col("_T") * sum(col(valueCol)).over(wCum) - col("_rn") * col("_S"))
+    val mx = cum.agg(max(abs(col("cusum"))).as("_mx"))
+    cum.crossJoin(broadcast(mx))
+      .withColumn("is_peak", abs(col("cusum")) === col("_mx"))
+      .select(col(orderCol), col(valueCol), col("cusum"), col("is_peak"))
+  }
+
   /** Kaplan–Meier survival estimate over right-censored lifetimes: rows
     * are (duration `tCol`, event-observed `obsCol` — false = censored);
     * output is one row per EVENT time with the at-risk count, event

@@ -6,6 +6,20 @@ import graft.operators.{Retrieval, Stats}
 class StatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cusumChangepoint: peak lands at the step edge; flat series peaks at 0") {
+    val s5 = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L))
+      .toDF("t", "v")
+    val out = graft.operators.Stats.cusumChangepoint(s5, "t", "v")
+      .orderBy("t").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // T=5, S=13 → C = 5·cum − t·13 = −8, −16, −24, −12, 0
+    assert(out.map(_._3) == Seq(-8L, -16L, -24L, -12L, 0L))
+    assert(out.map(_._4) == Seq(false, false, true, false, false))
+    // constant series: every C = 0 → every row ties at the peak
+    val flat = Seq((1L, 2L), (2L, 2L)).toDF("t", "v")
+    assert(graft.operators.Stats.cusumChangepoint(flat, "t", "v")
+      .filter(col("is_peak")).count() == 2L)
+  }
+
   test("kaplanMeier: textbook product-limit steps; censored rows consume risk only") {
     val life = Seq((1L, true), (2L, true), (3L, false)).toDF("t", "obs")
     val out = graft.operators.Stats.kaplanMeier(life, "t", "obs")
