@@ -3832,6 +3832,22 @@ object SparkEntry {
           .select(lit(l).as("lag"), col("x"), col("y"))
       }.reduce(_ unionByName _)
       Stats.groupCorrelation(pairs, "lag", "x", "y").orderBy("lag")
+    }),
+
+    "q254_line_dedup" -> ((s, dir) => {
+      // corpus-wide exact line dedup (C4/RefinedWeb): q99's 12-token
+      // pseudo-lines over docs + full twins of every 3rd doc — only the
+      // first (doc, idx) occurrence of a line survives; docs reassemble
+      // from survivors, content pinned by the rolling fingerprint
+      val d0 = tbl(s, dir, "documents")
+      val corpus = d0.select(col("doc_id"), col("text")).unionByName(
+        d0.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val withLines = corpus
+        .withColumn("_toks", TextQuality.tokens(col("text")))
+        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+      TextQuality.globalLineDedup(withLines, "doc_id", "lines")
+        .orderBy("id")
     })
   )
 
@@ -5417,6 +5433,46 @@ object SparkEntry {
           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
           |    AS corr
           |FROM st ORDER BY lag""".stripMargin,
+
+      // the q99 pseudo-line CTEs over the twinned corpus; winner =
+      // row_number 1 over (line ORDER BY id, idx); reassembled text
+      // pinned by the q26 fingerprint fold
+      "q254_line_dedup" ->
+        """WITH c AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 3 = 0),
+          |d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+          |      AS toks
+          |  FROM c),
+          |l AS (SELECT doc_id,
+          |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(
+          |      range(0, CAST(floor((len(toks) - 1) / 12) AS BIGINT) + 1),
+          |      i -> array_to_string(
+          |        toks[CAST(i * 12 + 1 AS INT) : CAST(i * 12 + 12 AS INT)],
+          |        ' '))
+          |    END AS lines
+          |  FROM d),
+          |ex AS (SELECT doc_id AS id, i - 1 AS idx,
+          |    lines[CAST(i AS INT)] AS line
+          |  FROM l, unnest(range(1, len(lines) + 1)) AS r(i)),
+          |wn AS (SELECT id, idx, line, row_number()
+          |    OVER (PARTITION BY line ORDER BY id, idx) AS rn FROM ex),
+          |per AS (SELECT id,
+          |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_kept,
+          |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_dropped,
+          |    coalesce(array_to_string(list(line ORDER BY idx)
+          |      FILTER (rn = 1), ' '), '') AS nt
+          |  FROM wn GROUP BY id)
+          |SELECT id, n_kept, n_dropped,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(nt) + 1),
+          |      i -> CAST(ord(substring(nt, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS new_fp
+          |FROM per ORDER BY id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

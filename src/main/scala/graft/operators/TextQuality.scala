@@ -308,4 +308,34 @@ object TextQuality {
       .withColumn("label", (col("raw_margin") > 0).cast("boolean"))
       .drop("_fh")
   }
+
+  /** Global (cross-document) exact line dedup — the C4/RefinedWeb
+    * corpus-wide line filter: every line occurrence except the FIRST
+    * (min (doc, idx)) is dropped, and each doc's text is reassembled
+    * from its surviving lines in order. Returns per doc the kept/dropped
+    * counts and the rolling fingerprint of the reassembled text (the
+    * content proof without shipping the text).
+    *
+    * Shape: one shuffle keyed by LINE CONTENT (the dedup — map-side
+    * partial min on the (doc, idx) struct), one shuffle by doc (the
+    * reassembly collect). Nothing quadratic; the per-line payload is the
+    * line plus two ints. */
+  def globalLineDedup(df: DataFrame, idCol: String,
+                      linesCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      posexplode(col(linesCol)).as(Seq("idx", "line")))
+    val winners = ex.groupBy("line")
+      .agg(min(struct(col("id"), col("idx"))).as("_w"))
+    ex.join(winners, "line")
+      .withColumn("_keep",
+        col("id") === col("_w.id") && col("idx") === col("_w.idx"))
+      .groupBy("id")
+      .agg(sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN _keep THEN struct(idx, line) END)), x -> x.line)"),
+          " ").as("_nt"))
+      .withColumn("new_fp", graft.functions.TextFunctions.fingerprint("_nt"))
+      .select("id", "n_kept", "n_dropped", "new_fp")
+  }
 }

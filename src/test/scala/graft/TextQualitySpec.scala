@@ -102,4 +102,20 @@ class TextQualitySpec extends SparkSpec {
     // s2: 1-1 tie -> lexicographically smaller prefix wins, share 0.5
     assert(out("s2") == ((2L, "p q r", 1L, 0.5, true)))
   }
+
+  test("globalLineDedup: first (doc, idx) occurrence wins; empty docs fp 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, Seq("A", "B")), (2L, Seq("B", "C")), (3L, Seq("A")))
+      .toDF("doc_id", "lines")
+    val out = graft.operators.TextQuality
+      .globalLineDedup(df, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(t: String) =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(out(1L) == ((2L, 0L, fp("A B"))))
+    assert(out(2L) == ((1L, 1L, fp("C"))))
+    assert(out(3L) == ((0L, 1L, 0L)))
+  }
 }
