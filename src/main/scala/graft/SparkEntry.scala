@@ -3848,6 +3848,30 @@ object SparkEntry {
         .withColumn("lines", TextQuality.tokenLines("_toks", 12))
       TextQuality.globalLineDedup(withLines, "doc_id", "lines")
         .orderBy("id")
+    }),
+
+    "q255_zorder_skipping" -> ((s, dir) => {
+      // the q76/q241 synthesis: the SAME 2-D box predicate against
+      // 200-row files cut by (x, y) lexicographic sort vs z-value sort —
+      // zone maps on both dims; z-order prunes on BOTH axes where the
+      // lexicographic layout only prunes on the leading column
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_partkey") % 1024).as("px"),
+        (col("l_suppkey") % 1024).as("sy"),
+        col("l_orderkey"), col("l_linenumber"))
+      val (loX, hiX, loY, hiY) =
+        (lit(100L), lit(199L), lit(300L), lit(399L))
+      def stats(ordered: DataFrame) = DataLayout.skipStats2D(
+        ordered, expr("(_rn - 1) div 200"), col("px"), col("sy"),
+        loX, hiX, loY, hiY)
+      val lex = stats(li.withColumn("_rn", row_number().over(
+        Window.orderBy("px", "sy", "l_orderkey", "l_linenumber"))))
+      val zord = stats(li
+        .withColumn("zv", DataLayout.zValue2(col("px"), col("sy"), 10))
+        .withColumn("_rn", row_number().over(
+          Window.orderBy("zv", "l_orderkey", "l_linenumber"))))
+      DataLayout.skipSummary(Seq("x_then_y" -> lex, "zorder" -> zord))
+        .orderBy("layout")
     })
   )
 
@@ -5473,6 +5497,38 @@ object SparkEntry {
           |      i -> CAST(ord(substring(nt, CAST(i AS INT), 1)) AS BIGINT))),
           |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS new_fp
           |FROM per ORDER BY id""".stripMargin,
+
+      // the q76 z-value fold; identical rank-cut files and 2-D zone-map
+      // skip conditions for both layouts
+      "q255_zorder_skipping" ->
+        """WITH b AS (SELECT l_partkey % 1024 AS px, l_suppkey % 1024
+          |    AS sy, l_orderkey, l_linenumber FROM lineitem),
+          |lx AS (SELECT px, sy, (row_number() OVER (ORDER BY px, sy,
+          |    l_orderkey, l_linenumber) - 1) // 200 AS f FROM b),
+          |lf AS (SELECT f, min(px) AS xmn, max(px) AS xmx, min(sy)
+          |    AS ymn, max(sy) AS ymx, count(*) AS nr FROM lx GROUP BY f),
+          |zb AS (SELECT px, sy, l_orderkey, l_linenumber,
+          |    list_sum(list_transform(range(0, 10),
+          |      i -> (((px >> i) & 1) << (2*i)) +
+          |        (((sy >> i) & 1) << (2*i+1)))) AS zv FROM b),
+          |zx AS (SELECT px, sy, (row_number() OVER (ORDER BY zv,
+          |    l_orderkey, l_linenumber) - 1) // 200 AS f FROM zb),
+          |zf AS (SELECT f, min(px) AS xmn, max(px) AS xmx, min(sy)
+          |    AS ymn, max(sy) AS ymx, count(*) AS nr FROM zx GROUP BY f),
+          |u AS (SELECT 'x_then_y' AS layout, xmn, xmx, ymn, ymx, nr
+          |    FROM lf
+          |  UNION ALL SELECT 'zorder', xmn, xmx, ymn, ymx, nr FROM zf),
+          |sk AS (SELECT layout, nr,
+          |    xmx < 100 OR xmn > 199 OR ymx < 300 OR ymn > 399 AS s
+          |  FROM u)
+          |SELECT layout, count(*) AS n_files,
+          |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_skippable,
+          |  CAST(SUM(CASE WHEN s THEN nr ELSE 0 END) AS BIGINT)
+          |    AS rows_skipped,
+          |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |    AS file_skip_frac
+          |FROM sk GROUP BY layout ORDER BY layout""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -150,6 +150,22 @@ object DataLayout {
         count(lit(1)).as("n_rows"))
       .withColumn("skippable", col("f_max") < lo || col("f_min") > hi)
 
+  /** [[skipStats]] for a 2-D box predicate: per-file zone maps on BOTH
+    * probe columns; a file is skippable when EITHER dimension's [min,max]
+    * misses its range — the audit that shows why a z-order layout prunes
+    * box queries single-column sorting cannot. Feeds [[skipSummary]]. */
+  def skipStats2D(df: DataFrame, fileExpr: Column, px: Column, py: Column,
+                  loX: Column, hiX: Column,
+                  loY: Column, hiY: Column): DataFrame =
+    df.select(fileExpr.as("file_id"), px.as("_x"), py.as("_y"))
+      .groupBy("file_id")
+      .agg(min("_x").as("x_min"), max("_x").as("x_max"),
+        min("_y").as("y_min"), max("_y").as("y_max"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("skippable",
+        col("x_max") < loX || col("x_min") > hiX ||
+          col("y_max") < loY || col("y_min") > hiY)
+
   /** [[skipStats]] rolled up to one row per labeled layout: file count,
     * skippable files, and the row/file skip fractions a predicate on
     * `probe` achieves under that layout. */
