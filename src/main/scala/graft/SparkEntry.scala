@@ -3872,6 +3872,31 @@ object SparkEntry {
           Window.orderBy("zv", "l_orderkey", "l_linenumber"))))
       DataLayout.skipSummary(Seq("x_then_y" -> lex, "zorder" -> zord))
         .orderBy("layout")
+    }),
+
+    "q256_ltr_features" -> ((s, dir) => {
+      // learning-to-rank feature extraction: the q98 BM25 top-20
+      // candidates joined with dense (query cosine distance), prior
+      // (quality score) and shape (length) features — the feature-join
+      // step between first-stage retrieval and a reranker
+      graft.plans.VectorExpressions.register(s)
+      val d = tbl(s, dir, "documents")
+      val q0 = Seq("spark", "join", "vector", "window")
+      val cands = Retrieval.bm25(d, "doc_id", "text", q0, 20)
+        .select(col("id").as("doc_id"), col("score").as("bm25"),
+          col("n_matched"))
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dense = e.select(col("vec_id").as("doc_id"),
+        round(call_function("graft_cosine_distance", col("embedding"),
+          array(qv.map(v => lit(v)): _*)), 6).as("cos_dist"))
+      val prior = d.select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        length(col("text")).as("text_len"))
+      cands.join(prior, "doc_id")
+        .join(dense, Seq("doc_id"), "left")
+        .orderBy(col("bm25").desc, col("doc_id"))
     })
   )
 
@@ -5529,6 +5554,24 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
           |    AS file_skip_frac
           |FROM sk GROUP BY layout ORDER BY layout""".stripMargin,
+
+      // the q98 candidate CTE joined to the q17 cosine replay and the
+      // q25 quality replay — one row per candidate with all features
+      "q256_ltr_features" ->
+        s"""WITH cand AS ($bm25OracleSql),
+           |qvx AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |dense AS (SELECT vec_id AS id,
+           |    round(1.0 - list_cosine_similarity(
+           |      CAST(embedding AS DOUBLE[]), qv), 6) AS cos_dist
+           |  FROM embeddings, qvx),
+           |pri AS (SELECT doc_id AS id, $qualitySql AS quality,
+           |    CAST(length(text) AS INT) AS text_len FROM documents)
+           |SELECT c.id AS doc_id, c.score AS bm25, c.n_matched,
+           |  p.quality, p.text_len, d.cos_dist
+           |FROM cand c JOIN pri p USING (id)
+           |  LEFT JOIN dense d USING (id)
+           |ORDER BY bm25 DESC, doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
