@@ -3897,6 +3897,39 @@ object SparkEntry {
       cands.join(prior, "doc_id")
         .join(dense, Seq("doc_id"), "left")
         .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    "q257_nextevent_eval" -> ((s, dir) => {
+      // next-event prediction baseline with a TEMPORAL holdout: each
+      // user's final transition is held out, the q187-style transition
+      // counts train on everything else, prediction = argmax count from
+      // the held-out prev state (ties → lexicographic) — the accuracy
+      // floor any sequence model must beat
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val seq0 = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .withColumn("rnd", row_number().over(wd))
+        .filter(col("nxt").isNotNull)
+      val held = seq0.filter(col("rnd") === 2)
+        .select(col("user_id"), col("event_type").as("prev"),
+          col("nxt").as("actual"))
+      val train = seq0.filter(col("rnd") =!= 2)
+        .groupBy(col("event_type").as("prev"), col("nxt").as("cand"))
+        .agg(count(lit(1)).as("cnt"))
+      val pred = held.join(broadcast(train), Seq("prev"), "left")
+        .withColumn("cand", coalesce(col("cand"), lit("")))
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .groupBy("user_id", "actual")
+        .agg(min_by(col("cand"),
+          struct((-col("cnt")).as("nc"), col("cand"))).as("pred"))
+      pred.agg(count(lit(1)).as("n_users"),
+        sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"),
+        (sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("accuracy"))
     })
   )
 
@@ -5572,6 +5605,37 @@ object SparkEntry {
            |FROM cand c JOIN pri p USING (id)
            |  LEFT JOIN dense d USING (id)
            |ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+      // identical two-window split; argmax via row_number over
+      // (cnt DESC, cand); unseen prev states predict '' and miss
+      "q257_nextevent_eval" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |sq AS (SELECT user_id, event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS nxt,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rnd
+          |  FROM e),
+          |pr AS (SELECT user_id, event_type, nxt, rnd FROM sq
+          |  WHERE nxt IS NOT NULL),
+          |held AS (SELECT user_id, event_type AS prev, nxt AS actual
+          |  FROM pr WHERE rnd = 2),
+          |tr AS (SELECT event_type AS prev, nxt AS cand, count(*) AS cnt
+          |  FROM pr WHERE rnd <> 2 GROUP BY 1, 2),
+          |cd AS (SELECT h.user_id, h.actual,
+          |    coalesce(t.cand, '') AS cand, coalesce(t.cnt, 0) AS cnt
+          |  FROM held h LEFT JOIN tr t ON h.prev = t.prev),
+          |pk AS (SELECT user_id, actual, cand, row_number()
+          |    OVER (PARTITION BY user_id, actual
+          |      ORDER BY cnt DESC, cand) AS rn
+          |  FROM cd)
+          |SELECT count(*) AS n_users,
+          |  CAST(SUM(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_correct,
+          |  CAST(SUM(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*) AS accuracy
+          |FROM pk WHERE rn = 1""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
