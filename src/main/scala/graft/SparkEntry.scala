@@ -3930,6 +3930,22 @@ object SparkEntry {
           .as("n_correct"),
         (sum(when(col("pred") === col("actual"), 1L).otherwise(0L))
           .cast("double") / count(lit(1))).as("accuracy"))
+    }),
+
+    "q258_policy_replay" -> ((s, dir) => {
+      // counterfactual policy evaluation: π(user-segment) = the action
+      // with the best mean cents BEFORE Jan 20; uniform-propensity IPS
+      // replay of the post-cutoff log estimates its value per segment —
+      // the offline gate before an online A/B (q226/q246's third leg)
+      val ev = events(s, dir)
+        .withColumn("ctx", col("user_id") % 4)
+        .withColumn("cents",
+          coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+      val cut = lit("2024-01-20").cast("timestamp")
+      Evaluation.ipsPolicyEval(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "ctx", "event_type", "cents")
+        .orderBy("ctx")
     })
   )
 
@@ -5636,6 +5652,31 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE)
           |    / count(*) AS accuracy
           |FROM pk WHERE rn = 1""".stripMargin,
+
+      // policy = argmax mean train cents per ctx (row_number over
+      // mean DESC, act); IPS = K·matched-cents / n_eval, exact ints
+      "q258_policy_replay" ->
+        """WITH e AS (SELECT user_id % 4 AS ctx, event_type AS act,
+          |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS r,
+          |    CAST(ts AS TIMESTAMP) AS ts
+          |  FROM events),
+          |tr AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-20'),
+          |ev AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-20'),
+          |mn AS (SELECT ctx, act, CAST(SUM(r) AS DOUBLE) / count(*)
+          |    AS m FROM tr GROUP BY ctx, act),
+          |pol AS (SELECT ctx, act AS pi FROM (
+          |    SELECT ctx, act, row_number() OVER (PARTITION BY ctx
+          |      ORDER BY m DESC, act) AS rn FROM mn) WHERE rn = 1),
+          |kk AS (SELECT count(DISTINCT act) AS K FROM tr)
+          |SELECT ev.ctx, pol.pi, count(*) AS n_eval,
+          |  CAST(SUM(CASE WHEN ev.act = pol.pi THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_matched,
+          |  CAST(SUM(CASE WHEN ev.act = pol.pi THEN r ELSE 0 END)
+          |    AS BIGINT) AS matched_cents,
+          |  CAST(max(K) * SUM(CASE WHEN ev.act = pol.pi THEN r ELSE 0 END)
+          |    AS DOUBLE) / count(*) AS ips_value
+          |FROM ev JOIN pol ON ev.ctx = pol.ctx, kk
+          |GROUP BY ev.ctx, pol.pi ORDER BY ev.ctx""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -340,6 +340,39 @@ object Evaluation {
             .cast("double") / col("_np")).as("tau"))
   }
 
+  /** Offline policy evaluation by inverse-propensity replay (Li et al.
+    * 2011): learn a deterministic policy π(ctx) = the action with the
+    * highest mean TRAIN reward (ties → lexicographic), then estimate its
+    * value on the EVAL split as K·Σ_{a=π(ctx)} r / n — the
+    * uniform-logging IPS estimator, the standard counterfactual "what
+    * would this policy have earned" readout before an online test.
+    * Contexts absent from training are dropped (no policy to replay).
+    * Rewards are integer cents; the estimate is one exact-int double
+    * division per context. Two aggregates + broadcast joins — nothing
+    * row-quadratic. */
+  def ipsPolicyEval(train: DataFrame, evalDf: DataFrame, ctxCol: String,
+                    actionCol: String, rewardCol: String): DataFrame = {
+    val pol = train.groupBy(col(ctxCol).as("ctx"), col(actionCol).as("act"))
+      .agg(sum(rewardCol).as("_s"), count(lit(1)).as("_c"))
+      .withColumn("_mean", col("_s").cast("double") / col("_c"))
+      .groupBy("ctx")
+      .agg(min_by(col("act"), struct((-col("_mean")).as("nm"), col("act")))
+        .as("pi"))
+    val kk = train.agg(countDistinct(col(actionCol)).as("_K"))
+    evalDf.select(col(ctxCol).as("ctx"), col(actionCol).as("act"),
+        col(rewardCol).as("_r"))
+      .join(broadcast(pol), "ctx")
+      .crossJoin(broadcast(kk))
+      .groupBy("ctx", "pi")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("act") === col("pi"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("act") === col("pi"), col("_r")).otherwise(0L))
+          .as("matched_cents"),
+        ((max("_K") * sum(when(col("act") === col("pi"), col("_r"))
+          .otherwise(0L))).cast("double") / count(lit(1))).as("ips_value"))
+  }
+
   /** Cumulative gains / lift table: rows ranked by score DESC (ties →
     * `idCol`) split into `buckets` equal rank slices; per slice the
     * positive count plus running totals and the cumulative lift
