@@ -3946,7 +3946,44 @@ object SparkEntry {
           ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
           "ctx", "event_type", "cents")
         .orderBy("ctx")
-    })
+    }),
+
+    "q259_embedding_qa" -> ((s, dir) => {
+      // embedding-store QA per label: vector counts, zero-norm
+      // degenerates, and the norm distribution (min/max/mean) — the
+      // ingest gate before any ANN index build; each norm is a FIXED
+      // left-fold sqrt(Σx²) (replayed by list_reduce), means decimal-sum
+      val dsum18 = (c: Column) => sum(c.cast("decimal(38,18)")).cast("double")
+      val n2 = expr("aggregate(embedding, cast(0.0 as double), " +
+        "(a, x) -> a + cast(x as double) * cast(x as double))")
+      val withNorm = tbl(s, dir, "embeddings")
+        .select(col("label"), sqrt(n2).as("_norm"))
+      withNorm.groupBy("label").agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when(col("_norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          round(min("_norm"), 6).as("min_norm"),
+          round(max("_norm"), 6).as("max_norm"),
+          round(dsum18(col("_norm")) / count(lit(1)), 6).as("mean_norm"))
+        .orderBy("label")
+    }),
+
+    "q260_dim_variance" -> ((s, dir) =>
+      // dead-dimension screen: per-dimension mean/variance from exact
+      // decimal sums — near-constant dims flag wasted index bytes and
+      // break PQ sub-space training (q124's input QA)
+      tbl(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("x").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("mean"),
+          round((sum((col("x") * col("x")).cast("decimal(38,18)"))
+              .cast("double") -
+            sum(col("x").cast("decimal(38,18)")).cast("double") *
+              sum(col("x").cast("decimal(38,18)")).cast("double") /
+              count(lit(1))) / count(lit(1)), 6).as("variance"))
+        .orderBy("dim"))
   )
 
   // ======================================================================
@@ -5677,6 +5714,39 @@ object SparkEntry {
           |    AS DOUBLE) / count(*) AS ips_value
           |FROM ev JOIN pol ON ev.ctx = pol.ctx, kk
           |GROUP BY ev.ctx, pol.pi ORDER BY ev.ctx""".stripMargin,
+
+      // per-row norms as the SAME left fold (list_reduce), means in
+      // decimal
+      "q259_embedding_qa" ->
+        """WITH n AS (SELECT label,
+          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+          |      (a, b) -> a + b)) AS nrm
+          |  FROM embeddings)
+          |SELECT label, count(*) AS n_vectors,
+          |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_zero,
+          |  round(min(nrm), 6) AS min_norm,
+          |  round(max(nrm), 6) AS max_norm,
+          |  round(CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE)
+          |    / count(*), 6) AS mean_norm
+          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+      // identical (Sxx − Sx·Sx/n)/n parenthesization on decimal-exact
+      // sums
+      "q260_dim_variance" ->
+        """WITH d AS (SELECT CAST(i - 1 AS INT) AS dim,
+          |    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          |  FROM embeddings e,
+          |    unnest(range(1, len(e.embedding) + 1)) AS r(i))
+          |SELECT dim, count(*) AS n,
+          |  round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+          |    / count(*), 6) AS mean,
+          |  round((CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)
+          |    - CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+          |      * CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+          |      / count(*)) / count(*), 6) AS variance
+          |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
