@@ -3983,7 +3983,27 @@ object SparkEntry {
             sum(col("x").cast("decimal(38,18)")).cast("double") *
               sum(col("x").cast("decimal(38,18)")).cast("double") /
               count(lit(1))) / count(lit(1)), 6).as("variance"))
-        .orderBy("dim"))
+        .orderBy("dim")),
+
+    "q261_gap_percentiles" -> ((s, dir) => {
+      // inter-event gap percentiles (exact lower-rank p50/p90/p99 in
+      // µs) — the empirical basis for the q27 session gap and the q248
+      // watermark delay, instead of folklore 30-minute constants
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val g = events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev", lag("ts_us", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select((col("ts_us") - col("prev")).as("gap_us"))
+      val n = g.agg(count(lit(1)).as("n"))
+      val ranked = g.withColumn("r",
+        row_number().over(Window.orderBy("gap_us")).cast("long"))
+      Seq(50, 90, 99).map { p =>
+        ranked.crossJoin(broadcast(n))
+          .filter(col("r") === greatest(lit(1L), expr(s"($p * n) div 100")))
+          .select(lit(p).as("pct"), col("gap_us"), col("n").as("n_gaps"))
+      }.reduce(_ unionByName _).orderBy("pct")
+    })
   )
 
   // ======================================================================
@@ -5747,6 +5767,23 @@ object SparkEntry {
           |      * CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
           |      / count(*)) / count(*), 6) AS variance
           |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+
+      // identical lower-rank selection: value at rank
+      // greatest(1, (p·n)//100) of the ascending gap order
+      "q261_gap_percentiles" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+          |g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id) AS gap_us FROM e),
+          |gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+          |nn AS (SELECT count(*) AS n FROM gg),
+          |rk AS (SELECT gap_us, row_number() OVER (ORDER BY gap_us) AS r
+          |  FROM gg),
+          |pp AS (SELECT CAST(unnest([50, 90, 99]) AS INT) AS pct)
+          |SELECT pct, gap_us, n AS n_gaps
+          |FROM pp CROSS JOIN nn JOIN rk
+          |  ON rk.r = greatest(1, (pct * n) // 100)
+          |ORDER BY pct""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
