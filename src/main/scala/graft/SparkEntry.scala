@@ -4003,6 +4003,34 @@ object SparkEntry {
           .filter(col("r") === greatest(lit(1L), expr(s"($p * n) div 100")))
           .select(lit(p).as("pct"), col("gap_us"), col("n").as("n_gaps"))
       }.reduce(_ unionByName _).orderBy("pct")
+    }),
+
+    "q262_backlog_curve" -> ((s, dir) => {
+      // monthly order-backlog curve: an order is open from o_orderdate
+      // until its last line ships; open-at-month-start = started in
+      // earlier months − closed in earlier months, all integer cumsums
+      // over the bounded month table (the q243 sweep at month grain)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start_d"))
+      val closes = tbl(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+      val iv = o.join(closes, col("o_orderkey") === col("l_orderkey"))
+      val sm = iv.groupBy(trunc(col("start_d"), "month").as("m"))
+        .agg(count(lit(1)).as("n_started"))
+      val cm = iv.groupBy(trunc(col("close_d"), "month").as("m"))
+        .agg(count(lit(1)).as("n_closed"))
+      val w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+      sm.select("m").unionByName(cm.select("m")).distinct()
+        .join(sm, Seq("m"), "left").join(cm, Seq("m"), "left")
+        .select(col("m"),
+          coalesce(col("n_started"), lit(0L)).as("n_started"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("open_at_month_start",
+          coalesce(sum("n_started").over(w), lit(0L)) -
+            coalesce(sum("n_closed").over(w), lit(0L)))
+        .select(date_format(col("m"), "yyyy-MM").as("month"),
+          col("n_started"), col("n_closed"), col("open_at_month_start"))
+        .orderBy("month")
     })
   )
 
@@ -5784,6 +5812,31 @@ object SparkEntry {
           |FROM pp CROSS JOIN nn JOIN rk
           |  ON rk.r = greatest(1, (pct * n) // 100)
           |ORDER BY pct""".stripMargin,
+
+      // month-truncated starts/closes, strict-prior cumsums
+      "q262_backlog_curve" ->
+        """WITH iv AS (SELECT o.o_orderkey,
+          |    date_trunc('month', CAST(o.o_orderdate AS DATE)) AS sm,
+          |    date_trunc('month', CAST(c.close_d AS DATE)) AS cm
+          |  FROM orders o JOIN (SELECT l_orderkey,
+          |      max(CAST(l_shipdate AS DATE)) AS close_d
+          |    FROM lineitem GROUP BY l_orderkey) c
+          |    ON o.o_orderkey = c.l_orderkey),
+          |s AS (SELECT sm AS m, count(*) AS n_started FROM iv GROUP BY sm),
+          |c AS (SELECT cm AS m, count(*) AS n_closed FROM iv GROUP BY cm),
+          |mm AS (SELECT m FROM s UNION SELECT m FROM c),
+          |j AS (SELECT mm.m, coalesce(n_started, 0) AS n_started,
+          |    coalesce(n_closed, 0) AS n_closed
+          |  FROM mm LEFT JOIN s USING (m) LEFT JOIN c USING (m))
+          |SELECT strftime(m, '%Y-%m') AS month,
+          |  CAST(n_started AS BIGINT) AS n_started,
+          |  CAST(n_closed AS BIGINT) AS n_closed,
+          |  CAST(coalesce(SUM(n_started) OVER (ORDER BY m
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    - coalesce(SUM(n_closed) OVER (ORDER BY m
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) AS open_at_month_start
+          |FROM j ORDER BY month""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
