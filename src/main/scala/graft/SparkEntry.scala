@@ -4031,6 +4031,66 @@ object SparkEntry {
         .select(date_format(col("m"), "yyyy-MM").as("month"),
           col("n_started"), col("n_closed"), col("open_at_month_start"))
         .orderBy("month")
+    }),
+
+    "q263_abc_classes" -> ((s, dir) => {
+      // ABC/Pareto inventory classes: parts ranked by revenue, class A
+      // covers the first 80% of cumulative cents, B to 95%, C the tail —
+      // all-integer threshold compares (cum·100 vs tot·80), one window
+      val rev = tbl(s, dir, "lineitem").groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val tot = rev.agg(sum("cents").as("_tot"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("_cum", sum("cents").over(w))
+        .withColumn("cls",
+          when(col("_cum") * 100 <= col("_tot") * 80, "A")
+            .when(col("_cum") * 100 <= col("_tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("revenue_cents"),
+          (sum("cents").cast("double") / max("_tot")).as("revenue_share"))
+        .orderBy("cls")
+    }),
+
+    "q264_cohort_ltv" -> ((s, dir) => {
+      // cohort LTV curve: cumulative purchase cents per signup-week
+      // cohort by weeks-since-signup (the revenue twin of q107's
+      // retention matrix); exact integer cumsums per cohort
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        col("value"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') div 7 " +
+          "as int)").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week"))
+          .as("week_offset"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum("cents").over(w))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    "q265_dup_payments" -> ((s, dir) => {
+      // duplicate-payment flags: same user, same dollar amount, within
+      // 24 h of the previous occurrence — one window over
+      // (user, dollars), the classic sparse fraud rule
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 100) as bigint) div 100").as("dollars"),
+          unix_micros(col("ts")).as("tu"))
+      val w = Window.partitionBy("user_id", "dollars")
+        .orderBy(col("tu"), col("event_id"))
+      p.withColumn("gap_us", col("tu") - lag("tu", 1).over(w))
+        .filter(col("gap_us").isNotNull &&
+          col("gap_us") <= 86400000000L)
+        .select(col("user_id"), col("event_id"), col("dollars"),
+          col("gap_us"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -5837,6 +5897,60 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |    AS BIGINT) AS open_at_month_start
           |FROM j ORDER BY month""".stripMargin,
+
+      // revenue-ranked cumsum, integer threshold compares
+      "q263_abc_classes" ->
+        """WITH rev AS (SELECT l_partkey,
+          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY l_partkey),
+          |tt AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
+          |cm AS (SELECT cents, CAST(SUM(cents) OVER (ORDER BY cents DESC,
+          |      l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    tot
+          |  FROM rev, tt),
+          |cl AS (SELECT cents, tot, CASE
+          |    WHEN cum * 100 <= tot * 80 THEN 'A'
+          |    WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls
+          |  FROM cm)
+          |SELECT cls, count(*) AS n_parts,
+          |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+          |  CAST(SUM(cents) AS DOUBLE) / max(tot) AS revenue_share
+          |FROM cl GROUP BY cls ORDER BY cls""".stripMargin,
+
+      // the q107 week arithmetic; per-cohort integer cumsum
+      "q264_cohort_ltv" ->
+        """WITH e AS (SELECT user_id, event_type, value,
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk
+          |  FROM events),
+          |ch AS (SELECT user_id, min(wk) AS cohort_week FROM e
+          |  GROUP BY user_id),
+          |rv AS (SELECT cohort_week, wk - cohort_week AS week_offset,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM e JOIN ch USING (user_id)
+          |  WHERE event_type = 'purchase'
+          |  GROUP BY cohort_week, wk - cohort_week)
+          |SELECT cohort_week, week_offset, cents,
+          |  CAST(SUM(cents) OVER (PARTITION BY cohort_week
+          |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |    AS cum_cents
+          |FROM rv ORDER BY cohort_week, week_offset""".stripMargin,
+
+      // same-user same-dollar within 24 h of the previous occurrence
+      "q265_dup_payments" ->
+        """WITH p AS (SELECT user_id, event_id,
+          |    CAST(round(value * 100) AS BIGINT) // 100 AS dollars,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+          |  FROM events WHERE event_type = 'purchase'),
+          |l AS (SELECT user_id, event_id, dollars,
+          |    tu - lag(tu) OVER (PARTITION BY user_id, dollars
+          |      ORDER BY tu, event_id) AS gap_us
+          |  FROM p)
+          |SELECT user_id, event_id, dollars, gap_us
+          |FROM l WHERE gap_us IS NOT NULL AND gap_us <= 86400000000
+          |ORDER BY user_id, event_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
