@@ -4091,6 +4091,61 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("dollars"),
           col("gap_us"))
         .orderBy("user_id", "event_id")
+    }),
+
+    "q266_rfm_segments" -> ((s, dir) => {
+      // RFM segmentation: per purchasing user the recency / frequency /
+      // monetary quintile codes (5 = best, exact ceil-rank arithmetic,
+      // ties → user_id), rolled up per segment — the classic customer
+      // grid, all-integer
+      val p = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val per = p.groupBy("user_id").agg(max("tu").as("last_tu"),
+        count(lit(1)).as("freq"), sum("cents").as("monetary"))
+      val n = per.agg(count(lit(1)).as("n"))
+      val coded = per.crossJoin(broadcast(n))
+        .withColumn("_r_r", row_number().over(
+          Window.orderBy(col("last_tu"), col("user_id"))).cast("long"))
+        .withColumn("_r_f", row_number().over(
+          Window.orderBy(col("freq"), col("user_id"))).cast("long"))
+        .withColumn("_r_m", row_number().over(
+          Window.orderBy(col("monetary"), col("user_id"))).cast("long"))
+        .select(col("monetary"),
+          expr("(5 * _r_r + n - 1) div n").as("r_code"),
+          expr("(5 * _r_f + n - 1) div n").as("f_code"),
+          expr("(5 * _r_m + n - 1) div n").as("m_code"))
+      coded.groupBy("r_code", "f_code", "m_code")
+        .agg(count(lit(1)).as("n_users"),
+          sum("monetary").as("cents"),
+          (sum("monetary").cast("double") / count(lit(1)))
+            .as("mean_cents"))
+        .orderBy("r_code", "f_code", "m_code")
+    }),
+
+    "q267_cycle_time" -> ((s, dir) => {
+      // order cycle-time percentiles per priority: orderdate → last
+      // line shipped, exact lower-rank p50/p90 WITHIN each priority
+      // (the q261 selection per group)
+      val cyc = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem").groupBy("l_orderkey")
+          .agg(max(to_date(col("l_shipdate"))).as("last_ship")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+          datediff(col("last_ship"), to_date(col("o_orderdate")))
+            .as("cycle_days"))
+      val wg = Window.partitionBy("priority")
+        .orderBy(col("cycle_days"), col("o_orderkey"))
+      val ranked = cyc
+        .withColumn("r", row_number().over(wg).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("priority")))
+      Seq(50, 90).map { pq =>
+        ranked.filter(col("r") ===
+            greatest(lit(1L), expr(s"($pq * n) div 100")))
+          .select(col("priority"), lit(pq).as("pct"), col("cycle_days"),
+            col("n").as("n_orders"))
+      }.reduce(_ unionByName _).orderBy("priority", "pct")
     })
   )
 
@@ -5951,6 +6006,51 @@ object SparkEntry {
           |SELECT user_id, event_id, dollars, gap_us
           |FROM l WHERE gap_us IS NOT NULL AND gap_us <= 86400000000
           |ORDER BY user_id, event_id""".stripMargin,
+
+      // three ceil-rank quintile codes over purchasing users
+      "q266_rfm_segments" ->
+        """WITH p AS (SELECT user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+          |    CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase'),
+          |per AS (SELECT user_id, max(tu) AS last_tu, count(*) AS freq,
+          |    CAST(SUM(cents) AS BIGINT) AS monetary
+          |  FROM p GROUP BY user_id),
+          |nn AS (SELECT count(*) AS n FROM per),
+          |cd AS (SELECT monetary,
+          |    (5 * row_number() OVER (ORDER BY last_tu, user_id)
+          |      + n - 1) // n AS r_code,
+          |    (5 * row_number() OVER (ORDER BY freq, user_id)
+          |      + n - 1) // n AS f_code,
+          |    (5 * row_number() OVER (ORDER BY monetary, user_id)
+          |      + n - 1) // n AS m_code
+          |  FROM per, nn)
+          |SELECT r_code, f_code, m_code, count(*) AS n_users,
+          |  CAST(SUM(monetary) AS BIGINT) AS cents,
+          |  CAST(SUM(monetary) AS DOUBLE) / count(*) AS mean_cents
+          |FROM cd GROUP BY r_code, f_code, m_code
+          |ORDER BY r_code, f_code, m_code""".stripMargin,
+
+      // per-priority exact lower-rank p50/p90 of orderdate → last ship
+      "q267_cycle_time" ->
+        """WITH ls AS (SELECT l_orderkey,
+          |    max(CAST(l_shipdate AS DATE)) AS last_ship
+          |  FROM lineitem GROUP BY l_orderkey),
+          |cy AS (SELECT o.o_orderpriority AS priority, o.o_orderkey,
+          |    date_diff('day', CAST(o.o_orderdate AS DATE), last_ship)
+          |      AS cycle_days
+          |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+          |rk AS (SELECT priority, cycle_days,
+          |    row_number() OVER (PARTITION BY priority
+          |      ORDER BY cycle_days, o_orderkey) AS r,
+          |    count(*) OVER (PARTITION BY priority) AS n
+          |  FROM cy),
+          |pp AS (SELECT CAST(unnest([50, 90]) AS INT) AS pct)
+          |SELECT priority, pct, CAST(cycle_days AS INT) AS cycle_days,
+          |  n AS n_orders
+          |FROM pp CROSS JOIN rk
+          |WHERE rk.r = greatest(1, (pct * n) // 100)
+          |ORDER BY priority, pct""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
