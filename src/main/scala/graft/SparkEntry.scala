@@ -4146,7 +4146,95 @@ object SparkEntry {
           .select(col("priority"), lit(pq).as("pct"), col("cycle_days"),
             col("n").as("n_orders"))
       }.reduce(_ unionByName _).orderBy("priority", "pct")
-    })
+    }),
+
+    "q268_dow_seasonality" -> ((s, dir) => {
+      // day-of-week seasonality index: per ISO weekday the event volume
+      // vs the all-days mean — index = n_dow · n_days / (total · d_days),
+      // exact ints into one double division
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", weekday(col("day")) + 1)
+      val tot = daily.agg(sum("n").as("_tn"), count(lit(1)).as("_td"))
+      daily.groupBy("dow")
+        .agg(sum("n").as("n_events"), count(lit(1)).as("n_days"))
+        .crossJoin(broadcast(tot))
+        .withColumn("index",
+          (col("n_events") * col("_td")).cast("double") /
+            (col("_tn") * col("n_days")))
+        .select("dow", "n_events", "n_days", "index")
+        .orderBy("dow")
+    }),
+
+    "q269_basket_lift" -> ((s, dir) => {
+      // event-type co-occurrence lift within user-day baskets:
+      // lift = n_ab·N / (n_a·n_b) over distinct (user, day, type) sets —
+      // the unordered companion to q187's ordered transitions
+      val basket = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"))
+        .distinct()
+      val nb = basket.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("_N"))
+      val single = basket.groupBy("event_type")
+        .agg(count(lit(1)).as("n_one"))
+      val pairs = basket.select(col("user_id"), col("day"),
+          col("event_type").as("a"))
+        .join(basket.select(col("user_id"), col("day"),
+          col("event_type").as("b")), Seq("user_id", "day"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(single.select(col("event_type").as("a"),
+          col("n_one").as("n_a"))), "a")
+        .join(broadcast(single.select(col("event_type").as("b"),
+          col("n_one").as("n_b"))), "b")
+        .crossJoin(broadcast(nb))
+        .withColumn("lift", (col("n_both") * col("_N")).cast("double") /
+          (col("n_a") * col("n_b")))
+        .select("a", "b", "n_both", "lift")
+        .orderBy("a", "b")
+    }),
+
+    "q270_order_regularity" -> ((s, dir) => {
+      // purchase-rhythm audit: coefficient of variation of a customer's
+      // inter-order gaps (≥ 5 orders) — clumpy vs metronomic buyers;
+      // exact gap sums, one fixed sqrt/division tree, 20 most regular
+      val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val gaps = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("gap", datediff(col("d"), lag("d", 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .select(col("o_custkey"), col("gap").cast("long").as("gap"))
+      gaps.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap").as("_sx"),
+          sum(col("gap") * col("gap")).as("_sxx"))
+        .filter(col("n_gaps") >= 4) // ≥5 orders
+        .withColumn("mean_gap",
+          col("_sx").cast("double") / col("n_gaps"))
+        .withColumn("cv", round(
+          sqrt((col("_sxx").cast("double") -
+            col("_sx").cast("double") * col("_sx").cast("double") /
+              col("n_gaps")) / col("n_gaps")) /
+            (col("_sx").cast("double") / col("n_gaps")), 6))
+        .select(col("o_custkey"), col("n_gaps"),
+          round(col("mean_gap"), 6).as("mean_gap"), col("cv"))
+        .orderBy(col("cv"), col("o_custkey")).limit(20)
+    }),
+
+    "q271_discount_elasticity" -> ((s, dir) =>
+      // does a deeper discount move more units? exact-decimal Pearson
+      // of (discount, quantity) per brand — the q111 machinery on the
+      // lineitem ⋈ broadcast part join
+      Stats.groupCorrelation(
+          tbl(s, dir, "lineitem")
+            .join(broadcast(tbl(s, dir, "part")
+              .select(col("p_partkey"), col("p_brand"))),
+              col("l_partkey") === col("p_partkey")),
+          "p_brand", "l_discount", "l_quantity")
+        .orderBy("p_brand"))
   )
 
   // ======================================================================
@@ -6051,6 +6139,77 @@ object SparkEntry {
           |FROM pp CROSS JOIN rk
           |WHERE rk.r = greatest(1, (pct * n) // 100)
           |ORDER BY priority, pct""".stripMargin,
+
+      // isodow ≡ Spark weekday+1 (Monday 1 .. Sunday 7)
+      "q268_dow_seasonality" ->
+        """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          |  FROM events GROUP BY 1),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, count(*) AS td
+          |  FROM d)
+          |SELECT CAST(isodow(day) AS INT) AS dow,
+          |  CAST(SUM(n) AS BIGINT) AS n_events, count(*) AS n_days,
+          |  CAST(SUM(n) * td AS DOUBLE) / (tn * count(*)) AS index
+          |FROM d, t GROUP BY isodow(day), tn, td
+          |ORDER BY dow""".stripMargin,
+
+      // distinct (user, day, type) baskets; lift = n_ab·N/(n_a·n_b)
+      "q269_basket_lift" ->
+        """WITH bk AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+          |    event_type FROM events),
+          |nb AS (SELECT count(*) AS N FROM (
+          |    SELECT DISTINCT user_id, day FROM bk)),
+          |s1 AS (SELECT event_type, count(*) AS n_one FROM bk
+          |  GROUP BY event_type),
+          |pr AS (SELECT x.event_type AS a, y.event_type AS b,
+          |    count(*) AS n_both
+          |  FROM bk x JOIN bk y ON x.user_id = y.user_id
+          |    AND x.day = y.day AND x.event_type < y.event_type
+          |  GROUP BY 1, 2)
+          |SELECT a, b, CAST(n_both AS BIGINT) AS n_both,
+          |  CAST(n_both * N AS DOUBLE) / (sa.n_one * sb.n_one) AS lift
+          |FROM pr JOIN s1 sa ON pr.a = sa.event_type
+          |  JOIN s1 sb ON pr.b = sb.event_type, nb
+          |ORDER BY a, b""".stripMargin,
+
+      // identical sqrt/division tree on exact gap sums
+      "q270_order_regularity" ->
+        """WITH o AS (SELECT o_custkey, o_orderkey,
+          |    CAST(o_orderdate AS DATE) AS d FROM orders),
+          |g AS (SELECT o_custkey,
+          |    date_diff('day', lag(d) OVER (PARTITION BY o_custkey
+          |      ORDER BY d, o_orderkey), d) AS gap
+          |  FROM o),
+          |gg AS (SELECT o_custkey, CAST(gap AS BIGINT) AS gap FROM g
+          |  WHERE gap IS NOT NULL),
+          |ag AS (SELECT o_custkey, count(*) AS n_gaps,
+          |    CAST(SUM(gap) AS BIGINT) AS sx,
+          |    CAST(SUM(gap * gap) AS BIGINT) AS sxx
+          |  FROM gg GROUP BY o_custkey)
+          |SELECT o_custkey, n_gaps,
+          |  round(CAST(sx AS DOUBLE) / n_gaps, 6) AS mean_gap,
+          |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+          |      * CAST(sx AS DOUBLE) / n_gaps) / n_gaps)
+          |    / (CAST(sx AS DOUBLE) / n_gaps), 6) AS cv
+          |FROM ag WHERE n_gaps >= 4
+          |ORDER BY cv, o_custkey LIMIT 20""".stripMargin,
+
+      // the q111 exact-decimal Pearson over lineitem ⋈ part brands
+      "q271_discount_elasticity" ->
+        """WITH j AS (SELECT p.p_brand, l.l_discount AS x,
+          |    l.l_quantity AS y
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |st AS (SELECT p_brand, COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+          |  FROM j GROUP BY p_brand)
+          |SELECT p_brand, n,
+          |  round((n * sxy - sx * sy) /
+          |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+          |    AS corr
+          |FROM st ORDER BY p_brand""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
