@@ -4234,7 +4234,73 @@ object SparkEntry {
               .select(col("p_partkey"), col("p_brand"))),
               col("l_partkey") === col("p_partkey")),
           "p_brand", "l_discount", "l_quantity")
-        .orderBy("p_brand"))
+        .orderBy("p_brand")),
+
+    "q272_capture_recapture" -> ((s, dir) => {
+      // Lincoln–Petersen population estimate: users active in week 1 vs
+      // week 2 as two "captures" — N̂ = n1·n2/m estimates the TOTAL user
+      // base incl. never-seen users; exact counts, one double division
+      val ev = events(s, dir).select(col("user_id"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') div 7 " +
+          "as int)").as("wk"))
+      val w0 = ev.agg(min("wk").as("_w0"))
+      val tagged = ev.crossJoin(broadcast(w0))
+      val s1 = tagged.filter(col("wk") === col("_w0"))
+        .select("user_id").distinct()
+      val s2 = tagged.filter(col("wk") === col("_w0") + 1)
+        .select("user_id").distinct()
+      val n1 = s1.agg(count(lit(1)).as("n1"))
+      val n2 = s2.agg(count(lit(1)).as("n2"))
+      val m = s1.join(s2, "user_id").agg(count(lit(1)).as("m"))
+      n1.crossJoin(n2).crossJoin(m)
+        .withColumn("n_hat", when(col("m") > 0,
+          (col("n1") * col("n2")).cast("double") / col("m")))
+    }),
+
+    "q273_forward_fill" -> ((s, dir) => {
+      // calendar-spine forward fill: a full day spine (sequence between
+      // min and max day) left-joined to sparse daily purchase revenue,
+      // gaps carried forward by last(ignoreNulls) — the LOCF gap-fill
+      // every daily-reporting pipeline needs
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val span = events(s, dir).agg(
+        to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      val spine = span.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("filled_cents",
+          coalesce(last("cents", ignoreNulls = true).over(w), lit(0L)))
+        .withColumn("is_observed", col("cents").isNotNull)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("filled_cents"), col("is_observed"))
+        .orderBy("day")
+    }),
+
+    "q274_longest_streak" -> ((s, dir) => {
+      // longest consecutive-day activity streak per user (gaps-and-
+      // islands on the day grid): day − dense-rank is constant within a
+      // run; top-20 streaks, ties → earliest start, then user
+      val days = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_isl", expr("date_sub(day, _rn)"))
+        .groupBy("user_id", "_isl")
+        .agg(count(lit(1)).as("streak_days"),
+          min("day").as("streak_start"))
+        .select(col("user_id"), col("streak_days"),
+          date_format(col("streak_start"), "yyyy-MM-dd")
+            .as("streak_start"))
+        .orderBy(col("streak_days").desc, col("streak_start"),
+          col("user_id"))
+        .limit(20)
+    })
   )
 
   // ======================================================================
@@ -6210,6 +6276,54 @@ object SparkEntry {
           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
           |    AS corr
           |FROM st ORDER BY p_brand""".stripMargin,
+
+      // two weekly captures, N̂ = n1·n2/m
+      "q272_capture_recapture" ->
+        """WITH e AS (SELECT user_id,
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk FROM events),
+          |w0 AS (SELECT min(wk) AS w0 FROM e),
+          |s1 AS (SELECT DISTINCT user_id FROM e, w0 WHERE wk = w0),
+          |s2 AS (SELECT DISTINCT user_id FROM e, w0 WHERE wk = w0 + 1),
+          |c1 AS (SELECT count(*) AS n1 FROM s1),
+          |c2 AS (SELECT count(*) AS n2 FROM s2),
+          |cm AS (SELECT count(*) AS m FROM s1 JOIN s2 USING (user_id))
+          |SELECT n1, n2, m, CASE WHEN m > 0
+          |  THEN CAST(n1 * n2 AS DOUBLE) / m END AS n_hat
+          |FROM c1, c2, cm""".stripMargin,
+
+      // generate_series spine + IGNORE NULLS last_value carry-forward
+      "q273_forward_fill" ->
+        """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          |sp AS (SELECT min(CAST(ts AS DATE)) AS d0,
+          |    max(CAST(ts AS DATE)) AS d1 FROM events),
+          |spine AS (SELECT CAST(unnest(generate_series(d0, d1,
+          |    INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+          |j AS (SELECT spine.day, d.cents
+          |  FROM spine LEFT JOIN d USING (day))
+          |SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+          |  CAST(coalesce(last_value(cents IGNORE NULLS)
+          |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS BIGINT)
+          |    AS filled_cents,
+          |  cents IS NOT NULL AS is_observed
+          |FROM j ORDER BY day""".stripMargin,
+
+      // day − row_number is constant within a consecutive-day run
+      "q274_longest_streak" ->
+        """WITH dy AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |  FROM events),
+          |r AS (SELECT user_id, day, row_number()
+          |    OVER (PARTITION BY user_id ORDER BY day) AS rn FROM dy),
+          |g AS (SELECT user_id, day - CAST(rn AS INT) AS isl, day FROM r),
+          |a AS (SELECT user_id, count(*) AS streak_days,
+          |    strftime(min(day), '%Y-%m-%d') AS streak_start
+          |  FROM g GROUP BY user_id, isl)
+          |SELECT user_id, streak_days, streak_start FROM a
+          |ORDER BY streak_days DESC, streak_start, user_id
+          |LIMIT 20""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
