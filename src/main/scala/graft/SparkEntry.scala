@@ -4300,6 +4300,45 @@ object SparkEntry {
         .orderBy(col("streak_days").desc, col("streak_start"),
           col("user_id"))
         .limit(20)
+    }),
+
+    "q275_assortativity" -> ((s, dir) => {
+      // degree assortativity of the q101 kNN graph: exact-decimal
+      // Pearson of (deg(src), deg(dst)) over undirected edge endpoints —
+      // do hubs link to hubs? (negative on healthy kNN graphs: hubs
+      // absorb low-degree spokes; complements q194's hubness histogram)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val und = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+        .filter(col("id") =!= col("nbr_id"))
+        .select(least(col("id"), col("nbr_id")).as("a"),
+          greatest(col("id"), col("nbr_id")).as("b"))
+        .distinct()
+      val nbrs = und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+      val deg = nbrs.groupBy("v").agg(count(lit(1)).as("deg"))
+      val ends = nbrs
+        .join(deg.select(col("v"), col("deg").as("dx")), "v")
+        .join(deg.select(col("v").as("n"), col("deg").as("dy")), "n")
+        .select(lit("knn").as("g"), col("dx"), col("dy"))
+      Stats.groupCorrelation(ends, "g", "dx", "dy")
+        .select(col("n"), col("corr").as("assortativity"))
+    }),
+
+    "q276_term_burstiness" -> ((s, dir) => {
+      // Church–Gale term burstiness: cf/df — the mean occurrences per
+      // CONTAINING doc; function words sit near 1, topical/template
+      // terms burst; top-20 bursty terms at df ≥ 5 from the q97 index
+      Retrieval.invertedIndex(tbl(s, dir, "documents"), "doc_id", "text")
+        .filter(col("df") >= 5)
+        .select(col("term"), col("df"), col("cf"),
+          (col("cf").cast("double") / col("df")).as("burstiness"))
+        .orderBy(col("burstiness").desc, col("term"))
+        .limit(20)
     })
   )
 
@@ -6324,6 +6363,45 @@ object SparkEntry {
           |SELECT user_id, streak_days, streak_start FROM a
           |ORDER BY streak_days DESC, streak_start, user_id
           |LIMIT 20""".stripMargin,
+
+      // undirected q101 degrees on both endpoints into the q111 Pearson
+      "q275_assortativity" ->
+        s"""$knnEdgesPrefixSql,
+           |u0 AS (SELECT DISTINCT least(id, nbr_id) AS a,
+           |    greatest(id, nbr_id) AS b
+           |  FROM g0 WHERE id <> nbr_id),
+           |nb2 AS (SELECT a AS v, b AS n FROM u0
+           |  UNION ALL SELECT b AS v, a AS n FROM u0),
+           |dg3 AS (SELECT v, count(*) AS deg FROM nb2 GROUP BY v),
+           |en AS (SELECT dx.deg AS x, dy.deg AS y
+           |  FROM nb2 JOIN dg3 dx ON nb2.v = dx.v
+           |    JOIN dg3 dy ON nb2.n = dy.v),
+           |st AS (SELECT COUNT(*) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+           |    CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+           |  FROM en)
+           |SELECT n, round((n * sxy - sx * sy) /
+           |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+           |  AS assortativity
+           |FROM st""".stripMargin,
+
+      // tf per (term, doc) → df / cf; burstiness = cf/df
+      "q276_term_burstiness" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |tf AS (SELECT term, doc_id, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(t) AS term FROM toks)
+          |  GROUP BY term, doc_id),
+          |ag AS (SELECT term, count(*) AS df,
+          |    CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY term)
+          |SELECT term, df, cf, CAST(cf AS DOUBLE) / df AS burstiness
+          |FROM ag WHERE df >= 5
+          |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
