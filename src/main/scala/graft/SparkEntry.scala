@@ -4339,7 +4339,75 @@ object SparkEntry {
           (col("cf").cast("double") / col("df")).as("burstiness"))
         .orderBy(col("burstiness").desc, col("term"))
         .limit(20)
-    })
+    }),
+
+    "q277_edge_embeddedness" -> ((s, dir) => {
+      // edge embeddedness histogram of the q101 kNN graph: per edge the
+      // common-neighbor count (0 = bridge, high = deeply embedded) — the
+      // tie-strength signal that decides which near-dup edges to TRUST
+      // when clustering; one shared-neighbor join scoped to edges
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val und = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+        .filter(col("id") =!= col("nbr_id"))
+        .select(least(col("id"), col("nbr_id")).as("a"),
+          greatest(col("id"), col("nbr_id")).as("b"))
+        .distinct()
+      val nbrs = und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+      val cn = und
+        .join(nbrs.select(col("v").as("a"), col("n").as("w1")), Seq("a"))
+        .join(nbrs.select(col("v").as("b"), col("n").as("w2")), Seq("b"))
+        .filter(col("w1") === col("w2") &&
+          col("w1") =!= col("a") && col("w1") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      und.join(cn, Seq("a", "b"), "left")
+        .select(coalesce(col("cn"), lit(0L)).as("embeddedness"))
+        .groupBy("embeddedness").agg(count(lit(1)).as("n_edges"))
+        .orderBy("embeddedness")
+    }),
+
+    "q278_result_diversity" -> ((s, dir) => {
+      // redundancy audit of a result list: mean pairwise cosine distance
+      // of the q17 top-8 — the number MMR (q19) exists to raise; k·(k−1)/2
+      // literal-free pairs over a broadcast-sized list, decimal-summed
+      graft.plans.VectorExpressions.register(s)
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val top = Similarity.topK(e, "embedding", qv, 8, "COSINE", "vec_id")
+        .select(col("vec_id"), col("embedding"))
+      val pairs = top.select(col("vec_id").as("ida"),
+          col("embedding").as("va"))
+        .crossJoin(top.select(col("vec_id").as("idb"),
+          col("embedding").as("vb")))
+        .filter(col("ida") < col("idb"))
+        .select(round(call_function("graft_cosine_distance", col("va"),
+          col("vb")), 6).as("d"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("d").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("mean_pairwise_distance"))
+    }),
+
+    "q279_fill_rate" -> ((s, dir) =>
+      // monthly fill rate: share of lines shipped within 30 days of the
+      // order date — the fulfilment SLA ratio, exact integer counts
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM")
+          .as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) <= 30, 1L).otherwise(0L))
+            .as("n_within_30d"))
+        .withColumn("fill_rate",
+          col("n_within_30d").cast("double") / col("n_lines"))
+        .orderBy("month"))
   )
 
   // ======================================================================
@@ -6402,6 +6470,55 @@ object SparkEntry {
           |SELECT term, df, cf, CAST(cf AS DOUBLE) / df AS burstiness
           |FROM ag WHERE df >= 5
           |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin,
+
+      // common neighbors scoped to EDGES (bridges keep 0 via left join)
+      "q277_edge_embeddedness" ->
+        s"""$knnEdgesPrefixSql,
+           |u0 AS (SELECT DISTINCT least(id, nbr_id) AS a,
+           |    greatest(id, nbr_id) AS b
+           |  FROM g0 WHERE id <> nbr_id),
+           |nb2 AS (SELECT a AS v, b AS n FROM u0
+           |  UNION ALL SELECT b AS v, a AS n FROM u0),
+           |cn AS (SELECT u0.a, u0.b, count(*) AS cn
+           |  FROM u0 JOIN nb2 x ON u0.a = x.v JOIN nb2 y ON u0.b = y.v
+           |  WHERE x.n = y.n AND x.n <> u0.a AND x.n <> u0.b
+           |  GROUP BY u0.a, u0.b),
+           |e2 AS (SELECT CAST(coalesce(cn.cn, 0) AS BIGINT)
+           |    AS embeddedness
+           |  FROM u0 LEFT JOIN cn USING (a, b))
+           |SELECT embeddedness, count(*) AS n_edges FROM e2
+           |GROUP BY embeddedness ORDER BY embeddedness""".stripMargin,
+
+      // the q17 top-8 paired a<b; per-pair distances rounded to 6 dp on
+      // BOTH sides, then the exact-decimal mean
+      "q278_result_diversity" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id = 0),
+          |top AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings, q
+          |  ORDER BY 1.0 - list_cosine_similarity(
+          |    CAST(embedding AS DOUBLE[]), qv), vec_id LIMIT 8),
+          |pr AS (SELECT round(1.0 - list_cosine_similarity(a.v, b.v), 6)
+          |    AS d
+          |  FROM top a JOIN top b ON a.vec_id < b.vec_id)
+          |SELECT count(*) AS n_pairs,
+          |  round(CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE)
+          |    / count(*), 6) AS mean_pairwise_distance
+          |FROM pr""".stripMargin,
+
+      // fulfilment SLA: lines shipped ≤ 30 days after order, per month
+      "q279_fill_rate" ->
+        """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+          |  count(*) AS n_lines,
+          |  CAST(SUM(CASE WHEN date_diff('day',
+          |      CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+          |      <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+          |  CAST(SUM(CASE WHEN date_diff('day',
+          |      CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+          |      <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          |    AS fill_rate
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY month""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
