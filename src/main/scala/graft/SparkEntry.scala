@@ -4408,6 +4408,94 @@ object SparkEntry {
         .withColumn("fill_rate",
           col("n_within_30d").cast("double") / col("n_lines"))
         .orderBy("month"))
+    ,
+
+    "q280_error_wilson" -> ((s, dir) => {
+      // hourly error-rate monitor with Wilson 95% bounds — the interval
+      // that behaves at small n where ±1.96√(p̂q̂/n) fails; z is a fixed
+      // literal, the whole bound is one deterministic double tree over
+      // exact counts
+      val z = 1.96
+      val hourly = events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errs"))
+      val p = col("errs").cast("double") / col("n")
+      val denom = lit(1.0) + lit(z * z) / col("n")
+      val center = p + lit(z * z) / (lit(2.0) * col("n"))
+      val margin = lit(z) * sqrt(
+        (p * (lit(1.0) - p) + lit(z * z) / (lit(4.0) * col("n"))) /
+          col("n"))
+      hourly
+        .withColumn("err_rate", round(p, 6))
+        .withColumn("wilson_lo", round((center - margin) / denom, 6))
+        .withColumn("wilson_hi", round((center + margin) / denom, 6))
+        .orderBy("hour")
+    }),
+
+    "q281_uplift_deciles" -> ((s, dir) => {
+      // qini-lite uplift readout: users deciled by pre-period activity
+      // (exact ceil-rank), per decile the treated-vs-control outcome
+      // means and their difference — does the "treatment" arm help the
+      // heavy or the light users? (q226/q246's segmentation leg)
+      val ev = events(s, dir)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val pre = ev.filter(col("event_type") === "view" && col("ts") < cut)
+        .groupBy("user_id").agg(count(lit(1)).as("x"))
+      val out = ev.filter(col("event_type") === "purchase" &&
+          col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val base = ev.select("user_id").distinct()
+        .join(pre, Seq("user_id"), "left")
+        .join(out, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .withColumn("treated", Sketches.keyHash(col("user_id")) % 2 === 0)
+      val n = base.agg(count(lit(1)).as("n"))
+      base.crossJoin(broadcast(n))
+        .withColumn("_r", row_number().over(
+          Window.orderBy(col("x"), col("user_id"))).cast("long"))
+        .withColumn("decile", expr("(10 * _r + n - 1) div n"))
+        .groupBy("decile")
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_control"),
+          // a tiny-SF decile can be single-armed: NULL mean, not ÷0
+          when(sum(when(col("treated"), 1L).otherwise(0L)) > 0,
+            sum(when(col("treated"), col("y")).otherwise(0L)).cast("double")
+              / sum(when(col("treated"), 1L).otherwise(0L)))
+            .as("mean_treated"),
+          when(sum(when(!col("treated"), 1L).otherwise(0L)) > 0,
+            sum(when(!col("treated"), col("y")).otherwise(0L)).cast("double")
+              / sum(when(!col("treated"), 1L).otherwise(0L)))
+            .as("mean_control"))
+        .withColumn("uplift", col("mean_treated") - col("mean_control"))
+        .orderBy("decile")
+    }),
+
+    "q282_power_table" -> ((s, dir) => {
+      // sample-size table for the purchase-cents metric: n per arm =
+      // 2(z_α/2+z_β)²σ²/δ² at 95%/80% (fixed z literals) for a grid of
+      // minimum detectable effects — σ² from exact per-user sums; the
+      // "how long must the test run" planning readout
+      val perUser = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val stats = perUser.agg(count(lit(1)).as("n"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      val varY = (col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+        col("n")
+      val zsum2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+      Seq(500L, 1000L, 2000L, 5000L).map { mde =>
+        stats.select(lit(mde).as("mde_cents"), col("n").as("n_users"),
+          round(varY, 6).as("var_cents"),
+          round(lit(2.0 * zsum2) * varY / lit((mde * mde).toDouble), 2)
+            .as("n_per_arm"))
+      }.reduce(_ unionByName _).orderBy("mde_cents")
+    })
   )
 
   // ======================================================================
@@ -6519,6 +6607,91 @@ object SparkEntry {
           |    AS fill_rate
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY 1 ORDER BY month""".stripMargin,
+
+      // identical Wilson tree with z = 1.96 literals on both sides
+      "q280_error_wilson" ->
+        """WITH h AS (SELECT strftime(CAST(ts AS TIMESTAMP),
+          |      '%Y-%m-%d %H') AS hour,
+          |    count(*) AS n,
+          |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS errs
+          |  FROM events GROUP BY 1)
+          |SELECT hour, n, errs,
+          |  round(CAST(errs AS DOUBLE) / n, 6) AS err_rate,
+          |  round(((CAST(errs AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+          |    - 1.96 * sqrt((CAST(errs AS DOUBLE) / n
+          |        * (1.0 - CAST(errs AS DOUBLE) / n)
+          |        + 1.96 * 1.96 / (4.0 * n)) / n))
+          |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+          |  round(((CAST(errs AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+          |    + 1.96 * sqrt((CAST(errs AS DOUBLE) / n
+          |        * (1.0 - CAST(errs AS DOUBLE) / n)
+          |        + 1.96 * 1.96 / (4.0 * n)) / n))
+          |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+          |FROM h ORDER BY hour""".stripMargin,
+
+      // the q246 user frame deciled by pre-activity ceil-rank; per
+      // decile treated/control means and their difference
+      "q281_uplift_deciles" ->
+        """WITH uu AS (SELECT DISTINCT user_id FROM events),
+          |px AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          |  FROM events WHERE event_type = 'view'
+          |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+          |  GROUP BY user_id),
+          |py AS (SELECT user_id,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events WHERE event_type = 'purchase'
+          |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20'
+          |  GROUP BY user_id),
+          |base AS (SELECT uu.user_id, coalesce(x, 0) AS x,
+          |    coalesce(y, 0) AS y
+          |  FROM uu LEFT JOIN px USING (user_id)
+          |    LEFT JOIN py USING (user_id)),
+          |h0 AS (SELECT user_id, x, y,
+          |    (user_id * 1000003) % 2147483647 AS h FROM base),
+          |h1 AS (SELECT user_id, x, y,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT user_id, x, y,
+          |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |arm AS (SELECT user_id, x, y, h % 2 = 0 AS treated FROM h2),
+          |nn AS (SELECT count(*) AS n FROM arm),
+          |dc AS (SELECT treated, y, (10 * row_number()
+          |      OVER (ORDER BY x, user_id) + n - 1) // n AS decile
+          |  FROM arm, nn),
+          |ag AS (SELECT decile,
+          |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_treated,
+          |    CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT)
+          |      AS n_control,
+          |    CASE WHEN SUM(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+          |      THEN CAST(SUM(CASE WHEN treated THEN y ELSE 0 END)
+          |        AS DOUBLE) / SUM(CASE WHEN treated THEN 1 ELSE 0 END)
+          |      END AS mean_treated,
+          |    CASE WHEN SUM(CASE WHEN treated THEN 0 ELSE 1 END) > 0
+          |      THEN CAST(SUM(CASE WHEN treated THEN 0 ELSE y END)
+          |        AS DOUBLE) / SUM(CASE WHEN treated THEN 0 ELSE 1 END)
+          |      END AS mean_control
+          |  FROM dc GROUP BY decile)
+          |SELECT decile, n_treated, n_control, mean_treated,
+          |  mean_control, mean_treated - mean_control AS uplift
+          |FROM ag ORDER BY decile""".stripMargin,
+
+      // n/arm = 2(z_α/2+z_β)²σ²/δ², fixed z literals, σ² from exact sums
+      "q282_power_table" ->
+        """WITH pu AS (SELECT user_id,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |st AS (SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+          |    CAST(SUM(y * y) AS BIGINT) AS syy FROM pu),
+          |v AS (SELECT n, (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+          |    * CAST(sy AS DOUBLE) / n) / n AS var_y FROM st),
+          |g AS (SELECT CAST(unnest([500, 1000, 2000, 5000]) AS BIGINT)
+          |    AS mde_cents)
+          |SELECT mde_cents, n AS n_users, round(var_y, 6) AS var_cents,
+          |  round((2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)))
+          |    * var_y / CAST(mde_cents * mde_cents AS DOUBLE), 2)
+          |    AS n_per_arm
+          |FROM g, v ORDER BY mde_cents""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
