@@ -4495,6 +4495,94 @@ object SparkEntry {
           round(lit(2.0 * zsum2) * varY / lit((mde * mde).toDouble), 2)
             .as("n_per_arm"))
       }.reduce(_ unionByName _).orderBy("mde_cents")
+    }),
+
+    "q283_srm_check" -> ((s, dir) => {
+      // sample-ratio-mismatch guardrail for the q226 hash split: χ²
+      // against the expected 50/50 with the exact-int numerator
+      // (2·n_a − n)² / n — a big χ² means the bucketing is broken and
+      // every downstream readout is suspect
+      val arms = events(s, dir).select("user_id").distinct()
+        .withColumn("treated", Sketches.keyHash(col("user_id")) % 2 === 0)
+      arms.agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_b"))
+        .withColumn("n", col("n_a") + col("n_b"))
+        .withColumn("chi2", round(
+          ((lit(2L) * col("n_a") - col("n")) *
+            (lit(2L) * col("n_a") - col("n"))).cast("double") / col("n"),
+          6))
+        .withColumn("srm_suspect", col("chi2") > 3.841459)
+        .select("n_a", "n_b", "n", "chi2", "srm_suspect")
+    }),
+
+    "q284_dau_mau" -> ((s, dir) => {
+      // stickiness: mean daily active users over monthly active users
+      // per calendar month — exact integer sums into one division
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("month", date_format(col("day"), "yyyy-MM"))
+      val dau = ev.select("user_id", "day", "month").distinct()
+        .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+        .groupBy("month").agg(sum("dau").as("dau_sum"),
+          count(lit(1)).as("n_days"))
+      val mau = ev.select("user_id", "month").distinct()
+        .groupBy("month").agg(count(lit(1)).as("mau"))
+      dau.join(mau, "month")
+        .withColumn("stickiness",
+          col("dau_sum").cast("double") / (col("n_days") * col("mau")))
+        .orderBy("month")
+    }),
+
+    "q285_hhi_trend" -> ((s, dir) =>
+      // supplier-concentration drift: monthly HHI of revenue shares —
+      // Σ cents² / (Σ cents)², exact-int numerators per month; a rising
+      // HHI means consolidation (q171's Gini, but trended)
+      tbl(s, dir, "lineitem")
+        .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+          .as("month"), col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_suppliers"),
+          // 128-bit-safe: share sums square past Long range at scale
+          (sum(col("cents").cast("decimal(38,0)") *
+              col("cents").cast("decimal(38,0)")).cast("double") /
+            (sum("cents").cast("decimal(38,0)") *
+              sum("cents").cast("decimal(38,0)")).cast("double"))
+            .as("hhi"))
+        .orderBy("month")),
+
+    "q286_growth_accounting" -> ((s, dir) => {
+      // weekly user growth accounting: new / retained / resurrected
+      // active counts + churned-from-last-week — the canonical growth
+      // state machine from first-week and previous-active-week lags
+      val wk = expr("cast(datediff(cast(ts as date), date'1970-01-01') " +
+        "div 7 as int)")
+      val uw = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val tagged = uw
+        .withColumn("first_wk", min("wk").over(
+          Window.partitionBy("user_id")))
+        .withColumn("prev_wk", lag("wk", 1).over(w))
+        .withColumn("state",
+          when(col("wk") === col("first_wk"), "new")
+            .when(col("prev_wk") === col("wk") - 1, "retained")
+            .otherwise("resurrected"))
+      val active = tagged.groupBy("wk").agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+      // churned out of week w = active in w-1 but not in w
+      val churn = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+        .join(uw, Seq("user_id", "wk"), "left_anti")
+        .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("wk"), "left")
+        .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+        .orderBy("wk")
     })
   )
 
@@ -6692,6 +6780,84 @@ object SparkEntry {
           |    * var_y / CAST(mde_cents * mde_cents AS DOUBLE), 2)
           |    AS n_per_arm
           |FROM g, v ORDER BY mde_cents""".stripMargin,
+
+      // (2n_a − n)²/n against the 3.84 (df=1, 95%) literal
+      "q283_srm_check" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+          |h0 AS (SELECT (user_id * 1000003) % 2147483647 AS h FROM u),
+          |h1 AS (SELECT (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |a AS (SELECT
+          |    CAST(SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_a,
+          |    CAST(SUM(CASE WHEN h % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+          |      AS n_b
+          |  FROM h2)
+          |SELECT n_a, n_b, n_a + n_b AS n,
+          |  round(CAST((2 * n_a - (n_a + n_b)) * (2 * n_a - (n_a + n_b))
+          |    AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+          |  round(CAST((2 * n_a - (n_a + n_b)) * (2 * n_a - (n_a + n_b))
+          |    AS DOUBLE) / (n_a + n_b), 6) > 3.841459 AS srm_suspect
+          |FROM a""".stripMargin,
+
+      // DAU mean over MAU per month, exact sums into one division
+      "q284_dau_mau" ->
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |    strftime(CAST(ts AS DATE), '%Y-%m') AS month FROM events),
+          |d AS (SELECT month, day, count(DISTINCT user_id) AS dau
+          |  FROM ev GROUP BY month, day),
+          |da AS (SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+          |    count(*) AS n_days FROM d GROUP BY month),
+          |m AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT)
+          |    AS mau FROM ev GROUP BY month)
+          |SELECT month, dau_sum, n_days, mau,
+          |  CAST(dau_sum AS DOUBLE) / (n_days * mau) AS stickiness
+          |FROM da JOIN m USING (month) ORDER BY month""".stripMargin,
+
+      // HHI in 128-bit arithmetic (HUGEINT ≡ Spark's decimal(38,0))
+      "q285_hhi_trend" ->
+        """WITH r AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+          |      AS month, l_suppkey,
+          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT month, count(*) AS n_suppliers,
+          |  CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+          |    / CAST(SUM(CAST(cents AS HUGEINT))
+          |      * SUM(CAST(cents AS HUGEINT)) AS DOUBLE) AS hhi
+          |FROM r GROUP BY month ORDER BY month""".stripMargin,
+
+      // first-week / previous-week lags drive the state machine;
+      // churn(w) = active in w−1, absent in w
+      "q286_growth_accounting" ->
+        """WITH uw AS (SELECT DISTINCT user_id,
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk FROM events),
+          |t AS (SELECT user_id, wk,
+          |    min(wk) OVER (PARTITION BY user_id) AS first_wk,
+          |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+          |  FROM uw),
+          |st AS (SELECT wk, CASE WHEN wk = first_wk THEN 'new'
+          |    WHEN prev_wk = wk - 1 THEN 'retained'
+          |    ELSE 'resurrected' END AS state FROM t),
+          |act AS (SELECT wk,
+          |    CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_new,
+          |    CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_retained,
+          |    CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_resurrected,
+          |    count(*) AS n_active
+          |  FROM st GROUP BY wk),
+          |ch AS (SELECT u1.wk + 1 AS wk, count(*) AS n_churned
+          |  FROM uw u1 LEFT JOIN uw u2 ON u1.user_id = u2.user_id
+          |    AND u2.wk = u1.wk + 1
+          |  WHERE u2.user_id IS NULL GROUP BY u1.wk + 1)
+          |SELECT act.wk, n_new, n_retained, n_resurrected, n_active,
+          |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+          |FROM act LEFT JOIN ch USING (wk) ORDER BY wk""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
