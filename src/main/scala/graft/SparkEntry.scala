@@ -4583,7 +4583,85 @@ object SparkEntry {
       active.join(churn, Seq("wk"), "left")
         .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
         .orderBy("wk")
-    })
+    }),
+
+    "q287_eb_shrinkage" -> ((s, dir) => {
+      // empirical-Bayes shrunk hourly error rates: (errs + m·K)/(n + K)
+      // with prior strength K = 20 pulls small-sample hours toward the
+      // global mean m — the ranking-safe companion to q280's Wilson
+      // bounds (raw rates over-rank tiny hours; shrunk rates don't)
+      val hourly = events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errs"))
+      val glob = hourly.agg(sum("errs").as("_te"), sum("n").as("_tn"))
+      hourly.crossJoin(broadcast(glob))
+        .withColumn("raw_rate", round(col("errs").cast("double") /
+          col("n"), 6))
+        .withColumn("shrunk_rate", round(
+          (col("errs").cast("double") +
+            col("_te").cast("double") / col("_tn") * lit(20.0)) /
+            (col("n").cast("double") + lit(20.0)), 6))
+        .select("hour", "n", "errs", "raw_rate", "shrunk_rate")
+        .orderBy("hour")
+    }),
+
+    "q288_load_factor" -> ((s, dir) =>
+      // capacity planning: per day the peak-hour load vs the mean
+      // hourly load (load factor = peak·24/total) — exact integers
+      // into one division
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("day")
+        .agg(sum("n").as("n_events"), max("n").as("peak_hour_n"),
+          count(lit(1)).as("n_hours"))
+        .withColumn("load_factor",
+          (col("peak_hour_n") * col("n_hours")).cast("double") /
+            col("n_events"))
+        .orderBy("day")),
+
+    "q289_ratio_to_parent" -> ((s, dir) =>
+      // ratio-to-parent: each nation's revenue share WITHIN its region
+      // plus the region's share of the world — two window sums over the
+      // q03-style broadcast-dim join, exact cents
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+        .withColumn("region_cents",
+          sum("cents").over(Window.partitionBy("r_name")))
+        .withColumn("world_cents", sum("cents").over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          (col("cents").cast("double") / col("region_cents"))
+            .as("share_of_region"),
+          (col("region_cents").cast("double") / col("world_cents"))
+            .as("region_share_of_world"))
+        .orderBy("r_name", "n_name")),
+
+    "q290_prefix_completions" -> ((s, dir) =>
+      // autocomplete table: top-3 completions per 2-char prefix by
+      // collection frequency — the SECOND consumer of the native
+      // graft_top_k bounded-heap aggregate (ties → term asc)
+      graft.plans.TopKAggregate.topKRows(
+          Retrieval.invertedIndex(tbl(s, dir, "documents"), "doc_id",
+              "text")
+            .filter(length(col("term")) >= 2)
+            .withColumn("prefix", substring(col("term"), 1, 2)),
+          Seq("prefix"),
+          Seq((-col("cf")).as("ncf"), col("term").as("term")), Nil, k = 3)
+        .select(col("prefix"), col("term"), (-col("ncf")).as("cf"))
+        .orderBy(col("prefix"), col("cf").desc, col("term")))
   )
 
   // ======================================================================
@@ -6858,6 +6936,69 @@ object SparkEntry {
           |SELECT act.wk, n_new, n_retained, n_resurrected, n_active,
           |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
           |FROM act LEFT JOIN ch USING (wk) ORDER BY wk""".stripMargin,
+
+      // (errs + m·20)/(n + 20) with the global mean m — same tree
+      "q287_eb_shrinkage" ->
+        """WITH h AS (SELECT strftime(CAST(ts AS TIMESTAMP),
+          |      '%Y-%m-%d %H') AS hour, count(*) AS n,
+          |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS errs
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT CAST(SUM(errs) AS BIGINT) AS te,
+          |    CAST(SUM(n) AS BIGINT) AS tn FROM h)
+          |SELECT hour, n, errs,
+          |  round(CAST(errs AS DOUBLE) / n, 6) AS raw_rate,
+          |  round((CAST(errs AS DOUBLE) + CAST(te AS DOUBLE) / tn * 20.0)
+          |    / (CAST(n AS DOUBLE) + 20.0), 6) AS shrunk_rate
+          |FROM h, g ORDER BY hour""".stripMargin,
+
+      // peak·hours/total per day
+      "q288_load_factor" ->
+        """WITH hh AS (SELECT strftime(CAST(ts AS TIMESTAMP),
+          |      '%Y-%m-%d') AS day,
+          |    hour(CAST(ts AS TIMESTAMP)) AS hr, count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+          |  CAST(max(n) AS BIGINT) AS peak_hour_n, count(*) AS n_hours,
+          |  CAST(max(n) * count(*) AS DOUBLE) / SUM(n) AS load_factor
+          |FROM hh GROUP BY day ORDER BY day""".stripMargin,
+
+      // nation share within region, region share of world
+      "q289_ratio_to_parent" ->
+        """WITH j AS (SELECT r_name, n_name,
+          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |    JOIN customer ON o_custkey = c_custkey
+          |    JOIN nation ON c_nationkey = n_nationkey
+          |    JOIN region ON n_regionkey = r_regionkey
+          |  GROUP BY r_name, n_name),
+          |w AS (SELECT r_name, n_name, cents,
+          |    CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS rc,
+          |    CAST(SUM(cents) OVER () AS BIGINT) AS wc FROM j)
+          |SELECT r_name, n_name, cents,
+          |  CAST(cents AS DOUBLE) / rc AS share_of_region,
+          |  CAST(rc AS DOUBLE) / wc AS region_share_of_world
+          |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+      // row_number replay of the bounded-heap top-3 per prefix
+      "q290_prefix_completions" ->
+        """WITH toks AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |tf AS (SELECT term, doc_id, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(t) AS term FROM toks)
+          |  GROUP BY term, doc_id),
+          |ix AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf FROM tf
+          |  GROUP BY term),
+          |fx AS (SELECT substring(term, 1, 2) AS prefix, term, cf
+          |  FROM ix WHERE length(term) >= 2),
+          |rk AS (SELECT prefix, term, cf, row_number()
+          |    OVER (PARTITION BY prefix ORDER BY cf DESC, term) AS rn
+          |  FROM fx)
+          |SELECT prefix, term, cf FROM rk WHERE rn <= 3
+          |ORDER BY prefix, cf DESC, term""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
