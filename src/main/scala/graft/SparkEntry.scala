@@ -4661,7 +4661,85 @@ object SparkEntry {
           Seq("prefix"),
           Seq((-col("cf")).as("ncf"), col("term").as("term")), Nil, k = 3)
         .select(col("prefix"), col("term"), (-col("ncf")).as("cf"))
-        .orderBy(col("prefix"), col("cf").desc, col("term")))
+        .orderBy(col("prefix"), col("cf").desc, col("term"))),
+
+    "q291_brand_cross_sell" -> ((s, dir) => {
+      // brand cross-sell lift over ORDER baskets (q269's shape on the
+      // sales tables): distinct brands per order, pair lift =
+      // n_ab·N/(n_a·n_b); top-20 lifted pairs
+      val basket = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+      val nOrders = basket.select("ok").distinct()
+        .agg(count(lit(1)).as("_N"))
+      val single = basket.groupBy("p_brand").agg(count(lit(1)).as("n_one"))
+      basket.select(col("ok"), col("p_brand").as("a"))
+        .join(basket.select(col("ok"), col("p_brand").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+        .join(broadcast(single.select(col("p_brand").as("a"),
+          col("n_one").as("n_a"))), "a")
+        .join(broadcast(single.select(col("p_brand").as("b"),
+          col("n_one").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift", (col("n_both") * col("_N")).cast("double") /
+          (col("n_a") * col("n_b")))
+        .select("a", "b", "n_both", "lift")
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+    }),
+
+    "q292_freshness_sla" -> ((s, dir) => {
+      // per-day p95 arrival lag (event time vs the arrival-order
+      // high-water mark, the q248 lateness signal) — exact lower-rank
+      // selection per day; the freshness-SLA dashboard number
+      val w = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = events(s, dir)
+        .withColumn("_ts_us", unix_micros(col("ts")))
+        .withColumn("late_us", max("_ts_us").over(w) - col("_ts_us"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val wd = Window.partitionBy("day").orderBy(col("late_us"),
+        col("event_id"))
+      late
+        .withColumn("r", row_number().over(wd).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("day")))
+        .filter(col("r") === greatest(lit(1L), expr("(95 * n) div 100")))
+        .select(col("day"), col("late_us").as("p95_late_us"),
+          col("n").as("n_events"))
+        .orderBy("day")
+    }),
+
+    "q293_dup_label_agreement" -> ((s, dir) => {
+      // near-dup edge quality: do q20's MinHash-LSH candidate pairs stay
+      // within one source/lang? — the label-agreement rate that tells
+      // you whether near-dups cross provenance boundaries (they should
+      // rarely: high cross-source agreement hints template contamination)
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val meta = d.select(col("doc_id"), col("source"), col("lang"))
+      val withMeta = pairs
+        .withColumn("base_a", pmod(col("doc_a"), lit(1000000L)))
+        .withColumn("base_b", pmod(col("doc_b"), lit(1000000L)))
+        .join(meta.select(col("doc_id").as("base_a"),
+          col("source").as("src_a"), col("lang").as("lang_a")), "base_a")
+        .join(meta.select(col("doc_id").as("base_b"),
+          col("source").as("src_b"), col("lang").as("lang_b")), "base_b")
+      withMeta.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+          .as("n_same_source"),
+        sum(when(col("lang_a") === col("lang_b"), 1L).otherwise(0L))
+          .as("n_same_lang"),
+        (sum(when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("source_agreement"),
+        (sum(when(col("lang_a") === col("lang_b"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("lang_agreement"))
+    })
   )
 
   // ======================================================================
@@ -6999,6 +7077,60 @@ object SparkEntry {
           |  FROM fx)
           |SELECT prefix, term, cf FROM rk WHERE rn <= 3
           |ORDER BY prefix, cf DESC, term""".stripMargin,
+
+      // distinct brands per order, q269's lift on the sales tables
+      "q291_brand_cross_sell" ->
+        """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, p_brand
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |nb AS (SELECT count(*) AS N FROM (SELECT DISTINCT ok FROM bk)),
+          |s1 AS (SELECT p_brand, count(*) AS n_one FROM bk
+          |  GROUP BY p_brand),
+          |pr AS (SELECT x.p_brand AS a, y.p_brand AS b, count(*)
+          |    AS n_both
+          |  FROM bk x JOIN bk y ON x.ok = y.ok AND x.p_brand < y.p_brand
+          |  GROUP BY 1, 2)
+          |SELECT a, b, CAST(n_both AS BIGINT) AS n_both,
+          |  CAST(n_both * N AS DOUBLE) / (sa.n_one * sb.n_one) AS lift
+          |FROM pr JOIN s1 sa ON pr.a = sa.p_brand
+          |  JOIN s1 sb ON pr.b = sb.p_brand, nb
+          |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
+
+      // q248's high-water lateness, p95 lower-rank per day
+      "q292_freshness_sla" ->
+        """WITH e AS (SELECT event_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+          |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+          |  FROM events),
+          |lm AS (SELECT day, event_id, max(ts_us) OVER (ORDER BY event_id
+          |    ROWS UNBOUNDED PRECEDING) - ts_us AS late_us FROM e),
+          |rk AS (SELECT day, late_us, row_number() OVER (PARTITION BY day
+          |      ORDER BY late_us, event_id) AS r,
+          |    count(*) OVER (PARTITION BY day) AS n
+          |  FROM lm)
+          |SELECT day, late_us AS p95_late_us, n AS n_events
+          |FROM rk WHERE r = greatest(1, (95 * n) // 100)
+          |ORDER BY day""".stripMargin,
+
+      // the q20 pair CTEs joined back to base-doc provenance
+      "q293_dup_label_agreement" ->
+        s"""WITH $minhashPairCtes,
+           |pp AS (SELECT doc_a % 1000000 AS ba, doc_b % 1000000 AS bb
+           |  FROM pairs WHERE est_jaccard >= 0.8),
+           |me AS (SELECT doc_id, source, lang FROM documents),
+           |j AS (SELECT x.source AS sa, x.lang AS la, y.source AS sb,
+           |    y.lang AS lb
+           |  FROM pp JOIN me x ON pp.ba = x.doc_id
+           |    JOIN me y ON pp.bb = y.doc_id)
+           |SELECT count(*) AS n_pairs,
+           |  CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_same_source,
+           |  CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_same_lang,
+           |  CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) AS source_agreement,
+           |  CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) AS lang_agreement
+           |FROM j""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
