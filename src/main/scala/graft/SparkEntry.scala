@@ -4739,7 +4739,69 @@ object SparkEntry {
           .cast("double") / count(lit(1))).as("source_agreement"),
         (sum(when(col("lang_a") === col("lang_b"), 1L).otherwise(0L))
           .cast("double") / count(lit(1))).as("lang_agreement"))
-    })
+    }),
+
+    "q294_vocab_overlap" -> ((s, dir) => {
+      // source vocabulary overlap: Jaccard of each source pair's top-50
+      // terms (by within-source cf, ties → term) — the lexical-overlap
+      // matrix behind mixing decisions; top-50 via the native
+      // graft_top_k heap, overlap via one term equi-join
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"), explode(Retrieval.analyze(col("text")))
+          .as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cf"))
+      val top = graft.plans.TopKAggregate.topKRows(tf, Seq("source"),
+        Seq((-col("cf")).as("ncf"), col("term").as("term")), Nil, k = 50)
+      // list sizes can be < k on small vocabularies — union from sizes
+      val sizes = top.groupBy("source").agg(count(lit(1)).as("sz"))
+      val a = top.select(col("source").as("src_a"), col("term"))
+      val b = top.select(col("source").as("src_b"), col("term"))
+      a.join(b, "term").filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("_sa"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("_sb"))), "src_b")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("_sa") + col("_sb") - col("n_shared")))
+        .select("src_a", "src_b", "n_shared", "jaccard")
+        .orderBy("src_a", "src_b")
+    }),
+
+    "q296_bounce_rate" -> ((s, dir) =>
+      // single-event-session share per day — the q27 sessions rolled to
+      // the bounce metric; exact counts, one division
+      streaming.EventStreams.sessionizeBatch(events(s, dir), 1800000L)
+        .groupBy(date_format(col("session_start"), "yyyy-MM-dd")
+          .as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .withColumn("bounce_rate",
+          col("n_bounces").cast("double") / col("n_sessions"))
+        .orderBy("day")),
+
+    "q297_return_rate" -> ((s, dir) =>
+      // return-rate by brand: share of lineitems flagged 'R', with the
+      // returned revenue share — exact counts/cents, broadcast dim
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("cents"),
+          sum(when(col("l_returnflag") === "R",
+            round(col("l_extendedprice") * 100).cast("long"))
+            .otherwise(0L)).as("returned_cents"))
+        .withColumn("return_rate",
+          col("n_returned").cast("double") / col("n_lines"))
+        .withColumn("returned_value_share",
+          col("returned_cents").cast("double") / col("cents"))
+        .orderBy("p_brand"))
   )
 
   // ======================================================================
@@ -7131,6 +7193,77 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE)
            |    / count(*) AS lang_agreement
            |FROM j""".stripMargin,
+
+      // top-50 per source by (cf DESC, term) then one term join;
+      // union sizes from the actual list lengths
+      "q294_vocab_overlap" ->
+        """WITH tf AS (SELECT source, term, count(*) AS cf FROM (
+          |    SELECT source, unnest(list_filter(
+          |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+          |      AS term
+          |    FROM documents)
+          |  GROUP BY source, term),
+          |rk AS (SELECT source, term, row_number() OVER (
+          |    PARTITION BY source ORDER BY cf DESC, term) AS rn FROM tf),
+          |tp AS (SELECT source, term FROM rk WHERE rn <= 50),
+          |sz AS (SELECT source, count(*) AS sz FROM tp GROUP BY source),
+          |sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*)
+          |    AS n_shared
+          |  FROM tp a JOIN tp b ON a.term = b.term
+          |    AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared,
+          |  CAST(n_shared AS DOUBLE) / (za.sz + zb.sz - n_shared)
+          |    AS jaccard
+          |FROM sh JOIN sz za ON sh.src_a = za.source
+          |  JOIN sz zb ON sh.src_b = zb.source
+          |ORDER BY src_a, src_b""".stripMargin,
+
+      // the q27 session CTEs rolled up to daily bounce share
+      "q296_bounce_rate" ->
+        """WITH e AS (
+          |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |flagged AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |      THEN 1 ELSE 0 END AS new_session
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |sx AS (
+          |  SELECT user_id, ts,
+          |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged),
+          |sess AS (SELECT min(ts) AS session_start, count(*) AS ne
+          |  FROM sx GROUP BY user_id, session_id),
+          |d AS (SELECT strftime(session_start, '%Y-%m-%d') AS day, ne
+          |  FROM sess)
+          |SELECT day, count(*) AS n_sessions,
+          |  CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_bounces,
+          |  CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*) AS bounce_rate
+          |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+      // 'R' share of lines and of cents per brand
+      "q297_return_rate" ->
+        """SELECT p_brand, count(*) AS n_lines,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_returned,
+          |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |    AS BIGINT) AS cents,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+          |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+          |    ELSE 0 END) AS BIGINT) AS returned_cents,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*) AS return_rate,
+          |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+          |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+          |    ELSE 0 END) AS DOUBLE)
+          |    / SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |    AS returned_value_share
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
