@@ -4801,7 +4801,91 @@ object SparkEntry {
           col("n_returned").cast("double") / col("n_lines"))
         .withColumn("returned_value_share",
           col("returned_cents").cast("double") / col("cents"))
-        .orderBy("p_brand"))
+        .orderBy("p_brand")),
+
+    "q295_aa_calibration" -> ((s, dir) => {
+      // A/A calibration: the q226 Welch t under FOUR different hash
+      // seeds of the same (null) data — |t| should hover small; a seed
+      // tripping 1.96 on an A/A flags bucketing bias before any real
+      // test is trusted
+      val perUser = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long")
+          .as("v100"))
+      Seq(1000003L, 999983L, 1000033L, 1000037L).map { base =>
+        Stats.welchTTest(
+            perUser.withColumn("arm",
+              Sketches.keyHash(col("user_id"), base) % 2 === 0),
+            "arm", "v100")
+          .select(lit(base).as("seed_base"), col("t_stat"),
+            (abs(col("t_stat")) > 1.96).as("suspicious"))
+      }.reduce(_ unionByName _).orderBy("seed_base")
+    }),
+
+    "q298_conversion_lag" -> ((s, dir) => {
+      // view→purchase conversion-lag histogram in whole days: each
+      // user's first view and first purchase at-or-after it (the q69
+      // funnel's timing tail), bucketed by exact integer day gaps
+      val ev = events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_p"))
+      v.join(p, "user_id").filter(col("t_p") >= col("t_view"))
+        .groupBy("user_id").agg(min("t_view").as("tv"),
+          min("t_p").as("tp"))
+        .select(expr("(tp - tv) div 86400000000").as("days_to_convert"))
+        .groupBy("days_to_convert").agg(count(lit(1)).as("n_users"))
+        .orderBy("days_to_convert")
+    }),
+
+    "q299_vocab_exclusivity" -> ((s, dir) => {
+      // per-source lexical exclusivity: how much of a source's
+      // vocabulary appears NOWHERE else — the "does this source add
+      // anything" mixing signal; one distinct + one df-across-sources
+      // aggregate
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Retrieval.analyze(col("text")))
+          .as("term"))
+        .distinct()
+      val spread = st.groupBy("term")
+        .agg(count(lit(1)).as("n_sources"))
+      st.join(spread, "term")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+            .as("n_exclusive"))
+        .withColumn("exclusivity",
+          col("n_exclusive").cast("double") / col("n_terms"))
+        .orderBy("source")
+    }),
+
+    "q300_health_scorecard" -> ((s, dir) => {
+      // one-glance data-health scorecard: the key audit numbers as
+      // (metric, value) rows — the summary a pipeline run publishes
+      val ev = events(s, dir)
+      val docs = tbl(s, dir, "documents")
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      def one(name: String, v: Column, df: DataFrame) =
+        df.agg(v.cast("double").as("value"))
+          .select(lit(name).as("metric"), col("value"))
+      Seq(
+        one("docs_total", count(lit(1)), docs),
+        one("events_total", count(lit(1)), ev),
+        one("users_distinct", countDistinct(col("user_id")), ev),
+        one("error_event_share",
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), ev),
+        one("orphan_lineitems", count(lit(1)),
+          li.join(o, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")),
+        one("purchase_cents_total",
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)), ev)
+      ).reduce(_ unionByName _).orderBy("metric")
+    })
   )
 
   // ======================================================================
@@ -7264,6 +7348,102 @@ object SparkEntry {
           |    AS returned_value_share
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+      // the q226 Welch chain replayed under four seed bases
+      "q295_aa_calibration" -> {
+        val seeds = Seq(1000003L, 999983L, 1000033L, 1000037L)
+        val chains = seeds.zipWithIndex.map { case (b, i) =>
+          s"""h0$i AS (SELECT user_id, v100,
+             |    (user_id * $b) % 2147483647 AS h FROM pu),
+             |h1$i AS (SELECT v100,
+             |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0$i),
+             |h2$i AS (SELECT v100,
+             |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1$i),
+             |arm$i AS (SELECT v100, h % 2 = 0 AS arm FROM h2$i),
+             |sa$i AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+             |    CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS sv_a,
+             |    CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE)
+             |      AS svv_a
+             |  FROM arm$i WHERE arm),
+             |sb$i AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS DOUBLE) AS sv_b,
+             |    CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS DOUBLE)
+             |      AS svv_b
+             |  FROM arm$i WHERE NOT arm),
+             |t$i AS (SELECT CAST($b AS BIGINT) AS seed_base,
+             |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+             |      (sv_a / n_a - sv_b / n_b)
+             |      / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+             |        + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b)
+             |    END AS t_stat
+             |  FROM sa$i, sb$i)""".stripMargin
+        }.mkString(",\n")
+        val union = seeds.indices
+          .map(i => s"SELECT seed_base, t_stat FROM t$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH pu AS (SELECT user_id,
+           |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS v100
+           |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+           |$chains
+           |SELECT seed_base, t_stat, abs(t_stat) > 1.96 AS suspicious
+           |FROM ($union)
+           |ORDER BY seed_base""".stripMargin
+      },
+
+      // first view, first at-or-after purchase, whole-day gap buckets
+      "q298_conversion_lag" ->
+        """WITH v AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS tv
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+          |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tp
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT v.user_id, min(v.tv) AS tv, min(p.tp) AS tp
+          |  FROM v JOIN p ON v.user_id = p.user_id AND p.tp >= v.tv
+          |  GROUP BY v.user_id)
+          |SELECT (tp - tv) // 86400000000 AS days_to_convert,
+          |  count(*) AS n_users
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // distinct (source, term) spread; exclusive = seen in 1 source
+      "q299_vocab_exclusivity" ->
+        """WITH st AS (SELECT DISTINCT source, term FROM (
+          |    SELECT source, unnest(list_filter(
+          |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+          |      AS term
+          |    FROM documents)),
+          |sp AS (SELECT term, count(*) AS n_sources FROM st
+          |  GROUP BY term)
+          |SELECT source, count(*) AS n_terms,
+          |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_exclusive,
+          |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*) AS exclusivity
+          |FROM st JOIN sp USING (term) GROUP BY source
+          |ORDER BY source""".stripMargin,
+
+      // the publishable one-glance audit row set
+      "q300_health_scorecard" ->
+        """SELECT metric, value FROM (
+          |  SELECT 'docs_total' AS metric, CAST(count(*) AS DOUBLE)
+          |    AS value FROM documents
+          |  UNION ALL SELECT 'events_total', CAST(count(*) AS DOUBLE)
+          |    FROM events
+          |  UNION ALL SELECT 'users_distinct',
+          |    CAST(count(DISTINCT user_id) AS DOUBLE) FROM events
+          |  UNION ALL SELECT 'error_event_share',
+          |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS DOUBLE) / count(*) FROM events
+          |  UNION ALL SELECT 'orphan_lineitems',
+          |    CAST(count(*) AS DOUBLE)
+          |    FROM lineitem l LEFT JOIN orders o
+          |      ON l.l_orderkey = o.o_orderkey
+          |    WHERE o.o_orderkey IS NULL
+          |  UNION ALL SELECT 'purchase_cents_total',
+          |    CAST(SUM(CASE WHEN event_type = 'purchase'
+          |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          |      AS DOUBLE) FROM events)
+          |ORDER BY metric""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
