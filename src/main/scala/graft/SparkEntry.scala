@@ -4885,6 +4885,74 @@ object SparkEntry {
           sum(when(col("event_type") === "purchase",
             round(col("value") * 100).cast("long")).otherwise(0L)), ev)
       ).reduce(_ unionByName _).orderBy("metric")
+    }),
+
+    "q301_lorenz_curve" -> ((s, dir) => {
+      // Lorenz points: cumulative revenue share at each supplier decile
+      // (suppliers ascending by revenue) — the curve behind q171's Gini;
+      // exact integer cumsums, shares as single divisions
+      val rev = tbl(s, dir, "lineitem").groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      val n = rev.agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+      val ranked = rev.crossJoin(broadcast(n))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cents"), col("l_suppkey"))).cast("long"))
+        .withColumn("decile", expr("(10 * r + n - 1) div n"))
+      ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_suppliers"), sum("cents").as("cents"),
+          max("tot").as("_tot"))
+        .withColumn("cum_cents", sum("cents").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_suppliers"), col("cents"),
+          (col("cum_cents").cast("double") / col("_tot"))
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
+    "q302_hist_intersection" -> ((s, dir) => {
+      // source-pair similarity of doc-length distributions: histogram
+      // intersection Σ min(p_a, p_b) over log2 length octaves — the
+      // q163 buckets turned into a pairwise distribution-overlap matrix;
+      // per-bucket mins of exact fractions, decimal-summed
+      val d = tbl(s, dir, "documents")
+        .select(col("source"),
+          length(bin(greatest(length(col("text")), lit(1)))).as("octave"))
+      val per = d.groupBy("source", "octave").agg(count(lit(1)).as("n"))
+      val tot = d.groupBy("source").agg(count(lit(1)).as("nt"))
+      val frac = per.join(broadcast(tot), "source")
+        .select(col("source"), col("octave"),
+          (col("n").cast("double") / col("nt")).as("p"))
+      frac.select(col("source").as("src_a"), col("octave"),
+          col("p").as("pa"))
+        .join(frac.select(col("source").as("src_b"), col("octave"),
+          col("p").as("pb")), "octave")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(round(sum(least(col("pa"), col("pb"))
+          .cast("decimal(38,18)")).cast("double"), 6)
+          .as("intersection"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    "q303_single_source_risk" -> ((s, dir) => {
+      // supply-chain concentration: each part's top-supplier volume
+      // share; parts ≥ 80% single-sourced are flagged — min_by argmax,
+      // exact quantity sums
+      val vol = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      vol.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"), sum("qty").as("total_qty"),
+          max("qty").as("top_qty"),
+          min_by(col("l_suppkey"),
+            struct((-col("qty")).as("nq"), col("l_suppkey")))
+            .as("top_suppkey"))
+        .withColumn("top_share",
+          col("top_qty").cast("double") / col("total_qty"))
+        .withColumn("single_sourced", col("top_share") >= 0.8)
+        .orderBy("l_partkey")
     })
   )
 
@@ -7444,6 +7512,65 @@ object SparkEntry {
           |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
           |      AS DOUBLE) FROM events)
           |ORDER BY metric""".stripMargin,
+
+      // ascending-revenue ceil-rank deciles, cumulative share points
+      "q301_lorenz_curve" ->
+        """WITH rev AS (SELECT l_suppkey,
+          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY l_suppkey),
+          |nn AS (SELECT count(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot
+          |  FROM rev),
+          |rk AS (SELECT cents, tot, (10 * row_number()
+          |    OVER (ORDER BY cents, l_suppkey) + n - 1) // n AS decile
+          |  FROM rev, nn),
+          |ag AS (SELECT decile, count(*) AS n_suppliers,
+          |    CAST(SUM(cents) AS BIGINT) AS cents, max(tot) AS tot
+          |  FROM rk GROUP BY decile)
+          |SELECT decile, n_suppliers, cents,
+          |  CAST(CAST(SUM(cents) OVER (ORDER BY decile
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / tot
+          |    AS cum_share
+          |FROM ag ORDER BY decile""".stripMargin,
+
+      // per-source length-octave fractions, pairwise Σ min
+      "q302_hist_intersection" ->
+        """WITH d AS (SELECT source,
+          |    CAST(length(bin(greatest(length(text), 1))) AS INT)
+          |      AS octave
+          |  FROM documents),
+          |per AS (SELECT source, octave, count(*) AS n FROM d
+          |  GROUP BY source, octave),
+          |tt AS (SELECT source, count(*) AS nt FROM d GROUP BY source),
+          |fr AS (SELECT per.source, octave,
+          |    CAST(n AS DOUBLE) / nt AS p
+          |  FROM per JOIN tt ON per.source = tt.source)
+          |SELECT a.source AS src_a, b.source AS src_b,
+          |  round(CAST(SUM(CAST(least(a.p, b.p) AS DECIMAL(38,18)))
+          |    AS DOUBLE), 6) AS intersection
+          |FROM fr a JOIN fr b ON a.octave = b.octave
+          |  AND a.source < b.source
+          |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
+
+      // per-part top-supplier share; arg-top via row_number
+      "q303_single_source_risk" ->
+        """WITH vol AS (SELECT l_partkey, l_suppkey,
+          |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+          |rk AS (SELECT l_partkey, l_suppkey, qty, row_number()
+          |    OVER (PARTITION BY l_partkey ORDER BY qty DESC, l_suppkey)
+          |      AS rn
+          |  FROM vol),
+          |ag AS (SELECT l_partkey, count(*) AS n_suppliers,
+          |    CAST(SUM(qty) AS BIGINT) AS total_qty,
+          |    CAST(max(qty) AS BIGINT) AS top_qty
+          |  FROM vol GROUP BY l_partkey)
+          |SELECT ag.l_partkey, n_suppliers, total_qty, top_qty,
+          |  rk.l_suppkey AS top_suppkey,
+          |  CAST(top_qty AS DOUBLE) / total_qty AS top_share,
+          |  CAST(top_qty AS DOUBLE) / total_qty >= 0.8 AS single_sourced
+          |FROM ag JOIN rk ON ag.l_partkey = rk.l_partkey AND rk.rn = 1
+          |ORDER BY ag.l_partkey""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
