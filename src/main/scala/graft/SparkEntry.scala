@@ -4953,6 +4953,59 @@ object SparkEntry {
           col("top_qty").cast("double") / col("total_qty"))
         .withColumn("single_sourced", col("top_share") >= 0.8)
         .orderBy("l_partkey")
+    }),
+
+    "q304_fk_integrity_map" -> ((s, dir) => {
+      // the full referential map in one pass: every FK edge's row count,
+      // orphan count, and orphan rate — the whole-schema version of the
+      // q44 orphan audit (a healthy warehouse shows all zeros)
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) =
+        child.join(parent.select(col(pk)), col(ck) === col(pk),
+            "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(broadcast(child.agg(count(lit(1)).as("n_rows"))))
+          .select(lit(name).as("fk_edge"), col("n_rows"),
+            col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_rows"))
+              .as("orphan_rate"))
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
+      val p = tbl(s, dir, "part"); val na = tbl(s, dir, "nation")
+      Seq(
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", na, "n_nationkey"),
+        edge("supplier->nation", su, "s_nationkey", na, "n_nationkey")
+      ).reduce(_ unionByName _).orderBy("fk_edge")
+    }),
+
+    "q305_fold_stability" -> ((s, dir) => {
+      // eval-fold stability: the mean quality score across 5 hash folds
+      // and the between-fold variance of those means — a noisy metric
+      // (high variance) means the eval split can't be trusted to rank
+      // model variants; exact per-fold sums, q260's variance tree on the
+      // fold means
+      val folds = tbl(s, dir, "documents")
+        .withColumn("fold", Sketches.keyHash(col("doc_id")) % 5)
+        .withColumn("q", TF.qualityScore(col("text")))
+      val per = folds.groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("q").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))).as("mean_q"))
+      val spread = per.agg(
+        count(lit(1)).as("n_folds"),
+        round((sum((col("mean_q") * col("mean_q"))
+            .cast("decimal(38,18)")).cast("double") -
+          sum(col("mean_q").cast("decimal(38,18)")).cast("double") *
+            sum(col("mean_q").cast("decimal(38,18)")).cast("double") /
+            count(lit(1))) / count(lit(1)), 12).as("between_fold_var"))
+      per.crossJoin(broadcast(spread))
+        .select(col("fold"), col("n_docs"), round(col("mean_q"), 6)
+          .as("mean_q"), col("between_fold_var"))
+        .orderBy("fold")
     })
   )
 
@@ -7571,6 +7624,68 @@ object SparkEntry {
           |  CAST(top_qty AS DOUBLE) / total_qty >= 0.8 AS single_sourced
           |FROM ag JOIN rk ON ag.l_partkey = rk.l_partkey AND rk.rn = 1
           |ORDER BY ag.l_partkey""".stripMargin,
+
+      // every FK edge's orphan audit unioned; all-zero orphans expected
+      "q304_fk_integrity_map" ->
+        """SELECT fk_edge, n_rows, n_orphans,
+          |  CAST(n_orphans AS DOUBLE) / n_rows AS orphan_rate
+          |FROM (
+          |  SELECT 'lineitem->orders' AS fk_edge,
+          |    (SELECT count(*) FROM lineitem) AS n_rows,
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          |      ON l.l_orderkey = o.o_orderkey
+          |      WHERE o.o_orderkey IS NULL) AS n_orphans
+          |  UNION ALL SELECT 'lineitem->part',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN part p
+          |      ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+          |  UNION ALL SELECT 'lineitem->supplier',
+          |    (SELECT count(*) FROM lineitem),
+          |    (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+          |      ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+          |  UNION ALL SELECT 'orders->customer',
+          |    (SELECT count(*) FROM orders),
+          |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+          |      ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+          |  UNION ALL SELECT 'customer->nation',
+          |    (SELECT count(*) FROM customer),
+          |    (SELECT count(*) FROM customer c LEFT JOIN nation n
+          |      ON c.c_nationkey = n.n_nationkey
+          |      WHERE n.n_nationkey IS NULL)
+          |  UNION ALL SELECT 'supplier->nation',
+          |    (SELECT count(*) FROM supplier),
+          |    (SELECT count(*) FROM supplier s LEFT JOIN nation n
+          |      ON s.s_nationkey = n.n_nationkey
+          |      WHERE n.n_nationkey IS NULL))
+          |ORDER BY fk_edge""".stripMargin,
+
+      // 5 keyHash folds; fold means in decimal, q260's variance tree on
+      // the 5 means, rounded 12
+      "q305_fold_stability" ->
+        """WITH h0 AS (SELECT doc_id, text,
+          |    (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, text,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, text,
+          |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |f AS (SELECT h % 5 AS fold,
+          |    QUALITY_EXPR AS q
+          |  FROM h2),
+          |per AS (SELECT fold, count(*) AS n_docs,
+          |    CAST(SUM(CAST(q AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |      AS mean_q
+          |  FROM f GROUP BY fold),
+          |sp AS (SELECT count(*) AS n_folds,
+          |    round((CAST(SUM(CAST(mean_q * mean_q AS DECIMAL(38,18)))
+          |        AS DOUBLE)
+          |      - CAST(SUM(CAST(mean_q AS DECIMAL(38,18))) AS DOUBLE)
+          |        * CAST(SUM(CAST(mean_q AS DECIMAL(38,18))) AS DOUBLE)
+          |        / count(*)) / count(*), 12) AS between_fold_var
+          |  FROM per)
+          |SELECT fold, n_docs, round(mean_q, 6) AS mean_q,
+          |  between_fold_var
+          |FROM per, sp ORDER BY fold""".stripMargin
+          .replace("QUALITY_EXPR", qualitySql),
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
