@@ -5006,6 +5006,80 @@ object SparkEntry {
         .select(col("fold"), col("n_docs"), round(col("mean_q"), 6)
           .as("mean_q"), col("between_fold_var"))
         .orderBy("fold")
+    }),
+
+    "q306_cell_balance" -> ((s, dir) => {
+      // IVF cell-balance audit: per-cell counts plus the skew numbers
+      // that set worst-case probe latency (max/mean ratio, exact-sum CV)
+      // — an unbalanced codebook is the #1 reason IVF p99 blows up
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val sizes = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+      val st = sizes.agg(count(lit(1)).as("_k"), sum("n_vectors").as("_n"),
+        max("n_vectors").as("_mx"),
+        sum(col("n_vectors") * col("n_vectors")).as("_sxx"))
+      sizes.crossJoin(broadcast(st))
+        .withColumn("share", col("n_vectors").cast("double") / col("_n"))
+        .withColumn("max_over_mean",
+          (col("_mx") * col("_k")).cast("double") / col("_n"))
+        .withColumn("cv", round(
+          sqrt((col("_sxx").cast("double") -
+            col("_n").cast("double") * col("_n").cast("double") /
+              col("_k")) / col("_k")) /
+            (col("_n").cast("double") / col("_k")), 6))
+        .select("centroid_id", "n_vectors", "share", "max_over_mean", "cv")
+        .orderBy("centroid_id")
+    }),
+
+    "q307_probe_cost_curve" -> ((s, dir) => {
+      // IVF probe-cost curve: for nprobe ∈ {1, 2, 4}, the fraction of
+      // the corpus a query (vec 0) would scan — the latency half of the
+      // q103 recall gate; centroid ranking is driver-free (window over
+      // 8 rows), sizes join broadcast
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+      val sizes = assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("sz"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val ranked = centroids.crossJoin(broadcast(qv))
+        .withColumn("d", VF.cosineDistance(col("cv"), col("qe")))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("d"), col("cid"))))
+        .join(sizes, col("cid") === col("centroid_id"))
+      val tot = sizes.agg(sum("sz").as("_n"))
+      Seq(1, 2, 4).map { p =>
+        ranked.filter(col("rk") <= p)
+          .agg(sum("sz").as("n_scanned"))
+          .crossJoin(broadcast(tot))
+          .select(lit(p).as("nprobe"), col("n_scanned"),
+            (col("n_scanned").cast("double") / col("_n"))
+              .as("scan_fraction"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
+    "q308_splithalf_topterms" -> ((s, dir) => {
+      // split-half reliability of the "top-20 terms" list: docs split by
+      // the keyHash parity, per-half top-20 by cf (ties → term), overlap
+      // count — an unstable list means the ranking is noise
+      val halves = tbl(s, dir, "documents")
+        .withColumn("half", Sketches.keyHash(col("doc_id")) % 2)
+        .select(col("half"), explode(Retrieval.analyze(col("text")))
+          .as("term"))
+        .groupBy("half", "term").agg(count(lit(1)).as("cf"))
+      val top = graft.plans.TopKAggregate.topKRows(halves, Seq("half"),
+        Seq((-col("cf")).as("ncf"), col("term").as("term")), Nil, k = 20)
+      val a = top.filter(col("half") === 0).select("term")
+      val b = top.filter(col("half") === 1).select("term")
+      a.join(b, "term").agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(20.0)).as("overlap_at_20"))
     })
   )
 
@@ -7686,6 +7760,65 @@ object SparkEntry {
           |  between_fold_var
           |FROM per, sp ORDER BY fold""".stripMargin
           .replace("QUALITY_EXPR", qualitySql),
+
+      // the q35 assignment CTEs; skew stats on one 8-row frame
+      "q306_cell_balance" ->
+        s"""$knnEdgesPrefixSql,
+           |sz AS (SELECT centroid_id, count(*) AS n_vectors FROM a
+           |  GROUP BY centroid_id),
+           |st AS (SELECT count(*) AS k,
+           |    CAST(SUM(n_vectors) AS BIGINT) AS n,
+           |    CAST(max(n_vectors) AS BIGINT) AS mx,
+           |    CAST(SUM(n_vectors * n_vectors) AS BIGINT) AS sxx
+           |  FROM sz)
+           |SELECT centroid_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+           |  CAST(n_vectors AS DOUBLE) / n AS share,
+           |  CAST(mx * k AS DOUBLE) / n AS max_over_mean,
+           |  round(sqrt((CAST(sxx AS DOUBLE)
+           |      - CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / k) / k)
+           |    / (CAST(n AS DOUBLE) / k), 6) AS cv
+           |FROM sz, st ORDER BY centroid_id""".stripMargin,
+
+      // centroid ranking by query cosine; scanned = Σ sizes of the
+      // nprobe nearest cells
+      "q307_probe_cost_curve" ->
+        s"""$knnEdgesPrefixSql,
+           |sz AS (SELECT centroid_id, count(*) AS sz FROM a
+           |  GROUP BY centroid_id),
+           |qq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |rkc AS (SELECT c.cid, sz.sz, row_number() OVER (ORDER BY
+           |    1.0 - list_cosine_similarity(c.cv, qv), c.cid) AS rk
+           |  FROM c, qq JOIN sz ON c.cid = sz.centroid_id),
+           |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n FROM sz),
+           |pp AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe)
+           |SELECT nprobe, CAST(SUM(sz) AS BIGINT) AS n_scanned,
+           |  CAST(SUM(sz) AS DOUBLE) / max(n) AS scan_fraction
+           |FROM pp, rkc, tot WHERE rkc.rk <= pp.nprobe
+           |GROUP BY nprobe ORDER BY nprobe""".stripMargin,
+
+      // keyHash-parity halves; per-half top-20 by (cf DESC, term)
+      "q308_splithalf_topterms" ->
+        """WITH h0 AS (SELECT doc_id, text,
+          |    (doc_id * 1000003) % 2147483647 AS h FROM documents),
+          |h1 AS (SELECT doc_id, text,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT doc_id, text,
+          |    (xor(h, h >> 13) * 73244475) % 2147483647 AS h FROM h1),
+          |f AS (SELECT h % 2 AS half,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM h2),
+          |tf AS (SELECT half, term, count(*) AS cf FROM (
+          |    SELECT half, unnest(t) AS term FROM f)
+          |  GROUP BY half, term),
+          |rk AS (SELECT half, term, row_number() OVER (
+          |    PARTITION BY half ORDER BY cf DESC, term) AS rn FROM tf),
+          |tp AS (SELECT half, term FROM rk WHERE rn <= 20)
+          |SELECT count(*) AS n_overlap,
+          |  CAST(count(*) AS DOUBLE) / 20.0 AS overlap_at_20
+          |FROM tp a JOIN tp b ON a.term = b.term
+          |  AND a.half = 0 AND b.half = 1""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
