@@ -5080,6 +5080,50 @@ object SparkEntry {
       a.join(b, "term").agg(count(lit(1)).as("n_overlap"))
         .select(col("n_overlap"),
           (col("n_overlap").cast("double") / lit(20.0)).as("overlap_at_20"))
+    }),
+
+    "q309_cell_distortion" -> ((s, dir) => {
+      // IVF distortion by cell: mean cosine distance of members to their
+      // centroid (per-row distances rounded 6 dp on both engines, then
+      // the exact-decimal mean) — which cells need a codebook re-train;
+      // pairs with q306's balance audit
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .join(broadcast(centroids), col("centroid_id") === col("cid"))
+        .withColumn("d",
+          round(VF.cosineDistance(col("embedding"), col("cv")), 6))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("d").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("mean_distortion"),
+          round(max("d"), 6).as("max_distortion"))
+        .orderBy("centroid_id")
+    }),
+
+    "q310_decayed_popularity" -> ((s, dir) => {
+      // recency-weighted popularity with EXACT half-life weights: a
+      // week-old event counts half — weights are powers of two, so the
+      // decayed score times 2^5 is an exact BIGINT (no float decay
+      // drift between engines); per event type, newest-heavy ranking
+      val ev = events(s, dir)
+      val mx = ev.agg(max(expr(
+        "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)"))
+        .as("_mw"))
+      ev.select(col("event_type"), expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') div 7 " +
+          "as int)").as("wk"))
+        .crossJoin(broadcast(mx))
+        .withColumn("age_wk", least(col("_mw") - col("wk"), lit(5)))
+        .withColumn("w32", expr("shiftleft(1L, cast(5 - age_wk as int))"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("w32").as("decayed_x32"))
+        .withColumn("decayed_score",
+          col("decayed_x32").cast("double") / 32.0)
+        .orderBy(col("decayed_x32").desc, col("event_type"))
     })
   )
 
@@ -7819,6 +7863,35 @@ object SparkEntry {
           |  CAST(count(*) AS DOUBLE) / 20.0 AS overlap_at_20
           |FROM tp a JOIN tp b ON a.term = b.term
           |  AND a.half = 0 AND b.half = 1""".stripMargin,
+
+      // member→centroid distances rounded 6 dp, exact-decimal means
+      "q309_cell_distortion" ->
+        s"""$knnEdgesPrefixSql,
+           |dd AS (SELECT a.centroid_id,
+           |    round(1.0 - list_cosine_similarity(
+           |      CAST(a.embedding AS DOUBLE[]), c.cv), 6) AS d
+           |  FROM a JOIN c ON a.centroid_id = c.cid)
+           |SELECT centroid_id, count(*) AS n_vectors,
+           |  round(CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE)
+           |    / count(*), 6) AS mean_distortion,
+           |  round(max(d), 6) AS max_distortion
+           |FROM dd GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+
+      // power-of-two half-life weights: ×32 keeps everything BIGINT
+      "q310_decayed_popularity" ->
+        """WITH e AS (SELECT event_type,
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk FROM events),
+          |m AS (SELECT max(wk) AS mw FROM e),
+          |w AS (SELECT event_type, least(mw - wk, 5) AS age_wk
+          |  FROM e, m),
+          |x AS (SELECT event_type, CAST(1 << (5 - age_wk) AS BIGINT)
+          |    AS w32 FROM w)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(SUM(w32) AS BIGINT) AS decayed_x32,
+          |  CAST(SUM(w32) AS DOUBLE) / 32.0 AS decayed_score
+          |FROM x GROUP BY event_type
+          |ORDER BY decayed_x32 DESC, event_type""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
