@@ -5124,7 +5124,57 @@ object SparkEntry {
         .withColumn("decayed_score",
           col("decayed_x32").cast("double") / 32.0)
         .orderBy(col("decayed_x32").desc, col("event_type"))
-    })
+    }),
+
+    "q311_wcc_distributed" -> ((s, dir) => {
+      // the 100 TB clustering path, force-gated: collectThreshold = 0
+      // makes dedupClusters take the distributed hash-min label loop
+      // (the driver union-find is only the small-graph shortcut), so the
+      // oracle's recursive fixpoint gates the loop a cluster would
+      // actually run on a billion-edge near-dup graph — same corpus,
+      // same oracle as q56
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      Dedup.dedupClusters(pairs, "doc_a", "doc_b", edgePartitions = 8,
+          collectThreshold = 0L)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
+    "q312_filtered_ann" -> ((s, dir) => {
+      // metadata-filtered vector search (the serving-time "filtered
+      // query"): IVF probe of 2 cells with a label predicate applied
+      // INSIDE the probed cells (pre-filter semantics) — stored
+      // partitionBy(centroid_id), the probe prunes partitions and the
+      // predicate dies in the scan stage, so non-matching vectors never
+      // reach the top-k heap
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("centroid_id"))
+      val cents = centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Similarity.ivfSearch(assigned.filter(col("label") === 2),
+          "embedding", "vec_id", cents, qv, 8, 2)
+        .select(col("vec_id"), col("label"), col("centroid_id"),
+          round(col("distance"), 6).as("distance"))
+    }),
+
+    "q313_query_likelihood" -> ((s, dir) =>
+      // Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty),
+      // the LM counterpart to q98's BM25: identical filtered-explode
+      // shuffle shape, cf/C stats broadcast, exact-decimal score sum
+      Retrieval.queryLikelihood(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector", "window"), 20, mu = 1000.0))
   )
 
   // ======================================================================
@@ -7892,6 +7942,55 @@ object SparkEntry {
           |  CAST(SUM(w32) AS DOUBLE) / 32.0 AS decayed_score
           |FROM x GROUP BY event_type
           |ORDER BY decayed_x32 DESC, event_type""".stripMargin,
+
+      // forced-distributed hash-min labels converge to the same fixpoint
+      // as the union-find — byte-identical oracle to q56
+      "q311_wcc_distributed" -> dedupClustersOracleSql,
+
+      // q54's assign/probe replay with the label predicate applied to
+      // the probed-cell scan (pre-filter semantics)
+      "q312_filtered_ann" ->
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |assign AS (
+          |  SELECT vec_id, centroid_id FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |probes AS (SELECT cid FROM c, q ORDER BY list_distance(cv, qv), cid LIMIT 2)
+          |SELECT e.vec_id, e.label, a.centroid_id,
+          |  round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS distance
+          |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+          |WHERE a.centroid_id IN (SELECT cid FROM probes) AND e.label = 2
+          |ORDER BY 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), e.vec_id
+          |LIMIT 8""".stripMargin,
+
+      // rank-equivalent Dirichlet QL over matched rows only: the zero-tf
+      // smoothing mass folds into the dl-only term (× |q| = 4); same
+      // decimal-sum + round-6 ln discipline as q98
+      "q313_query_likelihood" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM dl),
+          |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  GROUP BY id, dl, term),
+          |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+          |scored AS (SELECT id, dl,
+          |    ln(1.0 + CAST(tf * c_tokens AS DOUBLE) / (1000.0 * cf)) AS contrib
+          |  FROM tf JOIN cf USING (term), stats)
+          |SELECT id,
+          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15)))
+          |    + CAST(ln(1000.0 / (dl + 1000.0)) * 4 AS DECIMAL(27,15))
+          |    AS DOUBLE), 6) AS score,
+          |  COUNT(*) AS n_matched
+          |FROM scored GROUP BY id, dl
+          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -141,6 +141,49 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2004),
+    * the standard LM alternative to BM25. Uses the rank-equivalent
+    * decomposition that needs only MATCHED (doc, term) rows:
+    *
+    *   score(d) = Σ_{t∈q, tf>0} ln(1 + tf·C / (μ·cf_t))  +  |q|·ln(μ / (dl+μ))
+    *
+    * where C is the corpus token count and cf_t the collection frequency
+    * of t — so the shuffle carries exactly the same filtered (id, term)
+    * pairs as [[bm25]] (the zero-tf smoothing mass folds into the
+    * dl-only second term; docs matching no term are unranked, as in any
+    * candidate-generation retrieval stack). All ln arguments are single
+    * divisions of exact integers, each matched-term contribution and the
+    * per-doc length term are cast to exact decimal before summing, and
+    * the final score rounds to 6 decimals — the [[bm25]] parity rule.
+    * cf_t comes from the same matched rows (Σ tf over the corpus), so no
+    * second corpus pass; C and cf broadcast as tiny frames. */
+  def queryLikelihood(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], k: Int,
+                      mu: Double = 1000.0): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"), analyze(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val stats = docs.agg(sum("dl").as("c_tokens"))
+    val matchTerm = log(lit(1.0) +
+      (col("tf") * col("c_tokens")).cast("double") / (lit(mu) * col("cf")))
+    val lenTerm = log(lit(mu) / (col("dl") + lit(mu)))
+    tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("id", "dl")
+      .agg(sum(matchTerm.cast("decimal(27,15)")).as("_m"),
+        count(lit(1)).as("n_matched"))
+      .withColumn("score", round(
+        (col("_m") + (lenTerm * queryTerms.size).cast("decimal(27,15)"))
+          .cast("double"), 6))
+      .select(col("id"), col("score"), col("n_matched"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. 2009) of ranked result lists:
     * score(id) = Σ_lists 1/(c + rank). The standard hybrid-retrieval
     * combiner for lexical (BM25) + dense (vector) rankings — rank-based,

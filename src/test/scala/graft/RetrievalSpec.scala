@@ -263,4 +263,26 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L) == ((4, 3L, "q r p")))
     assert(out(2L) == ((1, 2L, "p q x")))
   }
+
+  test("queryLikelihood: tf-monotone, length-penalized, exact value") {
+    val df = Seq(
+      (1L, "p p x x"), // tf=2, dl=4
+      (2L, "p x x x"), // tf=1, dl=4
+      (3L, "p x x x x x x x"), // tf=1, dl=8 — longer, same match
+      (4L, "x x x x")).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihood(df, "doc_id", "text", Seq("p"),
+        10, mu = 10.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val scores = out.map(t => t._1 -> t._2).toMap
+    // only matching docs are ranked
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    // more occurrences beat fewer at equal length; at equal tf the
+    // longer doc pays the ln(mu/(dl+mu)) length penalty
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+    // exact: C=20 tokens, cf(p)=4 → doc2: ln(1 + 1·20/(10·4)) + ln(10/14)
+    val expected = BigDecimal(math.log(1.5)).setScale(15, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(10.0 / 14.0)).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+    assert(scores(2L) == expected.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.find(_._1 == 1L).get._3 == 1L) // n_matched counts terms
+  }
 }

@@ -17,6 +17,35 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 5L))
   }
 
+  test("filtered IVF probe (pre-filter) ≡ topK over the filtered probed cells") {
+    // a metadata predicate composed BEFORE ivfSearch must rank exactly
+    // the predicate-matching rows of the probed cells — the serving-time
+    // "filtered query" contract (filter inside the cells, not post-k)
+    val big = (0 until 60).map { i =>
+      (i.toLong, (0 until 8).map(d => ((i * 13 + d * 7) % 17 - 8).toFloat / 8f),
+        i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Seq(
+      (0, Seq.fill(8)(1.0f)), (1, (0 until 8).map(d => if (d < 4) 1.0f else -1.0f)))
+    val centDf = cents.toDF("cid", "cv")
+    val assigned = Similarity.assignNearestCentroid(big, "embedding", "vec_id",
+      centDf, "cid", "cv")
+    val qv = (0 until 8).map(d => ((d * 7) % 17 - 8).toFloat / 8f)
+    val got = Similarity.ivfSearch(assigned.filter($"label" === 1),
+        "embedding", "vec_id", cents, qv, 5, 1)
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    val probeIds = Similarity.nearestCentroidIds(cents, qv, 1)
+    val want = Similarity.topK(
+        assigned.filter($"label" === 1 && $"centroid_id".isin(probeIds: _*)),
+        "embedding", qv, 5, "COSINE", "vec_id")
+      .select("vec_id", "distance").as[(Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // every hit satisfies the predicate
+    val labels = big.filter($"vec_id".isin(got.map(_._1): _*))
+      .select("label").as[Int].collect().toSet
+    assert(labels == Set(1))
+  }
+
   test("multiProbeSearch with a full probe set equals exact topK") {
     // nBits = 1 → probes = {code, code^1} = BOTH buckets, so the probe
     // filter drops nothing and the re-rank must equal brute-force topK
