@@ -5174,7 +5174,72 @@ object SparkEntry {
       // the LM counterpart to q98's BM25: identical filtered-explode
       // shuffle shape, cf/C stats broadcast, exact-decimal score sum
       Retrieval.queryLikelihood(tbl(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "join", "vector", "window"), 20, mu = 1000.0))
+        Seq("spark", "join", "vector", "window"), 20, mu = 1000.0)),
+
+    "q314_rbo" -> ((s, dir) => {
+      // rank-biased overlap (Webber et al. 2010) between the BM25 and
+      // query-likelihood top-20 lists — the top-weighted "do two rankers
+      // agree" monitor. p = 1/2, so every per-depth term is one division
+      // (X_d/d) scaled by an exact power of two: bit-identical doubles
+      // both engines, decimal-summed. Both lists are top-k frames, so
+      // everything after retrieval is driver-scale
+      val docs = tbl(s, dir, "documents")
+      val terms = Seq("spark", "join", "vector", "window")
+      val wr = Window.orderBy(col("score").desc, col("id").asc)
+      val a = Retrieval.bm25(docs, "doc_id", "text", terms, 20)
+        .select(col("id"), row_number().over(wr).as("ra"))
+      val b = Retrieval.queryLikelihood(docs, "doc_id", "text", terms, 20)
+        .select(col("id"), row_number().over(wr).as("rb"))
+      val j = a.join(b, Seq("id"), "full").na.fill(999, Seq("ra", "rb"))
+      val depths = s.range(1, 21).select(col("id").cast("int").as("d"))
+      j.crossJoin(depths)
+        .groupBy("d")
+        .agg(sum(when(greatest(col("ra"), col("rb")) <= col("d"), 1L)
+          .otherwise(0L)).as("x_d"))
+        .agg(round(sum(((col("x_d").cast("double") / col("d")) /
+            expr("shiftleft(1L, d)").cast("double"))
+          .cast("decimal(27,15)")).cast("double"), 6).as("rbo"),
+          (max(when(col("d") === 20, col("x_d"))).cast("double") / 20.0)
+            .as("overlap_at_20"))
+    }),
+
+    "q315_t_closeness" -> ((s, dir) =>
+      // t-closeness release audit over the q218 quasi-identifiers: a
+      // class leaks when its source distribution diverges from the
+      // corpus's even if it is large (k) and diverse (l) — exact-integer
+      // total-variation distance, one division per class
+      Governance.tClosenessAudit(
+          tbl(s, dir, "documents")
+            .withColumn("len_bucket", expr("n_chars div 100")),
+          Seq("lang", "len_bucket"), "source", t = 0.4)
+        .orderBy("lang", "len_bucket")),
+
+    "q316_top_ngram_repetition" -> ((s, dir) =>
+      // Gopher top-n-gram repetition gate (n = 2, 3, 4): fraction of
+      // token characters claimed by the most frequent n-gram — the
+      // boilerplate-loop kill signal q72's bigram stats only cover at
+      // n = 2. Paper-shaped thresholds; integer counts, one division
+      TextQuality.topNgramFractions(tbl(s, dir, "documents"), "doc_id",
+          "text", Seq(2, 3, 4), Seq(0.20, 0.18, 0.16))
+        .orderBy("doc_id")),
+
+    "q317_dup_ngram_coverage" -> ((s, dir) => {
+      // Gopher duplicated-n-gram coverage: the fraction of tokens inside
+      // at least one REPEATED 6-gram, counting each token once (interval
+      // union via a running-max window — overlapping spans would
+      // overcount). Every third doc gets its first 8 tokens re-appended
+      // as a known self-repetition; clean docs must report 0
+      val d = tbl(s, dir, "documents")
+      val corpus = d
+        .withColumn("_t0", TextQuality.tokens(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0 && size(col("_t0")) >= 8,
+            concat(col("text"), lit(" "), concat_ws(" ", slice(col("_t0"), 1, 8))))
+          .otherwise(col("text")))
+        .select("doc_id", "text")
+      TextQuality.dupNgramCoverage(corpus, "doc_id", "text", n = 6)
+        .orderBy("doc_id")
+    })
   )
 
   // ======================================================================
@@ -7970,27 +8035,130 @@ object SparkEntry {
       // rank-equivalent Dirichlet QL over matched rows only: the zero-tf
       // smoothing mass folds into the dl-only term (× |q| = 4); same
       // decimal-sum + round-6 ln discipline as q98
-      "q313_query_likelihood" ->
-        """WITH docs AS (SELECT doc_id AS id,
-          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      "q313_query_likelihood" -> queryLikelihoodOracleSql,
+
+      // per-depth agreement X_d/d scaled by exact 2^-d — each term is one
+      // correctly-rounded division times an exact power of two, so the
+      // decimal sum matches bit-for-bit
+      "q314_rbo" ->
+        s"""WITH bm AS ($bm25OracleSql),
+           |ql AS ($queryLikelihoodOracleSql),
+           |ar AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS ra FROM bm),
+           |br AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rb FROM ql),
+           |j AS (SELECT COALESCE(ra, 999) AS ra, COALESCE(rb, 999) AS rb
+           |  FROM ar FULL OUTER JOIN br USING (id)),
+           |x AS (SELECT d, CAST(SUM(CASE WHEN greatest(ra, rb) <= d
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS x_d
+           |  FROM j, unnest(range(1, 21)) AS u(d) GROUP BY d)
+           |SELECT round(CAST(SUM(CAST((CAST(x_d AS DOUBLE) / d)
+           |    / CAST(1 << d AS DOUBLE) AS DECIMAL(27,15))) AS DOUBLE), 6) AS rbo,
+           |  CAST(MAX(CASE WHEN d = 20 THEN x_d END) AS DOUBLE) / 20.0
+           |    AS overlap_at_20
+           |FROM x""".stripMargin,
+
+      // exact-integer TVD: Σ|n_cs·N − N_s·n_c| over HUGEINT (≡ the Spark
+      // side's decimal(38,0) — count products overflow BIGINT at scale),
+      // one double division per class
+      "q315_t_closeness" ->
+        """WITH cell AS (SELECT lang, n_chars // 100 AS len_bucket, source,
+          |    CAST(count(*) AS BIGINT) AS n_cs
+          |  FROM documents GROUP BY 1, 2, 3),
+          |cls AS (SELECT lang, len_bucket, CAST(SUM(n_cs) AS BIGINT) AS n_c
+          |  FROM cell GROUP BY 1, 2),
+          |gl AS (SELECT source, CAST(SUM(n_cs) AS BIGINT) AS n_s
+          |  FROM cell GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM gl),
+          |grid AS (SELECT c.lang, c.len_bucket, c.n_c, g.source, g.n_s,
+          |    COALESCE(x.n_cs, 0) AS n_cs, t.n_tot
+          |  FROM cls c CROSS JOIN gl g CROSS JOIN tot t
+          |  LEFT JOIN cell x ON x.lang = c.lang
+          |    AND x.len_bucket = c.len_bucket AND x.source = g.source)
+          |SELECT lang, len_bucket, MAX(n_c) AS class_size,
+          |  (CAST(SUM(ABS(CAST(n_cs AS HUGEINT) * n_tot
+          |      - CAST(n_s AS HUGEINT) * n_c)) AS DOUBLE)
+          |    / CAST(MAX(CAST(n_c AS HUGEINT) * n_tot) AS DOUBLE)) / 2.0 AS tvd,
+          |  (CAST(SUM(ABS(CAST(n_cs AS HUGEINT) * n_tot
+          |      - CAST(n_s AS HUGEINT) * n_c)) AS DOUBLE)
+          |    / CAST(MAX(CAST(n_c AS HUGEINT) * n_tot) AS DOUBLE)) / 2.0 > 0.4
+          |    AS t_violation
+          |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // per-n top-gram via a (c DESC, g DESC) window ≡ Spark's
+      // max(struct(c, g)); chars of a space-joined n-gram = length − (n−1)
+      "q316_top_ngram_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
           |  FROM documents),
-          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
-          |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM dl),
-          |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
-          |    SELECT id, dl, unnest(t) AS term FROM dl)
-          |  WHERE term IN ('spark', 'join', 'vector', 'window')
-          |  GROUP BY id, dl, term),
-          |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
-          |scored AS (SELECT id, dl,
-          |    ln(1.0 + CAST(tf * c_tokens AS DOUBLE) / (1000.0 * cf)) AS contrib
-          |  FROM tf JOIN cf USING (term), stats)
-          |SELECT id,
-          |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15)))
-          |    + CAST(ln(1000.0 / (dl + 1000.0)) * 4 AS DECIMAL(27,15))
-          |    AS DOUBLE), 6) AS score,
-          |  COUNT(*) AS n_matched
-          |FROM scored GROUP BY id, dl
-          |ORDER BY score DESC, id LIMIT 20""".stripMargin,
+          |b AS (SELECT doc_id, length(array_to_string(t, '')) AS tc, t FROM t),
+          |g2 AS (SELECT doc_id, tc, unnest(list_transform(range(1, len(t)),
+          |    i -> array_to_string(t[CAST(i AS INT):CAST(i + 1 AS INT)], ' '))) AS g
+          |  FROM b WHERE len(t) >= 2),
+          |c2 AS (SELECT doc_id, tc, g, CAST(count(*) AS BIGINT) AS c
+          |  FROM g2 GROUP BY 1, 2, 3),
+          |s2 AS (SELECT doc_id, CAST(c * (length(g) - 1) AS DOUBLE) / tc AS f
+          |  FROM c2 QUALIFY row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY c DESC, g DESC) = 1),
+          |g3 AS (SELECT doc_id, tc, unnest(list_transform(range(1, len(t) - 1),
+          |    i -> array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS g
+          |  FROM b WHERE len(t) >= 3),
+          |c3 AS (SELECT doc_id, tc, g, CAST(count(*) AS BIGINT) AS c
+          |  FROM g3 GROUP BY 1, 2, 3),
+          |s3 AS (SELECT doc_id, CAST(c * (length(g) - 2) AS DOUBLE) / tc AS f
+          |  FROM c3 QUALIFY row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY c DESC, g DESC) = 1),
+          |g4 AS (SELECT doc_id, tc, unnest(list_transform(range(1, len(t) - 2),
+          |    i -> array_to_string(t[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))) AS g
+          |  FROM b WHERE len(t) >= 4),
+          |c4 AS (SELECT doc_id, tc, g, CAST(count(*) AS BIGINT) AS c
+          |  FROM g4 GROUP BY 1, 2, 3),
+          |s4 AS (SELECT doc_id, CAST(c * (length(g) - 3) AS DOUBLE) / tc AS f
+          |  FROM c4 QUALIFY row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY c DESC, g DESC) = 1)
+          |SELECT d.doc_id,
+          |  COALESCE(s2.f, 0.0) AS top2_frac,
+          |  COALESCE(s3.f, 0.0) AS top3_frac,
+          |  COALESCE(s4.f, 0.0) AS top4_frac,
+          |  COALESCE(s2.f, 0.0) <= 0.20 AND COALESCE(s3.f, 0.0) <= 0.18
+          |    AND COALESCE(s4.f, 0.0) <= 0.16 AS rep_pass
+          |FROM documents d
+          |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+          |LEFT JOIN s3 ON d.doc_id = s3.doc_id
+          |LEFT JOIN s4 ON d.doc_id = s4.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // duplicated-6-gram interval union: running-max-of-end window, per
+      // -span new coverage = e − max(prev_max, pos−1) clamped at 0
+      "q317_dup_ngram_coverage" ->
+        """WITH t0 AS (SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |c AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 AND len(t) >= 8
+          |    THEN text || ' ' || array_to_string(t[1:8], ' ')
+          |    ELSE text END AS text FROM t0),
+          |t AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          |  FROM c),
+          |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM t),
+          |o AS (SELECT doc_id, i AS pos,
+          |    array_to_string(t[CAST(i AS INT):CAST(i + 5 AS INT)], ' ') AS g
+          |  FROM b, unnest(range(1, len(t) - 4)) AS u(i)
+          |  WHERE len(t) >= 6),
+          |d AS (SELECT doc_id, pos, pos + 5 AS e FROM o
+          |  QUALIFY count(*) OVER (PARTITION BY doc_id, g) > 1),
+          |cov AS (SELECT doc_id, greatest(0, e - greatest(
+          |    COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+          |    pos - 1)) AS cv
+          |  FROM d),
+          |s AS (SELECT doc_id, CAST(SUM(cv) AS BIGINT) AS covered_tokens
+          |  FROM cov GROUP BY 1)
+          |SELECT b.doc_id, b.n_tokens,
+          |  COALESCE(s.covered_tokens, 0) AS covered_tokens,
+          |  CASE WHEN b.n_tokens = 0 THEN 0.0
+          |    ELSE CAST(COALESCE(s.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+          |  END AS dup6_frac
+          |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
@@ -11038,6 +11206,31 @@ object SparkEntry {
   /** BM25 oracle (q98 scan path and q106 index-serving path — the scorer
     * is shared, so both produce bit-identical top-k). ln's last ulp is not
     * cross-engine safe: contributions sum in exact decimal, round(,6). */
+  /** Dirichlet query-likelihood oracle (q313), shared with the q314 RBO
+    * oracle's `ql` CTE — same decimal-sum + round-6 ln discipline as
+    * [[bm25OracleSql]]. */
+  private def queryLikelihoodOracleSql: String =
+    """WITH docs AS (SELECT doc_id AS id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+      |stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM dl),
+      |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT id, dl, unnest(t) AS term FROM dl)
+      |  WHERE term IN ('spark', 'join', 'vector', 'window')
+      |  GROUP BY id, dl, term),
+      |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+      |scored AS (SELECT id, dl,
+      |    ln(1.0 + CAST(tf * c_tokens AS DOUBLE) / (1000.0 * cf)) AS contrib
+      |  FROM tf JOIN cf USING (term), stats)
+      |SELECT id,
+      |  round(CAST(SUM(CAST(contrib AS DECIMAL(27,15)))
+      |    + CAST(ln(1000.0 / (dl + 1000.0)) * 4 AS DECIMAL(27,15))
+      |    AS DOUBLE), 6) AS score,
+      |  COUNT(*) AS n_matched
+      |FROM scored GROUP BY id, dl
+      |ORDER BY score DESC, id LIMIT 20""".stripMargin
+
   private def bm25OracleSql: String =
     """WITH docs AS (SELECT doc_id AS id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t

@@ -93,6 +93,50 @@ object Governance {
       .withColumn("l_violation", col("l_div") < l)
   }
 
+  /** t-closeness audit (Li et al. 2007), the release gate k-anonymity and
+    * l-diversity miss: a class can be large and diverse yet still leak if
+    * its SENSITIVE-VALUE DISTRIBUTION differs sharply from the corpus's.
+    * Emits, per quasi-identifier class, the total-variation distance
+    *
+    *   TVD = ½ · Σ_s | n_cs/n_c − N_s/N |
+    *
+    * computed in EXACT integer arithmetic as Σ|n_cs·N − N_s·n_c| over
+    * decimal(38,0) (count products overflow BIGINT at corpus scale), with
+    * ONE double division at the end — oracle-replayable bit-for-bit.
+    * Absent sensitive values contribute their full global mass N_s·n_c,
+    * picked up by a right join onto the per-class × per-value grid only
+    * for values the class actually misses — the grid is |classes|×|values|
+    * rows of counts, never corpus-sized. Two map-side-combinable
+    * aggregates plus one broadcast join; classes with TVD > t are the
+    * suppress/generalize worklist. */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, t: Double): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = qiCols.map(col)
+    val cell = df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val cls = cell.groupBy(qiCols.head, qiCols.tail: _*)
+      .agg(sum("n_cs").as("n_c"))
+    val glob = cell.groupBy(col(sensitiveCol))
+      .agg(sum("n_cs").as("n_s"))
+    val total = glob.agg(sum("n_s").as("n_tot"))
+    // full class × value grid, so a value absent from a class still
+    // contributes |0·N − N_s·n_c|
+    val grid = cls.crossJoin(broadcast(glob))
+      .join(cell, qiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("n_cs"))
+      .crossJoin(broadcast(total))
+    grid.groupBy(qiCols.head, qiCols.tail: _*)
+      .agg(max("n_c").as("class_size"),
+        sum(abs(col("n_cs").cast("decimal(38,0)") * col("n_tot") -
+          col("n_s").cast("decimal(38,0)") * col("n_c"))).as("_num"),
+        max(col("n_c").cast("decimal(38,0)") * col("n_tot")).as("_den"))
+      .withColumn("tvd",
+        (col("_num").cast("double") / col("_den").cast("double")) / 2.0)
+      .withColumn("t_violation", col("tvd") > t)
+      .drop("_num", "_den")
+  }
+
   /** SSRF-safe URL predicate, mirroring the reference's url_safety checks:
     * http(s) scheme only, no localhost, no RFC-1918 / link-local / loopback
     * literal hosts. RE2-compatible regexes so the oracle replays exactly. */

@@ -94,6 +94,95 @@ object TextQuality {
         (col("top_count").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
   }
 
+  /** Word n-gram array ("a b c", ...) of a token array — the shared
+    * n-gram builder for the repetition gates. */
+  private def ngramsOf(toksCol: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toksCol) - (n - 1)),
+      i => concat_ws(" ", slice(toksCol, i, lit(n))))
+
+  /** Gopher's top-n-gram repetition signals (Rae et al. 2021 §A1.1): per
+    * document, the fraction of (token) characters accounted for by the
+    * most frequent word n-gram, for each requested n — the gate that
+    * kills boilerplate like a nav bar repeated hundreds of times.
+    *
+    *   frac_n = top_count · chars(top n-gram) / Σ chars(all tokens)
+    *
+    * All counts integer, one double division per (doc, n). The top gram
+    * resolves ties deterministically by `max(struct(count, gram))` —
+    * highest count, then lexicographically-last gram — which the oracle
+    * replays as a `row_number () OVER (ORDER BY c DESC, g DESC)` window.
+    * Per n: one (doc, gram) shuffle that collapses map-side (repeats are
+    * the whole point of the metric) and one per-doc aggregate; docs
+    * shorter than n tokens join back with fraction 0. */
+  def topNgramFractions(df: DataFrame, idCol: String, textCol: String,
+                        ns: Seq[Int], thresholds: Seq[Double]): DataFrame = {
+    require(ns.nonEmpty && ns.size == thresholds.size)
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("tok_chars", length(array_join(col("_t"), "")))
+    val perN = ns.map { n =>
+      base.filter(size(col("_t")) >= n)
+        .select(col(idCol), col("tok_chars"),
+          explode(ngramsOf(col("_t"), n)).as("g"))
+        .groupBy(col(idCol), col("tok_chars"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("c"), col("g"))).as("_top"),
+          first(col("tok_chars")).as("_tc"))
+        .select(col(idCol),
+          ((col("_top.c") * (length(col("_top.g")) - (n - 1))).cast("double") /
+            col("_tc")).as(s"top${n}_frac"))
+    }
+    val joined = perN.reduce(_.join(_, Seq(idCol), "full"))
+    val filled = ns.foldLeft(df.select(col(idCol)).join(joined, Seq(idCol), "left")) {
+      (acc, n) => acc.withColumn(s"top${n}_frac",
+        coalesce(col(s"top${n}_frac"), lit(0.0)))
+    }
+    filled.withColumn("rep_pass",
+      ns.zip(thresholds).map { case (n, t) => col(s"top${n}_frac") <= t }
+        .reduce(_ && _))
+  }
+
+  /** Exact character… token coverage of DUPLICATED word n-grams (the
+    * second Gopher repetition family): the fraction of a document's
+    * tokens lying inside at least one occurrence of an n-gram that
+    * occurs more than once in that document, counting each token ONCE
+    * (interval union via the gaps-and-islands running-max window — spans
+    * overlap heavily in repetitive text, so naive per-span sums
+    * overcount). Per-doc windows partition by id; the only shuffle
+    * carries (doc, position) rows for duplicated grams. */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("n_tokens", size(col("_t")).cast("long"))
+    val occ = base.filter(size(col("_t")) >= n)
+      .select(col(idCol), explode(transform(
+          sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => struct(i.as("pos"), concat_ws(" ", slice(col("_t"), i, lit(n))).as("g"))))
+        .as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val dup = occ
+      .withColumn("_cnt", count(lit(1)).over(
+        Window.partitionBy(col(idCol), col("g"))))
+      .filter(col("_cnt") > 1)
+      .withColumn("end", col("pos") + (n - 1))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = dup
+      .withColumn("_pmax", coalesce(max(col("end")).over(w), lit(0)))
+      .withColumn("_cov", greatest(lit(0),
+        col("end") - greatest(col("_pmax"), col("pos") - 1)))
+      .groupBy(col(idCol))
+      .agg(sum(col("_cov")).as("covered_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered_tokens"))
+      .withColumn(s"dup${n}_frac", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(col("covered_tokens").cast("double") / col("n_tokens")))
+  }
+
   /** Per-document top TF-IDF terms. IDF is the exact ratio N/df (no log —
     * one double division, so the oracle replays it exactly; the ranking is
     * monotone in the log form anyway for fixed tf). Shuffles (doc, term)

@@ -174,4 +174,22 @@ class GovernanceSpec extends SparkSpec {
     }
     assert(out(("s1", "en"))._1 == 3L && out(("s2", "fr"))._1 == 1L)
   }
+
+  test("tClosenessAudit: exact TVD, absent values count their global mass") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // class A: 3×x, 1×y; class B: 4×y. Global: x=3, y=5, N=8.
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "y"), ("B", "y"), ("B", "y")).toDF("qi", "s")
+    val out = graft.operators.Governance
+      .tClosenessAudit(df, Seq("qi"), "s", t = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // A: ½(|3/4−3/8| + |1/4−5/8|) = ½(3/8+3/8) = 0.375
+    assert(out("A") == ((4L, 0.375, true)))
+    // B: ½(|0−3/8| + |1−5/8|) = ½(3/8+3/8) = 0.375 — the x-absent class
+    // still pays x's full global mass
+    assert(out("B") == ((4L, 0.375, true)))
+  }
 }

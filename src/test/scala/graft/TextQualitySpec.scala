@@ -118,4 +118,38 @@ class TextQualitySpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L, fp("C"))))
     assert(out(3L) == ((0L, 1L, 0L)))
   }
+
+  test("topNgramFractions: exact fractions, short docs fall back to 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab ab ab cd"),   // top2 "ab ab"×2, chars=4 → 8/10
+      (2L, "x")).toDF("doc_id", "text") // 1 token: both fracs 0
+    val out = graft.operators.TextQuality
+      .topNgramFractions(df, "doc_id", "text", Seq(2, 3), Seq(0.5, 0.5))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // doc1 tok_chars=8 (separator-free); top 2-gram "ab ab" count 2,
+    // gram chars 4 → 8/8 = 1.0; top 3-gram: all distinct, tie →
+    // lexicographically-last "ab ab cd" count 1, chars 6 → 0.75
+    assert(out(1L) == ((1.0, 0.75, false)))
+    assert(out(2L) == ((0.0, 0.0, true)))
+  }
+
+  test("dupNgramCoverage: interval union never double-counts overlaps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc1: "a b c a b c a b" — duplicated 2-grams "a b"(×3),"b c"(×2),
+    // "c a"(×2) cover positions 1..8 entirely → coverage 8/8
+    // doc2: all distinct bigrams → 0
+    val df = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "p q r s")).toDF("doc_id", "text")
+    val out = graft.operators.TextQuality
+      .dupNgramCoverage(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((8L, 8L, 1.0)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+  }
 }
