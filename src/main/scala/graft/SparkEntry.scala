@@ -5239,6 +5239,79 @@ object SparkEntry {
         .select("doc_id", "text")
       TextQuality.dupNgramCoverage(corpus, "doc_id", "text", n = 6)
         .orderBy("doc_id")
+    }),
+
+    "q318_absorbing_conversion" -> ((s, dir) => {
+      // 4-step conversion probability by value iteration over the q187
+      // within-session transition matrix: P(reach 'purchase' in ≤ 4
+      // moves) from every state — the funnel-free "how close is this
+      // state to converting" summary. One corpus pass builds the counts;
+      // the iteration runs on the tiny state space
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val trans = events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("from_type").isNotNull && col("_gap") <= gapUs)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      GraphAnalytics.absorbingReach(trans, "from_type", "to_type", "n",
+          target = "purchase", rounds = 4)
+        .orderBy("state")
+    }),
+
+    "q319_linear_rerank" -> ((s, dir) => {
+      // second-stage reranker over the q256 feature join: a fixed linear
+      // model (the shape a trained LTR model serves as) rescores the
+      // BM25 top-20; output carries both ranks so rank movement is
+      // auditable. All feature weights literal, one round at the end
+      graft.plans.VectorExpressions.register(s)
+      val d = tbl(s, dir, "documents")
+      val q0 = Seq("spark", "join", "vector", "window")
+      val cands = Retrieval.bm25(d, "doc_id", "text", q0, 20)
+        .select(col("id").as("doc_id"), col("score").as("bm25"))
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val dense = e.select(col("vec_id").as("doc_id"),
+        round(call_function("graft_cosine_distance", col("embedding"),
+          array(qv.map(v => lit(v)): _*)), 6).as("cos_dist"))
+      val prior = d.select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        length(col("text")).as("text_len"))
+      val feats = cands.join(prior, "doc_id")
+        .join(dense, Seq("doc_id"), "left")
+        .withColumn("cd", coalesce(col("cos_dist"), lit(1.0)))
+      val scored = feats.withColumn("score2", round(
+        lit(2.0) * col("bm25") - lit(3.0) * col("cd") +
+          lit(5.0) * col("quality") - lit(0.001) * col("text_len"), 6))
+      scored
+        .withColumn("rank_before", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .withColumn("rank_after", row_number().over(
+          Window.orderBy(col("score2").desc, col("doc_id"))))
+        .filter(col("rank_after") <= 10)
+        .select(col("doc_id"), col("score2"), col("rank_after"),
+          col("rank_before"), col("bm25"))
+        .orderBy("rank_after")
+    }),
+
+    "q320_obf_monitor" -> ((s, dir) => {
+      // peeking-safe weekly experiment monitor: cumulative Welch z per
+      // calendar-week look against the O'Brien-Fleming-style boundary
+      // z_α·√(K/k) — q226's null split read safely every week instead
+      // of once. Exact-decimal cumulants; the weekly frame is bounded
+      val ev = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)")
+          .as("wk"),
+          (Sketches.keyHash(col("user_id")) % 2 === 0).as("arm"),
+          round(col("value") * 100).cast("long").as("v100"))
+      Stats.obfMonitor(ev, "wk", "arm", "v100", zAlpha = 2.04)
+        .orderBy("wk")
     })
   )
 
@@ -8159,6 +8232,128 @@ object SparkEntry {
           |  END AS dup6_frac
           |FROM b LEFT JOIN s ON b.doc_id = s.doc_id
           |ORDER BY b.doc_id""".stripMargin,
+
+      // q187's transition CTEs, then 4 unrolled value-iteration rounds:
+      // per-edge p·v in double (identical trees), per-state decimal sum
+      "q318_absorbing_conversion" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |l AS (SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS from_type,
+          |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap_us
+          |  FROM e),
+          |p AS (SELECT from_type, event_type AS to_type,
+          |    CAST(count(*) AS BIGINT) AS n FROM l
+          |  WHERE from_type IS NOT NULL AND gap_us <= 1800000000 GROUP BY 1, 2),
+          |m AS (SELECT from_type AS s, to_type AS t, n,
+          |    SUM(n) OVER (PARTITION BY from_type) AS tot FROM p),
+          |st AS (SELECT DISTINCT s FROM
+          |  (SELECT s FROM m UNION ALL SELECT t FROM m)),
+          |r0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1.0 ELSE 0.0 END
+          |  AS v FROM st),
+          |r1 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 1.0
+          |    ELSE COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r0 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r2 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 1.0
+          |    ELSE COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r1 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r3 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 1.0
+          |    ELSE COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r2 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r4 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 1.0
+          |    ELSE COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r3 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s)
+          |SELECT s AS state, round(v, 6) AS p_reach FROM r4
+          |ORDER BY state""".stripMargin,
+
+      // q256's feature CTEs → fixed linear weights → both rank windows;
+      // ranks cast to INT for schema parity
+      "q319_linear_rerank" ->
+        s"""WITH cand AS ($bm25OracleSql),
+           |qvx AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |dense AS (SELECT vec_id AS id,
+           |    round(1.0 - list_cosine_similarity(
+           |      CAST(embedding AS DOUBLE[]), qv), 6) AS cos_dist
+           |  FROM embeddings, qvx),
+           |pri AS (SELECT doc_id AS id, $qualitySql AS quality,
+           |    CAST(length(text) AS INT) AS text_len FROM documents),
+           |f AS (SELECT c.id AS doc_id, c.score AS bm25, p.quality,
+           |    p.text_len, COALESCE(d.cos_dist, 1.0) AS cd
+           |  FROM cand c JOIN pri p USING (id) LEFT JOIN dense d USING (id)),
+           |sc AS (SELECT doc_id, bm25, round(2.0 * bm25 - 3.0 * cd
+           |    + 5.0 * quality - 0.001 * text_len, 6) AS score2 FROM f),
+           |r AS (SELECT doc_id, score2, bm25,
+           |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+           |      AS rank_before,
+           |    CAST(row_number() OVER (ORDER BY score2 DESC, doc_id) AS INT)
+           |      AS rank_after FROM sc)
+           |SELECT doc_id, score2, rank_after, rank_before, bm25 FROM r
+           |WHERE rank_after <= 10 ORDER BY rank_after""".stripMargin,
+
+      // q226's hash-chain arm split read weekly: decimal cumulants
+      // through an ordered window, Welch z vs the OBF boundary
+      "q320_obf_monitor" ->
+        """WITH pe AS (SELECT
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk,
+          |    user_id, CAST(round(value * 100) AS BIGINT) AS v100
+          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |h0 AS (SELECT wk, v100, (user_id * 1000003) % 2147483647 AS h FROM pe),
+          |h1 AS (SELECT wk, v100, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT wk, v100, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |a AS (SELECT wk, v100, h % 2 = 0 AS arm FROM h2),
+          |wkl AS (SELECT wk,
+          |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS wn_a,
+          |    SUM(CASE WHEN arm THEN CAST(v100 AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS wsv_a,
+          |    SUM(CASE WHEN arm THEN CAST(v100 * v100 AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS wsvv_a,
+          |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS wn_b,
+          |    SUM(CASE WHEN NOT arm THEN CAST(v100 AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS wsv_b,
+          |    SUM(CASE WHEN NOT arm THEN CAST(v100 * v100 AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS wsvv_b
+          |  FROM a GROUP BY wk),
+          |c AS (SELECT wk,
+          |    CAST(row_number() OVER (ORDER BY wk) AS INT) AS look,
+          |    CAST(count(*) OVER () AS BIGINT) AS n_looks,
+          |    CAST(SUM(wn_a) OVER w AS BIGINT) AS n_a,
+          |    CAST(SUM(wn_b) OVER w AS BIGINT) AS n_b,
+          |    CAST(SUM(wsv_a) OVER w AS DOUBLE) AS sv_a,
+          |    CAST(SUM(wsvv_a) OVER w AS DOUBLE) AS svv_a,
+          |    CAST(SUM(wsv_b) OVER w AS DOUBLE) AS sv_b,
+          |    CAST(SUM(wsvv_b) OVER w AS DOUBLE) AS svv_b
+          |  FROM wkl WINDOW w AS (ORDER BY wk
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |zc AS (SELECT wk, look, n_looks, n_a, n_b,
+          |    sv_a / n_a - sv_b / n_b AS diff,
+          |    CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+          |      (sv_a / n_a - sv_b / n_b)
+          |      / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+          |        + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b)
+          |    END AS z,
+          |    2.04 * sqrt(CAST(n_looks AS DOUBLE) / look) AS bound
+          |  FROM c)
+          |SELECT wk, look, n_looks, n_a, n_b, diff, z, bound,
+          |  CASE WHEN z IS NOT NULL THEN abs(z) > bound END AS crossed
+          |FROM zc ORDER BY wk""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

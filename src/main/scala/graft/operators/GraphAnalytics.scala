@@ -396,4 +396,40 @@ object GraphAnalytics {
       .join(dict.select(col("wid").as("id"), col("term")), "id")
       .select(col("term"), col("pr"), col("rk"))
   }
+
+  /** Probability of reaching the absorbing `target` state within `rounds`
+    * steps of the empirical Markov chain, by value iteration:
+    * v₀(s) = [s = target]; v_{k+1}(s) = 1 if s = target else
+    * Σ_t p(s,t)·v_k(t), p(s,t) = n(s,t)/Σ_t n(s,t).
+    *
+    * The chain's state space is the distinct event-type set — tiny by
+    * construction once the corpus collapses to transition counts — so
+    * every round is a join over a broadcast-scale frame; the corpus is
+    * touched exactly once, upstream, to build `trans`. Each per-edge
+    * contribution is one double division times the previous value
+    * (identical expression tree both engines), and the per-state sum
+    * accumulates in exact decimal, so every intermediate v_k is
+    * bit-identical to the oracle's unrolled-CTE replay. States that
+    * never occur as a `from` state keep v = v₀ (they cannot move). */
+  def absorbingReach(trans: DataFrame, fromCol: String, toCol: String,
+                     nCol: String, target: String, rounds: Int): DataFrame = {
+    val m = trans.select(col(fromCol).as("s"), col(toCol).as("t"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("s")))
+    val states = m.select(col("s")).union(m.select(col("t").as("s"))).distinct()
+    var v = states.withColumn("v",
+      when(col("s") === target, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to rounds) {
+      val folded = m
+        .join(v.select(col("s").as("t"), col("v")), Seq("t"))
+        .groupBy("s")
+        .agg(sum(((col("n").cast("double") / col("tot")) * col("v"))
+          .cast("decimal(27,15)")).cast("double").as("v_next"))
+      v = states.join(folded, Seq("s"), "left")
+        .withColumn("v", when(col("s") === target, lit(1.0))
+          .otherwise(coalesce(col("v_next"), lit(0.0))))
+        .select("s", "v")
+    }
+    v.select(col("s").as("state"), round(col("v"), 6).as("p_reach"))
+  }
 }

@@ -420,6 +420,57 @@ object Stats {
           .as("t_stat"))
   }
 
+  /** Group-sequential experiment monitor with an O'Brien-Fleming-style
+    * spending boundary: per calendar-week look k of K, the cumulative
+    * Welch z of arm A vs arm B against boundary z_α·√(K/k) — the
+    * peeking-safe alternative to re-reading q226's fixed-horizon t every
+    * week. Sufficient statistics (n, Σv, Σv²) accumulate per week in
+    * exact decimal and cumulate through an ordered window (additions
+    * only, so order-independent); z and the boundary evaluate in double
+    * over those exact sums with identical expression trees both engines.
+    * The weekly frame is bounded by the calendar, so every window here
+    * is driver-scale; the corpus is touched once by the weekly
+    * aggregate. `vCol` must be an integer metric (cents, counts) with
+    * v² within long range, as in [[welchTTest]]. */
+  def obfMonitor(df: DataFrame, wkCol: String, armCol: String,
+                 vCol: String, zAlpha: Double): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def armAgg(flag: Column, sfx: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"wn_$sfx"),
+      sum(when(flag, d38(col(vCol))).otherwise(d38(lit(0L)))).as(s"wsv_$sfx"),
+      sum(when(flag, d38(col(vCol) * col(vCol))).otherwise(d38(lit(0L))))
+        .as(s"wsvv_$sfx"))
+    val weekly = df.groupBy(col(wkCol).as("wk"))
+      .agg((armAgg(col(armCol), "a") ++ armAgg(!col(armCol), "b")).head,
+        (armAgg(col(armCol), "a") ++ armAgg(!col(armCol), "b")).tail: _*)
+    val wcum = Window.orderBy("wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = weekly
+      .withColumn("look", row_number().over(Window.orderBy("wk")))
+      .withColumn("n_looks", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_a", sum("wn_a").over(wcum))
+      .withColumn("n_b", sum("wn_b").over(wcum))
+      .withColumn("sv_a", sum("wsv_a").over(wcum).cast("double"))
+      .withColumn("svv_a", sum("wsvv_a").over(wcum).cast("double"))
+      .withColumn("sv_b", sum("wsv_b").over(wcum).cast("double"))
+      .withColumn("svv_b", sum("wsvv_b").over(wcum).cast("double"))
+    def mean(sfx: String) = col(s"sv_$sfx") / col(s"n_$sfx")
+    def variance(sfx: String) =
+      (col(s"svv_$sfx") - col(s"sv_$sfx") * col(s"sv_$sfx") / col(s"n_$sfx")) /
+        (col(s"n_$sfx") - 1)
+    cum
+      .withColumn("diff", mean("a") - mean("b"))
+      .withColumn("z", when(col("n_a") >= 2 && col("n_b") >= 2,
+        (mean("a") - mean("b")) /
+          sqrt(variance("a") / col("n_a") + variance("b") / col("n_b"))))
+      .withColumn("bound",
+        lit(zAlpha) * sqrt(col("n_looks").cast("double") / col("look")))
+      .withColumn("crossed", when(col("z").isNotNull, abs(col("z")) > col("bound")))
+      .select(col("wk"), col("look"), col("n_looks"), col("n_a"), col("n_b"),
+        col("diff"), col("z"), col("bound"), col("crossed"))
+  }
+
   /** SQL text of [[Sketches.keyHash]] (affine + two xorshift-multiply
     * rounds mod 2^31−1) over an integer SQL expression — inlined so HOF
     * lambdas can use it (they cannot reference outer columns twice via

@@ -177,4 +177,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     // ranks are a permutation 1..7
     assert(out.map(_._3).toSeq == (1 to 7))
   }
+
+  test("absorbingReach: hand-computed 4-step probabilities; target pinned at 1") {
+    import spark.implicits._
+    // chain: a →(2/4) b, a →(2/4) a; b →(1/2) purchase, b →(1/2) a
+    val trans = Seq(
+      ("a", "b", 2L), ("a", "a", 2L),
+      ("b", "purchase", 1L), ("b", "a", 1L)).toDF("f", "t", "n")
+    val out = graft.operators.GraphAnalytics
+      .absorbingReach(trans, "f", "t", "n", "purchase", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // v1: b=.5, a=0 ; v2: a=.25, b=.5 ; v3: a=.375, b=.625 ;
+    // v4: a = .5·.625 + .5·.375 = .5, b = .5 + .5·.375 = .6875
+    assert(out("purchase") == 1.0)
+    assert(out("a") == 0.5 && out("b") == 0.6875)
+  }
 }

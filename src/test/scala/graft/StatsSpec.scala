@@ -269,4 +269,32 @@ class StatsSpec extends SparkSpec {
     assert(graft.operators.Stats.welchTTest(tiny, "arm", "v")
       .collect().head.isNullAt(5))
   }
+
+  test("obfMonitor: final look matches welchTTest; boundary shrinks per look") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(
+      (1, true, 10L), (1, false, 20L), (1, true, 30L), (1, false, 40L),
+      (2, true, 15L), (2, false, 25L), (2, true, 5L), (2, false, 45L),
+      (3, true, 50L), (3, false, 10L), (3, true, 20L), (3, false, 30L))
+      .toDF("wk", "arm", "v")
+    val looks = graft.operators.Stats.obfMonitor(ev, "wk", "arm", "v", 2.04)
+      .orderBy("wk").collect()
+    assert(looks.length == 3)
+    // the final cumulative look must equal the fixed-horizon Welch test
+    val fixedRow = graft.operators.Stats.welchTTest(ev, "arm", "v").head()
+    val last = looks.last
+    assert(last.getAs[Long]("n_a") == fixedRow.getAs[Long]("n_a"))
+    assert(last.getAs[Double]("diff") == fixedRow.getAs[Double]("diff"))
+    assert(last.getAs[Double]("z") == fixedRow.getAs[Double]("t_stat"))
+    // OBF boundary: strictly decreasing, equals zα at the last look
+    val bounds = looks.map(_.getAs[Double]("bound")).toSeq
+    assert(bounds == bounds.sorted.reverse && bounds.distinct == bounds)
+    assert(math.abs(bounds.last - 2.04) < 1e-12)
+    // crossed is consistent with |z| vs bound at every look
+    looks.foreach { r =>
+      assert(r.getAs[Boolean]("crossed") ==
+        (math.abs(r.getAs[Double]("z")) > r.getAs[Double]("bound")))
+    }
+  }
 }
