@@ -5312,6 +5312,52 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("v100"))
       Stats.obfMonitor(ev, "wk", "arm", "v100", zAlpha = 2.04)
         .orderBy("wk")
+    }),
+
+    "q321_label_noise" -> ((s, dir) => {
+      // confident-learning label screen over the q101 kNN graph: per
+      // vector, the share of its 3 nearest same-cell neighbors whose
+      // label differs, plus the neighborhood majority — the relabel
+      // worklist a pipeline reviews before training on the corpus
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      Evaluation.labelNoiseScreen(graph,
+          e.select("vec_id", "label"), "vec_id", "label")
+        .orderBy("id")
+    }),
+
+    "q322_qte" -> ((s, dir) => {
+      // quantile treatment effects: exact p25/p50/p75/p90 of purchase
+      // cents per hash arm and their per-quantile gap — does the
+      // "treatment" move the median or only the tail the q226 mean sees?
+      val ev = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select((Sketches.keyHash(col("user_id")) % 2 === 0).as("arm"),
+          round(col("value") * 100).cast("long").as("v100"))
+      Stats.quantileTreatmentEffect(ev, "arm", "v100", Seq(25, 50, 75, 90))
+        .orderBy("pct")
+    }),
+
+    "q323_did" -> ((s, dir) => {
+      // difference-in-differences over the hash arms: pre/post split at
+      // the midpoint week, per-cell exact-decimal means, DiD estimate —
+      // the launch readout that cancels any level shift both arms share
+      val ev = events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)")
+          .as("wk"),
+          (Sketches.keyHash(col("user_id")) % 2 === 0).as("arm"),
+          round(col("value") * 100).cast("long").as("v100"))
+      val b = ev.agg(min("wk").as("w0"), max("wk").as("w1"))
+      val flagged = ev.crossJoin(broadcast(b))
+        .withColumn("post", col("wk") >= expr("(w0 + w1 + 1) div 2"))
+      Stats.diffInDiff(flagged, "arm", "post", "v100")
     })
   )
 
@@ -8354,6 +8400,111 @@ object SparkEntry {
           |SELECT wk, look, n_looks, n_a, n_b, diff, z, bound,
           |  CASE WHEN z IS NOT NULL THEN abs(z) > bound END AS crossed
           |FROM zc ORDER BY wk""".stripMargin,
+
+      // q101's kNN graph replayed, then per-node neighbor label votes:
+      // disagreement share + majority label, ties toward smaller label
+      "q321_label_noise" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g AS (SELECT id, nbr_id FROM (SELECT id, nbr_id,
+          |    row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rank
+          |  FROM p) WHERE rank <= 3),
+          |v AS (SELECT g.id, o.label, n.label AS nbr_label,
+          |    CAST(count(*) AS BIGINT) AS n_votes
+          |  FROM g JOIN embeddings o ON g.id = o.vec_id
+          |    JOIN embeddings n ON g.nbr_id = n.vec_id
+          |  GROUP BY 1, 2, 3),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY id
+          |    ORDER BY n_votes DESC, nbr_label) AS rk FROM v),
+          |f AS (SELECT id, label,
+          |    CAST(SUM(n_votes) AS BIGINT) AS n_nbrs,
+          |    CAST(SUM(CASE WHEN nbr_label <> label THEN n_votes ELSE 0 END)
+          |      AS BIGINT) AS n_disagree,
+          |    max(CASE WHEN rk = 1 THEN nbr_label END) AS nbr_majority
+          |  FROM rk GROUP BY id, label)
+          |SELECT id, label, n_nbrs, n_disagree,
+          |  CAST(n_disagree AS DOUBLE) / n_nbrs AS disagree_frac,
+          |  nbr_majority,
+          |  (CAST(n_disagree AS DOUBLE) / n_nbrs) > 0.5
+          |    AND nbr_majority <> label AS flagged
+          |FROM f ORDER BY id""".stripMargin,
+
+      // per-arm exact lower-rank percentiles (the q261 estimator), the
+      // q320 keyHash chain splitting arms; one row per percentile
+      "q322_qte" ->
+        """WITH pe AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |h0 AS (SELECT v, (user_id * 1000003) % 2147483647 AS h FROM pe),
+          |h1 AS (SELECT v, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT v, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |a AS (SELECT v, h % 2 = 0 AS arm FROM h2),
+          |rk AS (SELECT arm, v,
+          |    row_number() OVER (PARTITION BY arm ORDER BY v) AS r,
+          |    count(*) OVER (PARTITION BY arm) AS n FROM a),
+          |pp AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INT) AS pct)
+          |SELECT pct,
+          |  CAST(max(CASE WHEN arm THEN n END) AS BIGINT) AS n_a,
+          |  CAST(max(CASE WHEN NOT arm THEN n END) AS BIGINT) AS n_b,
+          |  max(CASE WHEN arm THEN v END) AS v_a,
+          |  max(CASE WHEN NOT arm THEN v END) AS v_b,
+          |  max(CASE WHEN arm THEN v END)
+          |    - max(CASE WHEN NOT arm THEN v END) AS qte
+          |FROM pp JOIN rk ON rk.r = greatest(1, (pct * n) // 100)
+          |GROUP BY pct ORDER BY pct""".stripMargin,
+
+      // midpoint-week pre/post split, per-cell decimal-exact means,
+      // identical DiD expression tree
+      "q323_did" ->
+        """WITH pe AS (SELECT
+          |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      - DATE '1970-01-01') // 7 AS INT) AS wk,
+          |    user_id, CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+          |h0 AS (SELECT wk, v, (user_id * 1000003) % 2147483647 AS h FROM pe),
+          |h1 AS (SELECT wk, v, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT wk, v, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |a AS (SELECT wk, v, h % 2 = 0 AS arm FROM h2),
+          |b AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM a),
+          |f AS (SELECT v, arm, wk >= (w0 + w1 + 1) // 2 AS post
+          |  FROM a CROSS JOIN b),
+          |sums AS (SELECT
+          |    CAST(SUM(CASE WHEN arm AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+          |    CAST(SUM(CASE WHEN arm AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+          |    CAST(SUM(CASE WHEN NOT arm AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+          |    CAST(SUM(CASE WHEN NOT arm AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+          |    SUM(CASE WHEN arm AND NOT post THEN CAST(v AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sv_t_pre,
+          |    SUM(CASE WHEN arm AND post THEN CAST(v AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sv_t_post,
+          |    SUM(CASE WHEN NOT arm AND NOT post THEN CAST(v AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sv_c_pre,
+          |    SUM(CASE WHEN NOT arm AND post THEN CAST(v AS DECIMAL(38,0))
+          |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sv_c_post
+          |  FROM f),
+          |m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+          |    CASE WHEN n_t_pre > 0 THEN CAST(sv_t_pre AS DOUBLE) / n_t_pre END AS mean_t_pre,
+          |    CASE WHEN n_t_post > 0 THEN CAST(sv_t_post AS DOUBLE) / n_t_post END AS mean_t_post,
+          |    CASE WHEN n_c_pre > 0 THEN CAST(sv_c_pre AS DOUBLE) / n_c_pre END AS mean_c_pre,
+          |    CASE WHEN n_c_post > 0 THEN CAST(sv_c_post AS DOUBLE) / n_c_post END AS mean_c_post
+          |  FROM sums)
+          |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+          |  mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+          |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+          |FROM m""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

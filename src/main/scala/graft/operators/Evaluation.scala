@@ -457,4 +457,43 @@ object Evaluation {
       .select(col("item"), col("n_duels"), col("wins"),
         round(col("s") / col("tot"), 6).as("strength"))
   }
+
+  /** kNN label-disagreement screen — the distributable core of
+    * confident-learning-style label QA (Northcutt et al. 2021): for every
+    * labeled vector, the fraction of its k nearest neighbors (a
+    * [[Similarity.knnGraph]] edge list) carrying a DIFFERENT label, plus
+    * the neighbors' majority label; rows whose neighborhood outvotes
+    * their own label are the relabel/review worklist model training
+    * runs before spending 100 TB of compute on mislabeled data.
+    *
+    * Scale shape: two equi-joins keyed on id (graph is |V|·k rows,
+    * labels |V| rows — both hash-co-partition), then a |V|·k → |V|
+    * partial-agg fold; nothing corpus-squared, no collect. Majority
+    * ties break toward the SMALLER label (deterministic, replayable).
+    * Returns (id, label, n_nbrs, n_disagree, disagree_frac,
+    * nbr_majority, flagged); flagged = neighborhood majority both
+    * disagrees and outvotes (frac > 1/2). */
+  def labelNoiseScreen(graph: DataFrame, labels: DataFrame, idCol: String,
+                       labelCol: String): DataFrame = {
+    val own = labels.select(col(idCol).as("id"), col(labelCol).as("label"))
+    val nbr = labels.select(col(idCol).as("nbr_id"),
+      col(labelCol).as("nbr_label"))
+    val votes = graph.select(col("id"), col("nbr_id"))
+      .join(own, "id").join(nbr, "nbr_id")
+      .groupBy(col("id"), col("label"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("n_votes").desc, col("nbr_label").asc)
+    votes
+      .withColumn("_rk", row_number().over(w))
+      .groupBy("id", "label")
+      .agg(sum("n_votes").as("n_nbrs"),
+        sum(when(col("nbr_label") =!= col("label"), col("n_votes"))
+          .otherwise(0L)).as("n_disagree"),
+        max(when(col("_rk") === 1, col("nbr_label"))).as("nbr_majority"))
+      .withColumn("disagree_frac",
+        col("n_disagree").cast("double") / col("n_nbrs"))
+      .withColumn("flagged",
+        col("disagree_frac") > 0.5 && col("nbr_majority") =!= col("label"))
+  }
 }

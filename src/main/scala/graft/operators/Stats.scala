@@ -611,4 +611,65 @@ object Stats {
       .join(broadcast(table), "lv")
       .select(col("id"), col("grp"), col("v"), col("q_norm"))
   }
+
+  /** Quantile treatment effects: exact lower-rank percentiles of an
+    * integer metric (cents, counts) per experiment arm, joined by
+    * percentile — did the treatment move the median, or only the tail
+    * the mean-based [[welchTTest]] is dominated by? Rank is the q261
+    * estimator, r = max(1, p·n div 100), per arm.
+    *
+    * Scale note: exact per-arm ranks run the arm through ONE ordered
+    * window partition (two partitions total) — the exact-answer
+    * auditor for experiment readouts, not a corpus-wide primitive; at
+    * 100 TB use [[Sketches.histogramQuantiles]] and reserve this for
+    * the (bounded) metric slice under test. Returns one row per
+    * percentile: (pct, n_a, n_b, v_a, v_b, qte = v_a − v_b). */
+  def quantileTreatmentEffect(df: DataFrame, armCol: String, vCol: String,
+                              pcts: Seq[Int]): DataFrame = {
+    val ranked = df.select(col(armCol).as("arm"), col(vCol).as("v"))
+      .withColumn("r", row_number()
+        .over(Window.partitionBy("arm").orderBy("v")).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("arm")))
+    val pctDf = df.sparkSession
+      .createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
+    ranked.join(broadcast(pctDf),
+        col("r") === greatest(lit(1L), expr("(pct * n) div 100")))
+      .groupBy("pct")
+      .agg(max(when(col("arm"), col("n"))).as("n_a"),
+        max(when(!col("arm"), col("n"))).as("n_b"),
+        max(when(col("arm"), col("v"))).as("v_a"),
+        max(when(!col("arm"), col("v"))).as("v_b"))
+      .withColumn("qte", col("v_a") - col("v_b"))
+  }
+
+  /** Difference-in-differences readout: mean of an integer metric per
+    * (arm × pre/post) cell in one corpus pass (eight conditional
+    * map-side-combinable aggregates — no shuffle beyond the final
+    * single-row fold), then DiD = (post_t − pre_t) − (post_c − pre_c),
+    * the launch-effect estimate that survives a level shift common to
+    * both arms. Sums accumulate in exact decimal; each mean is one
+    * double division and DiD is arithmetic over those four doubles —
+    * the identical expression tree replays in the oracle. */
+  def diffInDiff(df: DataFrame, armCol: String, postCol: String,
+                 vCol: String): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def cell(a: Boolean, p: Boolean, sfx: String) = Seq(
+      sum(when(col(armCol) === a && col(postCol) === p, 1L).otherwise(0L))
+        .as(s"n_$sfx"),
+      sum(when(col(armCol) === a && col(postCol) === p, d38(col(vCol)))
+        .otherwise(d38(lit(0L)))).as(s"sv_$sfx"))
+    val agg = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+    def mean(sfx: String) =
+      when(col(s"n_$sfx") > 0,
+        col(s"sv_$sfx").cast("double") / col(s"n_$sfx")).as(s"mean_$sfx")
+    df.agg(agg.head, agg.tail: _*)
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+        col("n_c_post"), mean("t_pre"), mean("t_post"), mean("c_pre"),
+        mean("c_post"))
+      .withColumn("did",
+        (col("mean_t_post") - col("mean_t_pre")) -
+          (col("mean_c_post") - col("mean_c_pre")))
+  }
 }

@@ -247,4 +247,37 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out("A") > out("C") && out("C") > 0.0)
     assert(math.abs(out.values.sum - 1.0) < 1e-5)
   }
+
+  test("labelNoiseScreen: outvoted node flagged; agreeing node clean; majority ties to smaller label") {
+    // node 1 (label 0) has neighbors labeled 1,1,0 → 2/3 disagree,
+    // majority 1 → flagged; node 2 (label 1) agrees with both neighbors
+    val graph = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 10L), (2L, 2, 11L),
+      (3L, 1, 10L), (3L, 2, 11L)).toDF("id", "rank", "nbr_id")
+    val labels = Seq((1L, 0), (2L, 1), (3L, 9),
+      (10L, 1), (11L, 1), (12L, 0)).toDF("vid", "lab")
+    val out = graft.operators.Evaluation
+      .labelNoiseScreen(graph, labels, "vid", "lab")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n1 = out(1L)
+    assert(n1.getAs[Long]("n_disagree") == 2L &&
+      n1.getAs[Int]("nbr_majority") == 1 && n1.getAs[Boolean]("flagged"))
+    val n2 = out(2L)
+    assert(n2.getAs[Long]("n_disagree") == 0L &&
+      !n2.getAs[Boolean]("flagged"))
+    // node 3 (label 9): both neighbors carry label 1 → unanimous
+    // disagreement, majority 1, flagged
+    val n3 = out(3L)
+    assert(n3.getAs[Double]("disagree_frac") == 1.0 &&
+      n3.getAs[Boolean]("flagged"))
+  }
+
+  test("labelNoiseScreen: equal-vote majority breaks toward the smaller label") {
+    val graph = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("id", "rank", "nbr_id")
+    val labels = Seq((1L, 5), (10L, 7), (11L, 3)).toDF("vid", "lab")
+    val r = graft.operators.Evaluation
+      .labelNoiseScreen(graph, labels, "vid", "lab").head()
+    assert(r.getAs[Int]("nbr_majority") == 3)
+    assert(r.getAs[Double]("disagree_frac") == 1.0)
+  }
 }

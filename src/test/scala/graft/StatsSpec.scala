@@ -297,4 +297,41 @@ class StatsSpec extends SparkSpec {
         (math.abs(r.getAs[Double]("z")) > r.getAs[Double]("bound")))
     }
   }
+
+  test("quantileTreatmentEffect: hand-checked ranks; p100-style top via p>=100 skipped") {
+    // arm A values 10,20,30,40 — p25→r=1→10, p50→r=2→20, p75→r=3→30,
+    // p90→r=3 (90·4 div 100)→30; arm B values 100,200 — lower-rank
+    // estimator keeps r=1 (→100) through p75/p90 since 90·2 div 100 = 1
+    val df = (Seq(10L, 20L, 30L, 40L).map((true, _)) ++
+      Seq(100L, 200L).map((false, _))).toDF("arm", "v")
+    val out = graft.operators.Stats
+      .quantileTreatmentEffect(df, "arm", "v", Seq(25, 50, 75, 90))
+      .orderBy("pct").as[(Int, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (25, 4L, 2L, 10L, 100L, -90L),
+      (50, 4L, 2L, 20L, 100L, -80L),
+      (75, 4L, 2L, 30L, 100L, -70L),
+      (90, 4L, 2L, 30L, 100L, -70L)))
+  }
+
+  test("diffInDiff: parallel-trends null gives 0; cell means exact; empty cell → NULL mean") {
+    // control 10→20, treatment 30→40: both move +10 → DiD = 0
+    val nullCase = Seq((false, false, 10L), (false, true, 20L),
+      (true, false, 30L), (true, true, 40L)).toDF("arm", "post", "v")
+    val r0 = graft.operators.Stats.diffInDiff(nullCase, "arm", "post", "v").head()
+    assert(r0.getAs[Double]("did") == 0.0)
+    assert(r0.getAs[Double]("mean_t_pre") == 30.0)
+    // treatment jumps +30 while control moves +10 → DiD = +20
+    val eff = Seq((false, false, 10L), (false, true, 20L),
+      (true, false, 30L), (true, true, 60L)).toDF("arm", "post", "v")
+    assert(graft.operators.Stats.diffInDiff(eff, "arm", "post", "v")
+      .head().getAs[Double]("did") == 20.0)
+    // a missing cell nulls its mean and propagates into did
+    val sparse = Seq((false, false, 10L), (true, true, 60L))
+      .toDF("arm", "post", "v")
+    val r2 = graft.operators.Stats.diffInDiff(sparse, "arm", "post", "v").head()
+    assert(r2.isNullAt(r2.fieldIndex("mean_t_pre")))
+    assert(r2.isNullAt(r2.fieldIndex("did")))
+  }
 }
