@@ -5358,6 +5358,96 @@ object SparkEntry {
       val flagged = ev.crossJoin(broadcast(b))
         .withColumn("post", col("wk") >= expr("(w0 + w1 + 1) div 2"))
       Stats.diffInDiff(flagged, "arm", "post", "v100")
+    }),
+
+    "q324_impact_pruned" -> ((s, dir) => {
+      // tiered-index audit: per-term postings cut to the 32 highest-tf
+      // entries, BM25 over the survivors with full-corpus stats, each
+      // pruned-top-20 row flagged by membership in the exact top-20 —
+      // the quality price of bounding worst-case posting-list scans
+      val d = tbl(s, dir, "documents")
+      val terms = Seq("spark", "join", "vector", "window")
+      val full = Retrieval.bm25(d, "doc_id", "text", terms, 20)
+      val pruned = Retrieval.bm25ImpactPruned(d, "doc_id", "text", terms,
+        20, keepPerTerm = 32)
+      pruned
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
+        .join(full.select(col("id"), lit(true).as("in_full")),
+          Seq("id"), "left")
+        .select(col("rank"), col("id"), col("score"), col("n_matched"),
+          coalesce(col("in_full"), lit(false)).as("in_full"))
+        .orderBy("rank")
+    }),
+
+    "q325_agg_state_merge" -> ((s, dir) => {
+      // incremental-view maintenance gate: purchase cents fold to two
+      // per-batch algebraic states (split at the midpoint week), the
+      // states MERGE — and the oracle recomputes from raw events, so
+      // hash equality proves merge ≡ recompute: yesterday's corpus
+      // never rescans, only the new batch aggregates
+      val ev = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr(
+            "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)")
+            .as("wk"),
+          round(col("value") * 100).cast("long").as("v100"))
+      val b = ev.agg(min("wk").as("w0"), max("wk").as("w1"))
+      val tagged = ev.crossJoin(broadcast(b))
+        .withColumn("post", col("wk") >= expr("(w0 + w1 + 1) div 2"))
+      val s1 = ChangeDetection.aggState(tagged.filter(!col("post")),
+        Seq("event_type"), "v100")
+      val s2 = ChangeDetection.aggState(tagged.filter(col("post")),
+        Seq("event_type"), "v100")
+      // the exact decimal sum crosses the compare as a STRING: DuckDB's
+      // pandas bridge floats DECIMAL(38,0), strings stay exact any scale
+      ChangeDetection.mergeAggStates(Seq(s1, s2), Seq("event_type"))
+        .withColumn("sv", col("sv").cast("string"))
+        .orderBy("event_type")
+    }),
+
+    "q326_flesch" -> ((s, dir) =>
+      // Flesch reading-ease + FK grade per doc from exact word /
+      // sentence / vowel-group-syllable counts — two map-side regex
+      // scans, literal-coefficient arithmetic, zero shuffle
+      TextQuality.fleschMetrics(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q327_jaccard_prefix_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join by prefix filtering (AllPairs /
+      // PPJoin): candidates only where rarest-token prefixes collide,
+      // then exact intersection verify — the oracle is the BRUTE-FORCE
+      // all-pairs Jaccard, so hash equality PROVES the filter lossless
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 60)
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 2000,
+          expr("substring(text, 1, greatest(length(text) - 12, 1))")))
+      Dedup.jaccardPrefixJoin(corpus, "doc_id", "text", 0.7)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q328_jl_distortion" -> ((s, dir) => {
+      // Johnson–Lindenstrauss audit: 64-dim vectors projected onto 8
+      // seeded Gaussian planes (the sign-LSH hyperplanes), per-pair true
+      // vs 1/sqrt(k)-rescaled projected euclidean distance and their
+      // ratio — the measured (1±ε) that justifies searching in the
+      // compressed space before the full-dimension re-rank
+      val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 40)
+      Quantization.jlDistortionPairs(e, "vec_id", "embedding", 64, 8)
+        .orderBy("a", "b")
+    }),
+
+    "q329_conformal" -> ((s, dir) => {
+      // split conformal prediction on purchase values: train folds fit
+      // the per-type mean, calibration folds take the ceil((n+1)·0.9)-th
+      // smallest |residual| as qhat, test folds report achieved coverage
+      // of ±qhat — a distribution-free interval from three hash folds
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v100"))
+      Stats.splitConformal(ev, "event_type", "event_id", "v100")
+        .orderBy("event_type")
     })
   )
 
@@ -8505,6 +8595,132 @@ object SparkEntry {
           |  mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
           |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
           |FROM m""".stripMargin,
+
+      // q98's BM25 CTEs with a per-term top-32-tf cut before scoring;
+      // membership flag against the exact top-20 replayed inline
+      "q324_impact_pruned" ->
+        s"""WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  WHERE term IN ('spark', 'join', 'vector', 'window')
+          |  GROUP BY id, dl, term),
+          |dfq AS (SELECT term, COUNT(*) AS term_df FROM tf GROUP BY term),
+          |kept AS (SELECT id, dl, term, tf FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY term
+          |      ORDER BY tf DESC, id) AS ir FROM tf) WHERE ir <= 32),
+          |scored AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM kept JOIN dfq USING (term), stats),
+          |pr AS (SELECT id,
+          |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
+          |    COUNT(*) AS n_matched
+          |  FROM scored GROUP BY id
+          |  ORDER BY score DESC, id LIMIT 20),
+          |fullk AS ($bm25OracleSql)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank,
+          |  id, score, n_matched,
+          |  id IN (SELECT id FROM fullk) AS in_full
+          |FROM pr ORDER BY rank""".stripMargin,
+
+      // full recompute from raw events — hash equality against the
+      // Spark side's two-batch state merge proves merge ≡ recompute
+      "q325_agg_state_merge" ->
+        """WITH pe AS (SELECT event_type,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |    SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+          |    min(v) AS mn, max(v) AS mx
+          |  FROM pe GROUP BY event_type)
+          |SELECT event_type, n, CAST(sv AS VARCHAR) AS sv, mn, mx,
+          |  CAST(sv AS DOUBLE) / n AS mean
+          |FROM st ORDER BY event_type""".stripMargin,
+
+      // exact word/sentence/vowel-group counts, literal-coefficient
+      // Flesch expressions with identical association both engines
+      "q326_flesch" ->
+        """WITH m AS (SELECT doc_id,
+          |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+          |    greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+          |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+          |  FROM documents),
+          |sc AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+          |    CASE WHEN n_words > 0 THEN round(206.835
+          |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+          |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) END AS ease,
+          |    CASE WHEN n_words > 0 THEN round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+          |      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) END AS grade
+          |  FROM m)
+          |SELECT doc_id, n_words, n_sentences, n_syllables, ease, grade,
+          |  CASE WHEN ease IS NOT NULL THEN ease < 30.0 END AS hard
+          |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // brute-force all-pairs word-set Jaccard — no prefix filter: hash
+      // equality against the Spark side proves AllPairs candidate
+      // generation lossless at threshold 0.7
+      "q327_jaccard_prefix_join" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 60
+          |  UNION ALL
+          |  SELECT doc_id + 2000, substring(text, 1, greatest(length(text) - 12, 1))
+          |  FROM documents WHERE doc_id < 60),
+          |toks AS (SELECT DISTINCT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '')) AS tok
+          |  FROM corpus),
+          |sizes AS (SELECT doc_id, COUNT(*) AS m FROM toks GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          |  FROM toks a JOIN toks b USING (tok)
+          |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.m + sb.m - i) AS jaccard
+          |FROM inter
+          |JOIN sizes sa ON sa.doc_id = doc_a
+          |JOIN sizes sb ON sb.doc_id = doc_b
+          |WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.7
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q328_jl_distortion" -> jlDistortionOracleSql,
+
+      // the q305 hash chain on event_id splits 10 folds: <4 train mean,
+      // 4-6 calibration order statistic, >=7 test coverage — identical
+      // integer rank arithmetic and double residuals in both engines
+      "q329_conformal" ->
+        """WITH pe AS (SELECT event_type AS g, event_id AS id,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |h0 AS (SELECT g, id, v, (id * 1000003) % 2147483647 AS h FROM pe),
+          |h1 AS (SELECT g, id, v,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT g, id, v,
+          |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 10 AS fold FROM h1),
+          |tr AS (SELECT g,
+          |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS yhat,
+          |    count(*) AS n_train
+          |  FROM h2 WHERE fold < 4 GROUP BY g),
+          |ca AS (SELECT g, id, abs(CAST(v AS DOUBLE) - yhat) AS r
+          |  FROM h2 JOIN tr USING (g) WHERE fold >= 4 AND fold < 7),
+          |rk AS (SELECT g, r,
+          |    row_number() OVER (PARTITION BY g ORDER BY r, id) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS n_calib FROM ca),
+          |q AS (SELECT g, max(n_calib) AS n_calib,
+          |    min(CASE WHEN rn = ((n_calib + 1) * 9 + 9) // 10 THEN r END)
+          |      AS qhat
+          |  FROM rk GROUP BY g),
+          |te AS (SELECT g, yhat, n_train, abs(CAST(v AS DOUBLE) - yhat) AS r
+          |  FROM h2 JOIN tr USING (g) WHERE fold >= 7)
+          |SELECT g AS event_type, round(max(yhat), 6) AS yhat,
+          |  max(n_train) AS n_train, max(n_calib) AS n_calib,
+          |  round(max(qhat), 6) AS qhat, count(*) AS n_test,
+          |  CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*) AS coverage
+          |FROM te JOIN q USING (g)
+          |GROUP BY g ORDER BY event_type""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
@@ -12278,5 +12494,34 @@ object SparkEntry {
        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |WHERE $cosine >= 0.25
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Replays q328: the 8 seeded Gaussian planes as literals (identical
+    * to the Spark expression's), the same 0-seeded left-fold dot
+    * products, true and 1/sqrt(8)-rescaled projected euclidean distances
+    * rounded to 6 before the ratio. */
+  private def jlDistortionOracleSql: String = {
+    val planes = operators.Similarity.hyperplanePlanes(64, 8)
+    val projs = planes.map { plane =>
+      val lits = plane.mkString("[", ", ", "]")
+      s"list_reduce(list_transform(range(1, 65), " +
+        s"i -> v[CAST(i AS INT)] * ($lits)[CAST(i AS INT)]), (a, c) -> a + c)"
+    }.mkString("list_value(\n    ", ",\n    ", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 40),
+       |p AS (SELECT vec_id, v, $projs AS pj FROM e),
+       |pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> (x.v[CAST(i AS INT)] - y.v[CAST(i AS INT)])
+       |        * (x.v[CAST(i AS INT)] - y.v[CAST(i AS INT)])),
+       |      (acc, c) -> acc + c)), 6) AS d_true,
+       |    round(sqrt(list_reduce(list_transform(range(1, 9),
+       |      i -> (x.pj[CAST(i AS INT)] - y.pj[CAST(i AS INT)])
+       |        * (x.pj[CAST(i AS INT)] - y.pj[CAST(i AS INT)])),
+       |      (acc, c) -> acc + c) / 8), 6) AS d_proj
+       |  FROM p x JOIN p y ON x.vec_id < y.vec_id)
+       |SELECT a, b, d_true, d_proj,
+       |  CASE WHEN d_true > 0 THEN round(d_proj / d_true, 6) END AS ratio
+       |FROM pr ORDER BY a, b""".stripMargin
   }
 }

@@ -79,4 +79,33 @@ object ChangeDetection {
       .withColumn("is_current", col("valid_to").isNull)
     closedPass.unionByName(currentFixed).unionByName(deltaIv.select(cols.map(col): _*))
   }
+
+  /** Partial aggregate state for incremental view maintenance: per group,
+    * the algebraic tuple (n, Σv as exact decimal, min, max) that a batch
+    * contributes to a materialized rollup. States from any number of
+    * batches [[mergeAggStates]]-fold into the state a full recompute
+    * would produce — so yesterday's 100 TB never rescans; only the new
+    * batch aggregates. One map-side-combinable groupBy per batch. */
+  def aggState(df: DataFrame, groupCols: Seq[String],
+               vCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(vCol).cast("decimal(38,0)")).as("sv"),
+        min(col(vCol)).as("mn"),
+        max(col(vCol)).as("mx"))
+
+  /** Merge [[aggState]] frames (associative + commutative: n and sv add,
+    * min/max fold), returning the same state schema plus the served
+    * `mean`. Union of state-cardinality frames, one groupBy — the
+    * incremental-refresh path for every SUM/COUNT/MIN/MAX/AVG dashboard
+    * a pipeline maintains. */
+  def mergeAggStates(states: Seq[DataFrame],
+                     groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggStates: no states")
+    states.reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sv").cast("decimal(38,0)").as("sv"),
+        min("mn").as("mn"), max("mx").as("mx"))
+      .withColumn("mean", col("sv").cast("double") / col("n"))
+  }
 }

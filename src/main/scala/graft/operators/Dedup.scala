@@ -896,4 +896,57 @@ object Dedup {
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
+    * deterministic sibling of MinHash-LSH ([[minhashLshPairs]]): every
+    * pair of documents whose distinct-word Jaccard is ≥ `threshold`, with
+    * NO probability of a miss and no all-pairs comparison.
+    *
+    * Prefix principle: order each document's distinct tokens by ascending
+    * global document frequency (rarest first, token string tie-break) and
+    * keep only the first `m − ⌈θ·m⌉ + 1` as its PREFIX. Two sets with
+    * Jaccard ≥ θ overlap in ≥ ⌈θ·max(|A|,|B|)⌉ tokens, so they MUST share
+    * a prefix token — candidates are generated by an equi-join on prefix
+    * tokens only, then verified with an exact intersection count.
+    *
+    * Scale shape: the joins are keyed by token and document id (plain
+    * shuffles, AQE-splittable); ordering by rarity means frequent tokens
+    * almost never enter a prefix, so the candidate blow-up that kills a
+    * naive token join never materializes. The 100 TB posture is LSH first
+    * (cheap, probabilistic) and this join on the survivors' buckets when
+    * a zero-miss guarantee is contractual. */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val toks = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(filter(
+          split(lower(col(textCol)), "\\s+"), t => t =!= ""))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    val sorted = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(tdf, tok))), s -> s.tok)")
+        .as("st"))
+      .withColumn("m", size(col("st")).cast("long"))
+    val prefix = sorted.select(col("id"), explode(expr(
+      s"slice(st, 1, cast(greatest(size(st) - ceil(size(st) * $threshold) + 1, 1L) as int))"))
+      .as("tok"))
+    val cand = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val sizes = sorted.select(col("id"), col("m"))
+    val jac = col("i").cast("double") /
+      (col("m_a") + col("m_b") - col("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("m").as("m_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("m").as("m_b")), Seq("id_b"))
+      .filter(jac >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        jac.as("jaccard"))
+  }
 }

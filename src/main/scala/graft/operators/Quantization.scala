@@ -134,4 +134,45 @@ object Quantization {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Johnson–Lindenstrauss random projection: `k` Gaussian hyperplane
+    * dot products per vector ([[Similarity.hyperplanePlanes]] seeds the
+    * same literal planes the sign-LSH uses, so the oracle replays them).
+    * Pure map — one left fold per output dim, no shuffle; at 100 TB this
+    * is the 8×-compression pass that makes a pairwise audit or a coarse
+    * index affordable before the full-dimension re-rank. */
+  def jlProjectExpr(vecCol: String, dim: Int, k: Int): org.apache.spark.sql.Column = {
+    val planes = Similarity.hyperplanePlanes(dim, k)
+    val folds = planes.map { plane =>
+      s"aggregate(zip_with($vecCol, array(${plane.mkString(",")}), " +
+        "(x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
+    }
+    expr(s"array(${folds.mkString(", ")})")
+  }
+
+  /** JL distance-distortion audit over all pairs of a bounded probe set:
+    * per pair, the true 'dim'-dimensional euclidean distance, the
+    * projected distance rescaled by 1/sqrt(k), and their ratio — the
+    * empirical (1±ε) the JL lemma promises. Both distances round to 6
+    * before the ratio so the ratio is computed from identical doubles in
+    * any engine. The probe set stays small (an audit, not a join); the
+    * projection itself is the map-side operator above. */
+  def jlDistortionPairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, k: Int): DataFrame = {
+    val p = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"), jlProjectExpr(vecCol, dim, k).as("p"))
+    val a = p.select(col("id").as("a"), col("v").as("va"), col("p").as("pa"))
+    val b = p.select(col("id").as("b"), col("v").as("vb"), col("p").as("pb"))
+    val dTrue = round(sqrt(expr(
+      "aggregate(zip_with(va, vb, (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), " +
+        "0D, (a, v) -> a + v)")), 6)
+    val dProj = round(sqrt(expr(
+      s"aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) / $k")), 6)
+    a.join(b, col("a") < col("b"))
+      .withColumn("d_true", dTrue)
+      .withColumn("d_proj", dProj)
+      .withColumn("ratio",
+        when(col("d_true") > 0, round(col("d_proj") / col("d_true"), 6)))
+      .select("a", "b", "d_true", "d_proj", "ratio")
+  }
 }

@@ -113,6 +113,35 @@ object Retrieval {
       k, k1, b)
   }
 
+  /** Static impact pruning (Anh & Moffat 2006; the first tier of a tiered
+    * index): per query term only the `keepPerTerm` highest-tf postings
+    * survive (ties → smaller id); BM25 then scores the survivors with the
+    * FULL corpus document frequencies and length stats, so pruning changes
+    * the candidate set, never the model. At 100 TB this caps every posting
+    * list — worst-case query cost becomes O(|q|·keepPerTerm) instead of
+    * O(max df) — at a measurable recall price: pair with [[bm25]] (the
+    * exact tier-2 fallback) and gate the keep depth on top-k overlap.
+    * Same pushed-down term filter and shuffle shape as [[bm25]]; the
+    * per-term top-tf cut shares the term-hash exchange with the df
+    * aggregate. */
+  def bm25ImpactPruned(df: DataFrame, idCol: String, textCol: String,
+                       queryTerms: Seq[String], k: Int, keepPerTerm: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      analyze(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).cast("long").as("dl"))
+    val tf = docs
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val w = Window.partitionBy("term").orderBy(col("tf").desc, col("id").asc)
+    val kept = tf.withColumn("_ir", row_number().over(w))
+      .filter(col("_ir") <= keepPerTerm).drop("_ir")
+    scoreBm25(kept, dfreq, docLengthStats(docs.select(col("id"), col("dl"))),
+      k, k1, b)
+  }
+
   /** (n_docs, avgdl) from a (id, dl) frame — one tiny aggregate that
     * broadcasts into the scorer. */
   def docLengthStats(dl: DataFrame): DataFrame =

@@ -672,4 +672,48 @@ object Stats {
         (col("mean_t_post") - col("mean_t_pre")) -
           (col("mean_c_post") - col("mean_c_pre")))
   }
+
+  /** Split conformal prediction (Vovk; Lei et al. 2018): a
+    * distribution-free interval half-width per group with finite-sample
+    * coverage ≥ 1 − α. Three disjoint hash folds of the id space: TRAIN
+    * fits the (here: per-group decimal-exact mean) predictor, CALIBRATION
+    * takes `qhat` = the ⌈(n+1)(1−α)⌉-th smallest absolute residual
+    * (integer-arithmetic rank, id tie-break), TEST reports the achieved
+    * coverage of ±qhat. Every step is an exact integer/rank op or a
+    * fixed-parenthesization double, so the oracle replays it bit-for-bit.
+    * Scale shape: one groupBy per fold, a broadcast of per-group scalars
+    * back onto the row stream, one rank window per group on the
+    * calibration fold only. */
+  def splitConformal(df: DataFrame, groupCol: String, idCol: String,
+                     vCol: String, alphaNum: Int = 1,
+                     alphaDen: Int = 10): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(vCol).cast("long").as("v"))
+      .withColumn("fold", expr(s"${keyHashSql("id")} % 10"))
+    val train = base.filter(col("fold") < 4)
+      .groupBy("g").agg((sum(col("v").cast("decimal(38,0)")).cast("double") /
+        count(lit(1))).as("yhat"), count(lit(1)).as("n_train"))
+    def resid(d: DataFrame) = d.join(broadcast(train), Seq("g"))
+      .withColumn("r", abs(col("v").cast("double") - col("yhat")))
+    val calib = resid(base.filter(col("fold") >= 4 && col("fold") < 7))
+    val w = Window.partitionBy("g").orderBy(col("r").asc, col("id").asc)
+    val ranked = calib.withColumn("rn", row_number().over(w))
+      .withColumn("n_calib", count(lit(1)).over(Window.partitionBy("g")))
+    val conf = alphaDen - alphaNum
+    val qhat = ranked
+      .withColumn("kk", expr(
+        s"((n_calib + 1) * $conf + ($alphaDen - 1)) div $alphaDen"))
+      .groupBy("g").agg(max("n_calib").as("n_calib"),
+        min(when(col("rn") === col("kk"), col("r"))).as("qhat"))
+    resid(base.filter(col("fold") >= 7))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy("g").agg(
+        max(round(col("yhat"), 6)).as("yhat"),
+        max("n_train").as("n_train"), max("n_calib").as("n_calib"),
+        max(round(col("qhat"), 6)).as("qhat"),
+        count(lit(1)).as("n_test"),
+        (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("coverage"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

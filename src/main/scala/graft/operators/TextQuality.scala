@@ -427,4 +427,36 @@ object TextQuality {
       .withColumn("new_fp", graft.functions.TextFunctions.fingerprint("_nt"))
       .select("id", "n_kept", "n_dropped", "new_fp")
   }
+
+  /** Flesch reading-ease and Flesch-Kincaid grade level per document,
+    * with the standard vowel-group syllable heuristic (a run of
+    * [aeiouy] in the lowercased text counts one syllable — the
+    * readability-package approximation, exact enough to rank corpora).
+    * Word, sentence, and syllable counts are exact integers from two
+    * regex scans (map-side, zero shuffle at any scale); the two scores
+    * are literal-coefficient arithmetic over two divisions, rounded to
+    * 6 — oracle-replayable. Sentence count floors at 1 so headline-only
+    * docs score rather than divide by zero; 0-word docs yield NULL
+    * scores. `hard` flags reading-ease below `minEase` (severely
+    * difficult text is a boilerplate/garbage smell alongside the
+    * [[gopherMetrics]] gates). */
+  def fleschMetrics(df: DataFrame, idCol: String, textCol: String,
+                    minEase: Double = 30.0): DataFrame = {
+    val t = col(textCol)
+    val out = df
+      .withColumn("n_words", size(tokens(t)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L), expr(s"regexp_count($textCol, '[.!?]+')").cast("long")))
+      .withColumn("n_syllables",
+        expr(s"regexp_count(lower($textCol), '[aeiouy]+')").cast("long"))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    out.select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"))
+      .withColumn("ease", when(col("n_words") > 0, round(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)))
+      .withColumn("grade", when(col("n_words") > 0, round(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)))
+      .withColumn("hard", when(col("ease").isNotNull, col("ease") < minEase))
+  }
 }

@@ -334,4 +334,37 @@ class DedupSpec extends SparkSpec {
     assert(out(9L) == ((2L, 1L, 2L, 0L, "merged")))
     assert(out(11L) == ((2L, 1L, 1L, 0L, "stable")))
   }
+
+  test("jaccardPrefixJoin: exact pairs at threshold, lossless vs brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), // |∩|=3, |∪|=5 → 0.6
+      (3L, "x y"), (4L, "y x"),         // identical sets → 1.0
+      (5L, "p q r s t")).toDF("doc_id", "text")
+    val out = operators.Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(out((1L, 2L)) == 0.6 && out((3L, 4L)) == 1.0)
+    // losslessness on a wider corpus: prefix-filtered == brute force
+    val wide = (1L to 30L).map(i =>
+      (i, (0 until 6).map(j => s"w${(i + j * 7) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pref = operators.Dedup.jaccardPrefixJoin(wide, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val toks = wide.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val brute = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("ma"))
+        .withColumnRenamed("doc_id", "da"), Seq("da"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("mb"))
+        .withColumnRenamed("doc_id", "db"), Seq("db"))
+      .withColumn("j", col("i").cast("double") / (col("ma") + col("mb") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select("da", "db", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == brute && brute.nonEmpty)
+  }
 }

@@ -285,4 +285,24 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(2L) == expected.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(out.find(_._1 == 1L).get._3 == 1L) // n_matched counts terms
   }
+
+  test("bm25ImpactPruned: top-tf postings survive, full-corpus stats") {
+    val df = Seq(
+      (1L, "p p p x"), (2L, "p p x x"), (3L, "p x x x"),
+      (4L, "p x x x"), (5L, "x x x x")).toDF("doc_id", "text")
+    val full = Retrieval.bm25(df, "doc_id", "text", Seq("p"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = Retrieval.bm25ImpactPruned(df, "doc_id", "text", Seq("p"),
+        10, keepPerTerm = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only the two highest-tf postings survive the tier-1 cut...
+    assert(pruned.keySet == Set(1L, 2L))
+    // ...and score identically to the exact tier: df/avgdl stay full-corpus
+    assert(pruned(1L) == full(1L) && pruned(2L) == full(2L))
+    // a keep depth >= df is the exact ranking
+    val wide = Retrieval.bm25ImpactPruned(df, "doc_id", "text", Seq("p"),
+        10, keepPerTerm = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wide == full)
+  }
 }

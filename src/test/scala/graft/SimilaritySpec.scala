@@ -333,4 +333,32 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Double)].head()
     assert(full._2 == vecs.map(v => dot(v._2, q)).max)
   }
+
+  test("jlDistortionPairs: exact fold replay, zero-distance guard") {
+    val va = Array(1.0f, 2.0f, -1.0f, 0.5f)
+    val vb = Array(0.0f, 1.5f, 2.0f, -0.5f)
+    val df = Seq((1L, va.toSeq), (2L, vb.toSeq), (3L, va.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Quantization
+      .jlDistortionPairs(df, "vec_id", "embedding", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val planes = Similarity.hyperplanePlanes(4, 2)
+    def proj(v: Array[Float]) = planes.map(p =>
+      p.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * p(i)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dTrue = r6(math.sqrt(va.indices.foldLeft(0.0)((a, i) =>
+      a + (va(i).toDouble - vb(i)) * (va(i).toDouble - vb(i)))))
+    val (pa, pb) = (proj(va), proj(vb))
+    val dProj = r6(math.sqrt(
+      pa.indices.foldLeft(0.0)((a, j) =>
+        a + (pa(j) - pb(j)) * (pa(j) - pb(j))) / 2))
+    val p12 = out((1L, 2L))
+    assert(p12.getDouble(2) == dTrue && p12.getDouble(3) == dProj)
+    assert(p12.getDouble(4) == r6(dProj / dTrue))
+    // identical vectors: both distances 0, ratio NULL (not a 0/0)
+    val p13 = out((1L, 3L))
+    assert(p13.getDouble(2) == 0.0 && p13.getDouble(3) == 0.0)
+    assert(p13.isNullAt(4))
+  }
 }

@@ -334,4 +334,33 @@ class StatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("mean_t_pre")))
     assert(r2.isNullAt(r2.fieldIndex("did")))
   }
+
+  test("splitConformal: qhat is the exact order statistic, coverage exact") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => ("g", i, (i * 37) % 101))
+    val df = rows.toDF("grp", "id", "v")
+    val out = Stats.splitConformal(df, "grp", "id", "v").head()
+    // independent driver-side recomputation with the same hash folds
+    val folds = df.withColumn("fold",
+        graft.operators.Sketches.keyHash(col("id")) % 10)
+      .select("id", "v", "fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val train = folds.filter(_._3 < 4)
+    val yhat = train.map(t => BigDecimal(t._2)).sum.toDouble / train.length
+    val calib = folds.filter(t => t._3 >= 4 && t._3 < 7)
+      .map(t => (math.abs(t._2.toDouble - yhat), t._1)).sortBy(identity)
+    val kk = ((calib.length + 1) * 9 + 9) / 10
+    val qhat = calib(kk - 1)._1
+    val test = folds.filter(_._3 >= 7)
+      .map(t => math.abs(t._2.toDouble - yhat))
+    assert(out.getAs[Long]("n_train") == train.length.toLong)
+    assert(out.getAs[Long]("n_calib") == calib.length.toLong)
+    assert(out.getAs[Long]("n_test") == test.length.toLong)
+    assert(out.getAs[Double]("qhat") ==
+      BigDecimal(qhat).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getAs[Double]("coverage") ==
+      test.count(_ <= qhat).toDouble / test.length)
+    // the marginal-coverage contract: ≥ 1 - α on a well-behaved sample
+    assert(out.getAs[Double]("coverage") >= 0.8)
+  }
 }

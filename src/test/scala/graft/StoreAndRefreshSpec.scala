@@ -170,4 +170,31 @@ class StoreAndRefreshSpec extends SparkSpec {
     val u1b = merged.find(r => r.getLong(0) == 1 && r.getString(1) == "b").get
     assert(!u1b.isNullAt(3) && !u1b.getBoolean(4)) // timestamp_ntz: LocalDateTime
   }
+
+  test("aggState merge across batches == single-pass recompute") {
+    import spark.implicits._
+    val b1 = Seq(("a", 1L), ("a", 3L), ("b", 5L)).toDF("g", "v")
+    val b2 = Seq(("a", 10L), ("b", -2L), ("c", 7L)).toDF("g", "v")
+    val merged = graft.operators.ChangeDetection
+      .mergeAggStates(
+        Seq(graft.operators.ChangeDetection.aggState(b1, Seq("g"), "v"),
+          graft.operators.ChangeDetection.aggState(b2, Seq("g"), "v")),
+        Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(merged("a") == ((3L, 14L, 1L, 10L, 14.0 / 3)))
+    assert(merged("b") == ((2L, 3L, -2L, 5L, 1.5)))
+    assert(merged("c") == ((1L, 7L, 7L, 7L, 7.0)))
+    // the recompute path: one state over the union folds to the same rows
+    val direct = graft.operators.ChangeDetection
+      .mergeAggStates(Seq(graft.operators.ChangeDetection
+        .aggState(b1.unionByName(b2), Seq("g"), "v")), Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(merged == direct)
+  }
 }

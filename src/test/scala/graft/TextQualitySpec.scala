@@ -152,4 +152,23 @@ class TextQualitySpec extends SparkSpec {
     assert(out(1L) == ((8L, 8L, 1.0)))
     assert(out(2L) == ((4L, 0L, 0.0)))
   }
+
+  test("fleschMetrics: exact counts and coefficients, 0-word guard") {
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextQuality.fleschMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // words 5; sentences 2 ('.'+'!'); vowel groups e,a,a,i,a = 5
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 2L && r1.getLong(3) == 5L)
+    val ease = BigDecimal(206.835 - 1.015 * 2.5 - 84.6 * 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grade = BigDecimal(0.39 * 2.5 + 11.8 * 1.0 - 15.59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) == ease && r1.getDouble(5) == grade)
+    assert(!r1.getBoolean(6)) // 119.7 ease is not hard text
+    // empty doc: sentence floor 1, null scores, null flag
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 1L)
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+  }
 }
