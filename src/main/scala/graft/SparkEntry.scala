@@ -5448,6 +5448,44 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("v100"))
       Stats.splitConformal(ev, "event_type", "event_id", "v100")
         .orderBy("event_type")
+    }),
+
+    "q330_edit_distance_join" -> ((s, dir) => {
+      // LOSSLESS edit-distance self-join: positional q-gram count filter
+      // (Gravano VLDB'01) generates candidates, levenshtein verifies —
+      // the oracle is the unfiltered all-pairs join, so hash equality
+      // proves the count+length filters drop no true pair
+      val p = tbl(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val corpus = p.union(p.select(col("id") + 10000,
+        expr("concat(substring(name, 1, 4), 'z', substring(name, 6))")))
+      Linkage.editDistanceJoin(corpus, "id", "name", maxDist = 2, q = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q331_rake_keywords" -> ((s, dir) =>
+      // RAKE keyword extraction: stopword/punct-delimited phrase runs,
+      // word score deg/freq over all phrase slots, phrase = decimal-exact
+      // sum of word scores; global top-25 distinct phrases
+      TextQuality.rakeKeywords(tbl(s, dir, "documents"), "doc_id", "text", 25)
+        .orderBy("rank")),
+
+    "q332_mutual_knn" -> ((s, dir) => {
+      // mutual-kNN symmetrization of the q101 bucket-local graph: keep
+      // only reciprocated edges — the HDBSCAN/SemDeDup neighborhood
+      // evidence that survives density gaps one-sided kNN edges cross
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.mutualEdges(g, "id", "nbr_id")
+        .join(g.select(col("id").as("a"), col("nbr_id").as("b"),
+          col("distance")), Seq("a", "b"))
+        .select(col("a"), col("b"), round(col("distance"), 6).as("distance"))
+        .orderBy("a", "b")
     })
   )
 
@@ -8721,6 +8759,67 @@ object SparkEntry {
           |    / count(*) AS coverage
           |FROM te JOIN q USING (g)
           |GROUP BY g ORDER BY event_type""".stripMargin,
+
+      // unfiltered brute-force levenshtein all-pairs — hash equality
+      // against the Spark side proves the q-gram count filter lossless
+      "q330_edit_distance_join" ->
+        """WITH p AS (SELECT p_partkey AS id, p_name AS name FROM part
+          |  WHERE p_partkey < 300),
+          |c0 AS (SELECT id, name FROM p
+          |  UNION ALL SELECT id + 10000,
+          |    concat(substring(name, 1, 4), 'z', substring(name, 6)) FROM p),
+          |c AS (SELECT id, name FROM c0 WHERE length(name) >= 6)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+          |FROM c a JOIN c b ON a.id < b.id
+          |WHERE levenshtein(a.name, b.name) <= 2
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // the same phrase segmentation / deg-over-freq chain; DuckDB's
+      // 1-based positions shift grp by a constant, preserving islands
+      "q331_rake_keywords" ->
+        """WITH tk AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(
+          |      regexp_replace(lower(text), '[^a-z0-9 ]+', ' # ', 'g'),
+          |      '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |w0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          |    t[CAST(i AS INT)] AS w
+          |  FROM tk, unnest(range(1, len(t) + 1)) AS u(i)),
+          |wv AS (SELECT doc_id, pos, w FROM w0 WHERE w <> '#'
+          |  AND w NOT IN ('a','the','of','to','and','in','is','on','for','it')),
+          |g AS (SELECT doc_id, pos, w,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS grp FROM wv),
+          |pl AS (SELECT doc_id, grp, pos, w,
+          |    count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM g),
+          |ws AS (SELECT w, count(*) AS freq, SUM(plen) AS deg
+          |  FROM pl GROUP BY w),
+          |sc AS (SELECT doc_id, grp,
+          |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+          |    count(*) AS n_words,
+          |    CAST(SUM(CAST(CAST(deg AS DOUBLE) / freq AS DECIMAL(38,18)))
+          |      AS DOUBLE) AS score
+          |  FROM pl JOIN ws USING (w) GROUP BY doc_id, grp),
+          |ph AS (SELECT phrase, max(n_words) AS n_words,
+          |    count(*) AS n_occurrences, max(score) AS score
+          |  FROM sc GROUP BY phrase)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase)
+          |    AS INT) AS rank,
+          |  phrase, n_words, n_occurrences, round(score, 6) AS score
+          |FROM ph
+          |QUALIFY rank <= 25
+          |ORDER BY rank""".stripMargin,
+
+      // the q101 cell-local graph CTEs; reciprocated edges via the
+      // reversed self-join, distance from the candidate-pair frame
+      "q332_mutual_knn" ->
+        s"""$knnEdgesPrefixSql,
+           |mu AS (SELECT x.id AS a, x.nbr_id AS b FROM g0 x JOIN g0 y
+           |  ON x.id = y.nbr_id AND x.nbr_id = y.id WHERE x.id < x.nbr_id)
+           |SELECT a, b, round(p.distance, 6) AS distance
+           |FROM mu JOIN p ON p.id = a AND p.nbr_id = b
+           |ORDER BY a, b""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -432,4 +432,19 @@ object GraphAnalytics {
     }
     v.select(col("s").as("state"), round(col("v"), 6).as("p_reach"))
   }
+
+  /** Mutual (reciprocated) edges of a directed graph: (a, b) with a < b
+    * such that both a→b and b→a exist. On a kNN graph this is the
+    * standard symmetrization for density clustering (HDBSCAN/SemDeDup):
+    * a one-sided kNN edge often crosses a density gap; a MUTUAL edge is
+    * evidence both endpoints sit in each other's local neighborhood.
+    * One self-equi-join on the reversed edge set — shuffle keyed by the
+    * edge pair, no expansion beyond the edge list. */
+  def mutualEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    e.join(e.select(col("v").as("u"), col("u").as("v")),
+        Seq("u", "v"), "left_semi")
+      .filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+  }
 }

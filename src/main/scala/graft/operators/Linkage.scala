@@ -120,4 +120,52 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
+
+  /** LOSSLESS edit-distance self-join via positional q-gram count
+    * filtering (Gravano et al., VLDB 2001) — the exact sibling of
+    * [[sortedNeighborhood]] (which can miss pairs that sort far apart):
+    * every pair with Levenshtein distance ≤ `maxDist`, guaranteed.
+    *
+    * Count-filter principle: one edit operation destroys at most `q`
+    * q-grams, so d(a,b) ≤ k implies the multiset q-gram intersection is
+    * ≥ max(|a|,|b|) − q + 1 − k·q. Candidates come from an equi-join on
+    * (gram, occurrence-index) — the occurrence index makes the join count
+    * MULTISET intersection exactly — and only pairs passing the count and
+    * length filters pay a `levenshtein` verify. Strings shorter than
+    * q·(k+1) (where the bound degenerates to 0 and a pair could share no
+    * gram at all) are excluded — route them to a tiny brute-force bucket.
+    *
+    * Scale shape: shuffles key on (gram, occ) then (pair); common grams
+    * fan out, so at 100 TB this runs AFTER blocking (per
+    * sorted-neighborhood window or LSH bucket) where the zero-miss
+    * guarantee is contractual — never corpus-wide raw. */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, q: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= q * (maxDist + 1))
+    val grams = base.select(col("id"), length(col("s")).as("len"),
+        posexplode(expr(
+          s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))"))
+          .as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id", "gram").orderBy("pos")))
+      .select("id", "len", "gram", "occ")
+    val shared = grams.select(col("id").as("id_a"), col("len").as("len_a"),
+        col("gram"), col("occ"))
+      .join(grams.select(col("id").as("id_b"), col("len").as("len_b"),
+        col("gram"), col("occ")), Seq("gram", "occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .groupBy("id_a", "id_b", "len_a", "len_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("len_a"), col("len_b")) - (q - 1) - maxDist * q)
+    shared
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

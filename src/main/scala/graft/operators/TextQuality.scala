@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus quality filtering for LLM training-data pipelines.
@@ -458,5 +459,49 @@ object TextQuality {
       .withColumn("grade", when(col("n_words") > 0, round(
         lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)))
       .withColumn("hard", when(col("ease").isNotNull, col("ease") < minEase))
+  }
+
+  /** RAKE corpus keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens (punctuation becomes the
+    * breaker token '#'), each word scores deg(w)/freq(w) over all phrase
+    * occurrences — deg counts co-occurring phrase slots, so multi-word
+    * domain phrases outrank bare frequent words — and a phrase scores the
+    * sum of its word scores (decimal-accumulated: order-free, exact).
+    * Returns the global top `topN` distinct phrases with occurrence
+    * counts. Scale shape: one groupBy for phrases, one for word stats,
+    * one broadcast-sized join back (vocabulary ≪ corpus), top-N via a
+    * rank filter — no driver state, no quadratic step. */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   topN: Int): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      posexplode(filter(split(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " # "),
+        "\\s+"), t => t =!= "")).as(Seq("pos", "w")))
+    val words = toks
+      .filter(col("w") =!= "#" && !expr(s"array_contains($stopArr, w)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy("pos")))
+      .withColumn("grp", col("pos") - col("rn"))
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy("id", "grp")))
+    val wstats = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore", col("deg").cast("double") / col("freq"))
+    val phrases = words.join(wstats.select("w", "wscore"), Seq("w"))
+      .groupBy("id", "grp")
+      .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"))
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore").cast("decimal(38,18)")).cast("double").as("score"))
+    phrases.groupBy("phrase")
+      .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occurrences"),
+        max("score").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase").asc)).cast("int"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("phrase"), col("n_words"),
+        col("n_occurrences"), round(col("score"), 6).as("score"))
   }
 }

@@ -192,4 +192,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out("purchase") == 1.0)
     assert(out("a") == 0.5 && out("b") == 0.6875)
   }
+
+  test("mutualEdges: only reciprocated pairs survive, canonical order") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (1L, 3L)).toDF("src", "dst")
+    val out = GraphAnalytics.mutualEdges(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 4L)))
+  }
 }

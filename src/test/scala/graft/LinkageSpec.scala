@@ -62,4 +62,29 @@ class LinkageSpec extends SparkSpec {
     // id 3 pairs with nothing within dist 2
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("editDistanceJoin: exact distances, lossless vs brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "abcdef"), (2L, "abcdxf"), (3L, "abcdef"),
+      (4L, "zzzzzz"), (5L, "abzdxf"), (6L, "abc") /* < q(k+1): excluded */)
+      .toDF("id", "s")
+    val out = Linkage.editDistanceJoin(docs, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 0, (1L, 5L) -> 2,
+      (2L, 3L) -> 1, (2L, 5L) -> 1, (3L, 5L) -> 2))
+    // losslessness on a generated corpus: filtered == brute force
+    val wide = (1L to 40L).map(i =>
+      (i, (0 until 8).map(j => ('a' + (i + j * 3) % 7).toChar).mkString))
+      .toDF("id", "s")
+    val filt = Linkage.editDistanceJoin(wide, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = wide.as("a").crossJoin(wide.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(filt == brute && brute.nonEmpty)
+  }
 }

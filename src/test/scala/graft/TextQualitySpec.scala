@@ -171,4 +171,19 @@ class TextQualitySpec extends SparkSpec {
     assert(r2.getLong(1) == 0L && r2.getLong(2) == 1L)
     assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
   }
+
+  test("rakeKeywords: deg/freq word scores, phrase sums, hand-computed") {
+    val df = Seq((1L, "deep learning of deep networks. deep learning wins"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.rakeKeywords(df, "doc_id", "text", 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // deep: freq 3, deg 2+2+3=7; learning: freq 2, deg 5; networks 1/2;
+    // wins 1/3 → phrase scores 7/3+5/2+3, 7/3+5/2, 7/3+2
+    assert(out.keySet == Set("deep learning wins", "deep learning",
+      "deep networks"))
+    assert(out("deep learning wins") == ((1, 3L, 1L, 7.833333)))
+    assert(out("deep learning") == ((2, 2L, 1L, 4.833333)))
+    assert(out("deep networks") == ((3, 2L, 1L, 4.333333)))
+  }
 }
