@@ -5486,6 +5486,89 @@ object SparkEntry {
           col("distance")), Seq("a", "b"))
         .select(col("a"), col("b"), round(col("distance"), 6).as("distance"))
         .orderBy("a", "b")
+    }),
+
+    "q333_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking shift-resilience gate: each doc and a
+      // prefix-inserted twin chunked by rolling-hash boundaries; the
+      // shared-chunk fraction shows CDC re-synchronizing after the edit
+      // where a fixed-window splitter would re-cut everything — the
+      // re-embed-only-what-changed contract of incremental ingest
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.union(d.select(col("doc_id") + 3000,
+        concat(lit("inserted preamble "), col("text"))))
+      val ch = Chunker.contentDefinedChunks(corpus, "doc_id", "text", 8, 32)
+      val a = ch.filter(col("doc_id") < 3000)
+        .select(col("doc_id"), col("chunk")).distinct()
+      val b = ch.filter(col("doc_id") >= 3000)
+        .select((col("doc_id") - 3000).as("doc_id"), col("chunk")).distinct()
+      val na = a.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_orig"))
+      val nb = b.groupBy("doc_id").agg(count(lit(1)).as("n_chunks_twin"))
+      val sh = a.join(b, Seq("doc_id", "chunk"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      na.join(nb, Seq("doc_id"))
+        .join(sh, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("shared_frac",
+          col("n_shared").cast("double") / col("n_chunks_orig"))
+        .orderBy("doc_id")
+    }),
+
+    "q334_hll_rollup" -> ((s, dir) => {
+      // sketch-rollup mergeability gate: weekly per-type HLL register
+      // shards max-merge up the hierarchy (type, then global) and the
+      // oracle computes each level DIRECTLY from raw keys — equality
+      // proves the persisted-shard merge path rescans nothing
+      val ev = events(s, dir).withColumn("wk", expr(
+        "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)"))
+      val leaf = Sketches.hllRegisters(ev, Seq("event_type", "wk"),
+        "user_id", 5)
+      val perType = Sketches.hllMergeEstimate(
+        leaf.select(col("event_type"), col("b"), col("mx")), "event_type", 5)
+      val global = Sketches.hllMergeEstimate(
+        leaf.select(lit("ALL").as("key"), col("b"), col("mx")), "key", 5)
+      val exT = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      val exG = ev.agg(countDistinct("user_id").as("n_exact"))
+        .withColumn("key", lit("ALL"))
+      perType.join(exT, "event_type")
+        .select(lit("event_type").as("level"),
+          col("event_type").as("key"), col("n_exact"), col("hll_est"))
+        .unionByName(global.join(exG, "key")
+          .select(lit("global").as("level"), col("key"), col("n_exact"),
+            col("hll_est")))
+        .orderBy("level", "key")
+    }),
+
+    "q335_target_encoding" -> ((s, dir) => {
+      // leave-one-out target encoding of order priority by order value:
+      // naive group mean (leaks the row's own target), LOO (sum minus
+      // self), and m=20 global-mean-smoothed LOO — the categorical
+      // feature transform a tabular training pipeline fits as two
+      // broadcast-sized aggregates regardless of corpus size
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("v100"))
+      val g = o.groupBy("prio").agg(count(lit(1)).as("n"),
+        sum(col("v100").cast("decimal(38,0)")).as("sv"))
+      val glob = o.agg(count(lit(1)).as("ng"),
+        sum(col("v100").cast("decimal(38,0)")).as("svg"))
+      o.filter(col("o_orderkey") < 200)
+        .join(broadcast(g), Seq("prio"))
+        .crossJoin(broadcast(glob))
+        .withColumn("mu", col("svg").cast("double") / col("ng"))
+        .withColumn("enc_naive", col("sv").cast("double") / col("n"))
+        .withColumn("enc_loo", when(col("n") > 1,
+          (col("sv") - col("v100")).cast("double") / (col("n") - 1)))
+        .withColumn("enc_smooth",
+          ((col("sv") - col("v100")).cast("double") + lit(20.0) * col("mu")) /
+            (col("n") - 1 + 20))
+        .select(col("o_orderkey"), col("prio"), col("v100"),
+          round(col("enc_naive"), 6).as("enc_naive"),
+          round(col("enc_loo"), 6).as("enc_loo"),
+          round(col("enc_smooth"), 6).as("enc_smooth"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -8820,6 +8903,55 @@ object SparkEntry {
            |SELECT a, b, round(p.distance, 6) AS distance
            |FROM mu JOIN p ON p.id = a AND p.nbr_id = b
            |ORDER BY a, b""".stripMargin,
+
+      "q333_cdc_chunks" -> cdcChunksOracleSql,
+
+      // the q75 register chain computed DIRECTLY at each rollup level —
+      // equality with the Spark shard-merge proves max-merge losslessness
+      "q334_hll_rollup" ->
+        s"""WITH ev AS (SELECT event_type, user_id AS key FROM events),
+          |kh0 AS (SELECT event_type, key, (key * 1000003) % 2147483647 AS a0 FROM ev),
+          |kh1 AS (SELECT event_type, key, (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+          |kh2 AS (SELECT event_type, key, (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+          |br AS (SELECT event_type, key, h >> 26 AS b,
+          |    CASE WHEN (h & 67108863) = 0 THEN 27
+          |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+          |mbt AS (SELECT event_type, b, MAX(rho) AS mx FROM br GROUP BY event_type, b),
+          |hst AS (SELECT event_type,
+          |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+          |    COUNT(*) AS nb FROM mbt GROUP BY event_type),
+          |ext AS (SELECT event_type, COUNT(DISTINCT key) AS n_exact FROM ev GROUP BY event_type),
+          |mbg AS (SELECT b, MAX(rho) AS mx FROM br GROUP BY b),
+          |hsg AS (SELECT SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+          |    COUNT(*) AS nb FROM mbg),
+          |exg AS (SELECT COUNT(DISTINCT key) AS n_exact FROM ev)
+          |SELECT * FROM (
+          |  SELECT 'event_type' AS level, ext.event_type AS key, n_exact,
+          |    ${Sketches.hllFactor(5)} / CAST(present + (32 - nb) * 134217728 AS DOUBLE) AS hll_est
+          |  FROM ext JOIN hst USING (event_type)
+          |  UNION ALL
+          |  SELECT 'global', 'ALL', exg.n_exact,
+          |    ${Sketches.hllFactor(5)} / CAST(present + (32 - nb) * 134217728 AS DOUBLE)
+          |  FROM exg, hsg)
+          |ORDER BY level, key""".stripMargin,
+
+      // identical two-aggregate encoding tree; LOO guarded null-safe in
+      // both engines for singleton groups
+      "q335_target_encoding" ->
+        """WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS v100 FROM orders),
+          |g AS (SELECT prio, count(*) AS n,
+          |    SUM(CAST(v100 AS DECIMAL(38,0))) AS sv FROM o GROUP BY prio),
+          |gl AS (SELECT count(*) AS ng,
+          |    SUM(CAST(v100 AS DECIMAL(38,0))) AS svg FROM o)
+          |SELECT o_orderkey, prio, v100,
+          |  round(CAST(sv AS DOUBLE) / n, 6) AS enc_naive,
+          |  CASE WHEN n > 1
+          |    THEN round(CAST(sv - v100 AS DOUBLE) / (n - 1), 6) END AS enc_loo,
+          |  round((CAST(sv - v100 AS DOUBLE) + 20.0 * (CAST(svg AS DOUBLE) / ng))
+          |    / (n - 1 + 20), 6) AS enc_smooth
+          |FROM o JOIN g USING (prio), gl
+          |WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
@@ -12623,4 +12755,41 @@ object SparkEntry {
        |  CASE WHEN d_true > 0 THEN round(d_proj / d_true, 6) END AS ratio
        |FROM pr ORDER BY a, b""".stripMargin
   }
+
+  /** Replays q333: the winnowing per-step k-gram fold, cut positions
+    * where hash % 32 = 0 (1-based i=2.. ⇔ Spark pos=1..), segments from
+    * the prepended start list, then the shared-distinct-chunk audit. */
+  private def cdcChunksOracleSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150
+      |  UNION ALL SELECT doc_id + 3000, 'inserted preamble ' || text
+      |  FROM documents WHERE doc_id < 150),
+      |codes AS (SELECT doc_id, text, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+      |  FROM corpus WHERE length(text) >= 1),
+      |khash AS (SELECT doc_id, text, n,
+      |    list_transform(range(1, len(cs) - 6),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(cs, i, i + 7)),
+      |        (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+      |  FROM codes),
+      |st AS (SELECT doc_id, text, n,
+      |    list_prepend(CAST(1 AS BIGINT),
+      |      list_filter(range(2, len(hs) + 1), i -> hs[CAST(i AS INT)] % 32 = 0)) AS ss
+      |  FROM khash),
+      |ch AS (SELECT doc_id,
+      |    substring(text, CAST(ss[CAST(i AS INT)] AS INT),
+      |      CAST(COALESCE(ss[CAST(i + 1 AS INT)], n + 1) - ss[CAST(i AS INT)] AS INT)) AS chunk
+      |  FROM st, unnest(range(1, len(ss) + 1)) AS u(i)),
+      |a AS (SELECT DISTINCT doc_id, chunk FROM ch WHERE doc_id < 3000),
+      |b AS (SELECT DISTINCT doc_id - 3000 AS doc_id, chunk FROM ch
+      |  WHERE doc_id >= 3000),
+      |na AS (SELECT doc_id, count(*) AS n_chunks_orig FROM a GROUP BY doc_id),
+      |nb AS (SELECT doc_id, count(*) AS n_chunks_twin FROM b GROUP BY doc_id),
+      |sh AS (SELECT a.doc_id, count(*) AS n_shared
+      |  FROM a JOIN b USING (doc_id, chunk) GROUP BY a.doc_id)
+      |SELECT na.doc_id, n_chunks_orig, n_chunks_twin,
+      |  COALESCE(n_shared, 0) AS n_shared,
+      |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_chunks_orig AS shared_frac
+      |FROM na JOIN nb USING (doc_id) LEFT JOIN sh USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -137,4 +137,47 @@ object Chunker {
 
   private def split_part_tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Content-defined chunking (Rabin/gear CDC — the rsync/backup-dedup
+    * boundary trick): cut wherever the rolling k-gram hash of the text
+    * hits `hash % divisor == 0`, so boundaries are anchored to CONTENT,
+    * not offsets. Insert a prefix into a document and a fixed-window
+    * splitter ([[chunk]]) re-cuts every window; CDC re-synchronizes at
+    * the first content anchor and every later chunk is byte-identical —
+    * the property that lets a 100 TB incremental ingest re-embed only
+    * the chunks that actually changed. Mean chunk length ≈ `divisor`
+    * chars (no min/max clamps here — production adds them; the oracle
+    * replays this exact rule).
+    *
+    * Same per-character window-function shape as
+    * [[Winnowing.fingerprints]] (one shuffle by doc, one sort, the
+    * k-gram hash via k `lead`s, mod-p polynomial over ASCII codes);
+    * returns (idCol, chunk_idx, start, len, chunk). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, divisor: Int = 32): DataFrame = {
+    val P = 1000000007L
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val chars = df.filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("id"),
+        posexplode(expr(
+          s"transform(split($textCol, ''), c -> cast(ascii(c) as bigint))"))
+          .as(Seq("pos", "code")))
+    val segs = chars
+      .withColumn("_kh", pmod((0 until k).map { j =>
+        lead(col("code"), j).over(wDoc) * lit(Seq.fill(k - 1 - j)(31L).product)
+      }.reduce(_ + _), lit(P)))
+      .withColumn("cut", when(col("_kh").isNotNull && col("pos") > 0 &&
+        pmod(col("_kh"), lit(divisor.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("grp", sum("cut").over(wDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "grp")
+      .agg(min("pos").as("start"), count(lit(1)).as("len"))
+    segs
+      .join(df.select(col(idCol).as("id"), col(textCol).as("_t")), Seq("id"))
+      .select(col("id").as(idCol), col("grp").cast("int").as("chunk_idx"),
+        col("start"), col("len"),
+        expr("substring(_t, cast(start + 1 as int), cast(len as int))")
+          .as("chunk"))
+  }
 }

@@ -119,4 +119,35 @@ class ChunkerSpec extends SparkSpec {
     val r3 = out(9L)
     assert(r3.getLong(2) == 0 && r3.getLong(4) == 3 && r3.isNullAt(6))
   }
+
+  test("contentDefinedChunks: chunks partition the text; prefix edit re-syncs") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"sentence number $i of the test corpus")
+      .mkString(" ")
+    val docs = Seq((1L, text), (2L, "EDITED-PREFIX " + text))
+      .toDF("doc_id", "text")
+    val ch = Chunker.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2).toLong,
+        r.getLong(3), r.getString(4)))
+    // reconstruction: in-order concat of chunks is exactly the text
+    val rec1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._5).mkString
+    assert(rec1 == text)
+    val rec2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._5).mkString
+    assert(rec2 == "EDITED-PREFIX " + text)
+    // starts/lens are consistent with the chunk strings
+    ch.foreach { case (_, _, start, len, c) => assert(c.length == len) }
+    // shift resilience: after the hash re-synchronizes, the twin shares
+    // most of the original's chunks verbatim (a fixed-window splitter
+    // at any size shares none — every window shifts by the prefix)
+    val c1 = ch.filter(_._1 == 1L).map(_._5).toSet
+    val c2 = ch.filter(_._1 == 2L).map(_._5).toSet
+    val shared = c1.intersect(c2).size.toDouble / c1.size
+    assert(shared >= 0.5, s"shared chunk fraction $shared")
+    val fixedShared = Chunker.chunk(docs, "text", 32, 0)
+      .select("doc_id", "chunk").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val f1 = fixedShared.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixedShared.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.intersect(f2).size.toDouble / f1.size < shared)
+  }
 }
