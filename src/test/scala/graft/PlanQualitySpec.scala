@@ -522,4 +522,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q327: prefix-filtered Jaccard join never goes quadratic") {
+    // candidates come from token equi-joins; the only allowed non-equi
+    // shape would be a cartesian — there must be none
+    val p = plan("q327_jaccard_prefix_join").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q330: q-gram edit-distance join is all equi-joins") {
+    val p = plan("q330_edit_distance_join").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q335: target encoding broadcasts both aggregate sides") {
+    // group stats and the global scalar join back as broadcasts — the
+    // corpus-sized probe side never shuffles for the join
+    val p = plan("q335_target_encoding").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q213: itemset expansions aggregate partially (map-side combine)") {
+    val p = plan("q213_frequent_itemsets").split("== Initial Plan ==").head
+    // every support count is a partial+final hash aggregate pair and the
+    // dictionary/prune joins broadcast — no sort-merge join anywhere
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
