@@ -5569,7 +5569,60 @@ object SparkEntry {
           round(col("enc_loo"), 6).as("enc_loo"),
           round(col("enc_smooth"), 6).as("enc_smooth"))
         .orderBy("o_orderkey")
-    })
+    }),
+
+    "q336_range_join" -> ((s, dir) => {
+      // banded interval join: order-anchored promo windows × shipment
+      // days as an EQUI-join on 16-day bands + exact BETWEEN — the
+      // theta-join Catalyst would otherwise plan as a nested loop
+      val iv = tbl(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("lo"))
+        .withColumn("hi", col("lo") + col("o_orderkey") % 30)
+      val pts = tbl(s, dir, "lineitem").filter(col("l_orderkey") < 6000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("p"))
+      Joins.rangeJoin(pts, "p", iv, "lo", "hi", 16L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_points"),
+          min("p").as("first_day"), max("p").as("last_day"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q337_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi–Sunter log-likelihood linkage over nation-blocked
+      // customer pairs: u from each field's value distribution, m=0.95
+      // prior, per-field ln evidence summed in fixed order — positive
+      // score = more likely a true match than a chance pairing
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") < 400)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          // +10^6 keeps the dividend positive: Spark div truncates toward
+          // zero, DuckDB // floors — they only agree on non-negatives
+          expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000")
+            .as("bal_bucket"),
+          substring(col("c_name"), 1, 12).as("name_pfx"))
+      val corpus = c.union(c.select(col("c_custkey") + 10000,
+        col("c_nationkey"), col("c_mktsegment"),
+        col("bal_bucket") + col("c_custkey") % 2, col("name_pfx")))
+      Linkage.fellegiSunter(corpus, "c_custkey", "c_nationkey",
+          Seq("c_mktsegment", "bal_bucket", "name_pfx"))
+        .filter(col("score") > 0)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          round(col("score"), 6).as("score"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q338_neyman" -> ((s, dir) =>
+      // Neyman optimal allocation of a 1000-row sample budget across
+      // event-type strata ∝ N_h·σ_h, largest-remainder integer rounding
+      // — allocations sum to the budget exactly
+      Sampling.neymanAllocation(
+        events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("v100")),
+        "event_type", "v100", 1000L)
+        .orderBy("stratum"))
   )
 
   // ======================================================================
@@ -8952,6 +9005,96 @@ object SparkEntry {
           |    / (n - 1 + 20), 6) AS enc_smooth
           |FROM o JOIN g USING (prio), gl
           |WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+
+      // brute BETWEEN join — the banded equi-join must find exactly the
+      // same (point, interval) matches
+      "q336_range_join" ->
+        """WITH iv AS (SELECT o_orderkey,
+          |    CAST(date_diff('day', DATE '1992-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS lo
+          |  FROM orders WHERE o_orderkey < 500),
+          |iv2 AS (SELECT o_orderkey, lo, lo + o_orderkey % 30 AS hi FROM iv),
+          |pts AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS p
+          |  FROM lineitem WHERE l_orderkey < 6000)
+          |SELECT o_orderkey, count(*) AS n_points, min(p) AS first_day,
+          |  max(p) AS last_day
+          |FROM pts JOIN iv2 ON p >= lo AND p <= hi
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+      // u per field from value counts; weights as ARITHMETIC expressions
+      // (1.0 - 0.95, not 0.05) so both engines compute identical doubles
+      "q337_fellegi_sunter" ->
+        """WITH c0 AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000
+          |      AS bal_bucket,
+          |    substring(c_name, 1, 12) AS name_pfx
+          |  FROM customer WHERE c_custkey < 400),
+          |corpus AS (SELECT * FROM c0
+          |  UNION ALL SELECT c_custkey + 10000, c_nationkey, c_mktsegment,
+          |    bal_bucket + c_custkey % 2, name_pfx FROM c0),
+          |n AS (SELECT count(*) AS nn FROM corpus),
+          |u1 AS (SELECT CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
+          |    / (CAST(nn AS DOUBLE) * nn) AS u
+          |  FROM (SELECT count(*) AS c FROM corpus GROUP BY c_mktsegment), n
+          |  GROUP BY nn),
+          |u2 AS (SELECT CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
+          |    / (CAST(nn AS DOUBLE) * nn) AS u
+          |  FROM (SELECT count(*) AS c FROM corpus GROUP BY bal_bucket), n
+          |  GROUP BY nn),
+          |u3 AS (SELECT CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE)
+          |    / (CAST(nn AS DOUBLE) * nn) AS u
+          |  FROM (SELECT count(*) AS c FROM corpus GROUP BY name_pfx), n
+          |  GROUP BY nn),
+          |pr AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          |    (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+          |     + CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END
+          |     + CASE WHEN a.name_pfx = b.name_pfx THEN 1 ELSE 0 END)
+          |      AS n_agree,
+          |    (CASE WHEN a.c_mktsegment = b.c_mktsegment
+          |        THEN ln(0.95 / u1.u) ELSE ln((1.0 - 0.95) / (1.0 - u1.u)) END
+          |     + CASE WHEN a.bal_bucket = b.bal_bucket
+          |        THEN ln(0.95 / u2.u) ELSE ln((1.0 - 0.95) / (1.0 - u2.u)) END
+          |     + CASE WHEN a.name_pfx = b.name_pfx
+          |        THEN ln(0.95 / u3.u) ELSE ln((1.0 - 0.95) / (1.0 - u3.u)) END)
+          |      AS score
+          |  FROM corpus a JOIN corpus b ON a.c_nationkey = b.c_nationkey
+          |    AND a.c_custkey < b.c_custkey, u1, u2, u3)
+          |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree,
+          |  round(score, 6) AS score
+          |FROM pr WHERE score > 0 ORDER BY id_a, id_b""".stripMargin,
+
+      // identical decimal variance tree, sqrt sigma, largest-remainder
+      // integer split — allocations sum to exactly 1000
+      "q338_neyman" ->
+        """WITH pe AS (SELECT event_type AS stratum,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |per AS (SELECT stratum, count(*) AS n_h,
+          |    SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+          |    SUM(CAST(v * v AS DECIMAL(38,0))) AS svv
+          |  FROM pe GROUP BY stratum),
+          |sg AS (SELECT stratum, n_h,
+          |    sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+          |      * CAST(sv AS DOUBLE) / n_h) / n_h) AS sigma
+          |  FROM per),
+          |w AS (SELECT stratum, n_h, sigma,
+          |    CAST(n_h AS DOUBLE) * sigma AS w FROM sg),
+          |tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)
+          |    AS wt FROM w),
+          |q AS (SELECT stratum, n_h, sigma,
+          |    CASE WHEN wt > 0 THEN 1000.0 * w / wt ELSE 0.0 END AS quota
+          |  FROM w, tot),
+          |f AS (SELECT stratum, n_h, sigma, quota, floor(quota) AS base,
+          |    quota - floor(quota) AS frac FROM q),
+          |r AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS rem FROM f),
+          |rk AS (SELECT f.*, row_number() OVER (ORDER BY frac DESC, stratum)
+          |    AS rk FROM f)
+          |SELECT stratum, n_h, round(sigma, 6) AS sigma,
+          |  round(quota, 6) AS quota,
+          |  CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+          |    AS n_alloc
+          |FROM rk, r ORDER BY stratum""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

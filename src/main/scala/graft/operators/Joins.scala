@@ -107,6 +107,32 @@ object Joins {
       .drop("_last")
   }
 
+  /** Banded range (interval) join: each `points` row matches the
+    * `intervals` rows with lo ≤ p ≤ hi — WITHOUT the cartesian product a
+    * naive theta-join plans. Both sides map to integer bands of
+    * `bucketWidth`: a point lands in exactly one band, an interval
+    * replicates to the ⌈span/width⌉+1 bands it touches, and the join
+    * becomes an EQUI-join on the band followed by the exact BETWEEN
+    * filter. At 100 TB pick `bucketWidth` near the typical interval span:
+    * replication stays O(1) per interval, the shuffle keys on the band
+    * (time-local data stays together — free when both sides are
+    * date-partitioned), and no row ever meets a band it can't match.
+    * Columns: all point columns + all interval columns. `pCol`, `loCol`,
+    * `hiCol` must be integral (cast dates to epoch days first). */
+  def rangeJoin(points: DataFrame, pCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val iv = intervals.withColumn("_band",
+      explode(sequence(expr(s"cast($loCol as bigint) div $bucketWidth"),
+        expr(s"cast($hiCol as bigint) div $bucketWidth"))))
+    val pt = points.withColumn("_band",
+      expr(s"cast($pCol as bigint) div $bucketWidth"))
+    pt.join(iv, Seq("_band"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("_band")
+  }
+
   /** Insert-if-absent (reference J1): rows of `incoming` whose key is not in
     * `existing`. */
   def insertIfAbsent(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =

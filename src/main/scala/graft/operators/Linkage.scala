@@ -168,4 +168,46 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    * statistical backbone of every production ER system: each comparison
+    * field contributes log-evidence ln(m/u) on agreement and
+    * ln((1−m)/(1−u)) on disagreement, where u (chance-agreement
+    * probability of two RANDOM records) is estimated from the field's
+    * value distribution as Σ(n_v/N)² and m (agreement probability of
+    * true matches) is the supplied prior. A pair's score is the sum over
+    * fields — the log-likelihood ratio match/non-match.
+    *
+    * Scale shape: u needs one tiny aggregate per field (value counts →
+    * Σn², decimal-exact) that crossJoin-broadcasts back as a scalar; the
+    * pair stream comes from the caller's BLOCKING join (here: equi-join
+    * on `blockCol`), so the corpus never goes quadratic. The field-sum
+    * uses a fixed left-to-right association so an external engine
+    * replays the doubles bit-for-bit. Returns (id_a, id_b, n_agree,
+    * score). */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+                    fields: Seq[String], mProb: Double = 0.95): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter: no comparison fields")
+    val n = df.count() // driver scalar: one tiny job, embeds as literal
+    val uStats = fields.map { f =>
+      df.groupBy(col(f)).agg(count(lit(1)).as("_c"))
+        .agg((sum((col("_c") * col("_c")).cast("decimal(38,0)"))
+          .cast("double") / (lit(n.toDouble) * n)).as(s"_u_$f"))
+    }.reduce(_ crossJoin _)
+    val a = df.select(col(blockCol).as("_blk") +: col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"${f}_a")): _*)
+    val b = df.select(col(blockCol).as("_blk") +: col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"${f}_b")): _*)
+    val pairs = a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+      .crossJoin(broadcast(uStats))
+    val score = fields.map { f =>
+      when(col(s"${f}_a") === col(s"${f}_b"),
+        log(lit(mProb) / col(s"_u_$f")))
+        .otherwise(log(lit(1.0 - mProb) / (lit(1.0) - col(s"_u_$f"))))
+    }.reduce(_ + _) // left fold: fixed association for exact replay
+    val nAgree = fields.map(f =>
+      when(col(s"${f}_a") === col(s"${f}_b"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
+      score.as("score"))
+  }
 }

@@ -375,4 +375,49 @@ object Sampling {
         col("chosen_len"), col("_best.rejected_len").as("rejected_len"),
         col("_best.len_diff").as("len_diff"))
   }
+
+  /** Neyman optimal allocation (1934): split a total sample `budget`
+    * across strata proportionally to N_h·σ_h — the design that minimizes
+    * the variance of the estimated mean for a fixed budget, vs the naive
+    * proportional-to-size split. σ_h is the exact population standard
+    * deviation from decimal-accumulated Σv/Σv² (sqrt is correctly
+    * rounded, so the doubles replay); fractional quotas resolve to
+    * integers by LARGEST-REMAINDER rounding (floor everything, hand the
+    * shortfall to the biggest fractional parts, stratum-name tie-break)
+    * so the allocations sum to exactly `budget`. One pass over the data
+    * (map-side-combinable aggregate), then window work on the
+    * strata-count-sized frame only. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, vCol: String,
+                       budget: Long): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.select(col(stratumCol).as("stratum"),
+        col(vCol).cast("long").as("v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"), sum(d38(col("v"))).as("sv"),
+        sum(d38(col("v") * col("v"))).as("svv"))
+      .withColumn("sigma", sqrt(
+        (col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") / col("n_h")) /
+          col("n_h")))
+      .withColumn("w", col("n_h").cast("double") * col("sigma"))
+    val tot = per.agg(
+      sum(col("w").cast("decimal(38,18)")).cast("double").as("_wt"))
+    val q = per.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        when(col("_wt") > 0, lit(budget.toDouble) * col("w") / col("_wt"))
+          .otherwise(lit(0.0)))
+      .withColumn("base", floor(col("quota")))
+      .withColumn("frac", col("quota") - col("base"))
+    val rem = q.agg((lit(budget) -
+      sum(col("base"))).cast("long").as("_rem"))
+    q.crossJoin(broadcast(rem))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("frac").desc, col("stratum").asc)))
+      .withColumn("n_alloc",
+        (col("base") + when(col("_rk") <= col("_rem"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("stratum"), col("n_h"), round(col("sigma"), 6).as("sigma"),
+        round(col("quota"), 6).as("quota"), col("n_alloc"))
+  }
 }

@@ -50,4 +50,22 @@ class JoinsSpec extends SparkSpec {
     assert(Set(7L, 23L, 399L).subsetOf(pass))
     assert(pass.size < 50, s"prefilter kept ${pass.size} of 400")
   }
+
+  test("rangeJoin: banded equi-join matches brute BETWEEN, band edges exact") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 5L), (3L, 100L, 160L))
+      .toDF("iid", "lo", "hi")
+    val pts = Seq(0L, 5L, 10L, 11L, 15L, 16L, 99L, 100L, 160L, 161L)
+      .map(Tuple1(_)).toDF("p")
+    val out = Joins.rangeJoin(pts, "p", iv, "lo", "hi", 16L)
+      .select("iid", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(iv)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("iid", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute)
+    assert(out == Set((1L, 0L), (1L, 5L), (1L, 10L), (2L, 5L),
+      (3L, 100L), (3L, 160L)))
+  }
 }

@@ -87,4 +87,24 @@ class LinkageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(filt == brute && brute.nonEmpty)
   }
+
+  test("fellegiSunter: u from value distribution, hand-computed log evidence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val recs = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "p"),
+      (4L, "y", "q")).toDF("id", "f1", "f2").withColumn("blk", lit(0))
+    val out = Linkage.fellegiSunter(recs, "id", "blk", Seq("f1", "f2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 6) // all within-block pairs
+    // u(f1): {x:2, y:2} → 8/16 = 0.5; u(f2): {p:3, q:1} → 10/16 = 0.625
+    val (u1, u2) = (0.5, 0.625)
+    assert(out((1L, 2L)) ==
+      ((2L, math.log(0.95 / u1) + math.log(0.95 / u2))))
+    assert(out((3L, 4L)) ==
+      ((1L, math.log(0.95 / u1) + math.log((1.0 - 0.95) / (1.0 - u2)))))
+    assert(out((1L, 4L)) ==
+      ((0L, math.log((1.0 - 0.95) / (1.0 - u1)) +
+        math.log((1.0 - 0.95) / (1.0 - u2)))))
+  }
 }

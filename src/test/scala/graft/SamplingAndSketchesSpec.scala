@@ -384,4 +384,18 @@ class SamplingAndSketchesSpec extends SparkSpec {
       1L -> ((3L, 100L, 90L, 10L)),
       4L -> ((5L, 200L, 150L, 50L))))
   }
+
+  test("neymanAllocation: quotas ∝ N_h·σ_h, largest-remainder sums to budget") {
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 5L), ("b", 5L),
+      ("c", 0L), ("c", 4L)).toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, "g", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // σ: a=1 (w 2), b=0 (w 0), c=2 (w 4); W=6 → quotas 10/3, 0, 20/3;
+    // floors 3+0+6=9, the 1 leftover goes to c (largest fraction)
+    assert(out("a") == ((2L, 1.0, 3.333333, 3L)))
+    assert(out("b") == ((2L, 0.0, 0.0, 0L)))
+    assert(out("c") == ((2L, 2.0, 6.666667, 7L)))
+    assert(out.values.map(_._4).sum == 10L)
+  }
 }
