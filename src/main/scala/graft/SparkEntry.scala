@@ -5622,7 +5622,54 @@ object SparkEntry {
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("v100")),
         "event_type", "v100", 1000L)
-        .orderBy("stratum"))
+        .orderBy("stratum")),
+
+    "q339_split_leakage" -> ((s, dir) => {
+      // eval-integrity audit: near-dup clusters (q56's corpus) crossed
+      // with a naive 80/20 hash split — any cluster with members on BOTH
+      // sides leaks paraphrases of training docs into the eval; the fix
+      // is splitting by cluster rep, and this query measures the blast
+      // radius of not doing so
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val clusters = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      Sampling.splitLeakageAudit(
+          clusters.select(col("id"), col("cluster_rep")), "id", "cluster_rep")
+        .orderBy("cluster_rep")
+    }),
+
+    "q340_psi_drift" -> ((s, dir) => {
+      // population stability index of purchase-value distributions,
+      // first-half vs second-half weeks per event type — the scorecard
+      // drift gate (>0.2 = investigate) with add-one smoothing so empty
+      // bins stay finite and replayable
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr(
+            "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)")
+            .as("wk"),
+          round(col("value") * 100).cast("long").as("v100"))
+      val b = ev.agg(min("wk").as("w0"), max("wk").as("w1"))
+      val tagged = ev.crossJoin(broadcast(b))
+        .withColumn("post", col("wk") >= expr("(w0 + w1 + 1) div 2"))
+      Stats.psiDrift(tagged.filter(!col("post")), tagged.filter(col("post")),
+          "event_type", "v100", binWidth = 5000L, nBins = 20)
+        .orderBy("event_type")
+    }),
+
+    "q341_mad_outliers" -> ((s, dir) =>
+      // robust outlier screen: exact per-type median and MAD, values
+      // beyond 3·1.4826·MAD counted — the scale estimate a wild value
+      // cannot inflate, run before trusting any mean/σ monitor
+      Stats.madOutliers(events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("v100")),
+        "event_type", "v100")
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -9096,6 +9143,64 @@ object SparkEntry {
           |    AS n_alloc
           |FROM rk, r ORDER BY stratum""".stripMargin,
 
+      "q339_split_leakage" -> splitLeakageOracleSql,
+
+      // same midpoint week split as q325; Laplace-smoothed bin shares on
+      // the full 20-bin grid of REF groups; decimal-accumulated term sum
+      "q340_psi_drift" ->
+        """WITH pe AS (SELECT event_type,
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+          |      AS wk,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |bnd AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM pe),
+          |t AS (SELECT event_type AS g, v,
+          |    wk >= (w0 + w1 + 1) // 2 AS post FROM pe, bnd),
+          |rb AS (SELECT g, least(greatest(v // 5000, 0), 19) AS bin,
+          |    count(*) AS nr FROM t WHERE NOT post GROUP BY 1, 2),
+          |cb AS (SELECT g, least(greatest(v // 5000, 0), 19) AS bin,
+          |    count(*) AS nc FROM t WHERE post GROUP BY 1, 2),
+          |grid AS (SELECT g, i AS bin
+          |  FROM (SELECT DISTINCT g FROM t WHERE NOT post),
+          |    unnest(range(0, 20)) AS u(i)),
+          |nt AS (SELECT g, CAST(SUM(nr) AS BIGINT) AS n_ref FROM rb GROUP BY g),
+          |nc2 AS (SELECT g, CAST(SUM(nc) AS BIGINT) AS n_cur FROM cb GROUP BY g),
+          |fl AS (SELECT grid.g, grid.bin,
+          |    CAST(COALESCE(nr, 0) + 1 AS DOUBLE) / (n_ref + 20) AS pr,
+          |    CAST(COALESCE(nc, 0) + 1 AS DOUBLE) / (n_cur + 20) AS pc,
+          |    n_ref, n_cur
+          |  FROM grid
+          |  LEFT JOIN rb USING (g, bin) LEFT JOIN cb USING (g, bin)
+          |  JOIN nt USING (g) JOIN nc2 USING (g))
+          |SELECT g AS event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+          |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,18)))
+          |    AS DOUBLE), 6) AS psi,
+          |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,18)))
+          |    AS DOUBLE), 6) > 0.2 AS drifted
+          |FROM fl GROUP BY g ORDER BY event_type""".stripMargin,
+
+      // exact rank-⌈n/2⌉ medians for location and deviation; the outlier
+      // threshold multiplies in the same (3.0·1.4826)·mad association
+      "q341_mad_outliers" ->
+        """WITH pe AS (SELECT event_type AS g,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (SELECT g, v AS med FROM (SELECT g, v,
+          |      row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+          |      count(*) OVER (PARTITION BY g) AS n FROM pe)
+          |  WHERE rn = (n + 1) // 2),
+          |d AS (SELECT pe.g, v, med, abs(v - med) AS ad
+          |  FROM pe JOIN m USING (g)),
+          |md AS (SELECT g, ad AS mad FROM (SELECT g, ad,
+          |      row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+          |      count(*) OVER (PARTITION BY g) AS n FROM d)
+          |  WHERE rn = (n + 1) // 2)
+          |SELECT d.g AS event_type, count(*) AS n, max(med) AS med,
+          |  max(mad) AS mad,
+          |  CAST(SUM(CASE WHEN CAST(ad AS DOUBLE) > (3.0 * 1.4826) * mad
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM d JOIN md USING (g) GROUP BY d.g ORDER BY event_type""".stripMargin,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -11911,8 +12016,11 @@ object SparkEntry {
        |  CAST(3 * n_triangles AS DOUBLE) / n_wedges AS transitivity
        |FROM wt, ec, tc""".stripMargin
 
-  private def dedupClustersOracleSql: String =
-    s"""WITH RECURSIVE $minhashPairCtes,
+  /** The q56/q311 recursive-clustering CTE chain ending in a
+    * `clusters(doc_id, cluster_rep)` CTE, reusable by downstream
+    * cluster-consuming oracles (q339). */
+  private def dedupClustersCtes: String =
+    s"""$minhashPairCtes,
        |edges AS (
        |  SELECT doc_a AS s, doc_b AS d FROM pairs WHERE est_jaccard >= 0.8
        |  UNION
@@ -11920,9 +12028,31 @@ object SparkEntry {
        |reach(s, d) AS (
        |  SELECT s, d FROM edges
        |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-       |SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
-       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |clusters AS (
+       |  SELECT s AS doc_id, least(s, min(d)) AS cluster_rep
+       |  FROM reach GROUP BY s)""".stripMargin
+
+  private def dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $dedupClustersCtes
+       |SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id""".stripMargin
+
+  /** Replays q339: the cluster chain, the q305 hash chain on doc_id for
+    * the 10-bucket split (buckets 8-9 = test), per-cluster fold counts. */
+  private def splitLeakageOracleSql: String =
+    s"""WITH RECURSIVE $dedupClustersCtes,
+       |l0 AS (SELECT doc_id, cluster_rep,
+       |    (doc_id * 1000003) % 2147483647 AS h FROM clusters),
+       |l1 AS (SELECT doc_id, cluster_rep,
+       |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM l0),
+       |l2 AS (SELECT doc_id, cluster_rep,
+       |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 10 AS fold FROM l1)
+       |SELECT cluster_rep, count(*) AS n_members,
+       |  CAST(SUM(CASE WHEN fold >= 8 THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN fold >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |  (SUM(CASE WHEN fold >= 8 THEN 0 ELSE 1 END) > 0
+       |    AND SUM(CASE WHEN fold >= 8 THEN 1 ELSE 0 END) > 0) AS leaky
+       |FROM l2 GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
 
   /** [[minhashPairCtesFor]] with SUFFIXED CTE names so two corpora's
     * full signature→band→pair chains can coexist in one WITH clause

@@ -376,6 +376,28 @@ object Sampling {
         col("_best.len_diff").as("len_diff"))
   }
 
+  /** Train/test split LEAKAGE audit over near-duplicate clusters: a
+    * hash split that ignores duplicate structure puts one member of a
+    * near-dup cluster in train and its twin in test — the eval then
+    * "generalizes" to memorized paraphrases (the Lee et al. 2022
+    * dedup-before-split lesson). Input is the (id, cluster_rep) frame
+    * [[Dedup.dedupClusters]] emits; each id hashes into 10 buckets,
+    * `testBuckets` of which are the held-out fold. Returns one row per
+    * cluster with member/fold counts and the `leaky` flag (members on
+    * BOTH sides). The fix when leaky count > 0 is [[clusterSplit]] —
+    * split by cluster rep, not by raw id. One groupBy over the cluster
+    * frame; no joins. */
+  def splitLeakageAudit(clusters: DataFrame, idCol: String, repCol: String,
+                        testBuckets: Int = 2): DataFrame =
+    clusters
+      .withColumn("_test",
+        Sketches.keyHash(col(idCol)) % 10 >= (10 - testBuckets))
+      .groupBy(col(repCol).as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("_test"), 0L).otherwise(1L)).as("n_train"),
+        sum(when(col("_test"), 1L).otherwise(0L)).as("n_test"))
+      .withColumn("leaky", col("n_train") > 0 && col("n_test") > 0)
+
   /** Neyman optimal allocation (1934): split a total sample `budget`
     * across strata proportionally to N_h·σ_h — the design that minimizes
     * the variance of the estimated mean for a fixed budget, vs the naive

@@ -673,6 +673,73 @@ object Stats {
           (col("mean_c_post") - col("mean_c_pre")))
   }
 
+  /** Population Stability Index per group — the scorecard-industry
+    * drift metric: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur / p_ref), with
+    * add-one (Laplace) smoothing `p = (n_b + 1)/(N + B)` so empty bins
+    * contribute finitely and deterministically. Values bin by
+    * `v div binWidth` clamped to [0, nBins); the full bin grid is
+    * generated per group so a bin empty on ONE side still counts.
+    * Convention: PSI < 0.1 stable, 0.1–0.2 moderate, > 0.2 action.
+    * Two map-side-combinable aggregates + a bounded grid join; the ln
+    * ratio replays because both engines divide identical doubles. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+               vCol: String, binWidth: Long, nBins: Int): DataFrame = {
+    def binned(df: DataFrame, n: String) = df
+      .select(col(groupCol).as("g"),
+        least(greatest(expr(s"cast($vCol as bigint) div $binWidth"),
+          lit(0L)), lit((nBins - 1).toLong)).as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as(n))
+    val r = binned(ref, "nr")
+    val c = binned(cur, "nc")
+    val grid = ref.select(col(groupCol).as("g")).distinct()
+      .select(col("g"), explode(expr(s"sequence(0L, ${nBins - 1}L)")).as("bin"))
+    val full = grid
+      .join(r, Seq("g", "bin"), "left")
+      .join(c, Seq("g", "bin"), "left")
+      .join(r.groupBy("g").agg(sum("nr").as("n_ref")), Seq("g"))
+      .join(c.groupBy("g").agg(sum("nc").as("n_cur")), Seq("g"))
+      .withColumn("pr", (coalesce(col("nr"), lit(0L)) + 1).cast("double") /
+        (col("n_ref") + nBins))
+      .withColumn("pc", (coalesce(col("nc"), lit(0L)) + 1).cast("double") /
+        (col("n_cur") + nBins))
+      .withColumn("term", (col("pc") - col("pr")) * log(col("pc") / col("pr")))
+    full.groupBy("g")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum(col("term").cast("decimal(38,18)")).cast("double").as("psi"))
+      .select(col("g").as(groupCol), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+  }
+
+  /** Robust location/scale outlier screen: per group the EXACT median
+    * (rank ⌈n/2⌉, the convention the histogram-quantile family uses),
+    * the median absolute deviation, and the count of values beyond
+    * `cutoff`·1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a consistent σ
+    * estimator under normality). Unlike [[zscoreAnomalies]], one wild
+    * value cannot inflate the scale it is judged against — this is the
+    * screen to run BEFORE trusting any mean/σ monitor. Two rank windows
+    * per group + broadcast scalar joins; integral inputs keep every
+    * intermediate exact. */
+  def madOutliers(df: DataFrame, groupCol: String, vCol: String,
+                  cutoff: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+    def medianOf(d: DataFrame, c: String, out: String) = d
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("g").orderBy(col(c).asc)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("g"), col(c).as(out))
+    val dev = base.join(broadcast(medianOf(base, "v", "med")), Seq("g"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    dev.join(broadcast(medianOf(dev, "ad", "mad")), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("ad").cast("double") >
+          (lit(cutoff) * lit(1.4826)) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Split conformal prediction (Vovk; Lei et al. 2018): a
     * distribution-free interval half-width per group with finite-sample
     * coverage ≥ 1 − α. Three disjoint hash folds of the id space: TRAIN

@@ -398,4 +398,20 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out("c") == ((2L, 2.0, 6.666667, 7L)))
     assert(out.values.map(_._4).sum == 10L)
   }
+
+  test("splitLeakageAudit: fold counts match a driver hash recompute") {
+    val cl = (1L to 100L).map(i => (i, i % 10)).toDF("id", "rep")
+    val out = Sampling.splitLeakageAudit(cl, "id", "rep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val test = cl.withColumn("t", Sketches.keyHash(col("id")) % 10 >= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val exp = test.groupBy(_._2).map { case (rep, rows) =>
+      val nTest = rows.count(_._3).toLong
+      val nTrain = rows.size - nTest
+      rep -> ((rows.size.toLong, nTrain, nTest, nTrain > 0 && nTest > 0))
+    }
+    assert(out == exp)
+    assert(out.values.exists(_._4)) // the naive split leaks somewhere
+  }
 }

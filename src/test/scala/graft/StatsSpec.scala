@@ -363,4 +363,28 @@ class StatsSpec extends SparkSpec {
     // the marginal-coverage contract: ≥ 1 - α on a well-behaved sample
     assert(out.getAs[Double]("coverage") >= 0.8)
   }
+
+  test("psiDrift: identical distributions score ~0, a shifted one flags") {
+    import spark.implicits._
+    val ref = (1L to 200L).map(i => ("g", i % 40)).toDF("grp", "v")
+    val same = Stats.psiDrift(ref, ref, "grp", "v", 10L, 4).head()
+    assert(same.getAs[Double]("psi") == 0.0 && !same.getAs[Boolean]("drifted"))
+    // current shifted wholly out of the reference's occupied bins
+    val cur = (1L to 200L).map(i => ("g", 30L + i % 10)).toDF("grp", "v")
+    val out = Stats.psiDrift(ref, cur, "grp", "v", 10L, 4).head()
+    assert(out.getAs[Double]("psi") > 0.2 && out.getAs[Boolean]("drifted"))
+    assert(out.getAs[Long]("n_ref") == 200L && out.getAs[Long]("n_cur") == 200L)
+  }
+
+  test("madOutliers: exact median/MAD, one wild value cannot inflate scale") {
+    import spark.implicits._
+    // 9 values centered at 10, MAD 1; the 1000 is > 3·1.4826·1 away
+    val df = (Seq(8L, 9L, 9L, 10L, 10L, 10L, 11L, 11L, 1000L))
+      .map(("g", _)).toDF("grp", "v")
+    val r = Stats.madOutliers(df, "grp", "v").head()
+    assert(r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("med") == 10L)
+    assert(r.getAs[Long]("mad") == 1L)
+    assert(r.getAs[Long]("n_outliers") == 1L) // only the 1000
+  }
 }
