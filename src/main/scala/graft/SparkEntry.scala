@@ -5669,7 +5669,59 @@ object SparkEntry {
           .select(col("event_type"),
             round(col("value") * 100).cast("long").as("v100")),
         "event_type", "v100")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q342_overlap_join" -> ((s, dir) => {
+      // interval × interval overlap join, banded: shipment in-transit
+      // windows against order-anchored promo windows — each overlapping
+      // pair found exactly once via the max-lo band-ownership rule
+      val d92 = lit("1992-01-01").cast("date")
+      val promo = tbl(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), d92).cast("long").as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + col("o_orderkey") % 14)
+      val ship = tbl(s, dir, "lineitem").filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), d92).cast("long").as("s_lo"))
+        .withColumn("s_hi",
+          col("s_lo") + (col("l_orderkey") + col("l_linenumber")) % 10)
+      Joins.overlapJoin(ship, "s_lo", "s_hi", promo, "p_lo", "p_hi", 16L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_overlaps"),
+          min("s_lo").as("first_lo"), max("s_hi").as("last_hi"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q343_prf_expansion" -> ((s, dir) => {
+      // pseudo-relevance feedback (RM3-lite): base BM25 top-10 yields 3
+      // expansion terms by in-set tf × idf, the expanded query re-ranks,
+      // and each result is flagged by base-top-10 membership — the
+      // recall lift mechanism of classic query expansion
+      import s.implicits._
+      val d = tbl(s, dir, "documents")
+      val baseTerms = Seq("spark", "join")
+      val base = Retrieval.bm25(d, "doc_id", "text", baseTerms, 10)
+      val exp = Retrieval.prfExpandTerms(d, "doc_id", "text", baseTerms,
+          10, 3)
+        .select("term").as[String].collect().toSeq.sorted
+      Retrieval.bm25(d, "doc_id", "text", baseTerms ++ exp, 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
+        .join(base.select(col("id"), lit(true).as("in_base")), Seq("id"),
+          "left")
+        .select(col("rank"), col("id"), col("score"), col("n_matched"),
+          coalesce(col("in_base"), lit(false)).as("in_base"))
+        .orderBy("rank")
+    }),
+
+    "q344_brier" -> ((s, dir) =>
+      // Murphy decomposition of the Brier score: the quality score as a
+      // probability that a doc is long-form — reliability (distance from
+      // the diagonal), resolution (outcome separation), uncertainty
+      Evaluation.brierDecomposition(
+        tbl(s, dir, "documents").select(
+          TF.qualityScore(col("text")).as("p"),
+          (col("n_chars") >= 1000).as("o")),
+        "p", "o", nBins = 10))
   )
 
   // ======================================================================
@@ -9200,6 +9252,105 @@ object SparkEntry {
           |  CAST(SUM(CASE WHEN CAST(ad AS DOUBLE) > (3.0 * 1.4826) * mad
           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM d JOIN md USING (g) GROUP BY d.g ORDER BY event_type""".stripMargin,
+
+      // brute overlap join — the banded max-lo-ownership join must find
+      // each overlapping pair exactly once
+      "q342_overlap_join" ->
+        """WITH promo AS (SELECT o_orderkey,
+          |    CAST(date_diff('day', DATE '1992-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS p_lo
+          |  FROM orders WHERE o_orderkey < 300),
+          |p2 AS (SELECT o_orderkey, p_lo, p_lo + o_orderkey % 14 AS p_hi
+          |  FROM promo),
+          |s0 AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s_lo,
+          |    (l_orderkey + l_linenumber) % 10 AS spn
+          |  FROM lineitem WHERE l_orderkey < 3000),
+          |ship AS (SELECT s_lo, s_lo + spn AS s_hi FROM s0)
+          |SELECT o_orderkey, count(*) AS n_overlaps, min(s_lo) AS first_lo,
+          |  max(s_hi) AS last_hi
+          |FROM ship JOIN p2 ON s_lo <= p_hi AND p_lo <= s_hi
+          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+      // base top-10 → tf·idf expansion terms → expanded BM25, the whole
+      // chain in SQL with the q98 scoring formula
+      "q343_prf_expansion" ->
+        """WITH docs AS (SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+          |stats AS (SELECT COUNT(*) AS n_docs,
+          |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          |alltf AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+          |    SELECT id, dl, unnest(t) AS term FROM dl)
+          |  GROUP BY id, dl, term),
+          |cdf AS (SELECT term, COUNT(*) AS term_df FROM alltf GROUP BY term),
+          |btf AS (SELECT * FROM alltf WHERE term IN ('spark', 'join')),
+          |bdf AS (SELECT term, COUNT(*) AS term_df FROM btf GROUP BY term),
+          |bsc AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM btf JOIN bdf USING (term), stats),
+          |base AS (SELECT id,
+          |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score
+          |  FROM bsc GROUP BY id ORDER BY score DESC, id LIMIT 10),
+          |cand AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf_sum
+          |  FROM alltf JOIN base USING (id)
+          |  WHERE term NOT IN ('spark', 'join') GROUP BY term),
+          |esc AS (SELECT term,
+          |    CAST(tf_sum AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / term_df) AS s
+          |  FROM cand JOIN cdf USING (term), stats),
+          |expt AS (SELECT term FROM esc ORDER BY s DESC, term LIMIT 3),
+          |etf AS (SELECT * FROM alltf WHERE term IN ('spark', 'join')
+          |  OR term IN (SELECT term FROM expt)),
+          |edf AS (SELECT term, COUNT(*) AS term_df FROM etf GROUP BY term),
+          |esc2 AS (SELECT id,
+          |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+          |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          |      AS contrib
+          |  FROM etf JOIN edf USING (term), stats),
+          |res AS (SELECT id,
+          |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE), 6) AS score,
+          |    COUNT(*) AS n_matched
+          |  FROM esc2 GROUP BY id ORDER BY score DESC, id LIMIT 10)
+          |SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+          |    AS rank,
+          |  id, score, n_matched, id IN (SELECT id FROM base) AS in_base
+          |FROM res ORDER BY rank""".stripMargin,
+
+      // the Murphy decomposition tree with the shared quality replay;
+      // base_rate squares UNROUNDED in resolution, as the Spark side does
+      "q344_brier" ->
+        s"""WITH d AS (SELECT $qualitySql AS p, n_chars >= 1000 AS o
+          |  FROM documents),
+          |r AS (SELECT p, CASE WHEN o THEN 1 ELSE 0 END AS o2,
+          |    least(CAST(floor(p * 10) AS BIGINT), 9) AS bin FROM d),
+          |b AS (SELECT bin, count(*) AS n_b,
+          |    SUM(CAST(p AS DECIMAL(38,18))) AS sp,
+          |    CAST(SUM(o2) AS BIGINT) AS so,
+          |    SUM(CAST((p - o2) * (p - o2) AS DECIMAL(38,18))) AS sq
+          |  FROM r GROUP BY bin),
+          |bb AS (SELECT bin, n_b, so, sq,
+          |    CAST(sp AS DOUBLE) / n_b AS pbar,
+          |    CAST(so AS DOUBLE) / n_b AS obar FROM b),
+          |f AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+          |    CAST(SUM(so) AS BIGINT) AS n_pos,
+          |    CAST(SUM(sq) AS DOUBLE) AS sq2,
+          |    CAST(SUM(CAST(n_b * (pbar - obar) * (pbar - obar)
+          |      AS DECIMAL(38,18))) AS DOUBLE) AS rel,
+          |    CAST(SUM(CAST(n_b * obar * obar AS DECIMAL(38,18)))
+          |      AS DOUBLE) AS so2
+          |  FROM bb)
+          |SELECT n, n_pos,
+          |  round(CAST(n_pos AS DOUBLE) / n, 6) AS base_rate,
+          |  round(sq2 / n, 6) AS brier,
+          |  round(rel / n, 6) AS reliability,
+          |  round(so2 / n - (CAST(n_pos AS DOUBLE) / n)
+          |    * (CAST(n_pos AS DOUBLE) / n), 6) AS resolution,
+          |  round((CAST(n_pos AS DOUBLE) / n)
+          |    * (1.0 - CAST(n_pos AS DOUBLE) / n), 6) AS uncertainty
+          |FROM f""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -496,4 +496,43 @@ object Evaluation {
       .withColumn("flagged",
         col("disagree_frac") > 0.5 && col("nbr_majority") =!= col("label"))
   }
+
+  /** Murphy (1973) decomposition of the Brier score over `nBins`
+    * prediction bins: reliability Σn_b(p̄_b−ō_b)²/N (how far the
+    * calibration curve sits from the diagonal — the part recalibration
+    * can remove), resolution Σn_b(ō_b−ō)²/N (how much the bins separate
+    * outcomes — the part it cannot add), and uncertainty ō(1−ō). The raw
+    * Brier score Σ(p−o)²/N rides along; all sums decimal-accumulate so
+    * the doubles replay in any engine. One row out; two aggregates over
+    * the scored frame (per-bin, then bounded-bin fold) — nothing scales
+    * with corpus size after the first groupBy. Complements
+    * [[calibrationBins]] (the curve) with the scalar summary. */
+  def brierDecomposition(scored: DataFrame, pCol: String, outcomeCol: String,
+                         nBins: Int = 10): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val rows = scored.select(col(pCol).cast("double").as("p"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+      .withColumn("bin", least(floor(col("p") * nBins), lit(nBins - 1L)))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum(d18(col("p"))).as("sp"),
+        sum(col("o")).as("so"),
+        sum(d18((col("p") - col("o")) * (col("p") - col("o")))).as("sq"))
+      .withColumn("pbar", col("sp").cast("double") / col("n_b"))
+      .withColumn("obar", col("so").cast("double") / col("n_b"))
+    bins.agg(sum("n_b").as("n"), sum("so").as("n_pos"),
+        sum(col("sq")).cast("double").as("_sq"),
+        sum(d18(col("n_b") * (col("pbar") - col("obar")) *
+          (col("pbar") - col("obar")))).cast("double").as("_rel"),
+        sum(d18(col("n_b") * col("obar") * col("obar"))).cast("double")
+          .as("_so2"))
+      .withColumn("base_rate", col("n_pos").cast("double") / col("n"))
+      .select(col("n"), col("n_pos"), round(col("base_rate"), 6).as("base_rate"),
+        round(col("_sq") / col("n"), 6).as("brier"),
+        round(col("_rel") / col("n"), 6).as("reliability"),
+        // Σn_b·ō_b²/N − ō² is the resolution in its computational form
+        round(col("_so2") / col("n") -
+          col("base_rate") * col("base_rate"), 6).as("resolution"),
+        round(col("base_rate") * (lit(1.0) - col("base_rate")), 6)
+          .as("uncertainty"))
+  }
 }

@@ -133,6 +133,30 @@ object Joins {
       .drop("_band")
   }
 
+  /** Interval OVERLAP join (interval × interval sibling of
+    * [[rangeJoin]]): pairs where [llo, lhi] and [rlo, rhi] intersect.
+    * Both sides replicate to the integer bands they touch and equi-join
+    * on the band; a pair that overlaps across several shared bands would
+    * emit duplicates, so each match is kept ONLY in the band holding
+    * max(llo, rlo) — the classic one-band-owns-the-pair dedup, applied
+    * as a filter instead of a distinct (no extra shuffle). Column names
+    * must be disjoint across the two inputs. */
+  def overlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+                  right: DataFrame, rloCol: String, rhiCol: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def banded(df: DataFrame, lo: String, hi: String) = df.withColumn("_band",
+      explode(sequence(expr(s"cast($lo as bigint) div $bucketWidth"),
+        expr(s"cast($hi as bigint) div $bucketWidth"))))
+    banded(left, lloCol, lhiCol)
+      .join(banded(right, rloCol, rhiCol).withColumnRenamed("_band", "_band"),
+        Seq("_band"))
+      .filter(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol))
+      .filter(col("_band") ===
+        expr(s"greatest(cast($lloCol as bigint), cast($rloCol as bigint)) div $bucketWidth"))
+      .drop("_band")
+  }
+
   /** Insert-if-absent (reference J1): rows of `incoming` whose key is not in
     * `existing`. */
   def insertIfAbsent(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =

@@ -142,6 +142,39 @@ object Retrieval {
       k, k1, b)
   }
 
+  /** Pseudo-relevance feedback term selection (the RM3-lite first half
+    * of query expansion): run [[bm25]] for the base query, take its
+    * top-`k` documents as a pseudo-relevant set, and score every OTHER
+    * term they contain by tf_in_set · ln(n_docs / df) — high total
+    * presence in the relevant set, discounted by corpus commonness, so
+    * stopwords self-exclude without a list. Returns the top `nExpand`
+    * (term, tf_sum, exp_score) rows; the caller appends them to the base
+    * query and re-runs [[bm25]]. Scale shape: the candidate vocabulary
+    * is bounded by k documents' distinct terms, corpus df is the
+    * vocabulary-sized aggregate the index already maintains, and the
+    * top-nExpand is a rank filter on that bounded frame. */
+  def prfExpandTerms(df: DataFrame, idCol: String, textCol: String,
+                     baseTerms: Seq[String], k: Int, nExpand: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = bm25(df, idCol, textCol, baseTerms, k, k1, b).select("id")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(analyze(col(textCol))).as("term"))
+    val corpusDf = toks.distinct().groupBy("term")
+      .agg(count(lit(1)).as("term_df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val cand = toks.join(broadcast(base), Seq("id"))
+      .filter(!col("term").isin(baseTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf_sum"))
+    cand.join(corpusDf, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("exp_score", col("tf_sum").cast("double") *
+        log(col("n_docs").cast("double") / col("term_df")))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("exp_score").desc, col("term").asc)))
+      .filter(col("_rk") <= nExpand)
+      .select(col("term"), col("tf_sum"), round(col("exp_score"), 6)
+        .as("exp_score"))
+  }
+
   /** (n_docs, avgdl) from a (id, dl) frame — one tiny aggregate that
     * broadcasts into the scorer. */
   def docLengthStats(dl: DataFrame): DataFrame =

@@ -68,4 +68,23 @@ class JoinsSpec extends SparkSpec {
     assert(out == Set((1L, 0L), (1L, 5L), (1L, 10L), (2L, 5L),
       (3L, 100L), (3L, 160L)))
   }
+
+  test("overlapJoin: each overlapping pair exactly once, matches brute force") {
+    import spark.implicits._
+    // long intervals spanning several bands — the ownership rule must
+    // keep exactly one copy per pair
+    val l = Seq((1L, 0L, 40L), (2L, 35L, 36L), (3L, 90L, 95L))
+      .toDF("lid", "llo", "lhi")
+    val r = Seq((10L, 30L, 100L), (11L, 41L, 50L), (12L, 200L, 210L))
+      .toDF("rid", "rlo", "rhi")
+    val out = Joins.overlapJoin(l, "llo", "lhi", r, "rlo", "rhi", 16L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toList.sorted
+    val brute = l.crossJoin(r)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toList.sorted
+    assert(out == brute) // sorted LISTS: catches duplicates, not just sets
+    assert(out == List((1L, 10L), (2L, 10L), (3L, 10L)))
+  }
 }

@@ -280,4 +280,23 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(r.getAs[Int]("nbr_majority") == 3)
     assert(r.getAs[Double]("disagree_frac") == 1.0)
   }
+
+  test("brierDecomposition: hand-computed Murphy terms, identity holds") {
+    import spark.implicits._
+    val df = Seq((0.1, false), (0.1, false), (0.9, true), (0.9, false))
+      .toDF("p", "o")
+    val r = graft.operators.Evaluation.brierDecomposition(df, "p", "o").head()
+    // bin1: n 2, p̄ 0.1, ō 0; bin9: n 2, p̄ 0.9, ō 0.5; base rate 1/4
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 1L)
+    assert(r.getAs[Double]("base_rate") == 0.25)
+    assert(r.getAs[Double]("brier") == 0.21)
+    assert(r.getAs[Double]("reliability") == 0.085)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.1875)
+    // Murphy identity (within-bin predictions constant → holds up to
+    // the float error of re-adding the three rounded terms)
+    assert(math.abs(r.getAs[Double]("reliability") -
+      r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty") -
+      r.getAs[Double]("brier")) < 1e-12)
+  }
 }

@@ -305,4 +305,20 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(wide == full)
   }
+
+  test("prfExpandTerms: in-set tf × idf ranking, base terms excluded") {
+    val df = Seq((1L, "q a a b"), (2L, "q a c"), (3L, "a x"), (4L, "y y"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.prfExpandTerms(df, "doc_id", "text", Seq("q"),
+        k = 10, nExpand = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // pseudo-relevant set = docs 1,2 (the only 'q' docs); candidates:
+    // a tf 3 df 3 → 3·ln(4/3)≈1.151, b/c tf 1 df 1 → ln 4≈1.386 each;
+    // ties break by term: b then c
+    assert(out.map(_._1).toSeq == Seq("b", "c"))
+    assert(out.forall(_._2 == 1L))
+    val expected = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.forall(_._3 == expected))
+  }
 }
