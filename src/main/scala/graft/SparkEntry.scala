@@ -5721,7 +5721,41 @@ object SparkEntry {
         tbl(s, dir, "documents").select(
           TF.qualityScore(col("text")).as("p"),
           (col("n_chars") >= 1000).as("o")),
-        "p", "o", nBins = 10))
+        "p", "o", nBins = 10)),
+
+    "q345_woe_iv" -> ((s, dir) =>
+      // weight of evidence per quality-score bin + information value of
+      // the whole feature — the credit-scoring answer to "does this
+      // score separate long-form from short-form at all"
+      Evaluation.weightOfEvidence(
+        tbl(s, dir, "documents").select(
+          TF.qualityScore(col("text")).as("p"),
+          (col("n_chars") >= 1000).as("o")),
+        "p", "o", nBins = 10)
+        .orderBy("bin")),
+
+    "q346_heaps_law" -> ((s, dir) =>
+      // Heaps'-law vocabulary growth fit V(n) ≈ K·n^β over doc-order
+      // checkpoints: β far from ~0.5 smells synthetic, templated, or
+      // noisy vocab — a one-row corpus-health fingerprint
+      NgramLm.heapsLawFit(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "q347_clustering_coef" -> ((s, dir) => {
+      // local clustering coefficient over the mutual-kNN graph: tight
+      // near-dup cliques (coef → 1) vs hub-and-spoke neighborhoods
+      // (coef → 0) — the topology signal behind SemDeDup-style pruning
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.clusteringCoefficient(
+          GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b")
+        .withColumn("coef", round(col("coef"), 6))
+        .orderBy("id")
+    })
   )
 
   // ======================================================================
@@ -9351,6 +9385,80 @@ object SparkEntry {
           |  round((CAST(n_pos AS DOUBLE) / n)
           |    * (1.0 - CAST(n_pos AS DOUBLE) / n), 6) AS uncertainty
           |FROM f""".stripMargin,
+
+      // add-one-smoothed positive/negative shares per bin; the IV window
+      // sum decimal-accumulates like the Spark side
+      "q345_woe_iv" ->
+        s"""WITH d AS (SELECT $qualitySql AS p, n_chars >= 1000 AS o
+          |  FROM documents),
+          |r AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+          |    CASE WHEN o THEN 1 ELSE 0 END AS o2 FROM d),
+          |b AS (SELECT bin, count(*) AS n_b, CAST(SUM(o2) AS BIGINT) AS n_pos
+          |  FROM r GROUP BY bin),
+          |b2 AS (SELECT bin, n_b, n_pos, n_b - n_pos AS n_neg FROM b),
+          |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+          |    CAST(SUM(n_neg) AS BIGINT) AS tn, count(*) AS nb FROM b2),
+          |w AS (SELECT bin, n_b, n_pos,
+          |    CAST(n_pos + 1 AS DOUBLE) / (tp + nb) AS pp,
+          |    CAST(n_neg + 1 AS DOUBLE) / (tn + nb) AS pn
+          |  FROM b2, t),
+          |w2 AS (SELECT bin, n_b, n_pos, pp, pn, ln(pp / pn) AS woe FROM w)
+          |SELECT bin, n_b, n_pos, round(woe, 6) AS woe,
+          |  round(CAST(SUM(CAST((pp - pn) * woe AS DECIMAL(38,18))) OVER ()
+          |    AS DOUBLE), 6) AS iv
+          |FROM w2 ORDER BY bin""".stripMargin,
+
+      // cumulative tokens/vocab checkpoints from per-term first docs,
+      // then the exact OLS slope on (ln n, ln V)
+      "q346_heaps_law" ->
+        """WITH toks AS (SELECT doc_id AS d,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '')) AS term
+          |  FROM documents),
+          |pd AS (SELECT d, count(*) AS nt FROM toks GROUP BY d),
+          |fd AS (SELECT d, count(*) AS nv FROM (
+          |    SELECT term, min(d) AS d FROM toks GROUP BY term) GROUP BY d),
+          |cp AS (SELECT pd.d,
+          |    CAST(SUM(nt) OVER (ORDER BY pd.d) AS BIGINT) AS n,
+          |    CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY pd.d) AS BIGINT) AS v
+          |  FROM pd LEFT JOIN fd ON pd.d = fd.d),
+          |xy AS (SELECT n, v, ln(CAST(n AS DOUBLE)) AS x,
+          |    ln(CAST(v AS DOUBLE)) AS y FROM cp),
+          |ag AS (SELECT count(*) AS n_points, max(n) AS n_total,
+          |    max(v) AS v_total,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+          |  FROM xy),
+          |bt AS (SELECT *, (sxy - sx * sy / n_points)
+          |    / (sxx - sx * sx / n_points) AS beta FROM ag)
+          |SELECT n_points, n_total, v_total, round(beta, 6) AS beta,
+          |  round((sy - beta * sx) / n_points, 6) AS ln_k
+          |FROM bt""".stripMargin,
+
+      // the q332 mutual-edge CTEs; triangles in a<b<c orientation credit
+      // all three corners
+      "q347_clustering_coef" ->
+        s"""$knnEdgesPrefixSql,
+           |mu AS (SELECT x.id AS a, x.nbr_id AS b FROM g0 x JOIN g0 y
+           |  ON x.id = y.nbr_id AND x.nbr_id = y.id WHERE x.id < x.nbr_id),
+           |dg2 AS (SELECT u, count(*) AS degree FROM (
+           |    SELECT a AS u FROM mu UNION ALL SELECT b FROM mu) GROUP BY u),
+           |tr AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+           |  FROM mu e1 JOIN mu e2 ON e1.b = e2.a
+           |  WHERE EXISTS (SELECT 1 FROM mu e3
+           |    WHERE e3.a = e1.a AND e3.b = e2.b)),
+           |tc AS (SELECT u, count(*) AS n_tri FROM (
+           |    SELECT a AS u FROM tr UNION ALL SELECT b FROM tr
+           |    UNION ALL SELECT c FROM tr) GROUP BY u)
+           |SELECT dg2.u AS id, CAST(degree AS BIGINT) AS degree,
+           |  CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+           |  CASE WHEN degree >= 2 THEN
+           |    round(CAST(2 * COALESCE(n_tri, 0) AS DOUBLE)
+           |      / (degree * (degree - 1)), 6) END AS coef
+           |FROM dg2 LEFT JOIN tc ON dg2.u = tc.u
+           |ORDER BY id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

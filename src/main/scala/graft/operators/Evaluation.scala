@@ -497,6 +497,36 @@ object Evaluation {
         col("disagree_frac") > 0.5 && col("nbr_majority") =!= col("label"))
   }
 
+  /** Weight of evidence and information value of a binned score feature
+    * against a binary outcome — the credit-scoring feature-power metric
+    * (IV < 0.02 useless, 0.1–0.3 medium, > 0.5 suspicious): per bin,
+    * WOE_b = ln(share of positives / share of negatives) with add-one
+    * smoothing so empty cells stay finite; IV = Σ_b (p_b − q_b)·WOE_b
+    * rides on every row. One groupBy + one bounded-bin window; all
+    * shares are ratios of exact integers. */
+  def weightOfEvidence(scored: DataFrame, pCol: String, outcomeCol: String,
+                       nBins: Int = 10): DataFrame = {
+    val rows = scored.select(col(pCol).cast("double").as("p"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("o"))
+      .withColumn("bin", least(floor(col("p") * nBins), lit(nBins - 1L)))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("o").as("n_pos"))
+      .withColumn("n_neg", col("n_b") - col("n_pos"))
+    val tot = bins.agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"),
+      count(lit(1)).as("nb"))
+    val w = bins.crossJoin(broadcast(tot))
+      .withColumn("pp", (col("n_pos") + 1).cast("double") /
+        (col("tp") + col("nb")))
+      .withColumn("pn", (col("n_neg") + 1).cast("double") /
+        (col("tn") + col("nb")))
+      .withColumn("woe", log(col("pp") / col("pn")))
+    w.withColumn("iv", sum((
+        (col("pp") - col("pn")) * col("woe")).cast("decimal(38,18)"))
+        .over(Window.partitionBy(lit(1))).cast("double"))
+      .select(col("bin"), col("n_b"), col("n_pos"),
+        round(col("woe"), 6).as("woe"), round(col("iv"), 6).as("iv"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score over `nBins`
     * prediction bins: reliability Σn_b(p̄_b−ō_b)²/N (how far the
     * calibration curve sits from the diagonal — the part recalibration

@@ -447,4 +447,32 @@ object GraphAnalytics {
       .filter(col("u") < col("v"))
       .select(col("u").as("a"), col("v").as("b"))
   }
+
+  /** Local clustering coefficient per node of an UNDIRECTED graph given
+    * as canonical (a < b) edges: coef = 2·triangles(v) / (d·(d−1)), the
+    * "are my neighbors each other's neighbors" density that separates
+    * tight near-dup cliques from hub-and-spoke topology in a kNN graph.
+    * Triangles enumerate once in a < b < c orientation (two equi-joins +
+    * one semi-join, the [[triangleStats]] shape) and credit all three
+    * corners; nodes with degree < 2 report coefficient NULL. */
+  def clusteringCoefficient(canonEdges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val mu = canonEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = mu.select(col("a").as("u"))
+      .unionByName(mu.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("degree"))
+    val tris = mu.toDF("a", "b")
+      .join(mu.toDF("b", "c"), Seq("b"))
+      .join(mu.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val triPerNode = tris.select(col("a").as("u"))
+      .unionByName(tris.select(col("b").as("u")))
+      .unionByName(tris.select(col("c").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("u"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("coef", when(col("degree") >= 2,
+        (lit(2L) * col("n_tri")).cast("double") /
+          (col("degree") * (col("degree") - 1))))
+      .select(col("u").as("id"), col("degree"), col("n_tri"), col("coef"))
+  }
 }

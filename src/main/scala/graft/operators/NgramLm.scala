@@ -219,4 +219,44 @@ object NgramLm {
       .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Heaps'-law fit of vocabulary growth, V(n) ≈ K·n^β: docs accumulate
+    * in id order, each checkpoint is (tokens so far, distinct terms so
+    * far), and OLS on (ln n, ln V) yields β (the sub-linearity exponent,
+    * ~0.4–0.6 for natural text — materially higher smells synthetic or
+    * noisy vocab, lower smells templated) and the intercept ln K.
+    * Cumulative V comes from each term's FIRST document (min doc id) —
+    * one vocab-sized aggregate, no per-prefix re-distinct — and the
+    * regression runs on the checkpoint frame (one row per doc) with
+    * decimal-accumulated sums. Returns one row:
+    * (n_points, n_total, v_total, beta, ln_k). */
+  def heapsLawFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("d"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        .as("term"))
+    val perDoc = toks.groupBy("d").agg(count(lit(1)).as("nt"))
+    val firstDoc = toks.groupBy("term").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    val cp = perDoc.join(firstDoc, Seq("d"), "left")
+      .withColumn("n", sum("nt").over(w))
+      .withColumn("v", sum(coalesce(col("nv"), lit(0L))).over(w))
+      .select(col("d"), col("n"), col("v"))
+      .withColumn("x", log(col("n").cast("double")))
+      .withColumn("y", log(col("v").cast("double")))
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    cp.agg(count(lit(1)).as("n_points"), max("n").as("n_total"),
+        max("v").as("v_total"),
+        sum(d18(col("x"))).cast("double").as("sx"),
+        sum(d18(col("y"))).cast("double").as("sy"),
+        sum(d18(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(d18(col("x") * col("x"))).cast("double").as("sxx"))
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("n_points")) /
+          (col("sxx") - col("sx") * col("sx") / col("n_points")))
+      .select(col("n_points"), col("n_total"), col("v_total"),
+        round(col("beta"), 6).as("beta"),
+        round((col("sy") - col("beta") * col("sx")) / col("n_points"), 6)
+          .as("ln_k"))
+  }
 }

@@ -201,4 +201,17 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L), (3L, 4L)))
   }
+
+  test("clusteringCoefficient: triangle corners score, pendant is NULL") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphAnalytics.clusteringCoefficient(edges, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 2.0 / 6)))
+    assert(out(4L)._1 == 1L && out(4L)._2 == 0L && out(4L)._3.isNaN)
+  }
 }

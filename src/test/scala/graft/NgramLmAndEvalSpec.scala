@@ -299,4 +299,46 @@ class NgramLmAndEvalSpec extends SparkSpec {
       r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty") -
       r.getAs[Double]("brier")) < 1e-12)
   }
+
+  test("weightOfEvidence: smoothed shares, hand-computed WOE and IV") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((0.1, false), (0.1, false), (0.9, true), (0.9, false))
+      .toDF("p", "o")
+    val out = graft.operators.Evaluation.weightOfEvidence(df, "p", "o")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // bin1: pos 0 neg 2; bin9: pos 1 neg 1; totals tp 1 tn 3, 2 bins
+    val (pp1, pn1) = (1.0 / 3, 3.0 / 5)
+    val (pp9, pn9) = (2.0 / 3, 2.0 / 5)
+    val iv = r6((pp1 - pn1) * math.log(pp1 / pn1) +
+      (pp9 - pn9) * math.log(pp9 / pn9))
+    assert(out(1L) == ((2L, 0L, r6(math.log(pp1 / pn1)), iv)))
+    assert(out(9L) == ((2L, 1L, r6(math.log(pp9 / pn9)), iv)))
+  }
+
+  test("heapsLawFit: exact OLS on the cumulative checkpoints") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.NgramLm.heapsLawFit(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_points") == 3L)
+    assert(r.getAs[Long]("n_total") == 8L && r.getAs[Long]("v_total") == 4L)
+    // mirror: checkpoints (2,2) (4,3) (8,4), decimal-18 accumulated sums
+    def d18(x: Double) = BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val pts = Seq((2.0, 2.0), (4.0, 3.0), (8.0, 4.0))
+      .map { case (n, v) => (math.log(n), math.log(v)) }
+    val sx = pts.map(p => d18(p._1)).sum.toDouble
+    val sy = pts.map(p => d18(p._2)).sum.toDouble
+    val sxy = pts.map(p => d18(p._1 * p._2)).sum.toDouble
+    val sxx = pts.map(p => d18(p._1 * p._1)).sum.toDouble
+    val beta = (sxy - sx * sy / 3) / (sxx - sx * sx / 3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("beta") == r6(beta))
+    assert(r.getAs[Double]("ln_k") == r6((sy - beta * sx) / 3))
+    // sublinear growth on natural-ish text
+    assert(r.getAs[Double]("beta") > 0 && r.getAs[Double]("beta") < 1)
+  }
 }
