@@ -5755,7 +5755,52 @@ object SparkEntry {
           GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b")
         .withColumn("coef", round(col("coef"), 6))
         .orderBy("id")
-    })
+    }),
+
+    "q348_modularity" -> ((s, dir) => {
+      // Newman modularity of the IVF cell partition over the mutual-kNN
+      // graph: does the partition the index prunes by actually hold the
+      // neighbor-graph mass? Per-cell terms + the global Q on every row
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      GraphAnalytics.modularity(
+          GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b",
+          assigned.select(col("vec_id"), col("centroid_id")),
+          "vec_id", "centroid_id")
+        .orderBy("c")
+    }),
+
+    "q349_transition_entropy" -> ((s, dir) => {
+      // conditional next-event entropy of the q187 session transitions:
+      // per from-state predictability (0 = deterministic funnel) and the
+      // globally weighted H(next|current) — the information-theoretic
+      // one-number summary of behavioral structure
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val pairs = events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("from_type").isNotNull && col("_gap") <= gapUs)
+        .select(col("from_type"), col("event_type").as("to_type"))
+      Stats.conditionalEntropy(pairs, "from_type", "to_type")
+        .orderBy("from_type")
+    }),
+
+    "q350_permutation_test" -> ((s, dir) =>
+      // deterministic permutation test on per-event purchase values:
+      // k=0 is the production A/B bucketing (q226's arms), k=1..64 are
+      // hash re-labelings — an assumption-free p-value beside Welch
+      Stats.permutationTest(events(s, dir).filter(col("value").isNotNull)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("v100")),
+        "user_id", "v100", nPerms = 64))
   )
 
   // ======================================================================
@@ -9459,6 +9504,95 @@ object SparkEntry {
            |      / (degree * (degree - 1)), 6) END AS coef
            |FROM dg2 LEFT JOIN tc ON dg2.u = tc.u
            |ORDER BY id""".stripMargin,
+
+      // the q332 mutual edges labeled by the `a` assignment CTE; per-cell
+      // modularity terms with the decimal-accumulated global Q
+      "q348_modularity" ->
+        s"""$knnEdgesPrefixSql,
+           |mu AS (SELECT x.id AS a, x.nbr_id AS b FROM g0 x JOIN g0 y
+           |  ON x.id = y.nbr_id AND x.nbr_id = y.id WHERE x.id < x.nbr_id),
+           |cm AS (SELECT vec_id AS u, centroid_id AS c FROM a),
+           |lab AS (SELECT e.a, e.b, x.c AS ca, y.c AS cb
+           |  FROM mu e JOIN cm x ON e.a = x.u JOIN cm y ON e.b = y.u),
+           |mt AS (SELECT count(*) AS m FROM lab),
+           |wi AS (SELECT ca AS c, count(*) AS m_within FROM lab
+           |  WHERE ca = cb GROUP BY ca),
+           |ends AS (SELECT a AS u FROM mu UNION ALL SELECT b FROM mu),
+           |dc AS (SELECT c, count(*) AS d_c FROM ends JOIN cm USING (u)
+           |  GROUP BY c),
+           |ncc AS (SELECT c, count(*) AS n_nodes FROM (
+           |    SELECT DISTINCT u FROM ends) JOIN cm USING (u) GROUP BY c),
+           |pc AS (SELECT ncc.c, n_nodes, COALESCE(m_within, 0) AS m_within,
+           |    d_c,
+           |    CAST(COALESCE(m_within, 0) AS DOUBLE) / m
+           |      - (CAST(d_c AS DOUBLE) / (2 * m))
+           |        * (CAST(d_c AS DOUBLE) / (2 * m)) AS term
+           |  FROM ncc JOIN dc USING (c) LEFT JOIN wi ON wi.c = ncc.c, mt)
+           |SELECT c, CAST(n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(m_within AS BIGINT) AS m_within, CAST(d_c AS BIGINT) AS d_c,
+           |  round(term, 6) AS term,
+           |  round(CAST(SUM(CAST(term AS DECIMAL(38,18))) OVER ()
+           |    AS DOUBLE), 6) AS q
+           |FROM pc ORDER BY c""".stripMargin,
+
+      // q187's within-session pair CTE, then p·ln p per from-state and
+      // the weighted global conditional entropy
+      "q349_transition_entropy" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |l AS (SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS from_type,
+          |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap_us
+          |  FROM e),
+          |p AS (SELECT from_type AS f, event_type AS t, count(*) AS n FROM l
+          |  WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+          |  GROUP BY 1, 2),
+          |pw AS (SELECT f, t, n, SUM(n) OVER (PARTITION BY f) AS nf FROM p),
+          |tm AS (SELECT f, n, nf,
+          |    (CAST(n AS DOUBLE) / nf) * ln(CAST(n AS DOUBLE) / nf) AS term
+          |  FROM pw),
+          |hp AS (SELECT f, CAST(max(nf) AS BIGINT) AS n_from,
+          |    0.0 - CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS h
+          |  FROM tm GROUP BY f),
+          |tt AS (SELECT CAST(SUM(n_from) AS BIGINT) AS nn FROM hp),
+          |hw AS (SELECT f, n_from, h,
+          |    (CAST(n_from AS DOUBLE) / nn) * h AS hw FROM hp, tt)
+          |SELECT f AS from_type, n_from, round(h, 6) AS entropy,
+          |  round(CAST(SUM(CAST(hw AS DECIMAL(38,18))) OVER ()
+          |    AS DOUBLE), 6) AS h_cond
+          |FROM hw ORDER BY from_type""".stripMargin,
+
+      // the q305 hash chain, then 65 deterministic re-labelings:
+      // arm_k = ((h0 + k·73244475) % p) % 2, k = 0 the production arms
+      "q350_permutation_test" ->
+        """WITH pe AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |h0 AS (SELECT v, (user_id * 1000003) % 2147483647 AS h FROM pe),
+          |h1 AS (SELECT v, (xor(h, h >> 16) * 73244475) % 2147483647 AS h
+          |  FROM h0),
+          |h2 AS (SELECT v, (xor(h, h >> 13) * 73244475) % 2147483647 AS h
+          |  FROM h1),
+          |ex AS (SELECT v, i AS k,
+          |    ((h + i * 73244475) % 2147483647) % 2 = 0 AS arm
+          |  FROM h2, unnest(range(0, 65)) AS u(i)),
+          |byk AS (SELECT k,
+          |    SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(38,0)) END) AS svt,
+          |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          |    SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(38,0)) END) AS svc,
+          |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc
+          |  FROM ex GROUP BY k),
+          |d AS (SELECT k, CAST(svt AS DOUBLE) / nt - CAST(svc AS DOUBLE) / nc
+          |    AS diff FROM byk),
+          |o AS (SELECT diff AS d0 FROM d WHERE k = 0)
+          |SELECT round(max(d0), 6) AS diff_obs,
+          |  count(*) AS n_perms,
+          |  CAST(SUM(CASE WHEN abs(diff) >= abs(d0) THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_extreme,
+          |  round(CAST(SUM(CASE WHEN abs(diff) >= abs(d0) THEN 1 ELSE 0 END)
+          |    + 1 AS DOUBLE) / (count(*) + 1), 6) AS p_value
+          |FROM d, o WHERE k > 0""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -475,4 +475,40 @@ object GraphAnalytics {
           (col("degree") * (col("degree") - 1))))
       .select(col("u").as("id"), col("degree"), col("n_tri"), col("coef"))
   }
+
+  /** Newman modularity of a node partition over an undirected graph
+    * (canonical a < b edges): per community c, term_c = m_c/m −
+    * (d_c/2m)², Q = Σ term_c — positive when communities hold more edge
+    * mass than a degree-preserving random graph would give them. Here
+    * it scores how well a partition (e.g. the IVF cell assignment)
+    * captures the neighbor graph it is supposed to localize. Every node
+    * of the graph must carry a community row. Edge-count aggregates
+    * only; the per-community fold is bounded by the partition size. */
+  def modularity(canonEdges: DataFrame, aCol: String, bCol: String,
+                 communities: DataFrame, idCol: String,
+                 commCol: String): DataFrame = {
+    val mu = canonEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val cm = communities.select(col(idCol).as("u"), col(commCol).as("c"))
+    val lab = mu
+      .join(cm.toDF("a", "ca"), Seq("a"))
+      .join(cm.toDF("b", "cb"), Seq("b"))
+    val mTot = lab.agg(count(lit(1)).as("m"))
+    val within = lab.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("m_within"))
+    val ends = mu.select(col("a").as("u")).unionByName(mu.select(col("b").as("u")))
+    val degC = ends.join(cm, Seq("u")).groupBy("c").agg(count(lit(1)).as("d_c"))
+    val nodesC = ends.distinct().join(cm, Seq("u"))
+      .groupBy("c").agg(count(lit(1)).as("n_nodes"))
+    nodesC.join(degC, Seq("c"))
+      .join(within, Seq("c"), "left")
+      .crossJoin(broadcast(mTot))
+      .withColumn("m_within", coalesce(col("m_within"), lit(0L)))
+      .withColumn("term", col("m_within").cast("double") / col("m") -
+        (col("d_c").cast("double") / (lit(2L) * col("m"))) *
+        (col("d_c").cast("double") / (lit(2L) * col("m"))))
+      .withColumn("q", sum(col("term").cast("decimal(38,18)"))
+        .over(Window.partitionBy(lit(1))).cast("double"))
+      .select(col("c"), col("n_nodes"), col("m_within"), col("d_c"),
+        round(col("term"), 6).as("term"), round(col("q"), 6).as("q"))
+  }
 }

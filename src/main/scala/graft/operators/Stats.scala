@@ -711,6 +711,69 @@ object Stats {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** Conditional next-state entropy of a (from, to) pair stream:
+    * per from-state, H = −Σ p(to|from)·ln p(to|from) — how predictable
+    * the next step is from here (0 = deterministic funnel step, ln k =
+    * uniform over k) — plus the globally weighted H(to|from) = Σ
+    * p(from)·H_from on every row. The information-theoretic summary of
+    * the [[graft.SparkEntry]] Markov transition matrix: one count
+    * aggregate, one per-from window, a bounded state-count fold. */
+  def conditionalEntropy(pairs: DataFrame, fromCol: String,
+                         toCol: String): DataFrame = {
+    val cnt = pairs.groupBy(col(fromCol).as("f"), col(toCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+    val per = cnt
+      .withColumn("nf", sum("n").over(Window.partitionBy("f")))
+      .withColumn("term", (col("n").cast("double") / col("nf")) *
+        log(col("n").cast("double") / col("nf")))
+    val hPer = per.groupBy("f")
+      .agg(max("nf").as("n_from"),
+        (lit(0.0) - sum(col("term").cast("decimal(38,18)")).cast("double"))
+          .as("h"))
+    val tot = hPer.agg(sum("n_from").as("nn"))
+    hPer.crossJoin(broadcast(tot))
+      .withColumn("hw", (col("n_from").cast("double") / col("nn")) * col("h"))
+      .withColumn("h_cond", sum(col("hw").cast("decimal(38,18)"))
+        .over(Window.partitionBy(lit(1))).cast("double"))
+      .select(col("f").as(fromCol), col("n_from"),
+        round(col("h"), 6).as("entropy"), round(col("h_cond"), 6).as("h_cond"))
+  }
+
+  /** Permutation test for a two-arm mean difference with DETERMINISTIC
+    * permutations: arm_k(key) = ((keyHash(key) + k·Mix) mod p) mod 2, so
+    * k = 0 is the production bucketing ([[Sketches.keyHash]] % 2 — the
+    * same arms q226's Welch t uses) and k = 1..nPerms are the null
+    * re-labelings. p = (1 + #{k : |diff_k| ≥ |diff_obs|}) / (nPerms+1),
+    * the add-one permutation p-value — no normality assumption, no Φ,
+    * exactly replayable. One explode×aggregate: (nPerms+1) × 2 partial
+    * sums, map-side combinable, however large the corpus. */
+  def permutationTest(df: DataFrame, keyCol: String, vCol: String,
+                      nPerms: Int = 64): DataFrame = {
+    val mix = graft.plans.HashExpressions.Mix
+    val p = 2147483647L
+    val byK = df
+      .select(Sketches.keyHash(col(keyCol)).as("h0"),
+        col(vCol).cast("long").as("v"))
+      .withColumn("k", explode(expr(s"sequence(0, $nPerms)")))
+      .withColumn("arm", pmod(col("h0") + col("k") * mix, lit(p)) % 2 === 0)
+      .groupBy("k")
+      .agg(sum(when(col("arm"), col("v").cast("decimal(38,0)"))).as("svt"),
+        sum(when(col("arm"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("arm"), col("v").cast("decimal(38,0)"))).as("svc"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("nc"))
+      .withColumn("diff", col("svt").cast("double") / col("nt") -
+        col("svc").cast("double") / col("nc"))
+    val obs = byK.filter(col("k") === 0).select(col("diff").as("d0"))
+    byK.filter(col("k") > 0).crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff")) >= abs(col("d0")), 1L).otherwise(0L))
+          .as("n_extreme"), max("d0").as("d0"))
+      .select(round(col("d0"), 6).as("diff_obs"), col("n_perms"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_perms") + 1), 6).as("p_value"))
+  }
+
   /** Robust location/scale outlier screen: per group the EXACT median
     * (rank ⌈n/2⌉, the convention the histogram-quantile family uses),
     * the median absolute deviation, and the count of values beyond

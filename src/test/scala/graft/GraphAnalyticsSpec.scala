@@ -214,4 +214,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 1L, 2.0 / 6)))
     assert(out(4L)._1 == 1L && out(4L)._2 == 0L && out(4L)._3.isNaN)
   }
+
+  test("modularity: hand-computed per-community terms and global Q") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val comm = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("id", "comm")
+    val out = GraphAnalytics.modularity(edges, "a", "b", comm, "id", "comm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // m=4; A: 3 within, degree mass 7 → 3/4 − (7/8)² = −0.015625
+    // B: 0 within, degree mass 1 → −(1/8)² = −0.015625; Q = −0.03125
+    assert(out("A") == ((3L, 3L, 7L, -0.015625, -0.03125)))
+    assert(out("B") == ((1L, 0L, 1L, -0.015625, -0.03125)))
+  }
 }

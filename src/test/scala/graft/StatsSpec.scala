@@ -376,6 +376,34 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_ref") == 200L && out.getAs[Long]("n_cur") == 200L)
   }
 
+  test("conditionalEntropy: per-state H and weighted global, hand-computed") {
+    import spark.implicits._
+    def d18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairs = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("f", "t")
+    val out = Stats.conditionalEntropy(pairs, "f", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val hA = (0.0 - (d18(2.0 / 3 * math.log(2.0 / 3)) +
+      d18(1.0 / 3 * math.log(1.0 / 3))).toDouble)
+    val hCond = r6((d18(3.0 / 4 * hA) + d18(1.0 / 4 * 0.0)).toDouble)
+    assert(out("a") == ((3L, r6(hA), hCond)))
+    assert(out("b") == ((1L, 0.0, hCond))) // deterministic next step
+  }
+
+  test("permutationTest: constant values give zero diffs and p = 1") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 7L)).toDF("k", "v")
+    val r = Stats.permutationTest(df, "k", "v").head()
+    assert(r.getAs[Double]("diff_obs") == 0.0)
+    assert(r.getAs[Long]("n_perms") == 64L)
+    assert(r.getAs[Long]("n_extreme") == 64L) // every |0| >= |0|
+    assert(r.getAs[Double]("p_value") == 1.0)
+  }
+
   test("madOutliers: exact median/MAD, one wild value cannot inflate scale") {
     import spark.implicits._
     // 9 values centered at 10, MAD 1; the 1000 is > 3·1.4826·1 away
