@@ -5800,7 +5800,55 @@ object SparkEntry {
       Stats.permutationTest(events(s, dir).filter(col("value").isNotNull)
           .select(col("user_id"),
             round(col("value") * 100).cast("long").as("v100")),
-        "user_id", "v100", nPerms = 64))
+        "user_id", "v100", nPerms = 64)),
+
+    "q351_seasonal_residuals" -> ((s, dir) => {
+      // STL-lite anomaly screen on daily event counts: centered 7-day
+      // trend, day-of-week seasonal, residual z-flags — the monitor that
+      // doesn't page every weekend like a raw z-score does
+      val daily = events(s, dir)
+        .select(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+          .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      Stats.seasonalResiduals(daily, "day", "n").orderBy("day")
+    }),
+
+    "q352_k_anonymity" -> ((s, dir) => {
+      // k-anonymity generalization ladder over customer quasi-
+      // identifiers: each level drops the most specific column; release
+      // at the first level whose smallest equivalence class reaches k=5
+      val c = tbl(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000")
+            .as("bal_bucket"))
+      Governance.kAnonymityLadder(c,
+          Seq(Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+            Seq("c_nationkey", "c_mktsegment"),
+            Seq("c_mktsegment"), Seq()), k = 5)
+        .orderBy("level")
+    }),
+
+    "q353_map_eval" -> ((s, dir) => {
+      // mean average precision of the IVF probe against the exact
+      // top-10 — the rank-sensitive gate beside q103's recall@k: equal
+      // recall separates here by where the hits sit in the list
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
+        centroids, "cid", "cv", queries, "qv", "qid", 10, 2)
+      val exact = Similarity.topKBatch(e, "embedding", "vec_id",
+        queries, "qv", "qid", 10)
+      Evaluation.meanAveragePrecision(approx, exact, "query_id", "vec_id",
+          "rank")
+        .orderBy("query_id")
+    })
   )
 
   // ======================================================================
@@ -9593,6 +9641,129 @@ object SparkEntry {
           |  round(CAST(SUM(CASE WHEN abs(diff) >= abs(d0) THEN 1 ELSE 0 END)
           |    + 1 AS DOUBLE) / (count(*) + 1), 6) AS p_value
           |FROM d, o WHERE k > 0""".stripMargin,
+
+      // centered 7-day window trend (full windows only), DOW seasonal
+      // means, residual sigma from decimal sums — the identical trees
+      "q351_seasonal_residuals" ->
+        """WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(ts AS DATE)) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1),
+          |tr AS (SELECT day, CAST(n AS BIGINT) AS n,
+          |    CASE WHEN count(*) OVER w = 7 THEN
+          |      CAST(SUM(n) OVER w AS DOUBLE) / 7 END AS trend
+          |  FROM daily
+          |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |dt AS (SELECT day, n, trend, CAST(n AS DOUBLE) - trend AS detr,
+          |    day % 7 AS dow FROM tr),
+          |se AS (SELECT dow,
+          |    CAST(SUM(CAST(detr AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |      AS seasonal
+          |  FROM dt WHERE detr IS NOT NULL GROUP BY dow),
+          |rs AS (SELECT day, n, trend, seasonal, detr - seasonal AS resid
+          |  FROM dt LEFT JOIN se USING (dow)),
+          |sg AS (SELECT sqrt((CAST(SUM(CAST(resid * resid AS DECIMAL(38,18)))
+          |      AS DOUBLE)
+          |    - CAST(SUM(CAST(resid AS DECIMAL(38,18))) AS DOUBLE)
+          |      * CAST(SUM(CAST(resid AS DECIMAL(38,18))) AS DOUBLE)
+          |      / count(*)) / count(*)) AS sigma
+          |  FROM rs WHERE resid IS NOT NULL)
+          |SELECT day, n, round(trend, 6) AS trend,
+          |  round(seasonal, 6) AS seasonal, round(resid, 6) AS resid,
+          |  CASE WHEN resid IS NOT NULL THEN abs(resid) > 2.0 * sigma END
+          |    AS flag
+          |FROM rs, sg ORDER BY day""".stripMargin,
+
+      // four generalization levels over the same scan; the release rule
+      // is the first level with min class size >= 5
+      "q352_k_anonymity" ->
+        """WITH c AS (SELECT c_nationkey, c_mktsegment,
+          |    (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000
+          |      AS bal_bucket
+          |  FROM customer),
+          |l0 AS (SELECT count(*) AS sz FROM c
+          |  GROUP BY c_nationkey, c_mktsegment, bal_bucket),
+          |l1 AS (SELECT count(*) AS sz FROM c
+          |  GROUP BY c_nationkey, c_mktsegment),
+          |l2 AS (SELECT count(*) AS sz FROM c GROUP BY c_mktsegment),
+          |l3 AS (SELECT count(*) AS sz FROM c)
+          |SELECT * FROM (
+          |  SELECT 0 AS level, 'c_nationkey,c_mktsegment,bal_bucket' AS qi,
+          |    count(*) AS n_groups, min(sz) AS min_group,
+          |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          |      AS n_below_k,
+          |    round(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          |      / SUM(sz), 6) AS share_below,
+          |    min(sz) >= 5 AS meets_k FROM l0
+          |  UNION ALL
+          |  SELECT 1, 'c_nationkey,c_mktsegment', count(*), min(sz),
+          |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+          |    round(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          |      / SUM(sz), 6), min(sz) >= 5 FROM l1
+          |  UNION ALL
+          |  SELECT 2, 'c_mktsegment', count(*), min(sz),
+          |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+          |    round(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          |      / SUM(sz), 6), min(sz) >= 5 FROM l2
+          |  UNION ALL
+          |  SELECT 3, '(all)', count(*), min(sz),
+          |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT),
+          |    round(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          |      / SUM(sz), 6), min(sz) >= 5 FROM l3)
+          |ORDER BY level""".stripMargin,
+
+      // the q103 IVF/exact CTEs at k=10, then precision-at-hit-rank sums
+      // and the decimal-exact MAP on every row
+      "q353_map_eval" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |          c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |probe AS (SELECT query_id, qv, cid FROM (
+          |    SELECT q.query_id, q.qv, c.cid,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY list_distance(qv, c.cv), c.cid) AS rn
+          |    FROM q, c) WHERE rn <= 2),
+          |approx AS (SELECT query_id, vec_id, rk AS r FROM (
+          |    SELECT p.query_id, a.vec_id,
+          |      row_number() OVER (PARTITION BY p.query_id
+          |        ORDER BY 1.0 - list_cosine_similarity(
+          |          CAST(a.embedding AS DOUBLE[]), p.qv), a.vec_id) AS rk
+          |    FROM a JOIN probe p ON a.centroid_id = p.cid) WHERE rk <= 10),
+          |exact AS (SELECT query_id, vec_id FROM (
+          |    SELECT q.query_id, e.vec_id,
+          |      row_number() OVER (PARTITION BY q.query_id
+          |        ORDER BY 1.0 - list_cosine_similarity(
+          |          CAST(e.embedding AS DOUBLE[]), q.qv), e.vec_id) AS rk
+          |    FROM embeddings e, q) WHERE rk <= 10),
+          |rc AS (SELECT query_id, count(*) AS n_rel FROM exact
+          |  GROUP BY query_id),
+          |h AS (SELECT ap.query_id, ap.r,
+          |    CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          |  FROM approx ap LEFT JOIN exact x USING (query_id, vec_id)),
+          |cm AS (SELECT query_id, r, hit,
+          |    SUM(hit) OVER (PARTITION BY query_id ORDER BY r) AS cum FROM h),
+          |pr AS (SELECT query_id, hit,
+          |    CASE WHEN hit = 1 THEN CAST(cum AS DOUBLE) / r END AS prec
+          |  FROM cm),
+          |apq AS (SELECT query_id,
+          |    CAST(SUM(CAST(prec AS DECIMAL(38,18))) AS DOUBLE) AS sum_prec,
+          |    CAST(SUM(hit) AS BIGINT) AS n_hit
+          |  FROM pr GROUP BY query_id),
+          |f AS (SELECT a2.query_id, n_rel, n_hit,
+          |    COALESCE(sum_prec, 0.0) / n_rel AS ap
+          |  FROM apq a2 JOIN rc USING (query_id)),
+          |m AS (SELECT count(*) AS nq,
+          |    CAST(SUM(CAST(ap AS DECIMAL(38,18))) AS DOUBLE) AS sap FROM f)
+          |SELECT query_id, n_rel, n_hit, round(ap, 6) AS ap,
+          |  round(sap / nq, 6) AS map
+          |FROM f, m ORDER BY query_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

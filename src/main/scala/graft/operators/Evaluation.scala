@@ -497,6 +497,39 @@ object Evaluation {
         col("disagree_frac") > 0.5 && col("nbr_majority") =!= col("label"))
   }
 
+  /** Mean average precision of a ranked result set against an exact
+    * relevance set: per query, AP = (Σ_{hit ranks r} precision@r) /
+    * |relevant|, and MAP (the decimal-exact mean over queries) on every
+    * row. The rank-sensitive retrieval gate recall@k is blind to — two
+    * systems with equal recall separate here by WHERE the hits sit.
+    * Queries with zero hits report AP = 0 rather than vanishing (the
+    * [[Similarity.recallAtK]] lesson). One join + one rank window per
+    * query group. */
+  def meanAveragePrecision(approx: DataFrame, exact: DataFrame,
+                           queryIdCol: String, idCol: String,
+                           rankCol: String): DataFrame = {
+    val rel = exact.select(col(queryIdCol).as("q"), col(idCol).as("i"))
+    val relCount = rel.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    val hits = approx.select(col(queryIdCol).as("q"),
+        col(rankCol).cast("long").as("r"), col(idCol).as("i"))
+      .join(rel.withColumn("hit", lit(1L)), Seq("q", "i"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .withColumn("cum", sum("hit").over(
+        Window.partitionBy("q").orderBy("r")))
+      .withColumn("prec",
+        when(col("hit") === 1, col("cum").cast("double") / col("r")))
+    val ap = hits.groupBy("q")
+      .agg(sum(col("prec").cast("decimal(38,18)")).cast("double")
+        .as("sum_prec"), sum("hit").as("n_hit"))
+      .join(relCount, Seq("q"))
+      .withColumn("ap", coalesce(col("sum_prec"), lit(0.0)) / col("n_rel"))
+    ap.withColumn("nq", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("map", sum(col("ap").cast("decimal(38,18)"))
+        .over(Window.partitionBy(lit(1))).cast("double") / col("nq"))
+      .select(col("q").as(queryIdCol), col("n_rel"), col("n_hit"),
+        round(col("ap"), 6).as("ap"), round(col("map"), 6).as("map"))
+  }
+
   /** Weight of evidence and information value of a binned score feature
     * against a binary outcome — the credit-scoring feature-power metric
     * (IV < 0.02 useless, 0.1–0.3 medium, > 0.5 suspicious): per bin,

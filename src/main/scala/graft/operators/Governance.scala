@@ -185,4 +185,30 @@ object Governance {
       .select(groupCols.map(col) ++
         Seq(col("n"), col("noise"), col("noisy_n")): _*)
   }
+
+  /** k-anonymity generalization ladder: for each candidate
+    * quasi-identifier set (most → least specific), the equivalence-class
+    * profile — group count, smallest class, rows in classes below `k`,
+    * their share, and whether the level meets k-anonymity. The release
+    * decision is the FIRST level with `meets_k` (drop columns until no
+    * class is small enough to re-identify); the per-level share shows
+    * what each generalization step buys. One groupBy per level over the
+    * same scan — levels are a handful, so this is a single multi-agg
+    * pass in practice. */
+  def kAnonymityLadder(df: DataFrame, levels: Seq[Seq[String]],
+                       k: Long): DataFrame =
+    levels.zipWithIndex.map { case (cols0, i) =>
+      val sizes =
+        if (cols0.isEmpty) df.agg(count(lit(1)).as("sz"))
+        else df.groupBy(cols0.map(col): _*).agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as("n_groups"), min("sz").as("min_group"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_below_k"),
+          sum("sz").as("_n"))
+        .select(lit(i).as("level"),
+          lit(if (cols0.isEmpty) "(all)" else cols0.mkString(",")).as("qi"),
+          col("n_groups"), col("min_group"), col("n_below_k"),
+          round(col("n_below_k").cast("double") / col("_n"), 6)
+            .as("share_below"),
+          (col("min_group") >= k).as("meets_k"))
+    }.reduce(_ unionByName _)
 }

@@ -711,6 +711,44 @@ object Stats {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** STL-lite seasonal anomaly screen over a daily count series: trend
+    * is the centered 7-day moving mean (full windows only), the weekly
+    * seasonal is the day-of-week mean of the detrended values, and a day
+    * flags when its remaining residual sits beyond `z`·σ of the residual
+    * distribution (σ from decimal-exact Σr/Σr²). A raw z-score monitor
+    * flags every weekend; subtracting the two linear components first is
+    * what makes the flag mean something. Input: one row per (day, count)
+    * — the PRE-AGGREGATED series, so the windows run over days, not
+    * events. All filters are fixed-window linear ops, replayable. */
+  def seasonalResiduals(daily: DataFrame, dayCol: String, nCol: String,
+                        z: Double = 2.0): DataFrame = {
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val base = daily.select(col(dayCol).cast("long").as("day"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("trend", when(count(lit(1)).over(w7) === 7,
+        sum("n").over(w7).cast("double") / 7))
+      .withColumn("detr", col("n").cast("double") - col("trend"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val seas = base.filter(col("detr").isNotNull)
+      .groupBy("dow").agg((sum(col("detr").cast("decimal(38,18)"))
+        .cast("double") / count(lit(1))).as("seasonal"))
+    val resid = base.join(broadcast(seas), Seq("dow"), "left")
+      .withColumn("resid", col("detr") - col("seasonal"))
+    val sigma = resid.filter(col("resid").isNotNull)
+      .agg(count(lit(1)).as("nr"),
+        sum(col("resid").cast("decimal(38,18)")).cast("double").as("sr"),
+        sum((col("resid") * col("resid")).cast("decimal(38,18)"))
+          .cast("double").as("srr"))
+      .select(sqrt((col("srr") - col("sr") * col("sr") / col("nr")) /
+        col("nr")).as("sigma"))
+    resid.crossJoin(broadcast(sigma))
+      .withColumn("flag", when(col("resid").isNotNull,
+        abs(col("resid")) > lit(z) * col("sigma")))
+      .select(col("day"), col("n"), round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"), col("flag"))
+  }
+
   /** Conditional next-state entropy of a (from, to) pair stream:
     * per from-state, H = −Σ p(to|from)·ln p(to|from) — how predictable
     * the next step is from here (0 = deterministic funnel step, ln k =

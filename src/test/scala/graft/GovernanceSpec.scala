@@ -192,4 +192,18 @@ class GovernanceSpec extends SparkSpec {
     // still pays x's full global mass
     assert(out("B") == ((4L, 0.375, true)))
   }
+
+  test("kAnonymityLadder: per-level class profile, first passing level") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "x")).toDF("a", "b")
+    val out = graft.operators.Governance
+      .kAnonymityLadder(df, Seq(Seq("a", "b"), Seq("a"), Seq()), k = 2)
+      .orderBy(col("level")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out(0) == ((0, "a,b", 3L, 1L, 2L, 0.5, false)))
+    assert(out(1) == ((1, "a", 2L, 1L, 1L, 0.25, false)))
+    assert(out(2) == ((2, "(all)", 1L, 4L, 0L, 0.0, true)))
+  }
 }

@@ -341,4 +341,21 @@ class NgramLmAndEvalSpec extends SparkSpec {
     // sublinear growth on natural-ish text
     assert(r.getAs[Double]("beta") > 0 && r.getAs[Double]("beta") < 1)
   }
+
+  test("meanAveragePrecision: precision at hit ranks, zero-hit query stays") {
+    import spark.implicits._
+    val approx = Seq((1L, 1, "a"), (1L, 2, "c"), (1L, 3, "b"),
+      (2L, 1, "e"), (2L, 2, "f")).toDF("qid", "rank", "doc")
+    val exact = Seq((1L, "a"), (1L, "b"), (2L, "d")).toDF("qid", "doc")
+    val out = graft.operators.Evaluation
+      .meanAveragePrecision(approx, exact, "qid", "doc", "rank")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: hits at ranks 1 and 3 → AP = (1/1 + 2/3)/2; q2: no hits → 0
+    val ap1 = r6((1.0 + 2.0 / 3) / 2)
+    assert(out(1L) == ((2L, 2L, ap1, r6(ap1 / 2))))
+    assert(out(2L) == ((1L, 0L, 0.0, r6(ap1 / 2))))
+  }
 }

@@ -394,6 +394,26 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == ((1L, 0.0, hCond))) // deterministic next step
   }
 
+  test("seasonalResiduals: weekly pattern absorbed, only the spike flags") {
+    import spark.implicits._
+    val pattern = Seq(10L, 10L, 10L, 10L, 10L, 20L, 30L)
+    val daily = (0L to 20L).map(d =>
+      (d, pattern((d % 7).toInt) + (if (d == 10L) 200L else 0L)))
+      .toDF("day", "n")
+    val out = Stats.seasonalResiduals(daily, "day", "n")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // edge days have no full 7-window: trend/resid/flag NULL
+    for (d <- Seq(0L, 1L, 2L, 18L, 19L, 20L)) {
+      assert(out(d).isNullAt(2) && out(d).isNullAt(4) && out(d).isNullAt(5))
+    }
+    // the weekly pattern itself never flags; the spike does
+    val flagged = out.collect {
+      case (d, r) if !r.isNullAt(5) && r.getBoolean(5) => d
+    }.toSet
+    assert(flagged == Set(10L))
+    assert(out(10L).getDouble(4) > 100.0) // large positive residual
+  }
+
   test("permutationTest: constant values give zero diffs and p = 1") {
     import spark.implicits._
     val df = (1L to 300L).map(i => (i, 7L)).toDF("k", "v")
