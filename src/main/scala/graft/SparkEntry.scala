@@ -5848,6 +5848,46 @@ object SparkEntry {
       Evaluation.meanAveragePrecision(approx, exact, "query_id", "vec_id",
           "rank")
         .orderBy("query_id")
+    }),
+
+    "q354_davies_bouldin" -> ((s, dir) => {
+      // Davies–Bouldin validity of the IVF partition: per-cell scatter
+      // vs centroid separation — lower = tighter, better-separated
+      // cells; the label-free number for choosing k / auditing drift
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+        "vec_id", centroids, "cid", "cv")
+      Clustering.daviesBouldin(assigned, "centroid_id", "centroid_dist",
+          centroids, "cid", "cv")
+        .orderBy("cid")
+    }),
+
+    "q355_silhouette" -> ((s, dir) => {
+      // simplified silhouette: own-centroid vs second-nearest-centroid
+      // distance per point — the quadratic-free silhouette that still
+      // separates interior points from boundary points, per cell
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      Clustering.simplifiedSilhouette(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .orderBy("cid")
+    }),
+
+    "q356_category_drift" -> ((s, dir) => {
+      // enum-domain drift of part brands across the 1994/1995 shipment
+      // split: named new/gone categories + the top-10 share shifts —
+      // the audit that catches an upstream schema change before any
+      // distribution test fires
+      val li = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), year(to_date(col("l_shipdate"))).as("yr"))
+      Profiling.categoryDrift(li.filter(col("yr") <= 1994),
+          li.filter(col("yr") >= 1995), "p_brand", topK = 10)
+        .orderBy(col("shift").desc, col("cat"))
     })
   )
 
@@ -9764,6 +9804,96 @@ object SparkEntry {
           |SELECT query_id, n_rel, n_hit, round(ap, 6) AS ap,
           |  round(sap / nq, 6) AS map
           |FROM f, m ORDER BY query_id""".stripMargin,
+
+      // the q35 assignment with per-row rounded distances, k² centroid
+      // separations, max-ratio per cell, decimal-mean DB
+      "q354_davies_bouldin" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |asg AS (SELECT vec_id, centroid_id, round(centroid_dist, 6) AS d
+          |  FROM (
+          |    SELECT e.vec_id, c.cid AS centroid_id,
+          |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv)
+          |        AS centroid_dist,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |          c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |sg AS (SELECT centroid_id AS i, count(*) AS n,
+          |    CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |      AS sigma
+          |  FROM asg GROUP BY centroid_id),
+          |cd AS (SELECT x.cid AS i, y.cid AS j,
+          |    round(list_distance(x.cv, y.cv), 6) AS dij
+          |  FROM c x JOIN c y ON x.cid <> y.cid),
+          |rj AS (SELECT cd.i, (si.sigma + sj.sigma) / dij AS rij
+          |  FROM cd JOIN sg si ON si.i = cd.i JOIN sg sj ON sj.i = cd.j),
+          |dbi AS (SELECT i, max(rij) AS db_i FROM rj GROUP BY i),
+          |f AS (SELECT sg.i AS cid, n, sigma, db_i
+          |  FROM sg JOIN dbi ON dbi.i = sg.i)
+          |SELECT cid, CAST(n AS BIGINT) AS n, round(sigma, 6) AS sigma,
+          |  round(db_i, 6) AS db_i,
+          |  round(CAST(SUM(CAST(db_i AS DECIMAL(38,18))) OVER () AS DOUBLE)
+          |    / count(*) OVER (), 6) AS db
+          |FROM f ORDER BY cid""".stripMargin,
+
+      // per-point rounded distances to every centroid, argmin a /
+      // second-min b, decimal-mean s per cell and globally
+      "q355_silhouette" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |d AS (SELECT e.vec_id AS id, c.cid,
+          |    round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+          |      AS dist
+          |  FROM embeddings e, c),
+          |fs AS (SELECT id, dist AS a, cid AS own FROM (
+          |    SELECT id, cid, dist, row_number() OVER (PARTITION BY id
+          |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+          |sc AS (SELECT d.id, min(dist) AS b, max(a) AS a, max(own) AS own
+          |  FROM d JOIN fs ON d.id = fs.id AND d.cid <> fs.own
+          |  GROUP BY d.id),
+          |sv AS (SELECT own, CASE WHEN greatest(a, b) > 0
+          |    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s FROM sc),
+          |pc AS (SELECT own AS cid, count(*) AS n,
+          |    CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+          |      AS mean_s
+          |  FROM sv GROUP BY own),
+          |g AS (SELECT CAST(SUM(CAST(s AS DECIMAL(38,18))) AS DOUBLE)
+          |    / count(*) AS s_global FROM sv)
+          |SELECT cid, CAST(n AS BIGINT) AS n, round(mean_s, 6) AS mean_s,
+          |  round(s_global, 6) AS s_global
+          |FROM pc, g ORDER BY cid""".stripMargin,
+
+      // full-outer category join with slice totals; keep new/gone plus
+      // the top-10 unrounded share shifts
+      "q356_category_drift" ->
+        """WITH li AS (SELECT p_brand, year(CAST(l_shipdate AS DATE)) AS yr
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+          |r AS (SELECT p_brand AS cat, count(*) AS n_ref FROM li
+          |  WHERE yr <= 1994 GROUP BY 1),
+          |c2 AS (SELECT p_brand AS cat, count(*) AS n_cur FROM li
+          |  WHERE yr >= 1995 GROUP BY 1),
+          |t AS (SELECT (SELECT CAST(SUM(n_ref) AS BIGINT) FROM r) AS tr,
+          |    (SELECT CAST(SUM(n_cur) AS BIGINT) FROM c2) AS tc),
+          |j AS (SELECT COALESCE(r.cat, c2.cat) AS cat, n_ref, n_cur
+          |  FROM r FULL OUTER JOIN c2 ON r.cat = c2.cat),
+          |j2 AS (SELECT cat,
+          |    CASE WHEN n_ref IS NULL THEN 'new'
+          |      WHEN n_cur IS NULL THEN 'gone' ELSE 'shared' END AS status,
+          |    CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+          |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur,
+          |    CAST(COALESCE(n_ref, 0) AS DOUBLE) / tr AS share_ref,
+          |    CAST(COALESCE(n_cur, 0) AS DOUBLE) / tc AS share_cur
+          |  FROM j, t),
+          |j3 AS (SELECT *, abs(share_cur - share_ref) AS shift FROM j2)
+          |SELECT cat, status, n_ref, n_cur, round(share_ref, 6) AS share_ref,
+          |  round(share_cur, 6) AS share_cur, round(shift, 6) AS shift
+          |FROM j3
+          |QUALIFY row_number() OVER (ORDER BY shift DESC, cat) <= 10
+          |  OR status <> 'shared'
+          |ORDER BY shift DESC, cat""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -179,4 +179,83 @@ object Clustering {
       .select(col("id"), col("cell"), col("n_pts"),
         col("cluster").isNotNull.as("is_core"), col("cluster"))
   }
+
+  /** Davies–Bouldin index over an assignment: per cell, the scatter
+    * σ_i = mean member→centroid distance; DB_i = max_{j≠i}
+    * (σ_i+σ_j)/d(c_i,c_j); DB = mean DB_i — LOWER is better-separated.
+    * The internal clustering-validity number that needs no labels: run
+    * it when choosing k or auditing codebook drift. Per-row distances
+    * round to 6 before the decimal mean (the distortion-family parity
+    * discipline); the centroid×centroid work is k² rows. `assigned`
+    * must carry the member→centroid distance in `distCol`. */
+  def daviesBouldin(assigned: DataFrame, cellCol: String, distCol: String,
+                    centroids: DataFrame, cidCol: String,
+                    cvCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorExpressions.register(assigned.sparkSession)
+    val sig = assigned.groupBy(col(cellCol).as("i"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col(distCol), 6).cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("sigma"))
+    val cs = centroids.select(col(cidCol).as("i"), col(cvCol).as("_cv"))
+    val rij = cs.crossJoin(cs.select(col("i").as("j"), col("_cv").as("_cw")))
+      .filter(col("i") =!= col("j"))
+      .withColumn("dij", round(
+        call_function("graft_l2_distance", col("_cv"), col("_cw")), 6))
+      .join(broadcast(sig.select(col("i"), col("sigma").as("si"))), Seq("i"))
+      .join(broadcast(sig.select(col("i").as("j"), col("sigma").as("sj"))),
+        Seq("j"))
+      .withColumn("rij", (col("si") + col("sj")) / col("dij"))
+    val dbi = rij.groupBy("i").agg(max("rij").as("db_i"))
+    val all = Window.partitionBy(lit(1))
+    sig.join(dbi, Seq("i"))
+      .withColumn("db", sum(col("db_i").cast("decimal(38,18)")).over(all)
+        .cast("double") / count(lit(1)).over(all))
+      .select(col("i").as("cid"), col("n"), round(col("sigma"), 6).as("sigma"),
+        round(col("db_i"), 6).as("db_i"), round(col("db"), 6).as("db"))
+  }
+
+  /** Simplified silhouette (Hruschka et al. 2004) — the 100 TB-sane
+    * silhouette: per point, a = distance to its OWN (nearest) centroid,
+    * b = distance to the second-nearest centroid, s = (b−a)/max(a,b) ∈
+    * [0,1] here since a ≤ b by construction. Full silhouette's all-pairs
+    * term is quadratic; this keeps the per-point cost at k centroid
+    * distances, stays a map + two hash aggregates (min_by argmin, then
+    * min over non-own — NO corpus-wide window), and preserves the
+    * read: near 1 = well inside its cell, near 0 = boundary point.
+    * Returns per-cell (cid, n, mean_s) plus the global mean on every
+    * row. */
+  def simplifiedSilhouette(corpus: DataFrame, vecCol: String, idCol: String,
+                           centroids: DataFrame, cidCol: String,
+                           cvCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorExpressions.register(corpus.sparkSession)
+    val d = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(centroids.select(col(cidCol).as("cid"),
+        col(cvCol).as("_cv"))))
+      .withColumn("dist", round(
+        call_function("graft_l2_distance", col("_v"), col("_cv")), 6))
+      .select("id", "cid", "dist")
+    val first = d.groupBy("id")
+      .agg(min(struct(col("dist"), col("cid"))).as("f"))
+      .select(col("id"), col("f.dist").as("a"), col("f.cid").as("own"))
+    val second = d.join(first, Seq("id"))
+      .filter(col("cid") =!= col("own"))
+      .groupBy("id").agg(min("dist").as("b"),
+        max("a").as("a"), max("own").as("own"))
+    val s = second.withColumn("s",
+      when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+    val all = Window.partitionBy(lit(1))
+    val perCell = s.groupBy(col("own").as("cid"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("s").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mean_s"))
+    s.agg((sum(col("s").cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("s_global"))
+      .crossJoin(perCell)
+      .select(col("cid"), col("n"), round(col("mean_s"), 6).as("mean_s"),
+        round(col("s_global"), 6).as("s_global"))
+  }
 }

@@ -159,4 +159,40 @@ object Profiling {
       .withColumn("abs_dev", abs(col("share") - col("expected_share")))
       .select("digit", "n", "share", "expected_share", "abs_dev")
   }
+
+  /** Categorical-domain drift between a reference and a current slice:
+    * every category is `new` (appeared), `gone` (vanished), or `shared`,
+    * with its share in each slice and the absolute share shift. The
+    * enum-domain audit χ²/PSI don't give — those score the DISTRIBUTION,
+    * this names the categories, and a `new` enum value is usually a
+    * schema/upstream change before it is a statistics question. Output
+    * keeps every new/gone category plus the `topK` largest shifts among
+    * shared ones. Two category-cardinality aggregates + a bounded
+    * sort. */
+  def categoryDrift(ref: DataFrame, cur: DataFrame, catCol: String,
+                    topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ref.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_cur"))
+    val tot = r.agg(sum("n_ref").as("tr"))
+      .crossJoin(c.agg(sum("n_cur").as("tc")))
+    val j = r.join(c, Seq("cat"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("status", when(col("n_ref").isNull, lit("new"))
+        .when(col("n_cur").isNull, lit("gone")).otherwise(lit("shared")))
+      .withColumn("share_ref",
+        coalesce(col("n_ref"), lit(0L)).cast("double") / col("tr"))
+      .withColumn("share_cur",
+        coalesce(col("n_cur"), lit(0L)).cast("double") / col("tc"))
+      .withColumn("shift", abs(col("share_cur") - col("share_ref")))
+    j.withColumn("_rk", row_number().over(
+        Window.orderBy(col("shift").desc, col("cat").asc)))
+      .filter(col("_rk") <= topK || col("status") =!= "shared")
+      .select(col("cat"), col("status"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(col("share_ref"), 6).as("share_ref"),
+        round(col("share_cur"), 6).as("share_cur"),
+        round(col("shift"), 6).as("shift"))
+  }
 }

@@ -199,4 +199,35 @@ class IvfAndViewsSpec extends SparkSpec {
       (3, "a", Some("b"), Some("c"), 2L))
     assert(out == expected)
   }
+
+  test("daviesBouldin and simplifiedSilhouette: hand-computed two-cell case") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = Seq((0, Seq(0f, 0f)), (1, Seq(10f, 0f))).toDF("cid", "cv")
+    val pts = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)),
+      (3L, Seq(10f, 1f)), (4L, Seq(10f, -3f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignNearestCentroid(pts, "embedding",
+      "vec_id", cents, "cid", "cv")
+    val db = graft.operators.Clustering.daviesBouldin(assigned,
+        "centroid_id", "centroid_dist", cents, "cid", "cv")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // σ0 = 1 (both at distance 1), σ1 = (1+3)/2 = 2; d01 = 10 → R = 0.3
+    assert(db(0) == ((2L, 1.0, 0.3, 0.3)))
+    assert(db(1) == ((2L, 2.0, 0.3, 0.3)))
+    val sil = graft.operators.Clustering.simplifiedSilhouette(pts,
+        "embedding", "vec_id", cents, "cid", "cv")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // s per point: (b−a)/max(a,b) with rounded distances
+    val s1 = (9.0 - 1.0) / 9.0
+    val s2 = (11.0 - 1.0) / 11.0
+    val s3 = { val b = r6(math.sqrt(101.0)); (b - 1.0) / b }
+    val s4 = { val b = r6(math.sqrt(109.0)); (b - 3.0) / b }
+    def d18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val g = r6((d18(s1) + d18(s2) + d18(s3) + d18(s4)).toDouble / 4)
+    assert(sil(0) == ((2L, r6((d18(s1) + d18(s2)).toDouble / 2), g)))
+    assert(sil(1) == ((2L, r6((d18(s3) + d18(s4)).toDouble / 2), g)))
+  }
 }

@@ -108,4 +108,17 @@ class ProfilingSpec extends SparkSpec {
     assert(d1._3 == 3.0 / 5.0 && d1._4 == 0.301030)
     assert(math.abs(d1._5 - (0.6 - 0.301030)) < 1e-12)
   }
+
+  test("categoryDrift: new/gone named, shared shifts ranked") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "a", "b").toDF("cat0")
+    val cur = Seq("a", "c").toDF("cat0")
+    val out = graft.operators.Profiling.categoryDrift(ref, cur, "cat0", 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("a") == (("shared", 3L, 1L, 0.75, 0.5, 0.25)))
+    assert(out("b") == (("gone", 1L, 0L, 0.25, 0.0, 0.25)))
+    assert(out("c") == (("new", 0L, 1L, 0.0, 0.5, 0.5)))
+  }
 }
