@@ -5888,6 +5888,53 @@ object SparkEntry {
       Profiling.categoryDrift(li.filter(col("yr") <= 1994),
           li.filter(col("yr") >= 1995), "p_brand", topK = 10)
         .orderBy(col("shift").desc, col("cat"))
+    }),
+
+    "q357_changelog_apply" -> ((s, dir) => {
+      // CDC catch-up: the whole event backlog compacts to final state in
+      // ONE struct-max aggregate — last writer per user wins, a final
+      // 'error' op tombstones the key — instead of replaying the log row
+      // by row
+      val log = events(s, dir).filter(col("user_id") < 300)
+        .select(col("user_id"), col("event_id").as("version"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("event_type"),
+          coalesce(round(col("value") * 100).cast("long"), lit(0L))
+            .as("v100"))
+      ChangeDetection.applyChangelog(log, "user_id", "version", "op")
+        .orderBy("user_id")
+    }),
+
+    "q358_rolling_corr" -> ((s, dir) => {
+      // 14-day rolling Pearson of daily activity vs daily revenue — the
+      // time-varying answer to q111's single corr: the weeks where the
+      // relationship inverts are exactly what the average hides
+      val daily = events(s, dir)
+        .groupBy(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+          .as("day"))
+        .agg(count(lit(1)).as("x"),
+          coalesce(sum(round(col("value") * 100).cast("long")), lit(0L))
+            .as("y"))
+      Stats.rollingCorrelation(daily, "day", "x", "y", window = 14)
+        .orderBy("day")
+    }),
+
+    "q359_order_reconciliation" -> ((s, dir) => {
+      // double-entry close: order headers vs the sum of their line
+      // amounts in exact cents — mismatch count, total drift, and the
+      // top-20 worst deltas (headers with no lines reconcile against 0)
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 100).cast("long").as("line_cents"))
+      Profiling.reconcileTotals(o, "o_orderkey", "o_cents",
+          li, "l_orderkey", "line_cents", topK = 20)
+        .orderBy("key")
     })
   )
 
@@ -9894,6 +9941,73 @@ object SparkEntry {
           |QUALIFY row_number() OVER (ORDER BY shift DESC, cat) <= 10
           |  OR status <> 'shared'
           |ORDER BY shift DESC, cat""".stripMargin,
+
+      // last-writer-wins replay: the rn=1 by (version, op, payload) DESC
+      // is exactly the struct-max ordering; delete ops tombstone
+      "q357_changelog_apply" ->
+        """WITH log AS (SELECT user_id, event_id AS version,
+          |    CASE WHEN event_type = 'error' THEN 'delete'
+          |      ELSE 'upsert' END AS op,
+          |    event_type,
+          |    COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS v100
+          |  FROM events WHERE user_id < 300),
+          |last AS (SELECT user_id, version, op, event_type, v100 FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY user_id
+          |      ORDER BY version DESC, op DESC, event_type DESC, v100 DESC)
+          |      AS rn
+          |    FROM log) WHERE rn = 1)
+          |SELECT user_id, version, op, event_type, v100 FROM last
+          |WHERE op <> 'delete' ORDER BY user_id""".stripMargin,
+
+      // five decimal window sums over the trailing 14 days, the fixed
+      // Pearson tree, full windows only
+      "q358_rolling_corr" ->
+        """WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(ts AS DATE)) AS BIGINT) AS day,
+          |    count(*) AS x,
+          |    COALESCE(CAST(SUM(CAST(round(value * 100) AS BIGINT))
+          |      AS BIGINT), 0) AS y
+          |  FROM events GROUP BY 1),
+          |wsum AS (SELECT day, CAST(x AS BIGINT) AS x, y,
+          |    count(*) OVER w AS cnt,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS syy
+          |  FROM daily
+          |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+          |SELECT day, x, y,
+          |  CASE WHEN (sxx - sx * sx / 14) > 0 AND (syy - sy * sy / 14) > 0
+          |    THEN round((sxy - sx * sy / 14)
+          |      / sqrt((sxx - sx * sx / 14) * (syy - sy * sy / 14)), 6)
+          |  END AS corr
+          |FROM wsum WHERE cnt = 14 ORDER BY day""".stripMargin,
+
+      // exact-cents header-vs-lines close with the identical rounding
+      // tree; summary rides every row, top-20 absolute deltas kept
+      "q359_order_reconciliation" ->
+        """WITH o AS (SELECT o_orderkey AS key,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS declared
+          |  FROM orders),
+          |li AS (SELECT l_orderkey AS key,
+          |    CAST(round(l_extendedprice * (1.0 - l_discount)
+          |      * (1.0 + l_tax) * 100) AS BIGINT) AS amt
+          |  FROM lineitem),
+          |cs AS (SELECT key, CAST(SUM(CAST(amt AS DECIMAL(38,0)))
+          |    AS BIGINT) AS children FROM li GROUP BY key),
+          |d AS (SELECT o.key, declared, COALESCE(children, 0) AS children,
+          |    declared - COALESCE(children, 0) AS delta
+          |  FROM o LEFT JOIN cs USING (key)),
+          |s AS (SELECT count(*) AS n_parents,
+          |    CAST(SUM(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_mismatched,
+          |    CAST(SUM(abs(delta)) AS BIGINT) AS total_abs_delta FROM d)
+          |SELECT key, declared, children, delta, n_parents, n_mismatched,
+          |  total_abs_delta
+          |FROM d, s
+          |QUALIFY row_number() OVER (ORDER BY abs(delta) DESC, key) <= 20
+          |ORDER BY key""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -94,6 +94,28 @@ object ChangeDetection {
         min(col(vCol)).as("mn"),
         max(col(vCol)).as("mx"))
 
+  /** CDC changelog application — the lakehouse MERGE a stream of
+    * (key, version, op, payload…) rows compacts to: per key, the row
+    * with the LEXICOGRAPHICALLY greatest (version, op, payload…) wins
+    * (struct-max: one hash aggregate with map-side partials, and the
+    * full-struct tie-break makes duplicate versions deterministic — the
+    * as-of-join lesson), and a key whose winning op is `delete` leaves
+    * the table. Unlike replaying the log row-by-row, this applies a
+    * whole backlog in ONE aggregate — the catch-up path after an outage
+    * — and columns must be non-null for the struct ordering to be total.
+    * Returns the final state: (key, version, op, payload…). */
+  def applyChangelog(log: DataFrame, keyCol: String, versionCol: String,
+                     opCol: String, deleteOp: String = "delete"): DataFrame = {
+    val payload = log.columns.filterNot(Set(keyCol, versionCol, opCol))
+    val packed = log.groupBy(col(keyCol))
+      .agg(max(struct(col(versionCol) +: col(opCol) +:
+        payload.map(col): _*)).as("_last"))
+    packed.filter(col(s"_last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +: col(s"_last.$versionCol").as(versionCol) +:
+        col(s"_last.$opCol").as(opCol) +:
+        payload.map(c => col(s"_last.$c").as(c)): _*)
+  }
+
   /** Merge [[aggState]] frames (associative + commutative: n and sv add,
     * min/max fold), returning the same state schema plus the served
     * `mean`. Union of state-cardinality frames, one groupBy — the

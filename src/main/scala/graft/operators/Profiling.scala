@@ -160,6 +160,39 @@ object Profiling {
       .select("digit", "n", "share", "expected_share", "abs_dev")
   }
 
+  /** Double-entry reconciliation of a parent total against its
+    * children's sum: per parent key, delta = declared − Σ child amounts
+    * (exact integer cents), with the corpus-wide summary (parents,
+    * mismatches, total absolute drift) on every row and output bounded
+    * to the `topK` largest absolute deltas — the finance-close audit
+    * shape (invoice vs lines, order vs items, ledger vs journal).
+    * Parents with no children reconcile against 0. Two aggregates +
+    * a bounded rank filter. */
+  def reconcileTotals(parent: DataFrame, parentKeyCol: String,
+                      parentTotalCol: String, child: DataFrame,
+                      childKeyCol: String, childAmountCol: String,
+                      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = parent.select(col(parentKeyCol).as("key"),
+      col(parentTotalCol).cast("long").as("declared"))
+    val cs = child.groupBy(col(childKeyCol).as("key"))
+      .agg(sum(col(childAmountCol).cast("decimal(38,0)")).cast("long")
+        .as("children"))
+    val d = p.join(cs, Seq("key"), "left")
+      .withColumn("children", coalesce(col("children"), lit(0L)))
+      .withColumn("delta", col("declared") - col("children"))
+    val all = Window.partitionBy(lit(1))
+    d.withColumn("n_parents", count(lit(1)).over(all))
+      .withColumn("n_mismatched",
+        sum(when(col("delta") =!= 0L, 1L).otherwise(0L)).over(all))
+      .withColumn("total_abs_delta", sum(abs(col("delta"))).over(all))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(abs(col("delta")).desc, col("key").asc)))
+      .filter(col("_rk") <= topK)
+      .select(col("key"), col("declared"), col("children"), col("delta"),
+        col("n_parents"), col("n_mismatched"), col("total_abs_delta"))
+  }
+
   /** Categorical-domain drift between a reference and a current slice:
     * every category is `new` (appeared), `gone` (vanished), or `shared`,
     * with its share in each slice and the absolute share shift. The

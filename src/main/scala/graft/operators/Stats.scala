@@ -711,6 +711,35 @@ object Stats {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** Rolling Pearson correlation of two integral daily series over a
+    * `window`-row trailing frame (full windows only): the five
+    * sufficient sums ride as decimal window aggregates — exact at any
+    * magnitude — and the correlation assembles in the fixed
+    * parenthesization the [[groupCorrelation]] family replays. The
+    * time-varying answer to q111's single number: a relationship that
+    * holds on average can invert for weeks at a time, and this is the
+    * series that shows when. Input: one row per day. */
+  def rollingCorrelation(daily: DataFrame, dayCol: String, xCol: String,
+                         yCol: String, window: Int): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.orderBy("day").rowsBetween(-(window - 1), 0)
+    val base = daily.select(col(dayCol).cast("long").as("day"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum(d38(col("x"))).over(w).cast("double"))
+      .withColumn("sy", sum(d38(col("y"))).over(w).cast("double"))
+      .withColumn("sxy", sum(d38(col("x") * col("y"))).over(w).cast("double"))
+      .withColumn("sxx", sum(d38(col("x") * col("x"))).over(w).cast("double"))
+      .withColumn("syy", sum(d38(col("y") * col("y"))).over(w).cast("double"))
+      .filter(col("cnt") === window)
+    val varx = col("sxx") - col("sx") * col("sx") / window
+    val vary = col("syy") - col("sy") * col("sy") / window
+    base.withColumn("corr", when(varx > 0 && vary > 0,
+        round((col("sxy") - col("sx") * col("sy") / window) /
+          sqrt(varx * vary), 6)))
+      .select(col("day"), col("x"), col("y"), col("corr"))
+  }
+
   /** STL-lite seasonal anomaly screen over a daily count series: trend
     * is the centered 7-day moving mean (full windows only), the weekly
     * seasonal is the day-of-week mean of the detrended values, and a day

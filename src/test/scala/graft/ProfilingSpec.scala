@@ -121,4 +121,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out("b") == (("gone", 1L, 0L, 0.25, 0.0, 0.25)))
     assert(out("c") == (("new", 0L, 1L, 0.0, 0.5, 0.5)))
   }
+
+  test("reconcileTotals: exact deltas, childless parent, top-K bound") {
+    import spark.implicits._
+    val parents = Seq((1L, 100L), (2L, 50L), (3L, 70L)).toDF("pk", "total")
+    val children = Seq((1L, 60L), (1L, 40L), (2L, 55L)).toDF("ck", "amt")
+    val out = graft.operators.Profiling
+      .reconcileTotals(parents, "pk", "total", children, "ck", "amt", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // deltas: 1 → 0, 2 → −5, 3 → 70 (no children); top-2 keeps 3 and 2
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(3L) == ((70L, 0L, 70L, 3L, 2L, 75L)))
+    assert(out(2L) == ((50L, 55L, -5L, 3L, 2L, 75L)))
+  }
 }

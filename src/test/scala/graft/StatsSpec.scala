@@ -394,6 +394,21 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == ((1L, 0.0, hCond))) // deterministic next step
   }
 
+  test("rollingCorrelation: exact 1.0 on a linear pair, null below window") {
+    import spark.implicits._
+    val daily = (0L to 19L).map(d => (d, d, 2 * d + 5)).toDF("day", "x", "y")
+    val out = Stats.rollingCorrelation(daily, "day", "x", "y", 14)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // only full 14-day windows emit; y = 2x+5 correlates exactly 1
+    assert(out.keySet == (13L to 19L).toSet)
+    assert(out.values.forall(_ == 1.0))
+    // a constant series has zero variance → null guard
+    val flat = (0L to 19L).map(d => (d, 5L, 2 * d)).toDF("day", "x", "y")
+    val o2 = Stats.rollingCorrelation(flat, "day", "x", "y", 14).collect()
+    assert(o2.nonEmpty && o2.forall(_.isNullAt(3)))
+  }
+
   test("seasonalResiduals: weekly pattern absorbed, only the spike flags") {
     import spark.implicits._
     val pattern = Seq(10L, 10L, 10L, 10L, 10L, 20L, 30L)

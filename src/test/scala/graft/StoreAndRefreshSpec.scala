@@ -197,4 +197,20 @@ class StoreAndRefreshSpec extends SparkSpec {
         r.getDouble(5)))).toMap
     assert(merged == direct)
   }
+
+  test("applyChangelog: last writer wins, final delete tombstones the key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "upsert", "x"), (1L, 2L, "upsert", "y"),
+      (2L, 1L, "upsert", "x"), (2L, 3L, "delete", "z"),
+      (3L, 1L, "delete", "q"),
+      (4L, 2L, "delete", "z"), (4L, 5L, "upsert", "w"))
+      .toDF("key", "version", "op", "payload")
+    val out = graft.operators.ChangeDetection
+      .applyChangelog(log, "key", "version", "op")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(out == Map(1L -> ((2L, "upsert", "y")),
+      4L -> ((5L, "upsert", "w"))))
+  }
 }
