@@ -5935,7 +5935,49 @@ object SparkEntry {
       Profiling.reconcileTotals(o, "o_orderkey", "o_cents",
           li, "l_orderkey", "line_cents", topK = 20)
         .orderBy("key")
-    })
+    }),
+
+    "q360_blocking_quality" -> ((s, dir) => {
+      // blocking-scheme scorecard on a known-truth corpus: nation
+      // blocking's reduction ratio vs its pairs completeness — half the
+      // twins shift nation, so the block that saves the most work also
+      // silently drops half the true matches
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") < 400)
+        .select(col("c_custkey").as("id"), col("c_nationkey").as("nat"))
+      val corpus = c.union(c.select(col("id") + 10000,
+        pmod(col("nat") + col("id") % 2, lit(25))))
+      val truth = c.select(col("id").as("a"), (col("id") + 10000).as("b"))
+      val cand = corpus.select(col("nat"), col("id").as("a"))
+        .join(corpus.select(col("nat"), col("id").as("b")), Seq("nat"))
+        .filter(col("a") < col("b")).select("a", "b")
+      val nRecords = 2L * c.count()
+      Linkage.blockingQuality(cand, "a", "b", truth, "a", "b", nRecords)
+    }),
+
+    "q361_churn_sensitivity" -> ((s, dir) => {
+      // churn-definition sensitivity: the churned-user share at 7/14/21/
+      // 28-day inactivity thresholds — the curve that shows how much the
+      // reported churn rate is an artifact of the chosen cutoff
+      val ev = events(s, dir)
+      val users = ev.groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"))
+      val mx = users.agg(max("last_us").as("max_us"))
+      users.crossJoin(broadcast(mx))
+        .withColumn("t_days", explode(expr("array(7L, 14L, 21L, 28L)")))
+        .groupBy("t_days").agg(count(lit(1)).as("n_users"),
+          sum(when(col("last_us") <
+            col("max_us") - col("t_days") * 86400000000L, 1L).otherwise(0L))
+            .as("n_churned"))
+        .withColumn("churn_rate",
+          round(col("n_churned").cast("double") / col("n_users"), 6))
+        .orderBy("t_days")
+    }),
+
+    "q362_anisotropy" -> ((s, dir) =>
+      // embedding-space anisotropy: ||mean vector|| vs mean norm — the
+      // common-component audit that predicts crushed cosine contrast and
+      // says whether all-but-the-top (q193) removal is needed pre-index
+      Spectral.anisotropyAudit(tbl(s, dir, "embeddings"), "embedding", 64))
   )
 
   // ======================================================================
@@ -10008,6 +10050,70 @@ object SparkEntry {
           |FROM d, s
           |QUALIFY row_number() OVER (ORDER BY abs(delta) DESC, key) <= 20
           |ORDER BY key""".stripMargin,
+
+      // candidate/truth pair counts under nation blocking with the
+      // shifted-twin corpus; RR against C(2n, 2)
+      "q360_blocking_quality" ->
+        """WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat
+          |  FROM customer WHERE c_custkey < 400),
+          |corpus AS (SELECT id, nat FROM c
+          |  UNION ALL SELECT id + 10000, (nat + id % 2) % 25 FROM c),
+          |truth AS (SELECT id AS a, id + 10000 AS b FROM c),
+          |cand AS (SELECT x.id AS a, y.id AS b FROM corpus x JOIN corpus y
+          |  ON x.nat = y.nat AND x.id < y.id),
+          |counts AS (SELECT
+          |  (SELECT count(*) FROM cand) AS n_candidates,
+          |  (SELECT count(*) FROM truth) AS n_true,
+          |  (SELECT count(*) FROM cand JOIN truth USING (a, b)) AS n_found,
+          |  (SELECT count(*) FROM corpus) AS nr)
+          |SELECT n_candidates, n_true, n_found,
+          |  round(1.0 - CAST(n_candidates AS DOUBLE) / (nr * (nr - 1) / 2), 6)
+          |    AS reduction_ratio,
+          |  round(CAST(n_found AS DOUBLE) / n_true, 6) AS pairs_completeness
+          |FROM counts""".stripMargin,
+
+      // last-activity per user vs the corpus high-water mark at four
+      // inactivity cutoffs
+      "q361_churn_sensitivity" ->
+        """WITH u AS (SELECT user_id,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+          |  FROM events GROUP BY user_id),
+          |m AS (SELECT max(last_us) AS max_us FROM u),
+          |t AS (SELECT CAST(i AS BIGINT) AS t_days
+          |  FROM unnest([7, 14, 21, 28]) AS u2(i))
+          |SELECT t_days, count(*) AS n_users,
+          |  CAST(SUM(CASE WHEN last_us < max_us - t_days * 86400000000
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+          |  round(CAST(SUM(CASE WHEN last_us < max_us - t_days * 86400000000
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS churn_rate
+          |FROM u, m, t GROUP BY t_days ORDER BY t_days""".stripMargin,
+
+      // rounded per-row norms, 64 per-dim decimal means folded in dim
+      // order for ||mu||, the same fixed trees for sd/cv/anisotropy
+      "q362_anisotropy" ->
+        """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |nr AS (SELECT v, round(sqrt(list_reduce(
+          |    list_transform(range(1, 65),
+          |      i -> v[CAST(i AS INT)] * v[CAST(i AS INT)]),
+          |    (a, b) -> a + b)), 6) AS nrm FROM e),
+          |s AS (SELECT count(*) AS n,
+          |    CAST(SUM(CAST(nrm AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+          |    CAST(SUM(CAST(nrm * nrm AS DECIMAL(38,18))) AS DOUBLE) AS s2
+          |  FROM nr),
+          |md AS (SELECT i AS dim,
+          |    CAST(SUM(CAST(v[CAST(i AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+          |      AS m
+          |  FROM e, unnest(range(1, 65)) AS u(i) GROUP BY i),
+          |mu AS (SELECT sqrt(list_reduce(
+          |    list_transform(list(m / n ORDER BY dim), x -> x * x),
+          |    (a, b) -> a + b)) AS mu_norm
+          |  FROM md, s GROUP BY n)
+          |SELECT n, round(s1 / n, 6) AS mean_norm,
+          |  round(sqrt((s2 - s1 * s1 / n) / n), 6) AS sd_norm,
+          |  round(sqrt((s2 - s1 * s1 / n) / n) / (s1 / n), 6) AS cv_norm,
+          |  round(mu_norm, 6) AS mu_norm,
+          |  round(mu_norm / (s1 / n), 6) AS anisotropy
+          |FROM s, mu""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

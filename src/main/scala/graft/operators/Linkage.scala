@@ -169,6 +169,31 @@ object Linkage {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Blocking-scheme quality against known truth: reduction ratio
+    * RR = 1 − |candidates| / C(n,2) (how much comparison work blocking
+    * saves) and pairs completeness PC = |candidates ∩ truth| / |truth|
+    * (how many true matches survive it) — the two numbers that trade off
+    * when choosing a blocking key; a scheme is only as good as its worst
+    * of the two. Both pair frames carry canonical (a < b) pairs. Two
+    * counts and one join on the (small) truth side. */
+  def blockingQuality(candidates: DataFrame, aCol: String, bCol: String,
+                      truth: DataFrame, taCol: String, tbCol: String,
+                      nRecords: Long): DataFrame = {
+    val cand = candidates.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tru = truth.select(col(taCol).as("a"), col(tbCol).as("b"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = tru.agg(count(lit(1)).as("n_true"))
+    val nf = cand.join(tru, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val allPairs = nRecords * (nRecords - 1) / 2
+    nc.crossJoin(nt).crossJoin(nf)
+      .select(col("n_candidates"), col("n_true"), col("n_found"),
+        round(lit(1.0) - col("n_candidates").cast("double") / allPairs, 6)
+          .as("reduction_ratio"),
+        round(col("n_found").cast("double") / col("n_true"), 6)
+          .as("pairs_completeness"))
+  }
+
   /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
     * statistical backbone of every production ER system: each comparison
     * field contributes log-evidence ln(m/u) on agreement and

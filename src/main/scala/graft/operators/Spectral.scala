@@ -94,4 +94,42 @@ object Spectral {
     frame.select(col("dim").cast("int").as("dim"),
       (col("w") / col("nrm")).as("loading"), col("nrm").as("lambda"))
   }
+
+  /** Embedding-space anisotropy audit (Ethayarajh 2019 / the
+    * all-but-the-top motivation): the ratio ‖μ‖ / mean‖x‖ of the mean
+    * vector's norm to the mean vector norm. Isotropic embeddings score
+    * ~0 (directions cancel); a large common component — which crushes
+    * cosine contrast and ANN recall — scores toward 1 and says "run
+    * [[topComponent]] removal before indexing". Also reports the norm
+    * distribution (mean, sd, CV): high norm variance breaks
+    * inner-product vs cosine interchangeability. One aggregate with
+    * dim+3 decimal sums; per-row norms round to 6 before accumulating
+    * (the distortion-family parity discipline). */
+  def anisotropyAudit(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val base = df.select(col(vecCol).as("_v"))
+      .withColumn("_nrm", round(sqrt(expr(
+        "aggregate(zip_with(_v, _v, (x, y) -> cast(x as double) * y), " +
+          "0D, (a, b) -> a + b)")), 6))
+    val dimSums = (0 until dim).map(d =>
+      sum(d18(element_at(col("_v"), d + 1).cast("double")))
+        .cast("double").as(s"_m$d"))
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(d18(col("_nrm"))).cast("double").as("s1"),
+      sum(d18(col("_nrm") * col("_nrm"))).cast("double").as("s2")) ++ dimSums
+    val sums = base.agg(aggCols.head, aggCols.tail: _*)
+    val muNorm2 = (0 until dim).map { d =>
+      val m = col(s"_m$d") / col("n")
+      m * m
+    }.reduce(_ + _) // fixed left association over dims, oracle-replayable
+    sums
+      .withColumn("mean_norm", col("s1") / col("n"))
+      .withColumn("sd_norm", sqrt(
+        (col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+      .withColumn("mu_norm", sqrt(muNorm2))
+      .select(col("n"), round(col("mean_norm"), 6).as("mean_norm"),
+        round(col("sd_norm"), 6).as("sd_norm"),
+        round(col("sd_norm") / col("mean_norm"), 6).as("cv_norm"),
+        round(col("mu_norm"), 6).as("mu_norm"),
+        round(col("mu_norm") / col("mean_norm"), 6).as("anisotropy"))
+  }
 }

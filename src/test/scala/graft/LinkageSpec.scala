@@ -107,4 +107,18 @@ class LinkageSpec extends SparkSpec {
       ((0L, math.log((1.0 - 0.95) / (1.0 - u1)) +
         math.log((1.0 - 0.95) / (1.0 - u2)))))
   }
+
+  test("blockingQuality: reduction ratio and pairs completeness exact") {
+    import spark.implicits._
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val truth = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r = Linkage.blockingQuality(cand, "a", "b", truth, "a", "b", 4L)
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    // RR = 1 − 2/6; PC = 1/2
+    assert(r.getDouble(3) ==
+      BigDecimal(1.0 - 2.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == 0.5)
+  }
 }

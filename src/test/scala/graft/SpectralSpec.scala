@@ -44,4 +44,21 @@ class SpectralSpec extends SparkSpec {
         .as[(Double, Double)].collect().toSeq
     assert(run(1) == run(13)) // exact decimal sums → bit-identical
   }
+
+  test("anisotropyAudit: cancelling directions 0, identical vectors 1") {
+    val iso = Seq(Tuple1(Seq(3f, 4f)), Tuple1(Seq(-3f, -4f)))
+      .toDF("embedding")
+    val r = Spectral.anisotropyAudit(iso, "embedding", 2).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 5.0)       // both norms 5
+    assert(r.getDouble(2) == 0.0)       // no norm spread
+    assert(r.getDouble(3) == 0.0)       // cv
+    assert(r.getDouble(4) == 0.0)       // mean vector cancels
+    assert(r.getDouble(5) == 0.0)       // anisotropy 0: isotropic
+    val aligned = Seq(Tuple1(Seq(1f, 0f)), Tuple1(Seq(1f, 0f)))
+      .toDF("embedding")
+    val r2 = Spectral.anisotropyAudit(aligned, "embedding", 2).head()
+    assert(r2.getDouble(1) == 1.0 && r2.getDouble(4) == 1.0)
+    assert(r2.getDouble(5) == 1.0)      // fully anisotropic
+  }
 }
