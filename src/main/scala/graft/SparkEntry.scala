@@ -5977,7 +5977,37 @@ object SparkEntry {
       // embedding-space anisotropy: ||mean vector|| vs mean norm — the
       // common-component audit that predicts crushed cosine contrast and
       // says whether all-but-the-top (q193) removal is needed pre-index
-      Spectral.anisotropyAudit(tbl(s, dir, "embeddings"), "embedding", 64))
+      Spectral.anisotropyAudit(tbl(s, dir, "embeddings"), "embedding", 64)),
+
+    "q363_boilerplate_lines" -> ((s, dir) =>
+      // per-doc boilerplate share: 12-token pseudo-lines appearing in
+      // ≥3 distinct docs are template scaffolding; a doc that is MOSTLY
+      // such lines should drop whole — the verdict global line dedup
+      // doesn't give
+      TextQuality.boilerplateLineShare(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("id")),
+
+    "q364_ngram_novelty" -> ((s, dir) =>
+      // eval-split phrasing leakage: the share of the test fold's
+      // distinct 4-grams never seen in the train fold — novelty near 0
+      // means the eval re-tests memorized surface forms
+      Dedup.ngramNovelty(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 4)),
+
+    "q365_intrinsic_dim" -> ((s, dir) => {
+      // two-NN intrinsic dimension over the cell-local kNN graph: is
+      // the 64-dim embedding really 64-dimensional, or does it live on
+      // a thin manifold where aggressive IVF/PQ configs are safe?
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      Similarity.intrinsicDimension(g, "id", "rank", "distance")
+    })
   )
 
   // ======================================================================
@@ -10114,6 +10144,79 @@ object SparkEntry {
           |  round(mu_norm, 6) AS mu_norm,
           |  round(mu_norm / (s1 / n), 6) AS anisotropy
           |FROM s, mu""".stripMargin,
+
+      // the q99 pseudo-line construction, per-doc distinct lines, cross-
+      // doc line df, boilerplate share at df >= 3
+      "q363_boilerplate_lines" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+          |      AS toks
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(0, CAST(floor((len(toks) - 1) / 12) AS BIGINT) + 1),
+          |      i -> array_to_string(toks[CAST(i * 12 + 1 AS INT) : CAST(i * 12 + 12 AS INT)], ' '))
+          |    END AS lines
+          |  FROM d),
+          |dl AS (SELECT DISTINCT doc_id AS id, line
+          |  FROM l, unnest(lines) AS u(line)),
+          |fr AS (SELECT line, count(*) AS line_df FROM dl GROUP BY line)
+          |SELECT id, count(*) AS n_lines,
+          |  CAST(SUM(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_boiler,
+          |  round(CAST(SUM(CASE WHEN line_df >= 3 THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*), 6) AS boiler_frac
+          |FROM dl JOIN fr USING (line)
+          |GROUP BY id ORDER BY id""".stripMargin,
+
+      // the q305 fold chain, distinct word 4-grams per side, anti-join
+      // novelty
+      "q364_ngram_novelty" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> x <> '') AS t
+          |  FROM documents),
+          |h0 AS (SELECT doc_id, t, (doc_id * 1000003) % 2147483647 AS h FROM d),
+          |h1 AS (SELECT doc_id, t,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM h0),
+          |h2 AS (SELECT t,
+          |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 10 >= 8 AS tst
+          |  FROM h1),
+          |g AS (SELECT DISTINCT tst,
+          |    array_to_string(t[CAST(i AS INT) : CAST(i + 3 AS INT)], ' ')
+          |      AS gram
+          |  FROM h2, unnest(range(1, len(t) - 2)) AS u(i)
+          |  WHERE len(t) >= 4),
+          |tr AS (SELECT DISTINCT gram FROM g WHERE NOT tst),
+          |te AS (SELECT DISTINCT gram FROM g WHERE tst),
+          |un AS (SELECT gram FROM te WHERE gram NOT IN (SELECT gram FROM tr))
+          |SELECT (SELECT count(*) FROM tr) AS n_train_grams,
+          |  (SELECT count(*) FROM te) AS n_test_grams,
+          |  (SELECT count(*) FROM un) AS n_unseen,
+          |  round(CAST((SELECT count(*) FROM un) AS DOUBLE)
+          |    / (SELECT count(*) FROM te), 6) AS novelty""".stripMargin,
+
+      // the q101 candidate-pair CTEs re-ranked to two NN distances per
+      // point, ln(r2/r1) decimal-accumulated
+      "q365_intrinsic_dim" ->
+        s"""$knnEdgesPrefixSql,
+           |rk2 AS (SELECT id, round(distance, 6) AS dd,
+           |    row_number() OVER (PARTITION BY id
+           |      ORDER BY distance, nbr_id) AS r
+           |  FROM p),
+           |rr AS (SELECT id,
+           |    min(CASE WHEN r = 1 THEN dd END) AS r1,
+           |    min(CASE WHEN r = 2 THEN dd END) AS r2
+           |  FROM rk2 WHERE r <= 2 GROUP BY id),
+           |lg AS (SELECT ln(r2 / r1) AS logmu FROM rr
+           |  WHERE r1 > 0 AND r2 IS NOT NULL),
+           |f AS (SELECT count(*) AS n_points,
+           |    CAST(SUM(CAST(logmu AS DECIMAL(38,18))) AS DOUBLE) AS sl
+           |  FROM lg)
+           |SELECT n_points, round(sl, 6) AS sum_log,
+           |  CASE WHEN sl > 0
+           |    THEN round(CAST(n_points AS DOUBLE) / sl, 6) END AS id_est
+           |FROM f""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -897,6 +897,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-fold n-gram novelty — the memorization/generalization scalar
+    * of an eval split: the share of the test fold's distinct word
+    * `n`-grams that never appear in the train fold. Novelty near 0 means
+    * the eval re-tests memorized surface forms (the train/test split is
+    * leaking phrasing even when documents are distinct); near 1 means
+    * the folds genuinely differ. Folds come from the standard 10-bucket
+    * key hash (`testBuckets` held out). Distinct-gram frames shuffle on
+    * the gram; the anti-join is the contamination-join shape. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, testBuckets: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).cast("long").as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("_tk"))
+      .withColumn("_test",
+        Sketches.keyHash(col("id")) % 10 >= (10 - testBuckets))
+      .select(col("_test"), explode(expr(
+        s"case when size(_tk) >= $n then transform(sequence(1, size(_tk) - ${n - 1}), " +
+          s"i -> array_join(slice(_tk, i, $n), ' ')) else array() end"))
+        .as("gram"))
+      .distinct()
+    val train = grams.filter(!col("_test")).select("gram").distinct()
+    val test = grams.filter(col("_test")).select("gram").distinct()
+    val unseen = test.join(train, Seq("gram"), "left_anti")
+    train.agg(count(lit(1)).as("n_train_grams"))
+      .crossJoin(test.agg(count(lit(1)).as("n_test_grams")))
+      .crossJoin(unseen.agg(count(lit(1)).as("n_unseen")))
+      .withColumn("novelty",
+        round(col("n_unseen").cast("double") / col("n_test_grams"), 6))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (AllPairs /
     * PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
     * deterministic sibling of MinHash-LSH ([[minhashLshPairs]]): every

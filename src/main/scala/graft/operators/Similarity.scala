@@ -449,6 +449,30 @@ object Similarity {
         col(idCol), col("distance"))
   }
 
+  /** Two-NN intrinsic dimension estimate (Facco et al. 2017): each
+    * point contributes ln(r₂/r₁) of its two nearest-neighbor distances;
+    * ID ≈ n / Σ ln μ. High ID (≈ the ambient dimension) says the
+    * embedding fills the space — ANN pruning will struggle; low ID says
+    * the data lives on a thin manifold and aggressive IVF/PQ configs are
+    * safe. Takes a kNN graph frame (idCol, rankCol, distCol) — here the
+    * CELL-LOCAL graph, so the estimate is conditioned on the same
+    * blocking the index itself uses. Distances round to 6 before the
+    * ratio (parity discipline); r₁ = 0 duplicates are excluded. */
+  def intrinsicDimension(graph: DataFrame, idCol: String, rankCol: String,
+                         distCol: String): DataFrame = {
+    val rr = graph.filter(col(rankCol) <= 2)
+      .groupBy(col(idCol).as("id"))
+      .agg(min(when(col(rankCol) === 1, round(col(distCol), 6))).as("r1"),
+        min(when(col(rankCol) === 2, round(col(distCol), 6))).as("r2"))
+      .filter(col("r1") > 0 && col("r2").isNotNull)
+      .withColumn("logmu", log(col("r2") / col("r1")))
+    rr.agg(count(lit(1)).as("n_points"),
+        sum(col("logmu").cast("decimal(38,18)")).cast("double").as("_sl"))
+      .select(col("n_points"), round(col("_sl"), 6).as("sum_log"),
+        when(col("_sl") > 0,
+          round(col("n_points").cast("double") / col("_sl"), 6)).as("id_est"))
+  }
+
   /** Recall@k of an approximate result set against the exact one: both
     * frames carry (queryIdCol, idCol); recall = |approx ∩ exact| / k per
     * query. The standard ANN quality gate — run it on a sampled query set

@@ -461,6 +461,28 @@ object TextQuality {
       .withColumn("hard", when(col("ease").isNotNull, col("ease") < minEase))
   }
 
+  /** Per-document boilerplate share by cross-document LINE frequency:
+    * a line (12-token pseudo-line here, [[tokenLines]]) appearing in ≥
+    * `minDf` distinct documents is boilerplate — headers, footers,
+    * license blocks, template scaffolding — and each document reports
+    * how much of it is made of such lines. The per-DOC verdict the
+    * global line dedup doesn't give: a doc that is MOSTLY boilerplate
+    * should drop entirely, not just lose its common lines. One distinct
+    * + two aggregates, all keyed by line hash at scale. */
+  def boilerplateLineShare(df: DataFrame, idCol: String, textCol: String,
+                           lineTokens: Int = 12, minDf: Int = 3): DataFrame = {
+    val lines = df.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_lines", tokenLines("_toks", lineTokens))
+      .select(col(idCol).as("id"), explode(col("_lines")).as("line"))
+      .distinct()
+    val dfreq = lines.groupBy("line").agg(count(lit(1)).as("line_df"))
+    lines.join(dfreq, Seq("line"))
+      .groupBy("id").agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_lines"), 6))
+  }
+
   /** RAKE corpus keyword extraction (Rose et al. 2010): candidate phrases
     * are maximal runs of non-stopword tokens (punctuation becomes the
     * breaker token '#'), each word scores deg(w)/freq(w) over all phrase

@@ -367,4 +367,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pref == brute && brute.nonEmpty)
   }
+
+  test("ngramNovelty: shared phrasing scores 0, disjoint phrasing 1") {
+    import spark.implicits._
+    val same = (1L to 40L).map(i => (i, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.ngramNovelty(same, "doc_id", "text", n = 4).head()
+    assert(r1.getAs[Long]("n_unseen") == 0L)
+    assert(r1.getAs[Double]("novelty") == 0.0)
+    val uniq = (1L to 40L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.ngramNovelty(uniq, "doc_id", "text", n = 4).head()
+    assert(r2.getAs[Double]("novelty") == 1.0)
+    assert(r2.getAs[Long]("n_unseen") == r2.getAs[Long]("n_test_grams"))
+  }
 }

@@ -361,4 +361,23 @@ class SimilaritySpec extends SparkSpec {
     assert(p13.getDouble(2) == 0.0 && p13.getDouble(3) == 0.0)
     assert(p13.isNullAt(4))
   }
+
+  test("intrinsicDimension: ln(r2/r1) fold, duplicates and singletons drop") {
+    val g = Seq(
+      (1L, 1, 0.1), (1L, 2, 0.2),  // contributes ln 2
+      (2L, 1, 0.2), (2L, 2, 0.2),  // ln 1 = 0
+      (3L, 1, 0.0), (3L, 2, 0.3),  // r1 = 0 → excluded
+      (4L, 1, 0.5))                // no second neighbor → excluded
+      .toDF("id", "rank", "distance")
+    val r = graft.operators.Similarity
+      .intrinsicDimension(g, "id", "rank", "distance").head()
+    def d18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sl = (d18(math.log(0.2 / 0.1)) + d18(math.log(0.2 / 0.2))).toDouble
+    assert(r.getAs[Long]("n_points") == 2L)
+    assert(r.getAs[Double]("sum_log") == r6(sl))
+    assert(r.getAs[Double]("id_est") == r6(2.0 / sl))
+  }
 }

@@ -186,4 +186,18 @@ class TextQualitySpec extends SparkSpec {
     assert(out("deep learning") == ((2, 2L, 1L, 4.833333)))
     assert(out("deep networks") == ((3, 2L, 1L, 4.333333)))
   }
+
+  test("boilerplateLineShare: cross-doc line df marks template lines") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "a b z w"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val out = TextQuality.boilerplateLineShare(docs, "doc_id", "text",
+        lineTokens = 2, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "a b" appears in docs 1-3 (df 3) → boilerplate; all others unique
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L) == ((2L, 0L, 0.0)))
+  }
 }
