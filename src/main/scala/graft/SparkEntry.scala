@@ -6007,6 +6007,69 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
       Similarity.intrinsicDimension(g, "id", "rank", "distance")
+    }),
+
+    "q366_ratio_metric" -> ((s, dir) => {
+      // delta-method A/B inference for a RATIO metric (purchase revenue
+      // per event, unit = user): the covariance correction a per-event
+      // z-test silently drops; per-arm ratio/SE and the two-arm z
+      val u = events(s, dir).groupBy("user_id").agg(
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("x"),
+        count(lit(1)).as("y"))
+        .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
+      Stats.ratioMetricDelta(u, "arm", "x", "y").orderBy("arm")
+    }),
+
+    "q367_mase_forecast" -> ((s, dir) =>
+      // forecast-baseline gate on daily event counts: seasonal-naive
+      // (lag 7) vs naive (lag 1) MAE — mase < 1 says the weekly cycle is
+      // real signal a forecaster must model
+      Stats.maseSeasonalNaive(events(s, dir)
+          .groupBy(expr(
+            "cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+            .as("day"))
+          .agg(count(lit(1)).as("n")),
+        "day", "n", season = 7)),
+
+    "q368_funnel_ab" -> ((s, dir) => {
+      // per-step funnel conversion under the production A/B bucketing:
+      // pooled two-proportion z at view→click and click→purchase — the
+      // step-level read a whole-funnel comparison smears away
+      val u = events(s, dir).groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+        .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
+        .withColumn("s2",
+          when(col("v") === 1 && col("c") === 1, 1L).otherwise(0L))
+        .withColumn("s3",
+          when(col("s2") === 1 && col("p") === 1, 1L).otherwise(0L))
+      u.select(col("arm"), explode(array(
+          struct(lit(2).as("step"), col("v").as("prev"), col("s2").as("conv")),
+          struct(lit(3).as("step"), col("s2").as("prev"), col("s3").as("conv"))))
+          .as("st"))
+        .select(col("arm"), col("st.step").as("step"),
+          col("st.prev").as("prev"), col("st.conv").as("conv"))
+        .filter(col("prev") === 1)
+        .groupBy("step").agg(
+          sum(when(col("arm"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm"), col("conv")).otherwise(0L)).as("conv_t"),
+          sum(when(!col("arm"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(!col("arm"), col("conv")).otherwise(0L)).as("conv_c"))
+        .withColumn("p_t", col("conv_t").cast("double") / col("n_t"))
+        .withColumn("p_c", col("conv_c").cast("double") / col("n_c"))
+        .withColumn("pp", (col("conv_t") + col("conv_c")).cast("double") /
+          (col("n_t") + col("n_c")))
+        .withColumn("z", when(col("pp") > 0 && col("pp") < 1,
+          (col("p_t") - col("p_c")) /
+            sqrt((col("pp") * (lit(1.0) - col("pp"))) *
+              (lit(1.0) / col("n_t") + lit(1.0) / col("n_c")))))
+        .select(col("step"), col("n_t"), col("conv_t"), col("n_c"),
+          col("conv_c"), round(col("p_t"), 6).as("p_t"),
+          round(col("p_c"), 6).as("p_c"), round(col("z"), 6).as("z"))
+        .orderBy("step")
     })
   )
 
@@ -10217,6 +10280,105 @@ object SparkEntry {
            |  CASE WHEN sl > 0
            |    THEN round(CAST(n_points AS DOUBLE) / sl, 6) END AS id_est
            |FROM f""".stripMargin,
+
+      // per-user (x, y) moments per hash arm, the delta-method variance
+      // tree, and the pooled two-arm z — identical parenthesization
+      "q366_ratio_metric" ->
+        """WITH pe AS (SELECT user_id,
+          |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+          |      THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT), 0)
+          |      AS x,
+          |    count(*) AS y
+          |  FROM events GROUP BY user_id),
+          |k0 AS (SELECT x, y, (user_id * 1000003) % 2147483647 AS h FROM pe),
+          |k1 AS (SELECT x, y,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM k0),
+          |k2 AS (SELECT x, y,
+          |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 2 = 0 AS arm
+          |  FROM k1),
+          |per AS (SELECT arm, count(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+          |  FROM k2 GROUP BY arm),
+          |dd AS (SELECT arm, n, sx / sy AS ratio, sy / n AS ybar,
+          |    (sxx - sx * sx / n) / n AS vx,
+          |    (syy - sy * sy / n) / n AS vy,
+          |    (sxy - sx * sy / n) / n AS cxy FROM per),
+          |se AS (SELECT arm, n, ratio,
+          |    sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+          |      / (n * (ybar * ybar))) AS se
+          |  FROM dd),
+          |zz AS (SELECT (max(CASE WHEN arm THEN ratio END)
+          |    - max(CASE WHEN NOT arm THEN ratio END))
+          |    / sqrt(max(CASE WHEN arm THEN se * se END)
+          |      + max(CASE WHEN NOT arm THEN se * se END)) AS z
+          |  FROM se)
+          |SELECT arm, n, round(ratio, 6) AS ratio, round(se, 6) AS se,
+          |  round(z, 6) AS z
+          |FROM se, zz ORDER BY arm""".stripMargin,
+
+      // row-based lags over the daily series; exact integer error sums
+      "q367_mase_forecast" ->
+        """WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(ts AS DATE)) AS BIGINT) AS day, count(*) AS n
+          |  FROM events GROUP BY 1),
+          |lg AS (SELECT day, CAST(n AS BIGINT) AS n,
+          |    lag(n, 1) OVER (ORDER BY day) AS l1,
+          |    lag(n, 7) OVER (ORDER BY day) AS ls
+          |  FROM daily),
+          |f AS (SELECT * FROM lg WHERE l1 IS NOT NULL AND ls IS NOT NULL)
+          |SELECT count(*) AS n_days,
+          |  round(CAST(SUM(abs(n - l1)) AS DOUBLE) / count(*), 6)
+          |    AS mae_naive,
+          |  round(CAST(SUM(abs(n - ls)) AS DOUBLE) / count(*), 6)
+          |    AS mae_seasonal,
+          |  CASE WHEN SUM(abs(n - l1)) > 0 THEN
+          |    round(CAST(SUM(abs(n - ls)) AS DOUBLE) / SUM(abs(n - l1)), 6)
+          |  END AS mase
+          |FROM f""".stripMargin,
+
+      // presence funnel per user, hash arms, pooled two-proportion z per
+      // step transition
+      "q368_funnel_ab" ->
+        """WITH u AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+          |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+          |  FROM events GROUP BY user_id),
+          |k0 AS (SELECT v, c, p, (user_id * 1000003) % 2147483647 AS h
+          |  FROM u),
+          |k1 AS (SELECT v, c, p,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM k0),
+          |k2 AS (SELECT v, c, p,
+          |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 2 = 0 AS arm
+          |  FROM k1),
+          |s AS (SELECT arm, v,
+          |    CASE WHEN v = 1 AND c = 1 THEN 1 ELSE 0 END AS s2,
+          |    CASE WHEN v = 1 AND c = 1 AND p = 1 THEN 1 ELSE 0 END AS s3
+          |  FROM k2),
+          |st AS (SELECT arm, 2 AS step, v AS prev, s2 AS conv FROM s
+          |  UNION ALL SELECT arm, 3, s2, s3 FROM s),
+          |g AS (SELECT step,
+          |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(SUM(CASE WHEN arm THEN conv ELSE 0 END) AS BIGINT)
+          |      AS conv_t,
+          |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_c,
+          |    CAST(SUM(CASE WHEN NOT arm THEN conv ELSE 0 END) AS BIGINT)
+          |      AS conv_c
+          |  FROM st WHERE prev = 1 GROUP BY step),
+          |w AS (SELECT *, CAST(conv_t AS DOUBLE) / n_t AS p_t,
+          |    CAST(conv_c AS DOUBLE) / n_c AS p_c,
+          |    CAST(conv_t + conv_c AS DOUBLE) / (n_t + n_c) AS pp FROM g)
+          |SELECT step, n_t, conv_t, n_c, conv_c, round(p_t, 6) AS p_t,
+          |  round(p_c, 6) AS p_c,
+          |  CASE WHEN pp > 0 AND pp < 1 THEN round((p_t - p_c)
+          |    / sqrt((pp * (1.0 - pp)) * (1.0 / n_t + 1.0 / n_c)), 6)
+          |  END AS z
+          |FROM w ORDER BY step""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -711,6 +711,48 @@ object Stats {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** Delta-method standard error for a RATIO metric (revenue per
+    * session, CTR, items per order) under cluster randomization: per
+    * arm, R̂ = Σx/Σy over units and Var(R̂) ≈ (sxx − 2R̂·sxy + R̂²·syy) /
+    * (n·ȳ²) where s·· are the sample (co)variances of the per-UNIT
+    * numerators/denominators — the correction every naive per-event
+    * z-test on a ratio metric gets wrong. Emits one row per arm plus
+    * the two-arm z = (R_t − R_c)/√(SE_t² + SE_c²) on both rows. All
+    * moments decimal-accumulate from integral inputs. */
+  def ratioMetricDelta(df: DataFrame, armCol: String, xCol: String,
+                       yCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.select(col(armCol).as("arm"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).cast("double").as("sx"),
+        sum(d38(col("y"))).cast("double").as("sy"),
+        sum(d38(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d38(col("y") * col("y"))).cast("double").as("syy"),
+        sum(d38(col("x") * col("y"))).cast("double").as("sxy"))
+      .withColumn("ratio", col("sx") / col("sy"))
+      .withColumn("ybar", col("sy") / col("n"))
+      .withColumn("vx", (col("sxx") - col("sx") * col("sx") / col("n")) /
+        col("n"))
+      .withColumn("vy", (col("syy") - col("sy") * col("sy") / col("n")) /
+        col("n"))
+      .withColumn("cxy", (col("sxy") - col("sx") * col("sy") / col("n")) /
+        col("n"))
+      .withColumn("se", sqrt((col("vx") -
+        lit(2.0) * col("ratio") * col("cxy") +
+        col("ratio") * col("ratio") * col("vy")) /
+        (col("n") * (col("ybar") * col("ybar")))))
+    val z = per.agg(
+      ((max(when(col("arm"), col("ratio"))) -
+        max(when(!col("arm"), col("ratio")))) /
+        sqrt(max(when(col("arm"), col("se") * col("se"))) +
+          max(when(!col("arm"), col("se") * col("se"))))).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("arm"), col("n"), round(col("ratio"), 6).as("ratio"),
+        round(col("se"), 6).as("se"), round(col("z"), 6).as("z"))
+  }
+
   /** Rolling Pearson correlation of two integral daily series over a
     * `window`-row trailing frame (full windows only): the five
     * sufficient sums ride as decimal window aggregates — exact at any
@@ -738,6 +780,32 @@ object Stats {
         round((col("sxy") - col("sx") * col("sy") / window) /
           sqrt(varx * vary), 6)))
       .select(col("day"), col("x"), col("y"), col("corr"))
+  }
+
+  /** MASE-style forecast-baseline comparison on a daily series: the
+    * seasonal-naive forecast (t − `season`) against the naive one
+    * (t − 1), scored by mean absolute error over the days where both
+    * exist; mase = MAE_seasonal / MAE_naive < 1 means the weekly
+    * structure is real signal a forecaster must model, ≥ 1 means
+    * yesterday already beats it. Exact integer error sums; this is the
+    * baseline gate to run BEFORE believing any fancier forecast. */
+  def maseSeasonalNaive(daily: DataFrame, dayCol: String, nCol: String,
+                        season: Int = 7): DataFrame = {
+    val w = Window.orderBy("day")
+    val base = daily.select(col(dayCol).cast("long").as("day"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("l1", lag("n", 1).over(w))
+      .withColumn("ls", lag("n", season).over(w))
+      .filter(col("l1").isNotNull && col("ls").isNotNull)
+    base.agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("l1"))).as("sae1"),
+        sum(abs(col("n") - col("ls"))).as("saes"))
+      .select(col("n_days"),
+        round(col("sae1").cast("double") / col("n_days"), 6).as("mae_naive"),
+        round(col("saes").cast("double") / col("n_days"), 6)
+          .as("mae_seasonal"),
+        when(col("sae1") > 0,
+          round(col("saes").cast("double") / col("sae1"), 6)).as("mase"))
   }
 
   /** STL-lite seasonal anomaly screen over a daily count series: trend

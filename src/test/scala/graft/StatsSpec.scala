@@ -394,6 +394,40 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == ((1L, 0.0, hCond))) // deterministic next step
   }
 
+  test("ratioMetricDelta: hand-computed delta-method SE and two-arm z") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val units = Seq((true, 10L, 2L), (true, 20L, 2L),
+      (false, 12L, 3L), (false, 12L, 1L)).toDF("arm", "x", "y")
+    val out = Stats.ratioMetricDelta(units, "arm", "x", "y")
+      .collect().map(r => r.getBoolean(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // t: ratio 7.5, vx 25, vy 0, cxy 0, ȳ 2 → se = √(25/8)
+    // c: ratio 6, vx 0, vy 1, cxy 0 → se = √(36/8)
+    val seT = math.sqrt(25.0 / 8)
+    val seC = math.sqrt(36.0 / 8)
+    val z = r6((7.5 - 6.0) / math.sqrt(seT * seT + seC * seC))
+    assert(out(true) == ((2L, 7.5, r6(seT), z)))
+    assert(out(false) == ((2L, 6.0, r6(seC), z)))
+  }
+
+  test("maseSeasonalNaive: periodic series → mase 0, exact naive MAE") {
+    import spark.implicits._
+    val n = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val daily = n.zipWithIndex.map { case (v, d) => (d.toLong, v) }
+      .toDF("day", "n")
+    val r = Stats.maseSeasonalNaive(daily, "day", "n").head()
+    assert(r.getAs[Long]("n_days") == 7L)
+    // lag-1 errors on days 7..13: 6,1,1,1,1,1,1 → 12/7
+    assert(r.getAs[Double]("mae_naive") ==
+      BigDecimal(12.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("mase") == 0.0)
+  }
+
   test("rollingCorrelation: exact 1.0 on a linear pair, null below window") {
     import spark.implicits._
     val daily = (0L to 19L).map(d => (d, d, 2 * d + 5)).toDF("day", "x", "y")
