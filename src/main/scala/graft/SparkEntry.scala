@@ -6070,7 +6070,42 @@ object SparkEntry {
           col("conv_c"), round(col("p_t"), 6).as("p_t"),
           round(col("p_c"), 6).as("p_c"), round(col("z"), 6).as("z"))
         .orderBy("step")
-    })
+    }),
+
+    "q369_sentence_chunks" -> ((s, dir) =>
+      // sentence-aware budget chunking: splits only at sentence
+      // boundaries, ~60 tokens per chunk via the cumsum-div pack — every
+      // chunk is quotable context, unlike the fixed-window splitter
+      Chunker.sentenceChunks(
+        tbl(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", budgetTokens = 60)
+        .orderBy("doc_id", "chunk_idx")),
+
+    "q370_effective_sample_size" -> ((s, dir) => {
+      // Kish effective sample size after near-dup clustering: (Σw)²/Σw²
+      // over cluster sizes — the honest independent-example count the
+      // raw row count overstates under duplication
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val clusters = Dedup.dedupClusters(pairs, "doc_a", "doc_b")
+      Dedup.effectiveSampleSize(clusters.select("cluster_rep"),
+        "cluster_rep", 2L * d.count())
+    }),
+
+    "q371_access_coverage" -> ((s, dir) =>
+      // LFU-ideal cache coverage of the event key space: the hit-rate
+      // curve at 5/10/25/50 pinned keys — the knee is the capacity
+      // answer, independent of any eviction policy
+      Profiling.accessCoverage(events(s, dir)
+          .filter(col("props").rlike("\"k\": \\d+"))
+          .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+            .cast("int").as("k")),
+        "k", Seq(5, 10, 25, 50))
+        .orderBy("cache_size"))
   )
 
   // ======================================================================
@@ -10379,6 +10414,72 @@ object SparkEntry {
           |    / sqrt((pp * (1.0 - pp)) * (1.0 / n_t + 1.0 / n_c)), 6)
           |  END AS z
           |FROM w ORDER BY step""".stripMargin,
+
+      // sentence split at [.!?]+ runs, token-cumsum packs of 60, ordered
+      // re-join with '. ' — the q85 cumsum-div discipline
+      "q369_sentence_chunks" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+          |sents AS (SELECT doc_id, i AS pos, s[CAST(i AS INT)] AS sent
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(text, '[.!?]+\s*'),
+          |        x -> x <> '') AS s
+          |    FROM d), unnest(range(1, len(s) + 1)) AS u(i)),
+          |tk AS (SELECT doc_id, pos, sent,
+          |    CAST(len(list_filter(regexp_split_to_array(sent, '\s+'),
+          |      x -> x <> '')) AS BIGINT) AS nt
+          |  FROM sents),
+          |cumt AS (SELECT doc_id, pos, sent, nt,
+          |    SUM(nt) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+          |  FROM tk),
+          |ch AS (SELECT doc_id, (cum - nt) // 60 AS pack, pos, sent, nt
+          |  FROM cumt),
+          |g AS (SELECT doc_id, pack, count(*) AS n_sentences,
+          |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+          |    string_agg(sent, '. ' ORDER BY pos) AS chunk
+          |  FROM ch GROUP BY doc_id, pack)
+          |SELECT doc_id, CAST(pack AS INT) AS chunk_idx, n_sentences,
+          |  n_tokens, chunk
+          |FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // cluster-size moments from the recursive chain; singletons fill
+      // the corpus to 2n with weight 1
+      "q370_effective_sample_size" ->
+        s"""WITH RECURSIVE $dedupClustersCtes,
+           |sz AS (SELECT cluster_rep, count(*) AS w FROM clusters
+           |  GROUP BY cluster_rep),
+           |ag AS (SELECT count(*) AS n_clusters,
+           |    CAST(SUM(w) AS BIGINT) AS n_clustered,
+           |    CAST(SUM(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE) AS sw2
+           |  FROM sz),
+           |cs AS (SELECT 2 * count(*) AS nn FROM documents)
+           |SELECT n_clusters, n_clustered,
+           |  CAST(nn - n_clustered AS BIGINT) AS n_singletons,
+           |  round((CAST(nn AS DOUBLE) * nn) / (sw2 + (nn - n_clustered)), 6)
+           |    AS n_eff,
+           |  round(((CAST(nn AS DOUBLE) * nn) / (sw2 + (nn - n_clustered)))
+           |    / nn, 6) AS eff_ratio
+           |FROM ag, cs""".stripMargin,
+
+      // key frequencies from the props regex, rank cut at each candidate
+      // cache size
+      "q371_access_coverage" ->
+        """WITH a AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+          |    AS INT) AS k
+          |  FROM events WHERE regexp_matches(props, '"k": \d+')),
+          |fr AS (SELECT k, count(*) AS f FROM a GROUP BY k),
+          |rk AS (SELECT k, f, row_number() OVER (ORDER BY f DESC, k) AS rk
+          |  FROM fr),
+          |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total,
+          |    count(*) AS n_keys FROM fr),
+          |m AS (SELECT CAST(i AS INT) AS cache_size
+          |  FROM unnest([5, 10, 25, 50]) AS u(i)),
+          |cov AS (SELECT cache_size,
+          |    CAST(SUM(CASE WHEN rk.rk <= cache_size THEN f ELSE 0 END)
+          |      AS BIGINT) AS covered
+          |  FROM rk, m GROUP BY cache_size)
+          |SELECT cache_size, n_keys, covered, total,
+          |  round(CAST(covered AS DOUBLE) / total, 6) AS hit_rate
+          |FROM cov, tot ORDER BY cache_size""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -138,6 +138,36 @@ object Chunker {
   private def split_part_tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Sentence-aware budget chunking — the RAG-practical splitter: text
+    * splits at sentence boundaries ([.!?]+ runs), and consecutive
+    * sentences group into chunks of ≈ `budgetTokens` via the cumulative
+    * token count (pack = ⌈cumsum⌉ div budget — the [[packSequences]]
+    * discipline: deterministic and windowable, a greedy first-fit would
+    * need sequential state). Unlike [[chunk]], no sentence is ever cut
+    * mid-way, so every chunk is quotable context. Returns (idCol,
+    * chunk_idx, n_sentences, n_tokens, chunk). One doc-keyed window. */
+  def sentenceChunks(df: DataFrame, idCol: String, textCol: String,
+                     budgetTokens: Int): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    df.select(col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), "[.!?]+\\s*"), t => t =!= ""))
+          .as(Seq("pos", "sent")))
+      .withColumn("nt", size(filter(split(col("sent"), "\\s+"),
+        t => t =!= "")).cast("long"))
+      .withColumn("cum", sum("nt").over(wDoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // the sentence belongs to the pack its PREVIOUS cumsum falls in
+      .withColumn("pack", expr(s"(cum - nt) div $budgetTokens"))
+      .groupBy("id", "pack")
+      .agg(count(lit(1)).as("n_sentences"), sum("nt").as("n_tokens"),
+        concat_ws(". ", expr(
+          "transform(array_sort(collect_list(struct(pos, sent))), s -> s.sent)"))
+          .as("chunk"))
+      .select(col("id").as(idCol), col("pack").cast("int").as("chunk_idx"),
+        col("n_sentences"), col("n_tokens"), col("chunk"))
+  }
+
   /** Content-defined chunking (Rabin/gear CDC — the rsync/backup-dedup
     * boundary trick): cut wherever the rolling k-gram hash of the text
     * hits `hash % divisor == 0`, so boundaries are anchored to CONTENT,

@@ -897,6 +897,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Effective sample size of a deduplicated-but-weighted corpus (Kish
+    * 1965, design effect): with near-dup cluster sizes w_c, n_eff =
+    * (Σw)² / Σw² — the number of INDEPENDENT examples the corpus is
+    * worth. 1000 docs in 10 clusters of 100 train like ~10 docs; this
+    * scalar is the honest denominator for scaling-law bookkeeping after
+    * dedup finds the clusters. Input: the [[dedupClusters]] frame plus
+    * the total corpus size (singletons = clusters of 1 fill the gap).
+    * One bounded aggregate over cluster sizes. */
+  def effectiveSampleSize(clusters: DataFrame, repCol: String,
+                          corpusSize: Long): DataFrame = {
+    val sizes = clusters.groupBy(col(repCol)).agg(count(lit(1)).as("w"))
+    sizes.agg(count(lit(1)).as("n_clusters"),
+        sum("w").as("n_clustered"),
+        sum((col("w") * col("w")).cast("decimal(38,0)")).cast("double")
+          .as("sw2"))
+      .withColumn("n_singletons", lit(corpusSize) - col("n_clustered"))
+      // singletons contribute w=1: Σw = corpusSize, Σw² += n_singletons
+      .withColumn("n_eff",
+        (lit(corpusSize.toDouble) * corpusSize) /
+          (col("sw2") + col("n_singletons")))
+      .select(col("n_clusters"), col("n_clustered"), col("n_singletons"),
+        round(col("n_eff"), 6).as("n_eff"),
+        round(col("n_eff") / corpusSize, 6).as("eff_ratio"))
+  }
+
   /** Cross-fold n-gram novelty — the memorization/generalization scalar
     * of an eval split: the share of the test fold's distinct word
     * `n`-grams that never appear in the train fold. Novelty near 0 means

@@ -160,6 +160,31 @@ object Profiling {
       .select("digit", "n", "share", "expected_share", "abs_dev")
   }
 
+  /** Access-frequency cache coverage: for each candidate cache size m,
+    * the share of ALL accesses that would hit if the m most-accessed
+    * keys were pinned — the frequency (LFU-ideal) upper bound that sizes
+    * a serving cache before any eviction policy is discussed. The curve
+    * flattening is the capacity signal: past the knee, more memory buys
+    * nothing. One key-cardinality aggregate + a rank window on it; the
+    * access stream itself only ever aggregates. */
+  def accessCoverage(accesses: DataFrame, keyCol: String,
+                     cacheSizes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = accesses.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("f").desc, col("k").asc)))
+    val tot = freq.agg(sum("f").as("total"), count(lit(1)).as("n_keys"))
+    freq.withColumn("cache_size",
+        explode(array(cacheSizes.map(lit): _*)))
+      .groupBy("cache_size")
+      .agg(sum(when(col("rk") <= col("cache_size"), col("f")).otherwise(0L))
+        .as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("cache_size"), col("n_keys"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6).as("hit_rate"))
+  }
+
   /** Double-entry reconciliation of a parent total against its
     * children's sum: per parent key, delta = declared − Σ child amounts
     * (exact integer cents), with the corpus-wide summary (parents,

@@ -150,4 +150,17 @@ class ChunkerSpec extends SparkSpec {
     val f2 = fixedShared.filter(_._1 == 2L).map(_._2).toSet
     assert(f1.intersect(f2).size.toDouble / f1.size < shared)
   }
+
+  test("sentenceChunks: packs at sentence boundaries, budget honored") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three. four five! six seven eight nine? ten"))
+      .toDF("doc_id", "text")
+    val out = Chunker.sentenceChunks(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // cum 3,5,9,10 → packs (cum−nt) div 5 = 0,0,1,1
+    assert(out(0) == ((2L, 5L, "one two three. four five")))
+    assert(out(1) == ((2L, 5L, "six seven eight nine. ten")))
+  }
 }

@@ -382,4 +382,22 @@ class DedupSpec extends SparkSpec {
     assert(r2.getAs[Double]("novelty") == 1.0)
     assert(r2.getAs[Long]("n_unseen") == r2.getAs[Long]("n_test_grams"))
   }
+
+  test("effectiveSampleSize: Kish (Σw)²/Σw² with singleton fill") {
+    import spark.implicits._
+    // two clusters of sizes 3 and 2 (members listed per row)
+    val clusters = Seq(1L, 1L, 1L, 5L, 5L).map(Tuple1(_)).toDF("rep")
+    val r = graft.operators.Dedup
+      .effectiveSampleSize(clusters, "rep", corpusSize = 10L).head()
+    assert(r.getAs[Long]("n_clusters") == 2L)
+    assert(r.getAs[Long]("n_clustered") == 5L)
+    assert(r.getAs[Long]("n_singletons") == 5L)
+    // n_eff = 100 / (9 + 4 + 5) = 100/18
+    val exp = BigDecimal(100.0 / 18)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("n_eff") == exp)
+    assert(r.getAs[Double]("eff_ratio") ==
+      BigDecimal(100.0 / 18 / 10).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

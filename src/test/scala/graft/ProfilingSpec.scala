@@ -136,4 +136,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out(3L) == ((70L, 0L, 70L, 3L, 2L, 75L)))
     assert(out(2L) == ((50L, 55L, -5L, 3L, 2L, 75L)))
   }
+
+  test("accessCoverage: top-m frequency mass at each cache size") {
+    import spark.implicits._
+    val acc = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .map(Tuple1(_)).toDF("k")
+    val out = graft.operators.Profiling
+      .accessCoverage(acc, "k", Seq(1, 2, 4))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1) == ((4L, 5L, 10L, 0.5)))
+    assert(out(2) == ((4L, 8L, 10L, 0.8)))
+    assert(out(4) == ((4L, 10L, 10L, 1.0)))
+  }
 }
