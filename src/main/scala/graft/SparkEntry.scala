@@ -6105,7 +6105,49 @@ object SparkEntry {
           .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
             .cast("int").as("k")),
         "k", Seq(5, 10, 25, 50))
-        .orderBy("cache_size"))
+        .orderBy("cache_size")),
+
+    "q372_logrank" -> ((s, dir) => {
+      // survival-aware A/B: log-rank test of user-lifetime curves under
+      // the production hash arms — the censoring-correct replacement for
+      // a mean-lifetime t-test (q251's life-table construction)
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val gmax = per.agg(max("t1").as("gm"))
+      val life = per.crossJoin(broadcast(gmax))
+        .select(col("user_id"), expr("(t1 - t0) div 3600000000").as("t"),
+          (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
+        .withColumn("arm", Sketches.keyHash(col("user_id")) % 2 === 0)
+      Stats.logRank(life, "arm", "t", "observed")
+    }),
+
+    "q373_expected_steps" -> ((s, dir) => {
+      // expected steps to purchase from each session state (value
+      // iteration v ← 1 + Pv, 4-round horizon) — the "how far from
+      // converting" companion to q318's reach probability
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val p = events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("from_type").isNotNull && col("_gap") <= gapUs)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      GraphAnalytics.absorbingSteps(p, "from_type", "to_type", "n",
+          "purchase", rounds = 4)
+        .orderBy("state")
+    }),
+
+    "q374_charclass_entropy" -> ((s, dir) =>
+      // tokenizer-free gibberish screen: Shannon entropy of per-doc
+      // character-class bigram transitions — prose is regular, encoded
+      // blobs and key-mash switch classes erratically
+      TextQuality.charClassEntropy(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ======================================================================
@@ -10480,6 +10522,136 @@ object SparkEntry {
           |SELECT cache_size, n_keys, covered, total,
           |  round(CAST(covered AS DOUBLE) / total, 6) AS hit_rate
           |FROM cov, tot ORDER BY cache_size""".stripMargin,
+
+      // q251's life table + hash arms; at-risk from the full arm×time
+      // grid reverse cumsum; hypergeometric O−E/V terms
+      "q372_logrank" ->
+        """WITH per AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+          |  FROM events GROUP BY user_id),
+          |gm AS (SELECT max(t1) AS g FROM per),
+          |k0 AS (SELECT t0, t1, (user_id * 1000003) % 2147483647 AS h
+          |  FROM per),
+          |k1 AS (SELECT t0, t1,
+          |    (xor(h, h >> 16) * 73244475) % 2147483647 AS h FROM k0),
+          |k2 AS (SELECT t0, t1,
+          |    ((xor(h, h >> 13) * 73244475) % 2147483647) % 2 = 0 AS arm
+          |  FROM k1),
+          |life AS (SELECT (t1 - t0) // 3600000000 AS t,
+          |    t1 < g - 43200000000 AS obs, arm FROM k2, gm),
+          |grid AS (SELECT t, arm
+          |  FROM (SELECT DISTINCT t FROM life), (SELECT DISTINCT arm FROM life)),
+          |pt0 AS (SELECT arm, t,
+          |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          |    count(*) AS leave
+          |  FROM life GROUP BY arm, t),
+          |pt AS (SELECT grid.arm, grid.t, COALESCE(d, 0) AS d,
+          |    COALESCE(leave, 0) AS leave
+          |  FROM grid LEFT JOIN pt0 ON grid.arm = pt0.arm AND grid.t = pt0.t),
+          |rk AS (SELECT arm, t, d, SUM(leave) OVER (PARTITION BY arm
+          |    ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS at_risk FROM pt),
+          |bt AS (SELECT t,
+          |    CAST(SUM(CASE WHEN arm THEN d ELSE 0 END) AS BIGINT) AS d1,
+          |    CAST(SUM(d) AS BIGINT) AS dt,
+          |    CAST(SUM(CASE WHEN arm THEN at_risk ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(SUM(at_risk) AS BIGINT) AS nt
+          |  FROM rk GROUP BY t),
+          |ft AS (SELECT * FROM bt WHERE dt > 0 AND nt > 1),
+          |tm AS (SELECT
+          |    CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * n1 / nt AS ome,
+          |    (CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt))
+          |      * (1.0 - CAST(n1 AS DOUBLE) / nt)
+          |      * (CAST(nt - dt AS DOUBLE) / (nt - 1)) AS v1
+          |  FROM ft)
+          |SELECT count(*) AS n_times,
+          |  round(CAST(SUM(CAST(ome AS DECIMAL(38,18))) AS DOUBLE), 6)
+          |    AS o_minus_e,
+          |  round(CAST(SUM(CAST(v1 AS DECIMAL(38,18))) AS DOUBLE), 6)
+          |    AS variance,
+          |  CASE WHEN CAST(SUM(CAST(v1 AS DECIMAL(38,18))) AS DOUBLE) > 0
+          |    THEN round(CAST(SUM(CAST(ome AS DECIMAL(38,18))) AS DOUBLE)
+          |      / sqrt(CAST(SUM(CAST(v1 AS DECIMAL(38,18))) AS DOUBLE)), 6)
+          |  END AS z
+          |FROM tm""".stripMargin,
+
+      // the q318 transition CTEs with the steps recursion: v0 = 0,
+      // v ← 1 + Pv except at the absorbing target
+      "q373_expected_steps" ->
+        """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |    event_type FROM events),
+          |l AS (SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS from_type,
+          |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS gap_us
+          |  FROM e),
+          |p AS (SELECT from_type, event_type AS to_type,
+          |    CAST(count(*) AS BIGINT) AS n FROM l
+          |  WHERE from_type IS NOT NULL AND gap_us <= 1800000000 GROUP BY 1, 2),
+          |m AS (SELECT from_type AS s, to_type AS t, n,
+          |    SUM(n) OVER (PARTITION BY from_type) AS tot FROM p),
+          |st AS (SELECT DISTINCT s FROM
+          |  (SELECT s FROM m UNION ALL SELECT t FROM m)),
+          |r0 AS (SELECT s, 0.0 AS v FROM st),
+          |r1 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 0.0
+          |    ELSE 1.0 + COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r0 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r2 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 0.0
+          |    ELSE 1.0 + COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r1 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r3 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 0.0
+          |    ELSE 1.0 + COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r2 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s),
+          |r4 AS (SELECT st.s, CASE WHEN st.s = 'purchase' THEN 0.0
+          |    ELSE 1.0 + COALESCE(f.vn, 0.0) END AS v
+          |  FROM st LEFT JOIN (SELECT m.s, CAST(SUM(CAST(
+          |      (CAST(m.n AS DOUBLE) / m.tot) * v.v AS DECIMAL(27,15)))
+          |      AS DOUBLE) AS vn
+          |    FROM m JOIN r3 v ON m.t = v.s GROUP BY m.s) f ON st.s = f.s)
+          |SELECT s AS state, round(v, 6) AS exp_steps
+          |FROM r4 ORDER BY state""".stripMargin,
+
+      // per-char class codes (unicode == ascii on this corpus), lead
+      // transitions, per-doc p·ln p entropy
+      "q374_charclass_entropy" ->
+        """WITH codes AS (SELECT doc_id,
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> CAST(unicode(substring(text, CAST(i AS INT), 1)) AS BIGINT))
+          |      AS cs
+          |  FROM documents WHERE length(text) >= 2),
+          |ch AS (SELECT doc_id, i AS pos, cs[CAST(i AS INT)] AS code
+          |  FROM codes, unnest(range(1, len(cs) + 1)) AS u(i)),
+          |cl AS (SELECT doc_id, pos,
+          |    CASE WHEN code BETWEEN 97 AND 122 THEN 'l'
+          |         WHEN code BETWEEN 65 AND 90 THEN 'u'
+          |         WHEN code BETWEEN 48 AND 57 THEN 'd'
+          |         WHEN code IN (32, 9, 10) THEN 's' ELSE 'p' END AS cl
+          |  FROM ch),
+          |tr AS (SELECT doc_id, cl,
+          |    lead(cl) OVER (PARTITION BY doc_id ORDER BY pos) AS nx
+          |  FROM cl),
+          |ct AS (SELECT doc_id, cl, nx, count(*) AS n FROM tr
+          |  WHERE nx IS NOT NULL GROUP BY 1, 2, 3),
+          |ww AS (SELECT doc_id, n,
+          |    SUM(n) OVER (PARTITION BY doc_id) AS tot FROM ct),
+          |tm AS (SELECT doc_id, tot,
+          |    (CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot) AS term
+          |  FROM ww)
+          |SELECT doc_id, CAST(max(tot) AS BIGINT) AS n_transitions,
+          |  round(0.0 - CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
+          |    AS entropy
+          |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -433,6 +433,35 @@ object GraphAnalytics {
     v.select(col("s").as("state"), round(col("v"), 6).as("p_reach"))
   }
 
+  /** Expected steps to reach `target` from each state under the
+    * empirical transition matrix, truncated at a `rounds` horizon
+    * (value iteration v ← 1 + Pv with v(target) = 0 — the fundamental-
+    * matrix answer without a matrix inverse; states that cannot reach
+    * the target within the horizon report the capped partial sum, which
+    * is the honest finite-session read anyway). The "how far is this
+    * user from converting" companion to [[absorbingReach]]'s "how
+    * likely". Same per-round shape: one broadcast-sized join + fold. */
+  def absorbingSteps(trans: DataFrame, fromCol: String, toCol: String,
+                     nCol: String, target: String, rounds: Int): DataFrame = {
+    val m = trans.select(col(fromCol).as("s"), col(toCol).as("t"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("s")))
+    val states = m.select(col("s")).union(m.select(col("t").as("s"))).distinct()
+    var v = states.withColumn("v", lit(0.0))
+    for (_ <- 1 to rounds) {
+      val folded = m
+        .join(v.select(col("s").as("t"), col("v")), Seq("t"))
+        .groupBy("s")
+        .agg(sum(((col("n").cast("double") / col("tot")) * col("v"))
+          .cast("decimal(27,15)")).cast("double").as("v_next"))
+      v = states.join(folded, Seq("s"), "left")
+        .withColumn("v", when(col("s") === target, lit(0.0))
+          .otherwise(lit(1.0) + coalesce(col("v_next"), lit(0.0))))
+        .select("s", "v")
+    }
+    v.select(col("s").as("state"), round(col("v"), 6).as("exp_steps"))
+  }
+
   /** Mutual (reciprocated) edges of a directed graph: (a, b) with a < b
     * such that both a→b and b→a exist. On a kNN graph this is the
     * standard symmetrization for density clustering (HDBSCAN/SemDeDup):

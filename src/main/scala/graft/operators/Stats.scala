@@ -711,6 +711,55 @@ object Stats {
       .withColumn("drifted", col("psi") > 0.2)
   }
 
+  /** Two-arm log-rank test (Mantel 1966) — the hypothesis test
+    * completing [[kaplanMeier]]: at each observed event time, the arm-1
+    * death count compares to its hypergeometric expectation given the
+    * at-risk sets, and Z = Σ(O − E)/√ΣV. Survival-aware A/B inference:
+    * a mean-lifetime t-test is biased the moment censoring exists; this
+    * is not. At-risk counts come from a reverse cumulative window over
+    * the DISTINCT-time frame per arm — the event stream aggregates
+    * once, nothing scales with units². `armCol` is boolean; input rows
+    * are (arm, t, observed). */
+  def logRank(life: DataFrame, armCol: String, tCol: String,
+              obsCol: String): DataFrame = {
+    val base = life.select(col(armCol).as("arm"),
+      col(tCol).cast("long").as("t"), col(obsCol).as("obs"))
+    // per (arm, t): deaths and total leaving (dead or censored) at t —
+    // on the FULL arm × time grid, so an arm with no departure at t
+    // still carries its at-risk count into the contingency table
+    val grid = base.select("t").distinct()
+      .crossJoin(base.select("arm").distinct())
+    val perT = grid
+      .join(base.groupBy("arm", "t")
+        .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("leave")), Seq("arm", "t"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+      .withColumn("leave", coalesce(col("leave"), lit(0L)))
+      .withColumn("at_risk", sum("leave").over(
+        Window.partitionBy("arm").orderBy(col("t").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val byTime = perT.groupBy("t")
+      .agg(sum(when(col("arm"), col("d")).otherwise(0L)).as("d1"),
+        sum(col("d")).as("dt"),
+        sum(when(col("arm"), col("at_risk")).otherwise(0L)).as("n1"),
+        sum(col("at_risk")).as("nt"))
+      // times where one arm has already left entirely contribute nothing
+      .filter(col("dt") > 0 && col("nt") > 1)
+    val terms = byTime
+      .withColumn("e1", col("dt").cast("double") * col("n1") / col("nt"))
+      .withColumn("v1", (col("dt").cast("double") *
+        (col("n1").cast("double") / col("nt"))) *
+        (lit(1.0) - col("n1").cast("double") / col("nt")) *
+        ((col("nt") - col("dt")).cast("double") / (col("nt") - 1)))
+    terms.agg(count(lit(1)).as("n_times"),
+        sum((col("d1").cast("double") - col("e1")).cast("decimal(38,18)"))
+          .cast("double").as("ome"),
+        sum(col("v1").cast("decimal(38,18)")).cast("double").as("vv"))
+      .select(col("n_times"), round(col("ome"), 6).as("o_minus_e"),
+        round(col("vv"), 6).as("variance"),
+        when(col("vv") > 0, round(col("ome") / sqrt(col("vv")), 6)).as("z"))
+  }
+
   /** Delta-method standard error for a RATIO metric (revenue per
     * session, CTR, items per order) under cluster randomization: per
     * arm, R̂ = Σx/Σy over units and Var(R̂) ≈ (sxx − 2R̂·sxy + R̂²·syy) /

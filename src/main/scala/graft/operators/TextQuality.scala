@@ -461,6 +461,42 @@ object TextQuality {
       .withColumn("hard", when(col("ease").isNotNull, col("ease") < minEase))
   }
 
+  /** Character-class transition entropy per document — the
+    * tokenizer-free gibberish detector: each character maps to a class
+    * (lower/upper/digit/space/punct), and the Shannon entropy of the
+    * bigram-transition distribution separates prose (low, regular
+    * l→l/l→s structure) from encoded blobs, minified code, and
+    * key-mash (high, erratic class switching). ASCII-code range tests
+    * only — no regex per row; per-char rows shuffle once by doc (the
+    * winnowing layout). Returns (idCol, n_transitions, entropy). */
+  def charClassEntropy(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    val cls = df.filter(length(col(textCol)) >= 2)
+      .select(col(idCol).as("id"),
+        posexplode(expr(
+          s"transform(split($textCol, ''), c -> cast(ascii(c) as bigint))"))
+          .as(Seq("pos", "code")))
+      .withColumn("cl",
+        when(col("code") >= 97 && col("code") <= 122, lit("l"))
+          .when(col("code") >= 65 && col("code") <= 90, lit("u"))
+          .when(col("code") >= 48 && col("code") <= 57, lit("d"))
+          .when(col("code") === 32 || col("code") === 9 ||
+            col("code") === 10, lit("s"))
+          .otherwise(lit("p")))
+      .withColumn("nx", lead(col("cl"), 1).over(wDoc))
+      .filter(col("nx").isNotNull)
+    cls.groupBy("id", "cl", "nx").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("id")))
+      .withColumn("term", (col("n").cast("double") / col("tot")) *
+        log(col("n").cast("double") / col("tot")))
+      .groupBy("id").agg(max("tot").as("n_transitions"),
+        (lit(0.0) - sum(col("term").cast("decimal(38,18)")).cast("double"))
+          .as("h"))
+      .select(col("id").as(idCol), col("n_transitions"),
+        round(col("h"), 6).as("entropy"))
+  }
+
   /** Per-document boilerplate share by cross-document LINE frequency:
     * a line (12-token pseudo-line here, [[tokenLines]]) appearing in ≥
     * `minDf` distinct documents is boilerplate — headers, footers,

@@ -229,4 +229,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out("A") == ((3L, 3L, 7L, -0.015625, -0.03125)))
     assert(out("B") == ((1L, 0L, 1L, -0.015625, -0.03125)))
   }
+
+  test("absorbingSteps: deterministic chain converges to path length") {
+    import spark.implicits._
+    val trans = Seq(("a", "b", 10L), ("b", "done", 10L))
+      .toDF("f", "t", "n")
+    val out = GraphAnalytics.absorbingSteps(trans, "f", "t", "n", "done", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 2.0, "b" -> 1.0, "done" -> 0.0))
+  }
 }

@@ -394,6 +394,29 @@ class StatsSpec extends SparkSpec {
     assert(out("b") == ((1L, 0.0, hCond))) // deterministic next step
   }
 
+  test("logRank: hand-computed hypergeometric O−E and variance") {
+    import spark.implicits._
+    def d18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val life = Seq((true, 1L, true), (true, 3L, true),
+      (false, 2L, true), (false, 3L, false)).toDF("arm", "t", "obs")
+    val r = Stats.logRank(life, "arm", "t", "obs").head()
+    // t1: O 1 E ½ V ¼; t2: O 0 E ⅓ V 2/9; t3: O 1 E ½ V ¼
+    val omes = Seq(1.0 - 1.0 * 2 / 4, 0.0 - 1.0 * 1 / 3, 1.0 - 1.0 * 1 / 2)
+    val vs = Seq(
+      (1.0 * (2.0 / 4)) * (1.0 - 2.0 / 4) * (3.0 / 3),
+      (1.0 * (1.0 / 3)) * (1.0 - 1.0 / 3) * (2.0 / 2),
+      (1.0 * (1.0 / 2)) * (1.0 - 1.0 / 2) * (1.0 / 1))
+    val ome = omes.map(d18).sum.toDouble
+    val vv = vs.map(d18).sum.toDouble
+    assert(r.getAs[Long]("n_times") == 3L)
+    assert(r.getAs[Double]("o_minus_e") == r6(ome))
+    assert(r.getAs[Double]("variance") == r6(vv))
+    assert(r.getAs[Double]("z") == r6(ome / math.sqrt(vv)))
+  }
+
   test("ratioMetricDelta: hand-computed delta-method SE and two-arm z") {
     import spark.implicits._
     def r6(x: Double) =

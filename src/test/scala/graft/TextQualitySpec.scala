@@ -200,4 +200,16 @@ class TextQualitySpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, 0.5)))
     assert(out(4L) == ((2L, 0L, 0.0)))
   }
+
+  test("charClassEntropy: four distinct transitions give ln 4") {
+    val df = Seq((1L, "ab1 c"), (2L, "aaaa")).toDF("doc_id", "text")
+    val out = TextQuality.charClassEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // l→l, l→d, d→s, s→l — uniform over 4 → H = ln 4
+    assert(out(1L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - math.log(4.0)) < 1e-6)
+    // one repeated transition: zero entropy
+    assert(out(2L) == ((3L, 0.0)))
+  }
 }
