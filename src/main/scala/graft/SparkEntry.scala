@@ -6147,7 +6147,73 @@ object SparkEntry {
       // blobs and key-mash switch classes erratically
       TextQuality.charClassEntropy(tbl(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q375_drift_auc" -> ((s, dir) => {
+      // probabilistic-index drift effect size: the exact Mann-Whitney
+      // AUC of purchase values labeled by half — P(post > pre), the
+      // robust how-big companion to KS/PSI's is-there-drift
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)")
+          .as("wk"),
+          round(col("value") * 100).cast("long").as("v100"))
+      val b = ev.agg(min("wk").as("w0"), max("wk").as("w1"))
+      val tagged = ev.crossJoin(broadcast(b))
+        .withColumn("post", col("wk") >= expr("(w0 + w1 + 1) div 2"))
+      Evaluation.aucByRankSum(tagged.select(col("v100"), col("post")),
+        "v100", "post")
+    }),
+
+    "q376_simpsons_paradox" -> ((s, dir) => {
+      // Simpson's-paradox audit: the aggregate discount→quantity
+      // correlation sign vs every per-brand sign — when the segments
+      // outvote the aggregate, the aggregate is the confounded number
+      val j = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      val per = Stats.groupCorrelation(j, "p_brand",
+          "l_discount", "l_quantity")
+        .filter(col("corr").isNotNull && !isnan(col("corr")))
+      val glob = Stats.groupCorrelation(j.withColumn("_all", lit(1)),
+          "_all", "l_discount", "l_quantity")
+        .select(col("corr").as("global_corr"))
+      per.crossJoin(broadcast(glob))
+        .agg(max("global_corr").as("global_corr"),
+          count(lit(1)).as("n_segments"),
+          sum(when(signum(col("corr")) === signum(col("global_corr")), 1L)
+            .otherwise(0L)).as("n_agree"),
+          sum(when(signum(col("corr")) =!= signum(col("global_corr")), 1L)
+            .otherwise(0L)).as("n_disagree"))
+        .withColumn("paradox", col("n_disagree") > col("n_agree"))
+    }),
+
+    "q377_event_study" -> ((s, dir) => {
+      // event study around month starts: mean daily volume at offsets
+      // −3..+3 from each anchor vs the all-days baseline — the
+      // descriptive launch-impact plot before any causal claim
+      val daily = events(s, dir).select(to_date(col("ts")).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+        .withColumn("day",
+          expr("cast(datediff(d, date'1970-01-01') as long)"))
+      val anchors = daily.filter(dayofmonth(col("d")) === 1)
+        .select(col("day").as("a"))
+      val base = daily.agg(
+        (sum(col("n").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).as("baseline"))
+      anchors.crossJoin(daily.select(col("day"), col("n")))
+        .withColumn("off", col("day") - col("a"))
+        .filter(col("off").between(-3, 3))
+        .groupBy("off").agg(count(lit(1)).as("n_days"),
+          (sum(col("n").cast("decimal(38,0)")).cast("double") /
+            count(lit(1))).as("mean_n"))
+        .crossJoin(broadcast(base))
+        .select(col("off"), col("n_days"), round(col("mean_n"), 6)
+          .as("mean_n"),
+          round(col("mean_n") / col("baseline"), 6).as("lift"))
+        .orderBy("off")
+    })
   )
 
   // ======================================================================
@@ -10652,6 +10718,93 @@ object SparkEntry {
           |  round(0.0 - CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6)
           |    AS entropy
           |FROM tm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the q158 doubled-BIGINT rank-sum with post as the label over the
+      // q325 midpoint split
+      "q375_drift_auc" ->
+        """WITH pe AS (SELECT
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+          |      AS wk,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |bnd AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM pe),
+          |t AS (SELECT v, wk >= (w0 + w1 + 1) // 2 AS post FROM pe, bnd),
+          |bys AS (SELECT v AS s,
+          |    CAST(SUM(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          |    CAST(SUM(CASE WHEN post THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          |  FROM t GROUP BY v),
+          |cum AS (SELECT np, nn,
+          |    coalesce(SUM(nn) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS cum_nn
+          |  FROM bys)
+          |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+          |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+          |  CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+          |  CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
+          |    / (2 * SUM(np) * SUM(nn)) AS auc
+          |FROM cum""".stripMargin,
+
+      // the q271 Pearson CTE per brand and once globally; sign votes
+      "q376_simpsons_paradox" ->
+        """WITH j AS (SELECT p.p_brand, l.l_discount AS x,
+          |    l.l_quantity AS y
+          |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+          |st AS (SELECT p_brand, COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+          |  FROM j GROUP BY p_brand),
+          |per AS (SELECT p_brand,
+          |    round((n * sxy - sx * sy) /
+          |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+          |      AS corr
+          |  FROM st),
+          |pf AS (SELECT corr FROM per
+          |  WHERE corr IS NOT NULL AND NOT isnan(corr)),
+          |gs AS (SELECT COUNT(*) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(24,6))) AS DOUBLE) AS sxy
+          |  FROM j),
+          |g AS (SELECT round((n * sxy - sx * sy) /
+          |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+          |    AS global_corr FROM gs)
+          |SELECT max(global_corr) AS global_corr, count(*) AS n_segments,
+          |  CAST(SUM(CASE WHEN sign(corr) = sign(global_corr)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          |  CAST(SUM(CASE WHEN sign(corr) <> sign(global_corr)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+          |  CAST(SUM(CASE WHEN sign(corr) <> sign(global_corr)
+          |    THEN 1 ELSE 0 END) AS BIGINT)
+          |    > CAST(SUM(CASE WHEN sign(corr) = sign(global_corr)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS paradox
+          |FROM pf, g""".stripMargin,
+
+      // anchor days = month starts; offset means over the daily series
+      // against the all-days baseline
+      "q377_event_study" ->
+        """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+          |  FROM events GROUP BY 1),
+          |dd AS (SELECT d, CAST(n AS BIGINT) AS n,
+          |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS day
+          |  FROM daily),
+          |an AS (SELECT day AS a FROM dd WHERE day(d) = 1),
+          |base AS (SELECT CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+          |    / count(*) AS baseline FROM dd),
+          |off AS (SELECT dd.day - an.a AS off, dd.n
+          |  FROM an, dd WHERE dd.day - an.a BETWEEN -3 AND 3),
+          |g AS (SELECT off, count(*) AS n_days,
+          |    CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+          |      AS mean_n
+          |  FROM off GROUP BY off)
+          |SELECT off, n_days, round(mean_n, 6) AS mean_n,
+          |  round(mean_n / baseline, 6) AS lift
+          |FROM g, base ORDER BY off""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
