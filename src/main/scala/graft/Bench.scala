@@ -62,8 +62,21 @@ object Bench {
     val sjson = qmap(steady.map(_._2))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
+    // full per-query detail first — useful when the whole stdout is kept
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,""" +
       s""""steady_total":${fmt(steadyTotal)},"steady_queries":$sjson,"sf":"$sfDir"}""")
+    // FINAL line is a compact summary that always fits a bounded stdout
+    // tail (the r5 full line grew past the tail and the driver parsed
+    // null): totals + the 20 slowest of each pass + box contention so a
+    // regression can be attributed to neighbors rather than the engine
+    def top20(vals: Seq[(String, Double)]): String = vals.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val ncpu = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"steady_total":${fmt(steadyTotal)},""" +
+      s""""load_avg":${fmt(load)},"cpus":$ncpu,""" +
+      s""""top":${top20(results)},"steady_top":${top20(steady)}}""")
     spark.stop()
   }
 }

@@ -4427,9 +4427,13 @@ object SparkEntry {
       val margin = lit(z) * sqrt(
         (p * (lit(1.0) - p) + lit(z * z) / (lit(4.0) * col("n"))) /
           col("n"))
+      // clamp at 0: the Wilson lower bound is mathematically >= 0, and
+      // the clamp kills the -0.0-vs-+0.0 round() canonicalization split
+      // between DuckDB and Spark when center-margin ~ -1e-17
       hourly
         .withColumn("err_rate", round(p, 6))
-        .withColumn("wilson_lo", round((center - margin) / denom, 6))
+        .withColumn("wilson_lo",
+          round(greatest(lit(0.0), (center - margin) / denom), 6))
         .withColumn("wilson_hi", round((center + margin) / denom, 6))
         .orderBy("hour")
     }),
@@ -6173,13 +6177,31 @@ object SparkEntry {
         .join(broadcast(tbl(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
-      val per = Stats.groupCorrelation(j, "p_brand",
-          "l_discount", "l_quantity")
+      // ONE fact scan: per-brand decimal sufficient statistics; the
+      // global statistics are the exact decimal re-sum of the per-brand
+      // partials (decimal addition is associative), so the aggregate
+      // correlation costs a ~25-row aggregate, not a second scan
+      val d24 = (c: Column) => c.cast("decimal(24,6)")
+      val x = col("l_discount"); val y = col("l_quantity")
+      val st = j.groupBy("p_brand").agg(count(lit(1)).as("n"),
+        sum(d24(x)).as("dsx"), sum(d24(y)).as("dsy"),
+        sum(d24(x * x)).as("dsxx"), sum(d24(y * y)).as("dsyy"),
+        sum(d24(x * y)).as("dsxy"))
+      def corrOf(d: DataFrame): Column = {
+        val n = col("n")
+        val sx = col("dsx").cast("double"); val sy = col("dsy").cast("double")
+        val sxx = col("dsxx").cast("double"); val syy = col("dsyy").cast("double")
+        val sxy = col("dsxy").cast("double")
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+      }
+      val per = st.select(col("p_brand"), corrOf(st).as("corr"))
         .filter(col("corr").isNotNull && !isnan(col("corr")))
-      val glob = Stats.groupCorrelation(j.withColumn("_all", lit(1)),
-          "_all", "l_discount", "l_quantity")
-        .select(col("corr").as("global_corr"))
-      per.crossJoin(broadcast(glob))
+      val glob = st.agg(sum("n").as("n"), sum("dsx").as("dsx"),
+          sum("dsy").as("dsy"), sum("dsxx").as("dsxx"),
+          sum("dsyy").as("dsyy"), sum("dsxy").as("dsxy"))
+      val globc = glob.select(corrOf(glob).as("global_corr"))
+      per.crossJoin(broadcast(globc))
         .agg(max("global_corr").as("global_corr"),
           count(lit(1)).as("n_segments"),
           sum(when(signum(col("corr")) === signum(col("global_corr")), 1L)
@@ -6213,6 +6235,41 @@ object SparkEntry {
           .as("mean_n"),
           round(col("mean_n") / col("baseline"), 6).as("lift"))
         .orderBy("off")
+    }),
+
+    "q378_graph_store" -> ((s, dir) => {
+      // the persisted navigable-graph index end-to-end (the reference's
+      // stored-HNSW behavior, vector_store.py:266-271): build the q119
+      // NN-descent-refined kNN graph ONCE, persist it bucketed by node id
+      // (GraphStore.write), then serve the q129 beam search FROM THE
+      // STORE — each round's neighbor fetch is a partition-pruned point
+      // lookup of the beam's buckets, so a standing corpus pays the
+      // O(N·k·deg) build once and every session probe reads O(beam)
+      // directories of a store three orders smaller than the corpus
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+          centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val base = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      graft.plans.VectorExpressions.register(s)
+      val ring = e.select(col("vec_id").as("id"), col("embedding").as("_lv"))
+        .join(e.select((col("vec_id") - 1).as("id"), col("vec_id").as("nbr_id"),
+          col("embedding").as("_rv")), Seq("id"))
+        .select(col("id"), col("nbr_id"),
+          call_function("graft_cosine_distance", col("_lv"), col("_rv")).as("distance"))
+      val seed = base.select(col("id"), col("nbr_id"), col("distance"))
+        .unionByName(ring)
+      val refined = Similarity.nnDescentRefine(seed, e, "embedding", "vec_id", 3)
+      val root = sys.props("java.io.tmpdir") + s"/graft-graph-store-$tmpToken"
+      store.GraphStore.write(refined, root, nBuckets = 16)
+      store.GraphStore.beamSearch(s, root, nBuckets = 16, e, "embedding",
+          "vec_id", queryId = 5L, entryIds = Seq(0L, 1L, 2L, 3L),
+          beam = 8, iters = 2, k = 5)
+        .select(col("rank"), col("vec_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("rank")
     })
   )
 
@@ -8336,11 +8393,12 @@ object SparkEntry {
           |  FROM events GROUP BY 1)
           |SELECT hour, n, errs,
           |  round(CAST(errs AS DOUBLE) / n, 6) AS err_rate,
-          |  round(((CAST(errs AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+          |  round(greatest(0.0,
+          |    ((CAST(errs AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
           |    - 1.96 * sqrt((CAST(errs AS DOUBLE) / n
           |        * (1.0 - CAST(errs AS DOUBLE) / n)
           |        + 1.96 * 1.96 / (4.0 * n)) / n))
-          |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+          |    / (1.0 + 1.96 * 1.96 / n)), 6) AS wilson_lo,
           |  round(((CAST(errs AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
           |    + 1.96 * sqrt((CAST(errs AS DOUBLE) / n
           |        * (1.0 - CAST(errs AS DOUBLE) / n)
@@ -9482,8 +9540,9 @@ object SparkEntry {
           |SELECT g AS event_type, round(max(yhat), 6) AS yhat,
           |  max(n_train) AS n_train, max(n_calib) AS n_calib,
           |  round(max(qhat), 6) AS qhat, count(*) AS n_test,
-          |  CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
-          |    / count(*) AS coverage
+          |  CASE WHEN max(qhat) IS NULL THEN NULL
+          |    ELSE CAST(SUM(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+          |      / count(*) END AS coverage
           |FROM te JOIN q USING (g)
           |GROUP BY g ORDER BY event_type""".stripMargin,
 
@@ -10805,6 +10864,66 @@ object SparkEntry {
           |SELECT off, n_days, round(mean_n, 6) AS mean_n,
           |  round(mean_n / baseline, 6) AS lift
           |FROM g, base ORDER BY off""".stripMargin,
+
+      // the q119 refined-graph CTE prefix (bucket-local kNN + ring seed +
+      // one NN-descent round) feeding the q129 beam-search replay — the
+      // stored-graph probe must be indistinguishable from the in-query
+      // path, so the oracle never sees the store
+      "q378_graph_store" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g0 AS (SELECT id, nbr_id, distance FROM (
+          |    SELECT id, nbr_id, distance,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM p) WHERE rk <= 3),
+          |seed AS (SELECT id, nbr_id FROM g0
+          |  UNION ALL SELECT l.vec_id AS id, r.vec_id AS nbr_id
+          |  FROM embeddings l JOIN embeddings r ON r.vec_id = l.vec_id + 1),
+          |und AS (SELECT id, nbr_id FROM seed
+          |  UNION SELECT nbr_id AS id, id AS nbr_id FROM seed),
+          |nn AS (SELECT x.id, y.nbr_id FROM und x JOIN und y ON x.nbr_id = y.id
+          |    WHERE x.id <> y.nbr_id
+          |  UNION SELECT id, nbr_id FROM und),
+          |sc AS (SELECT nn.id, nn.nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM nn JOIN embeddings l ON nn.id = l.vec_id
+          |    JOIN embeddings r ON nn.nbr_id = r.vec_id),
+          |g1 AS (SELECT id, nbr_id FROM (
+          |    SELECT id, nbr_id,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM sc) WHERE rk <= 3),
+          |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT v AS qv FROM ev WHERE vec_id = 5),
+          |b0 AS (SELECT vec_id AS cand,
+          |    1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM ev, q WHERE vec_id IN (0, 1, 2, 3)
+          |  ORDER BY distance, cand LIMIT 8),
+          |x1 AS (SELECT DISTINCT cand FROM (
+          |  SELECT g1.nbr_id AS cand FROM b0 JOIN g1 ON g1.id = b0.cand
+          |  UNION ALL SELECT cand FROM b0)),
+          |b1 AS (SELECT x1.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM x1 JOIN ev ON ev.vec_id = x1.cand, q
+          |  ORDER BY distance, cand LIMIT 8),
+          |x2 AS (SELECT DISTINCT cand FROM (
+          |  SELECT g1.nbr_id AS cand FROM b1 JOIN g1 ON g1.id = b1.cand
+          |  UNION ALL SELECT cand FROM b1)),
+          |b2 AS (SELECT x2.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+          |  FROM x2 JOIN ev ON ev.vec_id = x2.cand, q
+          |  ORDER BY distance, cand LIMIT 8)
+          |SELECT CAST(row_number() OVER (ORDER BY distance, cand) AS INT) AS rank,
+          |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
+          |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -912,7 +912,15 @@ object Dedup {
         sum("w").as("n_clustered"),
         sum((col("w") * col("w")).cast("decimal(38,0)")).cast("double")
           .as("sw2"))
-      .withColumn("n_singletons", lit(corpusSize) - col("n_clustered"))
+      // a corpusSize smaller than the clustered-row count would yield
+      // negative singletons and a silently wrong (possibly > 1) Kish
+      // ratio — fail loudly in the data path instead
+      .withColumn("n_singletons",
+        when(lit(corpusSize) < col("n_clustered"),
+          raise_error(concat(lit("effectiveSampleSize: corpusSize "),
+            lit(corpusSize), lit(" < clustered rows "),
+            col("n_clustered"))))
+          .otherwise(lit(corpusSize) - col("n_clustered")).cast("long"))
       // singletons contribute w=1: Σw = corpusSize, Σw² += n_singletons
       .withColumn("n_eff",
         (lit(corpusSize.toDouble) * corpusSize) /

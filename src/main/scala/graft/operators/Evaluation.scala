@@ -518,10 +518,14 @@ object Evaluation {
         Window.partitionBy("q").orderBy("r")))
       .withColumn("prec",
         when(col("hit") === 1, col("cum").cast("double") / col("r")))
-    val ap = hits.groupBy("q")
-      .agg(sum(col("prec").cast("decimal(38,18)")).cast("double")
-        .as("sum_prec"), sum("hit").as("n_hit"))
-      .join(relCount, Seq("q"))
+    // drive the per-query frame from relCount (left join), so a query
+    // present in `exact` but with NO rows in `approx` still contributes
+    // AP = 0 to MAP instead of dropping out of the denominator
+    val ap = relCount
+      .join(hits.groupBy("q")
+        .agg(sum(col("prec").cast("decimal(38,18)")).cast("double")
+          .as("sum_prec"), sum("hit").as("n_hit")), Seq("q"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("ap", coalesce(col("sum_prec"), lit(0.0)) / col("n_rel"))
     ap.withColumn("nq", count(lit(1)).over(Window.partitionBy(lit(1))))
       .withColumn("map", sum(col("ap").cast("decimal(38,18)"))

@@ -206,14 +206,15 @@ object Profiling {
     val d = p.join(cs, Seq("key"), "left")
       .withColumn("children", coalesce(col("children"), lit(0L)))
       .withColumn("delta", col("declared") - col("children"))
-    val all = Window.partitionBy(lit(1))
-    d.withColumn("n_parents", count(lit(1)).over(all))
-      .withColumn("n_mismatched",
-        sum(when(col("delta") =!= 0L, 1L).otherwise(0L)).over(all))
-      .withColumn("total_abs_delta", sum(abs(col("delta"))).over(all))
-      .withColumn("_rk", row_number().over(
-        Window.orderBy(abs(col("delta")).desc, col("key").asc)))
-      .filter(col("_rk") <= topK)
+    // global counts via a single-row aggregate + broadcast (not a
+    // partition-by-1 window, which funnels the full frame through one
+    // task), and the top-K rank via orderBy+limit, which Spark executes
+    // as TakeOrderedAndProject — bounded at every scale
+    val totals = d.agg(count(lit(1)).as("n_parents"),
+      sum(when(col("delta") =!= 0L, 1L).otherwise(0L)).as("n_mismatched"),
+      sum(abs(col("delta"))).as("total_abs_delta"))
+    d.orderBy(abs(col("delta")).desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(totals))
       .select(col("key"), col("declared"), col("children"), col("delta"),
         col("n_parents"), col("n_mismatched"), col("total_abs_delta"))
   }

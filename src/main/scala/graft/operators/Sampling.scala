@@ -423,11 +423,14 @@ object Sampling {
           col("n_h")))
       .withColumn("w", col("n_h").cast("double") * col("sigma"))
     val tot = per.agg(
-      sum(col("w").cast("decimal(38,18)")).cast("double").as("_wt"))
+      sum(col("w").cast("decimal(38,18)")).cast("double").as("_wt"),
+      sum(col("n_h")).as("_nt"))
+    // degenerate case: all strata constant (Σ N_h·σ_h = 0) — fall back
+    // to proportional-to-N_h quotas so Σ n_alloc == budget still holds
     val q = per.crossJoin(broadcast(tot))
       .withColumn("quota",
         when(col("_wt") > 0, lit(budget.toDouble) * col("w") / col("_wt"))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(budget.toDouble) * col("n_h") / col("_nt")))
       .withColumn("base", floor(col("quota")))
       .withColumn("frac", col("quota") - col("base"))
     val rem = q.agg((lit(budget) -

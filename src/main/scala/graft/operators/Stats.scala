@@ -1028,6 +1028,13 @@ object Stats {
         count(lit(1)).as("n_test"),
         (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("coverage"))
+      // calibration fold too small (kk > n_calib): the conformal
+      // convention is qhat = +inf => coverage 1 by definition; report
+      // NULL coverage rather than the misleading 0.0 that `r <= NULL`
+      // would otherwise produce
+      .withColumn("coverage",
+        when(col("qhat").isNull, lit(null).cast("double"))
+          .otherwise(col("coverage")))
       .withColumnRenamed("g", groupCol)
   }
 }

@@ -1,0 +1,90 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed navigable-graph index: a kNN graph (built by
+  * [[graft.operators.Similarity.knnGraph]], refined by
+  * [[graft.operators.Similarity.nnDescentRefine]]) persisted as adjacency
+  * rows `partitionBy("bucket")` where `bucket = id mod nBuckets` — so a
+  * beam-search round's neighbor fetch is a PARTITION-PRUNED point lookup
+  * of exactly the beam's buckets, never a graph scan. This is the
+  * build-once/serve-many half the reference gets from its persisted HNSW
+  * index (reference: src/server/app/embed/vector_store.py:266-271, index
+  * types embed/schemas.py:17): without it a standing corpus re-pays the
+  * O(N·k·degree) graph build every session; with it a session pays
+  * `iters` pruned lookups of ≤ beam·k edge rows.
+  *
+  * Same layout discipline as the cell-partitioned [[AnnStore]] and the
+  * term-bucketed [[IndexStore]] — one store pattern, three indexes. At
+  * 100 TB the adjacency store is ~N·k rows of (long, int, long, double):
+  * three orders smaller than the corpus, and the probe path reads
+  * O(beam) directories of it.
+  */
+object GraphStore {
+
+  /** Persist a (id, rank, nbr_id, distance) graph bucketed by source id.
+    * `repartition` by the partition column first so each bucket is
+    * written by one task (the AnnStore.write lesson — without it every
+    * task writes a sliver of every bucket and the store fragments into
+    * nTasks × nBuckets files). */
+  def write(graph: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    graph
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Adjacency rows of the given nodes, reading ONLY their buckets: the
+    * `bucket` predicate lands in the scan's PartitionFilters (pinned by
+    * GraphStoreSpec), the `id` predicate in PushedFilters — unprobed
+    * bucket directories are never opened. */
+  def neighbors(spark: SparkSession, path: String, ids: Seq[Long],
+                nBuckets: Int): DataFrame = {
+    val buckets = ids.map(i => Integer.valueOf((i % nBuckets).toInt)).distinct
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("id").isin(ids.map(java.lang.Long.valueOf): _*))
+  }
+
+  /** Greedy beam search served FROM THE STORE — output-identical to
+    * [[graft.operators.Similarity.graphBeamSearch]] on the same graph
+    * (same expansion, same (distance, id) order, spec-pinned), but each
+    * round's edge fetch is a pruned point lookup instead of a join
+    * against an in-memory frame. The beam is collected per round — ≤
+    * `beam` ids by construction, the same bounded-driver-state pattern as
+    * AnnStore.merge's touched-cell list — because partition pruning needs
+    * literal bucket values at plan time; that collect is exactly what
+    * makes the 100 TB probe read O(beam) directories. */
+  def beamSearch(spark: SparkSession, path: String, nBuckets: Int,
+                 corpus: DataFrame, vecCol: String, idCol: String,
+                 queryId: Long, entryIds: Seq[Long], beam: Int, iters: Int,
+                 k: Int): DataFrame = {
+    import spark.implicits._
+    graft.plans.VectorExpressions.register(spark)
+    val vecs = corpus.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).as("_vv"))
+    val qv = broadcast(vecs.filter(col("_vid") === queryId)
+      .select(col("_vv").as("_qv")))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(vecs, cands("cand") === vecs("_vid"))
+      .crossJoin(qv)
+      .select(col("cand"), call_function("graft_cosine_distance",
+        col("_vv"), col("_qv")).as("distance"))
+      .orderBy(col("distance").asc, col("cand").asc)
+      .limit(beam)
+    var beamDf = score(entryIds.toDF("cand"))
+    for (_ <- 1 to iters) {
+      val beamIds = beamDf.select("cand").collect().map(_.getLong(0)).toSeq
+      val expanded = neighbors(spark, path, beamIds, nBuckets)
+        .select(col("nbr_id").as("cand"))
+        .union(beamDf.select(col("cand")))
+        .distinct()
+      beamDf = score(expanded)
+    }
+    val w = Window.orderBy(col("distance").asc, col("cand").asc)
+    beamDf.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("cand").as(idCol), col("distance"))
+  }
+}

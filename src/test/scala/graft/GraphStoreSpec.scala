@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.store.GraphStore
+
+class GraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny deterministic corpus: 24 vectors on a 2-D fan so cosine
+  // neighborhoods are unambiguous (angle order == neighbor order)
+  private def corpus = (0 until 24).map { i =>
+    val a = i * 0.12
+    (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private def refinedGraph = {
+    val e = corpus
+    val centroids = e.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val assigned = Similarity.assignNearestCentroid(e, "embedding",
+        "vec_id", centroids, "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val base = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+    Similarity.nnDescentRefine(base, e, "embedding", "vec_id", 3)
+  }
+
+  test("stored-graph beam search equals the in-query path (build once, probe many)") {
+    val g = refinedGraph.cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(g, path, nBuckets = 4)
+    val inQuery = Similarity.graphBeamSearch(g, corpus, "embedding",
+        "vec_id", queryId = 7L, entryIds = Seq(0L, 12L), beam = 6,
+        iters = 2, k = 4)
+      .select("rank", "vec_id", "distance")
+      .as[(Int, Long, Double)].collect().toSeq
+    // probe the SAME store twice — the build is paid once, each probe is
+    // a pruned lookup; both must match the in-query result exactly
+    (1 to 2).foreach { _ =>
+      val stored = GraphStore.beamSearch(spark, path, nBuckets = 4,
+          corpus, "embedding", "vec_id", queryId = 7L,
+          entryIds = Seq(0L, 12L), beam = 6, iters = 2, k = 4)
+        .select("rank", "vec_id", "distance")
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(stored == inQuery)
+    }
+    g.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("neighbors() partition-prunes to the probed id buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore2").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(refinedGraph, path, nBuckets = 4)
+    // ids 5 and 9 both land in bucket 1 (mod 4) — exactly one directory
+    val look = GraphStore.neighbors(spark, path, Seq(5L, 9L), nBuckets = 4)
+    val p = look.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // bucket predicate in PartitionFilters (pruned directories), id
+    // predicate pushed to the scan — never a full-graph read
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("PushedFilters") && p.contains("id"), p)
+    assert(look.select("id").distinct().as[Long].collect().toSet ==
+      Set(5L, 9L))
+    // every returned adjacency row belongs to a probed node
+    assert(look.select("rank").count() == look.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("store layout: one directory per bucket, ids stay in their bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore3").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(refinedGraph, path, nBuckets = 4)
+    val buckets = new java.io.File(path).list()
+      .filter(_.startsWith("bucket=")).toSeq.sorted
+    assert(buckets == (0 until 4).map(b => s"bucket=$b"))
+    val bad = spark.read.parquet(path)
+      .filter(pmod(col("id"), lit(4L)).cast("int") =!= col("bucket"))
+    assert(bad.count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+}
