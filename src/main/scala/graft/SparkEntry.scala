@@ -6270,6 +6270,29 @@ object SparkEntry {
         .select(col("rank"), col("vec_id"),
           round(col("distance"), 6).as("distance"))
         .orderBy("rank")
+    }),
+
+    "q379_ocr_roundtrip" -> ((s, dir) => {
+      // deterministic OCR at corpus scale — the scanned-page half of deep
+      // parse (S5, the reference's Docling do_ocr, document.py:192-222):
+      // every document's first 40 chars are RENDERED to a real PNG page
+      // with the fixed 5×7 font, decoded back through the JDK codec, and
+      // template-matched to text again; `match` proves
+      // ocr(render(text)) == normalize(text) on every row. Both codec
+      // legs are map-side — the whole pipeline rides the scan stage
+      val pages = operators.Multimodal.renderTextPages(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", chars = 40, cols = 20)
+      val expected = regexp_replace(upper(substring(col("text"), 1, 40)),
+        lit("[^A-Z0-9 ]"), lit(" "))
+      operators.Multimodal.ocrColumn(pages, "page_png")
+        .withColumn("ocr_flat",
+          rtrim(regexp_replace(col("ocr_text"), lit("\n"), lit(""))))
+        .select(col("doc_id"),
+          length(rtrim(expected)).cast("int").as("n_chars"),
+          col("ocr_flat").as("ocr_text"),
+          (col("ocr_flat") === rtrim(expected)).as("match"))
+        .orderBy("doc_id")
     })
   )
 
@@ -10924,6 +10947,19 @@ object SparkEntry {
           |SELECT CAST(row_number() OVER (ORDER BY distance, cand) AS INT) AS rank,
           |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
           |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
+
+      // the oracle never sees a pixel: it states the expected OCR output
+      // as the SQL-expressible normalization (upper + non-[A-Z0-9 ]→space)
+      // and asserts match on every row — hash equality proves the
+      // render→encode→decode→segment→template-match loop is lossless
+      "q379_ocr_roundtrip" ->
+        """WITH n AS (SELECT doc_id,
+          |    rtrim(regexp_replace(upper(substring(text, 1, 40)),
+          |      '[^A-Z0-9 ]', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars,
+          |  norm AS ocr_text, true AS match
+          |FROM n ORDER BY doc_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

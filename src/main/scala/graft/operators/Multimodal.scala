@@ -257,4 +257,44 @@ object Multimodal {
         count(lit(1)).as("n_frames"), sum("energy").as("energy"))
       .select("id", "start_frame", "end_frame", "n_frames", "energy")
   }
+
+  /** Render a text column to scanned-page PNGs with the fixed 5×7 OCR
+    * font ([[graft.sources.Ocr]]): appends `page_png BINARY` holding the
+    * first `chars` normalized characters laid out `cols` per line. Pure
+    * map-side — the render (like any codec) rides the scan stage. */
+  def renderTextPages(df: DataFrame, textCol: String, chars: Int,
+                      cols: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("page_png", BinaryType))
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = Option(r.getString(idx)).getOrElse("")
+        Row.fromSeq(r.toSeq :+
+          graft.sources.Ocr.renderPagePng(text.take(chars), cols))
+      }
+    }(enc)
+  }
+
+  /** OCR a binary image column with the deterministic fixed-font
+    * recognizer: appends `ocr_text STRING` — the full recognized grid
+    * with line pad KEPT (so `replace(ocr_text, '\n', '')` reconstructs
+    * the page's character stream exactly) — NULL when the bytes don't
+    * decode or don't honor the page layout contract. Map-side like every
+    * codec; decode + segment + template match per row. */
+  def ocrColumn(df: DataFrame, binCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("ocr_text", StringType))
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](idx)).getOrElse(Array.emptyByteArray)
+        val ocr = graft.sources.BinaryMedia.decodeGrayImage(bytes)
+          .flatMap(graft.sources.Ocr.ocrImage).orNull
+        Row.fromSeq(r.toSeq :+ ocr)
+      }
+    }(enc)
+  }
 }

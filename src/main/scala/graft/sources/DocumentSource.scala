@@ -103,6 +103,19 @@ object DocumentSource {
               Row(path, fname, e, r.getLong(1), r.getTimestamp(2), null, false,
                 s"parse-error: ${ex.getMessage}")
             }
+          // deep mode OCRs scanned-page images (the reference's Docling
+          // do_ocr path, document.py:192-222) via the deterministic
+          // fixed-font recognizer — real decode + segment + match, gated
+          // by q379's render→ocr corpus round-trip
+          case None if deep && Set("png", "gif", "bmp").contains(e) =>
+            Ocr.ocrBytes(bytes) match {
+              case Some(text) =>
+                Row(path, fname, e, r.getLong(1), r.getTimestamp(2),
+                  text, true, null)
+              case None =>
+                Row(path, fname, e, r.getLong(1), r.getTimestamp(2), null,
+                  false, "ocr-failed: undecodable or non-page layout")
+            }
           case None =>
             Row(path, fname, e, r.getLong(1), r.getTimestamp(2), null, false,
               s"unsupported extension: $e")
