@@ -6293,6 +6293,151 @@ object SparkEntry {
           col("ocr_flat").as("ocr_text"),
           (col("ocr_flat") === rtrim(expected)).as("match"))
         .orderBy("doc_id")
+    }),
+
+    "q380_ops_lifecycle" -> ((s, dir) => {
+      // the ops lifecycle end-to-end, oracle-gating the spec-only residue
+      // in ONE flow: bounded ZIP ingest (S11) → filename-alias compaction
+      // (P8) → chunk + LangChain-shaped JSON sink/source round-trip (S7)
+      // → job state machine with a reaped-stale archive (ST2) → divmod
+      // question apportioning (A7) → identifier-validated view (P10) +
+      // SELECT-only guard (G3) + result-set cap (R7). The fixture zips
+      // are generated from the documents table, so every output column is
+      // a pure SQL function of (doc_id, text) the oracle restates
+      import java.util.zip.{ZipEntry, ZipOutputStream}
+      val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ops-$tmpToken")
+      val zipDir = new java.io.File(root, "zips"); zipDir.mkdirs()
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      (0 until 4).foreach { a =>
+        val zout = new ZipOutputStream(new java.io.FileOutputStream(
+          new java.io.File(zipDir, s"batch$a.zip")))
+        docs.filter { case (id, _) => id / 10 == a }.foreach { case (id, text) =>
+          val name = if (id % 10 == 7) s"a very long name for doc $id.txt"
+                     else s"doc$id.txt"
+          zout.putNextEntry(new ZipEntry(name))
+          zout.write(text.getBytes("UTF-8")); zout.closeEntry()
+        }
+        zout.close()
+      }
+      val entries = sources.ZipIngest.explodeArchives(s, zipDir.getAbsolutePath)
+        .filter(col("ok"))
+        .withColumn("doc_id",
+          regexp_extract(col("entry_name"), "(\\d+)\\.txt$", 1).cast("long"))
+        .withColumn("archive", expr("cast(doc_id div 10 as int)"))
+        .withColumn("text", col("content").cast("string"))
+      val aliasUdf = udf(store.VectorStore.filenameAlias _)
+      val aliased = entries.withColumn("alias", aliasUdf(col("entry_name")))
+      val chunks = Chunker.chunkWithIds(
+          aliased.select(col("doc_id"), col("text")), "doc_id", "text", 200, 50)
+        .select(col("chunk_id").as("id"), col("chunk").as("text"),
+          map(lit("doc_id"), col("doc_id").cast("string")).as("metadata"))
+      val cjPath = new java.io.File(root, "chunks").getAbsolutePath
+      sources.ChunkJson.write(chunks, cjPath)
+      val counts = sources.ChunkJson.read(s, cjPath)
+        .withColumn("doc_id", col("metadata")("doc_id").cast("long"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      // ST2: queued→running→heartbeat→succeeded for archives 0-2; archive
+      // 3 never heartbeats and is reaped to failed("stale")
+      import streaming.JobTracker
+      val jobs = (0 until 4).map { a =>
+        val t0 = a * 1000L
+        var j = JobTracker.Job(s"batch$a.zip", JobTracker.Queued, t0, t0)
+        j = JobTracker.transition(j, JobTracker.Running, t0 + 1000)
+        if (a != 3) {
+          j = JobTracker.heartbeat(j, t0 + 30000)
+          j = JobTracker.transition(j, JobTracker.Succeeded, t0 + 60000)
+        }
+        j
+      }
+      val reaped = JobTracker.reapStale(jobs, now = 400000L)
+      import s.implicits._
+      val jobsDf = reaped.map(j => (j.id, j.status.toString.toLowerCase,
+          j.error.orNull)).toDF("job_id", "job_status", "job_error")
+        .withColumn("archive",
+          regexp_extract(col("job_id"), "(\\d+)", 1).cast("int"))
+      val quotaDf = testbed.Testbed.apportion(25, 4).zipWithIndex
+        .map { case (q, i) => (i, q) }.toDF("archive", "q_quota")
+      val rollup = aliased.select(col("doc_id"), col("entry_name"),
+          col("alias"), col("archive"))
+        .join(counts, Seq("doc_id"), "left")
+        .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+        .join(broadcast(jobsDf.select("archive", "job_status", "job_error")),
+          Seq("archive"))
+        .join(broadcast(quotaDf), Seq("archive"))
+      require(plans.SecureViews.isValidIdentifier("graft_ops_rollup"))
+      rollup.createOrReplaceTempView("graft_ops_rollup")
+      plans.SelectOnly.executeCapped(s,
+        "SELECT doc_id, entry_name, alias, archive, n_chunks, job_status, " +
+          "job_error, q_quota FROM graft_ops_rollup ORDER BY doc_id LIMIT 25",
+        maxRows = 30)
+    }),
+
+    "q381_rag_combined" -> ((s, dir) => {
+      // the flagship COMBINED chat route end-to-end with deterministic
+      // slots (the reference's multi_tool.py:141-181 shape): classify →
+      // vecsearch / nl2sql / BOTH branches → grade-gated answer →
+      // synthesis, with per-step token-usage folding (A5) riding along.
+      // Three questions hit the three classifier outcomes; every answer
+      // string, doc count, and token total is restated by the oracle
+      // from embeddings + documents alone — the L2-L7 slot plumbing,
+      // route resolution, and usage fold are what is being gated
+      import pipeline.RagPipeline
+      import pipeline.RagPipeline.TokenUsage
+      val e = tbl(s, dir, "embeddings")
+      def storeOf(parity: Int) = e.filter(col("label") % 2 === parity)
+        .select(col("vec_id").as("id"),
+          concat(lit("vec-"), col("vec_id") % 50).as("text"), col("embedding"))
+      val stores = Map("docs_even" -> storeOf(0), "docs_odd" -> storeOf(1))
+      val vecMap = e.filter(col("vec_id").isin(3L, 7L))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val embedFn: pipeline.Embedder.EmbedFn = texts => texts.map { t =>
+        vecMap("\\d+".r.findFirstIn(t).map(_.toLong).getOrElse(3L))
+      }
+      def tok(t: String): Long = t.split("\\s+").count(_.nonEmpty).toLong
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      val usages = scala.collection.mutable.ListBuffer.empty[TokenUsage]
+      var label: String = null
+      val slots = RagPipeline.Slots(
+        classify = q => {
+          usages += TokenUsage(tok(q), 1)
+          label = if (q.startsWith("summarize")) "both"
+                  else RagPipeline.Slots().classify(q)
+          label
+        },
+        answer = (q, docs) => {
+          val a = s"[$q] -> ${docs.size} docs"
+          usages += TokenUsage(tok(q), tok(a)); a
+        },
+        synthesize = (q, sa, va) => {
+          val out = s"$sa\n$va"
+          usages += TokenUsage(tok(sa) + tok(va), tok(out)); out
+        },
+        grade = (_, d) => d.nonEmpty)
+      val runSql: String => String = q => {
+        val n = plans.SelectOnly.executeCapped(s,
+          "SELECT count(*) AS n FROM graft_docs").head().getLong(0)
+        val a = s"docs=$n"
+        usages += TokenUsage(tok(q), tok(a)); a
+      }
+      val qs = Seq((0, "describe vec 3 design patterns"),
+        (1, "how many documents total"), (2, "summarize vec 7 blend"))
+      val rows = qs.map { case (qi, qtext) =>
+        usages.clear(); label = null
+        val res = RagPipeline.execute(s, stores, qtext, Nil, embedFn, runSql,
+          cfg = RagPipeline.Config(gradeEnabled = true), slots = slots,
+          vecSearchEnabled = true, nl2sqlEnabled = true)
+        val u = TokenUsage.fold(usages.toSeq)
+        (qi, label, res.route.toString.toLowerCase, res.docs.count(),
+          u.prompt, u.completion, res.answer)
+      }
+      import s.implicits._
+      rows.toDF("q_id", "label", "route", "n_docs", "prompt_tokens",
+          "completion_tokens", "answer")
+        .withColumn("q_id", col("q_id").cast("int"))
+        .orderBy("q_id")
     })
   )
 
@@ -10960,6 +11105,81 @@ object SparkEntry {
           |SELECT doc_id, CAST(length(norm) AS INT) AS n_chars,
           |  norm AS ocr_text, true AS match
           |FROM n ORDER BY doc_id""".stripMargin,
+
+      // every column restated as a pure SQL function of (doc_id, text):
+      // entry names by the fixture rule, P8 alias via sha256, chunk count
+      // by the q11 window formula, job outcome by the reap rule (archive
+      // 3 never heartbeats), quota by divmod apportioning
+      "q380_ops_lifecycle" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+          |e AS (SELECT doc_id, text,
+          |    CASE WHEN doc_id % 10 = 7
+          |      THEN 'a very long name for doc ' || CAST(doc_id AS VARCHAR) || '.txt'
+          |      ELSE 'doc' || CAST(doc_id AS VARCHAR) || '.txt' END AS entry_name,
+          |    CAST(doc_id // 10 AS INT) AS archive
+          |  FROM d),
+          |al AS (SELECT *,
+          |    upper(regexp_replace(entry_name, '\W', '_', 'g')) AS base
+          |  FROM e),
+          |r AS (SELECT doc_id, entry_name,
+          |    CASE WHEN length(base) <= 20 THEN base
+          |      ELSE substring(base, 1, 12) || '_' ||
+          |        upper(substring(sha256(entry_name), 1, 8)) END AS alias,
+          |    archive,
+          |    CAST(CASE WHEN length(text) = 0 THEN 0
+          |      ELSE (length(text) + 149) // 150 END AS BIGINT) AS n_chunks,
+          |    CASE WHEN archive = 3 THEN 'failed' ELSE 'succeeded' END
+          |      AS job_status,
+          |    CASE WHEN archive = 3 THEN 'stale: heartbeat lost' END
+          |      AS job_error,
+          |    CAST(25 // 4 + CASE WHEN archive < 25 % 4 THEN 1 ELSE 0 END
+          |      AS INT) AS q_quota
+          |  FROM al)
+          |SELECT doc_id, entry_name, alias, archive, n_chunks, job_status,
+          |  job_error, q_quota
+          |FROM r ORDER BY doc_id LIMIT 25""".stripMargin,
+
+      // three questions, three classifier outcomes; doc counts replay the
+      // q55 multistore pipeline (normalize 1−d/2, threshold .65, dedup
+      // keep-max on md5(text), global top-8) for query vectors 3 and 7;
+      // token totals are whitespace-token arithmetic over the literal
+      // question/answer strings (count renders as ONE token either way)
+      "q381_rag_combined" ->
+        """WITH dc AS (SELECT count(*) AS d FROM documents),
+          |q3 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3),
+          |q7 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+          |s3 AS (SELECT vec_id AS id, 'vec-' || CAST(vec_id % 50 AS VARCHAR) AS text,
+          |    1.0 - (1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) / 2.0 AS score,
+          |    row_number() OVER (PARTITION BY label % 2
+          |      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id) AS rk
+          |  FROM embeddings, q3),
+          |n3 AS (SELECT count(*) AS n FROM (
+          |  SELECT 1 FROM (SELECT *, row_number() OVER (
+          |      PARTITION BY md5(text) ORDER BY score DESC, id) AS rn
+          |    FROM s3 WHERE rk <= 8 AND score >= 0.65) WHERE rn = 1
+          |  ORDER BY score DESC, id LIMIT 8)),
+          |s7 AS (SELECT vec_id AS id, 'vec-' || CAST(vec_id % 50 AS VARCHAR) AS text,
+          |    1.0 - (1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) / 2.0 AS score,
+          |    row_number() OVER (PARTITION BY label % 2
+          |      ORDER BY 1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), vec_id) AS rk
+          |  FROM embeddings, q7),
+          |n7 AS (SELECT count(*) AS n FROM (
+          |  SELECT 1 FROM (SELECT *, row_number() OVER (
+          |      PARTITION BY md5(text) ORDER BY score DESC, id) AS rn
+          |    FROM s7 WHERE rk <= 8 AND score >= 0.65) WHERE rn = 1
+          |  ORDER BY score DESC, id LIMIT 8))
+          |SELECT * FROM (
+          |  SELECT 0 AS q_id, 'vecsearch' AS label, 'combined' AS route,
+          |    CAST(n3.n AS BIGINT) AS n_docs, CAST(10 AS BIGINT) AS prompt_tokens,
+          |    CAST(9 AS BIGINT) AS completion_tokens,
+          |    '[describe vec 3 design patterns] -> ' || n3.n || ' docs' AS answer
+          |  FROM n3
+          |  UNION ALL SELECT 1, 'nl2sql', 'combined', 0, 8, 2, 'docs=' || d FROM dc
+          |  UNION ALL SELECT 2, 'both', 'combined', CAST(n7.n AS BIGINT), 20, 17,
+          |    'docs=' || d || chr(10) ||
+          |    '[summarize vec 7 blend] -> ' || n7.n || ' docs'
+          |  FROM n7, dc)
+          |ORDER BY q_id""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
