@@ -137,4 +137,42 @@ class IndexStoreSpec extends SparkSpec {
       java.nio.file.Paths.get(mergedPath + "_staging")))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("store layout: every cell holds exactly ONE data file, after write AND merge") {
+    // the repartition(partitionCol)-before-write discipline: without it a
+    // store fragments into nTasks × nCells files and merge cost stops
+    // being O(touched cells). Pinned for both stores (MergeProbe measures
+    // the same property at 8×-replicated sf0.1 scale).
+    import graft.operators.{Retrieval, Similarity}
+    import graft.store.{AnnStore, IndexStore}
+    def dataFiles(root: String): Map[String, Int] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+        .map(c => c.getName ->
+          c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_onefile").toFile
+    // index store: 32 docs over 8 buckets, then a merge batch
+    val idxPath = s"${dir.getAbsolutePath}/idx"
+    val c1 = (0 until 32).map(i => (i.toLong, s"alpha t$i shared")).toDF("doc_id", "text")
+    IndexStore.write(Retrieval.invertedIndex(c1, "doc_id", "text"), idxPath, 8)
+    assert(dataFiles(idxPath).values.forall(_ == 1), dataFiles(idxPath))
+    IndexStore.merge(spark, idxPath, Retrieval.invertedIndex(
+      Seq((100L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text"), 8)
+    assert(dataFiles(idxPath).values.forall(_ == 1), dataFiles(idxPath))
+    // ANN store: 3 cells, then a merge batch into one cell
+    val annPath = s"${dir.getAbsolutePath}/ann"
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.0f, 1.0f)), (5L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val centsDf = Seq(0 -> Seq(1.0f, 0.0f), 1 -> Seq(0.0f, 1.0f),
+      2 -> Seq(-1.0f, 0.0f)).toDF("cid", "cv")
+    AnnStore.write(Similarity.assignNearestCentroid(corpus, "embedding",
+      "vec_id", centsDf, "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("centroid_id")), annPath)
+    assert(dataFiles(annPath).values.forall(_ == 1), dataFiles(annPath))
+    AnnStore.merge(spark, annPath, Seq((9L, Seq(0.99f, 0.01f)))
+      .toDF("vec_id", "embedding"), centsDf, "cid", "cv", "embedding", "vec_id")
+    assert(dataFiles(annPath).values.forall(_ == 1), dataFiles(annPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
