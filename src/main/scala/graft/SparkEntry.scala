@@ -6438,6 +6438,33 @@ object SparkEntry {
           "completion_tokens", "answer")
         .withColumn("q_id", col("q_id").cast("int"))
         .orderBy("q_id")
+    }),
+
+    "q382_graph_merge" -> ((s, dir) => {
+      // incremental insert into the persisted graph index (the HNSW
+      // insert shape): base graph on the even-id corpus is STORED, the
+      // odd-id batch merges in — exact forward edges + reverse links,
+      // touched lists re-trimmed to k, only O(batch·k) buckets swapped.
+      // The oracle restates the merged adjacency exactly (old bucket-
+      // local edges ∪ new↔NNk links, re-ranked), so hash equality proves
+      // the store merge adds no semantics beyond the stated insert rule
+      val e = tbl(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 2 === 0)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(old, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val root = sys.props("java.io.tmpdir") + s"/graft-graph-merge-$tmpToken"
+      store.GraphStore.write(graph, root, nBuckets = 16)
+      val batch = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+      store.GraphStore.merge(s, root, nBuckets = 16, old, batch,
+        "embedding", "vec_id", k = 3)
+      s.read.parquet(root).filter(col("id") < 100)
+        .select(col("id"), col("rank"), col("nbr_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("id", "rank")
     })
   )
 
@@ -11180,6 +11207,48 @@ object SparkEntry {
           |    '[summarize vec 7 blend] -> ' || n7.n || ' docs'
           |  FROM n7, dc)
           |ORDER BY q_id""".stripMargin,
+
+      // merged graph = re-rank of (even-corpus bucket-local kNN edges ∪
+      // exact new→NN3 forward edges ∪ reverse links) per node, top-3 —
+      // the insert rule the store merge must implement and nothing more
+      "q382_graph_merge" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |o AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT o.vec_id, o.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY o.vec_id
+          |        ORDER BY list_distance(CAST(o.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+          |    FROM o, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g0 AS (SELECT id, nbr_id, distance FROM (
+          |    SELECT id, nbr_id, distance,
+          |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+          |    FROM p) WHERE rk <= 3),
+          |nw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 100),
+          |fw AS (SELECT id, nbr_id, distance FROM (
+          |    SELECT nw.vec_id AS id, o.vec_id AS nbr_id,
+          |      1.0 - list_cosine_similarity(CAST(o.embedding AS DOUBLE[]), nw.v)
+          |        AS distance,
+          |      row_number() OVER (PARTITION BY nw.vec_id
+          |        ORDER BY 1.0 - list_cosine_similarity(CAST(o.embedding AS DOUBLE[]), nw.v),
+          |          o.vec_id) AS rk
+          |    FROM nw, o) WHERE rk <= 3),
+          |rv AS (SELECT nbr_id AS id, id AS nbr_id, distance FROM fw),
+          |allx AS (SELECT id, nbr_id, distance FROM g0
+          |  UNION ALL SELECT id, nbr_id, distance FROM fw
+          |  UNION ALL SELECT id, nbr_id, distance FROM rv),
+          |rr AS (SELECT id, nbr_id, distance,
+          |    row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rank
+          |  FROM allx)
+          |SELECT CAST(id AS BIGINT) AS id, CAST(rank AS INT) AS rank,
+          |  CAST(nbr_id AS BIGINT) AS nbr_id, round(distance, 6) AS distance
+          |FROM rr WHERE rank <= 3 AND id < 100 ORDER BY id, rank""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -87,4 +87,61 @@ object GraphStore {
       .filter(col("rank") <= k)
       .select(col("rank"), col("cand").as(idCol), col("distance"))
   }
+
+  /** Incremental node insert — the HNSW insert shape (link the new node
+    * to its k nearest, add the reverse links, trim every touched list
+    * back to k), as a bucket merge: exact top-k out-edges for each batch
+    * node (bounded batch → map-side heap scan, no corpus shuffle), the
+    * reverse edges, then ONLY the ≤ (k+1)·|batch| touched buckets are
+    * read back, re-ranked per node under the same (distance, id) order,
+    * and atomically swapped (the IndexStore/AnnStore protocol). Ingest
+    * cost is O(batch·k), not O(store) — like every store merge here.
+    * Semantics (oracle-stated by q382): merged = top-k re-rank of
+    * old edges ∪ {n→NNk(n)} ∪ {NNk(n)→n} per node; nodes outside the
+    * touched set keep their lists verbatim. A periodic
+    * [[graft.operators.Similarity.nnDescentRefine]] + rewrite restores
+    * full build quality, exactly like HNSW's offline re-link. */
+  def merge(spark: SparkSession, path: String, nBuckets: Int,
+            oldCorpus: DataFrame, batch: DataFrame, vecCol: String,
+            idCol: String, k: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val fwd = graft.operators.Similarity.topKBatch(
+        oldCorpus, vecCol, idCol, batch, vecCol, idCol, k)
+      .select(col("query_id").as("id"), col(idCol).cast("long").as("nbr_id"),
+        col("distance"))
+    val rev = fwd.select(col("nbr_id").as("id"), col("id").as("nbr_id"),
+      col("distance"))
+    val newEdges = fwd.unionByName(rev)
+      .withColumn("bucket", pmod(col("id"), lit(nBuckets.toLong)).cast("int"))
+      .cache()
+    val buckets = newEdges.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty) { newEdges.unpersist(); return }
+    val existing = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .select(col("id"), col("nbr_id"), col("distance"), col("bucket"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("distance").asc, col("nbr_id").asc)
+    val merged = existing.unionByName(newEdges)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nbr_id"), col("distance"),
+        col("bucket"))
+    val staging = path + "_staging"
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    buckets.foreach { b =>
+      val src = Paths.get(staging, s"bucket=$b")
+      val dst = Paths.get(path, s"bucket=$b")
+      val old = Paths.get(s"${path}_old_b$b")
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(old))
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(Paths.get(staging).toFile)
+    newEdges.unpersist()
+  }
 }

@@ -69,6 +69,56 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("merge implements the HNSW insert rule; untouched buckets stay put") {
+    val e = corpus
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val centroids = old.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val assigned = Similarity.assignNearestCentroid(old, "embedding",
+        "vec_id", centroids, "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val g0 = Similarity.knnGraph(assigned, "embedding", "vec_id", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_m").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    // nBuckets = 12: new ids 3,9 touch buckets {3, 9} plus their
+    // neighbors' buckets; bucket of id 1 (odd, never an id here) and
+    // buckets hosting no touched node stay byte-identical
+    GraphStore.write(g0, path, nBuckets = 12)
+    def listing(b: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/bucket=$b")
+      if (d.exists()) d.listFiles().map(f => (f.getName, f.length())).toSet
+      else Set.empty
+    }
+    val before = (0 until 12).map(b => b -> listing(b)).toMap
+    val batch = e.filter(col("vec_id").isin(3L, 9L))
+    GraphStore.merge(spark, path, nBuckets = 12, old, batch,
+      "embedding", "vec_id", k = 2)
+    // expected: re-rank of old edges ∪ fwd ∪ reverse, top-2 per id
+    val fwd = Similarity.topKBatch(old, "embedding", "vec_id", batch,
+        "embedding", "vec_id", 2)
+      .select(col("query_id").as("id"), col("vec_id").as("nbr_id"),
+        col("distance"))
+    val rev = fwd.select(col("nbr_id").as("id"), col("id").as("nbr_id"),
+      col("distance"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("distance").asc, col("nbr_id").asc)
+    val expected = g0.select(col("id"), col("nbr_id"), col("distance"))
+      .unionByName(fwd).unionByName(rev)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      .select("id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val got = spark.read.parquet(path)
+      .select("id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+    // buckets untouched by the insert were not rewritten
+    val touchedIds = Set(3L, 9L) ++ fwd.select("nbr_id").as[Long].collect()
+    val touchedBuckets = touchedIds.map(i => (i % 12).toInt)
+    (0 until 12).filterNot(touchedBuckets).foreach { b =>
+      assert(listing(b) == before(b), s"bucket $b rewritten")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("store layout: one directory per bucket, ids stay in their bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gstore3").toFile
     val path = s"${dir.getAbsolutePath}/graph"
