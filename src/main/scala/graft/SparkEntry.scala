@@ -6465,6 +6465,60 @@ object SparkEntry {
         .select(col("id"), col("rank"), col("nbr_id"),
           round(col("distance"), 6).as("distance"))
         .orderBy("id", "rank")
+    }),
+
+    "q383_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the supplier→part supply graph —
+      // the mutual-reinforcement complement of PageRank: a hub supplier
+      // ships many authoritative parts. Two L2-normalized sweeps, every
+      // sum decimal-accumulated so all intermediates replay bit-for-bit
+      val scored = GraphAnalytics.hits(
+        tbl(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", iters = 2)
+      val w = Window.partitionBy("kind")
+        .orderBy(col("score").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .select(col("kind"), col("rank"), col("id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("kind", "rank")
+    }),
+
+    "q384_gini_stump" -> ((s, dir) => {
+      // exact best-split decision stump: which threshold on the props.k
+      // feature best separates purchases from the rest by Gini impurity
+      // — all-integer arithmetic (no ln), every candidate scored, argmin
+      // flagged; the primitive behind tree learners and binning audits
+      val ev = events(s, dir).select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      Stats.giniStump(ev, "k", "is_purchase").orderBy("threshold")
+    }),
+
+    "q385_deep_ingest" -> ((s, dir) => {
+      // deep parsing through the REAL loadCorpus path: a mixed corpus of
+      // plain text files and rendered scanned-page PNGs, parsed with
+      // deep = true — txt flows through the markdown structurer
+      // (identity on these single-line lowercase docs), PNGs through the
+      // fixed-font OCR; every text length is a pure SQL function of the
+      // source document
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-deep-$tmpToken/corpus")
+      root.mkdirs()
+      tbl(s, dir, "documents").filter(col("doc_id") < 15)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          val (id, text) = (r.getLong(0), r.getString(1))
+          java.nio.file.Files.write(
+            new java.io.File(root, s"doc$id.txt").toPath,
+            text.getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            new java.io.File(root, s"scan$id.png").toPath,
+            sources.Ocr.renderPagePng(text.take(20), cols = 20))
+        }
+      sources.DocumentSource.loadCorpus(s, root.getAbsolutePath, deep = true)
+        .select(col("filename"), col("ext"), col("parse_ok"),
+          length(col("text")).cast("int").as("text_len"))
+        .orderBy("filename")
     })
   )
 
@@ -11249,6 +11303,92 @@ object SparkEntry {
           |SELECT CAST(id AS BIGINT) AS id, CAST(rank AS INT) AS rank,
           |  CAST(nbr_id AS BIGINT) AS nbr_id, round(distance, 6) AS distance
           |FROM rr WHERE rank <= 3 AND id < 100 ORDER BY id, rank""".stripMargin,
+
+      // two full HITS sweeps unrolled; every Σ decimal-accumulated and
+      // every norm sqrt-of-decimal, matching the Spark tree exactly
+      "q383_hits" ->
+        """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+          |  FROM lineitem),
+          |a1r AS (SELECT dst AS id,
+          |    CAST(SUM(CAST(1.0 AS DECIMAL(38,18))) AS DOUBLE) AS a
+          |  FROM e GROUP BY dst),
+          |a1n AS (SELECT sqrt(CAST(SUM(CAST(a * a AS DECIMAL(38,18)))
+          |    AS DOUBLE)) AS nrm FROM a1r),
+          |a1 AS (SELECT id, a / nrm AS a FROM a1r, a1n),
+          |h1r AS (SELECT e.src AS id,
+          |    CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE) AS h
+          |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+          |h1n AS (SELECT sqrt(CAST(SUM(CAST(h * h AS DECIMAL(38,18)))
+          |    AS DOUBLE)) AS nrm FROM h1r),
+          |h1 AS (SELECT id, h / nrm AS h FROM h1r, h1n),
+          |a2r AS (SELECT e.dst AS id,
+          |    CAST(SUM(CAST(h AS DECIMAL(38,18))) AS DOUBLE) AS a
+          |  FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+          |a2n AS (SELECT sqrt(CAST(SUM(CAST(a * a AS DECIMAL(38,18)))
+          |    AS DOUBLE)) AS nrm FROM a2r),
+          |a2 AS (SELECT id, a / nrm AS a FROM a2r, a2n),
+          |h2r AS (SELECT e.src AS id,
+          |    CAST(SUM(CAST(a AS DECIMAL(38,18))) AS DOUBLE) AS h
+          |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+          |h2n AS (SELECT sqrt(CAST(SUM(CAST(h * h AS DECIMAL(38,18)))
+          |    AS DOUBLE)) AS nrm FROM h2r),
+          |h2 AS (SELECT id, h / nrm AS h FROM h2r, h2n),
+          |u AS (SELECT 'hub' AS kind, id, h AS score FROM h2
+          |  UNION ALL SELECT 'authority', id, a FROM a2),
+          |rk AS (SELECT kind, id, score, row_number() OVER (
+          |    PARTITION BY kind ORDER BY score DESC, id) AS rn FROM u)
+          |SELECT kind, CAST(rn AS INT) AS rank, CAST(id AS BIGINT) AS id,
+          |  round(score, 6) AS score
+          |FROM rk WHERE rn <= 20 ORDER BY kind, rank""".stripMargin,
+
+      // the cumulative-count split table and the all-integer Gini tree;
+      // argmin by (gini, threshold) exactly as the struct-min computes
+      "q384_gini_stump" ->
+        """WITH ev AS (SELECT
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          |  FROM events),
+          |p AS (SELECT v, count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          |  FROM ev GROUP BY v),
+          |c AS (SELECT v, n, pos,
+          |    coalesce(SUM(n) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl,
+          |    coalesce(SUM(pos) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS posl
+          |  FROM p),
+          |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+          |    CAST(SUM(pos) AS BIGINT) AS post FROM p),
+          |g AS (SELECT v, nl, posl, nl - posl AS negl, nt - nl AS nr,
+          |    post - posl AS posr, (nt - nl) - (post - posl) AS negr, nt
+          |  FROM c, t WHERE nl > 0 AND nt - nl > 0),
+          |sc AS (SELECT v, nl, posl, nr, posr,
+          |    (CAST(nl * nl - posl * posl - negl * negl AS DOUBLE) / nl
+          |     + CAST(nr * nr - posr * posr - negr * negr AS DOUBLE) / nr)
+          |      / nt AS gini
+          |  FROM g),
+          |b AS (SELECT min(gini) AS mg FROM sc),
+          |b2 AS (SELECT min(v) AS bv FROM sc, b WHERE gini = mg)
+          |SELECT v AS threshold, CAST(nl AS BIGINT) AS n_left,
+          |  CAST(posl AS BIGINT) AS pos_left, CAST(nr AS BIGINT) AS n_right,
+          |  CAST(posr AS BIGINT) AS pos_right, round(gini, 6) AS gini,
+          |  v = bv AS is_best
+          |FROM sc, b2 ORDER BY threshold""".stripMargin,
+
+      // txt passes the markdown structurer unchanged (single-line
+      // lowercase docs trigger no heading/bullet/table rule); png length
+      // is the rtrim'd 20-char OCR normalization
+      "q385_deep_ingest" ->
+        """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 15),
+          |t AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+          |    'txt' AS ext, true AS parse_ok,
+          |    CAST(length(text) AS INT) AS text_len FROM d
+          |  UNION ALL
+          |  SELECT 'scan' || CAST(doc_id AS VARCHAR) || '.png', 'png', true,
+          |    CAST(length(rtrim(regexp_replace(upper(substring(text, 1, 20)),
+          |      '[^A-Z0-9 ]', ' ', 'g'))) AS INT)
+          |  FROM d)
+          |SELECT filename, ext, parse_ok, text_len FROM t
+          |ORDER BY filename""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

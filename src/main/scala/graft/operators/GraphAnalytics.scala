@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -539,5 +539,49 @@ object GraphAnalytics {
         .over(Window.partitionBy(lit(1))).cast("double"))
       .select(col("c"), col("n_nodes"), col("m_within"), col("d_c"),
         round(col("term"), 6).as("term"), round(col("q"), 6).as("q"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed/bipartite
+    * edge set — the mutual-reinforcement complement of PageRank (q136):
+    * a good hub points at good authorities and vice versa. `iters` full
+    * update rounds, each an L2-normalized sweep:
+    * `auth = Σ_in hub / ‖·‖₂`, then `hub = Σ_out auth / ‖·‖₂`.
+    *
+    * Replay-exactness: every Σ is a decimal(38,18) accumulate of the
+    * incoming doubles (order-independent), the norm is sqrt of a decimal
+    * sum of squares (sqrt is IEEE-exact), and each division is one
+    * correctly-rounded double op — the PageRank discipline, so the
+    * oracle replays every intermediate bit-for-bit. Scale shape per
+    * round: two equi-join + hash-aggregate passes over the edge set plus
+    * two one-row norm broadcasts — no iteration-growing lineage concern
+    * at 2 rounds (checkpoint like q136 if you raise `iters`).
+    * Returns (kind 'hub'|'authority', id, score). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,18)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    var hub = e.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub, e("src") === hub("id"))
+        .groupBy(col("dst").as("aid"))
+        .agg(sum(d38(col("h"))).cast("double").as("a"))
+      val anorm = araw.agg(
+        sqrt(sum(d38(col("a") * col("a"))).cast("double")).as("nrm"))
+      auth = araw.crossJoin(broadcast(anorm))
+        .select(col("aid").as("id"), (col("a") / col("nrm")).as("a"))
+      val hraw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(col("src").as("hid"))
+        .agg(sum(d38(col("a"))).cast("double").as("h"))
+      val hnorm = hraw.agg(
+        sqrt(sum(d38(col("h") * col("h"))).cast("double")).as("nrm"))
+      hub = hraw.crossJoin(broadcast(hnorm))
+        .select(col("hid").as("id"), (col("h") / col("nrm")).as("h"))
+    }
+    hub.select(lit("hub").as("kind"), col("id"), col("h").as("score"))
+      .unionByName(auth.select(lit("authority").as("kind"), col("id"),
+        col("a").as("score")))
   }
 }

@@ -1037,4 +1037,46 @@ object Stats {
           .otherwise(col("coverage")))
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Exact best-split decision stump on an integer feature against a
+    * boolean label: for every candidate threshold t (each distinct
+    * feature value with both sides non-empty, split `x < t`), the
+    * Gini-weighted impurity
+    * `G(t) = [(nL² − posL² − negL²)/nL + (nR² − posR² − negR²)/nR] / n`
+    * — algebraically `Σ_side (n_s/n)·gini(side)` but kept as an
+    * all-integer tree with three divides, so the oracle replays it
+    * bit-for-bit (no ln, unlike information gain). `is_best` marks the
+    * argmin (tie → smallest t) — the single most informative split, the
+    * primitive behind tree learners and feature-binning audits.
+    * One value-grouped aggregate + a values-sized cumulative window —
+    * the frame after the first groupBy is |distinct values|, never
+    * corpus-sized. */
+  def giniStump(df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+    val perV = df.select(col(featureCol).cast("long").as("v"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      .groupBy("v").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perV.agg(sum("n").as("nt"), sum("pos").as("post"))
+    val cum = perV
+      .withColumn("nl", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("posl", coalesce(sum("pos").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("negl", col("nl") - col("posl"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("posr", col("post") - col("posl"))
+      .withColumn("negr", col("nr") - col("posr"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("gini",
+        ((col("nl") * col("nl") - col("posl") * col("posl") -
+          col("negl") * col("negl")).cast("double") / col("nl") +
+         (col("nr") * col("nr") - col("posr") * col("posr") -
+          col("negr") * col("negr")).cast("double") / col("nr")) / col("nt"))
+    cum
+      .withColumn("_best", min(struct(col("gini"), col("v")))
+        .over(Window.partitionBy(lit(1))))
+      .select(col("v").as("threshold"), col("nl").as("n_left"),
+        col("posl").as("pos_left"), col("nr").as("n_right"),
+        col("posr").as("pos_right"), round(col("gini"), 6).as("gini"),
+        (col("_best")("v") === col("v")).as("is_best"))
+  }
 }

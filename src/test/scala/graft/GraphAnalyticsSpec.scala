@@ -238,4 +238,25 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out == Map("a" -> 2.0, "b" -> 1.0, "done" -> 0.0))
   }
+
+  test("hits: star graph — the shared authority dominates, hubs tie") {
+    import spark.implicits._
+    // hubs 1,2 each point at authority 10; hub 2 also points at 20.
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 20L)).toDF("s", "d")
+    val out = GraphAnalytics.hits(edges, "s", "d", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // iter1: a(10)=2, a(20)=1 → /√5; h(1)=2/√5, h(2)=3/√5 → /√13.
+    // iter2: a(10)=5/√65, a(20)=3/√65 → /(√34/√65); h(1)=5/√34·…
+    val s34 = math.sqrt(34)
+    assert(math.abs(out(("authority", 10L)) - 5 / s34) < 1e-12)
+    assert(math.abs(out(("authority", 20L)) - 3 / s34) < 1e-12)
+    // h ∝ (a10, a10+a20) = (5, 8)/√89 after the second hub sweep
+    val s89 = math.sqrt(89)
+    assert(math.abs(out(("hub", 1L)) - 5 / s89) < 1e-12)
+    assert(math.abs(out(("hub", 2L)) - 8 / s89) < 1e-12)
+    // L2 norms are 1 by construction
+    val hubs = out.collect { case (("hub", _), v) => v * v }.sum
+    assert(math.abs(hubs - 1.0) < 1e-12)
+  }
 }

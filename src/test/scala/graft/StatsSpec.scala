@@ -507,4 +507,20 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("mad") == 1L)
     assert(r.getAs[Long]("n_outliers") == 1L) // only the 1000
   }
+
+  test("giniStump: hand-computed perfect split wins, sides always non-empty") {
+    import spark.implicits._
+    // feature 0,1 → negative; 2,3 → positive: threshold 2 is pure
+    val df = Seq((0L, false), (1L, false), (2L, true), (3L, true))
+      .toDF("x", "y")
+    val out = Stats.giniStump(df, "x", "y").collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        ((r.getAs[Double]("gini"), r.getAs[Boolean]("is_best")))).toMap
+    // t=1: L={0}, R={1,+,+} → 0 + 3·(1−(2/3)²−(1/3)²) = 4/3; /4 → 1/3
+    // (output gini is round(·, 6) per the oracle-parity convention)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((0.333333, false)))
+    assert(out(2L) == ((0.0, true))) // pure split
+    assert(out(3L) == ((0.333333, false)))
+  }
 }
