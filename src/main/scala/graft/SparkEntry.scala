@@ -6519,6 +6519,52 @@ object SparkEntry {
         .select(col("filename"), col("ext"), col("parse_ok"),
           length(col("text")).cast("int").as("text_len"))
         .orderBy("filename")
+    }),
+
+    "q386_extractive_summary" -> ((s, dir) => {
+      // centroid extractive summarization: per doc, the two 12-token
+      // pseudo-sentences whose hashed-bigram vectors are most cosine-
+      // similar to the document centroid — n cancels in the cosine, so
+      // the score is integer sums into two exact sqrts and one divide
+      TextQuality.extractiveSummary(tbl(s, dir, "documents")
+          .filter(col("doc_id") < 200), "doc_id", "text",
+          lineTokens = 12, buckets = 64, topK = 2)
+        .orderBy("doc_id", "rank")
+    }),
+
+    "q387_table_checksum" -> ((s, dir) => {
+      // replica-equality checksum of lineitem keyed by its identity +
+      // flag columns: order/partitioning-independent bucket digests plus
+      // a root row — how two 100 TB copies compare without moving data
+      Profiling.tableChecksum(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"), buckets = 16)
+    }),
+
+    "q388_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test on the two quality gates (Gopher rules vs
+      // the hashed-bigram classifier): the discordant counts b/c decide
+      // whether the gates disagree systematically — χ² = (b−c)²/(b+c),
+      // pure rational arithmetic over exact counts
+      val d = tbl(s, dir, "documents")
+      val paired = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), (col("margin") > 0).as("cls_pass"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      paired.agg(count(lit(1)).as("n"),
+          sum(when(col("quality_pass") && col("cls_pass"), 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("quality_pass") && !col("cls_pass"), 1L)
+            .otherwise(0L)).as("n_gopher_only"),
+          sum(when(!col("quality_pass") && col("cls_pass"), 1L)
+            .otherwise(0L)).as("n_cls_only"),
+          sum(when(!col("quality_pass") && !col("cls_pass"), 1L)
+            .otherwise(0L)).as("n_neither"))
+        .withColumn("mcnemar_chi2",
+          when(col("n_gopher_only") + col("n_cls_only") > 0, round(
+            ((col("n_gopher_only") - col("n_cls_only")) *
+             (col("n_gopher_only") - col("n_cls_only"))).cast("double") /
+              (col("n_gopher_only") + col("n_cls_only")), 6)))
     })
   )
 
@@ -11390,6 +11436,36 @@ object SparkEntry {
           |SELECT filename, ext, parse_ok, text_len FROM t
           |ORDER BY filename""".stripMargin,
 
+      "q386_extractive_summary" -> extractiveSummaryOracleSql,
+
+      // the base-31 char polyhash of the chr(31)-joined key tuple; bucket
+      // digests are decimal-exact sums mod 1e9+7, root combines them
+      "q387_table_checksum" ->
+        """WITH r AS (SELECT
+          |    CAST(l_orderkey AS VARCHAR) || chr(31) ||
+          |    CAST(l_linenumber AS VARCHAR) || chr(31) ||
+          |    CAST(l_partkey AS VARCHAR) || chr(31) ||
+          |    CAST(l_suppkey AS VARCHAR) || chr(31) ||
+          |    l_returnflag || chr(31) || l_linestatus AS s
+          |  FROM lineitem),
+          |fp AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(s) + 1),
+          |      i -> CAST(ord(substring(s, CAST(i AS INT), 1)) AS BIGINT))),
+          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM r),
+          |pb AS (SELECT CAST(fp % 16 AS INT) AS bucket,
+          |    count(*) AS n_rows,
+          |    CAST(CAST(SUM(CAST(fp AS DECIMAL(38,0))) AS HUGEINT)
+          |      % 1000000007 AS BIGINT) AS digest
+          |  FROM fp GROUP BY 1),
+          |rt AS (SELECT -1 AS bucket, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+          |    CAST(CAST(SUM(CAST(digest AS DECIMAL(38,0))) AS HUGEINT)
+          |      % 1000000007 AS BIGINT) AS digest FROM pb)
+          |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, digest FROM pb
+          |UNION ALL SELECT bucket, n_rows, digest FROM rt
+          |ORDER BY bucket""".stripMargin,
+
+      "q388_mcnemar" -> mcnemarOracleSql,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -14827,6 +14903,81 @@ object SparkEntry {
        |  rank * 100 <= total * 25 AS selected
        |FROM rk ORDER BY doc_id""".stripMargin
   }
+
+  /** Replays q386: 12-token pseudo-sentences, the DSIR hashed-bigram
+    * bucket space, and the n-cancelled centroid cosine
+    * Σcnt·sumcnt / (√Σcnt²·√Σsumcnt²). */
+  private def extractiveSummaryOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val b2 = graft.plans.HashExpressions.PolyBase2
+    val mix = graft.plans.HashExpressions.Mix
+    val tokenHash = s"(${duckPoly("t", b1)} * 2147483648 + ${duckPoly("t", b2)}) % $HP"
+    s"""WITH tk AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents WHERE doc_id < 200),
+       |ln AS (SELECT doc_id, CAST(i AS INT) AS line_idx,
+       |    t[(CAST(i AS INT) * 12 + 1):(CAST(i AS INT) * 12 + 12)] AS lt
+       |  FROM tk, unnest(range(0, CASE WHEN len(t) = 0 THEN 0
+       |    ELSE (len(t) - 1) // 12 + 1 END)) AS u(i)),
+       |th AS (SELECT doc_id, line_idx,
+       |    list_transform(lt, t -> $tokenHash) AS hs FROM ln),
+       |g AS (SELECT doc_id, line_idx,
+       |    (hs[CAST(j AS INT)] * $b2 + hs[CAST(j AS INT) + 1]) % $HP AS gh
+       |  FROM th, unnest(range(1, len(hs))) AS v(j)),
+       |h0 AS (SELECT doc_id, line_idx, (gh * $b1) % $HP AS h FROM g),
+       |h1 AS (SELECT doc_id, line_idx,
+       |    (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+       |h2 AS (SELECT doc_id, line_idx,
+       |    (xor(h, h >> 13) * $mix) % $HP AS h FROM h1),
+       |bk AS (SELECT doc_id, line_idx, h % 64 AS b FROM h2),
+       |sct AS (SELECT doc_id, line_idx, b, count(*) AS cnt
+       |  FROM bk GROUP BY doc_id, line_idx, b),
+       |ctr AS (SELECT doc_id, b, CAST(SUM(cnt) AS BIGINT) AS sumcnt
+       |  FROM sct GROUP BY doc_id, b),
+       |dt AS (SELECT s.doc_id, s.line_idx,
+       |    CAST(SUM(s.cnt * c.sumcnt) AS BIGINT) AS dot,
+       |    CAST(SUM(s.cnt * s.cnt) AS BIGINT) AS ss,
+       |    CAST(SUM(s.cnt) AS BIGINT) AS n_grams
+       |  FROM sct s JOIN ctr c USING (doc_id, b)
+       |  GROUP BY s.doc_id, s.line_idx),
+       |cs AS (SELECT doc_id, CAST(SUM(sumcnt * sumcnt) AS BIGINT) AS cc
+       |  FROM ctr GROUP BY doc_id),
+       |sc AS (SELECT dt.doc_id, dt.line_idx, dt.n_grams,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(cs.cc AS DOUBLE))) AS score
+       |  FROM dt JOIN cs USING (doc_id) WHERE ss > 0 AND cs.cc > 0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, line_idx) AS rank FROM sc),
+       |txt AS (SELECT doc_id, line_idx, array_to_string(lt, ' ') AS line
+       |  FROM ln)
+       |SELECT r.doc_id, CAST(r.rank AS INT) AS rank, r.line_idx,
+       |  r.n_grams, round(r.score, 6) AS score, t.line
+       |FROM rk r JOIN txt t USING (doc_id, line_idx)
+       |WHERE r.rank <= 2 ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Replays q388: the q158/q159 scored CTEs, gates paired per doc, the
+    * discordant-count χ². */
+  private def mcnemarOracleSql: String =
+    s"""$scoredMarginCtes,
+       |pc AS (SELECT doc_id, quality_pass, margin > 0 AS cls_pass
+       |  FROM scored),
+       |ag AS (SELECT count(*) AS n,
+       |    CAST(SUM(CASE WHEN quality_pass AND cls_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both,
+       |    CAST(SUM(CASE WHEN quality_pass AND NOT cls_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_gopher_only,
+       |    CAST(SUM(CASE WHEN NOT quality_pass AND cls_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_cls_only,
+       |    CAST(SUM(CASE WHEN NOT quality_pass AND NOT cls_pass THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_neither
+       |  FROM pc)
+       |SELECT n, n_both, n_gopher_only, n_cls_only, n_neither,
+       |  CASE WHEN n_gopher_only + n_cls_only > 0 THEN
+       |    round(CAST((n_gopher_only - n_cls_only) *
+       |      (n_gopher_only - n_cls_only) AS DOUBLE)
+       |      / (n_gopher_only + n_cls_only), 6) END AS mcnemar_chi2
+       |FROM ag""".stripMargin
 
   /** Shared CTE prefix replaying the q101 kNN-graph build: `g0` is the
     * top-3-per-node edge list (id, nbr_id) over the 8-centroid map-side

@@ -562,4 +562,52 @@ object TextQuality {
       .select(col("rank"), col("phrase"), col("n_words"),
         col("n_occurrences"), round(col("score"), 6).as("score"))
   }
+
+  /** Centroid-based extractive summarization (the classic MEAD/centroid
+    * method, Radev 2004): split each document into `lineTokens`-token
+    * pseudo-sentences, embed each as a hashed-bigram bucket-count vector
+    * (the q134 DSIR feature space), and keep the `topK` sentences whose
+    * vectors are most cosine-similar to the document centroid — the
+    * sentences that carry the document's dominant vocabulary.
+    *
+    * Replay-exactness: with centroid c = Σ_lines s / n, the n cancels in
+    * cosine, so score = Σ_b cnt·sumcnt / (√Σcnt² · √Σsumcnt²) — integer
+    * sums into two IEEE-exact sqrts and one divide, bit-replayable.
+    * Shape at scale: grams ride the scan (map-side HOF hashing), then two
+    * hash aggregates keyed by (doc, line, bucket) and (doc, bucket) and a
+    * doc-partitioned rank window — nothing corpus-crossing, the whole
+    * pipeline shards perfectly by document. Lines with < 2 tokens (no
+    * bigram) drop out; ties break by line index. */
+  def extractiveSummary(df: DataFrame, idCol: String, textCol: String,
+                        lineTokens: Int = 12, buckets: Int = 64,
+                        topK: Int = 2): DataFrame = {
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val lines = df.select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("_tk"))
+      .select(col("id"),
+        posexplode(tokenLines("_tk", lineTokens)).as(Seq("line_idx", "line")))
+    val grams = lines.select(col("id"), col("line_idx"),
+        explode(call_function("graft_gram_polyhashes", col("line"), lit(2)))
+          .as("gh"))
+      .select(col("id"), col("line_idx"),
+        pmod(Sketches.keyHash(col("gh")), lit(buckets.toLong)).as("b"))
+    val s = grams.groupBy("id", "line_idx", "b").agg(count(lit(1)).as("cnt"))
+    val c = s.groupBy("id", "b").agg(sum("cnt").as("sumcnt"))
+    val dots = s.join(c, Seq("id", "b"))
+      .groupBy("id", "line_idx")
+      .agg(sum(col("cnt") * col("sumcnt")).as("dot"),
+        sum(col("cnt") * col("cnt")).as("ss"),
+        sum("cnt").as("n_grams"))
+    val cc = c.groupBy("id").agg(sum(col("sumcnt") * col("sumcnt")).as("cc"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("line_idx").asc)
+    dots.join(cc, Seq("id")).filter(col("ss") > 0 && col("cc") > 0)
+      .withColumn("score", col("dot").cast("double") /
+        (sqrt(col("ss").cast("double")) * sqrt(col("cc").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+      .join(lines, Seq("id", "line_idx"))
+      .select(col("id").as(idCol), col("rank"), col("line_idx"),
+        col("n_grams"), round(col("score"), 6).as("score"), col("line"))
+  }
 }

@@ -149,4 +149,25 @@ class ProfilingSpec extends SparkSpec {
     assert(out(2) == ((4L, 8L, 10L, 0.8)))
     assert(out(4) == ((4L, 10L, 10L, 1.0)))
   }
+
+  test("tableChecksum: partitioning-invariant, detects a single-row change") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val a = Profiling.tableChecksum(df, Seq("k", "v"), 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // same multiset, different physical layout → identical digests
+    val b = Profiling.tableChecksum(df.repartition(7).sortWithinPartitions(
+        org.apache.spark.sql.functions.col("v")), Seq("k", "v"), 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    // root row present, counts total
+    assert(a.exists { case (bk, n, _) => bk == -1 && n == 50L })
+    // one changed value flips the root digest
+    val changed = df.withColumn("v",
+      org.apache.spark.sql.functions.when(col("k") === 17L, "MUTANT")
+        .otherwise(col("v")))
+    val c = Profiling.tableChecksum(changed, Seq("k", "v"), 8)
+      .filter(col("bucket") === -1).head().getLong(2)
+    assert(c != a.find(_._1 == -1).get._3)
+  }
 }

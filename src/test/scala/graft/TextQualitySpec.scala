@@ -212,4 +212,21 @@ class TextQualitySpec extends SparkSpec {
     // one repeated transition: zero entropy
     assert(out(2L) == ((3L, 0.0)))
   }
+
+  test("extractiveSummary: the line repeating the doc vocabulary outranks the outlier") {
+    import spark.implicits._
+    // doc 1: lines 0 and 1 share vocabulary (bigrams "a b" "b c" …), line
+    // 2 is disjoint — the centroid leans to the majority vocabulary
+    val majority = "a b c d a b c d a b c d"      // 12 tokens
+    val outlier = "x y z w x y z w x y z w"
+    val df = Seq((1L, s"$majority $majority $outlier")).toDF("doc_id", "text")
+    val out = TextQuality.extractiveSummary(df, "doc_id", "text", 12, 64, 2)
+      .orderBy("rank")
+      .select("rank", "line_idx", "line").as[(Int, Int, String)].collect()
+    // the two majority lines win (tie on score → smaller line_idx first)
+    assert(out.toSeq == Seq((1, 0, majority), (2, 1, majority)))
+    // a 1-token doc has no bigram and drops out entirely
+    val tiny = Seq((2L, "solo")).toDF("doc_id", "text")
+    assert(TextQuality.extractiveSummary(tiny, "doc_id", "text").count() == 0)
+  }
 }
