@@ -6565,6 +6565,43 @@ object SparkEntry {
             ((col("n_gopher_only") - col("n_cls_only")) *
              (col("n_gopher_only") - col("n_cls_only"))).cast("double") /
               (col("n_gopher_only") + col("n_cls_only")), 6)))
+    }),
+
+    "q389_isotonic" -> ((s, dir) => {
+      // EXACT isotonic calibration of the q159 reliability diagram via
+      // the closed max-min PAV form — no sequential pooling loop, fully
+      // declarative over the 10-bin frame, so the non-decreasing
+      // calibrated rate replays bit-for-bit in the oracle
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      val bins = Evaluation.calibrationBins(scored, "margin",
+        "quality_pass", nBins = 10)
+      Evaluation.isotonicFit(bins, "bin", "n", "n_pos")
+        .select(col("bin"), col("n"), col("n_pos"), col("frac_pos"),
+          round(col("iso"), 6).as("iso"))
+        .orderBy("bin")
+    }),
+
+    "q390_ring_shard" -> ((s, dir) =>
+      // consistent-hash ring with 8 vnodes/node: per current node, keys
+      // resident and keys that move when a 5th node joins — expect ≈1/5
+      // moving, all onto the newcomer (no peer-to-peer churn)
+      DataLayout.ringMovement(tbl(s, dir, "documents").select(col("doc_id")),
+          "doc_id", nNodes = 4, vnodes = 8)
+        .orderBy("node")),
+
+    "q391_pinball" -> ((s, dir) => {
+      // quantile-forecast gate: the train fold's exact p90 of purchase
+      // value per type, scored by pinball loss (τ=0.9) on the held-out
+      // fold — integer loss sums, one final division
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v100"))
+      Stats.pinballEval(ev, "event_type", "event_id", "v100")
+        .orderBy("event_type")
     })
   )
 
@@ -11466,6 +11503,33 @@ object SparkEntry {
 
       "q388_mcnemar" -> mcnemarOracleSql,
 
+      "q389_isotonic" -> isotonicOracleSql,
+
+      "q390_ring_shard" -> ringOracleSql,
+
+      // train fold (even ids) exact ceil(0.9n)-th smallest per type, test
+      // fold pays the x10 integer pinball sum, one final division
+      "q391_pinball" ->
+        """WITH pe AS (SELECT event_type AS g, event_id AS id,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |tr AS (SELECT g, id, v FROM pe WHERE id % 2 = 0),
+          |rk AS (SELECT g, v,
+          |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS n_train FROM tr),
+          |q AS (SELECT g, max(n_train) AS n_train,
+          |    min(CASE WHEN rn = (n_train * 9 + 9) // 10 THEN v END)
+          |      AS qhat
+          |  FROM rk GROUP BY g),
+          |te AS (SELECT g, v FROM pe WHERE id % 2 = 1)
+          |SELECT te.g AS event_type, max(q.n_train) AS n_train,
+          |  max(q.qhat) AS qhat, count(*) AS n_test,
+          |  CAST(CAST(SUM(CASE WHEN v >= qhat THEN 9 * (v - qhat)
+          |    ELSE qhat - v END) AS BIGINT) AS DOUBLE)
+          |    / (10 * count(*)) AS pinball
+          |FROM te JOIN q USING (g)
+          |GROUP BY te.g ORDER BY event_type""".stripMargin,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -14954,6 +15018,66 @@ object SparkEntry {
        |  r.n_grams, round(r.score, 6) AS score, t.line
        |FROM rk r JOIN txt t USING (doc_id, line_idx)
        |WHERE r.rank <= 2 ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Replays q389: the q159 bin CTE, then iso(i) = max_{j≤i} min_{k≥i}
+    * of the pooled rate over [j,k] — range sums as prefix-sum
+    * differences, each avg ONE double division. */
+  private def isotonicOracleSql: String =
+    s"""$scoredMarginCtes,
+       |bn AS (SELECT CAST(least(greatest(
+       |      CAST(floor((margin + 0.5) * 10) AS INT), 0), 9) AS INT) AS bin,
+       |    count(*) AS n,
+       |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos
+       |  FROM scored GROUP BY 1),
+       |cumt AS (SELECT bin, n, pos,
+       |    SUM(n) OVER (ORDER BY bin) AS cn,
+       |    SUM(pos) OVER (ORDER BY bin) AS cp FROM bn),
+       |jx AS (SELECT bin AS j, cn - n AS cnj, cp - pos AS cpj FROM cumt),
+       |kx AS (SELECT bin AS k, cn AS cnk, cp AS cpk FROM cumt),
+       |rg AS (SELECT j, k,
+       |    CAST(cpk - cpj AS DOUBLE) / (cnk - cnj) AS avg
+       |  FROM jx JOIN kx ON j <= k),
+       |mn AS (SELECT b.bin AS i, rg.j, min(avg) AS minavg
+       |  FROM bn b JOIN rg ON rg.j <= b.bin AND b.bin <= rg.k
+       |  GROUP BY b.bin, rg.j),
+       |iso AS (SELECT i, max(minavg) AS iso FROM mn GROUP BY i)
+       |SELECT b.bin, b.n, b.pos AS n_pos,
+       |  CAST(b.pos AS DOUBLE) / b.n AS frac_pos, round(iso.iso, 6) AS iso
+       |FROM bn b JOIN iso ON b.bin = iso.i ORDER BY bin""".stripMargin
+
+  /** Replays q390: ring positions keyHash(node·131 + v), assignment by
+    * min cyclic distance (tie → node id), for 4 and 5 nodes. */
+  private def ringOracleSql: String = {
+    val mix = graft.plans.HashExpressions.Mix
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    def positions(n: Int, name: String): String =
+      s"""${name}0 AS (SELECT m, ((m * 131 + v) * $b1) % $HP AS h
+         |  FROM range(0, $n) t(m), range(0, 8) u(v)),
+         |${name}1 AS (SELECT m, (xor(h, h >> 16) * $mix) % $HP AS h FROM ${name}0),
+         |${name}p AS (SELECT m, (xor(h, h >> 13) * $mix) % $HP AS h FROM ${name}1)""".stripMargin
+    def assign(posCte: String, name: String): String =
+      s"""$name AS (SELECT doc_id, m AS node FROM (
+         |    SELECT k.doc_id, p.m,
+         |      row_number() OVER (PARTITION BY k.doc_id
+         |        ORDER BY ((p.h - k.kp) % $HP + $HP) % $HP, p.m) AS rn
+         |    FROM ks k, $posCte p) WHERE rn = 1)""".stripMargin
+    s"""WITH k0 AS (SELECT doc_id, (doc_id * $b1) % $HP AS h FROM documents),
+       |k1 AS (SELECT doc_id, (xor(h, h >> 16) * $mix) % $HP AS h FROM k0),
+       |ks AS (SELECT doc_id, (xor(h, h >> 13) * $mix) % $HP AS kp FROM k1),
+       |${positions(4, "pa")},
+       |${positions(5, "pb")},
+       |${assign("pap", "a4")},
+       |${assign("pbp", "a5")}
+       |SELECT CAST(a4.node AS INT) AS node,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN a4.node <> a5.node THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved,
+       |  CAST(SUM(CASE WHEN a4.node <> a5.node THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS moved_frac
+       |FROM a4 JOIN a5 USING (doc_id)
+       |GROUP BY a4.node ORDER BY node""".stripMargin
   }
 
   /** Replays q388: the q158/q159 scored CTEs, gates paired per doc, the

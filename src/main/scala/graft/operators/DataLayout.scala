@@ -181,4 +181,42 @@ object DataLayout {
         .select(lit(name).as("layout"), col("n_files"), col("n_skippable"),
           col("rows_skipped"), col("file_skip_frac"))
     }.reduce(_ unionByName _)
+
+  /** Consistent-hash-RING assignment (Karger 1997; the memcached/Dynamo
+    * layout) with `vnodes` virtual nodes per physical node — the
+    * companion to [[rendezvousShard]]: ring positions are
+    * `keyHash(node·131 + v)` on the 2³¹−1 circle, and a key goes to the
+    * node owning the first position at or clockwise-after
+    * `keyHash(key)`. Computed as an argmin over the (nNodes·vnodes)-entry
+    * position array by CYCLIC distance `(pos − keyPos) mod (2³¹−1)` —
+    * one map-side HOF fold, no shuffle, and exact integer arithmetic the
+    * oracle replays. Ties (two vnodes on one point) break by node id. */
+  def ringShard(key: Column, nNodes: Int, vnodes: Int): Column = {
+    val HP = 2147483647L
+    val kp = Sketches.keyHash(key.cast("long"))
+    val scored = transform(sequence(lit(0), lit(nNodes * vnodes - 1)),
+      s => {
+        val node = (s / vnodes).cast("int")
+        val pos = Sketches.keyHash(
+          (s / vnodes).cast("long") * lit(131L) + (s % vnodes).cast("long"))
+        struct(pmod(pos - kp, lit(HP)).as("d"), node.as("node"))
+      })
+    array_min(scored).getField("node")
+  }
+
+  /** Resize-movement audit for [[ringShard]]: per current node (of
+    * `nNodes`), keys resident and keys that move when a node joins —
+    * the consistent-hashing guarantee says ≈ 1/(nNodes+1) move overall
+    * and ONLY onto the new node (no peer-to-peer churn; the spec pins
+    * that every mover lands on node `nNodes`). */
+  def ringMovement(df: DataFrame, keyCol: String, nNodes: Int,
+                   vnodes: Int): DataFrame =
+    df.withColumn("node", ringShard(col(keyCol), nNodes, vnodes))
+      .withColumn("_next", ringShard(col(keyCol), nNodes + 1, vnodes))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("node") =!= col("_next"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("node"), col("n_keys"), col("n_moved"),
+        (col("n_moved").cast("double") / col("n_keys")).as("moved_frac"))
 }

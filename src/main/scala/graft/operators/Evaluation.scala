@@ -91,6 +91,41 @@ object Evaluation {
         (col("n_pos").cast("double") / col("n")).as("frac_pos"),
         col("min_score"), col("max_score"))
 
+  /** EXACT isotonic regression over binned counts — the PAV calibration
+    * fit without the sequential pooling loop, via the closed max-min
+    * form: `iso(i) = max_{j≤i} min_{k≥i} avg(j..k)` where `avg(j..k)` is
+    * the pooled positive rate `Σpos / Σn` over the bin range. On a
+    * B-bin frame that is a B³ triple enumeration — trivial for the
+    * 10-100 bins a reliability diagram uses, and fully declarative, so
+    * it runs identically on any engine and replays in the oracle
+    * (range sums are exact integer differences of prefix sums; each avg
+    * is ONE double division; min/max of doubles are order-free).
+    * Input: (binCol, nCol, posCol) counts. Output adds `iso`, the
+    * non-decreasing calibrated rate (spec-pinned monotone, and equal to
+    * sklearn's IsotonicRegression on the same weighted points). */
+  def isotonicFit(bins: DataFrame, binCol: String, nCol: String,
+                  posCol: String): DataFrame = {
+    val base = bins.select(col(binCol).cast("long").as("b"),
+      col(nCol).cast("long").as("n"), col(posCol).cast("long").as("pos"))
+    val wcum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cn", sum("n").over(wcum))
+      .withColumn("cp", sum("pos").over(wcum))
+    val j = cum.select(col("b").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("pos")).as("cpj"))
+    val k = cum.select(col("b").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val ranges = j.join(k, col("j") <= col("k"))
+      .withColumn("avg", (col("cpk") - col("cpj")).cast("double") /
+        (col("cnk") - col("cnj")))
+    val iso = base.select(col("b").as("i"))
+      .join(ranges, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avg").as("minavg"))
+      .groupBy("i").agg(max("minavg").as("iso"))
+    bins.join(iso, col(binCol) === col("i")).drop("i")
+  }
+
   /** nDCG@k of an approximate ranking against the exact one, with
     * RATIONAL discounts: gain = k+1−exact_rank (graded), discount 1/r
     * scaled by L = lcm(1..k) so every DCG term `gain·(L/r)` is an exact

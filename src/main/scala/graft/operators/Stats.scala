@@ -1038,6 +1038,42 @@ object Stats {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** Pinball (quantile) loss of a per-group quantile forecast — the
+    * metric that gates probabilistic forecasts the way MASE (q367) gates
+    * point forecasts: the train split's exact type-1 τ-quantile is the
+    * forecast, the held-out split pays
+    * `Σ max(τ·(y−q̂), (1−τ)·(q̂−y)) / n`. τ = tauNum/tauDen stays
+    * rational and the loss is summed ×tauDen in exact integers, so ONE
+    * double division at the end replays bit-for-bit. The split is the
+    * deterministic id-parity fold; the quantile is the
+    * ⌈τ·n⌉-th smallest (ties by id), same idiom as [[splitConformal]].
+    * Shape: one rank window per group on the train side, a broadcast of
+    * the per-group q̂, a map-side loss fold on the test side. */
+  def pinballEval(df: DataFrame, groupCol: String, idCol: String,
+                  vCol: String, tauNum: Int = 9, tauDen: Int = 10): DataFrame = {
+    require(tauNum > 0 && tauNum < tauDen, "need 0 < tau < 1")
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(vCol).cast("long").as("v"))
+    val train = base.filter(pmod(col("id"), lit(2)) === 0)
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val ranked = train.withColumn("rn", row_number().over(w))
+      .withColumn("n_train", count(lit(1)).over(Window.partitionBy("g")))
+    val qhat = ranked
+      .withColumn("kk", expr(s"(n_train * $tauNum + ($tauDen - 1)) div $tauDen"))
+      .groupBy("g").agg(max("n_train").as("n_train"),
+        min(when(col("rn") === col("kk"), col("v"))).as("qhat"))
+    base.filter(pmod(col("id"), lit(2)) === 1)
+      .join(broadcast(qhat), Seq("g"))
+      .withColumn("lossN", when(col("v") >= col("qhat"),
+          lit(tauNum) * (col("v") - col("qhat")))
+        .otherwise(lit(tauDen - tauNum) * (col("qhat") - col("v"))))
+      .groupBy("g").agg(max("n_train").as("n_train"),
+        max("qhat").as("qhat"), count(lit(1)).as("n_test"),
+        (sum("lossN").cast("double") / (lit(tauDen) * count(lit(1))))
+          .as("pinball"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Exact best-split decision stump on an integer feature against a
     * boolean label: for every candidate threshold t (each distinct
     * feature value with both sides non-empty, split `x < t`), the

@@ -108,4 +108,22 @@ class DataLayoutSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("ringShard: movers on node-join land ONLY on the new node") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("k")
+    val moved = keys
+      .withColumn("n4", DataLayout.ringShard(col("k"), 4, 8))
+      .withColumn("n5", DataLayout.ringShard(col("k"), 5, 8))
+      .filter(col("n4") =!= col("n5"))
+    // the consistent-hashing contract: every mover goes to the newcomer
+    assert(moved.filter(col("n5") =!= 4).count() == 0)
+    // and a sane share moves (≈1/5; allow wide slack on 500 keys)
+    val frac = moved.count().toDouble / 500
+    assert(frac > 0.05 && frac < 0.45, s"moved_frac $frac")
+    // assignment is total and within range
+    val nodes = keys.select(DataLayout.ringShard(col("k"), 4, 8).as("n"))
+      .distinct().as[Int].collect().toSet
+    assert(nodes.subsetOf(Set(0, 1, 2, 3)))
+  }
 }

@@ -358,4 +358,34 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out(1L) == ((2L, 2L, ap1, r6(ap1 / 2))))
     assert(out(2L) == ((1L, 0L, 0.0, r6(ap1 / 2))))
   }
+
+  test("isotonicFit: equals PAV pooling on a known violator sequence") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    // rates 0.2, 0.6, 0.4, 0.8 with equal weight 10: bins 1,2 violate →
+    // pool to (6+4)/20 = 0.5; result 0.2, 0.5, 0.5, 0.8 (sklearn PAV)
+    val bins = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L),
+      (3L, 10L, 8L)).toDF("bin", "n", "n_pos")
+    val out = Evaluation.isotonicFit(bins, "bin", "n", "n_pos")
+      .select("bin", "iso").as[(Long, Double)].collect().toMap
+    assert(out == Map(0L -> 0.2, 1L -> 0.5, 2L -> 0.5, 3L -> 0.8))
+    // monotone non-decreasing by construction
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted == sorted.sorted)
+  }
+
+  test("pinballEval: hand-computed tau=0.9 loss on a fixed split") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // train (even ids): v = 10,20,...,100 → ceil(0.9·10)=9th smallest = 90
+    // test (odd ids): v = 85 and 95 → losses 0.1·5 and 0.9·5 → mean 2.5
+    val rows = (1 to 10).map(i => ("g", i.toLong * 2, i.toLong * 10)) ++
+      Seq(("g", 1L, 85L), ("g", 3L, 95L))
+    val out = Stats.pinballEval(rows.toDF("g", "id", "v"), "g", "id", "v")
+      .head()
+    assert(out.getAs[Long]("n_train") == 10L)
+    assert(out.getAs[Long]("qhat") == 90L)
+    assert(out.getAs[Long]("n_test") == 2L)
+    assert(out.getAs[Double]("pinball") == 2.5)
+  }
 }
