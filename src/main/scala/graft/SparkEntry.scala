@@ -6602,7 +6602,33 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("v100"))
       Stats.pinballEval(ev, "event_type", "event_id", "v100")
         .orderBy("event_type")
-    })
+    }),
+
+    "q392_kneser_ney" -> ((s, dir) =>
+      // KenLM's own smoothing, exact-replay: top-25 bigrams with MLE vs
+      // interpolated-KN probability — discount D = n1/(n1+2n2) and the
+      // continuation-unigram back-off, all from BIGINT corpus counts
+      NgramLm.knSmoothedBigrams(tbl(s, dir, "documents"), "doc_id",
+          "text", k = 25)
+        .orderBy(col("c_bg").desc, col("ctx"), col("w2"))),
+
+    "q393_good_turing" -> ((s, dir) =>
+      // bigram count-of-counts: Turing r* re-estimates and the
+      // unseen-mass bound p0 = N1/N the crawl-more decision reads
+      NgramLm.goodTuringCounts(tbl(s, dir, "documents"), "doc_id", "text",
+          maxR = 8)
+        .orderBy("r")),
+
+    "q394_holt" -> ((s, dir) =>
+      // level+trend forecast of daily event volume per type: Holt
+      // double-exponential fold, bit-identical left fold on both
+      // engines (the q251 list_reduce discipline)
+      Stats.holtSmoothing(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events")
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -11529,6 +11555,94 @@ object SparkEntry {
           |    / (10 * count(*)) AS pinball
           |FROM te JOIN q USING (g)
           |GROUP BY te.g ORDER BY event_type""".stripMargin,
+
+      // distinct-bigram table, two count windows, the interpolated-KN
+      // formula as ONE identical double tree (D inlined both sides)
+      "q392_kneser_ney" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |bgc AS (
+          |  SELECT t[CAST(i AS INT)] AS ctx, t[CAST(i AS INT) + 1] AS w2,
+          |    CAST(COUNT(*) AS BIGINT) AS c_bg
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          |  WHERE len(t) >= 2 GROUP BY 1, 2),
+          |win AS (
+          |  SELECT ctx, w2, c_bg,
+          |    CAST(SUM(c_bg) OVER (PARTITION BY ctx) AS BIGINT) AS c_ctx,
+          |    CAST(COUNT(*) OVER (PARTITION BY ctx) AS BIGINT) AS n_follow,
+          |    CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n_prec
+          |  FROM bgc),
+          |g0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+          |    CAST(SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          |  FROM bgc),
+          |g AS (SELECT n_types,
+          |    CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0.0 AS DOUBLE)
+          |      ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS disc
+          |  FROM g0)
+          |SELECT ctx, w2, c_bg, c_ctx, n_follow, n_prec,
+          |  disc AS discount,
+          |  CAST(c_bg AS DOUBLE) / c_ctx AS p_mle,
+          |  (CAST(c_bg AS DOUBLE) - disc) / c_ctx
+          |    + disc * n_follow / c_ctx * n_prec / n_types AS p_kn
+          |FROM win, g
+          |ORDER BY c_bg DESC, ctx, w2 LIMIT 25""".stripMargin,
+
+      // bigram count-of-counts ≤ 9, Turing r* via the r+1 self-join
+      "q393_good_turing" ->
+        """WITH toks AS (
+          |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |tc AS (
+          |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bg,
+          |    CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          |  WHERE len(t) >= 2 GROUP BY 1),
+          |nr AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_r
+          |  FROM tc WHERE c <= 9 GROUP BY c),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc)
+          |SELECT a.c AS r, a.n_r,
+          |  CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+          |  CASE WHEN b.n_r IS NOT NULL
+          |    THEN CAST(a.c + 1 AS DOUBLE) * b.n_r / a.n_r END AS r_star,
+          |  CAST(a.c * a.n_r AS DOUBLE) / n_tokens AS mass_r,
+          |  CASE WHEN b.n_r IS NOT NULL
+          |    THEN CAST(a.c + 1 AS DOUBLE) * b.n_r / a.n_r / n_tokens
+          |  END AS p_gt
+          |FROM nr a LEFT JOIN nr b ON b.c = a.c + 1, tot
+          |WHERE a.c <= 8 ORDER BY r""".stripMargin,
+
+      // the identical left fold replayed as a RECURSIVE CTE, one row
+      // per (group, step) — NOT list_reduce: DuckDB 1.0's struct-state
+      // lambda evaluates the new fields with in-place mutation visible
+      // (the sse field reads the already-updated b), so a struct fold
+      // is NOT the q251 scalar fold and silently diverges
+      "q394_holt" ->
+        """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS DOUBLE) AS y
+          |  FROM events GROUP BY 1, 2),
+          |r AS (SELECT event_type, row_number() OVER (
+          |      PARTITION BY event_type ORDER BY day) AS t, y FROM d),
+          |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+          |  FROM r GROUP BY 1),
+          |it AS (
+          |  SELECT event_type, 1 AS t, y AS l, CAST(0.0 AS DOUBLE) AS b,
+          |    CAST(0.0 AS DOUBLE) AS sse
+          |  FROM r WHERE t = 1
+          |  UNION ALL
+          |  SELECT it.event_type, it.t + 1,
+          |    0.5 * r.y + 0.5 * (it.l + it.b),
+          |    0.25 * ((0.5 * r.y + 0.5 * (it.l + it.b)) - it.l)
+          |      + 0.75 * it.b,
+          |    it.sse + (r.y - (it.l + it.b)) * (r.y - (it.l + it.b))
+          |  FROM it JOIN r ON r.event_type = it.event_type
+          |    AND r.t = it.t + 1)
+          |SELECT it.event_type, nn.n_obs, it.l AS level, it.b AS trend,
+          |  it.l + it.b AS forecast_next,
+          |  CASE WHEN nn.n_obs > 1 THEN it.sse / (nn.n_obs - 1) END AS mse
+          |FROM it JOIN nn USING (event_type)
+          |WHERE it.t = nn.n_obs ORDER BY event_type""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

@@ -259,4 +259,101 @@ object NgramLm {
         round((col("sy") - col("beta") * col("sx")) / col("n_points"), 6)
           .as("ln_k"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 4.22-4.26) — the smoothing KenLM itself
+    * uses, and the missing piece between [[bigramLmScore]]'s
+    * unsmoothed counts and a production perplexity gate: mass `D` is
+    * subtracted from every seen bigram and re-spent on the CONTINUATION
+    * unigram `N1+(·w) / N1+(··)` (how many distinct contexts a word
+    * follows — "francisco" is frequent but only ever follows "san", so
+    * its continuation probability is tiny).
+    *
+    *   P_kn(w|c) = (c(cw) − D)/c(c·) + D·N1+(c·)/c(c·) · N1+(·w)/N1+(··)
+    *   D         = n1 / (n1 + 2·n2)           (the Ney absolute discount)
+    *
+    * Every input to the formula is an exact BIGINT corpus count; the
+    * doubles are produced by ONE identical expression tree on both
+    * engines, so the oracle replays them bit-for-bit (no rounding).
+    * c(cw) ≥ 1 > D, so the max(·,0) of the textbook form is vacuous.
+    * Degenerate corpus with NO count-1/count-2 bigram types (tiny
+    * vocabularies at large scale): D = 0 — nothing to discount, KN
+    * collapses to MLE instead of dividing by zero under ANSI.
+    *
+    * Scale shape: one shuffle collapses the corpus to the distinct-
+    * bigram table (map-side partial counts); the two windows (context,
+    * continuation) and the global (n1, n2, types) aggregate all run on
+    * that vocab-bounded table; top-k is TakeOrderedAndProject. Returns
+    * the k most frequent bigrams (ties → lexicographic) with their MLE
+    * and KN probabilities. */
+  def knSmoothedBigrams(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val bgc = bigramsOf(df, idCol, textCol)
+      .groupBy("ctx", "bg").agg(count(lit(1)).as("c_bg"))
+    val wCtx = Window.partitionBy("ctx")
+    val scored = bgc
+      .withColumn("w2", expr("substring(bg, length(ctx) + 2)"))
+      .withColumn("c_ctx", sum("c_bg").over(wCtx))
+      .withColumn("n_follow", count(lit(1)).over(wCtx))
+      .withColumn("n_prec", count(lit(1)).over(Window.partitionBy("w2")))
+    val glob = bgc.agg(count(lit(1)).as("n_types"),
+      sum(when(col("c_bg") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c_bg") === 2, 1L).otherwise(0L)).as("n2"))
+    scored.crossJoin(broadcast(glob))
+      .withColumn("discount",
+        when(col("n1") + lit(2L) * col("n2") === 0, lit(0.0))
+          .otherwise(col("n1").cast("double") /
+            (col("n1") + lit(2L) * col("n2"))))
+      .select(col("ctx"), col("w2"), col("c_bg"), col("c_ctx"),
+        col("n_follow"), col("n_prec"), col("discount"),
+        (col("c_bg").cast("double") / col("c_ctx")).as("p_mle"),
+        ((col("c_bg").cast("double") - col("discount")) / col("c_ctx") +
+          col("discount") * col("n_follow") / col("c_ctx") *
+            col("n_prec") / col("n_types")).as("p_kn"))
+      .orderBy(col("c_bg").desc, col("ctx"), col("w2"))
+      .limit(k)
+  }
+
+  /** Good–Turing count-of-counts table (Good 1953; Gale & Sampson 1995
+    * without the smoothing fit) over the corpus's BIGRAM types — the
+    * n-gram order where a real count-of-counts tail exists (every
+    * unigram in a bounded vocabulary is frequent; it is the
+    * combinatorial n-gram space that has singletons): for each observed
+    * frequency r ≤ maxR, the number of types N_r seen exactly r times,
+    * the Turing re-estimate r* = (r+1)·N_{r+1}/N_r, and the
+    * probability-mass view — `mass_r` the observed share r·N_r/N vs
+    * `p_gt` = r-star/N the share the estimator re-assigns. Row r = 1
+    * doubles as the UNSEEN-mass estimate (p_0 = N_1/N, the Turing bound
+    * on how much probability the corpus has never shown) — the quantity
+    * a coverage-vs-crawl-more decision actually needs, and exactly the
+    * (n1, n2) pair [[knSmoothedBigrams]]'s discount is built from.
+    * r* is NULL when N_{r+1} = 0 (the raw estimator is undefined there;
+    * the Gale simple-GT fit would smooth it, but a fit adds tuning
+    * constants an exact-replay contract doesn't want).
+    *
+    * Scale shape: one bigram-count shuffle, then the count-of-counts
+    * table is ≤ maxR+1 rows; the totals broadcast. All counts BIGINT;
+    * the three doubles are single identical-tree expressions. */
+  def goodTuringCounts(df: DataFrame, idCol: String, textCol: String,
+                       maxR: Int): DataFrame = {
+    val tc = bigramsOf(df, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+    val nr = tc.filter(col("c") <= maxR + 1)
+      .groupBy("c").agg(count(lit(1)).as("n_r"))
+    val tot = tc.agg(sum("c").as("n_tokens"))
+    nr.join(nr.select((col("c") - 1).as("c"), col("n_r").as("n_r_next")),
+        Seq("c"), "left")
+      .filter(col("c") <= maxR)
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        when(col("n_r_next").isNotNull,
+          (col("c") + lit(1L)).cast("double") * col("n_r_next") /
+            col("n_r")).as("r_star"),
+        (col("c") * col("n_r")).cast("double")./(col("n_tokens"))
+          .as("mass_r"),
+        when(col("n_r_next").isNotNull,
+          (col("c") + lit(1L)).cast("double") * col("n_r_next") /
+            col("n_r") / col("n_tokens")).as("p_gt"))
+  }
 }

@@ -1115,4 +1115,58 @@ object Stats {
         col("posr").as("pos_right"), round(col("gini"), 6).as("gini"),
         (col("_best")("v") === col("v")).as("is_best"))
   }
+
+  /** Holt linear (double-exponential) smoothing per group, α = 0.5,
+    * β = 0.25 — the level+trend forecaster one notch above q152's EWMA
+    * (which tracks level only and lags any trending series by a
+    * constant offset). For each group the `yCol` series is folded in
+    * `orderCol` order through the standard recurrence
+    *
+    *   ℓ_t = α·y_t + (1−α)·(ℓ_{t−1} + b_{t−1})
+    *   b_t = β·(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1}
+    *
+    * initialised ℓ_0 = y_0, b_0 = 0, accumulating the one-step-ahead
+    * squared error. A left fold over doubles is association-ORDER-
+    * dependent, so exact replay comes from both engines executing the
+    * IDENTICAL fold: `aggregate(array_sort(collect_list(...)))` here ≡
+    * DuckDB `list_reduce(list(... ORDER BY ...))` — the [[kaplanMeier]]
+    * bit-identity precedent. The constants are dyadic rationals
+    * (exactly representable), so the recurrence tree matches to the bit.
+    *
+    * Scale shape: one groupBy collapses the input to per-group ordered
+    * arrays (bounded: calendar days per group); the fold is one map-side
+    * pass per group. Returns (group, n_obs, level, trend, forecast_next
+    * = ℓ+b, mse of the n−1 one-step errors) — all raw doubles. */
+  def holtSmoothing(df: DataFrame, groupCol: String, orderCol: String,
+                    yCol: String): DataFrame = {
+    val folded = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"),
+              col(yCol).cast("double").as("y")))),
+            s => s.getField("y")),
+          struct(lit(0.0).as("l"), lit(0.0).as("b"),
+            lit(0.0).as("sse"), lit(0L).as("i")),
+          (a, y) => {
+            val l0 = a.getField("l"); val b0 = a.getField("b")
+            val f = l0 + b0
+            val l1 = lit(0.5) * y + lit(0.5) * f
+            struct(
+              when(a.getField("i") === 0, y).otherwise(l1).as("l"),
+              when(a.getField("i") === 0, lit(0.0))
+                .otherwise(lit(0.25) * (l1 - l0) + lit(0.75) * b0).as("b"),
+              when(a.getField("i") === 0, lit(0.0))
+                .otherwise(a.getField("sse") + (y - f) * (y - f)).as("sse"),
+              (a.getField("i") + 1).as("i"))
+          }).as("_st"))
+    folded.select(col(groupCol), col("n_obs"),
+      col("_st").getField("l").as("level"),
+      col("_st").getField("b").as("trend"),
+      (col("_st").getField("l") + col("_st").getField("b"))
+        .as("forecast_next"),
+      when(col("n_obs") > 1, col("_st").getField("sse") /
+        (col("n_obs") - 1)).as("mse"))
+  }
 }

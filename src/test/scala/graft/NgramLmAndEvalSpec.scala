@@ -388,4 +388,69 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Long]("n_test") == 2L)
     assert(out.getAs[Double]("pinball") == 2.5)
   }
+
+  test("knSmoothedBigrams: hand-computed interpolated KN on a toy corpus") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // corpus bigrams: "a b" ×2, "b a" ×1, "a c" ×1
+    //   types = 3, n1 = 2 (b a, a c), n2 = 1 (a b) → D = 2/4 = 0.5
+    //   ctx a: c_ctx = 3, n_follow = 2;  w2 b: n_prec = 1
+    //   P_kn(b|a) = (2−0.5)/3 + 0.5·2/3 · 1/3 = 0.5 + 1/9
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.knSmoothedBigrams(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getAs[String]("ctx"), r.getAs[String]("w2")) ->
+        r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("c_bg") == 2L)
+    assert(ab.getAs[Long]("c_ctx") == 3L)
+    assert(ab.getAs[Long]("n_follow") == 2L)
+    assert(ab.getAs[Long]("n_prec") == 1L)
+    assert(ab.getAs[Double]("discount") == 0.5)
+    assert(math.abs(ab.getAs[Double]("p_kn") - (1.5 / 3 + 0.5 * 2 / 3.0 / 3)) < 1e-12)
+    // probabilities out of a context sum to ≤ 1 (mass D·n_follow/c_ctx is
+    // spread over the whole vocab, seen and unseen)
+    val aMass = out.collect { case ((c, _), r) if c == "a" =>
+      r.getAs[Double]("p_kn") }.sum
+    assert(aMass > 0 && aMass < 1.0)
+  }
+
+  test("goodTuringCounts: Turing re-estimates on a fixed bigram profile") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // bigram counts: "a b"=3, "b c"=1, "c d"=1, "d e"=2  →
+    //   N1=2, N2=1, N3=1; N = 7 total bigram tokens
+    //   r=1: r* = 2·1/2 = 1.0; r=2: r* = 3·1/1 = 3.0; r=3: N4=0 → NULL
+    val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "a b"),
+      (4L, "d e")).toDF("doc_id", "text")
+    val out = NgramLm.goodTuringCounts(docs, "doc_id", "text", maxR = 8)
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(out(1L).getAs[Long]("n_r") == 2L)
+    assert(out(1L).getAs[Double]("r_star") == 1.0)
+    assert(out(2L).getAs[Double]("r_star") == 3.0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("r_star")))
+    assert(math.abs(out(1L).getAs[Double]("mass_r") - 2.0 / 7) < 1e-12)
+  }
+
+  test("holtSmoothing: matches an explicit sequential fold") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val ys = Seq(3.0, 7.0, 2.0, 9.0)
+    var l = 0.0; var b = 0.0; var sse = 0.0
+    ys.zipWithIndex.foreach { case (y, i) =>
+      if (i == 0) { l = y; b = 0.0 }
+      else {
+        val f = l + b; val l1 = 0.5 * y + 0.5 * f
+        b = 0.25 * (l1 - l) + 0.75 * b; sse += (y - f) * (y - f); l = l1
+      }
+    }
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i, y) }
+      .toDF("g", "t", "y")
+    val out = Stats.holtSmoothing(df, "g", "t", "y").head()
+    assert(out.getAs[Long]("n_obs") == 4L)
+    assert(out.getAs[Double]("level") == l)
+    assert(out.getAs[Double]("trend") == b)
+    assert(out.getAs[Double]("forecast_next") == l + b)
+    assert(out.getAs[Double]("mse") == sse / 3)
+  }
 }
