@@ -6628,7 +6628,42 @@ object SparkEntry {
               to_date(col("ts")).as("day"))
             .agg(count(lit(1)).as("n_events")),
           "event_type", "day", "n_events")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q395_page_hinkley" -> ((s, dir) =>
+      // online drift monitor per event type: Page-Hinkley deviation
+      // from the RUNNING mean (δ=0), alarm at λ=10 — the one-pass
+      // complement of q252's whole-series CUSUM; decimal prefix sums
+      Stats.pageHinkley(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events", delta = 0.0, lambda = 10.0)
+        .orderBy("event_type")),
+
+    "q396_encoding_audit" -> ((s, dir) =>
+      // mojibake gate over a deterministically corrupted twin corpus:
+      // every 3rd doc gets the classic UTF-8-as-Latin-1 ruins appended;
+      // the audit must flag exactly those, by pure string-op counts
+      TextQuality.encodingAudit(
+          tbl(s, dir, "documents").select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" caffÃ¨ â€” naÃ¯ve Â»")))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q397_jackknife" -> ((s, dir) =>
+      // delete-one-stratum jackknife variance of the purchase/view
+      // ratio over 10 user shards — the resampling-free error bar a
+      // sharded pipeline gets from its own partial sums
+      Stats.jackknifeRatio(
+          events(s, dir).select(pmod(col("user_id"), lit(10L)).as("stratum"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("num"),
+            when(col("event_type") === "view", 1L).otherwise(0L).as("den")),
+          "stratum", "num", "den")
+        .orderBy("stratum"))
   )
 
   // ======================================================================
@@ -11643,6 +11678,88 @@ object SparkEntry {
           |  CASE WHEN nn.n_obs > 1 THEN it.sse / (nn.n_obs - 1) END AS mse
           |FROM it JOIN nn USING (event_type)
           |WHERE it.t = nn.n_obs ORDER BY event_type""".stripMargin,
+
+      // running-mean deviations cast decimal(38,18) so the prefix sums
+      // are exact; threshold compare on the double cast both sides
+      "q395_page_hinkley" ->
+        """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, day, y,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY day) AS BIGINT) AS i,
+          |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+          |  FROM d),
+          |dv AS (SELECT event_type, i,
+          |    CAST(CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / i - 0.0
+          |      AS DECIMAL(38,18)) AS dd
+          |  FROM w),
+          |m AS (SELECT event_type, i,
+          |    SUM(dd) OVER (PARTITION BY event_type ORDER BY i
+          |      ROWS UNBOUNDED PRECEDING) AS m
+          |  FROM dv),
+          |p AS (SELECT event_type, i,
+          |    m - MIN(m) OVER (PARTITION BY event_type ORDER BY i
+          |      ROWS UNBOUNDED PRECEDING) AS ph
+          |  FROM m)
+          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+          |  round(CAST(MAX(ph) AS DOUBLE), 6) AS peak_ph,
+          |  CAST(SUM(CASE WHEN CAST(ph AS DOUBLE) > 10.0 THEN 1 ELSE 0
+          |    END) AS BIGINT) AS n_alarms,
+          |  MIN(CASE WHEN CAST(ph AS DOUBLE) > 10.0 THEN i END)
+          |    AS first_alarm_t
+          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // single-code-point signature counts via replace(); the one
+      // regex is the portable printable-ASCII class (global flag!)
+      "q396_encoding_audit" ->
+        """WITH c AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN text || ' caffÃ¨ â€” naÃ¯ve Â»' ELSE text END AS text
+          |  FROM documents),
+          |a AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
+          |      AS BIGINT) AS n_non_print,
+          |    CAST(length(text) - length(replace(text, '�', ''))
+          |      AS BIGINT) AS n_replacement,
+          |    CAST((length(text) - length(replace(text, 'Ã', ''))) +
+          |      (length(text) - length(replace(text, 'Â', ''))) +
+          |      (length(text) - length(replace(text, 'â', '')))
+          |      AS BIGINT) AS n_mojibake
+          |  FROM c)
+          |SELECT doc_id, n_chars, n_non_print, n_replacement, n_mojibake,
+          |  (n_replacement > 0 OR n_mojibake > 0) AS is_suspect
+          |FROM a ORDER BY doc_id""".stripMargin,
+
+      // leave-one-stratum ratios from exact BIGINT sums; the two
+      // cross-stratum means decimal-accumulate then cast double
+      "q397_jackknife" ->
+        """WITH ev AS (SELECT user_id % 10 AS stratum,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS num,
+          |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS den
+          |  FROM events),
+          |per AS (SELECT stratum, CAST(SUM(num) AS BIGINT) AS num_h,
+          |    CAST(SUM(den) AS BIGINT) AS den_h
+          |  FROM ev GROUP BY 1),
+          |t AS (SELECT CAST(SUM(num_h) AS BIGINT) AS tn,
+          |    CAST(SUM(den_h) AS BIGINT) AS td,
+          |    CAST(count(*) AS BIGINT) AS h FROM per),
+          |loo AS (SELECT stratum, num_h, den_h, tn, td, h,
+          |    CAST(tn - num_h AS DOUBLE) / (td - den_h) AS theta_loo
+          |  FROM per, t),
+          |tb AS (SELECT *, CAST(SUM(CAST(theta_loo AS DECIMAL(38,18)))
+          |      OVER () AS DOUBLE) / h AS tbar
+          |  FROM loo),
+          |v AS (SELECT *, CAST(SUM(CAST((theta_loo - tbar) *
+          |      (theta_loo - tbar) AS DECIMAL(38,18))) OVER () AS DOUBLE)
+          |      * (h - 1) / h AS var_jack
+          |  FROM tb)
+          |SELECT stratum, num_h, den_h, theta_loo,
+          |  CAST(tn AS DOUBLE) / td AS theta_hat,
+          |  round(var_jack, 12) AS var_jack,
+          |  round(sqrt(var_jack), 9) AS se_jack
+          |FROM v ORDER BY stratum""".stripMargin,
 
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree

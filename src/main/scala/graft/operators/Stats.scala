@@ -1169,4 +1169,89 @@ object Stats {
       when(col("n_obs") > 1, col("_st").getField("sse") /
         (col("n_obs") - 1)).as("mse"))
   }
+
+  /** Page–Hinkley drift monitor (Page 1954; the streaming-drift test
+    * MOA/River ship) per group: the cumulative deviation from the
+    * RUNNING mean, m_t = Σ_{i≤t} (x_i − x̄_i − δ), alarms when
+    * m_t − min_{i≤t} m_i > λ. Complements [[cusumChangepoint]] (which
+    * deviates from the fixed GLOBAL mean and needs the whole series)
+    * — PH is the one-pass online form.
+    *
+    * Replay-exactness: x̄_i = S_i/i is one double division (identical
+    * tree both engines); each deviation is then cast to
+    * decimal(38,18) so the PREFIX SUM is exact and association-order-
+    * free — the repo's decimal-accumulate parity rule — and the
+    * min-so-far and threshold compare stay in decimal. One summary row
+    * per group: n_obs, the peak statistic, alarm count and first alarm
+    * position (NULL when the series never drifts past λ).
+    *
+    * Scale shape: one shuffle to daily grain, one window partition per
+    * group; the summary rollup collapses map-side. */
+  def pageHinkley(df: DataFrame, groupCol: String, orderCol: String,
+                  yCol: String, delta: Double, lambda: Double): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val dev = df
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_s", sum(col(yCol)).over(wAll))
+      .withColumn("_d", d18(col(yCol).cast("double") -
+        col("_s").cast("double") / col("_i") - lit(delta)))
+      .withColumn("_m", sum(col("_d")).over(wAll))
+      .withColumn("_ph", col("_m") - min(col("_m")).over(wAll))
+      // threshold-compare on the DOUBLE cast: a decimal-vs-double
+      // comparison coerces differently in the two engines near a tie
+      .withColumn("_phd", col("_ph").cast("double"))
+    dev.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        round(max(col("_ph")).cast("double"), 6).as("peak_ph"),
+        sum(when(col("_phd") > lit(lambda), 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("_phd") > lit(lambda), col("_i"))).as("first_alarm_t"))
+  }
+
+  /** Delete-one-group jackknife for a RATIO metric (Quenouille 1956;
+    * Efron 1982 ch. 2 — the grouped jackknife a sharded pipeline gets
+    * for free): θ̂ = ΣN/ΣD over all strata, θ̂₍₋ₕ₎ the ratio with
+    * stratum h's exact integer sums removed, and
+    *
+    *   var_jack = (H−1)/H · Σ_h (θ̂₍₋ₕ₎ − θ̄)²,  θ̄ = Σ θ̂₍₋ₕ₎ / H
+    *
+    * The leave-one-out ratios are single identical-tree double
+    * divisions of BIGINT sums; the two cross-stratum means accumulate
+    * in decimal(38,18) (order-free), so the oracle replays every value
+    * bit-for-bit. Complements the delta-method variance (q368): the
+    * jackknife needs no Taylor expansion and exposes per-stratum
+    * influence (`theta_loo`).
+    *
+    * Scale shape: one groupBy collapses the fact table to H stratum
+    * rows; everything after is window math over those H rows. Returns
+    * one row per stratum with the shared (theta_hat, var_jack,
+    * se_jack) repeated — H is small by construction. */
+  def jackknifeRatio(df: DataFrame, stratumCol: String, numCol: String,
+                     denCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val per = df.groupBy(col(stratumCol))
+      .agg(sum(col(numCol)).as("num_h"), sum(col(denCol)).as("den_h"))
+    val wAll = Window.partitionBy(lit(1))
+    val loo = per
+      .withColumn("_tn", sum("num_h").over(wAll))
+      .withColumn("_td", sum("den_h").over(wAll))
+      .withColumn("_h", count(lit(1)).over(wAll))
+      .withColumn("theta_loo",
+        (col("_tn") - col("num_h")).cast("double") /
+          (col("_td") - col("den_h")))
+      .withColumn("_tbar",
+        sum(d18(col("theta_loo"))).over(wAll).cast("double") / col("_h"))
+    loo
+      .withColumn("var_jack",
+        ((sum(d18((col("theta_loo") - col("_tbar")) *
+            (col("theta_loo") - col("_tbar")))).over(wAll)).cast("double") *
+          (col("_h") - 1) / col("_h")))
+      .select(col(stratumCol), col("num_h"), col("den_h"),
+        col("theta_loo"),
+        (col("_tn").cast("double") / col("_td")).as("theta_hat"),
+        round(col("var_jack"), 12).as("var_jack"),
+        round(sqrt(col("var_jack")), 9).as("se_jack"))
+  }
 }

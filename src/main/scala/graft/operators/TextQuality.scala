@@ -610,4 +610,34 @@ object TextQuality {
       .select(col("id").as(idCol), col("rank"), col("line_idx"),
         col("n_grams"), round(col("score"), 6).as("score"), col("line"))
   }
+
+  /** Character-encoding QA — the mojibake/corruption gate a web-scale
+    * crawl needs before tokenization (UTF-8 bytes decoded as Latin-1
+    * leave unmistakable 'Ã'/'â€'/'Â' signatures; U+FFFD marks decoder
+    * REPLACEMENT of genuinely invalid bytes). Per document:
+    * `n_chars` (code points), `n_non_print` (outside printable ASCII
+    * space..tilde, i.e. anything a pure-ASCII corpus shouldn't hold:
+    * control chars AND all non-ASCII), `n_replacement` U+FFFD count,
+    * `n_mojibake` occurrences of the four canonical double-encoding
+    * signatures ('Ã', 'Â', 'â€', U+FFFD is counted separately), and the
+    * verdict `is_suspect`. Each signature is a SINGLE code point
+    * ('â' alone leads every 'â€x' smart-quote ruin), so every count is
+    * a plain `length(s) − length(replace(s, sig, ''))` — pure string
+    * ops with identical code-point semantics in both engines, no
+    * division, no regex dialect except the one portable
+    * printable-ASCII character class. Map-side only: the cost rides
+    * the scan stage, no shuffle. */
+  def encodingAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col(textCol)
+    def occurrences(sig: String): Column =
+      (length(s) - length(replace(s, lit(sig), lit("")))).cast("long")
+    df.select(col(idCol), length(s).cast("long").as("n_chars"),
+        length(regexp_replace(s, "[ -~]", "")).cast("long")
+          .as("n_non_print"),
+        occurrences("�").as("n_replacement"),
+        (occurrences("Ã") + occurrences("Â") +
+          occurrences("â")).as("n_mojibake"))
+      .withColumn("is_suspect",
+        col("n_replacement") > 0 || col("n_mojibake") > 0)
+  }
 }

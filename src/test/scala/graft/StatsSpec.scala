@@ -523,4 +523,36 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) == ((0.0, true))) // pure split
     assert(out(3L) == ((0.333333, false)))
   }
+
+  test("pageHinkley: hand-computed statistic, alarm position, no-alarm group") {
+    import spark.implicits._
+    // series 10,10,10,20: deviations from running mean 0,0,0,+7.5;
+    // m = 0,0,0,7.5; min-so-far 0 → PH peaks 7.5 at t=4
+    val rows = Seq(("a", 1, 10L), ("a", 2, 10L), ("a", 3, 10L),
+      ("a", 4, 20L), ("b", 1, 5L), ("b", 2, 5L))
+    val df = rows.toDF("g", "t", "y")
+    val out = Stats.pageHinkley(df, "g", "t", "y", delta = 0.0,
+      lambda = 5.0).collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("a").getAs[Double]("peak_ph") == 7.5)
+    assert(out("a").getAs[Long]("n_alarms") == 1L)
+    assert(out("a").getAs[Long]("first_alarm_t") == 4L)
+    assert(out("b").getAs[Long]("n_alarms") == 0L)
+    assert(out("b").isNullAt(out("b").fieldIndex("first_alarm_t")))
+  }
+
+  test("jackknifeRatio: matches the closed-form leave-one-out variance") {
+    import spark.implicits._
+    // strata sums: (1,2), (2,2), (3,2) → θ=6/6=1
+    // loo: (5/4, 4/4, 3/4); mean = 1; var = 2/3·(1/16+0+1/16) = 1/12
+    val df = Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 2L))
+      .toDF("stratum", "num", "den")
+    val out = Stats.jackknifeRatio(df, "stratum", "num", "den")
+      .orderBy("stratum").collect()
+    assert(out.map(_.getAs[Double]("theta_loo")).toSeq ==
+      Seq(1.25, 1.0, 0.75))
+    assert(out.head.getAs[Double]("theta_hat") == 1.0)
+    assert(math.abs(out.head.getAs[Double]("var_jack") - 1.0 / 12) < 1e-9)
+    assert(math.abs(out.head.getAs[Double]("se_jack") -
+      math.sqrt(1.0 / 12)) < 1e-9)
+  }
 }

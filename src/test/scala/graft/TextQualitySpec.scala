@@ -229,4 +229,28 @@ class TextQualitySpec extends SparkSpec {
     val tiny = Seq((2L, "solo")).toDF("doc_id", "text")
     assert(TextQuality.extractiveSummary(tiny, "doc_id", "text").count() == 0)
   }
+
+  test("encodingAudit: counts signatures, flags only corrupted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "smart quote ruin: â€œquotedâ€"), // â ×2
+      (3L, "latin1 ruin: caffÃ¨ and Ã©tÃ©"),      // Ã ×3
+      (4L, "replacement: bad�byte"),
+      (5L, "tab\tand newline\nare non-print")).toDF("doc_id", "text")
+    val out = TextQuality.encodingAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_mojibake") == 0L &&
+      !out(1L).getAs[Boolean]("is_suspect"))
+    assert(out(2L).getAs[Long]("n_mojibake") == 2L &&
+      out(2L).getAs[Boolean]("is_suspect"))
+    assert(out(3L).getAs[Long]("n_mojibake") == 3L)
+    assert(out(4L).getAs[Long]("n_replacement") == 1L &&
+      out(4L).getAs[Boolean]("is_suspect"))
+    // control chars count as non-printable but are NOT mojibake
+    assert(out(5L).getAs[Long]("n_non_print") == 2L &&
+      !out(5L).getAs[Boolean]("is_suspect"))
+    // n_chars counts code points
+    assert(out(1L).getAs[Long]("n_chars") == 16L)
+  }
 }
