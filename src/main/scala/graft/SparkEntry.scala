@@ -6663,7 +6663,40 @@ object SparkEntry {
               .as("num"),
             when(col("event_type") === "view", 1L).otherwise(0L).as("den")),
           "stratum", "num", "den")
-        .orderBy("stratum"))
+        .orderBy("stratum")),
+
+    "q398_cvm_test" -> ((s, dir) =>
+      // Cramér-von Mises two-sample drift: even/odd user arms over
+      // event value cents per type — integrates the WHOLE ECDF gap
+      // (KS sup misses mid-distribution shifts); exact decimal(38,0)
+      // numerator, one final division
+      Stats.cramerVonMises(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), (col("user_id") % 2 === 0).as("armA"),
+              round(col("value") * 100).cast("long").as("v100")),
+          "event_type", "armA", "v100")
+        .orderBy("event_type")),
+
+    "q399_cramers_v" -> ((s, dir) =>
+      // pairwise categorical association over lineitem's 4 label
+      // columns from ONE fact scan (joint cube, then 6 pairwise
+      // rollups of the cube — never 6 fact scans)
+      Profiling.cramersVMatrix(tbl(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus", "l_linenumber",
+            "l_quantity"))
+        .orderBy("col_a", "col_b")),
+
+    "q400_segmented_trend" -> ((s, dir) =>
+      // where does the TREND break: best single changepoint per event
+      // type by two-segment OLS SSE from exact BIGINT prefix sums —
+      // completes the changepoint triad (CUSUM level / PH online /
+      // segmented trend)
+      Stats.segmentedTrend(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events", minSeg = 5)
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -11761,6 +11794,41 @@ object SparkEntry {
           |  round(sqrt(var_jack), 9) AS se_jack
           |FROM v ORDER BY stratum""".stripMargin,
 
+      // HUGEINT ≡ decimal(38,0) exact numerator, one final division
+      "q398_cvm_test" ->
+        """WITH ev AS (SELECT event_type, user_id % 2 = 0 AS arma,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |bv AS (SELECT event_type, v,
+          |    CAST(SUM(CASE WHEN arma THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |    CAST(SUM(CASE WHEN arma THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          |  FROM ev GROUP BY 1, 2),
+          |cum AS (SELECT event_type, v, ca, cb,
+          |    CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cka,
+          |    CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ckb,
+          |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+          |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS m
+          |  FROM bv),
+          |ag AS (SELECT event_type, max(n) AS n_a, max(m) AS n_b,
+          |    SUM(CAST(ca + cb AS HUGEINT) *
+          |      (CAST(cka AS HUGEINT) * m - CAST(ckb AS HUGEINT) * n) *
+          |      (CAST(cka AS HUGEINT) * m - CAST(ckb AS HUGEINT) * n))
+          |      AS num
+          |  FROM cum GROUP BY 1),
+          |tt AS (SELECT event_type, n_a, n_b,
+          |    round(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b *
+          |      (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b))), 6) AS t_cvm
+          |  FROM ag)
+          |SELECT event_type, n_a, n_b, t_cvm, t_cvm > 0.461
+          |  AS rejects_5pct
+          |FROM tt ORDER BY event_type""".stripMargin,
+
+      "q399_cramers_v" -> cramersVOracleSql,
+
+      "q400_segmented_trend" -> segmentedTrendOracleSql,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -15309,6 +15377,101 @@ object SparkEntry {
        |    / count(*) AS moved_frac
        |FROM a4 JOIN a5 USING (doc_id)
        |GROUP BY a4.node ORDER BY node""".stripMargin
+  }
+
+  /** Replays q399: ONE joint cube over the 4 label columns, then each
+    * pair's contingency/margins/χ² derived from the cube; per-cell
+    * n²/(r·c) doubles decimal-accumulate. */
+  private def cramersVOracleSql: String = {
+    val cols = Seq("l_returnflag" -> "a1", "l_linestatus" -> "a2",
+      "l_linenumber" -> "a3", "l_quantity" -> "a4")
+    def pairBlock(a: (String, String), b: (String, String)): String =
+      s"""SELECT '${a._1}' AS col_a, '${b._1}' AS col_b, n, r, c,
+         |  round(n * e, 6) AS chi2,
+         |  CASE WHEN least(r - 1, c - 1) > 0
+         |    THEN round(sqrt(e / least(r - 1, c - 1)), 6) END AS cramers_v
+         |FROM (
+         |  SELECT n, r, c,
+         |    greatest(CAST(0.0 AS DOUBLE), s - 1.0) AS e
+         |  FROM (
+         |    SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+         |      CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+         |      CAST(COUNT(DISTINCT y) AS BIGINT) AS c,
+         |      CAST(SUM(CAST(CAST(n_ab * n_ab AS DOUBLE) / (ra * cb)
+         |        AS DECIMAL(38,18))) AS DOUBLE) AS s
+         |    FROM (
+         |      SELECT x, y, n_ab,
+         |        CAST(SUM(n_ab) OVER (PARTITION BY x) AS BIGINT) AS ra,
+         |        CAST(SUM(n_ab) OVER (PARTITION BY y) AS BIGINT) AS cb
+         |      FROM (SELECT ${a._2} AS x, ${b._2} AS y,
+         |          CAST(SUM(nn) AS BIGINT) AS n_ab
+         |        FROM cube0 GROUP BY 1, 2))))""".stripMargin
+    val blocks = (for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield pairBlock(cols(i), cols(j))).mkString("\nUNION ALL\n")
+    s"""WITH cube0 AS (SELECT ${cols.map { case (c, al) => s"$c AS $al" }
+        .mkString(", ")},
+       |    CAST(count(*) AS BIGINT) AS nn
+       |  FROM lineitem GROUP BY 1, 2, 3, 4)
+       |$blocks
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Replays q400: exact BIGINT prefix sums, the OLS SSE identity as
+    * one double tree per side, rank by (sse_split, k). */
+  private def segmentedTrendOracleSql: String = {
+    def sse(n: String, sx: String, sy: String, sxx: String, sxy: String,
+            syy: String): String =
+      s"""greatest(CAST(0.0 AS DOUBLE),
+         |  CASE WHEN CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * ($sx) / ($n) > 0
+         |    THEN CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * ($sy) / ($n)
+         |      - (CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * ($sy) / ($n))
+         |        * (CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * ($sy) / ($n))
+         |        / (CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * ($sx) / ($n))
+         |    ELSE CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * ($sy) / ($n)
+         |  END)""".stripMargin
+    val left = sse("i", "sx", "sy", "sxx", "sxy", "syy")
+    val right = sse("tn - i", "tsx - sx", "tsy - sy", "tsxx - sxx",
+      "tsxy - sxy", "tsyy - syy")
+    val single = sse("tn", "tsx", "tsy", "tsxx", "tsxy", "tsyy")
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT event_type, CAST(row_number() OVER (
+       |      PARTITION BY event_type ORDER BY day) AS BIGINT) AS i, y
+       |  FROM d),
+       |c AS (SELECT event_type, i,
+       |    CAST(SUM(i) OVER w AS BIGINT) AS sx,
+       |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+       |    CAST(SUM(i * i) OVER w AS BIGINT) AS sxx,
+       |    CAST(SUM(i * y) OVER w AS BIGINT) AS sxy,
+       |    CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+       |    CAST(MAX(i) OVER wa AS BIGINT) AS tn,
+       |    CAST(SUM(i) OVER wa AS BIGINT) AS tsx,
+       |    CAST(SUM(y) OVER wa AS BIGINT) AS tsy,
+       |    CAST(SUM(i * i) OVER wa AS BIGINT) AS tsxx,
+       |    CAST(SUM(i * y) OVER wa AS BIGINT) AS tsxy,
+       |    CAST(SUM(y * y) OVER wa AS BIGINT) AS tsyy
+       |  FROM p
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY i
+       |      ROWS UNBOUNDED PRECEDING),
+       |    wa AS (PARTITION BY event_type)),
+       |s AS (SELECT event_type, i, tn,
+       |    $left AS sse_left,
+       |    $right AS sse_right,
+       |    $single AS sse_single
+       |  FROM c WHERE i >= 5 AND i <= tn - 5),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY sse_left + sse_right, i) AS rn
+       |  FROM s)
+       |SELECT event_type, tn AS n, i AS best_k,
+       |  round(sse_left, 6) AS sse_left,
+       |  round(sse_right, 6) AS sse_right,
+       |  round(sse_single, 6) AS sse_single,
+       |  round(CASE WHEN sse_single > 0 THEN greatest(CAST(0.0 AS DOUBLE),
+       |    (sse_single - (sse_left + sse_right)) / sse_single) END, 6)
+       |    AS drop_ratio
+       |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin
   }
 
   /** Replays q388: the q158/q159 scored CTEs, gates paired per doc, the

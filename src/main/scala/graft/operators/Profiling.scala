@@ -283,4 +283,51 @@ object Profiling {
         .cast("long").as("digest"))
     perBucket.unionByName(root).orderBy("bucket")
   }
+
+  /** Pairwise Cramér's V association matrix over categorical columns —
+    * the dependence screen a feature/profiling pass runs before trusting
+    * "independent" dimensions (χ² rescaled to [0,1]:
+    * V = sqrt(χ²/N / min(r−1, c−1)), Cramér 1946 §21.9).
+    *
+    * Scale discipline: ONE fact-table scan collapses to the joint
+    * count cube over all the columns (tiny: the product of small
+    * cardinalities); every pair's contingency table, margins and χ²
+    * are then derived from that cube — k·(k−1)/2 pairs cost k²·|cube|
+    * driver-free work, not k² fact scans. χ² accumulates the per-cell
+    * `n_ij²/(r_i·c_j)` doubles in decimal(38,18) (order-free, the
+    * repo parity rule); the expected-count form is algebraically
+    * folded to N·(Σ n²/(r·c) − 1) so no per-cell subtraction noise.
+    * Returns one row per unordered pair (col_a < col_b). */
+  def cramersVMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val cube = df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val wa = org.apache.spark.sql.expressions.Window.partitionBy(a)
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy(b)
+      val cells = cube.groupBy(col(a), col(b))
+        .agg(sum("_n").as("n_ab"))
+        .withColumn("_ra", sum("n_ab").over(wa))
+        .withColumn("_cb", sum("n_ab").over(wb))
+      cells.agg(
+        sum("n_ab").as("n"),
+        countDistinct(col(a)).as("r"),
+        countDistinct(col(b)).as("c"),
+        sum(d18((col("n_ab") * col("n_ab")).cast("double") /
+          (col("_ra") * col("_cb")))).cast("double").as("_s"))
+        // Σ n²/(r·c) ≥ 1 mathematically; clamp the float residue so a
+        // perfectly independent pair can't round to −0.0 (q280 lesson)
+        .withColumn("_e", greatest(lit(0.0), col("_s") - lit(1.0)))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), col("r"), col("c"),
+          round(col("n") * col("_e"), 6).as("chi2"),
+          when(least(col("r") - 1, col("c") - 1) > 0,
+            round(sqrt(col("_e") / least(col("r") - 1, col("c") - 1)), 6))
+            .as("cramers_v"))
+    }.reduce(_ unionByName _)
+  }
 }

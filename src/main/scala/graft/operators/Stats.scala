@@ -1254,4 +1254,118 @@ object Stats {
         round(col("var_jack"), 12).as("var_jack"),
         round(sqrt(col("var_jack")), 9).as("se_jack"))
   }
+
+  /** Two-sample Cramér–von Mises distribution test per group (Anderson
+    * 1962), in the ties-correct ECDF form: with per-distinct-value arm
+    * counts (cA, cB) and cumulative (CA, CB),
+    *
+    *   T = Σ_v w_v · (CA/n − CB/m)²  · n·m/N²
+    *     = Σ_v w_v · (CA·m − CB·n)²  / (n·m·N²)
+    *
+    * the INTEGER numerator Σ w·(CA·m − CB·n)² accumulates exactly in
+    * decimal(38,0) (the HUGEINT ≡ decimal(38,0) parity rule — the
+    * squares overflow BIGINT at scale), then ONE double division
+    * against n·m·N² computed as doubles. Unlike the KS sup-statistic,
+    * CvM integrates the whole ECDF gap, so a mid-distribution shift
+    * that never produces a large sup still rejects. `rejects_5pct`
+    * compares against the asymptotic 5% critical value 0.461.
+    *
+    * Scale shape: one shuffle to (group, value) grain with both arm
+    * counts as conditional sums, one window per group for the
+    * cumulatives, one rollup. */
+  def cramerVonMises(df: DataFrame, groupCol: String, armACol: String,
+                     valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val byV = df.groupBy(col(groupCol), col(valueCol).as("_v"))
+      .agg(sum(when(col(armACol), 1L).otherwise(0L)).as("ca"),
+        sum(when(col(armACol), 0L).otherwise(1L)).as("cb"))
+    val w = Window.partitionBy(groupCol).orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = byV
+      .withColumn("_cka", sum("ca").over(w))
+      .withColumn("_ckb", sum("cb").over(w))
+      .withColumn("_n", sum("ca").over(wAll))
+      .withColumn("_m", sum("cb").over(wAll))
+      .withColumn("_d", d0(col("_cka")) * col("_m") -
+        d0(col("_ckb")) * col("_n"))
+    cum.groupBy(col(groupCol))
+      .agg(max("_n").as("n_a"), max("_m").as("n_b"),
+        sum(d0(col("ca") + col("cb")) * col("_d") * col("_d"))
+          .as("_num"))
+      .withColumn("t_cvm",
+        round(col("_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b") *
+            ((col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")))), 6))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("t_cvm"),
+        (col("t_cvm") > 0.461).as("rejects_5pct"))
+  }
+
+  /** Single-changepoint segmented-trend fit per group: the split k that
+    * minimises SSE(left OLS line) + SSE(right OLS line) over the
+    * `orderCol`-indexed series — the piecewise complement of
+    * [[cusumChangepoint]] (level shifts) and [[pageHinkley]] (online
+    * drift): this one finds where the TREND breaks. Each candidate
+    * split's two SSEs come from exact BIGINT prefix sums
+    * (Sx, Sy, Sxx, Sxy, Syy) via the textbook identity
+    * SSE = Syy − Sy²/n − (Sxy − Sx·Sy/n)² / (Sxx − Sx²/n), so every
+    * candidate is a handful of identical-tree double divisions — no
+    * per-row residual passes, O(n) candidates from one window.
+    * Segments shorter than `minSeg` are not considered (OLS on 1-2
+    * points is vacuously perfect). Ties break on the smaller k.
+    *
+    * Returns one row per group: n, best split position k (right
+    * segment starts at k+1), the two segment SSEs, the single-line
+    * SSE, and the explained-drop ratio. */
+  def segmentedTrend(df: DataFrame, groupCol: String, orderCol: String,
+                     yCol: String, minSeg: Int = 5): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val pre = df
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_y", col(yCol).cast("long"))
+      .withColumn("sx", sum("_i").over(wCum))
+      .withColumn("sy", sum("_y").over(wCum))
+      .withColumn("sxx", sum(col("_i") * col("_i")).over(wCum))
+      .withColumn("sxy", sum(col("_i") * col("_y")).over(wCum))
+      .withColumn("syy", sum(col("_y") * col("_y")).over(wCum))
+      .withColumn("tn", max(col("_i")).over(wAll))
+      .withColumn("tsx", sum("_i").over(wAll))
+      .withColumn("tsy", sum("_y").over(wAll))
+      .withColumn("tsxx", sum(col("_i") * col("_i")).over(wAll))
+      .withColumn("tsxy", sum(col("_i") * col("_y")).over(wAll))
+      .withColumn("tsyy", sum(col("_y") * col("_y")).over(wAll))
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+            syy: Column): Column = {
+      val vx = sxx.cast("double") - sx.cast("double") * sx / n
+      val cxy = sxy.cast("double") - sx.cast("double") * sy / n
+      val vy = syy.cast("double") - sy.cast("double") * sy / n
+      // SSE ≥ 0 mathematically; clamp the float residue (−0.0 hazard)
+      greatest(lit(0.0), when(vx > 0, vy - cxy * cxy / vx).otherwise(vy))
+    }
+    val scored = pre
+      .filter(col("_i") >= minSeg && col("_i") <= col("tn") - minSeg)
+      .withColumn("sse_left", sse(col("_i"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy")))
+      .withColumn("sse_right", sse(col("tn") - col("_i"),
+        col("tsx") - col("sx"), col("tsy") - col("sy"),
+        col("tsxx") - col("sxx"), col("tsxy") - col("sxy"),
+        col("tsyy") - col("syy")))
+      .withColumn("sse_split", col("sse_left") + col("sse_right"))
+      .withColumn("sse_single", sse(col("tn"), col("tsx"), col("tsy"),
+        col("tsxx"), col("tsxy"), col("tsyy")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("sse_split"), col("_i"))))
+      .filter(col("_rk") === 1)
+    scored.select(col(groupCol), col("tn").as("n"),
+      col("_i").as("best_k"),
+      round(col("sse_left"), 6).as("sse_left"),
+      round(col("sse_right"), 6).as("sse_right"),
+      round(col("sse_single"), 6).as("sse_single"),
+      round(when(col("sse_single") > 0, greatest(lit(0.0),
+        (col("sse_single") - col("sse_split")) / col("sse_single"))), 6)
+        .as("drop_ratio"))
+  }
 }

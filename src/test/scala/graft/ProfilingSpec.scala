@@ -170,4 +170,22 @@ class ProfilingSpec extends SparkSpec {
       .filter(col("bucket") === -1).head().getLong(2)
     assert(c != a.find(_._1 == -1).get._3)
   }
+
+  test("cramersVMatrix: V = 1 for perfect association, 0 for independence") {
+    import spark.implicits._
+    // c1↔c2 perfectly associated; c3 independent of both
+    val df = Seq(
+      ("a", "x", "p"), ("a", "x", "q"), ("b", "y", "p"), ("b", "y", "q"))
+      .toDF("c1", "c2", "c3")
+    val out = Profiling.cramersVMatrix(df, Seq("c1", "c2", "c3"))
+      .collect().map(r => (r.getAs[String]("col_a"),
+        r.getAs[String]("col_b")) -> r).toMap
+    assert(out.size == 3)
+    val p12 = out(("c1", "c2"))
+    assert(p12.getAs[Long]("n") == 4L && p12.getAs[Long]("r") == 2L)
+    assert(p12.getAs[Double]("chi2") == 4.0)
+    assert(p12.getAs[Double]("cramers_v") == 1.0)
+    assert(out(("c1", "c3")).getAs[Double]("cramers_v") == 0.0)
+    assert(out(("c2", "c3")).getAs[Double]("chi2") == 0.0)
+  }
 }

@@ -555,4 +555,36 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("se_jack") -
       math.sqrt(1.0 / 12)) < 1e-9)
   }
+
+  test("cramerVonMises: hand-computed ties-correct statistic") {
+    import spark.implicits._
+    // A = {1,2}, B = {1,3}: Σ w·(CA·m − CB·n)² = 2·0 + 1·4 + 1·0 = 4
+    // T = 4 / (2·2·4²) = 0.0625
+    val df = Seq(("g", true, 1L), ("g", true, 2L), ("g", false, 1L),
+      ("g", false, 3L)).toDF("g", "armA", "v")
+    val out = Stats.cramerVonMises(df, "g", "armA", "v").head()
+    assert(out.getAs[Long]("n_a") == 2L && out.getAs[Long]("n_b") == 2L)
+    assert(out.getAs[Double]("t_cvm") == 0.0625)
+    assert(!out.getAs[Boolean]("rejects_5pct"))
+    // identical samples → T = 0
+    val same = Seq(("g", true, 1L), ("g", true, 2L), ("g", false, 1L),
+      ("g", false, 2L)).toDF("g", "armA", "v")
+    assert(Stats.cramerVonMises(same, "g", "armA", "v")
+      .head().getAs[Double]("t_cvm") == 0.0)
+  }
+
+  test("segmentedTrend: finds the exact trend break, zero-SSE split") {
+    import spark.implicits._
+    // y = x up to x=10, flat 10 after: k=9 and k=10 both split into two
+    // perfect lines (SSE 0); tie breaks to the smaller k
+    val rows = (1 to 20).map(x => ("g", x, if (x <= 10) x.toLong else 10L))
+    val out = Stats.segmentedTrend(rows.toDF("g", "t", "y"), "g", "t", "y",
+      minSeg = 5).head()
+    assert(out.getAs[Long]("n") == 20L)
+    assert(out.getAs[Long]("best_k") == 9L)
+    assert(out.getAs[Double]("sse_left") == 0.0)
+    assert(out.getAs[Double]("sse_right") == 0.0)
+    assert(out.getAs[Double]("drop_ratio") == 1.0)
+    assert(out.getAs[Double]("sse_single") > 0.0)
+  }
 }
