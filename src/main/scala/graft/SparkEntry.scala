@@ -6696,7 +6696,49 @@ object SparkEntry {
               to_date(col("ts")).as("day"))
             .agg(count(lit(1)).as("n_events")),
           "event_type", "day", "n_events", minSeg = 5)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q401_perm_by_group" -> ((s, dir) =>
+      // one exact permutation p-value PER event type (the q350 chain,
+      // grouped) — the raw material multiple-testing correction needs
+      Stats.permutationTestPerGroup(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("user_id"),
+              round(col("value") * 100).cast("long").as("v100")),
+          "event_type", "user_id", "v100", nPerms = 64)
+        .orderBy("event_type")),
+
+    "q402_bh_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg step-up at q = 1/4 over the q401 p-values —
+      // the step-up condition in pure integer arithmetic
+      val pt = Stats.permutationTestPerGroup(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_type"), col("user_id"),
+              round(col("value") * 100).cast("long").as("v100")),
+          "event_type", "user_id", "v100", nPerms = 64)
+        .select(col("event_type"), (col("n_extreme") + 1).as("p_num"),
+          (col("n_perms") + 1).as("p_den"))
+      Evaluation.bhFdr(pt, "event_type", "p_num", "p_den",
+          qNum = 1L, qDen = 4L)
+        .orderBy("rank")
+    }),
+
+    "q403_sigmoid_calibration" -> ((s, dir) => {
+      // Platt-style parametric calibration of the q159 reliability
+      // diagram with the ALGEBRAIC sigmoid (libm-free) — 12 unrolled
+      // gradient steps, decimal-accumulated gradient sums
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("margin"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      val bins = Evaluation.calibrationBins(scored, "margin",
+          "quality_pass", nBins = 10)
+        .select(((col("bin").cast("double") + lit(0.5)) / lit(10.0) -
+          lit(0.5)).as("x"), col("n"), col("n_pos"))
+      Evaluation.sigmoidCalibration(bins, "x", "n", "n_pos",
+        iters = 12, step = 2.0)
+    })
   )
 
   // ======================================================================
@@ -11829,6 +11871,34 @@ object SparkEntry {
 
       "q400_segmented_trend" -> segmentedTrendOracleSql,
 
+      "q401_perm_by_group" ->
+        s"""$permByGroupCtes
+           |SELECT g AS event_type, diff_obs, n_perms, n_extreme, p_value
+           |FROM pg ORDER BY event_type""".stripMargin,
+
+      // step-up condition in pure integers: p_num·qDen·m ≤ rank·p_den·qNum
+      "q402_bh_fdr" ->
+        s"""$permByGroupCtes,
+           |hyp AS (SELECT g, n_extreme + 1 AS p_num, n_perms + 1 AS p_den
+           |  FROM pg),
+           |rk AS (SELECT g, p_num, p_den,
+           |    CAST(row_number() OVER (ORDER BY
+           |      CAST(p_num AS DOUBLE) / p_den, g) AS BIGINT) AS rank,
+           |    CAST(count(*) OVER () AS BIGINT) AS m
+           |  FROM hyp),
+           |ok AS (SELECT *, p_num * 4 * m <= rank * p_den * 1 AS pass
+           |  FROM rk),
+           |ks AS (SELECT *, coalesce(max(CASE WHEN pass THEN rank END)
+           |      OVER (), 0) AS kstar
+           |  FROM ok)
+           |SELECT g AS event_type, p_num, p_den,
+           |  round(CAST(p_num AS DOUBLE) / p_den, 6) AS p_value, rank,
+           |  round(CAST(rank AS DOUBLE) * 1 / 4 / m, 6) AS bh_threshold,
+           |  rank <= kstar AS is_discovery
+           |FROM ks ORDER BY rank""".stripMargin,
+
+      "q403_sigmoid_calibration" -> sigmoidCalibrationOracleSql,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -15415,6 +15485,81 @@ object SparkEntry {
        |  FROM lineitem GROUP BY 1, 2, 3, 4)
        |$blocks
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** Shared CTE chain for q401/q402: the q350 deterministic permutation
+    * machinery, grouped by event type; `pg` holds one row per group
+    * with the exact (n_extreme, n_perms) rational p-value. */
+  private def permByGroupCtes: String = {
+    val mix = graft.plans.HashExpressions.Mix
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    s"""WITH pe AS (SELECT event_type AS g, user_id,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |h0 AS (SELECT g, v, (user_id * $b1) % $HP AS h FROM pe),
+       |h1 AS (SELECT g, v, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+       |h2 AS (SELECT g, v, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1),
+       |ex AS (SELECT g, v, i AS k,
+       |    ((h + i * $mix) % $HP) % 2 = 0 AS arm
+       |  FROM h2, unnest(range(0, 65)) AS u(i)),
+       |byk AS (SELECT g, k,
+       |    SUM(CASE WHEN arm THEN CAST(v AS DECIMAL(38,0)) END) AS svt,
+       |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    SUM(CASE WHEN NOT arm THEN CAST(v AS DECIMAL(38,0)) END) AS svc,
+       |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nc
+       |  FROM ex GROUP BY g, k),
+       |dd AS (SELECT g, k,
+       |    CAST(svt AS DOUBLE) / nt - CAST(svc AS DOUBLE) / nc AS diff
+       |  FROM byk WHERE nt > 0 AND nc > 0),
+       |oo AS (SELECT g, diff AS d0 FROM dd WHERE k = 0),
+       |pg AS (SELECT dd.g, round(max(d0), 6) AS diff_obs,
+       |    count(*) AS n_perms,
+       |    CAST(SUM(CASE WHEN abs(diff) >= abs(d0) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_extreme,
+       |    round(CAST(SUM(CASE WHEN abs(diff) >= abs(d0) THEN 1 ELSE 0
+       |      END) + 1 AS DOUBLE) / (count(*) + 1), 6) AS p_value
+       |  FROM dd JOIN oo ON dd.g = oo.g WHERE k > 0 GROUP BY dd.g)"""
+      .stripMargin
+  }
+
+  /** Replays q403: the q159 bin CTE → bin-midpoint frame, then 12
+    * unrolled gradient steps; every step's sums decimal-accumulate and
+    * the algebraic sigmoid keeps the tree libm-free. */
+  private def sigmoidCalibrationOracleSql: String = {
+    def sig(a: String, b: String): String =
+      s"(0.5 + 0.5 * ($a * x + $b) / (1.0 + abs($a * x + $b)) - pi)"
+    def ds(a: String, b: String): String =
+      s"(0.5 / ((1.0 + abs($a * x + $b)) * (1.0 + abs($a * x + $b))))"
+    def stepCte(k: Int): String = {
+      val (a, b) = ("a", "b")
+      s"""it$k AS (SELECT
+         |  max(a) - 2.0 * (CAST(SUM(CAST(n * 2.0 * ${sig(a, b)} *
+         |    ${ds(a, b)} * x AS DECIMAL(38,18))) AS DOUBLE) / SUM(n)) AS a,
+         |  max(b) - 2.0 * (CAST(SUM(CAST(n * 2.0 * ${sig(a, b)} *
+         |    ${ds(a, b)} AS DECIMAL(38,18))) AS DOUBLE) / SUM(n)) AS b
+         |  FROM xb, it${k - 1})""".stripMargin
+    }
+    def mse(a: String, b: String): String =
+      s"""round(CAST(SUM(CAST(n * ${sig(a, b)} * ${sig(a, b)}
+         |    AS DECIMAL(38,18))) AS DOUBLE) / SUM(n), 9)""".stripMargin
+    s"""$scoredMarginCtes,
+       |bn AS (SELECT CAST(least(greatest(
+       |      CAST(floor((margin + 0.5) * 10) AS INT), 0), 9) AS INT) AS bin,
+       |    count(*) AS n,
+       |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos
+       |  FROM scored GROUP BY 1),
+       |xb AS (SELECT (CAST(bin AS DOUBLE) + 0.5) / 10.0 - 0.5 AS x,
+       |    CAST(n AS BIGINT) AS n, CAST(pos AS DOUBLE) / n AS pi
+       |  FROM bn),
+       |it0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+       |${(1 to 12).map(stepCte).mkString(",\n")}
+       |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(SUM(n) AS BIGINT) AS n,
+       |  round(max(a), 9) AS a, round(max(b), 9) AS b,
+       |  ${mse("1.0", "0.0")} AS mse_before,
+       |  ${mse("a", "b")} AS mse_after
+       |FROM xb, it12""".stripMargin
   }
 
   /** Replays q400: exact BIGINT prefix sums, the OLS SSE identity as

@@ -637,4 +637,100 @@ object Evaluation {
         round(col("base_rate") * (lit(1.0) - col("base_rate")), 6)
           .as("uncertainty"))
   }
+
+  /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    * over EXACT RATIONAL p-values num/den (e.g. permutation p-values
+    * (n_extreme+1)/(n_perms+1)): rank hypotheses by p ascending, find
+    * the largest rank i with p_(i) ≤ i·q/m, reject all hypotheses at or
+    * below it. The step-up condition is evaluated in PURE INTEGER
+    * arithmetic — `num·qDen·m ≤ i·den·qNum` — so there is no floating
+    * threshold to disagree across engines, and the only doubles in the
+    * output are display columns. `q = qNum/qDen`.
+    *
+    * Scale shape: m hypotheses is small by construction (one per
+    * metric/segment under test); one m-row window. Ties in p break by
+    * `idCol` for a deterministic ranking (any tie member below k* is
+    * rejected either way — BH is monotone in rank). */
+  def bhFdr(df: DataFrame, idCol: String, numCol: String, denCol: String,
+            qNum: Long, qDen: Long): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = df
+      .withColumn("_rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col(numCol).cast("double") / col(denCol), col(idCol)))
+        .cast("long"))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("_ok", col(numCol) * qDen * col("_m") <=
+        col("_rk") * col(denCol) * qNum)
+    ranked
+      .withColumn("_kstar",
+        coalesce(max(when(col("_ok"), col("_rk"))).over(wAll), lit(0L)))
+      .select(col(idCol), col(numCol).as("p_num"), col(denCol).as("p_den"),
+        round(col(numCol).cast("double") / col(denCol), 6).as("p_value"),
+        col("_rk").as("rank"),
+        round(col("_rk").cast("double") * qNum / qDen / col("_m"), 6)
+          .as("bh_threshold"),
+        (col("_rk") <= col("_kstar")).as("is_discovery"))
+  }
+
+  /** Parametric sigmoid calibration of a binned reliability diagram —
+    * the Platt-scaling idea (Platt 1999) made EXACT-REPLAYABLE: the
+    * logistic σ is replaced by the ALGEBRAIC sigmoid
+    * σ(z) = 1/2 + z/(2(1+|z|)) (same shape, no libm exp — every step
+    * is +,·,/,|·|, so both engines produce bit-identical doubles), and
+    * the fit is `iters` fixed steps of full-batch gradient descent on
+    * the n-weighted squared error Σ n_b(σ(a·x_b+b) − π_b)², unrolled
+    * into the plan (no driver loop state). Per-step gradient sums
+    * accumulate in decimal(38,18) — order-free. Complements
+    * [[isotonicFit]]: isotonic is nonparametric and stepwise; this
+    * yields a 2-parameter monotone curve that extrapolates.
+    *
+    * Scale shape: the input is the B-bin frame (B ~ 10), so the whole
+    * fit is B·iters arithmetic on broadcast scalars — the expensive
+    * part (binning the corpus) already happened upstream. Returns one
+    * row: (n_bins, n, a, b, mse_before, mse_after). */
+  def sigmoidCalibration(bins: DataFrame, xCol: String, nCol: String,
+                         posCol: String, iters: Int = 12,
+                         step: Double = 2.0): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val b0 = bins.select(col(xCol).cast("double").as("x"),
+      col(nCol).cast("long").as("n"),
+      (col(posCol).cast("double") / col(nCol)).as("pi"))
+      .localCheckpoint()
+    def sig(a: Column, b: Column): Column = {
+      val z = a * col("x") + b
+      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+    }
+    def mseAgg(a: Column, b: Column): Column = {
+      val r = sig(a, b) - col("pi")
+      sum(d18(col("n") * r * r)).cast("double") / sum(col("n"))
+    }
+    var params = b0.sparkSession.range(1)
+      .select(lit(1.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to iters) {
+      val j = b0.crossJoin(broadcast(params))
+      val z = col("a") * col("x") + col("b")
+      val az = abs(z)
+      val s = lit(0.5) + lit(0.5) * z / (lit(1.0) + az)
+      val ds = lit(0.5) / ((lit(1.0) + az) * (lit(1.0) + az))
+      val r = s - col("pi")
+      params = j.agg(
+        (max("a") - lit(step) *
+          (sum(d18(col("n") * lit(2.0) * r * ds * col("x"))).cast("double") /
+            sum(col("n")))).as("a"),
+        (max("b") - lit(step) *
+          (sum(d18(col("n") * lit(2.0) * r * ds)).cast("double") /
+            sum(col("n")))).as("b"))
+    }
+    b0.crossJoin(broadcast(params))
+      .agg(count(lit(1)).as("n_bins"), sum("n").as("n"),
+        max("a").as("a"), max("b").as("b"),
+        mseAgg(lit(1.0), lit(0.0)).as("mse_before"),
+        // after the 1-row crossJoin, a/b are plain (constant) columns,
+        // so they may appear INSIDE the aggregate expressions
+        mseAgg(col("a"), col("b")).as("mse_after"))
+      .select(col("n_bins"), col("n"), round(col("a"), 9).as("a"),
+        round(col("b"), 9).as("b"),
+        round(col("mse_before"), 9).as("mse_before"),
+        round(col("mse_after"), 9).as("mse_after"))
+  }
 }

@@ -958,6 +958,48 @@ object Stats {
           (col("n_perms") + 1), 6).as("p_value"))
   }
 
+  /** [[permutationTest]] per group — one exact permutation p-value PER
+    * HYPOTHESIS, the input a multiple-testing correction
+    * ([[graft.operators.Evaluation.bhFdr]]) actually wants: the
+    * re-labelings share the hash chain across groups, each group's
+    * extreme-count is its own. The p-values stay EXACT RATIONALS
+    * ((n_extreme+1)/(n_perms+1)) — no normal approximation, so the BH
+    * step downstream can compare in pure integer arithmetic.
+    * Scale shape identical to the global test: the explode is the only
+    * row multiplier (nPerms+1 ×), everything collapses map-side into
+    * one (group, k) aggregate. */
+  def permutationTestPerGroup(df: DataFrame, groupCol: String,
+                              keyCol: String, vCol: String,
+                              nPerms: Int = 64): DataFrame = {
+    val mix = graft.plans.HashExpressions.Mix
+    val p = 2147483647L
+    val byK = df
+      .select(col(groupCol).as("_g"),
+        Sketches.keyHash(col(keyCol)).as("h0"),
+        col(vCol).cast("long").as("v"))
+      .withColumn("k", explode(expr(s"sequence(0, $nPerms)")))
+      .withColumn("arm", pmod(col("h0") + col("k") * mix, lit(p)) % 2 === 0)
+      .groupBy("_g", "k")
+      .agg(sum(when(col("arm"), col("v").cast("decimal(38,0)"))).as("svt"),
+        sum(when(col("arm"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("arm"), col("v").cast("decimal(38,0)"))).as("svc"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("nc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .withColumn("diff", col("svt").cast("double") / col("nt") -
+        col("svc").cast("double") / col("nc"))
+    val obs = byK.filter(col("k") === 0)
+      .select(col("_g"), col("diff").as("d0"))
+    byK.filter(col("k") > 0).join(obs, Seq("_g"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff")) >= abs(col("d0")), 1L).otherwise(0L))
+          .as("n_extreme"), max("d0").as("d0"))
+      .select(col("_g").as(groupCol), round(col("d0"), 6).as("diff_obs"),
+        col("n_perms"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_perms") + 1), 6).as("p_value"))
+  }
+
   /** Robust location/scale outlier screen: per group the EXACT median
     * (rank ⌈n/2⌉, the convention the histogram-quantile family uses),
     * the median absolute deviation, and the count of values beyond

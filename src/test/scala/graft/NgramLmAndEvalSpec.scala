@@ -432,6 +432,60 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(math.abs(out(1L).getAs[Double]("mass_r") - 2.0 / 7) < 1e-12)
   }
 
+  test("bhFdr: textbook step-up — rejects through the largest passing rank") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    // p = .01, .04, .03, .20 with q=1/4, m=4: sorted .01 .03 .04 .20 vs
+    // thresholds .0625 .125 .1875 .25 → k*=3 (p=.04 ≤ .1875); the .20
+    // hypothesis fails its own threshold .25? 20/100=.2 ≤ .25 → k*=4!
+    // all four discovered (step-up takes the LARGEST passing rank)
+    val df = Seq(("h1", 1L, 100L), ("h2", 4L, 100L), ("h3", 3L, 100L),
+      ("h4", 20L, 100L)).toDF("id", "num", "den")
+    val out = Evaluation.bhFdr(df, "id", "num", "den", 1L, 4L)
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(out.values.forall(_.getAs[Boolean]("is_discovery")))
+    // raise the bar: q=1/20 → thresholds .0125 .025 .0375 .05;
+    // only p=.01 passes rank 1; .03 > .025 at rank 2, .04 > .0375, .2 > .05
+    val strict = Evaluation.bhFdr(df, "id", "num", "den", 1L, 20L)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Boolean]("is_discovery")).toMap
+    assert(strict == Map("h1" -> true, "h2" -> false, "h3" -> false,
+      "h4" -> false))
+  }
+
+  test("sigmoidCalibration: matches a hand-run gradient fold and improves fit") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    // bins whose rate curve is a shifted steeper sigmoid than init (1,0)
+    val bins = Seq((-0.35, 100L, 10L), (-0.15, 100L, 30L),
+      (0.15, 100L, 75L), (0.35, 100L, 95L)).toDF("x", "n", "n_pos")
+    val out = Evaluation.sigmoidCalibration(bins, "x", "n", "n_pos",
+      iters = 12, step = 2.0).head()
+    // replicate the fold exactly
+    val data = Seq((-0.35, 100.0, 0.10), (-0.15, 100.0, 0.30),
+      (0.15, 100.0, 0.75), (0.35, 100.0, 0.95))
+    var (a, b) = (1.0, 0.0)
+    for (_ <- 1 to 12) {
+      var ga = BigDecimal(0); var gb = BigDecimal(0); var nn = 0.0
+      data.foreach { case (x, n, pi) =>
+        val z = a * x + b; val az = math.abs(z)
+        val s = 0.5 + 0.5 * z / (1.0 + az)
+        val ds = 0.5 / ((1.0 + az) * (1.0 + az))
+        ga += BigDecimal(n * 2.0 * (s - pi) * ds * x)
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        gb += BigDecimal(n * 2.0 * (s - pi) * ds)
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        nn += n
+      }
+      val a2 = a - 2.0 * (ga.toDouble / 400)
+      val b2 = b - 2.0 * (gb.toDouble / 400)
+      a = a2; b = b2
+    }
+    assert(math.abs(out.getAs[Double]("a") - a) < 1e-8)
+    assert(math.abs(out.getAs[Double]("b") - b) < 1e-8)
+    assert(out.getAs[Double]("mse_after") < out.getAs[Double]("mse_before"))
+  }
+
   test("holtSmoothing: matches an explicit sequential fold") {
     import spark.implicits._
     import graft.operators.Stats

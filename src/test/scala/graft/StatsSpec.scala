@@ -573,6 +573,22 @@ class StatsSpec extends SparkSpec {
       .head().getAs[Double]("t_cvm") == 0.0)
   }
 
+  test("permutationTestPerGroup: single group ≡ the global test") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => ("g", i, i * 7 % 23))
+    val df = rows.toDF("g", "id", "v")
+    val grouped = Stats.permutationTestPerGroup(df, "g", "id", "v", 16)
+      .head()
+    val global = Stats.permutationTest(df.select("id", "v"), "id", "v", 16)
+      .head()
+    assert(grouped.getAs[Double]("p_value") ==
+      global.getAs[Double]("p_value"))
+    assert(grouped.getAs[Long]("n_extreme") ==
+      global.getAs[Long]("n_extreme"))
+    assert(grouped.getAs[Double]("diff_obs") ==
+      global.getAs[Double]("diff_obs"))
+  }
+
   test("segmentedTrend: finds the exact trend break, zero-SSE split") {
     import spark.implicits._
     // y = x up to x=10, flat 10 after: k=9 and k=10 both split into two
