@@ -6738,6 +6738,62 @@ object SparkEntry {
           lit(0.5)).as("x"), col("n"), col("n_pos"))
       Evaluation.sigmoidCalibration(bins, "x", "n", "n_pos",
         iters = 12, step = 2.0)
+    }),
+
+    "q404_hilbert_skipping" -> ((s, dir) => {
+      // q255 extended with the Hilbert layout: same 200-row files, same
+      // box predicate — the Hilbert walk's no-diagonal-jump property
+      // should prune at least as many files as Morton order
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_partkey") % 16).as("px"), (col("l_suppkey") % 16).as("sy"),
+        col("l_orderkey"), col("l_linenumber"))
+      val (loX, hiX, loY, hiY) = (lit(4L), lit(7L), lit(8L), lit(11L))
+      def stats(ordered: DataFrame) = DataLayout.skipStats2D(
+        ordered, expr("(_rn - 1) div 200"), col("px"), col("sy"),
+        loX, hiX, loY, hiY)
+      val lex = stats(li.withColumn("_rn", row_number().over(
+        Window.orderBy("px", "sy", "l_orderkey", "l_linenumber"))))
+      val zord = stats(li
+        .withColumn("zv", DataLayout.zValue2(col("px"), col("sy"), 4))
+        .withColumn("_rn", row_number().over(
+          Window.orderBy("zv", "l_orderkey", "l_linenumber"))))
+      val hilb = stats(li
+        .withColumn("hv", DataLayout.hilbertValue2(col("px"), col("sy"), 4))
+        .withColumn("_rn", row_number().over(
+          Window.orderBy("hv", "l_orderkey", "l_linenumber"))))
+      DataLayout.skipSummary(Seq("x_then_y" -> lex, "zorder" -> zord,
+          "hilbert" -> hilb))
+        .orderBy("layout")
+    }),
+
+    "q405_mixture_waterfill" -> ((s, dir) => {
+      // the actual sampling plan behind a data-mixture card: closed-form
+      // water-fill of a 600k-char budget over per-source availability
+      // with rank² weights — heavy-weight sources saturate at sf0.1
+      // (mixed case), small corpora take the all-saturated NULL-x* path
+      val dom = tbl(s, dir, "documents")
+        .groupBy(col("source").as("dom"))
+        .agg(sum("n_chars").as("avail"))
+        .withColumn("_rn", row_number().over(Window.orderBy("dom"))
+          .cast("long"))
+        .withColumn("w", col("_rn") * col("_rn"))
+      Sampling.mixtureWaterfill(dom, "dom", "avail", "w",
+          budget = 600000L)
+        .orderBy("dom")
+    }),
+
+    "q406_doubly_robust" -> ((s, dir) => {
+      // doubly-robust OPE of the greedy per-type arm policy on held-out
+      // events: DM anchor + K·IPS correction — same replay as the IPS
+      // operator, strictly lower variance
+      val ev = events(s, dir).select(col("event_type").as("ctx"),
+        pmod(col("user_id"), lit(3L)).as("act"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("r"),
+        col("event_id"))
+      Evaluation.doublyRobustOpe(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "ctx", "act", "r")
+        .orderBy("ctx")
     })
   )
 
@@ -11899,6 +11955,79 @@ object SparkEntry {
 
       "q403_sigmoid_calibration" -> sigmoidCalibrationOracleSql,
 
+      "q404_hilbert_skipping" -> hilbertSkippingOracleSql,
+
+      // saturation order by avail/w, boundary via the exact integer
+      // test, one double division for x*
+      "q405_mixture_waterfill" ->
+        """WITH dom AS (SELECT source AS dom,
+          |    CAST(SUM(n_chars) AS BIGINT) AS avail
+          |  FROM documents GROUP BY 1),
+          |dw AS (SELECT dom, avail, rn * rn AS w FROM (
+          |  SELECT dom, avail, CAST(row_number() OVER (ORDER BY dom)
+          |    AS BIGINT) AS rn FROM dom)),
+          |pre AS (SELECT dom, avail, w,
+          |    CAST(row_number() OVER (ORDER BY CAST(avail AS DOUBLE) / w,
+          |      dom) AS BIGINT) AS j,
+          |    CAST(coalesce(SUM(avail) OVER (ORDER BY
+          |      CAST(avail AS DOUBLE) / w, dom ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ap,
+          |    CAST(coalesce(SUM(w) OVER (ORDER BY
+          |      CAST(avail AS DOUBLE) / w, dom ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS wp,
+          |    CAST(SUM(w) OVER () AS BIGINT) AS wtot
+          |  FROM dw),
+          |st AS (SELECT *, wtot - wp AS wrem,
+          |    ap * w + (wtot - wp) * avail >= 600000 * w AS stop
+          |  FROM pre),
+          |bd AS (SELECT *, min(CASE WHEN stop THEN j END) OVER () AS bj
+          |  FROM st),
+          |bx AS (SELECT *,
+          |    max(CASE WHEN j = bj THEN ap END) OVER () AS ba,
+          |    max(CASE WHEN j = bj THEN wrem END) OVER () AS bw
+          |  FROM bd),
+          |fx AS (SELECT *, CASE WHEN bj IS NOT NULL
+          |    THEN CAST(600000 - ba AS DOUBLE) / bw END AS x_star
+          |  FROM bx)
+          |SELECT dom, avail, w, (bj IS NULL OR j < bj) AS saturated,
+          |  CASE WHEN bj IS NULL OR j < bj THEN CAST(avail AS DOUBLE)
+          |    ELSE w * x_star END AS alloc, x_star
+          |FROM fx ORDER BY dom""".stripMargin,
+
+      // Q-hat per (ctx, arm) from the even split, greedy policy, DR
+      // terms decimal-accumulated on the odd split
+      "q406_doubly_robust" ->
+        """WITH ev AS (SELECT event_type AS ctx, user_id % 3 AS act,
+          |    coalesce(CAST(round(value * 100) AS BIGINT), 0) AS r,
+          |    event_id
+          |  FROM events),
+          |tr AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+          |te AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+          |q AS (SELECT ctx, act,
+          |    CAST(SUM(r) AS DOUBLE) / count(*) AS qhat
+          |  FROM tr GROUP BY 1, 2),
+          |pol AS (SELECT ctx, act AS pi FROM (
+          |    SELECT ctx, act, row_number() OVER (PARTITION BY ctx
+          |      ORDER BY -qhat, act) AS rn FROM q) WHERE rn = 1),
+          |qpi AS (SELECT pol.ctx, pol.pi, q.qhat AS q_pi
+          |  FROM pol JOIN q ON pol.ctx = q.ctx AND pol.pi = q.act),
+          |kk AS (SELECT CAST(COUNT(DISTINCT act) AS BIGINT) AS k FROM tr),
+          |terms AS (SELECT te.ctx, qpi.pi, te.r, qpi.q_pi, k,
+          |    CASE WHEN te.act = qpi.pi THEN 1 ELSE 0 END AS ind,
+          |    qpi.q_pi + (k * CASE WHEN te.act = qpi.pi THEN 1 ELSE 0
+          |      END) * (CAST(te.r AS DOUBLE) - coalesce(q.qhat, 0.0))
+          |      AS dr
+          |  FROM te JOIN qpi ON te.ctx = qpi.ctx
+          |    LEFT JOIN q ON te.ctx = q.ctx AND te.act = q.act, kk)
+          |SELECT ctx, pi, CAST(count(*) AS BIGINT) AS n_eval,
+          |  CAST(SUM(ind) AS BIGINT) AS n_matched,
+          |  max(q_pi) AS dm_value,
+          |  CAST(max(k) * SUM(CASE WHEN ind = 1 THEN r ELSE 0 END)
+          |    AS DOUBLE) / count(*) AS ips_value,
+          |  round(CAST(SUM(CAST(dr AS DECIMAL(38,18))) AS DOUBLE)
+          |    / count(*), 6) AS dr_value
+          |FROM terms GROUP BY ctx, pi ORDER BY ctx""".stripMargin,
+
       // the q206/q212 keyHash chain on user_id splits the arms; Welch's
       // t over decimal-exact (n, Σv, Σv²) with the identical tree
       "q226_ab_test" ->
@@ -15560,6 +15689,61 @@ object SparkEntry {
        |  ${mse("1.0", "0.0")} AS mse_before,
        |  ${mse("a", "b")} AS mse_after
        |FROM xb, it12""".stripMargin
+  }
+
+  /** Replays q404: the q255 skip audit plus the Hilbert layout — the
+    * 4 rotation levels unrolled as chained SELECTs with per-step
+    * column names (x3..x0) so no lateral-alias resolution ambiguity. */
+  private def hilbertSkippingOracleSql: String = {
+    def step(i: Int): String = {
+      val s = 1L << i
+      val p = i + 1
+      val rx = s"(CASE WHEN (x$p & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y$p & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$i AS (SELECT px, sy, l_orderkey, l_linenumber,
+         |  d$p + ${s * s} * xor(3 * $rx, $ry) AS d$i,
+         |  CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1
+         |    THEN ${s - 1} - y$p ELSE y$p END ELSE x$p END AS x$i,
+         |  CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1
+         |    THEN ${s - 1} - x$p ELSE x$p END ELSE y$p END AS y$i
+         |  FROM h$p)""".stripMargin
+    }
+    s"""WITH b AS (SELECT l_partkey % 16 AS px, l_suppkey % 16 AS sy,
+       |    l_orderkey, l_linenumber FROM lineitem),
+       |lx AS (SELECT px, sy, (row_number() OVER (ORDER BY px, sy,
+       |    l_orderkey, l_linenumber) - 1) // 200 AS f FROM b),
+       |lf AS (SELECT f, min(px) AS xmn, max(px) AS xmx, min(sy) AS ymn,
+       |    max(sy) AS ymx, count(*) AS nr FROM lx GROUP BY f),
+       |zb AS (SELECT px, sy, l_orderkey, l_linenumber,
+       |    list_sum(list_transform(range(0, 4),
+       |      i -> (((px >> i) & 1) << (2*i)) +
+       |        (((sy >> i) & 1) << (2*i+1)))) AS zv FROM b),
+       |zx AS (SELECT px, sy, (row_number() OVER (ORDER BY zv,
+       |    l_orderkey, l_linenumber) - 1) // 200 AS f FROM zb),
+       |zf AS (SELECT f, min(px) AS xmn, max(px) AS xmx, min(sy) AS ymn,
+       |    max(sy) AS ymx, count(*) AS nr FROM zx GROUP BY f),
+       |h4 AS (SELECT px, sy, l_orderkey, l_linenumber,
+       |    CAST(0 AS BIGINT) AS d4, CAST(px AS BIGINT) AS x4,
+       |    CAST(sy AS BIGINT) AS y4 FROM b),
+       |${(3 to 0 by -1).map(step).mkString(",\n")},
+       |hx AS (SELECT px, sy, (row_number() OVER (ORDER BY d0,
+       |    l_orderkey, l_linenumber) - 1) // 200 AS f FROM h0),
+       |hf AS (SELECT f, min(px) AS xmn, max(px) AS xmx, min(sy) AS ymn,
+       |    max(sy) AS ymx, count(*) AS nr FROM hx GROUP BY f),
+       |u AS (SELECT 'x_then_y' AS layout, xmn, xmx, ymn, ymx, nr FROM lf
+       |  UNION ALL SELECT 'zorder', xmn, xmx, ymn, ymx, nr FROM zf
+       |  UNION ALL SELECT 'hilbert', xmn, xmx, ymn, ymx, nr FROM hf),
+       |sk AS (SELECT layout, nr,
+       |    xmx < 4 OR xmn > 7 OR ymx < 8 OR ymn > 11 AS s
+       |  FROM u)
+       |SELECT layout, count(*) AS n_files,
+       |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_skippable,
+       |  CAST(SUM(CASE WHEN s THEN nr ELSE 0 END) AS BIGINT)
+       |    AS rows_skipped,
+       |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS file_skip_frac
+       |FROM sk GROUP BY layout ORDER BY layout""".stripMargin
   }
 
   /** Replays q400: exact BIGINT prefix sums, the OLS SSE identity as

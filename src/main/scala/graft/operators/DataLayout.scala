@@ -182,6 +182,34 @@ object DataLayout {
           col("rows_skipped"), col("file_skip_frac"))
     }.reduce(_ unionByName _)
 
+  /** Hilbert-curve index of a 2-D cell (Hilbert 1891; the xy→d walk of
+    * Warren, Hacker's Delight §16 / the classic Wikipedia formulation)
+    * for a `bits`-bit grid — the locality-preserving alternative to
+    * [[zValue2]]: the Hilbert walk never makes the long diagonal jumps
+    * Morton order takes between quadrants, so consecutive file cuts
+    * cover tighter rectangles and zone-map pruning improves on BOTH
+    * axes. The `bits` rotation steps are UNROLLED into one pure-integer
+    * expression tree (each level: quadrant digit + conditional
+    * reflect/swap), so the column stays codegen-friendly and the oracle
+    * replays it as `bits` chained SELECTs. Keep `bits` small (≤ 6): the
+    * unrolled tree grows ~3× per level — a 16×16 to 64×64 file grid is
+    * the realistic zone-map granularity anyway. */
+  def hilbertValue2(xc: Column, yc: Column, bits: Int): Column = {
+    var x = xc.cast("long"); var y = yc.cast("long"); var d = lit(0L)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(x.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val (ox, oy) = (x, y)
+      x = when(ry === 0,
+        when(rx === 1, lit(s - 1) - oy).otherwise(oy)).otherwise(ox)
+      y = when(ry === 0,
+        when(rx === 1, lit(s - 1) - ox).otherwise(ox)).otherwise(oy)
+    }
+    d
+  }
+
   /** Consistent-hash-RING assignment (Karger 1997; the memcached/Dynamo
     * layout) with `vnodes` virtual nodes per physical node — the
     * companion to [[rendezvousShard]]: ring positions are

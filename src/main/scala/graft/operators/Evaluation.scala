@@ -408,6 +408,61 @@ object Evaluation {
           .otherwise(0L))).cast("double") / count(lit(1))).as("ips_value"))
   }
 
+  /** Doubly-robust off-policy evaluation (Dudík, Langford & Li 2011) of
+    * the greedy policy π(ctx) = argmax mean-train-reward, on a held-out
+    * eval split under uniform-over-K logging:
+    *
+    *   DR = mean[ Q̂(ctx, π) + K·1{a = π}·(r − Q̂(ctx, a)) ]
+    *
+    * The direct-model term Q̂(ctx, π) keeps the estimate low-variance
+    * where the model is right; the IPS correction keeps it unbiased
+    * where the model is wrong — if EITHER the propensities or Q̂ are
+    * correct, DR is consistent (hence "doubly"). Complements
+    * [[ipsPolicyEval]]: same policy, same replay, strictly lower
+    * variance. (ctx, a) pairs unseen in training back off to Q̂ = 0
+    * (the correction term then carries the estimate); contexts with no
+    * training policy are dropped, as in the IPS operator.
+    *
+    * Every Q̂ is one exact-int double division; the per-row DR terms
+    * are identical trees whose mean decimal-accumulates, so no value is
+    * rounded. Scale: two aggregates over the splits + broadcast
+    * model/policy joins + one rollup. */
+  def doublyRobustOpe(train: DataFrame, evalDf: DataFrame, ctxCol: String,
+                      actionCol: String, rewardCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val q = train.groupBy(col(ctxCol).as("ctx"), col(actionCol).as("act"))
+      .agg(sum(rewardCol).as("_s"), count(lit(1)).as("_c"))
+      .withColumn("qhat", col("_s").cast("double") / col("_c"))
+      .select("ctx", "act", "qhat")
+    val pol = q.groupBy("ctx")
+      .agg(min_by(col("act"), struct((-col("qhat")).as("nm"), col("act")))
+        .as("pi"))
+    val qpi = pol.join(q, pol("ctx") === q("ctx") && pol("pi") === q("act"))
+      .select(pol("ctx"), pol("pi"), col("qhat").as("q_pi"))
+    val kk = train.agg(countDistinct(col(actionCol)).as("_K"))
+    val terms = evalDf.select(col(ctxCol).as("ctx"),
+        col(actionCol).as("act"), col(rewardCol).cast("long").as("_r"))
+      .join(broadcast(qpi), "ctx")
+      .join(broadcast(q.withColumnRenamed("qhat", "q_a")), Seq("ctx", "act"),
+        "left")
+      .crossJoin(broadcast(kk))
+      .withColumn("_ind", when(col("act") === col("pi"), 1L).otherwise(0L))
+      .withColumn("_dr", col("q_pi") + (col("_K") * col("_ind")) *
+        (col("_r").cast("double") - coalesce(col("q_a"), lit(0.0))))
+    terms.groupBy("ctx", "pi")
+      .agg(count(lit(1)).as("n_eval"),
+        sum("_ind").as("n_matched"),
+        max("q_pi").as("dm_value"),
+        ((max("_K") * sum(when(col("_ind") === 1, col("_r")).otherwise(0L)))
+          .cast("double") / count(lit(1))).as("ips_value"),
+        // 6dp: a 26-digit decimal total casts to double with ONE
+        // rounding in Spark but two in DuckDB (hugeint/10^s) — 1-ulp
+        // parity noise the display rounding absorbs
+        round(sum(d18(col("_dr"))).cast("double") / count(lit(1)), 6)
+          .as("dr_value"))
+      .withColumnRenamed("ctx", ctxCol)
+  }
+
   /** Cumulative gains / lift table: rows ranked by score DESC (ties →
     * `idCol`) split into `buckets` equal rank slices; per slice the
     * positive count plus running totals and the cumulative lift

@@ -445,4 +445,53 @@ object Sampling {
       .select(col("stratum"), col("n_h"), round(col("sigma"), 6).as("sigma"),
         round(col("quota"), 6).as("quota"), col("n_alloc"))
   }
+
+  /** Token-budget mixture water-filling: given per-domain AVAILABLE
+    * token counts and target mixture WEIGHTS, the unique x with
+    * Σ_d min(avail_d, w_d·x) = budget gives each domain its quota
+    * alloc_d = min(avail_d, w_d·x) — the actual sampling plan behind a
+    * "web 60% / code 25% / books 15%" data card when some domains run
+    * out (their shortfall redistributes to the rest in weight
+    * proportion, which is exactly what naive per-domain w_d·budget
+    * silently gets wrong). This is the closed-form solve, NOT a
+    * bisection: domains saturate in order of r_d = avail_d/w_d, so the
+    * boundary domain is found by the EXACT INTEGER test
+    * A_{j−1}·w_j + W_{j−1}·avail_j ≥ budget·w_j (prefix sums of the
+    * saturation order; no float threshold), and x* is one double
+    * division. If Σ avail ≤ budget, every domain saturates and
+    * x* is NULL.
+    *
+    * Scale shape: the input is the per-domain rollup (dozens of rows);
+    * one bounded sort window. Weights must be positive. */
+  def mixtureWaterfill(domains: DataFrame, domainCol: String,
+                       availCol: String, weightCol: String,
+                       budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avail").cast("double") / col("w"), col("dom"))
+    val wPrev = w.rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val pre = domains
+      .select(col(domainCol).as("dom"), col(availCol).cast("long")
+        .as("avail"), col(weightCol).cast("long").as("w"))
+      .withColumn("_j", row_number().over(w).cast("long"))
+      .withColumn("_ap", coalesce(sum("avail").over(wPrev), lit(0L)))
+      .withColumn("_wp", coalesce(sum("w").over(wPrev), lit(0L)))
+      .withColumn("_wrem", sum("w").over(wAll) - col("_wp"))
+      .withColumn("_stop", col("_ap") * col("w") +
+        col("_wrem") * col("avail") >= lit(budget) * col("w"))
+    val marked = pre
+      .withColumn("_bj", min(when(col("_stop"), col("_j"))).over(wAll))
+      .withColumn("_ba", max(when(col("_j") === col("_bj"), col("_ap")))
+        .over(wAll))
+      .withColumn("_bw", max(when(col("_j") === col("_bj"), col("_wrem")))
+        .over(wAll))
+      .withColumn("x_star", when(col("_bj").isNotNull,
+        (lit(budget) - col("_ba")).cast("double") / col("_bw")))
+    marked.select(col("dom").as(domainCol), col("avail"), col("w"),
+      (col("_bj").isNull || col("_j") < col("_bj")).as("saturated"),
+      when(col("_bj").isNull || col("_j") < col("_bj"),
+        col("avail").cast("double"))
+        .otherwise(col("w") * col("x_star")).as("alloc"),
+      col("x_star"))
+  }
 }

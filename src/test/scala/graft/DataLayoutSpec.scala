@@ -126,4 +126,23 @@ class DataLayoutSpec extends SparkSpec {
       .distinct().as[Int].collect().toSet
     assert(nodes.subsetOf(Set(0, 1, 2, 3)))
   }
+
+  test("hilbertValue2: bijective space-filling path with unit steps") {
+    import spark.implicits._
+    val grid = for { x <- 0 to 15; y <- 0 to 15 } yield (x.toLong, y.toLong)
+    val d = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        DataLayout.hilbertValue2(col("x"), col("y"), 4).as("d"))
+      .as[(Long, Long, Long)].collect()
+    // bijection onto 0..255
+    assert(d.map(_._3).sorted.toSeq == (0L to 255L))
+    // the defining Hilbert property: consecutive indices are GRID-
+    // ADJACENT (Manhattan distance exactly 1) — Morton order fails this
+    val byD = d.map(t => t._3 -> ((t._1, t._2))).toMap
+    (0L to 254L).foreach { i =>
+      val (x1, y1) = byD(i); val (x2, y2) = byD(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$i: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
 }

@@ -486,6 +486,25 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("mse_after") < out.getAs[Double]("mse_before"))
   }
 
+  test("doublyRobustOpe: hand-computed DM/IPS/DR, unseen pair backs off") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    // train: q(c,0)=15, q(c,1)=20 → π=1, K=2
+    val train = Seq(("c", 0L, 10L), ("c", 0L, 20L), ("c", 1L, 40L),
+      ("c", 1L, 0L)).toDF("ctx", "act", "r")
+    // eval DR terms: 20+2(30−20)=40, 20, 20+2(10−20)=0, unseen act → 20
+    val eval_ = Seq(("c", 1L, 30L), ("c", 0L, 50L), ("c", 1L, 10L),
+      ("c", 2L, 99L)).toDF("ctx", "act", "r")
+    val out = Evaluation.doublyRobustOpe(train, eval_, "ctx", "act", "r")
+      .head()
+    assert(out.getAs[Long]("pi") == 1L)
+    assert(out.getAs[Long]("n_eval") == 4L)
+    assert(out.getAs[Long]("n_matched") == 2L)
+    assert(out.getAs[Double]("dm_value") == 20.0)
+    assert(out.getAs[Double]("ips_value") == 20.0) // 2·(30+10)/4
+    assert(out.getAs[Double]("dr_value") == 20.0)  // (40+20+0+20)/4
+  }
+
   test("holtSmoothing: matches an explicit sequential fold") {
     import spark.implicits._
     import graft.operators.Stats

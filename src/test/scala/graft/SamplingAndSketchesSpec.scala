@@ -414,4 +414,28 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out == exp)
     assert(out.values.exists(_._4)) // the naive split leaks somewhere
   }
+
+  test("mixtureWaterfill: hand-solved boundary, sums to budget, all-saturated NULL") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // r = avail/w: A=10, C=50, B=100; boundary at C: x* = (150-10)/3
+    val dom = Seq(("A", 10L, 1L), ("B", 100L, 1L), ("C", 100L, 2L))
+      .toDF("dom", "avail", "w")
+    val out = Sampling.mixtureWaterfill(dom, "dom", "avail", "w", 150L)
+      .collect().map(r => r.getAs[String]("dom") -> r).toMap
+    val x = 140.0 / 3
+    assert(out("A").getAs[Boolean]("saturated"))
+    assert(!out("B").getAs[Boolean]("saturated"))
+    assert(out("A").getAs[Double]("alloc") == 10.0)
+    assert(math.abs(out("B").getAs[Double]("alloc") - x) < 1e-9)
+    assert(math.abs(out("C").getAs[Double]("alloc") - 2 * x) < 1e-9)
+    assert(math.abs(out.values.map(_.getAs[Double]("alloc")).sum - 150.0)
+      < 1e-9)
+    // budget over total availability: everything saturates, x* NULL
+    val all = Sampling.mixtureWaterfill(dom, "dom", "avail", "w", 500L)
+      .collect()
+    assert(all.forall(_.getAs[Boolean]("saturated")))
+    assert(all.forall(r => r.isNullAt(r.fieldIndex("x_star"))))
+    assert(all.map(_.getAs[Double]("alloc")).sum == 210.0)
+  }
 }
