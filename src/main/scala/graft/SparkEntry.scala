@@ -6794,6 +6794,67 @@ object SparkEntry {
           ev.filter(col("event_id") % 2 === 0),
           ev.filter(col("event_id") % 2 === 1), "ctx", "act", "r")
         .orderBy("ctx")
+    }),
+
+    "q407_ucb1_replay" -> ((s, dir) => {
+      // UCB1 replay over 3 user-shard arms per event type: daily mean
+      // reward (value cents / 10⁴), floor-log2 exploration bonus,
+      // regret vs the best fixed arm — the fold runs map-side per type
+      val byArm = events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          pmod(col("user_id"), lit(3L)).as("arm"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("sv"),
+          count(lit(1)).as("cnt"))
+      val wide = byArm.groupBy("event_type", "day")
+        .agg(
+          sum(when(col("arm") === 0, col("sv"))).as("sv0"),
+          sum(when(col("arm") === 0, col("cnt"))).as("c0"),
+          sum(when(col("arm") === 1, col("sv"))).as("sv1"),
+          sum(when(col("arm") === 1, col("cnt"))).as("c1"),
+          sum(when(col("arm") === 2, col("sv"))).as("sv2"),
+          sum(when(col("arm") === 2, col("cnt"))).as("c2"))
+      def rw(sv: String, c: String): Column =
+        when(col(c) > 0, col(sv).cast("double") / col(c) / lit(10000.0))
+          .otherwise(lit(0.0))
+      val rewards = wide.select(col("event_type"), col("day"),
+        rw("sv0", "c0").as("r0"), rw("sv1", "c1").as("r1"),
+        rw("sv2", "c2").as("r2"))
+      Stats.ucb1Replay(rewards, "event_type", "day", "r0", "r1", "r2")
+        .orderBy("event_type")
+    }),
+
+    "q408_ipf_rake" -> ((s, dir) =>
+      // rake the (source × lang) corpus grid to uniform margins in 6
+      // IPF rounds — the reweighting that balances both axes at once
+      // while keeping the interaction structure
+      Sampling.ipfRake(
+          tbl(s, dir, "documents").groupBy("source", "lang")
+            .agg(count(lit(1)).as("n")),
+          "source", "lang", "n", iters = 6)
+        .orderBy("source", "lang")),
+
+    "q409_bpe_roundtrip" -> ((s, dir) => {
+      // tokenizer integrity + compression curve: after k = 0..3 learned
+      // merges, every word must reassemble losslessly from its tokens,
+      // and tokens/word falls monotonically — the gate a tokenizer
+      // change must pass before re-tokenizing a corpus
+      val wc = operators.Bpe.wordCounts(tbl(s, dir, "documents"), "text")
+      val merges = operators.Bpe.learnMerges(wc, iters = 3).orderBy("rank")
+        .select("sym_a", "sym_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      (0 to 3).map { k =>
+        operators.Bpe.applyMerges(wc, merges.take(k))
+          .select(lit(k).as("n_merges"), col("word"), col("freq"),
+            col("tokens"))
+      }.reduce(_ unionByName _)
+        .groupBy("n_merges")
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(concat_ws("", col("tokens")) === col("word"), 1L)
+            .otherwise(0L)).as("n_roundtrip_ok"),
+          sum(col("freq") * size(col("tokens"))).as("total_tokens"),
+          (sum(col("freq") * size(col("tokens"))).cast("double") /
+            sum("freq")).as("tokens_per_word"))
+        .orderBy("n_merges")
     })
   )
 
@@ -11994,6 +12055,12 @@ object SparkEntry {
           |    ELSE w * x_star END AS alloc, x_star
           |FROM fx ORDER BY dom""".stripMargin,
 
+      "q407_ucb1_replay" -> ucb1OracleSql,
+
+      "q408_ipf_rake" -> ipfRakeOracleSql,
+
+      "q409_bpe_roundtrip" -> bpeRoundtripOracleSql,
+
       // Q-hat per (ctx, arm) from the even split, greedy policy, DR
       // terms decimal-accumulated on the odd split
       "q406_doubly_robust" ->
@@ -15745,6 +15812,132 @@ object SparkEntry {
        |    AS file_skip_frac
        |FROM sk GROUP BY layout ORDER BY layout""".stripMargin
   }
+
+  /** Replays q407: the UCB1 fold as a recursive CTE — pick computed
+    * once in a subquery per step (forced arms days 1-3, then argmax of
+    * mean + sqrt(2·⌊log2 T⌋/n), ties to the smaller arm). */
+  private def ucb1OracleSql: String = {
+    def u(s: String, n: String): String =
+      s"(it.$s / it.$n + sqrt(CAST(2.0 AS DOUBLE) * " +
+        s"(length(bin(it.t)) - 1) / it.$n))"
+    val pick =
+      s"""CASE WHEN it.t + 1 = 2 THEN 1 WHEN it.t + 1 = 3 THEN 2
+         |  WHEN ${u("s0", "n0")} >= ${u("s1", "n1")}
+         |    AND ${u("s0", "n0")} >= ${u("s2", "n2")} THEN 0
+         |  WHEN ${u("s1", "n1")} >= ${u("s2", "n2")} THEN 1
+         |  ELSE 2 END""".stripMargin
+    s"""WITH RECURSIVE pe AS (SELECT event_type AS g,
+       |    CAST(ts AS DATE) AS day, user_id % 3 AS arm,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |ba AS (SELECT g, day, arm, CAST(SUM(v) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pe GROUP BY 1, 2, 3),
+       |wd AS (SELECT g, day,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS BIGINT) AS sv0,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN cnt END) AS BIGINT) AS c0,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS BIGINT) AS sv1,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN cnt END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN arm = 2 THEN sv END) AS BIGINT) AS sv2,
+       |    CAST(SUM(CASE WHEN arm = 2 THEN cnt END) AS BIGINT) AS c2
+       |  FROM ba GROUP BY 1, 2),
+       |rr AS (SELECT g,
+       |    CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+       |      AS BIGINT) AS t,
+       |    CASE WHEN c0 > 0 THEN CAST(sv0 AS DOUBLE) / c0 / 10000.0
+       |      ELSE 0.0 END AS r0,
+       |    CASE WHEN c1 > 0 THEN CAST(sv1 AS DOUBLE) / c1 / 10000.0
+       |      ELSE 0.0 END AS r1,
+       |    CASE WHEN c2 > 0 THEN CAST(sv2 AS DOUBLE) / c2 / 10000.0
+       |      ELSE 0.0 END AS r2
+       |  FROM wd),
+       |tots AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(CAST(r0 AS DECIMAL(38,18))) AS DOUBLE) AS tot0,
+       |    CAST(SUM(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) AS tot1,
+       |    CAST(SUM(CAST(r2 AS DECIMAL(38,18))) AS DOUBLE) AS tot2
+       |  FROM rr GROUP BY g),
+       |it AS (
+       |  SELECT g, CAST(1 AS BIGINT) AS t, CAST(1 AS BIGINT) AS n0,
+       |    r0 AS s0, CAST(0 AS BIGINT) AS n1, CAST(0.0 AS DOUBLE) AS s1,
+       |    CAST(0 AS BIGINT) AS n2, CAST(0.0 AS DOUBLE) AS s2, r0 AS cum
+       |  FROM rr WHERE t = 1
+       |  UNION ALL
+       |  SELECT z.g, z.t + 1,
+       |    z.n0 + CASE WHEN z.pick = 0 THEN 1 ELSE 0 END,
+       |    z.s0 + CASE WHEN z.pick = 0 THEN z.r0 ELSE 0.0 END,
+       |    z.n1 + CASE WHEN z.pick = 1 THEN 1 ELSE 0 END,
+       |    z.s1 + CASE WHEN z.pick = 1 THEN z.r1 ELSE 0.0 END,
+       |    z.n2 + CASE WHEN z.pick = 2 THEN 1 ELSE 0 END,
+       |    z.s2 + CASE WHEN z.pick = 2 THEN z.r2 ELSE 0.0 END,
+       |    z.cum + CASE WHEN z.pick = 0 THEN z.r0
+       |      WHEN z.pick = 1 THEN z.r1 ELSE z.r2 END
+       |  FROM (SELECT it.g, it.t, it.n0, it.s0, it.n1, it.s1, it.n2,
+       |      it.s2, it.cum, rr.r0, rr.r1, rr.r2, $pick AS pick
+       |    FROM it JOIN rr ON rr.g = it.g AND rr.t = it.t + 1) z)
+       |SELECT it.g AS event_type, tots.n_days,
+       |  it.n0 AS n_pulls_0, it.n1 AS n_pulls_1, it.n2 AS n_pulls_2,
+       |  round(it.cum, 6) AS cum_reward,
+       |  round(greatest(tot0, tot1, tot2), 6) AS best_fixed,
+       |  round(greatest(tot0, tot1, tot2) - it.cum, 6) AS regret
+       |FROM it JOIN tots ON it.g = tots.g
+       |WHERE it.t = tots.n_days ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q408: 6 IPF rounds as chained CTEs, margin sums
+    * decimal-accumulated per step. */
+  private def ipfRakeOracleSql: String = {
+    def rowStep(k: Int, from: String): String =
+      s"""i${k}r AS (SELECT r, c, n, tr, tc,
+         |    w * (tr / CAST(SUM(CAST(w AS DECIMAL(38,18)))
+         |      OVER (PARTITION BY r) AS DOUBLE)) AS w
+         |  FROM $from)""".stripMargin
+    def colStep(k: Int): String =
+      s"""i${k}c AS (SELECT r, c, n, tr, tc,
+         |    w * (tc / CAST(SUM(CAST(w AS DECIMAL(38,18)))
+         |      OVER (PARTITION BY c) AS DOUBLE)) AS w
+         |  FROM i${k}r)""".stripMargin
+    val steps = (1 to 6).map { k =>
+      rowStep(k, if (k == 1) "i0" else s"i${k - 1}c") + ",\n" + colStep(k)
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT source AS r, lang AS c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |dims AS (SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc,
+       |    CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+       |i0 AS (SELECT r, c, n, CAST(nt AS DOUBLE) / nr AS tr,
+       |    CAST(nt AS DOUBLE) / nc AS tc, CAST(n AS DOUBLE) AS w
+       |  FROM cells, dims),
+       |$steps
+       |SELECT r AS source, c AS lang, n, round(w, 6) AS weight,
+       |  round(w / n, 6) AS rake_factor
+       |FROM i6c ORDER BY source, lang""".stripMargin
+  }
+
+  /** Replays q409: the q130 learn chain, the k = 0..3 stage tables with
+    * the word preserved, lossless-reassembly and tokens/word rollup. */
+  private def bpeRoundtripOracleSql: String =
+    s"""WITH $bpePrefixSql,
+       |c0 AS (SELECT word, freq,
+       |    array_to_string(string_split(word, ''), chr(31)) AS w FROM wc),
+       |c1 AS (SELECT word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM c0, b1),
+       |c2 AS (SELECT word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM c1, b2),
+       |c3 AS (SELECT word, freq,
+       |    replace(w, a || chr(31) || b, a || b) AS w FROM c2, b3),
+       |m AS (SELECT 0 AS n_merges, word, freq, w FROM c0
+       |  UNION ALL SELECT 1, word, freq, w FROM c1
+       |  UNION ALL SELECT 2, word, freq, w FROM c2
+       |  UNION ALL SELECT 3, word, freq, w FROM c3)
+       |SELECT n_merges, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN replace(w, chr(31), '') = word THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+       |  CAST(SUM(freq * len(string_split(w, chr(31)))) AS BIGINT)
+       |    AS total_tokens,
+       |  CAST(SUM(freq * len(string_split(w, chr(31)))) AS DOUBLE)
+       |    / SUM(freq) AS tokens_per_word
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Replays q400: exact BIGINT prefix sums, the OLS SSE identity as
     * one double tree per side, rank by (sse_split, k). */

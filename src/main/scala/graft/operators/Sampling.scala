@@ -446,6 +446,46 @@ object Sampling {
         round(col("quota"), 6).as("quota"), col("n_alloc"))
   }
 
+  /** Iterative proportional fitting / raking (Deming & Stephan 1940) of
+    * a 2-D contingency table to UNIFORM target margins: alternately
+    * rescale each row to the target row total N/R and each column to
+    * N/C, `iters` rounds — the classic survey-weighting move, and in a
+    * training-data pipeline the way to reweight a (source × language)
+    * corpus grid so neither margin dominates while preserving the
+    * table's interaction structure (what independent per-axis caps
+    * destroy). Weights converge geometrically; 6 rounds is plenty for
+    * reporting.
+    *
+    * Replay-exactness: each rescale divides by the margin sum of
+    * CURRENT weights — doubles, so the margin sums accumulate in
+    * decimal(38,18) (order-free) and the update w·(target/margin) is
+    * one identical tree per round, unrolled in the oracle as chained
+    * CTEs. Scale shape: the cell table is |sources|·|langs| rows; the
+    * corpus collapses once upstream, the 2·iters windows ride the tiny
+    * frame. */
+  def ipfRake(cells: DataFrame, rowCol: String, colCol: String,
+              nCol: String, iters: Int = 6): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = cells.select(col(rowCol).as("r"), col(colCol).as("c"),
+      col(nCol).cast("long").as("n"))
+    val dims = base.agg(countDistinct("r").as("_R"),
+      countDistinct("c").as("_C"), sum("n").as("_N"))
+    var w = base.crossJoin(broadcast(dims))
+      .withColumn("tr", col("_N").cast("double") / col("_R"))
+      .withColumn("tc", col("_N").cast("double") / col("_C"))
+      .withColumn("w", col("n").cast("double"))
+    for (_ <- 1 to iters) {
+      w = w.withColumn("w", col("w") * (col("tr") /
+        sum(d18(col("w"))).over(W.partitionBy("r")).cast("double")))
+      w = w.withColumn("w", col("w") * (col("tc") /
+        sum(d18(col("w"))).over(W.partitionBy("c")).cast("double")))
+    }
+    w.select(col("r").as(rowCol), col("c").as(colCol), col("n"),
+      round(col("w"), 6).as("weight"),
+      round(col("w") / col("n"), 6).as("rake_factor"))
+  }
+
   /** Token-budget mixture water-filling: given per-domain AVAILABLE
     * token counts and target mixture WEIGHTS, the unique x with
     * Σ_d min(avail_d, w_d·x) = budget gives each domain its quota

@@ -1344,6 +1344,84 @@ object Stats {
         (col("t_cvm") > 0.461).as("rejects_5pct"))
   }
 
+  /** UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002) over a
+    * 3-arm daily reward log, full-information offline: each day t the
+    * policy plays arm argmax_a  s_a/n_a + sqrt(2·⌊log2 T⌋ / n_a)
+    * (first three days initialize arms 0,1,2; ties → smaller arm), then
+    * observes that arm's logged reward. The exploration bonus uses the
+    * INTEGER floor-log2 (`length(bin(T)) − 1`) instead of ln — the
+    * repo's libm-free discipline; same O(√(log t / n)) shape, slightly
+    * more conservative exploration. The whole replay is one left fold
+    * with struct state (per-arm counts/sums + cumulative reward),
+    * executed as `aggregate(array_sort(collect_list(...)))` here and a
+    * recursive CTE in the oracle (struct-state `list_reduce` is
+    * broken in DuckDB 1.0 — see NOTES) — identical arithmetic either
+    * way. Regret is measured against the best FIXED arm in hindsight
+    * (per-arm reward totals decimal-accumulated).
+    *
+    * Input grain: one row per (group, orderCol) with the three arm
+    * rewards as columns (missing arm-days must already be coalesced).
+    * Scale shape: one groupBy to per-group ordered arrays (bounded:
+    * days), fold is map-side. */
+  def ucb1Replay(df: DataFrame, groupCol: String, orderCol: String,
+                 r0Col: String, r1Col: String, r2Col: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val folded = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(d18(col(r0Col))).cast("double").as("tot0"),
+        sum(d18(col(r1Col))).cast("double").as("tot1"),
+        sum(d18(col(r2Col))).cast("double").as("tot2"),
+        aggregate(
+          array_sort(collect_list(struct(col(orderCol).as("o"),
+            col(r0Col).cast("double").as("r0"),
+            col(r1Col).cast("double").as("r1"),
+            col(r2Col).cast("double").as("r2")))),
+          struct(lit(0L).as("t"), lit(0L).as("n0"), lit(0.0).as("s0"),
+            lit(0L).as("n1"), lit(0.0).as("s1"), lit(0L).as("n2"),
+            lit(0.0).as("s2"), lit(0.0).as("cum")),
+          (a, x) => {
+            val t = a.getField("t") + 1
+            def bonus(n: Column): Column =
+              sqrt(lit(2.0) * (length(bin(a.getField("t"))) - 1) / n)
+            val u0 = a.getField("s0") / a.getField("n0") +
+              bonus(a.getField("n0"))
+            val u1 = a.getField("s1") / a.getField("n1") +
+              bonus(a.getField("n1"))
+            val u2 = a.getField("s2") / a.getField("n2") +
+              bonus(a.getField("n2"))
+            val pick = when(t === 1, 0L).when(t === 2, 1L)
+              .when(t === 3, 2L)
+              .otherwise(when(u0 >= u1 && u0 >= u2, 0L)
+                .when(u1 >= u2, 1L).otherwise(2L))
+            val r = when(pick === 0, x.getField("r0"))
+              .when(pick === 1, x.getField("r1"))
+              .otherwise(x.getField("r2"))
+            struct(t.as("t"),
+              (a.getField("n0") + when(pick === 0, 1L).otherwise(0L))
+                .as("n0"),
+              (a.getField("s0") + when(pick === 0, x.getField("r0"))
+                .otherwise(lit(0.0))).as("s0"),
+              (a.getField("n1") + when(pick === 1, 1L).otherwise(0L))
+                .as("n1"),
+              (a.getField("s1") + when(pick === 1, x.getField("r1"))
+                .otherwise(lit(0.0))).as("s1"),
+              (a.getField("n2") + when(pick === 2, 1L).otherwise(0L))
+                .as("n2"),
+              (a.getField("s2") + when(pick === 2, x.getField("r2"))
+                .otherwise(lit(0.0))).as("s2"),
+              (a.getField("cum") + r).as("cum"))
+          }).as("_st"))
+    folded.select(col(groupCol), col("n_days"),
+      col("_st").getField("n0").as("n_pulls_0"),
+      col("_st").getField("n1").as("n_pulls_1"),
+      col("_st").getField("n2").as("n_pulls_2"),
+      round(col("_st").getField("cum"), 6).as("cum_reward"),
+      round(greatest(col("tot0"), col("tot1"), col("tot2")), 6)
+        .as("best_fixed"),
+      round(greatest(col("tot0"), col("tot1"), col("tot2")) -
+        col("_st").getField("cum"), 6).as("regret"))
+  }
+
   /** Single-changepoint segmented-trend fit per group: the split k that
     * minimises SSE(left OLS line) + SSE(right OLS line) over the
     * `orderCol`-indexed series — the piecewise complement of

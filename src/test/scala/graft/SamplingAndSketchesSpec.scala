@@ -415,6 +415,24 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out.values.exists(_._4)) // the naive split leaks somewhere
   }
 
+  test("ipfRake: margins converge to uniform targets, structure preserved") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val cells = Seq(("a", "x", 1L), ("a", "y", 3L), ("b", "x", 2L),
+      ("b", "y", 2L)).toDF("src", "lng", "n")
+    val out = Sampling.ipfRake(cells, "src", "lng", "n", iters = 6)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("lng"))
+        -> r.getAs[Double]("weight")).toMap
+    // N=8, 2 rows × 2 cols → every margin should approach 4
+    val rowA = out(("a", "x")) + out(("a", "y"))
+    val colX = out(("a", "x")) + out(("b", "x"))
+    assert(math.abs(rowA - 4.0) < 1e-3, s"row margin $rowA")
+    assert(math.abs(colX - 4.0) < 1e-3, s"col margin $colX")
+    assert(out.values.forall(_ > 0))
+    // the dominant cell within a row stays dominant (interaction kept)
+    assert(out(("a", "y")) > out(("a", "x")))
+  }
+
   test("mixtureWaterfill: hand-solved boundary, sums to budget, all-saturated NULL") {
     import spark.implicits._
     import graft.operators.Sampling

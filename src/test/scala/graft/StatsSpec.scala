@@ -589,6 +589,21 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("ucb1Replay: forced initialization, then exploits the best arm") {
+    import spark.implicits._
+    // 4 days, arm 0 dominant: days 1-3 forced 0,1,2; day 4 UCB picks 0
+    // cum = 1.0 + 0.1 + 0.1 + 1.0 = 2.2; best fixed = 4·1.0; regret 1.8
+    val days = (1 to 4).map(t => ("g", t, 1.0, 0.1, 0.1))
+    val out = Stats.ucb1Replay(days.toDF("g", "t", "r0", "r1", "r2"),
+      "g", "t", "r0", "r1", "r2").head()
+    assert(out.getAs[Long]("n_pulls_0") == 2L)
+    assert(out.getAs[Long]("n_pulls_1") == 1L)
+    assert(out.getAs[Long]("n_pulls_2") == 1L)
+    assert(out.getAs[Double]("cum_reward") == 2.2)
+    assert(out.getAs[Double]("best_fixed") == 4.0)
+    assert(out.getAs[Double]("regret") == 1.8)
+  }
+
   test("segmentedTrend: finds the exact trend break, zero-SSE split") {
     import spark.implicits._
     // y = x up to x=10, flat 10 after: k=9 and k=10 both split into two
