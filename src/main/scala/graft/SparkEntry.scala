@@ -6855,6 +6855,58 @@ object SparkEntry {
           (sum(col("freq") * size(col("tokens"))).cast("double") /
             sum("freq")).as("tokens_per_word"))
         .orderBy("n_merges")
+    }),
+
+    "q410_sprt" -> ((s, dir) =>
+      // Wald SPRT on the daily share of valued events per type,
+      // H0 p=0.45 vs H1 p=0.55 at α=β=0.05 — the sequential monitor
+      // that stops EARLY; log-constants baked as identical literals
+      Stats.sprtBernoulli(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("k")),
+          "event_type", "day", "n", "k",
+          p0 = 0.45, p1 = 0.55, alpha = 0.05, beta = 0.05)
+        .orderBy("event_type")),
+
+    "q411_removal_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution over the q318 session chain:
+      // drop each channel, re-run the 4-step value iteration, read the
+      // conversion drop against the first-touch distribution
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 30L * 60 * 1000000
+      val ev = events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type")
+      val trans = ev
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("_gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("from_type").isNotNull && col("_gap") <= gapUs)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val firsts = ev.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .groupBy(col("event_type").as("ftype"))
+        .agg(count(lit(1)).as("fn"))
+      GraphAnalytics.removalAttribution(trans, firsts, "from_type",
+          "to_type", "n", "ftype", "fn", target = "purchase", rounds = 4,
+          channels = Seq("click", "error", "signup", "view"))
+        .orderBy("channel")
+    }),
+
+    "q412_calibration_error" -> ((s, dir) => {
+      // ECE/MCE scoring of the classifier's probabilities — the
+      // one-number companions to the q159 diagram and the q389/q403
+      // calibration FITS
+      val d = tbl(s, dir, "documents")
+      val scored = TextQuality.classifierScore(d, "doc_id", "text")
+        .select(col("doc_id"), (col("margin") + lit(0.5)).as("p"))
+        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
+          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
+      Evaluation.expectedCalibrationError(scored, "p", "quality_pass",
+          nBins = 10)
+        .orderBy("bin")
     })
   )
 
@@ -12061,6 +12113,36 @@ object SparkEntry {
 
       "q409_bpe_roundtrip" -> bpeRoundtripOracleSql,
 
+      "q410_sprt" -> sprtOracleSql,
+
+      "q411_removal_attribution" -> removalAttributionOracleSql,
+
+      // the q159 scored CTEs shifted to probabilities, per-bin decimal
+      // score sums, ECE/MCE as window rollups
+      "q412_calibration_error" ->
+        s"""$scoredMarginCtes,
+           |pp AS (SELECT margin + 0.5 AS p, quality_pass FROM scored),
+           |per AS (SELECT CAST(least(greatest(CAST(floor(p * 10) AS INT),
+           |      0), 9) AS INT) AS bin,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_pos,
+           |    CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS ssum
+           |  FROM pp GROUP BY 1),
+           |gx AS (SELECT bin, n, n_pos, ssum / n AS p_bar,
+           |    CAST(n_pos AS DOUBLE) / n AS rate,
+           |    abs(ssum / n - CAST(n_pos AS DOUBLE) / n) AS gap
+           |  FROM per),
+           |wx AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS nn,
+           |    CAST(SUM(CAST(n * gap AS DECIMAL(38,18))) OVER ()
+           |      AS DOUBLE) AS egap,
+           |    MAX(gap) OVER () AS mce
+           |  FROM gx)
+           |SELECT bin, n, n_pos, round(p_bar, 6) AS p_bar,
+           |  round(rate, 6) AS rate, round(gap, 6) AS gap,
+           |  round(egap / nn, 6) AS ece, round(mce, 6) AS mce
+           |FROM wx ORDER BY bin""".stripMargin,
+
       // Q-hat per (ctx, arm) from the even split, greedy policy, DR
       // terms decimal-accumulated on the odd split
       "q406_doubly_robust" ->
@@ -15881,6 +15963,108 @@ object SparkEntry {
        |  round(greatest(tot0, tot1, tot2) - it.cum, 6) AS regret
        |FROM it JOIN tots ON it.g = tots.g
        |WHERE it.t = tots.n_days ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q410: the SPRT log-constants are computed ONCE here in
+    * Scala and embedded as round-trip double literals in BOTH engines
+    * (the Spark side embeds the same values via lit) — the
+    * data-dependent arithmetic is multiply/add only. */
+  private def sprtOracleSql: String = {
+    val l1 = math.log(0.55 / 0.45); val l0 = math.log(0.45 / 0.55)
+    val a = math.log(0.95 / 0.05); val b = math.log(0.05 / 0.95)
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM events GROUP BY 1, 2),
+       |c AS (SELECT event_type,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i,
+       |    CAST(SUM(CAST(k * CAST($l1 AS DOUBLE) +
+       |        (n - k) * CAST($l0 AS DOUBLE) AS DECIMAL(38,18)))
+       |      OVER (PARTITION BY event_type ORDER BY day
+       |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS llr
+       |  FROM d),
+       |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    round(arg_max(llr, i), 6) AS llr_final,
+       |    min(CASE WHEN llr >= CAST($a AS DOUBLE) THEN i END) AS day_h1,
+       |    min(CASE WHEN llr <= CAST($b AS DOUBLE) THEN i END) AS day_h0
+       |  FROM c GROUP BY 1)
+       |SELECT event_type, n_days, llr_final, day_h1, day_h0,
+       |  CASE WHEN day_h1 IS NULL AND day_h0 IS NULL THEN 'continue'
+       |    WHEN day_h0 IS NULL OR (day_h1 IS NOT NULL
+       |      AND day_h1 < day_h0) THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS decision
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q411: the q318 transition/value-iteration chain once for
+    * the baseline and once per removed channel (suffixed CTEs), each
+    * conversion read against the first-touch distribution. */
+  private def removalAttributionOracleSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chain(sfx: String, where: String): String = {
+      def r(k: Int, prev: String): String =
+        s"""r$k$sfx AS (SELECT st.s, CASE WHEN st.s = 'purchase'
+           |    THEN 1.0 ELSE COALESCE(f.vn, 0.0) END AS v
+           |  FROM st LEFT JOIN (SELECT m$sfx.s, CAST(SUM(CAST(
+           |      (CAST(m$sfx.n AS DOUBLE) / m$sfx.tot) * v.v
+           |      AS DECIMAL(27,15))) AS DOUBLE) AS vn
+           |    FROM m$sfx JOIN $prev v ON m$sfx.t = v.s
+           |    GROUP BY m$sfx.s) f ON st.s = f.s)""".stripMargin
+      // tot comes from m0 (unfiltered) — removal does NOT renormalize
+      s"""m$sfx AS (SELECT * FROM m0$where),
+         |r0$sfx AS (SELECT s, CASE WHEN s = 'purchase' THEN 1.0
+         |  ELSE 0.0 END AS v FROM st),
+         |${(1 to 4).map(k => r(k, s"r${k - 1}$sfx")).mkString(",\n")},
+         |rr$sfx AS (SELECT s AS state, round(v, 6) AS v FROM r4$sfx),
+         |cv$sfx AS (SELECT CAST(SUM(CAST(fn * coalesce(rr$sfx.v,
+         |      CASE WHEN f0.ftype = 'purchase' THEN 1.0 ELSE 0.0 END)
+         |      AS DECIMAL(38,18))) AS DOUBLE) / SUM(fn) AS p
+         |  FROM f0 LEFT JOIN rr$sfx ON f0.ftype = rr$sfx.state)"""
+        .stripMargin
+    }
+    val variants = chain("b", "") + ",\n" + channels.zipWithIndex.map {
+      case (c, i) =>
+        chain(s"x$i", s" WHERE s <> '$c' AND t <> '$c'")
+    }.mkString(",\n")
+    val union = channels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, p FROM cvx$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    event_type FROM events),
+       |l AS (SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+       |      event_id) AS from_type,
+       |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id)) AS gap_us,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts,
+       |      event_id) AS rn
+       |  FROM e),
+       |p AS (SELECT from_type, event_type AS to_type,
+       |    CAST(count(*) AS BIGINT) AS n FROM l
+       |  WHERE from_type IS NOT NULL AND gap_us <= 1800000000
+       |  GROUP BY 1, 2),
+       |f0 AS (SELECT event_type AS ftype, CAST(count(*) AS BIGINT) AS fn
+       |  FROM l WHERE rn = 1 GROUP BY 1),
+       |m0 AS (SELECT from_type AS s, to_type AS t, n,
+       |    SUM(n) OVER (PARTITION BY from_type) AS tot FROM p),
+       |st AS (SELECT DISTINCT s FROM
+       |  (SELECT s FROM m0 UNION ALL SELECT t FROM m0)),
+       |$variants,
+       |u AS ($union),
+       |ef AS (SELECT channel, u.p AS p_without, cvb.p AS p_base,
+       |    CASE WHEN cvb.p > 0 THEN greatest(CAST(0.0 AS DOUBLE),
+       |      1.0 - u.p / cvb.p) END AS effect
+       |  FROM u, cvb),
+       |tt AS (SELECT *, CAST(SUM(CAST(effect AS DECIMAL(38,18)))
+       |      OVER () AS DOUBLE) AS tot
+       |  FROM ef)
+       |SELECT channel, round(p_base, 6) AS p_base,
+       |  round(p_without, 6) AS p_without,
+       |  round(effect, 6) AS removal_effect,
+       |  round(CASE WHEN tot > 0 THEN effect / tot END, 6) AS attr_share
+       |FROM tt ORDER BY channel""".stripMargin
   }
 
   /** Replays q408: 6 IPF rounds as chained CTEs, margin sums

@@ -693,6 +693,42 @@ object Evaluation {
           .as("uncertainty"))
   }
 
+  /** Expected / maximum calibration error (Naeini et al. 2015; Guo et
+    * al. 2017) over equal-width probability bins: per bin the mean
+    * predicted probability p̄_b (decimal-summed) vs the empirical rate,
+    * ECE = Σ n_b·|p̄_b − rate_b| / N and MCE = max_b |·| — the one-number
+    * calibration summaries beside the full reliability diagram (q159),
+    * isotonic (q389) and parametric (q403) FITS: those correct the
+    * curve, these SCORE it. `scoreCol` must already be a probability in
+    * [0,1]. Returns the per-bin table with the shared (ece, mce)
+    * repeated. One corpus aggregate + one B-row window. */
+  def expectedCalibrationError(scored: DataFrame, scoreCol: String,
+                               labelCol: String,
+                               nBins: Int = 10): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val wAll = Window.partitionBy(lit(1))
+    val per = scored
+      .withColumn("bin", least(greatest(
+        floor(col(scoreCol) * nBins).cast("int"), lit(0)), lit(nBins - 1)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(d18(col(scoreCol))).cast("double").as("_ssum"))
+      .withColumn("p_bar", col("_ssum") / col("n"))
+      .withColumn("rate", col("n_pos").cast("double") / col("n"))
+      .withColumn("gap", abs(col("p_bar") - col("rate")))
+    per
+      .withColumn("_N", sum("n").over(wAll))
+      .withColumn("ece",
+        sum(d18(col("n") * col("gap"))).over(wAll).cast("double") /
+          col("_N"))
+      .withColumn("mce", max("gap").over(wAll))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("p_bar"), 6).as("p_bar"), round(col("rate"), 6).as("rate"),
+        round(col("gap"), 6).as("gap"), round(col("ece"), 6).as("ece"),
+        round(col("mce"), 6).as("mce"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
     * over EXACT RATIONAL p-values num/den (e.g. permutation p-values
     * (n_extreme+1)/(n_perms+1)): rank hypotheses by p ascending, find

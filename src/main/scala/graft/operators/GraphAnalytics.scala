@@ -584,4 +584,79 @@ object GraphAnalytics {
       .unionByName(auth.select(lit("authority").as("kind"), col("id"),
         col("a").as("score")))
   }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. 2016 — the
+    * `ChannelAttribution` model): each channel's credit for conversion
+    * is how much the chain's conversion probability DROPS when that
+    * channel's state is deleted (its in/out transitions removed; a
+    * journey through it dies). Baseline and per-channel conversion are
+    * Σ_s π₀(s)·v(s) over the first-touch distribution π₀, with v from
+    * [[absorbingReach]]'s truncated value iteration; a first-touch
+    * state missing from the (filtered) chain contributes v = 0 (v = 1
+    * for the target itself). `removal_effect = 1 − p_without/p_base`
+    * (clamped at 0 — horizon truncation can leave ε noise) and
+    * `attr_share` normalizes effects over the channel set.
+    *
+    * Scale shape: the corpus collapses ONCE to transition counts and
+    * first-touch counts upstream; each of the |channels|+1 value
+    * iterations runs on the tiny state space. */
+  def removalAttribution(trans: DataFrame, firsts: DataFrame,
+                         fromCol: String, toCol: String, nCol: String,
+                         firstTypeCol: String, firstNCol: String,
+                         target: String, rounds: Int,
+                         channels: Seq[String]): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    // CRUCIAL removal semantics: edges through the removed channel
+    // disappear but every surviving transition keeps its ORIGINAL
+    // probability n/tot — the lost mass is exactly the point (a
+    // renormalized chain would route journeys around the channel for
+    // free and report near-zero effects). Hence tot is frozen on the
+    // UNFILTERED chain and the iteration is inlined rather than
+    // delegated to absorbingReach (which re-derives tot).
+    val m0 = trans.select(col(fromCol).as("s"), col(toCol).as("t"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("s")))
+      .localCheckpoint()
+    val states = m0.select(col("s")).union(m0.select(col("t").as("s")))
+      .distinct().localCheckpoint()
+    def reach(m: DataFrame): DataFrame = {
+      var v = states.withColumn("v",
+        when(col("s") === target, lit(1.0)).otherwise(lit(0.0)))
+      for (_ <- 1 to rounds) {
+        val folded = m
+          .join(v.select(col("s").as("t"), col("v")), Seq("t"))
+          .groupBy("s")
+          .agg(sum(((col("n").cast("double") / col("tot")) * col("v"))
+            .cast("decimal(27,15)")).cast("double").as("v_next"))
+        v = states.join(folded, Seq("s"), "left")
+          .withColumn("v", when(col("s") === target, lit(1.0))
+            .otherwise(coalesce(col("v_next"), lit(0.0))))
+          .select("s", "v")
+      }
+      v.select(col("s").as("state"), round(col("v"), 6).as("p_reach"))
+    }
+    def conv(m: DataFrame): DataFrame =
+      firsts.select(col(firstTypeCol).as("ftype"),
+          col(firstNCol).cast("long").as("fn"))
+        .join(reach(m).select(col("state").as("ftype"), col("p_reach")),
+          Seq("ftype"), "left")
+        .agg((sum(d18(col("fn") * coalesce(col("p_reach"),
+            when(col("ftype") === target, 1.0).otherwise(0.0))))
+          .cast("double") / sum("fn")).as("p"))
+    val base = conv(m0).select(col("p").as("p_base"))
+    val rows = channels.map { c =>
+      conv(m0.filter(col("s") =!= c && col("t") =!= c))
+        .select(lit(c).as("channel"), col("p").as("p_without"))
+    }.reduce(_ unionByName _)
+    val wAll = Window.partitionBy(lit(1))
+    rows.crossJoin(broadcast(base))
+      .withColumn("effect", when(col("p_base") > 0,
+        greatest(lit(0.0), lit(1.0) - col("p_without") / col("p_base"))))
+      .withColumn("_tot", sum(d18(col("effect"))).over(wAll).cast("double"))
+      .select(col("channel"), round(col("p_base"), 6).as("p_base"),
+        round(col("p_without"), 6).as("p_without"),
+        round(col("effect"), 6).as("removal_effect"),
+        round(when(col("_tot") > 0, col("effect") / col("_tot")), 6)
+          .as("attr_share"))
+  }
 }

@@ -1344,6 +1344,54 @@ object Stats {
         (col("t_cvm") > 0.461).as("rejects_5pct"))
   }
 
+  /** Wald's sequential probability ratio test (Wald 1945) on a daily
+    * Bernoulli stream per group: H0: p = p0 vs H1: p = p1, cumulative
+    *
+    *   LLR_t = Σ_{d≤t}  k_d·ln(p1/p0) + (n_d − k_d)·ln((1−p1)/(1−p0))
+    *
+    * stopping the first day LLR ≥ ln((1−β)/α) (accept H1) or
+    * ≤ ln(β/(1−α)) (accept H0) — the always-valid sequential monitor
+    * that, unlike a fixed-horizon z-test, can stop EARLY with both
+    * error rates controlled. The four logarithms are of CONSTANTS, so
+    * they are evaluated ONCE at plan-build time and embedded as double
+    * literals in both engines (`Double.toString` round-trips
+    * bit-exactly; the data-dependent arithmetic is ±·,+ only — the
+    * libm-free discipline holds). Per-day terms are identical doubles;
+    * the prefix sum decimal-accumulates.
+    *
+    * Returns one row per group: n_days, final LLR, first crossing day
+    * for each boundary (NULL if never) and the decision string.
+    * Scale shape: one shuffle to daily grain, one window per group. */
+  def sprtBernoulli(df: DataFrame, groupCol: String, orderCol: String,
+                    nCol: String, kCol: String, p0: Double, p1: Double,
+                    alpha: Double, beta: Double): DataFrame = {
+    val l1 = math.log(p1 / p0)
+    val l0 = math.log((1.0 - p1) / (1.0 - p0))
+    val a = math.log((1.0 - beta) / alpha)
+    val b = math.log(beta / (1.0 - alpha))
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_term", d18(col(kCol) * lit(l1) +
+        (col(nCol) - col(kCol)) * lit(l0)))
+      .withColumn("_llr", sum(col("_term")).over(wCum).cast("double"))
+    cum.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("_i").as("i"), col("_llr").as("l"))).as("_last"),
+        min(when(col("_llr") >= lit(a), col("_i"))).as("day_h1"),
+        min(when(col("_llr") <= lit(b), col("_i"))).as("day_h0"))
+      .select(col(groupCol), col("n_days"),
+        round(col("_last").getField("l"), 6).as("llr_final"),
+        col("day_h1"), col("day_h0"),
+        when(col("day_h1").isNull && col("day_h0").isNull, "continue")
+          .when(col("day_h0").isNull ||
+            (col("day_h1").isNotNull && col("day_h1") < col("day_h0")),
+            "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+  }
+
   /** UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002) over a
     * 3-arm daily reward log, full-information offline: each day t the
     * policy plays arm argmax_a  s_a/n_a + sqrt(2·⌊log2 T⌋ / n_a)

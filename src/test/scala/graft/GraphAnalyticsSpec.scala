@@ -259,4 +259,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     val hubs = out.collect { case (("hub", _), v) => v * v }.sum
     assert(math.abs(hubs - 1.0) < 1e-12)
   }
+
+  test("removalAttribution: lost mass is NOT renormalized") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // v → c → p and v → p equally; firsts all at v. Baseline converts
+    // with certainty; removing c kills the v→c→p path WITHOUT
+    // boosting v→p (tot stays 2) → p_without = 0.5, effect = 0.5
+    val trans = Seq(("v", "c", 1L), ("c", "p", 1L), ("v", "p", 1L))
+      .toDF("from", "to", "n")
+    val firsts = Seq(("v", 2L)).toDF("ftype", "fn")
+    val out = GraphAnalytics.removalAttribution(trans, firsts, "from",
+      "to", "n", "ftype", "fn", target = "p", rounds = 4,
+      channels = Seq("c")).head()
+    assert(out.getAs[Double]("p_base") == 1.0)
+    assert(out.getAs[Double]("p_without") == 0.5)
+    assert(out.getAs[Double]("removal_effect") == 0.5)
+    assert(out.getAs[Double]("attr_share") == 1.0)
+  }
 }

@@ -486,6 +486,28 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("mse_after") < out.getAs[Double]("mse_before"))
   }
 
+  test("expectedCalibrationError: hand-computed ECE and MCE") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    // (0.1·10 floors to bin 1 — IEEE 0.1·10 is 1.0000000000000002)
+    // bin1: p̄=.1 rate=.5 gap=.4 (n=2); bin7: gap=.3; bin9: gap=.1
+    // ECE = (2·.4 + .3 + .1)/4 = .3; MCE = .4
+    val scored = Seq((0.1, false), (0.1, true), (0.7, true), (0.9, true))
+      .toDF("p", "y")
+    val out = Evaluation.expectedCalibrationError(scored, "p", "y", 10)
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(out.keySet == Set(1, 7, 9))
+    assert(out(1).getAs[Double]("gap") == 0.4)
+    assert(out(7).getAs[Double]("gap") == 0.3)
+    assert(out(1).getAs[Double]("ece") == 0.3)
+    assert(out(1).getAs[Double]("mce") == 0.4)
+    // perfectly calibrated bins → zero everywhere
+    val perfect = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val p0 = Evaluation.expectedCalibrationError(perfect, "p", "y", 10)
+      .head()
+    assert(p0.getAs[Double]("ece") == 0.0 && p0.getAs[Double]("mce") == 0.0)
+  }
+
   test("doublyRobustOpe: hand-computed DM/IPS/DR, unseen pair backs off") {
     import spark.implicits._
     import graft.operators.Evaluation

@@ -589,6 +589,24 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("sprtBernoulli: crosses the right boundary on day 1, or continues") {
+    import spark.implicits._
+    // p0=0.25 vs p1=0.75 → per-success log-ratio ln 3; A = ln 19
+    // g1: 4/4 successes day 1 → LLR = 4·ln3 ≈ 4.394 ≥ 2.944 → accept_h1
+    // g0: 0/4 → −4.394 ≤ −2.944 → accept_h0;  gc: 1/2 → LLR = 0 → continue
+    val rows = Seq(("g1", 1, 4L, 4L), ("g0", 1, 4L, 0L), ("gc", 1, 2L, 1L))
+    val out = Stats.sprtBernoulli(rows.toDF("g", "day", "n", "k"),
+      "g", "day", "n", "k", 0.25, 0.75, 0.05, 0.05)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g1").getAs[String]("decision") == "accept_h1")
+    assert(out("g1").getAs[Long]("day_h1") == 1L)
+    assert(math.abs(out("g1").getAs[Double]("llr_final") -
+      4 * math.log(3)) < 1e-5)
+    assert(out("g0").getAs[String]("decision") == "accept_h0")
+    assert(out("gc").getAs[String]("decision") == "continue")
+    assert(out("gc").getAs[Double]("llr_final") == 0.0)
+  }
+
   test("ucb1Replay: forced initialization, then exploits the best arm") {
     import spark.implicits._
     // 4 days, arm 0 dominant: days 1-3 forced 0,1,2; day 4 UCB picks 0
