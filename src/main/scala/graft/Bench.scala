@@ -14,8 +14,13 @@ object Bench {
     // query; queries then run in sorted order for stable per-round deltas
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // optional args: restrict to the named queries (local timing aid;
+    // the driver always runs argless → full suite)
+    val only = args.toSet
     def runAll(dir: String): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only.contains(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch {
           case t: Throwable =>

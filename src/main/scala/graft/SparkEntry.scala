@@ -6907,7 +6907,58 @@ object SparkEntry {
       Evaluation.expectedCalibrationError(scored, "p", "quality_pass",
           nBins = 10)
         .orderBy("bin")
-    })
+    }),
+
+    "q413_regression_discontinuity" -> ((s, dir) => {
+      // sharp RD at activity = 33 (±12 bandwidth): two closed-form OLS
+      // lines recentered at the cutoff, effect = intercept gap — the
+      // placebo read on smooth synthetic data is ≈ 0, which is the
+      // estimator working
+      val ev = events(s, dir)
+      val d0 = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value"))
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("_d0"))))
+      val units = d0.groupBy("user_id")
+        .agg(sum(when(datediff(col("day"), col("_d0")) < 15, 1L)
+          .otherwise(0L)).as("x"),
+          sum(when(datediff(col("day"), col("_d0")) >= 15,
+            coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+            .otherwise(0L)).as("y"))
+      Stats.regressionDiscontinuity(units, "x", "y", cutoff = 33L,
+        bandwidth = 12L)
+    }),
+
+    "q414_caliper_match" -> ((s, dir) => {
+      // observational ATT of early errors on later spend: treated =
+      // users hitting ≥7 errors in the pre-period (≈ half), matched with
+      // replacement to the nearest-activity control within ±2 events —
+      // banded bucket join, no all-pairs
+      val ev = events(s, dir)
+      val d0 = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("_d0"))))
+      val units = d0.groupBy("user_id")
+        .agg(sum(when(datediff(col("day"), col("_d0")) < 15, 1L)
+          .otherwise(0L)).as("score"),
+          (sum(when(datediff(col("day"), col("_d0")) < 15 &&
+            col("event_type") === "error", 1L).otherwise(0L)) >= 7)
+            .as("treated"),
+          sum(when(datediff(col("day"), col("_d0")) >= 15,
+            coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+            .otherwise(0L)).as("y"))
+      Stats.caliperMatchAtt(units, "user_id", "treated", "score", "y",
+        caliper = 2L)
+    }),
+
+    "q415_encoding_advisor" -> ((s, dir) =>
+      // parquet-writer's-eye column audit: NDV/dictionary width and
+      // natural-order RLE runs for 5 lineitem columns from ONE sort
+      // pass — which columns dictionary-encode, which need a re-sort
+      DataLayout.encodingAdvisor(tbl(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+            "l_partkey"))
+        .orderBy("col_name"))
   )
 
   // ======================================================================
@@ -12115,6 +12166,80 @@ object SparkEntry {
 
       "q410_sprt" -> sprtOracleSql,
 
+      // recentered per-side OLS from exact sums; effect = intercept gap
+      "q413_regression_discontinuity" ->
+        """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS dmin FROM events),
+          |u AS (SELECT user_id,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      < 15 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      >= 15 THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+          |      ELSE 0 END) AS BIGINT) AS y
+          |  FROM events, d0 GROUP BY user_id),
+          |b AS (SELECT x - 33 AS xc, y, x - 33 >= 0 AS side FROM u
+          |  WHERE x - 33 >= -12 AND x - 33 < 12),
+          |per AS (SELECT side, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+          |    SUM(CAST(xc AS HUGEINT) * y) AS sxy
+          |  FROM b GROUP BY side),
+          |co AS (SELECT side, n,
+          |    n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS den,
+          |    sx, sy, sxy FROM per),
+          |fit AS (SELECT side, n,
+          |    CASE WHEN den <> 0 THEN (n * CAST(sxy AS DOUBLE) -
+          |      CAST(sx AS DOUBLE) * sy) / den END AS slope,
+          |    sx, sy, den FROM co),
+          |fi AS (SELECT side, n, slope,
+          |    CASE WHEN den <> 0
+          |      THEN (sy - slope * sx) / n END AS icept
+          |  FROM fit)
+          |SELECT l.n AS n_left, r.n AS n_right,
+          |  round(l.slope, 6) AS slope_left, round(r.slope, 6)
+          |    AS slope_right,
+          |  round(l.icept, 6) AS icept_left, round(r.icept, 6)
+          |    AS icept_right,
+          |  round(r.icept - l.icept, 6) AS rd_effect
+          |FROM (SELECT * FROM fi WHERE NOT side) l,
+          |  (SELECT * FROM fi WHERE side) r""".stripMargin,
+
+      // banded bucket join (score div 2 ± 1), deterministic min-struct
+      // match via the rank window, exact integer ATT sums
+      "q414_caliper_match" ->
+        """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS dmin FROM events),
+          |u AS (SELECT user_id AS uid,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      < 15 THEN 1 ELSE 0 END) AS BIGINT) AS score,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      < 15 AND event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS BIGINT) >= 7 AS treated,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      >= 15 THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+          |      ELSE 0 END) AS BIGINT) AS y
+          |  FROM events, d0 GROUP BY user_id),
+          |ct AS (SELECT uid AS cid, score AS csc, y AS cy,
+          |    score // 2 AS cb FROM u WHERE NOT treated),
+          |tr AS (SELECT uid, score AS sc, y, score // 2 AS b FROM u
+          |  WHERE treated),
+          |tx AS (SELECT uid, sc, y, b + i AS cb
+          |  FROM tr, unnest([-1, 0, 1]) AS t(i)),
+          |cand AS (SELECT uid, sc, y, csc, cid, cy
+          |  FROM tx JOIN ct USING (cb) WHERE abs(sc - csc) <= 2),
+          |mt AS (SELECT uid, y, cy FROM (
+          |    SELECT uid, y, cy, row_number() OVER (PARTITION BY uid
+          |      ORDER BY abs(sc - csc), csc, cid) AS rn FROM cand)
+          |  WHERE rn = 1),
+          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM u
+          |  WHERE treated)
+          |SELECT n_treated, CAST(count(*) AS BIGINT) AS n_matched,
+          |  round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS mean_treated,
+          |  round(CAST(SUM(cy) AS DOUBLE) / count(*), 6)
+          |    AS mean_matched_control,
+          |  round(CAST(SUM(y - cy) AS DOUBLE) / count(*), 6) AS att
+          |FROM mt, nt GROUP BY n_treated""".stripMargin,
+
+      "q415_encoding_advisor" -> encodingAdvisorOracleSql,
+
       "q411_removal_attribution" -> removalAttributionOracleSql,
 
       // the q159 scored CTEs shifted to probabilities, per-bin decimal
@@ -15963,6 +16088,38 @@ object SparkEntry {
        |  round(greatest(tot0, tot1, tot2) - it.cum, 6) AS regret
        |FROM it JOIN tots ON it.g = tots.g
        |WHERE it.t = tots.n_days ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q415: one window pass computes all five columns' change
+    * indicators; per-column stats unpivot via UNION ALL. */
+  private def encodingAdvisorOracleSql: String = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_partkey")
+    val chg = cols.map { c =>
+      s"""CASE WHEN lag($c) OVER o IS NULL OR lag($c) OVER o <> $c
+         |      THEN 1 ELSE 0 END AS chg_$c""".stripMargin
+    }.mkString(",\n    ")
+    val ag = cols.map { c =>
+      s"""CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv_$c,
+         |    CAST(SUM(chg_$c) AS BIGINT) AS runs_$c""".stripMargin
+    }.mkString(",\n    ")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS col_name, n, ndv_$c AS ndv, runs_$c AS runs,
+         |  CASE WHEN ndv_$c <= 1 THEN 0
+         |    ELSE CAST(length(bin(ndv_$c - 1)) AS BIGINT) END AS dict_bits,
+         |  round(CAST(n AS DOUBLE) / runs_$c, 6) AS avg_run_len,
+         |  ndv_$c * 100 <= n AS dict_recommended
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT ${cols.mkString(", ")},
+       |    $chg
+       |  FROM lineitem
+       |  WINDOW o AS (ORDER BY l_orderkey, l_linenumber)),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $ag
+       |  FROM w)
+       |$rows
+       |ORDER BY col_name""".stripMargin
   }
 
   /** Replays q410: the SPRT log-constants are computed ONCE here in

@@ -182,6 +182,47 @@ object DataLayout {
           col("rows_skipped"), col("file_skip_frac"))
     }.reduce(_ unionByName _)
 
+  /** Column-encoding advisor: for each candidate column, the exact
+    * signals a parquet/ORC writer's encoding choice turns on —
+    * distinct-value count (dictionary viability), dictionary index
+    * width ⌈log2 NDV⌉ bits, and RLE-friendliness in the table's
+    * NATURAL write order (run count + mean run length: a column that
+    * arrives clustered run-length-encodes even without a re-sort; one
+    * that doesn't is the re-sort candidate). All `cols`' run
+    * indicators ride ONE global sort window pass (not one sort per
+    * column); counts are exact integers, the single division per row
+    * is the mean run length.
+    *
+    * The global-order window is a deliberate single-task sort — this
+    * is an offline layout AUDIT over a bounded table sample, the same
+    * trade the q241/q255 skip audits make. */
+  def encodingAdvisor(df: DataFrame, orderCols: Seq[String],
+                      cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    var d = df
+    cols.foreach { c =>
+      d = d.withColumn(s"_chg_$c",
+        when(lag(col(c), 1).over(w).isNull ||
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"_ndv_$c"),
+        sum(col(s"_chg_$c")).as(s"_runs_$c"))
+    }
+    val one = d.agg(count(lit(1)).as("_n"), aggs: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col_name"), col("_n").as("n"),
+        col(s"_ndv_$c").as("ndv"), col(s"_runs_$c").as("runs"),
+        when(col(s"_ndv_$c") <= 1, 0L)
+          .otherwise(length(bin(col(s"_ndv_$c") - 1)).cast("long"))
+          .as("dict_bits"),
+        round(col("_n").cast("double") / col(s"_runs_$c"), 6)
+          .as("avg_run_len"),
+        (col(s"_ndv_$c") * 100L <= col("_n")).as("dict_recommended"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hilbert-curve index of a 2-D cell (Hilbert 1891; the xy→d walk of
     * Warren, Hacker's Delight §16 / the classic Wikipedia formulation)
     * for a `bits`-bit grid — the locality-preserving alternative to

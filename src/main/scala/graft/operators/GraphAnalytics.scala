@@ -559,8 +559,12 @@ object GraphAnalytics {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,18)")
+    // the distinct edge set is referenced twice per round and by both
+    // output branches — materialize it ONCE (and truncate each round's
+    // score lineage) or the fact scan + distinct re-run per reference:
+    // the pageRank/bradleyTerry localCheckpoint discipline
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     var hub = e.select(col("src").as("id")).distinct()
       .withColumn("h", lit(1.0))
     var auth: DataFrame = null
@@ -568,6 +572,7 @@ object GraphAnalytics {
       val araw = e.join(hub, e("src") === hub("id"))
         .groupBy(col("dst").as("aid"))
         .agg(sum(d38(col("h"))).cast("double").as("a"))
+        .localCheckpoint() // read twice (norm + scale) per round
       val anorm = araw.agg(
         sqrt(sum(d38(col("a") * col("a"))).cast("double")).as("nrm"))
       auth = araw.crossJoin(broadcast(anorm))
@@ -575,6 +580,7 @@ object GraphAnalytics {
       val hraw = e.join(auth, e("dst") === auth("id"))
         .groupBy(col("src").as("hid"))
         .agg(sum(d38(col("a"))).cast("double").as("h"))
+        .localCheckpoint()
       val hnorm = hraw.agg(
         sqrt(sum(d38(col("h") * col("h"))).cast("double")).as("nrm"))
       hub = hraw.crossJoin(broadcast(hnorm))

@@ -1344,6 +1344,97 @@ object Stats {
         (col("t_cvm") > 0.461).as("rejects_5pct"))
   }
 
+  /** Nearest-neighbor caliper matching WITH replacement (Rosenbaum &
+    * Rubin 1985; Stuart 2010 §3) for an observational treated-vs-
+    * control contrast: each treated unit matches the control with the
+    * closest integer score within ±`caliper` (ties → smaller distance,
+    * then smaller control score, then smaller control id — fully
+    * deterministic), and ATT = mean(y_t − y_matched) over the matched
+    * treated. With-replacement matching is order-free, so it is
+    * expressible as a pure min-reduce — no sequential greedy pass.
+    *
+    * Scale shape: NO all-pairs join — controls are bucketed by
+    * score div caliper and each treated probes its 3 adjacent buckets
+    * (any within-caliper control must be there), so the join is
+    * banded; the match itself is one min(struct) per treated. Integer
+    * scores/outcomes keep Σ(y_t − y_c) exact; ATT is one double
+    * division. */
+  def caliperMatchAtt(units: DataFrame, idCol: String, treatedCol: String,
+                      scoreCol: String, yCol: String,
+                      caliper: Long): DataFrame = {
+    val base = units.select(col(idCol).cast("long").as("uid"),
+      col(treatedCol).as("tr"), col(scoreCol).cast("long").as("sc"),
+      col(yCol).cast("long").as("y"))
+    // scores are non-negative counts, so trunc-div == floor-div in both
+    // engines and the bucket key is portable
+    val ctrl = base.filter(!col("tr"))
+      .select(col("uid").as("cid"), col("sc").as("csc"),
+        col("y").as("cy"), expr(s"sc div $caliper").as("cb"))
+    val treat = base.filter(col("tr"))
+      .withColumn("_b", expr(s"sc div $caliper"))
+      .withColumn("cb", explode(array(col("_b") - 1, col("_b"),
+        col("_b") + 1)))
+    val matched = treat.join(ctrl, Seq("cb"))
+      .filter(abs(col("sc") - col("csc")) <= caliper)
+      .groupBy(col("uid"), col("sc"), col("y"))
+      .agg(min(struct(abs(col("sc") - col("csc")).as("d"),
+        col("csc").as("csc"), col("cid").as("cid"), col("cy").as("cy")))
+        .as("m"))
+    val nTreat = base.filter(col("tr")).agg(count(lit(1)).as("n_treated"))
+    matched.agg(count(lit(1)).as("n_matched"),
+        (sum("y").cast("double") / count(lit(1))).as("mean_treated"),
+        (sum(col("m").getField("cy")).cast("double") / count(lit(1)))
+          .as("mean_matched_control"),
+        (sum(col("y") - col("m").getField("cy")).cast("double") /
+          count(lit(1))).as("att"))
+      .crossJoin(broadcast(nTreat))
+      .select(col("n_treated"), col("n_matched"),
+        round(col("mean_treated"), 6).as("mean_treated"),
+        round(col("mean_matched_control"), 6).as("mean_matched_control"),
+        round(col("att"), 6).as("att"))
+  }
+
+  /** Sharp regression-discontinuity estimate (Thistlethwaite &
+    * Campbell 1960; Imbens & Lemieux 2008) at an integer cutoff on the
+    * running variable: separate OLS lines on [c−h, c) and [c, c+h],
+    * treatment effect = ŷ_right(c) − ŷ_left(c). Recentering x at c
+    * makes each side's intercept ITS fitted value at the cutoff, so
+    * the effect is one subtraction of two closed-form OLS intercepts —
+    * all moments exact BIGINT/HUGEINT sums, each coefficient one
+    * fixed-parenthesization double tree (the [[Stats.segmentedTrend]]
+    * SSE identity family). Returns one row: per-side n/slope/intercept
+    * and the RD effect. Sides with degenerate variance report NULL. */
+  def regressionDiscontinuity(units: DataFrame, xCol: String,
+                              yCol: String, cutoff: Long,
+                              bandwidth: Long): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = units.select((col(xCol).cast("long") - cutoff).as("xc"),
+        col(yCol).cast("long").as("y"))
+      .filter(col("xc") >= -bandwidth && col("xc") < bandwidth)
+      .withColumn("side", col("xc") >= 0)
+    val per = base.groupBy("side")
+      .agg(count(lit(1)).as("n"), sum("xc").as("sx"), sum("y").as("sy"),
+        sum(d0(col("xc")) * col("xc")).as("sxx"),
+        sum(d0(col("xc")) * col("y")).as("sxy"))
+      .withColumn("_den", (col("n") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx")))
+      .withColumn("slope", when(col("_den") =!= 0,
+        (col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy")) / col("_den")))
+      .withColumn("icept", when(col("_den") =!= 0,
+        (col("sy") - col("slope") * col("sx")).cast("double") / col("n")))
+    val l = per.filter(!col("side")).select(col("n").as("n_left"),
+      col("slope").as("slope_left"), col("icept").as("icept_left"))
+    val r = per.filter(col("side")).select(col("n").as("n_right"),
+      col("slope").as("slope_right"), col("icept").as("icept_right"))
+    l.crossJoin(r).select(col("n_left"), col("n_right"),
+      round(col("slope_left"), 6).as("slope_left"),
+      round(col("slope_right"), 6).as("slope_right"),
+      round(col("icept_left"), 6).as("icept_left"),
+      round(col("icept_right"), 6).as("icept_right"),
+      round(col("icept_right") - col("icept_left"), 6).as("rd_effect"))
+  }
+
   /** Wald's sequential probability ratio test (Wald 1945) on a daily
     * Bernoulli stream per group: H0: p = p0 vs H1: p = p1, cumulative
     *

@@ -127,6 +127,22 @@ class DataLayoutSpec extends SparkSpec {
     assert(nodes.subsetOf(Set(0, 1, 2, 3)))
   }
 
+  test("encodingAdvisor: exact NDV, natural-order runs, dict width") {
+    import spark.implicits._
+    // storage order (by k): a = x,x,y,y → 2 runs; b = 4 distinct → 4 runs
+    val df = Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L),
+      (4L, "y", 40L)).toDF("k", "a", "b")
+    val out = DataLayout.encodingAdvisor(df, Seq("k"), Seq("a", "b"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("a").getAs[Long]("ndv") == 2L)
+    assert(out("a").getAs[Long]("runs") == 2L)
+    assert(out("a").getAs[Long]("dict_bits") == 1L) // ceil(log2 2)
+    assert(out("a").getAs[Double]("avg_run_len") == 2.0)
+    assert(out("b").getAs[Long]("runs") == 4L)
+    assert(out("b").getAs[Long]("dict_bits") == 2L) // ceil(log2 4)
+    assert(!out("b").getAs[Boolean]("dict_recommended")) // 4·100 > 4
+  }
+
   test("hilbertValue2: bijective space-filling path with unit steps") {
     import spark.implicits._
     val grid = for { x <- 0 to 15; y <- 0 to 15 } yield (x.toLong, y.toLong)

@@ -589,6 +589,39 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("regressionDiscontinuity: recovers an exact step on linear data") {
+    import spark.implicits._
+    // y = 2x below the cutoff, y = 2x + 100 at and above: slopes 2/2,
+    // intercepts at c = 10: 20 and 120 → effect exactly 100
+    val units = ((0L until 10L).map(x => (x, 2 * x)) ++
+      (10L until 20L).map(x => (x, 2 * x + 100))).toDF("x", "y")
+    val out = Stats.regressionDiscontinuity(units, "x", "y",
+      cutoff = 10L, bandwidth = 10L).head()
+    assert(out.getAs[Long]("n_left") == 10L)
+    assert(out.getAs[Long]("n_right") == 10L)
+    assert(out.getAs[Double]("slope_left") == 2.0)
+    assert(out.getAs[Double]("slope_right") == 2.0)
+    assert(out.getAs[Double]("icept_left") == 20.0)
+    assert(out.getAs[Double]("icept_right") == 120.0)
+    assert(out.getAs[Double]("rd_effect") == 100.0)
+  }
+
+  test("caliperMatchAtt: nearest control within caliper, unmatched drop") {
+    import spark.implicits._
+    // treated: id1 score 10 (controls at 9 and 12 → picks 9), id2 score
+    // 50 (no control within ±2 → unmatched)
+    val units = Seq((1L, true, 10L, 100L), (2L, true, 50L, 999L),
+      (3L, false, 9L, 40L), (4L, false, 12L, 70L), (5L, false, 30L, 0L))
+      .toDF("id", "tr", "sc", "y")
+    val out = Stats.caliperMatchAtt(units, "id", "tr", "sc", "y", 2L)
+      .head()
+    assert(out.getAs[Long]("n_treated") == 2L)
+    assert(out.getAs[Long]("n_matched") == 1L)
+    assert(out.getAs[Double]("mean_treated") == 100.0)
+    assert(out.getAs[Double]("mean_matched_control") == 40.0)
+    assert(out.getAs[Double]("att") == 60.0)
+  }
+
   test("sprtBernoulli: crosses the right boundary on day 1, or continues") {
     import spark.implicits._
     // p0=0.25 vs p1=0.75 → per-success log-ratio ln 3; A = ln 19
