@@ -6958,7 +6958,46 @@ object SparkEntry {
           Seq("l_orderkey", "l_linenumber"),
           Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
             "l_partkey"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    "q416_price_index" -> ((s, dir) => {
+      // Laspeyres/Paasche/Fisher 1996→1997 over the common part basket
+      // — the fixed-basket price-motion read a revenue decomposition
+      // needs; unit prices from exact per-(year, part) cents/qty sums
+      val li = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(year(col("o_orderdate")).cast("string").as("yr"),
+          col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      Stats.priceIndices(li, "yr", "l_partkey", "cents", "qty",
+        basePeriod = "1996", curPeriod = "1997")
+    }),
+
+    "q417_embedding_drift" -> ((s, dir) =>
+      // did the embedding distribution move between snapshot halves:
+      // cosine of the two mean vectors, L2 gap, top-8 shifted dims —
+      // the re-embed sanity gate for a standing ANN index
+      Spectral.snapshotDrift(tbl(s, dir, "embeddings")
+          .withColumn("half", col("vec_id") % 2 === 0),
+        "embedding", "half", topK = 8)),
+
+    "q418_diameter_sweep" -> ((s, dir) => {
+      // double-BFS eccentricity sweep of the (undirected) kNN graph:
+      // sweep 2's ecc is a certified diameter lower bound — the
+      // navigability read beside q228's expansion rates
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      GraphAnalytics.eccentricitySweep(edges, "src", "dst",
+        startId = 0L, maxHops = 8)
+    })
   )
 
   // ======================================================================
@@ -12240,6 +12279,70 @@ object SparkEntry {
 
       "q415_encoding_advisor" -> encodingAdvisorOracleSql,
 
+      // per-(year, part) exact sums → unit prices → decimal-summed
+      // cross products, one division per index
+      "q416_price_index" ->
+        """WITH li AS (SELECT
+          |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS yr,
+          |    l_partkey AS item,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          |    CAST(l_quantity AS BIGINT) AS qty
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |per AS (SELECT yr, item, CAST(SUM(cents) AS BIGINT) AS v,
+          |    CAST(SUM(qty) AS BIGINT) AS q
+          |  FROM li GROUP BY 1, 2),
+          |up AS (SELECT yr, item, CAST(v AS DOUBLE) / q AS up, q FROM per),
+          |b AS (SELECT item, up AS p0, q AS q0 FROM up WHERE yr = '1996'),
+          |c AS (SELECT item, up AS p1, q AS q1 FROM up WHERE yr = '1997'),
+          |j AS (SELECT CAST(count(*) AS BIGINT) AS n_common_items,
+          |    CAST(SUM(CAST(p1 * q0 AS DECIMAL(38,18))) AS DOUBLE) AS l1,
+          |    CAST(SUM(CAST(p0 * q0 AS DECIMAL(38,18))) AS DOUBLE) AS l0,
+          |    CAST(SUM(CAST(p1 * q1 AS DECIMAL(38,18))) AS DOUBLE) AS pp1,
+          |    CAST(SUM(CAST(p0 * q1 AS DECIMAL(38,18))) AS DOUBLE) AS pp0
+          |  FROM b JOIN c USING (item))
+          |SELECT n_common_items, round(l1 / l0, 6) AS laspeyres,
+          |  round(pp1 / pp0, 6) AS paasche,
+          |  round(sqrt(l1 / l0 * (pp1 / pp0)), 6) AS fisher
+          |FROM j""".stripMargin,
+
+      // per-dim split means (decimal sums), cosine/L2 of the two mean
+      // vectors as decimal window rollups, rank by |delta|
+      "q417_embedding_drift" ->
+        """WITH ex AS (SELECT vec_id % 2 = 0 AS h, CAST(i AS INT) AS dim,
+          |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+          |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+          |bd AS (SELECT dim,
+          |    CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |    CAST(SUM(CASE WHEN NOT h THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_b,
+          |    CAST(SUM(CASE WHEN h THEN CAST(x AS DECIMAL(38,18)) END)
+          |      AS DOUBLE) AS sa,
+          |    CAST(SUM(CASE WHEN NOT h THEN CAST(x AS DECIMAL(38,18)) END)
+          |      AS DOUBLE) AS sb
+          |  FROM ex GROUP BY 1),
+          |m AS (SELECT dim, n_a, n_b, sa / n_a AS mean_a, sb / n_b
+          |    AS mean_b, sa / n_a - sb / n_b AS delta FROM bd),
+          |g AS (SELECT *,
+          |    CAST(SUM(CAST(mean_a * mean_b AS DECIMAL(38,18))) OVER ()
+          |      AS DOUBLE) AS dot,
+          |    CAST(SUM(CAST(mean_a * mean_a AS DECIMAL(38,18))) OVER ()
+          |      AS DOUBLE) AS na2,
+          |    CAST(SUM(CAST(mean_b * mean_b AS DECIMAL(38,18))) OVER ()
+          |      AS DOUBLE) AS nb2,
+          |    CAST(SUM(CAST(delta * delta AS DECIMAL(38,18))) OVER ()
+          |      AS DOUBLE) AS gap2,
+          |    CAST(row_number() OVER (ORDER BY abs(delta) DESC, dim)
+          |      AS INT) AS rk
+          |  FROM m)
+          |SELECT rk AS rank, dim, n_a, n_b,
+          |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+          |  round(delta, 6) AS delta,
+          |  round(dot / (sqrt(na2) * sqrt(nb2)), 9) AS cos_means,
+          |  round(sqrt(gap2), 6) AS l2_gap
+          |FROM g WHERE rk <= 8 ORDER BY rank""".stripMargin,
+
+      "q418_diameter_sweep" -> diameterSweepOracleSql,
+
       "q411_removal_attribution" -> removalAttributionOracleSql,
 
       // the q159 scored CTEs shifted to probabilities, per-bin decimal
@@ -16088,6 +16191,36 @@ object SparkEntry {
        |  round(greatest(tot0, tot1, tot2) - it.cum, 6) AS regret
        |FROM it JOIN tots ON it.g = tots.g
        |WHERE it.t = tots.n_days ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q418: the kNN edge prefix symmetrized, two bounded-walk
+    * UNION recursions (dedup keeps them n·maxHops-sized; min depth =
+    * BFS distance), farthest = (max d, min node). */
+  private def diameterSweepOracleSql: String = {
+    def walk(name: String, seed: String): String =
+      s"""$name AS ($seed
+         |  UNION
+         |  SELECT und.b, $name.d + 1 FROM $name
+         |  JOIN und ON und.a = $name.node WHERE $name.d < 8),
+         |d_$name AS (SELECT node, CAST(min(d) AS INT) AS d FROM $name
+         |  GROUP BY node),
+         |s_$name AS (SELECT CAST(count(*) AS BIGINT) AS n_reached,
+         |  max(d) AS ecc FROM d_$name),
+         |f_$name AS (SELECT node FROM d_$name, s_$name WHERE d = ecc
+         |  ORDER BY node LIMIT 1)""".stripMargin
+    s"""${knnEdgesPrefixSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |und AS (SELECT id AS a, nbr_id AS b FROM g0
+       |  UNION SELECT nbr_id, id FROM g0),
+       |${walk("w1", "SELECT CAST(0 AS BIGINT) AS node, 0 AS d")},
+       |${walk("w2", "SELECT node, 0 AS d FROM f_w1")}
+       |SELECT CAST(1 AS INT) AS sweep, CAST(0 AS BIGINT) AS source,
+       |  f_w1.node AS farthest, s_w1.ecc, s_w1.n_reached
+       |FROM f_w1, s_w1
+       |UNION ALL
+       |SELECT CAST(2 AS INT), f_w1.node, f_w2.node, s_w2.ecc,
+       |  s_w2.n_reached
+       |FROM f_w1, f_w2, s_w2
+       |ORDER BY sweep""".stripMargin
   }
 
   /** Replays q415: one window pass computes all five columns' change

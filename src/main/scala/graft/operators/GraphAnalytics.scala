@@ -591,6 +591,61 @@ object GraphAnalytics {
         col("a").as("score")))
   }
 
+  /** Double-BFS eccentricity sweep (the classic diameter lower-bound
+    * heuristic — Magnien, Latapy & Habib 2009): BFS from `startId` on
+    * the UNDIRECTED graph, jump to the farthest node reached (ties →
+    * smallest id), BFS again — sweep 2's eccentricity is a certified
+    * diameter LOWER bound and in practice usually the diameter. Both
+    * BFS runs are capped at `maxHops` (the honest bounded read on a
+    * graph whose diameter might exceed the horizon). Returns one row
+    * per sweep: source, farthest, ecc, n_reached.
+    *
+    * Scale shape: frontier-expansion BFS — per hop one join of the
+    * (shrinking) frontier against the edge list plus an anti-join on
+    * the visited set, each localCheckpoint'd (the Pregel lineage
+    * discipline); nothing exponential (the oracle's bounded-walk
+    * UNION recursion dedups (node, depth) pairs, so it is n·maxHops
+    * rows, and min-depth == BFS distance). */
+  def eccentricitySweep(edges: DataFrame, srcCol: String, dstCol: String,
+                        startId: Long, maxHops: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    def bfs(seed: DataFrame): DataFrame = { // seed: (node LONG)
+      var dist = seed.select(col("node"), lit(0).as("d")).localCheckpoint()
+      var frontier = dist
+      for (h <- 1 to maxHops) {
+        frontier = frontier.join(und, frontier("node") === und("a"))
+          .select(col("b").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .withColumn("d", lit(h))
+          .localCheckpoint()
+        dist = dist.union(frontier).localCheckpoint()
+      }
+      dist
+    }
+    def summarize(dist: DataFrame, sweep: Int, source: Column): DataFrame =
+      dist.agg(count(lit(1)).as("n_reached"), max("d").as("ecc"),
+        max(struct(col("d").as("d"), (-col("node")).as("nn"))).as("_f"))
+        .select(lit(sweep).as("sweep"), source.as("source"),
+          (-col("_f").getField("nn")).as("farthest"), col("ecc"),
+          col("n_reached"))
+    val d1 = bfs(und.select(col("a").as("node"))
+      .filter(col("node") === startId).distinct())
+    val s1 = summarize(d1, 1, lit(startId)).localCheckpoint()
+    val d2 = bfs(s1.select(col("farthest").as("node")))
+    // sweep 2's source is sweep 1's farthest — carried via crossJoin,
+    // not a driver collect
+    val s2c = d2.agg(count(lit(1)).as("n_reached"), max("d").as("ecc"),
+        max(struct(col("d").as("d"), (-col("node")).as("nn"))).as("_f"))
+      .crossJoin(broadcast(s1.select(col("farthest").as("_src"))))
+      .select(lit(2).as("sweep"), col("_src").as("source"),
+        (-col("_f").getField("nn")).as("farthest"), col("ecc"),
+        col("n_reached"))
+    s1.unionByName(s2c).orderBy("sweep")
+  }
+
   /** Markov-chain removal-effect attribution (Anderl et al. 2016 — the
     * `ChannelAttribution` model): each channel's credit for conversion
     * is how much the chain's conversion probability DROPS when that

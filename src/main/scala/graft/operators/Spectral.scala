@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dominant-direction analysis of an embedding corpus by distributed
@@ -131,5 +132,58 @@ object Spectral {
         round(col("sd_norm") / col("mean_norm"), 6).as("cv_norm"),
         round(col("mu_norm"), 6).as("mu_norm"),
         round(col("mu_norm") / col("mean_norm"), 6).as("anisotropy"))
+  }
+
+  /** Embedding snapshot drift: split the corpus by `splitCol` (e.g.
+    * old vs new ingest batch), compare the two MEAN vectors — cosine
+    * between them, the L2 gap, and the `topK` dimensions by absolute
+    * mean shift. The "did the encoder (or the corpus) move" monitor a
+    * standing ANN index needs before trusting recall numbers across
+    * re-embeds: a cosine near 1 with a small gap means old scores stay
+    * comparable; a localized top-dims shift points at specific
+    * feature drift rather than global re-scaling.
+    *
+    * Scale shape: one posexplode to (dim, half) grain with map-side
+    * partial sums; everything after runs on 2·dim rows. Per-dim sums
+    * decimal-accumulate; cosine/L2 are fixed-parenthesization trees
+    * over the dim-row frame (decimal window sums, IEEE sqrt). */
+  def snapshotDrift(df: DataFrame, vecCol: String, splitCol: String,
+                    topK: Int): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val byDim = df.select(col(splitCol).as("_h"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy("dim")
+      .agg(
+        sum(when(col("_h"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_h"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_h"), d18(col("_x").cast("double")))).cast("double")
+          .as("_sa"),
+        sum(when(!col("_h"), d18(col("_x").cast("double")))).cast("double")
+          .as("_sb"))
+      .withColumn("mean_a", col("_sa") / col("n_a"))
+      .withColumn("mean_b", col("_sb") / col("n_b"))
+      .withColumn("delta", col("mean_a") - col("mean_b"))
+    val glob = byDim
+      .withColumn("_dot", sum(d18(col("mean_a") * col("mean_b")))
+        .over(wAll).cast("double"))
+      .withColumn("_na2", sum(d18(col("mean_a") * col("mean_a")))
+        .over(wAll).cast("double"))
+      .withColumn("_nb2", sum(d18(col("mean_b") * col("mean_b")))
+        .over(wAll).cast("double"))
+      .withColumn("_gap2", sum(d18(col("delta") * col("delta")))
+        .over(wAll).cast("double"))
+      .withColumn("cos_means",
+        col("_dot") / (sqrt(col("_na2")) * sqrt(col("_nb2"))))
+      .withColumn("l2_gap", sqrt(col("_gap2")))
+      .withColumn("_rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(abs(col("delta")).desc, col("dim"))))
+    glob.filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col("dim"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("delta"), 6).as("delta"),
+        round(col("cos_means"), 9).as("cos_means"),
+        round(col("l2_gap"), 6).as("l2_gap"))
+      .orderBy("rank")
   }
 }

@@ -1394,6 +1394,44 @@ object Stats {
         round(col("att"), 6).as("att"))
   }
 
+  /** Classic bilateral price indices (Laspeyres 1871 / Paasche 1874 /
+    * Fisher 1922) between a base and a current period over the COMMON
+    * item set: with per-(period, item) exact integer value (cents) and
+    * quantity sums, the unit price p = value/qty is one double
+    * division, and
+    *
+    *   L = Σ p₁q₀ / Σ p₀q₀,  P = Σ p₁q₁ / Σ p₀q₁,  F = √(L·P)
+    *
+    * — the "how much did prices move holding the basket fixed" numbers
+    * a revenue decomposition needs (L fixes the OLD basket, P the NEW,
+    * F is their geometric ideal-index compromise). Cross-item sums of
+    * p·q doubles accumulate in decimal(38,18). One fact aggregate per
+    * period, one item-level join, one rollup. */
+  def priceIndices(df: DataFrame, periodCol: String, itemCol: String,
+                   valueCentsCol: String, qtyCol: String,
+                   basePeriod: String, curPeriod: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val per = df.groupBy(col(periodCol).as("p"), col(itemCol).as("item"))
+      .agg(sum(col(valueCentsCol).cast("long")).as("v"),
+        sum(col(qtyCol).cast("long")).as("q"))
+      .withColumn("up", col("v").cast("double") / col("q"))
+    val b = per.filter(col("p") === basePeriod)
+      .select(col("item"), col("up").as("p0"), col("q").as("q0"))
+    val c = per.filter(col("p") === curPeriod)
+      .select(col("item"), col("up").as("p1"), col("q").as("q1"))
+    b.join(c, Seq("item"))
+      .agg(count(lit(1)).as("n_common_items"),
+        sum(d18(col("p1") * col("q0"))).cast("double").as("_l1"),
+        sum(d18(col("p0") * col("q0"))).cast("double").as("_l0"),
+        sum(d18(col("p1") * col("q1"))).cast("double").as("_p1"),
+        sum(d18(col("p0") * col("q1"))).cast("double").as("_p0"))
+      .select(col("n_common_items"),
+        round(col("_l1") / col("_l0"), 6).as("laspeyres"),
+        round(col("_p1") / col("_p0"), 6).as("paasche"),
+        round(sqrt(col("_l1") / col("_l0") * (col("_p1") / col("_p0"))),
+          6).as("fisher"))
+  }
+
   /** Sharp regression-discontinuity estimate (Thistlethwaite &
     * Campbell 1960; Imbens & Lemieux 2008) at an integer cutoff on the
     * running variable: separate OLS lines on [c−h, c) and [c, c+h],

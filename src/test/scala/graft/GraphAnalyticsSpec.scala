@@ -260,6 +260,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(math.abs(hubs - 1.0) < 1e-12)
   }
 
+  test("eccentricitySweep: finds the path-graph diameter from a middle start") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // path 0-1-2-3-4-5, start at 2: ecc 3 (to 5); sweep 2 from 5: ecc 5
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = GraphAnalytics.eccentricitySweep(edges, "src", "dst",
+      startId = 2L, maxHops = 8).collect()
+      .map(r => r.getAs[Int]("sweep") -> r).toMap
+    assert(out(1).getAs[Long]("source") == 2L)
+    assert(out(1).getAs[Int]("ecc") == 3)
+    assert(out(1).getAs[Long]("farthest") == 5L)
+    assert(out(1).getAs[Long]("n_reached") == 6L)
+    assert(out(2).getAs[Long]("source") == 5L)
+    assert(out(2).getAs[Int]("ecc") == 5) // the true diameter
+    assert(out(2).getAs[Long]("farthest") == 0L)
+  }
+
   test("removalAttribution: lost mass is NOT renormalized") {
     import spark.implicits._
     import graft.operators.GraphAnalytics

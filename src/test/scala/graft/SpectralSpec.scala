@@ -61,4 +61,24 @@ class SpectralSpec extends SparkSpec {
     assert(r2.getDouble(1) == 1.0 && r2.getDouble(4) == 1.0)
     assert(r2.getDouble(5) == 1.0)      // fully anisotropic
   }
+
+  test("snapshotDrift: exact mean gap, cosine of identical means is 1") {
+    import spark.implicits._
+    // half A means (1, 0); half B means (0, 1) → delta (1, −1),
+    // l2 = √2, cos = 0
+    val vecs = Seq((true, Seq(1f, 0f)), (true, Seq(1f, 0f)),
+      (false, Seq(0f, 1f)), (false, Seq(0f, 1f))).toDF("h", "v")
+    val out = Spectral.snapshotDrift(vecs, "v", "h", topK = 2)
+      .collect().map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out(0).getAs[Double]("delta") == 1.0)
+    assert(out(1).getAs[Double]("delta") == -1.0)
+    assert(out(0).getAs[Double]("cos_means") == 0.0)
+    assert(math.abs(out(0).getAs[Double]("l2_gap") - math.sqrt(2)) < 1e-6)
+    // identical halves → cosine 1, zero gap
+    val same = Seq((true, Seq(3f, 4f)), (false, Seq(3f, 4f)))
+      .toDF("h", "v")
+    val s = Spectral.snapshotDrift(same, "v", "h", topK = 1).head()
+    assert(s.getAs[Double]("cos_means") == 1.0)
+    assert(s.getAs[Double]("l2_gap") == 0.0)
+  }
 }

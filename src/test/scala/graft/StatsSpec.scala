@@ -589,6 +589,21 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("priceIndices: hand-computed Laspeyres/Paasche/Fisher") {
+    import spark.implicits._
+    // item A: p0=1, q0=10 → p1=2, q1=5;  item B: p0=2, q0=10 → p1=2, q1=20
+    // L = (2·10 + 2·10)/(1·10 + 2·10) = 40/30;  P = (2·5+2·20)/(1·5+2·20) = 50/45
+    val rows = Seq(("b", "A", 1000L, 10L), ("b", "B", 2000L, 10L),
+      ("c", "A", 1000L, 5L), ("c", "B", 4000L, 20L))
+    val out = Stats.priceIndices(rows.toDF("p", "item", "cents", "qty"),
+      "p", "item", "cents", "qty", "b", "c").head()
+    assert(out.getAs[Long]("n_common_items") == 2L)
+    assert(math.abs(out.getAs[Double]("laspeyres") - 40.0 / 30) < 1e-6)
+    assert(math.abs(out.getAs[Double]("paasche") - 50.0 / 45) < 1e-6)
+    assert(math.abs(out.getAs[Double]("fisher") -
+      math.sqrt(40.0 / 30 * (50.0 / 45))) < 1e-6)
+  }
+
   test("regressionDiscontinuity: recovers an exact step on linear data") {
     import spark.implicits._
     // y = 2x below the cutoff, y = 2x + 100 at and above: slopes 2/2,
