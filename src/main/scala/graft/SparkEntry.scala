@@ -6997,7 +6997,50 @@ object SparkEntry {
         .select(col("id").as("src"), col("nbr_id").as("dst"))
       GraphAnalytics.eccentricitySweep(edges, "src", "dst",
         startId = 0L, maxHops = 8)
-    })
+    }),
+
+    "q419_wl_refinement" -> ((s, dir) => {
+      // Weisfeiler-Lehman color curve of the kNN graph: 3 refinement
+      // rounds from degree colors — the structural-diversity
+      // fingerprint (stabilized classes ≈ the graph's symmetry partition)
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      GraphAnalytics.wlRefinement(edges, "src", "dst", rounds = 3)
+    }),
+
+    "q420_match_transitivity" -> ((s, dir) => {
+      // is ~0.8-Jaccard an equivalence relation in practice: wedge
+      // closure ratio over the q20 LSH match edges — low closure means
+      // dedup clusters are chains and verification is load-bearing
+      val d = tbl(s, dir, "documents")
+      // TWO truncation depths per doc so wedges exist by construction:
+      // d ~ cut7 and cut7 ~ cut14 match; whether d ~ cut14 closes the
+      // triangle is exactly what the audit measures
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+        .union(d.select(col("doc_id") + 2000000,
+          expr("substring(text, 1, greatest(length(text) - 14, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      Dedup.matchTransitivityAudit(pairs, "doc_a", "doc_b")
+    }),
+
+    "q421_dh_stratify" -> ((s, dir) =>
+      // Dalenius-Hodges cum-√f boundaries on order value cents (50
+      // bins → 4 strata) — the boundary rule Neyman allocation (q338)
+      // wants as input
+      Sampling.dhStratify(
+          tbl(s, dir, "orders").select(
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "cents", nBins = 50, nStrata = 4)
+        .orderBy("stratum"))
   )
 
   // ======================================================================
@@ -12343,6 +12386,35 @@ object SparkEntry {
 
       "q418_diameter_sweep" -> diameterSweepOracleSql,
 
+      "q419_wl_refinement" -> wlRefinementOracleSql,
+
+      "q420_match_transitivity" -> matchTransitivityOracleSql,
+
+      // equal-width integer bins, √f, decimal cum, L equal cuts
+      "q421_dh_stratify" ->
+        """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+          |    AS cents FROM orders),
+          |rng AS (SELECT min(cents) AS mn, max(cents) AS mx FROM v),
+          |bn AS (SELECT least(49, ((cents - mn) * 50) // (mx - mn + 1))
+          |    AS bin, count(*) AS f, CAST(SUM(cents) AS BIGINT) AS sv
+          |  FROM v, rng GROUP BY 1),
+          |cw AS (SELECT bin, CAST(f AS BIGINT) AS f, sv,
+          |    sqrt(CAST(f AS DOUBLE)) AS sqf FROM bn),
+          |cx AS (SELECT bin, f, sv,
+          |    CAST(coalesce(SUM(CAST(sqf AS DECIMAL(38,18)))
+          |      OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |        1 PRECEDING), 0) AS DOUBLE) AS cum_prev,
+          |    CAST(SUM(CAST(sqf AS DECIMAL(38,18))) OVER () AS DOUBLE)
+          |      AS total
+          |  FROM cw),
+          |st AS (SELECT CAST(least(3, CAST(floor(cum_prev * 4 / total)
+          |      AS BIGINT)) AS INT) AS stratum, bin, f, sv FROM cx)
+          |SELECT stratum, CAST(count(*) AS BIGINT) AS n_bins,
+          |  min(bin) AS lo_bin, max(bin) AS hi_bin,
+          |  CAST(SUM(f) AS BIGINT) AS n_rows,
+          |  round(CAST(SUM(sv) AS DOUBLE) / SUM(f), 6) AS mean_v
+          |FROM st GROUP BY stratum ORDER BY stratum""".stripMargin,
+
       "q411_removal_attribution" -> removalAttributionOracleSql,
 
       // the q159 scored CTEs shifted to probabilities, per-bin decimal
@@ -16221,6 +16293,73 @@ object SparkEntry {
        |  s_w2.n_reached
        |FROM f_w1, f_w2, s_w2
        |ORDER BY sweep""".stripMargin
+  }
+
+  /** Replays q419: symmetrized kNN edges, degree colors, 3 WL rounds
+    * via the scalar polynomial fold (list_reduce-safe), per-round
+    * color-class curve. */
+  private def wlRefinementOracleSql: String = {
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    def round(r: Int): String =
+      s"""c$r AS (SELECT z.id, list_reduce(list_prepend(o.color, z.ns),
+         |    (a, x) -> (a * $b1 + x) % $HP) AS color
+         |  FROM (SELECT und.a AS id, list(cp.color ORDER BY cp.color)
+         |      AS ns
+         |    FROM und JOIN c${r - 1} cp ON und.b = cp.id
+         |    GROUP BY und.a) z
+         |  JOIN c${r - 1} o ON z.id = o.id)""".stripMargin
+    def summary(r: Int): String =
+      s"""s$r AS (SELECT CAST($r AS INT) AS round,
+         |  CAST(count(*) AS BIGINT) AS n_colors,
+         |  CAST(max(n) AS BIGINT) AS largest_class,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS singletons
+         |  FROM (SELECT color, count(*) AS n FROM c$r GROUP BY color))"""
+        .stripMargin
+    s"""$knnEdgesPrefixSql,
+       |und AS (SELECT id AS a, nbr_id AS b FROM g0
+       |  UNION SELECT nbr_id, id FROM g0),
+       |c0 AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS color
+       |  FROM und GROUP BY a),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |${(0 to 3).map(summary).mkString(",\n")}
+       |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |ORDER BY round""".stripMargin
+  }
+
+  /** Replays q420: the q20 signature chain over the 3-variant corpus,
+    * wedge join on the symmetrized adjacency, left-join closure. */
+  private def matchTransitivityOracleSql: String = {
+    val corpus3 =
+      """SELECT doc_id, text FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id,
+        |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id,
+        |  substring(text, 1, greatest(length(text) - 14, 1)) AS text
+        |FROM documents""".stripMargin
+    s"""WITH ${minhashPairCtesFor(corpus3)},
+       |e AS (SELECT DISTINCT doc_a AS lo, doc_b AS hi FROM pairs
+       |  WHERE est_jaccard >= 0.8),
+       |adj AS (SELECT lo AS m, hi AS x FROM e
+       |  UNION ALL SELECT hi, lo FROM e),
+       |wd AS (SELECT l.x AS x, r.x AS y FROM adj l JOIN adj r
+       |  ON l.m = r.m WHERE l.x < r.x),
+       |cl AS (SELECT wd.x, wd.y,
+       |    CASE WHEN e.lo IS NOT NULL THEN 1 ELSE 0 END AS c
+       |  FROM wd LEFT JOIN e ON wd.x = e.lo AND wd.y = e.hi),
+       |wagg AS (SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+       |    CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_closed FROM cl),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM e)
+       |SELECT n_pairs, n_wedges, n_closed,
+       |  n_wedges - n_closed AS n_violations,
+       |  round(CASE WHEN n_wedges > 0
+       |    THEN CAST(n_closed AS DOUBLE) / n_wedges END, 6)
+       |    AS closure_ratio
+       |FROM wagg, np""".stripMargin
   }
 
   /** Replays q415: one window pass computes all five columns' change

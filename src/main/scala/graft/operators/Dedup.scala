@@ -1012,4 +1012,42 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         jac.as("jaccard"))
   }
+
+  /** Match-decision transitivity audit: near-duplicate "same content"
+    * is an equivalence relation, but pairwise thresholded matchers emit
+    * mere SIMILARITY edges — a∼b and b∼c with a≁c is a threshold
+    * inconsistency that dedup-by-connected-components silently papers
+    * over (it merges all three). This counts the open wedges: of all
+    * a–m–c paths through a shared endpoint, how many have the closing
+    * a–c edge. A low closure ratio says the threshold sits in a messy
+    * region (clusters are chains, not cliques) and cluster-level
+    * verification (q22's n-gram verify) is load-bearing, not optional.
+    *
+    * Scale shape: pairs are canonical (lo < hi); the wedge join runs
+    * on the symmetrized adjacency GROUPED by the shared endpoint —
+    * per-node degree is cap-bounded upstream (LSH bucket caps), so the
+    * wedge count is Σ deg² over small degrees, not n². One left join
+    * closes wedges against the canonical pair set. */
+  def matchTransitivityAudit(pairs: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("lo"),
+      col(bCol).cast("long").as("hi")).distinct().localCheckpoint()
+    val adj = e.select(col("lo").as("m"), col("hi").as("x"))
+      .union(e.select(col("hi").as("m"), col("lo").as("x")))
+    val wedges = adj.select(col("m"), col("x"))
+      .join(adj.select(col("m"), col("x").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+    val closed = wedges
+      .join(e.select(col("lo").as("x"), col("hi").as("y"),
+        lit(1L).as("_c")), Seq("x", "y"), "left")
+    closed.agg(count(lit(1)).as("n_wedges"),
+        coalesce(sum(coalesce(col("_c"), lit(0L))), lit(0L))
+          .as("n_closed"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_pairs"))))
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+        (col("n_wedges") - col("n_closed")).as("n_violations"),
+        round(when(col("n_wedges") > 0,
+          col("n_closed").cast("double") / col("n_wedges")), 6)
+          .as("closure_ratio"))
+  }
 }

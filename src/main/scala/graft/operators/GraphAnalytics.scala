@@ -591,6 +591,57 @@ object GraphAnalytics {
         col("a").as("score")))
   }
 
+  /** 1-dimensional Weisfeiler–Lehman color refinement (Weisfeiler &
+    * Lehman 1968; the node-fingerprint behind WL graph kernels and the
+    * GIN expressiveness bound): colors start as degrees, and each round
+    * re-colors every node with a hash of (own color, SORTED multiset of
+    * neighbor colors). The color-class CURVE per round (distinct
+    * colors, largest class, singleton count) is the structural-
+    * diversity readout — stabilized classes = the graph's automorphism-
+    * ish partition, and two graphs with different curves are certainly
+    * non-isomorphic. The hash is the repo's SQL-replayable polynomial
+    * fold `acc·B1 + c mod p` over [own ++ sorted(neighbors)] — a
+    * SCALAR left fold (safe in DuckDB's list_reduce, unlike struct
+    * state; the fold's first step 0·B1+own equals DuckDB's
+    * first-element init by construction).
+    *
+    * Scale shape: per round one join of the edge list against the
+    * color table + one sorted-collect per node (neighbor lists are
+    * k-bounded on a kNN graph); edge set and per-round colors
+    * localCheckpoint (Pregel lineage discipline). */
+  def wlRefinement(edges: DataFrame, srcCol: String, dstCol: String,
+                   rounds: Int): DataFrame = {
+    val p = 2147483647L
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var colors = und.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("color")).localCheckpoint()
+    def summary(r: Int, c: DataFrame): DataFrame =
+      c.groupBy("color").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_colors"), max("n").as("largest_class"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("singletons"))
+        .select(lit(r).as("round"), col("n_colors"),
+          col("largest_class"), col("singletons"))
+    var out = summary(0, colors)
+    for (r <- 1 to rounds) {
+      val nbr = und
+        .join(colors.select(col("id").as("b"), col("color").as("nc")),
+          Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(sort_array(collect_list(col("nc"))).as("ns"))
+      colors = nbr.join(colors, Seq("id"))
+        .select(col("id"),
+          aggregate(concat(array(col("color")), col("ns")), lit(0L),
+            (acc, x) => (acc * b1 + x) % p).as("color"))
+        .localCheckpoint()
+      out = out.unionByName(summary(r, colors))
+    }
+    out.orderBy("round")
+  }
+
   /** Double-BFS eccentricity sweep (the classic diameter lower-bound
     * heuristic — Magnien, Latapy & Habib 2009): BFS from `startId` on
     * the UNDIRECTED graph, jump to the farthest node reached (ties →

@@ -446,6 +446,48 @@ object Sampling {
         round(col("quota"), 6).as("quota"), col("n_alloc"))
   }
 
+  /** Dalenius–Hodges cum-√f stratification (Dalenius & Hodges 1959):
+    * histogram the value into `nBins` equal-width bins, take the
+    * cumulative √frequency, and cut it into `nStrata` equal slices —
+    * the classic boundary rule that makes within-stratum variances
+    * roughly equal, i.e. the boundaries [[neymanAllocation]] wants to
+    * be fed. Bin k belongs to stratum ⌊cum√f(before k)·L/T⌋ (clamped),
+    * a pure function of exact counts: √ of a BIGINT count is one IEEE
+    * sqrt, the cumulative is a decimal window sum, the cut one
+    * double multiply/divide + floor. Returns one row per stratum with
+    * its bin range, row count and exact mean.
+    *
+    * Scale shape: one fact aggregate to `nBins` rows; windows ride the
+    * bin frame; the per-stratum means come from the same bin-level
+    * exact sums (Σv per bin), never a second fact pass. */
+  def dhStratify(df: DataFrame, vCol: String, nBins: Int,
+                 nStrata: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+    val rng = df.agg(min(col(vCol).cast("long")).as("mn"),
+      max(col(vCol).cast("long")).as("mx"))
+    val bins = df.select(col(vCol).cast("long").as("v"))
+      .crossJoin(broadcast(rng))
+      .withColumn("bin", expr(
+        s"least($nBins - 1, ((v - mn) * $nBins) div (mx - mn + 1))"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("f"), sum("v").as("sv"))
+      .withColumn("sqf", sqrt(col("f").cast("double")))
+      .withColumn("cum_prev", coalesce(sum(d18(col("sqf"))).over(
+        wAll.orderBy("bin").rowsBetween(Long.MinValue, -1)), lit(0)
+        .cast("decimal(38,18)")).cast("double"))
+      .withColumn("total", sum(d18(col("sqf"))).over(wAll).cast("double"))
+      .withColumn("stratum", least(lit(nStrata - 1),
+        floor(col("cum_prev") * nStrata / col("total"))).cast("int"))
+    bins.groupBy("stratum")
+      .agg(count(lit(1)).as("n_bins"), min("bin").as("lo_bin"),
+        max("bin").as("hi_bin"), sum("f").as("n_rows"),
+        (sum("sv").cast("double") / sum("f")).as("mean_v"))
+      .select(col("stratum"), col("n_bins"), col("lo_bin"), col("hi_bin"),
+        col("n_rows"), round(col("mean_v"), 6).as("mean_v"))
+  }
+
   /** Iterative proportional fitting / raking (Deming & Stephan 1940) of
     * a 2-D contingency table to UNIFORM target margins: alternately
     * rescale each row to the target row total N/R and each column to

@@ -400,4 +400,22 @@ class DedupSpec extends SparkSpec {
       BigDecimal(100.0 / 18 / 10).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("matchTransitivityAudit: counts open wedges exactly") {
+    import spark.implicits._
+    // triangle {1,2,3} fully closed; chain 4-5-6 open (4~6 missing)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val out = Dedup.matchTransitivityAudit(pairs, "a", "b").head()
+    assert(out.getAs[Long]("n_pairs") == 5L)
+    assert(out.getAs[Long]("n_wedges") == 4L) // 3 in triangle + 1 chain
+    assert(out.getAs[Long]("n_closed") == 3L)
+    assert(out.getAs[Long]("n_violations") == 1L)
+    assert(out.getAs[Double]("closure_ratio") == 0.75)
+    // no wedges at all → zero counts, NULL ratio
+    val iso = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val o2 = Dedup.matchTransitivityAudit(iso, "a", "b").head()
+    assert(o2.getAs[Long]("n_wedges") == 0L)
+    assert(o2.isNullAt(o2.fieldIndex("closure_ratio")))
+  }
 }

@@ -277,6 +277,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("farthest") == 0L)
   }
 
+  test("wlRefinement: distinguishes path from star, stabilizes classes") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // path 0-1-2-3: degrees (1,2,2,1) → 2 colors; round 1 splits ends
+    // from middles by neighborhood? ends see {2}, middles see {1,2} and
+    // {2,2}... wait middles 1,2 see {1,2} both → stay together: rounds
+    // converge at 2 classes of 2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val pr = GraphAnalytics.wlRefinement(path, "s", "d", rounds = 3)
+      .collect().map(r => r.getAs[Int]("round") ->
+        r.getAs[Long]("n_colors")).toMap
+    assert(pr(0) == 2L)
+    assert(pr(3) == 2L) // ends {0,3}, middles {1,2} — the true partition
+    // star 0-1, 0-2, 0-3: hub vs leaves, 2 classes at every round
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val sr = GraphAnalytics.wlRefinement(star, "s", "d", rounds = 3)
+      .collect().map(r => r.getAs[Int]("round") -> r).toMap
+    assert(sr(3).getAs[Long]("n_colors") == 2L)
+    assert(sr(3).getAs[Long]("largest_class") == 3L) // the leaves
+  }
+
   test("removalAttribution: lost mass is NOT renormalized") {
     import spark.implicits._
     import graft.operators.GraphAnalytics

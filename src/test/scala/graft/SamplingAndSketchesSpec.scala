@@ -415,6 +415,21 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out.values.exists(_._4)) // the naive split leaks somewhere
   }
 
+  test("dhStratify: uniform histogram cuts into equal strata") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // values 0..99 → 10 bins of 10 each (nBins=10); cum√f uniform →
+    // 5 strata of 2 bins / 20 rows each, exact means
+    val df = (0L until 100L).toDF("v")
+    val out = Sampling.dhStratify(df, "v", nBins = 10, nStrata = 5)
+      .orderBy("stratum").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Long]("n_rows") == 20L))
+    assert(out.forall(_.getAs[Long]("n_bins") == 2L))
+    assert(out.head.getAs[Double]("mean_v") == 9.5) // mean of 0..19
+    assert(out.last.getAs[Double]("mean_v") == 89.5)
+  }
+
   test("ipfRake: margins converge to uniform targets, structure preserved") {
     import spark.implicits._
     import graft.operators.Sampling
