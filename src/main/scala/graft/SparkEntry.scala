@@ -7040,7 +7040,42 @@ object SparkEntry {
           tbl(s, dir, "orders").select(
             round(col("o_totalprice") * 100).cast("long").as("cents")),
           "cents", nBins = 50, nStrata = 4)
-        .orderBy("stratum"))
+        .orderBy("stratum")),
+
+    "q422_brandes" -> ((s, dir) => {
+      // single-source Brandes dependency on the kNN graph: exact path
+      // counts forward, dependency backprop by level — top-20 broker
+      // nodes; sampled-pivot betweenness is this × K sources
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      GraphAnalytics.brandesDependency(edges, "src", "dst",
+        sourceId = 0L, maxDepth = 6, topK = 20)
+    }),
+
+    "q423_overdispersion" -> ((s, dir) =>
+      // is daily volume Poisson: variance-to-mean ratio per event type
+      // — VMR ≫ 1 invalidates Poisson alert thresholds
+      Stats.overdispersionGate(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "n_events", threshold = 1.5)
+        .orderBy("event_type")),
+
+    "q424_two_pass_median" -> ((s, dir) =>
+      // exact median of order cents WITHOUT a global sort: coarse
+      // histogram locates the bucket, only that bucket rescans — the
+      // 100 TB median plan (scan_frac shows the win)
+      Stats.twoPassMedian(
+          tbl(s, dir, "orders").select(
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "cents", coarseBins = 256))
   )
 
   // ======================================================================
@@ -12388,6 +12423,53 @@ object SparkEntry {
 
       "q419_wl_refinement" -> wlRefinementOracleSql,
 
+      "q422_brandes" -> brandesOracleSql,
+
+      // exact BIGINT/HUGEINT moments, one division each
+      "q423_overdispersion" ->
+        """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+          |    CAST(count(*) AS BIGINT) AS v
+          |  FROM events GROUP BY 1, 2),
+          |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(v) AS BIGINT) AS s,
+          |    SUM(CAST(v AS HUGEINT) * v) AS s2
+          |  FROM d GROUP BY g),
+          |f AS (SELECT g, n,
+          |    CAST(s AS DOUBLE) / n AS mean_v,
+          |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+          |      AS var_v
+          |  FROM a WHERE n > 1 AND s > 0)
+          |SELECT g AS event_type, n, round(mean_v, 6) AS mean_v,
+          |  round(var_v, 6) AS var_v,
+          |  round(var_v / mean_v, 6) AS vmr,
+          |  var_v / mean_v > 1.5 AS overdispersed
+          |FROM f ORDER BY event_type""".stripMargin,
+
+      // coarse histogram → target bucket → rank-select within it
+      "q424_two_pass_median" ->
+        """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+          |    AS v FROM orders),
+          |rng AS (SELECT min(v) AS mn, max(v) AS mx,
+          |    CAST(count(*) AS BIGINT) AS nn FROM v),
+          |b AS (SELECT v, least(255, ((v - mn) * 256) // (mx - mn + 1))
+          |    AS bin FROM v, rng),
+          |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS f FROM b
+          |  GROUP BY bin),
+          |c AS (SELECT bin, f, CAST(SUM(f) OVER (ORDER BY bin
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    nn, (nn + 1) // 2 AS k
+          |  FROM h, rng),
+          |t AS (SELECT bin AS tb, k - (cum - f) AS rk,
+          |    f AS n_candidates, nn
+          |  FROM c WHERE cum >= k ORDER BY bin LIMIT 1),
+          |m AS (SELECT b.v, row_number() OVER (ORDER BY b.v) AS rn,
+          |    t.tb, t.rk, t.n_candidates, t.nn
+          |  FROM b JOIN t ON b.bin = t.tb)
+          |SELECT nn AS n, tb AS coarse_bin, rk AS rank_in_bin,
+          |  n_candidates, v AS median,
+          |  round(CAST(n_candidates AS DOUBLE) / nn, 6) AS scan_frac
+          |FROM m WHERE rn = rk""".stripMargin,
+
       "q420_match_transitivity" -> matchTransitivityOracleSql,
 
       // equal-width integer bins, √f, decimal cum, L equal cuts
@@ -16326,6 +16408,53 @@ object SparkEntry {
        |SELECT * FROM s0 UNION ALL SELECT * FROM s1
        |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
        |ORDER BY round""".stripMargin
+  }
+
+  /** Replays q422: forward BFS levels with exact σ path counts, then
+    * the per-level dependency backprop, each level one CTE. */
+  private def brandesOracleSql: String = {
+    val maxD = 6
+    def fwd(h: Int): String =
+      s"""l$h AS MATERIALIZED (SELECT und.b AS node, $h AS dist,
+         |    CAST(SUM(l${h - 1}.sigma) AS BIGINT) AS sigma
+         |  FROM l${h - 1} JOIN und ON und.a = l${h - 1}.node
+         |  WHERE und.b NOT IN (SELECT node FROM v${h - 1})
+         |  GROUP BY und.b),
+         |v$h AS MATERIALIZED (SELECT node FROM v${h - 1}
+         |  UNION SELECT node FROM l$h)""".stripMargin
+    def bwd(h: Int): String =
+      s"""d$h AS MATERIALIZED (SELECT lh.node, coalesce(f.dd, CAST(0.0 AS DOUBLE))
+         |    AS delta
+         |  FROM (SELECT node, sigma FROM info WHERE dist = $h) lh
+         |  LEFT JOIN (
+         |    SELECT u.node, CAST(SUM(CAST(
+         |        (CAST(u.sigma AS DOUBLE) / x.sv) * (1.0 + x.dv)
+         |        AS DECIMAL(38,18))) AS DOUBLE) AS dd
+         |    FROM (SELECT node, sigma FROM info WHERE dist = $h) u
+         |    JOIN und ON und.a = u.node
+         |    JOIN (SELECT i.node AS b, i.sigma AS sv, dd0.delta AS dv
+         |        FROM info i JOIN d${h + 1} dd0 ON i.node = dd0.node
+         |        WHERE i.dist = ${h + 1}) x ON und.b = x.b
+         |    GROUP BY u.node) f ON lh.node = f.node)""".stripMargin
+    s"""$knnEdgesPrefixSql,
+       |und AS MATERIALIZED (SELECT id AS a, nbr_id AS b FROM g0
+       |  UNION SELECT nbr_id, id FROM g0),
+       |l0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist,
+       |  CAST(1 AS BIGINT) AS sigma),
+       |v0 AS (SELECT node FROM l0),
+       |${(1 to maxD).map(fwd).mkString(",\n")},
+       |info AS MATERIALIZED (${(0 to maxD).map(h => s"SELECT * FROM l$h")
+        .mkString("\n  UNION ALL ")}),
+       |d$maxD AS (SELECT node, CAST(0.0 AS DOUBLE) AS delta FROM l$maxD),
+       |${((maxD - 1) to 0 by -1).map(bwd).mkString(",\n")},
+       |allc AS (${(0 to maxD).map(h => s"SELECT * FROM d$h")
+        .mkString("\n  UNION ALL ")})
+       |SELECT CAST(rk AS INT) AS rank, node, dist, sigma,
+       |  round(delta, 6) AS delta
+       |FROM (SELECT info.node, dist, sigma, delta,
+       |    row_number() OVER (ORDER BY delta DESC, info.node) AS rk
+       |  FROM info JOIN allc ON info.node = allc.node)
+       |WHERE rk <= 20 ORDER BY rank""".stripMargin
   }
 
   /** Replays q420: the q20 signature chain over the 3-variant corpus,

@@ -591,6 +591,77 @@ object GraphAnalytics {
         col("a").as("score")))
   }
 
+  /** Single-source Brandes dependency (Brandes 2001 §4): the exact
+    * contribution δ_s(v) of source `s` to every node's betweenness
+    * centrality — forward BFS accumulating shortest-path COUNTS σ per
+    * level, then the backward dependency recursion
+    * δ(u) = Σ_{v ∈ succ(u)} σ(u)/σ(v) · (1 + δ(v)) level by level.
+    * Sampled-pivot betweenness (Brandes & Pich 2007) is this operator
+    * averaged over a handful of sources — one source keeps the oracle
+    * replay bounded while exercising the full forward/backward
+    * machinery; at scale you run K pivots and average.
+    *
+    * σ values are exact BIGINT path counts; each δ term is one double
+    * division times (1 + δ) with per-level decimal accumulation, so
+    * every level replays bit-for-bit. Per level: one edge join + one
+    * aggregate, localCheckpoint'd (Pregel discipline). Returns the
+    * `topK` nodes by δ (ties → smaller id) with dist/σ. */
+  def brandesDependency(edges: DataFrame, srcCol: String, dstCol: String,
+                        sourceId: Long, maxDepth: Int,
+                        topK: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    // forward: levels with path counts
+    var info = und.select(col("a").as("node")).distinct()
+      .filter(col("node") === sourceId)
+      .select(col("node"), lit(0).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = info
+    for (h <- 1 to maxDepth) {
+      frontier = frontier
+        .join(und, frontier("node") === und("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(info.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("dist"), col("sigma"))
+        .localCheckpoint()
+      info = info.union(frontier).localCheckpoint()
+    }
+    // backward: dependencies level by level
+    val maxD = maxDepth
+    var delta = info.filter(col("dist") === maxD)
+      .select(col("node"), lit(0.0).as("delta")).localCheckpoint()
+    var acc = delta
+    for (h <- (maxD - 1) to 0 by -1) {
+      val upper = info.join(delta, Seq("node"))
+        .filter(col("dist") === h + 1)
+        .select(col("node").as("b"), col("sigma").as("sv"),
+          col("delta").as("dv"))
+      val lvl = info.filter(col("dist") === h)
+        .join(und, info("node") === und("a"))
+        .join(upper, Seq("b"))
+        .groupBy(col("node"))
+        .agg(sum(d18((col("sigma").cast("double") / col("sv")) *
+          (lit(1.0) + col("dv")))).cast("double").as("delta"))
+      val lvlFull = info.filter(col("dist") === h).select(col("node"))
+        .join(lvl, Seq("node"), "left")
+        .select(col("node"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint()
+      delta = lvlFull
+      acc = acc.union(lvlFull).localCheckpoint()
+    }
+    info.join(acc, Seq("node"))
+      .withColumn("_rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("delta").desc, col("node"))))
+      .filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col("node"), col("dist"),
+        col("sigma"), round(col("delta"), 6).as("delta"))
+      .orderBy("rank")
+  }
+
   /** 1-dimensional Weisfeiler–Lehman color refinement (Weisfeiler &
     * Lehman 1968; the node-fingerprint behind WL graph kernels and the
     * GIN expressiveness bound): colors start as degrees, and each round

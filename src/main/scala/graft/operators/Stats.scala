@@ -1394,6 +1394,75 @@ object Stats {
         round(col("att"), 6).as("att"))
   }
 
+  /** Count-data overdispersion gate: per group the variance-to-mean
+    * ratio (Fisher's index of dispersion) of an integer series — a
+    * Poisson process sits at VMR ≈ 1; VMR ≫ 1 (clumping/bursts) means
+    * Poisson-based alert thresholds and CIs are wrong and a negative-
+    * binomial model (or the [[pageHinkley]]/burstiness monitors) should
+    * own the series. All moments exact BIGINT/decimal sums; mean and
+    * variance are fixed-parenthesization doubles; `overdispersed`
+    * flags VMR > threshold. One groupBy. */
+  def overdispersionGate(df: DataFrame, groupCol: String, vCol: String,
+                         threshold: Double = 1.5): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(groupCol).as("g"), col(vCol).cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("_s"),
+        sum(d0(col("v")) * col("v")).as("_s2"))
+      .filter(col("n") > 1 && col("_s") > 0)
+      .withColumn("mean_v", col("_s").cast("double") / col("n"))
+      .withColumn("var_v",
+        (col("_s2").cast("double") - col("_s").cast("double") *
+          col("_s") / col("n")) / (col("n") - 1))
+      .withColumn("vmr", col("var_v") / col("mean_v"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("mean_v"), 6).as("mean_v"),
+        round(col("var_v"), 6).as("var_v"),
+        round(col("vmr"), 6).as("vmr"),
+        (col("vmr") > threshold).as("overdispersed"))
+  }
+
+  /** Exact median WITHOUT a global sort — the two-pass histogram
+    * refinement that survives 100 TB: pass 1 collapses the corpus to a
+    * `coarseBins`-bucket histogram (map-side partials, one tiny
+    * shuffle), locates the bucket holding the lower-median rank
+    * ⌈n/2⌉ and the residual rank within it; pass 2 rescans ONLY that
+    * bucket's values (`n/coarseBins`-ish rows) and rank-selects the
+    * residual. The single-task sort in pass 2 is over the one bucket,
+    * not the corpus — the plan a global `orderBy + row_number` median
+    * (fine at audit scale, q341) cannot offer. All arithmetic is
+    * integer; returns one row with the median, the scanned-candidate
+    * count and the scan fraction. */
+  def twoPassMedian(df: DataFrame, vCol: String,
+                    coarseBins: Int = 256): DataFrame = {
+    val vals = df.select(col(vCol).cast("long").as("v"))
+    val rng = vals.agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("nn"))
+    val binned = vals.crossJoin(broadcast(rng))
+      .withColumn("bin", expr(
+        s"least($coarseBins - 1, ((v - mn) * $coarseBins) div (mx - mn + 1))"))
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum("f").over(org.apache.spark.sql.expressions
+        .Window.orderBy("bin")
+        .rowsBetween(Long.MinValue, 0)))
+      .crossJoin(broadcast(rng))
+      .withColumn("k", expr("(nn + 1) div 2"))
+    val target = hist.filter(col("cum") >= col("k"))
+      .orderBy("bin").limit(1)
+      .select(col("bin").as("tb"), (col("k") - (col("cum") - col("f")))
+        .as("rk"), col("f").as("n_candidates"), col("nn"))
+    binned.select("v", "bin")
+      .join(broadcast(target), col("bin") === col("tb"))
+      .withColumn("_rn", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy("v")))
+      .filter(col("_rn") === col("rk"))
+      .select(col("nn").as("n"), col("tb").as("coarse_bin"),
+        col("rk").as("rank_in_bin"), col("n_candidates"),
+        col("v").as("median"),
+        round(col("n_candidates").cast("double") / col("nn"), 6)
+          .as("scan_frac"))
+  }
+
   /** Classic bilateral price indices (Laspeyres 1871 / Paasche 1874 /
     * Fisher 1922) between a base and a current period over the COMMON
     * item set: with per-(period, item) exact integer value (cents) and

@@ -277,6 +277,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("farthest") == 0L)
   }
 
+  test("brandesDependency: hand-computed dependencies on a path") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // path 0-1-2-3 from source 0: σ=1 everywhere; δ(2)=1+δ(3)=1... wait
+    // δ(3)=0, δ(2)=(1/1)(1+0)=1, δ(1)=(1)(1+1)=2, δ(0)=(1)(1+2)=3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = GraphAnalytics.brandesDependency(edges, "s", "d",
+      sourceId = 0L, maxDepth = 6, topK = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(out(0L).getAs[Double]("delta") == 3.0)
+    assert(out(1L).getAs[Double]("delta") == 2.0)
+    assert(out(2L).getAs[Double]("delta") == 1.0)
+    assert(out(3L).getAs[Double]("delta") == 0.0)
+    assert(out(3L).getAs[Long]("sigma") == 1L)
+    // diamond 0-{1,2}-3: σ(3)=2; δ(1)=δ(2)=(1/2)(1+0)=0.5
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val o2 = GraphAnalytics.brandesDependency(dia, "s", "d", 0L, 6, 10)
+      .collect().map(r => r.getAs[Long]("node") -> r).toMap
+    assert(o2(3L).getAs[Long]("sigma") == 2L)
+    assert(o2(1L).getAs[Double]("delta") == 0.5)
+    assert(o2(2L).getAs[Double]("delta") == 0.5)
+  }
+
   test("wlRefinement: distinguishes path from star, stabilizes classes") {
     import spark.implicits._
     import graft.operators.GraphAnalytics

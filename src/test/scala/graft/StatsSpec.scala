@@ -589,6 +589,30 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("overdispersionGate: Poisson-like passes, bursty flags") {
+    import spark.implicits._
+    // g1: constant 5s → var 0, vmr 0; g2: {0,10} → var 50, mean 5, vmr 10
+    val rows = Seq.fill(10)(("g1", 5L)) ++
+      (1 to 5).flatMap(_ => Seq(("g2", 0L), ("g2", 10L)))
+    val out = Stats.overdispersionGate(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g1").getAs[Double]("vmr") == 0.0)
+    assert(!out("g1").getAs[Boolean]("overdispersed"))
+    assert(math.abs(out("g2").getAs[Double]("vmr") -
+      (250.0 / 9) / 5) < 1e-6)
+    assert(out("g2").getAs[Boolean]("overdispersed"))
+  }
+
+  test("twoPassMedian: equals the naive sorted median, scans one bucket") {
+    import spark.implicits._
+    val vals = Seq(17L, 3L, 99L, 42L, 8L, 65L, 23L, 4L, 91L, 55L, 12L)
+    val out = Stats.twoPassMedian(vals.toDF("v"), "v", coarseBins = 4)
+      .head()
+    assert(out.getAs[Long]("median") == vals.sorted.apply(vals.size / 2))
+    assert(out.getAs[Long]("n") == 11L)
+    assert(out.getAs[Long]("n_candidates") < 11L) // only one bucket scanned
+  }
+
   test("priceIndices: hand-computed Laspeyres/Paasche/Fisher") {
     import spark.implicits._
     // item A: p0=1, q0=10 → p1=2, q1=5;  item B: p0=2, q0=10 → p1=2, q1=20
