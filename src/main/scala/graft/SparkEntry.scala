@@ -7075,7 +7075,52 @@ object SparkEntry {
       Stats.twoPassMedian(
           tbl(s, dir, "orders").select(
             round(col("o_totalprice") * 100).cast("long").as("cents")),
-          "cents", coarseBins = 256))
+          "cents", coarseBins = 256)),
+
+    "q425_rbo" -> ((s, dir) => {
+      // how much did RRF fusion move the top-10: rank-biased overlap
+      // (p=0.9) between the lexical BM25 ranking and the fused hybrid —
+      // top-weighted, handles non-conjoint lists, coefficient literals
+      val lex = Retrieval.bm25(tbl(s, dir, "documents"), "doc_id",
+          "text", Seq("spark", "join", "vector", "window"), 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      val e = tbl(s, dir, "embeddings")
+      val dense = Similarity.topKBatch(e, "embedding", "vec_id",
+          e.filter(col("vec_id") === 0).select(col("vec_id").as("qid"),
+            col("embedding").as("qv")), "qv", "qid", 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      val fused = Retrieval.rrfFuse(Seq(lex, dense), "id", 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_score").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      Evaluation.rankBiasedOverlap(lex, fused, "id", "rank",
+        depth = 10, p = 0.9)
+    }),
+
+    "q426_join_cardinality" -> ((s, dir) =>
+      // System-R uniform-NDV estimates vs EXACT join cardinalities
+      // (computed from key-level counts, never the join itself) — the
+      // q-error readout that says which joins will surprise a planner
+      Profiling.joinCardinalityQa(Seq(
+          ("orders_customer", tbl(s, dir, "orders"), "o_custkey",
+            tbl(s, dir, "customer"), "c_custkey"),
+          ("lineitem_part", tbl(s, dir, "lineitem"), "l_partkey",
+            tbl(s, dir, "part"), "p_partkey"),
+          ("lineitem_orders", tbl(s, dir, "lineitem"), "l_orderkey",
+            tbl(s, dir, "orders"), "o_orderkey")))
+        .orderBy("join_label")),
+
+    "q427_bloom_fpr" -> ((s, dir) => {
+      // empirical Bloom false-positive rate on known non-members vs the
+      // fill^k approximation — validates the q140 runtime-filter params
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"))
+      Sketches.bloomFprAudit(
+        o.filter(col("o_orderkey") % 7 === 0), "o_orderkey",
+        o.filter(col("o_orderkey") % 7 =!= 0), "o_orderkey",
+        mBits = 65536, kHashes = 3)
+    })
   )
 
   // ======================================================================
@@ -12425,6 +12470,12 @@ object SparkEntry {
 
       "q422_brandes" -> brandesOracleSql,
 
+      "q425_rbo" -> rboOracleSql,
+
+      "q426_join_cardinality" -> joinCardinalityOracleSql,
+
+      "q427_bloom_fpr" -> bloomFprOracleSql,
+
       // exact BIGINT/HUGEINT moments, one division each
       "q423_overdispersion" ->
         """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
@@ -16455,6 +16506,124 @@ object SparkEntry {
        |    row_number() OVER (ORDER BY delta DESC, info.node) AS rk
        |  FROM info JOIN allc ON info.node = allc.node)
        |WHERE rk <= 20 ORDER BY rank""".stripMargin
+  }
+
+  /** Replays q425: the q109 lex/dense/fused chain, both top-10 ranks,
+    * RBO via the same coefficient literals computed here. */
+  private def rboOracleSql: String = {
+    val depth = 10; val p = 0.9
+    val coef = (1 to depth).map { m =>
+      m -> (m to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+    }
+    val cases = coef.map { case (m, c) =>
+      s"WHEN $m THEN CAST($c AS DOUBLE)"
+    }.mkString("\n    ")
+    s"""WITH lexbase AS ($bm25OracleSql),
+       |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC,
+       |    id) AS INT) AS rank FROM lexbase),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |dense AS (SELECT vec_id AS id, rank FROM (
+       |    SELECT e.vec_id,
+       |      CAST(row_number() OVER (ORDER BY
+       |        1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |          qv), e.vec_id) AS INT) AS rank
+       |    FROM embeddings e, q) WHERE rank <= 20),
+       |u AS (SELECT id, 1.0 / (60 + rank) AS contrib FROM lex
+       |  UNION ALL SELECT id, 1.0 / (60 + rank) FROM dense),
+       |fused AS (SELECT id,
+       |    CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE)
+       |      AS rrf_score
+       |  FROM u GROUP BY id ORDER BY rrf_score DESC, id LIMIT 10),
+       |l2 AS (SELECT id, CAST(row_number() OVER (ORDER BY rrf_score
+       |    DESC, id) AS INT) AS rank FROM fused),
+       |jm AS (SELECT CASE greatest(l1.rank, l2.rank)
+       |    $cases
+       |    END AS cc
+       |  FROM (SELECT id, rank FROM lex WHERE rank <= $depth) l1
+       |  JOIN (SELECT id, rank FROM l2 WHERE rank <= $depth) l2
+       |    ON l1.id = l2.id)
+       |SELECT CAST($depth AS INT) AS depth,
+       |  CAST(count(*) AS BIGINT) AS n_common,
+       |  round(CAST(coalesce(SUM(CAST(cc AS DECIMAL(38,18))),
+       |    CAST(0 AS DECIMAL(38,18))) AS DOUBLE), 9) AS rbo_trunc,
+       |  round(CAST(coalesce(SUM(CAST(cc AS DECIMAL(38,18))),
+       |    CAST(0 AS DECIMAL(38,18))) AS DOUBLE) +
+       |    CAST(${math.pow(p, depth)} AS DOUBLE), 9) AS rbo_max
+       |FROM jm""".stripMargin
+  }
+
+  /** Replays q426: key-level count tables per side, exact cardinality
+    * as Σ cntA·cntB, uniform-NDV estimate and q-error. */
+  private def joinCardinalityOracleSql: String = {
+    val joins = Seq(("orders_customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+        "o_orderkey"))
+    joins.map { case (label, ta, ka, tb, kb) =>
+      s"""SELECT '$label' AS join_label, na, nb, ndva, ndvb,
+         |  round(CAST(na AS DOUBLE) * nb / greatest(ndva, ndvb), 3)
+         |    AS est_rows,
+         |  CAST(actual AS BIGINT) AS actual_rows,
+         |  round(CASE WHEN CAST(actual AS DOUBLE) > 0 THEN greatest(
+         |    CAST(na AS DOUBLE) * nb / greatest(ndva, ndvb) /
+         |      CAST(actual AS DOUBLE),
+         |    CAST(actual AS DOUBLE) /
+         |      (CAST(na AS DOUBLE) * nb / greatest(ndva, ndvb))) END, 6)
+         |    AS q_error
+         |FROM (
+         |  SELECT CAST(SUM(cA) AS BIGINT) AS na,
+         |    CAST(count(*) AS BIGINT) AS ndva
+         |  FROM (SELECT $ka, count(*) AS cA FROM $ta GROUP BY $ka)),
+         |  (SELECT CAST(SUM(cB) AS BIGINT) AS nb,
+         |    CAST(count(*) AS BIGINT) AS ndvb
+         |  FROM (SELECT $kb, count(*) AS cB FROM $tb GROUP BY $kb)),
+         |  (SELECT coalesce(SUM(CAST(cA AS HUGEINT) * cB),
+         |      CAST(0 AS HUGEINT)) AS actual
+         |  FROM (SELECT $ka AS k, count(*) AS cA FROM $ta GROUP BY $ka) x
+         |  JOIN (SELECT $kb AS k, count(*) AS cB FROM $tb GROUP BY $kb) y
+         |    ON x.k = y.k)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY join_label"
+  }
+
+  /** Replays q427: the scrambled-hash position family, distinct
+    * position set, exploded probe join, all-k membership count. */
+  private def bloomFprOracleSql: String = {
+    val mix = graft.plans.HashExpressions.Mix
+    val b1 = graft.plans.HashExpressions.PolyBase1
+    val m = 65536; val k = 3
+    def hashChain(src: String): String =
+      s"""h0 AS (SELECT k, (k * $b1) % $HP AS h FROM $src),
+         |h1 AS (SELECT k, (xor(h, h >> 16) * $mix) % $HP AS h FROM h0),
+         |h2 AS (SELECT k, (xor(h, h >> 13) * $mix) % $HP AS h FROM h1)"""
+        .stripMargin
+    s"""WITH mem AS (SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderkey % 7 = 0),
+       |prb AS (SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderkey % 7 <> 0),
+       |allk AS (SELECT k FROM mem UNION ALL SELECT k FROM prb),
+       |${hashChain("allk")},
+       |pos AS (SELECT k, ((h + i * $mix) % $HP) % $m AS pos
+       |  FROM h2, unnest(range(0, $k)) AS u(i)),
+       |pset AS (SELECT DISTINCT pos FROM pos
+       |  WHERE k IN (SELECT k FROM mem)),
+       |bits AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM pset),
+       |fp AS (SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM (
+       |    SELECT p.k FROM pos p JOIN pset USING (pos)
+       |    WHERE p.k IN (SELECT k FROM prb)
+       |    GROUP BY p.k HAVING count(*) = $k)),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM prb)
+       |SELECT n_members, CAST($m AS INT) AS m_bits,
+       |  CAST($k AS INT) AS k_hashes, bits_set,
+       |  round(CAST(bits_set AS DOUBLE) / $m, 6) AS fill_ratio,
+       |  n_probes, n_false_pos,
+       |  round(CAST(n_false_pos AS DOUBLE) / n_probes, 6) AS fpr,
+       |  round(CAST(bits_set AS DOUBLE) / $m *
+       |    (CAST(bits_set AS DOUBLE) / $m) *
+       |    (CAST(bits_set AS DOUBLE) / $m), 6) AS theo_fpr
+       |FROM nm, bits, np, fp""".stripMargin
   }
 
   /** Replays q420: the q20 signature chain over the 3-variant corpus,

@@ -408,6 +408,46 @@ object Evaluation {
           .otherwise(0L))).cast("double") / count(lit(1))).as("ips_value"))
   }
 
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    * between two top-`depth` rankings: RBO = (1−p)·Σ_d p^{d−1}·A_d
+    * with A_d the prefix-overlap fraction at depth d — the
+    * top-weighted ranking-similarity measure that, unlike Kendall's τ
+    * (q236's family), handles non-conjoint lists (items present in one
+    * ranking only) and weights rank 1 disagreements hardest. An item in
+    * both prefixes at ranks (r1, r2) contributes to every A_d with
+    * d ≥ max(r1, r2), so RBO reduces to Σ_items c_{max(r1,r2)} with
+    * c_m = Σ_{d=m..depth} (1−p)·p^{d−1}/d — those `depth` coefficients
+    * are computed HERE at plan-build time and embedded as identical
+    * double literals in both engines (libm-free at data time; the
+    * Wald-SPRT constant discipline). `rbo_max` adds the p^depth mass an
+    * untruncated agreement could still claim.
+    *
+    * Scale shape: both inputs are top-k-bounded lists; one inner join +
+    * one 10-row aggregate. */
+  def rankBiasedOverlap(l1: DataFrame, l2: DataFrame, idCol: String,
+                        rankCol: String, depth: Int,
+                        p: Double): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val coef: Map[Int, Double] = (1 to depth).map { m =>
+      m -> (m to depth).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+    }.toMap
+    val a = l1.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("int").as("r1")).filter(col("r1") <= depth)
+    val b = l2.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("int").as("r2")).filter(col("r2") <= depth)
+    val cc = (1 to depth).foldLeft(lit(0.0)) { (acc, m) =>
+      when(greatest(col("r1"), col("r2")) === m, lit(coef(m)))
+        .otherwise(acc)
+    }
+    a.join(b, Seq("id"))
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum(d18(cc)), lit(0).cast("decimal(38,18)"))
+          .cast("double").as("_rbo"))
+      .select(lit(depth).as("depth"), col("n_common"),
+        round(col("_rbo"), 9).as("rbo_trunc"),
+        round(col("_rbo") + lit(math.pow(p, depth)), 9).as("rbo_max"))
+  }
+
   /** Doubly-robust off-policy evaluation (Dudík, Langford & Li 2011) of
     * the greedy policy π(ctx) = argmax mean-train-reward, on a held-out
     * eval split under uniform-over-K logging:

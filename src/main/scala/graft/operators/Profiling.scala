@@ -284,6 +284,39 @@ object Profiling {
     perBucket.unionByName(root).orderBy("bucket")
   }
 
+  /** Join-cardinality estimation QA: for each labeled equi-join, the
+    * textbook uniform-NDV estimate |A|·|B| / max(ndv_A, ndv_B) (what a
+    * System-R-style optimizer assumes) against the EXACT output
+    * cardinality, as the q-error max(est/act, act/est) — the planner
+    * sanity readout that tells you which joins skew will surprise.
+    * The exact count never materializes the join: it is Σ_k
+    * cnt_A(k)·cnt_B(k) over the key-level count tables (the same
+    * collapse a 100 TB pre-join audit must use). All counts exact
+    * BIGINT/decimal; est and q-error are single double trees. */
+  def joinCardinalityQa(
+      joins: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    joins.map { case (label, a, ka, b, kb) =>
+      val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("cA"))
+      val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cB"))
+      val sa = ca.agg(sum("cA").as("na"), count(lit(1)).as("ndva"))
+      val sb = cb.agg(sum("cB").as("nb"), count(lit(1)).as("ndvb"))
+      val act = ca.join(cb, Seq("k"))
+        .agg(coalesce(sum(col("cA").cast("decimal(38,0)") * col("cB")),
+          lit(0).cast("decimal(38,0)")).as("actual"))
+      sa.crossJoin(sb).crossJoin(act)
+        .withColumn("est", col("na").cast("double") * col("nb") /
+          greatest(col("ndva"), col("ndvb")))
+        .withColumn("actual_d", col("actual").cast("double"))
+        .select(lit(label).as("join_label"), col("na"), col("nb"),
+          col("ndva"), col("ndvb"),
+          round(col("est"), 3).as("est_rows"),
+          col("actual").cast("long").as("actual_rows"),
+          round(when(col("actual_d") > 0,
+            greatest(col("est") / col("actual_d"),
+              col("actual_d") / col("est"))), 6).as("q_error"))
+    }.reduce(_ unionByName _)
+
   /** Pairwise Cramér's V association matrix over categorical columns —
     * the dependence screen a feature/profiling pass runs before trusting
     * "independent" dimensions (χ² rescaled to [0,1]:

@@ -323,4 +323,53 @@ object Sketches {
         ((col("n_both").cast("double") / col("n_union")) * unionEst)
           .as("intersection_est"))
   }
+
+  /** Bloom-filter false-positive audit (Bloom 1970): build the exact
+    * position SET a k-hash/m-bit Bloom filter would set over the member
+    * keys, then probe with KNOWN NON-MEMBERS and count how many hit all
+    * k positions — the EMPIRICAL FPR beside the fill-ratio approximation
+    * fpr ≈ fill^k (exact multiply chain, no libm). This is the audit
+    * that validates the parameters behind the q140 Bloom runtime-filter
+    * join: an overfull filter silently stops pruning the fact scan.
+    *
+    * The k positions per key ride the repo's scrambled-hash family
+    * (`keyHash(key) + i·Mix mod p mod m` — deterministic, any
+    * partitioning, either engine). Set membership is a distinct-
+    * position table (bounded by m) joined against exploded probe
+    * positions; everything else is exact counts. */
+  def bloomFprAudit(members: DataFrame, keyCol: String,
+                    probes: DataFrame, probeKeyCol: String,
+                    mBits: Int, kHashes: Int = 3): DataFrame = {
+    val mix = graft.plans.HashExpressions.Mix
+    val p = 2147483647L
+    def positions(key: Column): Column = {
+      val h = keyHash(key.cast("long"))
+      array((0 until kHashes).map(i =>
+        pmod(h + lit(i.toLong) * mix, lit(p)) % mBits): _*)
+    }
+    val posSet = members
+      .select(explode(positions(col(keyCol))).as("pos")).distinct()
+      .localCheckpoint()
+    val mStats = members.agg(countDistinct(col(keyCol)).as("n_members"))
+      .crossJoin(broadcast(posSet.agg(count(lit(1)).as("bits_set"))))
+    val probed = probes
+      .select(col(probeKeyCol).as("pk"),
+        explode(positions(col(probeKeyCol))).as("pos"))
+      .join(posSet, Seq("pos"))
+      .groupBy("pk").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHashes)
+      .agg(count(lit(1)).as("n_false_pos"))
+    probes.agg(countDistinct(col(probeKeyCol)).as("n_probes"))
+      .crossJoin(broadcast(mStats)).crossJoin(broadcast(probed))
+      .withColumn("fill_ratio",
+        col("bits_set").cast("double") / mBits)
+      .select(col("n_members"), lit(mBits).as("m_bits"),
+        lit(kHashes).as("k_hashes"), col("bits_set"),
+        round(col("fill_ratio"), 6).as("fill_ratio"),
+        col("n_probes"), col("n_false_pos"),
+        round(col("n_false_pos").cast("double") / col("n_probes"), 6)
+          .as("fpr"),
+        round((0 until kHashes).map(_ => col("fill_ratio"))
+          .reduce(_ * _), 6).as("theo_fpr"))
+  }
 }

@@ -486,6 +486,24 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("mse_after") < out.getAs[Double]("mse_before"))
   }
 
+  test("rankBiasedOverlap: identical lists give 1 - p^depth, disjoint give 0") {
+    import spark.implicits._
+    import graft.operators.Evaluation
+    val l = (1 to 10).map(i => (i.toLong * 7, i)).toDF("id", "rank")
+    val out = Evaluation.rankBiasedOverlap(l, l, "id", "rank", 10, 0.9)
+      .head()
+    assert(out.getAs[Long]("n_common") == 10L)
+    // Σ_m c_m telescopes to Σ_d (1−p)p^{d−1} = 1 − p^10
+    assert(math.abs(out.getAs[Double]("rbo_trunc") -
+      (1 - math.pow(0.9, 10))) < 1e-9)
+    assert(math.abs(out.getAs[Double]("rbo_max") - 1.0) < 1e-9)
+    val other = (1 to 10).map(i => (i.toLong * 7 + 1, i)).toDF("id", "rank")
+    val o2 = Evaluation.rankBiasedOverlap(l, other, "id", "rank", 10, 0.9)
+      .head()
+    assert(o2.getAs[Long]("n_common") == 0L)
+    assert(o2.getAs[Double]("rbo_trunc") == 0.0)
+  }
+
   test("expectedCalibrationError: hand-computed ECE and MCE") {
     import spark.implicits._
     import graft.operators.Evaluation

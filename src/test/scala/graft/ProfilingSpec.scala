@@ -171,6 +171,27 @@ class ProfilingSpec extends SparkSpec {
     assert(c != a.find(_._1 == -1).get._3)
   }
 
+  test("joinCardinalityQa: exact counts, q-error flags skew") {
+    import spark.implicits._
+    // uniform join: est == actual, q-error 1; skewed join: one hot key
+    // makes the uniform estimate undercount
+    val a = Seq(1L, 1L, 1L, 1L, 2L).toDF("ka") // 5 rows, ndv 2
+    val b = Seq(1L, 2L).toDF("kb")             // 2 rows, ndv 2
+    val out = Profiling.joinCardinalityQa(Seq(("j", a, "ka", b, "kb")))
+      .head()
+    assert(out.getAs[Long]("na") == 5L && out.getAs[Long]("ndva") == 2L)
+    // est = 5·2/2 = 5; actual = 4·1 + 1·1 = 5 → q-error 1 here (b flat)
+    assert(out.getAs[Long]("actual_rows") == 5L)
+    assert(out.getAs[Double]("q_error") == 1.0)
+    // now skew the small side too: b2 = {1,1,1} — est = 5·3/2 = 7.5,
+    // actual = 4·3 = 12 → q-error = 12/7.5 = 1.6
+    val b2 = Seq(1L, 1L, 1L).toDF("kb")
+    val o2 = Profiling.joinCardinalityQa(Seq(("j", a, "ka", b2, "kb")))
+      .head()
+    assert(o2.getAs[Long]("actual_rows") == 12L)
+    assert(o2.getAs[Double]("q_error") == 1.6)
+  }
+
   test("cramersVMatrix: V = 1 for perfect association, 0 for independence") {
     import spark.implicits._
     // c1↔c2 perfectly associated; c3 independent of both

@@ -415,6 +415,23 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(out.values.exists(_._4)) // the naive split leaks somewhere
   }
 
+  test("bloomFprAudit: members always hit, sparse filter yields no FPs") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val members = Seq(1L, 2L, 3L).toDF("k")
+    // probing with a member must register as a (trivial) positive
+    val hit = Sketches.bloomFprAudit(members, "k", Seq(1L).toDF("k"),
+      "k", mBits = 1 << 20, kHashes = 3).head()
+    assert(hit.getAs[Long]("n_false_pos") == 1L)
+    assert(hit.getAs[Long]("bits_set") <= 9L)
+    // 9 set bits in 2^20 → genuine non-members essentially never FP
+    val miss = Sketches.bloomFprAudit(members, "k",
+      (1000L to 1100L).toDF("k"), "k", mBits = 1 << 20, kHashes = 3)
+      .head()
+    assert(miss.getAs[Long]("n_false_pos") == 0L)
+    assert(miss.getAs[Double]("fpr") == 0.0)
+  }
+
   test("dhStratify: uniform histogram cuts into equal strata") {
     import spark.implicits._
     import graft.operators.Sampling
