@@ -7120,7 +7120,45 @@ object SparkEntry {
         o.filter(col("o_orderkey") % 7 === 0), "o_orderkey",
         o.filter(col("o_orderkey") % 7 =!= 0), "o_orderkey",
         mBits = 65536, kHashes = 3)
-    })
+    }),
+
+    "q428_sampled_betweenness" -> ((s, dir) => {
+      // Brandes & Pich sampled betweenness: the q422 machinery averaged
+      // over 3 pivots — the practical centrality estimator at scale
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      GraphAnalytics.sampledBetweenness(edges, "src", "dst",
+        sources = Seq(0L, 7L, 13L), maxDepth = 6, topK = 20)
+    }),
+
+    "q429_qq_shift" -> ((s, dir) => {
+      // WHERE did the value distribution move: per-type decile table
+      // pre vs post half — the quantile-resolved companion to q398's
+      // scalar CvM verdict
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      val base = ev.select(col("event_type"), col("event_id"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("v100"))
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("_d0"))))
+        .withColumn("pre", datediff(col("day"), col("_d0")) < 15)
+      Stats.qqShift(base, "event_type", "pre", "v100", "event_id")
+        .orderBy("event_type", "decile")
+    }),
+
+    "q430_delta_encoding" -> ((s, dir) =>
+      // DELTA_BINARY_PACKED audit: write-order-clustered l_orderkey
+      // packs to a few bits/value, the random l_partkey pays full
+      // width — the re-sort argument in numbers, one window pass
+      DataLayout.deltaEncodingAudit(tbl(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .orderBy("col_name"))
   )
 
   // ======================================================================
@@ -12476,6 +12514,72 @@ object SparkEntry {
 
       "q427_bloom_fpr" -> bloomFprOracleSql,
 
+      "q428_sampled_betweenness" -> sampledBetweennessOracleSql,
+
+      // rank windows per (type, half), nearest-rank deciles via the
+      // integer ceiling, pivoted to a shift table
+      "q429_qq_shift" ->
+        """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS dmin FROM events),
+          |ev AS (SELECT event_type, event_id,
+          |    date_diff('day', dmin, CAST(ts AS DATE)) < 15 AS pre,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events, d0 WHERE value IS NOT NULL),
+          |rk AS (SELECT event_type, pre, v,
+          |    CAST(row_number() OVER (PARTITION BY event_type, pre
+          |      ORDER BY v, event_id) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY event_type, pre)
+          |      AS BIGINT) AS n
+          |  FROM ev),
+          |dc AS (SELECT event_type, pre, v, CAST(d AS INT) AS decile
+          |  FROM rk, unnest(range(1, 10)) AS u(d)
+          |  WHERE rn = (d * n + 9) // 10)
+          |SELECT event_type, decile,
+          |  max(CASE WHEN pre THEN v END) AS v_pre,
+          |  max(CASE WHEN NOT pre THEN v END) AS v_post,
+          |  max(CASE WHEN NOT pre THEN v END) -
+          |    max(CASE WHEN pre THEN v END) AS shift
+          |FROM dc GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin,
+
+      // one window pass, zigzag widths, integer sums
+      "q430_delta_encoding" ->
+        """WITH w AS (SELECT
+          |    l_orderkey - lag(l_orderkey) OVER o AS d_ok,
+          |    l_partkey - lag(l_partkey) OVER o AS d_pk,
+          |    l_suppkey - lag(l_suppkey) OVER o AS d_sk
+          |  FROM lineitem
+          |  WINDOW o AS (ORDER BY l_orderkey, l_linenumber)),
+          |a AS (SELECT CAST(count(*) + 1 AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN d_ok = 0 THEN 0
+          |      ELSE length(bin(abs(d_ok) * 2)) END) AS BIGINT) AS sb_ok,
+          |    CAST(SUM(CASE WHEN d_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS z_ok,
+          |    CAST(max(CASE WHEN d_ok = 0 THEN 0
+          |      ELSE length(bin(abs(d_ok) * 2)) END) AS BIGINT) AS mx_ok,
+          |    CAST(SUM(CASE WHEN d_pk = 0 THEN 0
+          |      ELSE length(bin(abs(d_pk) * 2)) END) AS BIGINT) AS sb_pk,
+          |    CAST(SUM(CASE WHEN d_pk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS z_pk,
+          |    CAST(max(CASE WHEN d_pk = 0 THEN 0
+          |      ELSE length(bin(abs(d_pk) * 2)) END) AS BIGINT) AS mx_pk,
+          |    CAST(SUM(CASE WHEN d_sk = 0 THEN 0
+          |      ELSE length(bin(abs(d_sk) * 2)) END) AS BIGINT) AS sb_sk,
+          |    CAST(SUM(CASE WHEN d_sk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS z_sk,
+          |    CAST(max(CASE WHEN d_sk = 0 THEN 0
+          |      ELSE length(bin(abs(d_sk) * 2)) END) AS BIGINT) AS mx_sk
+          |  FROM w WHERE d_ok IS NOT NULL)
+          |SELECT 'l_orderkey' AS col_name, n,
+          |  round(CAST(sb_ok AS DOUBLE) / (n - 1), 6) AS avg_delta_bits,
+          |  round(CAST(z_ok AS DOUBLE) / (n - 1), 6) AS zero_delta_frac,
+          |  mx_ok AS max_delta_bits FROM a
+          |UNION ALL
+          |SELECT 'l_partkey', n, round(CAST(sb_pk AS DOUBLE) / (n - 1), 6),
+          |  round(CAST(z_pk AS DOUBLE) / (n - 1), 6), mx_pk FROM a
+          |UNION ALL
+          |SELECT 'l_suppkey', n, round(CAST(sb_sk AS DOUBLE) / (n - 1), 6),
+          |  round(CAST(z_sk AS DOUBLE) / (n - 1), 6), mx_sk FROM a
+          |ORDER BY col_name""".stripMargin,
+
       // exact BIGINT/HUGEINT moments, one division each
       "q423_overdispersion" ->
         """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
@@ -16461,50 +16565,84 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
-  /** Replays q422: forward BFS levels with exact σ path counts, then
-    * the per-level dependency backprop, each level one CTE. */
-  private def brandesOracleSql: String = {
-    val maxD = 6
+  /** The q422/q428 Brandes CTE chain for one source, all CTE names
+    * suffixed: forward BFS levels with exact σ path counts, then the
+    * per-level dependency backprop. Ends with `allc$sfx` and
+    * `info$sfx`. */
+  private def brandesChainSql(sfx: String, source: Long,
+                              maxD: Int): String = {
     def fwd(h: Int): String =
-      s"""l$h AS MATERIALIZED (SELECT und.b AS node, $h AS dist,
-         |    CAST(SUM(l${h - 1}.sigma) AS BIGINT) AS sigma
-         |  FROM l${h - 1} JOIN und ON und.a = l${h - 1}.node
-         |  WHERE und.b NOT IN (SELECT node FROM v${h - 1})
+      s"""l$h$sfx AS MATERIALIZED (SELECT und.b AS node, $h AS dist,
+         |    CAST(SUM(l${h - 1}$sfx.sigma) AS BIGINT) AS sigma
+         |  FROM l${h - 1}$sfx JOIN und ON und.a = l${h - 1}$sfx.node
+         |  WHERE und.b NOT IN (SELECT node FROM v${h - 1}$sfx)
          |  GROUP BY und.b),
-         |v$h AS MATERIALIZED (SELECT node FROM v${h - 1}
-         |  UNION SELECT node FROM l$h)""".stripMargin
+         |v$h$sfx AS MATERIALIZED (SELECT node FROM v${h - 1}$sfx
+         |  UNION SELECT node FROM l$h$sfx)""".stripMargin
     def bwd(h: Int): String =
-      s"""d$h AS MATERIALIZED (SELECT lh.node, coalesce(f.dd, CAST(0.0 AS DOUBLE))
-         |    AS delta
-         |  FROM (SELECT node, sigma FROM info WHERE dist = $h) lh
+      s"""d$h$sfx AS MATERIALIZED (SELECT lh.node,
+         |    coalesce(f.dd, CAST(0.0 AS DOUBLE)) AS delta
+         |  FROM (SELECT node, sigma FROM info$sfx WHERE dist = $h) lh
          |  LEFT JOIN (
          |    SELECT u.node, CAST(SUM(CAST(
          |        (CAST(u.sigma AS DOUBLE) / x.sv) * (1.0 + x.dv)
          |        AS DECIMAL(38,18))) AS DOUBLE) AS dd
-         |    FROM (SELECT node, sigma FROM info WHERE dist = $h) u
+         |    FROM (SELECT node, sigma FROM info$sfx WHERE dist = $h) u
          |    JOIN und ON und.a = u.node
          |    JOIN (SELECT i.node AS b, i.sigma AS sv, dd0.delta AS dv
-         |        FROM info i JOIN d${h + 1} dd0 ON i.node = dd0.node
+         |        FROM info$sfx i JOIN d${h + 1}$sfx dd0
+         |          ON i.node = dd0.node
          |        WHERE i.dist = ${h + 1}) x ON und.b = x.b
          |    GROUP BY u.node) f ON lh.node = f.node)""".stripMargin
+    s"""l0$sfx AS MATERIALIZED (SELECT CAST($source AS BIGINT) AS node,
+       |  0 AS dist, CAST(1 AS BIGINT) AS sigma),
+       |v0$sfx AS (SELECT node FROM l0$sfx),
+       |${(1 to maxD).map(fwd).mkString(",\n")},
+       |info$sfx AS MATERIALIZED (${(0 to maxD)
+        .map(h => s"SELECT * FROM l$h$sfx").mkString("\n  UNION ALL ")}),
+       |d$maxD$sfx AS (SELECT node, CAST(0.0 AS DOUBLE) AS delta
+       |  FROM l$maxD$sfx),
+       |${((maxD - 1) to 0 by -1).map(bwd).mkString(",\n")},
+       |allc$sfx AS (${(0 to maxD).map(h => s"SELECT * FROM d$h$sfx")
+        .mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
+  /** Replays q422: one Brandes chain from source 0, top-20 by δ. */
+  private def brandesOracleSql: String =
     s"""$knnEdgesPrefixSql,
        |und AS MATERIALIZED (SELECT id AS a, nbr_id AS b FROM g0
        |  UNION SELECT nbr_id, id FROM g0),
-       |l0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist,
-       |  CAST(1 AS BIGINT) AS sigma),
-       |v0 AS (SELECT node FROM l0),
-       |${(1 to maxD).map(fwd).mkString(",\n")},
-       |info AS MATERIALIZED (${(0 to maxD).map(h => s"SELECT * FROM l$h")
-        .mkString("\n  UNION ALL ")}),
-       |d$maxD AS (SELECT node, CAST(0.0 AS DOUBLE) AS delta FROM l$maxD),
-       |${((maxD - 1) to 0 by -1).map(bwd).mkString(",\n")},
-       |allc AS (${(0 to maxD).map(h => s"SELECT * FROM d$h")
-        .mkString("\n  UNION ALL ")})
+       |${brandesChainSql("", 0L, 6)}
        |SELECT CAST(rk AS INT) AS rank, node, dist, sigma,
        |  round(delta, 6) AS delta
        |FROM (SELECT info.node, dist, sigma, delta,
        |    row_number() OVER (ORDER BY delta DESC, info.node) AS rk
        |  FROM info JOIN allc ON info.node = allc.node)
+       |WHERE rk <= 20 ORDER BY rank""".stripMargin
+
+  /** Replays q428: three Brandes chains, per-node decimal-mean over
+    * the FIXED pivot count, top-20. */
+  private def sampledBetweennessOracleSql: String = {
+    val sources = Seq(0L, 7L, 13L)
+    val chains = sources.zipWithIndex
+      .map { case (s, i) => brandesChainSql(s"s$i", s, 6) }
+      .mkString(",\n")
+    val unionAll = sources.indices
+      .map(i => s"SELECT node, delta FROM allcs$i")
+      .mkString("\n  UNION ALL ")
+    s"""$knnEdgesPrefixSql,
+       |und AS MATERIALIZED (SELECT id AS a, nbr_id AS b FROM g0
+       |  UNION SELECT nbr_id, id FROM g0),
+       |$chains,
+       |alls AS ($unionAll),
+       |ag AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources_reached,
+       |    CAST(SUM(CAST(delta AS DECIMAL(38,18))) AS DOUBLE) /
+       |      ${sources.size} AS mean_delta
+       |  FROM alls GROUP BY node)
+       |SELECT CAST(rk AS INT) AS rank, node, n_sources_reached,
+       |  round(mean_delta, 6) AS mean_delta
+       |FROM (SELECT *, row_number() OVER (ORDER BY mean_delta DESC,
+       |    node) AS rk FROM ag)
        |WHERE rk <= 20 ORDER BY rank""".stripMargin
   }
 

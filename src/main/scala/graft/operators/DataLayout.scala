@@ -223,6 +223,42 @@ object DataLayout {
     }.reduce(_ unionByName _)
   }
 
+  /** Delta-encoding audit — [[encodingAdvisor]]'s companion for
+    * INTEGER columns: in the table's natural write order, the zigzag
+    * bit-width of successive deltas (0 for a repeat, else the bit
+    * length of 2·|Δ|) tells you what parquet's DELTA_BINARY_PACKED
+    * would pay per value — a column clustered by the write order
+    * (an id assigned in arrival order) packs to a few bits while a
+    * random foreign key pays full width, which is exactly the re-sort
+    * argument in numbers. All columns' deltas ride ONE window pass;
+    * all arithmetic integer except the final means. */
+  def deltaEncodingAudit(df: DataFrame, orderCols: Seq[String],
+                         cols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    var d = df
+    cols.foreach { c =>
+      d = d.withColumn(s"_dl_$c",
+        col(c).cast("long") - lag(col(c).cast("long"), 1).over(w))
+    }
+    val aggs = cols.flatMap { c =>
+      val bits = when(col(s"_dl_$c") === 0, 0L)
+        .otherwise(length(bin(abs(col(s"_dl_$c")) * 2)).cast("long"))
+      Seq(sum(when(col(s"_dl_$c").isNotNull, bits)).as(s"_sb_$c"),
+        sum(when(col(s"_dl_$c") === 0, 1L).otherwise(0L)).as(s"_z_$c"),
+        max(bits).as(s"_mx_$c"))
+    }
+    val one = d.agg(count(lit(1)).as("_n"), aggs: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col_name"), col("_n").as("n"),
+        round(col(s"_sb_$c").cast("double") / (col("_n") - 1), 6)
+          .as("avg_delta_bits"),
+        round(col(s"_z_$c").cast("double") / (col("_n") - 1), 6)
+          .as("zero_delta_frac"),
+        col(s"_mx_$c").as("max_delta_bits"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hilbert-curve index of a 2-D cell (Hilbert 1891; the xy→d walk of
     * Warren, Hacker's Delight §16 / the classic Wikipedia formulation)
     * for a `bits`-bit grid — the locality-preserving alternative to

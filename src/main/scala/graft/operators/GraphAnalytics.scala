@@ -609,11 +609,55 @@ object GraphAnalytics {
   def brandesDependency(edges: DataFrame, srcCol: String, dstCol: String,
                         sourceId: Long, maxDepth: Int,
                         topK: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    brandesFrom(und, sourceId, maxDepth)
+      .withColumn("_rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("delta").desc, col("node"))))
+      .filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col("node"), col("dist"),
+        col("sigma"), round(col("delta"), 6).as("delta"))
+      .orderBy("rank")
+  }
+
+  /** Sampled-pivot betweenness (Brandes & Pich 2007): average the
+    * single-source dependencies over a pivot set — the practical
+    * betweenness estimator at scale (exact betweenness is all-sources;
+    * K pivots is the standard unbiased sample). Nodes a pivot never
+    * reaches contribute 0 for that pivot; the average divides by the
+    * FIXED pivot count. Returns the topK nodes by mean dependency. */
+  def sampledBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                         sources: Seq[Long], maxDepth: Int,
+                         topK: Int): DataFrame = {
     val d18 = (c: Column) => c.cast("decimal(38,18)")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    val all = sources.map(s => brandesFrom(und, s, maxDepth)
+      .select(col("node"), col("delta"))).reduce(_ unionByName _)
+    all.groupBy("node")
+      .agg(count(lit(1)).as("n_sources_reached"),
+        (sum(d18(col("delta"))).cast("double") / sources.size)
+          .as("mean_delta"))
+      .withColumn("_rk", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy(col("mean_delta").desc, col("node"))))
+      .filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col("node"),
+        col("n_sources_reached"), round(col("mean_delta"), 6)
+          .as("mean_delta"))
+      .orderBy("rank")
+  }
+
+  /** Forward-σ / backward-δ pass from one source over a symmetrized,
+    * checkpointed edge list — shared by [[brandesDependency]] and
+    * [[sampledBetweenness]]. Returns (node, dist, sigma, delta) for
+    * every reached node. */
+  private def brandesFrom(und: DataFrame, sourceId: Long,
+                          maxDepth: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
     // forward: levels with path counts
     var info = und.select(col("a").as("node")).distinct()
       .filter(col("node") === sourceId)
@@ -654,12 +698,6 @@ object GraphAnalytics {
       acc = acc.union(lvlFull).localCheckpoint()
     }
     info.join(acc, Seq("node"))
-      .withColumn("_rk", row_number().over(org.apache.spark.sql
-        .expressions.Window.orderBy(col("delta").desc, col("node"))))
-      .filter(col("_rk") <= topK)
-      .select(col("_rk").as("rank"), col("node"), col("dist"),
-        col("sigma"), round(col("delta"), 6).as("delta"))
-      .orderBy("rank")
   }
 
   /** 1-dimensional Weisfeiler–Lehman color refinement (Weisfeiler &

@@ -1394,6 +1394,32 @@ object Stats {
         round(col("att"), 6).as("att"))
   }
 
+  /** Decile QQ-shift table: per group, the nine nearest-rank deciles of
+    * `vCol` in the PRE vs POST split and their differences — the
+    * distribution-shift readout that says WHERE the change lives
+    * (a tail-only shift moves d8/d9 and leaves the median alone; a
+    * uniform shift moves every decile equally), the quantile-resolved
+    * companion to the scalar CvM/Mann-Whitney drift tests. Nearest
+    * rank ⌈d·n/10⌉ = (d·n+9) div 10 — all integer; ties break by
+    * `idCol` so both engines select the identical row. One rank window
+    * per (group, half); the 9× decile explode filters map-side. */
+  def qqShift(df: DataFrame, groupCol: String, preCol: String,
+              vCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol, preCol)
+      .orderBy(col(vCol), col(idCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(groupCol, preCol)))
+    val dec = ranked
+      .withColumn("d", explode(expr("sequence(1, 9)")))
+      .filter(col("_rn") === expr("(d * _n + 9) div 10"))
+    dec.groupBy(col(groupCol), col("d").cast("int").as("decile"))
+      .agg(max(when(col(preCol), col(vCol))).as("v_pre"),
+        max(when(!col(preCol), col(vCol))).as("v_post"))
+      .withColumn("shift", col("v_post") - col("v_pre"))
+  }
+
   /** Count-data overdispersion gate: per group the variance-to-mean
     * ratio (Fisher's index of dispersion) of an integer series — a
     * Poisson process sits at VMR ≈ 1; VMR ≫ 1 (clumping/bursts) means

@@ -127,6 +127,20 @@ class DataLayoutSpec extends SparkSpec {
     assert(nodes.subsetOf(Set(0, 1, 2, 3)))
   }
 
+  test("deltaEncodingAudit: zigzag widths over natural-order deltas") {
+    import spark.implicits._
+    // order by k: a = 10,11,11,13 → deltas 1,0,2 → bits 2,0,3
+    //   avg = 5/3; zero_frac = 1/3; max = 3
+    val df = Seq((1L, 10L), (2L, 11L), (3L, 11L), (4L, 13L))
+      .toDF("k", "a")
+    val out = DataLayout.deltaEncodingAudit(df, Seq("k"), Seq("a"))
+      .head()
+    assert(out.getAs[Long]("n") == 4L)
+    assert(math.abs(out.getAs[Double]("avg_delta_bits") - 5.0 / 3) < 1e-6)
+    assert(math.abs(out.getAs[Double]("zero_delta_frac") - 1.0 / 3) < 1e-6)
+    assert(out.getAs[Long]("max_delta_bits") == 3L)
+  }
+
   test("encodingAdvisor: exact NDV, natural-order runs, dict width") {
     import spark.implicits._
     // storage order (by k): a = x,x,y,y → 2 runs; b = 4 distinct → 4 runs

@@ -300,6 +300,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(o2(2L).getAs[Double]("delta") == 0.5)
   }
 
+  test("sampledBetweenness: mean of per-source dependencies on a path") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // path 0-1-2-3, pivots {0, 3}: δ from 0 = (3,2,1,0); from 3 =
+    // (0,1,2,3) → means (1.5, 1.5, 1.5, 1.5)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = GraphAnalytics.sampledBetweenness(edges, "s", "d",
+      Seq(0L, 3L), maxDepth = 6, topK = 10).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("mean_delta") == 1.5))
+    assert(out.forall(_.getAs[Long]("n_sources_reached") == 2L))
+  }
+
   test("wlRefinement: distinguishes path from star, stabilizes classes") {
     import spark.implicits._
     import graft.operators.GraphAnalytics

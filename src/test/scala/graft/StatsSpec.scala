@@ -589,6 +589,20 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("qqShift: nearest-rank deciles per half, exact shifts") {
+    import spark.implicits._
+    // pre: 1..10 → decile d at rank ceil(d·10/10) = d → value d
+    // post: 11..20 → value 10 + d → shift 10 everywhere
+    val rows = (1L to 10L).map(v => ("g", v, true, v)) ++
+      (1L to 10L).map(v => ("g", v + 100, false, v + 10))
+    val out = Stats.qqShift(rows.toDF("g", "id", "pre", "v"),
+      "g", "pre", "v", "id").orderBy("decile").collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Long]("shift") == 10L))
+    assert(out.head.getAs[Long]("v_pre") == 1L)
+    assert(out.last.getAs[Long]("v_pre") == 9L)
+  }
+
   test("overdispersionGate: Poisson-like passes, bursty flags") {
     import spark.implicits._
     // g1: constant 5s → var 0, vmr 0; g2: {0,10} → var 50, mean 5, vmr 10
