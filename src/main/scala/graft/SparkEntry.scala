@@ -7158,7 +7158,46 @@ object SparkEntry {
       DataLayout.deltaEncodingAudit(tbl(s, dir, "lineitem"),
           Seq("l_orderkey", "l_linenumber"),
           Seq("l_orderkey", "l_partkey", "l_suppkey"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    "q431_stratified_att" -> ((s, dir) => {
+      // Cochran 5-stratum subclassification on the q414 design: the
+      // within-stratum treated-control gaps weighted by the treated
+      // distribution — matching's sibling, famously ~90% bias removal
+      val ev = events(s, dir)
+      val d0 = ev.select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+        .crossJoin(broadcast(ev.agg(min(to_date(col("ts"))).as("_d0"))))
+      val units = d0.groupBy("user_id")
+        .agg(sum(when(datediff(col("day"), col("_d0")) < 15, 1L)
+          .otherwise(0L)).as("score"),
+          (sum(when(datediff(col("day"), col("_d0")) < 15 &&
+            col("event_type") === "error", 1L).otherwise(0L)) >= 7)
+            .as("treated"),
+          sum(when(datediff(col("day"), col("_d0")) >= 15,
+            coalesce(round(col("value") * 100).cast("long"), lit(0L)))
+            .otherwise(0L)).as("y"))
+      Stats.stratifiedAtt(units, "user_id", "treated", "score", "y",
+          nStrata = 5)
+        .orderBy("stratum")
+    }),
+
+    "q432_mean_excess" -> ((s, dir) =>
+      // tail diagnosis of purchase value: mean excess above the exact
+      // p90/p95/p99 — increasing = heavy tail, flat = exponential
+      Stats.meanExcessTable(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("event_id"),
+              round(col("value") * 100).cast("long").as("v100")),
+          "event_id", "v100", pcts = Seq(90, 95, 99))
+        .orderBy("pct")),
+
+    "q433_zipf_by_source" -> ((s, dir) =>
+      // which SOURCE is templated: per-source Zipf octave slope +
+      // top-token share — the mixture designer's naturalness screen
+      NgramLm.zipfSlopeBySource(tbl(s, dir, "documents"), "source",
+          "text")
+        .orderBy("source"))
   )
 
   // ======================================================================
@@ -12515,6 +12554,103 @@ object SparkEntry {
       "q427_bloom_fpr" -> bloomFprOracleSql,
 
       "q428_sampled_betweenness" -> sampledBetweennessOracleSql,
+
+      // q414's unit CTE, rank-based equal strata, treated-weighted gaps
+      "q431_stratified_att" ->
+        """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS dmin FROM events),
+          |u AS (SELECT user_id AS uid,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      < 15 THEN 1 ELSE 0 END) AS BIGINT) AS sc,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      < 15 AND event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS BIGINT) >= 7 AS tr,
+          |    CAST(SUM(CASE WHEN date_diff('day', dmin, CAST(ts AS DATE))
+          |      >= 15 THEN coalesce(CAST(round(value * 100) AS BIGINT), 0)
+          |      ELSE 0 END) AS BIGINT) AS y
+          |  FROM events, d0 GROUP BY user_id),
+          |rk AS (SELECT uid, tr, y,
+          |    CAST(row_number() OVER (ORDER BY sc, uid) AS BIGINT) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS n FROM u),
+          |st AS (SELECT CAST(((rn - 1) * 5) // n AS INT) AS stratum,
+          |    tr, y FROM rk),
+          |per AS (SELECT stratum,
+          |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+          |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_c,
+          |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS s_t,
+          |    CAST(SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT)
+          |      AS s_c
+          |  FROM st GROUP BY stratum),
+          |g AS (SELECT stratum, n_t, n_c,
+          |    CASE WHEN n_t > 0 THEN CAST(s_t AS DOUBLE) / n_t END
+          |      AS mean_t,
+          |    CASE WHEN n_c > 0 THEN CAST(s_c AS DOUBLE) / n_c END
+          |      AS mean_c
+          |  FROM per),
+          |gg AS (SELECT *, mean_t - mean_c AS gap FROM g),
+          |ww AS (SELECT *,
+          |    CAST(SUM(CASE WHEN gap IS NOT NULL THEN n_t ELSE 0 END)
+          |      OVER () AS BIGINT) AS wt,
+          |    CAST(SUM(CASE WHEN gap IS NOT NULL
+          |      THEN CAST(n_t * gap AS DECIMAL(38,18)) END) OVER ()
+          |      AS DOUBLE) AS wsum
+          |  FROM gg)
+          |SELECT stratum, n_t, n_c, round(mean_t, 6) AS mean_t,
+          |  round(mean_c, 6) AS mean_c, round(gap, 6) AS gap,
+          |  round(wsum / wt, 6) AS att_strat
+          |FROM ww ORDER BY stratum""".stripMargin,
+
+      // exact nearest-rank thresholds, integer excess sums
+      "q432_mean_excess" ->
+        """WITH v AS (SELECT event_id AS id,
+          |    CAST(round(value * 100) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |rk AS (SELECT id, v, CAST(row_number() OVER (ORDER BY v, id)
+          |      AS BIGINT) AS rn,
+          |    CAST(count(*) OVER () AS BIGINT) AS n FROM v),
+          |th AS (SELECT s.p, rk.v AS u, rk.n
+          |  FROM (SELECT unnest([90, 95, 99]) AS p) s
+          |  JOIN rk ON rk.rn = (s.p * rk.n + 99) // 100)
+          |SELECT CAST(th.p AS INT) AS pct, th.u AS threshold,
+          |  CAST(count(*) AS BIGINT) AS n_exceed,
+          |  round(CAST(SUM(rk.v - th.u) AS DOUBLE) / count(*), 6)
+          |    AS mean_excess,
+          |  round(CAST(count(*) AS DOUBLE) / max(th.n), 6) AS exceed_frac
+          |FROM th JOIN rk ON rk.v > th.u
+          |GROUP BY th.p, th.u ORDER BY pct""".stripMargin,
+
+      // per-source octave profile, integer OLS of ilog2(types) on octave
+      "q433_zipf_by_source" ->
+        """WITH toks AS (SELECT source AS src,
+          |    unnest(list_filter(regexp_split_to_array(lower(text),
+          |      '\s+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tc AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM toks GROUP BY 1, 2),
+          |oc AS (SELECT src,
+          |    CAST(length(bin(c)) - 1 AS BIGINT) AS o,
+          |    CAST(count(*) AS BIGINT) AS types
+          |  FROM tc GROUP BY 1, 2),
+          |oy AS (SELECT src, o, types,
+          |    CAST(length(bin(types)) - 1 AS BIGINT) AS y FROM oc),
+          |fit AS (SELECT src, CAST(count(*) AS BIGINT) AS n_octaves,
+          |    CAST(SUM(o) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          |    CAST(SUM(o * o) AS BIGINT) AS sxx,
+          |    CAST(SUM(o * y) AS BIGINT) AS sxy
+          |  FROM oy GROUP BY src),
+          |sl AS (SELECT src, n_octaves,
+          |    CASE WHEN n_octaves * sxx - sx * sx <> 0
+          |      THEN CAST(n_octaves * sxy - sx * sy AS DOUBLE) /
+          |        (n_octaves * sxx - sx * sx) END AS slope
+          |  FROM fit),
+          |tt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(max(c) AS BIGINT) AS mx
+          |  FROM tc GROUP BY src)
+          |SELECT sl.src AS source, n_tokens, n_types, n_octaves,
+          |  round(slope, 6) AS slope,
+          |  round(CAST(mx AS DOUBLE) / n_tokens, 6) AS top_share
+          |FROM sl JOIN tt ON sl.src = tt.src ORDER BY source""".stripMargin,
 
       // rank windows per (type, half), nearest-rank deciles via the
       // integer ceiling, pivoted to a shift table

@@ -260,6 +260,43 @@ object NgramLm {
           .as("ln_k"))
   }
 
+  /** Per-source Zipf octave slope: token counts bucketed by integer
+    * octave ⌊log2 c⌋ (the [[zipfOctaves]] libm-free log), then the
+    * exact OLS slope of ⌊log2 types(octave)⌋ against the octave — a
+    * natural-language source walks down ~linearly (Zipf), while a
+    * templated/spammy source collapses into few octaves with a flat or
+    * cliff-shaped profile; `top_share` (most frequent token's corpus
+    * share) flags keyword stuffing directly. Per-source variant of the
+    * global q163 audit — the "which SOURCE is templated" screen a
+    * mixture designer reads before weighting. All sums exact integers
+    * into one closed-form slope division. */
+  def zipfSlopeBySource(df: DataFrame, srcCol: String,
+                        textCol: String): DataFrame = {
+    val tc = df.select(col(srcCol).as("src"),
+        explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+    val oct = tc.groupBy(col("src"), ilog2(col("c")).as("o"))
+      .agg(count(lit(1)).as("types"))
+      .withColumn("y", ilog2(col("types")))
+    val fit = oct.groupBy("src")
+      .agg(count(lit(1)).as("n_octaves"), sum("o").as("sx"),
+        sum("y").as("sy"), sum(col("o") * col("o")).as("sxx"),
+        sum(col("o") * col("y")).as("sxy"))
+      .withColumn("slope", when(
+        col("n_octaves") * col("sxx") - col("sx") * col("sx") =!= 0,
+        (col("n_octaves") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_octaves") * col("sxx") - col("sx") * col("sx"))))
+    val tot = tc.groupBy("src")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("c").as("_mx"))
+      .withColumn("top_share", col("_mx").cast("double") / col("n_tokens"))
+    fit.join(tot, Seq("src"))
+      .select(col("src").as(srcCol), col("n_tokens"), col("n_types"),
+        col("n_octaves"), round(col("slope"), 6).as("slope"),
+        round(col("top_share"), 6).as("top_share"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1998 eq. 4.22-4.26) — the smoothing KenLM itself
     * uses, and the missing piece between [[bigramLmScore]]'s

@@ -1394,6 +1394,86 @@ object Stats {
         round(col("att"), 6).as("att"))
   }
 
+  /** Cochran's stratified adjustment (Cochran 1968): split units into
+    * `nStrata` equal-count score strata (rank-based, deterministic
+    * tie-break by id), take the within-stratum treated−control mean
+    * gap, and weight by the TREATED distribution over strata —
+    * Σ_q w_q·(ȳ_tq − ȳ_cq) with w_q = n_tq / n_t. The subclassification
+    * answer to confounding that [[caliperMatchAtt]] solves by pairing:
+    * five strata famously remove ~90% of the bias a linear confounder
+    * can cause. Per-stratum means are exact-integer divisions; the
+    * weighted combine decimal-accumulates. Strata missing either arm
+    * are reported but excluded from the estimate (their gap is
+    * undefined). One rank window + one rollup. */
+  def stratifiedAtt(units: DataFrame, idCol: String, treatedCol: String,
+                    scoreCol: String, yCol: String,
+                    nStrata: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = units.select(col(idCol).cast("long").as("uid"),
+        col(treatedCol).as("tr"), col(scoreCol).cast("long").as("sc"),
+        col(yCol).cast("long").as("y"))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("sc"), col("uid"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("stratum",
+        expr(s"((_rn - 1) * $nStrata) div _n").cast("int"))
+    val per = ranked.groupBy("stratum")
+      .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("tr"), col("y")).otherwise(0L)).as("_st"),
+        sum(when(!col("tr"), col("y")).otherwise(0L)).as("_sc"))
+      .withColumn("mean_t", when(col("n_t") > 0,
+        col("_st").cast("double") / col("n_t")))
+      .withColumn("mean_c", when(col("n_c") > 0,
+        col("_sc").cast("double") / col("n_c")))
+      .withColumn("gap", col("mean_t") - col("mean_c"))
+    per
+      .withColumn("_wt", sum(when(col("gap").isNotNull, col("n_t"))
+        .otherwise(0L)).over(wAll))
+      .withColumn("att_strat",
+        sum(when(col("gap").isNotNull, d18(col("n_t") * col("gap"))))
+          .over(wAll).cast("double") / col("_wt"))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        round(col("mean_t"), 6).as("mean_t"),
+        round(col("mean_c"), 6).as("mean_c"),
+        round(col("gap"), 6).as("gap"),
+        round(col("att_strat"), 6).as("att_strat"))
+  }
+
+  /** Mean-excess (peak-over-threshold) tail table: at the exact
+    * nearest-rank p90/p95/p99 thresholds, the exceedance count and the
+    * mean excess E[X−u | X>u] — the empirical mean-excess function
+    * whose SLOPE diagnoses the tail (increasing → heavy/Pareto-ish,
+    * flat → exponential, decreasing → bounded), i.e. whether revenue
+    * concentration risk lives in the tail the average hides. Thresholds
+    * are exact rank statistics (tie-break by id); excess sums are exact
+    * integers; one division per row. */
+  def meanExcessTable(df: DataFrame, idCol: String, vCol: String,
+                      pcts: Seq[Int] = Seq(90, 95, 99)): DataFrame = {
+    val vals = df.select(col(idCol).cast("long").as("id"),
+      col(vCol).cast("long").as("v"))
+    val ranked = vals
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("v"), col("id"))).cast("long"))
+      .crossJoin(broadcast(vals.agg(count(lit(1)).as("_n"))))
+      .localCheckpoint()
+    pcts.map { p =>
+      val thr = ranked.filter(col("_rn") === expr(s"($p * _n + 99) div 100"))
+        .select(col("v").as("u"))
+      ranked.crossJoin(broadcast(thr))
+        .filter(col("v") > col("u"))
+        .agg(count(lit(1)).as("n_exceed"), sum(col("v") - col("u"))
+          .as("_se"), max("u").as("u"), max("_n").as("_n"))
+        .select(lit(p).as("pct"), col("u").as("threshold"),
+          col("n_exceed"),
+          round(col("_se").cast("double") / col("n_exceed"), 6)
+            .as("mean_excess"),
+          round(col("n_exceed").cast("double") / col("_n"), 6)
+            .as("exceed_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Decile QQ-shift table: per group, the nine nearest-rank deciles of
     * `vCol` in the PRE vs POST split and their differences — the
     * distribution-shift readout that says WHERE the change lives

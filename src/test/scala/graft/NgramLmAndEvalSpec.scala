@@ -486,6 +486,21 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("mse_after") < out.getAs[Double]("mse_before"))
   }
 
+  test("zipfSlopeBySource: octave profile, slope sign, top share") {
+    import spark.implicits._
+    import graft.operators.NgramLm
+    // srcA: "a"×8 "b"×2 "c"×2 "d e f g" (16 tokens) — octaves:
+    // 3→1 type, 1→2, 0→4 → points (0,2),(1,1),(3,0): negative slope
+    val docs = Seq(("A", ("a " * 8) + ("b " * 2) + ("c " * 2) + "d e f g"))
+      .toDF("source", "text")
+    val out = NgramLm.zipfSlopeBySource(docs, "source", "text").head()
+    assert(out.getAs[Long]("n_tokens") == 16L)
+    assert(out.getAs[Long]("n_types") == 7L)
+    assert(out.getAs[Long]("n_octaves") == 3L)
+    assert(out.getAs[Double]("slope") < 0)
+    assert(out.getAs[Double]("top_share") == 0.5)
+  }
+
   test("rankBiasedOverlap: identical lists give 1 - p^depth, disjoint give 0") {
     import spark.implicits._
     import graft.operators.Evaluation

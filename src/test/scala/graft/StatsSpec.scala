@@ -589,6 +589,37 @@ class StatsSpec extends SparkSpec {
       global.getAs[Double]("diff_obs"))
   }
 
+  test("stratifiedAtt: treated-weighted within-stratum gaps") {
+    import spark.implicits._
+    // 2 strata by score; s0: t {10} c {0,0} gap 10 (n_t 1); s1: t {30}
+    // c {20,20} gap 10... make gaps differ: s1 t {40} → gap 20
+    // ATT = (1·10 + 1·20)/2 = 15
+    val units = Seq(
+      (1L, true, 1L, 10L), (2L, false, 2L, 0L), (3L, false, 3L, 0L),
+      (4L, true, 10L, 40L), (5L, false, 11L, 20L), (6L, false, 12L, 20L))
+      .toDF("id", "tr", "sc", "y")
+    val out = Stats.stratifiedAtt(units, "id", "tr", "sc", "y", 2)
+      .orderBy("stratum").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("gap") == 10.0)
+    assert(out(1).getAs[Double]("gap") == 20.0)
+    assert(out.forall(_.getAs[Double]("att_strat") == 15.0))
+  }
+
+  test("meanExcessTable: exact thresholds and excess means") {
+    import spark.implicits._
+    // values 1..100: p90 threshold = 90 → 10 exceeders, mean excess
+    // (1+..+10)/10 = 5.5; p99 → u=99, 1 exceeder, excess 1
+    val df = (1L to 100L).map(v => (v, v)).toDF("id", "v")
+    val out = Stats.meanExcessTable(df, "id", "v", Seq(90, 99))
+      .collect().map(r => r.getAs[Int]("pct") -> r).toMap
+    assert(out(90).getAs[Long]("threshold") == 90L)
+    assert(out(90).getAs[Long]("n_exceed") == 10L)
+    assert(out(90).getAs[Double]("mean_excess") == 5.5)
+    assert(out(99).getAs[Long]("n_exceed") == 1L)
+    assert(out(99).getAs[Double]("mean_excess") == 1.0)
+  }
+
   test("qqShift: nearest-rank deciles per half, exact shifts") {
     import spark.implicits._
     // pre: 1..10 → decile d at rank ceil(d·10/10) = d → value d
