@@ -7197,7 +7197,83 @@ object SparkEntry {
       // top-token share — the mixture designer's naturalness screen
       NgramLm.zipfSlopeBySource(tbl(s, dir, "documents"), "source",
           "text")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "q434_burrows_delta" -> ((s, dir) =>
+      // stylometric source fingerprinting: Burrows' Delta over the 20
+      // corpus function words — suspiciously close source pairs share
+      // a generator even when their topics differ
+      NgramLm.burrowsDelta(tbl(s, dir, "documents"), "source", "text",
+        topK = 20, topPairs = 10)),
+
+    "q435_frequent_paths" -> ((s, dir) =>
+      // what users actually do: top-10 within-session event-type
+      // triples — the multi-step funnel view the transition matrix
+      // can't show
+      Stats.frequentPaths(events(s, dir), "user_id", "ts", "event_id",
+        "event_type", gapUs = 30L * 60 * 1000000, topK = 10)),
+
+    "q436_acf" -> ((s, dir) =>
+      // seasonality reader: exact-sum ACF of daily volume at lags 1..7
+      // per event type — a weekly cycle peaks at lag 7
+      Stats.acfTable(
+          events(s, dir).groupBy(col("event_type"),
+              expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+                .as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events", maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    "q437_soundex_blocks" -> ((s, dir) =>
+      // phonetic blocking for entity resolution: the corpus word
+      // vocabulary (documents + part names/types) keyed by American
+      // Soundex — same-sound different-spelling words land in one block
+      Linkage.phoneticBlocks(
+          tbl(s, dir, "documents")
+            .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+            .union(tbl(s, dir, "part")
+              .select(explode(split(lower(col("p_name")), "[^a-z]+"))
+                .as("w")))
+            .union(tbl(s, dir, "part")
+              .select(explode(split(lower(col("p_type")), "[^a-z]+"))
+                .as("w"))),
+          "w")
+        .orderBy(col("n_words").desc, col("sdx"))),
+
+    "q438_dice_typo_match" -> ((s, dir) => {
+      // typo-tolerant matching with the NATIVE codegen'd bigram-Dice
+      // scalar: deterministic 2nd-char-dropped corruptions of the part
+      // vocabulary are matched back to it (first-letter blocking); the
+      // verifier is a fused-loop expression, not an explode→group
+      // sub-pipeline per pair
+      val vocab = tbl(s, dir, "part")
+        .select(explode(split(lower(col("p_name")), "[^a-z]+")).as("w"))
+        .union(tbl(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w")))
+        .filter(length(col("w")) >= 4).distinct()
+      val variants = vocab.select(col("w").as("orig"),
+        concat(substring(col("w"), 1, 1), expr("substring(w, 3)"))
+          .as("typo"))
+      Linkage.diceBestMatch(variants, "orig", "typo", vocab, "w")
+        .withColumn("recovered", col("best_match") === col("l_id"))
+        .select(col("l_id").as("orig"), col("lw").as("typo"),
+          col("best_match"), col("dice"), col("recovered"))
+        .orderBy("orig")
+    }),
+
+    "q439_nelson_aalen" -> ((s, dir) => {
+      // cumulative-hazard companion of the q251 KM curve: same censored
+      // per-user lifetimes, additive Ĥ(t) + Greenwood variance — the
+      // churn-rate readout with its CI band ingredient
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val gmax = per.agg(max("t1").as("gm"))
+      val life = per.crossJoin(broadcast(gmax))
+        .select(expr("(t1 - t0) div 3600000000").as("t"),
+          (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
+      Stats.nelsonAalen(life, "t", "observed").orderBy("t")
+    })
   )
 
   // ======================================================================
@@ -12619,6 +12695,148 @@ object SparkEntry {
           |FROM th JOIN rk ON rk.v > th.u
           |GROUP BY th.p, th.u ORDER BY pct""".stripMargin,
 
+      // top-20 corpus words, per-mille per-source frequencies with
+      // genuine zeros, cross-source z-scores, pairwise mean |Δz|
+      "q434_burrows_delta" ->
+        """WITH toks AS (SELECT source AS src,
+          |    unnest(list_filter(regexp_split_to_array(lower(text),
+          |      '\s+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tc AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM toks GROUP BY 1, 2),
+          |vocab AS (SELECT tok FROM (SELECT tok,
+          |      CAST(SUM(c) AS BIGINT) AS cf FROM tc GROUP BY tok)
+          |  ORDER BY cf DESC, tok LIMIT 20),
+          |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nt FROM tc
+          |  GROUP BY src),
+          |grid AS (SELECT tot.src, vocab.tok,
+          |    CAST(coalesce(tc.c, 0) AS DOUBLE) * 1000.0 / tot.nt AS f
+          |  FROM vocab CROSS JOIN tot
+          |  LEFT JOIN tc ON tc.src = tot.src AND tc.tok = vocab.tok),
+          |st AS (SELECT tok, CAST(count(*) AS BIGINT) AS ns,
+          |    CAST(SUM(CAST(f AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+          |    CAST(SUM(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS s2
+          |  FROM grid GROUP BY tok),
+          |sm AS (SELECT tok, s1 / ns AS mu,
+          |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+          |      (s2 - s1 * s1 / ns) / ns)) AS sd
+          |  FROM st),
+          |z AS (SELECT grid.src, grid.tok, (f - mu) / sd AS z
+          |  FROM grid JOIN sm ON grid.tok = sm.tok WHERE sd > 0),
+          |pr AS (SELECT a.src AS sa, b.src AS sb,
+          |    CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,18)))
+          |      AS DOUBLE) / count(*) AS delta
+          |  FROM z a JOIN z b ON a.tok = b.tok AND a.src < b.src
+          |  GROUP BY 1, 2)
+          |SELECT CAST(rk AS INT) AS rank, sa, sb, n_words,
+          |  round(delta, 6) AS delta
+          |FROM (SELECT *, row_number() OVER (ORDER BY delta, sa, sb)
+          |    AS rk FROM pr)
+          |WHERE rk <= 10 ORDER BY rank""".stripMargin,
+
+      // lead-window triples within the session gap, count + share
+      "q435_frequent_paths" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |    CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+          |l AS (SELECT event_type,
+          |    lead(event_type, 1) OVER w AS t1,
+          |    lead(event_type, 2) OVER w AS t2,
+          |    epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS g1,
+          |    epoch_us(lead(ts, 2) OVER w) - epoch_us(lead(ts, 1) OVER w)
+          |      AS g2
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |p AS (SELECT event_type || '>' || t1 || '>' || t2 AS path
+          |  FROM l WHERE t2 IS NOT NULL AND g1 <= 1800000000
+          |    AND g2 <= 1800000000),
+          |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+          |  GROUP BY path),
+          |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+          |SELECT CAST(rk AS INT) AS rank, path, n,
+          |  round(CAST(n AS DOUBLE) / tot, 6) AS share
+          |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, path)
+          |    AS rk FROM c, tt)
+          |WHERE rk <= 10 ORDER BY rank""".stripMargin,
+
+      // shifted self-join per lag, exact moments, closed-form Pearson
+      "q436_acf" -> acfOracleSql,
+
+      // full American-Soundex replay: translate → per-digit run collapse
+      // (RE2 has no backreferences) → strip zeros → pad to 4
+      "q437_soundex_blocks" -> soundexOracleSql,
+
+      // bigram multiset intersection per candidate pair replays the
+      // native expression: 2·Σ min(cnt) / (m+n), one double division
+      "q438_dice_typo_match" ->
+        """WITH v0 AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(
+          |      lower(p_name), '[^a-z]+'), x -> x <> '')) AS w FROM part
+          |  UNION ALL
+          |  SELECT unnest(list_filter(regexp_split_to_array(
+          |      lower(text), '[^a-z]+'), x -> x <> '')) FROM documents),
+          |vocab AS (SELECT DISTINCT w FROM v0 WHERE length(w) >= 4),
+          |variants AS (SELECT w AS orig,
+          |    substr(w, 1, 1) || substr(w, 3) AS typo FROM vocab),
+          |cand AS (SELECT va.orig, va.typo, v.w
+          |  FROM variants va JOIN vocab v
+          |    ON substr(va.typo, 1, 1) = substr(v.w, 1, 1)),
+          |tb AS (SELECT typo, unnest(list_transform(
+          |    range(1, length(typo)),
+          |    i -> substr(typo, CAST(i AS INT), 2))) AS g
+          |  FROM (SELECT DISTINCT typo FROM variants) t),
+          |tbc AS (SELECT typo, g, count(*) AS c FROM tb GROUP BY 1, 2),
+          |wb AS (SELECT w, unnest(list_transform(range(1, length(w)),
+          |    i -> substr(w, CAST(i AS INT), 2))) AS g FROM vocab),
+          |wbc AS (SELECT w, g, count(*) AS c FROM wb GROUP BY 1, 2),
+          |inter AS (SELECT t.typo, v.w,
+          |    CAST(SUM(LEAST(t.c, v.c)) AS BIGINT) AS i
+          |  FROM tbc t JOIN wbc v ON t.g = v.g GROUP BY 1, 2),
+          |scored AS (SELECT c.orig, c.typo, c.w,
+          |    2.0 * coalesce(i.i, 0) /
+          |      (length(c.typo) - 1 + length(c.w) - 1) AS dice
+          |  FROM cand c LEFT JOIN inter i
+          |    ON i.typo = c.typo AND i.w = c.w),
+          |best AS (SELECT *, row_number() OVER (PARTITION BY orig
+          |    ORDER BY dice DESC, w) AS rk FROM scored)
+          |SELECT orig, typo, w AS best_match, round(dice, 6) AS dice,
+          |  (w = orig) AS recovered
+          |FROM best WHERE rk = 1 ORDER BY orig""".stripMargin,
+
+      // additive hazard over the q251 life table: decimal cumulative
+      // sums of one-division step terms; NULL variance factor at n==d
+      "q439_nelson_aalen" ->
+        """WITH per AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+          |  FROM events GROUP BY user_id),
+          |gm AS (SELECT max(t1) AS gm FROM per),
+          |life AS (SELECT (t1 - t0) // 3600000000 AS t,
+          |    t1 < gm - 43200000000 AS observed FROM per, gm),
+          |pt AS (SELECT t, count(*) AS n_all,
+          |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS d
+          |  FROM life GROUP BY t),
+          |tt AS (SELECT CAST(SUM(n_all) AS BIGINT) AS N FROM pt),
+          |ar AS (SELECT t, d, N - CAST(coalesce(SUM(n_all)
+          |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |        AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+          |  FROM pt, tt),
+          |st AS (SELECT t, n_at_risk, d,
+          |    CAST(d AS DOUBLE) / n_at_risk AS h,
+          |    CASE WHEN n_at_risk > d THEN
+          |      CAST(d AS DOUBLE) / (n_at_risk * (n_at_risk - d)) END
+          |      AS gv
+          |  FROM ar WHERE d > 0)
+          |SELECT t, n_at_risk, d AS n_events,
+          |  round(CAST(SUM(CAST(h AS DECIMAL(38,18)))
+          |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |      CURRENT ROW) AS DOUBLE), 6) AS cum_hazard,
+          |  round(CAST(SUM(CAST(gv AS DECIMAL(38,18)))
+          |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |      CURRENT ROW) AS DOUBLE), 6) AS greenwood_var
+          |FROM st ORDER BY t""".stripMargin,
+
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->
         """WITH toks AS (SELECT source AS src,
@@ -16932,6 +17150,74 @@ object SparkEntry {
        |    THEN CAST(n_closed AS DOUBLE) / n_wedges END, 6)
        |    AS closure_ratio
        |FROM wagg, np""".stripMargin
+  }
+
+  /** Replays q437: American Soundex as a pure-SQL chain. The mapping
+    * string is commons-codec's US English table (H/W excluded from the
+    * tail BEFORE coding — the "non-separating" American rule, which is
+    * what Spark's builtin implements; verified letter-for-letter against
+    * `soundex()` over this corpus's whole vocabulary). Run collapse must
+    * precede zero-stripping (vowels separate duplicate codes) and is
+    * spelled per digit class because DuckDB's RE2 lacks backreferences. */
+  private def soundexOracleSql: String = {
+    val collapse = (0 to 6).foldLeft("codes") { (acc, d) =>
+      s"regexp_replace($acc, '$d$d+', '$d', 'g')"
+    }
+    s"""WITH v AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(
+       |      lower(text), '[^a-z]+'), x -> x <> '')) AS w FROM documents
+       |  UNION ALL
+       |  SELECT unnest(list_filter(regexp_split_to_array(
+       |      lower(p_name), '[^a-z]+'), x -> x <> '')) FROM part
+       |  UNION ALL
+       |  SELECT unnest(list_filter(regexp_split_to_array(
+       |      lower(p_type), '[^a-z]+'), x -> x <> '')) FROM part),
+       |w AS (SELECT DISTINCT w FROM v),
+       |m AS (SELECT w, upper(substr(w, 1, 1)) AS f,
+       |    translate(upper(substr(w, 1, 1)) ||
+       |        translate(upper(substr(w, 2)), 'HW', ''),
+       |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |      '01230120022455012623010202') AS codes
+       |  FROM w),
+       |c AS (SELECT w, f, $collapse AS coll FROM m),
+       |k AS (SELECT w, substr(rpad(f ||
+       |    replace(substr(coll, 2), '0', ''), 4, '0'), 1, 4) AS sdx
+       |  FROM c)
+       |SELECT sdx, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+       |  string_agg(w, ',' ORDER BY w) AS members
+       |FROM k GROUP BY sdx
+       |ORDER BY n_words DESC, sdx""".stripMargin
+  }
+
+  /** Replays q436: per-lag shifted self-join over the daily frame,
+    * exact moments into the closed-form Pearson. */
+  private def acfOracleSql: String = {
+    def block(lag: Int): String =
+      s"""SELECT g AS event_type, CAST($lag AS INT) AS lag,
+         |  n AS n_pairs,
+         |  round(CASE WHEN nn * CAST(sxx AS DOUBLE) -
+         |      CAST(sx AS DOUBLE) * sx > 0
+         |    AND nn * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+         |    THEN (nn * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) /
+         |      (sqrt(nn * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) *
+         |       sqrt(nn * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+         |  END, 6) AS acf
+         |FROM (SELECT a.g, CAST(count(*) AS BIGINT) AS n, count(*) AS nn,
+         |    CAST(SUM(a.v) AS BIGINT) AS sx, CAST(SUM(b.v) AS BIGINT)
+         |      AS sy,
+         |    SUM(CAST(a.v AS HUGEINT) * a.v) AS sxx,
+         |    SUM(CAST(b.v AS HUGEINT) * b.v) AS syy,
+         |    SUM(CAST(a.v AS HUGEINT) * b.v) AS sxy
+         |  FROM d a JOIN d b ON a.g = b.g AND b.t = a.t + $lag
+         |  GROUP BY a.g) s
+         |WHERE n > 2""".stripMargin
+    s"""WITH d AS (SELECT event_type AS g,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+       |      AS BIGINT) AS t,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2)
+       |${(1 to 7).map(block).mkString("\nUNION ALL\n")}
+       |ORDER BY event_type, lag""".stripMargin
   }
 
   /** Replays q415: one window pass computes all five columns' change

@@ -235,4 +235,58 @@ object Linkage {
     pairs.select(col("id_a"), col("id_b"), nAgree.as("n_agree"),
       score.as("score"))
   }
+
+  /** Phonetic blocking table (American Soundex): each distinct word keyed
+    * by its 4-char sound code, rolled up into blocks with member lists —
+    * step (1) of entity resolution when the variation is SPELLING of the
+    * same sound ("smith"/"smyth"), which edit-distance blocking misses at
+    * distance budgets that stay selective. Uses Spark's builtin
+    * `soundex` (codegen'd, no UDF); the oracle replays the algorithm as
+    * a translate → per-digit run-collapse → pad SQL chain (RE2 has no
+    * backreferences, so runs collapse one digit class at a time).
+    *
+    * Scale shape: one distinct + one hash aggregate over the word
+    * vocabulary — sub-linear in the corpus (vocabulary-sized). */
+  /** Best right-word match per left row by native bigram-Dice
+    * similarity, candidates blocked on the first letter. The verifier is
+    * [[graft.plans.StringExpressions.BigramDiceExpr]] — a codegen'd
+    * scalar, so scoring rides the blocking join's fused loop instead of
+    * paying the explode→group sub-pipeline per pair that the SQL form
+    * costs. Tie-break: higher dice, then lexicographically first right
+    * word. Per-key candidate lists are block-bounded (vocabulary-sized),
+    * so the rank window never sees more than a block. */
+  def diceBestMatch(left: DataFrame, leftId: String, leftWord: String,
+                    right: DataFrame, rightWord: String): DataFrame = {
+    graft.plans.StringExpressions.register(left.sparkSession)
+    val l = left.select(col(leftId).as("l_id"), col(leftWord).as("lw"),
+      substring(col(leftWord), 1, 1).as("_blk"))
+    val r = right.select(col(rightWord).as("rw"),
+      substring(col(rightWord), 1, 1).as("_blk")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_id")
+      .orderBy(col("dice").desc, col("rw"))
+    l.join(r, Seq("_blk"))
+      .withColumn("dice", expr("graft_bigram_dice(lw, rw)"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("l_id"), col("lw"), col("rw").as("best_match"),
+        round(col("dice"), 6).as("dice"))
+  }
+
+  /** Phonetic blocking table (American Soundex): each distinct word keyed
+    * by its 4-char sound code, rolled up into blocks with member lists —
+    * step (1) of entity resolution when the variation is SPELLING of the
+    * same sound ("smith"/"smyth"), which edit-distance blocking misses at
+    * distance budgets that stay selective. Uses Spark's builtin
+    * `soundex` (codegen'd, no UDF); the oracle replays the algorithm as
+    * a translate → per-digit run-collapse → pad SQL chain (RE2 has no
+    * backreferences, so runs collapse one digit class at a time).
+    *
+    * Scale shape: one distinct + one hash aggregate over the word
+    * vocabulary — sub-linear in the corpus (vocabulary-sized). */
+  def phoneticBlocks(words: DataFrame, wordCol: String): DataFrame =
+    words.select(col(wordCol).as("w")).filter(col("w") =!= "").distinct()
+      .withColumn("sdx", soundex(upper(col("w"))))
+      .groupBy("sdx")
+      .agg(countDistinct("w").as("n_words"),
+        concat_ws(",", sort_array(collect_set("w"))).as("members"))
 }

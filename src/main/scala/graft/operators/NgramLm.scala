@@ -260,6 +260,69 @@ object NgramLm {
           .as("ln_k"))
   }
 
+  /** Burrows' Delta (Burrows 2002; the stylometric workhorse): restrict
+    * to the corpus's `topK` most frequent words (function words — the
+    * style carriers), z-score each source's per-mille frequency of each
+    * word across sources, and Delta(s, t) = mean |z_s − z_t| over the
+    * word set. Two sources with suspiciously LOW Delta write with the
+    * same "hand" — in a training-data pipeline that flags duplicated
+    * provenance (the same template/generator behind two supposedly
+    * independent sources) that content-level dedup misses because the
+    * TOPICS differ. Relative frequencies and z-scores are fixed double
+    * trees over exact counts (cross-source moments decimal-accumulate);
+    * the pair mean decimal-accumulates over the word set. Returns the
+    * `topPairs` closest pairs.
+    *
+    * Scale shape: one token-count shuffle; everything after lives on
+    * the (sources × topK) frame. */
+  def burrowsDelta(df: DataFrame, srcCol: String, textCol: String,
+                   topK: Int, topPairs: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val W = Window
+    val tc = df.select(col(srcCol).as("src"),
+        explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = tc.groupBy("tok").agg(sum("c").as("cf"))
+      .orderBy(col("cf").desc, col("tok")).limit(topK)
+      .select("tok")
+    val totals = tc.groupBy("src").agg(sum("c").as("nt"))
+    // per-mille relative frequency of each top word in each source;
+    // absent (src, word) pairs are genuine zeros
+    val grid = vocab.crossJoin(totals)
+      .join(tc, Seq("src", "tok"), "left")
+      .withColumn("f",
+        coalesce(col("c"), lit(0L)).cast("double") * 1000.0 / col("nt"))
+    val stats = grid.groupBy("tok")
+      .agg(count(lit(1)).as("ns"),
+        sum(d18(col("f"))).cast("double").as("s1"),
+        sum(d18(col("f") * col("f"))).cast("double").as("s2"))
+      .withColumn("mu", col("s1") / col("ns"))
+      .withColumn("sd", sqrt(greatest(lit(0.0),
+        (col("s2") - col("s1") * col("s1") / col("ns")) / col("ns"))))
+    val z = grid.join(stats.select(col("tok"), col("mu"), col("sd")),
+        Seq("tok"))
+      .filter(col("sd") > 0)
+      .withColumn("z", (col("f") - col("mu")) / col("sd"))
+      .select("src", "tok", "z")
+    val pairs = z.select(col("src").as("sa"), col("tok"),
+        col("z").as("za"))
+      .join(z.select(col("src").as("sb"), col("tok"), col("z").as("zb")),
+        Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_words"),
+        (sum(d18(abs(col("za") - col("zb")))).cast("double") /
+          count(lit(1))).as("delta"))
+    pairs
+      .withColumn("_rk", row_number().over(
+        W.orderBy(col("delta"), col("sa"), col("sb"))))
+      .filter(col("_rk") <= topPairs)
+      .select(col("_rk").as("rank"), col("sa"), col("sb"),
+        col("n_words"), round(col("delta"), 6).as("delta"))
+      .orderBy("rank")
+  }
+
   /** Per-source Zipf octave slope: token counts bucketed by integer
     * octave ⌊log2 c⌋ (the [[zipfOctaves]] libm-free log), then the
     * exact OLS slope of ⌊log2 types(octave)⌋ against the octave — a

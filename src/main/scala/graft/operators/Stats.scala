@@ -544,6 +544,44 @@ object Stats {
         "cast(1.0 as double), (acc, x) -> acc * x.f)").as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard Ĥ(t) = Σ_{u≤t} d_u/n_u with the
+    * Greenwood-form variance Σ d/(n(n−d)) — the additive companion of
+    * [[kaplanMeier]]: hazard slopes read rate changes directly (a
+    * flattening Ĥ means churn is slowing), and the variance column is
+    * what a CI band needs. Same life-table input, same bounded
+    * distinct-duration step frame.
+    *
+    * Replay discipline: each per-step term is ONE exact-int double
+    * division; the running sums decimal(38,18)-accumulate over the
+    * ordered step window (exact, order-free) and cast back once —
+    * bit-identical to the oracle without any product fold. The variance
+    * term is NULL-guarded for the n==d final-step boundary (everyone
+    * at risk fails: the factor's denominator is 0). */
+  def nelsonAalen(life: DataFrame, tCol: String, obsCol: String): DataFrame = {
+    val perT = life.groupBy(col(tCol).as("t"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col(obsCol), 1L).otherwise(0L)).as("d"))
+    val tot = perT.agg(sum("n_all").as("_N"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    perT.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("_N") - coalesce(sum("n_all").over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("h", col("d").cast("double") / col("n_at_risk"))
+      .withColumn("gv", when(col("n_at_risk") > col("d"),
+        col("d").cast("double") /
+          (col("n_at_risk") * (col("n_at_risk") - col("d")))))
+      .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+        round(sum(d18(col("h"))).over(wCum).cast("double"), 6)
+          .as("cum_hazard"),
+        round(sum(d18(col("gv"))).over(wCum).cast("double"), 6)
+          .as("greenwood_var"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): regress the outcome on
     * a pre-experiment covariate (θ = cov(x,y)/var(x), pooled), adjust
     * y_adj = y − θ·(x − x̄), and report per-arm raw vs adjusted means —
@@ -1392,6 +1430,74 @@ object Stats {
         round(col("mean_treated"), 6).as("mean_treated"),
         round(col("mean_matched_control"), 6).as("mean_matched_control"),
         round(col("att"), 6).as("att"))
+  }
+
+  /** Frequent k-step session paths: consecutive event-type triples
+    * within the session gap, counted and ranked — the "what do users
+    * actually do" mining pass beside the transition-matrix views
+    * (q187/q318 see single steps; paths expose the multi-step
+    * funnels). One lead-window pass builds the triples map-side; the
+    * count rollup collapses to the tiny path vocabulary. */
+  def frequentPaths(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, typeCol: String, gapUs: Long,
+                    topK: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val base = events
+      .withColumn("_t1", lead(col(typeCol), 1).over(w))
+      .withColumn("_t2", lead(col(typeCol), 2).over(w))
+      .withColumn("_g1", unix_micros(lead(col(tsCol), 1).over(w)) -
+        unix_micros(col(tsCol)))
+      .withColumn("_g2", unix_micros(lead(col(tsCol), 2).over(w)) -
+        unix_micros(lead(col(tsCol), 1).over(w)))
+      .filter(col("_t2").isNotNull && col("_g1") <= gapUs &&
+        col("_g2") <= gapUs)
+      .withColumn("path", concat_ws(">", col(typeCol), col("_t1"),
+        col("_t2")))
+    val counts = base.groupBy("path").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("_tot"))))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))))
+      .filter(col("_rk") <= topK)
+      .select(col("_rk").as("rank"), col("path"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("share"))
+      .orderBy("rank")
+  }
+
+  /** Autocorrelation function of a per-group integer series at lags
+    * 1..maxLag: the exact-sum Pearson of (x_t, x_{t+lag}) over the
+    * overlapping span — the seasonality reader (a weekly cycle shows
+    * as an ACF peak at lag 7) beside the q253 CROSS-correlation and
+    * the q351 decomposition. One self-join per lag on the shifted
+    * order key; all moments exact HUGEINT/decimal sums into the one
+    * closed-form division. */
+  def acfTable(daily: DataFrame, groupCol: String, orderCol: String,
+               vCol: String, maxLag: Int): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = daily.select(col(groupCol).as("g"),
+      col(orderCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+      .localCheckpoint()
+    (1 to maxLag).map { lag =>
+      val j = base.select(col("g"), col("t"), col("v").as("x"))
+        .join(base.select(col("g"), (col("t") - lag).as("t"),
+          col("v").as("y")), Seq("g", "t"))
+      j.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(d0(col("x")) * col("x")).as("sxx"),
+          sum(d0(col("y")) * col("y")).as("syy"),
+          sum(d0(col("x")) * col("y")).as("sxy"))
+        .filter(col("n") > 2)
+        .withColumn("_vx", col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx"))
+        .withColumn("_vy", col("n") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy"))
+        .withColumn("acf", when(col("_vx") > 0 && col("_vy") > 0,
+          (col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy")) /
+            (sqrt(col("_vx")) * sqrt(col("_vy")))))
+        .select(col("g").as(groupCol), lit(lag).as("lag"),
+          col("n").as("n_pairs"), round(col("acf"), 6).as("acf"))
+    }.reduce(_ unionByName _)
   }
 
   /** Cochran's stratified adjustment (Cochran 1968): split units into

@@ -167,7 +167,7 @@ object VectorExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     (VectorExpressions.builders ++ HashExpressions.builders ++
-        TopKAggregate.builders).foreach {
+        TopKAggregate.builders ++ StringExpressions.builders).foreach {
       case (name, builder) =>
         ext.injectFunction((
           FunctionIdentifier(name),

@@ -121,4 +121,26 @@ class LinkageSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(r.getDouble(4) == 0.5)
   }
+
+  test("phoneticBlocks: same-sound different-spelling words share a block") {
+    import spark.implicits._
+    val words = Seq("smith", "smyth", "robert", "rupert", "blue")
+      .toDF("w")
+    val blocks = Linkage.phoneticBlocks(words, "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(blocks("S530") == ((2L, "smith,smyth")))
+    assert(blocks("R163") == ((2L, "robert,rupert")))
+    assert(blocks("B400") == ((1L, "blue")))
+  }
+
+  test("diceBestMatch: dropped-char typo recovers its source word") {
+    import spark.implicits._
+    val vocab = Seq("widget", "window", "gizmo").toDF("w")
+    val variants = Seq(("widget", "wdget"), ("window", "wndow"))
+      .toDF("orig", "typo")
+    val out = Linkage.diceBestMatch(variants, "orig", "typo", vocab, "w")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("widget" -> "widget", "window" -> "window"))
+  }
 }

@@ -581,4 +581,21 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out.getAs[Double]("forecast_next") == l + b)
     assert(out.getAs[Double]("mse") == sse / 3)
   }
+
+  test("burrowsDelta: identical-style sources score 0, outlier scores higher") {
+    import spark.implicits._
+    // a and b share a word distribution; c inverts it
+    val docs = Seq(
+      ("a", "x x x y"), ("a", "x y"),
+      ("b", "x x x y"), ("b", "x y"),
+      ("c", "y y y x"), ("c", "y x"))
+      .toDF("source", "text")
+    val out = NgramLm.burrowsDelta(docs, "source", "text",
+        topK = 2, topPairs = 3)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        r.getAs[Double]("delta")).toMap
+    assert(out(("a", "b")) == 0.0)
+    assert(out(("a", "c")) > 0.0 && out(("b", "c")) > 0.0)
+    assert(out(("a", "c")) == out(("b", "c"))) // symmetry via identity
+  }
 }

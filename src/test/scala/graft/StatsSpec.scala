@@ -753,4 +753,50 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Double]("drop_ratio") == 1.0)
     assert(out.getAs[Double]("sse_single") > 0.0)
   }
+
+  test("nelsonAalen: hand-computed hazard steps, NULL-guarded n==d variance") {
+    import spark.implicits._
+    // t=1: 2 deaths of 4 at risk; t=2: censored; t=3: last one dies
+    val life = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("t", "obs")
+    val rows = Stats.nelsonAalen(life, "t", "obs")
+      .orderBy("t").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_at_risk") == 4L)
+    assert(rows(0).getAs[Double]("cum_hazard") == 0.5)       // 2/4
+    assert(rows(0).getAs[Double]("greenwood_var") == 0.25)   // 2/(4·2)
+    assert(rows(1).getAs[Long]("n_at_risk") == 1L)
+    assert(rows(1).getAs[Double]("cum_hazard") == 1.5)       // + 1/1
+    // final step has n==d: its variance factor is NULL, sum unchanged
+    assert(rows(1).getAs[Double]("greenwood_var") == 0.25)
+  }
+
+  test("acfTable: alternating series gives exact ±1 at lags 1 and 2") {
+    import spark.implicits._
+    val rows = (1 to 6).map(t => ("g", t.toLong,
+      if (t % 2 == 1) 1L else 2L))
+    val acf = Stats.acfTable(rows.toDF("g", "t", "v"), "g", "t", "v",
+        maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf"))
+      .toMap
+    assert(acf(1) == -1.0 && acf(2) == 1.0)
+  }
+
+  test("frequentPaths: session gap bounds triples; counts and shares exact") {
+    import spark.implicits._
+    val us = 1000000L
+    val ev = Seq(
+      ("u1", 0L, 1L, "a"), ("u1", 60 * us, 2L, "b"),
+      ("u1", 120 * us, 3L, "c"), ("u1", 180 * us, 4L, "a"),
+      // u2's second gap exceeds the 5-minute budget → no triple
+      ("u2", 0L, 5L, "a"), ("u2", 60 * us, 6L, "b"),
+      ("u2", 1000 * us, 7L, "c"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Stats.frequentPaths(ev, "user_id", "ts", "event_id",
+        "event_type", gapUs = 300L * us, topK = 10)
+      .collect().map(r => r.getString(1) -> (r.getLong(2),
+        r.getAs[Double]("share"))).toMap
+    assert(out == Map("a>b>c" -> ((1L, 0.5)), "b>c>a" -> ((1L, 0.5))))
+  }
 }
