@@ -7273,7 +7273,43 @@ object SparkEntry {
         .select(expr("(t1 - t0) div 3600000000").as("t"),
           (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
       Stats.nelsonAalen(life, "t", "observed").orderBy("t")
-    })
+    }),
+
+    "q440_kruskal_wallis" -> ((s, dir) =>
+      // k-sample nonparametric ANOVA: do the three return-flag arms
+      // share a quantity distribution? Midranks exact as 2·rank ints,
+      // tie-corrected H — heavy integer ties are the point here
+      Stats.kruskalWallis(tbl(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity")),
+
+    "q441_session_window" -> ((s, dir) => {
+      // sessionization with Spark's NATIVE session_window (gap-merged
+      // event-time windows, the streaming-ready form) — the oracle
+      // replays it as the classic gaps-and-islands SQL; stats must agree
+      val sess = events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_ev"),
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        max("n_ev").as("max_events"),
+        round(sum("n_ev").cast("double") / count(lit(1)), 6)
+          .as("avg_events"),
+        round(sum(col("t1") - col("t0")).cast("double") /
+          count(lit(1)) / 1000000.0, 6).as("avg_duration_s"))
+    }),
+
+    "q442_brown_forsythe" -> ((s, dir) =>
+      // variance-equality gate before pooled inference: Levene with
+      // median centers over price cents by return flag — exact integer
+      // deviations from histogram-read lower medians
+      Stats.brownForsythe(
+        tbl(s, dir, "lineitem")
+          .withColumn("cents",
+            round(col("l_extendedprice") * 100).cast("long")),
+        "l_returnflag", "cents"))
   )
 
   // ======================================================================
@@ -12836,6 +12872,108 @@ object SparkEntry {
           |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
           |      CURRENT ROW) AS DOUBLE), 6) AS greenwood_var
           |FROM st ORDER BY t""".stripMargin,
+
+      // midranks as exact 2·rank ints over the value histogram; H and
+      // its tie correction assembled from exact BIGINT/decimal moments
+      "q440_kruskal_wallis" ->
+        """WITH base AS (SELECT l_returnflag AS g,
+          |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+          |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base
+          |  GROUP BY v),
+          |rk AS (SELECT v, t, 2 * CAST(coalesce(SUM(t) OVER (ORDER BY v
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |    AS BIGINT) + t + 1 AS r2 FROM pv),
+          |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv
+          |  FROM base GROUP BY 1, 2),
+          |gs AS (SELECT g, CAST(SUM(n_gv * r2) AS BIGINT) AS s2,
+          |    CAST(SUM(n_gv) AS BIGINT) AS n_g
+          |  FROM gv JOIN rk USING (v) GROUP BY g),
+          |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+          |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM pv),
+          |terms AS (SELECT nn, tie,
+          |    CAST(CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE) / 4.0 / n_g
+          |      AS term
+          |  FROM gs, tot),
+          |ag AS (SELECT nn, tie, count(*) AS k,
+          |    CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS s
+          |  FROM terms GROUP BY nn, tie),
+          |hh AS (SELECT nn, tie, k,
+          |    12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * s -
+          |      3.0 * (CAST(nn AS DOUBLE) + 1) AS h,
+          |    1.0 - CAST(tie AS DOUBLE) /
+          |      (CAST(nn AS DOUBLE) * nn * nn - nn) AS c
+          |  FROM ag)
+          |SELECT nn AS n, k, k - 1 AS df, round(h, 6) AS h,
+          |  CASE WHEN c > 0 THEN round(h / c, 6) END AS h_adj
+          |FROM hh""".stripMargin,
+
+      // gaps-and-islands replay of the native session_window: break at
+      // gap >= 30 min, island id = cumulative break count
+      "q441_session_window" ->
+        """WITH e AS (SELECT user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |l AS (SELECT user_id, us,
+          |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus
+          |  FROM e),
+          |f AS (SELECT user_id, us, CASE WHEN pus IS NULL OR
+          |      us - pus >= 1800000000 THEN 1 ELSE 0 END AS brk
+          |  FROM l),
+          |s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id
+          |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+          |g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+          |    min(us) AS t0, max(us) AS t1
+          |  FROM s GROUP BY 1, 2)
+          |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+          |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_singleton,
+          |  max(n_ev) AS max_events,
+          |  round(CAST(SUM(n_ev) AS DOUBLE) / count(*), 6) AS avg_events,
+          |  round(CAST(SUM(t1 - t0) AS DOUBLE) / count(*) / 1000000.0, 6)
+          |    AS avg_duration_s
+          |FROM g""".stripMargin,
+
+      // histogram-read lower medians, exact integer deviations, F from
+      // the sum-of-squares identities
+      "q442_brown_forsythe" ->
+        """WITH base AS (SELECT l_returnflag AS g,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |  FROM lineitem),
+          |hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          |  FROM base GROUP BY 1, 2),
+          |cums AS (SELECT g, v, c,
+          |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+          |  FROM hist),
+          |med AS (SELECT g, min(v) AS m, max(n_g) AS n_g FROM cums
+          |  WHERE cum >= (n_g + 1) // 2 GROUP BY g),
+          |zt AS (SELECT h.g, max(med.n_g) AS n_g,
+          |    CAST(SUM(h.c * abs(h.v - med.m)) AS BIGINT) AS sz,
+          |    SUM(CAST(h.c AS DECIMAL(38,0)) * abs(h.v - med.m) *
+          |      abs(h.v - med.m)) AS szz
+          |  FROM hist h JOIN med ON h.g = med.g GROUP BY h.g),
+          |parts AS (SELECT g, n_g, sz,
+          |    CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n_g
+          |      AS between_t,
+          |    CAST(szz AS DOUBLE) -
+          |      CAST(CAST(sz AS DECIMAL(38,0)) * sz AS DOUBLE) / n_g
+          |      AS within_t
+          |  FROM zt),
+          |ag AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, count(*) AS k,
+          |    CAST(SUM(CAST(between_t AS DECIMAL(38,18))) AS DOUBLE)
+          |      AS b,
+          |    CAST(SUM(CAST(within_t AS DECIMAL(38,18))) AS DOUBLE)
+          |      AS w,
+          |    CAST(SUM(sz) AS BIGINT) AS s_all
+          |  FROM parts),
+          |bs AS (SELECT n, k, b - CAST(CAST(s_all AS DECIMAL(38,0)) *
+          |      s_all AS DOUBLE) / n AS bss, w
+          |  FROM ag)
+          |SELECT ag.n, ag.k, ag.k - 1 AS df1, ag.n - ag.k AS df2,
+          |  CASE WHEN bs.w > 0 AND ag.k > 1 THEN
+          |    round((bs.bss / (CAST(ag.k AS DOUBLE) - 1)) /
+          |      (bs.w / (CAST(ag.n AS DOUBLE) - ag.k)), 6) END AS f
+          |FROM ag, bs""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

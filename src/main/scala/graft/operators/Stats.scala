@@ -265,6 +265,105 @@ object Stats {
           .as("trimmed_mean"))
   }
 
+  /** Kruskal–Wallis H test (1952) over integer-valued observations —
+    * the k-sample nonparametric ANOVA completing the rank family
+    * (two-sample AUC rank-sum, permutation p-values): do the k groups
+    * share a location, without normality assumptions? Ranks are
+    * midranks kept EXACT as 2·rank integers (2·below + ties + 1);
+    * per-group rank sums and the tie-correction Σ(t³−t) are exact
+    * BIGINT/decimal, and H is assembled from them in a fixed double
+    * tree. Output: (n, k, df, h, h_adj) — h_adj NULL if every value is
+    * identical (tie correction 0).
+    *
+    * Scale shape: everything runs on the DISTINCT-value histogram
+    * (value-vocabulary-sized, never row-sized): one global cumulative
+    * window over the histogram, one (group × value) aggregate. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val perV = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("below", coalesce(sum("t").over(wOrd), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1)
+    val gs = base.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+      .join(ranked.select("v", "r2"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("n_gv") * col("r2")).as("s2"), sum("n_gv").as("n_g"))
+    val tot = ranked.agg(sum("t").as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    gs.crossJoin(broadcast(tot))
+      // S_i = s2/2 ⇒ S_i²/n_i = s2²/(4·n_i); decimal square, one cast
+      .withColumn("term",
+        (d0(col("s2")) * col("s2")).cast("double") / 4.0 / col("n_g"))
+      .groupBy("nn", "tie")
+      .agg(count(lit(1)).as("k"),
+        sum(d18(col("term"))).cast("double").as("s"))
+      .withColumn("h",
+        lit(12.0) / (col("nn").cast("double") * (col("nn") + 1)) *
+          col("s") - lit(3.0) * (col("nn").cast("double") + 1))
+      .withColumn("c", lit(1.0) - col("tie").cast("double") /
+        (col("nn").cast("double") * col("nn") * col("nn") - col("nn")))
+      .select(col("nn").as("n"), col("k"), (col("k") - 1).as("df"),
+        round(col("h"), 6).as("h"),
+        when(col("c") > 0, round(col("h") / col("c"), 6)).as("h_adj"))
+  }
+
+  /** Brown–Forsythe test (1974) — Levene's variance-equality test with
+    * the MEDIAN center: are the k groups' spreads equal? The robust
+    * pre-check before any pooled-variance inference. Centers are LOWER
+    * medians read off the per-group value histogram (deterministic
+    * order statistic, no interpolation — so the absolute deviations
+    * stay exact integers), and the F statistic assembles from exact
+    * Σz/Σz² moments via the sum-of-squares identities. Output one row:
+    * (n, k, df1, df2, f).
+    *
+    * Scale shape: two passes over the (group × distinct-value)
+    * histogram — one cumulative window for the median, one aggregate
+    * for the moments; nothing row-sorted. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val hist = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val med = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_g", sum("c").over(wAll))
+      .filter(col("cum") >= expr("(n_g + 1) div 2")) // div: Spark `/` on
+      .groupBy("g").agg(min("v").as("m"), max("n_g").as("n_g")) // longs is double
+    val z = hist.join(med, Seq("g"))
+      .withColumn("z", abs(col("v") - col("m")))
+      .groupBy("g")
+      .agg(max("n_g").as("n_g"), sum(col("c") * col("z")).as("sz"),
+        sum(d0(col("c")) * col("z") * col("z")).as("szz"))
+    val parts = z
+      .withColumn("between", (d0(col("sz")) * col("sz")).cast("double") /
+        col("n_g"))
+      .withColumn("within", col("szz").cast("double") -
+        (d0(col("sz")) * col("sz")).cast("double") / col("n_g"))
+    parts.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(d18(col("between"))).cast("double").as("b"),
+        sum(d18(col("within"))).cast("double").as("w"),
+        sum("sz").as("s_all"))
+      .withColumn("bss", col("b") -
+        (d0(col("s_all")) * col("s_all")).cast("double") / col("n"))
+      .select(col("n"), col("k"), (col("k") - 1).as("df1"),
+        (col("n") - col("k")).as("df2"),
+        when(col("w") > 0 && col("k") > 1, round(
+          (col("bss") / (col("k").cast("double") - 1)) /
+            (col("w") / (col("n").cast("double") - col("k"))), 6))
+          .as("f"))
+  }
+
   /** Burstiness audit: the index of dispersion (Fano factor) of per-bucket
     * event counts for each group — D = variance/mean of the counts over
     * fixed time buckets. A Poisson-ish organic stream has D ≈ 1;

@@ -771,6 +771,40 @@ class StatsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("greenwood_var") == 0.25)
   }
 
+  test("kruskalWallis: textbook H, exact midrank tie correction") {
+    import spark.implicits._
+    // no ties: a=[1,2] b=[3,4] → H = 12/20·(9/2+49/2) − 15 = 2.4
+    val plain = Stats.kruskalWallis(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v"),
+      "g", "v").head()
+    assert(plain.getAs[Long]("n") == 4L && plain.getAs[Long]("k") == 2L)
+    assert(plain.getAs[Double]("h") == 2.4)
+    assert(plain.getAs[Double]("h_adj") == 2.4) // tie term 0
+    // full ties inside groups: midranks 1.5/3.5, C = 1 − 12/60 = 0.8
+    val tied = Stats.kruskalWallis(
+      Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("g", "v"),
+      "g", "v").head()
+    assert(tied.getAs[Double]("h") == 2.4)
+    assert(tied.getAs[Double]("h_adj") == 3.0)
+    // degenerate: single distinct value → C = 0 → h_adj NULL
+    val flat = Stats.kruskalWallis(
+      Seq(("a", 7L), ("b", 7L)).toDF("g", "v"), "g", "v").head()
+    assert(flat.isNullAt(flat.fieldIndex("h_adj")))
+  }
+
+  test("brownForsythe: hand-computed F from lower-median deviations") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 100L).map(("x", _)) ++
+      Seq(5L, 5L, 5L, 5L).map(("y", _))).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("k") == 2L)
+    // x: median idx (4+1) div 2 = 2 → m=2 (LOWER median), z=[1,0,1,98]
+    // bss = 2500 − 100²/8 = 1250; wss = 9606 − 2500 = 7106
+    val f = BigDecimal((1250.0 / 1.0) / (7106.0 / 6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("f") == f)
+  }
+
   test("acfTable: alternating series gives exact ±1 at lags 1 and 2") {
     import spark.implicits._
     val rows = (1 to 6).map(t => ("g", t.toLong,
