@@ -7309,7 +7309,35 @@ object SparkEntry {
         tbl(s, dir, "lineitem")
           .withColumn("cents",
             round(col("l_extendedprice") * 100).cast("long")),
-        "l_returnflag", "cents"))
+        "l_returnflag", "cents")),
+
+    "q443_jensen_shannon" -> ((s, dir) =>
+      // corpus-mix distance matrix: pairwise JSD (nats) between source
+      // unigram distributions — near-zero pairs are collapsible
+      // redundancy, the content companion of q434's style Delta
+      NgramLm.jensenShannonBySource(tbl(s, dir, "documents"), "source",
+          "text")
+        .orderBy("sa", "sb")),
+
+    "q444_longest_streaks" -> ((s, dir) =>
+      // engagement gaps-and-islands: top-20 users by longest run of
+      // consecutive active days (day − row_number constant on a run)
+      Stats.longestStreaks(
+        events(s, dir).withColumn("day",
+          expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")),
+        "user_id", "day", topK = 20)),
+
+    "q445_rfm_segments" -> ((s, dir) =>
+      // customer-base health grid: deterministic RFM quintile codes
+      // (ntile over (metric, user) order) rolled up with segment size
+      // and average spend
+      Stats.rfmSegments(
+          events(s, dir)
+            .withColumn("day",
+              expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)"))
+            .withColumn("cents", round(col("value") * 100).cast("long")),
+          "user_id", "day", "cents")
+        .orderBy("rfm_code"))
   )
 
   // ======================================================================
@@ -12974,6 +13002,80 @@ object SparkEntry {
           |    round((bs.bss / (CAST(ag.k AS DOUBLE) - 1)) /
           |      (bs.w / (CAST(ag.n AS DOUBLE) - ag.k)), 6) END AS f
           |FROM ag, bs""".stripMargin,
+
+      // directed KL-to-midpoint sums over each source's own vocabulary
+      // (left join for the other count), symmetrized as (x+y)/2
+      "q443_jensen_shannon" ->
+        """WITH toks AS (SELECT source AS src,
+          |    unnest(list_filter(regexp_split_to_array(lower(text),
+          |      '\s+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tc AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM toks GROUP BY 1, 2),
+          |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nt FROM tc
+          |  GROUP BY src),
+          |a AS (SELECT tc.src AS sa, tok, c AS ca, nt AS na
+          |  FROM tc JOIN tot ON tc.src = tot.src),
+          |o1 AS (SELECT a.sa, bt.src AS sb, a.tok, a.ca, a.na,
+          |    bc.c AS cb, bt.nt AS nb
+          |  FROM a JOIN tot bt ON bt.src <> a.sa
+          |  LEFT JOIN tc bc ON bc.src = bt.src AND bc.tok = a.tok),
+          |terms AS (SELECT sa, sb,
+          |    CAST(ca AS DOUBLE) / na AS pa,
+          |    CAST(coalesce(cb, 0) AS DOUBLE) / nb AS qb
+          |  FROM o1),
+          |t AS (SELECT sa, sb,
+          |    SUM(CAST(pa * ln(2.0 * pa / (pa + qb)) AS DECIMAL(38,18)))
+          |      AS t,
+          |    CAST(count(*) AS BIGINT) AS n_terms
+          |  FROM terms GROUP BY 1, 2)
+          |SELECT x.sa, x.sb, x.n_terms + y.n_terms AS n_terms,
+          |  round((CAST(x.t AS DOUBLE) + CAST(y.t AS DOUBLE)) / 2.0, 6)
+          |    AS jsd
+          |FROM t x JOIN t y ON y.sa = x.sb AND y.sb = x.sa
+          |WHERE x.sa < x.sb ORDER BY x.sa, x.sb""".stripMargin,
+
+      // islands: day − row_number constant on consecutive-day runs
+      "q444_longest_streaks" ->
+        """WITH d AS (SELECT DISTINCT user_id,
+          |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |      AS day
+          |  FROM events),
+          |i AS (SELECT user_id, day,
+          |    day - row_number() OVER (PARTITION BY user_id
+          |      ORDER BY day) AS grp
+          |  FROM d),
+          |runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          |  FROM i GROUP BY 1, 2)
+          |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+          |  max(len) AS longest_streak
+          |FROM runs GROUP BY user_id
+          |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin,
+
+      // deterministic quintiles: ntile(5) over (metric, user) both
+      // engines split ceil-first identically
+      "q445_rfm_segments" ->
+        """WITH per AS (SELECT user_id,
+          |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+          |      AS last_day,
+          |    CAST(count(*) AS BIGINT) AS freq,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS cents
+          |  FROM events GROUP BY user_id),
+          |gm AS (SELECT max(last_day) AS gd FROM per),
+          |sc AS (SELECT user_id, freq, cents, gd - last_day AS recency
+          |  FROM per, gm),
+          |nt AS (SELECT cents,
+          |    ntile(5) OVER (ORDER BY recency, user_id) AS r,
+          |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+          |    ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+          |  FROM sc)
+          |SELECT CAST(r AS STRING) || CAST(f AS STRING) ||
+          |    CAST(m AS STRING) AS rfm_code,
+          |  CAST(count(*) AS BIGINT) AS n_entities,
+          |  round(CAST(SUM(cents) AS DOUBLE) / count(*) / 100.0, 6)
+          |    AS avg_value
+          |FROM nt GROUP BY 1 ORDER BY rfm_code""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

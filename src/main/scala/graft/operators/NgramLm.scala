@@ -323,6 +323,56 @@ object NgramLm {
       .orderBy("rank")
   }
 
+  /** Pairwise Jensen–Shannon divergence (nats) between per-source
+    * unigram distributions — the bounded, symmetric corpus-mix
+    * "distance matrix" (JSD ≤ ln 2): near-zero pairs are redundant
+    * sources a mixture designer can collapse; large pairs mark genuine
+    * diversity. Complements [[burrowsDelta]] (style over function
+    * words) with full-vocabulary CONTENT divergence.
+    *
+    * JSD(p,q) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)); zero-count
+    * terms vanish, so each directed sum runs only over the source's own
+    * vocabulary (left join for the other side's count). Frequencies and
+    * log terms are fixed double trees over exact counts; directed sums
+    * decimal-accumulate, and the pair combines as one (x+y)/2. ln is
+    * shared JVM/libm territory — output rounds at 6 (parity rule:
+    * log-valued outputs always display-round).
+    *
+    * Scale shape: one token-count shuffle; the pair frame is
+    * (sources² × per-source vocab), sources being a handful. */
+  def jensenShannonBySource(df: DataFrame, srcCol: String,
+                            textCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val tc = df.select(col(srcCol).as("src"),
+        explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = tc.groupBy("src").agg(sum("c").as("nt"))
+    val a = tc.join(tot, Seq("src"))
+      .select(col("src").as("sa"), col("tok"), col("c").as("ca"),
+        col("nt").as("na"))
+    val ordered = a
+      .join(broadcast(tot.select(col("src").as("sb"),
+        col("nt").as("nb"))), col("sb") =!= col("sa"))
+      .join(tc.select(col("src").as("sb"), col("tok"),
+        col("c").as("cb")), Seq("sb", "tok"), "left")
+      .withColumn("pa", col("ca").cast("double") / col("na"))
+      .withColumn("qb",
+        coalesce(col("cb"), lit(0L)).cast("double") / col("nb"))
+      .withColumn("term", col("pa") *
+        log(lit(2.0) * col("pa") / (col("pa") + col("qb"))))
+      .groupBy("sa", "sb").agg(sum(d18(col("term"))).as("t"),
+        count(lit(1)).as("n_terms"))
+    ordered
+      .join(ordered.select(col("sb").as("sa"), col("sa").as("sb"),
+        col("t").as("t2"), col("n_terms").as("n2")), Seq("sa", "sb"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        (col("n_terms") + col("n2")).as("n_terms"),
+        round((col("t").cast("double") + col("t2").cast("double")) / 2.0,
+          6).as("jsd"))
+  }
+
   /** Per-source Zipf octave slope: token counts bucketed by integer
     * octave ⌊log2 c⌋ (the [[zipfOctaves]] libm-free log), then the
     * exact OLS slope of ⌊log2 types(octave)⌋ against the octave — a

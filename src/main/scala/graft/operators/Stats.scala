@@ -364,6 +364,63 @@ object Stats {
           .as("f"))
   }
 
+  /** Longest consecutive-day activity streak per entity — the classic
+    * gaps-and-islands engagement metric (an island is a run of distinct
+    * active days where each day = previous + 1; `day − row_number` is
+    * constant exactly on such runs). Returns the `topK` entities by
+    * (longest_streak desc, entity asc) with their total active days.
+    *
+    * Scale shape: rows collapse to DISTINCT (entity, day) first, so the
+    * window sorts the per-entity day list (bounded by the calendar, not
+    * the event count); the final top-k is a TakeOrdered, no global
+    * sort. */
+  def longestStreaks(df: DataFrame, entityCol: String, dayCol: String,
+                     topK: Int): DataFrame = {
+    val days = df.select(col(entityCol).as("e"),
+      col(dayCol).cast("long").as("day")).distinct()
+    val w = Window.partitionBy("e").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("e", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("e").agg(sum("len").as("n_active_days"),
+        max("len").as("longest_streak"))
+      .orderBy(col("longest_streak").desc, col("e"))
+      .limit(topK)
+      .select(col("e").as(entityCol), col("n_active_days"),
+        col("longest_streak"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles): each
+    * entity scored 1–5 on each axis by `ntile(5)` with a deterministic
+    * (metric, entity) order, rolled up per 3-digit code with size and
+    * average monetary value — the standard customer-base health grid.
+    * Recency quintile 1 = most recent (smallest day gap).
+    *
+    * Exactness: quintile assignment is pure integer positioning (both
+    * engines split ⌈n/5⌉-first); the only double is the final avg =
+    * sum/count division. One per-entity aggregate, three small windows
+    * over the entity frame, one rollup. */
+  def rfmSegments(df: DataFrame, entityCol: String, dayCol: String,
+                  valueCol: String): DataFrame = {
+    val per = df.groupBy(col(entityCol).as("e"))
+      .agg(max(col(dayCol).cast("long")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col(valueCol).cast("long")).as("cents"))
+    val gmax = per.agg(max("last_day").as("gd"))
+    val scored = per.crossJoin(broadcast(gmax))
+      .withColumn("recency", col("gd") - col("last_day"))
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency"), col("e"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("e"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("cents").desc, col("e"))))
+    scored.groupBy(concat(col("r"), col("f"), col("m")).as("rfm_code"))
+      .agg(count(lit(1)).as("n_entities"),
+        round(sum("cents").cast("double") / count(lit(1)) / 100.0, 6)
+          .as("avg_value"))
+  }
+
   /** Burstiness audit: the index of dispersion (Fano factor) of per-bucket
     * event counts for each group — D = variance/mean of the counts over
     * fixed time buckets. A Poisson-ish organic stream has D ≈ 1;

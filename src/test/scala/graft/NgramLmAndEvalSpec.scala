@@ -598,4 +598,17 @@ class NgramLmAndEvalSpec extends SparkSpec {
     assert(out(("a", "c")) > 0.0 && out(("b", "c")) > 0.0)
     assert(out(("a", "c")) == out(("b", "c"))) // symmetry via identity
   }
+
+  test("jensenShannon: 0 for identical mixes, ln 2 for disjoint vocabularies") {
+    import spark.implicits._
+    val docs = Seq(("a", "x x y"), ("b", "x x y"), ("c", "z w z"))
+      .toDF("source", "text")
+    val out = NgramLm.jensenShannonBySource(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd")).toMap
+    assert(out(("a", "b")) == 0.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("a", "c")) == ln2 && out(("b", "c")) == ln2)
+  }
 }

@@ -805,6 +805,32 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("f") == f)
   }
 
+  test("longestStreaks: islands split on the missing day") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L),
+      (2L, 10L), (2L, 10L)).toDF("u", "day") // u2: duplicate day rows
+    val out = Stats.longestStreaks(df, "u", "day", topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ((5L, 3L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("rfmSegments: distinct metrics yield distinct quintiles, exact rollup") {
+    import spark.implicits._
+    // 5 users: user i has last day i, i events of 100·i cents each
+    val rows = (1 to 5).flatMap(i =>
+      (1 to i).map(_ => (i.toLong, i.toLong, 100L * i)))
+    val out = Stats.rfmSegments(rows.toDF("u", "day", "cents"),
+      "u", "day", "cents").collect()
+    assert(out.length == 5) // all metrics distinct → 5 distinct codes
+    // user 5: most recent (r=1), most frequent (f=1), biggest spend (m=1)
+    val top = out.find(_.getString(0) == "111").get
+    assert(top.getLong(1) == 1L)
+    // avg per-ENTITY total spend: 5 events × 500 cents = 25.00
+    assert(top.getDouble(2) == 25.0)
+  }
+
   test("acfTable: alternating series gives exact ±1 at lags 1 and 2") {
     import spark.implicits._
     val rows = (1 to 6).map(t => ("g", t.toLong,
