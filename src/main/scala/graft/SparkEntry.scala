@@ -7337,7 +7337,49 @@ object SparkEntry {
               expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)"))
             .withColumn("cents", round(col("value") * 100).cast("long")),
           "user_id", "day", "cents")
-        .orderBy("rfm_code"))
+        .orderBy("rfm_code")),
+
+    "q446_hill_tail" -> ((s, dir) =>
+      // Pareto-tail exponent of order totals from the top-500 order
+      // statistics (TakeOrdered, no global sort) — α ≤ 2 would force
+      // heavy-tail-aware sampling plans; completes the q432 EVT pair
+      Stats.hillTailIndex(
+        tbl(s, dir, "orders")
+          .withColumn("cents",
+            round(col("o_totalprice") * 100).cast("long")),
+        "cents", "o_orderkey", k = 500)),
+
+    "q447_weibull_fit" -> ((s, dir) => {
+      // parametric close-out of the survival family (q251 KM, q439 NA,
+      // logRank): Weibull shape/scale by median-rank regression over the
+      // uncensored churn lifetimes — k < 1 reads as infant-mortality
+      // churn, k > 1 as wear-out
+      val per = events(s, dir).groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      val gmax = per.agg(max("t1").as("gm"))
+      val life = per.crossJoin(broadcast(gmax))
+        .select(expr("(t1 - t0) div 3600000000").as("t"),
+          (col("t1") < col("gm") - lit(43200000000L)).as("observed"))
+      Stats.weibullFit(life, "t", "observed")
+    }),
+
+    "q448_assortativity" -> ((s, dir) => {
+      // global shape of the q101 kNN graph: degree assortativity over
+      // the symmetrized edges — kNN graphs run disassortative (hub
+      // prototypes absorb everyone's neighbor slots); completes the
+      // modularity/clustering-coefficient trio
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      GraphAnalytics.assortativity(
+        Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
+        "id", "nbr_id")
+    })
   )
 
   // ======================================================================
@@ -13076,6 +13118,97 @@ object SparkEntry {
           |  round(CAST(SUM(cents) AS DOUBLE) / count(*) / 100.0, 6)
           |    AS avg_value
           |FROM nt GROUP BY 1 ORDER BY rfm_code""".stripMargin,
+
+      // top-(k+1) order statistics; decimal-accumulated log ratios
+      "q446_hill_tail" ->
+        """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+          |    AS v, o_orderkey AS tie FROM orders),
+          |top AS (SELECT v, row_number() OVER (ORDER BY v DESC, tie)
+          |    AS rk FROM v),
+          |th AS (SELECT v AS xk FROM top WHERE rk = 501),
+          |g AS (SELECT xk, CAST(count(*) AS BIGINT) AS k,
+          |    CAST(SUM(CAST(ln(CAST(t.v AS DOUBLE)) -
+          |      ln(CAST(xk AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE)
+          |      AS s
+          |  FROM top t, th WHERE t.rk <= 500 GROUP BY xk)
+          |SELECT k, xk AS x_k, round(s / k, 6) AS gamma,
+          |  CASE WHEN s > 0 THEN round(1.0 / (s / k), 6) END AS alpha
+          |FROM g""".stripMargin,
+
+      // q251's life table, observed-only, median ranks → ln/ln OLS
+      "q447_weibull_fit" ->
+        """WITH per AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+          |  FROM events GROUP BY user_id),
+          |gm AS (SELECT max(t1) AS gm FROM per),
+          |life AS (SELECT (t1 - t0) // 3600000000 AS t,
+          |    t1 < gm - 43200000000 AS observed FROM per, gm),
+          |f AS (SELECT t FROM life WHERE observed AND t > 0),
+          |r AS (SELECT t, row_number() OVER (ORDER BY t) AS i,
+          |    count(*) OVER () AS n FROM f),
+          |xy AS (SELECT n, ln(CAST(t AS DOUBLE)) AS x,
+          |    ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3) / (n + 0.4))) AS y
+          |  FROM r),
+          |m AS (SELECT n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+          |  FROM xy GROUP BY n),
+          |sl AS (SELECT n, sx, sy, sxx, syy, sxy,
+          |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS shape
+          |  FROM m)
+          |SELECT CAST(n AS BIGINT) AS n_fail, round(shape, 6) AS shape,
+          |  round(exp(-((sy - shape * sx) / n) / shape), 6) AS scale,
+          |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+          |FROM sl""".stripMargin,
+
+      // q101's kNN edges symmetrized; q111's decimal-moment Pearson
+      // over endpoint degrees
+      "q448_assortativity" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |a AS (SELECT vec_id, embedding, centroid_id FROM (
+          |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+          |          c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+          |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+          |      CAST(r.embedding AS DOUBLE[])) AS distance
+          |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+          |    AND l.vec_id <> r.vec_id),
+          |g0 AS (SELECT id, nbr_id FROM (
+          |    SELECT id, nbr_id, row_number() OVER (PARTITION BY id
+          |      ORDER BY distance, nbr_id) AS rk FROM p) WHERE rk <= 3),
+          |und AS (SELECT id AS ea, nbr_id AS eb FROM g0
+          |  UNION SELECT nbr_id, id FROM g0),
+          |deg AS (SELECT ea, CAST(count(*) AS BIGINT) AS d FROM und
+          |  GROUP BY ea),
+          |j AS (SELECT und.ea, dx.d AS dx, dy.d AS dy FROM und
+          |  JOIN deg dx ON und.ea = dx.ea
+          |  JOIN deg dy ON und.eb = dy.ea),
+          |st AS (SELECT CAST(count(DISTINCT ea) AS BIGINT) AS n_nodes,
+          |    CAST(count(*) AS BIGINT) AS n_edges,
+          |    CAST(SUM(CAST(dx AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(dy AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(dx * dx AS DECIMAL(24,6))) AS DOUBLE)
+          |      AS sxx,
+          |    CAST(SUM(CAST(dy * dy AS DECIMAL(24,6))) AS DOUBLE)
+          |      AS syy,
+          |    CAST(SUM(CAST(dx * dy AS DECIMAL(24,6))) AS DOUBLE)
+          |      AS sxy
+          |  FROM j)
+          |SELECT n_nodes, n_edges,
+          |  round((n_edges * sxy - sx * sy) /
+          |    (sqrt(n_edges * sxx - sx * sx) *
+          |     sqrt(n_edges * syy - sy * sy)), 12) AS assortativity
+          |FROM st""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

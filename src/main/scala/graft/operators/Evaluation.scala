@@ -864,4 +864,5 @@ object Evaluation {
         round(col("mse_before"), 9).as("mse_before"),
         round(col("mse_after"), 9).as("mse_after"))
   }
+
 }

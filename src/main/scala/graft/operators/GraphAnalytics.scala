@@ -880,4 +880,39 @@ object GraphAnalytics {
         round(when(col("_tot") > 0, col("effect") / col("_tot")), 6)
           .as("attr_share"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive means
+    * hubs attach to hubs (social-graph shape), negative means hub-spoke
+    * (kNN graphs are typically disassortative: everyone's neighbor list
+    * fills with a few central prototypes). Completes the global-shape
+    * trio with modularity and clustering coefficient.
+    *
+    * Exactness: degrees are exact ints; the correlation uses the q111
+    * decimal-moment tree (one double expression at the end). Two
+    * shuffles: degree aggregate + the two hash joins back onto the
+    * symmetrized edges. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val d24 = (c: Column) => c.cast("decimal(24,6)")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct("a").as("n_nodes"),
+        sum(d24(col("dx"))).cast("double").as("sx"),
+        sum(d24(col("dy"))).cast("double").as("sy"),
+        sum(d24(col("dx") * col("dx"))).cast("double").as("sxx"),
+        sum(d24(col("dy") * col("dy"))).cast("double").as("syy"),
+        sum(d24(col("dx") * col("dy"))).cast("double").as("sxy"))
+      .select(col("n_nodes"), col("n_edges"),
+        round((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_edges") * col("syy") - col("sy") * col("sy"))),
+          12).as("assortativity"))
+  }
 }

@@ -421,6 +421,84 @@ object Stats {
           .as("avg_value"))
   }
 
+  /** Hill tail-index estimator (1975) over the top-`k` order statistics
+    * of an integer-valued column: γ̂ = (1/k)Σ ln(x_(i)/x_(k+1)) and
+    * α̂ = 1/γ̂ — the Pareto-tail exponent readout completing the
+    * extreme-value pair with the mean-excess table (q432): α ≤ 2 means
+    * infinite variance, sampling/bounds plans must switch to
+    * heavy-tail-aware estimators. Tie-break by `tieCol` makes the
+    * top-k set deterministic (equal values make γ̂ order-free anyway).
+    *
+    * Scale shape: `orderBy().limit(k+1)` is a TakeOrderedAndProject —
+    * per-partition top-(k+1) heaps, no global sort; everything after
+    * runs on k+1 rows. Log terms decimal-accumulate; γ̂ and α̂ are
+    * single-division doubles, NULL α̂ when the top is flat (γ̂ = 0). */
+  def hillTailIndex(df: DataFrame, valueCol: String, tieCol: String,
+                    k: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val top = df.select(col(valueCol).cast("long").as("v"),
+        col(tieCol).as("tie"))
+      .orderBy(col("v").desc, col("tie")).limit(k + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("v").desc, col("tie"))))
+    val th = top.filter(col("rk") === k + 1).select(col("v").as("xk"))
+    top.filter(col("rk") <= k).crossJoin(broadcast(th))
+      .select(col("xk"), (log(col("v").cast("double")) -
+        log(col("xk").cast("double"))).as("t"))
+      .groupBy("xk").agg(count(lit(1)).as("k"),
+        sum(d18(col("t"))).cast("double").as("s"))
+      .select(col("k"), col("xk").as("x_k"),
+        round(col("s") / col("k"), 6).as("gamma"),
+        when(col("s") > 0,
+          round(lit(1.0) / (col("s") / col("k")), 6)).as("alpha"))
+  }
+
+  /** Weibull fit by median-rank regression (Bernard's approximation):
+    * the parametric close-out of the survival family ([[kaplanMeier]],
+    * [[nelsonAalen]], [[logRank]]) — ln(−ln(1−F_i)) regressed on
+    * ln(t_i) over the UNCENSORED failure times gives shape k (k < 1:
+    * infant-mortality churn, k ≈ 1: memoryless, k > 1: wear-out) and
+    * scale λ = exp(−b/k). F_i = (i − 0.3)/(n + 0.4) median ranks.
+    * Equal times permute freely under the row_number: their (x, y)
+    * pair SETS are identical, so the OLS sums don't depend on the
+    * tie order. Censored rows are excluded (plain MRR; the adjusted-
+    * rank variant is a different estimator), as are t ≤ 0 lifetimes.
+    *
+    * One rank window over the failure-time frame (entity-level — user
+    * count, never event-sized), decimal-accumulated OLS moments, fixed
+    * double tree + exp/ln (display-rounded). */
+  def weibullFit(life: DataFrame, tCol: String,
+                 obsCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val f = life.filter(col(obsCol) && col(tCol) > 0)
+      .select(col(tCol).cast("long").as("t"))
+    val ranked = f
+      .withColumn("i", row_number().over(Window.orderBy("t")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("x", log(col("t").cast("double")))
+      .withColumn("y", log(-log(lit(1.0) -
+        (col("i").cast("double") - 0.3) / (col("n") + 0.4))))
+    ranked.groupBy("n")
+      .agg(sum(d18(col("x"))).cast("double").as("sx"),
+        sum(d18(col("y"))).cast("double").as("sy"),
+        sum(d18(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d18(col("y") * col("y"))).cast("double").as("syy"),
+        sum(d18(col("x") * col("y"))).cast("double").as("sxy"))
+      .withColumn("shape",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("shape") * col("sx")) / col("n"))
+      .select(col("n").as("n_fail"),
+        round(col("shape"), 6).as("shape"),
+        round(exp(-col("intercept") / col("shape")), 6).as("scale"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+  }
+
   /** Burstiness audit: the index of dispersion (Fano factor) of per-bucket
     * event counts for each group — D = variance/mean of the counts over
     * fixed time buckets. A Poisson-ish organic stream has D ≈ 1;

@@ -351,4 +351,14 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(out.getAs[Double]("removal_effect") == 0.5)
     assert(out.getAs[Double]("attr_share") == 1.0)
   }
+
+  test("assortativity: star graph is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val r = GraphAnalytics.assortativity(edges, "s", "d").head()
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 6L) // symmetrized
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
 }

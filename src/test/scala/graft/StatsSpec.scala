@@ -831,6 +831,35 @@ class StatsSpec extends SparkSpec {
     assert(top.getDouble(2) == 25.0)
   }
 
+  test("hillTailIndex: hand-computed gamma over the top-k order stats") {
+    import spark.implicits._
+    val df = Seq((16L, 1L), (8L, 2L), (4L, 3L), (2L, 4L)).toDF("v", "id")
+    val r = Stats.hillTailIndex(df, "v", "id", k = 2).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("x_k") == 4L)
+    val t1 = math.log(16.0) - math.log(4.0)
+    val t2 = math.log(8.0) - math.log(4.0)
+    val g = (BigDecimal(t1) + BigDecimal(t2)).toDouble / 2
+    assert(r.getAs[Double]("gamma") ==
+      BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("alpha") == BigDecimal(1.0 / g)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("weibullFit: censored and zero lifetimes excluded; scale doubles with time") {
+    import spark.implicits._
+    val base = Seq((2L, true), (4L, true), (8L, true),
+      (16L, false), (0L, true)) // censored and t=0 must not count
+    val r1 = Stats.weibullFit(base.toDF("t", "obs"), "t", "obs").head()
+    assert(r1.getAs[Long]("n_fail") == 3L)
+    val r2 = Stats.weibullFit(
+      base.map { case (t, o) => (t * 2, o) }.toDF("t", "obs"),
+      "t", "obs").head()
+    // t → 2t: shape invariant, scale exactly doubles (Weibull property)
+    assert(r2.getAs[Double]("shape") == r1.getAs[Double]("shape"))
+    assert(math.abs(r2.getAs[Double]("scale") -
+      2 * r1.getAs[Double]("scale")) < 1e-5)
+  }
+
   test("acfTable: alternating series gives exact ±1 at lags 1 and 2") {
     import spark.implicits._
     val rows = (1 to 6).map(t => ("g", t.toLong,
