@@ -7379,7 +7379,33 @@ object SparkEntry {
       GraphAnalytics.assortativity(
         Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
         "id", "nbr_id")
-    })
+    }),
+
+    "q449_entropy_rate" -> ((s, dir) =>
+      // how scripted is user behavior? Markov entropy rate of the
+      // event-type chain vs ln(k): predictability near 1 is a bot
+      // signature — the single-number reduction of q187's matrix
+      Stats.entropyRate(events(s, dir), "user_id", "ts", "event_id",
+        "event_type")),
+
+    "q450_partial_correlation" -> ((s, dir) =>
+      // does quantity relate to price once discount is held fixed? One
+      // fact scan → 9 exact moments → 3 Pearsons → r_xy·z; the
+      // 3-variable confounder check beside q376's Simpson demo
+      Stats.partialCorrelation(tbl(s, dir, "lineitem"), "l_quantity",
+        "l_extendedprice", "l_discount")),
+
+    "q451_residual_diagnostics" -> ((s, dir) =>
+      // is yesterday's surprise informative? Durbin-Watson + runs test
+      // on mean-centered daily volumes per event type — the i.i.d.
+      // screen that decides whether q436's ACF even needs reading
+      Stats.residualDiagnostics(
+          events(s, dir).groupBy(col("event_type"),
+              expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+                .as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events")
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -13209,6 +13235,116 @@ object SparkEntry {
           |    (sqrt(n_edges * sxx - sx * sx) *
           |     sqrt(n_edges * syy - sy * sy)), 12) AS assortativity
           |FROM st""".stripMargin,
+
+      // per-user lead transitions → exact chain counts → decimal term
+      // sums; H_max = ln(states)
+      "q449_entropy_rate" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |    CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+          |l AS (SELECT event_type AS s, lead(event_type, 1)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+          |  FROM e),
+          |tr AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n_st FROM l
+          |  WHERE t IS NOT NULL GROUP BY 1, 2),
+          |ps AS (SELECT s, CAST(SUM(n_st) AS BIGINT) AS n_s FROM tr
+          |  GROUP BY s),
+          |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn,
+          |    CAST(count(*) AS BIGINT) AS n_states FROM ps),
+          |tm AS (SELECT nn, n_states,
+          |    -(CAST(n_st AS DOUBLE) / nn) *
+          |      ln(CAST(n_st AS DOUBLE) / n_s) AS term
+          |  FROM tr JOIN ps USING (s), tot),
+          |h AS (SELECT nn, n_states,
+          |    CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE) AS h
+          |  FROM tm GROUP BY 1, 2)
+          |SELECT nn AS n_transitions, n_states, round(h, 6) AS h_rate,
+          |  round(ln(CAST(n_states AS DOUBLE)), 6) AS h_max,
+          |  round(1.0 - h / ln(CAST(n_states AS DOUBLE)), 6)
+          |    AS predictability
+          |FROM h""".stripMargin,
+
+      // one scan, nine decimal moments, three Pearsons, partial formula
+      "q450_partial_correlation" ->
+        """WITH m AS (SELECT COUNT(*) AS n,
+          |    CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+          |      AS sx,
+          |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)))
+          |      AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE)
+          |      AS sz,
+          |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6)))
+          |      AS DOUBLE) AS sxx,
+          |    CAST(SUM(CAST(l_extendedprice * l_extendedprice
+          |      AS DECIMAL(24,6))) AS DOUBLE) AS syy,
+          |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(24,6)))
+          |      AS DOUBLE) AS szz,
+          |    CAST(SUM(CAST(l_quantity * l_extendedprice
+          |      AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+          |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(24,6)))
+          |      AS DOUBLE) AS sxz,
+          |    CAST(SUM(CAST(l_extendedprice * l_discount
+          |      AS DECIMAL(24,6))) AS DOUBLE) AS syz
+          |  FROM lineitem),
+          |r AS (SELECT n,
+          |    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) *
+          |      sqrt(n * syy - sy * sy)) AS rxy,
+          |    (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx) *
+          |      sqrt(n * szz - sz * sz)) AS rxz,
+          |    (n * syz - sy * sz) / (sqrt(n * syy - sy * sy) *
+          |      sqrt(n * szz - sz * sz)) AS ryz
+          |  FROM m)
+          |SELECT n, round(rxy, 12) AS r_xy, round(rxz, 12) AS r_xz,
+          |  round(ryz, 12) AS r_yz,
+          |  round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) *
+          |    (1.0 - ryz * ryz)), 12) AS r_xy_given_z
+          |FROM r""".stripMargin,
+
+      // scaled-integer residuals n·x − S; exact quadratic forms; runs
+      // moments as fixed double trees
+      "q451_residual_diagnostics" ->
+        """WITH d AS (SELECT event_type AS g,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |      AS BIGINT) AS t,
+          |    CAST(count(*) AS BIGINT) AS x
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT g, t, x,
+          |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+          |    CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s
+          |  FROM d),
+          |e AS (SELECT g, t, n, n * x - s AS e FROM w),
+          |l AS (SELECT g, n AS nd, e,
+          |    lag(e) OVER (PARTITION BY g ORDER BY t) AS pe,
+          |    CASE WHEN e > 0 THEN 1 WHEN e < 0 THEN -1 END AS sgn,
+          |    last_value(CASE WHEN e > 0 THEN 1 WHEN e < 0 THEN -1 END
+          |        IGNORE NULLS)
+          |      OVER (PARTITION BY g ORDER BY t
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS psgn
+          |  FROM e),
+          |ag AS (SELECT g, max(nd) AS n_days,
+          |    SUM(CASE WHEN pe IS NOT NULL THEN
+          |      CAST(e - pe AS DECIMAL(38,0)) * (e - pe) END) AS sd2,
+          |    SUM(CAST(e AS DECIMAL(38,0)) * e) AS se2,
+          |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS a,
+          |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS b,
+          |    CAST(SUM(CASE WHEN sgn IS NOT NULL AND psgn IS NOT NULL
+          |      AND sgn <> psgn THEN 1 ELSE 0 END) + 1 AS BIGINT)
+          |      AS runs
+          |  FROM l GROUP BY g),
+          |z AS (SELECT *, 2.0 * a * b / (a + b) + 1 AS mu,
+          |    (2.0 * a * b * (2.0 * a * b - a - b)) /
+          |      (CAST(a + b AS DOUBLE) * (a + b) * (a + b - 1)) AS s2
+          |  FROM ag)
+          |SELECT g AS event_type, n_days, a AS n_pos, b AS n_neg, runs,
+          |  CASE WHEN se2 > 0 THEN
+          |    round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 6) END
+          |    AS dw,
+          |  CASE WHEN s2 > 0 THEN
+          |    round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 6) END
+          |    AS runs_z
+          |FROM z ORDER BY event_type""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

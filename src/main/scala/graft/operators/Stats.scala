@@ -1698,6 +1698,124 @@ object Stats {
       .orderBy("rank")
   }
 
+  /** Entropy rate of the behavioral Markov chain: H = −Σ_{s,t}
+    * (n_st/N)·ln(n_st/n_s·) over per-user consecutive event-type
+    * transitions — how PREDICTABLE the next action is given the
+    * current one. Reported beside H_max = ln(k): predictability
+    * 1 − H/H_max reads 0 (uniform chaos) to 1 (deterministic script —
+    * a bot signature, the single-number reduction of the q187
+    * transition matrix). Counts exact; each term one log of a ratio of
+    * exact ints; sums decimal-accumulate; display-rounded (ln rule). */
+  def entropyRate(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("_t", lead(col(typeCol), 1).over(w))
+      .filter(col("_t").isNotNull)
+      .groupBy(col(typeCol).as("s"), col("_t").as("t"))
+      .agg(count(lit(1)).as("n_st"))
+    val perS = trans.groupBy("s").agg(sum("n_st").as("n_s"))
+    val tot = perS.agg(sum("n_s").as("nn"),
+      count(lit(1)).as("n_states"))
+    trans.join(perS, Seq("s")).crossJoin(broadcast(tot))
+      .withColumn("term", -(col("n_st").cast("double") / col("nn")) *
+        log(col("n_st").cast("double") / col("n_s")))
+      .groupBy("nn", "n_states")
+      .agg(sum(d18(col("term"))).cast("double").as("h"))
+      .withColumn("hmax", log(col("n_states").cast("double")))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        round(col("h"), 6).as("h_rate"),
+        round(col("hmax"), 6).as("h_max"),
+        round(lit(1.0) - col("h") / col("hmax"), 6).as("predictability"))
+  }
+
+  /** Partial correlation r_xy·z from ONE scan's exact moment matrix:
+    * all nine decimal sums in a single aggregate → the three pairwise
+    * Pearsons → (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — "does x
+    * relate to y once z is held fixed", the 3-variable confounder
+    * check beside q376's Simpson demonstration. round(,12) per the
+    * q111 decimal→double rule. */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol); val z = col(zCol)
+    val m = df.agg(count(lit(1)).as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"), dsum(z).as("sz"),
+      dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      dsum(z * z).as("szz"),
+      dsum(x * y).as("sxy"), dsum(x * z).as("sxz"),
+      dsum(y * z).as("syz"))
+    def r(sab: String, sa: String, sb: String, saa: String,
+          sbb: String): Column =
+      (col("n") * col(sab) - col(sa) * col(sb)) /
+        (sqrt(col("n") * col(saa) - col(sa) * col(sa)) *
+          sqrt(col("n") * col(sbb) - col(sb) * col(sb)))
+    m.withColumn("rxy", r("sxy", "sx", "sy", "sxx", "syy"))
+      .withColumn("rxz", r("sxz", "sx", "sz", "sxx", "szz"))
+      .withColumn("ryz", r("syz", "sy", "sz", "syy", "szz"))
+      .select(col("n"),
+        round(col("rxy"), 12).as("r_xy"),
+        round(col("rxz"), 12).as("r_xz"),
+        round(col("ryz"), 12).as("r_yz"),
+        round((col("rxy") - col("rxz") * col("ryz")) /
+          sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz"))), 12)
+          .as("r_xy_given_z"))
+  }
+
+  /** Residual diagnostics for a per-group daily series: Durbin–Watson
+    * on mean-centered residuals plus the Wald–Wolfowitz runs test on
+    * their signs — "is yesterday's surprise informative about
+    * today's?" (DW ≈ 2 iff not) and "are the +/− signs random?", the
+    * model-free autocorrelation screen before anyone trusts an i.i.d.
+    * assumption on the series. Residuals are SCALED integers
+    * e_t = n·x_t − S (mean-centering without division — the ratio
+    * statistics are scale-invariant), so both quadratic forms are
+    * exact; zero residuals drop from the runs count (standard
+    * practice). Runs moments μ = 2ab/(a+b)+1 and the Wald variance are
+    * fixed double trees over exact ints; z is NULL when σ² = 0.
+    * One lag window per group over the (bounded) daily frame. */
+  def residualDiagnostics(daily: DataFrame, groupCol: String,
+                          orderCol: String, valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = daily.select(col(groupCol).as("g"),
+      col(orderCol).cast("long").as("t"), col(valueCol).cast("long").as("x"))
+    val wAll = Window.partitionBy("g")
+    val wOrd = Window.partitionBy("g").orderBy("t")
+    val e = base
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum("x").over(wAll))
+      .withColumn("e", col("n") * col("x") - col("s"))
+      .withColumn("pe", lag("e", 1).over(wOrd))
+      .withColumn("sgn", when(col("e") > 0, 1).when(col("e") < 0, -1))
+      .withColumn("psgn", last("sgn", ignoreNulls = true).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+    val agg = e.groupBy("g").agg(
+      max("n").as("n_days"),
+      sum(when(col("pe").isNotNull,
+        d0(col("e") - col("pe")) * (col("e") - col("pe")))).as("sd2"),
+      sum(d0(col("e")) * col("e")).as("se2"),
+      sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("b"),
+      // runs = sign changes (among nonzero signs) + 1
+      (sum(when(col("sgn").isNotNull && col("psgn").isNotNull &&
+        col("sgn") =!= col("psgn"), 1L).otherwise(0L)) + 1).as("runs"))
+    agg
+      .withColumn("dw", when(col("se2") > 0,
+        round(col("sd2").cast("double") / col("se2").cast("double"), 6)))
+      .withColumn("mu", lit(2.0) * col("a") * col("b") /
+        (col("a") + col("b")) + 1)
+      .withColumn("s2", (lit(2.0) * col("a") * col("b") *
+        (lit(2.0) * col("a") * col("b") - col("a") - col("b"))) /
+        ((col("a") + col("b")).cast("double") * (col("a") + col("b")) *
+          (col("a") + col("b") - 1)))
+      .select(col("g").as(groupCol), col("n_days"), col("a").as("n_pos"),
+        col("b").as("n_neg"), col("runs"), col("dw"),
+        when(col("s2") > 0,
+          round((col("runs").cast("double") - col("mu")) /
+            sqrt(col("s2")), 6)).as("runs_z"))
+  }
+
   /** Autocorrelation function of a per-group integer series at lags
     * 1..maxLag: the exact-sum Pearson of (x_t, x_{t+lag}) over the
     * overlapping span — the seasonality reader (a weekly cycle shows

@@ -860,6 +860,46 @@ class StatsSpec extends SparkSpec {
       2 * r1.getAs[Double]("scale")) < 1e-5)
   }
 
+  test("entropyRate: deterministic alternating chain has predictability 1") {
+    import spark.implicits._
+    val ev = (0 until 8).map(i => (1L, i.toLong, i.toLong,
+      if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = Stats.entropyRate(ev, "user_id", "ts", "event_id",
+      "event_type").head()
+    assert(r.getAs[Long]("n_transitions") == 7L)
+    assert(r.getAs[Double]("h_rate") == 0.0) // every next step certain
+    assert(r.getAs[Double]("predictability") == 1.0)
+  }
+
+  test("partialCorrelation: z orthogonal to x and y leaves r_xy unchanged") {
+    import spark.implicits._
+    val df = Seq((1.0, 3.0, 1.0), (2.0, 5.0, 1.0),
+      (1.0, 3.0, -1.0), (2.0, 5.0, -1.0)).toDF("x", "y", "z")
+    val r = Stats.partialCorrelation(df, "x", "y", "z").head()
+    assert(r.getAs[Double]("r_xy") == 1.0)
+    assert(r.getAs[Double]("r_xz") == 0.0 &&
+      r.getAs[Double]("r_yz") == 0.0)
+    assert(r.getAs[Double]("r_xy_given_z") == 1.0)
+  }
+
+  test("residualDiagnostics: alternating residuals — hand DW and runs z") {
+    import spark.implicits._
+    val df = (1 to 6).map(t => ("g", t.toLong,
+      if (t % 2 == 1) 1L else 3L)).toDF("g", "t", "x")
+    val r = Stats.residualDiagnostics(df, "g", "t", "x").head()
+    // e = 6x−12 = ±6 alternating: sd2 = 5·144, se2 = 6·36
+    assert(r.getAs[Double]("dw") ==
+      BigDecimal(720.0 / 216.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Long]("runs") == 6L)
+    // a=b=3: mu=4, s2=1.2 → z = 2/√1.2
+    assert(r.getAs[Double]("runs_z") ==
+      BigDecimal(2.0 / math.sqrt(1.2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("acfTable: alternating series gives exact ±1 at lags 1 and 2") {
     import spark.implicits._
     val rows = (1 to 6).map(t => ("g", t.toLong,
