@@ -7405,7 +7405,77 @@ object SparkEntry {
                 .as("day"))
             .agg(count(lit(1)).as("n_events")),
           "event_type", "day", "n_events")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q452_anova_f" -> ((s, dir) =>
+      // the parametric mean test beside q440's rank version: one
+      // map-side-combinable scan of the fact, SSB/SSW from exact
+      // decimal sums — does quantity differ by return flag in MEANS
+      // (vs q440's distributions)?
+      Stats.anovaF(tbl(s, dir, "lineitem"), "l_returnflag", "l_quantity")),
+
+    "q453_wilcoxon_pairs" -> ((s, dir) => {
+      // paired year-over-year shift: per part, 1996 vs 1997 shipped
+      // quantity; signed-rank z on the exact integer differences — the
+      // paired complement to q226's independent-arms Welch t
+      val li = tbl(s, dir, "lineitem")
+        .withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy("l_partkey", "yr")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val pairs = li.filter(col("yr") === 1996)
+        .select(col("l_partkey"), col("q").as("q96"))
+        .join(li.filter(col("yr") === 1997)
+          .select(col("l_partkey"), col("q").as("q97")), Seq("l_partkey"))
+        .withColumn("d", col("q97") - col("q96"))
+      Stats.wilcoxonSignedRank(pairs, "d")
+    }),
+
+    "q454_friedman" -> ((s, dir) =>
+      // repeated-measures rank test: every ship-month is a block, the
+      // three return flags its treatments, monthly revenue cents the
+      // response — do the flags keep a consistent revenue ORDER across
+      // months? (Kendall's W = how consistent)
+      Stats.friedman(
+        tbl(s, dir, "lineitem")
+          .groupBy(expr("year(l_shipdate) * 12 + month(l_shipdate)")
+            .as("blk"), col("l_returnflag"))
+          .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("cents")),
+        "blk", "l_returnflag", "cents")),
+
+    "q455_iv_wald" -> ((s, dir) => {
+      // encouragement-design replay: parity of user_id is the (exogenous)
+      // instrument, purchase count the self-selected treatment, total
+      // spend cents the outcome — Wald LATE = reduced form / first
+      // stage, with the weak-instrument F gate
+      val ue = events(s, dir).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+        .withColumn("z", pmod(col("user_id"), lit(2L)))
+      Stats.ivWald(ue, "z", "x", "y")
+    }),
+
+    "q456_cochran_q" -> ((s, dir) => {
+      // do the five event types reach the same share of users? One row
+      // per user×type on the COMPLETE grid (x = reached), Cochran's Q
+      // from exact BIGINT row/column totals — McNemar's k-way sibling
+      val e = events(s, dir)
+      val obs = e.groupBy("user_id", "event_type").agg(lit(1L).as("x"))
+      val grid = e.select("user_id").distinct()
+        .crossJoin(broadcast(e.select("event_type").distinct()))
+        .join(obs, Seq("user_id", "event_type"), "left")
+        .na.fill(0L, Seq("x"))
+      Stats.cochranQ(grid, "user_id", "event_type", "x")
+    }),
+
+    "q457_effect_sizes" -> ((s, dir) =>
+      // magnitude, not significance: pairwise Cohen's d / Hedges' g of
+      // quantity across return flags — the readout that says whether
+      // q452's F is worth acting on
+      Stats.effectSizes(tbl(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity"))
   )
 
   // ======================================================================
@@ -13345,6 +13415,198 @@ object SparkEntry {
           |    round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 6) END
           |    AS runs_z
           |FROM z ORDER BY event_type""".stripMargin,
+
+      // exact decimal S_g/ΣS_g²/n_g moments, the sum-of-squares
+      // identities, one double division per term
+      "q452_anova_f" ->
+        """WITH base AS (SELECT l_returnflag AS g,
+          |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+          |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+          |    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+          |    CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0))
+          |      AS ss_g
+          |  FROM base GROUP BY g),
+          |ag AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+          |    CAST(count(*) AS BIGINT) AS k,
+          |    CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+          |    CAST(SUM(ss_g) AS DOUBLE) AS ssq,
+          |    CAST(SUM(CAST(CAST(CAST(s_g AS DECIMAL(38,0)) * s_g
+          |        AS DOUBLE) / n_g AS DECIMAL(38,18))) AS DOUBLE) AS t_sum
+          |  FROM gs),
+          |fin AS (SELECT n, k,
+          |    t_sum - CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / n
+          |      AS ssb,
+          |    ssq - t_sum AS ssw,
+          |    ssq - CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) / n
+          |      AS sst
+          |  FROM ag)
+          |SELECT n, k, k - 1 AS df1, n - k AS df2,
+          |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+          |  CASE WHEN ssw > 0 AND k > 1 THEN
+          |    round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f,
+          |  CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta_sq
+          |FROM fin""".stripMargin,
+
+      // doubled-rank midranks over |d|, tie-corrected z from exact
+      // BIGINT terms (×4-cleared variance)
+      "q453_wilcoxon_pairs" ->
+        """WITH li AS (SELECT l_partkey, year(l_shipdate) AS yr,
+          |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+          |  GROUP BY 1, 2),
+          |pr AS (SELECT b.q - a.q AS d
+          |  FROM li a JOIN li b ON a.l_partkey = b.l_partkey
+          |    AND a.yr = 1996 AND b.yr = 1997),
+          |base AS (SELECT d, abs(d) AS ad FROM pr WHERE d <> 0),
+          |pv AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+          |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS t_pos
+          |  FROM base GROUP BY ad),
+          |rk AS (SELECT ad, t, t_pos,
+          |    2 * CAST(coalesce(SUM(t) OVER (ORDER BY ad
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) + t + 1 AS r2
+          |  FROM pv),
+          |ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+          |    CAST(SUM(t_pos * r2) AS BIGINT) AS s2,
+          |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM rk)
+          |SELECT n AS n_pairs, CAST(s2 AS DOUBLE) / 2.0 AS w_plus,
+          |  CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie > 0 THEN
+          |    round(CAST(s2 - n * (n + 1) // 2 AS DOUBLE) /
+          |      sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie AS DOUBLE)
+          |        / 12.0), 6) END AS z
+          |FROM ag""".stripMargin,
+
+      // within-block midranks via rank()−1 (tie-deterministic), the
+      // ×4-cleared tie-general chi-square, all-BIGINT until the final
+      // divisions
+      "q454_friedman" ->
+        """WITH cells AS (SELECT
+          |    year(l_shipdate) * 12 + month(l_shipdate) AS b,
+          |    l_returnflag AS j,
+          |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |      AS BIGINT) AS v
+          |  FROM lineitem GROUP BY 1, 2),
+          |kt AS (SELECT CAST(count(DISTINCT j) AS BIGINT) AS k
+          |  FROM cells),
+          |cb AS (SELECT b FROM cells GROUP BY b
+          |  HAVING count(*) = (SELECT k FROM kt)),
+          |rk AS (SELECT c.j,
+          |    2 * (CAST(rank() OVER (PARTITION BY c.b ORDER BY c.v)
+          |      AS BIGINT) - 1) +
+          |      CAST(count(*) OVER (PARTITION BY c.b, c.v) AS BIGINT) + 1
+          |      AS r2
+          |  FROM cells c JOIN cb USING (b)),
+          |pj AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(r2) AS BIGINT) AS rj2,
+          |    CAST(SUM(r2 * r2) AS BIGINT) AS rsq2
+          |  FROM rk GROUP BY j),
+          |ag AS (SELECT max(n) AS n, (SELECT k FROM kt) AS k,
+          |    CAST(SUM((rj2 - n * ((SELECT k FROM kt) + 1)) *
+          |      (rj2 - n * ((SELECT k FROM kt) + 1))) AS BIGINT) AS num,
+          |    CAST(SUM(rsq2) AS BIGINT) AS ssr2
+          |  FROM pj),
+          |fin AS (SELECT n, k, num,
+          |    ssr2 - n * k * (k + 1) * (k + 1) AS den FROM ag)
+          |SELECT n AS n_blocks, k, k - 1 AS df,
+          |  CASE WHEN den > 0 THEN
+          |    round(CAST((k - 1) * num AS DOUBLE) /
+          |      CAST(den AS DOUBLE), 6) END AS chi2_f,
+          |  CASE WHEN den > 0 THEN
+          |    round(CAST((k - 1) * num AS DOUBLE) / CAST(den AS DOUBLE) /
+          |      CAST(n * (k - 1) AS DOUBLE), 6) END AS kendall_w
+          |FROM fin""".stripMargin,
+
+      // per-arm exact decimal moments; Wald ratio and pooled-variance
+      // first-stage F as fixed double trees
+      "q455_iv_wald" ->
+        """WITH ue AS (SELECT user_id,
+          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |      END) AS BIGINT) AS x,
+          |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |      AS y,
+          |    user_id % 2 AS z
+          |  FROM events GROUP BY user_id),
+          |side AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+          |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+          |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+          |  FROM ue GROUP BY z),
+          |pr AS (SELECT a.n AS n_a, b.n AS n_b,
+          |    a.sx / a.n - b.sx / b.n AS fs,
+          |    a.sy / a.n - b.sy / b.n AS rf,
+          |    ((a.sxx - a.sx * a.sx / a.n) + (b.sxx - b.sx * b.sx / b.n))
+          |      / (a.n + b.n - 2) AS sp2
+          |  FROM side a, side b WHERE a.z = 1 AND b.z = 0)
+          |SELECT n_a AS n_encouraged, n_b AS n_control,
+          |  round(fs, 6) AS first_stage, round(rf, 6) AS reduced_form,
+          |  CASE WHEN fs <> 0 THEN round(rf / fs, 6) END AS beta_iv,
+          |  CASE WHEN sp2 > 0 AND n_a + n_b > 2 THEN
+          |    round((fs * fs) / (sp2 * (CAST(1 AS DOUBLE) / n_a +
+          |      CAST(1 AS DOUBLE) / n_b)), 6) END AS first_stage_f
+          |FROM pr""".stripMargin,
+
+      // complete user×type grid; the k²-cleared all-BIGINT Q
+      "q456_cochran_q" ->
+        """WITH obs AS (SELECT user_id, event_type, 1 AS x FROM events
+          |  GROUP BY 1, 2),
+          |u AS (SELECT DISTINCT user_id FROM events),
+          |t AS (SELECT DISTINCT event_type FROM events),
+          |grid AS (SELECT u.user_id AS b, t.event_type AS j,
+          |    CAST(coalesce(o.x, 0) AS BIGINT) AS x
+          |  FROM u CROSS JOIN t LEFT JOIN obs o
+          |    ON o.user_id = u.user_id AND o.event_type = t.event_type),
+          |kt AS (SELECT CAST(count(DISTINCT j) AS BIGINT) AS k FROM grid),
+          |rb AS (SELECT b, CAST(SUM(x) AS BIGINT) AS r FROM grid
+          |  GROUP BY b),
+          |tot AS (SELECT (SELECT k FROM kt) AS k,
+          |    CAST(SUM(r) AS BIGINT) AS nn,
+          |    CAST(SUM(r * r) AS BIGINT) AS rr,
+          |    CAST(count(*) AS BIGINT) AS n_blocks,
+          |    CAST(SUM(CASE WHEN r > 0 AND r < (SELECT k FROM kt)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_informative
+          |  FROM rb),
+          |cj AS (SELECT j, CAST(SUM(x) AS BIGINT) AS c FROM grid
+          |  GROUP BY j),
+          |ag AS (SELECT k, nn, rr, n_blocks, n_informative,
+          |    CAST(SUM((k * c - nn) * (k * c - nn)) AS BIGINT) AS num
+          |  FROM cj, tot GROUP BY 1, 2, 3, 4, 5)
+          |SELECT n_blocks, n_informative, k, k - 1 AS df,
+          |  CASE WHEN k * (k * nn - rr) > 0 THEN
+          |    round(CAST((k - 1) * num AS DOUBLE) /
+          |      CAST(k * (k * nn - rr) AS DOUBLE), 6) END AS q
+          |FROM ag""".stripMargin,
+
+      // per-arm moments once; pairs on arm_a < arm_b; J is the rational
+      // Hedges correction (no gamma), every tree fixed
+      "q457_effect_sizes" ->
+        """WITH gs AS (SELECT l_returnflag AS arm,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+          |      AS DOUBLE) AS sv,
+          |    CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))
+          |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS svv
+          |  FROM lineitem GROUP BY 1),
+          |pr AS (SELECT a.arm AS arm_a, b.arm AS arm_b,
+          |    a.n AS n_a, b.n AS n_b,
+          |    a.sv / a.n AS m_a, b.sv / b.n AS m_b,
+          |    (a.svv - a.sv * a.sv / a.n) / (a.n - 1) AS v_a,
+          |    (b.svv - b.sv * b.sv / b.n) / (b.n - 1) AS v_b
+          |  FROM gs a JOIN gs b ON a.arm < b.arm),
+          |fin AS (SELECT arm_a, arm_b, n_a, n_b, m_a, m_b,
+          |    ((n_a - 1) * v_a + (n_b - 1) * v_b) / (n_a + n_b - 2)
+          |      AS sp2,
+          |    CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE) /
+          |      (CAST(4 AS DOUBLE) * (n_a + n_b - 2) - CAST(1 AS DOUBLE))
+          |      AS j
+          |  FROM pr)
+          |SELECT arm_a, arm_b, n_a, n_b,
+          |  round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+          |  CASE WHEN sp2 > 0 THEN
+          |    round((m_a - m_b) / sqrt(sp2), 6) END AS cohen_d,
+          |  CASE WHEN sp2 > 0 THEN
+          |    round(j * ((m_a - m_b) / sqrt(sp2)), 6) END AS hedges_g
+          |FROM fin ORDER BY arm_a, arm_b""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

@@ -2298,4 +2298,244 @@ object Stats {
         (col("sse_single") - col("sse_split")) / col("sse_single"))), 6)
         .as("drop_ratio"))
   }
+
+  /** One-way ANOVA F over an INTEGER-valued metric: the parametric
+    * k-sample mean test beside [[kruskalWallis]]'s rank version and
+    * [[brownForsythe]]'s variance gate. Per-group sums S_g and the
+    * global Σv² are exact decimals, so SSB = Σ S_g²/n_g − S²/n and
+    * SSW = Σv² − Σ S_g²/n_g assemble from the sum-of-squares identities
+    * with one double division per term, summed back through
+    * decimal(38,18) for order independence. Output one row:
+    * (n, k, df1, df2, ss_between, ss_within, f, eta_sq).
+    *
+    * Scale shape: a single map-side-combinable groupBy over the fact —
+    * no windows, no sorts; the classic "is this metric flat across
+    * arms/sources/partitions" screen at any corpus size. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val gs = base.groupBy("g").agg(count(lit(1)).as("n_g"),
+      sum(d0(col("v"))).as("s_g"),
+      sum(d0(col("v")) * col("v")).as("ss_g"))
+    gs
+      // T_g = S_g²/n_g: decimal square (exact), one double division
+      .withColumn("term",
+        (d0(col("s_g")) * col("s_g")).cast("double") / col("n_g"))
+      .agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).cast("double").as("ssq"),
+        sum(d18(col("term"))).cast("double").as("t_sum"))
+      .withColumn("corr_term",
+        (d0(col("s")) * col("s")).cast("double") / col("n"))
+      .withColumn("ss_between", col("t_sum") - col("corr_term"))
+      .withColumn("ss_within", col("ssq") - col("t_sum"))
+      .withColumn("ss_total", col("ssq") - col("corr_term"))
+      .select(col("n"), col("k"), (col("k") - 1).as("df1"),
+        (col("n") - col("k")).as("df2"),
+        round(col("ss_between"), 6).as("ss_between"),
+        round(col("ss_within"), 6).as("ss_within"),
+        when(col("ss_within") > 0 && col("k") > 1,
+          round((col("ss_between") / (col("k") - 1)) /
+            (col("ss_within") / (col("n") - col("k"))), 6)).as("f"),
+        when(col("ss_total") > 0,
+          round(col("ss_between") / col("ss_total"), 6)).as("eta_sq"))
+  }
+
+  /** Wilcoxon signed-rank test on paired INTEGER differences: given one
+    * row per pair with its difference d, drops d = 0 (the standard
+    * convention), midranks |d| on the doubled-rank integer lattice
+    * (r2 = 2·rank, exact under ties — the [[kruskalWallis]] trick), and
+    * reports W+ with the tie-corrected normal z
+    * z = (2W+ − n(n+1)/2·2/2 …) assembled entirely from exact BIGINTs:
+    * z = (S2 − n(n+1)/2) / √((2n(n+1)(2n+1) − Σ(t³−t)) / 12), where
+    * S2 = Σ r2 over positive d. The paired complement to the
+    * independent-sample [[welchTTest]]/[[mannWhitney–AUC]] family.
+    *
+    * Scale shape: one histogram groupBy over |d| + one cumulative window
+    * over DISTINCT |d| values (bounded by the value domain, not n). */
+  def wilcoxonSignedRank(pairs: DataFrame, diffCol: String): DataFrame = {
+    val base = pairs.select(col(diffCol).cast("long").as("d"))
+      .filter(col("d") =!= 0L)
+      .withColumn("ad", abs(col("d")))
+    val perV = base.groupBy("ad").agg(count(lit(1)).as("t"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("t_pos"))
+    val wOrd = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("below", coalesce(sum("t").over(wOrd), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1)
+    ranked.agg(sum("t").as("n"),
+        sum(col("t_pos") * col("r2")).as("s2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+      .withColumn("mean2", expr("n * (n + 1) div 2"))
+      .withColumn("var12",
+        lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1) -
+          col("tie"))
+      .select(col("n").as("n_pairs"),
+        (col("s2").cast("double") / 2.0).as("w_plus"),
+        round(when(col("var12") > 0,
+          (col("s2") - col("mean2")).cast("double") /
+            sqrt(col("var12").cast("double") / 12.0)), 6).as("z"))
+  }
+
+  /** Instrumental-variable (Wald) estimator for a BINARY instrument:
+    * given one row per unit with instrument z ∈ {0,1}, an integer
+    * treatment-intensity x, and an integer outcome y, the local average
+    * treatment effect is β = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — reduced form over first
+    * stage. Also reports the first-stage F (the squared pooled-variance
+    * two-sample t of x on z): the weak-instrument gate (F ≳ 10) that
+    * decides whether β is readable at all. The causal complement to
+    * q323's DiD and q406's doubly-robust scorer when treatment is
+    * self-selected but an encouragement/assignment hash is exogenous.
+    * All moments are exact decimal sums; β and F are fixed double trees.
+    *
+    * Scale shape: two map-side-combinable single-row aggregates (one per
+    * arm) — no shuffles beyond the final combine. */
+  def ivWald(df: DataFrame, zCol: String, xCol: String,
+             yCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    def side(v: Int, sfx: String) = df
+      .filter(col(zCol).cast("long") === v)
+      .agg(count(lit(1)).as(s"n_$sfx"),
+        sum(d0(col(xCol))).cast("double").as(s"sx_$sfx"),
+        sum(d0(col(yCol))).cast("double").as(s"sy_$sfx"),
+        sum(d0(col(xCol)) * col(xCol)).cast("double").as(s"sxx_$sfx"))
+    def m(num: String, sfx: String) = col(s"${num}_$sfx") / col(s"n_$sfx")
+    val fs = m("sx", "a") - m("sx", "b")
+    val rf = m("sy", "a") - m("sy", "b")
+    def ssx(sfx: String) = col(s"sxx_$sfx") -
+      col(s"sx_$sfx") * col(s"sx_$sfx") / col(s"n_$sfx")
+    val sp2 = (ssx("a") + ssx("b")) / (col("n_a") + col("n_b") - 2)
+    side(1, "a").crossJoin(side(0, "b"))
+      .select(col("n_a").as("n_encouraged"), col("n_b").as("n_control"),
+        round(fs, 6).as("first_stage"),
+        round(rf, 6).as("reduced_form"),
+        when(fs =!= 0.0, round(rf / fs, 6)).as("beta_iv"),
+        when(sp2 > 0 && col("n_a") + col("n_b") > 2,
+          round((fs * fs) /
+            (sp2 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .as("first_stage_f"))
+  }
+
+  /** Cochran's Q test over COMPLETE binary blocks: one row per
+    * (block, treatment) with x ∈ {0,1} — did the unit exhibit the
+    * behavior under that treatment? Q = (k−1)·Σ_j(k·C_j − N)² /
+    * (k·(k·N − Σ_i R_i²)), the k²-cleared form in which every term is an
+    * exact BIGINT (C_j = treatment totals, R_i = block totals, N = ΣR).
+    * The k-treatment generalization of McNemar (q388) and the binary
+    * sibling of [[friedman]]; all-0/all-k blocks are Q-invariant and
+    * reported separately as non-informative.
+    *
+    * Scale shape: two map-side-combinable groupBys over the cells frame
+    * (blocks × k rows) — nothing block-sorted, no windows. */
+  def cochranQ(cells: DataFrame, blockCol: String, treatCol: String,
+               xCol: String): DataFrame = {
+    val base = cells.select(col(blockCol).as("b"), col(treatCol).as("j"),
+      col(xCol).cast("long").as("x"))
+    val kt = base.agg(countDistinct("j").as("k"))
+    val rb = base.groupBy("b").agg(sum("x").as("r"))
+      .crossJoin(broadcast(kt))
+    val tot = rb.agg(max("k").as("k"), sum("r").as("nn"),
+      sum(col("r") * col("r")).as("rr"), count(lit(1)).as("n_blocks"),
+      sum(when(col("r") > 0 && col("r") < col("k"), 1L).otherwise(0L))
+        .as("n_informative"))
+    val cj = base.groupBy("j").agg(sum("x").as("c"))
+    cj.crossJoin(broadcast(tot))
+      .withColumn("dev", col("k") * col("c") - col("nn"))
+      .groupBy("k", "nn", "rr", "n_blocks", "n_informative")
+      .agg(sum(col("dev") * col("dev")).as("num"))
+      .withColumn("den", col("k") * (col("k") * col("nn") - col("rr")))
+      .select(col("n_blocks"), col("n_informative"), col("k"),
+        (col("k") - 1).as("df"),
+        when(col("den") > 0,
+          round(((col("k") - 1) * col("num")).cast("double") /
+            col("den").cast("double"), 6)).as("q"))
+  }
+
+  /** Pairwise standardized effect sizes over an INTEGER metric: for every
+    * ordered pair of arms, Cohen's d on the pooled SD and the
+    * small-sample-corrected Hedges' g (J = 1 − 3/(4·df − 1), the rational
+    * approximation — no gamma function, so it replays exactly). The
+    * magnitude readout that [[welchTTest]]/[[anovaF]] significance alone
+    * doesn't give: at 100 TB everything is "significant"; d says whether
+    * anyone should care.
+    *
+    * Scale shape: one groupBy over the fact → an arms-sized frame; the
+    * pair join is arms², driver-scale. */
+  def effectSizes(df: DataFrame, armCol: String,
+                  valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val gs = df.select(col(armCol).as("arm"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum(d0(col("v"))).cast("double").as("sv"),
+        sum(d0(col("v")) * col("v")).cast("double").as("svv"))
+    def mean(p: String) = col(s"${p}.sv") / col(s"${p}.n")
+    def variance(p: String) = (col(s"${p}.svv") -
+      col(s"${p}.sv") * col(s"${p}.sv") / col(s"${p}.n")) /
+      (col(s"${p}.n") - 1)
+    val a = gs.as("a"); val b = gs.as("b")
+    val sp2 = ((col("a.n") - 1) * variance("a") +
+      (col("b.n") - 1) * variance("b")) / (col("a.n") + col("b.n") - 2)
+    val d = (mean("a") - mean("b")) / sqrt(sp2)
+    val j = lit(1.0) -
+      lit(3.0) / (lit(4.0) * (col("a.n") + col("b.n") - 2) - lit(1.0))
+    a.join(b, col("a.arm") < col("b.arm"))
+      .select(col("a.arm").as("arm_a"), col("b.arm").as("arm_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(mean("a"), 6).as("mean_a"), round(mean("b"), 6).as("mean_b"),
+        when(sp2 > 0, round(d, 6)).as("cohen_d"),
+        when(sp2 > 0, round(j * d, 6)).as("hedges_g"))
+      .orderBy("arm_a", "arm_b")
+  }
+
+  /** Friedman test over COMPLETE blocks: given one row per
+    * (block, treatment) with an exact integer value, keeps only blocks
+    * observing all k treatments, midranks values WITHIN each block
+    * (r2 = 2·rank integers), and computes the tie-general statistic
+    * χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k(k+1)²) — the
+    * ×4-cleared form in which every term is an exact BIGINT — plus
+    * Kendall's W = χ² / (n(k−1)). The repeated-measures companion to
+    * [[kruskalWallis]] (which assumes independent groups).
+    *
+    * Scale shape: ranks are per-block windows over k rows each (k tiny);
+    * everything else is one aggregate. */
+  def friedman(cells: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    val base = cells.select(col(blockCol).as("b"), col(treatCol).as("j"),
+      col(valueCol).cast("long").as("v"))
+    val kTot = base.agg(countDistinct("j").as("k"))
+    val complete = base
+      .withColumn("n_b", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(kTot))
+      .filter(col("n_b") === col("k"))
+    // below-count via rank()−1, NOT a ROWS-frame count: under tied v the
+    // ROWS frame is row-order-dependent; rank() is deterministic
+    val wBlk = Window.partitionBy("b").orderBy("v")
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("below", rank().over(wBlk).cast("long") - 1)
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1)
+    val perJ = ranked.groupBy("j").agg(max("k").as("k"),
+      count(lit(1)).as("n"), sum("r2").as("rj2"),
+      sum(col("r2") * col("r2")).as("rsq2"))
+    perJ
+      .withColumn("dev", col("rj2") - col("n") * (col("k") + 1))
+      .agg(max("n").as("n"), max("k").as("k"),
+        sum(col("dev") * col("dev")).as("num"),
+        sum("rsq2").as("ssr2"))
+      .withColumn("den",
+        col("ssr2") - col("n") * col("k") * (col("k") + 1) * (col("k") + 1))
+      .select(col("n").as("n_blocks"), col("k"),
+        (col("k") - 1).as("df"),
+        round(when(col("den") > 0,
+          ((col("k") - 1) * col("num")).cast("double") /
+            col("den").cast("double")), 6).as("chi2_f"),
+        round(when(col("den") > 0,
+          ((col("k") - 1) * col("num")).cast("double") /
+            col("den").cast("double") /
+            (col("n") * (col("k") - 1)).cast("double")), 6).as("kendall_w"))
+  }
 }

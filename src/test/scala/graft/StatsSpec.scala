@@ -928,4 +928,84 @@ class StatsSpec extends SparkSpec {
         r.getAs[Double]("share"))).toMap
     assert(out == Map("a>b>c" -> ((1L, 0.5)), "b>c>a" -> ((1L, 0.5))))
   }
+
+  test("anovaF: hand-computed SSB/SSW; identical groups give F = 0") {
+    // groups a={1,2,3}, b={4,5,6}: means 2 and 5, SSB = 13.5, SSW = 4
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L)).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("ss_between") == 13.5)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f") == 13.5) // (13.5/1)/(4/4)
+    // same values in both groups → SSB = 0 → F = 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    assert(Stats.anovaF(same, "g", "v").collect()(0)
+      .getAs[Double]("f") == 0.0)
+  }
+
+  test("wilcoxonSignedRank: zeros dropped, midranks under ties, exact z") {
+    // d = {+1, −1, +2, +2, 0}: zero dropped → n = 4; |d| ranks:
+    // 1,1 → midrank 1.5 (r2 = 3); 2,2 → midrank 3.5 (r2 = 7)
+    // W+ = 1.5 + 3.5 + 3.5 = 8.5; mean = 5; tie = (2³−2)·2 = 12
+    // var12 = 2·4·5·9 − 12 = 348 → z = (17−10)/√29
+    val df = Seq(1L, -1L, 2L, 2L, 0L).toDF("d")
+    val r = Stats.wilcoxonSignedRank(df, "d").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Double]("w_plus") == 8.5)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(7.0 / math.sqrt(348.0 / 12.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("friedman: perfectly consistent ranks give W = 1; incomplete blocks drop") {
+    // 3 blocks × 3 treatments, same order everywhere → χ² = n(k−1) = 6
+    val df = Seq(("b1", "x", 1L), ("b1", "y", 2L), ("b1", "z", 3L),
+      ("b2", "x", 10L), ("b2", "y", 20L), ("b2", "z", 30L),
+      ("b3", "x", 5L), ("b3", "y", 6L), ("b3", "z", 7L),
+      ("b4", "x", 1L)) // incomplete → dropped
+      .toDF("b", "j", "v")
+    val r = Stats.friedman(df, "b", "j", "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("chi2_f") == 6.0)
+    assert(r.getAs[Double]("kendall_w") == 1.0)
+  }
+
+  test("ivWald: beta = reduced form / first stage on a hand design") {
+    // z=1: x̄=2, ȳ=20; z=0: x̄=1, ȳ=10 → fs=1, rf=10, β=10
+    val df = Seq((1L, 2L, 20L), (1L, 2L, 20L), (0L, 1L, 10L),
+      (0L, 1L, 10L)).toDF("z", "x", "y")
+    val r = Stats.ivWald(df, "z", "x", "y").collect()(0)
+    assert(r.getAs[Double]("first_stage") == 1.0)
+    assert(r.getAs[Double]("reduced_form") == 10.0)
+    assert(r.getAs[Double]("beta_iv") == 10.0)
+    // zero within-arm variance → sp2 = 0 → F null (guarded)
+    assert(r.isNullAt(r.fieldIndex("first_stage_f")))
+  }
+
+  test("cochranQ: textbook 3-treatment binary table") {
+    // blocks: (1,1,0), (1,0,0), (1,1,1), (0,0,0)
+    // C = (3,2,1), R = (2,1,3,0), N = 6, ΣR² = 14, k = 3
+    // num = Σ(3C−6)² = 9+0+9 = 18; den = 3·(18−14) = 12 → Q = 2·18/12 = 3
+    val rows = Seq(("b1", "t1", 1L), ("b1", "t2", 1L), ("b1", "t3", 0L),
+      ("b2", "t1", 1L), ("b2", "t2", 0L), ("b2", "t3", 0L),
+      ("b3", "t1", 1L), ("b3", "t2", 1L), ("b3", "t3", 1L),
+      ("b4", "t1", 0L), ("b4", "t2", 0L), ("b4", "t3", 0L))
+      .toDF("b", "j", "x")
+    val r = Stats.cochranQ(rows, "b", "j", "x").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("n_informative") == 2L)
+    assert(r.getAs[Double]("q") == 3.0)
+  }
+
+  test("effectSizes: known pooled-SD d and Hedges shrinkage direction") {
+    // a={1,2,3}, b={4,5,6}: s² = 1 both → sp = 1, d = −3; J = 1 − 3/15
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L)).toDF("arm", "v")
+    val r = Stats.effectSizes(df, "arm", "v").collect()(0)
+    assert(r.getAs[String]("arm_a") == "a")
+    assert(r.getAs[Double]("cohen_d") == -3.0)
+    assert(r.getAs[Double]("hedges_g") == -2.4)
+  }
 }
