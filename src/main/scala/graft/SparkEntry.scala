@@ -7475,7 +7475,50 @@ object SparkEntry {
       // quantity across return flags — the readout that says whether
       // q452's F is worth acting on
       Stats.effectSizes(tbl(s, dir, "lineitem"), "l_returnflag",
-        "l_quantity"))
+        "l_quantity")),
+
+    "q458_harmonic_centrality" -> ((s, dir) => {
+      // exact harmonic + closeness centrality of 3 probe nodes on the
+      // kNN graph (q418's edge set): all-pairs is off the table at
+      // scale, but a few exact pivot rows read navigability directly
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val edges = Similarity.knnGraph(
+          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
+            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      GraphAnalytics.harmonicCentrality(edges, "src", "dst",
+        seeds = Seq(0L, 1L, 2L), maxHops = 8)
+    }),
+
+    "q459_kendall_tau" -> ((s, dir) => {
+      // do busy days run smaller tickets? τ-b of daily order count vs
+      // average order value, with the average compared by
+      // cross-multiplication — exact integers end to end, pairs bounded
+      // by the calendar (days²), never the fact table
+      val daily = tbl(s, dir, "orders")
+        .groupBy(expr(
+          "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as long)")
+          .as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("cents"))
+      Stats.kendallTauRatio(daily, "day", "n_orders", "cents", "n_orders")
+    }),
+
+    "q460_pacf" -> ((s, dir) =>
+      // the AR-order reader on q436's ACF: Durbin-Levinson partial
+      // autocorrelations at lags 1-3 of daily volume per event type —
+      // does lag 2 carry signal once lag 1 is regressed out?
+      Stats.pacf(
+          events(s, dir).groupBy(col("event_type"),
+              expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+                .as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events")
+        .orderBy("event_type"))
   )
 
   // ======================================================================
@@ -13608,6 +13651,84 @@ object SparkEntry {
           |    round(j * ((m_a - m_b) / sqrt(sp2)), 6) END AS hedges_g
           |FROM fin ORDER BY arm_a, arm_b""".stripMargin,
 
+      "q458_harmonic_centrality" -> harmonicCentralityOracleSql,
+
+      // i < j day pairs; ratio comparisons by decimal cross-product,
+      // every count an exact BIGINT
+      "q459_kendall_tau" ->
+        """WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+          |    CAST(count(*) AS BIGINT) AS x,
+          |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+          |      AS BIGINT) AS sn
+          |  FROM orders GROUP BY 1),
+          |p AS (SELECT a.x - b.x AS dx,
+          |    CAST(a.sn AS DECIMAL(38,0)) * b.x -
+          |      CAST(b.sn AS DECIMAL(38,0)) * a.x AS cy
+          |  FROM d a JOIN d b ON a.t < b.t),
+          |ct AS (SELECT
+          |    CAST(SUM(CASE WHEN (dx > 0 AND cy > 0) OR
+          |      (dx < 0 AND cy < 0) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          |    CAST(SUM(CASE WHEN (dx > 0 AND cy < 0) OR
+          |      (dx < 0 AND cy > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+          |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n1,
+          |    CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n2
+          |  FROM p),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+          |SELECT n, n * (n - 1) // 2 AS n0, c AS concordant,
+          |  dd AS discordant, n1 AS ties_x, n2 AS ties_y,
+          |  CASE WHEN (n * (n - 1) // 2 - n1) * (n * (n - 1) // 2 - n2)
+          |      > 0 THEN
+          |    round(CAST(c - dd AS DOUBLE) /
+          |      sqrt(CAST((n * (n - 1) // 2 - n1) *
+          |        (n * (n - 1) // 2 - n2) AS DOUBLE)), 6) END AS tau_b
+          |FROM nn, ct""".stripMargin,
+
+      // integer centering e = n·x − S; ρ_k from decimal sums with one
+      // double division; Durbin-Levinson as a fixed double tree
+      "q460_pacf" ->
+        """WITH dd AS (SELECT event_type AS g,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |      AS BIGINT) AS t,
+          |    CAST(count(*) AS BIGINT) AS v
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(v) AS BIGINT) AS s FROM dd GROUP BY g),
+          |e AS (SELECT dd.g, dd.t, tot.n, tot.n * dd.v - tot.s AS e
+          |  FROM dd JOIN tot USING (g)),
+          |c0 AS (SELECT g, max(n) AS n,
+          |    CAST(SUM(CAST(e AS DECIMAL(38,0)) * e) AS DECIMAL(38,0))
+          |      AS c0
+          |  FROM e GROUP BY g),
+          |c1 AS (SELECT a.g, CAST(SUM(CAST(a.e AS DECIMAL(38,0)) * b.e)
+          |    AS DECIMAL(38,0)) AS c1
+          |  FROM e a JOIN e b ON a.g = b.g AND b.t = a.t + 1 GROUP BY 1),
+          |c2 AS (SELECT a.g, CAST(SUM(CAST(a.e AS DECIMAL(38,0)) * b.e)
+          |    AS DECIMAL(38,0)) AS c2
+          |  FROM e a JOIN e b ON a.g = b.g AND b.t = a.t + 2 GROUP BY 1),
+          |c3 AS (SELECT a.g, CAST(SUM(CAST(a.e AS DECIMAL(38,0)) * b.e)
+          |    AS DECIMAL(38,0)) AS c3
+          |  FROM e a JOIN e b ON a.g = b.g AND b.t = a.t + 3 GROUP BY 1),
+          |r AS (SELECT c0.g, c0.n,
+          |    CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+          |    CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+          |    CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+          |  FROM c0 JOIN c1 USING (g) JOIN c2 USING (g) JOIN c3 USING (g)
+          |  WHERE c0 > 0),
+          |f AS (SELECT *, CASE WHEN 1e0 - r1 * r1 <> 0 THEN
+          |    (r2 - r1 * r1) / (1e0 - r1 * r1) END AS p22 FROM r),
+          |f2 AS (SELECT *, r1 * (1e0 - p22) AS p21 FROM f),
+          |f3 AS (SELECT *, 1e0 - p21 * r1 - p22 * r2 AS p33den FROM f2)
+          |SELECT g AS event_type, n AS n_periods,
+          |  round(r1, 6) AS rho1, round(r2, 6) AS rho2,
+          |  round(r3, 6) AS rho3, round(r1, 6) AS pacf1,
+          |  round(p22, 6) AS pacf2,
+          |  round(CASE WHEN p33den <> 0 THEN
+          |    (r3 - p21 * r2 - p22 * r1) / p33den END, 6) AS pacf3
+          |FROM f3 ORDER BY event_type""".stripMargin,
+
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->
         """WITH toks AS (SELECT source AS src,
@@ -18286,6 +18407,36 @@ object SparkEntry {
       |    SELECT id FROM g0 UNION ALL SELECT nbr_id FROM g0)),
       |nn AS (SELECT count(*) AS n FROM nodes),
       |dg AS (SELECT id AS src, count(*) AS deg FROM g0 GROUP BY id)""".stripMargin
+
+  /** Replays q458: one bounded-walk BFS chain per probe node on the
+    * q418 kNN edge set, min-depth dedup, then the decimal-accumulated
+    * harmonic sum and the within-component closeness. */
+  private def harmonicCentralityOracleSql: String = {
+    def walk(seed: Long): String =
+      s"""w$seed AS (SELECT CAST($seed AS BIGINT) AS node, 0 AS d
+         |  UNION
+         |  SELECT und.b, w$seed.d + 1 FROM w$seed
+         |  JOIN und ON und.a = w$seed.node WHERE w$seed.d < 8),
+         |d_w$seed AS (SELECT node, CAST(min(d) AS INT) AS d FROM w$seed
+         |  GROUP BY node),
+         |a_w$seed AS (SELECT CAST(count(*) AS BIGINT) AS n_reached,
+         |  max(d) AS ecc, CAST(SUM(d) AS BIGINT) AS sum_d,
+         |  CAST(SUM(CAST(CAST(1 AS DOUBLE) / d AS DECIMAL(38,18)))
+         |    AS DOUBLE) AS h
+         |  FROM d_w$seed WHERE d > 0)""".stripMargin
+    def row(seed: Long): String =
+      s"""SELECT CAST($seed AS BIGINT) AS source, n_reached, ecc,
+         |  round(h, 6) AS harmonic,
+         |  CASE WHEN sum_d > 0 THEN
+         |    round(CAST(n_reached AS DOUBLE) / sum_d, 6) END AS closeness
+         |FROM a_w$seed""".stripMargin
+    s"""${knnEdgesPrefixSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |und AS (SELECT id AS a, nbr_id AS b FROM g0
+       |  UNION SELECT nbr_id, id FROM g0),
+       |${Seq(0L, 1L, 2L).map(walk).mkString(",\n")}
+       |${Seq(0L, 1L, 2L).map(row).mkString("\nUNION ALL\n")}
+       |ORDER BY source""".stripMargin
+  }
 
   /** One fixed-point power-iteration round per call: `s{r}` folds each
     * node's `pr div deg` share onto its out-neighbors (BIGINT sum, cast

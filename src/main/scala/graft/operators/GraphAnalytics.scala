@@ -915,4 +915,47 @@ object GraphAnalytics {
             sqrt(col("n_edges") * col("syy") - col("sy") * col("sy"))),
           12).as("assortativity"))
   }
+
+  /** Exact harmonic + closeness centrality of a FIXED pivot set: one
+    * bounded BFS per pivot on the undirected graph, then
+    * H(p) = Σ_{d(p,u)>0} 1/d(p,u) (decimal-accumulated — order-free)
+    * and closeness = n_reached / Σd (the within-component Wasserman–
+    * Faust form). The honest per-node centrality at scale: all-pairs is
+    * off the table at 100 TB, but a handful of exact pivot rows (hubs,
+    * suspected outliers, random probes) reads connectivity the degree
+    * distribution can't. Same frontier-expansion/localCheckpoint
+    * discipline as [[eccentricitySweep]]; cost is |pivots| BFS runs,
+    * each ≤ maxHops joins of a shrinking frontier. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: Seq[Long], maxHops: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    def one(seed: Long): DataFrame = {
+      var dist = und.select(col("a").as("node"))
+        .filter(col("node") === seed).distinct()
+        .withColumn("d", lit(0)).localCheckpoint()
+      var frontier = dist
+      for (h <- 1 to maxHops) {
+        frontier = frontier.join(und, frontier("node") === und("a"))
+          .select(col("b").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .withColumn("d", lit(h))
+          .localCheckpoint()
+        dist = dist.union(frontier).localCheckpoint()
+      }
+      dist.filter(col("d") > 0)
+        .agg(count(lit(1)).as("n_reached"), max("d").as("ecc"),
+          sum(col("d").cast("long")).as("sum_d"),
+          sum(d18(lit(1.0) / col("d"))).cast("double").as("h"))
+        .select(lit(seed).as("source"), col("n_reached"), col("ecc"),
+          round(col("h"), 6).as("harmonic"),
+          when(col("sum_d") > 0, round(
+            col("n_reached").cast("double") / col("sum_d"), 6))
+            .as("closeness"))
+    }
+    seeds.map(one).reduce(_ unionByName _).orderBy("source")
+  }
 }

@@ -1852,6 +1852,104 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** Kendall's τ-b between an integer series x and a RATIONAL series
+    * y = num/den, with y comparisons done by cross-multiplication
+    * (num_a·den_b vs num_b·den_a — exact integers, no division, so a
+    * ratio like "average ticket" never loses a tie to float noise).
+    * Concordant/discordant/tie pair counts are exact BIGINTs from the
+    * i < j self-join; τ-b = (C − D)/√((n₀−n₁)(n₀−n₂)). The rank
+    * correlation that, unlike Spearman (q191), is directly a
+    * probability statement (P(concordant) − P(discordant)).
+    *
+    * Scale shape: the self-join is |df|² pairs — meant for frames
+    * already reduced to a BOUNDED key (calendar days, strata), never
+    * the raw corpus; document the key, not the fact table. `denCol`
+    * values must be positive. */
+  def kendallTauRatio(df: DataFrame, keyCol: String, xCol: String,
+                      numCol: String, denCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"),
+      col(numCol).cast("long").as("sn"),
+      col(denCol).cast("long").as("sd"))
+    val a = base.as("a"); val b = base.as("b")
+    val pairs = a.join(b, col("a.t") < col("b.t"))
+      .withColumn("dx", col("a.x") - col("b.x"))
+      .withColumn("cy",
+        d0(col("a.sn")) * col("b.sd") - d0(col("b.sn")) * col("a.sd"))
+    val counted = pairs.agg(
+      sum(when((col("dx") > 0 && col("cy") > 0) ||
+        (col("dx") < 0 && col("cy") < 0), 1L).otherwise(0L)).as("c"),
+      sum(when((col("dx") > 0 && col("cy") < 0) ||
+        (col("dx") < 0 && col("cy") > 0), 1L).otherwise(0L)).as("d"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cy") === 0, 1L).otherwise(0L)).as("n2"))
+    base.agg(count(lit(1)).as("n")).crossJoin(broadcast(counted))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("n"), col("n0"), col("c").as("concordant"),
+        col("d").as("discordant"), col("n1").as("ties_x"),
+        col("n2").as("ties_y"),
+        when((col("n0") - col("n1")) * (col("n0") - col("n2")) > 0,
+          round((col("c") - col("d")).cast("double") /
+            sqrt(((col("n0") - col("n1")) *
+              (col("n0") - col("n2"))).cast("double")), 6)).as("tau_b"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion — the AR-order reader on top of [[acfTable]]: PACF(k)
+    * is the correlation at lag k AFTER the shorter lags are regressed
+    * out, so an AR(1) process shows ρ decaying geometrically but PACF
+    * cutting to ≈0 past lag 1. ρ_k uses the standard autocovariance
+    * estimator on mean-centered values, exactly: e_t = n·x_t − S
+    * (integer centering, the q451 trick), ρ_k = Σ e_t·e_{t+k} / Σ e_t²
+    * (decimal sums, ONE double division), and the recursion
+    * φ22 = (ρ2−ρ1²)/(1−ρ1²), φ21 = ρ1(1−φ22),
+    * φ33 = (ρ3−φ21·ρ2−φ22·ρ1)/(1−φ21·ρ1−φ22·ρ2) is a fixed double
+    * tree. Lag pairs join on calendar offset — gaps simply contribute
+    * no pair, same convention as [[acfTable]].
+    *
+    * Scale shape: the corpus collapses to the per-(group, period)
+    * frame upstream; three self-joins on that bounded frame. */
+  def pacf(daily: DataFrame, groupCol: String, orderCol: String,
+           vCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base0 = daily.select(col(groupCol).as("g"),
+      col(orderCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val tot = base0.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("v").as("s"))
+    val e = base0.join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("t"), (col("n") * col("v") - col("s")).as("e"),
+        col("n"))
+      .localCheckpoint()
+    val c0 = e.groupBy("g").agg(max("n").as("n"),
+      sum(d0(col("e")) * col("e")).as("c0"))
+    def ck(k: Int) = e.select(col("g"), col("t"), col("e").as("ex"))
+      .join(e.select(col("g"), (col("t") - k).as("t"), col("e").as("ey")),
+        Seq("g", "t"))
+      .groupBy("g").agg(sum(d0(col("ex")) * col("ey")).as(s"c$k"))
+    val rho = c0.join(ck(1), Seq("g")).join(ck(2), Seq("g"))
+      .join(ck(3), Seq("g"))
+      .filter(col("c0") > 0)
+      .withColumn("r1", col("c1").cast("double") / col("c0").cast("double"))
+      .withColumn("r2", col("c2").cast("double") / col("c0").cast("double"))
+      .withColumn("r3", col("c3").cast("double") / col("c0").cast("double"))
+    val p22den = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / p22den
+    rho
+      .withColumn("p22", when(p22den =!= 0.0, p22))
+      .withColumn("p21", col("r1") * (lit(1.0) - col("p22")))
+      .withColumn("p33den",
+        lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2"))
+      .select(col("g").as(groupCol), col("n").as("n_periods"),
+        round(col("r1"), 6).as("rho1"), round(col("r2"), 6).as("rho2"),
+        round(col("r3"), 6).as("rho3"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("p22"), 6).as("pacf2"),
+        round(when(col("p33den") =!= 0.0,
+          (col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+            col("p33den")), 6).as("pacf3"))
+  }
+
   /** Cochran's stratified adjustment (Cochran 1968): split units into
     * `nStrata` equal-count score strata (rank-based, deterministic
     * tie-break by id), take the within-stratum treated−control mean

@@ -361,4 +361,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") == 6L) // symmetrized
     assert(r.getAs[Double]("assortativity") == -1.0)
   }
+
+  test("harmonicCentrality: path graph — hand harmonic/closeness; hop cap honored") {
+    import spark.implicits._
+    import graft.operators.GraphAnalytics
+    // 0—1—2—3: from 0, dists 1,2,3 → H = 1 + 1/2 + 1/3; C = 3/6
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = GraphAnalytics.harmonicCentrality(edges, "s", "d",
+      seeds = Seq(0L, 1L), maxHops = 8).collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_reached") == 3L &&
+      r0.getAs[Int]("ecc") == 3)
+    assert(r0.getAs[Double]("harmonic") == 1.833333)
+    assert(r0.getAs[Double]("closeness") == 0.5)
+    // interior node 1: dists 1,1,2 → H = 2.5, C = 3/4
+    val r1 = out(1)
+    assert(r1.getAs[Double]("harmonic") == 2.5)
+    assert(r1.getAs[Double]("closeness") == 0.75)
+    // a 1-hop cap truncates node 0's reach to its sole neighbor
+    val capped = GraphAnalytics.harmonicCentrality(edges, "s", "d",
+      seeds = Seq(0L), maxHops = 1).head()
+    assert(capped.getAs[Long]("n_reached") == 1L &&
+      capped.getAs[Double]("harmonic") == 1.0)
+  }
 }

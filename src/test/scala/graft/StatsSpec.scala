@@ -999,6 +999,39 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("q") == 3.0)
   }
 
+  test("kendallTauRatio: monotone series gives tau = 1; x-tie discounts correctly") {
+    // y = sn/sd equals x exactly → all 3 pairs concordant
+    val mono = Seq((1L, 1L, 10L, 10L), (2L, 2L, 20L, 10L),
+      (3L, 3L, 30L, 10L)).toDF("t", "x", "sn", "sd")
+    val r = Stats.kendallTauRatio(mono, "t", "x", "sn", "sd").head()
+    assert(r.getAs[Long]("concordant") == 3L &&
+      r.getAs[Double]("tau_b") == 1.0)
+    // x = (1,1,2): one x-tie pair → τ-b = 2/√(2·3)
+    val tied = Seq((1L, 1L, 1L, 1L), (2L, 1L, 2L, 1L), (3L, 2L, 3L, 1L))
+      .toDF("t", "x", "sn", "sd")
+    val r2 = Stats.kendallTauRatio(tied, "t", "x", "sn", "sd").head()
+    assert(r2.getAs[Long]("ties_x") == 1L &&
+      r2.getAs[Long]("concordant") == 2L)
+    assert(r2.getAs[Double]("tau_b") ==
+      BigDecimal(2.0 / math.sqrt(6.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pacf: alternating series — hand rho and Durbin-Levinson phi22") {
+    // v alternates ±1 around mean 0 over 6 consecutive days:
+    // rho1 = −5/6, rho2 = 4/6, rho3 = −3/6; p22 = (r2−r1²)/(1−r1²) = −1/11
+    val df = (0 to 5).map(t => ("a", t.toLong, if (t % 2 == 0) 2L else 0L))
+      .toDF("g", "t", "v")
+    val r = Stats.pacf(df, "g", "t", "v").head()
+    assert(r.getAs[Double]("rho1") == -0.833333)
+    assert(r.getAs[Double]("rho2") == 0.666667)
+    assert(r.getAs[Double]("rho3") == -0.5)
+    assert(r.getAs[Double]("pacf1") == -0.833333)
+    assert(r.getAs[Double]("pacf2") ==
+      BigDecimal(-1.0 / 11.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("effectSizes: known pooled-SD d and Hedges shrinkage direction") {
     // a={1,2,3}, b={4,5,6}: s² = 1 both → sp = 1, d = −3; J = 1 − 3/15
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
