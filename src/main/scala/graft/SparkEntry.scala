@@ -7518,6 +7518,29 @@ object SparkEntry {
                 .as("day"))
             .agg(count(lit(1)).as("n_events")),
           "event_type", "day", "n_events")
+        .orderBy("event_type")),
+
+    "q461_holt_winters" -> ((s, dir) =>
+      // q394's Holt plus the weekly seasonal correction: additive
+      // Holt-Winters (m=7) folded bit-identically on both engines, the
+      // seven seasonal slots carried as state fields / CTE columns
+      Stats.holtWinters(
+          events(s, dir).groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events")
+        .orderBy("event_type")),
+
+    "q462_mann_kendall" -> ((s, dir) =>
+      // is daily volume drifting? Mann-Kendall S with tie-corrected
+      // variance and continuity-corrected z — the significance gate for
+      // q211's Theil-Sen slope, exact BIGINTs end to end
+      Stats.mannKendall(
+          events(s, dir).groupBy(col("event_type"),
+              expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+                .as("day"))
+            .agg(count(lit(1)).as("n_events")),
+          "event_type", "day", "n_events")
         .orderBy("event_type"))
   )
 
@@ -13729,6 +13752,37 @@ object SparkEntry {
           |    (r3 - p21 * r2 - p22 * r1) / p33den END, 6) AS pacf3
           |FROM f3 ORDER BY event_type""".stripMargin,
 
+      "q461_holt_winters" -> holtWintersOracleSql,
+
+      // i < j sign pairs; tie-corrected variance; all BIGINT until the
+      // final /18 and the continuity-corrected z
+      "q462_mann_kendall" ->
+        """WITH d AS (SELECT event_type AS g,
+          |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          |      AS BIGINT) AS t,
+          |    CAST(count(*) AS BIGINT) AS v
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
+          |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          |  FROM d a JOIN d b ON a.g = b.g AND a.t < b.t GROUP BY a.g),
+          |tv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS tc FROM d
+          |  GROUP BY 1, 2),
+          |ti AS (SELECT g, CAST(SUM(tc) AS BIGINT) AS n,
+          |    CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie
+          |  FROM tv GROUP BY g),
+          |f AS (SELECT s.g, ti.n, s.s_stat,
+          |    ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie AS var18
+          |  FROM s JOIN ti USING (g))
+          |SELECT g AS event_type, n AS n_periods, s_stat,
+          |  round(CAST(var18 AS DOUBLE) / 18.0, 6) AS var_s,
+          |  round(CASE WHEN var18 > 0 THEN
+          |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) /
+          |        sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          |      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) /
+          |        sqrt(CAST(var18 AS DOUBLE) / 18.0)
+          |      ELSE 0.0 END END, 6) AS z
+          |FROM f ORDER BY event_type""".stripMargin,
+
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->
         """WITH toks AS (SELECT source AS src,
@@ -18436,6 +18490,56 @@ object SparkEntry {
        |${Seq(0L, 1L, 2L).map(walk).mkString(",\n")}
        |${Seq(0L, 1L, 2L).map(row).mkString("\nUNION ALL\n")}
        |ORDER BY source""".stripMargin
+  }
+
+  /** Replays q461: the additive Holt-Winters fold as a recursive CTE
+    * carrying (l, b, sse, s0..s6); every smoothing constant is dyadic
+    * and every expression tree matches the Spark fold, so the replay is
+    * bit-identical (the q394 discipline with seasonal state). */
+  private def holtWintersOracleSql: String = {
+    // position of the INCOMING row (index it.t + 1, 0-based) is it.t % 7
+    val sold = "CASE it.t % 7 WHEN 0 THEN it.s0 WHEN 1 THEN it.s1 " +
+      "WHEN 2 THEN it.s2 WHEN 3 THEN it.s3 WHEN 4 THEN it.s4 " +
+      "WHEN 5 THEN it.s5 ELSE it.s6 END"
+    val lp = s"0.5 * (r.y - ($sold)) + 0.5 * (it.l + it.b)"
+    val sUpdCols = (0 until 7).map(k =>
+      s"""    CASE WHEN it.t % 7 = $k THEN
+         |      0.25 * (r.y - ($lp)) + 0.75 * ($sold)
+         |      ELSE it.s$k END""".stripMargin).mkString(",\n")
+    val sNext = "CASE nn.n_obs % 7 WHEN 0 THEN it.s0 WHEN 1 THEN it.s1 " +
+      "WHEN 2 THEN it.s2 WHEN 3 THEN it.s3 WHEN 4 THEN it.s4 " +
+      "WHEN 5 THEN it.s5 ELSE it.s6 END"
+    s"""WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS DOUBLE) AS y
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY day) AS t, y FROM d),
+       |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM r GROUP BY 1),
+       |it AS (
+       |  SELECT event_type, 1 AS t, y AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    CAST(0.0 AS DOUBLE) AS sse,
+       |    ${(0 until 7).map(k => s"CAST(0.0 AS DOUBLE) AS s$k")
+                .mkString(", ")}
+       |  FROM r WHERE t = 1
+       |  UNION ALL
+       |  SELECT it.event_type, it.t + 1,
+       |    $lp,
+       |    0.25 * (($lp) - it.l) + 0.75 * it.b,
+       |    it.sse + (r.y - (it.l + it.b + ($sold)))
+       |      * (r.y - (it.l + it.b + ($sold))),
+       |$sUpdCols
+       |  FROM it JOIN r ON r.event_type = it.event_type
+       |    AND r.t = it.t + 1)
+       |SELECT it.event_type, nn.n_obs, it.l AS level, it.b AS trend,
+       |  $sNext AS s_next,
+       |  it.l + it.b + ($sNext) AS forecast_next,
+       |  greatest(it.s0, it.s1, it.s2, it.s3, it.s4, it.s5, it.s6) -
+       |    least(it.s0, it.s1, it.s2, it.s3, it.s4, it.s5, it.s6)
+       |    AS seas_amplitude,
+       |  CASE WHEN nn.n_obs > 1 THEN it.sse / (nn.n_obs - 1) END AS mse
+       |FROM it JOIN nn USING (event_type)
+       |WHERE it.t = nn.n_obs ORDER BY event_type""".stripMargin
   }
 
   /** One fixed-point power-iteration round per call: `s{r}` folds each

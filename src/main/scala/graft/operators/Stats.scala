@@ -1484,6 +1484,125 @@ object Stats {
         (col("n_obs") - 1)).as("mse"))
   }
 
+  /** Holt–Winters ADDITIVE seasonal smoothing per group, α = 0.5,
+    * β = 0.25, γ = 0.25, season length 7 — [[holtSmoothing]] plus the
+    * seasonal correction a weekly-cycling series needs (Holt alone
+    * chases the cycle as spurious trend). The recurrence
+    *
+    *   f_t  = ℓ + b + s[p]              (one-step forecast, p = t mod 7)
+    *   ℓ'   = α·(y − s[p]) + (1−α)·(ℓ + b)
+    *   b'   = β·(ℓ' − ℓ) + (1−β)·b
+    *   s[p]'= γ·(y − ℓ') + (1−γ)·s[p]
+    *
+    * folds left over the ordered series with ℓ₀ = y₀, b₀ = 0, s ≡ 0 —
+    * the same bit-identical-fold discipline as [[holtSmoothing]]: the
+    * seven seasonal slots are STATE FIELDS (not an array), so the
+    * oracle replays the identical tree as a recursive CTE with columns
+    * s0..s6; all smoothing constants are dyadic. Returns one row per
+    * group: (group, n_obs, level, trend, s_next = the slot the next
+    * period lands on, forecast_next = ℓ + b + s_next, seasonal
+    * amplitude max(s)−min(s), and the one-step mse over obs 2..n) —
+    * raw doubles, no rounding (the fold is exact replay).
+    *
+    * Scale shape: one groupBy collapses to per-group ordered arrays
+    * (bounded by the calendar); the fold is map-side. */
+  def holtWinters(df: DataFrame, groupCol: String, orderCol: String,
+                  yCol: String): DataFrame = {
+    val sFields = (0 until 7).map(k => s"s$k")
+    def sOld(a: Column, p: Column): Column =
+      sFields.zipWithIndex.tail.foldLeft(
+        when(p === 0, a.getField("s0"))) { case (acc, (f, k)) =>
+        acc.when(p === k, a.getField(f))
+      }
+    val folded = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_obs"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"),
+              col(yCol).cast("double").as("y")))),
+            s => s.getField("y")),
+          struct(lit(0.0).as("l") +: lit(0.0).as("b") +:
+            lit(0.0).as("sse") +: lit(0L).as("i") +:
+            sFields.map(f => lit(0.0).as(f)): _*),
+          (a, y) => {
+            val p = pmod(a.getField("i"), lit(7L))
+            val so = sOld(a, p)
+            val f = a.getField("l") + a.getField("b") + so
+            val l1 = lit(0.5) * (y - so) +
+              lit(0.5) * (a.getField("l") + a.getField("b"))
+            val lNew = when(a.getField("i") === 0, y).otherwise(l1)
+            val bNew = when(a.getField("i") === 0, lit(0.0))
+              .otherwise(lit(0.25) * (lNew - a.getField("l")) +
+                lit(0.75) * a.getField("b"))
+            val sUpd = lit(0.25) * (y - lNew) + lit(0.75) * so
+            struct(lNew.as("l") +: bNew.as("b") +:
+              when(a.getField("i") === 0, lit(0.0))
+                .otherwise(a.getField("sse") + (y - f) * (y - f))
+                .as("sse") +:
+              (a.getField("i") + 1).as("i") +:
+              sFields.zipWithIndex.map { case (fld, k) =>
+                when(p === k, sUpd).otherwise(a.getField(fld)).as(fld)
+              }: _*)
+          }).as("_st"))
+    val st = col("_st")
+    val pNext = pmod(col("n_obs"), lit(7L))
+    val sNext = sOld(st, pNext)
+    val sCols = sFields.map(st.getField)
+    folded.select(col(groupCol), col("n_obs"),
+      st.getField("l").as("level"),
+      st.getField("b").as("trend"),
+      sNext.as("s_next"),
+      (st.getField("l") + st.getField("b") + sNext).as("forecast_next"),
+      (greatest(sCols: _*) - least(sCols: _*)).as("seas_amplitude"),
+      when(col("n_obs") > 1,
+        st.getField("sse") / (col("n_obs") - 1)).as("mse"))
+  }
+
+  /** Mann–Kendall trend test per group: S = Σ_{i<j} sign(x_j − x_i)
+    * over the ordered series, with the tie-corrected variance
+    * Var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18 and the
+    * continuity-corrected z ((S∓1)/√Var). THE nonparametric "is this
+    * metric drifting" gate beside the Theil–Sen slope (q211): no
+    * normality assumption, exact under ties, and every term here is an
+    * exact BIGINT until the final division.
+    *
+    * Scale shape: the i < j self-join is per-group period² — meant for
+    * frames already reduced to calendar grain, like [[kendallTauRatio]].
+    */
+  def mannKendall(daily: DataFrame, groupCol: String, orderCol: String,
+                  vCol: String): DataFrame = {
+    val base = daily.select(col(groupCol).as("g"),
+      col(orderCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+      .localCheckpoint()
+    val s = base.select(col("g"), col("t"), col("v").as("va"))
+      .join(base.select(col("g"), col("t").as("t2"), col("v").as("vb")),
+        Seq("g"))
+      .filter(col("t") < col("t2"))
+      .groupBy("g")
+      .agg(sum(when(col("vb") > col("va"), 1L)
+        .when(col("vb") < col("va"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = base.groupBy("g", "v").agg(count(lit(1)).as("tc"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_distinct"), sum("tc").as("n"),
+        sum(col("tc") * (col("tc") - 1) * (lit(2L) * col("tc") + 5))
+          .as("tie"))
+    s.join(ties, Seq("g"))
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie"))
+      .select(col("g").as(groupCol), col("n").as("n_periods"),
+        col("s_stat"),
+        round(col("var18").cast("double") / 18.0, 6).as("var_s"),
+        round(when(col("var18") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") /
+                sqrt(col("var18").cast("double") / 18.0))
+            .otherwise(lit(0.0))), 6).as("z"))
+  }
+
   /** Page–Hinkley drift monitor (Page 1954; the streaming-drift test
     * MOA/River ship) per group: the cumulative deviation from the
     * RUNNING mean, m_t = Σ_{i≤t} (x_i − x̄_i − δ), alarms when

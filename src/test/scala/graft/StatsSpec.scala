@@ -1032,6 +1032,41 @@ class StatsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("holtWinters: two-step hand recurrence; singleton is its own forecast") {
+    // y = [10, 12]: ℓ₂ = 0.5·12 + 0.5·10 = 11, b₂ = 0.25, s[1] = 0.25,
+    // sse = (12−10)² = 4; next slot is s[2] = 0 → forecast 11.25
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 12L)).toDF("g", "t", "y")
+    val r = Stats.holtWinters(df, "g", "t", "y").head()
+    assert(r.getAs[Double]("level") == 11.0)
+    assert(r.getAs[Double]("trend") == 0.25)
+    assert(r.getAs[Double]("forecast_next") == 11.25)
+    assert(r.getAs[Double]("mse") == 4.0)
+    assert(r.getAs[Double]("seas_amplitude") == 0.25) // max 0.25, min 0
+    val one = Seq(("a", 1L, 10L)).toDF("g", "t", "y")
+    val r1 = Stats.holtWinters(one, "g", "t", "y").head()
+    assert(r1.getAs[Double]("level") == 10.0 &&
+      r1.getAs[Double]("forecast_next") == 10.0)
+  }
+
+  test("mannKendall: monotone series — exact S and z; constant series degenerates") {
+    // strictly increasing n=4: S = 6, var·18 = 4·3·13 = 156
+    val up = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("a", 4L, 4L)).toDF("g", "t", "v")
+    val r = Stats.mannKendall(up, "g", "t", "v").head()
+    assert(r.getAs[Long]("s_stat") == 6L)
+    assert(r.getAs[Double]("var_s") ==
+      BigDecimal(156.0 / 18.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(5.0 / math.sqrt(156.0 / 18.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant series: every pair tied → var18 = 0 → z NULL
+    val flat = Seq(("a", 1L, 7L), ("a", 2L, 7L), ("a", 3L, 7L))
+      .toDF("g", "t", "v")
+    val rf = Stats.mannKendall(flat, "g", "t", "v").head()
+    assert(rf.getAs[Long]("s_stat") == 0L && rf.isNullAt(rf.fieldIndex("z")))
+  }
+
   test("effectSizes: known pooled-SD d and Hedges shrinkage direction") {
     // a={1,2,3}, b={4,5,6}: s² = 1 both → sp = 1, d = −3; J = 1 − 3/15
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
