@@ -7541,7 +7541,42 @@ object SparkEntry {
                 .as("day"))
             .agg(count(lit(1)).as("n_events")),
           "event_type", "day", "n_events")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "q463_semantic_divergence" -> ((s, dir) => {
+      // SEMANTIC source-mix matrix: each label's distribution over the
+      // 8 IVF centroid cells (zero-shuffle map-side assignment), then
+      // pairwise JSD — the embedding-space companion of q443's lexical
+      // matrix; near-zero pairs cover the same semantic territory
+      val e = tbl(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      val cells = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .groupBy(col("label"), col("centroid_id"))
+        .agg(count(lit(1)).as("c"))
+      NgramLm.jensenShannonCounts(cells, "label", "centroid_id", "c")
+        .orderBy("sa", "sb")
+    }),
+
+    "q464_shard_median_bias" -> ((s, dir) =>
+      // how wrong is median-of-shard-medians? Exact per-shard lower
+      // medians off histograms, their median, vs the true exact median —
+      // the measured bias that justifies q424's two-pass plan
+      Profiling.shardMedianBias(
+        tbl(s, dir, "orders").select(
+          pmod(col("o_orderkey"), lit(8L)).as("shard"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "shard", "cents")),
+
+    "q465_oov_rate" -> ((s, dir) =>
+      // tokenizer-coverage audit: per source, the share of token
+      // occurrences (and distinct types) outside the global top-1000
+      // reference vocabulary — the "is this source linguistically alien"
+      // gate before mixing it in
+      TextQuality.oovRate(tbl(s, dir, "documents"), "source", "text",
+        vocabSize = 1000))
   )
 
   // ======================================================================
@@ -13782,6 +13817,103 @@ object SparkEntry {
           |        sqrt(CAST(var18 AS DOUBLE) / 18.0)
           |      ELSE 0.0 END END, 6) AS z
           |FROM f ORDER BY event_type""".stripMargin,
+
+      // q443's JS pipeline over centroid-cell counts; the assignment
+      // replays as the q418 rn=1 argmin
+      "q463_semantic_divergence" ->
+        """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+          |    CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id < 8),
+          |asn AS (SELECT label, centroid_id FROM (
+          |    SELECT e.label, c.cid AS centroid_id,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+          |          c.cv), c.cid) AS rn
+          |    FROM embeddings e, c) WHERE rn = 1),
+          |tc AS (SELECT label AS src, centroid_id AS tok,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM asn GROUP BY 1, 2),
+          |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nt FROM tc
+          |  GROUP BY src),
+          |a AS (SELECT tc.src AS sa, tok, c AS ca, nt AS na
+          |  FROM tc JOIN tot ON tc.src = tot.src),
+          |o1 AS (SELECT a.sa, bt.src AS sb, a.tok, a.ca, a.na,
+          |    bc.c AS cb, bt.nt AS nb
+          |  FROM a JOIN tot bt ON bt.src <> a.sa
+          |  LEFT JOIN tc bc ON bc.src = bt.src AND bc.tok = a.tok),
+          |terms AS (SELECT sa, sb,
+          |    CAST(ca AS DOUBLE) / na AS pa,
+          |    CAST(coalesce(cb, 0) AS DOUBLE) / nb AS qb
+          |  FROM o1),
+          |t AS (SELECT sa, sb,
+          |    SUM(CAST(pa * ln(2.0 * pa / (pa + qb)) AS DECIMAL(38,18)))
+          |      AS t,
+          |    CAST(count(*) AS BIGINT) AS n_terms
+          |  FROM terms GROUP BY 1, 2)
+          |SELECT x.sa, x.sb, x.n_terms + y.n_terms AS n_terms,
+          |  round((CAST(x.t AS DOUBLE) + CAST(y.t AS DOUBLE)) / 2.0, 6)
+          |    AS jsd
+          |FROM t x JOIN t y ON y.sa = x.sb AND y.sb = x.sa
+          |WHERE x.sa < x.sb ORDER BY x.sa, x.sb""".stripMargin,
+
+      // exact lower medians off cumulative histograms at every level;
+      // nothing row-sorted
+      "q464_shard_median_bias" ->
+        """WITH h AS (SELECT o_orderkey % 8 AS sh,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+          |    CAST(count(*) AS BIGINT) AS c
+          |  FROM orders GROUP BY 1, 2),
+          |sm AS (SELECT sh, min(v) AS med FROM (
+          |    SELECT sh, v,
+          |      SUM(c) OVER (PARTITION BY sh ORDER BY v
+          |        ROWS UNBOUNDED PRECEDING) AS cum,
+          |      SUM(c) OVER (PARTITION BY sh) AS n_sh
+          |    FROM h) WHERE cum >= (n_sh + 1) // 2 GROUP BY sh),
+          |mm AS (SELECT min(med) AS med_of_meds,
+          |    CAST(max(k) AS BIGINT) AS n_shards FROM (
+          |    SELECT med,
+          |      SUM(1) OVER (ORDER BY med ROWS UNBOUNDED PRECEDING) AS rk,
+          |      count(*) OVER () AS k FROM sm)
+          |  WHERE rk >= (k + 1) // 2),
+          |g AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM h GROUP BY v),
+          |tm AS (SELECT min(v) AS true_median,
+          |    CAST(max(n) AS BIGINT) AS n_rows FROM (
+          |    SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+          |      AS cum, SUM(c) OVER () AS n FROM g)
+          |  WHERE cum >= (n + 1) // 2)
+          |SELECT n_rows, n_shards, med_of_meds, true_median,
+          |  abs(med_of_meds - true_median) AS abs_err,
+          |  CASE WHEN true_median <> 0 THEN
+          |    round(CAST(abs(med_of_meds - true_median) AS DOUBLE) /
+          |      true_median, 6) END AS rel_err
+          |FROM mm, tm""".stripMargin,
+
+      // deterministic top-1000 reference vocab (cf desc, tok asc);
+      // occurrence- and type-level OOV per source
+      "q465_oov_rate" ->
+        """WITH toks AS (SELECT source AS src,
+          |    unnest(list_filter(regexp_split_to_array(lower(text),
+          |      '\s+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tc AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+          |  FROM toks GROUP BY 1, 2),
+          |vocab AS (SELECT tok FROM (SELECT tok,
+          |      CAST(SUM(c) AS BIGINT) AS cf FROM tc GROUP BY tok)
+          |  ORDER BY cf DESC, tok ASC LIMIT 1000),
+          |j AS (SELECT tc.src, tc.c,
+          |    v.tok IS NOT NULL AS in_vocab
+          |  FROM tc LEFT JOIN vocab v USING (tok))
+          |SELECT src AS source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(CASE WHEN NOT in_vocab THEN c ELSE 0 END)
+          |    AS BIGINT) AS n_oov,
+          |  round(CAST(SUM(CASE WHEN NOT in_vocab THEN c ELSE 0 END)
+          |    AS DOUBLE) / SUM(c), 6) AS oov_rate,
+          |  CAST(count(*) AS BIGINT) AS n_types,
+          |  CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_oov_types,
+          |  round(CAST(SUM(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*), 6) AS type_oov_rate
+          |FROM j GROUP BY src ORDER BY src""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

@@ -373,6 +373,45 @@ object NgramLm {
           6).as("jsd"))
   }
 
+  /** Pairwise Jensen–Shannon divergence over an ARBITRARY pre-counted
+    * (group, item, count) frame — [[jensenShannonBySource]] with the
+    * tokenizer factored out, so the same machinery reads SEMANTIC
+    * divergence (items = embedding-space centroid cells), behavioral
+    * divergence (items = event types), or any other categorical
+    * fingerprint. Same replay discipline: frequencies and ln terms are
+    * fixed double trees over exact counts, directed sums
+    * decimal-accumulate, output display-rounds at 6 (ln rule). */
+  def jensenShannonCounts(counts: DataFrame, grpCol: String,
+                          itemCol: String, nCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val tc = counts.select(col(grpCol).as("src"), col(itemCol).as("tok"),
+      col(nCol).cast("long").as("c")).localCheckpoint()
+    val tot = tc.groupBy("src").agg(sum("c").as("nt"))
+    val a = tc.join(tot, Seq("src"))
+      .select(col("src").as("sa"), col("tok"), col("c").as("ca"),
+        col("nt").as("na"))
+    val ordered = a
+      .join(broadcast(tot.select(col("src").as("sb"),
+        col("nt").as("nb"))), col("sb") =!= col("sa"))
+      .join(tc.select(col("src").as("sb"), col("tok"),
+        col("c").as("cb")), Seq("sb", "tok"), "left")
+      .withColumn("pa", col("ca").cast("double") / col("na"))
+      .withColumn("qb",
+        coalesce(col("cb"), lit(0L)).cast("double") / col("nb"))
+      .withColumn("term", col("pa") *
+        log(lit(2.0) * col("pa") / (col("pa") + col("qb"))))
+      .groupBy("sa", "sb").agg(sum(d18(col("term"))).as("t"),
+        count(lit(1)).as("n_terms"))
+    ordered
+      .join(ordered.select(col("sb").as("sa"), col("sa").as("sb"),
+        col("t").as("t2"), col("n_terms").as("n2")), Seq("sa", "sb"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        (col("n_terms") + col("n2")).as("n_terms"),
+        round((col("t").cast("double") + col("t2").cast("double")) / 2.0,
+          6).as("jsd"))
+  }
+
   /** Per-source Zipf octave slope: token counts bucketed by integer
     * octave ⌊log2 c⌋ (the [[zipfOctaves]] libm-free log), then the
     * exact OLS slope of ⌊log2 types(octave)⌋ against the octave — a

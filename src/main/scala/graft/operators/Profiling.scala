@@ -363,4 +363,54 @@ object Profiling {
             .as("cramers_v"))
     }.reduce(_ unionByName _)
   }
+
+  /** Median-of-shard-medians bias audit: how wrong is the "each shard
+    * reports its median, coordinator takes the median of those" shortcut
+    * every naive distributed percentile implementation ships? Computes
+    * each shard's exact LOWER median off its value histogram (the
+    * deterministic order statistic — no interpolation), the median of
+    * those medians, the TRUE exact lower median, and the absolute /
+    * relative gap. The number that justifies q424's two-pass exact plan.
+    *
+    * Scale shape: one (shard × distinct-value) histogram; medians read
+    * off cumulative windows over the histogram, never row-sorted data;
+    * the median-of-medians step is |shards| rows. */
+  def shardMedianBias(df: DataFrame, shardCol: String,
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(shardCol).as("sh"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("sh", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy("sh").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("sh")
+    val shardMed = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n_sh", sum("c").over(wAll))
+      .filter(col("cum") >= expr("(n_sh + 1) div 2"))
+      .groupBy("sh").agg(min("v").as("med"))
+    val wM = Window.orderBy("med")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mom = shardMed
+      .withColumn("rk", sum(lit(1L)).over(wM))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .filter(col("rk") >= expr("(k + 1) div 2"))
+      .agg(min("med").as("med_of_meds"), max("k").as("n_shards"))
+    val gHist = hist.groupBy("v").agg(sum("c").as("c"))
+    val wG = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trueMed = gHist
+      .withColumn("cum", sum("c").over(wG))
+      .withColumn("n", sum("c").over(Window.partitionBy(lit(1))))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("v").as("true_median"), max("n").as("n_rows"))
+    mom.crossJoin(broadcast(trueMed))
+      .select(col("n_rows"), col("n_shards"), col("med_of_meds"),
+        col("true_median"),
+        abs(col("med_of_meds") - col("true_median")).as("abs_err"),
+        when(col("true_median") =!= 0, round(
+          abs(col("med_of_meds") - col("true_median")).cast("double") /
+            col("true_median"), 6)).as("rel_err"))
+  }
 }

@@ -33,6 +33,45 @@ object TextQuality {
   def tokens(textCol: Column): Column =
     filter(split(textCol, "\\s+"), t => t =!= "")
 
+  /** Per-source out-of-vocabulary audit against a reference vocabulary
+    * = the global top-`vocabSize` tokens (by corpus frequency, ties →
+    * token asc — deterministic). The tokenizer-coverage question a
+    * mixture designer asks before adding a source: what share of its
+    * token OCCURRENCES (and of its distinct TYPES) falls outside the
+    * head vocabulary the tokenizer/classifier was built on? High
+    * occurrence-OOV = the source is linguistically alien to the
+    * reference; high type-OOV with low occurrence-OOV = a long exotic
+    * tail that still matters little by mass.
+    *
+    * Scale shape: one token-count shuffle per grain; the vocab is a
+    * bounded TakeOrdered (top-K heap, no global sort) broadcast into
+    * an existence join. */
+  def oovRate(df: DataFrame, srcCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val tc = df.select(col(srcCol).as("src"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = tc.groupBy("tok").agg(sum("c").as("cf"))
+      .orderBy(col("cf").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    tc.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("src")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L))
+          .as("n_oov"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("n_oov_types"))
+      .select(col("src").as(srcCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"),
+        col("n_types"), col("n_oov_types"),
+        round(col("n_oov_types").cast("double") / col("n_types"), 6)
+          .as("type_oov_rate"))
+      .orderBy(srcCol)
+  }
+
   /** Gopher-style per-document quality metrics + pass flag.
     * Thresholds are calibrated to the synthetic corpus so both classes
     * occur; the production values from the paper differ only in constants.

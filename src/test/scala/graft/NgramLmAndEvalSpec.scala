@@ -611,4 +611,18 @@ class NgramLmAndEvalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(("a", "c")) == ln2 && out(("b", "c")) == ln2)
   }
+
+  test("jensenShannonCounts: tokenizer-free twin agrees on the same extremes") {
+    import spark.implicits._
+    // identical cell distributions → 0; disjoint cells → ln 2
+    val cells = Seq((1, 10, 2L), (1, 11, 1L), (2, 10, 4L), (2, 11, 2L),
+      (3, 20, 3L)).toDF("grp", "cell", "n")
+    val out = NgramLm.jensenShannonCounts(cells, "grp", "cell", "n")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[Double]("jsd")).toMap
+    assert(out((1, 2)) == 0.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1, 3)) == ln2 && out((2, 3)) == ln2)
+  }
 }

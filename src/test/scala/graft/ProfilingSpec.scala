@@ -209,4 +209,24 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("c1", "c3")).getAs[Double]("cramers_v") == 0.0)
     assert(out(("c2", "c3")).getAs[Double]("chi2") == 0.0)
   }
+
+  test("shardMedianBias: skewed shards — hand medians; uniform shards are unbiased") {
+    import spark.implicits._
+    // shard 1 = {1,2,3}, shard 2 = {10,20,30}: medians 2 and 20,
+    // median-of-medians = 2; true lower median of all 6 = 3
+    val skew = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 10L), (2L, 20L),
+      (2L, 30L)).toDF("sh", "v")
+    val r = Profiling.shardMedianBias(skew, "sh", "v").head()
+    assert(r.getAs[Long]("n_shards") == 2L &&
+      r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("med_of_meds") == 2L &&
+      r.getAs[Long]("true_median") == 3L)
+    assert(r.getAs[Long]("abs_err") == 1L)
+    assert(r.getAs[Double]("rel_err") == 0.333333)
+    // identically-distributed shards: no bias
+    val even = Seq((1L, 1L), (1L, 9L), (2L, 1L), (2L, 9L))
+      .toDF("sh", "v")
+    val r2 = Profiling.shardMedianBias(even, "sh", "v").head()
+    assert(r2.getAs[Long]("abs_err") == 0L)
+  }
 }

@@ -253,4 +253,17 @@ class TextQualitySpec extends SparkSpec {
     // n_chars counts code points
     assert(out(1L).getAs[Long]("n_chars") == 16L)
   }
+
+  test("oovRate: head vocab covers source A fully; source B half OOV") {
+    // global cf: a=3, b=1, z=1 → top-2 vocab (cf desc, tok asc) = {a, b}
+    val docs = Seq(("A", "a a b"), ("B", "a z")).toDF("source", "text")
+    val out = TextQuality.oovRate(docs, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_oov") == 0L &&
+      out("A").getAs[Double]("oov_rate") == 0.0)
+    assert(out("B").getAs[Long]("n_tokens") == 2L &&
+      out("B").getAs[Long]("n_oov") == 1L)
+    assert(out("B").getAs[Double]("oov_rate") == 0.5 &&
+      out("B").getAs[Double]("type_oov_rate") == 0.5)
+  }
 }
