@@ -7576,7 +7576,55 @@ object SparkEntry {
       // reference vocabulary — the "is this source linguistically alien"
       // gate before mixing it in
       TextQuality.oovRate(tbl(s, dir, "documents"), "source", "text",
-        vocabSize = 1000))
+        vocabSize = 1000)),
+
+    "q466_goertzel_tone" -> ((s, dir) => {
+      // tone detection through the REAL audio codec: every 3rd clip
+      // carries a period-6 square-ish tone under pseudo-noise; the
+      // fs/6 Goertzel bin (coefficient exactly 1 → pure integer filter)
+      // flags them by Parseval share — beep/DTMF screening, map-side
+      import s.implicits._
+      val tonePat = Array(1000, 1000, 0, -1000, -1000, 0)
+      val wavs = tbl(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
+        .map { id =>
+          val n = (128 + id % 64).toInt
+          val samples = Array.tabulate(n) { i =>
+            val noise = (((id * 31 + i * 17) % 4096) / 4 - 512).toInt
+            val tone = if (id % 3 == 0) tonePat(i % 6) else 0
+            (noise + tone).toShort
+          }
+          (id, graft.sources.BinaryMedia.encodeWavPcm16(samples, 8000))
+        }.toDF("doc_id", "wav")
+      Multimodal.goertzelTone(wavs, "doc_id", "wav")
+        .select(col("doc_id"), col("n_samples"), col("s1"), col("s2"),
+          col("p_tone"), col("energy"), col("tone_share"),
+          (col("tone_share") > 0.05).as("is_tonal"))
+        .orderBy("doc_id")
+    }),
+
+    "q467_image_gradients" -> ((s, dir) => {
+      // sharpness/edge audit through the REAL image codec: integer
+      // Sobel energy + variance-of-Laplacian per image (the classic
+      // blur score a vision pipeline gates frames on), exact BIGITs
+      // from decoded pixels, one fixed double tree per derived stat
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select(col("doc_id"))
+        .repartition(32).as[Long]
+        .map { id =>
+          val px = Array.tabulate(256)(i =>
+            (((i % 16) * 7 + (i / 16) * 13 + id * 31) % 256).toInt)
+          (id, graft.sources.BinaryMedia.encodeGrayPng(16, 16, px))
+        }.toDF("doc_id", "img")
+      Multimodal.imageGradientStats(imgs, "doc_id", "img")
+        .select(col("doc_id"), col("n_interior"), col("edge_energy"),
+          round(col("edge_energy").cast("double") / col("n_interior"), 6)
+            .as("mean_grad_sq"),
+          round((col("lap_sq").cast("double") -
+            col("lap_sum").cast("double") * col("lap_sum") /
+              col("n_interior")) / col("n_interior"), 6).as("lap_var"))
+        .orderBy("doc_id")
+    })
   )
 
   // ======================================================================
@@ -13915,6 +13963,10 @@ object SparkEntry {
           |    AS DOUBLE) / count(*), 6) AS type_oov_rate
           |FROM j GROUP BY src ORDER BY src""".stripMargin,
 
+      "q466_goertzel_tone" -> goertzelOracleSql,
+
+      "q467_image_gradients" -> imageGradientsOracleSql,
+
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->
         """WITH toks AS (SELECT source AS src,
@@ -18672,6 +18724,69 @@ object SparkEntry {
        |  CASE WHEN nn.n_obs > 1 THEN it.sse / (nn.n_obs - 1) END AS mse
        |FROM it JOIN nn USING (event_type)
        |WHERE it.t = nn.n_obs ORDER BY event_type""".stripMargin
+  }
+
+  /** Replays q466: regenerate the PCM by formula, apply the period-6
+    * Goertzel weights u = [1,1,0,−1,−1,0] as CASE lookups — all BIGINT. */
+  private def goertzelOracleSql: String = {
+    def u(e: String): String =
+      s"CASE CAST(($e) % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 1 " +
+        "WHEN 2 THEN 0 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END"
+    s"""WITH nn AS (SELECT doc_id, 128 + doc_id % 64 AS n FROM documents),
+       |x AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+       |    ((doc_id * 31 + i * 17) % 4096) // 4 - 512 +
+       |      CASE WHEN doc_id % 3 = 0 THEN
+       |        CASE CAST(i % 6 AS INT) WHEN 0 THEN 1000 WHEN 1 THEN 1000
+       |          WHEN 2 THEN 0 WHEN 3 THEN -1000 WHEN 4 THEN -1000
+       |          ELSE 0 END
+       |      ELSE 0 END AS x
+       |  FROM nn, unnest(range(0, n)) AS r(i)),
+       |g AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+       |    CAST(SUM(x * (${u("n - 1 - i")})) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN i <= n - 2 THEN
+       |      x * (${u("n - 2 - i")}) ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(SUM(x * x) AS BIGINT) AS energy
+       |  FROM x GROUP BY doc_id),
+       |fin AS (SELECT doc_id, n_samples, s1, s2,
+       |    s1 * s1 + s2 * s2 - s1 * s2 AS p_tone, energy,
+       |    CASE WHEN energy > 0 THEN
+       |      round(CAST(s1 * s1 + s2 * s2 - s1 * s2 AS DOUBLE) /
+       |        CAST(n_samples * energy AS DOUBLE), 6) END AS tone_share
+       |  FROM g)
+       |SELECT doc_id, n_samples, s1, s2, p_tone, energy, tone_share,
+       |  tone_share > 0.05 AS is_tonal
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays q467: interior-pixel Sobel/Laplacian from the closed-form
+    * pixel formula (PNG is lossless, so decoded pixels == the formula). */
+  private def imageGradientsOracleSql: String = {
+    def p(dx: Int, dy: Int): String = {
+      def off(v: String, d: Int): String =
+        if (d == 0) v else if (d > 0) s"($v + $d)" else s"($v - ${-d})"
+      s"((${off("x", dx)} * 7 + ${off("y", dy)} * 13 + doc_id * 31) % 256)"
+    }
+    val gx = s"(${p(1, -1)} + 2 * ${p(1, 0)} + ${p(1, 1)}) - " +
+      s"(${p(-1, -1)} + 2 * ${p(-1, 0)} + ${p(-1, 1)})"
+    val gy = s"(${p(-1, 1)} + 2 * ${p(0, 1)} + ${p(1, 1)}) - " +
+      s"(${p(-1, -1)} + 2 * ${p(0, -1)} + ${p(1, -1)})"
+    val l = s"4 * ${p(0, 0)} - ${p(-1, 0)} - ${p(1, 0)} - " +
+      s"${p(0, -1)} - ${p(0, 1)}"
+    s"""WITH px AS (SELECT doc_id, CAST(x AS BIGINT) AS x,
+       |    CAST(y AS BIGINT) AS y
+       |  FROM documents, unnest(range(1, 15)) AS rx(x),
+       |    unnest(range(1, 15)) AS ry(y)),
+       |v AS (SELECT doc_id, $gx AS gx, $gy AS gy, $l AS l FROM px),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_interior,
+       |    CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS ee,
+       |    CAST(SUM(l) AS BIGINT) AS ls,
+       |    CAST(SUM(l * l) AS BIGINT) AS lq
+       |  FROM v GROUP BY doc_id)
+       |SELECT doc_id, n_interior, ee AS edge_energy,
+       |  round(CAST(ee AS DOUBLE) / n_interior, 6) AS mean_grad_sq,
+       |  round((CAST(lq AS DOUBLE) - CAST(ls AS DOUBLE) * ls /
+       |    n_interior) / n_interior, 6) AS lap_var
+       |FROM a ORDER BY doc_id""".stripMargin
   }
 
   /** One fixed-point power-iteration round per call: `s{r}` folds each

@@ -194,6 +194,97 @@ object Multimodal {
       .toDF(idCol, "decode_ok", "n_samples", "sample_rate", "peak", "mean_square")
   }
 
+  /** Goertzel tone detection at f = sampleRate/6 over a WAV binary
+    * column — REAL decode ([[decodeWavStats]]'s codec), then the
+    * Goertzel recurrence s_i = x_i + s_{i−1} − s_{i−2} (the coefficient
+    * 2·cos(2π/6) = 1 EXACTLY, so the whole filter is integer
+    * arithmetic — no libm, no rounding, and the recurrence telescopes
+    * to the period-6 weight pattern u = [1,1,0,−1,−1,0]). Emits the
+    * final-state pair (s1, s2), the bin power P = s1² + s2² − s1·s2,
+    * the total energy Σx², and P's Parseval share P/(N·Σx²) — the
+    * "is there a tone at this frequency" detector (dial-tone/DTMF-style
+    * screening, beep detection in call audio) as exact BIGINTs.
+    * Map-side only: codec + O(N) integer fold per row. */
+  def goertzelTone(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = Array(1L, 1L, 0L, -1L, -1L, 0L)
+    val folded = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.sources.BinaryMedia
+          .decodeWavPcm16(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val n = a.samples.length
+            var s1 = 0L; var s2 = 0L; var e = 0L; var i = 0
+            while (i < n) {
+              val x = a.samples(i).toLong
+              s1 += x * u(((n - 1 - i) % 6 + 6) % 6)
+              if (i <= n - 2) s2 += x * u(((n - 2 - i) % 6 + 6) % 6)
+              e += x * x
+              i += 1
+            }
+            (id, true, Some(n.toLong), Some(s1), Some(s2),
+              Some(s1 * s1 + s2 * s2 - s1 * s2), Some(e))
+          case _ => (id, false, None, None, None, None, None)
+        }
+      }
+      .toDF(idCol, "decode_ok", "n_samples", "s1", "s2", "p_tone",
+        "energy")
+    folded.withColumn("tone_share",
+      when(col("energy") > 0, round(col("p_tone").cast("double") /
+        (col("n_samples") * col("energy")).cast("double"), 6)))
+  }
+
+  /** Integer Sobel + Laplacian sharpness audit over an image binary
+    * column — REAL decode ([[decodeImageStats]]'s codec), then over the
+    * INTERIOR pixels the exact integer sums of Sobel gradient energy
+    * Σ(Gx²+Gy²) and the 4-neighbor Laplacian's first two moments. The
+    * classic variance-of-Laplacian blur score and edge-density screen a
+    * vision-data pipeline runs to drop blank/blurry frames before
+    * captioning — emitted as exact BIGINTs so the derived variance is
+    * ONE fixed double tree in the caller. Map-side only. */
+  def imageGradientStats(df: DataFrame, idCol: String,
+                         binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        graft.sources.BinaryMedia
+          .decodeGrayImage(Option(bytes).getOrElse(Array.emptyByteArray)) match {
+          case Some(img) if img.width >= 3 && img.height >= 3 =>
+            val w = img.width; val h = img.height
+            def p(x: Int, y: Int): Long = img.gray(y * w + x).toLong
+            var ee = 0L; var ls = 0L; var lq = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val gx = (p(x + 1, y - 1) + 2 * p(x + 1, y) +
+                  p(x + 1, y + 1)) - (p(x - 1, y - 1) +
+                  2 * p(x - 1, y) + p(x - 1, y + 1))
+                val gy = (p(x - 1, y + 1) + 2 * p(x, y + 1) +
+                  p(x + 1, y + 1)) - (p(x - 1, y - 1) +
+                  2 * p(x, y - 1) + p(x + 1, y - 1))
+                val l = 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) -
+                  p(x, y - 1) - p(x, y + 1)
+                ee += gx * gx + gy * gy
+                ls += l; lq += l * l
+                x += 1
+              }
+              y += 1
+            }
+            val nI = (w - 2).toLong * (h - 2)
+            (id, true, Some(w), Some(h), Some(nI), Some(ee), Some(ls),
+              Some(lq))
+          case _ => (id, false, None, None, None, None, None, None)
+        }
+      }
+      .toDF(idCol, "decode_ok", "width", "height", "n_interior",
+        "edge_energy", "lap_sum", "lap_sq")
+  }
+
   /** REAL frame sampling over an animated-GIF binary column: decode all
     * frames (`javax.imageio` GIF reader), keep every `everyN`-th, emit
     * (frame_index, mean gray). The row-explode shape of [[sampleFrames]]

@@ -160,4 +160,40 @@ class MediaCodecSpec extends SparkSpec {
       .as[(Int, Int, Long, Long)].collect().toSeq
     assert(segs == Seq((1, 2, 2L, 40000L), (4, 4, 1L, 20000L)))
   }
+
+  test("goertzelTone: one period of the bin tone — hand recurrence; silence is null-share") {
+    import spark.implicits._
+    // x = [1,1,0,−1,−1,0]: s5 = −2, s4 = −4 → P = 4+16−8 = 12, E = 4,
+    // Parseval share = 12/(6·4) = 0.5
+    val tone = Array[Short](1, 1, 0, -1, -1, 0)
+    val df = Seq((1L, BinaryMedia.encodeWavPcm16(tone, 8000)),
+      (2L, BinaryMedia.encodeWavPcm16(Array[Short](0, 0, 0), 8000)))
+      .toDF("doc_id", "wav")
+    val out = Multimodal.goertzelTone(df, "doc_id", "wav")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("s1") == -2L && r1.getAs[Long]("s2") == -4L)
+    assert(r1.getAs[Long]("p_tone") == 12L &&
+      r1.getAs[Long]("energy") == 4L)
+    assert(r1.getAs[Double]("tone_share") == 0.5)
+    // all-zero clip: energy 0 → share null (no division by zero)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("tone_share")))
+  }
+
+  test("imageGradientStats: flat image has zero energy; x-ramp has Sobel 8 per pixel") {
+    import spark.implicits._
+    val flat = Array.fill(16)(100)
+    val ramp = Array.tabulate(16)(i => 10 * (i % 4)) // pixel = 10·x on 4×4
+    val df = Seq((1L, BinaryMedia.encodeGrayPng(4, 4, flat)),
+      (2L, BinaryMedia.encodeGrayPng(4, 4, ramp)))
+      .toDF("doc_id", "img")
+    val out = Multimodal.imageGradientStats(df, "doc_id", "img")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("edge_energy") == 0L &&
+      out(1L).getAs[Long]("lap_sq") == 0L)
+    // gx = 4·(step) = 80 per interior pixel, gy = 0, laplacian = 0
+    assert(out(2L).getAs[Long]("n_interior") == 4L)
+    assert(out(2L).getAs[Long]("edge_energy") == 4L * 80 * 80)
+    assert(out(2L).getAs[Long]("lap_sq") == 0L)
+  }
 }
