@@ -7624,7 +7624,39 @@ object SparkEntry {
             col("lap_sum").cast("double") * col("lap_sum") /
               col("n_interior")) / col("n_interior"), 6).as("lap_var"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "q468_minhash_calibration" -> ((s, dir) => {
+      // is 64 hashes enough? est−exact Jaccard over the LSH survivors:
+      // bias / MAE / RMSE and the share within one hash-granule — the
+      // signature-health gate before a corpus-scale re-signature
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      Dedup.minhashCalibration(corpus, "doc_id", "text", shingleN = 5,
+        numHashes = 64, bands = 8, threshold = 0.5)
+    }),
+
+    "q469_string_encoding_audit" -> ((s, dir) =>
+      // string storage advisor: raw vs dictionary vs front-coded bytes
+      // per part column — prefix lengths via the monotone-indicator
+      // count, windows only over the DICTIONARY, never the corpus
+      Profiling.stringEncodingAudit(tbl(s, dir, "part"),
+          Seq("p_brand", "p_name", "p_type"))
+        .orderBy("col_name")),
+
+    "q470_query_performance" -> ((s, dir) =>
+      // retrieval triage: per query the BM25 top-10 score-list shape —
+      // top-1 gap and clarity route flat/hard queries to a reranker,
+      // confident ones return early
+      Retrieval.queryPerformance(tbl(s, dir, "documents"), "doc_id",
+        "text",
+        Seq("q_agg" -> Seq("agg", "group", "sort"),
+          "q_broad" -> Seq("data", "table"),
+          "q_scan" -> Seq("scan", "filter"),
+          "q_spark" -> Seq("spark", "join", "vector", "window")),
+        k = 10))
   )
 
   // ======================================================================
@@ -13967,6 +13999,19 @@ object SparkEntry {
 
       "q467_image_gradients" -> imageGradientsOracleSql,
 
+      "q468_minhash_calibration" -> minhashCalibrationOracleSql,
+
+      "q469_string_encoding_audit" ->
+        Seq("p_brand", "p_name", "p_type").map(stringEncodingColSql)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+      "q470_query_performance" -> qppOracleSql(
+        Seq("q_agg" -> Seq("agg", "group", "sort"),
+          "q_broad" -> Seq("data", "table"),
+          "q_scan" -> Seq("scan", "filter"),
+          "q_spark" -> Seq("spark", "join", "vector", "window")),
+        k = 10),
+
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->
         """WITH toks AS (SELECT source AS src,
@@ -18787,6 +18832,130 @@ object SparkEntry {
        |  round((CAST(lq AS DOUBLE) - CAST(ls AS DOUBLE) * ls /
        |    n_interior) / n_interior, 6) AS lap_var
        |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replays q468: q20's signature/band replay for the estimates plus
+    * q143's shared-gram exact Jaccard, err = est − exact with absent
+    * exact coalesced to 0, folded to the calibration stats row. */
+  private def minhashCalibrationOracleSql: String = {
+    val boundedCorpus =
+      """SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id,
+        |  substring(text, 1, greatest(length(text) - 7, 1)) AS text
+        |FROM documents WHERE doc_id < 300""".stripMargin
+    s"""WITH ${minhashPairCtesFor(boundedCorpus)},
+       |lsh AS (SELECT doc_a, doc_b, est_jaccard FROM pairs
+       |  WHERE est_jaccard >= 0.5),
+       |g AS (
+       |  SELECT DISTINCT doc_id, substring(text, CAST(s AS INT) + 1, 5) AS tok
+       |  FROM corpus, unnest(range(0, length(text) - 4, 1)) AS t(s)
+       |  WHERE length(text) >= 5
+       |  UNION
+       |  SELECT doc_id, text AS tok FROM corpus WHERE length(text) < 5),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS nc
+       |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ej AS (SELECT doc_a, doc_b,
+       |    CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+       |  FROM pr JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id),
+       |e AS (SELECT lsh.est_jaccard -
+       |    coalesce(ej.jaccard, CAST(0 AS DOUBLE)) AS err
+       |  FROM lsh LEFT JOIN ej USING (doc_a, doc_b))
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(err AS DECIMAL(38,18))) AS DOUBLE)
+       |    / count(*), 6) AS mean_err,
+       |  round(CAST(SUM(CAST(abs(err) AS DECIMAL(38,18))) AS DOUBLE)
+       |    / count(*), 6) AS mae,
+       |  round(sqrt(CAST(SUM(CAST(err * err AS DECIMAL(38,18)))
+       |    AS DOUBLE) / count(*)), 6) AS rmse,
+       |  round(CAST(SUM(CASE WHEN abs(err) <= 0.015625 THEN 1 ELSE 0
+       |    END) AS DOUBLE) / count(*), 6) AS share_within_granule
+       |FROM e""".stripMargin
+  }
+
+  /** Replays q469 for one column: dictionary bytes + front-coding
+    * savings, prefix length via the monotone-indicator list count. */
+  private def stringEncodingColSql(c: String): String =
+    s"""SELECT '$c' AS col_name, n, raw_bytes, ndv, dict_bytes,
+       |  front_saved_bytes,
+       |  round(CAST(dict_bytes AS DOUBLE) / raw_bytes, 6) AS dict_ratio,
+       |  round(CAST(dict_bytes - front_saved_bytes AS DOUBLE)
+       |    / dict_bytes, 6) AS front_ratio
+       |FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(length(v)) AS BIGINT) AS raw_bytes
+       |  FROM (SELECT CAST($c AS VARCHAR) AS v FROM part
+       |    WHERE $c IS NOT NULL)),
+       |  (SELECT CAST(count(*) AS BIGINT) AS ndv,
+       |    CAST(SUM(length(v)) AS BIGINT) AS dict_bytes,
+       |    CAST(SUM(cp) AS BIGINT) AS front_saved_bytes
+       |  FROM (SELECT v, CASE WHEN pv IS NULL OR
+       |      least(length(v), length(pv)) < 1 THEN 0
+       |    ELSE list_count(list_filter(
+       |      range(1, least(length(v), length(pv)) + 1),
+       |      k -> substring(v, 1, CAST(k AS INT))
+       |        = substring(pv, 1, CAST(k AS INT)))) END AS cp
+       |  FROM (SELECT v, lag(v) OVER (ORDER BY v) AS pv FROM
+       |    (SELECT DISTINCT CAST($c AS VARCHAR) AS v FROM part
+       |      WHERE $c IS NOT NULL))))""".stripMargin
+
+  /** Replays q470: the q98 BM25 chain once per query (shared corpus
+    * stats), LIMIT 10, then the per-query score-list shape stats. */
+  private def qppOracleSql(queries: Seq[(String, Seq[String])],
+                           k: Int): String = {
+    def chain(sfx: String, terms: Seq[String]): String = {
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""tf_$sfx AS (SELECT id, dl, term, COUNT(*) AS tf FROM (
+         |    SELECT id, dl, unnest(t) AS term FROM dl)
+         |  WHERE term IN ($inList)
+         |  GROUP BY id, dl, term),
+         |dfq_$sfx AS (SELECT term, COUNT(*) AS term_df FROM tf_$sfx
+         |  GROUP BY term),
+         |sc_$sfx AS (SELECT id,
+         |    ln((n_docs - term_df + 0.5) / (term_df + 0.5) + 1.0) *
+         |      ((tf * (1.2 + 1.0)) / (tf + 1.2 *
+         |        (1.0 - 0.75 + 0.75 * dl / avgdl))) AS contrib
+         |  FROM tf_$sfx JOIN dfq_$sfx USING (term), stats),
+         |top_$sfx AS (SELECT score FROM (SELECT id,
+         |    round(CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE),
+         |      6) AS score
+         |  FROM sc_$sfx GROUP BY id
+         |  ORDER BY score DESC, id LIMIT $k)),
+         |st_$sfx AS (SELECT '$sfx' AS query,
+         |    CAST(count(*) AS BIGINT) AS n_hits,
+         |    max(score) AS top1,
+         |    max(CASE WHEN r = 2 THEN score END) AS top2,
+         |    CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         |    CAST(SUM(CAST(score * score AS DECIMAL(38,18))) AS DOUBLE)
+         |      AS sq
+         |  FROM (SELECT score, row_number() OVER (ORDER BY score DESC)
+         |    AS r FROM top_$sfx))""".stripMargin
+    }
+    val union = queries.map { case (n, _) =>
+      s"SELECT * FROM st_$n" }.mkString("\nUNION ALL\n")
+    s"""WITH docs AS (SELECT doc_id AS id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents),
+       |dl AS (SELECT id, len(t) AS dl, t FROM docs),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |${queries.map { case (n, ts) => chain(n, ts) }.mkString(",\n")}
+       |SELECT query, n_hits, top1, top2,
+       |  CASE WHEN top2 IS NOT NULL THEN round(top1 - top2, 6) END
+       |    AS gap,
+       |  round(s / n_hits, 6) AS mean_score,
+       |  CASE WHEN (sq - s * s / n_hits) / n_hits > 0 THEN
+       |    round(sqrt((sq - s * s / n_hits) / n_hits), 6) END
+       |    AS sd_score,
+       |  CASE WHEN (sq - s * s / n_hits) / n_hits > 0 THEN
+       |    round((top1 - s / n_hits) /
+       |      sqrt((sq - s * s / n_hits) / n_hits), 6) END AS clarity
+       |FROM ($union) ORDER BY query""".stripMargin
   }
 
   /** One fixed-point power-iteration round per call: `s{r}` folds each

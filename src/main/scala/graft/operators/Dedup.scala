@@ -141,6 +141,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Minhash-estimate calibration against exact Jaccard on the LSH
+    * survivors: est − exact per candidate pair, folded to bias / MAE /
+    * RMSE and the share of pairs within one hash-granule (1/numHashes —
+    * the estimator's resolution floor). The tuning readout that decides
+    * whether numHashes is worth raising BEFORE burning a corpus-scale
+    * re-signature: bias ≈ 0 with MAE ≈ the binomial σ means the
+    * signature is healthy; systematic bias means shingling mismatch.
+    * Candidates with NO shared shingle get exact = 0 via left join +
+    * coalesce (the q103 zero-hit-rows lesson). Exact Jaccard runs only
+    * on [[ngramJaccardPairs]]'s shared-gram frame, never all-pairs. */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 5, numHashes: Int = 64,
+                         bands: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val est = minhashLshPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold)
+    val exact = ngramJaccardPairs(df, idCol, textCol, shingleN,
+      threshold = 0.0)
+    val granule = 1.0 / numHashes
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .withColumn("exact", coalesce(col("jaccard"), lit(0.0)))
+      .withColumn("err", col("est_jaccard") - col("exact"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(d18(col("err"))).cast("double") / count(lit(1)), 6)
+          .as("mean_err"),
+        round(sum(d18(abs(col("err")))).cast("double") / count(lit(1)), 6)
+          .as("mae"),
+        round(sqrt(sum(d18(col("err") * col("err"))).cast("double") /
+          count(lit(1))), 6).as("rmse"),
+        round(sum(when(abs(col("err")) <= granule, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("share_within_granule"))
+  }
+
   /** LSH candidate pairs VERIFIED by exact edit distance — the standard
     * two-stage near-dup pipeline: [[minhashLshPairs]] proposes (cheap,
     * set-semantics, order-blind), Levenshtein confirms (exact,

@@ -364,6 +364,47 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** String-column storage advisor: per column, the exact byte ledger a
+    * format chooser needs — raw bytes, dictionary bytes (Σ distinct-value
+    * lengths), and the FRONT-CODING savings (Σ common-prefix length with
+    * the previous value in sorted dictionary order). The common prefix is
+    * counted with the monotone-indicator trick — #\{k : a[1..k] = b[1..k]\}
+    * equals the prefix length because prefix equality is monotone in k —
+    * which both engines evaluate identically (no custom prefix
+    * function). The string companion of the q415/q430 integer encoding
+    * advisors.
+    *
+    * Scale shape: one distinct per column (dictionary-bounded), one
+    * ordered window over the DICTIONARY (never the corpus); prefix
+    * comparison cost is O(len) per dictionary entry. */
+  def stringEncodingAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cols.map { c =>
+      val base = df.select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull)
+      val raw = base.agg(count(lit(1)).as("n"),
+        sum(length(col("v")).cast("long")).as("raw_bytes"))
+      val dict = base.distinct()
+        .withColumn("pv", lag("v", 1).over(Window.orderBy("v")))
+        .withColumn("cp", when(col("pv").isNull ||
+          least(length(col("v")), length(col("pv"))) < 1, lit(0L))
+          .otherwise(expr(
+            """size(filter(sequence(1, int(least(length(v), length(pv)))),
+              |k -> substring(v, 1, k) = substring(pv, 1, k)))"""
+              .stripMargin.replaceAll("\n", " ")).cast("long")))
+        .agg(count(lit(1)).as("ndv"),
+          sum(length(col("v")).cast("long")).as("dict_bytes"),
+          sum("cp").as("front_saved_bytes"))
+      raw.crossJoin(broadcast(dict))
+        .select(lit(c).as("col_name"), col("n"), col("raw_bytes"),
+          col("ndv"), col("dict_bytes"), col("front_saved_bytes"),
+          round(col("dict_bytes").cast("double") / col("raw_bytes"), 6)
+            .as("dict_ratio"),
+          round((col("dict_bytes") - col("front_saved_bytes"))
+            .cast("double") / col("dict_bytes"), 6).as("front_ratio"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Median-of-shard-medians bias audit: how wrong is the "each shard
     * reports its median, coordinator takes the median of those" shortcut
     * every naive distributed percentile implementation ships? Computes

@@ -480,4 +480,47 @@ object Retrieval {
         array_join(slice(col("_t"), col("start"), lit(width)), " ")
           .as("snippet"))
   }
+
+  /** Query-performance prediction over a fixed query set: per query the
+    * top-k [[bm25]] score-list statistics — top1, top2, the top-1 gap,
+    * mean/sd of the retrieved scores and the clarity-lite
+    * (top1 − mean)/sd. The pre-retrieval triage a serving tier runs to
+    * route hard queries (flat score lists) to a heavier reranker and let
+    * confident ones (big gap, high clarity) return early. Scores arrive
+    * already display-rounded from [[bm25]], so downstream moments are
+    * decimal-exact over fixed inputs.
+    *
+    * Scale shape: one [[bm25]] pass per query (each a pushed-down term
+    * filter on the shared corpus scan shape); stats fold k rows per
+    * query. */
+  def queryPerformance(df: DataFrame, idCol: String, textCol: String,
+                       queries: Seq[(String, Seq[String])],
+                       k: Int): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    queries.map { case (qname, terms) =>
+      bm25(df, idCol, textCol, terms, k)
+        .select(lit(qname).as("query"), col("score"))
+    }.reduce(_ unionByName _)
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_hits"),
+        max("score").as("top1"),
+        sort_array(collect_list(col("score")), asc = false).as("_arr"),
+        sum(d18(col("score"))).cast("double").as("_s"),
+        sum(d18(col("score") * col("score"))).cast("double").as("_sq"))
+      .withColumn("top2",
+        when(size(col("_arr")) >= 2, element_at(col("_arr"), 2)))
+      .withColumn("mean_score", col("_s") / col("n_hits"))
+      .withColumn("_var",
+        (col("_sq") - col("_s") * col("_s") / col("n_hits")) /
+          col("n_hits"))
+      .select(col("query"), col("n_hits"), col("top1"), col("top2"),
+        when(col("top2").isNotNull,
+          round(col("top1") - col("top2"), 6)).as("gap"),
+        round(col("mean_score"), 6).as("mean_score"),
+        when(col("_var") > 0, round(sqrt(col("_var")), 6)).as("sd_score"),
+        when(col("_var") > 0, round(
+          (col("top1") - col("mean_score")) / sqrt(col("_var")), 6))
+          .as("clarity"))
+      .orderBy("query")
+  }
 }

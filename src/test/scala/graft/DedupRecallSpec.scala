@@ -75,4 +75,21 @@ class DedupRecallSpec extends SparkSpec {
       .count()
     assert(found == 50, s"ngram recall $found/50")
   }
+
+  test("minhashCalibration: exact-duplicate twins calibrate to zero error") {
+    import spark.implicits._
+    // pairwise-DISTINCT docs, each with an identical twin: the only LSH
+    // survivors are the twins, where est = exact = 1 → all errors 0
+    val docs = (0L until 20L).map(i =>
+      (i, (s"unique${i}token${i}word " * 20).trim))
+    val corpus = docs.toDF("doc_id", "text").union(
+      docs.map { case (i, t) => (i + 1000, t) }.toDF("doc_id", "text"))
+    val r = graft.operators.Dedup.minhashCalibration(corpus, "doc_id",
+      "text", shingleN = 5, numHashes = 64, bands = 8,
+      threshold = 0.5).head()
+    assert(r.getAs[Long]("n_pairs") == 20L)
+    assert(r.getAs[Double]("mean_err") == 0.0 &&
+      r.getAs[Double]("rmse") == 0.0)
+    assert(r.getAs[Double]("share_within_granule") == 1.0)
+  }
 }

@@ -210,6 +210,19 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("c2", "c3")).getAs[Double]("chi2") == 0.0)
   }
 
+  test("stringEncodingAudit: hand byte ledger with front-coding prefix") {
+    import spark.implicits._
+    // values aa, ab, ab: raw = 6 bytes; dict = {aa, ab} = 4 bytes;
+    // sorted adjacent common prefix len(aa, ab) = 1 → 1 byte saved
+    val df = Seq("aa", "ab", "ab").toDF("s")
+    val r = Profiling.stringEncodingAudit(df, Seq("s")).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("raw_bytes") == 6L)
+    assert(r.getAs[Long]("ndv") == 2L && r.getAs[Long]("dict_bytes") == 4L)
+    assert(r.getAs[Long]("front_saved_bytes") == 1L)
+    assert(r.getAs[Double]("dict_ratio") == 0.666667)
+    assert(r.getAs[Double]("front_ratio") == 0.75)
+  }
+
   test("shardMedianBias: skewed shards — hand medians; uniform shards are unbiased") {
     import spark.implicits._
     // shard 1 = {1,2,3}, shard 2 = {10,20,30}: medians 2 and 20,

@@ -321,4 +321,24 @@ class RetrievalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out.forall(_._3 == expected))
   }
+
+  test("queryPerformance: peaked list has positive gap/clarity; flat list has null sd") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple apple pear"), (2L, "apple pear pear"),
+      (3L, "apple plum plum plum"), (4L, "plum plum plum plum"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Retrieval.queryPerformance(docs, "doc_id",
+        "text", Seq("qa" -> Seq("apple"), "qf" -> Seq("plum")), k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val qa = out("qa")
+    assert(qa.getAs[Long]("n_hits") == 3L)
+    assert(qa.getAs[Double]("top1") > qa.getAs[Double]("top2"))
+    assert(qa.getAs[Double]("gap") > 0.0 &&
+      qa.getAs[Double]("clarity") > 0.0)
+    // round-trip identity: gap is exactly top1 − top2 at 6 dp
+    assert(qa.getAs[Double]("gap") ==
+      BigDecimal(qa.getAs[Double]("top1") - qa.getAs[Double]("top2"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("qf").getAs[Long]("n_hits") == 2L)
+  }
 }
