@@ -7656,7 +7656,55 @@ object SparkEntry {
           "q_broad" -> Seq("data", "table"),
           "q_scan" -> Seq("scan", "filter"),
           "q_spark" -> Seq("spark", "join", "vector", "window")),
-        k = 10))
+        k = 10)),
+
+    "q471_competing_risks" -> ((s, dir) => {
+      // which ending wins, and when: per user the FIRST purchase vs the
+      // FIRST error ends the journey (neither → censored at last sight);
+      // Aalen-Johansen CIF per cause — the estimator 1−KM-per-cause
+      // over-counts, completing the q251/q439/q372 survival family
+      val e = events(s, dir)
+      val per = e.groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+      def firstOf(tpe: String, as: String) =
+        e.filter(col("event_type") === tpe).groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as(as))
+      val life = per
+        .join(firstOf("purchase", "ta"), Seq("user_id"), "left")
+        .join(firstOf("error", "tb"), Seq("user_id"), "left")
+        .select(
+          expr("""case when ta is not null and (tb is null or ta <= tb)
+                 |  then (ta - t0) div 3600000000
+                 |when tb is not null then (tb - t0) div 3600000000
+                 |else (t1 - t0) div 3600000000 end"""
+            .stripMargin.replaceAll("\n", " ")).as("t"),
+          expr("""case when ta is not null and (tb is null or ta <= tb)
+                 |  then 1 when tb is not null then 2 else 0 end"""
+            .stripMargin.replaceAll("\n", " ")).as("cause"))
+      Stats.competingRisks(life, "t", "cause")
+    }),
+
+    "q472_quantile_regression" -> ((s, dir) =>
+      // τ ∈ {0.1, 0.5, 0.9} revenue-per-order-count envelope: exact
+      // ×10-cleared pinball losses over a fixed slope grid; the 0.1/0.9
+      // spread is daily heteroscedasticity made visible beside q211's
+      // single Theil-Sen slope
+      Stats.quantileRegressionGrid(
+        tbl(s, dir, "orders")
+          .groupBy(expr("cast(o_orderdate as date)").as("day"))
+          .agg(count(lit(1)).as("x"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("y")),
+        "x", "y", grid = (0L to 20L).map(_ * 2500000L),
+        taus10 = Seq(1, 5, 9))),
+
+    "q473_blocklist_scan" -> ((s, dir) =>
+      // C4-style bad-word gate tuning: per (source, pattern) the doc
+      // hit share and total occurrences via the replace-and-measure
+      // identity — exact integers, map-side explode, no regex
+      Governance.blocklistScan(tbl(s, dir, "documents"), "source",
+        "text", Seq("big", "error", "slow")))
   )
 
   // ======================================================================
@@ -14011,6 +14059,106 @@ object SparkEntry {
           "q_scan" -> Seq("scan", "filter"),
           "q_spark" -> Seq("spark", "join", "vector", "window")),
         k = 10),
+
+      // Aalen-Johansen replay: any-event KM prefix product via the
+      // q251 sorted list fold (sentinel factor keeps empty prefixes
+      // out of null-land), decimal-cumsum CIFs
+      "q471_competing_risks" ->
+        """WITH per AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+          |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+          |  FROM events GROUP BY user_id),
+          |fa AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS ta
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |fb AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS tb
+          |  FROM events WHERE event_type = 'error' GROUP BY user_id),
+          |life AS (SELECT
+          |    CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+          |      THEN (ta - t0) // 3600000000
+          |    WHEN tb IS NOT NULL THEN (tb - t0) // 3600000000
+          |    ELSE (t1 - t0) // 3600000000 END AS t,
+          |    CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+          |      THEN 1 WHEN tb IS NOT NULL THEN 2 ELSE 0 END AS cause
+          |  FROM per LEFT JOIN fa USING (user_id)
+          |  LEFT JOIN fb USING (user_id)),
+          |pt AS (SELECT CAST(t AS BIGINT) AS t, count(*) AS n_all,
+          |    CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS d1,
+          |    CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS d2
+          |  FROM life GROUP BY 1),
+          |tt AS (SELECT CAST(SUM(n_all) AS BIGINT) AS N FROM pt),
+          |ar AS (SELECT t, d1, d2, N - CAST(coalesce(SUM(n_all)
+          |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+          |        AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+          |  FROM pt, tt),
+          |st AS (SELECT t, n_at_risk, d1, d2,
+          |    CAST(n_at_risk - d1 - d2 AS DOUBLE) / n_at_risk AS f
+          |  FROM ar WHERE d1 + d2 > 0),
+          |fx AS (SELECT t AS u, f FROM st
+          |  UNION ALL SELECT -1, CAST(1.0 AS DOUBLE)),
+          |sp AS (SELECT a.t, a.n_at_risk, a.d1, a.d2,
+          |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+          |      list(CAST(b.f AS DOUBLE) ORDER BY b.u)),
+          |      (x, y) -> x * y) AS s_prev
+          |  FROM st a JOIN fx b ON b.u < a.t
+          |  GROUP BY 1, 2, 3, 4),
+          |tm AS (SELECT *, s_prev * d1 / n_at_risk AS term1,
+          |    s_prev * d2 / n_at_risk AS term2 FROM sp)
+          |SELECT t, n_at_risk, d1, d2, s_prev,
+          |  round(CAST(SUM(CAST(term1 AS DECIMAL(38,18)))
+          |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 9)
+          |    AS cif1,
+          |  round(CAST(SUM(CAST(term2 AS DECIMAL(38,18)))
+          |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 9)
+          |    AS cif2
+          |FROM tm ORDER BY t""".stripMargin,
+
+      // exact ×10-cleared pinball losses per grid slope; argmin with
+      // smaller-β tie-break
+      "q472_quantile_regression" -> {
+        val gridSql = (0L to 20L).map(_ * 2500000L).mkString("[", ", ", "]")
+        def lossCol(t: Int) =
+          s"""CAST(SUM(CASE WHEN r > 0 THEN $t * r
+             |      ELSE ($t - 10) * r END) AS BIGINT) AS l$t"""
+            .stripMargin
+        def pick(t: Int) =
+          s"""SELECT CAST(0.$t AS DOUBLE) AS tau, b AS beta,
+             |  l$t AS loss10, n
+             |FROM (SELECT *, row_number() OVER (ORDER BY l$t, b) AS rk
+             |  FROM l) WHERE rk = 1""".stripMargin
+        s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS x,
+           |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           |      AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |g AS (SELECT x, y, CAST(b AS BIGINT) AS b
+           |  FROM d, unnest($gridSql) AS cb(b)),
+           |r AS (SELECT b, y - b * x AS r FROM g),
+           |l AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+           |    ${Seq(1, 5, 9).map(lossCol).mkString(",\n    ")}
+           |  FROM r GROUP BY b)
+           |${Seq(1, 5, 9).map(pick).mkString("\nUNION ALL\n")}
+           |ORDER BY tau""".stripMargin
+      },
+
+      // replace-and-measure occurrence counts; substring semantics
+      "q473_blocklist_scan" ->
+        """WITH x AS (SELECT source AS src, text AS t, p
+          |  FROM documents, unnest(['big', 'error', 'slow']) AS pp(p)),
+          |h AS (SELECT src, p,
+          |    (length(t) - length(replace(t, p, ''))) // length(p)
+          |      AS hits
+          |  FROM x)
+          |SELECT src, p, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_docs_hit,
+          |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+          |  round(CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / count(*), 6) AS doc_share
+          |FROM h GROUP BY 1, 2 ORDER BY src, p""".stripMargin,
 
       // per-source octave profile, integer OLS of ilog2(types) on octave
       "q433_zipf_by_source" ->

@@ -211,4 +211,29 @@ object Governance {
             .as("share_below"),
           (col("min_group") >= k).as("meets_k"))
     }.reduce(_ unionByName _)
+
+  /** Blocklist scan (the C4 bad-word gate, kept to substring semantics):
+    * per (group, pattern), how many docs contain the pattern and how
+    * many occurrences total — occurrences via the replace-and-measure
+    * identity (len(t) − len(replace(t, p, ''))) / len(p), all exact
+    * integers, no regex. Map-side |patterns|-way explode; one grouped
+    * aggregate. The worklist readout a filtering pipeline tunes its
+    * list against before committing to drops. */
+  def blocklistScan(df: DataFrame, srcCol: String, textCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "blocklistScan: need non-empty patterns")
+    df.select(col(srcCol).as("src"), col(textCol).as("t"))
+      .select(col("src"), col("t"),
+        explode(array(patterns.map(lit(_)): _*)).as("p"))
+      .withColumn("hits", expr(
+        "(length(t) - length(replace(t, p, ''))) div length(p)"))
+      .groupBy("src", "p")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum("hits").as("total_hits"))
+      .withColumn("doc_share",
+        round(col("n_docs_hit").cast("double") / col("n_docs"), 6))
+      .orderBy("src", "p")
+  }
 }

@@ -778,6 +778,99 @@ object Stats {
         "cast(1.0 as double), (acc, x) -> acc * x.f)").as("survival"))
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING risks: given
+    * one row per unit with lifetime t and cause ∈ {0 = censored, 1, 2},
+    * CIF_k(t) = Σ_{u≤t} S(u−)·d_k(u)/n(u) where S is the any-event
+    * Kaplan–Meier — the estimator that "1 − KM per cause" famously gets
+    * WRONG (it over-counts because censoring a competing event isn't
+    * censoring). S(u−) is the strict-prefix product over event steps,
+    * computed with [[kaplanMeier]]'s deterministic sorted fold (a
+    * sentinel factor (u = −1, f = 1) keeps the earliest step's empty
+    * prefix out of null-land); the CIF running sums
+    * decimal-accumulate. Output one row per event step:
+    * (t, n_at_risk, d1, d2, s_prev, cif1, cif2) — raw doubles, the
+    * fold-replay discipline.
+    *
+    * Scale shape: the corpus collapses to the distinct-lifetime step
+    * frame upstream; the prefix join is steps², bounded by distinct
+    * durations, never by units. */
+  def competingRisks(life: DataFrame, tCol: String,
+                     causeCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val perT = life.select(col(tCol).cast("long").as("t"),
+        col(causeCol).cast("int").as("cause"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"))
+    val tot = perT.agg(sum("n_all").as("_N"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = perT.crossJoin(broadcast(tot))
+      .withColumn("n_at_risk",
+        col("_N") - coalesce(sum("n_all").over(wPrev), lit(0L)))
+    val steps = atRisk.filter(col("d1") + col("d2") > 0)
+      .withColumn("f", (col("n_at_risk") - col("d1") - col("d2"))
+        .cast("double") / col("n_at_risk"))
+      .localCheckpoint()
+    val sentinel = steps.sparkSession.range(1)
+      .select(lit(-1L).as("u"), lit(1.0).as("f"))
+    val factors = steps.select(col("t").as("u"), col("f"))
+      .unionByName(sentinel)
+    val withSprev = steps.select("t", "n_at_risk", "d1", "d2")
+      .join(factors, col("u") < col("t"))
+      .groupBy("t", "n_at_risk", "d1", "d2")
+      .agg(expr("aggregate(array_sort(collect_list(struct(u, f))), " +
+        "cast(1.0 as double), (acc, x) -> acc * x.f)").as("s_prev"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSprev
+      .withColumn("term1", col("s_prev") * col("d1") / col("n_at_risk"))
+      .withColumn("term2", col("s_prev") * col("d2") / col("n_at_risk"))
+      .withColumn("cif1",
+        round(sum(d18(col("term1"))).over(wCum).cast("double"), 9))
+      .withColumn("cif2",
+        round(sum(d18(col("term2"))).over(wCum).cast("double"), 9))
+      .select("t", "n_at_risk", "d1", "d2", "s_prev", "cif1", "cif2")
+      .orderBy("t")
+  }
+
+  /** Grid-search quantile regression through the origin: for each
+    * candidate slope β in a FIXED literal grid and each τ (in tenths),
+    * the ×10-cleared pinball loss Σ ρ_τ(y − βx) — with integer x, y, β
+    * the loss is an exact BIGINT (10·ρ_τ(r) = τ₁₀·r for r>0 else
+    * (τ₁₀−10)·r), so the argmin is deterministic (ties → smaller β).
+    * The robust-fit answer when [[theilSen]]'s single median slope
+    * isn't enough: the τ = 0.1/0.9 slopes bound the relationship's
+    * envelope, and their spread is heteroscedasticity made visible.
+    *
+    * Scale shape: one |grid|-way map-side explode over the (already
+    * aggregated) frame, one groupBy(β) with map-side partials; the
+    * argmin runs on |grid| rows. */
+  def quantileRegressionGrid(df: DataFrame, xCol: String, yCol: String,
+                             grid: Seq[Long],
+                             taus10: Seq[Int]): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val g = base
+      .select(col("x"), col("y"),
+        explode(array(grid.map(lit(_)): _*)).as("b"))
+      .withColumn("r", col("y") - col("b") * col("x"))
+    val aggs = count(lit(1)).as("n") +: taus10.map(t =>
+      sum(when(col("r") > 0, lit(t.toLong) * col("r"))
+        .otherwise(lit((t - 10).toLong) * col("r"))).as(s"l$t"))
+    val losses = g.groupBy("b").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    taus10.map { t =>
+      losses
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col(s"l$t"), col("b"))))
+        .filter(col("_rk") === 1)
+        .select(lit(t / 10.0).as("tau"), col("b").as("beta"),
+          col(s"l$t").as("loss10"), col("n"))
+    }.reduce(_ unionByName _).orderBy("tau")
+  }
+
   /** Nelson–Aalen cumulative hazard Ĥ(t) = Σ_{u≤t} d_u/n_u with the
     * Greenwood-form variance Σ d/(n(n−d)) — the additive companion of
     * [[kaplanMeier]]: hazard slopes read rate changes directly (a
