@@ -210,4 +210,98 @@ object Chunker {
         expr("substring(_t, cast(start + 1 as int), cast(len as int))")
           .as("chunk"))
   }
+
+  /** Padding-waste audit of fixed-size batch assembly — THE number that
+    * decides whether a training pipeline length-sorts before batching:
+    * documents are grouped into batches of `batchSize` in two orders
+    * (arrival = by id; length-sorted = by (len, id)), each batch pads
+    * every member to its max length, and waste = padded − real tokens.
+    * Returns one row per strategy with batch count, real/padded token
+    * totals, and the waste share (the only float op). Length-sorting
+    * typically cuts padding several-fold; this measures it exactly on
+    * the actual corpus instead of assuming it.
+    *
+    * Scale shape: per strategy one ordered window pass (row_number +
+    * per-batch max via groupBy on `rn div batchSize`) — the window is a
+    * global order, mitigated at scale by ranging over an already
+    * aggregated (id, len) projection, and in a real trainer the sort
+    * runs per shard; the audit's conclusion is order-level, not
+    * shard-exact. */
+  def paddingWaste(df: DataFrame, idCol: String, lenCol: String,
+                   batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "need batchSize >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(lenCol).cast("long").as("len"))
+    def wasteOf(ordered: DataFrame, name: String): DataFrame =
+      ordered
+        .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("bn"), sum("len").as("breal"),
+          max("len").as("bmax"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("breal").as("real_tokens"),
+          sum(col("bmax") * col("bn")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("real_tokens")).cast("double") /
+            col("padded_tokens"), 6).as("waste_frac"))
+    val arrival = wasteOf(base.withColumn("rn",
+      row_number().over(W.orderBy("id"))), "arrival")
+    val sorted = wasteOf(base.withColumn("rn",
+      row_number().over(W.orderBy("len", "id"))), "length_sorted")
+    arrival.unionByName(sorted).orderBy("strategy")
+  }
+
+  /** TextTiling topic-boundary detection (Hearst 1997, the block-
+    * comparison variant) — the semantic CHUNKER the fixed-window and
+    * content-defined splitters bracket: cut where adjacent text blocks
+    * stop sharing vocabulary. Tokens split into `blockTokens`-token
+    * blocks; at each interior block boundary the multiset Dice
+    * similarity `2·Σ min(tfL, tfR) / (|L| + |R|)` between the adjacent
+    * blocks is computed from exact term counts (one divide per
+    * boundary); a boundary is a TILE CUT when its similarity falls
+    * below `tau`. Per document: block count, cut count, mean boundary
+    * similarity (decimal-accumulated, round 6) — the corpus-level
+    * answer to "how topically uniform are these documents, and how
+    * many semantic chunks would TextTiling yield?".
+    *
+    * Scale shape: tokenize+posexplode rides the scan; per-(doc, block,
+    * term) counts shuffle once on (doc, block skeleton); the
+    * adjacent-block comparison is a self-join on (doc, block+1) —
+    * co-partitioned by doc, no fan-out beyond per-doc vocabulary. */
+  def textTilingBoundaries(df: DataFrame, idCol: String, textCol: String,
+                           blockTokens: Int, tau: Double): DataFrame = {
+    require(blockTokens >= 1, "need blockTokens >= 1")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as(Seq("pos", "term")))
+      .withColumn("blk", expr(s"pos div $blockTokens"))
+    val tf = toks.groupBy("id", "blk", "term")
+      .agg(count(lit(1)).as("c"))
+    val blkTot = tf.groupBy("id", "blk").agg(sum("c").as("nt"))
+    val nBlocks = blkTot.groupBy("id").agg(count(lit(1)).as("n_blocks"))
+    val pairs = tf.select(col("id"), col("blk"), col("term"),
+        col("c").as("cl"))
+      .join(tf.select(col("id"), (col("blk") - 1).as("blk"),
+        col("term"), col("c").as("cr")), Seq("id", "blk", "term"))
+      .groupBy("id", "blk")
+      .agg(sum(least(col("cl"), col("cr"))).as("inter"))
+    val sims = blkTot.select(col("id"), col("blk"), col("nt").as("nl"))
+      .join(blkTot.select(col("id"), (col("blk") - 1).as("blk"),
+        col("nt").as("nr")), Seq("id", "blk"))
+      .join(pairs, Seq("id", "blk"), "left")
+      .withColumn("sim", (lit(2.0) * coalesce(col("inter"), lit(0L))
+        .cast("double")) / (col("nl") + col("nr")).cast("double"))
+    sims.groupBy("id")
+      .agg(count(lit(1)).as("n_boundaries"),
+        sum(when(col("sim") < tau, 1L).otherwise(0L)).as("n_cuts"),
+        round(sum(d18(col("sim"))).cast("double") / count(lit(1)), 6)
+          .as("mean_sim"))
+      .join(nBlocks, Seq("id"))
+      .select(col("id").as(idCol), col("n_blocks"), col("n_boundaries"),
+        col("n_cuts"), col("mean_sim"))
+  }
 }

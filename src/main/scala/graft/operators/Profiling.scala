@@ -454,4 +454,41 @@ object Profiling {
           abs(col("med_of_meds") - col("true_median")).cast("double") /
             col("true_median"), 6)).as("rel_err"))
   }
+
+  /** Histogram-based outlier score (HBOS, Goldstein & Dengel 2012) in
+    * its EXACT rank-equivalent form: per row the product of its
+    * per-feature histogram-bin counts. HBOS proper sums −log densities;
+    * since −Σ log cᵢ is strictly decreasing in Π cᵢ, ranking by the raw
+    * integer COUNT PRODUCT gives the identical outlier order with zero
+    * float ops — a row is anomalous exactly when every one of its
+    * feature values is individually rare. The weakest useful
+    * multivariate outlier model (assumes feature independence), but it
+    * runs in two corpus passes at any scale, which is why it's the
+    * standard first-pass screen before kNN/LOF-class methods.
+    *
+    * Output: the `k` lowest-product rows (ties by id), with each
+    * feature's bin count and the product.
+    *
+    * Scale shape: one groupBy per feature producing bounded bin-count
+    * frames (broadcast back), one map-side score join, TakeOrdered(k).
+    * The fact table shuffles zero times. */
+  def hbosScores(df: DataFrame, idCol: String, binCols: Seq[String],
+                 k: Int): DataFrame = {
+    require(binCols.nonEmpty && k >= 1, "need features and k >= 1")
+    val base = df.select(col(idCol).as("id") +:
+      binCols.zipWithIndex.map { case (c, i) => col(c).as(s"b$i") }: _*)
+    val scored = binCols.indices.foldLeft(base) { (acc, i) =>
+      val cnt = base.groupBy(s"b$i").agg(count(lit(1)).as(s"c$i"))
+      acc.join(broadcast(cnt), Seq(s"b$i"))
+    }
+    val product = binCols.indices
+      .map(i => col(s"c$i").cast("decimal(38,0)"))
+      .reduce(_ * _)
+    scored
+      .withColumn("score", product)
+      .orderBy(col("score").asc, col("id").asc).limit(k)
+      .select(col("id").as(idCol) +:
+        binCols.indices.map(i => col(s"c$i")) :+
+        col("score").cast("double").as("score"): _*)
+  }
 }

@@ -2848,4 +2848,201 @@ object Stats {
             col("den").cast("double") /
             (col("n") * (col("k") - 1)).cast("double")), 6).as("kendall_w"))
   }
+
+  /** Per-group 1-Wasserstein (earth-mover) distance between two slices
+    * of an INTEGER metric — the drift number with units (same units as
+    * the metric: "the distributions are $W1 apart on average"), which
+    * the existing drift family lacks: KS is a sup of CDF gaps, CvM/AD
+    * square them, PSI/JS bin them; W1 INTEGRATES the gap over the value
+    * axis, so a uniform small shift scores proportionally to the shift
+    * size instead of saturating.
+    *
+    * On the real line W1(a,b) = ∫|F_a − F_b| dx, which over pooled
+    * distinct values x_k with gap g_k = x_{k+1} − x_k is exactly
+    * Σ_k |F_a(x_k) − F_b(x_k)|·g_k. With integer values and integer
+    * counts the numerator Σ |c_a·n_b − c_b·n_a|·g_k is an EXACT decimal
+    * (c = cumulative count); the only float op is the final divide by
+    * n_a·n_b. Beyond the last pooled value both CDFs are 1, so the
+    * null-lead row drops.
+    *
+    * Scale shape: one (group, value) count aggregate (map-side
+    * combinable), one per-group ordered window pass for the cumulative
+    * counts and the lead gap, one per-group fold. No joins; the window
+    * partitions by group, so no global sort. */
+  def wasserstein1(df: DataFrame, groupCol: String, sideCol: String,
+                   vCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df
+      .select(col(groupCol).as("g"), col(sideCol).cast("boolean").as("b"),
+        col(vCol).cast("long").as("x"))
+      .groupBy("g", "x")
+      .agg(sum(when(col("b"), 0L).otherwise(1L)).as("da"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("db"))
+    val wCum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("g")
+    val wLead = Window.partitionBy("g").orderBy("x")
+    counts
+      .withColumn("ca", sum("da").over(wCum))
+      .withColumn("cb", sum("db").over(wCum))
+      .withColumn("na", sum("da").over(wAll))
+      .withColumn("nb", sum("db").over(wAll))
+      .withColumn("gap", lead(col("x"), 1).over(wLead) - col("x"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("g"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(abs(d38(col("ca")) * col("nb") - d38(col("cb")) * col("na")) *
+          col("gap")).as("_num"))
+      .withColumn("w1", round(col("_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("w1"))
+  }
+
+  /** Fixed-window matrix-profile motif search over an evenly-spaced
+    * integer series (Yeh et al. 2016, ICDM "Matrix Profile I" — here the
+    * exact-integer plain-Euclidean variant): every length-`m` window is
+    * compared to every non-overlapping window, distance² = Σ_t
+    * (x_{a+t} − x_{b+t})² an EXACT bigint, and the top-`k` closest pairs
+    * (a < b, |a−b| ≥ m, ties by (a, b)) are the repeated motifs —
+    * recurring hourly traffic shapes, recurring weekly load patterns.
+    * Plain (un-normalized) distance is deliberate: on a stationary count
+    * series amplitude IS signal, and it keeps every op exact.
+    *
+    * Scale shape: the series is an AGGREGATE (one point per bucket), so
+    * n = #buckets, bounded by the time span, not the corpus. Windows
+    * materialize once via one ordered window pass (collect_list over a
+    * ROWS frame); the pair frame is the n²/2 self-join of m-length
+    * arrays — bounded by span², never by input rows; the fold per pair
+    * is a map-side zip_with/aggregate. TakeOrdered caps the output. */
+  def matrixProfileMotifs(series: DataFrame, tCol: String, vCol: String,
+                          m: Int, k: Int): DataFrame = {
+    require(m >= 2 && k >= 1, "need m >= 2 and k >= 1")
+    val wWin = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, m - 1)
+    val wins = series
+      .select(col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+      .withColumn("win", collect_list("v").over(wWin))
+      .filter(size(col("win")) === m)
+      .select(col("t"), col("win"))
+    val pairs = wins.select(col("t").as("ta"), col("win").as("wa"))
+      .join(wins.select(col("t").as("tb"), col("win").as("wb")),
+        col("ta") < col("tb") && col("tb") - col("ta") >= m)
+      .withColumn("dist2", aggregate(
+        zip_with(col("wa"), col("wb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d))
+    pairs.orderBy(col("dist2").asc, col("ta").asc, col("tb").asc).limit(k)
+      .select(col("ta"), col("tb"), col("dist2"))
+  }
+
+  /** Two-round L2 gradient-boosted stumps from SUFFICIENT STATISTICS
+    * only: round 1 fits the best single split on `f1Col` (the q384
+    * stump idea, SSE-scored), round 2 fits a stump on `f2Col` to
+    * round-1's residuals — WITHOUT ever materializing a per-row
+    * residual. The enabling identities:
+    *   - split score: argmin SSE ≡ argmax S_L²/n_L + S_R²/n_R, with
+    *     S, n exact decimal/bigint corpus sums — the score is a fixed
+    *     double tree over exact integers, identical in any engine, so
+    *     the argmax (ties → smaller threshold) replays;
+    *   - round-2 sufficient stats: Σ residual over an f2-slice is
+    *     Σ r = Σy − nL·(S_L/n_L) − nR·(S_R/n_R) (nL/nR = slice rows in
+    *     each round-1 leaf), so per f2 value only {count, Σy, #left}
+    *     need aggregating — all SMALL exact integers — and Σ r builds
+    *     from them in a fixed double tree, and
+    *   - SSE chaining: mse₂·N = Σy² − (S_L²/n_L + S_R²/n_R)
+    *     − ((Σr_L)²/m_L + (Σr_R)²/m_R) — squares of residuals never
+    *     appear.
+    * Output: one row per round with the chosen threshold, the two leaf
+    * values (round 2's are residual CORRECTIONS), and the training MSE
+    * after the round (round 6).
+    *
+    * Parity bound: every exact sum that converts to double must stay
+    * below 2^53 (DuckDB's int128→double is NOT correctly rounded above
+    * 2^64 — measured 2-ulp error; Java's BigDecimal is exact-rounded) —
+    * feed the target in units that keep Σy² under that (dollars, not
+    * cents, at bench scale).
+    *
+    * Scale shape: per round one (feature value → sufficient stats)
+    * aggregate (map-side combinable) + an ordered prefix-sum window
+    * over DISTINCT feature values (bounded by feature cardinality),
+    * argmax via TakeOrdered(1), then a broadcast of the 1-row split
+    * onto the next round's aggregate. Two fact passes total. */
+  def boostedStumps(df: DataFrame, f1Col: String, f2Col: String,
+                    yCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    // best split of pre-aggregated (f, n, s[, extra...]) rows: adds
+    // cumulative/total columns and returns the argmax row
+    def bestSplit(per: DataFrame): DataFrame = {
+      val wCum = Window.orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      per
+        .withColumn("n_l", sum("n").over(wCum))
+        .withColumn("s_l", sum("s").over(wCum))
+        .withColumn("n_r", sum("n").over(wAll) - col("n_l"))
+        .withColumn("s_r", sum("s").over(wAll) - col("s_l"))
+        .filter(col("n_r") > 0)
+        .withColumn("score",
+          dd(col("s_l")) * dd(col("s_l")) / col("n_l") +
+            dd(col("s_r")) * dd(col("s_r")) / col("n_r"))
+        .orderBy(col("score").desc, col("f").asc).limit(1)
+    }
+    val base = df.select(col(f1Col).cast("long").as("f1"),
+      col(f2Col).cast("long").as("f2"), col(yCol).cast("long").as("y"))
+    val b1 = bestSplit(
+      base.groupBy(col("f1").as("f"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("y"))).as("s")))
+      .select(col("f").as("thr1"), col("n_l").as("n1l"),
+        col("s_l").as("s1l"), col("n_r").as("n1r"), col("s_r").as("s1r"),
+        col("score").as("fit1"))
+    val glob = base.agg(count(lit(1)).as("nn"),
+      sum(d38(col("y")) * col("y")).as("syy"))
+    // round 2: per f2 value only {count, Σy, #rows in round-1 left
+    // leaf} — small exact integers; Σ residual over any prefix/suffix
+    // then builds from them as a fixed double tree
+    val per2 = base.crossJoin(broadcast(b1))
+      .groupBy(col("f2").as("f"))
+      .agg(count(lit(1)).as("n"), sum(d38(col("y"))).as("sy"),
+        sum(when(col("f1") <= col("thr1"), 1L).otherwise(0L)).as("inl"))
+    val wCum2 = Window.orderBy("f")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll2 = Window.partitionBy(lit(1))
+    // Σr over a slice with m rows, sy = Σy, a rows in round-1 left:
+    // Σr = sy − a·(s1l/n1l) − (m − a)·(s1r/n1r), every factor an exact
+    // small integer converted once
+    def rsum(sy: Column, a: Column, m: Column): Column =
+      dd(sy) - dd(a) * (dd(col("s1l")) / col("n1l")) -
+        dd(m - a) * (dd(col("s1r")) / col("n1r"))
+    val b2 = per2
+      .withColumn("m_l", sum("n").over(wCum2))
+      .withColumn("sy_l", sum("sy").over(wCum2))
+      .withColumn("a_l", sum("inl").over(wCum2))
+      .withColumn("m_r", sum("n").over(wAll2) - col("m_l"))
+      .withColumn("sy_r", sum("sy").over(wAll2) - col("sy_l"))
+      .withColumn("a_r", sum("inl").over(wAll2) - col("a_l"))
+      .filter(col("m_r") > 0)
+      .crossJoin(broadcast(b1.select("s1l", "n1l", "s1r", "n1r")))
+      .withColumn("rl", rsum(col("sy_l"), col("a_l"), col("m_l")))
+      .withColumn("rr", rsum(col("sy_r"), col("a_r"), col("m_r")))
+      .withColumn("score2",
+        col("rl") * col("rl") / col("m_l") +
+          col("rr") * col("rr") / col("m_r"))
+      .orderBy(col("score2").desc, col("f").asc).limit(1)
+      .select(col("f").as("thr2"), col("m_l").as("n2l"),
+        col("rl"), col("m_r").as("n2r"), col("rr"))
+    val all = b1.crossJoin(broadcast(b2)).crossJoin(broadcast(glob))
+      .withColumn("mse1", (dd(col("syy")) - col("fit1")) / col("nn"))
+      .withColumn("mse2", (dd(col("syy")) - col("fit1") -
+        (col("rl") * col("rl") / col("n2l") +
+          col("rr") * col("rr") / col("n2r"))) / col("nn"))
+    val r1 = all.select(lit(1).as("round"), col("thr1").as("thr"),
+      round(dd(col("s1l")) / col("n1l"), 6).as("leaf_lo"),
+      round(dd(col("s1r")) / col("n1r"), 6).as("leaf_hi"),
+      round(col("mse1"), 6).as("mse"))
+    val r2 = all.select(lit(2).as("round"), col("thr2").as("thr"),
+      round(col("rl") / col("n2l"), 6).as("leaf_lo"),
+      round(col("rr") / col("n2r"), 6).as("leaf_hi"),
+      round(col("mse2"), 6).as("mse"))
+    r1.unionByName(r2).orderBy("round")
+  }
 }

@@ -163,6 +163,73 @@ object EventStreams {
         sum("position_mc").cast("long").as("position_mcredit"))
   }
 
+  /** EXACT Shapley-value channel attribution (Shapley 1953 applied to
+    * marketing touch data, Zhao et al. 2018) over a SMALL fixed channel
+    * list — the game-theoretic upgrade of [[multiTouchAttribution]]'s
+    * heuristic linear/position models and the q411 removal effects: the
+    * coalition value v(S) = #users who converted AND whose touched-
+    * channel set ⊆ S (the "users this channel subset can fully
+    * explain" convention), and channel c's Shapley value averages its
+    * marginal contribution v(S∪{c})−v(S) over all orderings,
+    * φ_c = Σ_{S ⊆ C∖{c}} |S|!·(k−1−|S|)!/k! · (v(S∪{c}) − v(S)).
+    * With k ≤ ~8 channels the 2^k coalition table is exact and tiny,
+    * and k!·φ_c is an exact INTEGER (weights |S|!(k−1−|S|)! are
+    * integers) — no float enters until the final display division, so
+    * efficiency (Σφ = v(C)) holds to the last micro-unit.
+    *
+    * Scale shape: ONE corpus aggregate to per-user (channel-bitmask,
+    * converted) rows, one groupBy to ≤2^k signature counts; everything
+    * after — the subset-of join to coalitions, the k·2^k marginal table
+    * — is literal-sized. Returns per channel: phi_fact = k!·φ (exact
+    * bigint), phi (round 6), share of v(C) (round 6). */
+  def shapleyAttribution(events: DataFrame, convType: String,
+                         channels: Seq[String]): DataFrame = {
+    val k = channels.size
+    require(k >= 1 && k <= 12, "need 1..12 channels")
+    val s = events.sparkSession
+    import s.implicits._
+    val kFact = (1 to k).map(_.toLong).product
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    // per user: bitmask of touched channels + converted flag, then
+    // counts per (mask, converted) signature — ≤ 2^(k+1) rows
+    val maskCol = channels.zipWithIndex.map { case (ch, i) =>
+      max(when(col("event_type") === ch, 1L << i).otherwise(0L))
+    }.reduce(_ + _)
+    val sigs = events
+      .groupBy("user_id")
+      .agg(maskCol.as("mask"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("conv"))
+      .groupBy("mask").agg(sum("conv").as("n_conv"))
+    // coalition values: v(S) = Σ n_conv over signatures with mask ⊆ S
+    val coalitions = s.range(1L << k).select(col("id").as("smask"))
+    val v = coalitions.join(broadcast(sigs),
+        (col("smask").bitwiseAND(col("mask"))) === col("mask"), "left")
+      .groupBy("smask").agg(coalesce(sum("n_conv"), lit(0L)).as("v"))
+    // marginals: for each channel bit c and coalition S not containing
+    // c, weight |S|!·(k−1−|S|)! times v(S∪{c}) − v(S)
+    val weights = (0 until k).map(sz => fact(sz) * fact(k - 1 - sz))
+    val wArr = array(weights.map(lit): _*)
+    val chans = channels.zipWithIndex
+      .map { case (ch, i) => (ch, 1L << i) }
+      .toDF("channel", "bitval")
+    val marg = chans.crossJoin(v.select(col("smask"), col("v").as("v_s")))
+      .filter((col("smask").bitwiseAND(col("bitval"))) === 0)
+      .join(v.select(col("smask").as("umask"), col("v").as("v_su")),
+        col("umask") === col("smask") + col("bitval"))
+      .withColumn("w", element_at(wArr, expr("bit_count(smask)") + 1))
+      .groupBy("channel")
+      .agg(sum(col("w") * (col("v_su") - col("v_s"))).as("phi_fact"))
+    val vAll = v.filter(col("smask") === (1L << k) - 1)
+      .select(col("v").as("v_all"))
+    marg.crossJoin(broadcast(vAll))
+      .select(col("channel"), col("phi_fact").cast("long").as("phi_fact"),
+        round(col("phi_fact").cast("double") / kFact, 6).as("phi"),
+        round(when(col("v_all") > 0, col("phi_fact").cast("double") /
+          (lit(kFact.toDouble) * col("v_all"))), 6).as("share"))
+      .orderBy("channel")
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val ev = events.select(col("user_id"),
       expr("cast(datediff(cast(ts as date), date'1970-01-01') div 7 as int)").as("wk"))

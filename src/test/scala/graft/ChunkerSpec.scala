@@ -163,4 +163,37 @@ class ChunkerSpec extends SparkSpec {
     assert(out(0) == ((2L, 5L, "one two three. four five")))
     assert(out(1) == ((2L, 5L, "six seven eight nine. ten")))
   }
+
+  test("paddingWaste: length-sorting strictly reduces interleaved-length padding") {
+    import spark.implicits._
+    // arrival order interleaves 1s and 9s → every batch pads to 9;
+    // sorted order separates them → half the padding disappears
+    val docs = (0L until 8L).map(i => (i, if (i % 2 == 0) 1L else 9L))
+      .toDF("id", "len")
+    val out = Chunker.paddingWaste(docs, "id", "len", batchSize = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // arrival: batches {1,9,1,9}×2 → padded 36+36 = 72, real 40
+    assert(out("arrival") == ((2L, 40L, 72L)))
+    // sorted: {1,1,1,1} and {9,9,9,9} → padded 4 + 36 = 40, zero waste
+    assert(out("length_sorted") == ((2L, 40L, 40L)))
+  }
+
+  test("textTilingBoundaries: vocabulary break is cut, uniform text is not") {
+    import spark.implicits._
+    // blocks of 3 tokens: doc 1 repeats one vocabulary → sim 1 at both
+    // boundaries; doc 2 switches vocabulary entirely at the boundary
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c x y z")).toDF("doc_id", "text")
+    val out = Chunker.textTilingBoundaries(docs, "doc_id", "text",
+        blockTokens = 3, tau = 0.15)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_blocks") == 3L &&
+      out(0).getAs[Long]("n_boundaries") == 2L &&
+      out(0).getAs[Long]("n_cuts") == 0L &&
+      out(0).getAs[Double]("mean_sim") == 1.0)
+    assert(out(1).getAs[Long]("n_cuts") == 1L &&
+      out(1).getAs[Double]("mean_sim") == 0.0)
+  }
 }

@@ -242,4 +242,21 @@ class ProfilingSpec extends SparkSpec {
     val r2 = Profiling.shardMedianBias(even, "sh", "v").head()
     assert(r2.getAs[Long]("abs_err") == 0L)
   }
+
+  test("hbosScores: jointly-rare row ranks first; score = exact count product") {
+    import spark.implicits._
+    // rows 1-4 share common bins; row 5 is rare on BOTH features
+    val df = Seq((1L, 10L, "x"), (2L, 10L, "x"), (3L, 10L, "x"),
+      (4L, 20L, "x"), (5L, 30L, "y")).toDF("id", "b1", "b2")
+    val out = Profiling.hbosScores(df, "id", Seq("b1", "b2"), k = 2)
+      .collect()
+    assert(out(0).getAs[Long]("id") == 5L) // 1·1 = 1
+    assert(out(0).getAs[Double]("score") == 1.0)
+    assert(out(1).getAs[Long]("id") == 4L) // 1·4 = 4
+    assert(out(1).getAs[Double]("score") == 4.0)
+    // ties break by id: two equally-common rows order deterministically
+    val tied = Seq((7L, 1L, "a"), (3L, 1L, "a")).toDF("id", "b1", "b2")
+    assert(Profiling.hbosScores(tied, "id", Seq("b1", "b2"), k = 2)
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(3L, 7L))
+  }
 }

@@ -1076,4 +1076,52 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("cohen_d") == -3.0)
     assert(r.getAs[Double]("hedges_g") == -2.4)
   }
+
+  test("wasserstein1: pure shift scores the shift; identical slices score 0") {
+    // a = {0, 10}, b = {3, 13}: uniform +3 shift → W1 = 3
+    val df = Seq(("g", false, 0L), ("g", false, 10L),
+      ("g", true, 3L), ("g", true, 13L)).toDF("g", "cur", "v")
+    val r = Stats.wasserstein1(df, "g", "cur", "v").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("w1") == 3.0)
+    // identical distributions → 0
+    val same = Seq(("g", false, 5L), ("g", true, 5L),
+      ("g", false, 9L), ("g", true, 9L)).toDF("g", "cur", "v")
+    assert(Stats.wasserstein1(same, "g", "cur", "v")
+      .head().getAs[Double]("w1") == 0.0)
+  }
+
+  test("matrixProfileMotifs: repeated shape found, overlaps excluded") {
+    // series: pattern (1,5) at t=0, noise, same pattern at t=6
+    val s = Seq(0L -> 1L, 1L -> 5L, 2L -> 9L, 3L -> 2L, 4L -> 7L,
+      5L -> 3L, 6L -> 1L, 7L -> 5L).toDF("t", "v")
+    val out = Stats.matrixProfileMotifs(s, "t", "v", m = 2, k = 1).head()
+    // windows at 0 and 6 are both (1,5) → dist² = 0, |0−6| ≥ 2
+    assert(out.getAs[Long]("ta") == 0L && out.getAs[Long]("tb") == 6L)
+    assert(out.getAs[Long]("dist2") == 0L)
+    // trivial-match exclusion: adjacent windows never pair
+    val flat = Seq(0L -> 1L, 1L -> 1L, 2L -> 1L).toDF("t", "v")
+    val pairs = Stats.matrixProfileMotifs(flat, "t", "v", m = 2, k = 10)
+    assert(pairs.count() == 0L) // only windows 0,1 exist; |0−1| < 2
+  }
+
+  test("boostedStumps: round-1 split and leaves exact; round-2 mse never worse") {
+    // f1 separates y={10,10} vs {20,20} perfectly; f2 splits the
+    // residual noise {−1,+1} within each leaf
+    val df = Seq((1L, 1L, 9L), (1L, 2L, 11L), (2L, 1L, 19L),
+      (2L, 2L, 21L)).toDF("f1", "f2", "y")
+    val out = Stats.boostedStumps(df, "f1", "f2", "y")
+      .orderBy("round").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("thr") == 1L)
+    assert(r1.getAs[Double]("leaf_lo") == 10.0 &&
+      r1.getAs[Double]("leaf_hi") == 20.0)
+    assert(r1.getAs[Double]("mse") == 1.0) // residuals ±1 everywhere
+    val r2 = out(1)
+    // f2 = 1 rows have residual −1, f2 = 2 rows +1 → perfect round 2
+    assert(r2.getAs[Long]("thr") == 1L)
+    assert(r2.getAs[Double]("leaf_lo") == -1.0 &&
+      r2.getAs[Double]("leaf_hi") == 1.0)
+    assert(r2.getAs[Double]("mse") == 0.0)
+  }
 }

@@ -387,4 +387,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(2) == ((3L, 2L, 1L, 6L, 5L, 5.0 * 10 / (6 * 5))))
     assert(out.last == ((5L, 2L, 0L, 10L, 5L, 1.0)))
   }
+
+  test("shapleyAttribution: single-channel credit is whole; efficiency holds") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, t: String) =
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), u, t)
+    // user 1: click → purchase (click alone explains it)
+    // user 2: click + view → purchase (split between click and view)
+    // user 3: view, no purchase (adds nothing to any coalition)
+    val rows = Seq(ev(1, 1, "click"), ev(2, 1, "purchase"),
+      ev(3, 2, "click"), ev(4, 2, "view"), ev(5, 2, "purchase"),
+      ev(6, 3, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.streaming.EventStreams
+      .shapleyAttribution(rows, "purchase", Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k=2, k! = 2: v({c}) = 1, v({v}) = 0, v({c,v}) = 2
+    // φ_click·2 = 1·(1−0) + 1·(2−0) = 3; φ_view·2 = 0 + 1·(2−1) = 1
+    assert(out("click") == 3L && out("view") == 1L)
+    // efficiency: Σ φ·k! = k!·v(C) = 2·2
+    assert(out.values.sum == 4L)
+  }
 }
