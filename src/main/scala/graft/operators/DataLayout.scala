@@ -324,4 +324,49 @@ object DataLayout {
           .as("n_moved"))
       .select(col("node"), col("n_keys"), col("n_moved"),
         (col("n_moved").cast("double") / col("n_keys")).as("moved_frac"))
+
+  /** Bitmap-index intersection audit: materialize per-value row-id
+    * bitmaps (32-bit words: word = rid div 32, payload = BIT_OR of
+    * 1 << (rid mod 32)) for two low-cardinality columns and compute
+    * every (a, b) co-occurrence cardinality TWICE — popcount over
+    * AND-ed words vs the direct groupBy count — plus the OR (union)
+    * cardinality from the same word join. The `match` column proves the
+    * bitmap algebra exact on real data; the word counts show the
+    * compression (words ≪ rows when ids cluster), which is the entire
+    * case for bitmap pushdown: at 100 TB a multi-predicate filter
+    * becomes word-wise AND over per-value bitmaps instead of a second
+    * scan. Roaring containers refine the same arithmetic; 32-bit dense
+    * words are its SQL-replayable core.
+    *
+    * Two bitmap aggregates (shuffle on (value, word)) + one word join
+    * co-partitioned on word, + the direct count for the audit. */
+  def bitmapIndexAudit(df: DataFrame, ridCol: String, aCol: String,
+                       bCol: String): DataFrame = {
+    val base = df.select(col(ridCol).cast("long").as("rid"),
+      col(aCol).as("a"), col(bCol).as("b"))
+    def bitmap(c: String) = base
+      .withColumn("word", expr("rid div 32"))
+      .withColumn("bit",
+        expr("shiftleft(cast(1 as bigint), cast(rid % 32 as int))"))
+      .groupBy(col(c), col("word"))
+      .agg(expr("bit_or(bit)").as(s"w_$c"))
+    val ands = bitmap("a").join(bitmap("b"), Seq("word"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared_words"),
+        sum(expr("bit_count(w_a & w_b)")).as("and_count"))
+    val totA = bitmap("a").groupBy("a")
+      .agg(sum(expr("bit_count(w_a)")).as("n_a"))
+    val totB = bitmap("b").groupBy("b")
+      .agg(sum(expr("bit_count(w_b)")).as("n_b"))
+    val actual = base.groupBy("a", "b").agg(count(lit(1)).as("actual"))
+    ands.join(broadcast(totA), Seq("a")).join(broadcast(totB), Seq("b"))
+      .join(actual, Seq("a", "b"), "left")
+      .withColumn("actual", coalesce(col("actual"), lit(0L)))
+      // union via inclusion-exclusion over the SAME word arithmetic
+      .withColumn("or_count", col("n_a") + col("n_b") - col("and_count"))
+      .withColumn("match", col("and_count") === col("actual"))
+      .select("a", "b", "n_shared_words", "and_count", "or_count",
+        "actual", "match")
+      .orderBy("a", "b")
+  }
 }

@@ -1084,4 +1084,62 @@ object Dedup {
           col("n_closed").cast("double") / col("n_wedges")), 6)
           .as("closure_ratio"))
   }
+
+  /** Analytic LSH parameter planner — the design-time companion of the
+    * EMPIRICAL recall qualification (q143) and minhash-vs-exact
+    * calibration (q468): for every (bands b, rows r) candidate, the
+    * collision S-curve P(s) = 1 − (1 − s^r)^b is integrated against a
+    * target threshold τ — fn_area = ∫_τ¹ (1−P) ds (true pairs the index
+    * misses), fp_area = ∫₀^τ P ds (junk pairs it emits into the
+    * verifier) — and candidates rank by the total. Pays for itself at
+    * 100 TB: fp_area is verifier JOIN VOLUME, fn_area is lost recall;
+    * reading both off the curve before a build beats discovering them
+    * after one.
+    *
+    * Replay-exactness: b and r are powers of two, so s^r and (1−s^r)^b
+    * evaluate by REPEATED SQUARING — a fixed multiplication tree both
+    * engines execute identically (pow()/exp/ln never appear; libm
+    * stays out per the build discipline). The midpoint Riemann grid
+    * s_i = (2i+1)/(2·steps) is exact-rational-to-double; areas
+    * decimal-accumulate.
+    *
+    * Pure literal computation: |candidates|·steps rows, no input scan —
+    * the one operator family where "driver-sized" is the design. */
+  def lshPlanner(spark: org.apache.spark.sql.SparkSession,
+                 candidates: Seq[(Int, Int)], tau: Double,
+                 steps: Int = 100): DataFrame = {
+    require(candidates.nonEmpty && steps >= 2, "need candidates and steps")
+    require(candidates.forall { case (b, r) =>
+      Seq(1, 2, 4, 8, 16, 32, 64, 128).contains(b) &&
+        Seq(1, 2, 4, 8, 16, 32).contains(r)
+    }, "b and r must be powers of two (repeated-squaring replay)")
+    import spark.implicits._
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    // x^k for power-of-two k via the fixed squaring chain
+    def pow2(x: Column, k: Int): Column =
+      if (k == 1) x else pow2(x * x, k / 2)
+    val cand = candidates.toDF("b", "r")
+    val grid = spark.range(steps).select(
+      ((col("id").cast("double") * 2 + 1) / (2.0 * steps)).as("s"))
+    val curve = cand.crossJoin(grid)
+      .withColumn("sr", Seq(1, 2, 4, 8, 16, 32).map(k =>
+        when(col("r") === k, pow2(col("s"), k))).reduceRight(_ otherwise _))
+      .withColumn("p", lit(1.0) -
+        Seq(1, 2, 4, 8, 16, 32, 64, 128).map(k =>
+          when(col("b") === k, pow2(lit(1.0) - col("sr"), k)))
+          .reduceRight(_ otherwise _))
+    curve.groupBy("b", "r")
+      .agg(
+        sum(when(col("s") <= tau, d18(col("p"))).otherwise(d18(lit(0.0))))
+          .as("_fp"),
+        sum(when(col("s") > tau, d18(lit(1.0) - col("p")))
+          .otherwise(d18(lit(0.0)))).as("_fn"))
+      .select(col("b"), col("r"), (col("b") * col("r")).as("sig_size"),
+        round(col("_fp").cast("double") / steps, 6).as("fp_area"),
+        round(col("_fn").cast("double") / steps, 6).as("fn_area"),
+        round((col("_fp") + col("_fn")).cast("double") / steps, 6)
+          .as("total_err"))
+      .orderBy(col("total_err").asc, col("sig_size").asc,
+        col("b").asc)
+  }
 }

@@ -491,4 +491,65 @@ object Profiling {
         binCols.indices.map(i => col(s"c$i")) :+
         col("score").cast("double").as("score"): _*)
   }
+
+  /** Optimizer-statistics quality audit for range predicates: how well
+    * does an equi-width histogram with the textbook uniform-within-bin
+    * assumption estimate `x <= t` cardinalities on THIS column's actual
+    * distribution? For each literal threshold: est = (full bins below)
+    * + (containing bin count)·(t − bin_lo)/binWidth, act = exact count,
+    * and the planner-robustness number q_error = max(est,act)/min(est,
+    * act) (Moerkotte et al. 2009 — the metric under which join-order
+    * choices degrade). Complements q426's JOIN-cardinality q-error with
+    * the base-table-predicate half of the estimation problem; a column
+    * that audits badly here wants a histogram with more bins — or
+    * isn't uniform enough for equi-width at all.
+    *
+    * All counts exact; est is one rational-to-double tree per
+    * threshold. Scale shape: ONE fact aggregate builds the histogram
+    * (bounded bins) and ONE builds every actual count via conditional
+    * sums; thresholds and bins join broadcast-sized. */
+  def selectivityAudit(df: DataFrame, vCol: String, binWidth: Long,
+                       nBins: Int, thresholds: Seq[Long]): DataFrame = {
+    require(binWidth >= 1 && nBins >= 1 && thresholds.nonEmpty,
+      "need binWidth, bins, thresholds")
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(col(vCol).cast("long").as("v"))
+    val hist = base
+      .withColumn("bin", least(greatest(expr(s"v div $binWidth"),
+        lit(0L)), lit((nBins - 1).toLong)))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val acts = base.agg(
+      thresholds.zipWithIndex.map { case (t, i) =>
+        sum(when(col("v") <= t, 1L).otherwise(0L)).as(s"a$i")
+      }.head, thresholds.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("v") <= t, 1L).otherwise(0L)).as(s"a$i")
+      }: _*)
+    val thr = thresholds.zipWithIndex.toDF("t", "ti")
+      .withColumn("tbin", least(greatest(expr(s"t div $binWidth"),
+        lit(0L)), lit((nBins - 1).toLong)))
+    val est = thr.join(broadcast(hist),
+        col("bin") <= col("tbin"), "left")
+      .withColumn("below", when(col("bin") < col("tbin"), col("c"))
+        .otherwise(lit(0L)))
+      .withColumn("inbin", when(col("bin") === col("tbin"), col("c"))
+        .otherwise(lit(0L)))
+      .groupBy("t", "ti", "tbin")
+      .agg(coalesce(sum("below"), lit(0L)).as("n_below"),
+        coalesce(sum("inbin"), lit(0L)).as("n_inbin"))
+      .withColumn("est", col("n_below").cast("double") +
+        col("n_inbin").cast("double") *
+          ((col("t") - col("tbin") * binWidth).cast("double") / binWidth))
+    est.crossJoin(broadcast(acts))
+      .withColumn("act", thresholds.indices.map(i =>
+        when(col("ti") === i, col(s"a$i")))
+        .reduceRight(_ otherwise _))
+      .select(col("t").as("threshold"), round(col("est"), 6).as("est"),
+        col("act"),
+        round(when(col("act") > 0 && col("est") > 0,
+          greatest(col("est"), col("act").cast("double")) /
+            least(col("est"), col("act").cast("double"))), 6)
+          .as("q_error"))
+      .orderBy("threshold")
+  }
 }

@@ -576,4 +576,44 @@ object Sampling {
         .otherwise(col("w") * col("x_star")).as("alloc"),
       col("x_star"))
   }
+
+  /** Hash-coherent cross-table sampling audit — the sampling mode that
+    * SURVIVES JOINS: both tables keep a row iff `keyHash(join key) mod
+    * modulus < keep`, so a joined pair is kept exactly when its shared
+    * key is kept, and the join of the samples IS a sample of the join
+    * (keep/modulus of its key groups — independent uniform row sampling
+    * would keep a pair with prob p², decimating join results 1/p-fold).
+    * Emits the audit numbers: per-table sample sizes, the sample-join
+    * row count, the Horvitz–Thompson scale-up `joined·modulus/keep`
+    * (exact rational — inclusion probability is known, not estimated),
+    * the true full-join count, and the HT relative error. At 100 TB
+    * this is how dev pipelines run on 1% WITHOUT breaking referential
+    * structure; the error column is the evidence the estimator works.
+    *
+    * One hash predicate per scan (no shuffle to sample), one key-join
+    * per side of the audit. The full-join count is the audit's cost —
+    * a production setup runs it once per key, not per query. */
+  def coherentSampleAudit(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          modulus: Int, keep: Int): DataFrame = {
+    require(modulus >= 2 && keep >= 1 && keep < modulus,
+      "need 1 <= keep < modulus")
+    val lk = Sketches.keyHash(col(leftKey)) % modulus < keep
+    val rk = Sketches.keyHash(col(rightKey)) % modulus < keep
+    val ls = left.filter(lk).select(col(leftKey).as("k"))
+    val rs = right.filter(rk).select(col(rightKey).as("k"))
+    val joined = ls.join(rs, Seq("k")).agg(count(lit(1)).as("n_joined"))
+    val full = left.select(col(leftKey).as("k"))
+      .join(right.select(col(rightKey).as("k")), Seq("k"))
+      .agg(count(lit(1)).as("n_full"))
+    ls.agg(count(lit(1)).as("n_left")).crossJoin(broadcast(
+        rs.agg(count(lit(1)).as("n_right"))))
+      .crossJoin(broadcast(joined)).crossJoin(broadcast(full))
+      .withColumn("ht_estimate",
+        round(col("n_joined").cast("double") * modulus / keep, 6))
+      .withColumn("rel_err",
+        round(when(col("n_full") > 0,
+          abs(col("ht_estimate") - col("n_full").cast("double")) /
+            col("n_full")), 6))
+  }
 }

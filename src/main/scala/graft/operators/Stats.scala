@@ -3045,4 +3045,56 @@ object Stats {
       round(col("mse2"), 6).as("mse"))
     r1.unionByName(r2).orderBy("round")
   }
+
+  /** Hierarchical-forecast coherence audit with MEDIAN base forecasts
+    * (Hyndman's reconciliation problem in its sharpest exact form):
+    * per child series the forecast is the exact median of its last
+    * `window` ticks (window odd → the middle order statistic, an
+    * integer), the parent gets (a) the DIRECT median of its own total
+    * series and (b) the BOTTOM-UP sum of child medians — and because
+    * medians don't add, the two disagree; `gap` is the incoherence a
+    * reconciliation step would have to distribute. With mean forecasts
+    * the gap is identically 0 (means add), which is precisely why this
+    * audit matters the moment a pipeline upgrades to robust/quantile
+    * forecasts. Missing (child, tick) cells count as 0 — the grid is
+    * completed before ranking, or medians of sparse children would be
+    * silently biased up.
+    *
+    * All values exact integers (medians = rank-(w+1)/2 order
+    * statistics, ties broken by tick). Scale: one fact aggregate to
+    * (child, tick), a bounded grid completion, rank windows partitioned
+    * per child/parent — nothing global. */
+  def hierarchicalMedianForecast(df: DataFrame, parentCol: String,
+                                 childCol: String, tCol: String,
+                                 vCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window % 2 == 1, "window must be odd")
+    val per = df.select(col(parentCol).as("p"), col(childCol).as("c"),
+        col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+      .groupBy("p", "c", "t").agg(sum("v").as("n"))
+    val maxT = per.agg(max("t").as("_mt"))
+    val recent = per.crossJoin(broadcast(maxT))
+      .filter(col("t") > col("_mt") - window)
+    // complete the (child × tick) grid so absent cells rank as 0
+    val ticks = maxT.select(
+      explode(expr(s"sequence(_mt - ${window - 1}, _mt)")).as("t"))
+    val grid = per.select("p", "c").distinct()
+      .crossJoin(broadcast(ticks))
+      .join(recent.select("p", "c", "t", "n"), Seq("p", "c", "t"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val mid = (window + 1) / 2
+    val wc = Window.partitionBy("p", "c").orderBy("n", "t")
+    val childMed = grid.withColumn("_rk", row_number().over(wc))
+      .filter(col("_rk") === mid)
+      .groupBy("p").agg(count(lit(1)).as("n_children"),
+        sum("n").as("bottom_up"))
+    val ptot = grid.groupBy("p", "t").agg(sum("n").as("n"))
+    val wp = Window.partitionBy("p").orderBy("n", "t")
+    val direct = ptot.withColumn("_rk", row_number().over(wp))
+      .filter(col("_rk") === mid)
+      .select(col("p"), col("n").as("direct_med"))
+    childMed.join(direct, Seq("p"))
+      .select(col("p").as(parentCol), col("n_children"),
+        col("direct_med"), col("bottom_up"),
+        (col("bottom_up") - col("direct_med")).as("gap"))
+  }
 }

@@ -175,4 +175,20 @@ class DataLayoutSpec extends SparkSpec {
         s"jump at d=$i: ($x1,$y1) -> ($x2,$y2)")
     }
   }
+
+  test("bitmapIndexAudit: AND popcount equals direct count incl bit 31") {
+    import spark.implicits._
+    // rids straddle word boundaries AND hit bit 31 (the int-shift trap)
+    val rows = Seq((31L, "x", "p"), (32L, "x", "p"), (63L, "x", "q"),
+      (64L, "y", "p"), (95L, "x", "p")).toDF("rid", "a", "b")
+    val out = graft.operators.DataLayout
+      .bitmapIndexAudit(rows, "rid", "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    // (x, p): rids 31, 32, 95 → and = 3; x rows = 4, p rows = 4 → or = 5
+    assert(out(("x", "p")) == ((3L, 5L, 3L, true)))
+    assert(out(("x", "q")) == ((1L, 4L, 1L, true)))
+    assert(out.values.forall(_._4)) // every pair's algebra is exact
+  }
 }

@@ -418,4 +418,17 @@ class DedupSpec extends SparkSpec {
     assert(o2.getAs[Long]("n_wedges") == 0L)
     assert(o2.isNullAt(o2.fieldIndex("closure_ratio")))
   }
+
+  test("lshPlanner: more bands shifts the curve left (higher fp, lower fn)") {
+    val m = Dedup.lshPlanner(spark, Seq((4, 8), (64, 8)), tau = 0.8)
+      .collect().map(r => r.getAs[Int]("b") ->
+        ((r.getAs[Double]("fp_area"), r.getAs[Double]("fn_area")))).toMap
+    assert(m(64)._1 > m(4)._1) // 64 bands: collide earlier → more fp
+    assert(m(64)._2 < m(4)._2) // ... and fewer missed true pairs
+    // degenerate single hash (b=1, r=1): P(s) = s → fp = ∫₀^0.8 s ds
+    val one = Dedup.lshPlanner(spark, Seq((1, 1)), tau = 0.8, steps = 100)
+      .head()
+    assert(math.abs(one.getAs[Double]("fp_area") - 0.32) < 1e-4)
+    assert(math.abs(one.getAs[Double]("fn_area") - 0.02) < 1e-4)
+  }
 }

@@ -259,4 +259,18 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.hbosScores(tied, "id", Seq("b1", "b2"), k = 2)
       .collect().map(_.getAs[Long]("id")).toSeq == Seq(3L, 7L))
   }
+
+  test("selectivityAudit: uniform data estimates exactly; q_error = 1") {
+    import spark.implicits._
+    // v = 0..99, binWidth 10, 10 bins: est for v <= 25 is
+    // 20 + 10·(25−20)/10 = 25; act = 26 (0..25 inclusive)
+    val df = (0L until 100L).toDF("v")
+    val out = Profiling.selectivityAudit(df, "v", binWidth = 10L,
+        nBins = 10, thresholds = Seq(25L, 99L)).collect()
+    assert(out(0).getAs[Double]("est") == 25.0)
+    assert(out(0).getAs[Long]("act") == 26L)
+    assert(out(0).getAs[Double]("q_error") == 1.04)
+    // the last bin catches everything ≥ its floor
+    assert(out(1).getAs[Long]("act") == 100L)
+  }
 }

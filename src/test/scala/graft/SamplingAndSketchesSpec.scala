@@ -488,4 +488,20 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(all.forall(r => r.isNullAt(r.fieldIndex("x_star"))))
     assert(all.map(_.getAs[Double]("alloc")).sum == 210.0)
   }
+
+  test("coherentSampleAudit: sample-join keys are exactly the kept keys' pairs") {
+    import spark.implicits._
+    val left = (1L to 200L).toDF("k")
+    // right: every key appears 3× — join rows per kept key = 3
+    val right = (1L to 200L).flatMap(k => Seq(k, k, k)).toDF("k")
+    val r = Sampling.coherentSampleAudit(left, "k", right, "k",
+      modulus = 10, keep = 2).head()
+    val nl = r.getAs[Long]("n_left")
+    // coherence: every kept left key brings exactly its 3 right rows
+    assert(r.getAs[Long]("n_right") == nl * 3)
+    assert(r.getAs[Long]("n_joined") == nl * 3)
+    assert(r.getAs[Long]("n_full") == 600L)
+    // HT estimate = joined·5; rel_err consistent with it
+    assert(r.getAs[Double]("ht_estimate") == nl * 3.0 * 5)
+  }
 }

@@ -1124,4 +1124,36 @@ class StatsSpec extends SparkSpec {
       r2.getAs[Double]("leaf_hi") == 1.0)
     assert(r2.getAs[Double]("mse") == 0.0)
   }
+
+  test("hierarchicalMedianForecast: medians don't add — gap is the proof") {
+    // parent P, children a and b over ticks 1..5 (window 5):
+    // a = {0,0,0,10,10} → med 0; b = {0,0,0,8,8} → med 0; BU = 0
+    // totals = {0,0,0,18,18} → direct med 0 → gap 0? shift: make ticks
+    // overlap so totals median differs: a={2,2,2,10,10} med 2,
+    // b={0,4,4,4,0} med 4 → BU 6; totals {2,6,6,14,10} med 6 → gap 0?
+    // use a={1,9,1,9,1} med 1, b={9,1,9,1,9} med 9 → BU 10;
+    // totals all 10 → direct 10 → gap 0. Anti-correlated children DO
+    // add. Correlated skew: a={1,1,1,9,9} med 1, b={2,2,2,8,8} med 2 →
+    // BU 3; totals {3,3,3,17,17} med 3 → gap 0 (aligned order!). Use
+    // misaligned skew: a={1,1,9,9,1} b={8,2,2,2,8}:
+    // meds: a → 1, b → 2, BU 3; totals {9,3,11,11,9} med 9 → gap −6
+    val rows = Seq(
+      ("P", "a", 1L, 1L), ("P", "a", 2L, 1L), ("P", "a", 3L, 9L),
+      ("P", "a", 4L, 9L), ("P", "a", 5L, 1L),
+      ("P", "b", 1L, 8L), ("P", "b", 2L, 2L), ("P", "b", 3L, 2L),
+      ("P", "b", 4L, 2L), ("P", "b", 5L, 8L))
+      .toDF("p", "c", "t", "v")
+    val r = Stats.hierarchicalMedianForecast(rows, "p", "c", "t", "v", 5)
+      .head()
+    assert(r.getAs[Long]("n_children") == 2L)
+    assert(r.getAs[Long]("bottom_up") == 3L)
+    assert(r.getAs[Long]("direct_med") == 9L)
+    assert(r.getAs[Long]("gap") == -6L)
+    // a child absent in a recent tick ranks as 0, not as a missing row
+    val sparse = Seq(("P", "a", 1L, 5L), ("P", "a", 5L, 5L))
+      .toDF("p", "c", "t", "v")
+    val r2 = Stats.hierarchicalMedianForecast(sparse, "p", "c", "t",
+      "v", 5).head()
+    assert(r2.getAs[Long]("bottom_up") == 0L) // {5,0,0,0,5} → med 0
+  }
 }
