@@ -369,4 +369,106 @@ object DataLayout {
         "actual", "match")
       .orderBy("a", "b")
   }
+
+  /** LRU hit-rate curve from EXACT stack distances (Mattson et al.
+    * 1970): per group (a cache per customer/tenant/worker), each
+    * re-access's reuse distance = #DISTINCT keys touched strictly
+    * between the two uses, and an LRU cache of capacity C hits exactly
+    * when distance < C — so ONE pass of distances yields the entire
+    * hit-rate-vs-capacity curve, no per-C simulation. The SQL-shaped
+    * trick for "distinct keys in an interval": access j falls in
+    * (prev_i, i) and counts as distinct iff j is the LAST use of its
+    * key before i, i.e. next_j ≥ i — turning a distinct-count into a
+    * banded 2D join the engine can partition per group.
+    *
+    * Scale shape: position/prev/next are per-group windows; the
+    * interval join is per-group and bounded by per-group sequence
+    * length (a tenant's accesses, not the corpus). Output: one row per
+    * candidate capacity with reuse/hit counts and the hit rate over
+    * re-accesses (cold first-touches reported once in every row — they
+    * miss at any capacity). */
+  def lruStackDistance(df: DataFrame, groupCol: String,
+                       orderCols: Seq[String], keyCol: String,
+                       capacities: Seq[Int]): DataFrame = {
+    require(orderCols.nonEmpty && capacities.nonEmpty,
+      "need order and capacities")
+    val wPos = Window.partitionBy("g").orderBy(orderCols.map(col): _*)
+    val wKey = Window.partitionBy("g", "k").orderBy("pos")
+    val acc = df.select(col(groupCol).as("g") +: col(keyCol).as("k") +:
+        orderCols.map(col): _*)
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("prev", lag("pos", 1).over(wKey))
+      .withColumn("nxt", lead("pos", 1).over(wKey))
+      .localCheckpoint()
+    val reuses = acc.filter(col("prev").isNotNull)
+      .select(col("g"), col("prev"), col("pos"))
+    val dists = reuses
+      .join(acc.select(col("g"), col("pos").as("jpos"),
+        col("nxt").as("jnxt")), Seq("g"), "left")
+      .filter(col("jpos") > col("prev") && col("jpos") < col("pos") &&
+        (col("jnxt").isNull || col("jnxt") >= col("pos")))
+      .groupBy("g", "pos").agg(count(lit(1)).as("d"))
+    val allDists = reuses.join(dists, Seq("g", "pos"), "left")
+      .withColumn("d", coalesce(col("d"), lit(0L)))
+    val tot = acc.agg(count(lit(1)).as("n_accesses"),
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_cold"))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val caps = capacities.toDF("cache_size")
+    caps.crossJoin(broadcast(tot))
+      .join(allDists.crossJoin(broadcast(caps.select(col("cache_size")
+          .as("c2"))))
+        .groupBy(col("c2").as("cache_size"))
+        .agg(count(lit(1)).as("n_reuses"),
+          sum(when(col("d") < col("c2"), 1L).otherwise(0L))
+            .as("n_hits")), Seq("cache_size"), "left")
+      .select(col("cache_size"), col("n_accesses"), col("n_cold"),
+        coalesce(col("n_reuses"), lit(0L)).as("n_reuses"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(when(col("n_reuses") > 0, col("n_hits").cast("double") /
+          col("n_reuses")), 6).as("hit_rate"))
+      .orderBy("cache_size")
+  }
+
+  /** Shuffle-partition-count advisor from MEASURED bytes, not row
+    * counts: rows hash to each candidate partition count by the
+    * replayable keyHash, per-partition byte totals are exact
+    * (`rowBytes` should be the row's serialized-ish width, e.g. fixed
+    * widths + octet_length of strings), and the verdict per candidate
+    * is the MAX partition's bytes vs a memory budget — with the skew
+    * ratio max/even that explains WHY a count fails (a hot key defeats
+    * more partitions; only salting fixes it). This is the
+    * spark.sql.shuffle.partitions sizing loop made into a query —
+    * at 100 TB the difference between 2000 and 20000 partitions is a
+    * spilled stage, and this measures it on the actual key and byte
+    * distribution for the cost of one scan.
+    *
+    * One map-side explode over |candidates|, one (candidate,
+    * partition) aggregate, one candidate-level rollup — all bounded by
+    * candidates × partitions. */
+  def partitionAdvisor(df: DataFrame, keyCol: String, rowBytes: Column,
+                       candidates: Seq[Int], budgetBytes: Long): DataFrame = {
+    require(candidates.nonEmpty && budgetBytes >= 1,
+      "need candidates and budget")
+    val perPart = df
+      .select(graft.operators.Sketches.keyHash(col(keyCol)).as("h"),
+        rowBytes.cast("long").as("bytes"))
+      .select(col("h"), col("bytes"),
+        explode(array(candidates.map(lit): _*)).as("n_parts"))
+      .withColumn("part", col("h") % col("n_parts"))
+      .groupBy("n_parts", "part")
+      .agg(sum("bytes").as("pbytes"))
+    perPart.groupBy("n_parts")
+      .agg(sum("pbytes").as("total_bytes"),
+        max("pbytes").as("max_part_bytes"),
+        count(lit(1)).as("n_nonempty"))
+      .withColumn("even_bytes", expr("total_bytes div n_parts"))
+      .withColumn("skew_ratio",
+        round(col("max_part_bytes").cast("double") * col("n_parts") /
+          col("total_bytes"), 6))
+      .withColumn("fits", col("max_part_bytes") <= budgetBytes)
+      .select("n_parts", "total_bytes", "n_nonempty", "even_bytes",
+        "max_part_bytes", "skew_ratio", "fits")
+      .orderBy("n_parts")
+  }
 }

@@ -284,6 +284,70 @@ object Profiling {
     perBucket.unionByName(root).orderBy("bucket")
   }
 
+  /** Merkle-tree snapshot diff — [[tableChecksum]] grown a level so
+    * divergence LOCALIZES: rows bucket into `leaves` by KEY hash (a
+    * changed value stays in its leaf), leaves digest
+    * order-independently over key+value fingerprints, `fanIn` leaves
+    * roll into each mid node, mids into one root. Comparing two
+    * snapshots then reads top-down: root differs → some change; mids
+    * name the subtrees; leaves name the buckets to actually re-sync —
+    * the Cassandra/DynamoDB anti-entropy protocol as a query. The
+    * payoff column is `rows_to_sync`: rows of `b` under differing
+    * nodes at each level — at 100 TB the difference between "ship the
+    * table" and "ship 3 leaves".
+    *
+    * Per snapshot: one map-side fingerprint pass + a leaves-sized
+    * aggregate; everything above the leaf level is literal-sized. The
+    * diff joins are full-outer on node id (a bucket present in one
+    * snapshot only is a difference, not an error). */
+  def merkleDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                 valCols: Seq[String], leaves: Int = 256,
+                 fanIn: Int = 16): DataFrame = {
+    val P = 1000000007L
+    require(leaves % fanIn == 0, "leaves must be a multiple of fanIn")
+    def tree(df: DataFrame) = {
+      val keyRepr = concat_ws("\u001f",
+        keyCols.map(c => col(c).cast("string")): _*)
+      val rowRepr = concat_ws("\u001f",
+        (keyCols ++ valCols).map(c => col(c).cast("string")): _*)
+      val leaf = df.withColumn("_kr", keyRepr).withColumn("_rr", rowRepr)
+        .select(graft.functions.TextFunctions.fingerprint("_kr").as("kfp"),
+          graft.functions.TextFunctions.fingerprint("_rr").as("rfp"))
+        .withColumn("leaf", pmod(col("kfp"), lit(leaves.toLong)))
+        .groupBy("leaf")
+        .agg(count(lit(1)).as("n_rows"),
+          pmod(sum(col("rfp").cast("decimal(38,0)")), lit(P))
+            .cast("long").as("digest"))
+      val mid = leaf
+        .withColumn("mid", expr(s"leaf div $fanIn"))
+        .groupBy("mid")
+        .agg(sum("n_rows").as("n_rows"),
+          pmod(sum(pmod((col("digest") + col("leaf")) * lit(31L), lit(P))
+            .cast("decimal(38,0)")), lit(P)).cast("long").as("digest"))
+      val rootN = mid.agg(sum("n_rows").as("n_rows"),
+        pmod(sum(pmod((col("digest") + col("mid")) * lit(31L), lit(P))
+          .cast("decimal(38,0)")), lit(P)).cast("long").as("digest"))
+      (leaf, mid, rootN)
+    }
+    val (la, ma, ra) = tree(a)
+    val (lb, mb, rb) = tree(b)
+    def diff(x: DataFrame, y: DataFrame, id: String, level: String) = {
+      val j = x.select(col(id), col("digest").as("da"))
+        .join(y.select(col(id), col("digest").as("db"),
+          col("n_rows").as("nb")), Seq(id), "full_outer")
+        .withColumn("_diff", coalesce(col("da") =!= col("db"), lit(true)))
+      j.agg(lit(level).as("level"), count(lit(1)).as("n_nodes"),
+        sum(when(col("_diff"), 1L).otherwise(0L)).as("n_differing"),
+        coalesce(sum(when(col("_diff"), col("nb"))), lit(0L))
+          .as("rows_to_sync"))
+    }
+    val rootDiff = diff(ra.withColumn("rid", lit(0)),
+      rb.withColumn("rid", lit(0)), "rid", "1_root")
+    val midDiff = diff(ma, mb, "mid", "2_mid")
+    val leafDiff = diff(la, lb, "leaf", "3_leaf")
+    rootDiff.unionByName(midDiff).unionByName(leafDiff).orderBy("level")
+  }
+
   /** Join-cardinality estimation QA: for each labeled equi-join, the
     * textbook uniform-NDV estimate |A|·|B| / max(ndv_A, ndv_B) (what a
     * System-R-style optimizer assumes) against the EXACT output

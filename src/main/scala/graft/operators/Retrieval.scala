@@ -523,4 +523,36 @@ object Retrieval {
           .as("clarity"))
       .orderBy("query")
   }
+
+  /** Borda-count rank fusion over an arbitrary list of (label, scored
+    * frame) rankings — the positional-voting alternative to RRF (q109):
+    * each ranking awards an item N − rank points (N = item universe
+    * size), the fused order is the point sum. Unlike RRF's 1/(k+rank)
+    * — which is top-heavy by design — Borda weights rank differences
+    * LINEARLY, so it is the right fusion when mid-list order carries
+    * signal (e.g. combining quality scores for training-data selection
+    * rather than first-page retrieval). Items absent from a ranking
+    * score 0 from it (the standard truncated-ballot convention).
+    *
+    * Ranks are dense row_numbers on (score desc, id) — fully
+    * deterministic under ties. Each input ranks independently
+    * (per-frame window partitioned by nothing but sized by its
+    * candidate set), then one union + sum; `topK` caps via
+    * TakeOrdered. */
+  def bordaFusion(rankings: Seq[(String, DataFrame)], idCol: String,
+                  scoreCol: String, universe: Long, topK: Int): DataFrame = {
+    require(rankings.nonEmpty && topK >= 1, "need rankings and topK")
+    val ranked = rankings.map { case (label, df) =>
+      df.select(col(idCol).as("id"),
+          col(scoreCol).cast("long").as("s"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("s").desc, col("id").asc)))
+        .select(col("id"), lit(label).as("src"), col("rank"),
+          (lit(universe) - col("rank")).as("points"))
+    }.reduce(_ unionByName _)
+    ranked.groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum("points").as("borda"))
+      .orderBy(col("borda").desc, col("id").asc).limit(topK)
+      .select(col("id").as(idCol), col("n_lists"), col("borda"))
+  }
 }

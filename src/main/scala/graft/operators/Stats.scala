@@ -3097,4 +3097,48 @@ object Stats {
         col("direct_med"), col("bottom_up"),
         (col("bottom_up") - col("direct_med")).as("gap"))
   }
+
+  /** Huber M-estimator of location by `iters` fixed IRLS rounds — the
+    * robust mean between the mean (breaks on one huge outlier) and the
+    * median (ignores 49% of the data): start at the mean, then
+    * re-weight w = min(1, c/|y − m|) and recompute m = Σwy/Σw. Rows
+    * within `c` of the center keep weight 1; outliers decay as 1/dist,
+    * which is exactly the ψ-function clip of Huber (1964). The `shift`
+    * column (huber − mean) is the actionable number: large shift ⇔ the
+    * plain mean is being dragged by a tail.
+    *
+    * Weights branch as CASE |y−m| <= c (never a division by a possible
+    * zero — engines disagree on x/0), and each round's sums
+    * decimal-accumulate; iteration count is fixed so the whole
+    * computation is one deterministic expression chain both engines
+    * replay. Scale: `iters`+1 fact aggregates (each map-side
+    * combinable), no window, no join — the cost is re-scanning, which
+    * a persisted (group, y, count) rollup would amortize. */
+  def huberMean(df: DataFrame, groupCol: String, vCol: String,
+                c: Long, iters: Int = 3): DataFrame = {
+    require(c >= 1 && iters >= 1, "need c >= 1 and iters >= 1")
+    val d18 = (x: Column) => x.cast("decimal(38,18)")
+    val d38 = (x: Column) => x.cast("decimal(38,0)")
+    val base = df.select(col(groupCol).as("g"),
+      col(vCol).cast("long").as("y"))
+    val m0 = base.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(d38(col("y"))).as("_sy"))
+      .withColumn("mean", col("_sy").cast("double") / col("n"))
+    val mFinal = (1 to iters).foldLeft(m0.withColumn("m", col("mean"))) {
+      (acc, _) =>
+        val w = when(abs(col("y").cast("double") - col("m")) <= c, lit(1.0))
+          .otherwise(lit(c.toDouble) /
+            abs(col("y").cast("double") - col("m")))
+        base.join(broadcast(acc.select("g", "n", "mean", "m")), Seq("g"))
+          .withColumn("_w", w)
+          .groupBy("g")
+          .agg(max("n").as("n"), max("mean").as("mean"),
+            (sum(d18(col("_w") * col("y"))).cast("double") /
+              sum(d18(col("_w"))).cast("double")).as("m"))
+    }
+    mFinal.select(col("g").as(groupCol), col("n"),
+      round(col("mean"), 6).as("mean"),
+      round(col("m"), 6).as("huber_m"),
+      round(col("m") - col("mean"), 6).as("shift"))
+  }
 }

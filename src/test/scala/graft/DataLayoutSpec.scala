@@ -191,4 +191,34 @@ class DataLayoutSpec extends SparkSpec {
     assert(out(("x", "q")) == ((1L, 4L, 1L, true)))
     assert(out.values.forall(_._4)) // every pair's algebra is exact
   }
+
+  test("lruStackDistance: textbook trace distances and capacity curve") {
+    import spark.implicits._
+    // trace (one group): a b c a b a — reuses: a@4 d=2, b@5 d=2, a@6 d=1
+    val t = Seq("a", "b", "c", "a", "b", "a").zipWithIndex
+      .map { case (k, i) => (1L, i.toLong, k) }.toDF("g", "t", "k")
+    val out = graft.operators.DataLayout
+      .lruStackDistance(t, "g", Seq("t"), "k", Seq(1, 2, 3))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // C=1: no hits; C=2: only d=1 hits; C=3: all three hit
+    assert(out(1) == ((6L, 3L, 3L, 0L)))
+    assert(out(2) == ((6L, 3L, 3L, 1L)))
+    assert(out(3) == ((6L, 3L, 3L, 3L)))
+  }
+
+  test("partitionAdvisor: skewed key defeats partition growth; bytes conserved") {
+    import spark.implicits._
+    // one hot key carries 90 of 100 rows — max partition never drops
+    // below the hot key's bytes no matter the partition count
+    val rows = ((1L to 90L).map(_ => 7L) ++ (1L to 10L)).toDF("k")
+    val out = graft.operators.DataLayout.partitionAdvisor(
+      rows, "k", org.apache.spark.sql.functions.lit(10L),
+      candidates = Seq(2, 50), budgetBytes = 500L)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(4), r.getBoolean(6)))).toMap
+    assert(out(2)._1 == 1000L && out(50)._1 == 1000L) // bytes conserved
+    assert(out(50)._2 >= 900L) // hot key floor
+    assert(!out(50)._3) // 900 > 500 budget: even 50 partitions can't fit
+  }
 }

@@ -273,4 +273,32 @@ class ProfilingSpec extends SparkSpec {
     // the last bin catches everything ≥ its floor
     assert(out(1).getAs[Long]("act") == 100L)
   }
+
+  test("merkleDiff: identical snapshots differ nowhere; a change localizes") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, i % 7, "v" + (i % 3)))
+      .toDF("id", "grp", "payload")
+    val same = Profiling.merkleDiff(a, a, Seq("id"),
+        Seq("grp", "payload"), leaves = 16, fanIn = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(same("1_root") == ((1L, 0L, 0L)))
+    assert(same("2_mid")._2 == 0L && same("3_leaf")._2 == 0L)
+    // change ONE row's payload: root differs, exactly one mid and one
+    // leaf differ, and rows_to_sync at leaf level ≪ table size
+    val b = a.withColumn("payload",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") === 42L,
+        org.apache.spark.sql.functions.lit("CHANGED"))
+        .otherwise(org.apache.spark.sql.functions.col("payload")))
+    val d = Profiling.merkleDiff(a, b, Seq("id"), Seq("grp", "payload"),
+        leaves = 16, fanIn = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(d("1_root")._2 == 1L)
+    assert(d("2_mid")._1 == 4L && d("2_mid")._2 == 1L)
+    assert(d("3_leaf")._1 == 16L && d("3_leaf")._2 == 1L)
+    // localization narrows: leaf rows ≤ mid rows < table size
+    assert(d("3_leaf")._3 <= d("2_mid")._3 && d("2_mid")._3 < 100L)
+  }
 }

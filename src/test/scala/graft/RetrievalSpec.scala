@@ -341,4 +341,18 @@ class RetrievalSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(out("qf").getAs[Long]("n_hits") == 2L)
   }
+
+  test("bordaFusion: linear points sum; absent items score 0 from that list") {
+    import spark.implicits._
+    val r1 = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("id", "s")
+    val r2 = Seq((3L, 9L), (2L, 8L)).toDF("id", "s") // item 1 absent
+    val out = Retrieval.bordaFusion(
+      Seq("a" -> r1, "b" -> r2), "id", "s", universe = 100L, topK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // ranks: a → 1,2,3; b → 3:1, 2:2
+    assert(out(1L) == ((1L, 99L)))        // only list a: 100−1
+    assert(out(2L) == ((2L, 98L + 98L)))  // 100−2 twice
+    assert(out(3L) == ((2L, 97L + 99L)))  // 100−3, 100−1
+  }
 }

@@ -1156,4 +1156,19 @@ class StatsSpec extends SparkSpec {
       "v", 5).head()
     assert(r2.getAs[Long]("bottom_up") == 0L) // {5,0,0,0,5} → med 0
   }
+
+  test("huberMean: outlier drags the mean but barely moves the M-estimate") {
+    // 9 values at 100 plus one at 10100: mean 1100; Huber(c=50) stays
+    // near 100 — shift exposes the drag
+    val df = (Seq.fill(9)(100L) :+ 10100L).zipWithIndex
+      .map { case (v, i) => ("g", v) }.toDF("g", "v")
+    val r = Stats.huberMean(df, "g", "v", c = 50L, iters = 3).head()
+    assert(r.getAs[Double]("mean") == 1100.0)
+    assert(math.abs(r.getAs[Double]("huber_m") - 100.0) < 60.0)
+    assert(r.getAs[Double]("shift") < -900.0)
+    // clean data: huber == mean exactly (all weights 1 every round)
+    val clean = Seq(("g", 10L), ("g", 20L), ("g", 30L)).toDF("g", "v")
+    val rc = Stats.huberMean(clean, "g", "v", c = 50L, iters = 3).head()
+    assert(rc.getAs[Double]("shift") == 0.0)
+  }
 }
