@@ -471,4 +471,49 @@ object DataLayout {
         "max_part_bytes", "skew_ratio", "fits")
       .orderBy("n_parts")
   }
+
+  /** Histogram-design bake-off: quantization MSE of equal-WIDTH vs
+    * equal-FREQUENCY binning at the same bin count — measured on THIS
+    * column instead of assumed. The folk claim "equi-depth handles
+    * skew better" is about worst-case bin POPULATION (selectivity
+    * error), not value reconstruction: under L2 MSE equal-width is
+    * often the stronger quantizer even on skewed data (equi-depth
+    * spends bins where rows are dense, not where values spread —
+    * Lloyd-Max would spend them on spread). This operator settles the
+    * question per column with exact numbers, which is the point: pick
+    * the histogram by measurement. MSE uses the within-bin SSE identity
+    * Σv² − Σ S_b²/n_b — sufficient statistics only, no per-row
+    * residuals; every sum is exact and converts to double once (feed
+    * values scaled so Σv² < 2^53 — the int→double parity bound).
+    *
+    * Equal-width edges come from the global min/max (one aggregate);
+    * equal-frequency uses ntile over (v, id) — deterministic under
+    * ties. One pass per scheme; output one row per scheme. */
+  def binningMse(df: DataFrame, idCol: String, vCol: String,
+                 bins: Int): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(idCol).as("id"), col(vCol).cast("long").as("v"))
+    val mm = base.agg(min("v").as("_lo"), max("v").as("_hi"))
+    def mseOf(binned: DataFrame, name: String) = binned
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum(d38(col("v"))).as("s_b"))
+      .agg(count(lit(1)).as("n_bins_used"), sum("n_b").as("n"),
+        sum((col("s_b").cast("double") * col("s_b").cast("double") /
+          col("n_b")).cast("decimal(38,18)")).cast("double").as("_fit"))
+      .select(lit(name).as("scheme"), col("n_bins_used"), col("n"),
+        col("_fit"))
+    val svv = base.agg(sum(d38(col("v")) * col("v")).as("_svv"))
+    val ew = mseOf(base.crossJoin(broadcast(mm))
+      .withColumn("bin", least(expr(
+        s"((v - _lo) * $bins) div (_hi - _lo + 1)"), lit(bins - 1L))),
+      "equal_width")
+    val ef = mseOf(base.withColumn("bin",
+      ntile(bins).over(Window.orderBy("v", "id"))), "equal_freq")
+    ew.unionByName(ef).crossJoin(broadcast(svv))
+      .select(col("scheme"), col("n_bins_used"), col("n"),
+        round((col("_svv").cast("double") - col("_fit")) / col("n"), 6)
+          .as("mse"))
+      .orderBy("scheme")
+  }
 }

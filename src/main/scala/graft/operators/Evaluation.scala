@@ -865,4 +865,52 @@ object Evaluation {
         round(col("mse_after"), 9).as("mse_after"))
   }
 
+  /** Bootstrap confidence band for AUC via the deterministic Poisson
+    * resample (the q212 idiom: per-(row, rep) multiplicity =
+    * Binomial(8, 1/8) from the scrambled key hash — reproducible, no
+    * rand()): each replica reweights the rank-sum AUC
+    * (ties at ½, [[aucByRankSumBy]]'s doubled-integer arithmetic with
+    * WEIGHTED per-score-level positive/negative mass), and the spread
+    * of replica AUCs is the error bar a single-number AUC hides. At
+    * 100 TB every replica is the SAME one corpus pass (one extra
+    * explode ×reps of the score-LEVEL table, not the corpus), which is
+    * the entire trick — classical resampling would re-read the data
+    * `reps` times.
+    *
+    * Replica 0..reps−1 rows carry weighted (w_pos, w_neg, auc); the
+    * point estimate rides along as rep = −1 with all weights 1.
+    * Single-class replicas (possible under resampling) report NULL
+    * auc. All mass sums are exact BIGINTs; each auc is one double
+    * division. */
+  def aucBootstrap(scored: DataFrame, idCol: String, scoreCol: String,
+                   labelCol: String, reps: Int = 16): DataFrame = {
+    require(reps >= 1, "need reps >= 1")
+    val levels = scored.select(col(idCol).cast("long").as("_id"),
+        col(scoreCol).cast("long").as("_s"),
+        col(labelCol).cast("boolean").as("_l"))
+      .withColumn("rep", explode(expr(s"sequence(-1, ${reps - 1})")))
+      .withColumn("_w", when(col("rep") === -1, lit(1)).otherwise(
+        expr("size(filter(sequence(0, 7), j -> " +
+          s"${graft.operators.Stats.keyHashSql(
+            "_id * 8209 + rep * 127 + j")} % 8 = 0))")))
+      .groupBy(col("rep"), col("_s"))
+      .agg(sum(when(col("_l"), col("_w").cast("long")).otherwise(0L))
+        .as("_np"),
+        sum(when(col("_l"), 0L).otherwise(col("_w").cast("long")))
+          .as("_nn"))
+    val w = Window.partitionBy("rep").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    levels
+      .withColumn("_cum_nn", coalesce(sum("_nn").over(w), lit(0L)))
+      .groupBy("rep")
+      .agg(sum("_np").cast("long").as("w_pos"),
+        sum("_nn").cast("long").as("w_neg"),
+        sum(col("_np") * (lit(2L) * col("_cum_nn") + col("_nn")))
+          .cast("long").as("u2"))
+      .select(col("rep"), col("w_pos"), col("w_neg"),
+        round(when(col("w_pos") > 0 && col("w_neg") > 0,
+          col("u2").cast("double") /
+            (lit(2L) * col("w_pos") * col("w_neg"))), 6).as("auc"))
+      .orderBy("rep")
+  }
 }

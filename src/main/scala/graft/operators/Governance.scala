@@ -236,4 +236,56 @@ object Governance {
         round(col("n_docs_hit").cast("double") / col("n_docs"), 6))
       .orderBy("src", "p")
   }
+
+  /** Local-differential-privacy frequency estimation by k-ary
+    * randomized response (Warner 1965 / RAPPOR's direct-encoding
+    * case): each row reports its TRUE category with probability
+    * p = pNum/pDen, else a uniformly "random" category — here derived
+    * from the replayable key hash, which makes the privatization
+    * reproducible for audit while keeping the per-row report
+    * plausible-deniable w.r.t. anyone without the key column. The
+    * collector sees only `obs`; the unbiased debias is
+    * n̂_v = (obs_v − n·(1−p)/k) / p  (since P(report v | true v) =
+    * p + (1−p)/k and P(report v | true u≠v) = (1−p)/k), computed as an
+    * exact-integer numerator over one double division. `rel_err`
+    * against the ground truth measures the privacy-utility cost at
+    * THIS n — the number that says whether the mechanism's noise
+    * drowns your tail categories.
+    *
+    * Map-side report projection + one k-row aggregate; nothing about
+    * the mechanism changes at 100 TB except that rel_err shrinks as
+    * 1/√n. */
+  def ldpFrequency(df: DataFrame, idCol: String, catCol: String,
+                   categories: Seq[String], pNum: Int = 3,
+                   pDen: Int = 4): DataFrame = {
+    require(categories.nonEmpty && pNum >= 1 && pNum < pDen,
+      "need categories and 1 <= pNum < pDen")
+    val k = categories.size
+    val catArr = array(categories.map(lit): _*)
+    val h = graft.operators.Sketches.keyHash(col(idCol))
+    val h2 = graft.operators.Sketches.keyHash(col(idCol),
+      graft.plans.HashExpressions.PolyBase2)
+    val reported = when(h % pDen < pNum, col(catCol))
+      .otherwise(element_at(catArr, (pmod(h2, lit(k.toLong)) + 1)
+        .cast("int")))
+    val base = df.select(col(idCol), col(catCol), reported.as("rep"))
+    val truth = base.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("true_n"))
+    val obs = base.groupBy(col("rep").as("category"))
+      .agg(count(lit(1)).as("obs_n"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    truth.join(obs, Seq("category"), "full_outer")
+      .crossJoin(broadcast(n))
+      .withColumn("true_n", coalesce(col("true_n"), lit(0L)))
+      .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
+      .withColumn("est_n", round(
+        (col("obs_n") * lit(k.toLong) * pDen -
+          col("_n") * lit((pDen - pNum).toLong)).cast("double") /
+          (lit(k.toLong) * pNum), 6))
+      .withColumn("rel_err", round(when(col("true_n") > 0,
+        abs(col("est_n") - col("true_n").cast("double")) /
+          col("true_n")), 6))
+      .select("category", "true_n", "obs_n", "est_n", "rel_err")
+      .orderBy("category")
+  }
 }

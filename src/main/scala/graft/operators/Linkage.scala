@@ -289,4 +289,86 @@ object Linkage {
       .groupBy("sdx")
       .agg(countDistinct("w").as("n_words"),
         concat_ws(",", sort_array(collect_set("w"))).as("members"))
+
+  /** Fellegi–Sunter with EM-LEARNED parameters (the Splink/fastLink
+    * core; Winkler 1988) instead of [[fellegiSunter]]'s assumed m: the
+    * blocked pairs collapse to ≤2^K AGREEMENT-PATTERN counts (K =
+    * comparison fields), and `iters` EM rounds run on that tiny table —
+    * E-step: w(pattern) = π·Πm / (π·Πm + (1−π)·Πu); M-step: π, m_k,
+    * u_k re-estimated from w-weighted pattern counts. The corpus is
+    * touched ONCE (pattern aggregation); EM cost is independent of
+    * data size — the property that makes learned linkage viable at
+    * 100 TB.
+    *
+    * Starts are fixed literals (π=0.1, m=0.9, u=0.1); every E/M step
+    * is a fixed double expression tree over the exact pattern counts
+    * (products left-fold in field order), so `iters` rounds replay
+    * engine-identically. Returns one row per field:
+    * (field, m, u, agree_weight = m/u, pi) — agree_weight is the
+    * evidence ratio a field agreement contributes. */
+  def fellegiSunterEm(df: DataFrame, idCol: String, blockCol: String,
+                      fields: Seq[String], iters: Int = 3): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 6 && iters >= 1,
+      "need 1..6 fields and iters >= 1")
+    val k = fields.size
+    val a = df.select(col(blockCol).as("_blk") +: col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"${f}_a")): _*)
+    val b = df.select(col(blockCol).as("_blk") +: col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"${f}_b")): _*)
+    val bits = fields.zipWithIndex.map { case (f, i) =>
+      when(col(s"${f}_a") === col(s"${f}_b"), 1L).otherwise(0L).as(s"a$i")
+    }
+    val patterns = a.join(b, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(bits: _*)
+      .groupBy((0 until k).map(i => col(s"a$i")): _*)
+      .agg(count(lit(1)).as("c"))
+    // params as a 1-row frame: pi, m_0..m_{k-1}, u_0..u_{k-1}
+    val s = df.sparkSession
+    val init = s.range(1).select(lit(0.1).as("pi") +:
+      ((0 until k).map(i => lit(0.9).as(s"m$i")) ++
+        (0 until k).map(i => lit(0.1).as(s"u$i"))): _*)
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,18)")
+    val fin = (1 to iters).foldLeft(init) { (params, _) =>
+      val withW = patterns.crossJoin(broadcast(params))
+        .withColumn("pm", (0 until k).foldLeft(col("pi")) { (acc, i) =>
+          acc * when(col(s"a$i") === 1, col(s"m$i"))
+            .otherwise(lit(1.0) - col(s"m$i"))
+        })
+        .withColumn("pu", (0 until k).foldLeft(lit(1.0) - col("pi")) {
+          (acc, i) =>
+            acc * when(col(s"a$i") === 1, col(s"u$i"))
+              .otherwise(lit(1.0) - col(s"u$i"))
+        })
+        .withColumn("w", col("pm") / (col("pm") + col("pu")))
+      val aggs =
+        sum(d18(col("w") * col("c"))).cast("double").as("_wc") +:
+          sum(d18((lit(1.0) - col("w")) * col("c"))).cast("double")
+            .as("_vc") +:
+          sum(d18(col("c"))).cast("double").as("_c") +:
+          ((0 until k).map(i =>
+            sum(d18(col("w") * col("c") * col(s"a$i"))).cast("double")
+              .as(s"_wa$i")) ++
+            (0 until k).map(i =>
+              sum(d18((lit(1.0) - col("w")) * col("c") * col(s"a$i")))
+                .cast("double").as(s"_va$i")))
+      withW.agg(aggs.head, aggs.tail: _*)
+        .select((col("_wc") / col("_c")).as("pi") +:
+          ((0 until k).map(i => (col(s"_wa$i") / col("_wc")).as(s"m$i")) ++
+            (0 until k).map(i =>
+              (col(s"_va$i") / col("_vc")).as(s"u$i"))): _*)
+    }
+    import s.implicits._
+    val names = fields.zipWithIndex.toDF("field", "i")
+    names.crossJoin(broadcast(fin))
+      .withColumn("m", (0 until k).map(i =>
+        when(col("i") === i, col(s"m$i"))).reduceRight(_ otherwise _))
+      .withColumn("u", (0 until k).map(i =>
+        when(col("i") === i, col(s"u$i"))).reduceRight(_ otherwise _))
+      .select(col("field"), round(col("m"), 6).as("m"),
+        round(col("u"), 6).as("u"),
+        round(col("m") / col("u"), 6).as("agree_weight"),
+        round(col("pi"), 6).as("pi"))
+      .orderBy("field")
+  }
 }

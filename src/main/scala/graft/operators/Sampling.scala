@@ -616,4 +616,53 @@ object Sampling {
           abs(col("ht_estimate") - col("n_full").cast("double")) /
             col("n_full")), 6))
   }
+
+  /** Approximate-query-processing audit: per group, the mean of an
+    * integer metric estimated from a `keep/modulus` hash sample with
+    * its CLT 95% interval, against the full-scan truth — with a
+    * `covered` verdict per group. This is the evidence table behind
+    * "run the dashboard on 1% of 100 TB": the audit runs once to
+    * certify the error model, the sampled estimator then serves every
+    * subsequent query at `keep/modulus` of the cost. The hash sample
+    * is deterministic and replayable (no rand()), so two engines — or
+    * two days — agree on WHICH rows the sample contains.
+    *
+    * se = s/√n with s the sample sd (n−1); interval = est ± 1.96·se.
+    * Sufficient statistics (n, Σv, Σv²) accumulate exactly per group
+    * on both the full and sampled side; every derived number is one
+    * fixed double tree (sqrt is correctly rounded in both engines).
+    * Groups whose sample has < 2 rows report NULL se and NULL
+    * coverage. One pass computes BOTH sides (conditional aggregates),
+    * so the audit costs a single scan. */
+  def aqpAudit(df: DataFrame, groupCol: String, keyCol: String,
+               vCol: String, modulus: Int, keep: Int): DataFrame = {
+    require(modulus >= 2 && keep >= 1 && keep < modulus,
+      "need 1 <= keep < modulus")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val inS = Sketches.keyHash(col(keyCol)) % modulus < keep
+    val agg = df.select(col(groupCol).as("g"),
+        col(vCol).cast("long").as("v"), inS.as("s"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(d38(col("v"))).as("_sv"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("s"), d38(col("v"))).otherwise(d38(lit(0L))))
+          .as("_ssv"),
+        sum(when(col("s"), d38(col("v")) * col("v"))
+          .otherwise(d38(lit(0L)))).as("_ssvv"))
+    val est = col("_ssv").cast("double") / col("n_sample")
+    val svar = (col("_ssvv").cast("double") -
+      col("_ssv").cast("double") * col("_ssv").cast("double") /
+        col("n_sample")) / (col("n_sample") - 1)
+    val se = sqrt(svar / col("n_sample"))
+    agg
+      .withColumn("true_mean", col("_sv").cast("double") / col("n"))
+      .withColumn("est_mean", est)
+      .withColumn("se", when(col("n_sample") >= 2, se))
+      .withColumn("covered", when(col("n_sample") >= 2,
+        abs(col("true_mean") - col("est_mean")) <= lit(1.96) * col("se")))
+      .select(col("g").as(groupCol), col("n"), col("n_sample"),
+        round(col("true_mean"), 6).as("true_mean"),
+        round(col("est_mean"), 6).as("est_mean"),
+        round(col("se"), 6).as("se"), col("covered"))
+  }
 }

@@ -709,7 +709,7 @@ object Stats {
     * rounds mod 2^31−1) over an integer SQL expression — inlined so HOF
     * lambdas can use it (they cannot reference outer columns twice via
     * CTE steps). Mirrored by the DuckDB oracle's replay. */
-  private def keyHashSql(k: String): String = {
+  private[operators] def keyHashSql(k: String): String = {
     val p = 2147483647L
     val mix = graft.plans.HashExpressions.Mix
     val b = graft.plans.HashExpressions.PolyBase1

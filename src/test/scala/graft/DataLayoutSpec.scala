@@ -221,4 +221,22 @@ class DataLayoutSpec extends SparkSpec {
     assert(out(50)._2 >= 900L) // hot key floor
     assert(!out(50)._3) // 900 > 500 budget: even 50 partitions can't fit
   }
+
+  test("binningMse: exact hand-computed MSE; uniform data ties the schemes") {
+    import spark.implicits._
+    // uniform 0..63, 8 bins: both schemes cut identical 8-value bins;
+    // per-bin SSE of 0..7 is 42 → mse = 42/8 = 5.25
+    val uni = (0L until 64L).map(i => (i, i)).toDF("id", "v")
+    val u = graft.operators.DataLayout.binningMse(uni, "id", "v", 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mse")).toMap
+    assert(u("equal_freq") == 5.25 && u("equal_width") == 5.25)
+    // two tight clusters: equal-width isolates them (near-zero MSE)
+    // while equal-freq mixes cluster edges into shared bins — the
+    // measured verdict the "equi-depth handles skew" folklore misses
+    val rows = ((1L to 90L).map(i => (i, i % 10)) ++
+      (91L to 100L).map(i => (i, 1000L + i))).toDF("id", "v")
+    val out = graft.operators.DataLayout.binningMse(rows, "id", "v", 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("mse")).toMap
+    assert(out("equal_width") < out("equal_freq"))
+  }
 }

@@ -206,4 +206,21 @@ class GovernanceSpec extends SparkSpec {
     assert(out(1) == ((1, "a", 2L, 1L, 1L, 0.25, false)))
     assert(out(2) == ((2, "(all)", 1L, 4L, 0L, 0.0, true)))
   }
+
+  test("ldpFrequency: debias recovers totals; estimates sum to n") {
+    import spark.implicits._
+    val cats = Seq("a", "b", "c")
+    val rows = (1L to 300L).map(i => (i, cats((i % 3).toInt)))
+      .toDF("id", "cat")
+    val out = graft.operators.Governance
+      .ldpFrequency(rows, "id", "cat", cats, pNum = 3, pDen = 4)
+      .collect()
+    // invariant: sum of debiased estimates == n exactly
+    // (Σobs = n and Σ(obs·k·pDen − n(pDen−pNum)) = n·k·pNum)
+    assert(math.abs(out.map(_.getAs[Double]("est_n")).sum - 300.0) < 1e-6)
+    assert(out.map(_.getAs[Long]("obs_n")).sum == 300L)
+    // each category roughly recovered (100 each, noise bounded)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("est_n") - 100.0) < 40.0) }
+  }
 }

