@@ -516,4 +516,81 @@ object DataLayout {
           .as("mse"))
       .orderBy("scheme")
   }
+
+  /** V-optimal histogram (Jagadish et al., VLDB'98) SSE curve: for each
+    * bucket budget b = 1..maxB, the minimum total within-bucket SSE
+    * achievable by merging `nBins` equal-width base bins into b
+    * contiguous buckets (classic interval DP over prefix sufficient
+    * statistics), next to the plain equal-width-b SSE — "how much error
+    * does the optimizer's histogram budget actually buy". Complements
+    * [[binningMse]], which bakes off two FIXED schemes.
+    *
+    * Scale shape: ONE scan builds the nBins-row (cnt, sum v, sum v^2)
+    * table; prefix sums, the O(nBins^2) interval-SSE table and the DP
+    * itself are all tiny broadcast frames — the DP never sees data.
+    * Parity: counts and Sigma v / Sigma v^2 are exact BIGINTs (callers
+    * pre-scale v so Sigma v^2 < 2^53 — the int->double bound); each
+    * interval SSE is the identical double tree ss - s*s/n on both
+    * engines; DP combines them with + and min only, both
+    * order-independent. */
+  def vOptimalCurve(df: DataFrame, idCol: String, vCol: String,
+                    nBins: Int = 48, maxB: Int = 6): DataFrame = {
+    require(nBins >= maxB && maxB >= 1, "need nBins >= maxB >= 1")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = df.select(col(vCol).cast("long").as("v"))
+    val mm = base.agg(min("v").as("_lo"), max("v").as("_hi"))
+    val binned = base.crossJoin(broadcast(mm))
+      .withColumn("bin", least(expr(
+        s"((v - _lo) * $nBins) div (_hi - _lo + 1)"), lit(nBins - 1L)))
+    val stats = binned.groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum(d38(col("v"))).cast("long").as("sb"),
+        sum(d38(col("v")) * col("v")).cast("long").as("ssb"))
+    // re-index the non-empty bins 1..m_bins; DP runs over that sequence
+    val w = Window.orderBy("bin")
+    val pfx = stats
+      .withColumn("i", row_number().over(w))
+      .withColumn("cn", sum("nb").over(w))
+      .withColumn("cs", sum("sb").over(w))
+      .withColumn("css", sum("ssb").over(w))
+      .select("bin", "i", "cn", "cs", "css", "nb")
+    val zero = pfx.sparkSession.range(1).select(lit(0).as("i"),
+      lit(0L).as("cn"), lit(0L).as("cs"), lit(0L).as("css"))
+    val pfx0 = pfx.select("i", "cn", "cs", "css").unionByName(zero)
+    // interval SSE for every 0 <= j < i
+    val sse = pfx0.as("a").join(pfx0.as("b"), col("a.i") < col("b.i"))
+      .select(col("a.i").as("j"), col("b.i").as("i"),
+        (col("b.cn") - col("a.cn")).as("n"),
+        (dd(col("b.css") - col("a.css")) -
+          dd(col("b.cs") - col("a.cs")) * dd(col("b.cs") - col("a.cs")) /
+            (col("b.cn") - col("a.cn"))).as("sse"))
+    val mRow = pfx.agg(max("i").as("_m"), sum("nb").as("_n"))
+    val e1 = sse.filter(col("j") === 0).select(col("i"), col("sse").as("cost"))
+    val curves = (1 to maxB).scanLeft(e1) { (prev, _) =>
+      prev.as("p").join(sse.as("s"), col("p.i") === col("s.j"))
+        .groupBy(col("s.i").as("i"))
+        .agg(min(col("p.cost") + col("s.sse")).as("cost"))
+    }.take(maxB)
+    // equal-width with b buckets over the ORIGINAL bin index
+    def ewSse(b: Int) = stats
+      .withColumn("bk", expr(s"(bin * $b) div $nBins"))
+      .groupBy("bk").agg(sum("nb").as("n"), sum("sb").as("s2"),
+        sum("ssb").as("ss2"))
+      .agg(sum((dd(col("ss2")) - dd(col("s2")) * dd(col("s2")) / col("n"))
+        .cast("decimal(38,18)")).cast("double").as("ew_sse"))
+    val rows = curves.zipWithIndex.map { case (eb, idx) =>
+      val b = idx + 1
+      eb.crossJoin(broadcast(mRow)).filter(col("i") === col("_m"))
+        .crossJoin(broadcast(ewSse(b)))
+        .select(lit(b).as("n_buckets"), col("cost").as("_v"),
+          col("ew_sse").as("_e"), col("_n"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("n_buckets"),
+        round(col("_v") / col("_n"), 6).as("vopt_mse"),
+        round(col("_e") / col("_n"), 6).as("equal_width_mse"),
+        round(when(col("_e") > 0,
+          (col("_e") - col("_v")) / col("_e") * 100), 6).as("savings_pct"))
+      .orderBy("n_buckets")
+  }
 }

@@ -616,4 +616,67 @@ object Profiling {
           .as("q_error"))
       .orderBy("threshold")
   }
+
+  /** Enumerate every left-deep cross-product-free join order over a
+    * CHAIN of relations (connected prefixes of a path graph are
+    * intervals, so a plan is a growth path of intervals: pick a start
+    * relation, then extend left or right each step — 2^(n-1) plans
+    * shared across C(n-1,k) interval reuses), cost each with the classic
+    * Selinger objective Sigma |intermediate result| using MEASURED
+    * cardinalities, and rank them. The deliverable is the optimizer
+    * story in numbers: how much a bad join order costs on THIS data
+    * (start from the fact table and every intermediate is fact-sized;
+    * start from the dim chain and intermediates stay dim-sized).
+    *
+    * Each interval cardinality is one real join-count (n*(n+1)/2 - n of
+    * them); the enumeration and costing run over literal frames. At
+    * 100 TB you'd feed estimated cards instead — the operator shape is
+    * identical. */
+  /** All left-deep cross-product-free join orders over a chain of
+    * relations, flattened to (plan label, interval lo, interval hi)
+    * rows — one row per intermediate interval (length >= 2) the plan
+    * materializes. Shared by [[joinOrderAudit]] and its oracle so both
+    * sides enumerate identically. */
+  def chainPlans(names: Seq[String]): Seq[(String, Int, Int)] = {
+    val n = names.size
+    def grow(lo: Int, hi: Int, label: String): Seq[(String, Seq[(Int, Int)])] =
+      if (lo == 0 && hi == n - 1) Seq((label, Nil))
+      else {
+        val left = if (lo > 0)
+          grow(lo - 1, hi, label + ">" + names(lo - 1))
+            .map { case (l, ivs) => (l, (lo - 1, hi) +: ivs) }
+        else Nil
+        val right = if (hi < n - 1)
+          grow(lo, hi + 1, label + ">" + names(hi + 1))
+            .map { case (l, ivs) => (l, (lo, hi + 1) +: ivs) }
+        else Nil
+        left ++ right
+      }
+    (0 until n).flatMap(i => grow(i, i, names(i)))
+      .flatMap { case (label, ivs) => ivs.map(iv => (label, iv._1, iv._2)) }
+  }
+
+  def joinOrderAudit(rels: Seq[(String, DataFrame)],
+                     conds: Seq[(String, String)]): DataFrame = {
+    val n = rels.size
+    require(n >= 2 && conds.size == n - 1, "need a chain")
+    val spark = rels.head._2.sparkSession
+    import spark.implicits._
+    // measured cardinality of every contiguous interval of length >= 2
+    val cards = (for { lo <- 0 until n; hi <- lo + 1 until n } yield {
+      val joined = (lo + 1 to hi).foldLeft(rels(lo)._2) { (df, m) =>
+        df.join(rels(m)._2, col(conds(m - 1)._1) === col(conds(m - 1)._2))
+      }
+      joined.agg(count(lit(1)).as("card"))
+        .select(lit(lo).as("lo"), lit(hi).as("hi"), col("card"))
+    }).reduce(_ unionByName _)
+    val planDf = chainPlans(rels.map(_._1)).toDF("plan", "lo", "hi")
+    planDf.join(broadcast(cards), Seq("lo", "hi"))
+      .groupBy("plan").agg(sum("card").as("cost"))
+      .withColumn("cost_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cost"), col("plan"))))
+      .select("cost_rank", "plan", "cost")
+      .orderBy("cost_rank")
+  }
 }

@@ -344,6 +344,67 @@ object EventStreams {
       .select(col("n_sessions"), col("peak_concurrent"), col("peak_at"))
   }
 
+  /** Per-day Little's-law decomposition over a session table: arrivals
+    * lambda (sessions started per hour), mean session duration W, and
+    * time-average concurrency L = busy-time / day-length, where busy-time
+    * sums each session's overlap with the day (sessions spanning
+    * midnight explode over the days they touch, clipped). Little's law
+    * says L = lambda*W on a long window; `little_gap` = L - lambda*W is
+    * the measured finite-horizon edge effect — near 0 on days whose
+    * sessions don't straddle the boundary, the honest audit of whether
+    * your capacity math can use the identity. Also reports the per-day
+    * PEAK concurrency from a +1/-1 sweep (starts order before ends at an
+    * equal instant), the connection-pool number [[concurrencyPeak]]
+    * reports globally.
+    *
+    * All durations are exact integer microseconds; the sweep window is
+    * partitioned by day, so at 100 TB each day's boundary list sorts
+    * independently — no global window. */
+  def littlesLawAudit(sessions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c)
+    val days = sessions
+      .select(col("session_start").as("st"), col("session_end").as("en"))
+      .withColumn("day",
+        explode(sequence(to_date(col("st")), to_date(col("en")))))
+      .withColumn("dstart", col("day").cast("timestamp"))
+      .withColumn("dend",
+        timestamp_micros(us(col("dstart")) + 86400000000L))
+      .withColumn("cst", greatest(col("st"), col("dstart")))
+      .withColumn("cen", least(col("en"), col("dend")))
+    val busy = days.groupBy("day")
+      .agg(sum(us(col("cen")) - us(col("cst"))).as("busy_us"))
+    val peaks = days
+      .select(col("day"), col("cst").as("ts"), lit(1).as("d"))
+      .unionByName(days.select(col("day"), col("cen").as("ts"),
+        lit(-1).as("d")))
+      .withColumn("c", sum("d").over(Window.partitionBy("day")
+        .orderBy(col("ts"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day").agg(max("c").as("peak_concurrent"))
+    val arrivals = sessions
+      .groupBy(to_date(col("session_start")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(us(col("session_end")) - us(col("session_start")))
+          .as("_dur_us"))
+    busy.join(peaks, Seq("day"))
+      .join(arrivals, Seq("day"), "left")
+      .withColumn("n_sessions", coalesce(col("n_sessions"), lit(0L)))
+      .withColumn("_dur_us", coalesce(col("_dur_us"), lit(0L)))
+      .withColumn("l_avg",
+        round(col("busy_us").cast("double") / 86400000000.0, 6))
+      .withColumn("w_mean_s", round(when(col("n_sessions") > 0,
+        col("_dur_us").cast("double") / col("n_sessions") / 1000000.0), 6))
+      .withColumn("lambda_per_hr",
+        round(col("n_sessions").cast("double") / 24.0, 6))
+      .withColumn("little_gap", round(
+        (col("busy_us") - col("_dur_us")).cast("double") / 86400000000.0,
+        6))
+      .select("day", "n_sessions", "busy_us", "peak_concurrent", "l_avg",
+        "w_mean_s", "lambda_per_hr", "little_gap")
+      .orderBy("day")
+  }
+
   /** Watermark-delay sizing audit: replay the log in ARRIVAL order
     * (`event_id` — the ingest sequence), track the running max event
     * time, and for each candidate watermark delay report how many events
