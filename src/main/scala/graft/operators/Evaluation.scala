@@ -913,4 +913,57 @@ object Evaluation {
             (lit(2L) * col("w_pos") * col("w_neg"))), 6).as("auc"))
       .orderBy("rep")
   }
+
+  /** Pair-counting clustering agreement against a ground-truth partition
+    * (Rand 1971; Hubert & Arabie 1985's adjusted index in the pair
+    * form): every unordered item pair is classified TP/FP/FN/TN by
+    * (same predicted cluster?, same truth group?), and precision /
+    * recall / F1 / Rand / ARI come out as single double divisions of
+    * exact BIGINT pair counts. B-cubed is avoided on purpose — its
+    * per-item ratio average is an order-dependent double sum; the pair
+    * form stays integer-exact until the final division.
+    *
+    * Shape: ONE hash aggregate to the (pred, truth) contingency cells,
+    * then marginal rollups of the cell table (bounded by cluster count,
+    * not item count). BIGINT-safety: tp·tn-style products must fit
+    * int64, which holds through ~10⁶ items (pair counts ~5·10¹¹,
+    * products ~10¹⁷); past that, feed a group-stratified sample — every
+    * output is a ratio. Returns ONE row:
+    * (n_items, tp, fp, fn, tn, precision, recall, f1, rand_index, ari). */
+  def clusterPairMetrics(assign: DataFrame, predCol: String,
+                         truthCol: String): DataFrame = {
+    // n·(n−1) is even and < 2^53 at the documented scale, so the double
+    // division by 2 is exact and the cast back to long lossless
+    val pairsOf = (c: Column) => (c * (c - lit(1L)) / lit(2L)).cast("long")
+    val cells = assign
+      .groupBy(col(predCol).as("p"), col(truthCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+    val both = cells.agg(sum(pairsOf(col("n"))).as("same_both"),
+      sum("n").cast("long").as("n_items"))
+    val byP = cells.groupBy("p").agg(sum("n").as("np"))
+      .agg(sum(pairsOf(col("np"))).as("same_pred"))
+    val byT = cells.groupBy("t").agg(sum("n").as("nt"))
+      .agg(sum(pairsOf(col("nt"))).as("same_truth"))
+    both.crossJoin(byP).crossJoin(byT)
+      .withColumn("all_pairs", pairsOf(col("n_items")))
+      .withColumn("tp", col("same_both"))
+      .withColumn("fp", col("same_pred") - col("same_both"))
+      .withColumn("fn", col("same_truth") - col("same_both"))
+      .withColumn("tn", col("all_pairs") - col("same_pred") -
+        col("same_truth") + col("same_both"))
+      .select(col("n_items"), col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        (lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        ((col("tp") + col("tn")).cast("double") / col("all_pairs"))
+          .as("rand_index"),
+        when((col("tp") + col("fn")) * (col("fn") + col("tn")) +
+            (col("tp") + col("fp")) * (col("fp") + col("tn")) =!= 0L,
+          lit(2.0) * (col("tp") * col("tn") - col("fn") * col("fp")) /
+            ((col("tp") + col("fn")) * (col("fn") + col("tn")) +
+              (col("tp") + col("fp")) * (col("fp") + col("tn"))))
+          .as("ari"))
+  }
 }

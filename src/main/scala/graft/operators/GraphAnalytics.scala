@@ -958,4 +958,34 @@ object GraphAnalytics {
     }
     seeds.map(one).reduce(_ unionByName _).orderBy("source")
   }
+
+  /** Single-source shortest paths with nonnegative INTEGER edge weights
+    * by `rounds` synchronous Bellman-Ford relaxations (Bellman 1958).
+    * Dijkstra's priority queue is inherently sequential; the
+    * round-synchronous relax is the Pregel form — one join + one
+    * min-aggregate (2 shuffles) per round, `rounds` bounds the hop
+    * length of any improving path exactly like the BFS oracles' bounded
+    * walks. Distances are exact BIGINTs, so the replay is
+    * engine-independent (no float path-sum ordering hazards).
+    * `localCheckpoint` truncates the per-round lineage doubling (the
+    * q136 PageRank lesson). Returns (node, min_cost) for every node
+    * reachable within `rounds` hops of `sourceId`. */
+  def bellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+                  wCol: String, sourceId: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w")).cache()
+    var dist = spark.range(1).select(lit(sourceId).as("node"),
+      lit(0L).as("cost"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist.union(relaxed).groupBy("node")
+        .agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist.select(col("node"), col("cost").as("min_cost"))
+  }
 }

@@ -679,4 +679,32 @@ object Profiling {
       .select("cost_rank", "plan", "cost")
       .orderBy("cost_rank")
   }
+
+  /** 2-D Pareto skyline (Börzsönyi et al. 2001, "The Skyline Operator")
+    * per group, for MINIMIZE `costCol` / MAXIMIZE `gainCol`: a point is
+    * on the frontier iff no same-group point is ≥ in gain and ≤ in cost
+    * with at least one strict inequality.
+    *
+    * Scale shape: the corpus collapses FIRST to the per-(group, gain
+    * level) minimum cost — one hash aggregate with map-side partials,
+    * output bounded by the level grid, never the corpus — and the
+    * frontier test is then a running-min window over STRICTLY larger
+    * gain levels inside each group. The textbook block-nested-loop
+    * skyline is an O(n²) dominance self-join and unshippable at 100 TB;
+    * in 2-D the frontier is exactly the strictly-decreasing envelope of
+    * the level table, so the whole operator is aggregate + window over
+    * levels. Returns (group, gain, min_cost) frontier levels. */
+  def paretoSkyline2D(df: DataFrame, groupCol: String, gainCol: Column,
+                      costCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("gain").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.groupBy(col(groupCol), gainCol.as("gain"))
+      .agg(min(costCol).as("min_cost"))
+      .withColumn("_best_above", min("min_cost").over(w))
+      .filter(col("_best_above").isNull ||
+        col("min_cost") < col("_best_above"))
+      .drop("_best_above")
+  }
 }

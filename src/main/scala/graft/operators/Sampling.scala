@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling — the reproducibility-critical piece of a
@@ -664,5 +664,61 @@ object Sampling {
         round(col("true_mean"), 6).as("true_mean"),
         round(col("est_mean"), 6).as("est_mean"),
         round(col("se"), 6).as("se"), col("covered"))
+  }
+
+  /** Greedy set cover (Johnson 1974; the (1+ln n)-approximation) over a
+    * (set, element) membership table: `rounds` rounds, each picking the
+    * set that covers the most still-uncovered elements (ties → smallest
+    * set id in its natural ordering). The corpus-curation question this
+    * answers: "which sources buy the most NEW vocabulary/capability per
+    * round" — the selection curve behind coverage-driven source
+    * acquisition. Rounds with no remaining candidate (every set fully
+    * covered) emit nothing.
+    *
+    * Scale shape: membership collapses to DISTINCT (set, element) once
+    * and is cached; each round is one anti-join against the covered
+    * frame + one aggregate + a 1-ROW argmax collect. The covered frame
+    * is bounded by the UNIVERSE, which the caller bounds (e.g. top-K
+    * vocabulary), never by the corpus; the loop is a bounded driver
+    * iteration like the k-means/IPF rounds, not a per-row collect.
+    * Returns (round, set, gain, cum_covered, coverage). */
+  def greedySetCover(members: DataFrame, setCol: String, elemCol: String,
+                     rounds: Int): DataFrame = {
+    val spark = members.sparkSession
+    val st = members.select(col(setCol).as("s"), col(elemCol).as("e"))
+      .distinct().cache()
+    val universe = st.select("e").distinct().count()
+    var covered = st.select("e").limit(0).cache()
+    val picked = collection.mutable.ArrayBuffer[Row]()
+    for (r <- 1 to rounds) {
+      val gains = st.join(covered, Seq("e"), "left_anti")
+        .groupBy("s").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("s")).limit(1).collect()
+      if (gains.nonEmpty) {
+        val best = gains.head
+        val nextCovered = covered
+          .union(st.filter(col("s") === lit(best.get(0))).select("e"))
+          .distinct().cache()
+        covered.unpersist()
+        covered = nextCovered
+        val cum = covered.count()
+        picked += Row(r, best.get(0).toString, best.getLong(1), cum,
+          cum.toDouble / universe)
+      }
+    }
+    st.unpersist(); covered.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picked.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("set",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("gain",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cum_covered",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("coverage",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 }

@@ -3141,4 +3141,56 @@ object Stats {
       round(col("m"), 6).as("huber_m"),
       round(col("m") - col("mean"), 6).as("shift"))
   }
+
+  /** K-fold cross-validated ridge sweep for the no-intercept 1-feature
+    * model y ≈ βx, closed form β̂_λ = Σxy / (Σx² + λ). Per (λ, fold), β
+    * fits on the COMPLEMENT's exact integer sums (train = total − fold;
+    * no second scan) and scores the held-out fold through the SSE
+    * identity Σ(y−βx)² = Σy² − 2βΣxy + β²Σx² — one aggregate over the
+    * data to per-fold BIGINT sufficient statistics, then all (λ, fold)
+    * arithmetic on the K-row frame. The caller keeps Σy² inside int64
+    * by unit-scaling y (NOTES parity rule: exact sums that later
+    * convert to double must fit BIGINT, not hugeint).
+    *
+    * `cv_mse` is attached per λ from a FIXED-ORDER sum of the K fold
+    * SSEs (conditional pivot fold0+fold1+…, not a float aggregate), so
+    * the double replays across engines. Returns one row per (λ, fold):
+    * (lambda, fold, n_fold, beta, fold_mse, cv_mse) with beta at 9 dp
+    * and the MSEs at 2 dp — MSE magnitude here is ~10⁹, where a 6-dp
+    * round sits BELOW the double's ulp (≈5·10⁻⁷) and the two engines'
+    * round() implementations disagree on the sub-ulp digits; 2 dp is
+    * comfortably above the ulp (measured: a 1-ulp cv_mse mismatch at
+    * 6 dp on sf0.001). */
+  def ridgeCv(df: DataFrame, xCol: Column, yCol: Column, foldCol: Column,
+              nFolds: Int, lambdas: Seq[Long]): DataFrame = {
+    val per = df.select(xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"), foldCol.cast("int").as("fold"))
+      .groupBy("fold").agg(count(lit(1)).as("n"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val tot = per.agg(sum("n").as("tn"), sum("sxx").as("tsxx"),
+      sum("sxy").as("tsxy"), sum("syy").as("tsyy"))
+    val scored = per.crossJoin(broadcast(tot))
+      .select(col("*"),
+        explode(array(lambdas.map(lit(_)): _*)).as("lambda"))
+      .withColumn("beta", (col("tsxy") - col("sxy")).cast("double") /
+        (col("tsxx") - col("sxx") + col("lambda")).cast("double"))
+      .withColumn("sse", col("syy").cast("double") -
+        lit(2.0) * col("beta") * col("sxy") +
+        col("beta") * col("beta") * col("sxx"))
+    val folds = 0 until nFolds
+    val cvCols = folds.map(k =>
+      max(when(col("fold") === k, col("sse"))).as(s"_s$k"))
+    val cv = scored.groupBy("lambda")
+      .agg(cvCols.head, cvCols.tail: _*)
+      .withColumn("cv_sse",
+        folds.map(k => col(s"_s$k")).reduce(_ + _))
+      .select(col("lambda"), col("cv_sse"))
+    scored.join(cv, Seq("lambda"))
+      .select(col("lambda"), col("fold"), col("n").as("n_fold"),
+        round(col("beta"), 9).as("beta"),
+        round(col("sse") / col("n"), 2).as("fold_mse"),
+        round(col("cv_sse") / col("tn"), 2).as("cv_mse"))
+  }
 }

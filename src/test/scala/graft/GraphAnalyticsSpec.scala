@@ -384,4 +384,18 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(capped.getAs[Long]("n_reached") == 1L &&
       capped.getAs[Double]("harmonic") == 1.0)
   }
+
+  test("bellmanFord: weighted paths beat hop-shortest; rounds bound hops") {
+    // 0→1 costs 5 direct but 2 via 0→2→1; 3 is cheapest via 3 hops
+    val e = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L),
+      (2L, 3L, 10L)).toDF("src", "dst", "w")
+    val d4 = GraphAnalytics.bellmanFord(e, "src", "dst", "w", 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d4 == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 3L))
+    // one round only relaxes one hop: node 1 still at the direct cost,
+    // node 3 unreached
+    val d1 = GraphAnalytics.bellmanFord(e, "src", "dst", "w", 0L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(0L -> 0L, 1L -> 5L, 2L -> 1L))
+  }
 }

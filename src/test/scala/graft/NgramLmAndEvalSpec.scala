@@ -645,4 +645,25 @@ class NgramLmAndEvalSpec extends SparkSpec {
     }
     assert(out.length == 9)
   }
+
+  test("clusterPairMetrics: hand-counted pair table; perfect = ARI 1") {
+    // truth {a,b | c,d}, pred {a,b,c | d}: pairs ab=TP, ac/bc=FP,
+    // cd=FN, ad/bd=TN
+    val assign = Seq(("a", "X", 1), ("b", "X", 1), ("c", "X", 2),
+      ("d", "Y", 2)).toDF("item", "pred", "truth")
+    val r = Evaluation.clusterPairMetrics(assign, "pred", "truth").head()
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Long]("tp") == 1L && r.getAs[Long]("fp") == 2L &&
+      r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 2L)
+    assert(r.getAs[Double]("precision") == 1.0 / 3)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 0.4)
+    assert(r.getAs[Double]("rand_index") == 0.5)
+    // this configuration is exactly chance level: ARI = 0
+    assert(r.getAs[Double]("ari") == 0.0)
+    // pred == truth: everything perfect
+    val same = Seq(("a", 1, 1), ("b", 1, 1), ("c", 2, 2)).toDF("i", "pred", "truth")
+    val p = Evaluation.clusterPairMetrics(same, "pred", "truth").head()
+    assert(p.getAs[Double]("f1") == 1.0 && p.getAs[Double]("ari") == 1.0)
+  }
 }

@@ -301,4 +301,23 @@ class ProfilingSpec extends SparkSpec {
     // localization narrows: leaf rows ≤ mid rows < table size
     assert(d("3_leaf")._3 <= d("2_mid")._3 && d("2_mid")._3 < 100L)
   }
+
+  test("paretoSkyline2D: frontier is the strict envelope; ties dominate") {
+    // (gain, cost) in one group: frontier must be strictly decreasing in
+    // cost as gain rises, and an equal-cost point at HIGHER gain
+    // dominates the lower-gain one (the <= rule)
+    val pts = Seq(("g", 1, 10L), ("g", 2, 8L), ("g", 2, 12L),
+      ("g", 3, 9L), ("g", 4, 15L), ("g", 5, 15L)).toDF("grp", "gain", "cost")
+    val sky = Profiling.paretoSkyline2D(pts, "grp", col("gain"), col("cost"))
+      .orderBy("gain")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // gain 4 (cost 15) is dominated by gain 5 at equal cost;
+    // gain 1 (cost 10) is dominated by gain 2 at cost 8
+    assert(sky.toSeq == Seq((2, 8L), (3, 9L), (5, 15L)))
+    // per-group independence: a second group keeps its own frontier
+    val two = pts.union(Seq(("h", 1, 1L)).toDF("grp", "gain", "cost"))
+    val h = Profiling.paretoSkyline2D(two, "grp", col("gain"), col("cost"))
+      .filter(col("grp") === "h").collect()
+    assert(h.length == 1 && h.head.getLong(2) == 1L)
+  }
 }

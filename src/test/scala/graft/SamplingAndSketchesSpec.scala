@@ -516,4 +516,21 @@ class SamplingAndSketchesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("covered"))
     assert(r.getAs[Double]("true_mean") == 505.0)
   }
+
+  test("greedySetCover: picks by marginal gain, stops when covered, ties asc") {
+    val members = Seq(("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "c"), ("s2", "d"), ("s3", "d"), ("s3", "e"))
+      .toDF("set", "elem")
+    val out = Sampling.greedySetCover(members, "set", "elem", rounds = 6)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // round 1: s1 (3 new); round 2: s3 beats s2 (2 new vs 1); then the
+    // universe is covered and NO further rows appear despite rounds = 6
+    assert(out.toSeq == Seq((1, "s1", 3L, 3L), (2, "s3", 2L, 5L)))
+    // gain tie → lexicographically smaller set id
+    val tie = Seq(("B", "x"), ("B", "y"), ("A", "x"), ("A", "y"))
+      .toDF("set", "elem")
+    val t = Sampling.greedySetCover(tie, "set", "elem", rounds = 2).head()
+    assert(t.getString(1) == "A" && t.getDouble(4) == 1.0)
+  }
 }

@@ -1171,4 +1171,22 @@ class StatsSpec extends SparkSpec {
     val rc = Stats.huberMean(clean, "g", "v", c = 50L, iters = 3).head()
     assert(rc.getAs[Double]("shift") == 0.0)
   }
+
+  test("ridgeCv: exact-fit data gives beta 2 and zero MSE at lambda 0; " +
+    "shrinkage costs MSE") {
+    val df = Seq((1L, 2L, 0), (2L, 4L, 1), (3L, 6L, 0), (4L, 8L, 1))
+      .toDF("x", "y", "fold")
+    val out = Stats.ridgeCv(df, col("x"), col("y"), col("fold"),
+        nFolds = 2, lambdas = Seq(0L, 1000L))
+      .orderBy("lambda", "fold").collect()
+    assert(out.length == 4)
+    val l0 = out.take(2)
+    assert(l0.forall(_.getAs[Double]("beta") == 2.0))
+    assert(l0.forall(_.getAs[Double]("fold_mse") == 0.0))
+    assert(l0.forall(_.getAs[Double]("cv_mse") == 0.0))
+    // lambda shrinks beta below 2 and buys positive held-out error
+    val l1 = out.drop(2)
+    assert(l1.forall(_.getAs[Double]("beta") < 2.0))
+    assert(l1.forall(_.getAs[Double]("cv_mse") > 0.0))
+  }
 }
