@@ -27,7 +27,12 @@ object Bench {
             System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
             -1L
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release anything a query cached: over 4 passes × 500+ queries
+        // in one JVM, leaked cache entries pile into storage memory and
+        // drift every later query's time (the r5→r6 +0.05-0.3 s smear)
+        spark.catalog.clearCache()
+        name -> dt
       }
     // dry pass at the smallest SF first: compiles most generated classes
     // and JITs operator hot paths, so the timed pass measures the engine
@@ -82,6 +87,12 @@ object Bench {
       s""""n_queries":${results.size},"steady_total":${fmt(steadyTotal)},""" +
       s""""load_avg":${fmt(load)},"cpus":$ncpu,""" +
       s""""top":${top20(results)},"steady_top":${top20(steady)}}""")
+    // leak audit: after clearCache + GC (ContextCleaner drains
+    // localCheckpoint blocks), nothing should remain pinned
+    spark.catalog.clearCache()
+    System.gc(); Thread.sleep(500)
+    val residual = spark.sparkContext.getPersistentRDDs.size
+    System.err.println(s"bench: persistent RDDs at suite end: $residual")
     spark.stop()
   }
 }

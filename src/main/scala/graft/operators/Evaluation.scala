@@ -959,11 +959,22 @@ object Evaluation {
           (lit(2L) * col("tp") + col("fp") + col("fn"))).as("f1"),
         ((col("tp") + col("tn")).cast("double") / col("all_pairs"))
           .as("rand_index"),
-        when((col("tp") + col("fn")) * (col("fn") + col("tn")) +
-            (col("tp") + col("fp")) * (col("fp") + col("tn")) =!= 0L,
-          lit(2.0) * (col("tp") * col("tn") - col("fn") * col("fp")) /
-            ((col("tp") + col("fn")) * (col("fn") + col("tn")) +
-              (col("tp") + col("fp")) * (col("fp") + col("tn"))))
+        // ARI marginal products approach all_pairs² when one predicted
+        // cluster dominates — far past int64 even at the ~1e6-item bound
+        // (pair counts ~5e11 squared ≈ 2.5e23) — so multiply in double.
+        // Each factor stays < 2^53 at gated scales, so the doubles are
+        // exact integers and the value is bit-identical to the int64 form
+        // wherever that form doesn't overflow.
+        when((col("tp") + col("fn")).cast("double") *
+            (col("fn") + col("tn")).cast("double") +
+            (col("tp") + col("fp")).cast("double") *
+            (col("fp") + col("tn")).cast("double") =!= 0.0,
+          lit(2.0) * (col("tp").cast("double") * col("tn").cast("double") -
+              col("fn").cast("double") * col("fp").cast("double")) /
+            ((col("tp") + col("fn")).cast("double") *
+              (col("fn") + col("tn")).cast("double") +
+              (col("tp") + col("fp")).cast("double") *
+              (col("fp") + col("tn")).cast("double")))
           .as("ari"))
   }
 }

@@ -64,32 +64,37 @@ object GraphAnalytics {
     // not once per round (the q56 pairs.cache() precedent)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ewd = e.join(deg, "src") // static across iterations
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("id"), expr(s"${scale}L div n").as("base"))
-      .withColumn("pr", col("base"))
-    (1 to iters).foreach { _ =>
-      val sums = ewd
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("insum"))
-      // the next round reads `ranks` TWICE (mass send + teleport mix), so
-      // lineage doubles per iteration; an eager localCheckpoint both
-      // materializes the superstep (Pregel barrier) and TRUNCATES the
-      // plan to depth 1 — caching alone dedups execution but leaves the
-      // 2^iters plan tree (even its description string is exponential)
-      ranks = ranks.select("id", "base")
-        .join(sums, col("id") === col("dst"), "left")
-        .select(col("id"), col("base"),
-          (expr("(15L * base) div 100L") +
-            expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
-        .localCheckpoint()
-    }
-    ranks
+    // the final ranks frame is localCheckpoint-truncated, so releasing
+    // the edge cache on exit is safe — a long-lived session calling the
+    // iterative operators repeatedly must not accumulate storage memory
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val nRow = nodes.agg(count(lit(1)).as("n"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ewd = e.join(deg, "src") // static across iterations
+      var ranks = nodes.crossJoin(broadcast(nRow))
+        .select(col("id"), expr(s"${scale}L div n").as("base"))
+        .withColumn("pr", col("base"))
+      (1 to iters).foreach { _ =>
+        val sums = ewd
+          .join(ranks.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("insum"))
+        // the next round reads `ranks` TWICE (mass send + teleport mix), so
+        // lineage doubles per iteration; an eager localCheckpoint both
+        // materializes the superstep (Pregel barrier) and TRUNCATES the
+        // plan to depth 1 — caching alone dedups execution but leaves the
+        // 2^iters plan tree (even its description string is exponential)
+        ranks = ranks.select("id", "base")
+          .join(sums, col("id") === col("dst"), "left")
+          .select(col("id"), col("base"),
+            (expr("(15L * base) div 100L") +
+              expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally e.unpersist()
   }
 
   /** [[pageRank]] with teleport restricted to `seedPred` nodes —
@@ -108,35 +113,37 @@ object GraphAnalytics {
     require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val seedIds = seeds.select(col(seedIdCol).cast("long").as("id")).distinct()
-    val nSeedRow = seedIds.agg(count(lit(1)).as("ns"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ewd = e.join(deg, "src")
-    // teleport share: seeds split (15% of scale) equally; start = share
-    var ranks = nodes
-      .join(seedIds.withColumn("_s", lit(1)), Seq("id"), "left")
-      .crossJoin(broadcast(nSeedRow))
-      .select(col("id"),
-        when(col("_s").isNotNull,
-          expr(s"((15L * ${scale}L) div 100L) div ns")).otherwise(lit(0L))
-          .as("base"))
-      .withColumn("pr", col("base"))
-    (1 to iters).foreach { _ =>
-      val sums = ewd
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("insum"))
-      // superstep barrier + lineage truncation — see [[pageRank]]
-      ranks = ranks.select("id", "base")
-        .join(sums, col("id") === col("dst"), "left")
-        .select(col("id"), col("base"),
-          (col("base") + expr("(85L * coalesce(insum, 0L)) div 100L"))
-            .as("pr"))
-        .localCheckpoint()
-    }
-    ranks
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val seedIds = seeds.select(col(seedIdCol).cast("long").as("id")).distinct()
+      val nSeedRow = seedIds.agg(count(lit(1)).as("ns"))
+      val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ewd = e.join(deg, "src")
+      // teleport share: seeds split (15% of scale) equally; start = share
+      var ranks = nodes
+        .join(seedIds.withColumn("_s", lit(1)), Seq("id"), "left")
+        .crossJoin(broadcast(nSeedRow))
+        .select(col("id"),
+          when(col("_s").isNotNull,
+            expr(s"((15L * ${scale}L) div 100L) div ns")).otherwise(lit(0L))
+            .as("base"))
+        .withColumn("pr", col("base"))
+      (1 to iters).foreach { _ =>
+        val sums = ewd
+          .join(ranks.select(col("id").as("src"), col("pr")), "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("insum"))
+        // superstep barrier + lineage truncation — see [[pageRank]]
+        ranks = ranks.select("id", "base")
+          .join(sums, col("id") === col("dst"), "left")
+          .select(col("id"), col("base"),
+            (col("base") + expr("(85L * coalesce(insum, 0L)) div 100L"))
+              .as("pr"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally e.unpersist()
   }
 
   /** Rank rows of a [[pageRank]] result: (id, pr, rk) ordered by
@@ -170,7 +177,10 @@ object GraphAnalytics {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .cache() // referenced three times by the triangle join
+      // referenced three times by the triangle join — localCheckpoint
+      // (not cache) so the materialized blocks free with the RDD via
+      // ContextCleaner instead of pinning CacheManager storage forever
+      .localCheckpoint()
     val counts = und.agg(count(lit(1)).as("n_edges"))
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -283,32 +293,35 @@ object GraphAnalytics {
     require(iters >= 1, "need iters >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val seeds = labeled.select(col(labIdCol).cast("long").as("id"),
-      col(labCol).cast("int").as("_seed")).distinct()
-    var labels = nodes.join(seeds, Seq("id"), "left")
-      .select(col("id"), col("_seed"), col("_seed").as("label"))
-    (1 to iters).foreach { _ =>
-      val votes = e
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .filter(col("label").isNotNull)
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("_n"))
-        .groupBy(col("dst"))
-        .agg(min_by(col("label"),
-          struct((-col("_n")).as("n"), col("label").as("l"))).as("_vote"))
-      // superstep barrier + lineage truncation — see [[pageRank]]
-      labels = labels.select("id", "_seed", "label")
-        .join(votes, col("id") === col("dst"), "left")
-        .select(col("id"), col("_seed"),
-          coalesce(col("_seed"), col("_vote"), col("label")).as("label"))
+    try {
+      val nodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      val seeds = labeled.select(col(labIdCol).cast("long").as("id"),
+        col(labCol).cast("int").as("_seed")).distinct()
+      var labels = nodes.join(seeds, Seq("id"), "left")
+        .select(col("id"), col("_seed"), col("_seed").as("label"))
         .localCheckpoint()
-    }
-    labels.select(col("id"), col("label"),
-      when(col("_seed").isNotNull, lit("seed"))
-        .when(col("label").isNotNull, lit("propagated"))
-        .otherwise(lit("unlabeled")).as("origin"))
+      (1 to iters).foreach { _ =>
+        val votes = e
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .filter(col("label").isNotNull)
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("_n"))
+          .groupBy(col("dst"))
+          .agg(min_by(col("label"),
+            struct((-col("_n")).as("n"), col("label").as("l"))).as("_vote"))
+        // superstep barrier + lineage truncation — see [[pageRank]]
+        labels = labels.select("id", "_seed", "label")
+          .join(votes, col("id") === col("dst"), "left")
+          .select(col("id"), col("_seed"),
+            coalesce(col("_seed"), col("_vote"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("id"), col("label"),
+        when(col("_seed").isNotNull, lit("seed"))
+          .when(col("label").isNotNull, lit("propagated"))
+          .otherwise(lit("unlabeled")).as("origin"))
+    } finally e.unpersist()
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
@@ -976,16 +989,34 @@ object GraphAnalytics {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w")).cache()
-    var dist = spark.range(1).select(lit(sourceId).as("node"),
-      lit(0L).as("cost"))
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist.union(relaxed).groupBy("node")
-        .agg(min("cost").as("cost"))
-        .localCheckpoint()
-    }
-    e.unpersist()
-    dist.select(col("node"), col("cost").as("min_cost"))
+    try {
+      var dist = spark.range(1).select(lit(sourceId).as("node"),
+        lit(0L).as("cost"))
+      // delta frontier: relax only out of nodes whose distance improved
+      // last round — a settled node's edges were already relaxed the
+      // round it last improved, so re-relaxing them cannot lower any
+      // neighbor below the min-merge result. Round-k dists are identical
+      // to the full-frontier form (dist_k(v) = min cost over ≤k-edge
+      // paths), but dense graphs stop re-relaxing every settled edge
+      // every round.
+      var frontier = dist
+      for (_ <- 1 to rounds) {
+        val relaxed = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"),
+            (col("cost") + col("w")).as("cost"))
+          .groupBy("node").agg(min("cost").as("cost"))
+        val improved = relaxed
+          .join(dist.select(col("node"), col("cost").as("_old")),
+            Seq("node"), "left")
+          .filter(col("_old").isNull || col("cost") < col("_old"))
+          .select("node", "cost")
+          .localCheckpoint()
+        dist = dist.union(improved).groupBy("node")
+          .agg(min("cost").as("cost"))
+          .localCheckpoint()
+        frontier = improved
+      }
+      dist.select(col("node"), col("cost").as("min_cost"))
+    } finally e.unpersist()
   }
 }

@@ -285,10 +285,12 @@ object Retrieval {
                     nBuckets: Int, docLengths: DataFrame, queryTerms: Seq[String],
                     k: Int, k1: Double = 1.2, b: Double = 0.75,
                     maxBroadcastPairs: Long = 4000000L): DataFrame = {
-    // cached: |terms| rows — the pre-count below and the scoring plan
-    // both read the pruned buckets exactly once
+    // |terms| rows, materialized once (the pre-count below and the
+    // scoring plan both read the pruned buckets exactly once);
+    // localCheckpoint so the blocks free with the RDD instead of
+    // pinning CacheManager for the life of the session
     val postings = graft.store.IndexStore.lookup(spark, indexPath, queryTerms, nBuckets)
-      .cache()
+      .localCheckpoint()
     val tf = postings
       .select(col("term"), col("df").as("term_df"), explode(col("postings")).as("p"))
       .select(col("term"), col("term_df"), col("p.id").as("id"), col("p.tf").as("tf"))

@@ -702,18 +702,21 @@ object Sampling {
         covered.unpersist()
         covered = nextCovered
         val cum = covered.count()
-        picked += Row(r, best.get(0).toString, best.getLong(1), cum,
+        picked += Row(r, best.get(0), best.getLong(1), cum,
           cum.toDouble / universe)
       }
     }
     st.unpersist(); covered.unpersist()
+    // `set` keeps the INPUT column's type (a numeric set id stays
+    // numeric), so the output joins/orders against the original frame.
+    val setType = members.select(col(setCol)).schema.head.dataType
     spark.createDataFrame(
       spark.sparkContext.parallelize(picked.toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("round",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("set",
-          org.apache.spark.sql.types.StringType, nullable = false),
+          setType, nullable = false),
         org.apache.spark.sql.types.StructField("gain",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("cum_covered",

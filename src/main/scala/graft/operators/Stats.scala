@@ -3165,6 +3165,14 @@ object Stats {
               nFolds: Int, lambdas: Seq[Long]): DataFrame = {
     val per = df.select(xCol.cast("long").as("x"),
         yCol.cast("long").as("y"), foldCol.cast("int").as("fold"))
+      // the cv_sse pivot below only sums folds 0 until nFolds — an
+      // out-of-range fold value would contribute to the totals yet be
+      // silently dropped from cv_sse, biasing cv_mse; fail fast instead
+      .withColumn("fold",
+        when(col("fold") >= 0 && col("fold") < nFolds, col("fold"))
+          .otherwise(raise_error(concat(
+            lit(s"ridgeCv: fold value outside [0, $nFolds): "),
+            col("fold").cast("string")))))
       .groupBy("fold").agg(count(lit(1)).as("n"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"),
