@@ -35,6 +35,19 @@ object GraphStore {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  /** Full adjacency read — the serving path for whole-graph ANALYTICS
+    * (centrality, diameter, shortest paths), where the entire edge set is
+    * the operator's input so there is nothing to partition-prune; the win
+    * over an inline rebuild is that the O(N·k·cell) kNN construction was
+    * paid ONCE at [[write]] time and every analytics session reads back
+    * N·k adjacency rows (three orders smaller than the corpus). Column
+    * pruning still applies: select only the columns the operator needs so
+    * the scan's ReadSchema drops `distance` when the algorithm is
+    * unweighted (pinned by GraphStoreSpec). */
+  def readEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("id"), col("rank"), col("nbr_id"), col("distance"))
+
   /** Adjacency rows of the given nodes, reading ONLY their buckets: the
     * `bucket` predicate lands in the scan's PartitionFilters (pinned by
     * GraphStoreSpec), the `id` predicate in PushedFilters — unprobed

@@ -119,6 +119,37 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("readEdges serves the exact inline edge set, column-pruned when distance is unused") {
+    val e = corpus
+    val centroids = e.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val assigned = Similarity.assignNearestCentroid(e, "embedding",
+        "vec_id", centroids, "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val inline = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore4").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(inline, path, nBuckets = 4)
+    // analytics serving contract: the stored adjacency equals the inline
+    // build EXACTLY (ids, ranks, distances — parquet doubles lossless),
+    // so every oracle that replays the kNN derivation stays green
+    val stored = GraphStore.readEdges(spark, path)
+    assert(stored.select("id", "rank", "nbr_id", "distance")
+      .as[(Long, Int, Long, Double)].collect().toSet ==
+      inline.select("id", "rank", "nbr_id", "distance")
+        .as[(Long, Int, Long, Double)].collect().toSet)
+    // an unweighted analytics read prunes distance/rank out of the scan
+    val unweighted = stored.select(col("id").as("src"),
+      col("nbr_id").as("dst"))
+    val p = unweighted.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("id") && readSchema.contains("nbr_id"), p)
+    assert(!readSchema.contains("distance"), p)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("store layout: one directory per bucket, ids stay in their bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gstore3").toFile
     val path = s"${dir.getAbsolutePath}/graph"
