@@ -101,6 +101,87 @@ object GraphStore {
       .select(col("rank"), col("cand").as(idCol), col("distance"))
   }
 
+  /** HNSW-style hierarchical entry selection for [[beamSearch]]: instead
+    * of fixed seed ids, descend a CENTROID-LEVEL coarse graph to pick the
+    * entry points — the log-descent role of HNSW's upper layers
+    * (reference: embed/schemas.py:17 HNSW index type), built from the
+    * same codebook the IVF cells use.
+    *
+    * Layers:
+    *   1. coarse graph — each centroid's `coarseK` nearest other
+    *      centroids by L2 (the probe-selection metric of
+    *      [[graft.operators.Similarity.nearestCentroidIds]]);
+    *   2. greedy descent — from `startCid`, hop to the candidate
+    *      (current cell ∪ its coarse neighbors) nearest the query,
+    *      `descentHops` rounds, ties to the smaller cid;
+    *   3. entry cells — the landed cell plus its coarse neighbors;
+    *      entry POINTS are each cell's medoid (member with the smallest
+    *      `centroid_dist`, ties to the smaller id);
+    *   4. fine layer — [[beamSearch]] from those entries over the
+    *      persisted adjacency store (cosine, unchanged).
+    *
+    * Scale shape: every coarse structure is CODEBOOK-sized (nlist rows —
+    * bounded by construction, the same boundedness
+    * [[graft.operators.Similarity.assignNearestCentroid]] already leans
+    * on when it collects the codebook), so collecting the coarse
+    * distances and edges for the sequential descent is O(nlist), not
+    * O(corpus); the only corpus-scale work is the medoid argmin (one
+    * map-side min_by over the entry cells' members) and the fine beam
+    * probe, which reads O(beam) pruned buckets. All distances are
+    * computed by the SAME Spark expressions the flat path uses
+    * (graft_l2_distance / graft_cosine_distance), so a SQL oracle
+    * replays every hop exactly.
+    *
+    * `assigned` must carry `centroid_id` + `centroid_dist` from
+    * [[graft.operators.Similarity.assignNearestCentroid]] along with the
+    * id and vector columns. */
+  def hierarchicalBeamSearch(spark: SparkSession, path: String,
+      nBuckets: Int, assigned: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      queryId: Long, startCid: Int, coarseK: Int, descentHops: Int,
+      beam: Int, iters: Int, k: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(spark)
+    val cents = centroids.select(col(cidCol).cast("int").as("_cid"),
+      col(cvecCol).as("_cv")).localCheckpoint()
+    val qv = broadcast(assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv")))
+    // codebook-sized frames, collected once for the sequential descent
+    val cdist = cents.crossJoin(qv)
+      .select(col("_cid"), call_function("graft_l2_distance",
+        col("_cv"), col("_qv")).as("_cd"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val coarseNbrs = {
+      val l = cents.select(col("_cid").as("_a"), col("_cv").as("_av"))
+      val r = cents.select(col("_cid").as("_b"), col("_cv").as("_bv"))
+      val w = Window.partitionBy("_a").orderBy(col("_d").asc, col("_b").asc)
+      l.join(r, col("_a") =!= col("_b"))
+        .select(col("_a"), col("_b"), call_function("graft_l2_distance",
+          col("_av"), col("_bv")).as("_d"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= coarseK)
+        .select("_a", "_b")
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    }
+    var cur = startCid
+    for (_ <- 1 to descentHops) {
+      val cands = (cur +: coarseNbrs.getOrElse(cur, Seq.empty)).distinct
+      cur = cands.map(c => (cdist(c), c)).min._2
+    }
+    val entryCids = (cur +: coarseNbrs.getOrElse(cur, Seq.empty)).distinct
+    // medoid of each entry cell: one bounded argmin over the cells'
+    // members — ≤ coarseK+1 rows come back
+    val entryIds = assigned
+      .filter(col("centroid_id").isin(entryCids.map(Integer.valueOf): _*))
+      .groupBy(col("centroid_id"))
+      .agg(min_by(col(idCol),
+        struct(col("centroid_dist"), col(idCol))).as("_entry"))
+      .select(col("_entry").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    beamSearch(spark, path, nBuckets, assigned, vecCol, idCol,
+      queryId, entryIds, beam, iters, k)
+  }
+
   /** Incremental node insert — the HNSW insert shape (link the new node
     * to its k nearest, add the reverse links, trim every touched list
     * back to k), as a bucket merge: exact top-k out-edges for each batch

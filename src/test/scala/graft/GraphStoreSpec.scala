@@ -150,6 +150,44 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("hierarchical entry: descent lands near the query; recall@k >= flat-entry baseline") {
+    val e = corpus
+    val centroids = e.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val assigned = Similarity.assignNearestCentroid(e, "embedding",
+      "vec_id", centroids, "cid", "cv")
+    val graph = Similarity.knnGraph(
+      assigned.select(col("vec_id"), col("embedding"), col("centroid_id")),
+      "embedding", "vec_id", 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_h").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(graph, path, nBuckets = 4)
+    // query vec 21 sits at the far end of the fan — the worst case for
+    // fixed low-id entries, the motivating case for descent
+    val k = 4
+    val truth = Similarity.topK(e, "embedding",
+        e.filter(col("vec_id") === 21L).head().getSeq[Float](1),
+        k, "COSINE", "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    def recall(hits: Set[Long]): Double =
+      (hits intersect truth).size.toDouble / k
+    val flat = GraphStore.beamSearch(spark, path, nBuckets = 4, e,
+        "embedding", "vec_id", queryId = 21L, entryIds = Seq(0L, 1L),
+        beam = 4, iters = 3, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    val hier = GraphStore.hierarchicalBeamSearch(spark, path,
+        nBuckets = 4, assigned, "embedding", "vec_id", centroids,
+        "cid", "cv", queryId = 21L, startCid = 0, coarseK = 2,
+        descentHops = 2, beam = 4, iters = 3, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(recall(hier) >= recall(flat),
+      s"hier ${recall(hier)} < flat ${recall(flat)}")
+    // on the fan the descent must land the far cell exactly: full recall
+    assert(recall(hier) == 1.0, s"hier hits $hier vs truth $truth")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("store layout: one directory per bucket, ids stay in their bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gstore3").toFile
     val path = s"${dir.getAbsolutePath}/graph"
