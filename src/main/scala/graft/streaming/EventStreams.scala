@@ -21,6 +21,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** The RocksDB state-store provider — the 100 TB choice for every
+    * stateful streaming path here (sessionization, stream dedup,
+    * stream-stream joins): the default HDFSBackedStateStoreProvider keeps
+    * ALL keyed state as JVM heap objects per partition, so unbounded key
+    * spaces (user ids, event ids at corpus scale) grow the heap until GC
+    * collapse; RocksDB spills state to native memory + local disk with
+    * changelog checkpointing, bounding heap per executor regardless of
+    * key cardinality. Results are provider-independent (pinned by
+    * StreamingSpec under both providers) — the provider is an execution
+    * choice, never a semantics choice. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the given state-store provider set on the session,
+    * restoring the previous setting afterwards. Streaming queries bind
+    * the provider at START, so wrapping query start + awaitTermination is
+    * enough; concurrently running queries keep their own binding. */
+  def withStateStoreProvider[T](spark: SparkSession, provider: String)
+                               (body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling-window aggregate: events per (window, event_type) with sum /
     * avg of value. Batch and streaming share this plan; in streaming, pair
     * with `withWatermark("ts", ...)` upstream. */

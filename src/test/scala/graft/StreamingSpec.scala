@@ -409,4 +409,60 @@ class StreamingSpec extends SparkSpec {
     // efficiency: Σ φ·k! = k!·v(C) = 2·2
     assert(out.values.sum == 4L)
   }
+
+  test("RocksDB state store: sessionization and stream dedup identical under both providers") {
+    implicit val sqlCtx = spark.sqlContext
+    // the provider is an execution choice, never a semantics choice: the
+    // exact same inputs must yield the exact same sessions and deduped
+    // rows under HDFSBacked (default) and RocksDB — the 100 TB backend
+    // for unbounded keyed state (see EventStreams.RocksDbProvider)
+    def runSessionize(): Set[(Long, Int, Double)] = {
+      val mem = MemoryStream[Event]
+      val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+        .writeStream.format("memory")
+        .queryName("rocksdb_sess").outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(Event(1, ts(0), 1L, "click", 1.0),
+          Event(2, ts(10), 1L, "click", 2.0), Event(3, ts(5), 2L, "view", 5.0))
+        q.processAllAvailable()
+        mem.addData(Event(4, ts(600), 1L, "click", 3.0),
+          Event(5, ts(610), 2L, "view", 7.0))
+        q.processAllAvailable()
+        mem.addData(Event(6, ts(1200), 1L, "click", 4.0))
+        q.processAllAvailable()
+        spark.table("rocksdb_sess")
+          .select("user_id", "n_events", "sum_value")
+          .as[(Long, Int, Double)].collect().toSet
+      } finally q.stop()
+    }
+    def runDedup(): Seq[Long] = {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val q = mem.toDF.toDF("event_id", "ts", "value")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory")
+        .queryName("rocksdb_dedup").outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0))
+        q.processAllAvailable()
+        mem.addData((2L, ts(3), 2.0), (3L, ts(4), 3.0))
+        q.processAllAvailable()
+        spark.table("rocksdb_dedup").select("event_id")
+          .as[Long].collect().sorted.toSeq
+      } finally q.stop()
+    }
+    val (sessDefault, dedupDefault) = (runSessionize(), runDedup())
+    val (sessRocks, dedupRocks) =
+      EventStreams.withStateStoreProvider(spark, EventStreams.RocksDbProvider) {
+        // RocksDB actually bound? the conf must be visible to the query
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          .contains("RocksDB"))
+        (runSessionize(), runDedup())
+      }
+    assert(sessRocks == sessDefault && sessDefault.nonEmpty)
+    assert(dedupRocks == dedupDefault && dedupDefault == Seq(1L, 2L, 3L))
+    // provider restored for the rest of the shared-session suites
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
+  }
 }
