@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heavy-tail scale probe (the MergeProbe discipline applied to the
+  * slowest steady bench queries): replicate the inputs ×{1,2,4,8} and
+  * time each operator's core, proving the documented growth law —
+  *
+  *   - q428 sampled betweenness: Brandes BFS sweeps over a kNN graph
+  *     whose EDGE LIST is replicated with disjoint node ids — cost must
+  *     grow ~linearly in edges (each sweep is per-round frontier⋈edges;
+  *     disjoint replicas never widen a frontier);
+  *   - q142 exact PPJoin: the prefix-filtered similarity join runs on a
+  *     BOUNDED doc_id < 600 slice by design — cost must stay ~FLAT as the
+  *     surrounding corpus replicates (the slice filter lands in
+  *     PushedFilters, so corpus size never reaches the join);
+  *   - q387 table checksum: one order-invariant digest scan of lineitem —
+  *     map-side partials, one exchange, cost ~linear in rows.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [maxRep]
+  * Prints one line per (probe, replication): seconds + the work metric
+  * (edges / candidate pairs / rows) so linearity is checkable in both
+  * time and work. ScaleProbeSpec pins the STRUCTURAL halves (pushed
+  * slice filter, single-exchange digest, linear edge growth), which hold
+  * deterministically where wall-clock is noisy.
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxRep = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxRep).toSeq
+
+    // ---- q428 core: Brandes sweeps on a replicated kNN edge list -------
+    val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = e0.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    val baseEdges = operators.Similarity.knnGraph(
+        operators.Similarity.assignNearestCentroid(e0, "embedding",
+          "vec_id", centroids, "cid", "cv"), "embedding", "vec_id", 3)
+      .select(col("id").as("src"), col("nbr_id").as("dst"))
+      .localCheckpoint()
+    for (r <- reps) {
+      val edges = (0 until r).map(i => baseEdges.select(
+          (col("src") + i * 10000000L).as("src"),
+          (col("dst") + i * 10000000L).as("dst")))
+        .reduce(_ union _).localCheckpoint()
+      val nEdges = edges.count()
+      val (_, t) = time {
+        operators.GraphAnalytics.sampledBetweenness(edges, "src", "dst",
+          sources = Seq(0L, 7L, 13L), maxDepth = 6, topK = 20).count()
+      }
+      println(f"betweenness rep=$r%2d edges=$nEdges%9d t=$t%7.2fs")
+    }
+
+    // ---- q142 core: bounded-slice PPJoin inside a replicated corpus ----
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (r <- reps) {
+      val corpus = (0 until r).map(i => d0.select(
+          (col("doc_id") + i * 1000000L).as("doc_id"), col("text")))
+        .reduce(_ union _)
+      val (pairs, t) = time {
+        val d = corpus.filter(col("doc_id") < 600)
+        val toks = d.select(col("doc_id").as("id"),
+          explode(operators.Dedup.shingleExpr("text", 5)).as("tok"))
+        operators.Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.6).count()
+      }
+      println(f"ppjoin      rep=$r%2d pairs=$pairs%9d t=$t%7.2fs (flat expected)")
+    }
+
+    // ---- q387 core: order-invariant checksum of replicated lineitem ----
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+    for (r <- reps) {
+      val li = (0 until r).map(i => li0.withColumn("l_orderkey",
+          col("l_orderkey") + i * 100000000L))
+        .reduce(_ union _)
+      val nRows = li.count()
+      val (_, t) = time {
+        operators.Profiling.tableChecksum(li,
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_linestatus"), buckets = 16).count()
+      }
+      println(f"checksum    rep=$r%2d rows=$nRows%9d t=$t%7.2fs")
+    }
+    spark.stop()
+  }
+}

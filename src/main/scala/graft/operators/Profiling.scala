@@ -270,18 +270,22 @@ object Profiling {
                     buckets: Int = 16): DataFrame = {
     val P = 1000000007L
     val repr = concat_ws("\u001f", keyCols.map(c => col(c).cast("string")): _*)
-    val perBucket = df.withColumn("_repr", repr)
+    // ROLLUP computes the per-bucket digests AND the root row in ONE scan
+    // + one aggregation (the previous union-of-aggregates recomputed the
+    // corpus scan for the root — 2 full scans at sf0.1). The root's value
+    // is unchanged: Σ_b (Σ_bucket fp mod P) ≡ Σ fp (mod P), so digesting
+    // all fingerprints directly equals digesting the bucket digests. The
+    // grand-total group surfaces as bucket NULL → -1.
+    df.withColumn("_repr", repr)
       .select(graft.functions.TextFunctions.fingerprint("_repr").as("fp"))
       .withColumn("bucket", pmod(col("fp"), lit(buckets.toLong)).cast("int"))
-      .groupBy("bucket")
+      .rollup("bucket")
       .agg(count(lit(1)).as("n_rows"),
         pmod(sum(col("fp").cast("decimal(38,0)")), lit(P))
           .cast("long").as("digest"))
-    val root = perBucket.agg(lit(-1).as("bucket"),
-      sum("n_rows").as("n_rows"),
-      pmod(sum(col("digest").cast("decimal(38,0)")), lit(P))
-        .cast("long").as("digest"))
-    perBucket.unionByName(root).orderBy("bucket")
+      .select(coalesce(col("bucket"), lit(-1)).as("bucket"),
+        col("n_rows"), col("digest"))
+      .orderBy("bucket")
   }
 
   /** Merkle-tree snapshot diff — [[tableChecksum]] grown a level so
