@@ -593,4 +593,57 @@ object DataLayout {
           (col("_e") - col("_v")) / col("_e") * 100), 6).as("savings_pct"))
       .orderBy("n_buckets")
   }
+
+  /** Z-order (Morton-curve) clustering audit: how many `blockRows`-row
+    * blocks must a 2-D range predicate touch under (a) the table's
+    * natural key order vs (b) Z-order on the two predicate columns? The
+    * number the multi-dimensional-clustering decision (Delta OPTIMIZE
+    * ZORDER, Hudi clustering) actually trades on: a 100 TB scan skips
+    * whole files by min/max, and interleaving bits makes BOTH columns'
+    * ranges cluster instead of one. Mechanics: each column bucketizes to
+    * 2^`bits` cells over its [min, max] span (exact integer scaling);
+    * the Z-value interleaves the bit planes (unrolled shifts — integer
+    * exact); rows get block ids by row_number under each ordering (the
+    * global sort is the audit instrument's cost, exactly like
+    * [[encodingAdvisor]]'s one sort pass — the PRODUCTION action is
+    * writing the data back in that order, not re-sorting per query).
+    * Returns one row per ordering: (ordering, blocks_total,
+    * blocks_touched, rows_selected) for the rectangle
+    * [xLo..xHi]×[yLo..yHi] in CELL coordinates. */
+  def zOrderAudit(df: DataFrame, idCol: String, xCol: String, yCol: String,
+                  bits: Int, blockRows: Int,
+                  xLo: Int, xHi: Int, yLo: Int, yHi: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16 && blockRows >= 1)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val ext = base.agg(min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    val cells = base.crossJoin(broadcast(ext))
+      // integer `div`, not `/`: Spark's / is double division and its
+      // truncating cast disagrees with DuckDB's rounding cast (NOTES
+      // parity rule) — div floors exactly on both engines
+      .withColumn("xc", expr(
+        s"(x - xmin) * ${1L << bits} div (xmax - xmin + 1)"))
+      .withColumn("yc", expr(
+        s"(y - ymin) * ${1L << bits} div (ymax - ymin + 1)"))
+      .withColumn("z", (0 until bits).map(i =>
+          shiftleft(shiftright(col("xc"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("yc"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .reduce(_ + _))
+      .withColumn("sel", col("xc").between(xLo, xHi) &&
+        col("yc").between(yLo, yHi))
+    def audit(name: String, order: Seq[Column]) = cells
+      .withColumn("_rn",
+        (row_number().over(Window.orderBy(order: _*)) - 1).cast("long"))
+      .withColumn("blk", expr(s"_rn div $blockRows"))
+      .agg(lit(name).as("ordering"),
+        (max("blk") + 1).cast("long").as("blocks_total"),
+        countDistinct(when(col("sel"), col("blk")))
+          .cast("long").as("blocks_touched"),
+        sum(when(col("sel"), 1L).otherwise(0L))
+          .cast("long").as("rows_selected"))
+    audit("natural", Seq(col("id")))
+      .unionByName(audit("zorder", Seq(col("z"), col("id"))))
+      .orderBy("ordering")
+  }
 }

@@ -153,6 +153,57 @@ object Sketches {
       .agg(min("_dot").as("inner_product_est"))
   }
 
+  /** AMS / count-sketch signed counters (Alon-Matias-Szegedy 1996;
+    * Charikar-Chen-Farach-Colton 2002): depth × width grid where each key
+    * adds sign(key) ∈ {−1, +1} to one cell per depth row. Unlike CMS the
+    * estimate is UNBIASED (collisions cancel in expectation rather than
+    * only inflating), which is what makes the median-of-rows F2 /
+    * join-size estimator the textbook optimizer statistic. Signs come
+    * from a third independent hash chain's low bit, positions from the
+    * same Kirsch-Mitzenmacher double hashing as [[cmsCounters]] — all
+    * exact integers, so the sketch and every estimate replay in SQL.
+    * Grid is fixed-size (map-side partial agg); returns (d, pos, c). */
+  def amsCounters(df: DataFrame, keyCol: String, depth: Int,
+                  width: Int): DataFrame = {
+    val h1 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase1)
+    val h2 = keyHash(col(keyCol), graft.plans.HashExpressions.PolyBase2)
+      .bitwiseOR(lit(1L))
+    // third independent chain for the sign — prime base distinct from
+    // PolyBase1/2 so sign and position decorrelate (oracle-replayable)
+    val sign = (pmod(keyHash(col(keyCol), 999979L), lit(2L)) * 2L - 1L)
+    df.select(posexplode(array((0 until depth).map(d =>
+        pmod(h1 + lit(d.toLong) * h2, lit(width))): _*)).as(Seq("d", "pos")),
+        sign.as("s"))
+      .groupBy("d", "pos").agg(sum("s").cast("long").as("c"))
+  }
+
+  /** Mergeable by construction — signed cells just add. */
+  def amsMerge(counters: DataFrame): DataFrame =
+    counters.groupBy("d", "pos").agg(sum("c").cast("long").as("c"))
+
+  /** F2 (self-join size, Σ_k f_k²) estimate: per depth row Σ_w c_w² is an
+    * unbiased F2 estimator; the MEDIAN over the `depth` rows tames the
+    * variance (take depth odd so the median is a single integer — exact,
+    * no interpolation). The skew statistic that prices a 100 TB shuffle
+    * join's hot keys from an O(depth×width) sketch. */
+  def amsF2(counters: DataFrame, depth: Int): DataFrame =
+    counters.groupBy("d")
+      .agg(sum(col("c") * col("c")).cast("long").as("_f2"))
+      .agg(expr(s"percentile(_f2, 0.5)").cast("long").as("f2_est"))
+
+  /** Equi-join cardinality estimate from two AMS grids built with the
+    * SAME hash chain: per depth row Σ_w a_w·b_w is an unbiased estimator
+    * of Σ_k a_k·b_k (signs decorrelate cross-key collisions); median over
+    * rows. The two-table companion of [[amsF2]], and the unbiased
+    * counterpart of [[cmsInnerProduct]]'s upper bound. */
+  def amsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val l = a.select(col("d"), col("pos"), col("c").as("_ca"))
+    val r = b.select(col("d"), col("pos"), col("c").as("_cb"))
+    l.join(r, Seq("d", "pos"))
+      .groupBy("d").agg(sum(col("_ca") * col("_cb")).cast("long").as("_dot"))
+      .agg(expr(s"percentile(_dot, 0.5)").cast("long").as("join_size_est"))
+  }
+
   /** Point estimates from a CMS counter frame: min over the depth rows of
     * the key's counter cells (≥ true count, never under). Counters join
     * broadcast — the grid is tiny by construction. */

@@ -3201,4 +3201,104 @@ object Stats {
         round(col("sse") / col("n"), 2).as("fold_mse"),
         round(col("cv_sse") / col("tn"), 2).as("cv_mse"))
   }
+
+  /** Hampel (median/MAD) robust outlier gate + winsorized mean per group
+    * (Hampel 1974; the robust-statistics replacement for the z-score gate
+    * [[anomalies]], whose mean/σ an adversarial tail drags): a row is an
+    * outlier when |x − median| > k·MAD. Medians of INTEGER values
+    * interpolate to halves and MADs to quarters — power-of-two-denominator
+    * rationals that doubles carry EXACTLY, so median, MAD, the outlier
+    * verdict, and the winsorized (clipped-to-fence) mean all replay
+    * bit-for-bit with no libm in sight. The winsorized mean is the robust
+    * location estimate training-data QA wants when a feed glitch injects
+    * a few 10⁶× values: the plain mean moves, the winsorized one barely.
+    * Two sort-based percentiles per group — the q53 exact-percentile
+    * shape, map-side clip + decimal mean after. */
+  def hampelGate(df: DataFrame, groupCol: String, valueCol: String,
+                 k: Int = 3): DataFrame = {
+    val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val med = v.groupBy("g").agg(
+      count(lit(1)).as("n"), expr("percentile(v, 0.5)").as("med"))
+    val dev = v.join(med, Seq("g"))
+      .withColumn("adev", abs(col("v").cast("double") - col("med")))
+    val mad = dev.groupBy("g").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("g"))
+      .withColumn("fence", lit(k.toDouble) * col("mad"))
+      .withColumn("clipped",
+        least(greatest(col("v").cast("double"), col("med") - col("fence")),
+          col("med") + col("fence")))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n").cast("long").as("n"),
+        max("med").as("median"), max("mad").as("mad"),
+        sum(when(col("adev") > col("fence"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"),
+        round(dsum(col("clipped")) / max("n"), 6).as("win_mean"))
+  }
+
+  /** Cochran-Armitage trend test: is a pass/fail rate MONOTONE in an
+    * ordered bucket score (document-quality rate by length decile, error
+    * rate by day index)? More powerful than the q·χ² independence test
+    * when the alternative is a trend. Integer-exact core: with per-bucket
+    * (nᵢ, rᵢ) and score sᵢ, the statistic multiplies through by N so
+    * T′ = Σ sᵢ(rᵢN − nᵢR) is an exact BIGINT, and
+    * z = T′·√N / (√(R(N−R)) · √(NΣnᵢsᵢ² − (Σnᵢsᵢ)²)) — three
+    * correctly-rounded sqrts over exact integers, one fixed expression
+    * tree, fully replayable (NOTES parity rule: sqrt is safe, ln is not).
+    * Returns one row (n, r, t_num, z). */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      flagCol: String): DataFrame = {
+    val per = df.select(col(scoreCol).cast("long").as("s"),
+        col(flagCol).cast("boolean").as("f"))
+      .groupBy("s").agg(count(lit(1)).as("n_i"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("r_i"))
+    val tot = per.agg(sum("n_i").as("n"), sum("r_i").as("r"),
+      sum(col("n_i") * col("s")).as("ns"),
+      sum(col("n_i") * col("s") * col("s")).as("ns2"))
+    per.crossJoin(broadcast(tot))
+      .agg(max("n").cast("long").as("n"), max("r").cast("long").as("r"),
+        sum(col("s") * (col("r_i") * col("n") - col("n_i") * col("r")))
+          .cast("long").as("t_num"),
+        max("ns").as("_ns"), max("ns2").as("_ns2"))
+      .crossJoin(broadcast(tot.select(col("n").as("_n"), col("r").as("_r"))))
+      .select(col("n"), col("r"), col("t_num"),
+        round(col("t_num").cast("double") * sqrt(col("_n")) /
+          (sqrt((col("_r") * (col("_n") - col("_r"))).cast("double")) *
+            sqrt((col("_n") * col("_ns2") - col("_ns") * col("_ns"))
+              .cast("double"))), 6).as("z"))
+  }
+
+  /** Mutual information between two categorical columns (source ×
+    * quality verdict, route × grade…): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    * plus the marginal entropies and the √(H·H)-normalized NMI — the
+    * "does this metadata column carry signal about that label" screen
+    * run before spending a 100 TB pass training on it. One joint-count
+    * aggregate (|X|·|Y| cells), marginals re-aggregated FROM the joint
+    * (never a second corpus pass), each ln term a fixed double tree over
+    * exact counts, decimal-18 accumulation, display-round 6 (the ln
+    * parity rule [[NgramLm.jensenShannonCounts]] follows). */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val joint = df.groupBy(col(aCol).as("x"), col(bCol).as("y"))
+      .agg(count(lit(1)).as("cxy")).localCheckpoint()
+    val ma = joint.groupBy("x").agg(sum("cxy").as("cx"))
+    val mb = joint.groupBy("y").agg(sum("cxy").as("cy"))
+    val nRow = joint.agg(sum("cxy").as("nn"))
+    val mi = joint.join(ma, Seq("x")).join(mb, Seq("y"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("term", col("cxy").cast("double") / col("nn") *
+        log(col("cxy").cast("double") * col("nn") /
+          (col("cx").cast("double") * col("cy"))))
+      .agg(sum(d18(col("term"))).cast("double").as("mi"),
+        count(lit(1)).as("n_cells"))
+    def entropy(m: DataFrame, c: String) = m.crossJoin(broadcast(nRow))
+      .withColumn("t", col(c).cast("double") / col("nn") *
+        log(col("nn").cast("double") / col(c)))
+      .agg(sum(d18(col("t"))).cast("double").as(s"h_$c"))
+    mi.crossJoin(broadcast(entropy(ma, "cx")))
+      .crossJoin(broadcast(entropy(mb, "cy")))
+      .select(col("n_cells"), round(col("mi"), 6).as("mi"),
+        round(col("h_cx"), 6).as("h_a"), round(col("h_cy"), 6).as("h_b"),
+        round(col("mi") / sqrt(col("h_cx") * col("h_cy")), 6).as("nmi"))
+  }
 }

@@ -239,4 +239,25 @@ class DataLayoutSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("mse")).toMap
     assert(out("equal_width") < out("equal_freq"))
   }
+
+  test("zOrderAudit: a 2-D rectangle touches far fewer blocks under z-order") {
+    // 32x32 grid in row-major natural order: a 8x8 corner rectangle
+    // touches ~every natural block (one row-stripe each) but clusters
+    // into few z-order blocks
+    val grid = (0 until 1024).map { i =>
+      (i.toLong, (i % 32).toLong, (i / 32).toLong)
+    }.toDF("id", "x", "y")
+    val out = graft.operators.DataLayout.zOrderAudit(grid, "id", "x", "y",
+        bits = 5, blockRows = 64, xLo = 0, xHi = 7, yLo = 0, yHi = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("blocks_total"), r.getAs[Long]("blocks_touched"),
+          r.getAs[Long]("rows_selected"))).toMap
+    assert(out("natural")._1 == 16 && out("zorder")._1 == 16)
+    assert(out("natural")._3 == 64 && out("zorder")._3 == 64)
+    // natural: y in 0..7 -> rows 0..255 -> blocks 0..3 each partially
+    // touched; zorder: the 8x8 quadrant is one contiguous 64-row block
+    assert(out("zorder")._2 == 1, out.toString)
+    assert(out("natural")._2 == 4, out.toString)
+    assert(out("zorder")._2 < out("natural")._2)
+  }
 }

@@ -533,4 +533,28 @@ class SamplingAndSketchesSpec extends SparkSpec {
     val t = Sampling.greedySetCover(tie, "set", "elem", rounds = 2).head()
     assert(t.getString(1) == "A" && t.getDouble(4) == 1.0)
   }
+
+  test("amsF2 / amsJoinSize: exact on collision-free grids; merge = concat-build") {
+    import graft.operators.Sketches
+    // 20 distinct keys, each appearing key-many times; width 1024 makes
+    // collisions essentially impossible at this size, so the median-of-
+    // rows estimate equals the exact F2 = sum f^2
+    val freqs = (1L to 20L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val g = Sketches.amsCounters(freqs, "k", depth = 5, width = 1024)
+    val f2 = Sketches.amsF2(g, depth = 5).head().getAs[Long]("f2_est")
+    assert(f2 == (1L to 20L).map(k => k * k).sum)
+    // join size: a has each key once, b has key-many copies ->
+    // sum a_k*b_k = sum k = 210
+    val a = (1L to 20L).toDF("k")
+    val ga = Sketches.amsCounters(a, "k", depth = 5, width = 1024)
+    val js = Sketches.amsJoinSize(ga, g, depth = 5).head()
+      .getAs[Long]("join_size_est")
+    assert(js == 210L)
+    // mergeability: sketch(a ++ a) == merge(sketch(a), sketch(a))
+    val merged = Sketches.amsMerge(ga.union(ga))
+      .orderBy("d", "pos").collect().toSeq
+    val direct = Sketches.amsCounters(a.union(a), "k", 5, 1024)
+      .orderBy("d", "pos").collect().toSeq
+    assert(merged == direct)
+  }
 }

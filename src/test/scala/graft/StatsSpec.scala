@@ -1189,4 +1189,47 @@ class StatsSpec extends SparkSpec {
     assert(l1.forall(_.getAs[Double]("beta") < 2.0))
     assert(l1.forall(_.getAs[Double]("cv_mse") > 0.0))
   }
+
+  test("hampelGate: outlier flagged by MAD fence; winsorized mean barely moves") {
+    // group a: 1..9 plus a 10^6 glitch — median 5.5, MAD 2.5, k=3 fence
+    // [5.5-7.5, 5.5+7.5]; the glitch clips to 13.0
+    val df = ((1L to 9L).map(v => ("a", v)) :+ ("a", 1000000L))
+      .toDF("g", "v")
+    val r = Stats.hampelGate(df, "g", "v", k = 3).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("median") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    // winsorized mean = (1+..+9 + 13)/10 = 5.8 — the plain mean is 100004.5
+    assert(r.getAs[Double]("win_mean") == 5.8)
+  }
+
+  test("cochranArmitage: perfect monotone trend scores positive z; flat scores 0") {
+    // buckets 0,1,2 with rates 0/10, 5/10, 10/10 — exact hand values:
+    // N=30 R=15 T'=Σs(rN-nR)=1*(150-150)+2*(300-150)=300
+    // B = NΣns² - (Σns)² = 30*50 - 30² = 600; z = 300*√30/(√(15*15)*√600)
+    val up = (0 until 10).flatMap(i => Seq((0L, false), (1L, i < 5), (2L, true)))
+      .toDF("s", "f")
+    val r = Stats.cochranArmitage(up, "s", "f").head()
+    assert(r.getAs[Long]("t_num") == 300L)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(300.0 * math.sqrt(30.0) / (15.0 * math.sqrt(600.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val flat = (0 until 10).flatMap(i => Seq((0L, i < 5), (1L, i < 5)))
+      .toDF("s", "f")
+    assert(Stats.cochranArmitage(flat, "s", "f").head().getAs[Long]("t_num") == 0L)
+  }
+
+  test("mutualInformation: independent columns have MI 0; copies have MI = H") {
+    val ind = (0 until 100).map(i => (i % 2, (i / 2) % 5)).toDF("a", "b")
+    val ri = Stats.mutualInformation(ind, "a", "b").head()
+    assert(ri.getAs[Double]("mi") == 0.0)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+    // b == a: MI = H(a) = ln 2, NMI = 1
+    val cp = (0 until 100).map(i => (i % 2, i % 2)).toDF("a", "b")
+    val rc = Stats.mutualInformation(cp, "a", "b").head()
+    assert(rc.getAs[Double]("mi") == rc.getAs[Double]("h_a"))
+    assert(rc.getAs[Double]("nmi") == 1.0)
+    assert(math.abs(rc.getAs[Double]("mi") - math.log(2.0)) < 1e-6)
+  }
 }
