@@ -24,7 +24,8 @@ private[graft] object QueryRegistry {
     Queries320to368,
     Queries369to421,
     Queries422to477,
-    Queries478to509)
+    Queries478to509,
+    Queries510to519)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_.queries).reduce(_ ++ _)
   lazy val oracleSql: Map[String, String] =
