@@ -545,4 +545,54 @@ object NgramLm {
           (col("c") + lit(1L)).cast("double") * col("n_r_next") /
             col("n_r") / col("n_tokens")).as("p_gt"))
   }
+
+  /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
+    * bias-corrected form): how many types does the corpus's underlying
+    * distribution HOLD, observed plus the unseen mass implied by the
+    * singleton/doubleton ratio —
+    * chao1 = D + f₁(f₁−1)/(2(f₂+1)) — alongside Good's sample coverage
+    * C = 1 − f₁/N (the [[goodTuring]] unseen-mass read as one number).
+    * The "will more data buy more vocabulary" screen a mixture designer
+    * runs per source before paying for another crawl. One token count +
+    * one frequency-of-frequency fold — both map-side shapes; every
+    * number is an exact integer until the two closed-form divisions.
+    * Returns (n_tokens, n_types, f1, f2, chao1, coverage). */
+  def chao1Richness(df: DataFrame, textCol: String): DataFrame = {
+    val tc = df.select(explode(TextQuality.tokens(lower(col(textCol))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    tc.agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        round(col("n_types") + (col("f1") * (col("f1") - 1)).cast("double")
+          / (lit(2.0) * (col("f2") + 1)), 6).as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+  }
+
+  /** Vocabulary growth (collector's) curve: distinct types seen within
+    * the first k documents of the corpus order, for each checkpoint k —
+    * the measured marginal-vocabulary read beside [[chao1Richness]]'s
+    * asymptote (a flattening curve says more of the SAME data buys
+    * little). Each type collapses to its FIRST-seen document id (one
+    * min aggregate over the exploded tokens — map-side partial), so the
+    * curve is |checkpoints| conditional counts over a types-sized frame,
+    * never a per-prefix rescan. Returns (k, n_types_seen) per
+    * checkpoint. */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+                       checkpoints: Seq[Long]): DataFrame = {
+    val first = df.select(col(idCol).cast("long").as("_id"),
+        explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(min("_id").as("first_id"))
+    val cps = checkpoints.sorted
+    first
+      .select(explode(array(cps.map(lit(_)): _*)).as("k"),
+        col("first_id"))
+      .groupBy("k")
+      .agg(sum(when(col("first_id") < col("k"), 1L).otherwise(0L))
+        .cast("long").as("n_types_seen"))
+      .orderBy("k")
+  }
 }

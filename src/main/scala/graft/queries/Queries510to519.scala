@@ -72,6 +72,19 @@ private[graft] object Queries510to519 extends QueryModule {
         "yr_idx", "urgent")
     }),
 
+    "q515_chao1_richness" -> ((s, dir) =>
+      // will more data buy more vocabulary: Chao1 asymptotic type count
+      // + Good's coverage from the singleton/doubleton profile — exact
+      // integers into two closed-form divisions
+      NgramLm.chao1Richness(tbl(s, dir, "documents"), "text")),
+
+    "q516_vocab_growth" -> ((s, dir) =>
+      // the collector's curve beside q515's asymptote: distinct types
+      // within the first k docs, k ∈ {50,100,200,400,800} — each type
+      // collapses to its first-seen doc id once, never a per-prefix scan
+      NgramLm.vocabularyGrowth(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq(50L, 100L, 200L, 400L, 800L))),
+
     "q514_mutual_information" -> ((s, dir) => {
       // does SOURCE carry signal about document length class? MI +
       // entropies + NMI over the (source, length-bucket) contingency —
@@ -203,6 +216,32 @@ private[graft] object Queries510to519 extends QueryModule {
         |    AS z
         |FROM per, tot
         |GROUP BY tot.n, tot.r, tot.ns, tot.ns2""".stripMargin,
+
+    "q515_chao1_richness" ->
+      """WITH tc AS (SELECT t AS tok, COUNT(*) AS c FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '')) AS t FROM documents) GROUP BY t),
+        |agg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  round(n_types + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)),
+        |    6) AS chao1,
+        |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+        |FROM agg""".stripMargin,
+
+    "q516_vocab_growth" ->
+      """WITH first AS (SELECT t AS tok, MIN(doc_id) AS first_id FROM (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |    lower(text), '\s+'), x -> x <> '')) AS t FROM documents)
+        |  GROUP BY t),
+        |ks AS (SELECT unnest([50, 100, 200, 400, 800]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN first_id < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_types_seen
+        |FROM first, ks GROUP BY k ORDER BY k""".stripMargin,
 
     "q514_mutual_information" ->
       """WITH j AS (SELECT source AS x, n_chars // 200 AS y,

@@ -666,4 +666,27 @@ class NgramLmAndEvalSpec extends SparkSpec {
     val p = Evaluation.clusterPairMetrics(same, "pred", "truth").head()
     assert(p.getAs[Double]("f1") == 1.0 && p.getAs[Double]("ari") == 1.0)
   }
+
+  test("chao1Richness: hand singleton/doubleton values; saturated corpus covers") {
+    val df = Seq("a a b").toDF("text")
+    val r = graft.operators.NgramLm.chao1Richness(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 3L && r.getAs[Long]("n_types") == 2L)
+    assert(r.getAs[Long]("f1") == 1L && r.getAs[Long]("f2") == 1L)
+    // bias-corrected chao1 = D + f1(f1-1)/(2(f2+1)) = 2 + 0 = 2
+    assert(r.getAs[Double]("chao1") == 2.0)
+    assert(r.getAs[Double]("coverage") == BigDecimal(1.0 - 1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // no singletons -> full coverage, chao1 = observed types
+    val sat = Seq("a a b b").toDF("text")
+    val rs = graft.operators.NgramLm.chao1Richness(sat, "text").head()
+    assert(rs.getAs[Double]("chao1") == 2.0 && rs.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("vocabularyGrowth: types accumulate at first-seen doc, curve monotone") {
+    val df = Seq((0L, "x"), (1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    val out = graft.operators.NgramLm.vocabularyGrowth(df, "doc_id", "text",
+        Seq(1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }
