@@ -834,13 +834,7 @@ private[graft] object Queries091to155 extends QueryModule {
       // fixed-point BIGINT mass so the 3 power iterations replay exactly;
       // each round is the 2-shuffle Pregel shape (join ranks on src,
       // groupBy dst) over the SAME degree-annotated edge list
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       GraphAnalytics.ranked(GraphAnalytics.pageRank(graph, "id", "nbr_id", 3))
         .select(col("id").as("vec_id"), col("pr"), col("rk"))
         .orderBy("rk")
@@ -853,12 +847,7 @@ private[graft] object Queries091to155 extends QueryModule {
       // graph-diffusion "related documents" signal for curation; same
       // fixed-point rounds as q136, teleport share split across seeds
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       val seeds = e.filter(col("vec_id") < 5).select("vec_id")
       GraphAnalytics.personalizedPageRank(graph, "id", "nbr_id",
           seeds, "vec_id", 3)
@@ -894,12 +883,7 @@ private[graft] object Queries091to155 extends QueryModule {
       // the smallest label) — each round one join + integer count agg,
       // replayed exactly by the oracle
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       val seeds = e.filter(col("vec_id") < 200).select("vec_id", "label")
       GraphAnalytics.labelPropagation(graph, "id", "nbr_id",
           seeds, "vec_id", "label", iters = 2)

@@ -72,14 +72,8 @@ private[graft] object Queries156to222 extends QueryModule {
       // structure audit of the q101 kNN graph: undirected triangle census
       // + transitivity via the canonical a<b<c node-iterator join (fan-out
       // bounded by the kNN degree cap)
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
       GraphAnalytics.triangleStats(
-        Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
+        storedKnnGraph(s, dir),
         "id", "nbr_id")
     }),
 
@@ -648,13 +642,7 @@ private[graft] object Queries156to222 extends QueryModule {
       // peel rounds at k=4 — boilerplate/template families show up as
       // high-coreness clusters even when no pair crosses a duplicate
       // threshold; each round is one degree aggregate + two semi-joins
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       GraphAnalytics.kCorePeel(graph, "id", "nbr_id", k = 4, rounds = 2)
         .select(col("id").as("vec_id"), col("deg"))
         .orderBy("vec_id")
@@ -679,12 +667,7 @@ private[graft] object Queries156to222 extends QueryModule {
       // dominant-direction removal; zero-in-degree antihubs counted via
       // the node-table left join
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       GraphAnalytics.inDegreeHistogram(graph, "nbr_id", e, "vec_id")
         .orderBy("n_in")
     }),

@@ -99,11 +99,7 @@ private[graft] object Queries223to272 extends QueryModule {
       // sanity check for graph beam search (q129); three equi-joins on
       // a k-bounded edge list
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val edges = Similarity.knnGraph(
-          Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-            centroids, "cid", "cv"), "embedding", "vec_id", k = 3)
+      val edges = storedKnnGraph(s, dir)
         .select(col("id").as("src"), col("nbr_id").as("dst"))
       val h0 = e.filter(col("vec_id") === 0).select(col("vec_id").as("node"))
       def expand(frontier: DataFrame, visited: DataFrame) =
@@ -288,13 +284,7 @@ private[graft] object Queries223to272 extends QueryModule {
       // common-neighbor/Jaccard link prediction over the q101 kNN graph:
       // the "should-be-neighbors" candidates that densify a kNN graph
       // before NN-descent; one shared-neighbor self-join, hub-capped
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val edges = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val edges = storedKnnGraph(s, dir)
       GraphAnalytics.linkPrediction(edges, "id", "nbr_id", topN = 20)
     }),
 

@@ -69,13 +69,7 @@ private[graft] object Queries273to319 extends QueryModule {
       // Pearson of (deg(src), deg(dst)) over undirected edge endpoints —
       // do hubs link to hubs? (negative on healthy kNN graphs: hubs
       // absorb low-degree spokes; complements q194's hubness histogram)
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val und = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val und = storedKnnGraph(s, dir)
         .filter(col("id") =!= col("nbr_id"))
         .select(least(col("id"), col("nbr_id")).as("a"),
           greatest(col("id"), col("nbr_id")).as("b"))
@@ -110,13 +104,7 @@ private[graft] object Queries273to319 extends QueryModule {
       // common-neighbor count (0 = bridge, high = deeply embedded) — the
       // tie-strength signal that decides which near-dup edges to TRUST
       // when clustering; one shared-neighbor join scoped to edges
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val und = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val und = storedKnnGraph(s, dir)
         .filter(col("id") =!= col("nbr_id"))
         .select(least(col("id"), col("nbr_id")).as("a"),
           greatest(col("id"), col("nbr_id")).as("b"))

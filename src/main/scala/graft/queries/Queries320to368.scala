@@ -40,12 +40,7 @@ private[graft] object Queries320to368 extends QueryModule {
       // label differs, plus the neighborhood majority — the relabel
       // worklist a pipeline reviews before training on the corpus
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val graph = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val graph = storedKnnGraph(s, dir)
       Evaluation.labelNoiseScreen(graph,
           e.select("vec_id", "label"), "vec_id", "label")
         .orderBy("id")
@@ -205,13 +200,7 @@ private[graft] object Queries320to368 extends QueryModule {
       // mutual-kNN symmetrization of the q101 bucket-local graph: keep
       // only reciprocated edges — the HDBSCAN/SemDeDup neighborhood
       // evidence that survives density gaps one-sided kNN edges cross
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val g = storedKnnGraph(s, dir)
       GraphAnalytics.mutualEdges(g, "id", "nbr_id")
         .join(g.select(col("id").as("a"), col("nbr_id").as("b"),
           col("distance")), Seq("a", "b"))
@@ -490,13 +479,7 @@ private[graft] object Queries320to368 extends QueryModule {
       // local clustering coefficient over the mutual-kNN graph: tight
       // near-dup cliques (coef → 1) vs hub-and-spoke neighborhoods
       // (coef → 0) — the topology signal behind SemDeDup-style pruning
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val g = storedKnnGraph(s, dir)
       GraphAnalytics.clusteringCoefficient(
           GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b")
         .withColumn("coef", round(col("coef"), 6))
@@ -514,7 +497,7 @@ private[graft] object Queries320to368 extends QueryModule {
       val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
           centroids, "cid", "cv")
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val g = storedKnnGraph(s, dir)
       GraphAnalytics.modularity(
           GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b",
           assigned.select(col("vec_id"), col("centroid_id")),
@@ -763,13 +746,7 @@ private[graft] object Queries320to368 extends QueryModule {
       // two-NN intrinsic dimension over the cell-local kNN graph: is
       // the 64-dim embedding really 64-dimensional, or does it live on
       // a thin manifold where aggressive IVF/PQ configs are safe?
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-      val g = Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+      val g = storedKnnGraph(s, dir)
       Similarity.intrinsicDimension(g, "id", "rank", "distance")
     }),
 

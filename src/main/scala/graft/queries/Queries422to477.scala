@@ -360,15 +360,8 @@ private[graft] object Queries422to477 extends QueryModule {
       // the symmetrized edges — kNN graphs run disassortative (hub
       // prototypes absorb everyone's neighbor slots); completes the
       // modularity/clustering-coefficient trio
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
       GraphAnalytics.assortativity(
-        Similarity.knnGraph(assigned, "embedding", "vec_id", 3),
+        storedKnnGraph(s, dir),
         "id", "nbr_id")
     }),
 

@@ -432,9 +432,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(!"Exchange \\(\\d+\\)".r.findFirstIn(pp).isDefined,
       "prefilter must be pure map-side")
     // and the full stats query never sort-merges the fact table (the
-    // bloom probe lives inside the cached InMemoryRelation build)
+    // bloom probe ran at localCheckpoint time — the final plan reads the
+    // already-prefiltered rows as a checkpointed RDD scan)
     val p = plan("q140_bloom_join").split("== Initial Plan ==").head
-    assert(p.contains("InMemoryTableScan") && !p.contains("SortMergeJoin"))
+    assert(p.contains("Scan ExistingRDD") && !p.contains("SortMergeJoin"))
   }
 
   test("q173: correlated-min join-back — one fact shuffle, argmin broadcast back") {
