@@ -188,6 +188,21 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("storedKnnGraph: built once per (JVM, dir) — repeat reads never rewrite") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.queries.QueryHelpers.storedKnnGraph(spark, dir)
+      .select("id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val root = graft.queries.QueryHelpers.storedKnnGraphPath(spark, dir)
+    def listing = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val before = listing
+    val second = graft.queries.QueryHelpers.storedKnnGraph(spark, dir)
+      .select("id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(second == first && first.nonEmpty)
+    assert(listing == before, "repeat read rewrote the store")
+  }
+
   test("store layout: one directory per bucket, ids stay in their bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gstore3").toFile
     val path = s"${dir.getAbsolutePath}/graph"
