@@ -206,4 +206,57 @@ class PropertySpec extends SparkSpec {
         qs.forall(e => e >= 0.0 && e <= 100.0)
     })
   }
+
+  test("AMS sketch: linear in concatenation; F2 >= within-row unbiased floor 0") {
+    import graft.operators.Sketches
+    val keysGen = Gen.chooseNum(5, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 50L)))
+    passes(Prop.forAll(keysGen, keysGen) { (a, b) =>
+      val da = a.map(Tuple1(_)).toDF("k"); val db = b.map(Tuple1(_)).toDF("k")
+      val merged = Sketches.amsMerge(
+          Sketches.amsCounters(da, "k", 3, 64)
+            .union(Sketches.amsCounters(db, "k", 3, 64)))
+        .as[(Int, Long, Long)].collect().toSet
+      val direct = Sketches.amsCounters(da.union(db), "k", 3, 64)
+        .as[(Int, Long, Long)].collect().toSet
+      merged == direct
+    })
+  }
+
+  test("hampelGate: outlier count and winsorized mean invariant under row order") {
+    import graft.operators.Stats
+    val valsGen = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    passes(Prop.forAll(valsGen) { vs =>
+      val df = vs.map(v => ("g", v)).toDF("g", "v")
+      val shuffled = vs.reverse.map(v => ("g", v)).toDF("g", "v")
+        .repartition(5)
+      def row(d: org.apache.spark.sql.DataFrame) = {
+        val r = Stats.hampelGate(d, "g", "v", 3).head()
+        (r.getAs[Long]("n"), r.getAs[Double]("median"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers"), r.getAs[Double]("win_mean"))
+      }
+      row(df) == row(shuffled)
+    })
+  }
+
+  test("chao1 >= observed types; coverage in [0, 1]; growth curve monotone") {
+    import graft.operators.NgramLm
+    val docsGen = Gen.chooseNum(2, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 8).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("ax", "by", "cz", "dw", "ev", "fu", "gt"))
+          .map(_.mkString(" ")))))
+    passes(Prop.forAll(docsGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val r = NgramLm.chao1Richness(df, "text").head()
+      val growth = NgramLm.vocabularyGrowth(df, "doc_id", "text",
+          Seq(1L, 5L, docs.length.toLong))
+        .orderBy("k").as[(Long, Long)].collect().map(_._2)
+      r.getAs[Double]("chao1") >= r.getAs[Long]("n_types").toDouble &&
+        r.getAs[Double]("coverage") >= 0.0 && r.getAs[Double]("coverage") <= 1.0 &&
+        growth.sliding(2).forall { case Array(x, y) => x <= y; case _ => true } &&
+        growth.last == r.getAs[Long]("n_types")
+    })
+  }
 }
