@@ -649,8 +649,12 @@ object GraphAnalytics {
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    val all = sources.map(s => brandesFrom(und, s, maxDepth)
-      .select(col("node"), col("delta"))).reduce(_ unionByName _)
+    // ALL pivots ride one columnar pass (src keys every frontier/level
+    // frame): 2·maxDepth rounds total instead of 2·maxDepth·|pivots| —
+    // the landmark-batching form that makes K=64 pivots at 100 TB cost
+    // the same round count as K=1
+    val all = brandesFromAll(und, sources, maxDepth)
+      .select(col("node"), col("delta"))
     all.groupBy("node")
       .agg(count(lit(1)).as("n_sources_reached"),
         (sum(d18(col("delta"))).cast("double") / sources.size)
@@ -669,48 +673,67 @@ object GraphAnalytics {
     * [[sampledBetweenness]]. Returns (node, dist, sigma, delta) for
     * every reached node. */
   private def brandesFrom(und: DataFrame, sourceId: Long,
-                          maxDepth: Int): DataFrame = {
+                          maxDepth: Int): DataFrame =
+    brandesFromAll(und, Seq(sourceId), maxDepth).drop("src")
+
+  /** [[brandesFrom]] for a WHOLE pivot set in one columnar pass: every
+    * frontier/level frame carries a `src` key, so the K sources share
+    * each round's joins instead of multiplying the round count — the
+    * per-source arithmetic (σ sums, δ decimal accumulation, level
+    * structure) is IDENTICAL to running K independent passes (frames
+    * partition by src by construction: a (src, node) row never mixes
+    * with another source's rows). Returns (src, node, dist, sigma,
+    * delta) for every (pivot, reached node) pair. */
+  private def brandesFromAll(und: DataFrame, sources: Seq[Long],
+                             maxDepth: Int): DataFrame = {
     val d18 = (c: Column) => c.cast("decimal(38,18)")
-    // forward: levels with path counts
+    val spark = und.sparkSession
+    import spark.implicits._
+    // forward: levels with path counts, keyed by (src, node)
     var info = und.select(col("a").as("node")).distinct()
-      .filter(col("node") === sourceId)
-      .select(col("node"), lit(0).as("dist"), lit(1L).as("sigma"))
+      .join(sources.toDF("src"), col("node") === col("src"))
+      .select(col("src"), col("node"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
       .localCheckpoint()
     var frontier = info
     for (h <- 1 to maxDepth) {
       frontier = frontier
         .join(und, frontier("node") === und("a"))
-        .groupBy(col("b").as("node"))
+        .groupBy(col("src"), col("b").as("node"))
         .agg(sum("sigma").as("sigma"))
-        .join(info.select(col("node")), Seq("node"), "left_anti")
-        .select(col("node"), lit(h).as("dist"), col("sigma"))
+        .join(info.select(col("src"), col("node")), Seq("src", "node"),
+          "left_anti")
+        .select(col("src"), col("node"), lit(h).as("dist"), col("sigma"))
         .localCheckpoint()
       info = info.union(frontier).localCheckpoint()
     }
-    // backward: dependencies level by level
+    // backward: dependencies level by level, still keyed by src
     val maxD = maxDepth
     var delta = info.filter(col("dist") === maxD)
-      .select(col("node"), lit(0.0).as("delta")).localCheckpoint()
+      .select(col("src"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint()
     var acc = delta
     for (h <- (maxD - 1) to 0 by -1) {
-      val upper = info.join(delta, Seq("node"))
+      val upper = info.join(delta, Seq("src", "node"))
         .filter(col("dist") === h + 1)
-        .select(col("node").as("b"), col("sigma").as("sv"),
+        .select(col("src"), col("node").as("b"), col("sigma").as("sv"),
           col("delta").as("dv"))
       val lvl = info.filter(col("dist") === h)
         .join(und, info("node") === und("a"))
-        .join(upper, Seq("b"))
-        .groupBy(col("node"))
+        .join(upper, Seq("src", "b"))
+        .groupBy(col("src"), col("node"))
         .agg(sum(d18((col("sigma").cast("double") / col("sv")) *
           (lit(1.0) + col("dv")))).cast("double").as("delta"))
-      val lvlFull = info.filter(col("dist") === h).select(col("node"))
-        .join(lvl, Seq("node"), "left")
-        .select(col("node"), coalesce(col("delta"), lit(0.0)).as("delta"))
+      val lvlFull = info.filter(col("dist") === h)
+        .select(col("src"), col("node"))
+        .join(lvl, Seq("src", "node"), "left")
+        .select(col("src"), col("node"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint()
       delta = lvlFull
       acc = acc.union(lvlFull).localCheckpoint()
     }
-    info.join(acc, Seq("node"))
+    info.join(acc, Seq("src", "node"))
   }
 
   /** 1-dimensional Weisfeiler–Lehman color refinement (Weisfeiler &
