@@ -969,30 +969,36 @@ object GraphAnalytics {
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    def one(seed: Long): DataFrame = {
-      var dist = und.select(col("a").as("node"))
-        .filter(col("node") === seed).distinct()
-        .withColumn("d", lit(0)).localCheckpoint()
-      var frontier = dist
-      for (h <- 1 to maxHops) {
-        frontier = frontier.join(und, frontier("node") === und("a"))
-          .select(col("b").as("node")).distinct()
-          .join(dist.select("node"), Seq("node"), "left_anti")
-          .withColumn("d", lit(h))
-          .localCheckpoint()
-        dist = dist.union(frontier).localCheckpoint()
-      }
-      dist.filter(col("d") > 0)
-        .agg(count(lit(1)).as("n_reached"), max("d").as("ecc"),
-          sum(col("d").cast("long")).as("sum_d"),
-          sum(d18(lit(1.0) / col("d"))).cast("double").as("h"))
-        .select(lit(seed).as("source"), col("n_reached"), col("ecc"),
-          round(col("h"), 6).as("harmonic"),
-          when(col("sum_d") > 0, round(
-            col("n_reached").cast("double") / col("sum_d"), 6))
-            .as("closeness"))
+    // all seeds ride one src-keyed BFS (the q428 landmark-batching
+    // form): maxHops rounds total instead of maxHops·|seeds|, with each
+    // (src, node) stream identical to the per-seed pass
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = und.select(col("a").as("node")).distinct()
+      .join(seeds.toDF("source"), col("node") === col("source"))
+      .select(col("source"), col("node"), lit(0).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(und, frontier("node") === und("a"))
+        .select(col("source"), col("b").as("node")).distinct()
+        .join(dist.select("source", "node"), Seq("source", "node"),
+          "left_anti")
+        .withColumn("d", lit(h))
+        .localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
     }
-    seeds.map(one).reduce(_ unionByName _).orderBy("source")
+    dist.filter(col("d") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reached"), max("d").as("ecc"),
+        sum(col("d").cast("long")).as("sum_d"),
+        sum(d18(lit(1.0) / col("d"))).cast("double").as("h"))
+      .select(col("source"), col("n_reached"), col("ecc"),
+        round(col("h"), 6).as("harmonic"),
+        when(col("sum_d") > 0, round(
+          col("n_reached").cast("double") / col("sum_d"), 6))
+          .as("closeness"))
+      .orderBy("source")
   }
 
   /** Single-source shortest paths with nonnegative INTEGER edge weights
