@@ -586,13 +586,22 @@ object NgramLm {
     val first = df.select(col(idCol).cast("long").as("_id"),
         explode(TextQuality.tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(min("_id").as("first_id"))
-    val cps = checkpoints.sorted
-    first
+    // distinct: a duplicated checkpoint would explode each type twice
+    // into the same k group and double its count (property-test find)
+    val cps = checkpoints.distinct.sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    // checkpoints drive the output frame (left join), so an EMPTY
+    // vocabulary still yields one zero row per k rather than no rows
+    val counts = first
       .select(explode(array(cps.map(lit(_)): _*)).as("k"),
         col("first_id"))
       .groupBy("k")
       .agg(sum(when(col("first_id") < col("k"), 1L).otherwise(0L))
         .cast("long").as("n_types_seen"))
+    cps.toDF("k").join(counts, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_types_seen"), lit(0L)).as("n_types_seen"))
       .orderBy("k")
   }
 }

@@ -3213,7 +3213,14 @@ object Stats {
     * location estimate training-data QA wants when a feed glitch injects
     * a few 10⁶× values: the plain mean moves, the winsorized one barely.
     * Two sort-based percentiles per group — the q53 exact-percentile
-    * shape, map-side clip + decimal mean after. */
+    * shape, map-side clip + decimal mean after.
+    *
+    * Scale note: Spark's exact `percentile` buffers each group's values,
+    * so this form wants groups that fit an executor (event types, domains
+    * — the audit's natural keys). For UNBOUNDED groups at 100 TB, swap
+    * the median/MAD legs for [[twoPassMedian]] (coarse histogram + one
+    * bucket rescan) or [[Sketches.histogramQuantiles]]; the fence/clip
+    * algebra is unchanged. */
   def hampelGate(df: DataFrame, groupCol: String, valueCol: String,
                  k: Int = 3): DataFrame = {
     val v = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))

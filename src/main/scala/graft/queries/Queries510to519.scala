@@ -241,7 +241,8 @@ private[graft] object Queries510to519 extends QueryModule {
         |SELECT CAST(k AS BIGINT) AS k,
         |  CAST(SUM(CASE WHEN first_id < k THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_types_seen
-        |FROM first, ks GROUP BY k ORDER BY k""".stripMargin,
+        |FROM ks LEFT JOIN first ON true GROUP BY k ORDER BY k"""
+        .stripMargin,
 
     "q514_mutual_information" ->
       """WITH j AS (SELECT source AS x, n_chars // 200 AS y,
