@@ -297,7 +297,7 @@ private[graft] object Queries091to155 extends QueryModule {
       // by Reciprocal Rank Fusion — rank-based, so the incompatible score
       // scales never matter; both lists are top-k-bounded, so the fuse is
       // trivially cheap no matter the corpus
-      val lex = Retrieval.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+      val lex = storedBm25(s, dir,
           Seq("spark", "join", "vector", "window"), 20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("id").asc)))

@@ -81,7 +81,7 @@ private[graft] object Queries223to272 extends QueryModule {
       import s.implicits._
       val d = tbl(s, dir, "documents")
       val q0 = Seq("spark", "join", "vector", "window")
-      val top5 = Retrieval.bm25(d, "doc_id", "text", q0, 5).select("id")
+      val top5 = storedBm25(s, dir, q0, 5).select("id")
       val expTerms = d
         .join(top5, d("doc_id") === top5("id"), "left_semi")
         .select(explode(Retrieval.analyze(col("text"))).as("term"))
@@ -89,7 +89,7 @@ private[graft] object Queries223to272 extends QueryModule {
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(2)
         .select("term").as[String].collect().toSeq
-      Retrieval.bm25(d, "doc_id", "text", q0 ++ expTerms, 10)
+      storedBm25(s, dir, q0 ++ expTerms, 10)
     }),
 
 
@@ -171,8 +171,8 @@ private[graft] object Queries223to272 extends QueryModule {
       val q0 = Seq("spark", "join", "vector", "window")
       def ranked(df: org.apache.spark.sql.DataFrame) = df.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
-      val a = ranked(Retrieval.bm25(d, "doc_id", "text", q0, 10))
-      val top5 = Retrieval.bm25(d, "doc_id", "text", q0, 5).select("id")
+      val a = ranked(storedBm25(s, dir, q0, 10))
+      val top5 = storedBm25(s, dir, q0, 5).select("id")
       val expTerms = d
         .join(top5, d("doc_id") === top5("id"), "left_semi")
         .select(explode(Retrieval.analyze(col("text"))).as("term"))
@@ -180,7 +180,7 @@ private[graft] object Queries223to272 extends QueryModule {
         .groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(2)
         .select("term").as[String].collect().toSeq
-      val b = ranked(Retrieval.bm25(d, "doc_id", "text", q0 ++ expTerms, 10))
+      val b = ranked(storedBm25(s, dir, q0 ++ expTerms, 10))
       Evaluation.rankAgreement(a, b, "id", "rank", k = 10)
     }),
 
@@ -541,7 +541,7 @@ private[graft] object Queries223to272 extends QueryModule {
       graft.plans.VectorExpressions.register(s)
       val d = tbl(s, dir, "documents")
       val q0 = Seq("spark", "join", "vector", "window")
-      val cands = Retrieval.bm25(d, "doc_id", "text", q0, 20)
+      val cands = storedBm25(s, dir, q0, 20)
         .select(col("id").as("doc_id"), col("score").as("bm25"),
           col("n_matched"))
       val e = tbl(s, dir, "embeddings")

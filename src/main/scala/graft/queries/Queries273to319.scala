@@ -979,7 +979,7 @@ private[graft] object Queries273to319 extends QueryModule {
       val docs = tbl(s, dir, "documents")
       val terms = Seq("spark", "join", "vector", "window")
       val wr = Window.orderBy(col("score").desc, col("id").asc)
-      val a = Retrieval.bm25(docs, "doc_id", "text", terms, 20)
+      val a = storedBm25(s, dir, terms, 20)
         .select(col("id"), row_number().over(wr).as("ra"))
       val b = Retrieval.queryLikelihood(docs, "doc_id", "text", terms, 20)
         .select(col("id"), row_number().over(wr).as("rb"))
@@ -1068,7 +1068,7 @@ private[graft] object Queries273to319 extends QueryModule {
       graft.plans.VectorExpressions.register(s)
       val d = tbl(s, dir, "documents")
       val q0 = Seq("spark", "join", "vector", "window")
-      val cands = Retrieval.bm25(d, "doc_id", "text", q0, 20)
+      val cands = storedBm25(s, dir, q0, 20)
         .select(col("id").as("doc_id"), col("score").as("bm25"))
       val e = tbl(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0).select("embedding")

@@ -85,7 +85,7 @@ private[graft] object Queries320to368 extends QueryModule {
       // the quality price of bounding worst-case posting-list scans
       val d = tbl(s, dir, "documents")
       val terms = Seq("spark", "join", "vector", "window")
-      val full = Retrieval.bm25(d, "doc_id", "text", terms, 20)
+      val full = storedBm25(s, dir, terms, 20)
       val pruned = Retrieval.bm25ImpactPruned(d, "doc_id", "text", terms,
         20, keepPerTerm = 32)
       pruned
@@ -430,11 +430,11 @@ private[graft] object Queries320to368 extends QueryModule {
       import s.implicits._
       val d = tbl(s, dir, "documents")
       val baseTerms = Seq("spark", "join")
-      val base = Retrieval.bm25(d, "doc_id", "text", baseTerms, 10)
+      val base = storedBm25(s, dir, baseTerms, 10)
       val exp = Retrieval.prfExpandTerms(d, "doc_id", "text", baseTerms,
           10, 3)
         .select("term").as[String].collect().toSeq.sorted
-      Retrieval.bm25(d, "doc_id", "text", baseTerms ++ exp, 10)
+      storedBm25(s, dir, baseTerms ++ exp, 10)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
         .join(base.select(col("id"), lit(true).as("in_base")), Seq("id"),

@@ -53,8 +53,8 @@ private[graft] object Queries422to477 extends QueryModule {
       // how much did RRF fusion move the top-10: rank-biased overlap
       // (p=0.9) between the lexical BM25 ranking and the fused hybrid —
       // top-weighted, handles non-conjoint lists, coefficient literals
-      val lex = Retrieval.bm25(tbl(s, dir, "documents"), "doc_id",
-          "text", Seq("spark", "join", "vector", "window"), 20)
+      val lex = storedBm25(s, dir,
+          Seq("spark", "join", "vector", "window"), 20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("id").asc)))
         .select(col("id"), col("rank"))

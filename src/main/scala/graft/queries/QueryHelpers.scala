@@ -105,6 +105,36 @@ private[graft] object QueryHelpers {
   }
 
 
+  /** Build-once/serve-many LEXICAL index — the IndexStore twin of
+    * [[storedKnnGraph]]: the documents inverted index persisted once per
+    * (JVM, sf-dir) through [[graft.store.IndexStore.write]] (8 term
+    * buckets), so every BM25-consuming query (hybrid fusion, PRF, RBO,
+    * snippets) probes partition-pruned posting lists instead of
+    * re-tokenizing the corpus. Scores are arithmetic-identical to the
+    * scan-built [[graft.operators.Retrieval.bm25]] (q106 ≡ q98 pins it),
+    * so every oracle is untouched. q97/q98/q104/q121 keep inline builds
+    * BY DESIGN — they gate the build/scan/merge machinery itself. */
+  private val indexStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def storedIndexPath(s: SparkSession, dir: String): String =
+    indexStorePaths.computeIfAbsent(dir, d => {
+      val idx = graft.operators.Retrieval.invertedIndex(
+        tbl(s, d, "documents"), "doc_id", "text")
+      val p = sys.props("java.io.tmpdir") +
+        s"/graft-index-store-$tmpToken-${math.abs(d.hashCode.toLong)}"
+      graft.store.IndexStore.write(idx, p, nBuckets = 8)
+      p
+    })
+  def docLengths(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id").cast("long").as("id"),
+      size(graft.operators.Retrieval.analyze(col("text")))
+        .cast("long").as("dl"))
+  /** [[graft.operators.Retrieval.bm25]] served from the standing index. */
+  def storedBm25(s: SparkSession, dir: String, terms: Seq[String],
+                 k: Int): DataFrame =
+    graft.operators.Retrieval.bm25FromIndex(s, storedIndexPath(s, dir), 8,
+      docLengths(s, dir), terms, k)
+
   /** The q496/q497 synthetic rater panel: (flipBase, pickBase, accNum,
     * accDen) per annotator — 90%, 70%, 60% accurate. Prime hash bases
     * keep the raters independent and the oracle replayable. */
