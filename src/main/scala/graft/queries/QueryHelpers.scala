@@ -125,10 +125,18 @@ private[graft] object QueryHelpers {
       graft.store.IndexStore.write(idx, p, nBuckets = 8)
       p
     })
+  /** Doc lengths memoized as a localCheckpointed |docs|-row frame: the
+    * whole point of the standing index is NOT re-tokenizing the corpus
+    * per query, and dl was the remaining tokenize pass (measured: the
+    * stored path LOST to the scan path until this was pinned). */
+  private val docLengthFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def docLengths(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents").select(col("doc_id").cast("long").as("id"),
-      size(graft.operators.Retrieval.analyze(col("text")))
-        .cast("long").as("dl"))
+    docLengthFrames.computeIfAbsent(dir, d =>
+      tbl(s, d, "documents").select(col("doc_id").cast("long").as("id"),
+        size(graft.operators.Retrieval.analyze(col("text")))
+          .cast("long").as("dl"))
+        .localCheckpoint())
   /** [[graft.operators.Retrieval.bm25]] served from the standing index. */
   def storedBm25(s: SparkSession, dir: String, terms: Seq[String],
                  k: Int): DataFrame =
