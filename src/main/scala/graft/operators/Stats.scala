@@ -3274,6 +3274,114 @@ object Stats {
               .cast("double"))), 6).as("z"))
   }
 
+  /** Benford first-digit audit (Benford 1938; Nigrini's fraud screen):
+    * observed first-significant-digit counts of a positive integer column
+    * against the log-law expectation p(d) = log₁₀(1 + 1/d), with the
+    * per-digit ratio and the χ² total. Synthetic/fabricated numeric
+    * columns (and over-templated synthetic corpora) flunk it; natural
+    * multiplicative processes pass. The nine expected proportions are
+    * COMPILE-TIME double literals (embedded identically in the oracle),
+    * so every derived double is a fixed expression over exact counts —
+    * χ² terms decimal-accumulate, display-round 6. One map-side digit
+    * extraction + a 9-row aggregate. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val ps = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val obs = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val expected = ps.tail.foldLeft(
+      when(col("digit") === ps.head._1, lit(ps.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    val n = obs.agg(sum("n_obs").as("n"))
+    val terms = obs.crossJoin(broadcast(n))
+      .withColumn("p", expected)
+      .withColumn("exp_n", col("p") * col("n"))
+      .withColumn("term", (col("n_obs") - col("exp_n")) *
+        (col("n_obs") - col("exp_n")) / col("exp_n"))
+    val chi2 = terms.agg(sum(d18(col("term"))).cast("double").as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("exp_n"), 6).as("expected_n"),
+        round(col("n_obs") / col("exp_n"), 6).as("ratio"),
+        round(col("chi2"), 6).as("chi2"))
+      .orderBy("digit")
+  }
+
+  /** CART-style single-split feature ranking by Gini gain: for each
+    * candidate CATEGORICAL feature, the drop from the parent's binary
+    * Gini impurity to the feature-partitioned weighted impurity — the
+    * "which metadata column separates good from bad docs" screen that
+    * complements [[mutualInformation]] with the decision-tree currency
+    * (no logs anywhere: gini = 1 − Σ(n_c/n)², all rationals over exact
+    * counts; per-value impurities weight-sum in decimal). One aggregate
+    * per feature over its (value, label) contingency. */
+  def giniSplitGain(df: DataFrame, labelCol: String,
+                    features: Seq[String]): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    def gini(pos: Column, n: Column): Column =
+      lit(1.0) - (pos / n) * (pos / n) -
+        ((n - pos) / n) * ((n - pos) / n)
+    val base = df.select(col(labelCol).cast("boolean").as("y") +:
+      features.map(f => col(f).cast("string").as(f)): _*)
+    val parentRow = base.agg(count(lit(1)).cast("double").as("pn"),
+      sum(when(col("y"), 1L).otherwise(0L)).cast("double").as("pp"))
+    val perFeature = features.map { f =>
+      base.groupBy(col(f).as("value"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).cast("double").as("pos"))
+        .crossJoin(broadcast(parentRow))
+        .agg(lit(f).as("feature"),
+          count(lit(1)).as("n_values"),
+          sum(d18(col("n") / col("pn") * gini(col("pos"), col("n"))))
+            .cast("double").as("wimp"))
+    }.reduce(_ unionByName _)
+    perFeature.crossJoin(broadcast(parentRow))
+      .select(col("feature"), col("n_values"),
+        round(col("wimp"), 6).as("weighted_impurity"),
+        round(gini(col("pp"), col("pn")) - col("wimp"), 6).as("gain"))
+      .orderBy(col("gain").desc, col("feature"))
+  }
+
+  /** Cramér's V association for a two-column contingency (the χ²-based
+    * companion of [[mutualInformation]], bounded [0,1] and comparable
+    * across table shapes): χ² = Σ (o − e)²/e with e = row·col/n, then
+    * V = √(χ² / (n·(min(r,c)−1))). Exact counts → fixed double terms →
+    * decimal accumulation; sqrt is replay-safe. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val joint = df.groupBy(col(aCol).as("x"), col(bCol).as("y"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val ma = joint.groupBy("x").agg(sum("o").as("cx"))
+    val mb = joint.groupBy("y").agg(sum("o").as("cy"))
+    val tot = joint.agg(sum("o").as("n"))
+    val dims = ma.agg(count(lit(1)).as("r"))
+      .crossJoin(mb.agg(count(lit(1)).as("c")))
+    // the FULL r×c grid, not just observed cells: an empty cell still
+    // contributes (0 − e)²/e — dropping zeros understates χ² exactly
+    // when association is strongest (spec-caught)
+    val grid = ma.crossJoin(mb)
+      .join(joint, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val chi2 = grid
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("cx").cast("double") * col("cy") / col("n"))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) /
+        col("e"))
+      .agg(sum(d18(col("term"))).cast("double").as("chi2"))
+    chi2.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(col("n").cast("long").as("n"),
+        col("r").cast("int").as("n_rows"),
+        col("c").cast("int").as("n_cols"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * (least(col("r"), col("c")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
   /** Mutual information between two categorical columns (source ×
     * quality verdict, route × grade…): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
     * plus the marginal entropies and the √(H·H)-normalized NMI — the

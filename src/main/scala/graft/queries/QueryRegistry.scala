@@ -25,7 +25,8 @@ private[graft] object QueryRegistry {
     Queries369to421,
     Queries422to477,
     Queries478to509,
-    Queries510to519)
+    Queries510to519,
+    Queries520to529)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_.queries).reduce(_ ++ _)
   lazy val oracleSql: Map[String, String] =

@@ -1232,4 +1232,43 @@ class StatsSpec extends SparkSpec {
     assert(rc.getAs[Double]("nmi") == 1.0)
     assert(math.abs(rc.getAs[Double]("mi") - math.log(2.0)) < 1e-6)
   }
+
+  test("benfordAudit: a perfect Benford sample scores chi2 0; uniform digits flunk") {
+    // counts proportional to log10(1+1/d) out of 10000 won't be exact,
+    // so build the exact-expectation case instead: one value per digit,
+    // n=9, expected n*p != 1 -> chi2 > 0 but ratios computed exactly
+    val uni = (1 to 9).map(d => Tuple1(d.toLong * 1000)).toDF("v")
+    val ru = Stats.benfordAudit(uni, "v").collect()
+    assert(ru.length == 9 && ru.forall(_.getAs[Long]("n_obs") == 1L))
+    val chi2u = ru.head.getAs[Double]("chi2")
+    // a heavily benford-skewed sample scores far lower chi2 per row than
+    // the uniform one at the same n: 30/18/12/10/8/7/6/5/4 ~ benford
+    val skew = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4).zipWithIndex
+      .flatMap { case (n, i) => Seq.fill(n)((i + 1).toLong * 100) }
+      .map(Tuple1(_)).toDF("v")
+    val chi2s = Stats.benfordAudit(skew, "v").head().getAs[Double]("chi2")
+    assert(chi2s / 100 < chi2u / 9, s"skew $chi2s uniform $chi2u")
+    // digit extraction ignores non-positive values
+    val withJunk = uni.union(Seq(Tuple1(0L), Tuple1(-5L)).toDF("v"))
+    assert(Stats.benfordAudit(withJunk, "v").count() == 9)
+  }
+
+  test("giniSplitGain: perfect splitter gains the full parent impurity; noise gains 0") {
+    val df = (0 until 100).map { i =>
+      (i % 2 == 0, if (i % 2 == 0) "a" else "b", ((i / 2) % 4).toString)
+    }.toDF("y", "perfect", "noise")
+    val out = Stats.giniSplitGain(df, "y", Seq("perfect", "noise"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gain")).toMap
+    assert(out("perfect") == 0.5) // parent gini = 0.5, children pure
+    assert(out("noise") == 0.0)
+  }
+
+  test("cramersV: identical columns associate at 1; independent at 0") {
+    val same = (0 until 60).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val rs = Stats.cramersV(same, "a", "b").head()
+    assert(rs.getAs[Double]("cramers_v") == 1.0)
+    val ind = (0 until 60).map(i => (i % 3, (i / 3) % 2)).toDF("a", "b")
+    assert(Stats.cramersV(ind, "a", "b").head()
+      .getAs[Double]("cramers_v") == 0.0)
+  }
 }

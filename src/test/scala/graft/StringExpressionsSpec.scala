@@ -32,4 +32,24 @@ class StringExpressionsSpec extends SparkSpec {
       .as[Double].collect()
     pairs.zip(got).foreach { case ((a, b), v) => assert(v == dice(a, b)) }
   }
+
+  test("jaroWinkler: textbook values, boost threshold, codegen parity with eval") {
+    import graft.plans.StringExpressions.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jaroWinkler(u(a), u(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    // below Winkler's 0.7 threshold the prefix boost must NOT apply
+    assert(math.abs(jw("WINDOW", "WODNIW") - 0.6944444444444443) < 1e-12)
+    assert(jw("abc", "abc") == 1.0 && jw("", "abc") == 0.0 && jw("", "") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // registered expression evaluates identically inside a plan
+    graft.plans.StringExpressions.register(spark)
+    val out = Seq(("MARTHA", "MARHTA"), ("WINDOW", "WODNIW"))
+      .toDF("a", "b")
+      .selectExpr("graft_jaro_winkler(a, b) AS jw")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(out.head - 0.9611111111111111) < 1e-12)
+    assert(math.abs(out(1) - 0.6944444444444443) < 1e-12)
+  }
 }
