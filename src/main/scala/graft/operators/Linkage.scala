@@ -272,6 +272,32 @@ object Linkage {
         round(col("dice"), 6).as("dice"))
   }
 
+  /** [[diceBestMatch]] with the Jaro-Winkler comparator
+    * ([[graft.plans.StringExpressions.JaroWinklerExpr]]): the
+    * transposition-tolerant best match — adjacent-swap typos keep JW
+    * near 1 where bigram Dice loses both affected bigrams. Same
+    * first-letter blocking, same block-bounded rank window; rows whose
+    * best candidate scores below `minJw` are dropped (the linkage
+    * REJECT band). */
+  def jaroWinklerBestMatch(left: DataFrame, leftId: String,
+                           leftWord: String, right: DataFrame,
+                           rightWord: String,
+                           minJw: Double = 0.0): DataFrame = {
+    graft.plans.StringExpressions.register(left.sparkSession)
+    val l = left.select(col(leftId).as("l_id"), col(leftWord).as("lw"),
+      substring(col(leftWord), 1, 1).as("_blk"))
+    val r = right.select(col(rightWord).as("rw"),
+      substring(col(rightWord), 1, 1).as("_blk")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_id")
+      .orderBy(col("jw").desc, col("rw"))
+    l.join(r, Seq("_blk"))
+      .withColumn("jw", expr("graft_jaro_winkler(lw, rw)"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && col("jw") >= minJw)
+      .select(col("l_id"), col("lw"), col("rw").as("best_match"),
+        round(col("jw"), 6).as("jw"))
+  }
+
   /** Phonetic blocking table (American Soundex): each distinct word keyed
     * by its 4-char sound code, rolled up into blocks with member lists —
     * step (1) of entity resolution when the variation is SPELLING of the

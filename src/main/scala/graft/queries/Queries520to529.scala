@@ -40,6 +40,26 @@ private[graft] object Queries520to529 extends QueryModule {
           expr("n_chars div 200").as("len_bucket")),
         "source", "len_bucket")),
 
+    "q521_jw_linkage" -> ((s, dir) => {
+      // blocked fuzzy linkage with the JW comparator: each doc's lead
+      // word must link back to ITSELF out of a right side holding both
+      // the clean vocabulary and its transposition typos — first-letter
+      // blocking bounds candidates, the codegen'd scalar scores inside
+      // the join's fused loop, minJw = 0.85 is the reject band
+      graft.plans.StringExpressions.register(s)
+      val words = tbl(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          upper(element_at(TextQuality.tokens(col("text")), 1)).as("w"))
+        .filter(length(col("w")) >= 4)
+      val vocabAndTypos = words.select(col("w").as("rw"))
+        .union(words.select(concat(substring(col("w"), 1, 1),
+          substring(col("w"), 3, 1), substring(col("w"), 2, 1),
+          expr("substring(w, 4)")).as("rw")))
+      Linkage.jaroWinklerBestMatch(words, "doc_id", "w",
+          vocabAndTypos, "rw", minJw = 0.85)
+        .orderBy("l_id")
+    }),
+
     "q520_jaro_winkler" -> ((s, dir) => {
       // native codegen'd Jaro-Winkler (graft_jaro_winkler — the
       // record-linkage comparator q492's Fellegi-Sunter patterns feed
@@ -141,6 +161,26 @@ private[graft] object Queries520to529 extends QueryModule {
         |  round(sqrt(c2.chi2 / (tot.n * (least(dims.r, dims.c) - 1))), 6)
         |    AS cramers_v
         |FROM c2, tot, dims""".stripMargin,
+
+    "q521_jw_linkage" ->
+      """WITH w AS (SELECT doc_id, a AS w FROM (SELECT doc_id,
+        |    upper(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')[1]) AS a
+        |  FROM documents WHERE doc_id < 400) WHERE length(a) >= 4),
+        |r AS (SELECT DISTINCT rw FROM (
+        |  SELECT w AS rw FROM w
+        |  UNION ALL SELECT substring(w, 1, 1) || substring(w, 3, 1) ||
+        |    substring(w, 2, 1) || substring(w, 4) FROM w)),
+        |cand AS (SELECT w.doc_id AS l_id, w.w AS lw, r.rw,
+        |    jaro_winkler_similarity(w.w, r.rw) AS jw
+        |  FROM w JOIN r ON substring(w.w, 1, 1) = substring(r.rw, 1, 1)),
+        |best AS (SELECT l_id, lw, rw, jw,
+        |    row_number() OVER (PARTITION BY l_id ORDER BY jw DESC, rw)
+        |      AS rk
+        |  FROM cand)
+        |SELECT l_id, lw, rw AS best_match, round(jw, 6) AS jw
+        |FROM best WHERE rk = 1 AND jw >= 0.85 ORDER BY l_id"""
+        .stripMargin,
 
     "q520_jaro_winkler" ->
       """WITH w AS (SELECT doc_id,

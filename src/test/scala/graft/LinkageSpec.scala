@@ -163,4 +163,18 @@ class LinkageSpec extends SparkSpec {
     assert(m1 >= 0.0 && m1 <= 1.0 && u1 >= 0.0 && u1 <= 1.0)
     assert(w1 > 0.0)
   }
+
+  test("jaroWinklerBestMatch: transposition typo links back; reject band drops strangers") {
+    val left = Seq((1L, "MARTHA"), (2L, "DWAYNE"), (3L, "ZEBRA"))
+      .toDF("id", "w")
+    val right = Seq("MARHTA", "DUANE", "QUUX").map(Tuple1(_)).toDF("rw")
+    val out = graft.operators.Linkage.jaroWinklerBestMatch(
+        left, "id", "w", right, "rw", minJw = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getAs[Double]("jw"))).toMap
+    assert(out(1L) == ("MARHTA", 0.961111))
+    assert(out(2L) == ("DUANE", 0.84))
+    // ZEBRA has no same-letter candidate at all -> absent
+    assert(!out.contains(3L))
+  }
 }
