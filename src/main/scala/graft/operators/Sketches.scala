@@ -183,13 +183,36 @@ object Sketches {
 
   /** F2 (self-join size, Σ_k f_k²) estimate: per depth row Σ_w c_w² is an
     * unbiased F2 estimator; the MEDIAN over the `depth` rows tames the
-    * variance (take depth odd so the median is a single integer — exact,
-    * no interpolation). The skew statistic that prices a 100 TB shuffle
-    * join's hot keys from an O(depth×width) sketch. */
-  def amsF2(counters: DataFrame, depth: Int): DataFrame =
-    counters.groupBy("d")
-      .agg(sum(col("c") * col("c")).cast("long").as("_f2"))
-      .agg(expr(s"percentile(_f2, 0.5)").cast("long").as("f2_est"))
+    * variance. `depth` must be ODD (enforced) so the median is a single
+    * integer — exact, no interpolation for the long cast to truncate.
+    * The median runs over the FULL 0..depth-1 grid: a depth row with no
+    * surviving cells contributes 0 (an all-cancelled or empty row is a
+    * legitimate zero estimate, not a hole), and a row id ≥ depth — a grid
+    * built with a different depth than declared — fails the plan loudly
+    * instead of silently shifting the median. The skew statistic that
+    * prices a 100 TB shuffle join's hot keys from an O(depth×width)
+    * sketch. */
+  def amsF2(counters: DataFrame, depth: Int): DataFrame = {
+    require(depth % 2 == 1, s"amsF2: depth must be odd (got $depth)")
+    medianOverDepthGrid(
+      counters.groupBy("d")
+        .agg(sum(col("c") * col("c")).cast("long").as("_v")),
+      depth, "f2_est", "amsF2")
+  }
+
+  /** Shared tail of [[amsF2]]/[[amsJoinSize]]: exact integer median of a
+    * per-depth-row statistic over the full 0..depth-1 grid (missing rows
+    * are zero; out-of-range rows raise). */
+  private def medianOverDepthGrid(perRow: DataFrame, depth: Int,
+                                  outCol: String, who: String): DataFrame =
+    perRow.sparkSession.range(0, depth).select(col("id").cast("int").as("d"))
+      .join(perRow, Seq("d"), "full")
+      .select(coalesce(col("_v"), lit(0L)).as("_v"),
+        assert_true(col("d").between(0, depth - 1),
+          lit(s"$who: grid row id outside declared depth $depth")).as("_ck"))
+      .agg(expr(s"percentile(_v, 0.5)").cast("long").as(outCol),
+        first(col("_ck")).as("_ck"))
+      .select(when(col("_ck").isNull, col(outCol)).as(outCol))
 
   /** Equi-join cardinality estimate from two AMS grids built with the
     * SAME hash chain: per depth row Σ_w a_w·b_w is an unbiased estimator
@@ -197,11 +220,13 @@ object Sketches {
     * rows. The two-table companion of [[amsF2]], and the unbiased
     * counterpart of [[cmsInnerProduct]]'s upper bound. */
   def amsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth % 2 == 1, s"amsJoinSize: depth must be odd (got $depth)")
     val l = a.select(col("d"), col("pos"), col("c").as("_ca"))
     val r = b.select(col("d"), col("pos"), col("c").as("_cb"))
-    l.join(r, Seq("d", "pos"))
-      .groupBy("d").agg(sum(col("_ca") * col("_cb")).cast("long").as("_dot"))
-      .agg(expr(s"percentile(_dot, 0.5)").cast("long").as("join_size_est"))
+    medianOverDepthGrid(
+      l.join(r, Seq("d", "pos"))
+        .groupBy("d").agg(sum(col("_ca") * col("_cb")).cast("long").as("_v")),
+      depth, "join_size_est", "amsJoinSize")
   }
 
   /** Point estimates from a CMS counter frame: min over the depth rows of

@@ -3242,6 +3242,87 @@ object Stats {
         round(dsum(col("clipped")) / max("n"), 6).as("win_mean"))
   }
 
+  /** Per-group exact INTERPOLATED median over a long column WITHOUT
+    * buffering any group — the grouped two-pass histogram refinement
+    * ([[twoPassMedian]] generalized from one global value to arbitrary
+    * group cardinality): pass 1 collapses each group to a ≤`coarseBins`-
+    * row histogram (map-side partials; the per-group cumsum window runs
+    * over ≤coarseBins rows, never raw data), locates the bucket(s)
+    * holding ranks ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋, pass 2 rescans ONLY those
+    * buckets and rank-selects within (g, bucket) — partition sizes are
+    * bucket sizes (~n_g/coarseBins), so no executor ever materializes a
+    * whole group the way `percentile`'s buffer does. The two selected
+    * values average to EXACTLY Spark's `percentile(v, 0.5)` (for n odd
+    * both ranks coincide; for n even the 0.5-fraction interpolation IS
+    * the mean of the two middle values — integer-sum-halving, exact in
+    * doubles). Returns (g, n, med). */
+  def groupedTwoPassMedian(v: DataFrame, coarseBins: Int = 256): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val rng = v.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("nn"))
+    val binned = v.join(rng, Seq("g"))
+      .withColumn("bin", expr(
+        s"least($coarseBins - 1, ((v - mn) * $coarseBins) div (mx - mn + 1))"))
+      .select("g", "v", "bin")
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum("f").over(
+        W.partitionBy("g").orderBy("bin").rowsBetween(Long.MinValue, 0)))
+      .join(rng.select("g", "nn"), Seq("g"))
+    def target(kExpr: String, tag: String) = hist
+      .withColumn("k", expr(kExpr))
+      .filter(col("cum") >= col("k") && (col("cum") - col("f")) < col("k"))
+      .select(col("g"), col("bin").as(s"tb_$tag"),
+        (col("k") - (col("cum") - col("f"))).as(s"rk_$tag"))
+    val targets = target("(nn + 1) div 2", "1")
+      .join(target("(nn + 2) div 2", "2"), Seq("g"))
+    val ranked = binned.join(targets, Seq("g"))
+      .filter(col("bin") === col("tb_1") || col("bin") === col("tb_2"))
+      .withColumn("_rn", row_number().over(
+        W.partitionBy("g", "bin").orderBy("v")))
+    ranked.filter(col("bin") === col("tb_1") && col("_rn") === col("rk_1"))
+      .select(col("g"), col("v").as("_v1"))
+      .join(ranked.filter(col("bin") === col("tb_2") &&
+          col("_rn") === col("rk_2"))
+        .select(col("g"), col("v").as("_v2")), Seq("g"))
+      .join(rng.select(col("g"), col("nn").as("n")), Seq("g"))
+      .select(col("g"), col("n"),
+        ((col("_v1") + col("_v2")).cast("double") / 2).as("med"))
+  }
+
+  /** [[hampelGate]]'s 100 TB twin: IDENTICAL median/MAD fence algebra —
+    * same fences, same outlier verdicts, same winsorized mean, pinned
+    * bit-equal by StatsSpec on shared groups — with both percentile legs
+    * served by [[groupedTwoPassMedian]] instead of `percentile`'s
+    * per-group value buffer, so the group key can be unbounded (users,
+    * URLs) rather than audit-sized (event types). The MAD leg runs on
+    * adev2 = |2v − 2·med| which is integer-EXACT (2·med = v1+v2 is a
+    * long), halved after — medians land on halves and MADs on quarters,
+    * the same power-of-two rationals the buffered form produces. */
+  def hampelGateScalable(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Int = 3, coarseBins: Int = 256): DataFrame = {
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val med = groupedTwoPassMedian(v, coarseBins)
+    val dev = v.join(med, Seq("g"))
+      .withColumn("med2", (col("med") * 2).cast("long"))
+      .withColumn("adev2", abs(col("v") * 2 - col("med2")))
+    val mad = groupedTwoPassMedian(
+        dev.select(col("g"), col("adev2").as("v")), coarseBins)
+      .select(col("g"), (col("med") / 2).as("mad"))
+    dev.withColumn("adev", col("adev2").cast("double") / 2)
+      .join(mad, Seq("g"))
+      .withColumn("fence", lit(k.toDouble) * col("mad"))
+      .withColumn("clipped",
+        least(greatest(col("v").cast("double"), col("med") - col("fence")),
+          col("med") + col("fence")))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n").cast("long").as("n"),
+        max("med").as("median"), max("mad").as("mad"),
+        sum(when(col("adev") > col("fence"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"),
+        round(dsum(col("clipped")) / max("n"), 6).as("win_mean"))
+  }
+
   /** Cochran-Armitage trend test: is a pass/fail rate MONOTONE in an
     * ordered bucket score (document-quality rate by length decile, error
     * rate by day index)? More powerful than the q·χ² independence test
@@ -3283,15 +3364,24 @@ object Stats {
     * COMPILE-TIME double literals (embedded identically in the oracle),
     * so every derived double is a fixed expression over exact counts —
     * χ² terms decimal-accumulate, display-round 6. One map-side digit
-    * extraction + a 9-row aggregate. */
+    * extraction + a 9-row aggregate. The observed counts are left-joined
+    * onto the FULL 1-9 digit grid (n_obs = 0 for an absent digit), so a
+    * digit the data never produces still contributes its (0−e)²/e term —
+    * a wholly missing digit is the strongest fabrication signal the
+    * audit can see, not a row to drop. */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val ps = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
     val d18 = (c: Column) => c.cast("decimal(38,18)")
-    val obs = df.select(col(valueCol).cast("long").as("v"))
-      .filter(col("v") > 0)
-      .select(substring(col("v").cast("string"), 1, 1).cast("int")
-        .as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val obs = digits.join(
+      df.select(col(valueCol).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .select(substring(col("v").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs")),
+      Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val expected = ps.tail.foldLeft(
       when(col("digit") === ps.head._1, lit(ps.head._2))) {
       case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))

@@ -207,17 +207,15 @@ private[graft] object Queries091to155 extends QueryModule {
       // ANN quality gate: recall@3 of the declarative batch IVF probe
       // (nProbe=2 of 8 cells, probe set broadcast — the corpus never
       // shuffles) against the exact top-3 — the measurement that decides
-      // whether an IVF config is safe to trust at full scale
+      // whether an IVF config is safe to trust at full scale. Assignment
+      // served from the standing AnnStore (q35 gates the build)
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
-        centroids, "cid", "cv", queries, "qv", "qid", 3, 2)
+        codebook(s, dir), "cid", "cv", queries, "qv", "qid", 3, 2)
       val exact = Similarity.topKBatch(e, "embedding", "vec_id",
         queries, "qv", "qid", 3)
       Similarity.recallAtK(approx, exact, "query_id", "vec_id", 3)
@@ -406,12 +404,9 @@ private[graft] object Queries091to155 extends QueryModule {
       // contrastive-training negatives: per anchor, the k smallest
       // scrambled pair hashes outside the anchor's IVF cell — pure
       // function of the ids, so pairs are reproducible across reruns,
-      // repartitions, and cluster sizes
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      // repartitions, and cluster sizes; assignment served from the
+      // standing AnnStore (column-pruned: ids + cells, no vectors read)
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("centroid_id"))
       val anchors = assigned.filter(col("vec_id") < 5)
       Sampling.negativeSamples(assigned, "vec_id", "centroid_id",
@@ -917,14 +912,12 @@ private[graft] object Queries091to155 extends QueryModule {
 
     "q141_cluster_quality" -> ((s, dir) => {
       // codebook quality gate (the k-means elbow input): per-cell point
-      // count + inertia from the SAME map-side assignment as q35, with a
-      // rollup total row — squared distances are exact double products,
+      // count + inertia from the SAME assignment as q35 — served from the
+      // standing AnnStore (cells + distances only; vectors pruned) — with
+      // a rollup total row; squared distances are exact double products,
       // accumulated in decimal so the sum is order-independent
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
+        .select(col("centroid_id"), col("centroid_dist"))
       Clustering.clusterQuality(assigned, "centroid_id", "centroid_dist")
         .orderBy(col("centroid_id").asc_nulls_last)
     }),

@@ -149,17 +149,15 @@ private[graft] object Queries156to222 extends QueryModule {
 
     "q167_ndcg" -> ((s, dir) => {
       // graded ranking quality of the q103 IVF probe: nDCG@3 with exact
-      // rational discounts (integer DCG numerators, one final division)
+      // rational discounts (integer DCG numerators, one final division);
+      // assignment served from the standing AnnStore
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
-        centroids, "cid", "cv", queries, "qv", "qid", 3, 2)
+        codebook(s, dir), "cid", "cv", queries, "qv", "qid", 3, 2)
       val exact = Similarity.topKBatch(e, "embedding", "vec_id",
         queries, "qv", "qid", 3)
       Evaluation.ndcgRational(approx, exact, "query_id", "vec_id", "rank", 3)
@@ -388,15 +386,11 @@ private[graft] object Queries156to222 extends QueryModule {
       // partitionBy(centroid_id), the probe is a partition-pruned scan;
       // the original floats are touched only for the shortlist
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(
-          e, "embedding", "vec_id", centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val cb = operators.Quantization.pqCodebook(64, 4, 4)
       val encoded = operators.Quantization.pqEncode(assigned, "embedding", cb)
-      val cents = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val cents = codebookSeq(s, dir)
       val qv = e.filter(col("vec_id") === 5).select("embedding").head().getSeq[Float](0)
       val probeIds = Similarity.nearestCentroidIds(cents, qv, 2)
       val shortlist = operators.Quantization.pqSearch(
@@ -1022,12 +1016,11 @@ private[graft] object Queries156to222 extends QueryModule {
       // external clustering validation: purity + EXACT adjusted Rand
       // index of the IVF cell assignment vs the embeddings' labels —
       // pure pair-counting (binomials of exact BIGINTs), no NMI logs;
-      // the corpus collapses to one |cells|×|labels| contingency
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(
-        e, "embedding", "vec_id", centroids, "cid", "cv")
+      // the corpus collapses to one |cells|×|labels| contingency —
+      // served column-pruned from the standing AnnStore (cells + labels,
+      // no vectors read)
+      val assigned = storedAssigned(s, dir)
+        .select(col("centroid_id"), col("label"))
       Evaluation.clusterAgreement(assigned, "centroid_id", "label")
     }),
 

@@ -796,12 +796,10 @@ private[graft] object Queries273to319 extends QueryModule {
     "q306_cell_balance" -> ((s, dir) => {
       // IVF cell-balance audit: per-cell counts plus the skew numbers
       // that set worst-case probe latency (max/mean ratio, exact-sum CV)
-      // — an unbalanced codebook is the #1 reason IVF p99 blows up
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val sizes = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
+      // — an unbalanced codebook is the #1 reason IVF p99 blows up;
+      // served from the standing AnnStore (cell column only — the scan
+      // reads just partition directories' metadata-cheap column)
+      val sizes = storedAssigned(s, dir)
         .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
       val st = sizes.agg(count(lit(1)).as("_k"), sum("n_vectors").as("_n"),
         max("n_vectors").as("_mx"),
@@ -824,13 +822,11 @@ private[graft] object Queries273to319 extends QueryModule {
       // IVF probe-cost curve: for nprobe ∈ {1, 2, 4}, the fraction of
       // the corpus a query (vec 0) would scan — the latency half of the
       // q103 recall gate; centroid ranking is driver-free (window over
-      // 8 rows), sizes join broadcast
+      // 8 rows), sizes join broadcast; cell sizes from the standing
+      // AnnStore
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
-      val sizes = assigned.groupBy("centroid_id")
+      val centroids = codebook(s, dir)
+      val sizes = storedAssigned(s, dir).groupBy("centroid_id")
         .agg(count(lit(1)).as("sz"))
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
@@ -874,12 +870,11 @@ private[graft] object Queries273to319 extends QueryModule {
       // IVF distortion by cell: mean cosine distance of members to their
       // centroid (per-row distances rounded 6 dp on both engines, then
       // the exact-decimal mean) — which cells need a codebook re-train;
-      // pairs with q306's balance audit
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      // pairs with q306's balance audit; members served from the
+      // standing AnnStore
+      val centroids = codebook(s, dir)
+      storedAssigned(s, dir)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
         .join(broadcast(centroids), col("centroid_id") === col("cid"))
         .withColumn("d",
           round(VF.cosineDistance(col("embedding"), col("cv")), 6))
@@ -944,14 +939,10 @@ private[graft] object Queries273to319 extends QueryModule {
       // predicate dies in the scan stage, so non-matching vectors never
       // reach the top-k heap
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"),
           col("centroid_id"))
-      val cents = centroids.collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+      val cents = codebookSeq(s, dir)
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       Similarity.ivfSearch(assigned.filter(col("label") === 2),

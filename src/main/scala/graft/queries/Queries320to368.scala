@@ -490,13 +490,11 @@ private[graft] object Queries320to368 extends QueryModule {
     "q348_modularity" -> ((s, dir) => {
       // Newman modularity of the IVF cell partition over the mutual-kNN
       // graph: does the partition the index prunes by actually hold the
-      // neighbor-graph mass? Per-cell terms + the global Q on every row
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      // neighbor-graph mass? Per-cell terms + the global Q on every row;
+      // BOTH standing stores serve here — cells from the AnnStore, edges
+      // from the kNN GraphStore
+      val assigned = storedAssigned(s, dir)
+        .select(col("vec_id"), col("centroid_id"))
       val g = storedKnnGraph(s, dir)
       GraphAnalytics.modularity(
           GraphAnalytics.mutualEdges(g, "id", "nbr_id"), "a", "b",
@@ -567,17 +565,15 @@ private[graft] object Queries320to368 extends QueryModule {
     "q353_map_eval" -> ((s, dir) => {
       // mean average precision of the IVF probe against the exact
       // top-10 — the rank-sensitive gate beside q103's recall@k: equal
-      // recall separates here by where the hits sit in the list
+      // recall separates here by where the hits sit in the list;
+      // assignment served from the standing AnnStore
       val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding", "vec_id",
-          centroids, "cid", "cv")
+      val assigned = storedAssigned(s, dir)
         .select(col("vec_id"), col("embedding"), col("centroid_id"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val approx = Similarity.ivfSearchBatch(assigned, "embedding", "vec_id",
-        centroids, "cid", "cv", queries, "qv", "qid", 10, 2)
+        codebook(s, dir), "cid", "cv", queries, "qv", "qid", 10, 2)
       val exact = Similarity.topKBatch(e, "embedding", "vec_id",
         queries, "qv", "qid", 10)
       Evaluation.meanAveragePrecision(approx, exact, "query_id", "vec_id",
@@ -589,12 +585,11 @@ private[graft] object Queries320to368 extends QueryModule {
     "q354_davies_bouldin" -> ((s, dir) => {
       // Davies–Bouldin validity of the IVF partition: per-cell scatter
       // vs centroid separation — lower = tighter, better-separated
-      // cells; the label-free number for choosing k / auditing drift
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-        "vec_id", centroids, "cid", "cv")
+      // cells; the label-free number for choosing k / auditing drift;
+      // members served from the standing AnnStore (cells + distances)
+      val centroids = codebook(s, dir)
+      val assigned = storedAssigned(s, dir)
+        .select(col("centroid_id"), col("centroid_dist"))
       Clustering.daviesBouldin(assigned, "centroid_id", "centroid_dist",
           centroids, "cid", "cv")
         .orderBy("cid")

@@ -539,15 +539,11 @@ private[graft] object Queries422to477 extends QueryModule {
 
     "q463_semantic_divergence" -> ((s, dir) => {
       // SEMANTIC source-mix matrix: each label's distribution over the
-      // 8 IVF centroid cells (zero-shuffle map-side assignment), then
-      // pairwise JSD — the embedding-space companion of q443's lexical
-      // matrix; near-zero pairs cover the same semantic territory
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("cv"))
-      val cells = Similarity.assignNearestCentroid(e, "embedding",
-          "vec_id", centroids, "cid", "cv")
+      // 8 IVF centroid cells (served from the standing AnnStore —
+      // labels + cells only, vectors pruned), then pairwise JSD — the
+      // embedding-space companion of q443's lexical matrix; near-zero
+      // pairs cover the same semantic territory
+      val cells = storedAssigned(s, dir)
         .groupBy(col("label"), col("centroid_id"))
         .agg(count(lit(1)).as("c"))
       NgramLm.jensenShannonCounts(cells, "label", "centroid_id", "c")

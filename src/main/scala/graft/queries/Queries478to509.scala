@@ -401,13 +401,11 @@ private[graft] object Queries478to509 extends QueryModule {
       // cell + coarse neighbors contribute their MEDOIDS as entries,
       // then the q378 beam search runs from those entries over the
       // PERSISTED kNN store — every hop L2/cosine-exact, so the oracle
-      // replays descent, medoids and beam bit-for-bit
-      val e = tbl(s, dir, "embeddings")
-      val centroids = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"),
-          col("embedding").as("cv"))
-      val assigned = Similarity.assignNearestCentroid(e, "embedding",
-        "vec_id", centroids, "cid", "cv")
+      // replays descent, medoids and beam bit-for-bit; the assignment
+      // too serves from its standing store (both standing indexes in
+      // one query — the full HNSW serving stack)
+      val centroids = codebook(s, dir)
+      val assigned = storedAssigned(s, dir)
       store.GraphStore.hierarchicalBeamSearch(s,
           storedKnnGraphPath(s, dir), nBuckets = 16, assigned,
           "embedding", "vec_id", centroids, "cid", "cv",

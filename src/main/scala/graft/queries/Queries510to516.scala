@@ -9,7 +9,7 @@ import QueryHelpers._
 /** Round-7 additions: AMS join-size sketching, robust outlier gating,
   * Z-order layout advising, trend testing, categorical MI — same
   * oracle-parity contract as every other module. */
-private[graft] object Queries510to519 extends QueryModule {
+private[graft] object Queries510to516 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q510_ams_join_size" -> ((s, dir) => {

@@ -8,7 +8,7 @@ import QueryHelpers._
 
 /** Round-7 batch 2: Benford audit, Gini split-gain feature ranking,
   * Cramér's V, native Jaro-Winkler. */
-private[graft] object Queries520to529 extends QueryModule {
+private[graft] object Queries517to521 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q517_benford" -> ((s, dir) =>
@@ -95,10 +95,12 @@ private[graft] object Queries520to529 extends QueryModule {
         .mkString(", ")
       s"""WITH v AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS v
          |  FROM orders),
-         |obs AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT)
+         |raw AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT)
          |    AS digit, COUNT(*) AS n_obs
          |  FROM v WHERE v > 0 GROUP BY 1),
          |p(digit, p) AS (VALUES $ps),
+         |obs AS (SELECT p.digit, coalesce(raw.n_obs, 0) AS n_obs
+         |  FROM p LEFT JOIN raw ON p.digit = raw.digit),
          |n AS (SELECT SUM(n_obs) AS n FROM obs),
          |t AS (SELECT obs.digit, obs.n_obs, p.p * n.n AS exp_n,
          |    (obs.n_obs - p.p * n.n) * (obs.n_obs - p.p * n.n)

@@ -1,0 +1,161 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import QueryHelpers._
+
+/** Round-8 additions: scale-safe robust gating, deep hierarchical ANN
+  * descent, watermarked streaming semantics under the oracle gate. */
+private[graft] object Queries522to529 extends QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q522_hampel_scalable" -> ((s, dir) => {
+      // q511's fence algebra at UNBOUNDED group cardinality: per-USER
+      // median/MAD outlier gates via the grouped two-pass histogram
+      // median (no per-group percentile buffer anywhere in the plan —
+      // pass 1 is a (user, bin) aggregate, pass 2 rank-selects inside
+      // single buckets), so the same audit runs per-user/per-URL at
+      // 100 TB where the buffered form wants audit-sized keys.
+      // StatsSpec pins bit-equality with hampelGate on shared groups
+      Stats.hampelGateScalable(
+          events(s, dir).filter(col("value").isNotNull)
+            .select(col("user_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "user_id", "cents", k = 3)
+        .orderBy("user_id")
+    }),
+
+    "q523_layered_entry" -> ((s, dir) => {
+      // the HNSW layer STACK at structural depth (q506's coarse level
+      // was one layer — degenerate log-descent): three nested prefix
+      // layers {0,1} ⊂ {0..3} ⊂ {0..7} of the codebook, one greedy hop
+      // per layer over each layer's own 2-NN graph, landing cell +
+      // neighbors contribute medoids, then the q378 beam over the
+      // persisted kNN store. Both standing stores serve (assignment +
+      // graph); every hop is index-order L2/cosine, so the oracle
+      // replays the whole descent bit-for-bit. GraphStoreSpec gates
+      // recall ≥ the flat-entry baseline at equal beam budget
+      store.GraphStore.layeredBeamSearch(s,
+          storedKnnGraphPath(s, dir), nBuckets = 16,
+          storedAssigned(s, dir), "embedding", "vec_id",
+          codebook(s, dir), "cid", "cv",
+          layerPrefixes = Seq(2, 4), queryId = 23L, startCid = 0,
+          coarseK = 2, hopsPerLayer = 1, beam = 8, iters = 2, k = 5)
+        .select(col("rank"), col("vec_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("rank")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q522_hampel_scalable" ->
+      """WITH v AS (SELECT user_id AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, COUNT(*) AS n, quantile_cont(v, 0.5) AS med
+        |  FROM v GROUP BY g),
+        |dev AS (SELECT v.g, v.v, med.n, med.med,
+        |    abs(CAST(v.v AS DOUBLE) - med.med) AS adev
+        |  FROM v JOIN med ON v.g = med.g),
+        |mad AS (SELECT g, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY g)
+        |SELECT dev.g AS user_id, CAST(max(dev.n) AS BIGINT) AS n,
+        |  max(dev.med) AS median, max(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(CAST(SUM(CAST(least(greatest(CAST(dev.v AS DOUBLE),
+        |      dev.med - 3.0 * mad.mad), dev.med + 3.0 * mad.mad)
+        |    AS DECIMAL(24,6))) AS DOUBLE) / max(dev.n), 6) AS win_mean
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY dev.g ORDER BY user_id""".stripMargin,
+
+    // three nested prefix layers replayed hop by hop: per-layer 2-NN
+    // graphs (ce2/ce4/ce8), one greedy argmin per layer (d1/d2/d3),
+    // then the q506 medoid + beam tail verbatim
+    "q523_layered_entry" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, centroid_id, adist FROM (
+        |    SELECT e.vec_id, c.cid AS centroid_id,
+        |      list_distance(e.v, c.cv) AS adist,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+        |    FROM ev e, c) WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM ev WHERE vec_id = 23),
+        |cd AS (SELECT cid, list_distance(cv, qv) AS cdist FROM c, q),
+        |ce2 AS (SELECT cid, ncid FROM (
+        |    SELECT x.cid, y.cid AS ncid,
+        |      row_number() OVER (PARTITION BY x.cid
+        |        ORDER BY list_distance(x.cv, y.cv), y.cid) AS rk
+        |    FROM c x JOIN c y ON x.cid <> y.cid
+        |    WHERE x.cid < 2 AND y.cid < 2) WHERE rk <= 2),
+        |ce4 AS (SELECT cid, ncid FROM (
+        |    SELECT x.cid, y.cid AS ncid,
+        |      row_number() OVER (PARTITION BY x.cid
+        |        ORDER BY list_distance(x.cv, y.cv), y.cid) AS rk
+        |    FROM c x JOIN c y ON x.cid <> y.cid
+        |    WHERE x.cid < 4 AND y.cid < 4) WHERE rk <= 2),
+        |ce8 AS (SELECT cid, ncid FROM (
+        |    SELECT x.cid, y.cid AS ncid,
+        |      row_number() OVER (PARTITION BY x.cid
+        |        ORDER BY list_distance(x.cv, y.cv), y.cid) AS rk
+        |    FROM c x JOIN c y ON x.cid <> y.cid) WHERE rk <= 2),
+        |d1 AS (SELECT cid AS cur FROM (
+        |    SELECT cd.cid, row_number() OVER (ORDER BY cd.cdist, cd.cid) AS rn
+        |    FROM cd WHERE cd.cid = 0
+        |      OR cd.cid IN (SELECT ncid FROM ce2 WHERE ce2.cid = 0))
+        |  WHERE rn = 1),
+        |d2 AS (SELECT cid AS cur FROM (
+        |    SELECT cd.cid, row_number() OVER (ORDER BY cd.cdist, cd.cid) AS rn
+        |    FROM cd WHERE cd.cid IN (SELECT cur FROM d1)
+        |      OR cd.cid IN (SELECT ncid FROM ce4 JOIN d1 ON ce4.cid = d1.cur))
+        |  WHERE rn = 1),
+        |d3 AS (SELECT cid AS cur FROM (
+        |    SELECT cd.cid, row_number() OVER (ORDER BY cd.cdist, cd.cid) AS rn
+        |    FROM cd WHERE cd.cid IN (SELECT cur FROM d2)
+        |      OR cd.cid IN (SELECT ncid FROM ce8 JOIN d2 ON ce8.cid = d2.cur))
+        |  WHERE rn = 1),
+        |ecids AS (SELECT cur AS cid FROM d3
+        |  UNION SELECT ncid AS cid FROM ce8 JOIN d3 ON ce8.cid = d3.cur),
+        |med AS (SELECT centroid_id, vec_id AS entry FROM (
+        |    SELECT a.centroid_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY a.centroid_id
+        |        ORDER BY a.adist, a.vec_id) AS rn
+        |    FROM a JOIN ecids ON a.centroid_id = ecids.cid) WHERE rn = 1),
+        |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+        |    1.0 - list_cosine_similarity(le.v, re.v) AS distance
+        |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+        |    AND l.vec_id <> r.vec_id
+        |    JOIN ev le ON le.vec_id = l.vec_id
+        |    JOIN ev re ON re.vec_id = r.vec_id),
+        |g0 AS (SELECT id, nbr_id FROM (
+        |    SELECT id, nbr_id,
+        |      row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+        |    FROM p) WHERE rk <= 3),
+        |b0 AS (SELECT m.entry AS cand,
+        |    1.0 - list_cosine_similarity(ev.v, qv) AS distance
+        |  FROM med m JOIN ev ON ev.vec_id = m.entry, q
+        |  ORDER BY distance, cand LIMIT 8),
+        |x1 AS (SELECT DISTINCT cand FROM (
+        |  SELECT g0.nbr_id AS cand FROM b0 JOIN g0 ON g0.id = b0.cand
+        |  UNION ALL SELECT cand FROM b0)),
+        |b1 AS (SELECT x1.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+        |  FROM x1 JOIN ev ON ev.vec_id = x1.cand, q
+        |  ORDER BY distance, cand LIMIT 8),
+        |x2 AS (SELECT DISTINCT cand FROM (
+        |  SELECT g0.nbr_id AS cand FROM b1 JOIN g0 ON g0.id = b1.cand
+        |  UNION ALL SELECT cand FROM b1)),
+        |b2 AS (SELECT x2.cand, 1.0 - list_cosine_similarity(v, qv) AS distance
+        |  FROM x2 JOIN ev ON ev.vec_id = x2.cand, q
+        |  ORDER BY distance, cand LIMIT 8)
+        |SELECT CAST(row_number() OVER (ORDER BY distance, cand) AS INT) AS rank,
+        |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
+        |FROM b2 ORDER BY rank LIMIT 5""".stripMargin
+  )
+}

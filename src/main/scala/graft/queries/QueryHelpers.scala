@@ -22,6 +22,45 @@ private[graft] object QueryHelpers {
   lazy val tmpToken: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Collision-proof path fragment for an sf-dir: a readable sanitized
+    * tail PLUS a 96-bit hash of the full string — two distinct dirs can
+    * never map to one scratch path (Int hashCode, the previous scheme,
+    * could collide and silently serve one dataset's store for the
+    * other). */
+  def dirSlug(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8"))
+    d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40) + "-" +
+      md.map("%02x".format(_)).mkString.take(24)
+  }
+  private def scratchPath(kind: String, d: String): String =
+    sys.props("java.io.tmpdir") + s"/graft-$kind-$tmpToken-${dirSlug(d)}"
+
+  /** Labels of every INTENTIONAL standing frame pinned in this JVM (the
+    * memoized localCheckpoints backing the serve-many stores). Bench's
+    * end-of-suite leak audit prints residual persistent RDDs by name and
+    * flags anything NOT in this registry — a deliberate standing frame
+    * and a leak are indistinguishable by count alone (the r7 "0 vs 2"
+    * discrepancy). */
+  val standingFrames: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** localCheckpoint + register: names the checkpoint RDD so the leak
+    * audit can tell it from an accidental pin. Synchronized: the
+    * before/after persistent-RDD diff that finds the new checkpoint
+    * block must not interleave with another named checkpoint. */
+  def namedLocalCheckpoint(df: DataFrame, label: String): DataFrame =
+    standingFrames.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.setName(label)
+      }
+      standingFrames.add(label)
+      out
+    }
+
   /** Build-once/serve-many kNN graph: the q101 bucket-local kNN edge set
     * (8-centroid IVF assignment, k = 3 — the exact frame every
     * graph-analytics query used to REBUILD inline), persisted once per
@@ -45,13 +84,61 @@ private[graft] object QueryHelpers {
       val g = Similarity.knnGraph(
         Similarity.assignNearestCentroid(e, "embedding", "vec_id",
           centroids, "cid", "cv"), "embedding", "vec_id", 3)
-      val p = sys.props("java.io.tmpdir") +
-        s"/graft-knn-graph-$tmpToken-${math.abs(d.hashCode.toLong)}"
+      val p = scratchPath("knn-graph", d)
       store.GraphStore.write(g, p, nBuckets = 16)
       p
     })
   def storedKnnGraph(s: SparkSession, dir: String): DataFrame =
     store.GraphStore.readEdges(s, storedKnnGraphPath(s, dir))
+
+  /** The canonical 8-centroid codebook every embedding query shares (the
+    * first 8 vectors by id — deterministic, so every DuckDB oracle
+    * replays the identical assignment). */
+  def codebook(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("cv"))
+  /** Codebook collected to the driver — the bounded ≤8-row Seq the probe
+    * planners ([[graft.operators.Similarity.nearestCentroidIds]],
+    * AnnStore.probe) take; collect is bounded by construction. */
+  def codebookSeq(s: SparkSession, dir: String): Seq[(Int, Seq[Float])] =
+    codebook(s, dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+
+  /** Build-once/serve-many IVF assignment — the AnnStore leg completing
+    * the standing-store trilogy (kNN graph, lexical index, and now the
+    * vector store itself): the q35 map-side assignment of the embeddings
+    * corpus to the canonical codebook, persisted ONCE per (JVM, sf-dir)
+    * `partitionBy(centroid_id)` through [[graft.store.AnnStore.write]].
+    * Every ANN consumer (IVF probes, cell diagnostics, cluster metrics,
+    * filtered ANN) then reads the assigned corpus back as a store scan —
+    * cell-filtered probes partition-prune — instead of re-deriving the
+    * assignment per query, matching the reference's standing index
+    * (embed/vector_store.py:266-271: the HNSW/IVF index is built at
+    * ingest and serves every later query). Parquet round-trips floats
+    * and doubles losslessly, so the served frame is value-identical to
+    * the inline assignment and every oracle that replays the assignment
+    * from embeddings.parquet stays exact. q35/q120/q123/q132 keep inline
+    * builds BY DESIGN — they gate the assignment/store machinery
+    * itself. */
+  private val annStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def storedAnnPath(s: SparkSession, dir: String): String =
+    annStorePaths.computeIfAbsent(dir, d => {
+      val assigned = Similarity.assignNearestCentroid(
+        tbl(s, d, "embeddings"), "embedding", "vec_id",
+        codebook(s, d), "cid", "cv")
+      val p = scratchPath("ann-store", d)
+      store.AnnStore.write(assigned, p)
+      p
+    })
+  /** The assigned corpus served from the standing AnnStore, in the
+    * inline assignment's column order: (vec_id, embedding, label,
+    * centroid_id, centroid_dist). */
+  def storedAssigned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(storedAnnPath(s, dir))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("centroid_id"), col("centroid_dist"))
 
   /** The driver's events.parquet has carried `ts` as TIMESTAMP(NANOS) in
     * some rounds and TIMESTAMP(MICROS) in others — handle both. Nanos:
@@ -120,23 +207,29 @@ private[graft] object QueryHelpers {
     indexStorePaths.computeIfAbsent(dir, d => {
       val idx = graft.operators.Retrieval.invertedIndex(
         tbl(s, d, "documents"), "doc_id", "text")
-      val p = sys.props("java.io.tmpdir") +
-        s"/graft-index-store-$tmpToken-${math.abs(d.hashCode.toLong)}"
+      val p = scratchPath("index-store", d)
       graft.store.IndexStore.write(idx, p, nBuckets = 8)
       p
     })
   /** Doc lengths memoized as a localCheckpointed |docs|-row frame: the
     * whole point of the standing index is NOT re-tokenizing the corpus
     * per query, and dl was the remaining tokenize pass (measured: the
-    * stored path LOST to the scan path until this was pinned). */
-  private val docLengthFrames =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * stored path LOST to the scan path until this was pinned). Keyed by
+    * (session, dir): a checkpointed frame is bound to the context that
+    * built it, so a new session in the same JVM must rebuild rather than
+    * inherit a frame backed by a dead SparkContext (the disk-backed
+    * knn/index/ann store twins need no such guard — parquet outlives the
+    * session). */
+  private val docLengthFrames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   def docLengths(s: SparkSession, dir: String): DataFrame =
-    docLengthFrames.computeIfAbsent(dir, d =>
-      tbl(s, d, "documents").select(col("doc_id").cast("long").as("id"),
-        size(graft.operators.Retrieval.analyze(col("text")))
-          .cast("long").as("dl"))
-        .localCheckpoint())
+    docLengthFrames.computeIfAbsent((s, dir), { case (sess, d) =>
+      namedLocalCheckpoint(
+        tbl(sess, d, "documents").select(col("doc_id").cast("long").as("id"),
+          size(graft.operators.Retrieval.analyze(col("text")))
+            .cast("long").as("dl")),
+        s"graft-standing:doc-lengths:${dirSlug(d)}")
+    })
   /** [[graft.operators.Retrieval.bm25]] served from the standing index. */
   def storedBm25(s: SparkSession, dir: String, terms: Seq[String],
                  k: Int): DataFrame =

@@ -11,9 +11,10 @@ private[graft] trait QueryModule {
 }
 
 /** The registry SparkEntry serves from — concatenation preserves the
-  * single-map semantics the driver contract had when SparkEntry held all
-  * 509 entries inline (keys are globally unique; CORRECTNESS gates every
-  * one). */
+  * single-map semantics of the original inline SparkEntry map. Key
+  * uniqueness is ASSERTED at init: `++` silently last-wins on a
+  * duplicate, so a mis-numbered new query would otherwise shadow an old
+  * one and the correctness gate would shrink by one without failing. */
 private[graft] object QueryRegistry {
   val modules: Seq[QueryModule] = Seq(
     Queries001to090,
@@ -25,10 +26,26 @@ private[graft] object QueryRegistry {
     Queries369to421,
     Queries422to477,
     Queries478to509,
-    Queries510to519,
-    Queries520to529)
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.iterator.map(_.queries).reduce(_ ++ _)
-  lazy val oracleSql: Map[String, String] =
-    modules.iterator.map(_.oracleSql).reduce(_ ++ _)
+    Queries510to516,
+    Queries517to521,
+    Queries522to529)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val maps = modules.map(_.queries)
+    val merged = maps.reduce(_ ++ _)
+    require(merged.size == maps.map(_.size).sum,
+      s"QueryRegistry: duplicate query keys across modules — " +
+        s"${maps.map(_.size).sum} declared, ${merged.size} distinct")
+    merged
+  }
+  lazy val oracleSql: Map[String, String] = {
+    val maps = modules.map(_.oracleSql)
+    val merged = maps.reduce(_ ++ _)
+    require(merged.size == maps.map(_.size).sum,
+      s"QueryRegistry: duplicate oracle keys across modules — " +
+        s"${maps.map(_.size).sum} declared, ${merged.size} distinct")
+    require(merged.keySet.subsetOf(queries.keySet),
+      "QueryRegistry: oracle key without a matching query: " +
+        (merged.keySet -- queries.keySet).mkString(", "))
+    merged
+  }
 }

@@ -182,6 +182,79 @@ object GraphStore {
       queryId, entryIds, beam, iters, k)
   }
 
+  /** [[hierarchicalBeamSearch]] generalized to L ≥ 3 layers — the full
+    * HNSW layer stack rather than one coarse level: `layerPrefixes`
+    * (strictly increasing, each < nlist) name NESTED PREFIX layers of
+    * the codebook by cid — layer ℓ's members are the centroids with
+    * cid < layerPrefixes(ℓ), the bottom layer is the whole codebook —
+    * exactly HNSW's nesting invariant (every upper-layer node exists in
+    * all lower layers), which is what makes the descent structural: the
+    * node greedy descent lands on in layer ℓ IS a member of layer ℓ+1
+    * and seeds it directly. Per layer: `hopsPerLayer` greedy hops over
+    * that layer's own coarseK-NN graph (L2 among members, ties to the
+    * smaller cid — [[graft.operators.Similarity.nearestCentroidIds]]'s
+    * metric, computed index-order so DuckDB's list_distance replays it
+    * bit-for-bit). After the bottom layer the landed cell + its coarse
+    * neighbors contribute their medoids as beam entries, as in the
+    * 2-level form.
+    *
+    * Scale shape: every layer structure is codebook-sized (the whole
+    * stack is collected once, ≤ nlist vectors), so the L-layer descent
+    * is O(L · coarseK · dim) DRIVER arithmetic — the log-descent HNSW
+    * buys, with the only corpus-scale legs unchanged: the medoid argmin
+    * over entry cells and the pruned fine beam probe. */
+  def layeredBeamSearch(spark: SparkSession, path: String,
+      nBuckets: Int, assigned: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      layerPrefixes: Seq[Int], queryId: Long, startCid: Int,
+      coarseK: Int, hopsPerLayer: Int, beam: Int, iters: Int,
+      k: Int): DataFrame = {
+    val cents = centroids
+      .select(col(cidCol).cast("int"), col(cvecCol).cast("array<float>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    require(layerPrefixes.nonEmpty && layerPrefixes == layerPrefixes.sorted
+      && layerPrefixes.distinct == layerPrefixes
+      && layerPrefixes.last < cents.size,
+      s"layerPrefixes must be strictly increasing and < nlist=${cents.size}")
+    require(startCid < layerPrefixes.head,
+      "startCid must be a member of the TOP layer")
+    val byCid = cents.toMap
+    // index-order double L2 — the exact arithmetic of list_distance and
+    // graft_l2_distance, so every hop replays in SQL
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val qv = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<float>")).head().getSeq[Float](0)
+    val cdist = cents.map { case (c, v) => c -> l2(v, qv) }.toMap
+    var cur = startCid
+    var bottomNbrs: Seq[Int] = Seq.empty
+    for (p <- layerPrefixes :+ cents.size) {
+      val members = cents.filter(_._1 < p)
+      def nbrs(c: Int): Seq[Int] = members.filter(_._1 != c)
+        .map { case (o, ov) => (l2(byCid(c), ov), o) }
+        .sorted.take(coarseK).map(_._2)
+      for (_ <- 1 to hopsPerLayer) {
+        val cands = (cur +: nbrs(cur)).distinct
+        cur = cands.map(c => (cdist(c), c)).min._2
+      }
+      bottomNbrs = nbrs(cur)
+    }
+    val entryCids = (cur +: bottomNbrs).distinct
+    val entryIds = assigned
+      .filter(col("centroid_id").isin(entryCids.map(Integer.valueOf): _*))
+      .groupBy(col("centroid_id"))
+      .agg(min_by(col(idCol),
+        struct(col("centroid_dist"), col(idCol))).as("_entry"))
+      .select(col("_entry").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    beamSearch(spark, path, nBuckets, assigned, vecCol, idCol,
+      queryId, entryIds, beam, iters, k)
+  }
+
   /** Incremental node insert — the HNSW insert shape (link the new node
     * to its k nearest, add the reverse links, trim every touched list
     * back to k), as a bucket merge: exact top-k out-edges for each batch

@@ -188,6 +188,58 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("layered entry (L=3): nested-prefix descent reaches the far cell; " +
+       "recall >= flat baseline at equal beam budget") {
+    val e = corpus
+    val centroids = e.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val assigned = Similarity.assignNearestCentroid(e, "embedding",
+      "vec_id", centroids, "cid", "cv")
+    val graph = Similarity.knnGraph(
+      assigned.select(col("vec_id"), col("embedding"), col("centroid_id")),
+      "embedding", "vec_id", 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_l").toFile
+    val path = s"${dir.getAbsolutePath}/graph"
+    GraphStore.write(graph, path, nBuckets = 4)
+    val k = 4
+    val truth = Similarity.topK(e, "embedding",
+        e.filter(col("vec_id") === 21L).head().getSeq[Float](1),
+        k, "COSINE", "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    def recall(hits: Set[Long]): Double =
+      (hits intersect truth).size.toDouble / k
+    val flat = GraphStore.beamSearch(spark, path, nBuckets = 4, e,
+        "embedding", "vec_id", queryId = 21L, entryIds = Seq(0L, 1L),
+        beam = 4, iters = 3, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    // layers {0} ⊂ {0,1} ⊂ {0..3}: the top seed is the WORST cell for
+    // query 21, and each layer's 2 hops must walk the fan toward cell 3
+    val layered = GraphStore.layeredBeamSearch(spark, path,
+        nBuckets = 4, assigned, "embedding", "vec_id", centroids,
+        "cid", "cv", layerPrefixes = Seq(1, 2), queryId = 21L,
+        startCid = 0, coarseK = 2, hopsPerLayer = 2, beam = 4,
+        iters = 3, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    assert(recall(layered) >= recall(flat),
+      s"layered ${recall(layered)} < flat ${recall(flat)}")
+    assert(recall(layered) == 1.0, s"layered hits $layered vs $truth")
+    // nesting invariant is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      GraphStore.layeredBeamSearch(spark, path, 4, assigned, "embedding",
+        "vec_id", centroids, "cid", "cv", layerPrefixes = Seq(2, 2),
+        queryId = 21L, startCid = 0, coarseK = 2, hopsPerLayer = 1,
+        beam = 4, iters = 1, k = k)
+    }
+    intercept[IllegalArgumentException] {
+      GraphStore.layeredBeamSearch(spark, path, 4, assigned, "embedding",
+        "vec_id", centroids, "cid", "cv", layerPrefixes = Seq(1, 2),
+        queryId = 21L, startCid = 3, coarseK = 2, hopsPerLayer = 1,
+        beam = 4, iters = 1, k = k)
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("storedKnnGraph: built once per (JVM, dir) — repeat reads never rewrite") {
     val dir = "/root/testdata/sf0.001"
     val first = graft.queries.QueryHelpers.storedKnnGraph(spark, dir)

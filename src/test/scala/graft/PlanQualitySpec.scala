@@ -248,6 +248,27 @@ class PlanQualitySpec extends SparkSpec {
       "probe must prune cells at the directory level")
   }
 
+  test("q54: the STANDING AnnStore probe partition-prunes its cells") {
+    // q54 now serves from QueryHelpers.storedAnnPath — the build-once
+    // store — so its nProbe=2 cell filter must land in the scan's
+    // PartitionFilters exactly like the inline-built q120 store's
+    val p = plan("q54_ivf_search")
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "standing-store probe must prune cells at the directory level")
+  }
+
+  test("q115/q216: pure cell consumers never read the vector column") {
+    // the standing store is columnar: a consumer that only needs
+    // (id, cell) or (cell, label) must not drag the 64-float embedding
+    // array through its scan
+    for (q <- Seq("q115_negative_samples", "q216_clustering_ari")) {
+      val p = plan(q)
+      val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).mkString("\n")
+      assert(!reads.contains("embedding"),
+        s"$q reads the embedding column it never uses:\n$reads")
+    }
+  }
+
   test("q124: PQ encode + ADC stay map-side; the result is a bounded top-k") {
     val p = plan("q124_pq_search").split("== Initial Plan ==").head
     assert(!p.contains("Join"), "PQ scoring must not join — codes and the " +

@@ -1204,6 +1204,27 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("win_mean") == 5.8)
   }
 
+  test("hampelGateScalable ≡ hampelGate bit-for-bit on shared groups") {
+    // mixed group sizes (odd, even, with duplicates, with a glitch) so
+    // both interpolation branches and the fence/clip algebra are hit;
+    // coarseBins=4 forces pass-2 rank-selection inside crowded buckets
+    val df = (((1L to 9L).map(v => ("a", v)) :+ ("a", 1000000L)) ++
+      (1L to 7L).map(v => ("b", v * 3)) ++
+      Seq.fill(6)(("c", 42L)) ++ Seq(("c", 41L), ("c", 10000L)))
+      .toDF("g", "v")
+    val exact = Stats.hampelGate(df, "g", "v", k = 3)
+      .orderBy("g").collect().toSeq
+    val scalable = Stats.hampelGateScalable(df, "g", "v", k = 3,
+        coarseBins = 4)
+      .orderBy("g").collect().toSeq
+    assert(scalable == exact)
+    // and nothing in the scalable plan buffers whole groups: no
+    // percentile aggregate anywhere
+    val p = Stats.hampelGateScalable(df, "g", "v", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"), p)
+  }
+
   test("cochranArmitage: perfect monotone trend scores positive z; flat scores 0") {
     // buckets 0,1,2 with rates 0/10, 5/10, 10/10 — exact hand values:
     // N=30 R=15 T'=Σs(rN-nR)=1*(150-150)+2*(300-150)=300
