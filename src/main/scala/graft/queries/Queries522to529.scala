@@ -46,6 +46,32 @@ private[graft] object Queries522to529 extends QueryModule {
         .select(col("rank"), col("vec_id"),
           round(col("distance"), 6).as("distance"))
         .orderBy("rank")
+    }),
+
+    "q524_watermark_replay" -> ((s, dir) => {
+      // Structured Streaming's watermark semantics under the HASH gate
+      // (ST1's windowed-agg leg was spec-pinned only): a REAL micro-
+      // batch execution over a bounded events slice, arrival order
+      // deliberately non-monotone (batch r = ids ≡ r mod 3, each batch
+      // spanning the full time range) so thousands of rows arrive LATE;
+      // the oracle replays the exact drop rule — wm before batch i =
+      // max event time of batches < i − 45 min, row dropped iff its
+      // hour-window end ≤ wm (inclusive; boundary pinned by
+      // StreamingSpec) — and the final append-mode emission cut.
+      // Integer-cent sums keep the aggregate order-exact
+      import s.implicits._
+      val rows = events(s, dir)
+        .filter(col("event_id") < 4000 && col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, java.sql.Timestamp, String, Long)]
+        .collect()
+      val batches = (0 until 3).map(r =>
+        rows.filter(_._1 % 3 == r).sortBy(_._1)
+          .map(t => (t._2, t._3, t._4)).toSeq)
+      graft.streaming.EventStreams.replayWatermarkedTumbling(
+          s, batches, "1 hour", "45 minutes")
+        .orderBy("window_start", "event_type")
     })
   )
 
@@ -156,6 +182,34 @@ private[graft] object Queries522to529 extends QueryModule {
         |  ORDER BY distance, cand LIMIT 8)
         |SELECT CAST(row_number() OVER (ORDER BY distance, cand) AS INT) AS rank,
         |  CAST(cand AS BIGINT) AS vec_id, round(distance, 6) AS distance
-        |FROM b2 ORDER BY rank LIMIT 5""".stripMargin
+        |FROM b2 ORDER BY rank LIMIT 5""".stripMargin,
+
+    // the watermark trajectory replayed in SQL: per-batch wm = max
+    // earlier-batch event time − 45 min (NULL for batch 0 — nothing
+    // drops), keep iff window end > wm, final cut iff window end ≤
+    // global max − 45 min; hour windows are epoch-aligned like Spark's
+    "q524_watermark_replay" ->
+      """WITH src AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id < 4000 AND value IS NOT NULL),
+        |b AS (SELECT src.*, CAST(event_id % 3 AS INT) AS batch FROM src),
+        |mx AS (SELECT batch, max(epoch_us(ts)) AS mxus FROM b GROUP BY batch),
+        |wmt AS (SELECT d.batch, max(mx.mxus) - 2700000000 AS wm_us
+        |  FROM (SELECT DISTINCT batch FROM b) d
+        |  LEFT JOIN mx ON mx.batch < d.batch
+        |  GROUP BY d.batch),
+        |kept AS (SELECT b.* FROM b JOIN wmt ON b.batch = wmt.batch
+        |  WHERE wmt.wm_us IS NULL
+        |    OR ((epoch_us(b.ts) // 3600000000) + 1) * 3600000000
+        |      > wmt.wm_us),
+        |fwm AS (SELECT max(epoch_us(ts)) - 2700000000 AS wm_us FROM src)
+        |SELECT make_timestamp((epoch_us(k.ts) // 3600000000) * 3600000000)
+        |    AS window_start,
+        |  k.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k.cents) AS BIGINT) AS sum_cents
+        |FROM kept k, fwm
+        |WHERE ((epoch_us(k.ts) // 3600000000) + 1) * 3600000000
+        |  <= fwm.wm_us
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -76,6 +76,60 @@ object EventStreams {
   def tumblingCountsStream(events: DataFrame, windowLen: String, delay: String): DataFrame =
     tumblingCounts(events.withWatermark("ts", delay), windowLen)
 
+  private val replayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A watermarked tumbling-window aggregate driven through a REAL
+    * micro-batch execution with DETERMINISTIC batches — the machinery
+    * that puts Structured Streaming's late-row semantics under the
+    * DuckDB-oracle gate (q524) instead of only under spec equality.
+    * Each element of `batches` becomes exactly one micro-batch
+    * (MemoryStream.addData + processAllAvailable per element), so the
+    * watermark trajectory is a pure function of the batch contents:
+    *
+    *   - wm before batch i = max event time over batches < i − delay
+    *     (the watermark node sees every input row, including rows the
+    *     aggregation later drops);
+    *   - an arriving row is DROPPED iff its window end ≤ wm — boundary
+    *     INCLUSIVE, and watermark ms-flooring is immaterial for whole-ms
+    *     window ends and delays (both pinned by StreamingSpec's
+    *     boundary test);
+    *   - append mode emits a (window, type) row exactly once, when the
+    *     watermark reaches window end (same inclusive predicate; the
+    *     final no-data batch advances the watermark to global max −
+    *     delay, so the returned frame is the windows that cut finalizes).
+    *
+    * Values ride as integer cents so the sums are order-exact under the
+    * hash gate. The returned frame is DETACHED from the memory sink
+    * (collected + re-created, temp view dropped), so repeated runs in
+    * one JVM never collide. Input batches are driver-side by
+    * construction (MemoryStream) — callers pass a BOUNDED slice, the
+    * same validation-instrument stance as q142's exact PPJoin. */
+  def replayWatermarkedTumbling(spark: SparkSession,
+      batches: Seq[Seq[(java.sql.Timestamp, String, Long)]],
+      windowLen: String, delay: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"graft_wm_replay_${replayCounter.incrementAndGet()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val agg = mem.toDF.toDF("ts", "event_type", "cents")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect().toSeq
+    val detached = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    detached
+  }
+
   /** Watermarked stream-stream inner join (click attribution): pair each
     * impression with the clicks of the same ad within `within` AFTER it.
     * Both sides carry watermarks, and the time-range predicate bounds the

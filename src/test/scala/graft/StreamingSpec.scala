@@ -23,6 +23,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_._3).toSet == Set(3.0, 4.0))
   }
 
+  test("watermark boundary is INCLUSIVE: wm == window end emits the window " +
+       "and drops late rows into it (the q524 oracle's exact drop rule)") {
+    // hour-aligned base so window ends are whole milliseconds
+    def hts(min: Int, ms: Int = 0): Timestamp =
+      new Timestamp(1700000000000L - (1700000000000L % 3600000L) +
+        min * 60000L + ms)
+    val out = EventStreams.replayWatermarkedTumbling(spark, Seq(
+        // batch 0: window [0,60) gets one row; max ts 90:00.000 makes
+        // the NEXT watermark exactly 60:00.000 == that window's end
+        Seq((hts(5), "a", 1L), (hts(90), "b", 1L)),
+        // batch 1: a late row into [0,60) while wm EQUALS its end —
+        // must be dropped (inclusive <=), not merged
+        Seq((hts(10), "a", 100L)),
+        // batch 2: advance wm past everything so open windows flush
+        Seq((hts(300), "c", 1L)))
+      , "1 hour", "30 minutes")
+      // session tz is UTC, so casting the ntz output back is lossless
+      .select(col("window_start").cast("timestamp"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val h0 = hts(0).getTime
+    assert(out == Set(
+      (h0, "a", 1L, 1L),            // emitted at wm == end, late 100 dropped
+      (h0 + 3600000L, "b", 1L, 1L)  // flushed by the final advance
+    ), out.toString)
+  }
+
   test("streaming tumbling window with watermark produces same aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
