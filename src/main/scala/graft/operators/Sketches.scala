@@ -280,6 +280,39 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("b"): _*).agg(max("rho").as("mx"))
   }
 
+  /** Audience overlap |A ∩ B| WITHOUT a key join — HLL
+    * inclusion-exclusion over the same replayable registers as
+    * [[hllDistinctByGroup]]: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    * the union sketch is just the two register tables max-merged (the
+    * mergeability that makes this free at 100 TB: per-shard registers
+    * persist once, any pair of audiences intersects in O(m) register
+    * arithmetic, no rescan, no shuffle of raw keys). Exact-replay
+    * properties inherited: each estimate is one double division over
+    * exact integers, and the final subtraction is a fixed 3-term double
+    * expression — bit-identical in SQL. Standard HLL caveat applies
+    * (inclusion-exclusion error compounds for tiny overlaps); the
+    * companion exact count in the q525 gate shows the error. Returns one
+    * row (est_a, est_b, est_union, est_intersection). */
+  def hllOverlap(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                 bucketBits: Int = 5): DataFrame = {
+    val tagged = a.select(lit("a").as("side"), col(aKey).as("k"))
+      .unionByName(b.select(lit("b").as("side"), col(bKey).as("k")))
+    val regs = hllRegisters(tagged, Seq("side"), "k", bucketBits)
+    val perSide = hllMergeEstimate(regs, "side", bucketBits)
+    val union = hllMergeEstimate(
+      regs.select(lit("u").as("side"), col("b"), col("mx")), "side",
+      bucketBits)
+    perSide.agg(
+        max(when(col("side") === "a", col("hll_est"))).as("est_a"),
+        max(when(col("side") === "b", col("hll_est"))).as("est_b"))
+      .crossJoin(broadcast(union.select(col("hll_est").as("est_union"))))
+      .select(round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 6)
+          .as("est_intersection"))
+  }
+
   /** Merge register tables (max per bucket) and finish the raw-regime HLL
     * estimate — the second-level aggregation over [[hllRegisters]] output
     * from one or many shards. */

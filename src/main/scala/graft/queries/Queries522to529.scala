@@ -2,9 +2,11 @@ package graft
 package queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
 import QueryHelpers._
+import OracleHelpers._
 
 /** Round-8 additions: scale-safe robust gating, deep hierarchical ANN
   * descent, watermarked streaming semantics under the oracle gate. */
@@ -72,6 +74,55 @@ private[graft] object Queries522to529 extends QueryModule {
       graft.streaming.EventStreams.replayWatermarkedTumbling(
           s, batches, "1 hour", "45 minutes")
         .orderBy("window_start", "event_type")
+    }),
+
+    "q525_hll_overlap" -> ((s, dir) => {
+      // audience intersection WITHOUT a key join: |purchasers ∩ viewers|
+      // by HLL inclusion-exclusion over persisted-shape registers (the
+      // q102 sketch family) — at 100 TB any two audiences intersect in
+      // O(m) register arithmetic instead of a distinct+join over raw
+      // ids; the exact join count rides beside to show the sketch error
+      val ev = events(s, dir)
+      def aud(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"))
+      val est = Sketches.hllOverlap(
+        aud("purchase"), "user_id", aud("view"), "user_id")
+      val exact = aud("purchase").distinct()
+        .join(aud("view").distinct(), "user_id")
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(broadcast(exact))
+    }),
+
+    "q526_standing_stack" -> ((s, dir) => {
+      // the full standing-store serving stack in ONE query — the shape a
+      // session actually runs once all three indexes exist: BM25 from
+      // the persisted IndexStore (partition-pruned posting lookups),
+      // dense candidates from the persisted AnnStore (partition-pruned
+      // 2-cell IVF probe), graph candidates from the persisted kNN
+      // GraphStore (pruned beam lookups), fused by RRF. No leg touches
+      // the corpus beyond its store's pruned directories; the fuse is
+      // top-k-bounded driver-scale arithmetic
+      val lex = storedBm25(s, dir,
+          Seq("spark", "join", "vector", "window"), 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .select(col("id"), col("rank"))
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0)
+      val dense = Similarity.ivfSearch(
+          storedAssigned(s, dir)
+            .select(col("vec_id"), col("embedding"), col("centroid_id")),
+          "embedding", "vec_id", codebookSeq(s, dir), qv, 10, 2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("distance").asc, col("vec_id").asc)))
+        .select(col("vec_id").as("id"), col("rank"))
+      val graphLeg = store.GraphStore.beamSearch(s,
+          storedKnnGraphPath(s, dir), nBuckets = 16, e, "embedding",
+          "vec_id", queryId = 7L, entryIds = Seq(0L, 1L, 2L, 3L),
+          beam = 8, iters = 2, k = 10)
+        .select(col("vec_id").cast("long").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense, graphLeg), "id", 10)
     })
   )
 
@@ -210,6 +261,122 @@ private[graft] object Queries522to529 extends QueryModule {
         |FROM kept k, fwm
         |WHERE ((epoch_us(k.ts) // 3600000000) + 1) * 3600000000
         |  <= fwm.wm_us
-        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // the q102 register machinery with a side tag; union sketch =
+    // max-merge of both sides' registers; inclusion-exclusion at the end
+    "q525_hll_overlap" -> {
+      val factor = graft.operators.Sketches.hllFactor(5)
+      s"""WITH ev AS (
+         |  SELECT 'a' AS side, user_id AS key FROM events
+         |    WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT 'b', user_id FROM events WHERE event_type = 'view'),
+         |kh0 AS (SELECT side, (key * 1000003) % 2147483647 AS a0 FROM ev),
+         |kh1 AS (SELECT side,
+         |    (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+         |kh2 AS (SELECT side,
+         |    (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+         |br AS (SELECT side, h >> 26 AS b,
+         |    CASE WHEN (h & 67108863) = 0 THEN 27
+         |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+         |mb AS (SELECT side, b, MAX(rho) AS mx FROM br GROUP BY side, b),
+         |hs AS (SELECT side,
+         |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+         |    COUNT(*) AS nb FROM mb GROUP BY side),
+         |est AS (SELECT side,
+         |    $factor / CAST(present + (32 - nb) * 134217728 AS DOUBLE)
+         |      AS est FROM hs),
+         |um AS (SELECT b, MAX(mx) AS mx FROM mb GROUP BY b),
+         |uh AS (SELECT
+         |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+         |    COUNT(*) AS nb FROM um),
+         |ue AS (SELECT
+         |    $factor / CAST(present + (32 - nb) * 134217728 AS DOUBLE)
+         |      AS est_union FROM uh),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM
+         |  (SELECT DISTINCT user_id FROM events
+         |     WHERE event_type = 'purchase') a
+         |  JOIN (SELECT DISTINCT user_id FROM events
+         |     WHERE event_type = 'view') b USING (user_id))
+         |SELECT round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+         |  round(ue.est_union, 6) AS est_union,
+         |  round(ea.est + eb.est - ue.est_union, 6) AS est_intersection,
+         |  ex.n_exact
+         |FROM (SELECT est FROM est WHERE side = 'a') ea,
+         |  (SELECT est FROM est WHERE side = 'b') eb, ue, ex""".stripMargin
+    },
+
+    // three store serving paths replayed: the shared BM25 scorer, the
+    // 2-cell IVF probe (q54's shape, k=10), the q101 graph + fixed-entry
+    // beam (q506's tail, entries 0-3), then the q109 RRF algebra
+    "q526_standing_stack" ->
+      s"""WITH lexbase AS ($bm25OracleSql),
+         |lex AS (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+         |      AS rank FROM lexbase),
+         |c AS (SELECT CAST(vec_id AS INT) AS cid,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |a AS (SELECT vec_id, centroid_id, adist FROM (
+         |    SELECT e.vec_id, c.cid AS centroid_id,
+         |      list_distance(e.v, c.cv) AS adist,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+         |    FROM ev e, c) WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM ev WHERE vec_id = 7),
+         |probe AS (SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY list_distance(c.cv, qv), c.cid) AS rn
+         |    FROM c, q) WHERE rn <= 2),
+         |dense AS (SELECT vec_id AS id, rank FROM (
+         |    SELECT a.vec_id, CAST(row_number() OVER (ORDER BY
+         |        1.0 - list_cosine_similarity(ev.v, qv), a.vec_id) AS INT)
+         |      AS rank
+         |    FROM a JOIN probe ON a.centroid_id = probe.cid
+         |      JOIN ev ON ev.vec_id = a.vec_id, q) WHERE rank <= 10),
+         |p AS (SELECT l.vec_id AS gid, r.vec_id AS nbr_id,
+         |    1.0 - list_cosine_similarity(le.v, re.v) AS distance
+         |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+         |    AND l.vec_id <> r.vec_id
+         |    JOIN ev le ON le.vec_id = l.vec_id
+         |    JOIN ev re ON re.vec_id = r.vec_id),
+         |g0 AS (SELECT gid, nbr_id FROM (
+         |    SELECT gid, nbr_id, row_number() OVER (
+         |      PARTITION BY gid ORDER BY distance, nbr_id) AS rk
+         |    FROM p) WHERE rk <= 3),
+         |b0 AS (SELECT x.cand,
+         |    1.0 - list_cosine_similarity(ev.v, qv) AS distance
+         |  FROM (SELECT unnest([0, 1, 2, 3]) AS cand) x
+         |    JOIN ev ON ev.vec_id = x.cand, q
+         |  ORDER BY distance, cand LIMIT 8),
+         |x1 AS (SELECT DISTINCT cand FROM (
+         |  SELECT g0.nbr_id AS cand FROM b0 JOIN g0 ON g0.gid = b0.cand
+         |  UNION ALL SELECT cand FROM b0)),
+         |b1 AS (SELECT x1.cand,
+         |    1.0 - list_cosine_similarity(v, qv) AS distance
+         |  FROM x1 JOIN ev ON ev.vec_id = x1.cand, q
+         |  ORDER BY distance, cand LIMIT 8),
+         |x2 AS (SELECT DISTINCT cand FROM (
+         |  SELECT g0.nbr_id AS cand FROM b1 JOIN g0 ON g0.gid = b1.cand
+         |  UNION ALL SELECT cand FROM b1)),
+         |b2 AS (SELECT x2.cand,
+         |    1.0 - list_cosine_similarity(v, qv) AS distance
+         |  FROM x2 JOIN ev ON ev.vec_id = x2.cand, q
+         |  ORDER BY distance, cand LIMIT 8),
+         |graphranks AS (SELECT cand AS id,
+         |    CAST(row_number() OVER (ORDER BY distance, cand) AS INT)
+         |      AS rank FROM b2),
+         |u AS (SELECT id, 1.0 / (60 + rank) AS contrib FROM lex
+         |  UNION ALL SELECT id, 1.0 / (60 + rank) FROM dense
+         |  UNION ALL SELECT id, 1.0 / (60 + rank) FROM graphranks)
+         |SELECT CAST(id AS BIGINT) AS id,
+         |  CAST(SUM(CAST(contrib AS DECIMAL(27,15))) AS DOUBLE)
+         |    AS rrf_score,
+         |  COUNT(*) AS n_lists
+         |FROM u GROUP BY id
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
   )
 }

@@ -43,6 +43,46 @@ class ScaleProbeSpec extends SparkSpec {
     assert(p.contains("partial_"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("merge guard (q132/q121 cores): a store's UNTOUCHED mass never " +
+       "enters a merge — touched-cell results are replication-invariant") {
+    // the MergeProbe flat line in semantic form: merging one fixed batch
+    // into a store whose OTHER cells are 2× heavier must produce the
+    // identical touched set and identical touched-cell contents — if
+    // store size leaked into the merge, these would differ. Uses a
+    // 3-centroid layout where the batch lands in exactly cell 0.
+    import graft.store.AnnStore
+    import graft.operators.Similarity
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq((i % 3).toFloat * 10f + 1f, 1f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Seq((0, Seq(1f, 1f)), (1, Seq(11f, 1f)), (2, Seq(21f, 1f)))
+      .toDF("cid", "cv")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Similarity.assignNearestCentroid(df, "embedding", "vec_id",
+        centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val batch = Seq((900L, Seq(1.5f, 1f)), (901L, Seq(0.5f, 1f)))
+      .toDF("vec_id", "embedding")
+    def mergedCell0(store: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mg").toFile
+      val p = s"${dir.getAbsolutePath}/ann"
+      AnnStore.write(assign(store), p)
+      AnnStore.merge(spark, p, batch, centroids, "cid", "cv",
+        "embedding", "vec_id")
+      val got = spark.read.parquet(p).filter(col("centroid_id") === 0)
+        .select("vec_id").as[Long].collect().toSet
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      got
+    }
+    // replica rows land ONLY in cells 1 and 2 (x = 11 / 21) — cell 0,
+    // where the batch lands, is identical in both stores
+    val heavy = base.union((0 until 30).map { i =>
+      (1000L + i, Seq((i % 2).toFloat * 10f + 11f, 1f))
+    }.toDF("vec_id", "embedding"))
+    assert(mergedCell0(base) == mergedCell0(heavy))
+    assert(mergedCell0(base).contains(900L) && mergedCell0(base).contains(901L))
+  }
+
   test("q428 guard: disjoint graph replicas never widen a sweep — " +
        "betweenness from replica-0 sources is replication-invariant") {
     // the linearity law in semantic form: Brandes BFS cost is
