@@ -3256,7 +3256,24 @@ object Stats {
     * both ranks coincide; for n even the 0.5-fraction interpolation IS
     * the mean of the two middle values — integer-sum-halving, exact in
     * doubles). Returns (g, n, med). */
-  def groupedTwoPassMedian(v: DataFrame, coarseBins: Int = 256): DataFrame = {
+  def groupedTwoPassMedian(v: DataFrame, coarseBins: Int = 256): DataFrame =
+    groupedTwoPassQuantile(v, 1, 2, coarseBins)
+      .withColumnRenamed("q", "med")
+
+  /** The general form of [[groupedTwoPassMedian]]: per-group exact
+    * LINEARLY-INTERPOLATED quantile p = pNum/pDen (the `percentile` /
+    * `quantile_cont` definition: h = p·(n−1), value = v_⌊h⌋₊₁ +
+    * frac·(v_⌊h⌋₊₂ − v_⌊h⌋₊₁)) with the same two-pass histogram shape —
+    * no per-group value buffer at any plan node. The interpolation is
+    * computed as (v_lo·(pDen−fn) + v_hi·fn) / pDen where fn =
+    * ((n−1)·pNum) mod pDen: an exact integer numerator and ONE double
+    * division, which for power-of-two-friendly pDen (2, 4, 8 — medians,
+    * quartiles, octiles) is bit-identical to the engines' own
+    * h-arithmetic, so `quantile_cont` replays it. */
+  def groupedTwoPassQuantile(v: DataFrame, pNum: Int, pDen: Int,
+                             coarseBins: Int = 256): DataFrame = {
+    require(pNum >= 0 && pNum <= pDen && pDen > 0,
+      s"groupedTwoPassQuantile: need 0 <= $pNum/$pDen <= 1")
     val W = org.apache.spark.sql.expressions.Window
     val rng = v.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"),
       count(lit(1)).as("nn"))
@@ -3268,13 +3285,17 @@ object Stats {
       .withColumn("cum", sum("f").over(
         W.partitionBy("g").orderBy("bin").rowsBetween(Long.MinValue, 0)))
       .join(rng.select("g", "nn"), Seq("g"))
+    // 1-based ranks of the two order statistics around h = p·(n−1);
+    // fn = 0 collapses both to the same rank (exact hit, no blend)
+    val loRank = s"((nn - 1) * $pNum) div $pDen + 1"
+    val fnExpr = s"((nn - 1) * $pNum) % $pDen"
+    val hiRank = s"$loRank + (case when $fnExpr > 0 then 1 else 0 end)"
     def target(kExpr: String, tag: String) = hist
       .withColumn("k", expr(kExpr))
       .filter(col("cum") >= col("k") && (col("cum") - col("f")) < col("k"))
       .select(col("g"), col("bin").as(s"tb_$tag"),
         (col("k") - (col("cum") - col("f"))).as(s"rk_$tag"))
-    val targets = target("(nn + 1) div 2", "1")
-      .join(target("(nn + 2) div 2", "2"), Seq("g"))
+    val targets = target(loRank, "1").join(target(hiRank, "2"), Seq("g"))
     val ranked = binned.join(targets, Seq("g"))
       .filter(col("bin") === col("tb_1") || col("bin") === col("tb_2"))
       .withColumn("_rn", row_number().over(
@@ -3285,8 +3306,10 @@ object Stats {
           col("_rn") === col("rk_2"))
         .select(col("g"), col("v").as("_v2")), Seq("g"))
       .join(rng.select(col("g"), col("nn").as("n")), Seq("g"))
+      .withColumn("_fn", expr(s"((n - 1) * $pNum) % $pDen"))
       .select(col("g"), col("n"),
-        ((col("_v1") + col("_v2")).cast("double") / 2).as("med"))
+        ((col("_v1") * (lit(pDen) - col("_fn")) + col("_v2") * col("_fn"))
+          .cast("double") / pDen).as("q"))
   }
 
   /** [[hampelGate]]'s 100 TB twin: IDENTICAL median/MAD fence algebra —

@@ -81,9 +81,17 @@ private[graft] object Queries522to529 extends QueryModule {
       // by HLL inclusion-exclusion over persisted-shape registers (the
       // q102 sketch family) — at 100 TB any two audiences intersect in
       // O(m) register arithmetic instead of a distinct+join over raw
-      // ids; the exact join count rides beside to show the sketch error
+      // ids; the exact join count rides beside to show the sketch
+      // error. The driver's users all do everything, so each side is
+      // id-sliced to make the overlap PARTIAL (A = low two-thirds,
+      // B = high two-thirds — a real inclusion-exclusion case rather
+      // than A = B)
       val ev = events(s, dir)
+      val cut = ev.agg(expr("max(user_id) div 3").cast("long").as("c"))
+        .head().getLong(0)
       def aud(t: String) = ev.filter(col("event_type") === t)
+        .filter(if (t == "purchase") col("user_id") < 2 * cut
+                else col("user_id") >= cut)
         .select(col("user_id"))
       val est = Sketches.hllOverlap(
         aud("purchase"), "user_id", aud("view"), "user_id")
@@ -123,6 +131,27 @@ private[graft] object Queries522to529 extends QueryModule {
           beam = 8, iters = 2, k = 10)
         .select(col("vec_id").cast("long").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, dense, graphLeg), "id", 10)
+    }),
+
+    "q527_grouped_quartiles" -> ((s, dir) => {
+      // per-user p25/p75/IQR at unbounded group cardinality — the q522
+      // machinery generalized to arbitrary interpolated quantiles (two
+      // pass-2 rank selections per quantile, never a per-group buffer).
+      // Quartile interpolation is quarters of exact longs — one
+      // power-of-two division, so quantile_cont replays it bit-for-bit
+      val v = events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id").as("g"),
+          round(col("value") * 100).cast("long").as("v"))
+      val p25 = Stats.groupedTwoPassQuantile(v, 1, 4)
+        .select(col("g"), col("n"), col("q").as("_p25"))
+      val p75 = Stats.groupedTwoPassQuantile(v, 3, 4)
+        .select(col("g"), col("q").as("_p75"))
+      p25.join(p75, Seq("g"))
+        .select(col("g").as("user_id"), col("n"),
+          round(col("_p25"), 6).as("p25"),
+          round(col("_p75"), 6).as("p75"),
+          round(col("_p75") - col("_p25"), 6).as("iqr"))
+        .orderBy("user_id")
     })
   )
 
@@ -267,11 +296,14 @@ private[graft] object Queries522to529 extends QueryModule {
     // max-merge of both sides' registers; inclusion-exclusion at the end
     "q525_hll_overlap" -> {
       val factor = graft.operators.Sketches.hllFactor(5)
-      s"""WITH ev AS (
-         |  SELECT 'a' AS side, user_id AS key FROM events
-         |    WHERE event_type = 'purchase'
+      s"""WITH cut AS (SELECT CAST(max(user_id) // 3 AS BIGINT) AS c
+         |  FROM events),
+         |ev AS (
+         |  SELECT 'a' AS side, user_id AS key FROM events, cut
+         |    WHERE event_type = 'purchase' AND user_id < 2 * c
          |  UNION ALL
-         |  SELECT 'b', user_id FROM events WHERE event_type = 'view'),
+         |  SELECT 'b', user_id FROM events, cut
+         |    WHERE event_type = 'view' AND user_id >= c),
          |kh0 AS (SELECT side, (key * 1000003) % 2147483647 AS a0 FROM ev),
          |kh1 AS (SELECT side,
          |    (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
@@ -295,10 +327,11 @@ private[graft] object Queries522to529 extends QueryModule {
          |    $factor / CAST(present + (32 - nb) * 134217728 AS DOUBLE)
          |      AS est_union FROM uh),
          |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM
-         |  (SELECT DISTINCT user_id FROM events
-         |     WHERE event_type = 'purchase') a
-         |  JOIN (SELECT DISTINCT user_id FROM events
-         |     WHERE event_type = 'view') b USING (user_id))
+         |  (SELECT DISTINCT user_id FROM events, cut
+         |     WHERE event_type = 'purchase' AND user_id < 2 * c) a
+         |  JOIN (SELECT DISTINCT user_id FROM events, cut
+         |     WHERE event_type = 'view' AND user_id >= c) b
+         |  USING (user_id))
          |SELECT round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
          |  round(ue.est_union, 6) AS est_union,
          |  round(ea.est + eb.est - ue.est_union, 6) AS est_intersection,
@@ -377,6 +410,17 @@ private[graft] object Queries522to529 extends QueryModule {
          |    AS rrf_score,
          |  COUNT(*) AS n_lists
          |FROM u GROUP BY id
-         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+
+    "q527_grouped_quartiles" ->
+      """WITH v AS (SELECT user_id AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT g AS user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(quantile_cont(v, 0.25), 6) AS p25,
+        |  round(quantile_cont(v, 0.75), 6) AS p75,
+        |  round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6)
+        |    AS iqr
+        |FROM v GROUP BY g ORDER BY user_id""".stripMargin
   )
 }

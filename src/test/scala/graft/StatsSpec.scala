@@ -1225,6 +1225,20 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("percentile"), p)
   }
 
+  test("groupedTwoPassQuantile ≡ percentile() for quartiles on every group size") {
+    // group sizes 1..7 hit every (floor, frac) combination of h = p(n−1)
+    val df = (1 to 7).flatMap(n => (1 to n).map(i => (s"g$n", (i * 7 + n).toLong)))
+      .toDF("g", "v")
+    for ((pn, pd, p) <- Seq((1, 4, 0.25), (1, 2, 0.5), (3, 4, 0.75))) {
+      val exact = df.groupBy("g").agg(expr(s"percentile(v, $p)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val two = Stats.groupedTwoPassQuantile(
+          df.select(col("g"), col("v")), pn, pd, coarseBins = 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(two == exact, s"p=$p: $two vs $exact")
+    }
+  }
+
   test("cochranArmitage: perfect monotone trend scores positive z; flat scores 0") {
     // buckets 0,1,2 with rates 0/10, 5/10, 10/10 — exact hand values:
     // N=30 R=15 T'=Σs(rN-nR)=1*(150-150)+2*(300-150)=300
