@@ -3275,9 +3275,18 @@ object Stats {
     require(pNum >= 0 && pNum <= pDen && pDen > 0,
       s"groupedTwoPassQuantile: need 0 <= $pNum/$pDen <= 1")
     val W = org.apache.spark.sql.expressions.Window
+    // GROUP-CARDINALITY-sized control frames (|g| and ≤|g|·bins rows —
+    // three-plus orders below the corpus) are localCheckpointed: they
+    // are referenced from several plan branches, and without truncation
+    // each reference re-executes the whole upstream subtree (measured:
+    // the un-truncated per-user gate re-scanned the corpus ~30× and ran
+    // 31 s where 1.5 s suffices). The corpus-sized `binned` frame is
+    // deliberately NOT pinned — it streams exactly twice, once per pass,
+    // which is the operator's two-scan contract.
     val rng = v.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"),
       count(lit(1)).as("nn"))
-    val binned = v.join(rng, Seq("g"))
+      .localCheckpoint()
+    def binned = v.join(rng, Seq("g"))
       .withColumn("bin", expr(
         s"least($coarseBins - 1, ((v - mn) * $coarseBins) div (mx - mn + 1))"))
       .select("g", "v", "bin")
@@ -3285,6 +3294,7 @@ object Stats {
       .withColumn("cum", sum("f").over(
         W.partitionBy("g").orderBy("bin").rowsBetween(Long.MinValue, 0)))
       .join(rng.select("g", "nn"), Seq("g"))
+      .localCheckpoint()
     // 1-based ranks of the two order statistics around h = p·(n−1);
     // fn = 0 collapses both to the same rank (exact hit, no blend)
     val loRank = s"((nn - 1) * $pNum) div $pDen + 1"
@@ -3296,15 +3306,17 @@ object Stats {
       .select(col("g"), col("bin").as(s"tb_$tag"),
         (col("k") - (col("cum") - col("f"))).as(s"rk_$tag"))
     val targets = target(loRank, "1").join(target(hiRank, "2"), Seq("g"))
-    val ranked = binned.join(targets, Seq("g"))
+    // pass 2: one streaming scan — both order statistics rank-select in
+    // the same window pass (when tb/rk coincide the same row feeds both)
+    binned.join(targets, Seq("g"))
       .filter(col("bin") === col("tb_1") || col("bin") === col("tb_2"))
       .withColumn("_rn", row_number().over(
         W.partitionBy("g", "bin").orderBy("v")))
-    ranked.filter(col("bin") === col("tb_1") && col("_rn") === col("rk_1"))
-      .select(col("g"), col("v").as("_v1"))
-      .join(ranked.filter(col("bin") === col("tb_2") &&
-          col("_rn") === col("rk_2"))
-        .select(col("g"), col("v").as("_v2")), Seq("g"))
+      .groupBy("g")
+      .agg(max(when(col("bin") === col("tb_1") &&
+          col("_rn") === col("rk_1"), col("v"))).as("_v1"),
+        max(when(col("bin") === col("tb_2") &&
+          col("_rn") === col("rk_2"), col("v"))).as("_v2"))
       .join(rng.select(col("g"), col("nn").as("n")), Seq("g"))
       .withColumn("_fn", expr(s"((n - 1) * $pNum) % $pDen"))
       .select(col("g"), col("n"),
@@ -3325,13 +3337,17 @@ object Stats {
                          k: Int = 3, coarseBins: Int = 256): DataFrame = {
     val v = df.select(col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"))
-    val med = groupedTwoPassMedian(v, coarseBins)
+    // med/mad are |g|-row frames referenced from several branches —
+    // checkpoint them so the MAD leg and the final fence pass re-read a
+    // bounded materialization instead of re-running the median plan
+    val med = groupedTwoPassMedian(v, coarseBins).localCheckpoint()
     val dev = v.join(med, Seq("g"))
       .withColumn("med2", (col("med") * 2).cast("long"))
       .withColumn("adev2", abs(col("v") * 2 - col("med2")))
     val mad = groupedTwoPassMedian(
         dev.select(col("g"), col("adev2").as("v")), coarseBins)
       .select(col("g"), (col("med") / 2).as("mad"))
+      .localCheckpoint()
     dev.withColumn("adev", col("adev2").cast("double") / 2)
       .join(mad, Seq("g"))
       .withColumn("fence", lit(k.toDouble) * col("mad"))

@@ -269,6 +269,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q522/q527: the scalable robust gates never buffer a group " +
+       "(no percentile aggregate anywhere in the plan)") {
+    for (q <- Seq("q522_hampel_scalable", "q527_grouped_quartiles")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("percentile"),
+        s"$q fell back to a buffering percentile:\n" +
+          p.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("q124: PQ encode + ADC stay map-side; the result is a bounded top-k") {
     val p = plan("q124_pq_search").split("== Initial Plan ==").head
     assert(!p.contains("Join"), "PQ scoring must not join — codes and the " +
