@@ -536,6 +536,33 @@ object TextQuality {
         round(col("h"), 6).as("entropy"))
   }
 
+  /** Unicode script-mix / homoglyph screen (the confusable-spoofing
+    * check UTS #39 motivates, as a corpus gate): per document, letter
+    * counts by script block — Latin, Cyrillic, Greek — plus digits, the
+    * mixed-script flag (≥ 2 letter scripts present) and the confusable
+    * risk flag (Latin mixed with Cyrillic/Greek — where 'а'/'ο'
+    * homoglyph spam and adversarial SEO text live; an English corpus
+    * document that trips it is near-certainly spoofed). Pure map-side
+    * regexp_count per class — the scan-stage gate shape of the other
+    * quality screens; both engines count the same codepoint ranges.
+    * Returns (idCol, n_chars, n_latin, n_cyrillic, n_greek, n_digit,
+    * mixed_script, confusable_risk). */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      expr(s"regexp_count($textCol, '$pattern')").cast("long")
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\\\u0400-\\\\u04FF]").as("n_cyrillic"),
+        cnt("[\\\\u0370-\\\\u03FF]").as("n_greek"),
+        cnt("[0-9]").as("n_digit"))
+      .withColumn("mixed_script",
+        (col("n_latin") > 0).cast("int") + (col("n_cyrillic") > 0).cast("int") +
+          (col("n_greek") > 0).cast("int") >= 2)
+      .withColumn("confusable_risk",
+        col("n_latin") > 0 && (col("n_cyrillic") > 0 || col("n_greek") > 0))
+  }
+
   /** Per-document boilerplate share by cross-document LINE frequency:
     * a line (12-token pseudo-line here, [[tokenLines]]) appearing in ≥
     * `minDf` distinct documents is boilerplate — headers, footers,

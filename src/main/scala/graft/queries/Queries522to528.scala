@@ -8,9 +8,11 @@ import graft.operators._
 import QueryHelpers._
 import OracleHelpers._
 
-/** Round-8 additions: scale-safe robust gating, deep hierarchical ANN
-  * descent, watermarked streaming semantics under the oracle gate. */
-private[graft] object Queries522to529 extends QueryModule {
+/** Round-8 additions: scale-safe robust gating (grouped two-pass
+  * median/quantiles), deep hierarchical ANN descent, watermarked
+  * streaming semantics under the oracle gate, HLL set intersection,
+  * the three-standing-store serving stack, and the homoglyph screen. */
+private[graft] object Queries522to528 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q522_hampel_scalable" -> ((s, dir) => {
@@ -152,6 +154,25 @@ private[graft] object Queries522to529 extends QueryModule {
           round(col("_p75"), 6).as("p75"),
           round(col("_p75") - col("_p25"), 6).as("iqr"))
         .orderBy("user_id")
+    }),
+
+    "q528_script_mix" -> ((s, dir) => {
+      // homoglyph / mixed-script corpus screen (the UTS #39 confusable
+      // concern as a data gate): the ASCII corpus is spoofed
+      // deterministically by doc id — ≡1 mod 4 gets Cyrillic 'а' for
+      // Latin 'a', ≡2 gets Greek 'ο' for 'o' (the two classic homoglyph
+      // attacks) — and the screen must flag EXACTLY those docs as
+      // confusable-risk. Pure map-side codepoint-class counting, the
+      // scan-stage shape of the other quality gates
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+      val spoofed = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 1,
+            translate(col("text"), "a", "а"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            translate(col("text"), "o", "ο"))
+          .otherwise(col("text")).as("t"))
+      TextQuality.scriptMix(spoofed, "doc_id", "t")
+        .orderBy("doc_id")
     })
   )
 
@@ -421,6 +442,31 @@ private[graft] object Queries522to529 extends QueryModule {
         |  round(quantile_cont(v, 0.75), 6) AS p75,
         |  round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6)
         |    AS iqr
-        |FROM v GROUP BY g ORDER BY user_id""".stripMargin
+        |FROM v GROUP BY g ORDER BY user_id""".stripMargin,
+
+    "q528_script_mix" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 4 AS INT)
+         |      WHEN 1 THEN translate(text, 'a', 'а')
+         |      WHEN 2 THEN translate(text, 'o', 'ο')
+         |      ELSE text END AS t
+         |  FROM documents WHERE doc_id < 500),
+         |cnt AS (SELECT doc_id,
+         |    CAST(length(t) AS BIGINT) AS n_chars,
+         |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+         |      AS n_latin,
+         |    CAST(len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]'))
+         |      AS BIGINT) AS n_cyrillic,
+         |    CAST(len(regexp_extract_all(t, '[\\x{0370}-\\x{03FF}]'))
+         |      AS BIGINT) AS n_greek,
+         |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT)
+         |      AS n_digit
+         |  FROM d)
+         |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_digit,
+         |  (CAST(n_latin > 0 AS INT) + CAST(n_cyrillic > 0 AS INT)
+         |    + CAST(n_greek > 0 AS INT)) >= 2 AS mixed_script,
+         |  n_latin > 0 AND (n_cyrillic > 0 OR n_greek > 0)
+         |    AS confusable_risk
+         |FROM cnt ORDER BY doc_id""".stripMargin
   )
 }

@@ -254,6 +254,32 @@ class TextQualitySpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_chars") == 16L)
   }
 
+  test("scriptMix: homoglyph spoofing flags confusable_risk; pure scripts don't") {
+    val docs = Seq(
+      (1L, "plain ascii text 42"),          // latin + digits only
+      (2L, "bаnаnа bread"),  // Cyrillic 'а' homoglyphs in latin
+      (3L, "привет"), // pure Cyrillic
+      (4L, "lοgοs"),              // Greek 'ο' homoglyphs
+      (5L, "12345"))                        // digits only
+      .toDF("doc_id", "text")
+    val out = TextQuality.scriptMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_latin") == 14L &&
+      !out(1L).getAs[Boolean]("mixed_script") &&
+      !out(1L).getAs[Boolean]("confusable_risk"))
+    assert(out(2L).getAs[Long]("n_cyrillic") == 3L &&
+      out(2L).getAs[Boolean]("confusable_risk"))
+    // pure Cyrillic is a different language, NOT a spoof
+    assert(out(3L).getAs[Long]("n_cyrillic") == 6L &&
+      out(3L).getAs[Long]("n_latin") == 0L &&
+      !out(3L).getAs[Boolean]("confusable_risk"))
+    assert(out(4L).getAs[Long]("n_greek") == 2L &&
+      out(4L).getAs[Boolean]("mixed_script") &&
+      out(4L).getAs[Boolean]("confusable_risk"))
+    assert(out(5L).getAs[Long]("n_digit") == 5L &&
+      !out(5L).getAs[Boolean]("mixed_script"))
+  }
+
   test("oovRate: head vocab covers source A fully; source B half OOV") {
     // global cf: a=3, b=1, z=1 → top-2 vocab (cf desc, tok asc) = {a, b}
     val docs = Seq(("A", "a a b"), ("B", "a z")).toDF("source", "text")
