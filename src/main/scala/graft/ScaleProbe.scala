@@ -80,6 +80,26 @@ object ScaleProbe {
       println(f"ppjoin      rep=$r%2d pairs=$pairs%9d t=$t%7.2fs (flat expected)")
     }
 
+    // ---- q522 core: grouped two-pass median/MAD on replicated events ---
+    // growth law: ~linear in rows AND in groups — the control frames are
+    // |g|-bounded, pass 1/2 stream the corpus, nothing buffers a group
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("cast(round(value * 100) as long)")
+        .as("cents"))
+    for (r <- reps) {
+      val ev = (0 until r).map(i => ev0.select(
+          (col("user_id") + i * 10000000L).as("user_id"), col("cents")))
+        .reduce(_ union _)
+      val nRows = ev.count()
+      val ((groups, _), t) = time {
+        val out = operators.Stats.hampelGateScalable(ev, "user_id",
+          "cents", k = 3)
+        (out.count(), ())
+      }
+      println(f"hampel      rep=$r%2d rows=$nRows%9d groups=$groups%7d t=$t%7.2fs")
+    }
+
     // ---- q387 core: order-invariant checksum of replicated lineitem ----
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

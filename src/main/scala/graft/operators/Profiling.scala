@@ -143,12 +143,21 @@ object Profiling {
     * test. One map-side digit projection + a 9-row aggregate; the first
     * digit comes from the integer's decimal rendering (engine-identical,
     * no float log in the data path — the expectations are fixed 6 dp
-    * literals). */
+    * literals). Counts left-join onto the full 1-9 grid: a digit the
+    * data never produces reports n = 0, share = 0 and the FULL
+    * expected share as its deviation — the strongest fabrication
+    * signal, not a dropped row (the same fix the χ² variant
+    * [[graft.operators.Stats.benfordAudit]] carries). */
   def benfordAudit(df: DataFrame, amountCents: Column): DataFrame = {
-    val counts = df.select(amountCents.cast("long").as("c"))
-      .filter(col("c") > 0)
-      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val counts = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(df.select(amountCents.cast("long").as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n")),
+        Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     val total = counts.agg(sum("n").as("_tot"))
     val expected = BenfordExpected.foldLeft(lit(0.0)) {
       case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)

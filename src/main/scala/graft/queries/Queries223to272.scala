@@ -1353,7 +1353,10 @@ private[graft] object Queries223to272 extends QueryModule {
           |  FROM orders WHERE round(o_totalprice * 100) > 0),
           |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT)
           |    AS digit FROM c),
-          |n AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+          |raw AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+          |n AS (SELECT g.digit, coalesce(raw.n, 0) AS n
+          |  FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) g
+          |  LEFT JOIN raw ON g.digit = raw.digit),
           |t AS (SELECT SUM(n) AS tot FROM n),
           |e AS (SELECT digit, n,
           |    CAST(n AS DOUBLE) / tot AS share,

@@ -96,17 +96,25 @@ class ProfilingSpec extends SparkSpec {
     assert(out(("grp", "v")) == ((2L, 1L, 2L, false)))
   }
 
-  test("benfordAudit: digit shares and fixed expectations; non-positive drop") {
+  test("benfordAudit: digit shares and fixed expectations; non-positive drop; " +
+       "absent digits report zero share, not a dropped row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val df = Seq(123L, 19L, 250L, 987L, 111L, 0L, -5L).toDF("cents")
     val out = graft.operators.Profiling.benfordAudit(df, col("cents"))
       .orderBy("digit")
       .as[(Int, Long, Double, Double, Double)].collect().toSeq
-    assert(out.map(r => (r._1, r._2)) == Seq((1, 3L), (2, 1L), (9, 1L)))
+    // full 1-9 grid: observed digits carry counts, the rest zeros
+    assert(out.map(_._1) == (1 to 9))
+    assert(out.map(r => (r._1, r._2)).filter(_._2 > 0) ==
+      Seq((1, 3L), (2, 1L), (9, 1L)))
     val d1 = out.head
     assert(d1._3 == 3.0 / 5.0 && d1._4 == 0.301030)
     assert(math.abs(d1._5 - (0.6 - 0.301030)) < 1e-12)
+    // an absent digit's deviation is its FULL expected share — the
+    // fabrication signal the pre-fix version silently dropped
+    val d5 = out(4)
+    assert(d5._2 == 0L && d5._3 == 0.0 && d5._5 == d5._4)
   }
 
   test("categoryDrift: new/gone named, shared shifts ranked") {
