@@ -3362,6 +3362,38 @@ object Stats {
         round(dsum(col("clipped")) / max("n"), 6).as("win_mean"))
   }
 
+  /** Value-trimmed (interquartile) mean per group at UNBOUNDED group
+    * cardinality — the robust location estimate completing the
+    * scale-safe family (median [[groupedTwoPassMedian]], MAD
+    * [[hampelGateScalable]], quartiles [[groupedTwoPassQuantile]]):
+    * rows with q25 ≤ v ≤ q75 (value fences, ties INCLUSIVE — the rule
+    * is stated, not rank-fractional) average in exact integer cents.
+    * Quartile fences come from the two-pass machinery, so nothing
+    * buffers a group; fences are exact quarters of longs, so the
+    * boundary comparisons replay deterministically and the one final
+    * division is the only float op. Returns (groupCol, n, n_kept, q25,
+    * q75, trimmed_mean). */
+  def trimmedMeanScalable(df: DataFrame, groupCol: String,
+                          valueCol: String,
+                          coarseBins: Int = 256): DataFrame = {
+    val v = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val fences = groupedTwoPassQuantile(v, 1, 4, coarseBins)
+      .select(col("g"), col("n"), col("q").as("q25"))
+      .join(groupedTwoPassQuantile(v, 3, 4, coarseBins)
+        .select(col("g"), col("q").as("q75")), Seq("g"))
+      .localCheckpoint()
+    v.join(fences, Seq("g"))
+      .filter(col("v").cast("double") >= col("q25") &&
+        col("v").cast("double") <= col("q75"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n").cast("long").as("n"),
+        count(lit(1)).as("n_kept"),
+        max("q25").as("q25"), max("q75").as("q75"),
+        round(sum("v").cast("double") / count(lit(1)), 6)
+          .as("trimmed_mean"))
+  }
+
   /** Cochran-Armitage trend test: is a pass/fail rate MONOTONE in an
     * ordered bucket score (document-quality rate by length decile, error
     * rate by day index)? More powerful than the q·χ² independence test

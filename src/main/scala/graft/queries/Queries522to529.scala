@@ -12,7 +12,7 @@ import OracleHelpers._
   * median/quantiles), deep hierarchical ANN descent, watermarked
   * streaming semantics under the oracle gate, HLL set intersection,
   * the three-standing-store serving stack, and the homoglyph screen. */
-private[graft] object Queries522to528 extends QueryModule {
+private[graft] object Queries522to529 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q522_hampel_scalable" -> ((s, dir) => {
@@ -173,6 +173,27 @@ private[graft] object Queries522to528 extends QueryModule {
           .otherwise(col("text")).as("t"))
       TextQuality.scriptMix(spoofed, "doc_id", "t")
         .orderBy("doc_id")
+    }),
+
+    "q529_trimmed_mean" -> ((s, dir) => {
+      // per-user interquartile mean — the glitch-proof location estimate
+      // at unbounded group cardinality, completing the scale-safe robust
+      // family (q522 median/MAD, q527 quartiles): value fences
+      // q25 ≤ v ≤ q75 from the two-pass machinery, exact integer-cent
+      // sum inside, one division at the end. Beside it the PLAIN mean,
+      // so the gate shows what the trim absorbs
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val plain = ev.groupBy("user_id")
+        .agg(round(sum("cents").cast("double") / count(lit(1)), 6)
+          .as("plain_mean"))
+      Stats.trimmedMeanScalable(ev, "user_id", "cents")
+        .join(plain, Seq("user_id"))
+        .select(col("user_id"), col("n"), col("n_kept"),
+          round(col("q25"), 6).as("q25"), round(col("q75"), 6).as("q75"),
+          col("trimmed_mean"), col("plain_mean"))
+        .orderBy("user_id")
     })
   )
 
@@ -467,6 +488,27 @@ private[graft] object Queries522to528 extends QueryModule {
          |    + CAST(n_greek > 0 AS INT)) >= 2 AS mixed_script,
          |  n_latin > 0 AND (n_cyrillic > 0 OR n_greek > 0)
          |    AS confusable_risk
-         |FROM cnt ORDER BY doc_id""".stripMargin
+         |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    // quartile fences via quantile_cont (exact quarters of longs — the
+    // q527 exactness argument), inclusive value trim, integer-cent sum
+    "q529_trimmed_mean" ->
+      """WITH v AS (SELECT user_id AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    quantile_cont(v, 0.25) AS q25,
+        |    quantile_cont(v, 0.75) AS q75,
+        |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS plain_mean
+        |  FROM v GROUP BY g),
+        |k AS (SELECT v.g, COUNT(*) AS n_kept,
+        |    round(CAST(SUM(v.v) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+        |  FROM v JOIN f ON v.g = f.g
+        |  WHERE CAST(v.v AS DOUBLE) >= f.q25 AND CAST(v.v AS DOUBLE) <= f.q75
+        |  GROUP BY v.g)
+        |SELECT f.g AS user_id, f.n, CAST(k.n_kept AS BIGINT) AS n_kept,
+        |  round(f.q25, 6) AS q25, round(f.q75, 6) AS q75,
+        |  k.trimmed_mean, f.plain_mean
+        |FROM f JOIN k ON f.g = k.g ORDER BY user_id""".stripMargin
   )
 }

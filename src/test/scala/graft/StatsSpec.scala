@@ -1225,6 +1225,16 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("percentile"), p)
   }
 
+  test("trimmedMeanScalable: interquartile mean absorbs the glitch the plain mean eats") {
+    // 1..9 + a 10^6 glitch: q25 = 3.25, q75 = 7.75 → kept {4,5,6,7},
+    // trimmed mean 5.5 while the plain mean is ~100004
+    val df = ((1L to 9L).map(v => ("a", v)) :+ ("a", 1000000L)).toDF("g", "v")
+    val r = Stats.trimmedMeanScalable(df, "g", "v", coarseBins = 4).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_kept") == 4L)
+    assert(r.getAs[Double]("q25") == 3.25 && r.getAs[Double]("q75") == 7.75)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+  }
+
   test("groupedTwoPassQuantile ≡ percentile() for quartiles on every group size") {
     // group sizes 1..7 hit every (floor, frac) combination of h = p(n−1)
     val df = (1 to 7).flatMap(n => (1 to n).map(i => (s"g$n", (i * 7 + n).toLong)))
