@@ -91,10 +91,18 @@ object Bench {
     // localCheckpoint at creation) — a residual the registry doesn't
     // know is a leak, reported by name and flagged loudly
     spark.catalog.clearCache()
-    System.gc(); Thread.sleep(500)
-    val residualNames = spark.sparkContext.getPersistentRDDs.values.toSeq
-      .map(r => Option(r.name).getOrElse(s"UNNAMED(id=${r.id})")).sorted
+    // ContextCleaner drains dead localCheckpoint blocks asynchronously
+    // after GC — poll rather than trust one fixed sleep, so a slow
+    // cleaner can't masquerade as a leak in the driver's BENCH tail
     val registered = graft.queries.QueryHelpers.standingFrames
+    def residuals(): Seq[String] = spark.sparkContext.getPersistentRDDs
+      .values.toSeq
+      .map(r => Option(r.name).getOrElse(s"UNNAMED(id=${r.id})")).sorted
+    var tries = 0
+    while (tries < 20 && residuals().exists(!registered.contains(_))) {
+      System.gc(); Thread.sleep(300); tries += 1
+    }
+    val residualNames = residuals()
     val leaked = residualNames.filterNot(registered.contains)
     System.err.println(s"bench: residual persistent RDDs " +
       s"(${residualNames.size}): ${residualNames.mkString("[", ", ", "]")}")
