@@ -12,7 +12,7 @@ import OracleHelpers._
   * median/quantiles), deep hierarchical ANN descent, watermarked
   * streaming semantics under the oracle gate, HLL set intersection,
   * the three-standing-store serving stack, and the homoglyph screen. */
-private[graft] object Queries522to529 extends QueryModule {
+private[graft] object Queries522to530 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q522_hampel_scalable" -> ((s, dir) => {
@@ -194,6 +194,36 @@ private[graft] object Queries522to529 extends QueryModule {
           round(col("q25"), 6).as("q25"), round(col("q75"), 6).as("q75"),
           col("trimmed_mean"), col("plain_mean"))
         .orderBy("user_id")
+    }),
+
+    "q530_sliding_hll" -> ((s, dir) => {
+      // trailing-window distinct WITHOUT rescans: per hour, the distinct
+      // users of the trailing 24 h, served entirely from the persisted
+      // per-hour HLL registers (q102's sketch family) — the dashboard a
+      // 100 TB event stream materializes by max-merging 24 register
+      // tables (register-space arithmetic, |hours|·m rows) instead of
+      // re-scanning a day of raw events per hour. Exact trailing count
+      // beside (the offset-explode equi-join shape), showing the sketch
+      // error honestly
+      val ev = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("user_id"))
+      val regs = Sketches.hllRegisters(ev, Seq("hr"), "user_id")
+      val hours = ev.select(col("hr")).distinct()
+      val merged = hours.select(col("hr").as("whr"))
+        .join(regs, col("hr").between(col("whr") - 23, col("whr")))
+        .groupBy(col("whr"), col("b")).agg(max("mx").as("mx"))
+        .withColumnRenamed("whr", "hr")
+      val est = Sketches.hllMergeEstimate(merged, "hr")
+      val exact = ev.select(col("hr"), col("user_id"))
+        .withColumn("whr", explode(expr("sequence(hr, hr + 23)")))
+        .join(hours.select(col("hr").as("whr")), Seq("whr"))
+        .groupBy(col("whr").as("hr"))
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, Seq("hr"))
+        .select(col("hr"), round(col("hll_est"), 6).as("hll_est"),
+          col("n_exact"))
+        .orderBy("hr")
     })
   )
 
@@ -509,6 +539,41 @@ private[graft] object Queries522to529 extends QueryModule {
         |SELECT f.g AS user_id, f.n, CAST(k.n_kept AS BIGINT) AS n_kept,
         |  round(f.q25, 6) AS q25, round(f.q75, 6) AS q75,
         |  k.trimmed_mean, f.plain_mean
-        |FROM f JOIN k ON f.g = k.g ORDER BY user_id""".stripMargin
+        |FROM f JOIN k ON f.g = k.g ORDER BY user_id""".stripMargin,
+
+    // per-hour registers (q102 machinery), dense trailing-24h max-merge
+    // per register bucket, harmonic finish; exact trailing distinct via
+    // the same window membership
+    "q530_sliding_hll" -> {
+      val factor = graft.operators.Sketches.hllFactor(5)
+      s"""WITH ev AS (SELECT
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+         |    user_id AS key FROM events),
+         |kh0 AS (SELECT hr, (key * 1000003) % 2147483647 AS a0 FROM ev),
+         |kh1 AS (SELECT hr,
+         |    (xor(a0, a0 >> 16) * 73244475) % 2147483647 AS a1 FROM kh0),
+         |kh2 AS (SELECT hr,
+         |    (xor(a1, a1 >> 13) * 73244475) % 2147483647 AS h FROM kh1),
+         |br AS (SELECT hr, h >> 26 AS b,
+         |    CASE WHEN (h & 67108863) = 0 THEN 27
+         |         ELSE 27 - length(bin(h & 67108863)) END AS rho FROM kh2),
+         |mb AS (SELECT hr, b, MAX(rho) AS mx FROM br GROUP BY hr, b),
+         |hrs AS (SELECT DISTINCT hr FROM ev),
+         |mg AS (SELECT h.hr AS hr, mb.b, MAX(mb.mx) AS mx
+         |  FROM hrs h JOIN mb ON mb.hr BETWEEN h.hr - 23 AND h.hr
+         |  GROUP BY h.hr, mb.b),
+         |hs AS (SELECT hr,
+         |    SUM(CAST(1 AS BIGINT) << CAST(27 - mx AS INT)) AS present,
+         |    COUNT(*) AS nb FROM mg GROUP BY hr),
+         |est AS (SELECT hr,
+         |    $factor / CAST(present + (32 - nb) * 134217728 AS DOUBLE)
+         |      AS hll_est FROM hs),
+         |ex AS (SELECT w.hr, COUNT(DISTINCT e.key) AS n_exact
+         |  FROM hrs w JOIN ev e ON e.hr BETWEEN w.hr - 23 AND w.hr
+         |  GROUP BY w.hr)
+         |SELECT est.hr AS hr, round(est.hll_est, 6) AS hll_est,
+         |  CAST(ex.n_exact AS BIGINT) AS n_exact
+         |FROM est JOIN ex ON est.hr = ex.hr ORDER BY est.hr""".stripMargin
+    }
   )
 }
