@@ -3394,6 +3394,62 @@ object Stats {
           .as("trimmed_mean"))
   }
 
+  /** [[diffInDiff]] WITH the inference half: the same four-cell
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    * point estimate plus the unequal-variance standard error
+    * se = √(Σ_cells s²ᵢ/nᵢ) and t = DiD/se — an effect size without an
+    * error bar is half a readout, and the q325 gate pins only the
+    * point estimate. One grouped aggregate over the four
+    * (treated × post) cells: counts, integer-value sums AND sums of
+    * squares are exact BIGINTs, each mean/variance is a fixed double
+    * expression over them, the DiD combination is one canonical
+    * association — bit-replayable. Returns one row (n_total,
+    * mean_t_pre, mean_t_post, mean_c_pre, mean_c_post, did, se, t). */
+  def diffInDiffSe(df: DataFrame, treatedCol: String, postCol: String,
+                   valueCol: String): DataFrame = {
+    val cells = df.select(col(treatedCol).cast("boolean").as("tr"),
+        col(postCol).cast("boolean").as("po"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("tr", "po")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+    def pick(tr: Boolean, po: Boolean, c: String, as: String) =
+      max(when(col("tr") === tr && col("po") === po, col(c))).as(as)
+    val wide = cells.agg(
+      pick(true, false, "n", "n_tp"), pick(true, false, "s", "s_tp"),
+      pick(true, false, "ss", "ss_tp"),
+      pick(true, true, "n", "n_tq"), pick(true, true, "s", "s_tq"),
+      pick(true, true, "ss", "ss_tq"),
+      pick(false, false, "n", "n_cp"), pick(false, false, "s", "s_cp"),
+      pick(false, false, "ss", "ss_cp"),
+      pick(false, true, "n", "n_cq"), pick(false, true, "s", "s_cq"),
+      pick(false, true, "ss", "ss_cq"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n)
+    def varOverN(s: String, ss: String, n: String): Column =
+      (col(ss).cast("double") - col(s).cast("double") *
+        col(s).cast("double") / col(n)) / (col(n) - 1) / col(n)
+    wide.select(
+      (col("n_tp") + col("n_tq") + col("n_cp") + col("n_cq"))
+        .cast("long").as("n_total"),
+      round(mean("s_tp", "n_tp"), 6).as("mean_t_pre"),
+      round(mean("s_tq", "n_tq"), 6).as("mean_t_post"),
+      round(mean("s_cp", "n_cp"), 6).as("mean_c_pre"),
+      round(mean("s_cq", "n_cq"), 6).as("mean_c_post"),
+      round((mean("s_tq", "n_tq") - mean("s_tp", "n_tp")) -
+        (mean("s_cq", "n_cq") - mean("s_cp", "n_cp")), 6).as("did"),
+      round(sqrt(varOverN("s_tq", "ss_tq", "n_tq") +
+        varOverN("s_tp", "ss_tp", "n_tp") +
+        varOverN("s_cq", "ss_cq", "n_cq") +
+        varOverN("s_cp", "ss_cp", "n_cp")), 6).as("se"),
+      round(((mean("s_tq", "n_tq") - mean("s_tp", "n_tp")) -
+        (mean("s_cq", "n_cq") - mean("s_cp", "n_cp"))) /
+        sqrt(varOverN("s_tq", "ss_tq", "n_tq") +
+          varOverN("s_tp", "ss_tp", "n_tp") +
+          varOverN("s_cq", "ss_cq", "n_cq") +
+          varOverN("s_cp", "ss_cp", "n_cp")), 6).as("t"))
+  }
+
   /** Cochran-Armitage trend test: is a pass/fail rate MONOTONE in an
     * ordered bucket score (document-quality rate by length decile, error
     * rate by day index)? More powerful than the q·χ² independence test

@@ -12,7 +12,7 @@ import OracleHelpers._
   * median/quantiles), deep hierarchical ANN descent, watermarked
   * streaming semantics under the oracle gate, HLL set intersection,
   * the three-standing-store serving stack, and the homoglyph screen. */
-private[graft] object Queries522to530 extends QueryModule {
+private[graft] object Queries522to531 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q522_hampel_scalable" -> ((s, dir) => {
@@ -224,6 +224,22 @@ private[graft] object Queries522to530 extends QueryModule {
         .select(col("hr"), round(col("hll_est"), 6).as("hll_est"),
           col("n_exact"))
         .orderBy("hr")
+    }),
+
+    "q531_diff_in_diff" -> ((s, dir) => {
+      // the two-group two-period causal readout with a KNOWN planted
+      // effect: even-id users get +500 cents in the second half of the
+      // month (both engines plant the identical lift), and DiD must
+      // recover it net of the shared time trend the control carries —
+      // the rollout-analysis shape when randomization isn't available.
+      // Four-cell exact integer moments, fixed-association combination
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(2L)) === 0).as("tr"),
+          (expr("day(ts)") >= 16).as("po"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("cents", col("cents") +
+          when(col("tr") && col("po"), 500L).otherwise(0L))
+      Stats.diffInDiffSe(ev, "tr", "po", "cents")
     })
   )
 
@@ -574,6 +590,58 @@ private[graft] object Queries522to530 extends QueryModule {
          |SELECT est.hr AS hr, round(est.hll_est, 6) AS hll_est,
          |  CAST(ex.n_exact AS BIGINT) AS n_exact
          |FROM est JOIN ex ON est.hr = ex.hr ORDER BY est.hr""".stripMargin
-    }
+    },
+
+    // four (treated x post) cells of exact integer moments, the same
+    // fixed-association mean/variance expressions as the Spark side
+    "q531_diff_in_diff" ->
+      """WITH v AS (SELECT (user_id % 2 = 0) AS tr,
+        |    (day(CAST(ts AS TIMESTAMP)) >= 16) AS po,
+        |    CAST(round(value * 100) AS BIGINT) +
+        |      CASE WHEN user_id % 2 = 0
+        |        AND day(CAST(ts AS TIMESTAMP)) >= 16
+        |        THEN 500 ELSE 0 END AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT tr, po, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s,
+        |    CAST(SUM(v * v) AS BIGINT) AS ss
+        |  FROM v GROUP BY tr, po),
+        |w AS (SELECT
+        |  MAX(CASE WHEN tr AND NOT po THEN n END) AS n_tp,
+        |  MAX(CASE WHEN tr AND NOT po THEN s END) AS s_tp,
+        |  MAX(CASE WHEN tr AND NOT po THEN ss END) AS ss_tp,
+        |  MAX(CASE WHEN tr AND po THEN n END) AS n_tq,
+        |  MAX(CASE WHEN tr AND po THEN s END) AS s_tq,
+        |  MAX(CASE WHEN tr AND po THEN ss END) AS ss_tq,
+        |  MAX(CASE WHEN NOT tr AND NOT po THEN n END) AS n_cp,
+        |  MAX(CASE WHEN NOT tr AND NOT po THEN s END) AS s_cp,
+        |  MAX(CASE WHEN NOT tr AND NOT po THEN ss END) AS ss_cp,
+        |  MAX(CASE WHEN NOT tr AND po THEN n END) AS n_cq,
+        |  MAX(CASE WHEN NOT tr AND po THEN s END) AS s_cq,
+        |  MAX(CASE WHEN NOT tr AND po THEN ss END) AS ss_cq
+        |  FROM c)
+        |SELECT CAST(n_tp + n_tq + n_cp + n_cq AS BIGINT) AS n_total,
+        |  round(CAST(s_tp AS DOUBLE) / n_tp, 6) AS mean_t_pre,
+        |  round(CAST(s_tq AS DOUBLE) / n_tq, 6) AS mean_t_post,
+        |  round(CAST(s_cp AS DOUBLE) / n_cp, 6) AS mean_c_pre,
+        |  round(CAST(s_cq AS DOUBLE) / n_cq, 6) AS mean_c_post,
+        |  round((CAST(s_tq AS DOUBLE) / n_tq - CAST(s_tp AS DOUBLE) / n_tp)
+        |    - (CAST(s_cq AS DOUBLE) / n_cq - CAST(s_cp AS DOUBLE) / n_cp),
+        |    6) AS did,
+        |  round(sqrt(
+        |    (CAST(ss_tq AS DOUBLE) - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE) / n_tq) / (n_tq - 1) / n_tq +
+        |    (CAST(ss_tp AS DOUBLE) - CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE) / n_tp) / (n_tp - 1) / n_tp +
+        |    (CAST(ss_cq AS DOUBLE) - CAST(s_cq AS DOUBLE) * CAST(s_cq AS DOUBLE) / n_cq) / (n_cq - 1) / n_cq +
+        |    (CAST(ss_cp AS DOUBLE) - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE) / n_cp) / (n_cp - 1) / n_cp),
+        |    6) AS se,
+        |  round(((CAST(s_tq AS DOUBLE) / n_tq - CAST(s_tp AS DOUBLE) / n_tp)
+        |    - (CAST(s_cq AS DOUBLE) / n_cq - CAST(s_cp AS DOUBLE) / n_cp)) /
+        |    sqrt(
+        |    (CAST(ss_tq AS DOUBLE) - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE) / n_tq) / (n_tq - 1) / n_tq +
+        |    (CAST(ss_tp AS DOUBLE) - CAST(s_tp AS DOUBLE) * CAST(s_tp AS DOUBLE) / n_tp) / (n_tp - 1) / n_tp +
+        |    (CAST(ss_cq AS DOUBLE) - CAST(s_cq AS DOUBLE) * CAST(s_cq AS DOUBLE) / n_cq) / (n_cq - 1) / n_cq +
+        |    (CAST(ss_cp AS DOUBLE) - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE) / n_cp) / (n_cp - 1) / n_cp),
+        |    6) AS t
+        |FROM w""".stripMargin
   )
 }

@@ -1225,6 +1225,24 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("percentile"), p)
   }
 
+  test("diffInDiffSe: hand-computed two-by-two recovers lift, se and t") {
+    // treated pre {10,12} post {20,22}; control pre {5,7} post {9,11}:
+    // did = (21-11) - (10-6) = 6; each cell s²/n = 1 → se = 2, t = 3
+    val df = Seq(
+      (true, false, 10L), (true, false, 12L),
+      (true, true, 20L), (true, true, 22L),
+      (false, false, 5L), (false, false, 7L),
+      (false, true, 9L), (false, true, 11L)).toDF("tr", "po", "v")
+    val r = Stats.diffInDiffSe(df, "tr", "po", "v").head()
+    assert(r.getAs[Long]("n_total") == 8L)
+    assert(r.getAs[Double]("mean_t_pre") == 11.0 &&
+      r.getAs[Double]("mean_t_post") == 21.0)
+    assert(r.getAs[Double]("mean_c_pre") == 6.0 &&
+      r.getAs[Double]("mean_c_post") == 10.0)
+    assert(r.getAs[Double]("did") == 6.0)
+    assert(r.getAs[Double]("se") == 2.0 && r.getAs[Double]("t") == 3.0)
+  }
+
   test("trimmedMeanScalable: interquartile mean absorbs the glitch the plain mean eats") {
     // 1..9 + a 10^6 glitch: q25 = 3.25, q75 = 7.75 → kept {4,5,6,7},
     // trimmed mean 5.5 while the plain mean is ~100004
