@@ -743,6 +743,49 @@ object Stats {
       .select(col(orderCol), col(valueCol), col("cusum"), col("is_peak"))
   }
 
+  /** Pettitt changepoint test (Pettitt 1979) — the NONPARAMETRIC member
+    * of the changepoint family ([[cusumChangepoint]] assumes a level
+    * shift in the mean; [[pageHinkley]] is its online form; this one is
+    * rank-based, so a single wild outlier can't fake a shift):
+    * U_t = 2·Σ_{i≤t} R_i − t(n+1) over midranks R — with ties the
+    * midrank is a half-integer but 2R = rank + (rank + cnt − 1) is an
+    * exact BIGINT, so every U_t is an exact integer. |U| peaks at the
+    * most likely distribution-shift point. The approximate significance
+    * is p ≈ 2·exp(−z) with z = 6K²/(n³ + n²); z is emitted instead of p
+    * (exp's last ulp is not cross-engine-safe — the NOTES ln rule). The
+    * series is an ordered bounded aggregate like CUSUM's, so the global
+    * windows are small by construction. Returns one row per t with
+    * (orderCol, value, u_t, is_peak, k_stat, z). */
+  def pettittChangepoint(series: DataFrame, orderCol: String,
+                         valueCol: String): DataFrame = {
+    val wVal = Window.orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(valueCol))
+    val wCum = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = series.agg(count(lit(1)).as("_n"))
+    val ranked = series
+      .withColumn("_2r", (rank().over(wVal).cast("long") * 2 +
+        count(lit(1)).over(wTie) - 1))
+      .crossJoin(broadcast(tot))
+      .withColumn("_rn", row_number().over(Window.orderBy(orderCol))
+        .cast("long"))
+      .withColumn("u_t",
+        sum(col("_2r")).over(wCum) - col("_rn") * (col("_n") + 1))
+    val mx = ranked.filter(col("_rn") < col("_n"))
+      .agg(max(abs(col("u_t"))).as("_k"))
+    ranked.crossJoin(broadcast(mx))
+      .withColumn("is_peak",
+        abs(col("u_t")) === col("_k") && col("_rn") < col("_n"))
+      .select(col(orderCol), col(valueCol), col("u_t"), col("is_peak"),
+        col("_k").as("k_stat"),
+        round((lit(6.0) * col("_k").cast("double") *
+            col("_k").cast("double")) /
+          (col("_n").cast("double") * col("_n").cast("double") *
+            col("_n").cast("double") +
+           col("_n").cast("double") * col("_n").cast("double")), 6)
+          .as("z"))
+  }
+
   /** Kaplan–Meier survival estimate over right-censored lifetimes: rows
     * are (duration `tCol`, event-observed `obsCol` — false = censored);
     * output is one row per EVENT time with the at-risk count, event

@@ -12,7 +12,7 @@ import OracleHelpers._
   * median/quantiles), deep hierarchical ANN descent, watermarked
   * streaming semantics under the oracle gate, HLL set intersection,
   * the three-standing-store serving stack, and the homoglyph screen. */
-private[graft] object Queries522to531 extends QueryModule {
+private[graft] object Queries522to532 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q522_hampel_scalable" -> ((s, dir) => {
@@ -240,6 +240,22 @@ private[graft] object Queries522to531 extends QueryModule {
         .withColumn("cents", col("cents") +
           when(col("tr") && col("po"), 500L).otherwise(0L))
       Stats.diffInDiffSe(ev, "tr", "po", "cents")
+    }),
+
+    "q532_pettitt" -> ((s, dir) => {
+      // the NONPARAMETRIC changepoint beside CUSUM (q-family: level
+      // shifts q… / online Page-Hinkley / segmented trend): rank-based
+      // Pettitt U over daily value totals with the q531 lift planted
+      // mid-month on both engines — a distribution shift a wild outlier
+      // day can't fake, every U_t an exact integer
+      val daily = events(s, dir).filter(col("value").isNotNull)
+        .select(expr(
+          "cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+          .as("day"),
+          (round(col("value") * 100).cast("long") +
+            when(expr("day(ts)") >= 16, 500L).otherwise(0L)).as("cents"))
+        .groupBy("day").agg(sum("cents").as("v"))
+      Stats.pettittChangepoint(daily, "day", "v").orderBy("day")
     })
   )
 
@@ -642,6 +658,38 @@ private[graft] object Queries522to531 extends QueryModule {
         |    (CAST(ss_cq AS DOUBLE) - CAST(s_cq AS DOUBLE) * CAST(s_cq AS DOUBLE) / n_cq) / (n_cq - 1) / n_cq +
         |    (CAST(ss_cp AS DOUBLE) - CAST(s_cp AS DOUBLE) * CAST(s_cp AS DOUBLE) / n_cp) / (n_cp - 1) / n_cp),
         |    6) AS t
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // midranks via rank()*2 + tiecount − 1 (exact BIGINT), cumulative
+    // U_t over day order, peak flagged for t < n, z emitted instead of
+    // the exp-based p (the ln/exp cross-engine rule)
+    "q532_pettitt" ->
+      """WITH ev AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(round(value * 100) AS BIGINT) +
+        |      CASE WHEN day(CAST(ts AS TIMESTAMP)) >= 16
+        |        THEN 500 ELSE 0 END AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT day, CAST(SUM(cents) AS BIGINT) AS v
+        |  FROM ev GROUP BY day),
+        |nn AS (SELECT COUNT(*) AS n FROM s),
+        |r AS (SELECT day, v,
+        |    rank() OVER (ORDER BY v) * 2
+        |      + COUNT(*) OVER (PARTITION BY v) - 1 AS r2,
+        |    row_number() OVER (ORDER BY day) AS t FROM s),
+        |u AS (SELECT day, v, t,
+        |    SUM(r2) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      - t * (nn.n + 1) AS u_t
+        |  FROM r, nn),
+        |k AS (SELECT MAX(abs(u.u_t)) AS k FROM u, nn WHERE u.t < nn.n)
+        |SELECT u.day, u.v, CAST(u.u_t AS BIGINT) AS u_t,
+        |  (abs(u.u_t) = k.k AND u.t < nn.n) AS is_peak,
+        |  CAST(k.k AS BIGINT) AS k_stat,
+        |  round(6.0 * CAST(k.k AS DOUBLE) * CAST(k.k AS DOUBLE) /
+        |    (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |       * CAST(nn.n AS DOUBLE)
+        |     + CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)), 6) AS z
+        |FROM u, k, nn ORDER BY u.day""".stripMargin
   )
 }

@@ -1225,6 +1225,30 @@ class StatsSpec extends SparkSpec {
     assert(!p.contains("percentile"), p)
   }
 
+  test("pettittChangepoint: clean shift peaks at the boundary; U integer-exact") {
+    // 5 low values then 5 high: U peaks exactly at t=5 with
+    // K = 2*Σ(low midranks) - t(n+1) → |U_5| = |2*15 - 5*11| = 25;
+    // the single wild low-side outlier (90 at t=3) cannot fake a peak
+    // elsewhere because ranks cap its leverage
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 11L), (4L, 13L), (5L, 9L),
+      (6L, 100L), (7L, 102L), (8L, 101L), (9L, 103L), (10L, 99L))
+      .toDF("t", "v")
+    val out = Stats.pettittChangepoint(df, "t", "v")
+      .orderBy("t").collect()
+    val peak = out.filter(_.getAs[Boolean]("is_peak"))
+    assert(peak.length == 1 && peak.head.getAs[Long]("t") == 5L)
+    assert(peak.head.getAs[Long]("k_stat") == 25L)
+    // last row's U must be 0 (full-rank sum identity) and never a peak
+    assert(out.last.getAs[Long]("u_t") == 0L &&
+      !out.last.getAs[Boolean]("is_peak"))
+    // ties get midranks: duplicate values keep U integer and symmetric
+    val ties = Seq((1L, 5L), (2L, 5L), (3L, 50L), (4L, 50L)).toDF("t", "v")
+    val ut = Stats.pettittChangepoint(ties, "t", "v")
+      .orderBy("t").collect().map(_.getAs[Long]("u_t")).toSeq
+    // midranks: 1.5,1.5,3.5,3.5 → U = (3-5, 6-10, 13-15, 20-20)
+    assert(ut == Seq(-2L, -4L, -2L, 0L))
+  }
+
   test("diffInDiffSe: hand-computed two-by-two recovers lift, se and t") {
     // treated pre {10,12} post {20,22}; control pre {5,7} post {9,11}:
     // did = (21-11) - (10-6) = 6; each cell s²/n = 1 → se = 2, t = 3
