@@ -1048,4 +1048,224 @@ object GraphAnalytics {
       dist.select(col("node"), col("cost").as("min_cost"))
     } finally e.unpersist()
   }
+
+  /** Borůvka minimum spanning tree — the MST algorithm that is actually
+    * distributed (Kruskal/Prim are sequential folds): each round, every
+    * component selects its minimum-weight outgoing edge under the total
+    * order (w, lo, hi) (the lexicographic tie-break makes the
+    * edge-selection deterministic and the algorithm correct even with
+    * duplicate weights — equivalent to perturbing into distinct
+    * weights), selected edges join the tree by the cut property, and
+    * the pointer graph they induce (each component → its min-edge
+    * partner, every merge-tree containing exactly one mutual 2-cycle,
+    * rooted at its smaller id) is contracted by pointer doubling run to
+    * FIXPOINT — extra doubling steps past the fixpoint are identity, so
+    * an adaptive step count here and a fixed unroll in the SQL replay
+    * land on the identical root map; the same argument makes trailing
+    * empty rounds no-ops. Components at least halve per round:
+    * ⌈log₂ n⌉ rounds suffice; non-convergence within the caps RAISES,
+    * a silent partial tree cannot escape. Returns the tree edges
+    * (round, lo, hi, w) — a minimum spanning FOREST when the input is
+    * disconnected (each component spans itself and stops).
+    * MST = single-linkage dendrogram: cutting the output at weight θ
+    * gives exactly the θ-threshold single-linkage clusters — the
+    * scale path to hierarchical dedup clustering over near-dup edge
+    * sets ([[graft.operators.Dedup.dedupClusters]] gives the flat cut).
+    *
+    * Scale shape: per round, one join of edges against the node→label
+    * map, one map-side-combinable argmin per component, then `jumps`
+    * self-joins of a COMPONENT-sized (halving) pointer frame; the edge
+    * frame is touched once per round, labels checkpoint-truncated. No
+    * structure ever exceeds edges + nodes. */
+  def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, maxRounds: Int = 24,
+                 maxJumps: Int = 24): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"),
+        col(wCol).cast("double").as("w"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy("lo", "hi").agg(min("w").as("w"))
+      .localCheckpoint()
+    var labels = e.select(col("lo").as("v"))
+      .unionByName(e.select(col("hi").as("v"))).distinct()
+      .select(col("v"), col("v").as("lab")).localCheckpoint()
+    var mst: DataFrame = null
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      r += 1
+      val ce = e
+        .join(labels.select(col("v").as("lo"), col("lab").as("cl")),
+          Seq("lo"))
+        .join(labels.select(col("v").as("hi"), col("lab").as("ch")),
+          Seq("hi"))
+        .filter(col("cl") =!= col("ch"))
+      val inc = ce.select(col("cl").as("c"), col("ch").as("o"),
+          col("w"), col("lo"), col("hi"))
+        .unionByName(ce.select(col("ch").as("c"), col("cl").as("o"),
+          col("w"), col("lo"), col("hi")))
+      val wSel = Window.partitionBy("c")
+        .orderBy(col("w"), col("lo"), col("hi"))
+      val sel = inc.withColumn("rn", row_number().over(wSel))
+        .filter(col("rn") === 1).select("c", "o", "w", "lo", "hi")
+        .localCheckpoint()
+      if (sel.isEmpty) converged = true // no inter-component edge left
+      else {
+        val newEdges = sel
+          .select(lit(r).as("round"), col("lo"), col("hi"), col("w"))
+          .distinct()
+        mst = (if (mst == null) newEdges else mst.unionByName(newEdges))
+          .localCheckpoint()
+        val p0 = labels.select(col("lab")).distinct()
+          .join(sel.select(col("c").as("lab"), col("o")),
+            Seq("lab"), "left")
+          .select(col("lab").as("c"),
+            coalesce(col("o"), col("lab")).as("p"))
+        // root each merge-tree's unique 2-cycle at its smaller id, then
+        // pointer-double to the fixpoint (each step MUST checkpoint —
+        // the self-join references p twice, and an untruncated plan
+        // doubles per step: the q522 plan-reuse explosion)
+        var p = p0.as("a")
+          .join(p0.select(col("c").as("pc"), col("p").as("pp")),
+            col("a.p") === col("pc"))
+          .select(col("a.c").as("c"),
+            when(col("pp") === col("a.c"), least(col("a.c"), col("a.p")))
+              .otherwise(col("a.p")).as("p"))
+          .localCheckpoint()
+        var settled = false
+        var j = 0
+        while (!settled && j < maxJumps) {
+          j += 1
+          val p2 = p.as("x")
+            .join(p.select(col("c").as("yc"), col("p").as("yp")),
+              col("x.p") === col("yc"))
+            .select(col("x.c").as("c"), col("yp").as("p"))
+            .localCheckpoint()
+          settled = p2.as("n")
+            .join(p.select(col("c"), col("p").as("_old")), Seq("c"))
+            .filter(col("p") =!= col("_old")).isEmpty
+          p = p2
+        }
+        require(settled,
+          s"boruvkaMst: pointer doubling not settled in $maxJumps steps")
+        labels = labels
+          .join(p.select(col("c").as("lab"), col("p")), Seq("lab"))
+          .select(col("v"), col("p").as("lab")).localCheckpoint()
+      }
+    }
+    require(converged,
+      s"boruvkaMst: inter-component edges remain after $maxRounds rounds")
+    if (mst == null) // already-spanning input: nothing to select
+      e.select(lit(1).as("round"), col("lo"), col("hi"), col("w")).limit(0)
+    else mst.orderBy("w", "lo", "hi")
+  }
+
+  /** Strongly connected components by DEFINITION on a bounded directed
+    * graph: semi-naive transitive closure (frontier ⋈ edges, minus
+    * known, until the delta empties — asserted, never silently
+    * truncated), mutual-reach pairs from closure ∩ its transpose, and
+    * scc(v) = min(v, min{u : u ↔ v}). Returns one row per node
+    * (node, scc, scc_size) — the label that, unlike the undirected
+    * [[graft.operators.Dedup.unionFindLabels]], respects edge
+    * DIRECTION: a citation/dependency cycle is one component, a mere
+    * shared ancestor is not.
+    *
+    * Scale shape: closure is O(n·reach) rows — this is the
+    * CONTRACTED-graph instrument (run it on the component/summary graph
+    * after an undirected contraction, dependency graphs, state
+    * machines: thousands of nodes, not corpus scale), exactly as the
+    * exact-PPJoin ground truth (q142) is the bounded twin of the LSH
+    * path. The per-iteration work is one frontier join + one anti-join,
+    * both checkpoint-truncated. */
+  def sccLabels(edges: DataFrame, srcCol: String, dstCol: String,
+                maxIters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var reach = e
+    var frontier = e
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val step = frontier.select(col("src"), col("dst").as("mid"))
+        .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .select("src", "dst").filter(col("src") =!= col("dst"))
+        .distinct()
+      val delta = step.join(reach, Seq("src", "dst"), "left_anti")
+        .localCheckpoint()
+      if (delta.isEmpty) converged = true
+      else {
+        reach = reach.unionByName(delta).localCheckpoint()
+        frontier = delta
+      }
+      it += 1
+    }
+    require(converged,
+      s"sccLabels: closure did not converge within $maxIters iterations")
+    val mutual = reach.as("a")
+      .join(reach.select(col("src").as("dst"), col("dst").as("src")),
+        Seq("src", "dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val scc = nodes
+      .join(mutual.select(col("src").as("node"), col("dst").as("u")),
+        Seq("node"), "left")
+      .groupBy("node").agg(min("u").as("_mu"))
+      .select(col("node"),
+        least(col("node"), coalesce(col("_mu"), col("node"))).as("scc"))
+    val sizes = scc.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
+  }
+
+  /** k-truss peel, fixed rounds (the [[kCorePeel]] convention): each
+    * round computes every edge's SUPPORT — the number of triangles it
+    * closes in the CURRENT edge set — and deletes edges with support
+    * < k−2; the k-truss is the fixpoint. The edge-cohesion complement
+    * of the k-core: a degree-k node can be a hub of strangers, but an
+    * edge of support s has s COMMON neighbors backing it, so trusses
+    * isolate genuinely interlinked communities (a near-dup cluster
+    * whose members all confirm each other) rather than high-degree
+    * spokes. Rounds past the fixpoint delete nothing, so a fixed round
+    * schedule here and a fixed SQL unroll replay identically (the
+    * Borůvka/identity-stage argument); callers size `rounds` with
+    * margin the way [[kCorePeel]] callers do. Returns the surviving
+    * edges as (a, b, support) with a < b, support as computed on the
+    * final round's ENTERING edge set (the set equals the output set at
+    * the fixpoint).
+    *
+    * Scale shape: triangles are enumerated once per round via the
+    * oriented a<b<c three-way self-join — each edge row carries two
+    * longs, the join is the standard distributed triangle count
+    * (shuffle keyed on shared endpoints), and support aggregation is
+    * map-side combinable. Edge sets only shrink; every round
+    * checkpoint-truncates the lineage. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+    var und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      // oriented triangles a<b<c, each counted once
+      val tri = und.select(col("a"), col("b"))
+        .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"),
+          "left_semi")
+      val support = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      out = und.join(support, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint()
+      if (r < rounds) und = out.select("a", "b")
+    }
+    out
+  }
 }

@@ -103,4 +103,74 @@ object Itemsets {
         col("item_c"), col("support")))
       .orderBy("k", "item_a", "item_b", "item_c")
   }
+
+  /** Sequential-pattern support (PrefixSpan depth ≤ 3, gapped
+    * subsequences): for every ordered pattern ⟨a⟩ / ⟨a,b⟩ / ⟨a,b,c⟩ of
+    * items, the number of sequences CONTAINING it as a subsequence —
+    * items in that order, any gaps between them. The ORDERED complement
+    * of [[frequentItemsets]] (co-presence, order-blind) and the
+    * multi-step generalization of a declared funnel (a funnel scores ONE
+    * path; this scores every path and lets the threshold pick): "which
+    * behavioral orderings are common" is the question session mining
+    * actually asks.
+    *
+    * Matching is by earliest-extension greedy — t₁ = first a, t₂ =
+    * first b after t₁, then any c after t₂ — which decides subsequence
+    * containment EXACTLY (if any embedding exists, the greedy one does:
+    * the standard exchange argument), so supports are definition-exact,
+    * not heuristic. Simultaneous timestamps never chain (strict >):
+    * a subsequence is a strict temporal order, and the tie rule is
+    * engine-independent. Supports are exact BIGINTs; patterns below
+    * `minSeqs` sequences are dropped, and the LEVEL-1 prune also gates
+    * extension (support is monotone under prefix extension — the
+    * Apriori argument — so pruning before the joins is lossless).
+    *
+    * Scale shape: every join is keyed by sequence id. Level 2 joins the
+    * per-sequence first-occurrence frame (|seqs| × v₁ rows, v₁ =
+    * SURVIVING level-1 vocab) back to occurrences — ≤ v₁ × N rows
+    * pre-aggregate, linear in the corpus for a bounded vocabulary; level
+    * 3 likewise at v₂ × N with v₂ the surviving pair count. No
+    * per-sequence array is ever materialized, no window function runs
+    * over whole sequences, and the expansion never goes corpus ×
+    * corpus. Returns (k, item_a, item_b, item_c, n_seqs) ordered by
+    * (k, item_a, item_b, item_c). */
+  def sequentialPatterns(events: DataFrame, seqCol: String,
+                         itemCol: String, orderCol: String,
+                         minSeqs: Long): DataFrame = {
+    val occR = events.select(col(seqCol).cast("long").as("sid"),
+        col(itemCol).as("item"), col(orderCol).cast("long").as("t"))
+      .distinct()
+    val l1 = occR.groupBy("sid", "item").agg(min("t").as("t1"))
+    val sup1 = l1.groupBy(col("item").as("p1"))
+      .agg(count(lit(1)).as("n_seqs"))
+      .filter(col("n_seqs") >= minSeqs)
+    val keep1 = broadcast(sup1.select(col("p1")))
+    // earliest b strictly after the first a — per (sid, a, b)
+    val first1 = l1.join(keep1, col("item") === col("p1"), "left_semi")
+      .select(col("sid"), col("item").as("p1"), col("t1"))
+    val ext2 = first1
+      .join(occR.select(col("sid"), col("item").as("p2"),
+        col("t").as("_t")), Seq("sid"))
+      .filter(col("_t") > col("t1"))
+      .groupBy("sid", "p1", "p2").agg(min("_t").as("t2"))
+    val sup2 = ext2.groupBy("p1", "p2").agg(count(lit(1)).as("n_seqs"))
+      .filter(col("n_seqs") >= minSeqs)
+    val keep2 = broadcast(sup2.select(col("p1"), col("p2")))
+    val ext3 = ext2.join(keep2, Seq("p1", "p2"), "left_semi")
+      .join(occR.select(col("sid"), col("item").as("p3"),
+        col("t").as("_t")), Seq("sid"))
+      .filter(col("_t") > col("t2"))
+      .select("sid", "p1", "p2", "p3").distinct()
+    val sup3 = ext3.groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("n_seqs"))
+      .filter(col("n_seqs") >= minSeqs)
+    val s = lit(null).cast("string")
+    sup1.select(lit(1).as("k"), col("p1").as("item_a"), s.as("item_b"),
+        s.as("item_c"), col("n_seqs"))
+      .unionByName(sup2.select(lit(2).as("k"), col("p1").as("item_a"),
+        col("p2").as("item_b"), s.as("item_c"), col("n_seqs")))
+      .unionByName(sup3.select(lit(3).as("k"), col("p1").as("item_a"),
+        col("p2").as("item_b"), col("p3").as("item_c"), col("n_seqs")))
+      .orderBy("k", "item_a", "item_b", "item_c")
+  }
 }

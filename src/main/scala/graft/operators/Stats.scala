@@ -3676,4 +3676,202 @@ object Stats {
         round(col("h_cx"), 6).as("h_a"), round(col("h_cy"), 6).as("h_b"),
         round(col("mi") / sqrt(col("h_cx") * col("h_cy")), 6).as("nmi"))
   }
+
+  /** Yule–Walker AR(2) fit on a single integer series (t, v): lag-1/
+    * lag-2 autocorrelations as exact-sum Pearson over the paired subsets
+    * (the [[acfTable]] convention — each lag's pairs carry their own
+    * means, so calendar gaps just thin the pair set), then the
+    * closed-form Yule–Walker solve
+    *   φ₁ = r₁(1 − r₂)/(1 − r₁²),  φ₂ = (r₂ − r₁²)/(1 − r₁²)
+    * and the one-step mean-reverting forecast
+    *   x̂ = x̄ + φ₁(x_last − x̄) + φ₂(x_prev − x̄)
+    * where x_last/x_prev are the two LATEST observations by t (documented
+    * as order-latest, not lag-adjacent — a trailing calendar gap shifts
+    * the conditioning values, never the fit). Every r/φ is a fixed
+    * double tree over exact BIGINT/decimal pair sums; sqrt-free, ln-free,
+    * so the oracle replays bit-for-bat from the same sums. The
+    * autoregressive member of the forecast family ([[holtSmoothing]]
+    * exponential, [[holtWinters]] seasonal, [[hierarchicalMedianForecast]]
+    * robust): AR(2) is the cheapest model that captures oscillatory
+    * mean-reversion, which no exponential smoother can.
+    *
+    * Scale shape: the corpus collapses to the daily frame upstream; each
+    * lag is one self-join on (t − k) over that bounded frame + one
+    * aggregate. Nothing here ever scales with raw rows. */
+  def yuleWalkerAr2(daily: DataFrame, orderCol: String,
+                    vCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = daily.select(col(orderCol).cast("long").as("t"),
+      col(vCol).cast("long").as("v")).localCheckpoint()
+    // r_k from the lag-k pair frame: exact n/sx/sy/sxx/syy/sxy blocks
+    def lagR(k: Int) = {
+      val j = base.select(col("t"), col("v").as("x"))
+        .join(base.select((col("t") - k).as("t"), col("v").as("y")),
+          Seq("t"))
+      j.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(d0(col("x")) * col("x")).as("sxx"),
+          sum(d0(col("y")) * col("y")).as("syy"),
+          sum(d0(col("x")) * col("y")).as("sxy"))
+        .select(((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy")) /
+          (sqrt(col("n") * col("sxx").cast("double") -
+             col("sx").cast("double") * col("sx")) *
+           sqrt(col("n") * col("syy").cast("double") -
+             col("sy").cast("double") * col("sy")))).as(s"r$k"),
+          col("n").as(s"n$k"))
+    }
+    val tot = base.agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val wDesc = Window.orderBy(col("t").desc)
+    val lastTwo = base
+      .withColumn("rn", row_number().over(wDesc)).filter(col("rn") <= 2)
+      .groupBy()
+      .agg(max(when(col("rn") === 1, col("v"))).as("x_last"),
+        max(when(col("rn") === 2, col("v"))).as("x_prev"))
+    tot.crossJoin(broadcast(lagR(1))).crossJoin(broadcast(lagR(2)))
+      .crossJoin(broadcast(lastTwo))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("phi1",
+        col("r1") * (lit(1.0) - col("r2")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .withColumn("phi2",
+        (col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")))
+      .select(col("n"), col("n1").as("n_pairs1"),
+        col("n2").as("n_pairs2"),
+        round(col("mean"), 6).as("mean"),
+        round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+        round(col("phi1"), 6).as("phi1"),
+        round(col("phi2"), 6).as("phi2"),
+        round(col("mean") + col("phi1") * (col("x_last") - col("mean"))
+          + col("phi2") * (col("x_prev") - col("mean")), 6)
+          .as("forecast_next"))
+  }
+
+  /** Bayesian A/B readout under the Beta–Binomial model: per arm, a
+    * Beta(1 + s, 1 + n − s) posterior over the conversion rate (uniform
+    * prior), reported as exact-rational-to-double posterior mean
+    * a/(a+b) and variance ab/((a+b)²(a+b+1)), plus the normal-
+    * approximation superiority score
+    *   z = (mean_b − mean_a)/√(var_a + var_b)
+    * — the z is emitted INSTEAD of P(B > A) because Φ needs erf, which
+    * is not cross-engine-stable (the ln/exp parity rule); the caller
+    * applies their own Φ. The Bayesian twin of the frequentist
+    * [[effectSizes]]/two-proportion readouts: same two aggregates, but
+    * the output is a posterior a decision layer can integrate, not a
+    * point test.
+    *
+    * Scale shape: one groupBy over the unit frame (units are already
+    * one-row-per-subject upstream — deduplication is the CALLER's
+    * contract, as in [[cupedAdjust]]), then driver-width arithmetic on
+    * two rows. Nothing scales past the unit count. */
+  def betaBinomialAb(units: DataFrame, armCol: String,
+                     convCol: String): DataFrame = {
+    val arms = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(convCol), 1L).otherwise(0L)).as("s"))
+      .withColumn("a", lit(1L) + col("s"))
+      .withColumn("b", lit(1L) + col("n") - col("s"))
+      .withColumn("post_mean",
+        col("a").cast("double") / (col("a") + col("b")))
+      .withColumn("post_var",
+        (col("a") * col("b")).cast("double") /
+          (((col("a") + col("b")) * (col("a") + col("b"))).cast("double")
+            * (col("a") + col("b") + 1)))
+    val w = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("s"))).as("s_a"),
+      max(when(col("arm") === 0, col("post_mean"))).as("m_a"),
+      max(when(col("arm") === 0, col("post_var"))).as("v_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("s"))).as("s_b"),
+      max(when(col("arm") === 1, col("post_mean"))).as("m_b"),
+      max(when(col("arm") === 1, col("post_var"))).as("v_b"))
+    w.select(col("n_a"), col("s_a"), round(col("m_a"), 6).as("post_mean_a"),
+      col("n_b"), col("s_b"), round(col("m_b"), 6).as("post_mean_b"),
+      round(col("m_b") - col("m_a"), 6).as("lift"),
+      round((col("m_b") - col("m_a")) / sqrt(col("v_a") + col("v_b")), 6)
+        .as("z_superiority"))
+  }
+
+  /** Restricted mean survival time: the area under the [[kaplanMeier]]
+    * step curve up to horizon τ — "expected lifetime within the first τ
+    * units", the survival summary that stays defined under censoring
+    * where the plain mean does not, and the standard effect scale when
+    * hazards are non-proportional (where [[logRank]] loses power).
+    * S is 1 on [0, t₁) and S(tᵢ) on [tᵢ, tᵢ₊₁), so
+    *   RMST(τ) = min(t₁, τ) + Σ_{tᵢ<τ} S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ),
+    * computed with one lead window over the KM step frame and a
+    * decimal-18 accumulation of the double step areas (fixed
+    * multiply-per-step then exact sum — order-independent, replayable).
+    * Emits (tau, n_steps, rmst, km_tail) where km_tail is S at the last
+    * step below τ — the mass still alive at the horizon.
+    *
+    * Scale shape: inherits [[kaplanMeier]]'s (steps² prefix join over
+    * DISTINCT durations); the RMST pass itself is one window + one
+    * aggregate over the step frame. */
+  def rmst(life: DataFrame, tCol: String, obsCol: String,
+           tau: Long): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val km = kaplanMeier(life, tCol, obsCol).filter(col("t") < tau)
+    val wLead = Window.orderBy("t")
+    val seg = km
+      .withColumn("t_next",
+        least(coalesce(lead("t", 1).over(wLead), lit(tau)), lit(tau)))
+      .withColumn("area",
+        col("survival") * (col("t_next") - col("t")).cast("double"))
+    val first = km.agg(min("t").as("t1"))
+      .select(least(coalesce(col("t1"), lit(tau)), lit(tau))
+        .cast("double").as("head_area"))
+    seg.agg(count(lit(1)).as("n_steps"),
+        sum(d18(col("area"))).cast("double").as("step_area"),
+        max_by(col("survival"), col("t")).as("km_tail"))
+      .crossJoin(broadcast(first))
+      .select(lit(tau).as("tau"), col("n_steps"),
+        round(col("head_area") + coalesce(col("step_area"), lit(0.0)), 6)
+          .as("rmst"),
+        round(col("km_tail"), 6).as("km_tail"))
+  }
+
+  /** Tukey HSD post-hoc after [[anovaF]]: for every group pair, the
+    * studentized-range score q = (x̄ᵢ − x̄ⱼ)/√(MSE/2·(1/nᵢ + 1/nⱼ))
+    * (the Tukey–Kramer unequal-n form), with MSE = SS_within/(N − k)
+    * assembled from the SAME exact per-group (n, Σv, Σv²) blocks anovaF
+    * uses — the ANOVA says "some group differs", this says WHICH pairs,
+    * with the familywise-honest statistic (pairwise Welch t's inflate
+    * the family error; q is referred to the studentized-range table,
+    * which the caller applies — no p here, the ln/exp rule). Pairs are
+    * emitted i < j in group order with both means and the raw diff.
+    *
+    * Scale shape: one corpus groupBy to k rows, then a k² broadcast
+    * self-join — k is a categorical cardinality, never data-scale. */
+  def tukeyHsd(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val gs = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("g").agg(count(lit(1)).as("n_g"),
+        sum(d0(col("v"))).as("s_g"),
+        sum(d0(col("v")) * col("v")).as("ss_g"))
+      .localCheckpoint()
+    val mse = gs
+      .withColumn("term",
+        (d0(col("s_g")) * col("s_g")).cast("double") / col("n_g"))
+      .agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(col("ss_g")).cast("double").as("ssq"),
+        sum(col("term").cast("decimal(38,18)")).cast("double").as("t_sum"))
+      .select(((col("ssq") - col("t_sum")) /
+        (col("n") - col("k")).cast("double")).as("mse"))
+    val a = gs.select(col("g").as("g_a"), col("n_g").as("n_a"),
+      (col("s_g").cast("double") / col("n_g")).as("m_a"))
+    val b = gs.select(col("g").as("g_b"), col("n_g").as("n_b"),
+      (col("s_g").cast("double") / col("n_g")).as("m_b"))
+    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(mse))
+      .withColumn("se", sqrt(col("mse") / 2.0 *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"),
+        round(col("m_b"), 6).as("mean_b"),
+        round(col("m_a") - col("m_b"), 6).as("diff"),
+        round((col("m_a") - col("m_b")) / col("se"), 6).as("q_stat"))
+  }
 }

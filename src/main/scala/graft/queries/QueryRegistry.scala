@@ -28,7 +28,8 @@ private[graft] object QueryRegistry {
     Queries478to509,
     Queries510to516,
     Queries517to521,
-    Queries522to532)
+    Queries522to532,
+    Queries533to540)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val maps = modules.map(_.queries)
     val merged = maps.reduce(_ ++ _)

@@ -398,4 +398,73 @@ class GraphAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d1 == Map(0L -> 0L, 1L -> 5L, 2L -> 1L))
   }
+
+  test("boruvkaMst: picks the classic MST; weight ties broken by (w,lo,hi)") {
+    // square 0-1(1) 1-2(2) 2-3(1.5) 3-0(3) + diagonal 0-2(2.5):
+    // MST = {0-1, 2-3, 1-2}, total 4.5 — 3-0 and the diagonal lose
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 1.5),
+      (3L, 0L, 3.0), (0L, 2L, 2.5)).toDF("src", "dst", "w")
+    val mst = GraphAnalytics.boruvkaMst(e, "src", "dst", "w")
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+        r.getAs[Double]("w"))).toSet
+    assert(mst == Set((0L, 1L, 1.0), (2L, 3L, 1.5), (1L, 2L, 2.0)))
+    // all-equal-weight triangle: the (w, lo, hi) total order forces
+    // exactly {0-1, 0-2} — every run, every engine
+    val tri = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 1.0))
+      .toDF("src", "dst", "w")
+    val tm = GraphAnalytics.boruvkaMst(tri, "src", "dst", "w")
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .toSet
+    assert(tm == Set((0L, 1L), (0L, 2L)))
+    // disconnected input spans each component separately: a FOREST,
+    // with n - #components edges in total
+    val two = Seq((0L, 1L, 1.0), (5L, 6L, 2.0), (6L, 7L, 3.0))
+      .toDF("src", "dst", "w")
+    val fm = GraphAnalytics.boruvkaMst(two, "src", "dst", "w").collect()
+    assert(fm.length == 3)
+  }
+
+  test("sccLabels: directed cycles fuse, mere reachability does not") {
+    // 1→2→3→1 is one SCC; 3→4 and the 4↔5 cycle another; 6→7 leaves
+    // both trivial — direction matters, unlike undirected components
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    val out = GraphAnalytics.sccLabels(e, "src", "dst", maxIters = 16)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("scc"), r.getAs[Long]("scc_size"))).toMap
+    assert(out == Map(
+      1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (4L, 2L), 5L -> (4L, 2L),
+      6L -> (6L, 1L), 7L -> (7L, 1L)))
+    // an iteration cap below the closure depth raises instead of
+    // silently truncating reachability
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.sccLabels(chain, "src", "dst", maxIters = 2).collect()
+    }
+  }
+
+  test("kTruss: K4 survives k=4, spokes and lone triangles peel; cascades") {
+    // K4 on 0-3 (every edge backed by 2 triangles) + pendant 3-4 + a
+    // detached triangle 5-6-7 (support 1 everywhere)
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L))
+    val e = (k4 ++ Seq((3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L)))
+      .toDF("src", "dst")
+    val out = GraphAnalytics.kTruss(e, "src", "dst", k = 4, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(out == k4.map { case (a, b) => (a, b, 2L) }.toSet)
+    // at k=3 the lone triangle survives too, support 1 each
+    val out3 = GraphAnalytics.kTruss(e, "src", "dst", k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out3 == (k4 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))).toSet)
+    // cascade: two triangles sharing edge 1-2 — the shared edge has
+    // support 2 and survives round 1, then loses both triangles and
+    // peels in round 2; the 4-truss is empty
+    val twoTri = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    assert(GraphAnalytics.kTruss(twoTri, "src", "dst", k = 4, rounds = 3)
+      .count() == 0L)
+  }
 }

@@ -200,6 +200,39 @@ class IvfAndViewsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("sequentialPatterns: gapped-subsequence supports; ties never chain") {
+    def run(rows: Seq[(Long, String, Long)], minSeqs: Long) =
+      graft.operators.Itemsets.sequentialPatterns(
+          rows.toDF("sid", "item", "t"), "sid", "item", "t", minSeqs)
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3)), r.getLong(4)))
+        .toSet
+    // sid 1: a1 b2 a3 c4; sid 2: a1 c2; sid 3: b5;
+    // sid 4: a1 b1 (simultaneous — must NOT support <a,b> or <b,a>);
+    // sid 5: b1 a2 b3 (greedy: first b=1, a after it, b after that)
+    val rows = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "c", 4L),
+      (2L, "a", 1L), (2L, "c", 2L),
+      (3L, "b", 5L),
+      (4L, "a", 1L), (4L, "b", 1L),
+      (5L, "b", 1L), (5L, "a", 2L), (5L, "b", 3L))
+    val out = run(rows, minSeqs = 2L)
+    val expected = Set[(Int, String, Option[String], Option[String], Long)](
+      (1, "a", None, None, 4L), (1, "b", None, None, 4L),
+      (1, "c", None, None, 2L),
+      (2, "a", Some("b"), None, 2L), (2, "a", Some("c"), None, 2L),
+      (2, "b", Some("a"), None, 2L))
+    assert(out == expected)
+    // two identical sequences: the full triple reaches level 3
+    val twin = Seq((10L, "x", 1L), (10L, "y", 2L), (10L, "z", 3L),
+      (11L, "x", 1L), (11L, "y", 2L), (11L, "z", 3L))
+    val t3 = run(twin, minSeqs = 2L)
+    assert(t3.contains((3, "x", Some("y"), Some("z"), 2L)))
+    assert(t3.count(_._1 == 3) == 1)
+    assert(t3.filter(_._1 == 2).map(x => (x._2, x._3.get)) ==
+      Set(("x", "y"), ("x", "z"), ("y", "z")))
+  }
+
   test("daviesBouldin and simplifiedSilhouette: hand-computed two-cell case") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -1358,4 +1358,94 @@ class StatsSpec extends SparkSpec {
     assert(Stats.cramersV(ind, "a", "b").head()
       .getAs[Double]("cramers_v") == 0.0)
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("yuleWalkerAr2: r/phi/forecast match the closed-form tree; gaps thin pairs") {
+    // v = 3,1,4,1,5,9 at t = 1..6; recompute the exact same double tree
+    // (pair-sum Pearson per lag, Yule-Walker solve, mean-reverting
+    // forecast from the two latest values) and demand rounded equality
+    val v = Seq(3L, 1L, 4L, 1L, 5L, 9L)
+    val df = v.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) }
+      .toDF("t", "v")
+    def pearson(pairs: Seq[(Long, Long)]): Double = {
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum.toDouble
+      val sy = pairs.map(_._2).sum.toDouble
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val r1 = pearson(v.init.zip(v.tail))
+    val r2 = pearson(v.dropRight(2).zip(v.drop(2)))
+    val mean = v.sum.toDouble / v.size
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val fc = mean + phi1 * (9L - mean) + phi2 * (5L - mean)
+    val out = Stats.yuleWalkerAr2(df, "t", "v").head()
+    assert(out.getAs[Long]("n") == 6L)
+    assert(out.getAs[Long]("n_pairs1") == 5L &&
+      out.getAs[Long]("n_pairs2") == 4L)
+    assert(out.getAs[Double]("r1") == round6(r1))
+    assert(out.getAs[Double]("r2") == round6(r2))
+    assert(out.getAs[Double]("phi1") == round6(phi1))
+    assert(out.getAs[Double]("phi2") == round6(phi2))
+    assert(out.getAs[Double]("forecast_next") == round6(fc))
+    // a calendar gap (no t=4) only thins the pair sets — lag-1 loses
+    // the two pairs straddling the hole, lag-2 keeps the jumps over it
+    val gap = Seq((1L, 3L), (2L, 1L), (3L, 4L), (5L, 5L), (6L, 9L))
+      .toDF("t", "v")
+    val g = Stats.yuleWalkerAr2(gap, "t", "v").head()
+    assert(g.getAs[Long]("n_pairs1") == 3L &&
+      g.getAs[Long]("n_pairs2") == 2L)
+  }
+
+  test("betaBinomialAb: Beta(1+s,1+n-s) posteriors and superiority z, hand-computed") {
+    // arm 0: n=2, s=1 → Beta(2,2): mean 1/2, var 4/(16·5) = 0.05
+    // arm 1: n=3, s=3 → Beta(4,1): mean 4/5, var 4/(25·6)
+    val df = Seq((0L, true), (0L, false), (1L, true), (1L, true),
+      (1L, true)).toDF("arm", "conv")
+    val r = Stats.betaBinomialAb(df, "arm", "conv").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("s_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 3L && r.getAs[Long]("s_b") == 3L)
+    assert(r.getAs[Double]("post_mean_a") == 0.5)
+    assert(r.getAs[Double]("post_mean_b") == 0.8)
+    assert(r.getAs[Double]("lift") == round6(0.3))
+    val z = (0.8 - 0.5) / math.sqrt(0.05 + 4.0 / (25.0 * 6.0))
+    assert(r.getAs[Double]("z_superiority") == round6(z))
+  }
+
+  test("rmst: area under the KM steps, head segment + horizon cut") {
+    // the KaplanMeier spec's curve: S(1)=2/3, S(2)=1/3; at tau=5 the
+    // area is 1 (head, S=1 on [0,1)) + 2/3·1 + 1/3·3
+    val life = Seq((1L, true), (2L, true), (3L, false)).toDF("t", "obs")
+    val r = Stats.rmst(life, "t", "obs", tau = 5L).head()
+    assert(r.getAs[Long]("tau") == 5L && r.getAs[Long]("n_steps") == 2L)
+    assert(r.getAs[Double]("rmst") == round6(1.0 + 2.0 / 3.0 + 1.0))
+    assert(r.getAs[Double]("km_tail") == round6(1.0 / 3.0))
+    // horizon before the first event: the curve is flat 1 on [0, tau)
+    val early = Stats.rmst(life, "t", "obs", tau = 1L).head()
+    assert(early.getAs[Long]("n_steps") == 0L &&
+      early.getAs[Double]("rmst") == 1.0)
+  }
+
+  test("tukeyHsd: pooled MSE and Tukey-Kramer q on a hand grid") {
+    // a:{1,3} b:{5,7} c:{9,11}: means 2/6/10, SS_within = 6, N−k = 3,
+    // MSE = 2 → se = √(2/2·(1/2+1/2)) = 1, so q = raw mean diff
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L),
+      ("c", 9L), ("c", 11L)).toDF("g", "v")
+    val out = Stats.tukeyHsd(df, "g", "v").orderBy("g_a", "g_b")
+      .collect()
+    assert(out.length == 3)
+    val byPair = out.map(r => (r.getAs[String]("g_a"),
+      r.getAs[String]("g_b")) -> r).toMap
+    assert(byPair(("a", "b")).getAs[Double]("q_stat") == -4.0)
+    assert(byPair(("a", "c")).getAs[Double]("q_stat") == -8.0)
+    assert(byPair(("b", "c")).getAs[Double]("q_stat") == -4.0)
+    assert(byPair(("a", "c")).getAs[Double]("diff") == -8.0)
+    assert(byPair(("a", "b")).getAs[Long]("n_a") == 2L)
+  }
 }
