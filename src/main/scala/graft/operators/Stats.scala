@@ -3874,4 +3874,274 @@ object Stats {
         round(col("m_a") - col("m_b"), 6).as("diff"),
         round((col("m_a") - col("m_b")) / col("se"), 6).as("q_stat"))
   }
+
+  /** Cross-correlation table (CCF) between two integer series sharing a
+    * calendar: for every lag ℓ ∈ [−maxLag, maxLag], the exact-pair-sum
+    * Pearson correlation of (x_t, y_{t+ℓ}) — positive peak lag means "x
+    * LEADS y by ℓ", the lead-lag readout [[acfTable]] (one series vs
+    * itself) cannot give: does signup volume predict purchase volume
+    * days later, and by how many days? Each lag's pairs carry their own
+    * means (the acfTable convention — calendar gaps just thin the pair
+    * set), every r is the fixed double tree over exact BIGINT/decimal
+    * sums, and `is_peak` marks the single max-|ccf| row (ties broken to
+    * the smallest |lag|, then the negative lag — fully deterministic;
+    * never set when every ccf is NULL). Lags with no aligned pairs
+    * (|ℓ| beyond the calendar span) emit no row; a zero-variance leg
+    * emits its row with NULL ccf.
+    *
+    * Scale shape: the corpus collapses to the daily frame upstream; the
+    * (2·maxLag+1)-way expansion is one explode over that bounded frame
+    * joined back to it — never corpus-scale. */
+  def ccfTable(daily: DataFrame, orderCol: String, xCol: String,
+               yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "need maxLag >= 1")
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = daily.select(col(orderCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint()
+    // y at t+lag keyed back to x's clock: join key = t_y − lag
+    val right = base.select(col("t"), col("y"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .select(col("lag"), (col("t") - col("lag")).as("t"), col("y"))
+    val agg = base.select("t", "x").join(right, Seq("t"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(d0(col("x")) * col("x")).as("sxx"),
+        sum(d0(col("y")) * col("y")).as("syy"),
+        sum(d0(col("x")) * col("y")).as("sxy"))
+      .withColumn("_den",
+        sqrt(col("n_pairs") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx")) *
+        sqrt(col("n_pairs") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy")))
+      .withColumn("ccf", when(col("_den") > 0,
+        (col("n_pairs") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy")) / col("_den")))
+    val wPk = Window.orderBy(abs(col("ccf")).desc_nulls_last,
+      abs(col("lag")), col("lag"))
+    agg.withColumn("is_peak",
+        row_number().over(wPk) === 1 && col("ccf").isNotNull)
+      .select(col("lag"), col("n_pairs"), round(col("ccf"), 6).as("ccf"),
+        col("is_peak"))
+      .orderBy("lag")
+  }
+
+  /** Jonckheere–Terpstra test for an ORDERED alternative across k
+    * groups: J = Σ_{g<h} U_gh, the pairwise Mann–Whitney counts summed
+    * over ordered group pairs — rejects toward "later groups carry
+    * stochastically larger values", the trend [[kruskalWallis]]'s
+    * omnibus H cannot see (KW spends power on every permutation of the
+    * groups; JT spends it all on the monotone ordering, the rank analog
+    * of [[cochranArmitage]]'s binary trend). Kept ×2-cleared: j2 = 2J =
+    * Σ 2·c_a·c_b·[v_a < v_b] + c_a·c_b·[v_a = v_b] (ties count half) is
+    * an exact BIGINT, as is e2 = 2·E[J] = (N² − Σn_g²)/2; z uses the
+    * standard no-tie null variance (N²(2N+3) − Σn_g²(2n_g+3))/72
+    * (documented approximation under heavy ties — the statistic itself
+    * stays exact).
+    *
+    * Scale shape: everything runs on the per-(group, value) histogram —
+    * the pair expansion is histogram² bounded by (k·|V|)², never row².
+    * BIGINT j2 holds to N ≈ 3·10⁹ rows; beyond that the decimal
+    * accumulators widen, the tree does not change. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(groupCol).cast("long").as("g"),
+      col(valueCol).cast("long").as("v"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val gvb = gv.select(col("g").as("gb"), col("v").as("vb"),
+      col("c").as("cb"))
+    val j = gv
+      .join(gvb, col("g") < col("gb") && col("v") <= col("vb"))
+      .agg(sum(when(col("v") < col("vb"),
+          lit(2) * d0(col("c")) * col("cb"))
+        .otherwise(d0(col("c")) * col("cb"))).as("j2"))
+    val ns = gv.groupBy("g").agg(sum("c").as("n_g"))
+    val tot = ns.agg(sum("n_g").as("nn"), count(lit(1)).as("k"),
+      sum(d0(col("n_g")) * col("n_g")).as("sn2"),
+      sum(d0(col("n_g")) * col("n_g") * (lit(2) * col("n_g") + 3))
+        .as("t2"))
+    tot.crossJoin(broadcast(j))
+      .withColumn("e2",
+        ((d0(col("nn")) * col("nn") - col("sn2")) / 2)
+          .cast("decimal(38,0)"))
+      .withColumn("var0",
+        (d0(col("nn")) * col("nn") * (lit(2) * col("nn") + 3) -
+          col("t2")).cast("double") / 72.0)
+      .select(col("nn").as("n"), col("k"),
+        col("j2").cast("long").as("j2"),
+        col("e2").cast("long").as("e2"),
+        when(col("var0") > 0,
+          round((col("j2") - col("e2")).cast("double") /
+            (lit(2.0) * sqrt(col("var0"))), 6)).as("z"))
+  }
+
+  /** Conover–Iman post-hoc after [[kruskalWallis]]: WHICH group pairs
+    * differ in rank location, via t-statistics on mean midranks with
+    * the pooled rank variance shrunk by the omnibus H —
+    * t = (R̄_g − R̄_h) / √(S²·(N−1−H)/(N−k)·(1/n_g + 1/n_h)) with
+    * S² = (Σr² − N(N+1)²/4)/(N−1) and H the TIE-CORRECTED statistic —
+    * the rank analog of [[tukeyHsd]] (which this complements exactly:
+    * HSD compares means assuming variance homogeneity, Conover compares
+    * rank locations assuming nothing). Shares [[kruskalWallis]]'s
+    * doubled-midrank lattice: every rank sum and Σr² is an exact
+    * BIGINT/decimal (Σr² = ΣQ/4 with ΣQ = Σ t·r2²), H is rebuilt from
+    * the same ingredients in the same fixed tree, and only the final
+    * divisions are doubles. Pairs emit i < j in group order.
+    *
+    * Scale shape: identical to kruskalWallis — the DISTINCT-value
+    * histogram carries everything; the pair table is k², categorical,
+    * never data-scale. */
+  def conoverIman(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val perV = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("below", coalesce(sum("t").over(wOrd), lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1)
+      .localCheckpoint()
+    val gs = base.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
+      .join(ranked.select("v", "r2"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("n_gv") * col("r2")).as("s2"), sum("n_gv").as("n_g"))
+      .localCheckpoint()
+    val tot = ranked.agg(sum("t").as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"),
+      sum(d0(col("t")) * col("r2") * col("r2")).as("q4"))
+    // H exactly as kruskalWallis assembles it (tie-corrected), then the
+    // pooled rank variance S² = (ΣQ/4 − N(N+1)²/4)/(N−1)
+    val hRow = gs.crossJoin(broadcast(tot))
+      .withColumn("term",
+        (d0(col("s2")) * col("s2")).cast("double") / 4.0 / col("n_g"))
+      .groupBy("nn", "tie", "q4")
+      .agg(count(lit(1)).as("k"),
+        sum(d18(col("term"))).cast("double").as("s"))
+      .withColumn("h",
+        lit(12.0) / (col("nn").cast("double") * (col("nn") + 1)) *
+          col("s") - lit(3.0) * (col("nn").cast("double") + 1))
+      .withColumn("c", lit(1.0) - col("tie").cast("double") /
+        (col("nn").cast("double") * col("nn") * col("nn") - col("nn")))
+      .withColumn("h_adj", when(col("c") > 0, col("h") / col("c")))
+      .withColumn("s_sq",
+        (col("q4") - d0(col("nn")) * (col("nn") + 1) * (col("nn") + 1))
+          .cast("double") / 4.0 / (col("nn").cast("double") - 1))
+      .select(col("nn"), col("k"), col("h_adj"), col("s_sq"))
+    val a = gs.select(col("g").as("g_a"), col("n_g").as("n_a"),
+      (col("s2").cast("double") / 2.0 / col("n_g")).as("mr_a"))
+    val b = gs.select(col("g").as("g_b"), col("n_g").as("n_b"),
+      (col("s2").cast("double") / 2.0 / col("n_g")).as("mr_b"))
+    a.join(b, col("g_a") < col("g_b")).crossJoin(broadcast(hRow))
+      .withColumn("se", sqrt(col("s_sq") *
+        ((col("nn").cast("double") - 1 - col("h_adj")) /
+          (col("nn").cast("double") - col("k"))) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        round(col("mr_a"), 6).as("mean_rank_a"),
+        round(col("mr_b"), 6).as("mean_rank_b"),
+        when(col("se") > 0,
+          round((col("mr_a") - col("mr_b")) / col("se"), 6)).as("t_stat"))
+      .orderBy("g_a", "g_b")
+  }
+
+  /** Page's trend test over COMPLETE blocks — [[friedman]]'s ORDERED
+    * twin, exactly as [[jonckheereTerpstra]] is [[kruskalWallis]]'s:
+    * with treatments carrying a hypothesized order (mapped to 1..k by
+    * dense rank over the treatment key), L = Σ_j j·R_j concentrates all
+    * power on the monotone alternative the omnibus χ²_F dilutes across
+    * permutations. Ranks are within-block doubled midranks (friedman's
+    * lattice), so l2 = 2L is an exact BIGINT; e2 = 2·E[L] =
+    * n·k(k+1)²/2 likewise; z uses the standard no-tie null variance
+    * n·k²(k+1)(k²−1)/144 (documented approximation under ties — the
+    * statistic itself stays exact).
+    *
+    * Scale shape: per-block windows over k rows each, one treatment
+    * aggregate, driver-width arithmetic — [[friedman]]'s shape. */
+  def pageTrend(cells: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    val base = cells.select(col(blockCol).as("b"), col(treatCol).as("j"),
+      col(valueCol).cast("long").as("v"))
+    val kTot = base.agg(countDistinct("j").as("k"))
+    val complete = base
+      .withColumn("n_b", count(lit(1)).over(Window.partitionBy("b")))
+      .crossJoin(broadcast(kTot))
+      .filter(col("n_b") === col("k"))
+    val wBlk = Window.partitionBy("b").orderBy("v")
+    val wTie = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("below", rank().over(wBlk).cast("long") - 1)
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1)
+    val perJ = ranked.groupBy("j").agg(max("k").as("k"),
+      count(lit(1)).as("n"), sum("r2").as("rj2"))
+    val wJ = Window.orderBy("j")
+    perJ.withColumn("ord", dense_rank().over(wJ).cast("long"))
+      .agg(max("n").as("n"), max("k").as("k"),
+        sum(col("ord") * col("rj2")).as("l2"))
+      // n·k(k+1)² is always even (k(k+1) is); integer div keeps e2 exact
+      .withColumn("e2", expr("n * k * (k + 1) * (k + 1) div 2"))
+      .withColumn("var0",
+        (col("n") * col("k") * col("k") * (col("k") + 1) *
+          (col("k") * col("k") - 1)).cast("double") / 144.0)
+      .select(col("n").as("n_blocks"), col("k"), col("l2"), col("e2"),
+        when(col("var0") > 0,
+          round((col("l2") - col("e2")).cast("double") /
+            (lit(2.0) * sqrt(col("var0"))), 6)).as("z"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-segment binomial rates under a
+    * method-of-moments Beta prior (the Robinson batting-average
+    * construction): fit Beta(a, b) to the ACROSS-segment distribution
+    * of raw rates — μ and the sample variance of s_g/n_g, then
+    * m = μ(1−μ)/σ² − 1, a = μ·m, b = (1−μ)·m — and report each
+    * segment's posterior mean (s_g + a)/(n_g + a + b): small segments
+    * pull hard toward the global prior, large segments keep their own
+    * rate. The MULTI-GROUP completion of [[betaBinomialAb]] (two arms,
+    * uniform prior): here the prior itself is learned from the segment
+    * population, which is what makes small-segment league tables
+    * honest. Degenerate priors (σ² = 0, or m ≤ 0 when the rates are
+    * OVER-dispersed past what any Beta allows) fall back to the raw
+    * rate with NULL prior columns — never a silent pretend-shrink.
+    * Per-segment rates are deterministic doubles; the across-segment
+    * moment sums are decimal-18 accumulated (order-independent), and
+    * everything downstream is a fixed double tree.
+    *
+    * Scale shape: one pass to the per-segment frame upstream, one
+    * |segments|-row moment aggregate, one broadcast join back. */
+  def ebBetaBinomialShrink(perSeg: DataFrame, segCol: String,
+                           nCol: String, sCol: String): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(38,18)")
+    val base = perSeg.select(col(segCol).as("seg"),
+        col(nCol).cast("long").as("n"), col(sCol).cast("long").as("s"))
+      .filter(col("n") > 0)
+      .withColumn("raw", col("s").cast("double") / col("n"))
+    val mom = base.agg(count(lit(1)).as("k"),
+        sum(d18(col("raw"))).cast("double").as("sr"),
+        sum(d18(col("raw") * col("raw"))).cast("double").as("srr"))
+      .withColumn("mu", col("sr") / col("k"))
+      // guard k = 1 inside the row (a filter would empty the frame and
+      // the crossJoin with it — the fallback must still see one row)
+      .withColumn("v", when(col("k") > 1,
+        (col("srr") - col("sr") * col("sr") / col("k")) /
+          (col("k").cast("double") - 1)))
+      .withColumn("m", when(col("v") > 0,
+        col("mu") * (lit(1.0) - col("mu")) / col("v") - 1))
+      .withColumn("a", when(col("m") > 0, col("mu") * col("m")))
+      .withColumn("b",
+        when(col("m") > 0, (lit(1.0) - col("mu")) * col("m")))
+      .select("a", "b")
+    base.crossJoin(broadcast(mom))
+      .select(col("seg"), col("n"), col("s"),
+        round(col("raw"), 6).as("raw_rate"),
+        round(coalesce(
+          (col("s") + col("a")) / (col("n") + col("a") + col("b")),
+          col("raw")), 6).as("shrunk_rate"),
+        round(col("a"), 6).as("prior_a"),
+        round(col("b"), 6).as("prior_b"))
+  }
 }

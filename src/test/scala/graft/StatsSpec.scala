@@ -1432,6 +1432,104 @@ class StatsSpec extends SparkSpec {
       early.getAs[Double]("rmst") == 1.0)
   }
 
+  test("ccfTable: shifted copy peaks at its lag; zero-variance legs stay null") {
+    // y is x delayed by one step (y_{t+1} = x_t), so lag +1 correlates
+    // perfectly and must be the unique peak
+    val df = Seq((1L, 3L, 9L), (2L, 1L, 3L), (3L, 4L, 1L),
+      (4L, 1L, 4L), (5L, 5L, 1L)).toDF("t", "x", "y")
+    val out = Stats.ccfTable(df, "t", "x", "y", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("ccf"),
+          r.getAs[Boolean]("is_peak"))).toMap
+    assert(out(1)._2 == 1.0 && out(1)._3)
+    assert(out(1)._1 == 4L && out(0)._1 == 5L && out(-2)._1 == 3L)
+    assert(out.filter(_._2._3).keySet == Set(1))
+    // a constant y has zero variance at every lag: all ccf NULL, and
+    // the peak flag must not fire anywhere
+    val const = Seq((1L, 3L, 7L), (2L, 1L, 7L), (3L, 4L, 7L))
+      .toDF("t", "x", "y")
+    val c = Stats.ccfTable(const, "t", "x", "y", maxLag = 1).collect()
+    assert(c.forall(r => r.isNullAt(r.fieldIndex("ccf"))))
+    assert(c.forall(!_.getAs[Boolean]("is_peak")))
+    // lags beyond the calendar span emit no row at all: a 3-point
+    // series only aligns pairs for lags -2..2
+    assert(Stats.ccfTable(const, "t", "x", "y", maxLag = 5)
+      .count() == 5L)
+  }
+
+  test("jonckheereTerpstra: hand-counted pair wins, ties at half weight") {
+    // groups 1:{1,2} 2:{2,3} 3:{4}: 2U_12 = 2+2+1+2 = 7 (one tie),
+    // 2U_13 = 4, 2U_23 = 4 → j2 = 15; e2 = (25 − 9)/2 = 8;
+    // var = (25·13 − (4·7 + 4·7 + 5))/72 = 264/72
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("j2") == 15L && r.getAs[Long]("e2") == 8L)
+    assert(r.getAs[Double]("z") ==
+      round6(7.0 / (2.0 * math.sqrt(264.0 / 72.0))))
+  }
+
+  test("conoverIman: no-tie hand case; midranks under ties") {
+    // a:{1,2} b:{3,4}: mean ranks 1.5 / 3.5, H = 2.4, S² = 5/3,
+    // se = √(5/3 · (4−1−2.4)/(4−2) · 1) = √0.5 → t = −2/√0.5
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Stats.conoverIman(df, "g", "v").head()
+    assert(r.getAs[Double]("mean_rank_a") == 1.5 &&
+      r.getAs[Double]("mean_rank_b") == 3.5)
+    assert(r.getAs[Double]("t_stat") == round6(-2.0 / math.sqrt(0.5)))
+    // ties: a:{1,1} b:{1,3} — the three 1s share midrank 2, so the
+    // group mean ranks are 2 and (2+4)/2 = 3
+    val ties = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    val t = Stats.conoverIman(ties, "g", "v").head()
+    assert(t.getAs[Double]("mean_rank_a") == 2.0 &&
+      t.getAs[Double]("mean_rank_b") == 3.0)
+  }
+
+  test("pageTrend: monotone blocks hit the closed-form z; incomplete blocks drop") {
+    // two blocks, both strictly increasing across ordered treatments
+    // 10 < 20 < 30: doubled rank sums 4/8/12 → L2 = 56, E2 = 48,
+    // Var = 4 → z = 8/(2·2) = 2
+    val cells = Seq((1L, 10L, 5L), (1L, 20L, 7L), (1L, 30L, 9L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L))
+      .toDF("b", "j", "v")
+    val r = Stats.pageTrend(cells, "b", "j", "v").head()
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("l2") == 56L && r.getAs[Long]("e2") == 48L)
+    assert(r.getAs[Double]("z") == 2.0)
+    // a block missing a treatment is excluded, leaving the same answer
+    val withPartial = cells.unionByName(
+      Seq((3L, 10L, 4L), (3L, 20L, 6L)).toDF("b", "j", "v"))
+    val p = Stats.pageTrend(withPartial, "b", "j", "v").head()
+    assert(p.getAs[Long]("n_blocks") == 2L &&
+      p.getAs[Double]("z") == 2.0)
+  }
+
+  test("ebBetaBinomialShrink: MoM prior pulls small segments; degenerate prior falls back") {
+    // rates 0.5 / 0.3 / 0.7 → μ = 0.5, σ² = 0.04, m = 5.25,
+    // a = b = 2.625; the n=1000 segment barely moves
+    val per = Seq(("A", 10L, 5L), ("B", 10L, 3L), ("C", 1000L, 700L))
+      .toDF("seg", "n", "s")
+    val out = Stats.ebBetaBinomialShrink(per, "seg", "n", "s")
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(out("A").getAs[Double]("shrunk_rate") == 0.5)
+    assert(out("B").getAs[Double]("shrunk_rate") ==
+      round6((3.0 + 2.625) / (10.0 + 2.625 + 2.625)))
+    assert(out("C").getAs[Double]("shrunk_rate") ==
+      round6((700.0 + 2.625) / (1000.0 + 2.625 + 2.625)))
+    assert(out("A").getAs[Double]("prior_a") == 2.625 &&
+      out("A").getAs[Double]("prior_b") == 2.625)
+    // identical rates → zero variance → no valid Beta prior: raw rates
+    // pass through and the prior columns stay NULL
+    val flat = Seq(("A", 10L, 5L), ("B", 20L, 10L)).toDF("seg", "n", "s")
+    val f = Stats.ebBetaBinomialShrink(flat, "seg", "n", "s").collect()
+    assert(f.forall(r => r.getAs[Double]("shrunk_rate") ==
+      r.getAs[Double]("raw_rate")))
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("prior_a"))))
+  }
+
   test("tukeyHsd: pooled MSE and Tukey-Kramer q on a hand grid") {
     // a:{1,3} b:{5,7} c:{9,11}: means 2/6/10, SS_within = 6, N−k = 3,
     // MSE = 2 → se = √(2/2·(1/2+1/2)) = 1, so q = raw mean diff
