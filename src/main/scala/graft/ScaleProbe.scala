@@ -100,6 +100,32 @@ object ScaleProbe {
       println(f"hampel      rep=$r%2d rows=$nRows%9d groups=$groups%7d t=$t%7.2fs")
     }
 
+    // ---- q537 core: Borůvka MST on a replicated kNN edge list ----------
+    // growth law: per-round work ~linear in edges; the ROUND COUNT must
+    // stay flat under disjoint replication (every replica's components
+    // halve in parallel — rounds track the largest component, which
+    // replication never grows)
+    val wEdges = operators.Similarity.knnGraph(
+        operators.Similarity.assignNearestCentroid(e0, "embedding",
+          "vec_id", centroids, "cid", "cv"), "embedding", "vec_id", 3)
+      .select(col("id").as("src"), col("nbr_id").as("dst"),
+        col("distance").as("w"))
+      .localCheckpoint()
+    for (r <- reps) {
+      val edges = (0 until r).map(i => wEdges.select(
+          (col("src") + i * 10000000L).as("src"),
+          (col("dst") + i * 10000000L).as("dst"), col("w")))
+        .reduce(_ union _).localCheckpoint()
+      val nEdges = edges.count()
+      val ((tree, rounds), t) = time {
+        val mst = operators.GraphAnalytics
+          .boruvkaMst(edges, "src", "dst", "w").localCheckpoint()
+        (mst.count(), mst.agg(max("round")).head().getInt(0))
+      }
+      println(f"boruvka     rep=$r%2d edges=$nEdges%9d tree=$tree%8d " +
+        f"rounds=$rounds%2d t=$t%7.2fs (rounds flat expected)")
+    }
+
     // ---- q387 core: order-invariant checksum of replicated lineitem ----
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

@@ -1049,6 +1049,29 @@ object GraphAnalytics {
     } finally e.unpersist()
   }
 
+  /** localCheckpoint that also DROPS inherited plan statistics.
+    *
+    * `Dataset.localCheckpoint` truncates lineage but deliberately
+    * preserves the checkpointed plan's ESTIMATED statistics on the
+    * resulting `LogicalRDD` (so broadcast decisions survive the
+    * truncation). Catalyst's size-only estimator multiplies child sizes
+    * at every inner join, so an iterative operator that SELF-JOINS its
+    * own checkpointed output — pointer doubling is the canonical case —
+    * SQUARES the inherited estimate each step: after r rounds the
+    * sizeInBytes BigInt has ~2^r bits and the driver burns minutes
+    * inside `BigInteger.multiply` during stats visits (measured on the
+    * sf0.1 kNN graph: boruvkaMst round 4 actions 20-300 s each, round 5
+    * edge-join 220 s, ALL driver-side stats arithmetic — the tasks
+    * themselves ran in milliseconds). Re-wrapping the materialized RDD
+    * in a fresh LogicalRDD resets the estimate to the constant default,
+    * keeping every stats visit O(1) regardless of loop depth; the price
+    * is that these tiny loop frames lose auto-broadcast (their joins
+    * stay shuffle joins — bounded, correct, and measured fast). */
+  private def checkpointDropStats(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Borůvka minimum spanning tree — the MST algorithm that is actually
     * distributed (Kruskal/Prim are sequential folds): each round, every
     * component selects its minimum-weight outgoing edge under the total
@@ -1086,10 +1109,10 @@ object GraphAnalytics {
         col(wCol).cast("double").as("w"))
       .filter(col("lo") =!= col("hi"))
       .groupBy("lo", "hi").agg(min("w").as("w"))
-      .localCheckpoint()
+      .transform(checkpointDropStats)
     var labels = e.select(col("lo").as("v"))
       .unionByName(e.select(col("hi").as("v"))).distinct()
-      .select(col("v"), col("v").as("lab")).localCheckpoint()
+      .select(col("v"), col("v").as("lab")).transform(checkpointDropStats)
     var mst: DataFrame = null
     var converged = false
     var r = 0
@@ -1109,14 +1132,14 @@ object GraphAnalytics {
         .orderBy(col("w"), col("lo"), col("hi"))
       val sel = inc.withColumn("rn", row_number().over(wSel))
         .filter(col("rn") === 1).select("c", "o", "w", "lo", "hi")
-        .localCheckpoint()
+        .transform(checkpointDropStats)
       if (sel.isEmpty) converged = true // no inter-component edge left
       else {
         val newEdges = sel
           .select(lit(r).as("round"), col("lo"), col("hi"), col("w"))
           .distinct()
         mst = (if (mst == null) newEdges else mst.unionByName(newEdges))
-          .localCheckpoint()
+          .transform(checkpointDropStats)
         val p0 = labels.select(col("lab")).distinct()
           .join(sel.select(col("c").as("lab"), col("o")),
             Seq("lab"), "left")
@@ -1132,7 +1155,7 @@ object GraphAnalytics {
           .select(col("a.c").as("c"),
             when(col("pp") === col("a.c"), least(col("a.c"), col("a.p")))
               .otherwise(col("a.p")).as("p"))
-          .localCheckpoint()
+          .transform(checkpointDropStats)
         var settled = false
         var j = 0
         while (!settled && j < maxJumps) {
@@ -1141,7 +1164,7 @@ object GraphAnalytics {
             .join(p.select(col("c").as("yc"), col("p").as("yp")),
               col("x.p") === col("yc"))
             .select(col("x.c").as("c"), col("yp").as("p"))
-            .localCheckpoint()
+            .transform(checkpointDropStats)
           settled = p2.as("n")
             .join(p.select(col("c"), col("p").as("_old")), Seq("c"))
             .filter(col("p") =!= col("_old")).isEmpty
@@ -1151,7 +1174,7 @@ object GraphAnalytics {
           s"boruvkaMst: pointer doubling not settled in $maxJumps steps")
         labels = labels
           .join(p.select(col("c").as("lab"), col("p")), Seq("lab"))
-          .select(col("v"), col("p").as("lab")).localCheckpoint()
+          .select(col("v"), col("p").as("lab")).transform(checkpointDropStats)
       }
     }
     require(converged,
@@ -1247,7 +1270,7 @@ object GraphAnalytics {
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
           .as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct().transform(checkpointDropStats)
     var out: DataFrame = null
     (1 to rounds).foreach { r =>
       // oriented triangles a<b<c, each counted once
@@ -1263,7 +1286,7 @@ object GraphAnalytics {
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
         .filter(col("support") >= k - 2)
-        .localCheckpoint()
+        .transform(checkpointDropStats)
       if (r < rounds) und = out.select("a", "b")
     }
     out

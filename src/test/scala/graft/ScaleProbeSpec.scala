@@ -103,4 +103,30 @@ class ScaleProbeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(withCopy == base)
   }
+
+  test("q537 guard: disjoint replication leaves replica-0's tree and the " +
+       "round count unchanged — Borůvka rounds track the largest component") {
+    // a weighted ring + chords: enough structure for multiple rounds
+    val edges = (0 until 16).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % 16).toLong, 1.0 + (i % 5) * 0.1),
+        (i.toLong, ((i + 4) % 16).toLong, 2.0 + (i % 3) * 0.1))
+    }.toDF("src", "dst", "w")
+    val base = GraphAnalytics.boruvkaMst(edges, "src", "dst", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val replicated = edges.union(
+      edges.select((col("src") + 1000L).as("src"),
+        (col("dst") + 1000L).as("dst"), col("w")))
+    val both = GraphAnalytics.boruvkaMst(replicated, "src", "dst", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // replica 0's tree edges survive byte-identical, INCLUDING their
+    // round numbers (each replica merges in parallel, never interacting)
+    assert(both.filter(_._2 < 1000L) == base)
+    // and the copy contributes exactly the shifted twin
+    assert(both.filter(_._2 >= 1000L) ==
+      base.map(e => (e._1, e._2 + 1000L, e._3 + 1000L, e._4)))
+    // the round count is replication-invariant
+    assert(both.map(_._1).max == base.map(_._1).max)
+  }
 }
