@@ -1096,13 +1096,24 @@ object GraphAnalytics {
     * sets ([[graft.operators.Dedup.dedupClusters]] gives the flat cut).
     *
     * Scale shape: per round, one join of edges against the node→label
-    * map, one map-side-combinable argmin per component, then `jumps`
-    * self-joins of a COMPONENT-sized (halving) pointer frame; the edge
-    * frame is touched once per round, labels checkpoint-truncated. No
-    * structure ever exceeds edges + nodes. */
+    * map, one map-side-combinable argmin per component, then the
+    * CONTRACTION, which is dual-path exactly like
+    * [[graft.operators.Dedup.dedupClusters]]: the per-round pointer
+    * frame has one row per component, so while components ≤
+    * `maxDriverComponents` (default 4M) the chase runs as a driver
+    * union-find over one collect — replicating the distributed form's
+    * two steps verbatim (2-cycle break at the smaller id, fixpoint
+    * chase) — and above the threshold it runs as `maxJumps` pointer-
+    * doubling self-joins of the (halving) pointer frame. Components at
+    * least halve per round, so even a corpus-scale round 1 drops under
+    * the driver threshold within a few rounds. The edge frame is
+    * touched once per round, labels checkpoint-truncated with stats
+    * dropped. No structure ever exceeds edges + nodes. */
   def boruvkaMst(edges: DataFrame, srcCol: String, dstCol: String,
                  wCol: String, maxRounds: Int = 24,
-                 maxJumps: Int = 24): DataFrame = {
+                 maxJumps: Int = 24,
+                 maxDriverComponents: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"),
@@ -1113,6 +1124,10 @@ object GraphAnalytics {
     var labels = e.select(col("lo").as("v"))
       .unionByName(e.select(col("hi").as("v"))).distinct()
       .select(col("v"), col("v").as("lab")).transform(checkpointDropStats)
+    // component count only gates the contraction path (the dual-path
+    // switch of Dedup.dedupClusters); it shrinks by the merge count
+    // each round, so one initial action tracks it exactly thereafter
+    var nComponents = labels.count()
     var mst: DataFrame = null
     var converged = false
     var r = 0
@@ -1133,7 +1148,57 @@ object GraphAnalytics {
       val sel = inc.withColumn("rn", row_number().over(wSel))
         .filter(col("rn") === 1).select("c", "o", "w", "lo", "hi")
         .transform(checkpointDropStats)
-      if (sel.isEmpty) converged = true // no inter-component edge left
+      if (nComponents <= maxDriverComponents) {
+        // DRIVER contraction: sel has one row per component with an
+        // outgoing edge (≤ nComponents, gated), and the pointer chase
+        // below replicates the distributed path's two steps EXACTLY —
+        // break each merge-tree's unique mutual 2-cycle at its smaller
+        // id, then follow pointers to the fixpoint (memoized; doubling
+        // computes the same fixpoint in log steps). One collect per
+        // round replaces ~2·maxJumps tiny distributed actions.
+        val selRows = sel.select("c", "o").collect()
+          .map(row => row.getLong(0) -> row.getLong(1))
+        if (selRows.isEmpty) converged = true
+        else {
+          val selMap = selRows.toMap
+          def broken(x: Long): Long = {
+            val p = selMap.getOrElse(x, x)
+            if (selMap.getOrElse(p, p) == x) math.min(x, p) else p
+          }
+          val memo = scala.collection.mutable.Map.empty[Long, Long]
+          def root(x: Long): Long = {
+            var path = List.empty[Long]
+            var cur = x
+            while (!memo.contains(cur) && broken(cur) != cur) {
+              path ::= cur; cur = broken(cur)
+            }
+            val rt = memo.getOrElse(cur, cur)
+            path.foreach(memo(_) = rt)
+            rt
+          }
+          val rootRows = selRows.map { case (c, _) => (c, root(c)) }
+          nComponents -= rootRows.length - rootRows.map(_._2).distinct.length
+          val newEdges = sel
+            .select(lit(r).as("round"), col("lo"), col("hi"), col("w"))
+            .distinct()
+          mst = (if (mst == null) newEdges else mst.unionByName(newEdges))
+            .transform(checkpointDropStats)
+          import scala.jdk.CollectionConverters._
+          val rootDf = spark.createDataFrame(
+            rootRows.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2))
+              .asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("lab",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("root",
+                org.apache.spark.sql.types.LongType))))
+          labels = labels
+            .join(broadcast(rootDf), Seq("lab"), "left")
+            .select(col("v"),
+              coalesce(col("root"), col("lab")).as("lab"))
+            .transform(checkpointDropStats)
+        }
+      } else if (sel.isEmpty) converged = true // no inter-component edge
       else {
         val newEdges = sel
           .select(lit(r).as("round"), col("lo"), col("hi"), col("w"))
@@ -1146,9 +1211,10 @@ object GraphAnalytics {
           .select(col("lab").as("c"),
             coalesce(col("o"), col("lab")).as("p"))
         // root each merge-tree's unique 2-cycle at its smaller id, then
-        // pointer-double to the fixpoint (each step MUST checkpoint —
-        // the self-join references p twice, and an untruncated plan
-        // doubles per step: the q522 plan-reuse explosion)
+        // pointer-double to the fixpoint (each step MUST checkpoint AND
+        // drop stats — the self-join references p twice, and both an
+        // untruncated plan and an inherited size estimate double per
+        // step: the q522 plan-reuse explosion and its stats twin)
         var p = p0.as("a")
           .join(p0.select(col("c").as("pc"), col("p").as("pp")),
             col("a.p") === col("pc"))
@@ -1172,6 +1238,9 @@ object GraphAnalytics {
         }
         require(settled,
           s"boruvkaMst: pointer doubling not settled in $maxJumps steps")
+        // merges performed = components that changed their root
+        val merged = p.filter(col("p") =!= col("c")).count()
+        nComponents -= merged
         labels = labels
           .join(p.select(col("c").as("lab"), col("p")), Seq("lab"))
           .select(col("v"), col("p").as("lab")).transform(checkpointDropStats)
@@ -1200,12 +1269,19 @@ object GraphAnalytics {
     * machines: thousands of nodes, not corpus scale), exactly as the
     * exact-PPJoin ground truth (q142) is the bounded twin of the LSH
     * path. The per-iteration work is one frontier join + one anti-join,
-    * both checkpoint-truncated. */
+    * both checkpoint-truncated with stats dropped. */
   def sccLabels(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIters: Int): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // SEMI-NAIVE closure: frontier ∘ base-edges, minus known. The
+    // path-doubling alternative (R ← R ∪ R∘R, ⌈log₂ d⌉ rounds) was
+    // MEASURED 6× SLOWER here (30.5 s vs 5.0 s steady at sf0.1, do not
+    // redo): on a dense contracted graph the closure's self-compose
+    // multiplies in/out degrees of every mid node — ~10⁸ intermediate
+    // rows per round against the frontier form's |frontier|·outdeg.
+    // Fewer barriers only wins when the per-round work stays bounded.
     var reach = e
     var frontier = e
     var converged = false
@@ -1216,10 +1292,10 @@ object GraphAnalytics {
         .select("src", "dst").filter(col("src") =!= col("dst"))
         .distinct()
       val delta = step.join(reach, Seq("src", "dst"), "left_anti")
-        .localCheckpoint()
+        .transform(checkpointDropStats)
       if (delta.isEmpty) converged = true
       else {
-        reach = reach.unionByName(delta).localCheckpoint()
+        reach = reach.unionByName(delta).transform(checkpointDropStats)
         frontier = delta
       }
       it += 1

@@ -131,16 +131,6 @@ private[graft] object Queries533to540 extends QueryModule {
     })
   )
 
-  /** Borůvka replay, fixed unroll: `rounds` rounds × (`jumps` + 1)
-    * pointer-doubling stages, over the kNN-graph edge CTE. Stages past
-    * each fixpoint are identity maps, so the fixed schedule and the
-    * Scala side's adaptive early-exit land on identical labels — the
-    * q523 "replay the whole descent" discipline applied to a loop.
-    * Every CTE is MATERIALIZED: the doubling stages each reference
-    * their predecessor twice, so inlining would re-expand the chain
-    * 2^jumps times per round (measured: DuckDB exhausts file handles
-    * re-opening the embeddings parquet); materialization makes the
-    * replay linear in stages, like the Scala side's checkpoints. */
   /** The standing kNN graph (q537/q540 inputs) as an undirected edge
     * CTE chain ending at `eb(lo, hi, w)` — the replay of
     * GraphStore's 8-centroid IVF assignment + in-cell top-3. */
@@ -166,6 +156,16 @@ private[graft] object Queries533to540 extends QueryModule {
       |eb AS MATERIALIZED (SELECT least(id, nbr_id) AS lo, greatest(id, nbr_id) AS hi,
       |    min(distance) AS w FROM g0w GROUP BY 1, 2)""".stripMargin
 
+  /** Borůvka replay, fixed unroll: `rounds` rounds × (`jumps` + 1)
+    * pointer-doubling stages, over the kNN-graph edge CTE. Stages past
+    * each fixpoint are identity maps, so the fixed schedule and the
+    * Scala side's adaptive early-exit land on identical labels — the
+    * q523 "replay the whole descent" discipline applied to a loop.
+    * Every CTE is MATERIALIZED: the doubling stages each reference
+    * their predecessor twice, so inlining would re-expand the chain
+    * 2^jumps times per round (measured: DuckDB exhausts file handles
+    * re-opening the embeddings parquet); materialization makes the
+    * replay linear in stages, like the Scala side's checkpoints. */
   private def boruvkaOracleSql(rounds: Int, jumps: Int): String = {
     val prefix =
       s"""WITH $knnEbPrefix,

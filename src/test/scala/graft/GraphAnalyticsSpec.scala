@@ -424,6 +424,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(fm.length == 3)
   }
 
+  test("boruvkaMst: driver and distributed contraction paths are identical") {
+    // a weighted ring + chords forces multiple rounds and non-trivial
+    // merge trees; maxDriverComponents = 0 forces the pointer-doubling
+    // path, the default takes the driver union-find — same tree, same
+    // round numbers, edge for edge
+    val edges = (0 until 20).flatMap { i =>
+      Seq((i.toLong, ((i + 1) % 20).toLong, 1.0 + (i % 7) * 0.1),
+        (i.toLong, ((i + 5) % 20).toLong, 2.0 + (i % 4) * 0.1))
+    }.toDF("src", "dst", "w")
+    def run(thresh: Long) =
+      GraphAnalytics.boruvkaMst(edges, "src", "dst", "w",
+          maxDriverComponents = thresh)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(run(0L) == run(4000000L))
+  }
+
   test("sccLabels: directed cycles fuse, mere reachability does not") {
     // 1→2→3→1 is one SCC; 3→4 and the 4↔5 cycle another; 6→7 leaves
     // both trivial — direction matters, unlike undirected components
