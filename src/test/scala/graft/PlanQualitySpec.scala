@@ -584,4 +584,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q539: sequence-pattern expansions join by sequence id; prunes broadcast") {
+    // the Apriori gates are broadcast LEFT-SEMI joins (lossless prunes
+    // BEFORE the expansions), and every support count is a hash
+    // aggregate — nothing sorts the corpus and nothing goes corpus²
+    val p = plan("q539_sequential_patterns")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q542: the Jonckheere pair expansion runs on the checkpointed histogram") {
+    // the corpus collapses to the (group, value) histogram at
+    // localCheckpoint time, so the final plan's quadratic structure
+    // joins ExistingRDD scans — the raw lineitem parquet never reaches
+    // the pair join
+    val p = plan("q542_jonckheere")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Scan parquet"))
+  }
+
+  test("q541: CCF joins the bounded daily frame, never the raw events") {
+    // the daily collapse is materialized before the ±lag explode-join;
+    // the final plan sees only the checkpointed daily frame
+    val p = plan("q541_ccf_lead_lag")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("Generate") && p.contains("explode"))
+  }
+
+  test("q545: the learned prior joins back as a broadcast, never a shuffle") {
+    // one |segments|-row moment aggregate broadcast against the
+    // per-segment frame — a single-row cross side must not induce a
+    // sort-merge join or exchange-heavy plan
+    val p = plan("q545_eb_shrink")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
