@@ -52,7 +52,19 @@ object Bench {
     graft.queries.QueryHelpers.storedAnnPath(spark, sfDir)
     graft.queries.QueryHelpers.docLengths(spark, sfDir).count()
     val storeBuildS = (System.nanoTime() - buildT0) / 1e9
+    // per-pass box-contention telemetry: the r8 first pass reported
+    // 1283 s where a fresh-JVM rerun of the same keys measured 10 s —
+    // VM-neighbor contention, but the emitted JSON sampled load_avg
+    // ONCE at exit, after the contended window had passed, so the
+    // number could not defend itself. Sample the 1-min load before the
+    // first pass and after EVERY pass so each pass carries its own
+    // contention context in the JSON line.
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    loads("pre") = loadNow
     val results = runAll(sfDir)
+    loads("post_cold") = loadNow
     // second pass: plan/codegen/footer costs amortized — the per-query
     // steady state a long-lived session (or a 1000-executor cluster
     // re-running the shape) actually pays. Only its total is reported:
@@ -64,8 +76,17 @@ object Bench {
     // does when the CPU is actually available, which is the number a
     // capacity plan uses
     val steady1 = runAll(sfDir)
+    loads("post_steady1") = loadNow
     val steady2 = runAll(sfDir)
+    loads("post_steady2") = loadNow
     val steady = steady1.zip(steady2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // cold min-of-2 WITHOUT a fifth pass: steady pass 1 is literally a
+    // second run of the cold pass (same code, same data, same JVM), so
+    // min(cold, steady1) is the contention-defended cold estimate — if
+    // the first pass hit a contended window, cold_min collapses to the
+    // steady band and the discrepancy is attributable to the box, not
+    // the engine (the r8 37× cold outliers would have read ~steady)
+    val coldMin = results.zip(steady1).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // local tuning aid: per-query steady times to stderr (the driver only
     // parses the stdout JSON line, which must stay compact)
     if (sys.env.contains("SPARK_GRAFT_STEADY_DETAIL"))
@@ -114,23 +135,35 @@ object Bench {
         "registered standing frame")
     // full per-query detail first — useful when the whole stdout is kept
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,""" +
-      s""""steady_total":${fmt(steadyTotal)},"steady_queries":$sjson,"sf":"$sfDir"}""")
+      s""""steady_total":${fmt(steadyTotal)},"steady_queries":$sjson,""" +
+      s""""cold_min_queries":${qmap(coldMin.map(_._2))},"sf":"$sfDir"}""")
     // FINAL line is a compact summary that always fits a bounded stdout
     // tail (the r5 full line grew past the tail and the driver parsed
     // null): totals + the 20 slowest of each pass + box contention so a
     // regression can be attributed to neighbors rather than the engine
     def top20(vals: Seq[(String, Double)]): String = vals.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val ncpu = Runtime.getRuntime.availableProcessors
     def jstr(ss: Seq[String]): String =
       ss.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val coldMinTotal = coldMin.map(_._2).sum
+    // gate-instrument rollup: the tagged bounded correctness probes'
+    // steady cost, separable from engine cost (QueryTags.instruments)
+    val instrumentS = steady
+      .filter { case (n, _) => graft.queries.QueryTags.instruments(n) }
+      .map(_._2).sum
+    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"steady_total":${fmt(steadyTotal)},""" +
+      s""""n_queries":${results.size},"cold_min_total":${fmt(coldMinTotal)},""" +
+      s""""steady_total":${fmt(steadyTotal)},""" +
+      s""""instrument_steady_s":${fmt(instrumentS)},""" +
       s""""store_build_s":${fmt(storeBuildS)},""" +
       s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""" +
-      s""""load_avg":${fmt(load)},"cpus":$ncpu,""" +
-      s""""top":${top20(results)},"steady_top":${top20(steady)}}""")
+      s""""pass_loads":$loadJson,"cpus":$ncpu,""" +
+      s""""top":${top20(results)},"cold_min_top":${top20(coldMin)},""" +
+      s""""steady_top":${top20(steady)}}""")
     spark.stop()
   }
 }
+

@@ -126,6 +126,54 @@ object ScaleProbe {
         f"rounds=$rounds%2d t=$t%7.2fs (rounds flat expected)")
     }
 
+    // ---- q540 core: k-truss peel on a replicated kNN edge list ----------
+    // growth law: each round's oriented a<b<c three-way self-join is the
+    // standard distributed triangle enumeration — work ~linear in edges
+    // for bounded-degree kNN graphs (each edge meets ≤ deg(shared
+    // endpoint) candidates, and deg ≤ 2k by construction); disjoint
+    // replicas never create cross-replica triangles, and the fixed round
+    // schedule is replication-invariant
+    for (r <- reps) {
+      val edges = (0 until r).map(i => baseEdges.select(
+          (col("src") + i * 10000000L).as("src"),
+          (col("dst") + i * 10000000L).as("dst")))
+        .reduce(_ union _).localCheckpoint()
+      val nEdges = edges.count()
+      val ((surviving, _), t) = time {
+        (operators.GraphAnalytics.kTruss(edges, "src", "dst", k = 4,
+          rounds = 6).count(), ())
+      }
+      println(f"ktruss      rep=$r%2d edges=$nEdges%9d surv=$surviving%8d " +
+        f"t=$t%7.2fs")
+    }
+
+    // ---- q546 core: FW-BW SCC on a replicated contracted flow graph ----
+    // growth law: per-round work ~linear in edges (frontier⋈static-edges
+    // BFS steps + node-level set algebra — never reachable PAIRS); the
+    // ROUND COUNT must stay flat under disjoint replication because every
+    // replica's partitions decompose in parallel within the same rounds
+    val flow0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") <= 1)
+      .select((col("l_partkey") % 512).as("src"),
+        (col("l_suppkey") % 512).as("dst"))
+      .localCheckpoint()
+    for (r <- reps) {
+      val edges = (0 until r).map(i => flow0.select(
+          (col("src") + i * 1024L).as("src"),
+          (col("dst") + i * 1024L).as("dst")))
+        .reduce(_ union _).localCheckpoint()
+      val nEdges = edges.count()
+      val ((nScc, _), t) = time {
+        (operators.GraphAnalytics.sccLabelsFwBw(edges, "src", "dst")
+          .select("scc").distinct().count(), ())
+      }
+      val rounds = operators.GraphAnalytics.FwBwStats.lastRounds.get()
+      val steps = operators.GraphAnalytics.FwBwStats.lastBfsSteps.get()
+      println(f"sccfwbw     rep=$r%2d edges=$nEdges%9d sccs=$nScc%8d " +
+        f"rounds=$rounds%2d bfs_steps=$steps%3d t=$t%7.2fs " +
+        "(rounds flat expected)")
+    }
+
     // ---- q387 core: order-invariant checksum of replicated lineitem ----
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

@@ -1291,11 +1291,24 @@ object GraphAnalytics {
         .join(e.select(col("src").as("mid"), col("dst")), Seq("mid"))
         .select("src", "dst").filter(col("src") =!= col("dst"))
         .distinct()
+      // (measured do-not-redo: folding the fixpoint probe into a manual
+      // Row-rdd persist+count saved one tiny job per round but paid
+      // Row↔InternalRow conversion on every later round's scan of the
+      // delta blocks — net SLOWER than localCheckpoint + isEmpty)
       val delta = step.join(reach, Seq("src", "dst"), "left_anti")
         .transform(checkpointDropStats)
       if (delta.isEmpty) converged = true
       else {
-        reach = reach.unionByName(delta).transform(checkpointDropStats)
+        // reach stays a UNION TREE of checkpointed deltas — never
+        // re-materialized per round: the old per-round checkpoint of
+        // the whole closure rewrote O(reach) rows every iteration
+        // (O(rounds·reach) total), while the union's cached delta
+        // blocks are the same bytes read either way. Plan width grows
+        // one LogicalRDD per round, bounded by maxIters; stats are
+        // default-constant leaves that SUM across a union (the
+        // squaring hazard needs self-composition, which only the final
+        // mutual join does — once)
+        reach = reach.unionByName(delta)
         frontier = delta
       }
       it += 1
@@ -1317,6 +1330,232 @@ object GraphAnalytics {
     scc.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
   }
 
+  /** Round/depth telemetry for the most recent [[sccLabelsFwBw]] call in
+    * this JVM — a probe instrument (ScaleProbe prints it to show rounds
+    * stay flat under disjoint replication), not an API: concurrent calls
+    * last-write-win, exactly like a log line. */
+  object FwBwStats {
+    val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastBfsSteps = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Strongly connected components at SCALE: forward–backward pivot
+    * decomposition with trimming — the directed twin of the q311
+    * distributed WCC, closing the gap [[sccLabels]] (definition-exact
+    * but O(reachable pairs)) leaves for UNCONTRACTED graphs. Per round,
+    * every active partition IN PARALLEL: (1) TRIM to fixpoint — a node
+    * with no in-edge or no out-edge inside its partition can sit on no
+    * cycle, so it is its own SCC (removals cascade); (2) pick the
+    * partition's min node as PIVOT; (3) two BFS closures from the pivot
+    * over the partition-restricted edges — forward along edges, backward
+    * along reversed edges; (4) FW ∩ BW is exactly the pivot's SCC
+    * (mutual reachability through the pivot), labeled `scc = pivot` —
+    * equal to [[sccLabels]]' min-mutual-partner label because the pivot
+    * is the partition's min and its SCC can contain nothing smaller;
+    * (5) the remainder splits SCC-closed into FW-only / BW-only / REST
+    * (no SCC ever straddles the cut — a cycle crossing it would put its
+    * nodes in both FW and BW, i.e. in the SCC), each becoming a new
+    * partition keyed by its own min node (disjoint subsets → distinct
+    * mins → globally unique partition ids, and the pivot invariant
+    * re-establishes itself). Every partition loses at least its pivot's
+    * SCC per round; non-convergence within `maxRounds`/`maxDepth`
+    * RAISES — a silent partial labeling cannot escape (the
+    * [[boruvkaMst]] discipline).
+    *
+    * Returns (node, scc, scc_size), identical to [[sccLabels]]
+    * (GraphAnalyticsSpec pins equality; q546 hash-gates it against
+    * q538's definitional oracle on the same graph).
+    *
+    * Scale shape: NO pair materialization anywhere — every frame is
+    * ≤ |nodes| rows ((node, part) tuples) or ≤ |edges| rows (one
+    * partition-restriction join per BFS step against the STATIC edge
+    * frame — the linear-growth loop shape audited safe in NOTES), so
+    * the operator runs where [[sccLabels]]' closure (O(n·reach) rows)
+    * cannot. Disjoint components decompose in PARALLEL (independent
+    * partitions share each round's jobs), so replication leaves the
+    * round count flat (ScaleProbe leg). Depth caps are real bounds for
+    * the shapes this engine feeds it (near-dup/dependency/flow graphs
+    * with shallow SCC recursion); a 10⁶-link pure path graph would
+    * exhaust `maxDepth` and raise rather than mislabel. */
+  def sccLabelsFwBw(edges: DataFrame, srcCol: String, dstCol: String,
+                    maxRounds: Int = 48,
+                    maxDepth: Int = 256): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .transform(checkpointDropStats)
+    val empty = nodes.limit(0)
+      .select(col("node"), col("node").as("scc"),
+        lit(0L).as("scc_size")).limit(0)
+    if (nodes.isEmpty) return empty
+    // initial partitions = WEAKLY connected components (the standard
+    // FW-BW preprocessing): disjoint components must decompose in
+    // PARALLEL from round 1 — a single shared start partition would
+    // peel them apart one pivot per round, making rounds grow with the
+    // component count (caught by the q546 replication guard). WCC rides
+    // the engine's dual-path [[graft.operators.Dedup.dedupClusters]]
+    // (driver union-find ≤ 4M edges, distributed min-label propagation
+    // above), and its min-id labels ARE valid partition ids under the
+    // pivot invariant (part id = min node of the partition). A round's
+    // three-way REST split can still bundle sub-components that then
+    // peel pivot-by-pivot — bounded by the SCC-DAG's width, not by the
+    // corpus, and `maxRounds` raises rather than mislabels.
+    var parts = Dedup.dedupClusters(
+        e.select(col("src"), col("dst")), "src", "dst")
+      .select(col("id").cast("long").as("node"),
+        col("cluster_rep").cast("long").as("part"))
+      .transform(checkpointDropStats)
+    // labeled SCCs accumulate as a union tree of checkpointed deltas
+    // (the sccLabels discipline — never re-materialized per round)
+    var done: DataFrame = null
+    def append(df: DataFrame): Unit =
+      done = if (done == null) df else done.unionByName(df)
+    var r = 0
+    var bfsSteps = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      r += 1
+      // ---- trim cascade: no in- or no out-edge within the partition
+      // ⇒ on no cycle ⇒ singleton SCC (its own min) ----
+      var trimming = true
+      var td = 0
+      while (trimming && td < maxDepth) {
+        td += 1
+        val pe = e
+          .join(parts.select(col("node").as("src"), col("part")),
+            Seq("src"))
+          .join(parts.select(col("node").as("dst"), col("part")),
+            Seq("dst", "part"))
+        // partitions are disjoint node sets, so node alone keys them
+        val keep = pe.select(col("src").as("node")).distinct()
+          .intersect(pe.select(col("dst").as("node")).distinct())
+        val trim = parts.join(keep, Seq("node"), "left_anti")
+          .transform(checkpointDropStats)
+        if (trim.isEmpty) trimming = false
+        else {
+          append(trim.select(col("node"), col("node").as("scc")))
+          parts = parts.join(trim.select("node"), Seq("node"), "left_anti")
+            .transform(checkpointDropStats)
+        }
+      }
+      require(!trimming,
+        s"sccLabelsFwBw: trim cascade not settled in $maxDepth passes")
+      if (parts.isEmpty) converged = true
+      else {
+        val piv = parts.groupBy("part").agg(min("node").as("pivot"))
+          .transform(checkpointDropStats)
+        // BFS closure from every pivot at once, restricted to each
+        // pivot's own partition; one frontier⋈static-edges join +
+        // one membership semi-join + one anti-join per step
+        def bfs(dir: DataFrame): DataFrame = {
+          var reached = piv.select(col("pivot").as("node"), col("part"))
+            .transform(checkpointDropStats)
+          var frontier = reached
+          var moving = true
+          var d = 0
+          while (moving && d < maxDepth) {
+            d += 1
+            bfsSteps += 1
+            val step = frontier
+              .join(dir.select(col("src").as("node"), col("dst")),
+                Seq("node"))
+              .select(col("dst").as("node"), col("part")).distinct()
+              .join(parts, Seq("node", "part"), "left_semi")
+            val delta = step.join(reached, Seq("node", "part"), "left_anti")
+              .transform(checkpointDropStats)
+            if (delta.isEmpty) moving = false
+            else { reached = reached.unionByName(delta); frontier = delta }
+          }
+          require(!moving,
+            s"sccLabelsFwBw: BFS not settled in $maxDepth steps")
+          reached
+        }
+        val fw = bfs(e).transform(checkpointDropStats)
+        val bw = bfs(e.select(col("dst").as("src"), col("src").as("dst")))
+          .transform(checkpointDropStats)
+        val scc = fw.join(bw, Seq("node", "part"), "left_semi")
+          .transform(checkpointDropStats)
+        append(scc.join(piv, Seq("part"))
+          .select(col("node"), col("pivot").as("scc")))
+        // SCC-closed three-way split; new partition id = subset min
+        val rem = parts.join(scc, Seq("node", "part"), "left_anti")
+        val tagged = rem
+          .join(fw.withColumn("_f", lit(1)), Seq("node", "part"), "left")
+          .join(bw.withColumn("_b", lit(1)), Seq("node", "part"), "left")
+          .select(col("node"), col("part"),
+            when(col("_f") === 1, lit(0))
+              .when(col("_b") === 1, lit(1))
+              .otherwise(lit(2)).as("branch"))
+        parts = tagged
+          .withColumn("newpart",
+            min("node").over(Window.partitionBy("part", "branch")))
+          .select(col("node"), col("newpart").as("part"))
+          .transform(checkpointDropStats)
+        if (parts.isEmpty) converged = true
+      }
+    }
+    require(converged,
+      s"sccLabelsFwBw: not converged within $maxRounds rounds")
+    FwBwStats.lastRounds.set(r)
+    FwBwStats.lastBfsSteps.set(bfsSteps)
+    if (done == null) return empty
+    val sizes = done.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+    done.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
+  }
+
+  /** Longest-path levels of a DAG: level(v) = length of the longest
+    * path from any source (in-degree-0 node) to v — the critical-path /
+    * topological-depth measure for dependency scheduling, and the
+    * natural consumer of an SCC CONDENSATION (contract each
+    * [[sccLabelsFwBw]] component to one node and the cyclic graph
+    * becomes the DAG this runs on). Computed by iterative max-
+    * relaxation: next(v) = max over incoming u of level(u) + 1,
+    * level = max(level, next), to fixpoint — a DAG converges within
+    * its depth; a CYCLE never converges and `maxDepth` RAISES (this
+    * doubles as a cycle check on the alleged DAG, never a silent
+    * wrong answer).
+    *
+    * Scale shape: each round is one join of the static edge frame
+    * against the |nodes|-row level frame + a max-aggregate — the
+    * linear-growth loop shape, checkpoint-truncated per round; rounds
+    * = DAG depth. Returns (node, level). */
+  def dagLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                maxDepth: Int = 128): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var lvl = nodes.select(col("node"), lit(0L).as("level"))
+      .transform(checkpointDropStats)
+    var converged = false
+    var d = 0
+    while (!converged && d < maxDepth) {
+      d += 1
+      val relaxed = e
+        .join(lvl.select(col("node").as("src"), col("level")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("level") + 1).as("_cand"))
+      val next = lvl.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          greatest(col("level"), coalesce(col("_cand"), lit(0L)))
+            .as("level"))
+        .transform(checkpointDropStats)
+      converged = next.as("n")
+        .join(lvl.select(col("node"), col("level").as("_old")),
+          Seq("node"))
+        .filter(col("level") =!= col("_old")).isEmpty
+      lvl = next
+    }
+    require(converged,
+      s"dagLevels: no fixpoint within $maxDepth rounds — the input has " +
+        "a cycle (or raise maxDepth for a deeper DAG)")
+    lvl
+  }
+
   /** k-truss peel, fixed rounds (the [[kCorePeel]] convention): each
     * round computes every edge's SUPPORT — the number of triangles it
     * closes in the CURRENT edge set — and deletes edges with support
@@ -1328,7 +1567,14 @@ object GraphAnalytics {
     * spokes. Rounds past the fixpoint delete nothing, so a fixed round
     * schedule here and a fixed SQL unroll replay identically (the
     * Borůvka/identity-stage argument); callers size `rounds` with
-    * margin the way [[kCorePeel]] callers do. Returns the surviving
+    * margin the way [[kCorePeel]] callers do — and the margin is
+    * ENFORCED: after the last round the entering and surviving edge
+    * counts must match (the final round deleted nothing ⟺ fixpoint),
+    * otherwise this RAISES. Without the check an under-sized `rounds`
+    * would silently return a superset of the k-truss, and since the SQL
+    * oracle replays the same fixed unroll the hash gate could not catch
+    * it — the same silent-partial-result class [[boruvkaMst]]'s
+    * convergence require closes. Returns the surviving
     * edges as (a, b, support) with a < b, support as computed on the
     * final round's ENTERING edge set (the set equals the output set at
     * the fixpoint).
@@ -1363,8 +1609,19 @@ object GraphAnalytics {
           coalesce(col("support"), lit(0L)).as("support"))
         .filter(col("support") >= k - 2)
         .transform(checkpointDropStats)
+      if (r == rounds) {
+        // fixpoint assertion: both frames are checkpointed, so the two
+        // counts are cached-block scans, not recomputation
+        val entering = und.count()
+        val surviving = out.count()
+        require(surviving == entering,
+          s"kTruss: not at fixpoint after $rounds rounds — the last " +
+            s"round deleted ${entering - surviving} edges; increase " +
+            s"`rounds` (and the oracle's unroll) in lockstep")
+      }
       if (r < rounds) und = out.select("a", "b")
     }
     out
   }
 }
+

@@ -265,6 +265,84 @@ object Stats {
           .as("trimmed_mean"))
   }
 
+  /** Mood's median test: the k-sample location test that needs only
+    * per-group counts above/below the GRAND median — the most
+    * outlier-robust member of the nonparametric family (where
+    * [[kruskalWallis]] ranks every value, Mood dichotomizes, so a
+    * single corrupt extreme moves one count by one). Values equal to
+    * the grand median are dropped (the standard convention). Emits one
+    * row per group: observed counts, expected-above under homogeneity
+    * (row total times column share), and the group's additive chi-sq
+    * contribution — the caller sums contributions for the k-1 df
+    * statistic (no p-value: the ln/exp cross-engine rule).
+    *
+    * Scale shape: the grand median rides [[groupedTwoPassMedian]]'s
+    * two-pass histogram (no value buffer anywhere), collected as ONE
+    * driver scalar; then a single groupBy over the rows and a
+    * broadcast of the 1-row marginal totals. Nothing buffers a
+    * group. */
+  def moodMedianTest(df: DataFrame, groupCol: String, vCol: String,
+                     coarseBins: Int = 256): DataFrame = {
+    val v = df.select(col(groupCol).as("g"),
+      col(vCol).cast("long").as("v"))
+    val med = groupedTwoPassMedian(
+        v.select(lit(0L).as("g"), col("v")), coarseBins)
+      .head().getAs[Double]("med")
+    val cnt = v.groupBy("g").agg(
+      sum(when(col("v") > med, 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("v") < med, 1L).otherwise(0L)).as("n_below"))
+    val tot = cnt.agg(sum("n_above").as("ta"), sum("n_below").as("tb"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("n_g", col("n_above") + col("n_below"))
+      .withColumn("nn", col("ta") + col("tb"))
+      .withColumn("e_above",
+        col("n_g") * (col("ta").cast("double") / col("nn")))
+      .withColumn("e_below",
+        col("n_g") * (col("tb").cast("double") / col("nn")))
+      .withColumn("chi2_part",
+        (col("n_above") - col("e_above")) * (col("n_above") - col("e_above"))
+          / col("e_above")
+          + (col("n_below") - col("e_below"))
+            * (col("n_below") - col("e_below")) / col("e_below"))
+      .select(col("g"), col("n_above"), col("n_below"),
+        round(col("e_above"), 6).as("exp_above"),
+        round(col("chi2_part"), 6).as("chi2_part"))
+  }
+
+  /** Negative-binomial method-of-moments fit per group: from each
+    * group's exact (n, sum k, sum k^2) blocks, mean m and SAMPLE
+    * variance v, then the NB(r, p) solution r = m^2/(v - m), p = m/v —
+    * the count model for OVERDISPERSED event data (Poisson forces
+    * v = m; q423's dispersion index DETECTS the violation, this fits
+    * the model that accommodates it). Groups without overdispersion
+    * (v <= m) get NULL r/p — a Poisson-or-thinner group has no NB fit,
+    * surfaced rather than extrapolated.
+    *
+    * Scale shape: one groupBy with decimal-exact sum blocks; the
+    * closed-form solve is per-group driver-width arithmetic. */
+  def negativeBinomialFit(counts: DataFrame, groupCol: String,
+                          kCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    counts.select(col(groupCol).as("g"), col(kCol).cast("long").as("k"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"),
+        sum(d0(col("k")) * col("k")).as("ss"))
+      .filter(col("n") >= 2)
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("ss").cast("double")
+          - col("s").cast("double") * col("s") / col("n"))
+          / (col("n") - 1))
+      .withColumn("nb_r", when(col("variance") > col("mean"),
+        col("mean") * col("mean") / (col("variance") - col("mean"))))
+      .withColumn("nb_p", when(col("variance") > col("mean"),
+        col("mean") / col("variance")))
+      .select(col("g"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("variance"), 6).as("variance"),
+        round(col("nb_r"), 6).as("nb_r"),
+        round(col("nb_p"), 6).as("nb_p"))
+  }
+
   /** Kruskal–Wallis H test (1952) over integer-valued observations —
     * the k-sample nonparametric ANOVA completing the rank family
     * (two-sample AUC rank-sum, permutation p-values): do the k groups
@@ -3766,6 +3844,16 @@ object Stats {
     * two rows. Nothing scales past the unit count. */
   def betaBinomialAb(units: DataFrame, armCol: String,
                      convCol: String): DataFrame = {
+    // the readout below hardcodes arm identities 0 (control) and 1
+    // (treatment); any other encoding (strings, 1/2, nulls) would
+    // silently yield an all-NULL single row — fail fast instead. The
+    // distinct is bounded: ≤3 rows collected regardless of input
+    val armVals = units.select(col(armCol).cast("long").as("arm"))
+      .distinct().limit(3).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    require(armVals == Set(Some(0L), Some(1L)),
+      s"betaBinomialAb: arm values must be exactly {0, 1}, got " +
+        armVals.map(_.map(_.toString).getOrElse("null")).mkString("{", ", ", "}"))
     val arms = units.groupBy(col(armCol).as("arm"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(convCol), 1L).otherwise(0L)).as("s"))
@@ -4145,3 +4233,4 @@ object Stats {
         round(col("b"), 6).as("prior_b"))
   }
 }
+

@@ -115,10 +115,22 @@ object RagPipeline {
   def vecSearch(spark: SparkSession, stores: Map[String, DataFrame],
                 question: String, history: Seq[(String, String)],
                 embed: Embedder.EmbedFn, cfg: Config, slots: Slots): Result = {
-    // rephrase only with ≥2 turns of history (reference vs_rephrase.py guard)
+    // rephrase only with ≥2 turns of history (reference vs_rephrase.py
+    // guard); a THROWING rephrase slot falls back to the original
+    // question exactly like a malformed one (vs_rephrase.py:35-45
+    // rejects "on any issue" — API failure included)
     val q0 = if (cfg.rephraseEnabled && history.size >= 2)
-      guardRephrase(question, slots.rephrase(question, history)) else question
-    val selected = slots.selectTables(q0, stores.keys.toSeq.sorted).take(3)
+      guardRephrase(question,
+        try slots.rephrase(question, history)
+        catch { case scala.util.control.NonFatal(_) => question })
+    else question
+    // table-selection failure → first catalog table, the same fallback
+    // validateTableSelection applies to an unparseable payload
+    // (reference: vs_retriever.py:53-127)
+    val catalog = stores.keys.toSeq.sorted
+    val selected = (try slots.selectTables(q0, catalog)
+      catch { case scala.util.control.NonFatal(_) => catalog.take(1) })
+      .take(3)
     val qVec = embed(Seq(q0)).head.toSeq
     val perStore = selected.flatMap { name =>
       stores.get(name).map { df =>
@@ -130,8 +142,15 @@ object RagPipeline {
       if (perStore.isEmpty) spark.emptyDataFrame
       else Similarity.multiStoreSearch(perStore, cfg.scoreThreshold, cfg.topK)
     val docs = merged.collect().map(_.getAs[String]("text")).toSeq
-    val graded = if (cfg.gradeEnabled && !slots.grade(q0, docs.mkString("\n")))
-      Seq.empty[String] else docs // "no" empties the docs (vs_grade contract)
+    // grade slot failure → "yes" (docs kept): the reference treats a
+    // grading-API error as a pass vote rather than emptying the answer
+    // (reference: vs_grade.py:94-99) — degradation must not destroy
+    // retrieval the user already paid for
+    val vote = if (!cfg.gradeEnabled) true
+      else try slots.grade(q0, docs.mkString("\n"))
+      catch { case scala.util.control.NonFatal(_) => true }
+    val graded = if (vote) docs
+      else Seq.empty[String] // "no" empties the docs (vs_grade contract)
     Result(slots.answer(q0, graded), merged, VecSearch)
   }
 
@@ -148,7 +167,12 @@ object RagPipeline {
       case VecSearch => vecSearch(spark, stores, question, history, embed, cfg, slots)
       case Nl2Sql => Result(runSql(question), spark.emptyDataFrame, Nl2Sql)
       case Combined =>
-        slots.classify(question) match {
+        // classifier parse/API failure → "both" (run both tools and
+        // synthesize): the reference's degradation contract when the
+        // routing LLM returns garbage (reference: multi_tool.py:118-120)
+        val label = try slots.classify(question)
+          catch { case scala.util.control.NonFatal(_) => "both" }
+        label match {
           case "nl2sql" => Result(runSql(question), spark.emptyDataFrame, Combined)
           case "vecsearch" =>
             vecSearch(spark, stores, question, history, embed, cfg, slots).copy(route = Combined)

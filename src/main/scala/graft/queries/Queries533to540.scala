@@ -81,10 +81,22 @@ private[graft] object Queries533to540 extends QueryModule {
       val edges = storedKnnGraph(s, dir)
         .select(col("id").as("src"), col("nbr_id").as("dst"),
           col("distance").as("w"))
-      GraphAnalytics.boruvkaMst(edges, "src", "dst", "w")
+      val mst = GraphAnalytics.boruvkaMst(edges, "src", "dst", "w")
         .select(col("round"), col("lo").as("src"), col("hi").as("dst"),
           round(col("w"), 6).as("weight"))
-        .orderBy("weight", "src", "dst")
+      // the oracle below is UNROLLED at rounds=7 (jumps=7 covers
+      // pointer chains to depth 2^7 — far past the ⌈log₂ components⌉
+      // any sane merge forest reaches); the Scala side adapts up to
+      // maxRounds=24, so a graph needing >7 rounds would otherwise
+      // surface as an opaque hash mismatch. Fail loudly instead, naming
+      // the constants to bump in lockstep (measured: 4 rounds at sf0.1,
+      // rounds track the LARGEST component — flat under replication)
+      val maxRound = mst.agg(max("round")).head().get(0)
+      require(maxRound == null || maxRound.asInstanceOf[Int] <= 7,
+        s"q537: Borůvka used round $maxRound > 7 — the DuckDB oracle " +
+          "is unrolled at rounds=7/jumps=7 (boruvkaOracleSql); raise " +
+          "both unroll constants with the Scala side")
+      mst.orderBy("weight", "src", "dst")
     }),
 
     "q538_scc_labels" -> ((s, dir) => {
@@ -451,7 +463,14 @@ private[graft] object Queries533to540 extends QueryModule {
 
     // definition-exact: recursive closure, mutual-reach pairs, min
     // mutual partner as the label
-    "q538_scc_labels" ->
+    "q538_scc_labels" -> sccOracleSql
+  )
+
+  /** The definitional SCC oracle over the 512-contracted flow graph —
+    * shared verbatim with q546: the scalable FW-BW decomposition must
+    * land on the identical labeling, so the two queries ride the SAME
+    * SQL (one algorithm gate, two engine paths — the q98/q106 pattern). */
+  private[queries] val sccOracleSql: String =
       """WITH RECURSIVE e AS (SELECT DISTINCT l_partkey % 512 AS src,
         |    l_suppkey % 512 AS dst
         |  FROM lineitem WHERE l_quantity <= 1
@@ -472,5 +491,4 @@ private[graft] object Queries533to540 extends QueryModule {
         |SELECT s.node, s.scc, z.scc_size
         |FROM scc s JOIN sz z ON z.scc = s.scc
         |ORDER BY s.node""".stripMargin
-  )
 }

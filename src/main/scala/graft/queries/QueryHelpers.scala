@@ -230,6 +230,18 @@ private[graft] object QueryHelpers {
             .cast("long").as("dl")),
         s"graft-standing:doc-lengths:${dirSlug(d)}")
     })
+  /** The standing index read back as a TERM-STATISTICS table (term, df,
+    * cf) — the serving path for whole-vocabulary consumers (burstiness,
+    * completions): all buckets are scanned (there is nothing to prune
+    * when the consumer wants every term), but the O(corpus) tokenize +
+    * posting aggregation was paid ONCE at [[storedIndexPath]] build time,
+    * and column pruning drops the heavy `postings` lists from the scan
+    * (the read is |vocabulary| rows of three narrow columns). Values are
+    * identical to an inline [[graft.operators.Retrieval.invertedIndex]]
+    * (parquet round-trips longs losslessly), so oracles are untouched. */
+  def storedIndexTerms(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(storedIndexPath(s, dir)).select("term", "df", "cf")
+
   /** [[graft.operators.Retrieval.bm25]] served from the standing index. */
   def storedBm25(s: SparkSession, dir: String, terms: Seq[String],
                  k: Int): DataFrame =

@@ -30,7 +30,8 @@ private[graft] object QueryRegistry {
     Queries517to521,
     Queries522to532,
     Queries533to540,
-    Queries541to545)
+    Queries541to545,
+    Queries546to555)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val maps = modules.map(_.queries)
     val merged = maps.reduce(_ ++ _)

@@ -130,6 +130,110 @@ object EventStreams {
     detached
   }
 
+  /** [[sessionize]] driven through a REAL micro-batch execution with
+    * DETERMINISTIC batches — the q524 replay discipline applied to the
+    * custom-state sessionizer, putting `flatMapGroupsWithState`'s
+    * EVENT-TIME TIMEOUT semantics under the DuckDB-oracle gate (q547):
+    * StreamingSpec pins equality with the native `session_window` path,
+    * but only a replay can gate WHEN a session is emitted — by an
+    * arriving successor (gap close) or by the watermark passing
+    * last + gap (timeout), with open tails never emitted.
+    *
+    * Contract that makes the final row set arrival-order-free (and
+    * thus SQL-replayable): batches partition the input in GLOBAL event-
+    * time order (batch i's min ts ≥ batch i−1's max ts), so (a) no row
+    * is ever late against the 10-minute watermark, and (b) whenever a
+    * session's timeout fires before its user's next event arrives, that
+    * next event's gap necessarily exceeds the session gap (wm lags max
+    * ts by 10 min, so firing requires idleness > gap + 10 min) — the
+    * timeout close and the gap-split close coincide. The emitted set is
+    * then exactly: every gap-split session with a successor event, plus
+    * the per-user last session iff final wm (global max ts, ms-floored,
+    * − 10 min) exceeds its end + gap — boundary STRICT on both sides
+    * (timeouts fire when wm > timeout ts; pinned by StreamingSpec's
+    * boundary test).
+    *
+    * Feed integral `value`s (e.g. whole cents as doubles) so the
+    * sequential per-session double fold is order-exact. The returned
+    * frame is detached from the memory sink, as in
+    * [[replayWatermarkedTumbling]]. */
+  def replaySessionTimeout(spark: SparkSession, batches: Seq[Seq[Event]],
+                           gapMs: Long): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"graft_to_replay_${replayCounter.incrementAndGet()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect().toSeq
+    val detached = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    detached
+  }
+
+  /** Watermarked stream-stream LEFT OUTER join driven through a REAL
+    * micro-batch execution (the q524/q547 replay discipline, third
+    * instrument): inner matches emit as clicks arrive, and the OUTER
+    * null-padded row for a never-matched impression emits only when the
+    * watermark proves no matching click can still come — the eviction
+    * semantics that make outer stream joins correct-but-delayed, here
+    * under the DuckDB-oracle hash gate (q550).
+    *
+    * Inputs are (ts, key) impressions and (ts, key, cents) clicks in
+    * WHOLE MILLISECONDS (quantize upstream: the watermark is tracked in
+    * ms, so whole-ms inputs make every boundary comparison exact);
+    * batches partition BOTH streams in global event-time order (batch i
+    * of each stream = that stream's rows in the i-th time slice), so no
+    * row is late and no match is lost to early eviction. The emitted
+    * set is then: every (impression, click) pair with click_ts in
+    * [imp_ts, imp_ts + within], plus (impression, NULL, NULL) for each
+    * impression with no such click whose imp_ts + within lies STRICTLY
+    * below the final global watermark = min(max imp_ts, max click_ts)
+    * − delay (two-stream watermark = MIN across streams; strictness
+    * pinned by StreamingSpec's boundary test). */
+  def replayOuterAttribution(spark: SparkSession,
+      impBatches: Seq[Seq[(java.sql.Timestamp, Long)]],
+      clickBatches: Seq[Seq[(java.sql.Timestamp, Long, Long)]],
+      within: String, delay: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    require(impBatches.size == clickBatches.size,
+      "impBatches and clickBatches must pair up 1:1")
+    val name = s"graft_oj_replay_${replayCounter.incrementAndGet()}"
+    val impMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val clkMem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = impMem.toDF.toDF("imp_ts", "ad_id")
+      .withWatermark("imp_ts", delay)
+      .join(clkMem.toDF.toDF("click_ts", "click_ad", "click_cents")
+          .withWatermark("click_ts", delay),
+        expr(s"ad_id = click_ad AND click_ts >= imp_ts " +
+          s"AND click_ts <= imp_ts + interval $within"),
+        "left_outer")
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"),
+        col("click_cents"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try impBatches.zip(clickBatches).foreach { case (ib, cb) =>
+      impMem.addData(ib: _*)
+      clkMem.addData(cb: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect().toSeq
+    val detached = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    detached
+  }
+
   /** Watermarked stream-stream inner join (click attribution): pair each
     * impression with the clicks of the same ad within `within` AFTER it.
     * Both sides carry watermarks, and the time-range predicate bounds the

@@ -461,6 +461,53 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("sccLabelsFwBw: equals sccLabels — hand graph, pseudo-random graph, " +
+      "trim-only chain") {
+    // the definitional hand graph above
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("scc"), r.getAs[Long]("scc_size"))).toMap
+    assert(toMapOf(GraphAnalytics.sccLabelsFwBw(e, "src", "dst")) ==
+      toMapOf(GraphAnalytics.sccLabels(e, "src", "dst", maxIters = 16)))
+    // a pseudo-random directed graph (LCG, deterministic): 60 nodes,
+    // 150 edges — mixed SCC sizes, multiple rounds, non-trivial splits
+    var seed = 12345L
+    def lcg(): Long = { seed = (seed * 1103515245L + 12345L) & 0x7fffffffL; seed }
+    val rnd = (1 to 150).map(_ => (lcg() % 60, lcg() % 60))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    assert(toMapOf(GraphAnalytics.sccLabelsFwBw(rnd, "src", "dst")) ==
+      toMapOf(GraphAnalytics.sccLabels(rnd, "src", "dst", maxIters = 64)))
+    // a pure chain dissolves entirely in the TRIM cascade (every node
+    // is a singleton SCC; endpoints peel outside-in) — one round
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ch = toMapOf(GraphAnalytics.sccLabelsFwBw(chain, "src", "dst"))
+    assert(ch == (0L to 12L).map(i => i -> (i, 1L)).toMap)
+    assert(GraphAnalytics.FwBwStats.lastRounds.get() == 1)
+    // depth caps raise rather than mislabel
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.sccLabelsFwBw(chain, "src", "dst", maxDepth = 2)
+        .collect()
+    }
+  }
+
+  test("dagLevels: longest-path depths on a hand DAG; cycles raise") {
+    // diamond with a long arm: 0→1→3, 0→2→3→4, 0→4 — level(4) must be
+    // 3 (via 2,3), not 1 (the direct edge): MAX relaxation, not BFS
+    val dag = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (0L, 4L)).toDF("src", "dst")
+    val lv = GraphAnalytics.dagLevels(dag, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a cycle never reaches a fixpoint — raises instead of a silent
+    // wrong depth (this is the cycle check q549 leans on)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.dagLevels(cyc, "src", "dst", maxDepth = 16).collect()
+    }
+  }
+
   test("kTruss: K4 survives k=4, spokes and lone triangles peel; cascades") {
     // K4 on 0-3 (every edge backed by 2 triangles) + pendant 3-4 + a
     // detached triangle 5-6-7 (support 1 everywhere)
@@ -483,5 +530,13 @@ class GraphAnalyticsSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(GraphAnalytics.kTruss(twoTri, "src", "dst", k = 4, rounds = 3)
       .count() == 0L)
+    // an under-sized round schedule RAISES instead of silently
+    // returning a superset (the cascade needs 2 deleting rounds, so
+    // rounds=1 is not at fixpoint — and the SQL oracle replays the
+    // same unroll, so the hash gate could never catch it)
+    intercept[IllegalArgumentException] {
+      GraphAnalytics.kTruss(twoTri, "src", "dst", k = 4, rounds = 1)
+        .count()
+    }
   }
 }

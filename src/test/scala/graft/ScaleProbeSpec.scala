@@ -129,4 +129,49 @@ class ScaleProbeSpec extends SparkSpec {
     // the round count is replication-invariant
     assert(both.map(_._1).max == base.map(_._1).max)
   }
+
+  test("q540 guard: disjoint replication leaves replica-0's truss " +
+       "unchanged — no cross-replica triangle can exist") {
+    // K4 + pendant + detached triangle (the kTruss spec graph): the
+    // 4-truss is exactly the K4. Replication must reproduce it shifted,
+    // byte-identical supports included — the linearity law in semantic
+    // form (triangle enumeration never pairs nodes across replicas)
+    val e = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)) ++ Seq((3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L)))
+      .toDF("src", "dst")
+    val base = GraphAnalytics.kTruss(e, "src", "dst", k = 4, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val replicated = e.union(e.select((col("src") + 1000L).as("src"),
+      (col("dst") + 1000L).as("dst")))
+    val both = GraphAnalytics.kTruss(replicated, "src", "dst", k = 4,
+        rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(both.filter(_._1 < 1000L) == base)
+    assert(both.filter(_._1 >= 1000L) ==
+      base.map(t => (t._1 + 1000L, t._2 + 1000L, t._3)))
+  }
+
+  test("q546 guard: disjoint replication leaves replica-0's SCC labels " +
+       "and the FW-BW round count unchanged") {
+    // mixed SCC structure (the sccLabelsFwBw spec graph): partitions of
+    // different replicas decompose in PARALLEL within the same rounds,
+    // so rounds track the hardest replica — which replication never
+    // changes — and labels shift by exactly the id offset
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      GraphAnalytics.sccLabelsFwBw(df, "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val base = labelsOf(e)
+    val baseRounds = GraphAnalytics.FwBwStats.lastRounds.get()
+    val replicated = e.union(e.select((col("src") + 1000L).as("src"),
+      (col("dst") + 1000L).as("dst")))
+    val both = labelsOf(replicated)
+    val bothRounds = GraphAnalytics.FwBwStats.lastRounds.get()
+    assert(both.filter(_._1 < 1000L) == base)
+    assert(both.filter(_._1 >= 1000L) ==
+      base.map(t => (t._1 + 1000L, t._2 + 1000L, t._3)))
+    assert(bothRounds == baseRounds)
+  }
 }

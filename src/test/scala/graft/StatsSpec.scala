@@ -1416,6 +1416,58 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("lift") == round6(0.3))
     val z = (0.8 - 0.5) / math.sqrt(0.05 + 4.0 / (25.0 * 6.0))
     assert(r.getAs[Double]("z_superiority") == round6(z))
+    // mis-encoded arms fail fast instead of yielding an all-NULL row:
+    // 1/2 encoding, a single arm, and string arms all raise
+    intercept[IllegalArgumentException] {
+      Stats.betaBinomialAb(Seq((1L, true), (2L, false)).toDF("arm", "conv"),
+        "arm", "conv").head()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.betaBinomialAb(Seq((0L, true), (0L, false)).toDF("arm", "conv"),
+        "arm", "conv").head()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.betaBinomialAb(Seq(("a", true), ("b", false)).toDF("arm", "conv"),
+        "arm", "conv").head()
+    }
+  }
+
+  test("moodMedianTest: hand-computed counts, expecteds, chi2 parts; " +
+      "median values drop") {
+    // values 1..8: grand median 4.5; group a = {1,2,3,8}, b = {4,5,6,7}
+    // → a: above 1 / below 3; b: above 3 / below 1; e_above = 2 each
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 8L),
+      ("b", 4L), ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "v")
+    val out = Stats.moodMedianTest(df, "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // chi2_part = (1-2)²/2 + (3-2)²/2 = 1.0 for each group
+    assert(out("a") == ((1L, 3L, 2.0, 1.0)))
+    assert(out("b") == ((3L, 1L, 2.0, 1.0)))
+    // a median VALUE drops: {1,2,3} with median 2 → 2 contributes to
+    // neither count
+    val med = Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v")
+    val m = Stats.moodMedianTest(med, "g", "v").head()
+    assert(m.getLong(1) == 1L && m.getLong(2) == 1L)
+  }
+
+  test("negativeBinomialFit: MoM closed form on a hand design; " +
+      "underdispersed group gets NULL fit") {
+    // group a: k = 1,2,3,6 → n=4, m=3, var = (1+4+0+9)... sample var
+    // = ((1-3)²+(2-3)²+(3-3)²+(6-3)²)/3 = (4+1+0+9)/3 = 14/3
+    // r = 9/(14/3-3) = 9/(5/3) = 5.4, p = 3/(14/3) = 9/14
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 6L),
+      ("b", 2L), ("b", 2L), ("b", 2L)).toDF("g", "k")
+    val out = Stats.negativeBinomialFit(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("mean") == 3.0)
+    assert(a.getAs[Double]("variance") == round6(14.0 / 3.0))
+    assert(a.getAs[Double]("nb_r") == round6(9.0 / (14.0 / 3.0 - 3.0)))
+    assert(a.getAs[Double]("nb_p") == round6(3.0 / (14.0 / 3.0)))
+    val b = out("b") // variance 0 ≤ mean → no NB fit
+    assert(b.isNullAt(b.fieldIndex("nb_r")) &&
+      b.isNullAt(b.fieldIndex("nb_p")))
   }
 
   test("rmst: area under the KM steps, head segment + horizon cut") {

@@ -134,6 +134,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replaySessionTimeout: timeout boundary is STRICT (wm must pass " +
+      "last + gap), tails stay unemitted, gap closes ride along") {
+    // gap 1000 ms, sessionize's fixed 10-minute watermark delay.
+    // user 1 has ONE event at T0; a clock user advances the watermark.
+    val t0 = 1700000000000L
+    val gap = 1000L
+    val delay = 600000L
+    def ev(id: Long, u: Long, t: Long) =
+      Event(id, new Timestamp(t), u, "click", 1.0)
+    // scenario A: final wm lands EXACTLY on t0 + gap → timeout must
+    // NOT fire (strict), nothing is emitted at all
+    val a = EventStreams.replaySessionTimeout(spark, Seq(
+      Seq(ev(1, 1L, t0)),
+      Seq(ev(2, 99L, t0 + gap + delay))), gap)
+    assert(a.count() == 0L)
+    // scenario B: one ms past the boundary → user 1's session emits
+    // via TIMEOUT (no successor event exists for user 1)
+    val b = EventStreams.replaySessionTimeout(spark, Seq(
+      Seq(ev(1, 1L, t0)),
+      Seq(ev(2, 99L, t0 + gap + delay + 1))), gap)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(b == Set((1L, 1, 1.0)))
+    // scenario C: a successor INSIDE the gap joins the session; one
+    // OUTSIDE closes it inline (emitted regardless of the watermark)
+    val c = EventStreams.replaySessionTimeout(spark, Seq(
+      Seq(ev(1, 1L, t0), ev(2, 1L, t0 + gap)),   // joins (gap inclusive)
+      Seq(ev(3, 1L, t0 + 10 * gap))),            // closes inline
+      gap)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(c == Set((1L, 2, 2.0)))
+  }
+
+  test("replayOuterAttribution: outer rows emit only when the two-stream " +
+      "watermark STRICTLY passes imp + within; matches emit regardless") {
+    val t0 = 1700000000000L
+    val within = 3600000L  // 1 hour
+    val delay = 600000L    // 10 minutes (matches the helper arg below)
+    def its(t: Long) = new Timestamp(t)
+    // scenario A: both streams' clocks land the min-watermark EXACTLY
+    // on t0 + within → impression 1 must NOT be evicted (strict): no
+    // rows at all (clock keys never match; clock imps never evict —
+    // eviction needs wm > their own max ts − delay + within)
+    val a = EventStreams.replayOuterAttribution(spark,
+      Seq(Seq((its(t0), 1L)), Seq((its(t0 + within + delay), 998L))),
+      Seq(Seq(), Seq((its(t0 + within + delay), 999L, 5L))),
+      within = "1 hour", delay = "10 minutes")
+    assert(a.count() == 0L)
+    // scenario B: one ms past the boundary → the null-padded outer row
+    // for impression 1 emits, exactly once
+    val b = EventStreams.replayOuterAttribution(spark,
+      Seq(Seq((its(t0), 1L)), Seq((its(t0 + within + delay + 1), 998L))),
+      Seq(Seq(), Seq((its(t0 + within + delay + 1), 999L, 5L))),
+      within = "1 hour", delay = "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(b.toSeq == Seq((1L, its(t0), None, -1L)))
+    // scenario C: a matching click emits the pair immediately (long
+    // before any eviction), and no null row ever appears for it
+    val c = EventStreams.replayOuterAttribution(spark,
+      Seq(Seq((its(t0), 1L)), Seq((its(t0 + within + delay + 1), 998L))),
+      Seq(Seq((its(t0 + 1000), 1L, 7L)),
+        Seq((its(t0 + within + delay + 1), 999L, 5L))),
+      within = "1 hour", delay = "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(c.toSeq == Seq((1L, its(t0), Some(its(t0 + 1000)), 7L)))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark keeps one row per event id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
