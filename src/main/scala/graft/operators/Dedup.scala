@@ -590,6 +590,51 @@ object Dedup {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Incremental WCC maintenance — merge a NEW batch of near-dup edges
+    * into STORED cluster labels without recomputing over the full edge
+    * history: each old component is already internally connected, so
+    * new edges can only MERGE components (never split them), and the
+    * merge is fully decided on the SUPER-NODE graph — new edges with
+    * endpoints mapped through their old representatives (endpoints new
+    * to the corpus map to themselves). One [[dedupClusters]] over that
+    * batch-sized graph, then one re-pointing join over the label table.
+    * Because every old rep is its component's MIN id, the new rep (min
+    * over merged reps and new ids) is exactly the min of the merged
+    * component — label-identical to a full rebuild (q554 gates merged ≡
+    * rebuilt on the same oracle as q56/q311; DedupSpec pins the
+    * synthetic cases).
+    *
+    * Scale shape: the clustering runs on O(|batch|) super edges — the
+    * daily-ingest cost a 100 TB near-dup graph needs (the AnnStore/
+    * IndexStore/GraphStore merge discipline applied to cluster state);
+    * the only corpus-scale work is the final broadcast-sized re-point
+    * join over the stored label table. */
+  def incrementalClusters(oldLabels: DataFrame, newPairs: DataFrame,
+                          aCol: String, bCol: String): DataFrame = {
+    val labels = oldLabels.select(col("id"), col("cluster_rep"))
+      .localCheckpoint()
+    val np = newPairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val superEdges = np
+      .join(labels.select(col("id").as("a"), col("cluster_rep").as("ra")),
+        Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("cluster_rep").as("rb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("sa"),
+        coalesce(col("rb"), col("b")).as("sb"))
+    val superReps = dedupClusters(superEdges, "sa", "sb")
+      .select(col("id").as("_sn"), col("cluster_rep").as("_nr"))
+      .localCheckpoint()
+    val newNodes = np.select(col("a").as("id"))
+      .unionByName(np.select(col("b").as("id"))).distinct()
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_rep"))
+    labels.unionByName(newNodes)
+      .join(superReps, col("cluster_rep") === col("_sn"), "left")
+      .select(col("id"),
+        coalesce(col("_nr"), col("cluster_rep")).as("cluster_rep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, brute force within blocking
     * buckets. `blockExpr` partitions the corpus (e.g. a coarse LSH sign
     * bucket from [[graft.operators.Similarity.hyperplaneBucket]]); pass

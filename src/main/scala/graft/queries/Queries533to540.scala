@@ -143,10 +143,11 @@ private[graft] object Queries533to540 extends QueryModule {
     })
   )
 
-  /** The standing kNN graph (q537/q540 inputs) as an undirected edge
-    * CTE chain ending at `eb(lo, hi, w)` — the replay of
-    * GraphStore's 8-centroid IVF assignment + in-cell top-3. */
-  private val knnEbPrefix: String =
+  /** The standing kNN graph (q537/q540/q553 inputs) as an undirected
+    * edge CTE chain ending at `eb(lo, hi, w)` — the replay of
+    * GraphStore's 8-centroid IVF assignment + in-cell top-3. Shared
+    * with Queries546to555 (q553's BFS unroll). */
+  private[queries] val knnEbPrefix: String =
     """c AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid,
       |    CAST(embedding AS DOUBLE[]) AS cv
       |  FROM embeddings WHERE vec_id < 8),

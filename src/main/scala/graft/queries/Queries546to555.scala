@@ -212,6 +212,59 @@ private[graft] object Queries546to555 extends QueryModule {
         .orderBy("user_id", "view_ts", "click_ts", "click_cents")
     }),
 
+    "q553_point_distance" -> ((s, dir) => {
+      // exact point-to-point hop distance on the standing kNN graph by
+      // BIDIRECTIONAL BFS — the meet-in-the-middle point query
+      // (O(b^(d/2)) per side where a one-sided sweep pays O(b^d)):
+      // 23→444, distance 4 at sf0.01 / 6 at sf0.1. The oracle replays
+      // a plain 12-level BFS unroll from the source — the two
+      // algorithms must land on the identical distance, the q546/q538
+      // two-paths-one-oracle pattern. (The disconnected −1 leg is
+      // pinned in GraphAnalyticsSpec rather than here: proving
+      // disconnection costs a full component exhaustion — pure gate
+      // overhead on every round)
+      val edges = storedKnnGraph(s, dir)
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val rows = Seq(444L).map { b =>
+        val d = GraphAnalytics.bidirectionalBfsDistance(
+          edges, "src", "dst", 23L, b, shufflePartitions = Some(4))
+        require(d >= 0 && d <= 12,
+          s"q553: distance $d to $b outside the oracle's 12-level " +
+            "unroll (bfsUnrollSql) — raise both in lockstep")
+        (23L, b, d)
+      }
+      import s.implicits._
+      rows.toDF("src", "dst", "distance").orderBy("dst")
+    }),
+
+    "q554_incremental_wcc" -> ((s, dir) => {
+      // incremental WCC maintenance gated merged ≡ rebuilt: q311's
+      // exact corpus and LSH pair pipeline, split into an OLD edge set
+      // (both endpoints doc < 400) whose labels are computed first and
+      // a NEW batch (every remaining pair) merged in via the
+      // super-node graph — the daily-ingest path that updates cluster
+      // state at O(batch) instead of recomputing the corpus WCC. The
+      // oracle is the SAME recursive-fixpoint SQL as q56/q311: the
+      // incremental path must land on the identical labeling
+      val d = tbl(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).union(
+        d.select(col("doc_id") + 1000000,
+          expr("substring(text, 1, greatest(length(text) - 7, 1))")))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8)
+        .localCheckpoint()
+      def isOld(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(1000000L)) < 400
+      val oldPairs = pairs.filter(
+        isOld(col("doc_a")) && isOld(col("doc_b")))
+      val newPairs = pairs.filter(
+        !(isOld(col("doc_a")) && isOld(col("doc_b"))))
+      val oldLabels = Dedup.dedupClusters(oldPairs, "doc_a", "doc_b")
+      Dedup.incrementalClusters(oldLabels, newPairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     "q551_mood_median" -> ((s, dir) =>
       // Mood's median test on quantity by return flag — the
       // dichotomized (most outlier-robust) member of the rank family
@@ -239,7 +292,39 @@ private[graft] object Queries546to555 extends QueryModule {
     })
   )
 
+  /** 12-level BFS unroll from node 23 over the kNN edge CTE — levels
+    * past the eccentricity are identity stages (reach only grows then
+    * fixes), so the fixed unroll and the Scala side's adaptive
+    * bidirectional search land on identical distances; unreachable
+    * targets coalesce to −1 on both engines. */
+  private def bfsUnrollSql(maxD: Int): String = {
+    val stages = (1 to maxD).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT DISTINCT nb AS n FROM (
+         |    SELECT e.hi AS nb FROM eb e JOIN r${k - 1} r ON e.lo = r.n
+         |    UNION ALL
+         |    SELECT e.lo FROM eb e JOIN r${k - 1} r ON e.hi = r.n)),
+         |r$k AS MATERIALIZED (SELECT n, min(d) AS d FROM (
+         |    SELECT n, d FROM r${k - 1}
+         |    UNION ALL SELECT n, $k FROM s$k)
+         |  GROUP BY n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Queries533to540.knnEbPrefix},
+       |r0 AS (SELECT CAST(23 AS BIGINT) AS n, 0 AS d),
+       |$stages
+       |SELECT CAST(23 AS BIGINT) AS src, CAST(t AS BIGINT) AS dst,
+       |  CAST(coalesce((SELECT d FROM r$maxD WHERE n = t), -1) AS BIGINT)
+       |    AS distance
+       |FROM (SELECT 444 AS t)
+       |ORDER BY dst""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q553_point_distance" -> bfsUnrollSql(12),
+
+    // the q56/q311 recursive-fixpoint WCC oracle, verbatim — the
+    // incremental merge path must produce the identical labeling
+    "q554_incremental_wcc" -> OracleHelpers.dedupClustersOracleSql,
     // the q538 definitional closure, verbatim — FW-BW must land on the
     // identical labeling
     "q546_scc_fwbw" -> Queries533to540.sccOracleSql,

@@ -33,14 +33,16 @@ private[graft] object QueryTags {
     *   q524 real micro-batch watermark replay,
     *   q538 definition-exact SCC closure on the contracted graph
     *     (the bounded twin of q546's scalable FW-BW path),
-    *   q547 real micro-batch session-timeout replay. */
+    *   q547 real micro-batch session-timeout replay,
+    *   q550 real micro-batch stream-stream outer-join replay. */
   val instruments: Set[String] = Set(
     "q142_similarity_join",
     "q383_hits",
     "q387_table_checksum",
     "q524_watermark_replay",
     "q538_scc_labels",
-    "q547_timeout_replay")
+    "q547_timeout_replay",
+    "q550_outer_join_replay")
 
   /** Serve from the standing kNN GraphStore (QueryHelpers.storedKnnGraph
     * / storedKnnGraphPath). */
@@ -54,7 +56,8 @@ private[graft] object QueryTags {
     "q428_sampled_betweenness", "q448_assortativity",
     "q458_harmonic_centrality", "q504_bellman_ford",
     "q506_hierarchical_entry", "q523_layered_entry",
-    "q526_standing_stack", "q537_boruvka_mst", "q540_ktruss")
+    "q526_standing_stack", "q537_boruvka_mst", "q540_ktruss",
+    "q553_point_distance")
 
   /** Serve from the standing IVF AnnStore (QueryHelpers.storedAssigned
     * / storedAnnPath). */

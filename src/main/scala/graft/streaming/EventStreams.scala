@@ -78,6 +78,25 @@ object EventStreams {
 
   private val replayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * a streaming query binds its STATE-STORE partition count to this at
+    * start, and the replay instruments pay per-partition store
+    * setup/commit on EVERY micro-batch — at the default 32 partitions ×
+    * 4 stores a stream-stream join burned ~30 s of pure store machinery
+    * on a 1,500-row replay (measured, BENCH r9 first pass: q550 33 s →
+    * ~3 s at 4 partitions). The replays are bounded gate instruments
+    * (hundreds of keys), so a handful of state partitions loses nothing;
+    * a production stream at corpus scale keeps the session default.
+    * Restores the previous setting afterwards; queries already running
+    * keep their own binding (the [[RocksDbProvider]] helper's rule). */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)
+      (body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** A watermarked tumbling-window aggregate driven through a REAL
     * micro-batch execution with DETERMINISTIC batches — the machinery
     * that puts Structured Streaming's late-row semantics under the
@@ -118,10 +137,12 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("sum_cents"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-    finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
     val out = spark.table(name)
     val rows = out.collect().toSeq
     val detached = spark.createDataFrame(
@@ -164,11 +185,13 @@ object EventStreams {
     val name = s"graft_to_replay_${replayCounter.incrementAndGet()}"
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Event]
-    val q = sessionize(mem.toDS(), gapMs).toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-    finally q.stop()
+    withShufflePartitions(spark, 4) {
+      val q = sessionize(mem.toDS(), gapMs).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
     val out = spark.table(name)
     val rows = out.collect().toSeq
     val detached = spark.createDataFrame(
@@ -219,13 +242,19 @@ object EventStreams {
         "left_outer")
       .select(col("ad_id"), col("imp_ts"), col("click_ts"),
         col("click_cents"))
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try impBatches.zip(clickBatches).foreach { case (ib, cb) =>
-      impMem.addData(ib: _*)
-      clkMem.addData(cb: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    // the outer join keeps FOUR state stores per partition per side and
+    // commits them every micro-batch — at a 1,500-row replay the store
+    // machinery IS the cost (33 s at 32 partitions, ~7 s at 4; 1 was no
+    // better — past a handful the floor is per-micro-batch planning)
+    withShufflePartitions(spark, 4) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try impBatches.zip(clickBatches).foreach { case (ib, cb) =>
+        impMem.addData(ib: _*)
+        clkMem.addData(cb: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     val out = spark.table(name)
     val rows = out.collect().toSeq
     val detached = spark.createDataFrame(

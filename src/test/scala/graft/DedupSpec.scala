@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
       && viaDriver(31L) == 30L)
   }
 
+  test("incrementalClusters: merged labels equal a full rebuild — " +
+      "component merges, new-node edges, untouched components") {
+    // old graph: components {1,2,3}, {10,11}, {20} (via a self-ish pair
+    // 20-21), plus an untouched {40,41}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (40L, 41L)).toDF("doc_a", "doc_b")
+    val oldLabels = Dedup.dedupClusters(oldPairs, "doc_a", "doc_b")
+    // batch: merges {1,2,3} with {10,11} via 3-10; attaches brand-new
+    // node 99 to {20,21}; adds a fully-new component {70,71}
+    val newPairs = Seq((3L, 10L), (99L, 21L), (70L, 71L))
+      .toDF("doc_a", "doc_b")
+    val merged = Dedup.incrementalClusters(oldLabels, newPairs,
+        "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = Dedup.dedupClusters(oldPairs.unionByName(newPairs),
+        "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == rebuilt)
+    assert(merged(11L) == 1L && merged(99L) == 20L && merged(71L) == 70L
+      && merged(41L) == 40L)
+  }
+
   test("cluster dedup: string ids use natural ordering on both paths") {
     val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("doc_a", "doc_b")
     val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")

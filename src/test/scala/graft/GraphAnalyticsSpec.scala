@@ -492,6 +492,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bidirectionalBfsDistance: exact distances on paths/rings, " +
+      "disconnected -1, meet rule never under- or over-shoots") {
+    def dist(edges: Seq[(Long, Long)], a: Long, b: Long): Long =
+      GraphAnalytics.bidirectionalBfsDistance(
+        edges.toDF("src", "dst"), "src", "dst", a, b)
+    // path 0-1-2-...-8: all pairwise hops exact
+    val path = (0L until 8L).map(i => (i, i + 1))
+    assert(dist(path, 0L, 8L) == 8L)
+    assert(dist(path, 0L, 1L) == 1L)
+    assert(dist(path, 3L, 3L) == 0L)
+    // ring of 6: antipodal distance 3 (two equal shortest paths)
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(dist(ring, 0L, 3L) == 3L)
+    // short-cut trap: a long arm meets first in one ordering, but the
+    // direct 2-hop path must win (the best <= lA + lB rule)
+    val trap = Seq((0L, 1L), (1L, 9L), (0L, 2L), (2L, 3L), (3L, 9L))
+    assert(dist(trap, 0L, 9L) == 2L)
+    // disconnected components and absent endpoints give -1
+    assert(dist(path ++ Seq((100L, 101L)), 0L, 101L) == -1L)
+    assert(dist(path, 0L, 55L) == -1L)
+  }
+
   test("dagLevels: longest-path depths on a hand DAG; cycles raise") {
     // diamond with a long arm: 0→1→3, 0→2→3→4, 0→4 — level(4) must be
     // 3 (via 2,3), not 1 (the direct edge): MAX relaxation, not BFS
