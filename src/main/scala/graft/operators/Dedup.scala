@@ -629,8 +629,13 @@ object Dedup {
       .unionByName(np.select(col("b").as("id"))).distinct()
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_rep"))
+    // the re-point map is O(batch) BY CONTRACT — broadcast it so the
+    // corpus-scale label table never shuffles (the checkpointed rep map
+    // carries no size estimate, so without the hint this would plan as
+    // a sort-merge join of the whole label store; PlanQualitySpec pins
+    // the broadcast on q554)
     labels.unionByName(newNodes)
-      .join(superReps, col("cluster_rep") === col("_sn"), "left")
+      .join(broadcast(superReps), col("cluster_rep") === col("_sn"), "left")
       .select(col("id"),
         coalesce(col("_nr"), col("cluster_rep")).as("cluster_rep"))
   }

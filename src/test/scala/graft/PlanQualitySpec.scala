@@ -623,4 +623,24 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q554: the incremental-WCC re-point map broadcasts — the label " +
+       "store never shuffles for an O(batch) merge") {
+    // the super-node rep map is batch-sized by contract; without the
+    // hint its checkpointed frame has no size estimate and the re-point
+    // join would sort-merge the whole label table
+    val p = plan("q554_incremental_wcc")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q551: Mood counts aggregate partially map-side over the scan") {
+    // one groupBy over the rows (partial+final) + a 1-row broadcast of
+    // the marginals — no row-level shuffle beyond the group aggregate
+    val p = plan("q551_mood_median")
+    assert(p.contains("partial_"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
