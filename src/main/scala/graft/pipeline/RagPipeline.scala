@@ -84,6 +84,43 @@ object RagPipeline {
 
   case class Result(answer: String, docs: DataFrame, route: Route)
 
+  /** Conversation history rendered to the reference's wire format
+    * (reference: runtime/common.py:100-117): each user turn becomes
+    * "User: content", each assistant turn "Assistant: content", any
+    * other role is SKIPPED, lines join with "\n" and a trailing "\n"
+    * is appended iff any labeled turn survived. Columnar (sort_array +
+    * filter + transform + array_join over an array of
+    * struct(ord, role, content) built per group), so the formatting
+    * runs distributed over however many conversations the corpus
+    * holds; q555 hash-gates it. */
+  def historyTextFromTurns(turns: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sorted = sort_array(turns)
+    val labeled = filter(sorted,
+      t => t.getField("role").isin("user", "assistant"))
+    val lines = transform(labeled, t =>
+      concat(when(t.getField("role") === "user", lit("User: "))
+        .otherwise(lit("Assistant: ")), t.getField("content")))
+    when(size(lines) > 0, concat(array_join(lines, "\n"), lit("\n")))
+      .otherwise(lit(""))
+  }
+
+  /** Labeled-turn count of a wire-format history STRING — the rule
+    * vs_rephrase applies when an MCP client sends history as plain text
+    * rather than a list (reference: vs_rephrase.py:100-115): the count
+    * is occurrences of "User:" plus occurrences of "Assistant:"
+    * (labels stored without the trailing space precisely so this
+    * counting works); rephrase needs >= MIN_CHAT_HISTORY_FOR_REPHRASE
+    * = 2. Occurrence counting via the length-difference identity, so
+    * the same expression replays in SQL. */
+  def labeledTurnCount(historyText: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (((length(historyText)
+        - length(replace(historyText, lit("User:"), lit("")))) / 5)
+      + ((length(historyText)
+        - length(replace(historyText, lit("Assistant:"), lit("")))) / 10))
+      .cast("long")
+
   /** Single-line-or-original rephrase guard
     * (reference: vs_rephrase.py:35-45 — multi-line or empty output is
     * rejected in favor of the original question). */

@@ -2,6 +2,7 @@ package graft
 package queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
 import QueryHelpers._
@@ -265,6 +266,40 @@ private[graft] object Queries546to555 extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    "q555_history_contract" -> ((s, dir) => {
+      // the conversation-history WIRE FORMAT and rephrase-eligibility
+      // contracts (reference: runtime/common.py:100-117,
+      // vs_rephrase.py:100-115) gated over data: each user's first 4
+      // events become turns (view→user, click→assistant, anything
+      // else → SKIPPED — the role filter is part of the contract),
+      // rendered to "User: …\nAssistant: …\n" with the trailing
+      // newline iff any labeled turn survived; the labeled-turn count
+      // is recovered FROM THE STRING by the reference's label-
+      // occurrence rule and gates MIN_CHAT_HISTORY_FOR_REPHRASE = 2
+      import pipeline.RagPipeline
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val turns = events(s, dir).filter(col("user_id") < 40)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ord"),
+            col("event_id").as("ord2"),
+            when(col("event_type") === "view", "user")
+              .when(col("event_type") === "click", "assistant")
+              .otherwise(col("event_type")).as("role"),
+            concat(col("event_type"), lit("-"), col("event_id"))
+              .as("content")).as("t"))
+        .groupBy("user_id").agg(collect_list("t").as("turns"))
+      turns
+        .select(col("user_id"),
+          RagPipeline.historyTextFromTurns(col("turns"))
+            .as("history_text"))
+        .withColumn("n_labeled_turns",
+          RagPipeline.labeledTurnCount(col("history_text")))
+        .withColumn("rephrase_eligible", col("n_labeled_turns") >= 2)
+        .orderBy("user_id")
+    }),
+
     "q551_mood_median" -> ((s, dir) =>
       // Mood's median test on quantity by return flag — the
       // dichotomized (most outlier-robust) member of the rank family
@@ -482,6 +517,42 @@ private[graft] object Queries546to555 extends QueryModule {
         |UNION ALL
         |SELECT u, make_timestamp(it * 1000), NULL, NULL FROM um
         |ORDER BY user_id, view_ts, click_ts, click_cents""".stripMargin,
+
+    // per-user first-4 turns, role-mapped and NULL-skipped by
+    // string_agg, trailing newline iff any labeled turn; label counts
+    // recovered from the string by the same length-difference identity
+    "q555_history_contract" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events WHERE user_id < 40),
+        |turns AS (SELECT user_id, t, event_id,
+        |    CASE event_type WHEN 'view' THEN 'user'
+        |      WHEN 'click' THEN 'assistant' ELSE event_type END AS role,
+        |    event_type || '-' || event_id AS content
+        |  FROM ev WHERE rn <= 4),
+        |h AS (SELECT user_id,
+        |    CASE WHEN count(CASE WHEN role IN ('user', 'assistant')
+        |        THEN 1 END) > 0
+        |      THEN string_agg(
+        |        CASE role WHEN 'user' THEN 'User: ' || content
+        |          WHEN 'assistant' THEN 'Assistant: ' || content END,
+        |        chr(10) ORDER BY t, event_id) || chr(10)
+        |      ELSE '' END AS history_text
+        |  FROM turns GROUP BY user_id)
+        |SELECT user_id, history_text,
+        |  CAST((length(history_text)
+        |      - length(replace(history_text, 'User:', ''))) // 5
+        |    + (length(history_text)
+        |      - length(replace(history_text, 'Assistant:', ''))) // 10
+        |    AS BIGINT) AS n_labeled_turns,
+        |  ((length(history_text)
+        |      - length(replace(history_text, 'User:', ''))) // 5
+        |    + (length(history_text)
+        |      - length(replace(history_text, 'Assistant:', ''))) // 10)
+        |    >= 2 AS rephrase_eligible
+        |FROM h ORDER BY user_id""".stripMargin,
 
     // grand median via quantile_cont (the q527-pinned equivalence with
     // the two-pass histogram), counts as exact BIGINTs, the e/chi2

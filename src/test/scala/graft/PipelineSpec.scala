@@ -52,6 +52,29 @@ class PipelineSpec extends SparkSpec {
     assert(RagPipeline.guardRephrase("orig", "   ") == "orig")
   }
 
+  test("history wire format: role skipping, trailing newline iff any " +
+      "labeled turn, label-count recovery (common.py:100-117)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq((1L, 1L, "user", "q1"), (2L, 2L, "assistant", "a1"),
+        (3L, 3L, "system", "ignored"), (4L, 4L, "user", "q2"))),
+      (2L, Seq((1L, 1L, "tool", "x"), (2L, 2L, "system", "y"))))
+      .toDF("cid", "raw")
+      .select(col("cid"), transform(col("raw"), t =>
+        struct(t.getField("_1").as("ord"), t.getField("_2").as("ord2"),
+          t.getField("_3").as("role"), t.getField("_4").as("content")))
+        .as("turns"))
+      .select(col("cid"),
+        RagPipeline.historyTextFromTurns(col("turns")).as("h"))
+      .withColumn("n", RagPipeline.labeledTurnCount(col("h")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(df(1L) == (("User: q1\nAssistant: a1\nUser: q2\n", 3L)))
+    // all roles skipped → empty string, NO trailing newline, count 0
+    assert(df(2L) == (("", 0L)))
+  }
+
   test("unfence strips ```json fences (vs_retriever.py:35)") {
     assert(RagPipeline.unfence("```json\n[1,2]\n```") == "[1,2]")
     assert(RagPipeline.unfence("plain") == "plain")
