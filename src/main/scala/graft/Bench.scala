@@ -51,6 +51,7 @@ object Bench {
     graft.queries.QueryHelpers.storedIndexPath(spark, sfDir)
     graft.queries.QueryHelpers.storedAnnPath(spark, sfDir)
     graft.queries.QueryHelpers.docLengths(spark, sfDir).count()
+    graft.queries.QueryHelpers.flowScc(spark, sfDir).count()
     val storeBuildS = (System.nanoTime() - buildT0) / 1e9
     // per-pass box-contention telemetry: the r8 first pass reported
     // 1283 s where a fresh-JVM rerun of the same keys measured 10 s —

@@ -141,16 +141,17 @@ private[graft] object Queries546to555 extends QueryModule {
       // becomes a DAG whose level(v) = critical-path depth — the
       // dependency-scheduling readout (how many sequential waves a
       // rebuild cascade needs) that neither the SCC labels nor plain
-      // reachability expose. Consumes sccLabelsFwBw (the scale path) and
-      // dagLevels' max-relaxation, which doubles as a cycle check on the
-      // condensation (a cycle would mean the SCC labels were wrong)
+      // reachability expose. Consumes the STANDING flow-SCC label frame
+      // (cluster state computed once per session by the q546 scale path
+      // — the serve-many discipline q554's merge maintains) and
+      // dagLevels' max-relaxation, which doubles as a cycle check on
+      // the condensation (a cycle would mean the SCC labels were wrong)
       val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
         .select((col("l_partkey") % 512).as("src"),
           (col("l_suppkey") % 512).as("dst"))
       val e = li.filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint()
-      val scc = GraphAnalytics.sccLabelsFwBw(e, "src", "dst")
-        .select("node", "scc").localCheckpoint()
+      val scc = flowScc(s, dir).select("node", "scc")
       val ce = e
         .join(scc.select(col("node").as("src"), col("scc").as("su")),
           Seq("src"))

@@ -140,6 +140,27 @@ private[graft] object QueryHelpers {
       .select(col("vec_id"), col("embedding"), col("label"),
         col("centroid_id"), col("centroid_dist"))
 
+  /** Standing SCC labels of the part→supplier flow graph (the q538/q546
+    * input) — CLUSTER STATE as a standing frame, the label-table twin of
+    * the knn/index/ann stores and the premise q554's incremental merge
+    * maintains: computed once per (session, dir) by the scale path
+    * ([[graft.operators.GraphAnalytics.sccLabelsFwBw]]) and served to
+    * every consumer (q549's condensation). q538/q546 keep inline runs BY
+    * DESIGN — they gate the two SCC algorithms themselves. Keyed by
+    * (session, dir) like [[docLengths]]: a checkpointed frame dies with
+    * its SparkContext. */
+  private val flowSccFrames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def flowScc(s: SparkSession, dir: String): DataFrame =
+    flowSccFrames.computeIfAbsent((s, dir), { case (sess, d) =>
+      val li = tbl(sess, d, "lineitem").filter(col("l_quantity") <= 1)
+        .select((col("l_partkey") % 512).as("src"),
+          (col("l_suppkey") % 512).as("dst"))
+      namedLocalCheckpoint(
+        graft.operators.GraphAnalytics.sccLabelsFwBw(li, "src", "dst"),
+        s"graft-standing:flow-scc:${dirSlug(d)}")
+    })
+
   /** The driver's events.parquet has carried `ts` as TIMESTAMP(NANOS) in
     * some rounds and TIMESTAMP(MICROS) in others — handle both. Nanos:
     * Spark's vectorized reader rejects them, so read as long (legacy conf)
