@@ -1376,11 +1376,29 @@ object GraphAnalytics {
     * round count flat (ScaleProbe leg). Depth caps are real bounds for
     * the shapes this engine feeds it (near-dup/dependency/flow graphs
     * with shallow SCC recursion); a 10⁶-link pure path graph would
-    * exhaust `maxDepth` and raise rather than mislabel. */
+    * exhaust `maxDepth` and raise rather than mislabel.
+    *
+    * `shufflePartitions`: optional TEMPORARY session override for the
+    * per-step joins (restored after) — on a BOUNDED contracted graph
+    * (the q546/q549 gates) fewer map tasks trim per-step scheduling
+    * overhead; AQE already coalesces the reduce side, so the gain is
+    * modest. Leave None for corpus-scale edge frames (the
+    * [[bidirectionalBfsDistance]] convention). */
   def sccLabelsFwBw(edges: DataFrame, srcCol: String, dstCol: String,
                     maxRounds: Int = 48,
-                    maxDepth: Int = 256): DataFrame = {
+                    maxDepth: Int = 256,
+                    shufflePartitions: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
+    shufflePartitions match {
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val old = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try return sccLabelsFwBw(edges, srcCol, dstCol, maxRounds,
+          maxDepth, None)
+        finally spark.conf.set(key, old)
+      case None =>
+    }
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
@@ -1525,11 +1543,12 @@ object GraphAnalytics {
     *
     * `shufflePartitions`: optional TEMPORARY override of
     * spark.sql.shuffle.partitions for the search's joins (restored
-    * after). The per-step frames here are frontier-sized; on a BOUNDED
-    * standing graph (q553's kNN instrument) the default 32-partition
-    * shuffles are pure scheduling latency — a handful of partitions
-    * halves the wall clock (measured 7.7 → ~4 s). Leave None when the
-    * edge frame is corpus-scale. */
+    * after). The per-step frames here are frontier-sized, so on a
+    * BOUNDED standing graph (q553's kNN instrument) a handful of
+    * partitions trims map-task scheduling overhead; AQE already
+    * coalesces the reduce side, so the gain is modest (box-noise-sized
+    * in measurement) — it is set where the caller KNOWS the input is
+    * bounded, and left None for corpus-scale edge frames. */
   def bidirectionalBfsDistance(edges: DataFrame, srcCol: String,
       dstCol: String, a: Long, b: Long, maxDepth: Int = 64,
       shufflePartitions: Option[Int] = None): Long = {

@@ -27,7 +27,8 @@ private[graft] object Queries546to555 extends QueryModule {
       val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
         .select((col("l_partkey") % 512).as("src"),
           (col("l_suppkey") % 512).as("dst"))
-      GraphAnalytics.sccLabelsFwBw(li, "src", "dst")
+      GraphAnalytics.sccLabelsFwBw(li, "src", "dst",
+          shufflePartitions = Some(8))
         .orderBy("node")
     }),
 

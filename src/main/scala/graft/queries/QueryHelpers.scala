@@ -157,7 +157,8 @@ private[graft] object QueryHelpers {
         .select((col("l_partkey") % 512).as("src"),
           (col("l_suppkey") % 512).as("dst"))
       namedLocalCheckpoint(
-        graft.operators.GraphAnalytics.sccLabelsFwBw(li, "src", "dst"),
+        graft.operators.GraphAnalytics.sccLabelsFwBw(li, "src", "dst",
+          shufflePartitions = Some(8)),
         s"graft-standing:flow-scc:${dirSlug(d)}")
     })
 
