@@ -8,9 +8,12 @@ import graft.operators._
 import QueryHelpers._
 
 /** Round-9 additions: the scalable FW-BW SCC twin (closing the one
-  * remaining graph-at-scale gap the r8 verdict named), streaming
-  * session-TIMEOUT semantics under the hash gate, and the route
-  * matrix's failure/degradation legs. */
+  * remaining graph-at-scale gap the r8 verdict named) and its
+  * condensation/critical-path consumer, the session-TIMEOUT and
+  * stream-stream OUTER-JOIN watermark semantics under the hash gate,
+  * the route matrix's failure/degradation legs, the history
+  * wire-format contract, bidirectional point distance, incremental
+  * WCC maintenance, and the Mood / negative-binomial statistics. */
 private[graft] object Queries546to555 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
