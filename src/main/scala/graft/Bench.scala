@@ -1,7 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits a compact schema-stable JSON summary line to
+  * stdout after EVERY pass (cold, steady1, final) — the downstream
+  * harness keeps only a bounded (~2 kB) stdout tail and parses the LAST
+  * JSON line, so an external kill between passes still leaves the most
+  * recent pass's complete numbers in the tail (r9 was killed after ~3 ks
+  * having printed nothing: rc=124, parsed:null — the round's one hard
+  * perf signal was lost). A wall-clock budget (env SPARK_GRAFT_BUDGET_S,
+  * default 2400 s) is checked between passes: over budget → remaining
+  * passes are skipped and the final line is emitted from what exists,
+  * never nothing.
+  *
+  * Pass structure (the r1-r8 4-pass design, dieted):
+  *   - no sf0.001 warm pass anymore: its job (don't attribute Janino/
+  *     HotSpot compile to the engine) is covered by cold_min =
+  *     min(cold, steady1), which also defends against VM-neighbor
+  *     contention (r8 measured a 1283 s cold pass whose fresh-JVM rerun
+  *     took 10 s).
+  *   - tagged gate instruments (QueryTags.instruments — exact ground
+  *     truths and micro-batch replays whose steady cost is correctness-
+  *     gate overhead, not engine cost) run ONCE, in the cold pass; their
+  *     cold time is copied into the steady maps. They were 28 s/pass in
+  *     r9 and min-of-2 steady adds nothing for bounded deterministic
+  *     replays.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wallT0) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "2400").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -17,9 +45,11 @@ object Bench {
     // optional args: restrict to the named queries (local timing aid;
     // the driver always runs argless → full suite)
     val only = args.toSet
-    def runAll(dir: String): Seq[(String, Double)] =
+    val isInstrument: String => Boolean = graft.queries.QueryTags.instruments
+    def runAll(dir: String, skipInstruments: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
+        .filter { case (name, _) => !skipInstruments || !isInstrument(name) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch {
@@ -28,24 +58,18 @@ object Bench {
             -1L
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release anything a query cached: over 4 passes × 500+ queries
+        // release anything a query cached: over 3 passes × 500+ queries
         // in one JVM, leaked cache entries pile into storage memory and
         // drift every later query's time (the r5→r6 +0.05-0.3 s smear)
         spark.catalog.clearCache()
         name -> dt
       }
-    // dry pass at the smallest SF first: compiles most generated classes
-    // and JITs operator hot paths, so the timed pass measures the engine
-    // rather than Janino/HotSpot (cold-JVM totals on this box swung ±30%
-    // run-to-run from compile/GC noise; a long-lived cluster runs warm)
-    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) runAll(warmDir)
     // force the standing stores (kNN graph, lexical index, IVF AnnStore,
-    // doc-lengths frame) for the timed dir FIRST and time them
-    // separately: these are build-once/serve-many costs a standing
-    // corpus pays at ingest, and charging them to whichever consumer
-    // query happens to run first made q129-q136's first pass read as
-    // 9-20 s of "query cost" in r7
+    // doc-lengths frame, flow-SCC labels) for the timed dir FIRST and
+    // time them separately: these are build-once/serve-many costs a
+    // standing corpus pays at ingest, and charging them to whichever
+    // consumer query happens to run first made q129-q136's first pass
+    // read as 9-20 s of "query cost" in r7
     val buildT0 = System.nanoTime()
     graft.queries.QueryHelpers.storedKnnGraphPath(spark, sfDir)
     graft.queries.QueryHelpers.storedIndexPath(spark, sfDir)
@@ -53,69 +77,94 @@ object Bench {
     graft.queries.QueryHelpers.docLengths(spark, sfDir).count()
     graft.queries.QueryHelpers.flowScc(spark, sfDir).count()
     val storeBuildS = (System.nanoTime() - buildT0) / 1e9
-    // per-pass box-contention telemetry: the r8 first pass reported
-    // 1283 s where a fresh-JVM rerun of the same keys measured 10 s —
-    // VM-neighbor contention, but the emitted JSON sampled load_avg
-    // ONCE at exit, after the contended window had passed, so the
-    // number could not defend itself. Sample the 1-min load before the
-    // first pass and after EVERY pass so each pass carries its own
-    // contention context in the JSON line.
+    // per-pass box-contention telemetry: sample the 1-min load before the
+    // first pass and after EVERY pass so each pass's line carries its own
+    // contention context (r8's single at-exit sample couldn't defend a
+    // contention-inflated first pass)
     def loadNow: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
     loads("pre") = loadNow
-    val results = runAll(sfDir)
+
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def short(name: String): String = name.takeWhile(_ != '_')
+    def top20(vals: Seq[(String, Double)]): String = vals.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def jstr(ss: Seq[String]): String =
+      ss.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val ncpu = Runtime.getRuntime.availableProcessors
+    // one compact schema-stable summary line per pass; every field is
+    // present in every line (best estimate available at that point) so
+    // the driver's parse works whichever line is last in the tail
+    def emitSummary(pass: String, cold: Seq[(String, Double)],
+                    coldMin: Seq[(String, Double)], steady: Seq[(String, Double)],
+                    extra: String = ""): Unit = {
+      val instrumentS = steady
+        .filter { case (n, _) => isInstrument(n) }.map(_._2).sum
+      val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${fmt(cold.map(_._2).sum)},"unit":"sec","sf":"$sfDir",""" +
+        s""""pass":"$pass","wall_s":${fmt(elapsedS)},"budget_s":${fmt(budgetS)},""" +
+        s""""n_queries":${cold.size},"cold_min_total":${fmt(coldMin.map(_._2).sum)},""" +
+        s""""steady_total":${fmt(steady.map(_._2).sum)},""" +
+        s""""instrument_steady_s":${fmt(instrumentS)},""" +
+        s""""store_build_s":${fmt(storeBuildS)},""" +
+        s""""pass_loads":$loadJson,"cpus":$ncpu,$extra""" +
+        s""""top":${top20(cold)},"cold_min_top":${top20(coldMin)},""" +
+        s""""steady_top":${top20(steady)}}""")
+    }
+
+    // ---- pass 1: cold (all queries, instruments included) ----
+    val cold = runAll(sfDir, skipInstruments = false)
     loads("post_cold") = loadNow
-    // second pass: plan/codegen/footer costs amortized — the per-query
-    // steady state a long-lived session (or a 1000-executor cluster
-    // re-running the shape) actually pays. Only its total is reported:
-    // the downstream harness keeps a bounded tail of stdout, so the
-    // JSON line must stay compact (short qNN keys, 3-decimal values).
-    // two steady passes, per-query MIN: this box's VM neighbors add
-    // multi-second spikes to random queries (observed 39s..78s totals for
-    // identical code); the min-of-2 estimator reports what the engine
-    // does when the CPU is actually available, which is the number a
-    // capacity plan uses
-    val steady1 = runAll(sfDir)
-    loads("post_steady1") = loadNow
-    val steady2 = runAll(sfDir)
-    loads("post_steady2") = loadNow
-    val steady = steady1.zip(steady2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    // cold min-of-2 WITHOUT a fifth pass: steady pass 1 is literally a
-    // second run of the cold pass (same code, same data, same JVM), so
-    // min(cold, steady1) is the contention-defended cold estimate — if
-    // the first pass hit a contended window, cold_min collapses to the
-    // steady band and the discrepancy is attributable to the box, not
-    // the engine (the r8 37× cold outliers would have read ~steady)
-    val coldMin = results.zip(steady1).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    emitSummary("cold", cold, cold, cold)
+    val coldByName = cold.toMap
+
+    // ---- pass 2: steady1 (instruments excluded; their cold time is the
+    // steady estimate — bounded deterministic replays don't JIT-improve)
+    var steady1Full = cold
+    var coldMin = cold
+    if (elapsedS < budgetS) {
+      val steady1 = runAll(sfDir, skipInstruments = true).toMap
+      loads("post_steady1") = loadNow
+      steady1Full = cold.map { case (n, _) =>
+        n -> steady1.getOrElse(n, coldByName(n)) }
+      // cold min-of-2 WITHOUT an extra pass: steady pass 1 is literally a
+      // second run of the cold pass (same code, data, JVM), so
+      // min(cold, steady1) is the contention-defended cold estimate
+      coldMin = cold.map { case (n, t) =>
+        n -> math.min(t, steady1.getOrElse(n, t)) }
+      emitSummary("steady1", cold, coldMin, steady1Full)
+    } else System.err.println(f"bench: over budget after cold pass " +
+      f"(${elapsedS}%.0f s > ${budgetS}%.0f s) — skipping steady passes")
+
+    // ---- pass 3: steady2; steady = per-query MIN of the two steady
+    // passes (VM neighbors add multi-second spikes to random queries —
+    // observed 39..78 s totals for identical code; min-of-2 reports what
+    // the engine does when the CPU is actually available)
+    var steady = steady1Full
+    if (elapsedS < budgetS) {
+      val steady2 = runAll(sfDir, skipInstruments = true).toMap
+      loads("post_steady2") = loadNow
+      steady = steady1Full.map { case (n, t) =>
+        n -> math.min(t, steady2.getOrElse(n, t)) }
+    } else System.err.println(f"bench: over budget " +
+      f"(${elapsedS}%.0f s > ${budgetS}%.0f s) — skipping steady pass 2")
+
     // local tuning aid: per-query steady times to stderr (the driver only
-    // parses the stdout JSON line, which must stay compact)
+    // parses the stdout JSON tail, which must stay compact)
     if (sys.env.contains("SPARK_GRAFT_STEADY_DETAIL"))
       steady.sortBy(-_._2).foreach { case (n, t) =>
         System.err.println(f"steady $n%-28s $t%8.3f s")
       }
-    def short(name: String): String = name.takeWhile(_ != '_')
-    val keys = results.map { case (k, _) => short(k) }
-    val qkeys = if (keys.distinct.size == keys.size) keys else results.map(_._1)
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def qmap(vals: Seq[Double]): String = qkeys.zip(vals)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val qjson = qmap(results.map(_._2))
-    // per-query steady (min-of-2) times ride in the same JSON line so the
-    // judge can separate a real regression from first-pass VM noise
-    val sjson = qmap(steady.map(_._2))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val steadyTotal = if (steady.nonEmpty) steady.map(_._2).sum else 0.0
-    // leak audit BEFORE the JSON lines so its verdict rides in them:
+
+    // leak audit BEFORE the final line so its verdict rides in it:
     // after clearCache + GC (ContextCleaner drains localCheckpoint
     // blocks), the only pinned RDDs left must be the REGISTERED standing
     // frames (QueryHelpers.standingFrames names each intentional
     // localCheckpoint at creation) — a residual the registry doesn't
     // know is a leak, reported by name and flagged loudly
     spark.catalog.clearCache()
-    // ContextCleaner drains dead localCheckpoint blocks asynchronously
-    // after GC — poll rather than trust one fixed sleep, so a slow
-    // cleaner can't masquerade as a leak in the driver's BENCH tail
     val registered = graft.queries.QueryHelpers.standingFrames
     def residuals(): Seq[String] = spark.sparkContext.getPersistentRDDs
       .values.toSeq
@@ -135,36 +184,19 @@ object Bench {
       System.err.println("bench: leak audit clean — every residual is a " +
         "registered standing frame")
     // full per-query detail first — useful when the whole stdout is kept
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,""" +
-      s""""steady_total":${fmt(steadyTotal)},"steady_queries":$sjson,""" +
-      s""""cold_min_queries":${qmap(coldMin.map(_._2))},"sf":"$sfDir"}""")
-    // FINAL line is a compact summary that always fits a bounded stdout
-    // tail (the r5 full line grew past the tail and the driver parsed
-    // null): totals + the 20 slowest of each pass + box contention so a
-    // regression can be attributed to neighbors rather than the engine
-    def top20(vals: Seq[(String, Double)]): String = vals.sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val ncpu = Runtime.getRuntime.availableProcessors
-    def jstr(ss: Seq[String]): String =
-      ss.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val coldMinTotal = coldMin.map(_._2).sum
-    // gate-instrument rollup: the tagged bounded correctness probes'
-    // steady cost, separable from engine cost (QueryTags.instruments)
-    val instrumentS = steady
-      .filter { case (n, _) => graft.queries.QueryTags.instruments(n) }
-      .map(_._2).sum
-    val loadJson = loads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"cold_min_total":${fmt(coldMinTotal)},""" +
-      s""""steady_total":${fmt(steadyTotal)},""" +
-      s""""instrument_steady_s":${fmt(instrumentS)},""" +
-      s""""store_build_s":${fmt(storeBuildS)},""" +
-      s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""" +
-      s""""pass_loads":$loadJson,"cpus":$ncpu,""" +
-      s""""top":${top20(results)},"cold_min_top":${top20(coldMin)},""" +
-      s""""steady_top":${top20(steady)}}""")
+    def qmap(vals: Seq[(String, Double)]): String = {
+      val keys = vals.map { case (k, _) => short(k) }
+      val qkeys = if (keys.distinct.size == keys.size) keys else vals.map(_._1)
+      qkeys.zip(vals.map(_._2))
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    }
+    println(s"""{"metric":"total","value":${fmt(cold.map(_._2).sum)},"unit":"sec","queries":${qmap(cold)},""" +
+      s""""steady_total":${fmt(steady.map(_._2).sum)},"steady_queries":${qmap(steady)},""" +
+      s""""cold_min_queries":${qmap(coldMin)},"sf":"$sfDir"}""")
+    // FINAL line: the compact summary again (same schema as the per-pass
+    // lines) so it is the last line of the bounded tail
+    emitSummary("final", cold, coldMin, steady,
+      extra = s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""")
     spark.stop()
   }
 }
-

@@ -109,35 +109,42 @@ object MergeProbe {
       // mod-16 residue class, so forward edges land in one bucket and
       // reverse edges in the (few) buckets of the copied vector's
       // neighbors — the REWRITE must stay O(touched buckets) with
-      // untouched directories byte-identical. The merge's candidate
-      // generation is an exact map-side top-k SCAN of the old corpus
-      // (the HNSW-insert shape with exact instead of probed neighbors),
-      // so total merge time carries one linear-in-corpus term the
-      // REBUILD pays too — the probe separates the two: build time is
-      // the corpus × cell kNN JOIN, merge is scan + bounded rewrite.
+      // untouched directories byte-identical. Candidate generation is
+      // mergeScoped's IVF discipline: the old corpus is the on-disk
+      // cell-assigned AnnStore (built once, its cost charged to BUILD),
+      // and the merge reads ONLY the batch's probed cell directories —
+      // no linear-in-corpus term anywhere in the merge, so the merge
+      // line must stay FLAT at ×8 (the r9 exact-scan variant grew with
+      // the corpus by construction).
       val centroids8 = e0.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"),
           col("embedding").as("cv"))
+      val gAssigned = graft.operators.Similarity.assignNearestCentroid(
+          e, "embedding", "vec_id", centroids8, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val gAnnPath = s"${tmp.getAbsolutePath}/graph_ann"
       val graph = graft.operators.Similarity.knnGraph(
-        graft.operators.Similarity.assignNearestCentroid(
-          e, "embedding", "vec_id", centroids8, "cid", "cv"),
-        "embedding", "vec_id", 3)
+        gAssigned, "embedding", "vec_id", 3)
       val gPath = s"${tmp.getAbsolutePath}/graph"
-      val (_, gBuild) = time { graft.store.GraphStore.write(graph, gPath, 16) }
+      val (_, gBuild) = time {
+        graft.store.AnnStore.write(gAssigned, gAnnPath)
+        graft.store.GraphStore.write(graph, gPath, 16)
+      }
       val gEdges = spark.read.parquet(gPath).count()
       val gBatch = e0.filter(col("vec_id") === 5)
         .crossJoin(spark.range(100)
           .select((col("id") * 16 + 900000000L).as("nid")))
         .select(col("nid").as("vec_id"), col("embedding"))
       val gb = cellListing(gPath)
-      val (_, gMerge) = time { graft.store.GraphStore.merge(spark, gPath,
-        16, e, gBatch, "embedding", "vec_id", k = 3) }
+      val (_, gMerge) = time { graft.store.GraphStore.mergeScoped(spark,
+        gPath, 16, spark.read.parquet(gAnnPath), centroids8, "cid", "cv",
+        nProbe = 2, gBatch, "embedding", "vec_id", k = 3) }
       val ga = cellListing(gPath)
       val gTouched = ga.keySet.filter(k => gb.get(k) != ga.get(k))
       val gUntouchedOk = (gb.keySet -- gTouched).forall(k => gb(k) == ga(k))
       println(f"graph rep=$rep%2d build=${gBuild}%7.2fs edges=$gEdges%9d " +
         f"buckets=${ga.size}%3d merge=${gMerge}%6.2fs " +
-        f"(scan-linear + bounded rewrite) touched=${gTouched.size}%3d " +
+        f"(flat expected) touched=${gTouched.size}%3d " +
         s"untouched_identical=$gUntouchedOk " +
         s"merged_edges=${spark.read.parquet(gPath).count()}")
 

@@ -163,12 +163,14 @@ object ScaleProbe {
           (col("dst") + i * 1024L).as("dst")))
         .reduce(_ union _).localCheckpoint()
       val nEdges = edges.count()
+      val st = new operators.GraphAnalytics.FwBwStats
       val ((nScc, _), t) = time {
-        (operators.GraphAnalytics.sccLabelsFwBw(edges, "src", "dst")
+        (operators.GraphAnalytics.sccLabelsFwBw(edges, "src", "dst",
+            stats = Some(st))
           .select("scc").distinct().count(), ())
       }
-      val rounds = operators.GraphAnalytics.FwBwStats.lastRounds.get()
-      val steps = operators.GraphAnalytics.FwBwStats.lastBfsSteps.get()
+      val rounds = st.lastRounds.get()
+      val steps = st.lastBfsSteps.get()
       println(f"sccfwbw     rep=$r%2d edges=$nEdges%9d sccs=$nScc%8d " +
         f"rounds=$rounds%2d bfs_steps=$steps%3d t=$t%7.2fs " +
         "(rounds flat expected)")

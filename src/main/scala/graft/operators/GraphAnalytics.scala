@@ -1330,13 +1330,40 @@ object GraphAnalytics {
     scc.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
   }
 
-  /** Round/depth telemetry for the most recent [[sccLabelsFwBw]] call in
-    * this JVM — a probe instrument (ScaleProbe prints it to show rounds
-    * stay flat under disjoint replication), not an API: concurrent calls
-    * last-write-win, exactly like a log line. */
-  object FwBwStats {
+  /** Round/depth telemetry collector for ONE [[sccLabelsFwBw]] call: the
+    * caller passes an instance and reads back that call's own counts — a
+    * probe instrument (ScaleProbe prints it to show rounds stay flat
+    * under disjoint replication), not part of the result. Per-call
+    * rather than JVM-global so concurrent or interleaved calls cannot
+    * clobber each other's telemetry (the r9 design was a process-wide
+    * last-write-wins register that specs read after the fact). */
+  final class FwBwStats {
     val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
     val lastBfsSteps = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily
+    * overridden (restored after, even on throw).
+    *
+    * CONTRACT — single-threaded session use: the override is
+    * SESSION-GLOBAL for its duration, so any query planned concurrently
+    * on the SAME SparkSession silently inherits the lowered value. Every
+    * caller in this engine is a sequential driver (Verify, Bench, and
+    * the specs run queries one at a time on one session); a
+    * multi-threaded server must either pass None or plan its work on
+    * `spark.newSession()` (SQLConf is per-session, the SparkContext is
+    * shared). The override exists because on BOUNDED frames (contracted
+    * gate graphs, frontier-sized BFS steps) fewer map tasks trim
+    * per-step scheduling overhead that AQE's reduce-side coalescing
+    * cannot reach; corpus-scale frames pass None. */
+  private def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession,
+      n: Option[Int])(body: => A): A = n match {
+    case None => body
+    case Some(p) =>
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, p.toString)
+      try body finally spark.conf.set(key, old)
   }
 
   /** Strongly connected components at SCALE: forward–backward pivot
@@ -1387,18 +1414,13 @@ object GraphAnalytics {
   def sccLabelsFwBw(edges: DataFrame, srcCol: String, dstCol: String,
                     maxRounds: Int = 48,
                     maxDepth: Int = 256,
-                    shufflePartitions: Option[Int] = None): DataFrame = {
+                    shufflePartitions: Option[Int] = None,
+                    stats: Option[FwBwStats] = None): DataFrame = {
     val spark = edges.sparkSession
-    shufflePartitions match {
-      case Some(n) =>
-        val key = "spark.sql.shuffle.partitions"
-        val old = spark.conf.get(key)
-        spark.conf.set(key, n.toString)
-        try return sccLabelsFwBw(edges, srcCol, dstCol, maxRounds,
-          maxDepth, None)
-        finally spark.conf.set(key, old)
-      case None =>
-    }
+    if (shufflePartitions.isDefined)
+      return withShufflePartitions(spark, shufflePartitions) {
+        sccLabelsFwBw(edges, srcCol, dstCol, maxRounds, maxDepth, None, stats)
+      }
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
@@ -1517,11 +1539,115 @@ object GraphAnalytics {
     }
     require(converged,
       s"sccLabelsFwBw: not converged within $maxRounds rounds")
-    FwBwStats.lastRounds.set(r)
-    FwBwStats.lastBfsSteps.set(bfsSteps)
+    stats.foreach { s => s.lastRounds.set(r); s.lastBfsSteps.set(bfsSteps) }
     if (done == null) return empty
     val sizes = done.groupBy("scc").agg(count(lit(1)).as("scc_size"))
     done.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
+  }
+
+  /** The inter-SCC CONDENSATION edges of a labeled graph — the standing
+    * state [[incrementalScc]] consumes, computed ONCE per full build
+    * (O(edges): two label joins, a filter, a distinct) and maintained
+    * alongside the label frame the way the q554 WCC state rides its
+    * cluster reps. Returns (src_scc, dst_scc), distinct, self-loops
+    * (intra-SCC edges) dropped — by SCC maximality the condensation is a
+    * DAG, typically orders smaller than the edge set. */
+  def condensationEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                        labels: DataFrame): DataFrame =
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .join(labels.select(col("node").as("src"), col("scc").as("src_scc")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("scc").as("dst_scc")),
+        Seq("dst"))
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .select("src_scc", "dst_scc").distinct()
+
+  /** Incremental SCC maintenance — the q554 super-node discipline
+    * applied to DIRECTED cluster state: merge a new edge batch into
+    * standing SCC labels without re-running SCC over the corpus.
+    * Adding edges can only MERGE SCCs (never split), and a merge can
+    * only happen along a cycle through a new edge, so it suffices to
+    * (1) map the batch into SUPER space — each endpoint becomes its old
+    * SCC label, unseen nodes become themselves (O(batch) join through
+    * the label frame); (2) find the WEAK components of the condensation
+    * ∪ batch super-edges that contain a batch endpoint — only those can
+    * change (an SCC-merging cycle is connected and passes through a new
+    * super-edge); (3) re-run [[sccLabelsFwBw]] on the TOUCHED
+    * components' super-edges only; (4) re-point the label frame through
+    * the changed-label map with a broadcast join (the q554 re-point —
+    * the corpus-scale label table never shuffles for the merge itself).
+    *
+    * Labels stay canonical: an old SCC label is the min node of its
+    * SCC, so the merged super-SCC's min super-node id IS the min node
+    * of the merged node set — merged ≡ rebuilt VERBATIM (q557 gates
+    * this against q538's definitional oracle on the union graph;
+    * GraphAnalyticsSpec pins the synthetic cases).
+    *
+    * `oldCondensation` is [[condensationEdges]] output for the old
+    * graph. Cost: O(batch) mapping + a WCC over condensation ∪ batch
+    * (contracted frames — orders smaller than the corpus; with the
+    * condensation's own WCC kept as standing state via
+    * [[graft.operators.Dedup.incrementalClusters]] this step is
+    * O(batch) too) + FW-BW over the touched components + one size
+    * re-aggregation over the label frame for the (node, scc, scc_size)
+    * output shape — the same final exchange the rebuild pays. The
+    * re-point map is bounded by the touched components' super-node
+    * count (contracted space), the same boundedness class as q554's
+    * super-rep map. */
+  def incrementalScc(oldLabels: DataFrame, oldCondensation: DataFrame,
+                     newEdges: DataFrame, srcCol: String, dstCol: String,
+                     shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = oldLabels.sparkSession
+    if (shufflePartitions.isDefined)
+      return withShufflePartitions(spark, shufflePartitions) {
+        incrementalScc(oldLabels, oldCondensation, newEdges, srcCol,
+          dstCol, None)
+      }
+    val labels = oldLabels.select(col("node"), col("scc")).localCheckpoint()
+    def withSizes(lbl: DataFrame): DataFrame = {
+      val sizes = lbl.groupBy("scc").agg(count(lit(1)).as("scc_size"))
+      lbl.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
+    }
+    val ne = newEdges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // batch in super space: endpoints → their old SCC label; nodes the
+    // old graph never saw are their own super-node
+    val sn = ne
+      .join(labels.select(col("node").as("src"), col("scc").as("_ss")),
+        Seq("src"), "left")
+      .join(labels.select(col("node").as("dst"), col("scc").as("_sd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("_ss"), col("src")).as("ss"),
+        coalesce(col("_sd"), col("dst")).as("sd"))
+      .filter(col("ss") =!= col("sd")).distinct().localCheckpoint()
+    if (sn.isEmpty) return withSizes(labels)
+    val cond = oldCondensation
+      .select(col("src_scc").as("ss"), col("dst_scc").as("sd"))
+    val superEdges = cond.unionByName(sn).localCheckpoint()
+    // touched weak components: the only places SCCs can merge
+    val wcc = graft.operators.Dedup.dedupClusters(superEdges, "ss", "sd")
+    val touchedComps = sn
+      .select(explode(array(col("ss"), col("sd"))).as("id")).distinct()
+      .join(wcc, Seq("id")).select("cluster_rep").distinct()
+    val touched = wcc.join(broadcast(touchedComps), Seq("cluster_rep"))
+      .select("id").localCheckpoint()
+    val touchedEdges = superEdges
+      .join(touched.select(col("id").as("ss")), Seq("ss"), "left_semi")
+    val superLabels = sccLabelsFwBw(touchedEdges, "ss", "sd")
+    // changed-label re-point map, bounded by the touched super space
+    val repoint = superLabels
+      .select(col("node").as("_osl"), col("scc").as("_nsl"))
+      .filter(col("_osl") =!= col("_nsl"))
+    val newNodes = ne.select(col("src").as("node"))
+      .unionByName(ne.select(col("dst").as("node"))).distinct()
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("scc"))
+    val relabeled = labels.unionByName(newNodes)
+      .join(broadcast(repoint), col("scc") === col("_osl"), "left")
+      .select(col("node"), coalesce(col("_nsl"), col("scc")).as("scc"))
+    withSizes(relabeled)
   }
 
   /** Bidirectional BFS point distance on an undirected graph: exact
@@ -1554,16 +1680,10 @@ object GraphAnalytics {
       shufflePartitions: Option[Int] = None): Long = {
     if (a == b) return 0L
     val spark = edges.sparkSession
-    shufflePartitions match {
-      case Some(n) =>
-        val key = "spark.sql.shuffle.partitions"
-        val old = spark.conf.get(key)
-        spark.conf.set(key, n.toString)
-        try return bidirectionalBfsDistance(edges, srcCol, dstCol, a, b,
-          maxDepth, None)
-        finally spark.conf.set(key, old)
-      case None =>
-    }
+    if (shufflePartitions.isDefined)
+      return withShufflePartitions(spark, shufflePartitions) {
+        bidirectionalBfsDistance(edges, srcCol, dstCol, a, b, maxDepth, None)
+      }
     import spark.implicits._
     val und0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))

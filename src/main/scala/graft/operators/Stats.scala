@@ -276,6 +276,14 @@ object Stats {
     * contribution — the caller sums contributions for the k-1 df
     * statistic (no p-value: the ln/exp cross-engine rule).
     *
+    * Input contract: the value column is INTEGRAL — it is cast to long
+    * (like [[kruskalWallis]]), so fractional observations would be
+    * truncated before both the grand-median pass and the above/below
+    * classification; pre-scale fixed-point data (e.g. cents) first.
+    * Degenerate groups (every value equal to the grand median, or a
+    * zero marginal total) have a zero expected count on one side; their
+    * chi-sq contribution is NULL — surfaced, not NaN.
+    *
     * Scale shape: the grand median rides [[groupedTwoPassMedian]]'s
     * two-pass histogram (no value buffer anywhere), collected as ONE
     * driver scalar; then a single groupBy over the rows and a
@@ -300,10 +308,12 @@ object Stats {
       .withColumn("e_below",
         col("n_g") * (col("tb").cast("double") / col("nn")))
       .withColumn("chi2_part",
-        (col("n_above") - col("e_above")) * (col("n_above") - col("e_above"))
-          / col("e_above")
-          + (col("n_below") - col("e_below"))
-            * (col("n_below") - col("e_below")) / col("e_below"))
+        when(col("e_above") > 0,
+          (col("n_above") - col("e_above")) * (col("n_above") - col("e_above"))
+            / col("e_above"))
+          + when(col("e_below") > 0,
+            (col("n_below") - col("e_below"))
+              * (col("n_below") - col("e_below")) / col("e_below")))
       .select(col("g"), col("n_above"), col("n_below"),
         round(col("e_above"), 6).as("exp_above"),
         round(col("chi2_part"), 6).as("chi2_part"))

@@ -581,8 +581,10 @@ private[graft] object Queries546to555 extends QueryModule {
         |      AS e_below
         |  FROM cnt, tot)
         |SELECT g, n_above, n_below, round(e_above, 6) AS exp_above,
-        |  round((n_above - e_above) * (n_above - e_above) / e_above
-        |    + (n_below - e_below) * (n_below - e_below) / e_below, 6)
+        |  round(CASE WHEN e_above > 0 THEN
+        |      (n_above - e_above) * (n_above - e_above) / e_above END
+        |    + CASE WHEN e_below > 0 THEN
+        |      (n_below - e_below) * (n_below - e_below) / e_below END, 6)
         |    AS chi2_part
         |FROM x ORDER BY g""".stripMargin,
 

@@ -31,7 +31,8 @@ private[graft] object QueryRegistry {
     Queries522to532,
     Queries533to540,
     Queries541to545,
-    Queries546to555)
+    Queries546to555,
+    Queries556to565)
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val maps = modules.map(_.queries)
     val merged = maps.reduce(_ ++ _)

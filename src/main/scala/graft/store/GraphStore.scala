@@ -261,8 +261,12 @@ object GraphStore {
     * node (bounded batch → map-side heap scan, no corpus shuffle), the
     * reverse edges, then ONLY the ≤ (k+1)·|batch| touched buckets are
     * read back, re-ranked per node under the same (distance, id) order,
-    * and atomically swapped (the IndexStore/AnnStore protocol). Ingest
-    * cost is O(batch·k), not O(store) — like every store merge here.
+    * and atomically swapped (the IndexStore/AnnStore protocol). The
+    * REWRITE is O(touched buckets), but the exact forward-edge search is
+    * a map-side scan of the old corpus — one linear-in-corpus term per
+    * ingest. [[mergeScoped]] is the scale path that removes it (IVF
+    * probed-cell candidates, partition-pruned); keep this exact variant
+    * for bounded corpora and as the definitional gate (q382).
     * Semantics (oracle-stated by q382): merged = top-k re-rank of
     * old edges ∪ {n→NNk(n)} ∪ {NNk(n)→n} per node; nodes outside the
     * touched set keep their lists verbatim. A periodic
@@ -271,11 +275,76 @@ object GraphStore {
   def merge(spark: SparkSession, path: String, nBuckets: Int,
             oldCorpus: DataFrame, batch: DataFrame, vecCol: String,
             idCol: String, k: Int): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val fwd = graft.operators.Similarity.topKBatch(
         oldCorpus, vecCol, idCol, batch, vecCol, idCol, k)
       .select(col("query_id").as("id"), col(idCol).cast("long").as("nbr_id"),
         col("distance"))
+    landForwardEdges(spark, path, nBuckets, fwd, k)
+  }
+
+  /** [[merge]] with the one O(corpus) term REMOVED — the scale path for
+    * a standing graph index. [[merge]]'s exact forward-edge search scans
+    * the whole old corpus per batch; here candidates come from the IVF
+    * discipline instead (the same cells an [[AnnStore]] probe would
+    * read): each batch node searches ONLY the `nProbe` cells whose
+    * centroids are nearest it, via
+    * [[graft.operators.Similarity.ivfSearchBatch]]. `oldAssigned` is the
+    * cell-assigned corpus (id, vector, centroid_id) — at scale the
+    * AnnStore parquet itself, which this method pre-filters to the
+    * batch's probed-cell UNION as literal values so the scan
+    * PARTITION-PRUNES (the only driver state is that cell list, bounded
+    * by the ≤256-centroid cap). Ingest cost is O(batch · probed-cell
+    * rows), independent of corpus size (MergeProbe's graph leg measures
+    * the flat line).
+    *
+    * Semantics: identical to [[merge]] except forward neighbors are the
+    * probed-cell top-k rather than the exact corpus top-k — with
+    * `nProbe` = number of cells it degenerates to [[merge]] exactly
+    * (GraphStoreSpec pins this); recall at smaller nProbe is the IVF
+    * trade-off, measured by the q556 gate the way q103 measures the
+    * probe path. A periodic
+    * [[graft.operators.Similarity.nnDescentRefine]] + rewrite restores
+    * full build quality, exactly like HNSW's offline re-link. */
+  def mergeScoped(spark: SparkSession, path: String, nBuckets: Int,
+                  oldAssigned: DataFrame, centroids: DataFrame,
+                  cidCol: String, cvecCol: String, nProbe: Int,
+                  batch: DataFrame, vecCol: String, idCol: String,
+                  k: Int): Unit = {
+    graft.plans.VectorExpressions.register(spark)
+    // the batch's probed-cell union: ≤ |centroids| ids by construction
+    // (the engine enforces ≤256 centroids), collected so the assigned
+    // corpus can be filtered by LITERALS — on a partitionBy(centroid_id)
+    // store that lands in PartitionFilters and unprobed cell directories
+    // are never opened
+    val wProbe = Window.partitionBy(col("_qid"))
+      .orderBy(col("_cdist").asc, col("centroid_id").asc)
+    val probedCells = batch
+      .select(col(idCol).cast("long").as("_qid"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids.select(
+        col(cidCol).as("centroid_id"), col(cvecCol).as("_cv"))))
+      .withColumn("_cdist",
+        call_function("graft_l2_distance", col("_qv"), col("_cv")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scoped = oldAssigned.filter(
+      col("centroid_id").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+    val fwd = graft.operators.Similarity.ivfSearchBatch(scoped, vecCol,
+        idCol, centroids, cidCol, cvecCol, batch, vecCol, idCol, k, nProbe)
+      .select(col("query_id").as("id"), col(idCol).cast("long").as("nbr_id"),
+        col("distance"))
+    landForwardEdges(spark, path, nBuckets, fwd, k)
+  }
+
+  /** Shared landing half of [[merge]]/[[mergeScoped]]: reverse links,
+    * touched-bucket read-back, per-node re-rank to k under the
+    * (distance, id) order, atomic bucket swap (the IndexStore/AnnStore
+    * protocol). Cost is O(touched buckets), never O(store). */
+  private def landForwardEdges(spark: SparkSession, path: String,
+                               nBuckets: Int, fwd: DataFrame,
+                               k: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val rev = fwd.select(col("nbr_id").as("id"), col("id").as("nbr_id"),
       col("distance"))
     val newEdges = fwd.unionByName(rev)

@@ -482,14 +482,56 @@ class GraphAnalyticsSpec extends SparkSpec {
     // a pure chain dissolves entirely in the TRIM cascade (every node
     // is a singleton SCC; endpoints peel outside-in) — one round
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
-    val ch = toMapOf(GraphAnalytics.sccLabelsFwBw(chain, "src", "dst"))
+    val chainStats = new GraphAnalytics.FwBwStats
+    val ch = toMapOf(GraphAnalytics.sccLabelsFwBw(chain, "src", "dst",
+      stats = Some(chainStats)))
     assert(ch == (0L to 12L).map(i => i -> (i, 1L)).toMap)
-    assert(GraphAnalytics.FwBwStats.lastRounds.get() == 1)
+    assert(chainStats.lastRounds.get() == 1)
     // depth caps raise rather than mislabel
     intercept[IllegalArgumentException] {
       GraphAnalytics.sccLabelsFwBw(chain, "src", "dst", maxDepth = 2)
         .collect()
     }
+  }
+
+  test("incrementalScc: merged ≡ rebuilt — SCC merge, new-node merge, " +
+       "intra-SCC no-op, acyclic cross edge; untouched components keep labels") {
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("scc"), r.getAs[Long]("scc_size"))).toMap
+    def rebuilt(edges: org.apache.spark.sql.DataFrame) =
+      toMapOf(GraphAnalytics.sccLabelsFwBw(edges, "src", "dst"))
+    // old: cycle {1,2,3}, chain 3→4→5, disjoint cycle {6,7}
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 6L)).toDF("src", "dst")
+    val oldLabels = GraphAnalytics.sccLabelsFwBw(oldE, "src", "dst")
+      .localCheckpoint()
+    val cond = GraphAnalytics.condensationEdges(oldE, "src", "dst",
+      oldLabels).localCheckpoint()
+    def merged(batch: org.apache.spark.sql.DataFrame) =
+      toMapOf(GraphAnalytics.incrementalScc(oldLabels, cond, batch,
+        "src", "dst"))
+    // back edge 5→1 closes the chain: {1,2,3,4,5} fuse; {6,7} untouched
+    val b1 = Seq((5L, 1L)).toDF("src", "dst")
+    val m1 = merged(b1)
+    assert(m1 == rebuilt(oldE.union(b1)))
+    assert(m1(6L) == (6L, 2L) && m1(7L) == (6L, 2L))
+    // NEW node 10 in a mutual pair with 1: joins the {1,2,3} SCC
+    val b2 = Seq((10L, 1L), (1L, 10L)).toDF("src", "dst")
+    assert(merged(b2) == rebuilt(oldE.union(b2)))
+    // edge inside an existing SCC: a no-op (sn empties, early return)
+    val b3 = Seq((2L, 1L)).toDF("src", "dst")
+    assert(merged(b3) == rebuilt(oldE.union(b3)))
+    assert(merged(b3) == toMapOf(GraphAnalytics.sccLabelsFwBw(oldE,
+      "src", "dst")))
+    // cross-component edge that closes NO cycle: condensation grows,
+    // no SCC merges anywhere
+    val b4 = Seq((5L, 6L)).toDF("src", "dst")
+    assert(merged(b4) == rebuilt(oldE.union(b4)))
+    // a batch doing all of it at once: merge + new node + acyclic edge
+    val b5 = Seq((5L, 1L), (10L, 6L), (7L, 10L), (4L, 9L))
+      .toDF("src", "dst")
+    assert(merged(b5) == rebuilt(oldE.union(b5)))
   }
 
   test("bidirectionalBfsDistance: exact distances on paths/rings, " +

@@ -119,6 +119,62 @@ class GraphStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("mergeScoped: nProbe = all cells degenerates to the exact merge; " +
+       "nProbe = 1 confines forward candidates to the probed cell") {
+    val e = corpus
+    val old = e.filter(col("vec_id") % 2 === 0)
+    val centroids = old.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") / 6).cast("int").as("cid"),
+        col("embedding").as("cv"))
+    val nCells = centroids.count().toInt
+    val assigned = Similarity.assignNearestCentroid(old, "embedding",
+        "vec_id", centroids, "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val g0 = Similarity.knnGraph(assigned, "embedding", "vec_id", 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gstore_ms").toFile
+    def freshStore(name: String): String = {
+      val p = s"${dir.getAbsolutePath}/$name"
+      GraphStore.write(g0, p, nBuckets = 12)
+      p
+    }
+    def contents(p: String): Set[(Long, Int, Long, Double)] =
+      spark.read.parquet(p).select("id", "rank", "nbr_id", "distance")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val batch = e.filter(col("vec_id").isin(3L, 9L))
+    // full cell coverage ≡ the exact merge, bit-for-bit (topKBatch and
+    // the Catalyst cosine expression share the sqrt(na)*sqrt(nb)
+    // association, so even the doubles agree)
+    val pExact = freshStore("exact")
+    GraphStore.merge(spark, pExact, 12, old, batch, "embedding",
+      "vec_id", k = 2)
+    val pAll = freshStore("all")
+    GraphStore.mergeScoped(spark, pAll, 12, assigned, centroids,
+      "cid", "cv", nProbe = nCells, batch, "embedding", "vec_id", k = 2)
+    assert(contents(pAll) == contents(pExact))
+    // nProbe = 1: each batch node's forward out-edges come ONLY from its
+    // single probed cell (the scoping is real, not a pass-through)
+    val pOne = freshStore("one")
+    GraphStore.mergeScoped(spark, pOne, 12, assigned, centroids,
+      "cid", "cv", nProbe = 1, batch, "embedding", "vec_id", k = 2)
+    val cellOf = assigned.select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toMap
+    val cents = centroids.select(col("cid"), col("cv"))
+      .as[(Int, Seq[Float])].collect().toSeq
+    val batchVecs = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val got = spark.read.parquet(pOne)
+      .select("id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    batchVecs.foreach { case (qid, qv) =>
+      val probed = Similarity.nearestCentroidIds(cents, qv, 1).toSet
+      got(qid).foreach { nbr =>
+        assert(probed.contains(cellOf(nbr)),
+          s"node $qid linked to $nbr outside its probed cell")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("readEdges serves the exact inline edge set, column-pruned when distance is unused") {
     val e = corpus
     val centroids = e.filter(col("vec_id") % 6 === 0)

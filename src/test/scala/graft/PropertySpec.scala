@@ -11,9 +11,19 @@ import graft.operators.{Chunker, Dedup, Similarity}
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  /** Every property runs from an explicit ScalaCheck seed so a failure is
+    * reproducible: the seed rides in the assertion message, and setting
+    * GRAFT_PROP_SEED replays the exact generation sequence (the r9
+    * full-suite flake could not be chased because no seed was printed). */
   private def passes(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
-    assert(res.passed, res.status.toString)
+    val seed: Long = sys.env.get("GRAFT_PROP_SEED").map(_.toLong)
+      .getOrElse(scala.util.Random.nextLong())
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(30)
+      .withInitialSeed(org.scalacheck.rng.Seed(seed))
+    val res = SCTest.check(params, p)
+    assert(res.passed,
+      s"GRAFT_PROP_SEED=$seed to reproduce; status=${res.status}")
   }
 
   private val asciiText: Gen[String] =
@@ -161,7 +171,7 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("MMR with λ=1 degenerates to cosine top-k order") {
+  test("MMR with λ=1 degenerates to cosine relevance order") {
     val corpus: Gen[List[(Long, List[Float])]] = for {
       n <- Gen.chooseNum(3, 20)
       vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(1, 9).map(_.toFloat)))
@@ -172,9 +182,23 @@ class PropertySpec extends SparkSpec {
       val k = math.min(3, rows.length)
       val mmr = Similarity.mmr(df, "embedding", "vec_id", q, k, fetchK = rows.length,
         lambdaMult = 1.0).map(_._1)
-      val top = Similarity.topK(df, "embedding", q, k, "COSINE", "vec_id")
-        .select("vec_id").as[Long].collect().toSeq
-      mmr == top
+      // expected order is modeled with mmr's OWN relevance arithmetic
+      // (dot / sqrt(na*nb), sequential double fold, lowest id on ties) —
+      // comparing against topK's Catalyst expression (sqrt(na)*sqrt(nb))
+      // differs in the last ulp on near-collinear inputs and flaked the
+      // r9 full-suite run; the λ=1 degeneracy property is about the
+      // greedy loop ignoring the diversity term, not about two cosine
+      // codepaths rounding identically
+      val qv = q.map(_.toDouble).toArray
+      def cos(a: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * qv(i); na += a(i) * a(i); nb += qv(i) * qv(i); i += 1 }
+        if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val expected = rows
+        .map { case (id, v) => (id, cos(v.map(_.toDouble).toArray)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      mmr == expected
     })
   }
 

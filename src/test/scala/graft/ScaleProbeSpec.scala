@@ -159,16 +159,19 @@ class ScaleProbeSpec extends SparkSpec {
     // changes — and labels shift by exactly the id offset
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 4L), (6L, 7L)).toDF("src", "dst")
-    def labelsOf(df: org.apache.spark.sql.DataFrame) =
-      GraphAnalytics.sccLabelsFwBw(df, "src", "dst")
+    def labelsOf(df: org.apache.spark.sql.DataFrame,
+                 st: GraphAnalytics.FwBwStats) =
+      GraphAnalytics.sccLabelsFwBw(df, "src", "dst", stats = Some(st))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
-    val base = labelsOf(e)
-    val baseRounds = GraphAnalytics.FwBwStats.lastRounds.get()
+    val baseStats = new GraphAnalytics.FwBwStats
+    val base = labelsOf(e, baseStats)
+    val baseRounds = baseStats.lastRounds.get()
     val replicated = e.union(e.select((col("src") + 1000L).as("src"),
       (col("dst") + 1000L).as("dst")))
-    val both = labelsOf(replicated)
-    val bothRounds = GraphAnalytics.FwBwStats.lastRounds.get()
+    val bothStats = new GraphAnalytics.FwBwStats
+    val both = labelsOf(replicated, bothStats)
+    val bothRounds = bothStats.lastRounds.get()
     assert(both.filter(_._1 < 1000L) == base)
     assert(both.filter(_._1 >= 1000L) ==
       base.map(t => (t._1 + 1000L, t._2 + 1000L, t._3)))
