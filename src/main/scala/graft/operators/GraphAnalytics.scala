@@ -1650,6 +1650,54 @@ object GraphAnalytics {
     withSizes(relabeled)
   }
 
+  /** Incremental maintenance of the CONDENSATION edge set — the other
+    * half of standing SCC state ([[incrementalScc]] maintains the
+    * labels; this maintains [[condensationEdges]]' output), so a
+    * standing directed-cluster store never recomputes either from the
+    * corpus. The union graph's condensation is exactly: the OLD
+    * condensation re-pointed through the merged labels (edges whose
+    * endpoints fused become self-loops and drop — labels only ever
+    * MERGE, so no new inter-SCC edge can appear from old edges), plus
+    * the batch edges mapped through the merged labels, distinct.
+    * Cost: O(old condensation + batch) in the CONTRACTED space — no
+    * corpus-scale frame is touched (the label argument is consumed only
+    * through the batch-endpoint and super-node joins).
+    *
+    * `newLabels` must be [[incrementalScc]]'s output for the SAME batch
+    * (or any frame with identical (node, scc) content — e.g. a rebuild;
+    * q559 gates merged ≡ rebuilt). Returns (src_scc, dst_scc). */
+  def incrementalCondensation(newLabels: DataFrame,
+                              oldCondensation: DataFrame,
+                              newEdges: DataFrame, srcCol: String,
+                              dstCol: String): DataFrame = {
+    // checkpoint: the label frame (often incrementalScc's multi-join
+    // output) is consumed FOUR times below; without a lineage cut the
+    // repeated self-joins trip Catalyst's attribute dedup ("key not
+    // found: scc#N") on the shared subplan
+    val lbl = newLabels.select(col("node"), col("scc")).localCheckpoint()
+    // old condensation nodes ARE node ids (an SCC label is its min
+    // node), so the re-point map is the label frame restricted to them
+    val oc = oldCondensation
+      .select(col("src_scc").as("_os"), col("dst_scc").as("_od"))
+    val repointed = oc
+      .join(lbl.select(col("node").as("_os"), col("scc").as("_ns")),
+        Seq("_os"))
+      .join(lbl.select(col("node").as("_od"), col("scc").as("_nd")),
+        Seq("_od"))
+      .select(col("_ns").as("src_scc"), col("_nd").as("dst_scc"))
+    val ne = newEdges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mapped = ne
+      .join(lbl.select(col("node").as("src"), col("scc").as("_ns")),
+        Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("scc").as("_nd")),
+        Seq("dst"))
+      .select(col("_ns").as("src_scc"), col("_nd").as("dst_scc"))
+    repointed.unionByName(mapped)
+      .filter(col("src_scc") =!= col("dst_scc")).distinct()
+  }
+
   /** Bidirectional BFS point distance on an undirected graph: exact
     * d(a, b) (or −1 when disconnected) by growing BFS layers from BOTH
     * endpoints, always expanding the currently SMALLER frontier, with

@@ -467,11 +467,12 @@ private[graft] object Queries533to540 extends QueryModule {
     "q538_scc_labels" -> sccOracleSql
   )
 
-  /** The definitional SCC oracle over the 512-contracted flow graph —
-    * shared verbatim with q546: the scalable FW-BW decomposition must
-    * land on the identical labeling, so the two queries ride the SAME
-    * SQL (one algorithm gate, two engine paths — the q98/q106 pattern). */
-  private[queries] val sccOracleSql: String =
+  /** The definitional SCC closure CTEs over the 512-contracted flow
+    * graph — the shared WITH body behind [[sccOracleSql]] (q538/q546/
+    * q557) and q559's condensation select: one recursive closure, four
+    * consumers, so every SCC-family gate rides literally the same
+    * mutual-reachability definition. */
+  private[queries] val sccOracleCtes: String =
       """WITH RECURSIVE e AS (SELECT DISTINCT l_partkey % 512 AS src,
         |    l_suppkey % 512 AS dst
         |  FROM lineitem WHERE l_quantity <= 1
@@ -488,7 +489,13 @@ private[graft] object Queries533to540 extends QueryModule {
         |    least(n.node, coalesce(min(m.v), n.node)) AS scc
         |  FROM nodes n LEFT JOIN mut m ON m.u = n.node GROUP BY n.node),
         |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
-        |  FROM scc GROUP BY scc)
+        |  FROM scc GROUP BY scc)""".stripMargin
+
+  /** The definitional SCC oracle — shared verbatim by q538 (semi-naive
+    * closure), q546 (scalable FW-BW) and q557 (incremental merge): one
+    * labeling definition, three engine paths. */
+  private[queries] val sccOracleSql: String = sccOracleCtes +
+      """
         |SELECT s.node, s.scc, z.scc_size
         |FROM scc s JOIN sz z ON z.scc = s.scc
         |ORDER BY s.node""".stripMargin

@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import QueryHelpers._
 
-/** Round-10 additions: the cell-scoped GraphStore merge (removing the
-  * standing-store family's last O(corpus)-per-ingest term — the r9
-  * verdict's Missing #2) and incremental SCC maintenance on the
-  * standing flow-SCC frame (Missing #3). */
+/** Round-10 additions: the cell-scoped GraphStore merge and its
+  * merged-vs-rebuilt recall gate (removing the standing-store family's
+  * last O(corpus)-per-ingest term — the r9 verdict's Missing #2),
+  * incremental SCC label + condensation maintenance (Missing #3: the
+  * full standing directed-cluster state now merges at O(batch +
+  * touched components)), and streaming exact dedup with bounded state
+  * (`dropDuplicatesWithinWatermark` eviction semantics under the hash
+  * gate — the ingest-side operator in front of every store merge). */
 private[graft] object Queries556to565 extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -71,6 +75,117 @@ private[graft] object Queries556to565 extends QueryModule {
       GraphAnalytics.incrementalScc(oldLabels, oldCond, newE,
           "src", "dst", shufflePartitions = Some(8))
         .orderBy("node")
+    }),
+
+    "q558_graph_merge_recall" -> ((s, dir) => {
+      // merged ≡ rebuilt RECALL (the q119 base-vs-refined pattern
+      // applied to INGEST): the scoped merge's batch-node forward
+      // lists measured against the exact union-corpus top-3, side by
+      // side with a full REBUILD's lists for the same nodes — growing
+      // the store incrementally must hold the recall a rebuild gets,
+      // and the gate puts both numbers in one row so any ingest-path
+      // quality drift is visible per node, not just on average
+      val e = tbl(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 2 === 0)
+      val isBatch = col("vec_id") % 2 === 1 && col("vec_id") < 60
+      val batch = e.filter(isBatch)
+      val union = e.filter(col("vec_id") % 2 === 0 || isBatch)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      def assign(df: DataFrame) = Similarity.assignNearestCentroid(df,
+          "embedding", "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      val assignedOld = assign(old)
+      val g0 = Similarity.knnGraph(assignedOld, "embedding", "vec_id", 3)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-graph-merge-recall-$tmpToken"
+      store.GraphStore.write(g0, root, nBuckets = 16)
+      store.GraphStore.mergeScoped(s, root, 16, assignedOld, centroids,
+        "cid", "cv", nProbe = 2, batch, "embedding", "vec_id", k = 3)
+      val mergedFwd = s.read.parquet(root)
+        .filter(col("id") % 2 === 1 && col("id") < 60)
+        .select(col("id"), col("nbr_id"))
+      val rebuilt = Similarity.knnGraph(assign(union), "embedding",
+          "vec_id", 3)
+        .filter(col("id") % 2 === 1 && col("id") < 60)
+        .select(col("id"), col("nbr_id"))
+      val queries = batch.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+      val wEx = Window.partitionBy("query_id")
+        .orderBy(col("distance").asc, col("vec_id").asc)
+      val exact3 = Similarity.topKBatch(union, "embedding", "vec_id",
+          queries, "qv", "qid", 4)
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("_rk", row_number().over(wEx)).filter(col("_rk") <= 3)
+        .select(col("query_id").as("id"), col("vec_id").as("nbr_id"))
+      def ev(g: DataFrame) = Similarity.recallAtK(g, exact3, "id",
+        "nbr_id", 3)
+      ev(mergedFwd)
+        .withColumnRenamed("n_hit", "n_hit_merged")
+        .withColumnRenamed("recall", "recall_merged")
+        .join(ev(rebuilt)
+          .withColumnRenamed("n_hit", "n_hit_rebuilt")
+          .withColumnRenamed("recall", "recall_rebuilt"), Seq("id"))
+        .orderBy("id")
+    }),
+
+    "q559_condensation_merge" -> ((s, dir) => {
+      // the OTHER half of standing SCC state: q557 maintains the label
+      // frame, this maintains the condensation EDGE set the next merge
+      // will consume — old condensation re-pointed through the merged
+      // labels (fused endpoints become self-loops and drop; labels
+      // only ever merge, so old edges can create nothing new) plus the
+      // batch mapped through the same labels, all in the contracted
+      // space. Gated against the definitional condensation of the
+      // union graph (the q538 closure CTEs with a condensation select)
+      val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
+      def edgesOf(f: DataFrame) = f
+        .select((col("l_partkey") % 512).as("src"),
+          (col("l_suppkey") % 512).as("dst"))
+      val oldE = edgesOf(li.filter(col("l_orderkey") % 8 =!= 0))
+      val newE = edgesOf(li.filter(col("l_orderkey") % 8 === 0))
+      val oldLabels = GraphAnalytics.sccLabelsFwBw(oldE, "src", "dst",
+        shufflePartitions = Some(8))
+      val oldCond = GraphAnalytics.condensationEdges(oldE, "src", "dst",
+        oldLabels)
+      val newLabels = GraphAnalytics.incrementalScc(oldLabels, oldCond,
+        newE, "src", "dst", shufflePartitions = Some(8))
+      GraphAnalytics.incrementalCondensation(newLabels, oldCond, newE,
+          "src", "dst")
+        .select(col("src_scc").cast("long").as("src_scc"),
+          col("dst_scc").cast("long").as("dst_scc"))
+        .orderBy("src_scc", "dst_scc")
+    }),
+
+    "q560_dedup_eviction_replay" -> ((s, dir) => {
+      // streaming EXACT DEDUP with bounded state under the hash gate —
+      // dropDuplicatesWithinWatermark through a real 4-micro-batch
+      // execution (the q524/q547/q550 replay family's ingest leg):
+      // batch 1 establishes per-key state (within-batch duplicates
+      // collapse), a watermark TICK evicts it (first-seen + 45 min ≪
+      // the tick's watermark), batch 3 re-emits every key ONCE from
+      // fresh state, and batch 4 re-adds batch 3 verbatim — all
+      // dropped against the still-live state. Every cluster sits far
+      // from the eviction boundary by construction (the replay
+      // contract), so the emitted multiset is exactly: batch-1 keys
+      // once, the tick once, batch-3 keys once more
+      import s.implicits._
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(offMin: Long) = new java.sql.Timestamp(
+        base.getTime + offMin * 60000L)
+      def keyRows(lo: Long, hi: Long, baseOff: Long) =
+        events(s, dir)
+          .filter(col("event_id") >= lo && col("event_id") < hi)
+          .select(col("event_id"), (col("user_id") % 50).as("k"))
+          .as[(Long, Long)].collect()
+          .map { case (eid, k) => (at(baseOff + eid % 30), k) }.toSeq
+      val rows1 = keyRows(0L, 400L, 0L)
+      val rows3 = keyRows(400L, 900L, 25 * 60L)
+      val tick = Seq((at(24 * 60L), 999L))
+      val emitted = graft.streaming.EventStreams.replayDedupEviction(s,
+        Seq(rows1, tick, rows3, rows3), "45 minutes")
+      emitted.groupBy("k").agg(count(lit(1)).as("n_emitted"))
+        .orderBy("k")
     })
   )
 
@@ -128,6 +243,88 @@ private[graft] object Queries556to565 extends QueryModule {
     // definitional oracle VERBATIM — the union graph IS the full flow
     // graph, so any deviation of the merge from a from-scratch SCC run
     // hash-fails here
-    "q557_incremental_scc" -> Queries533to540.sccOracleSql
+    "q557_incremental_scc" -> Queries533to540.sccOracleSql,
+
+    // merged vs rebuilt recall, both against the exact union top-3
+    // (the q119/q103 replay fragments composed: probe-scoped fw for
+    // the merge, cell-local pairs for the rebuild, exact over union)
+    "q558_graph_merge_recall" ->
+      """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |o AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |u AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0 OR (vec_id % 2 = 1 AND vec_id < 60)),
+        |nw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 60),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT o.vec_id, o.embedding, c.cid AS centroid_id,
+        |      row_number() OVER (PARTITION BY o.vec_id
+        |        ORDER BY list_distance(CAST(o.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+        |    FROM o, c) WHERE rn = 1),
+        |au AS (SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT u.vec_id, u.embedding, c.cid AS centroid_id,
+        |      row_number() OVER (PARTITION BY u.vec_id
+        |        ORDER BY list_distance(CAST(u.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+        |    FROM u, c) WHERE rn = 1),
+        |pr AS (SELECT query_id, v, cid FROM (
+        |    SELECT nw.vec_id AS query_id, nw.v, c.cid,
+        |      row_number() OVER (PARTITION BY nw.vec_id
+        |        ORDER BY list_distance(nw.v, c.cv), c.cid) AS rn
+        |    FROM nw, c) WHERE rn <= 2),
+        |fw AS (SELECT id, nbr_id FROM (
+        |    SELECT pr.query_id AS id, a.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY pr.query_id
+        |        ORDER BY 1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), pr.v),
+        |          a.vec_id) AS rk
+        |    FROM pr JOIN a ON a.centroid_id = pr.cid) WHERE rk <= 3),
+        |rb AS (SELECT id, nbr_id FROM (
+        |    SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY 1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |            CAST(r.embedding AS DOUBLE[])), r.vec_id) AS rk
+        |    FROM au l JOIN au r ON l.centroid_id = r.centroid_id
+        |      AND l.vec_id <> r.vec_id
+        |    WHERE l.vec_id % 2 = 1 AND l.vec_id < 60) WHERE rk <= 3),
+        |ex AS (SELECT id, nbr_id FROM (
+        |    SELECT nw.vec_id AS id, u.vec_id AS nbr_id,
+        |      row_number() OVER (PARTITION BY nw.vec_id
+        |        ORDER BY 1.0 - list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), nw.v),
+        |          u.vec_id) AS rk
+        |    FROM nw, u WHERE nw.vec_id <> u.vec_id) WHERE rk <= 3),
+        |hm AS (SELECT e.id, COUNT(*) AS n FROM ex e
+        |  JOIN fw USING (id, nbr_id) GROUP BY e.id),
+        |hr AS (SELECT e.id, COUNT(*) AS n FROM ex e
+        |  JOIN rb USING (id, nbr_id) GROUP BY e.id),
+        |qs AS (SELECT DISTINCT id FROM ex)
+        |SELECT qs.id, coalesce(hm.n, 0) AS n_hit_merged,
+        |  CAST(coalesce(hm.n, 0) AS DOUBLE) / 3 AS recall_merged,
+        |  coalesce(hr.n, 0) AS n_hit_rebuilt,
+        |  CAST(coalesce(hr.n, 0) AS DOUBLE) / 3 AS recall_rebuilt
+        |FROM qs LEFT JOIN hm USING (id) LEFT JOIN hr USING (id)
+        |ORDER BY qs.id""".stripMargin,
+
+    // the union graph's definitional condensation: the shared q538
+    // closure CTEs with a condensation select instead of the labeling
+    "q559_condensation_merge" -> (Queries533to540.sccOracleCtes +
+      """
+        |SELECT DISTINCT CAST(s1.scc AS BIGINT) AS src_scc,
+        |  CAST(s2.scc AS BIGINT) AS dst_scc
+        |FROM e JOIN scc s1 ON s1.node = e.src
+        |  JOIN scc s2 ON s2.node = e.dst
+        |WHERE s1.scc <> s2.scc
+        |ORDER BY src_scc, dst_scc""".stripMargin),
+
+    // the replay contract's emitted multiset: batch-1 keys once, the
+    // tick once, batch-3 keys once more (batch 4 all dropped)
+    "q560_dedup_eviction_replay" ->
+      """WITH b1 AS (SELECT DISTINCT user_id % 50 AS k FROM events
+        |  WHERE event_id < 400),
+        |b3 AS (SELECT DISTINCT user_id % 50 AS k FROM events
+        |  WHERE event_id >= 400 AND event_id < 900),
+        |em AS (SELECT k FROM b1 UNION ALL SELECT k FROM b3
+        |  UNION ALL SELECT 999)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_emitted
+        |FROM em GROUP BY k ORDER BY k""".stripMargin
   )
 }

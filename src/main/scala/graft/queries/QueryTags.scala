@@ -42,7 +42,16 @@ private[graft] object QueryTags {
     "q524_watermark_replay",
     "q538_scc_labels",
     "q547_timeout_replay",
-    "q550_outer_join_replay")
+    "q550_outer_join_replay",
+    // r10: the incremental-SCC-state merge gates rebuild the OLD
+    // standing state (labels + condensation via FW-BW on 7/8 of the
+    // contracted flow graph) inline each run so the merge has
+    // something to merge into — that rebuild is pure gate overhead (a
+    // standing corpus pays it once, not per query); and the dedup
+    // replay is a real 4-micro-batch execution like q524/q547/q550
+    "q557_incremental_scc",
+    "q559_condensation_merge",
+    "q560_dedup_eviction_replay")
 
   /** Serve from the standing kNN GraphStore (QueryHelpers.storedKnnGraph
     * / storedKnnGraphPath). */
@@ -94,6 +103,8 @@ private[graft] object QueryTags {
     "q132_ann_merge",     // AnnStore cell-scoped merge gate
     "q378_graph_store",   // GraphStore write/probe gate
     "q382_graph_merge",   // GraphStore incremental-merge gate
+    "q556_graph_merge_scoped", // GraphStore cell-scoped merge gate
+    "q558_graph_merge_recall", // merged-vs-rebuilt recall gate
     "q97_inverted_index") // inverted-index construction gate
 }
 

@@ -151,6 +151,54 @@ object EventStreams {
     detached
   }
 
+  /** `dropDuplicatesWithinWatermark` driven through a REAL micro-batch
+    * execution (the q524/q547/q550 replay discipline applied to
+    * STREAMING EXACT DEDUP — the ingest-side operator a standing corpus
+    * runs in front of every store merge): per-key state drops duplicate
+    * keys within AND across batches, and the watermark EVICTS a key's
+    * state once it passes first-seen event time + delay, after which
+    * the key re-emits. Bounded state is the entire point at 100 TB —
+    * plain `dropDuplicates` state grows with the key space forever,
+    * this variant's state is bounded by the keys active inside one
+    * delay window.
+    *
+    * Replay contract (what makes the emitted set arrival-order-free and
+    * SQL-replayable, gated by q560): rows are projected to the dedup
+    * KEY after the operator, so whichever physical row the within-batch
+    * dedup keeps, the emitted SET is deterministic; batches advance
+    * event time monotonically with EVICTION MARGINS — every
+    * re-occurrence cluster is either entirely inside the first
+    * occurrence's state TTL (all dropped) or entirely beyond an
+    * intervening watermark tick that cleared the state (exactly one
+    * re-emit per key) — so no row sits on the eviction boundary and
+    * the strictness of that boundary never enters the result.
+    * Returns the emitted `k` rows, detached from the memory sink. */
+  def replayDedupEviction(spark: SparkSession,
+      batches: Seq[Seq[(java.sql.Timestamp, Long)]],
+      delay: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"graft_dd_replay_${replayCounter.incrementAndGet()}"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val dd = mem.toDF.toDF("ts", "k")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    withShufflePartitions(spark, 4) {
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val out = spark.table(name)
+    val rows = out.collect().toSeq
+    val detached = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(name)
+    detached
+  }
+
   /** [[sessionize]] driven through a REAL micro-batch execution with
     * DETERMINISTIC batches — the q524 replay discipline applied to the
     * custom-state sessionizer, putting `flatMapGroupsWithState`'s

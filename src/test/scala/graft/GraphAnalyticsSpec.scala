@@ -532,6 +532,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     val b5 = Seq((5L, 1L), (10L, 6L), (7L, 10L), (4L, 9L))
       .toDF("src", "dst")
     assert(merged(b5) == rebuilt(oldE.union(b5)))
+    // condensation maintenance: merged condensation ≡ the union graph's
+    // definitional condensation under rebuilt labels, for every batch
+    def condSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rebuiltCond(edges: org.apache.spark.sql.DataFrame) =
+      condSet(GraphAnalytics.condensationEdges(edges, "src", "dst",
+        GraphAnalytics.sccLabelsFwBw(edges, "src", "dst")))
+    def mergedCond(batch: org.apache.spark.sql.DataFrame) = {
+      val nl = GraphAnalytics.incrementalScc(oldLabels, cond, batch,
+        "src", "dst")
+      condSet(GraphAnalytics.incrementalCondensation(nl, cond, batch,
+        "src", "dst"))
+    }
+    Seq(b1, b2, b3, b4, b5).foreach { b =>
+      assert(mergedCond(b) == rebuiltCond(oldE.union(b)))
+    }
   }
 
   test("bidirectionalBfsDistance: exact distances on paths/rings, " +

@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayDedupEviction: within/cross-batch dedup, watermark eviction " +
+       "re-emits, re-added batch drops against live state") {
+    def hts(min: Long): Timestamp =
+      new Timestamp(1700000000000L - (1700000000000L % 3600000L) +
+        min * 60000L)
+    def run(batches: Seq[Seq[(Timestamp, Long)]], delay: String) =
+      EventStreams.replayDedupEviction(spark, batches, delay)
+        .groupBy("k").count().as[(Long, Long)].collect().toMap
+    // key 1 duplicated within batch 1 AND re-added in batch 3 after the
+    // tick evicted its state; batch 4 re-adds batch 3 verbatim while the
+    // fresh state is live → dropped
+    val b1 = Seq((hts(0), 1L), (hts(5), 1L), (hts(10), 2L))
+    val tick = Seq((hts(24 * 60), 99L))
+    val b3 = Seq((hts(25 * 60), 1L), (hts(25 * 60 + 5), 2L))
+    assert(run(Seq(b1, tick, b3, b3), "45 minutes") ==
+      Map(1L -> 2L, 2L -> 2L, 99L -> 1L))
+    // no eviction inside the delay window: a cross-batch duplicate is
+    // dropped (state survives the micro-batch boundary)
+    val c1 = Seq((hts(0), 7L))
+    val c2 = Seq((hts(10), 7L), (hts(10), 8L))
+    assert(run(Seq(c1, c2), "2 hours") == Map(7L -> 1L, 8L -> 1L))
+  }
+
   test("replaySessionTimeout: timeout boundary is STRICT (wm must pass " +
       "last + gap), tails stay unemitted, gap closes ride along") {
     // gap 1000 ms, sessionize's fixed 10-minute watermark delay.
