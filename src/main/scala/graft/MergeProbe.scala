@@ -148,6 +148,46 @@ object MergeProbe {
         s"untouched_identical=$gUntouchedOk " +
         s"merged_edges=${spark.read.parquet(gPath).count()}")
 
+      // ---- Incremental SCC state: labels + condensation + cond-WCC ----
+      // Build = FW-BW over the rep×-replicated flow graph plus the two
+      // standing frames (grows with the corpus, as a build must). Merge
+      // = a fixed 20-edge batch of REVERSED copy-0 flow edges (closes
+      // real cycles) through the standing-WCC path: batch → super
+      // space, O(batch) incremental-WCC touched discovery, FW-BW on the
+      // touched copy-0 components only — replication adds disjoint
+      // components the batch never touches, so the merge line must stay
+      // ~FLAT while build grows.
+      val flow0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") <= 1)
+        .select((col("l_partkey") % 512).as("src"),
+          (col("l_suppkey") % 512).as("dst"))
+        .localCheckpoint()
+      val sccEdges = (0 until rep).map(i => flow0.select(
+          (col("src") + i * 1024L).as("src"),
+          (col("dst") + i * 1024L).as("dst")))
+        .reduce(_ union _).localCheckpoint()
+      val nSccEdges = sccEdges.count()
+      val (sccState, sccBuild) = time {
+        val lbl = graft.operators.GraphAnalytics
+          .sccLabelsFwBw(sccEdges, "src", "dst").localCheckpoint()
+        val cnd = graft.operators.GraphAnalytics
+          .condensationEdges(sccEdges, "src", "dst", lbl).localCheckpoint()
+        val cw = graft.operators.GraphAnalytics
+          .condensationWcc(cnd).localCheckpoint()
+        (lbl, cnd, cw)
+      }
+      val (lbl, cnd, cw) = sccState
+      val sccBatch = flow0.orderBy("src", "dst").limit(20)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val (nScc, sccMerge) = time {
+        graft.operators.GraphAnalytics.incrementalScc(lbl, cnd, sccBatch,
+            "src", "dst", oldCondWcc = Some(cw))
+          .select("scc").distinct().count()
+      }
+      println(f"scc  rep=$rep%2d build=${sccBuild}%7.2fs " +
+        f"edges=$nSccEdges%9d merge=${sccMerge}%6.2fs (flat expected) " +
+        s"sccs=$nScc")
+
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }
     spark.stop()

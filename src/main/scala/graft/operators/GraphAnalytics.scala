@@ -1585,24 +1585,26 @@ object GraphAnalytics {
     * GraphAnalyticsSpec pins the synthetic cases).
     *
     * `oldCondensation` is [[condensationEdges]] output for the old
-    * graph. Cost: O(batch) mapping + a WCC over condensation ∪ batch
-    * (contracted frames — orders smaller than the corpus; with the
-    * condensation's own WCC kept as standing state via
-    * [[graft.operators.Dedup.incrementalClusters]] this step is
-    * O(batch) too) + FW-BW over the touched components + one size
+    * graph. Cost: O(batch) mapping + touched-component discovery — a
+    * WCC over condensation ∪ batch when `oldCondWcc` is None, or ONE
+    * O(batch) incremental-WCC step (the q554 merge) when the
+    * condensation's standing WCC labels ([[condensationWcc]]) are
+    * passed — + FW-BW over the touched components + one size
     * re-aggregation over the label frame for the (node, scc, scc_size)
     * output shape — the same final exchange the rebuild pays. The
     * re-point map is bounded by the touched components' super-node
     * count (contracted space), the same boundedness class as q554's
-    * super-rep map. */
+    * super-rep map. GraphAnalyticsSpec pins the two discovery paths
+    * label-identical. */
   def incrementalScc(oldLabels: DataFrame, oldCondensation: DataFrame,
                      newEdges: DataFrame, srcCol: String, dstCol: String,
-                     shufflePartitions: Option[Int] = None): DataFrame = {
+                     shufflePartitions: Option[Int] = None,
+                     oldCondWcc: Option[DataFrame] = None): DataFrame = {
     val spark = oldLabels.sparkSession
     if (shufflePartitions.isDefined)
       return withShufflePartitions(spark, shufflePartitions) {
         incrementalScc(oldLabels, oldCondensation, newEdges, srcCol,
-          dstCol, None)
+          dstCol, None, oldCondWcc)
       }
     val labels = oldLabels.select(col("node"), col("scc")).localCheckpoint()
     def withSizes(lbl: DataFrame): DataFrame = {
@@ -1626,8 +1628,19 @@ object GraphAnalytics {
     val cond = oldCondensation
       .select(col("src_scc").as("ss"), col("dst_scc").as("sd"))
     val superEdges = cond.unionByName(sn).localCheckpoint()
-    // touched weak components: the only places SCCs can merge
-    val wcc = graft.operators.Dedup.dedupClusters(superEdges, "ss", "sd")
+    // touched weak components: the only places SCCs can merge. With the
+    // condensation's own WCC labels passed as standing state
+    // ([[condensationWcc]], maintained per batch by the q554 merge),
+    // this is ONE O(batch) incremental-WCC step instead of a
+    // from-scratch WCC over the condensation — the remaining
+    // full-condensation pass below is map-side relabeling, no closure
+    val wcc = oldCondWcc match {
+      case None =>
+        graft.operators.Dedup.dedupClusters(superEdges, "ss", "sd")
+      case Some(standing) =>
+        graft.operators.Dedup.incrementalClusters(
+          standing.select(col("id"), col("cluster_rep")), sn, "ss", "sd")
+    }
     val touchedComps = sn
       .select(explode(array(col("ss"), col("sd"))).as("id")).distinct()
       .join(wcc, Seq("id")).select("cluster_rep").distinct()
@@ -1649,6 +1662,20 @@ object GraphAnalytics {
       .select(col("node"), coalesce(col("_nsl"), col("scc")).as("scc"))
     withSizes(relabeled)
   }
+
+  /** Weak-component labels OF THE CONDENSATION — the third piece of
+    * standing SCC state (labels, condensation edges, condensation WCC):
+    * pass it to [[incrementalScc]] as `oldCondWcc` and the
+    * touched-component discovery becomes one O(batch) incremental-WCC
+    * step (the q554 merge) instead of a from-scratch WCC closure over
+    * the condensation. Maintain it per batch with
+    * [[graft.operators.Dedup.incrementalClusters]] over the batch's
+    * super-edges — the exact same call [[incrementalScc]] makes
+    * internally. Returns (id, cluster_rep) in super space. */
+  def condensationWcc(condensation: DataFrame): DataFrame =
+    graft.operators.Dedup.dedupClusters(
+      condensation.select(col("src_scc"), col("dst_scc")),
+      "src_scc", "dst_scc")
 
   /** Incremental maintenance of the CONDENSATION edge set — the other
     * half of standing SCC state ([[incrementalScc]] maintains the

@@ -548,6 +548,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     Seq(b1, b2, b3, b4, b5).foreach { b =>
       assert(mergedCond(b) == rebuiltCond(oldE.union(b)))
     }
+    // the standing-WCC discovery path (oldCondWcc) lands on identical
+    // labels — the O(batch) touched-component step is a pure speedup
+    val standingWcc = GraphAnalytics.condensationWcc(cond).localCheckpoint()
+    Seq(b1, b2, b4, b5).foreach { b =>
+      assert(toMapOf(GraphAnalytics.incrementalScc(oldLabels, cond, b,
+        "src", "dst", oldCondWcc = Some(standingWcc))) == merged(b))
+    }
   }
 
   test("bidirectionalBfsDistance: exact distances on paths/rings, " +

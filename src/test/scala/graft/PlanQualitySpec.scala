@@ -634,6 +634,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q557: the incremental-SCC re-point map broadcasts — the label " +
+       "frame never shuffles for the merge itself") {
+    // the changed-label map lives in the contracted super space (q554's
+    // boundedness class); the corpus-scale label table takes it as a
+    // broadcast join, never a sort-merge of the store
+    val p = plan("q557_incremental_scc")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q551: Mood counts aggregate partially map-side over the scan") {
     // one groupBy over the rows (partial+final) + a 1-row broadcast of
     // the marginals — no row-level shuffle beyond the group aggregate
