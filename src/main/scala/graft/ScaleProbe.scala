@@ -192,6 +192,47 @@ object ScaleProbe {
       }
       println(f"checksum    rep=$r%2d rows=$nRows%9d t=$t%7.2fs")
     }
+
+    // ---- q378 core: kNN-graph build under the two codebook regimes ----
+    // The r10 sf1.0 audit measured the q378 gate at ~17x for 10x data:
+    // knnGraph's pair expansion is cell-local, so PAIR WORK is
+    // Σ cell² ≈ n²/k. With the gate's FIXED 8-centroid codebook, cell
+    // populations grow with the corpus and the quadratic term dominates
+    // — the documented fixed-codebook artifact, not the operator's
+    // growth law. The engine's scale discipline BOUNDS cell population
+    // (the LSH-bucket-cap / maxCellSize rule; k-means k grows with the
+    // corpus), making pair work ∝ n. This leg times the SAME corpus
+    // replication under both regimes and prints the pair work so the
+    // growth law is checkable in both time and work: fixed 8 cells
+    // (pair work ∝ n², superlinear time expected) vs cells ∝ corpus
+    // (pair work ∝ n, ~linear time expected).
+    for (r <- reps) {
+      val corpus = (0 until r).map(i => e0.select(
+          (col("vec_id") + i * 100000000L).as("vec_id"), col("embedding")))
+        .reduce(_ union _).localCheckpoint()
+      val n = corpus.count()
+      def build(nCents: Int): (Long, Long, Double) = {
+        val cents = e0.filter(col("vec_id") < nCents)
+          .select(col("vec_id").cast("int").as("cid"),
+            col("embedding").as("cv"))
+        val assigned = operators.Similarity.assignNearestCentroid(corpus,
+          "embedding", "vec_id", cents, "cid", "cv")
+        val pairWork = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("m"))
+          .agg(sum(col("m") * col("m"))).head().getLong(0)
+        val (edges, t) = time {
+          operators.Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+            .count()
+        }
+        (edges, pairWork, t)
+      }
+      val (eFixed, wFixed, tFixed) = build(8)
+      val (eScaled, wScaled, tScaled) = build(8 * r)
+      println(f"knnbuild    rep=$r%2d rows=$n%9d fixed8=$tFixed%7.2fs " +
+        f"pairs=$wFixed%10d boundedk=$tScaled%7.2fs pairs=$wScaled%10d " +
+        f"edges=$eFixed%8d/$eScaled%8d (fixed: pair work ~n^2 BY " +
+        "DESIGN; bounded cells: pair work ~n, ~linear time expected)")
+    }
     spark.stop()
   }
 }

@@ -352,13 +352,19 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty, "assignNearestCentroid: empty centroid set")
     if (cents.length <= maxFoldCentroids) {
-      val candidates = cents.map { case (cid, cv) =>
-        struct(
-          call_function("graft_l2_distance", col(vecCol), typedLit(cv)).as("d"),
-          lit(cid).as("cid"))
-      }
-      val best = if (candidates.length == 1) candidates.head
-                 else least(candidates.toIndexedSeq: _*)
+      // ONE native expression, not an N-arm `least(struct(l2,cid),...)`
+      // fold: the fold's generated code grows with N and at ~64 arms
+      // blew whole-stage codegen's method limit, dropping the ENTIRE
+      // stage it sat in to interpreted eval — when a consumer join
+      // collapsed the assignment into its pair-expansion stage, the
+      // pair loop ran interpreted (measured: knnGraph on a lazily
+      // assigned frame, 64 cells, 40 s vs 0.6 s). The codebook rides as
+      // reference objects; generated code is one tight loop at any
+      // codebook size; numerics and the (d, cid) lexicographic
+      // tie-break are bit-identical to the fold (IvfAndViewsSpec pins
+      // equality with the portable HOF path below).
+      val best = call_function("graft_nearest_centroid", col(vecCol),
+        typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2).toSeq))
       corpus
         .withColumn("_best", best)
         .withColumn("centroid_id", col("_best.cid"))

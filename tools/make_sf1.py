@@ -26,9 +26,14 @@ OFFSETS = {
     "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
     "lineitem": {"l_orderkey": 10**9, "l_partkey": 10**6,
                  "l_suppkey": 10**5},
+    # documents/embeddings use 1e8 strides: several dedup queries
+    # synthesize near-dup twins at doc_id + 1e6, so a 1e6 replication
+    # stride would collide synthetic ids with the next copy's real ids
+    # and fuse clusters across copies (measured: q311 56x instead of
+    # ~1x at 10x data — an audit artifact, not an engine pathology)
     "events": {"event_id": 10**9, "user_id": 10**7},
-    "documents": {"doc_id": 10**6},
-    "embeddings": {"vec_id": 10**6},
+    "documents": {"doc_id": 10**8},
+    "embeddings": {"vec_id": 10**8},
 }
 
 for t, offs in OFFSETS.items():
