@@ -46,22 +46,35 @@ object Bench {
     // the driver always runs argless → full suite)
     val only = args.toSet
     val isInstrument: String => Boolean = graft.queries.QueryTags.instruments
+    // instruments run only in the cold pass, TWICE back-to-back: their
+    // reported number is the min of the two runs, because a single cold
+    // sample has no contention defense (run 2 of this harness caught
+    // q550 at 54 s in a load-4 window vs its ~5 s quiet band, and that
+    // spike would otherwise ride the final line unchallenged)
+    val instrMin = scala.collection.mutable.Map[String, Double]()
     def runAll(dir: String, skipInstruments: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
         .filter { case (name, _) => !skipInstruments || !isInstrument(name) }
         .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch {
-          case t: Throwable =>
-            System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-            -1L
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch {
+            case t: Throwable =>
+              System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+              -1L
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // release anything a query cached: over 3 passes × 500+
+          // queries in one JVM, leaked cache entries pile into storage
+          // memory and drift every later query's time (the r5→r6
+          // +0.05-0.3 s smear)
+          spark.catalog.clearCache()
+          dt
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release anything a query cached: over 3 passes × 500+ queries
-        // in one JVM, leaked cache entries pile into storage memory and
-        // drift every later query's time (the r5→r6 +0.05-0.3 s smear)
-        spark.catalog.clearCache()
+        val dt = once()
+        if (!skipInstruments && isInstrument(name))
+          instrMin(name) = math.min(dt, once())
         name -> dt
       }
     // force the standing stores (kNN graph, lexical index, IVF AnnStore,
@@ -114,16 +127,21 @@ object Bench {
         s""""steady_top":${top20(steady)}}""")
     }
 
-    // ---- pass 1: cold (all queries, instruments included) ----
+    // ---- pass 1: cold (all queries; instruments double-run) ----
     val cold = runAll(sfDir, skipInstruments = false)
     loads("post_cold") = loadNow
-    emitSummary("cold", cold, cold, cold)
-    val coldByName = cold.toMap
+    // instruments' defended (min-of-2) estimate replaces their one-shot
+    // cold time everywhere except the raw cold map itself
+    def instrDefended(m: Seq[(String, Double)]): Seq[(String, Double)] =
+      m.map { case (n, t) => n -> instrMin.getOrElse(n, t) }
+    emitSummary("cold", cold, instrDefended(cold), instrDefended(cold))
+    val coldByName = instrDefended(cold).toMap
 
-    // ---- pass 2: steady1 (instruments excluded; their cold time is the
-    // steady estimate — bounded deterministic replays don't JIT-improve)
-    var steady1Full = cold
-    var coldMin = cold
+    // ---- pass 2: steady1 (instruments excluded; their defended cold
+    // time is the steady estimate — bounded deterministic replays don't
+    // JIT-improve)
+    var steady1Full = instrDefended(cold)
+    var coldMin = instrDefended(cold)
     if (elapsedS < budgetS) {
       val steady1 = runAll(sfDir, skipInstruments = true).toMap
       loads("post_steady1") = loadNow
@@ -132,7 +150,7 @@ object Bench {
       // cold min-of-2 WITHOUT an extra pass: steady pass 1 is literally a
       // second run of the cold pass (same code, data, JVM), so
       // min(cold, steady1) is the contention-defended cold estimate
-      coldMin = cold.map { case (n, t) =>
+      coldMin = coldMin.map { case (n, t) =>
         n -> math.min(t, steady1.getOrElse(n, t)) }
       emitSummary("steady1", cold, coldMin, steady1Full)
     } else System.err.println(f"bench: over budget after cold pass " +
