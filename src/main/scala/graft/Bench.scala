@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * perf signal was lost). A wall-clock budget (env SPARK_GRAFT_BUDGET_S,
   * default 2400 s) is checked between passes: over budget → remaining
   * passes are skipped and the final line is emitted from what exists,
-  * never nothing.
+  * never nothing. The budget is ALSO checked inside every pass (each
+  * ~50 queries): over budget mid-pass → the pass stops where it is, its
+  * line is stamped "<pass>_partial", and the final line's pass name
+  * records the truncation ("final_<pass>_partial") — r10 overshot its
+  * own budget 23% because the check was only pass-granular.
   *
   * Pass structure (the r1-r8 4-pass design, dieted):
   *   - no sf0.001 warm pass anymore: its job (don't attribute Janino/
@@ -20,10 +24,12 @@ import org.apache.spark.sql.SparkSession
   *     took 10 s).
   *   - tagged gate instruments (QueryTags.instruments — exact ground
   *     truths and micro-batch replays whose steady cost is correctness-
-  *     gate overhead, not engine cost) run ONCE, in the cold pass; their
-  *     cold time is copied into the steady maps. They were 28 s/pass in
-  *     r9 and min-of-2 steady adds nothing for bounded deterministic
-  *     replays.
+  *     gate overhead, not engine cost) run twice for the whole run:
+  *     once in the cold pass and once again AFTER steady pass 1 (a
+  *     different contention window — r10's back-to-back pair could both
+  *     sit inside one VM-neighbor spike); the min is their defended
+  *     number, copied into the steady maps. Min-of-2 steady adds
+  *     nothing for bounded deterministic replays.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,37 +52,59 @@ object Bench {
     // the driver always runs argless → full suite)
     val only = args.toSet
     val isInstrument: String => Boolean = graft.queries.QueryTags.instruments
-    // instruments run only in the cold pass, TWICE back-to-back: their
-    // reported number is the min of the two runs, because a single cold
-    // sample has no contention defense (run 2 of this harness caught
-    // q550 at 54 s in a load-4 window vs its ~5 s quiet band, and that
-    // spike would otherwise ride the final line unchallenged)
+    // instruments run twice across the WHOLE run — once in the cold pass
+    // and once after steady pass 1 — and report the min: a single cold
+    // sample has no contention defense (r10 run 2 caught q550 at 54 s in
+    // a load-4 window vs its ~5 s quiet band), and r10's back-to-back
+    // double-run sat both samples in the SAME contention window, so a
+    // multi-minute VM-neighbor spike inflated both. Spacing the second
+    // sample ~minutes later makes the min a genuine two-window estimate,
+    // like every regular query's min(cold, steady).
     val instrMin = scala.collection.mutable.Map[String, Double]()
-    def runAll(dir: String, skipInstruments: Boolean): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    // mode: "all" (cold), "engine" (steady — instruments excluded),
+    // "instruments" (the spaced second instrument sample).
+    // Budget is checked INSIDE the pass every `checkEvery` queries (the
+    // r10 run overshot its budget 23% because the check was only
+    // pass-granular); a truncated pass returns what it has plus
+    // truncated=true so the caller can stamp "<pass>_partial".
+    val checkEvery = 50
+    def runAll(dir: String, mode: String): (Seq[(String, Double)], Boolean) = {
+      val items = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only.contains(name) }
-        .filter { case (name, _) => !skipInstruments || !isInstrument(name) }
-        .map { case (name, fn) =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, dir).count() } catch {
-            case t: Throwable =>
-              System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
-              -1L
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // release anything a query cached: over 3 passes × 500+
-          // queries in one JVM, leaked cache entries pile into storage
-          // memory and drift every later query's time (the r5→r6
-          // +0.05-0.3 s smear)
-          spark.catalog.clearCache()
-          dt
+        .filter { case (name, _) => mode match {
+          case "engine" => !isInstrument(name)
+          case "instruments" => isInstrument(name)
+          case _ => true
+        } }
+      val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      var truncated = false
+      var i = 0
+      val it = items.iterator
+      while (it.hasNext && !truncated) {
+        val (name, fn) = it.next()
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch {
+          case t: Throwable =>
+            System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
         }
-        val dt = once()
-        if (!skipInstruments && isInstrument(name))
-          instrMin(name) = math.min(dt, once())
-        name -> dt
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release anything a query cached: over 3 passes × 500+
+        // queries in one JVM, leaked cache entries pile into storage
+        // memory and drift every later query's time (the r5→r6
+        // +0.05-0.3 s smear)
+        spark.catalog.clearCache()
+        if (isInstrument(name))
+          instrMin(name) = math.min(dt, instrMin.getOrElse(name, Double.MaxValue))
+        out += name -> dt
+        i += 1
+        if (i % checkEvery == 0 && elapsedS > budgetS) {
+          truncated = true
+          System.err.println(f"bench: over budget mid-pass after $i queries " +
+            f"(${elapsedS}%.0f s > ${budgetS}%.0f s) — truncating this pass")
+        }
       }
+      (out.toSeq, truncated)
+    }
     // force the standing stores (kNN graph, lexical index, IVF AnnStore,
     // doc-lengths frame, flow-SCC labels) for the timed dir FIRST and
     // time them separately: these are build-once/serve-many costs a
@@ -88,7 +116,12 @@ object Bench {
     graft.queries.QueryHelpers.storedIndexPath(spark, sfDir)
     graft.queries.QueryHelpers.storedAnnPath(spark, sfDir)
     graft.queries.QueryHelpers.docLengths(spark, sfDir).count()
-    graft.queries.QueryHelpers.flowScc(spark, sfDir).count()
+    // SCC state is an on-disk store keyed by (dir, content stamp): the
+    // first-ever build on a box pays the corpus SCC run; every later
+    // JVM (e.g. this bench after a verify run) opens it read-only, so
+    // steady-state store_build_s drops to the open cost
+    graft.queries.QueryHelpers.flowSccStorePath(spark, sfDir)
+    graft.queries.QueryHelpers.flowSccOldStorePath(spark, sfDir)
     val storeBuildS = (System.nanoTime() - buildT0) / 1e9
     // per-pass box-contention telemetry: sample the 1-min load before the
     // first pass and after EVERY pass so each pass's line carries its own
@@ -127,14 +160,24 @@ object Bench {
         s""""steady_top":${top20(steady)}}""")
     }
 
-    // ---- pass 1: cold (all queries; instruments double-run) ----
-    val cold = runAll(sfDir, skipInstruments = false)
+    // first pass (if any) that hit the intra-pass budget stop — stamped
+    // into the FINAL line's pass name so a truncated run is
+    // distinguishable from a complete one in the parsed tail
+    var truncatedPass: Option[String] = None
+    def noteTrunc(pass: String, t: Boolean): Unit =
+      if (t && truncatedPass.isEmpty) truncatedPass = Some(pass)
+
+    // ---- pass 1: cold (all queries; instruments take their first
+    // sample here) ----
+    val (cold, coldTrunc) = runAll(sfDir, "all")
+    noteTrunc("cold", coldTrunc)
     loads("post_cold") = loadNow
-    // instruments' defended (min-of-2) estimate replaces their one-shot
-    // cold time everywhere except the raw cold map itself
+    // instruments' defended (min over spaced samples) estimate replaces
+    // their one-shot cold time everywhere except the raw cold map itself
     def instrDefended(m: Seq[(String, Double)]): Seq[(String, Double)] =
       m.map { case (n, t) => n -> instrMin.getOrElse(n, t) }
-    emitSummary("cold", cold, instrDefended(cold), instrDefended(cold))
+    emitSummary(if (coldTrunc) "cold_partial" else "cold",
+      cold, instrDefended(cold), instrDefended(cold))
     val coldByName = instrDefended(cold).toMap
 
     // ---- pass 2: steady1 (instruments excluded; their defended cold
@@ -143,7 +186,9 @@ object Bench {
     var steady1Full = instrDefended(cold)
     var coldMin = instrDefended(cold)
     if (elapsedS < budgetS) {
-      val steady1 = runAll(sfDir, skipInstruments = true).toMap
+      val (steady1Seq, s1Trunc) = runAll(sfDir, "engine")
+      noteTrunc("steady1", s1Trunc)
+      val steady1 = steady1Seq.toMap
       loads("post_steady1") = loadNow
       steady1Full = cold.map { case (n, _) =>
         n -> steady1.getOrElse(n, coldByName(n)) }
@@ -152,9 +197,22 @@ object Bench {
       // min(cold, steady1) is the contention-defended cold estimate
       coldMin = coldMin.map { case (n, t) =>
         n -> math.min(t, steady1.getOrElse(n, t)) }
-      emitSummary("steady1", cold, coldMin, steady1Full)
+      emitSummary(if (s1Trunc) "steady1_partial" else "steady1",
+        cold, coldMin, steady1Full)
     } else System.err.println(f"bench: over budget after cold pass " +
       f"(${elapsedS}%.0f s > ${budgetS}%.0f s) — skipping steady passes")
+
+    // ---- instruments, second (SPACED) sample: minutes after the cold
+    // window, so min(cold, here) spans two contention windows like every
+    // regular query's min(cold, steady1) — the r10 back-to-back pair
+    // could both sit inside one VM-neighbor spike
+    if (elapsedS < budgetS) {
+      val (_, iTrunc) = runAll(sfDir, "instruments")
+      noteTrunc("instruments", iTrunc)
+      steady1Full = instrDefended(steady1Full)
+      coldMin = instrDefended(coldMin)
+    } else System.err.println("bench: over budget — instruments keep " +
+      "their single cold sample")
 
     // ---- pass 3: steady2; steady = per-query MIN of the two steady
     // passes (VM neighbors add multi-second spikes to random queries —
@@ -162,7 +220,9 @@ object Bench {
     // the engine does when the CPU is actually available)
     var steady = steady1Full
     if (elapsedS < budgetS) {
-      val steady2 = runAll(sfDir, skipInstruments = true).toMap
+      val (steady2Seq, s2Trunc) = runAll(sfDir, "engine")
+      noteTrunc("steady2", s2Trunc)
+      val steady2 = steady2Seq.toMap
       loads("post_steady2") = loadNow
       steady = steady1Full.map { case (n, t) =>
         n -> math.min(t, steady2.getOrElse(n, t)) }
@@ -212,8 +272,11 @@ object Bench {
       s""""steady_total":${fmt(steady.map(_._2).sum)},"steady_queries":${qmap(steady)},""" +
       s""""cold_min_queries":${qmap(coldMin)},"sf":"$sfDir"}""")
     // FINAL line: the compact summary again (same schema as the per-pass
-    // lines) so it is the last line of the bounded tail
-    emitSummary("final", cold, coldMin, steady,
+    // lines) so it is the last line of the bounded tail; a mid-pass
+    // budget stop is recorded in the pass name itself
+    val finalPass = truncatedPass
+      .map(p => s"final_${p}_partial").getOrElse("final")
+    emitSummary(finalPass, cold, coldMin, steady,
       extra = s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""")
     spark.stop()
   }

@@ -1342,29 +1342,11 @@ object GraphAnalytics {
     val lastBfsSteps = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily
-    * overridden (restored after, even on throw).
-    *
-    * CONTRACT — single-threaded session use: the override is
-    * SESSION-GLOBAL for its duration, so any query planned concurrently
-    * on the SAME SparkSession silently inherits the lowered value. Every
-    * caller in this engine is a sequential driver (Verify, Bench, and
-    * the specs run queries one at a time on one session); a
-    * multi-threaded server must either pass None or plan its work on
-    * `spark.newSession()` (SQLConf is per-session, the SparkContext is
-    * shared). The override exists because on BOUNDED frames (contracted
-    * gate graphs, frontier-sized BFS steps) fewer map tasks trim
-    * per-step scheduling overhead that AQE's reduce-side coalescing
-    * cannot reach; corpus-scale frames pass None. */
+  /** Scoped shuffle-partition override for BOUNDED frames — contract and
+    * enforcement live in [[graft.SessionConf]] (the one definition). */
   private def withShufflePartitions[A](spark: org.apache.spark.sql.SparkSession,
-      n: Option[Int])(body: => A): A = n match {
-    case None => body
-    case Some(p) =>
-      val key = "spark.sql.shuffle.partitions"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, p.toString)
-      try body finally spark.conf.set(key, old)
-  }
+      n: Option[Int])(body: => A): A =
+    graft.SessionConf.withShufflePartitions(spark, n)(body)
 
   /** Strongly connected components at SCALE: forward–backward pivot
     * decomposition with trimming — the directed twin of the q311
@@ -1611,6 +1593,37 @@ object GraphAnalytics {
       val sizes = lbl.groupBy("scc").agg(count(lit(1)).as("scc_size"))
       lbl.join(sizes, Seq("scc")).select("node", "scc", "scc_size")
     }
+    incrementalSccDelta(labels, oldCondensation, newEdges, srcCol, dstCol,
+        oldCondWcc) match {
+      case None => withSizes(labels)
+      case Some((repoint, newNodes, _)) =>
+        val relabeled = labels.unionByName(newNodes)
+          .join(broadcast(repoint), col("scc") === col("_osl"), "left")
+          .select(col("node"), coalesce(col("_nsl"), col("scc")).as("scc"))
+        withSizes(relabeled)
+    }
+  }
+
+  /** The label-CHANGE delta of [[incrementalScc]], exposed so a
+    * bucketed on-disk label store ([[graft.store.SccStore]]) can merge
+    * by rewriting ONLY the buckets the delta touches instead of the
+    * corpus-scale label table (the AnnStore touched-cell discipline
+    * applied to cluster state — a full-label rewrite per batch would be
+    * O(corpus) ingest, exactly the term the incremental machinery
+    * exists to remove). Returns None when the batch changes nothing
+    * (every batch edge intra-SCC); otherwise
+    * `(repoint (_osl, _nsl) — old label → merged label, bounded by the
+    * touched super space; newNodes (node, scc=node) — batch nodes the
+    * old graph never saw, UN-re-pointed: apply `repoint` to them too;
+    * sn (ss, sd) — the batch in OLD super space, so the caller can
+    * maintain the condensation as
+    * distinct(repoint(oldCond) ∪ repoint(sn)) minus self-loops without
+    * ever re-reading corpus labels)`. `labels` must carry (node, scc). */
+  private[graft] def incrementalSccDelta(labels: DataFrame,
+      oldCondensation: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String,
+      oldCondWcc: Option[DataFrame])
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
     val ne = newEdges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
@@ -1624,7 +1637,7 @@ object GraphAnalytics {
       .select(coalesce(col("_ss"), col("src")).as("ss"),
         coalesce(col("_sd"), col("dst")).as("sd"))
       .filter(col("ss") =!= col("sd")).distinct().localCheckpoint()
-    if (sn.isEmpty) return withSizes(labels)
+    if (sn.isEmpty) return None
     val cond = oldCondensation
       .select(col("src_scc").as("ss"), col("dst_scc").as("sd"))
     val superEdges = cond.unionByName(sn).localCheckpoint()
@@ -1657,10 +1670,7 @@ object GraphAnalytics {
       .unionByName(ne.select(col("dst").as("node"))).distinct()
       .join(labels.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("scc"))
-    val relabeled = labels.unionByName(newNodes)
-      .join(broadcast(repoint), col("scc") === col("_osl"), "left")
-      .select(col("node"), coalesce(col("_nsl"), col("scc")).as("scc"))
-    withSizes(relabeled)
+    Some((repoint, newNodes, sn))
   }
 
   /** Weak-component labels OF THE CONDENSATION — the third piece of

@@ -280,9 +280,13 @@ object Stats {
     * (like [[kruskalWallis]]), so fractional observations would be
     * truncated before both the grand-median pass and the above/below
     * classification; pre-scale fixed-point data (e.g. cents) first.
-    * Degenerate groups (every value equal to the grand median, or a
-    * zero marginal total) have a zero expected count on one side; their
-    * chi-sq contribution is NULL — surfaced, not NaN.
+    * Degenerate-cell semantics: a zero expected count on ONE side only
+    * (a zero column marginal — e.g. no value anywhere above the grand
+    * median) forces that side's observed count to zero too, so the cell
+    * contributes 0 by the standard chi-sq convention and `chi2_part`
+    * is the DEFINED half. Only a group degenerate on BOTH sides (empty
+    * after median-equal values drop, or an empty table) reports NULL —
+    * surfaced, not NaN.
     *
     * Scale shape: the grand median rides [[groupedTwoPassMedian]]'s
     * two-pass histogram (no value buffer anywhere), collected as ONE
@@ -308,12 +312,14 @@ object Stats {
       .withColumn("e_below",
         col("n_g") * (col("tb").cast("double") / col("nn")))
       .withColumn("chi2_part",
-        when(col("e_above") > 0,
-          (col("n_above") - col("e_above")) * (col("n_above") - col("e_above"))
-            / col("e_above"))
-          + when(col("e_below") > 0,
-            (col("n_below") - col("e_below"))
-              * (col("n_below") - col("e_below")) / col("e_below")))
+        when(col("e_above") > 0 || col("e_below") > 0,
+          coalesce(when(col("e_above") > 0,
+            (col("n_above") - col("e_above"))
+              * (col("n_above") - col("e_above")) / col("e_above")), lit(0.0))
+            + coalesce(when(col("e_below") > 0,
+              (col("n_below") - col("e_below"))
+                * (col("n_below") - col("e_below")) / col("e_below")),
+              lit(0.0))))
       .select(col("g"), col("n_above"), col("n_below"),
         round(col("e_above"), 6).as("exp_above"),
         round(col("chi2_part"), 6).as("chi2_part"))

@@ -146,10 +146,24 @@ object VectorExpressions {
     * expansion to interpreted eval (knnGraph on a lazily-assigned frame:
     * 40 s for 4M pairs at 64 cells vs 0.6 s once codegen survives).
     * Numerics are bit-identical to the fold arms (double diffs,
-    * sequential adds, one sqrt — the graft_l2_distance loop verbatim). */
-  case class NearestCentroidExpr(child: Expression, cids: Array[Int],
-                                 cvs: Array[Array[Float]])
+    * sequential adds, one sqrt — the graft_l2_distance loop verbatim).
+    *
+    * The codebook is held as `Seq`s so two instances built from the same
+    * collected codebook compare structurally equal — `semanticEquals`,
+    * subexpression elimination and exchange reuse all key off case-class
+    * equality, and `Array` fields would make that reference-based. The
+    * first loop iteration always assigns, so a degenerate input (all-NaN
+    * vector: every `d < bestD` false) still lands on the smallest REAL
+    * centroid id — the same pick the `least(struct)` fold makes under
+    * Spark's NaN-greatest struct ordering. The builder rejects empty
+    * codebooks. */
+  case class NearestCentroidExpr(child: Expression, cids: Seq[Int],
+                                 cvs: Seq[Seq[Float]])
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(cids.nonEmpty && cids.length == cvs.length,
+      s"$prettyName: codebook must be non-empty with matching cid/vector counts")
+    @transient private lazy val cidArr: Array[Int] = cids.toArray
+    @transient private lazy val cvArr: Array[Array[Float]] = cvs.map(_.toArray).toArray
     override def prettyName: String = "graft_nearest_centroid"
     override def dataType: DataType = StructType(Seq(
       StructField("d", DoubleType, nullable = false),
@@ -166,8 +180,8 @@ object VectorExpressions {
       val x = a.asInstanceOf[ArrayData]
       var bestD = Double.PositiveInfinity; var bestC = 0
       var c = 0
-      while (c < cvs.length) {
-        val cv = cvs(c)
+      while (c < cvArr.length) {
+        val cv = cvArr(c)
         val n = math.min(x.numElements(), cv.length)
         var acc = 0.0; var i = 0
         while (i < n) {
@@ -175,7 +189,7 @@ object VectorExpressions {
           acc += df * df; i += 1
         }
         val d = math.sqrt(acc)
-        if (d < bestD) { bestD = d; bestC = cids(c) }
+        if (c == 0 || d < bestD) { bestD = d; bestC = cidArr(c) }
         c += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -183,8 +197,8 @@ object VectorExpressions {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        val cvsRef = ctx.addReferenceObj("cvs", cvs, "float[][]")
-        val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+        val cvsRef = ctx.addReferenceObj("cvs", cvArr, "float[][]")
+        val cidsRef = ctx.addReferenceObj("cids", cidArr, "int[]")
         val c = ctx.freshName("c"); val i = ctx.freshName("i")
         val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
         val d = ctx.freshName("d"); val cv = ctx.freshName("cv")
@@ -201,7 +215,7 @@ object VectorExpressions {
            |    $acc += $df * $df;
            |  }
            |  double $d = Math.sqrt($acc);
-           |  if ($d < $bestD) { $bestD = $d; $bestC = $cidsRef[$c]; }
+           |  if ($c == 0 || $d < $bestD) { $bestD = $d; $bestC = $cidsRef[$c]; }
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.expressions
            |  .GenericInternalRow(new Object[]{$bestD, $bestC});
@@ -222,10 +236,10 @@ object VectorExpressions {
     "graft_nearest_centroid" -> (args => {
       require(args.length == 3 && args(1).foldable && args(2).foldable,
         "graft_nearest_centroid(vec, cids, cvs): codebook args must be literals")
-      val cids = args(1).eval().asInstanceOf[ArrayData].toIntArray()
+      val cids = args(1).eval().asInstanceOf[ArrayData].toIntArray().toSeq
       val cvsData = args(2).eval().asInstanceOf[ArrayData]
-      val cvs = Array.tabulate(cvsData.numElements())(i =>
-        cvsData.getArray(i).toFloatArray())
+      val cvs = Seq.tabulate(cvsData.numElements())(i =>
+        cvsData.getArray(i).toFloatArray().toSeq)
       NearestCentroidExpr(args(0), cids, cvs)
     }))
   private def functions = builders

@@ -581,11 +581,12 @@ private[graft] object Queries546to555 extends QueryModule {
         |      AS e_below
         |  FROM cnt, tot)
         |SELECT g, n_above, n_below, round(e_above, 6) AS exp_above,
-        |  round(CASE WHEN e_above > 0 THEN
-        |      (n_above - e_above) * (n_above - e_above) / e_above END
-        |    + CASE WHEN e_below > 0 THEN
-        |      (n_below - e_below) * (n_below - e_below) / e_below END, 6)
-        |    AS chi2_part
+        |  round(CASE WHEN e_above > 0 OR e_below > 0 THEN
+        |    COALESCE(CASE WHEN e_above > 0 THEN
+        |      (n_above - e_above) * (n_above - e_above) / e_above END, 0)
+        |    + COALESCE(CASE WHEN e_below > 0 THEN
+        |      (n_below - e_below) * (n_below - e_below) / e_below END, 0)
+        |    END, 6) AS chi2_part
         |FROM x ORDER BY g""".stripMargin,
 
     // exact per-group count blocks, sample variance, closed-form MoM

@@ -61,18 +61,19 @@ private[graft] object Queries556to565 extends QueryModule {
       // definitional oracle on the UNION graph — three engine paths
       // (definitional q538, scalable q546, incremental q557), ONE
       // oracle. Labels stay canonical because an SCC label is its
-      // min node, so the merged super-SCC's min IS the union's min
+      // min node, so the merged super-SCC's min IS the union's min.
+      // The OLD state reads from the standing on-disk SccStore
+      // (flowSccOldStorePath — built once per dataset, not per query:
+      // its inline rebuild was ~3.5 s × 3 queries of gate overhead)
       val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
       def edgesOf(f: DataFrame) = f
         .select((col("l_partkey") % 512).as("src"),
           (col("l_suppkey") % 512).as("dst"))
-      val oldE = edgesOf(li.filter(col("l_orderkey") % 8 =!= 0))
       val newE = edgesOf(li.filter(col("l_orderkey") % 8 === 0))
-      val oldLabels = GraphAnalytics.sccLabelsFwBw(oldE, "src", "dst",
-        shufflePartitions = Some(8))
-      val oldCond = GraphAnalytics.condensationEdges(oldE, "src", "dst",
-        oldLabels)
-      GraphAnalytics.incrementalScc(oldLabels, oldCond, newE,
+      val root = flowSccOldStorePath(s, dir)
+      GraphAnalytics.incrementalScc(
+          store.SccStore.labels(s, root).select("node", "scc"),
+          store.SccStore.condensation(s, root), newE,
           "src", "dst", shufflePartitions = Some(8))
         .orderBy("node")
     }),
@@ -137,17 +138,16 @@ private[graft] object Queries556to565 extends QueryModule {
       // only ever merge, so old edges can create nothing new) plus the
       // batch mapped through the same labels, all in the contracted
       // space. Gated against the definitional condensation of the
-      // union graph (the q538 closure CTEs with a condensation select)
+      // union graph (the q538 closure CTEs with a condensation select).
+      // OLD state from the standing on-disk SccStore, like q557/q561
       val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
       def edgesOf(f: DataFrame) = f
         .select((col("l_partkey") % 512).as("src"),
           (col("l_suppkey") % 512).as("dst"))
-      val oldE = edgesOf(li.filter(col("l_orderkey") % 8 =!= 0))
       val newE = edgesOf(li.filter(col("l_orderkey") % 8 === 0))
-      val oldLabels = GraphAnalytics.sccLabelsFwBw(oldE, "src", "dst",
-        shufflePartitions = Some(8))
-      val oldCond = GraphAnalytics.condensationEdges(oldE, "src", "dst",
-        oldLabels)
+      val root = flowSccOldStorePath(s, dir)
+      val oldLabels = store.SccStore.labels(s, root).select("node", "scc")
+      val oldCond = store.SccStore.condensation(s, root)
       val newLabels = GraphAnalytics.incrementalScc(oldLabels, oldCond,
         newE, "src", "dst", shufflePartitions = Some(8))
       GraphAnalytics.incrementalCondensation(newLabels, oldCond, newE,
@@ -155,6 +155,57 @@ private[graft] object Queries556to565 extends QueryModule {
         .select(col("src_scc").cast("long").as("src_scc"),
           col("dst_scc").cast("long").as("dst_scc"))
         .orderBy("src_scc", "dst_scc")
+    }),
+
+    "q561_incremental_scc_standing" -> ((s, dir) => {
+      // q557's exact design through the PRODUCTION discovery path: the
+      // condensation's standing WCC labels ([[condensationWcc]] — the
+      // third piece of standing SCC state) ride in as `oldCondWcc`, so
+      // touched-component discovery is ONE O(batch) incremental-WCC
+      // step instead of the from-scratch closure q557 exercises. Same
+      // definitional oracle on the union graph — BOTH branches of
+      // incrementalScc are now hash-gated, not just spec-pinned
+      // identical (the r10 verdict's Missing #2). The WHOLE standing
+      // trio — labels, condensation, condensation-WCC — reads from the
+      // on-disk SccStore; nothing is recomputed from corpus edges
+      val li = tbl(s, dir, "lineitem").filter(col("l_quantity") <= 1)
+      def edgesOf(f: DataFrame) = f
+        .select((col("l_partkey") % 512).as("src"),
+          (col("l_suppkey") % 512).as("dst"))
+      val newE = edgesOf(li.filter(col("l_orderkey") % 8 === 0))
+      val root = flowSccOldStorePath(s, dir)
+      GraphAnalytics.incrementalScc(
+          store.SccStore.labels(s, root).select("node", "scc"),
+          store.SccStore.condensation(s, root), newE,
+          "src", "dst", shufflePartitions = Some(8),
+          oldCondWcc = Some(store.SccStore.condWcc(s, root)))
+        .orderBy("node")
+    }),
+
+    "q562_knn_graph_scaled" -> ((s, dir) => {
+      // the kNN-graph machinery gate in the LINEAR regime: q378/q101
+      // pin a FIXED 8-cell codebook (cell-local pair work n²/8 — the
+      // definitional bound, kept), this twin applies the engine's own
+      // corpus-scaled codebook rule — cells = max(8, ⌊n/128⌋), the
+      // AnnStore bounded-cell-population discipline under the ≤256
+      // centroid cap — so the GATE itself demonstrates pair work ∝ n
+      // (the regime ScaleProbe's knnbuild leg measures). The oracle
+      // restates the codebook rule from its own count(*), the q556
+      // pattern: hash equality proves the scaled build adds no
+      // semantics beyond "assign to nearest of ⌊n/128⌋ cells, rank
+      // cell-local cosine top-3"
+      val e = tbl(s, dir, "embeddings")
+      val nCents = math.max(8L, e.count() / 128L).toInt
+      val centroids = e.filter(col("vec_id") < nCents)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.assignNearestCentroid(e, "embedding",
+          "vec_id", centroids, "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      Similarity.knnGraph(assigned, "embedding", "vec_id", 3)
+        .filter(col("id") % 7 === 0)
+        .select(col("id"), col("rank"), col("nbr_id"),
+          round(col("distance"), 6).as("distance"))
+        .orderBy("id", "rank")
     }),
 
     "q560_dedup_eviction_replay" -> ((s, dir) => {
@@ -245,6 +296,11 @@ private[graft] object Queries556to565 extends QueryModule {
     // hash-fails here
     "q557_incremental_scc" -> Queries533to540.sccOracleSql,
 
+    // the production (standing condensation-WCC) discovery branch rides
+    // the SAME definitional union-graph oracle as q557 — one oracle,
+    // both incrementalScc branches
+    "q561_incremental_scc_standing" -> Queries533to540.sccOracleSql,
+
     // merged vs rebuilt recall, both against the exact union top-3
     // (the q119/q103 replay fragments composed: probe-scoped fw for
     // the merge, cell-local pairs for the rebuild, exact over union)
@@ -313,6 +369,33 @@ private[graft] object Queries556to565 extends QueryModule {
         |  JOIN scc s2 ON s2.node = e.dst
         |WHERE s1.scc <> s2.scc
         |ORDER BY src_scc, dst_scc""".stripMargin),
+
+    // the codebook rule restated from the oracle's own count(*) —
+    // cells = greatest(8, n // 128) — then the q378 assignment/pair
+    // fragments verbatim; the n%7 node sample keeps the gated
+    // adjacency bounded at any scale factor
+    "q562_knn_graph_scaled" ->
+      """WITH nc AS (SELECT greatest(8, CAST(count(*) // 128 AS INT)) AS k
+        |  FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cid,
+        |    CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings, nc WHERE vec_id < nc.k),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid AS centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.cid) AS rn
+        |    FROM embeddings e, c) WHERE rn = 1),
+        |p AS (SELECT l.vec_id AS id, r.vec_id AS nbr_id,
+        |    1.0 - list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+        |      CAST(r.embedding AS DOUBLE[])) AS distance
+        |  FROM a l JOIN a r ON l.centroid_id = r.centroid_id
+        |    AND l.vec_id <> r.vec_id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(rk AS INT) AS rank,
+        |  CAST(nbr_id AS BIGINT) AS nbr_id, round(distance, 6) AS distance
+        |FROM (SELECT id, nbr_id, distance,
+        |    row_number() OVER (PARTITION BY id ORDER BY distance, nbr_id) AS rk
+        |  FROM p) WHERE rk <= 3 AND id % 7 = 0
+        |ORDER BY id, rank""".stripMargin,
 
     // the replay contract's emitted multiset: batch-1 keys once, the
     // tick once, batch-3 keys once more (batch 4 all dropped)

@@ -51,7 +51,10 @@ private[graft] object QueryTags {
     // replay is a real 4-micro-batch execution like q524/q547/q550
     "q557_incremental_scc",
     "q559_condensation_merge",
-    "q560_dedup_eviction_replay")
+    "q560_dedup_eviction_replay",
+    // r11: q557's production-path twin — same inline standing-state
+    // rebuild overhead, same oracle
+    "q561_incremental_scc_standing")
 
   /** Serve from the standing kNN GraphStore (QueryHelpers.storedKnnGraph
     * / storedKnnGraphPath). */
@@ -105,6 +108,7 @@ private[graft] object QueryTags {
     "q382_graph_merge",   // GraphStore incremental-merge gate
     "q556_graph_merge_scoped", // GraphStore cell-scoped merge gate
     "q558_graph_merge_recall", // merged-vs-rebuilt recall gate
+    "q562_knn_graph_scaled",   // kNN graph gate, corpus-scaled codebook
     "q97_inverted_index") // inverted-index construction gate
 }
 

@@ -321,7 +321,9 @@ object GraphStore {
     val probedCells = batch
       .select(col(idCol).cast("long").as("_qid"), col(vecCol).as("_qv"))
       .crossJoin(broadcast(centroids.select(
-        col(cidCol).as("centroid_id"), col(cvecCol).as("_cv"))))
+        // defensive cast, mirroring assignNearestCentroid: a long/bigint
+        // centroid-id column must not ClassCastException in the collect
+        col(cidCol).cast("int").as("centroid_id"), col(cvecCol).as("_cv"))))
       .withColumn("_cdist",
         call_function("graft_l2_distance", col("_qv"), col("_cv")))
       .withColumn("_rn", row_number().over(wProbe))

@@ -78,24 +78,14 @@ object EventStreams {
 
   private val replayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
-    * a streaming query binds its STATE-STORE partition count to this at
-    * start, and the replay instruments pay per-partition store
-    * setup/commit on EVERY micro-batch — at the default 32 partitions ×
-    * 4 stores a stream-stream join burned ~30 s of pure store machinery
-    * on a 1,500-row replay (measured, BENCH r9 first pass: q550 33 s →
-    * ~3 s at 4 partitions). The replays are bounded gate instruments
-    * (hundreds of keys), so a handful of state partitions loses nothing;
-    * a production stream at corpus scale keeps the session default.
-    * Restores the previous setting afterwards; queries already running
-    * keep their own binding (the [[RocksDbProvider]] helper's rule). */
+  /** Scoped shuffle-partition override: a streaming query binds its
+    * STATE-STORE partition count to this at start, and the bounded replay
+    * instruments pay per-partition store setup/commit on every
+    * micro-batch (q550: 33 s at 32 partitions → ~3 s at 4). Contract and
+    * enforcement live in [[graft.SessionConf]] (the one definition). */
   private def withShufflePartitions[A](spark: SparkSession, n: Int)
-      (body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
+      (body: => A): A =
+    graft.SessionConf.withShufflePartitions(spark, n)(body)
 
   /** A watermarked tumbling-window aggregate driven through a REAL
     * micro-batch execution with DETERMINISTIC batches — the machinery

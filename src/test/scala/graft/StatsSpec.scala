@@ -1449,6 +1449,20 @@ class StatsSpec extends SparkSpec {
     val med = Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "v")
     val m = Stats.moodMedianTest(med, "g", "v").head()
     assert(m.getLong(1) == 1L && m.getLong(2) == 1L)
+    // half-degenerate: ta = 0 (no value anywhere above the grand
+    // median 2) → e_above = 0 with n_above forced 0, so chi2_part is
+    // the DEFINED below-half; group b empties entirely (both values
+    // equal the median) → both sides degenerate → NULL, surfaced
+    val half = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val h = Stats.moodMedianTest(half, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ha = h("a") // below-half: n_below=1, e_below=1 → (1-1)²/1 = 0
+    assert(ha.getLong(1) == 0L && ha.getLong(2) == 1L)
+    assert(ha.getAs[Double]("chi2_part") == 0.0)
+    val hb = h("b")
+    assert(hb.getLong(1) == 0L && hb.getLong(2) == 0L)
+    assert(hb.isNullAt(hb.fieldIndex("chi2_part")))
   }
 
   test("negativeBinomialFit: MoM closed form on a hand design; " +
