@@ -53,12 +53,19 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** Distinct character n-gram shingles, pure Catalyst
-    * (`sequence`+`transform`), no UDF. */
-  def shingleExpr(textCol: String, n: Int): Column =
-    when(length(col(textCol)) < n, array(col(textCol)))
-      .otherwise(array_distinct(expr(
-        s"transform(sequence(0, length($textCol) - $n), i -> substring($textCol, i + 1, $n))")))
+  /** Distinct character n-gram shingles (first-occurrence order), served
+    * by the native [[graft.plans.HashExpressions.ShinglesExpr]] — output
+    * identical to the original Catalyst form
+    * `when(length < n, array(text)).otherwise(array_distinct(transform(
+    * sequence(0, length - n), i -> substring(text, i + 1, n))))`, whose
+    * interpreted per-window lambda dominated every shingle-exploding
+    * scan stage (measured r11: explode over the corpus 1.84 s -> 0.22 s,
+    * same 1,021,477 rows). HashExpressionsSpec pins equality. */
+  def shingleExpr(textCol: String, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.HashExpressions.register)
+    call_function("graft_shingles", col(textCol), lit(n))
+  }
 
   /** MinHash signature: for each of `numHashes` permutations
     * h_i(x) = (a_i * polyhash(x) + b_i) mod p, take the min over shingles.

@@ -40,32 +40,25 @@ object Winnowing {
     * shorter than k + w − 1 characters have no complete window and emit
     * no rows.
     *
-    * Layout choice: per-CHARACTER rows + window functions, not nested
-    * array HOFs. A chained transform/slice formulation re-evaluates the
-    * inner hash array inside every window lambda once Catalyst collapses
-    * the projections (O(len²·k·w) per doc, interpreted eval); here the
-    * k-gram hash is k `lead`s over one doc-partitioned sort and the
-    * window min is a bounded sliding frame over the SAME sort — one
-    * shuffle by document, one sort, both passes pipelined. The k-gram
-    * hash applies mod once to the 8-term polynomial (Σ < 2⁴⁵, no
-    * overflow), congruent to the oracle's per-step fold. */
+    * Layout choice (r11): the native
+    * [[graft.plans.HashExpressions.WinnowFpsExpr]] — one tight per-row
+    * loop (rolling k-gram hashes + monotone-deque sliding min), so
+    * fingerprinting truly never leaves the scan stage. The previous
+    * per-character explode + k-`lead` window form computed the same
+    * thing but shuffled and sorted |corpus|·len rows per query
+    * (measured r11: q165 3.4 -> 1.3 s at sf0.1); the earlier
+    * chained transform/slice HOF form re-evaluated the hash array
+    * inside every interpreted window lambda. The k-gram hash applies
+    * mod once to the 8-term polynomial (Σ < 2⁴⁵ on ASCII, < 2⁶³ at any
+    * code point for k ≤ 9), exactly the oracle's fold. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, w: Int = 16): DataFrame = {
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
+    graft.plans.HashExpressions.register(df.sparkSession)
     df.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol),
-        posexplode(expr(s"transform(split($textCol, ''), c -> cast(ascii(c) as bigint))"))
-          .as(Seq("pos", "code")))
-      .withColumn("_kh", pmod((0 until k).map { j =>
-        lead(col("code"), j).over(wDoc) * lit(Seq.fill(k - 1 - j)(31L).product)
-      }.reduce(_ + _), lit(P))) // null once the k-gram runs past the end
-      .filter(col("_kh").isNotNull)
-      .withColumn("fp", min(col("_kh")).over(wDoc.rowsBetween(0, w - 1)))
-      // a full window exists iff the (w−1)-ahead k-gram still does
-      .withColumn("_full", lead(col("_kh"), w - 1).over(wDoc))
-      .filter(col("_full").isNotNull)
-      .select(col(idCol), col("fp")).distinct()
+        explode(call_function("graft_winnow_fps",
+          col(textCol), lit(k), lit(w), lit(P))).as("fp"))
+      .distinct()
   }
 
   /** Document pairs ranked by shared winnowed fingerprints:

@@ -102,6 +102,31 @@ object HashExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct character n-gram SHINGLE STRINGS in first-occurrence order —
+    * the native twin of [[graft.operators.Dedup.shingleExpr]]'s
+    * `array_distinct(transform(sequence(...), substring(...)))`, which
+    * evaluates its lambda interpreted per window (O(len) boxed calls per
+    * row dominated every shingle-exploding query's scan stage). Identical
+    * output: `substring` windows are CHARACTER windows, so the ASCII fast
+    * path slices bytes and the general path slices code points. */
+  def shinglesEval(s: UTF8String, n: Int): ArrayData = {
+    val nChars = s.numChars()
+    if (nChars < n) return new GenericArrayData(Array[Any](s))
+    val seen = new java.util.LinkedHashSet[UTF8String](nChars * 2)
+    if (s.numBytes() == nChars) { // ASCII: char windows == byte windows,
+      // and every shingle is a zero-copy view over one shared byte array
+      val bytes = s.getBytes
+      var i = 0
+      while (i <= nChars - n) {
+        seen.add(UTF8String.fromBytes(bytes, i, n)); i += 1
+      }
+    } else {
+      var i = 0
+      while (i <= nChars - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   def tokenEval(s: UTF8String): ArrayData = {
     val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
     def isSpace(b: Byte): Boolean =
@@ -185,6 +210,48 @@ object HashExpressions {
       while (j < i + n) { acc = (acc * PolyBase2 + th(j) % P) % P; j += 1 }
       out(i) = acc; i += 1
     }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct winnowed fingerprints of a document in one per-row pass —
+    * the native twin of [[graft.operators.Winnowing.fingerprints]]'s
+    * per-character explode + k `lead`s + sliding-window min (that form
+    * shuffles and sorts |corpus|·len rows PER QUERY; this one never
+    * leaves the scan stage — the shuffle-removal the operator's own
+    * scaladoc called out as the scale shape, guide §2.4). Arithmetic is
+    * IDENTICAL: k-gram hash = (Σ_j code(i+j)·31^(k−1−j)) mod p computed
+    * with one mod on the unreduced polynomial sum (codes are code
+    * points; k ≤ 9 keeps the sum under 2^63 even at U+10FFFF), window
+    * min over `w` consecutive k-gram hashes, distinct. Documents
+    * shorter than k + w − 1 characters yield an empty array (the
+    * declarative form's filter). */
+  def winnowEval(s: UTF8String, k: Int, w: Int, p: Long): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val n = cps.length
+    if (n < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - k + 1 // number of complete k-grams
+    val kh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L; var j = 0
+      while (j < k) { acc = acc * 31L + cps(i + j); j += 1 }
+      kh(i) = acc % p
+      i += 1
+    }
+    // sliding min over w-wide windows (monotone deque, O(m))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](m); var head = 0; var tail = 0 // index deque
+    i = 0
+    while (i < m) {
+      while (tail > head && kh(dq(tail - 1)) >= kh(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(kh(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
 
@@ -278,6 +345,22 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct character n-gram shingle STRINGS (first-occurrence order) —
+    * the native twin of Dedup.shingleExpr. See [[shinglesEval]]. */
+  case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_shingles"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      shinglesEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.shinglesEval($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** XXH64 hashes of whitespace-delimited tokens (ASCII whitespace runs) —
     * native twin of `transform(filter(split(text,'\s+'), _ != ''), xxhash64)`. */
   case class TokenHashesExpr(child: Expression) extends UnaryExpression {
@@ -338,6 +421,25 @@ object HashExpressions {
       gramPolyEval(input.asInstanceOf[UTF8String], n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.gramPolyEval($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct winnowed fingerprints (Schleimer et al. 2003) — see
+    * [[winnowEval]]. */
+  case class WinnowFpsExpr(child: Expression, k: Int, w: Int, p: Long)
+      extends UnaryExpression {
+    require(k >= 1 && k <= 9 && w >= 1,
+      "graft_winnow_fps: need 1 <= k <= 9 (unreduced polynomial sum must fit a long) and w >= 1")
+    override def prettyName: String = "graft_winnow_fps"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      winnowEval(input.asInstanceOf[UTF8String], k, w, p)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.winnowEval($c, $k, $w, ${p}L);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -450,12 +552,18 @@ object HashExpressions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_shingle_hashes" -> (args => ShingleHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
+    "graft_shingles" -> (args => ShinglesExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
     "graft_token_hashes" -> (args => TokenHashesExpr(args(0))),
     "graft_shingle_polyhashes" -> (args => ShinglePolyHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_token_polyhashes" -> (args => TokenPolyHashesExpr(args(0))),
     "graft_gram_polyhashes" -> (args => GramPolyHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
+    "graft_winnow_fps" -> (args => WinnowFpsExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int],
+      args(2).eval(null).asInstanceOf[Int],
+      args(3).eval(null).asInstanceOf[Long])),
     "graft_minhash_sig" -> (args => MinHashSigExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash64" -> (args => SimHash64Expr(args(0))),

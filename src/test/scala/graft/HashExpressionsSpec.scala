@@ -23,6 +23,26 @@ class HashExpressionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("graft_shingles equals the declarative array_distinct(transform(...)) form, order included") {
+    val hof = (t: String, n: Int) =>
+      when(length(col(t)) < n, array(col(t))).otherwise(array_distinct(expr(
+        s"transform(sequence(0, length($t) - $n), i -> substring($t, i + 1, $n))")))
+    val rows = df.select(
+      call_function("graft_shingles", col("text"), lit(5)).as("native"),
+      hof("text", 5).as("hofv")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // short (< n) and empty strings take the whole-string branch
+    val edge = Seq("ab", "").toDF("text").select(
+      call_function("graft_shingles", col("text"), lit(5)).as("native"),
+      hof("text", 5).as("hofv")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // non-ASCII text: substring windows are CHARACTER windows
+    val uni = Seq("héllo wörld déjà vu", "åß∂ƒ©˙∆˚").toDF("text").select(
+      call_function("graft_shingles", col("text"), lit(5)).as("native"),
+      hof("text", 5).as("hofv")).collect()
+    uni.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("native minhash signature equals the declarative form") {
     val rows = df.select(
       call_function("graft_minhash_sig",

@@ -30,6 +30,39 @@ class WinnowingSpec extends SparkSpec {
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
 
+  test("native winnow fingerprints equal the per-character window form, any k/w") {
+    // the r11 native expression vs the original explode + lead + sliding
+    // window-min formulation, on random text over several (k, w)
+    val P = 1000000007L
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefg XYZ.,;!? 0123456789"
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (0 until 20 + rnd.nextInt(300))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 16), (3, 4), (5, 2), (2, 7))) {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val old = docs.filter(length(col("text")) >= k + w - 1)
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(split(text, ''), c -> cast(ascii(c) as bigint))"))
+            .as(Seq("pos", "code")))
+        .withColumn("_kh", pmod((0 until k).map { j =>
+          lead(col("code"), j).over(wDoc) * lit(Seq.fill(k - 1 - j)(31L).product)
+        }.reduce(_ + _), lit(P)))
+        .filter(col("_kh").isNotNull)
+        .withColumn("fp", min(col("_kh")).over(wDoc.rowsBetween(0, w - 1)))
+        .withColumn("_full", lead(col("_kh"), w - 1).over(wDoc))
+        .filter(col("_full").isNotNull)
+        .select(col("doc_id"), col("fp")).distinct()
+        .as[(Long, Long)].collect().toSet
+      val native = graft.operators.Winnowing
+        .fingerprints(docs, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      assert(native == old, s"winnow mismatch at k=$k w=$w")
+    }
+  }
+
   test("sharedFingerprintPairs: near-dup twins pair up, unrelated docs do not") {
     val other = "completely different words appear in this second document here"
     val df = Seq((1L, base + " with a small tail"), (2L, base + " and another tail"),
