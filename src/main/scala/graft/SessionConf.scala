@@ -52,6 +52,33 @@ object SessionConf {
       case Some(p) => withShufflePartitions(spark, p)(body)
     }
 
+  /** Shuffle-partition count DERIVED FROM INPUT SIZE for the iterative
+    * graph operators: ceil(plan-estimated bytes / `bytesPerPartition`),
+    * clamped to [1, session default]. The estimate comes from the
+    * input's optimized plan (a parquet/LogicalRDD scan reports real
+    * bytes; a join-derived frame over-estimates, which only clamps back
+    * to the session default — the safe direction). Guide §2: per-round
+    * scheduling overhead of a Pregel loop is rounds × tasks × floor, and
+    * AQE's reduce-side coalescing cannot shrink the MAP task count of
+    * the next round's shuffle, so a kNN graph of a few hundred KB was
+    * paying 32-task rounds at local[32] (measured r11: q418 3.0 -> 1.9 s,
+    * q458 1.9 -> 1.1 s, q136 2.6 -> 1.1 s at derived≈4). At production
+    * scale the same derivation yields the session default (inputs far
+    * exceed bytesPerPartition × partitions), i.e. the override is a
+    * no-op exactly when the data is big. */
+  def sizedPartitions(df: org.apache.spark.sql.DataFrame,
+                      bytesPerPartition: Long = 64L << 20): Option[Int] = {
+    val cur = math.max(df.sparkSession.conf.get(ShuffleKey).toInt, 1)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // parallelism floor of 4 (or the session default if lower): a
+    // control-plane-sized frame still spreads over a few cores, and the
+    // measured sweet spot for the sf0.1 kNN-graph loops sat at ~4 (1-2
+    // partitions serialized the per-round work for no overhead win)
+    val floor = math.min(cur, 4)
+    val p = (bytes / bytesPerPartition) + 1
+    Some(p.max(BigInt(floor)).min(BigInt(cur)).toInt)
+  }
+
   def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val me = Thread.currentThread()
     val prev = holders.putIfAbsent(spark, me)

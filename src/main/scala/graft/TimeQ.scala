@@ -18,6 +18,11 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional runtime conf overrides for A/B experiments
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.range(100000).selectExpr("sum(id)").collect()
     for (name <- names) {
       val fn = SparkEntry.queries(name)

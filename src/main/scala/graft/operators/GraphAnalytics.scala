@@ -37,6 +37,19 @@ import org.apache.spark.sql.functions._
   * to determinism. */
 object GraphAnalytics {
 
+  /** r11: run `body` with shuffle partitions DERIVED FROM `input`'s size
+    * ([[graft.SessionConf.sizedPartitions]]) — the iterative operators'
+    * per-round joins/aggregates stop paying session-default-partition
+    * task counts when the graph is control-plane-sized, while a
+    * corpus-scale input clamps the derivation to the session default,
+    * making the override a no-op exactly when data is big. Only the
+    * EAGER work inside `body` (the per-round localCheckpoints) plans
+    * under the override; the returned frame's final assembly is
+    * checkpoint-backed and coalesces via AQE. */
+  private def sized[A](input: DataFrame)(body: => A): A =
+    graft.SessionConf.withShufflePartitions(input.sparkSession,
+      graft.SessionConf.sizedPartitions(input))(body)
+
   /** Fixed-point PageRank (Page et al. 1999, damping d = 0.85) over an
     * edge list, `iters` synchronous power iterations from a uniform
     * start.
@@ -59,6 +72,7 @@ object GraphAnalytics {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
+    sized(edges) {
     // every iteration re-joins the edge list; cache the projection so an
     // expensive upstream build (e.g. the q101 kNN pair join) runs once,
     // not once per round (the q56 pairs.cache() precedent)
@@ -95,6 +109,7 @@ object GraphAnalytics {
       }
       ranks
     } finally e.unpersist()
+    }
   }
 
   /** [[pageRank]] with teleport restricted to `seedPred` nodes —
@@ -111,6 +126,7 @@ object GraphAnalytics {
                            iters: Int = 3,
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && scale >= 1L, "need iters >= 1 and scale >= 1")
+    sized(edges) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).cache()
     try {
@@ -144,6 +160,7 @@ object GraphAnalytics {
       }
       ranks
     } finally e.unpersist()
+    }
   }
 
   /** Rank rows of a [[pageRank]] result: (id, pr, rk) ordered by
@@ -249,6 +266,7 @@ object GraphAnalytics {
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
                 k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    sized(edges) {
     var und = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
@@ -270,6 +288,7 @@ object GraphAnalytics {
           .localCheckpoint()
     }
     keep.select(col("v").as("id"), col("deg"))
+    }
   }
 
   /** Synchronous label propagation (Zhu & Ghahramani 2002 hard-label
@@ -291,6 +310,7 @@ object GraphAnalytics {
                        labeled: DataFrame, labIdCol: String,
                        labCol: String, iters: Int = 2): DataFrame = {
     require(iters >= 1, "need iters >= 1")
+    sized(edges) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).cache()
     try {
@@ -322,6 +342,7 @@ object GraphAnalytics {
           .when(col("label").isNotNull, lit("propagated"))
           .otherwise(lit("unlabeled")).as("origin"))
     } finally e.unpersist()
+    }
   }
 
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
@@ -576,6 +597,7 @@ object GraphAnalytics {
     // output branches — materialize it ONCE (and truncate each round's
     // score lineage) or the fact scan + distinct re-run per reference:
     // the pageRank/bradleyTerry localCheckpoint discipline
+    sized(edges) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
     var hub = e.select(col("src").as("id")).distinct()
@@ -602,6 +624,7 @@ object GraphAnalytics {
     hub.select(lit("hub").as("kind"), col("id"), col("h").as("score"))
       .unionByName(auth.select(lit("authority").as("kind"), col("id"),
         col("a").as("score")))
+    }
   }
 
   /** Single-source Brandes dependency (Brandes 2001 §4): the exact
@@ -621,7 +644,7 @@ object GraphAnalytics {
     * `topK` nodes by δ (ties → smaller id) with dist/σ. */
   def brandesDependency(edges: DataFrame, srcCol: String, dstCol: String,
                         sourceId: Long, maxDepth: Int,
-                        topK: Int): DataFrame = {
+                        topK: Int): DataFrame = sized(edges) {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
@@ -643,7 +666,7 @@ object GraphAnalytics {
     * FIXED pivot count. Returns the topK nodes by mean dependency. */
   def sampledBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
                          sources: Seq[Long], maxDepth: Int,
-                         topK: Int): DataFrame = {
+                         topK: Int): DataFrame = sized(edges) {
     val d18 = (c: Column) => c.cast("decimal(38,18)")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
@@ -705,7 +728,12 @@ object GraphAnalytics {
           "left_anti")
         .select(col("src"), col("node"), lit(h).as("dist"), col("sigma"))
         .localCheckpoint()
-      info = info.union(frontier).localCheckpoint()
+      // union of ALREADY-checkpointed per-level frames: no second eager
+      // checkpoint per round (r11 job diet — re-checkpointing the union
+      // copied all accumulated levels again every round, one extra
+      // multi-stage job per level; a union over ≤maxDepth RDD leaves
+      // scans cheaply and recomputes nothing)
+      info = info.union(frontier)
     }
     // backward: dependencies level by level, still keyed by src
     val maxD = maxDepth
@@ -731,7 +759,7 @@ object GraphAnalytics {
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint()
       delta = lvlFull
-      acc = acc.union(lvlFull).localCheckpoint()
+      acc = acc.union(lvlFull) // leaves checkpointed; see forward pass
     }
     info.join(acc, Seq("src", "node"))
   }
@@ -758,6 +786,7 @@ object GraphAnalytics {
                    rounds: Int): DataFrame = {
     val p = 2147483647L
     val b1 = graft.plans.HashExpressions.PolyBase1
+    sized(edges) {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
@@ -785,6 +814,7 @@ object GraphAnalytics {
       out = out.unionByName(summary(r, colors))
     }
     out.orderBy("round")
+    }
   }
 
   /** Double-BFS eccentricity sweep (the classic diameter lower-bound
@@ -803,7 +833,7 @@ object GraphAnalytics {
     * UNION recursion dedups (node, depth) pairs, so it is n·maxHops
     * rows, and min-depth == BFS distance). */
   def eccentricitySweep(edges: DataFrame, srcCol: String, dstCol: String,
-                        startId: Long, maxHops: Int): DataFrame = {
+                        startId: Long, maxHops: Int): DataFrame = sized(edges) {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
@@ -817,7 +847,9 @@ object GraphAnalytics {
           .join(dist.select("node"), Seq("node"), "left_anti")
           .withColumn("d", lit(h))
           .localCheckpoint()
-        dist = dist.union(frontier).localCheckpoint()
+        // frontier leaves are checkpointed — the accumulated union needs
+        // no second eager materialization per round (r11 job diet)
+        dist = dist.union(frontier)
       }
       dist
     }
@@ -963,7 +995,7 @@ object GraphAnalytics {
     * discipline as [[eccentricitySweep]]; cost is |pivots| BFS runs,
     * each ≤ maxHops joins of a shrinking frontier. */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-                         seeds: Seq[Long], maxHops: Int): DataFrame = {
+                         seeds: Seq[Long], maxHops: Int): DataFrame = sized(edges) {
     val d18 = (c: Column) => c.cast("decimal(38,18)")
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
@@ -986,7 +1018,8 @@ object GraphAnalytics {
           "left_anti")
         .withColumn("d", lit(h))
         .localCheckpoint()
-      dist = dist.union(frontier).localCheckpoint()
+      // checkpointed leaves; union re-materialization dropped (r11)
+      dist = dist.union(frontier)
     }
     dist.filter(col("d") > 0)
       .groupBy("source")
@@ -1015,6 +1048,7 @@ object GraphAnalytics {
   def bellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
                   wCol: String, sourceId: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
+    sized(edges) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w")).cache()
@@ -1047,6 +1081,7 @@ object GraphAnalytics {
       }
       dist.select(col("node"), col("cost").as("min_cost"))
     } finally e.unpersist()
+    }
   }
 
   /** localCheckpoint that also DROPS inherited plan statistics.
@@ -1114,6 +1149,7 @@ object GraphAnalytics {
                  maxJumps: Int = 24,
                  maxDriverComponents: Long = 4000000L): DataFrame = {
     val spark = edges.sparkSession
+    sized(edges) {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"),
@@ -1251,6 +1287,7 @@ object GraphAnalytics {
     if (mst == null) // already-spanning input: nothing to select
       e.select(lit(1).as("round"), col("lo"), col("hi"), col("w")).limit(0)
     else mst.orderBy("w", "lo", "hi")
+    }
   }
 
   /** Strongly connected components by DEFINITION on a bounded directed
@@ -1904,6 +1941,7 @@ object GraphAnalytics {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
              k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1, "need k >= 3 and rounds >= 1")
+    sized(edges) {
     var und = edges.select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
@@ -1938,6 +1976,7 @@ object GraphAnalytics {
       if (r < rounds) und = out.select("a", "b")
     }
     out
+    }
   }
 }
 
