@@ -3408,9 +3408,26 @@ object Stats {
     * quartiles, octiles) is bit-identical to the engines' own
     * h-arithmetic, so `quantile_cont` replays it. */
   def groupedTwoPassQuantile(v: DataFrame, pNum: Int, pDen: Int,
-                             coarseBins: Int = 256): DataFrame = {
-    require(pNum >= 0 && pNum <= pDen && pDen > 0,
-      s"groupedTwoPassQuantile: need 0 <= $pNum/$pDen <= 1")
+                             coarseBins: Int = 256): DataFrame =
+    groupedTwoPassQuantiles(v, Seq((pNum, pDen)), coarseBins)
+      .withColumnRenamed("q0", "q")
+
+  /** ALL requested quantiles from ONE histogram pass + ONE rank-select
+    * pass (r11): a caller needing several quantiles of the same frame
+    * (trimmed mean's q25/q75, IQR gates) previously ran the whole
+    * two-pass machinery once per quantile — at 100 TB that is two extra
+    * corpus scans per additional quantile; here every quantile shares
+    * the group range/histogram frames and the single pass-2 scan, and
+    * the per-quantile rank/interpolation arithmetic is UNCHANGED (each
+    * quantile rank-selects within its own target bins, so values are
+    * bit-identical to the one-quantile form — StatsSpec pins it).
+    * Returns (g, n, q0, q1, ... ) in `quantiles` order. */
+  def groupedTwoPassQuantiles(v: DataFrame, quantiles: Seq[(Int, Int)],
+                              coarseBins: Int = 256): DataFrame = {
+    require(quantiles.nonEmpty, "groupedTwoPassQuantiles: no quantiles")
+    quantiles.foreach { case (pNum, pDen) =>
+      require(pNum >= 0 && pNum <= pDen && pDen > 0,
+        s"groupedTwoPassQuantiles: need 0 <= $pNum/$pDen <= 1") }
     val W = org.apache.spark.sql.expressions.Window
     // GROUP-CARDINALITY-sized control frames (|g| and ≤|g|·bins rows —
     // three-plus orders below the corpus) are localCheckpointed: they
@@ -3432,33 +3449,42 @@ object Stats {
         W.partitionBy("g").orderBy("bin").rowsBetween(Long.MinValue, 0)))
       .join(rng.select("g", "nn"), Seq("g"))
       .localCheckpoint()
-    // 1-based ranks of the two order statistics around h = p·(n−1);
-    // fn = 0 collapses both to the same rank (exact hit, no blend)
-    val loRank = s"((nn - 1) * $pNum) div $pDen + 1"
-    val fnExpr = s"((nn - 1) * $pNum) % $pDen"
-    val hiRank = s"$loRank + (case when $fnExpr > 0 then 1 else 0 end)"
+    // 1-based ranks of the two order statistics around h = p·(n−1) per
+    // quantile; fn = 0 collapses both to the same rank (exact hit)
     def target(kExpr: String, tag: String) = hist
       .withColumn("k", expr(kExpr))
       .filter(col("cum") >= col("k") && (col("cum") - col("f")) < col("k"))
       .select(col("g"), col("bin").as(s"tb_$tag"),
         (col("k") - (col("cum") - col("f"))).as(s"rk_$tag"))
-    val targets = target(loRank, "1").join(target(hiRank, "2"), Seq("g"))
-    // pass 2: one streaming scan — both order statistics rank-select in
-    // the same window pass (when tb/rk coincide the same row feeds both)
+    val targets = quantiles.zipWithIndex.flatMap { case ((pNum, pDen), i) =>
+      val loRank = s"((nn - 1) * $pNum) div $pDen + 1"
+      val fnExpr = s"((nn - 1) * $pNum) % $pDen"
+      val hiRank = s"$loRank + (case when $fnExpr > 0 then 1 else 0 end)"
+      Seq(target(loRank, s"${i}_1"), target(hiRank, s"${i}_2"))
+    }.reduce((a, b) => a.join(b, Seq("g")))
+    // pass 2: one streaming scan — every order statistic rank-selects in
+    // the same window pass (ranks are within (g, bin), so extra target
+    // bins from other quantiles never shift a rank)
+    val binFilter = quantiles.indices
+      .flatMap(i => Seq(s"tb_${i}_1", s"tb_${i}_2"))
+      .map(tb => col("bin") === col(tb)).reduce(_ || _)
+    val aggs = quantiles.indices.flatMap { i => Seq(
+      max(when(col("bin") === col(s"tb_${i}_1") &&
+        col("_rn") === col(s"rk_${i}_1"), col("v"))).as(s"_v1_$i"),
+      max(when(col("bin") === col(s"tb_${i}_2") &&
+        col("_rn") === col(s"rk_${i}_2"), col("v"))).as(s"_v2_$i")) }
+    val qCols = quantiles.zipWithIndex.map { case ((pNum, pDen), i) =>
+      val fn = expr(s"((n - 1) * $pNum) % $pDen")
+      ((col(s"_v1_$i") * (lit(pDen) - fn) + col(s"_v2_$i") * fn)
+        .cast("double") / pDen).as(s"q$i") }
     binned.join(targets, Seq("g"))
-      .filter(col("bin") === col("tb_1") || col("bin") === col("tb_2"))
+      .filter(binFilter)
       .withColumn("_rn", row_number().over(
         W.partitionBy("g", "bin").orderBy("v")))
       .groupBy("g")
-      .agg(max(when(col("bin") === col("tb_1") &&
-          col("_rn") === col("rk_1"), col("v"))).as("_v1"),
-        max(when(col("bin") === col("tb_2") &&
-          col("_rn") === col("rk_2"), col("v"))).as("_v2"))
+      .agg(aggs.head, aggs.tail: _*)
       .join(rng.select(col("g"), col("nn").as("n")), Seq("g"))
-      .withColumn("_fn", expr(s"((n - 1) * $pNum) % $pDen"))
-      .select(col("g"), col("n"),
-        ((col("_v1") * (lit(pDen) - col("_fn")) + col("_v2") * col("_fn"))
-          .cast("double") / pDen).as("q"))
+      .select((Seq(col("g"), col("n")) ++ qCols): _*)
   }
 
   /** [[hampelGate]]'s 100 TB twin: IDENTICAL median/MAD fence algebra —
@@ -3515,10 +3541,11 @@ object Stats {
                           coarseBins: Int = 256): DataFrame = {
     val v = df.select(col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"))
-    val fences = groupedTwoPassQuantile(v, 1, 4, coarseBins)
-      .select(col("g"), col("n"), col("q").as("q25"))
-      .join(groupedTwoPassQuantile(v, 3, 4, coarseBins)
-        .select(col("g"), col("q").as("q75")), Seq("g"))
+    // both fences from ONE shared histogram + rank-select pass (r11):
+    // values identical to two independent quantile runs, two corpus
+    // scans instead of four
+    val fences = groupedTwoPassQuantiles(v, Seq((1, 4), (3, 4)), coarseBins)
+      .select(col("g"), col("n"), col("q0").as("q25"), col("q1").as("q75"))
       .localCheckpoint()
     v.join(fences, Seq("g"))
       .filter(col("v").cast("double") >= col("q25") &&

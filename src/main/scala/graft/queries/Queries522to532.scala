@@ -144,11 +144,11 @@ private[graft] object Queries522to532 extends QueryModule {
       val v = events(s, dir).filter(col("value").isNotNull)
         .select(col("user_id").as("g"),
           round(col("value") * 100).cast("long").as("v"))
-      val p25 = Stats.groupedTwoPassQuantile(v, 1, 4)
-        .select(col("g"), col("n"), col("q").as("_p25"))
-      val p75 = Stats.groupedTwoPassQuantile(v, 3, 4)
-        .select(col("g"), col("q").as("_p75"))
-      p25.join(p75, Seq("g"))
+      // both quartiles from one fused histogram/rank-select pass (r11);
+      // per-quantile arithmetic identical, so the oracle is untouched
+      Stats.groupedTwoPassQuantiles(v, Seq((1, 4), (3, 4)))
+        .select(col("g"), col("n"), col("q0").as("_p25"),
+          col("q1").as("_p75"))
         .select(col("g").as("user_id"), col("n"),
           round(col("_p25"), 6).as("p25"),
           round(col("_p75"), 6).as("p75"),

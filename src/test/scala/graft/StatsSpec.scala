@@ -1291,6 +1291,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedTwoPassQuantiles: the fused multi-quantile pass equals per-quantile runs bit-for-bit") {
+    val df = (1 to 7).flatMap(n => (1 to n).map(i => (s"g$n", (i * 7 + n).toLong)))
+      .toDF("g", "v").select(col("g"), col("v"))
+    val qs = Seq((1, 4), (1, 2), (3, 4), (7, 8))
+    val fused = Stats.groupedTwoPassQuantiles(df, qs, coarseBins = 4)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(2 + i))).toMap
+    qs.zipWithIndex.foreach { case ((pn, pd), i) =>
+      val single = Stats.groupedTwoPassQuantile(df, pn, pd, coarseBins = 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      single.foreach { case (g, q) =>
+        assert(fused(g)(i) == q, s"quantile $pn/$pd group $g") }
+    }
+  }
+
   test("cochranArmitage: perfect monotone trend scores positive z; flat scores 0") {
     // buckets 0,1,2 with rates 0/10, 5/10, 10/10 — exact hand values:
     // N=30 R=15 T'=Σs(rN-nR)=1*(150-150)+2*(300-150)=300
