@@ -48,7 +48,14 @@ object Itemsets {
     val dict = broadcast(l1.select("item").withColumn("iid",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy("item"))))
+    // the int-encoded token frame feeds FIVE plan branches (both sides
+    // of the pair expansion, the level-3 basket and its two sides) —
+    // checkpoint it so the corpus explode+encode runs once and the
+    // candidate joins read a 2-int-column materialization (r11; also
+    // collapses the ~200 KB duplicated-subtree plan that dominated
+    // q213's planning time)
     val tf = t.join(dict, Seq("item")).select(col("id"), col("iid"))
+      .localCheckpoint()
     // Candidate levels expand through codegen'd id self-joins. MEASURED
     // ALTERNATIVE (do not redo): per-doc sorted baskets via collect_set
     // with map-side HOF combination expansion halves the shuffles but ran

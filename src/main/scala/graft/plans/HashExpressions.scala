@@ -127,6 +127,53 @@ object HashExpressions {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Consecutive word n-grams as STRINGS ("tok1 tok2 ..."), positions
+    * preserved (duplicates kept, document order) — the native twin of
+    * `transform(sequence(1, size(ts) - n + 1), i -> concat_ws(' ',
+    * element_at(ts, i), ...))` over `filter(split(text, "\\s+"), != "")`
+    * tokens, whose interpreted lambda dominated the bigram-universe
+    * scans. Whitespace class matches Java regex \s (the six ASCII
+    * whitespace chars), so tokens are identical to the declarative
+    * split+filter; fewer than n tokens yields an empty array. */
+  def wordNgramsEval(s: UTF8String, n: Int): ArrayData = {
+    val base = s.getBaseObject; val off = s.getBaseOffset
+    val len = s.numBytes()
+    def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    // token boundaries as (startByte, endByte) pairs
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(s.getByte(i))) i += 1
+      val st = i
+      while (i < len && !isSpace(s.getByte(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val m = starts.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](m)
+    var g = 0
+    while (g < m) {
+      // bytes of tokens g..g+n-1 joined by single spaces
+      var sz = n - 1; var j = g
+      while (j < g + n) { sz += ends(j) - starts(j); j += 1 }
+      val buf = new Array[Byte](sz)
+      var pos = 0; j = g
+      while (j < g + n) {
+        if (j > g) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(j) - starts(j)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off + starts(j), buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, tl)
+        pos += tl; j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenEval(s: UTF8String): ArrayData = {
     val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
     def isSpace(b: Byte): Boolean =
@@ -361,6 +408,22 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Consecutive word n-gram strings — see [[wordNgramsEval]]. */
+  case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "graft_word_ngrams: need n >= 1")
+    override def prettyName: String = "graft_word_ngrams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      wordNgramsEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.wordNgramsEval($c, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** XXH64 hashes of whitespace-delimited tokens (ASCII whitespace runs) —
     * native twin of `transform(filter(split(text,'\s+'), _ != ''), xxhash64)`. */
   case class TokenHashesExpr(child: Expression) extends UnaryExpression {
@@ -555,6 +618,8 @@ object HashExpressions {
     "graft_shingles" -> (args => ShinglesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_token_hashes" -> (args => TokenHashesExpr(args(0))),
+    "graft_word_ngrams" -> (args => WordNgramsExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
     "graft_shingle_polyhashes" -> (args => ShinglePolyHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_token_polyhashes" -> (args => TokenPolyHashesExpr(args(0))),

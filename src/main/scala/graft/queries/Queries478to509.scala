@@ -351,16 +351,25 @@ private[graft] object Queries478to509 extends QueryModule {
       // most TAIL capability — universe = the 200 rarest token bigrams
       // (the 31-type unigram vocab is flat across sources; bigrams are
       // where the tail lives, the q392 lesson), ≤6 greedy rounds
+      // bigrams via the native graft_word_ngrams (r11): identical
+      // strings/order to the transform(sequence(...)) lambda it
+      // replaces (HashExpressionsSpec pins it) with the interpreted
+      // per-element HOF cost gone from the corpus scan
+      graft.plans.HashExpressions.register(s)
       val bg = tbl(s, dir, "documents")
-        .select(col("source"), TextQuality.tokens(col("text")).as("ts"))
-        .select(col("source"), explode(expr(
-          "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts)" +
-            " - 1), i -> concat(element_at(ts, i), ' ', element_at(ts," +
-            " i + 1))) ELSE cast(array() as array<string>) END"))
-          .as("token"))
-      val univ = bg.groupBy("token").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").asc, col("token")).limit(200).select("token")
-      Sampling.greedySetCover(bg.join(univ, Seq("token")),
+        .select(col("source"), explode(call_function(
+          "graft_word_ngrams", col("text"), lit(2))).as("token"))
+      // ONE corpus pass (r11): global count and the per-token source
+      // set ride the same aggregate, so the universe pick and the
+      // membership frame stop re-running the corpus explode twice —
+      // explode(collect_set(source)) over the 200 winners IS the
+      // distinct (source, token) membership the join produced
+      val cnt = bg.groupBy("token").agg(count(lit(1)).as("c"),
+        collect_set("source").as("_srcs"))
+      val univ = cnt.orderBy(col("c").asc, col("token")).limit(200)
+      val members = univ.select(col("token"),
+        explode(col("_srcs")).as("source"))
+      Sampling.greedySetCover(members,
           "source", "token", rounds = 6)
         .withColumnRenamed("set", "source")
         .withColumn("coverage", round(col("coverage"), 6))

@@ -43,6 +43,24 @@ class HashExpressionsSpec extends SparkSpec {
     uni.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("graft_word_ngrams equals the tokens + transform(sequence) form, order and dupes included") {
+    val hof = (t: String, n: Int) => expr(
+      s"CASE WHEN size(filter(split($t, '\\\\s+'), x -> x != '')) >= $n THEN " +
+        s"transform(sequence(1, size(filter(split($t, '\\\\s+'), x -> x != '')) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(filter(split($t, '\\\\s+'), x -> x != ''), i, $n))) " +
+        "ELSE cast(array() as array<string>) END")
+    for (n <- Seq(1, 2, 3)) {
+      val rows = df.select(
+        call_function("graft_word_ngrams", col("text"), lit(n)).as("native"),
+        hof("text", n).as("hofv")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+    val edge = Seq("", "  ", "one", " a  b\tc \n d ").toDF("text").select(
+      call_function("graft_word_ngrams", col("text"), lit(2)).as("native"),
+      hof("text", 2).as("hofv")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("native minhash signature equals the declarative form") {
     val rows = df.select(
       call_function("graft_minhash_sig",
