@@ -410,6 +410,18 @@ object TextQuality {
          |  sequence(0, cast(floor((size($toksCol) - 1) / $width) as int)),
          |  i -> array_join(slice($toksCol, i * $width + 1, $width), ' ')) end""".stripMargin)
 
+  /** [[tokenLines]] fused with the tokenizer as ONE native expression
+    * ([[graft.plans.HashExpressions.TokenLinesExpr]], r11): every call
+    * site tokenized the text solely to feed the splitter, and the
+    * tokenize + per-window interpreted lambdas dominated those scans.
+    * Output is identical to `tokenLines(tokens(text), width)` —
+    * TextQualitySpec pins it. */
+  def tokenLinesFromText(textCol: Column, width: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.HashExpressions.register)
+    call_function("graft_token_lines", textCol, lit(width))
+  }
+
   /** Hashed-bigram linear quality classifier (fastText/DCLM-style stand-in:
     * Joulin et al. 2017 trains weights; here they are a fixed seeded
     * function of the feature hash, which keeps the OPERATOR shape — feature
@@ -573,9 +585,9 @@ object TextQuality {
     * + two aggregates, all keyed by line hash at scale. */
   def boilerplateLineShare(df: DataFrame, idCol: String, textCol: String,
                            lineTokens: Int = 12, minDf: Int = 3): DataFrame = {
-    val lines = df.withColumn("_toks", tokens(col(textCol)))
-      .withColumn("_lines", tokenLines("_toks", lineTokens))
-      .select(col(idCol).as("id"), explode(col("_lines")).as("line"))
+    val lines = df
+      .select(col(idCol).as("id"),
+        explode(tokenLinesFromText(col(textCol), lineTokens)).as("line"))
       .distinct()
     val dfreq = lines.groupBy("line").agg(count(lit(1)).as("line_df"))
     lines.join(dfreq, Seq("line"))
@@ -649,9 +661,8 @@ object TextQuality {
                         topK: Int = 2): DataFrame = {
     graft.plans.HashExpressions.register(df.sparkSession)
     val lines = df.select(col(idCol).as("id"),
-        filter(split(col(textCol), "\\s+"), t => t =!= "").as("_tk"))
-      .select(col("id"),
-        posexplode(tokenLines("_tk", lineTokens)).as(Seq("line_idx", "line")))
+        posexplode(tokenLinesFromText(col(textCol), lineTokens))
+          .as(Seq("line_idx", "line")))
     val grams = lines.select(col("id"), col("line_idx"),
         explode(call_function("graft_gram_polyhashes", col("line"), lit(2)))
           .as("gh"))

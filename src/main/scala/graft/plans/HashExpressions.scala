@@ -174,6 +174,51 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** Non-overlapping `width`-token pseudo-lines (last line partial), each
+    * joined by single spaces — the native twin of
+    * `transform(sequence(0, floor((size(toks)-1)/width)),
+    *   i -> array_join(slice(toks, i*width+1, width), ' '))` over
+    * whitespace tokens. Zero tokens yields an empty array. */
+  def tokenLinesEval(s: UTF8String, width: Int): ArrayData = {
+    val base = s.getBaseObject; val off = s.getBaseOffset
+    val len = s.numBytes()
+    def isSpace(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(s.getByte(i))) i += 1
+      val st = i
+      while (i < len && !isSpace(s.getByte(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val nTok = starts.length
+    if (nTok == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val nLines = (nTok - 1) / width + 1
+    val out = new Array[AnyRef](nLines)
+    var g = 0
+    while (g < nLines) {
+      val from = g * width
+      val until = math.min(from + width, nTok)
+      var sz = until - from - 1; var j = from
+      while (j < until) { sz += ends(j) - starts(j); j += 1 }
+      val buf = new Array[Byte](sz)
+      var pos = 0; j = from
+      while (j < until) {
+        if (j > from) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(j) - starts(j)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base, off + starts(j), buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos, tl)
+        pos += tl; j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenEval(s: UTF8String): ArrayData = {
     val base = s.getBaseObject; val off = s.getBaseOffset; val len = s.numBytes()
     def isSpace(b: Byte): Boolean =
@@ -408,6 +453,22 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Non-overlapping token pseudo-lines — see [[tokenLinesEval]]. */
+  case class TokenLinesExpr(child: Expression, width: Int) extends UnaryExpression {
+    require(width >= 1, "graft_token_lines: need width >= 1")
+    override def prettyName: String = "graft_token_lines"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected STRING, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      tokenLinesEval(input.asInstanceOf[UTF8String], width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.tokenLinesEval($c, $width);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Consecutive word n-gram strings — see [[wordNgramsEval]]. */
   case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1, "graft_word_ngrams: need n >= 1")
@@ -619,6 +680,8 @@ object HashExpressions {
       args(1).eval(null).asInstanceOf[Int])),
     "graft_token_hashes" -> (args => TokenHashesExpr(args(0))),
     "graft_word_ngrams" -> (args => WordNgramsExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_token_lines" -> (args => TokenLinesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_shingle_polyhashes" -> (args => ShinglePolyHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),

@@ -153,8 +153,7 @@ private[graft] object Queries091to155 extends QueryModule {
       // first occurrence within the doc; doc kept iff ≥2 lines survive.
       // Pure map-side HOF logic — zero shuffle
       val d = tbl(s, dir, "documents")
-        .withColumn("_toks", TextQuality.tokens(col("text")))
-        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+        .withColumn("lines", TextQuality.tokenLinesFromText(col("text"), 12))
       TextQuality.c4LineFilter(d, "lines", minWords = 5,
           blocklist = Seq("slow"), minLines = 2)
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept"),

@@ -1096,8 +1096,7 @@ private[graft] object Queries156to222 extends QueryModule {
       // q99 keeps scattered lines; one doc-window shuffle (q87's
       // gaps-and-islands shape)
       val d = tbl(s, dir, "documents")
-        .withColumn("_toks", TextQuality.tokens(col("text")))
-        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+        .withColumn("lines", TextQuality.tokenLinesFromText(col("text"), 12))
       TextQuality.cleanBlock(d, "doc_id", "lines", minWords = 5,
           blocklist = Seq("slow"))
         .orderBy("id")

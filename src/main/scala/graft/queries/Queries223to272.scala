@@ -501,8 +501,7 @@ private[graft] object Queries223to272 extends QueryModule {
         d0.filter(col("doc_id") % 3 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
       val withLines = corpus
-        .withColumn("_toks", TextQuality.tokens(col("text")))
-        .withColumn("lines", TextQuality.tokenLines("_toks", 12))
+        .withColumn("lines", TextQuality.tokenLinesFromText(col("text"), 12))
       TextQuality.globalLineDedup(withLines, "doc_id", "lines")
         .orderBy("id")
     }),

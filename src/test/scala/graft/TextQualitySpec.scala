@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextQuality
 
 class TextQualitySpec extends SparkSpec {
+
+  test("tokenLinesFromText equals tokenLines(tokens(text), width) for all widths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq("", " ", "one", "a b c d e",
+      " lead  and \t tab \n newline trail ",
+      (1 to 40).map(i => s"t$i").mkString(" ")).toDF("text")
+    for (w <- Seq(1, 3, 12)) {
+      val rows = docs
+        .withColumn("_toks", graft.operators.TextQuality.tokens(col("text")))
+        .select(
+          graft.operators.TextQuality.tokenLinesFromText(col("text"), w).as("native"),
+          graft.operators.TextQuality.tokenLines("_toks", w).as("hofv"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"w=$w"))
+    }
+  }
   import spark.implicits._
 
   test("gopher metrics match hand computation") {
