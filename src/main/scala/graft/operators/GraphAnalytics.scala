@@ -728,12 +728,13 @@ object GraphAnalytics {
           "left_anti")
         .select(col("src"), col("node"), lit(h).as("dist"), col("sigma"))
         .localCheckpoint()
-      // union of ALREADY-checkpointed per-level frames: no second eager
-      // checkpoint per round (r11 job diet — re-checkpointing the union
-      // copied all accumulated levels again every round, one extra
-      // multi-stage job per level; a union over ≤maxDepth RDD leaves
-      // scans cheaply and recomputes nothing)
-      info = info.union(frontier)
+      // info IS re-checkpointed per round: the backward pass reads it
+      // THREE times per level (upper join, level filter, level anti),
+      // so a consolidated single RDD beats a ≤maxDepth-leaf union tree
+      // scanned 3·maxDepth times (r11 measured the union-tree variant
+      // +1.9 s on q422 across two runs; eccentricity/harmonic below keep
+      // the cheap union — their accumulators are read once per round)
+      info = info.union(frontier).localCheckpoint()
     }
     // backward: dependencies level by level, still keyed by src
     val maxD = maxDepth
