@@ -43,10 +43,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     // local A/B hook: extra confs as "k=v;k=v" (unset in driver runs —
-    // the driver's bench numbers always come from the defaults above)
+    // the driver's bench numbers always come from the defaults above).
+    // Malformed segments are skipped, and every APPLIED conf is echoed to
+    // stdout so a recorded bench output self-documents its config (a
+    // leaked env var can't silently skew recorded numbers).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty =>
+          println(s"bench: EXTRA_CONF applied ${k.trim}=${v.trim}")
+          builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => // tolerate empty segments / trailing ';'
+        case _ => System.err.println(s"bench: EXTRA_CONF segment skipped (no '='): '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,7 +152,11 @@ object Bench {
       .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }.mkString("{", ",", "}")
     def jstr(ss: Seq[String]): String =
       ss.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val ncpu = Runtime.getRuntime.availableProcessors
+    // "cpus" must report the HONORED core count (the $SPARK_GRAFT_CPUS
+    // value baked into the master), not availableProcessors: the r11
+    // 8-core driver run printed "cpus":32 and looked like an ignored env
+    val hostCpus = Runtime.getRuntime.availableProcessors
+    val ncpu = scala.util.Try(cpus.trim.toInt).getOrElse(hostCpus)
     // one compact schema-stable summary line per pass; every field is
     // present in every line (best estimate available at that point) so
     // the driver's parse works whichever line is last in the tail
@@ -161,7 +173,7 @@ object Bench {
         s""""steady_total":${fmt(steady.map(_._2).sum)},""" +
         s""""instrument_steady_s":${fmt(instrumentS)},""" +
         s""""store_build_s":${fmt(storeBuildS)},""" +
-        s""""pass_loads":$loadJson,"cpus":$ncpu,$extra""" +
+        s""""pass_loads":$loadJson,"cpus":$ncpu,"host_cpus":$hostCpus,$extra""" +
         s""""top":${top20(cold)},"cold_min_top":${top20(coldMin)},""" +
         s""""steady_top":${top20(steady)}}""")
     }
@@ -282,8 +294,30 @@ object Bench {
     // budget stop is recorded in the pass name itself
     val finalPass = truncatedPass
       .map(p => s"final_${p}_partial").getOrElse("final")
+    // The downstream harness keeps only a ~2,000-char stdout tail, so the
+    // full 562-entry per-query map can never ride in the final line
+    // (~7 kB would clip the line and break the parse — r2 did exactly
+    // that). Write it to a SIDECAR file instead and point at it from the
+    // final line: per-query cold/cold_min/steady maps plus the run's
+    // honored cpu count and pass stamp. Two names: the generic one the
+    // r11 verdict asked for, and a cpu-suffixed one so the driver's
+    // 32-core and 8-core runs don't clobber each other's detail.
+    val qFile = s"bench_queries_c$ncpu.json"
+    try {
+      val sidecar = s"""{"metric":"bench_queries","sf":"$sfDir","cpus":$ncpu,""" +
+        s""""pass":"$finalPass","n_queries":${cold.size},""" +
+        s""""queries":${qmap(cold)},"cold_min_queries":${qmap(coldMin)},""" +
+        s""""steady_queries":${qmap(steady)}}"""
+      for (p <- Seq("bench_queries.json", qFile)) {
+        val w = new java.io.PrintWriter(p, "UTF-8")
+        try w.println(sidecar) finally w.close()
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"bench: sidecar write failed: $t")
+    }
     emitSummary(finalPass, cold, coldMin, steady,
-      extra = s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""")
+      extra = s""""residual_rdds":${jstr(residualNames)},"leaked_rdds":${leaked.size},""" +
+        s""""q_file":"$qFile",""")
     spark.stop()
   }
 }

@@ -24,10 +24,14 @@ object JobStats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // optional runtime conf overrides for A/B experiments, e.g.
-    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false,spark.sql.shuffle.partitions=8"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false;spark.sql.shuffle.partitions=8"
+    // (';'-separated everywhere — TimeQ/JobStats/Bench; malformed or
+    // empty segments are skipped, not crashed on)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
     })
     @volatile var jobs = 0
     @volatile var stages = 0

@@ -39,6 +39,25 @@ object MicroBench {
     time("graft_shingle_polyhashes [native]") {
       d.select(explode(expr("graft_shingle_polyhashes(text, 5)")).as("t")).count()
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("minhash sig 64 over shingle polyhashes") {
+      noop(d.select(expr(
+        "graft_minhash_sig(graft_shingle_polyhashes(text, 5), 64)").as("sig")))
+    }
+    time("band hashes [HOF transform+aggregate(slice)]") {
+      noop(d.select(expr(
+        "graft_minhash_sig(graft_shingle_polyhashes(text, 5), 64)").as("sig"))
+        .select(expr("transform(sequence(0, 7), b -> " +
+          "aggregate(slice(sig, b * 8 + 1, 8), 0L, " +
+          "(acc, v) -> (acc * 1000003L + v) % 2147483647L))").as("bh")))
+    }
+    time("band hashes [native graft_band_hashes]") {
+      noop(d.select(expr(
+        "graft_minhash_sig(graft_shingle_polyhashes(text, 5), 64)").as("sig"))
+        .select(expr("graft_band_hashes(sig, 8)").as("bh")))
+    }
     spark.stop()
   }
 }

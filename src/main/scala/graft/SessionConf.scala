@@ -69,13 +69,23 @@ object SessionConf {
   def sizedPartitions(df: org.apache.spark.sql.DataFrame,
                       bytesPerPartition: Long = 64L << 20): Option[Int] = {
     val cur = math.max(df.sparkSession.conf.get(ShuffleKey).toInt, 1)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val stats = df.queryExecution.optimizedPlan.stats
+    val bytes = stats.sizeInBytes
     // parallelism floor of 4 (or the session default if lower): a
     // control-plane-sized frame still spreads over a few cores, and the
     // measured sweet spot for the sf0.1 kNN-graph loops sat at ~4 (1-2
     // partitions serialized the per-round work for no overhead win)
     val floor = math.min(cur, 4)
-    val p = (bytes / bytesPerPartition) + 1
+    // under-estimate guard (r11 ADVICE): sizeInBytes can come in LOW on a
+    // derived frame (selective-filter estimates, compressed-bytes stats);
+    // when the plan carries a rowCount, floor the derivation by rows as
+    // well (~4M rows per partition ≈ 64 MB at 16 B/row) so a genuinely
+    // large input can never shrink to 4 partitions on a bad byte estimate.
+    // rowCount is absent on most plans (no CBO stats) — then byte stats
+    // from the leaf-scan call sites remain the (trustworthy) source.
+    val rowFloor = stats.rowCount
+      .map(r => (r / (1L << 22)) + 1).getOrElse(BigInt(1))
+    val p = ((bytes / bytesPerPartition) + 1).max(rowFloor)
     Some(p.max(BigInt(floor)).min(BigInt(cur)).toInt)
   }
 

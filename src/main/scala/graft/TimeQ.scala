@@ -18,10 +18,14 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // optional runtime conf overrides for A/B experiments
+    // optional runtime conf overrides for A/B experiments ("k=v;k=v";
+    // ';'-separated everywhere — TimeQ/JobStats/Bench; malformed or
+    // empty segments are skipped, not crashed on)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
     })
     spark.range(100000).selectExpr("sum(id)").collect()
     for (name <- names) {

@@ -543,9 +543,17 @@ object DataLayout {
     val binned = base.crossJoin(broadcast(mm))
       .withColumn("bin", least(expr(
         s"((v - _lo) * $nBins) div (_hi - _lo + 1)"), lit(nBins - 1L)))
+    // ≤ nBins rows, but referenced by every DP level, every equal-width
+    // baseline and the final assembly (~13 subtree copies re-scanned the
+    // corpus before r12): checkpoint the control-plane-sized frame once
+    // so the ONE-scan contract in the scaladoc is what actually executes
+    // coalesce(1) before the checkpoint: ≤ nBins rows otherwise pin the
+    // session's full shuffle-partition count (checkpointed frames bypass
+    // AQE coalescing), taxing every downstream DP join with empty tasks
     val stats = binned.groupBy("bin")
       .agg(count(lit(1)).as("nb"), sum(d38(col("v"))).cast("long").as("sb"),
         sum(d38(col("v")) * col("v")).cast("long").as("ssb"))
+      .coalesce(1).localCheckpoint()
     // re-index the non-empty bins 1..m_bins; DP runs over that sequence
     val w = Window.orderBy("bin")
     val pfx = stats

@@ -141,9 +141,12 @@ object Dedup {
     bucketPairs(banded, "sig", maxBucketSize)
       .select(least(col("x.id"), col("y.id")).as("doc_a"),
         greatest(col("x.id"), col("y.id")).as("doc_b"),
-        // est_jaccard is symmetric, so least/greatest id normalization is safe
-        (expr("size(filter(zip_with(x.sig, y.sig, (p, q) -> p = q), v -> v))").cast("double")
-          / lit(numHashes)).as("est_jaccard"))
+        // est_jaccard is symmetric, so least/greatest id normalization is
+        // safe; agreement count via the native graft_sig_agree (r12) —
+        // same integer as the zip_with/filter form, no interpreted lambda
+        // per candidate pair
+        (call_function("graft_sig_agree", col("x.sig"), col("y.sig"))
+          .cast("double") / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold) // filter BEFORE the dedup shuffle
       .distinct()
   }
@@ -231,10 +234,13 @@ object Dedup {
           call_function("graft_shingle_polyhashes", col(textCol), lit(shingleN)),
           lit(numHashes)).as("sig"))
     // band hash = polynomial fold over the band's signature values — like
-    // the base hash, chosen over xxhash64 so the DuckDB oracle can replay it
+    // the base hash, chosen over xxhash64 so the DuckDB oracle can replay
+    // it. Native graft_band_hashes (r12): bit-identical to the
+    // transform(sequence)/aggregate(slice) lambda it replaces
+    // (HashExpressionsSpec pins equality), with the interpreted
+    // per-band HOF cost gone from the signature scan
     sig.select(col("id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"aggregate(slice(sig, b * $rows + 1, $rows), 0L, (acc, v) -> (acc * 1000003L + v) % 2147483647L))"))
+      posexplode(call_function("graft_band_hashes", col("sig"), lit(bands)))
         .as(Seq("band_idx", "band_hash")))
   }
 
@@ -261,6 +267,7 @@ object Dedup {
                             numHashes: Int = 64,
                             threshold: Double = 0.5,
                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.plans.HashExpressions.register(storedSigs.sparkSession)
     val n = broadcast(newSigs.select(col("band_idx"), col("band_hash"),
       col("id").as("new_id"), col("sig").as("_nsig")))
     val keys = broadcast(newSigs.select(col("band_idx"), col("band_hash")).distinct())
@@ -273,7 +280,7 @@ object Dedup {
       .filter(col("_bsz") <= maxBucketSize).drop("_bsz")
     sCapped.join(n, Seq("band_idx", "band_hash"))
       .select(col("new_id"), col("stored_id"),
-        (expr("size(filter(zip_with(_nsig, _ssig, (p, q) -> p = q), v -> v))")
+        (call_function("graft_sig_agree", col("_nsig"), col("_ssig"))
           .cast("double") / lit(numHashes)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
@@ -751,8 +758,15 @@ object Dedup {
   def prefixFilterJoin(tokens: DataFrame, idCol: String, tokCol: String,
                        tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "need tau in (0, 1]")
+    // the distinct (id, tok) frame feeds sizes, df, the prefix rank and
+    // BOTH sides of the verify join — checkpoint it once (r12) so the
+    // shingle explode + distinct shuffle run once, not per reference.
+    // Memory is bounded by the operator's contract: this is the
+    // bounded-slice ground-truth tool (see scaladoc), never the
+    // open-corpus path
     val toks = tokens
       .select(col(idCol).as("id"), xxhash64(col(tokCol)).as("tok")).distinct()
+      .localCheckpoint()
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefix = toks.join(dfreq, "tok")
@@ -890,8 +904,11 @@ object Dedup {
   def containmentJoin(tokens: DataFrame, idCol: String, tokCol: String,
                       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "need tau in (0, 1]")
+    // checkpointed once for the same reason as [[prefixFilterJoin]]'s
+    // toks (r12): five references, bounded-slice contract
     val toks = tokens
       .select(col(idCol).as("id"), xxhash64(col(tokCol)).as("tok")).distinct()
+      .localCheckpoint()
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val prefixA = toks.join(dfreq, "tok")

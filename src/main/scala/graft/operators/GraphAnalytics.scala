@@ -712,13 +712,24 @@ object GraphAnalytics {
     val d18 = (c: Column) => c.cast("decimal(38,18)")
     val spark = und.sparkSession
     import spark.implicits._
-    // forward: levels with path counts, keyed by (src, node)
-    var info = und.select(col("a").as("node")).distinct()
+    // forward: levels with path counts, keyed by (src, node). Each
+    // level's frontier is ALREADY an eagerly-checkpointed frame, so keep
+    // the per-level handles: the backward pass reads level h directly
+    // instead of filtering a consolidated info frame three times per
+    // level — which also lets `info` go back to the cheap union of
+    // checkpointed leaves (read once per round, by the anti-join), the
+    // same read-pattern rule that keeps eccentricity/harmonic's
+    // accumulators uncheckpointed (r11 lesson: checkpoint policy must
+    // follow the READ pattern — info's per-round re-checkpoint existed
+    // only to serve the backward pass's 3 reads per level, all gone now)
+    val level0 = und.select(col("a").as("node")).distinct()
       .join(sources.toDF("src"), col("node") === col("src"))
       .select(col("src"), col("node"), lit(0).as("dist"),
         lit(1L).as("sigma"))
       .localCheckpoint()
-    var frontier = info
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var info = level0
+    var frontier = level0
     for (h <- 1 to maxDepth) {
       frontier = frontier
         .join(und, frontier("node") === und("a"))
@@ -728,41 +739,37 @@ object GraphAnalytics {
           "left_anti")
         .select(col("src"), col("node"), lit(h).as("dist"), col("sigma"))
         .localCheckpoint()
-      // info IS re-checkpointed per round: the backward pass reads it
-      // THREE times per level (upper join, level filter, level anti),
-      // so a consolidated single RDD beats a ≤maxDepth-leaf union tree
-      // scanned 3·maxDepth times (r11 measured the union-tree variant
-      // +1.9 s on q422 across two runs; eccentricity/harmonic below keep
-      // the cheap union — their accumulators are read once per round)
-      info = info.union(frontier).localCheckpoint()
+      levels += frontier
+      info = info.union(frontier) // leaves checkpointed; anti-join only
     }
-    // backward: dependencies level by level, still keyed by src
-    val maxD = maxDepth
-    var delta = info.filter(col("dist") === maxD)
-      .select(col("src"), col("node"), lit(0.0).as("delta"))
-      .localCheckpoint()
+    // backward: dependencies level by level, still keyed by src. delta
+    // carries (dist, sigma) through, so the per-level "re-attach sigma"
+    // join onto info and the final info⋈acc join are both gone — acc IS
+    // the (src, node, dist, sigma, delta) result (each reached node has
+    // exactly one dist, so the level frames partition info)
+    var delta = levels(maxDepth)
+      .select(col("src"), col("node"), col("dist"), col("sigma"),
+        lit(0.0).as("delta"))
     var acc = delta
-    for (h <- (maxD - 1) to 0 by -1) {
-      val upper = info.join(delta, Seq("src", "node"))
-        .filter(col("dist") === h + 1)
-        .select(col("src"), col("node").as("b"), col("sigma").as("sv"),
-          col("delta").as("dv"))
-      val lvl = info.filter(col("dist") === h)
-        .join(und, info("node") === und("a"))
+    for (h <- (maxDepth - 1) to 0 by -1) {
+      val upper = delta.select(col("src"), col("node").as("b"),
+        col("sigma").as("sv"), col("delta").as("dv"))
+      val lvlNodes = levels(h)
+      val lvl = lvlNodes
+        .join(und, lvlNodes("node") === und("a"))
         .join(upper, Seq("src", "b"))
         .groupBy(col("src"), col("node"))
         .agg(sum(d18((col("sigma").cast("double") / col("sv")) *
           (lit(1.0) + col("dv")))).cast("double").as("delta"))
-      val lvlFull = info.filter(col("dist") === h)
-        .select(col("src"), col("node"))
+      val lvlFull = lvlNodes
         .join(lvl, Seq("src", "node"), "left")
-        .select(col("src"), col("node"),
+        .select(col("src"), col("node"), col("dist"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint()
       delta = lvlFull
-      acc = acc.union(lvlFull) // leaves checkpointed; see forward pass
+      acc = acc.union(lvlFull) // leaves checkpointed; read once at the end
     }
-    info.join(acc, Seq("src", "node"))
+    acc
   }
 
   /** 1-dimensional Weisfeiler–Lehman color refinement (Weisfeiler &

@@ -53,7 +53,16 @@ object Itemsets {
     // checkpoint it so the corpus explode+encode runs once and the
     // candidate joins read a 2-int-column materialization (r11; also
     // collapses the ~200 KB duplicated-subtree plan that dominated
-    // q213's planning time)
+    // q213's planning time).
+    // SCALE TRADE-OFF (r11 ADVICE, recorded deliberately): tf is
+    // O(corpus tokens ∩ frequent vocab) — bigger than the control-plane
+    // frames this codebase usually checkpoints. The alternative is
+    // recomputing the explode+encode five times per run; at 100 TB the
+    // right split is persisting tf to the cluster store (one write, five
+    // columnar reads) rather than executor block memory. Locally the
+    // unreplicated localCheckpoint is strictly better (fault tolerance
+    // of a deterministic recompute is a non-issue in one JVM), and the
+    // support filter keeps tf's width at two ints.
     val tf = t.join(dict, Seq("item")).select(col("id"), col("iid"))
       .localCheckpoint()
     // Candidate levels expand through codegen'd id self-joins. MEASURED

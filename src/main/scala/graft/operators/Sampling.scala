@@ -685,8 +685,15 @@ object Sampling {
   def greedySetCover(members: DataFrame, setCol: String, elemCol: String,
                      rounds: Int): DataFrame = {
     val spark = members.sparkSession
+    // st and every covered frame are UNIVERSE-bounded (the operator's
+    // contract — the caller bounds the universe, e.g. top-K vocabulary),
+    // so they collapse to one partition: each of the `rounds` driver
+    // iterations then runs single-task jobs instead of paying the
+    // session's shuffle-partition count per anti-join/distinct (cached
+    // plans don't get AQE's post-shuffle coalescing; r12 measured 32×
+    // the task count without this on a 6,200-row membership frame)
     val st = members.select(col(setCol).as("s"), col(elemCol).as("e"))
-      .distinct().cache()
+      .distinct().coalesce(1).cache()
     val universe = st.select("e").distinct().count()
     var covered = st.select("e").limit(0).cache()
     val picked = collection.mutable.ArrayBuffer[Row]()
@@ -698,7 +705,7 @@ object Sampling {
         val best = gains.head
         val nextCovered = covered
           .union(st.filter(col("s") === lit(best.get(0))).select("e"))
-          .distinct().cache()
+          .distinct().coalesce(1).cache()
         covered.unpersist()
         covered = nextCovered
         val cum = covered.count()

@@ -417,6 +417,39 @@ object HashExpressions {
     out
   }
 
+  /** LSH band hashes from a minhash signature: the signature splits into
+    * `bands` equal slices and each slice folds with the same polynomial
+    * the SQL form used — acc·1000003 + v mod 2³¹−1 — so the band keys
+    * are bit-identical to
+    * `aggregate(slice(sig, b·rows+1, rows), 0L, (acc, v) -> …)`. */
+  def bandHashesEval(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var i = b * rows
+      val end = i + rows
+      while (i < end) { acc = (acc * 1000003L + sig.getLong(i)) % 2147483647L; i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positions where two equal-length ARRAY<BIGINT> signatures agree —
+    * native twin of `size(filter(zip_with(a, b, (p, q) -> p = q), v -> v))`
+    * (unequal lengths: the zip_with tail compares against null, which the
+    * filter drops — identical to stopping at the shorter length). */
+  def sigAgreeEval(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
   private val helper = "graft.plans.HashExpressions"
 
   /** Distinct XXH64 hashes of the n-byte windows of a string (the whole
@@ -605,6 +638,41 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** LSH band hashes of a minhash signature (see [[bandHashesEval]]). */
+  case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression {
+    require(bands >= 1, "graft_band_hashes: need bands >= 1")
+    override def prettyName: String = "graft_band_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<BIGINT>, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      bandHashesEval(input.asInstanceOf[ArrayData], bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.bandHashesEval($c, $bands);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Signature agreement count (see [[sigAgreeEval]]). */
+  case class SigAgreeExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "graft_sig_agree"
+    override def dataType: DataType = IntegerType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"expected two ARRAY<BIGINT>, got ${l.simpleString} / ${r.simpleString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sigAgreeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.sigAgreeEval($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Intersection size of two distinct-element ARRAY<BIGINT> columns. */
   case class InterSizeExpr(left: Expression, right: Expression) extends BinaryExpression {
     override def prettyName: String = "graft_inter_size"
@@ -695,6 +763,9 @@ object HashExpressions {
     "graft_minhash_sig" -> (args => MinHashSigExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash64" -> (args => SimHash64Expr(args(0))),
+    "graft_band_hashes" -> (args => BandHashesExpr(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_sig_agree" -> (args => SigAgreeExpr(args(0), args(1))),
     "graft_inter_size" -> (args => InterSizeExpr(args(0), args(1))),
     "graft_inter_size_sorted" -> (args => InterSizeSortedExpr(args(0), args(1))),
     "graft_bloom_probe" -> (args => BloomProbeExpr(args(0),

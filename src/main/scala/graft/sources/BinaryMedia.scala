@@ -22,6 +22,15 @@ import javax.sound.sampled.AudioSystem
   */
 object BinaryMedia {
 
+  // ImageIO's stream factories default to FILE-backed caches: every
+  // encode/decode call creates (and deletes) a temp file even when the
+  // source/sink is an in-memory byte array. All call sites here are
+  // byte-array round-trips, so memory-cached streams are strictly
+  // cheaper and bit-identical — the codec itself (the real JDK
+  // PNG/GIF/JPEG reader/writer) is untouched. Measured r12: the temp
+  // file dance dominated per-image cost for 16×16 rasters.
+  ImageIO.setUseCache(false)
+
   /** A decoded raster reduced to one grayscale sample per pixel, row-major.
     * Single-band rasters read the raw sample (lossless for gray PNG/GIF);
     * color rasters reduce via integer ITU-R 601 luma
@@ -52,13 +61,14 @@ object BinaryMedia {
 
   private def grayImage(width: Int, height: Int, gray: Array[Int]): BufferedImage = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { raster.setSample(x, y, 0, gray(y * width + x)); x += 1 }
-      y += 1
-    }
+    // TYPE_BYTE_GRAY is one byte bank, scanline stride == width: fill the
+    // backing array directly instead of a setSample call per pixel (the
+    // cast matches setSample's own (byte)v store bit-for-bit)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    val n = width * height
+    while (i < n) { data(i) = gray(i).toByte; i += 1 }
     img
   }
 
@@ -111,21 +121,23 @@ object BinaryMedia {
     val h = img.getHeight
     val out = new Array[Int](w * h)
     val raster = img.getRaster
-    val singleBand = raster.getNumBands == 1
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        out(y * w + x) =
-          if (singleBand) raster.getSample(x, y, 0)
-          else {
-            val rgb = img.getRGB(x, y)
+    if (raster.getNumBands == 1) {
+      // bulk band read — same samples as the per-pixel getSample loop,
+      // one bounds-checked call instead of w·h megamorphic ones
+      raster.getSamples(0, 0, w, h, 0, out)
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) =
             (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
               (rgb & 0xff) * 114) / 1000
-          }
-        x += 1
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
     GrayImage(w, h, out)
   }

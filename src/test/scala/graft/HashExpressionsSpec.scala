@@ -130,6 +130,43 @@ class HashExpressionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("graft_band_hashes equals the transform(sequence)/aggregate(slice) band fold") {
+    for (bands <- Seq(8, 16)) {
+      val rows = bands match { case b => 64 / b }
+      val hof = expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"aggregate(slice(_sig, b * $rows + 1, $rows), 0L, " +
+        s"(acc, v) -> (acc * 1000003L + v) % 2147483647L))")
+      val got = df
+        .withColumn("_sig", call_function("graft_minhash_sig",
+          call_function("graft_shingle_polyhashes", col("text"), lit(5)), lit(64)))
+        .select(call_function("graft_band_hashes", col("_sig"), lit(bands)).as("native"),
+          hof.as("hof")).collect()
+      got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"bands=$bands"))
+    }
+  }
+
+  test("graft_sig_agree equals size(filter(zip_with(...))) position agreement") {
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(200)
+      .select(
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_polyhashes", col("a.text"), lit(5)), lit(64)).as("sa"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_polyhashes", col("b.text"), lit(5)), lit(64)).as("sb"))
+    val got = pairs.select(
+      call_function("graft_sig_agree", col("sa"), col("sb")).as("native"),
+      expr("size(filter(zip_with(sa, sb, (p, q) -> p = q), v -> v))").as("hof")).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // a signature always fully agrees with itself
+    val self = df.select(call_function("graft_sig_agree",
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_polyhashes", col("text"), lit(5)), lit(64)),
+      call_function("graft_minhash_sig",
+        call_function("graft_shingle_polyhashes", col("text"), lit(5)), lit(64)))).collect()
+    self.foreach(r => assert(r.getInt(0) == 64))
+  }
+
   test("xxhash64-based shingle/token exprs stay available and consistent") {
     val rows = df.select(
       call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"),

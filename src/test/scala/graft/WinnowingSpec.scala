@@ -35,7 +35,10 @@ class WinnowingSpec extends SparkSpec {
     // window-min formulation, on random text over several (k, w)
     val P = 1000000007L
     val rnd = new scala.util.Random(7)
-    val alpha = "abcdefg XYZ.,;!? 0123456789"
+    // includes multi-byte BMP characters (r11 ADVICE): the native form
+    // hashes Unicode CODE POINTS, which must equal the declarative
+    // split('')+ascii() path on every character the corpus can contain
+    val alpha = "abcdefg XYZ.,;!? 0123456789éßñ人間ωДあ"
     val docs = (1 to 30).map { i =>
       (i.toLong, (0 until 20 + rnd.nextInt(300))
         .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
