@@ -566,12 +566,17 @@ object DataLayout {
       lit(0L).as("cn"), lit(0L).as("cs"), lit(0L).as("css"))
     val pfx0 = pfx.select("i", "cn", "cs", "css").unionByName(zero)
     // interval SSE for every 0 <= j < i
+    // ≤ nBins(nBins+1)/2 rows and referenced by e1 + every DP level:
+    // checkpoint (single partition) so the 6-level scanLeft below joins
+    // against a leaf instead of re-planting the interval-SSE subtree —
+    // the before/after plan drops ~174 kB of duplicated tree
     val sse = pfx0.as("a").join(pfx0.as("b"), col("a.i") < col("b.i"))
       .select(col("a.i").as("j"), col("b.i").as("i"),
         (col("b.cn") - col("a.cn")).as("n"),
         (dd(col("b.css") - col("a.css")) -
           dd(col("b.cs") - col("a.cs")) * dd(col("b.cs") - col("a.cs")) /
             (col("b.cn") - col("a.cn"))).as("sse"))
+      .coalesce(1).localCheckpoint()
     val mRow = pfx.agg(max("i").as("_m"), sum("nb").as("_n"))
     val e1 = sse.filter(col("j") === 0).select(col("i"), col("sse").as("cost"))
     val curves = (1 to maxB).scanLeft(e1) { (prev, _) =>

@@ -774,21 +774,53 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
       .join(sizes, "id")
       .filter(col("pos") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("id", "tok", "sz")
+      .select("id", "tok", "sz", "pos")
+    // PPJoin positional filter (Xiao et al. 2008 §3.2): both prefixes are
+    // ranked in the SAME global (df, tok) order, so for a pair's
+    // GLOBALLY-FIRST shared prefix token t (= the match minimizing both
+    // pos values — any earlier shared token would itself be a
+    // prefix-prefix match), every other shared token sits strictly after
+    // pos_a(t) in a and pos_b(t) in b. Hence
+    //   overlap <= 1 + min(sz_a - pos_a, sz_b - pos_b),
+    // while J >= tau forces overlap >= tau/(1+tau) * (sz_a + sz_b).
+    // Pairs whose bound can't reach the requirement are dropped BEFORE
+    // the verify join; the 1e-6 slack keeps float rounding from ever
+    // pruning a borderline TRUE pair (extra survivors are re-checked
+    // exactly by the verify join, so the output is unchanged).
     val cand = prefix.select(col("id").as("doc_a"), col("tok"),
-        col("sz").as("_sa"))
+        col("sz").as("_sa"), col("pos").as("_pa"))
       .join(prefix.select(col("id").as("doc_b"), col("tok"),
-        col("sz").as("_sb")), Seq("tok"))
+        col("sz").as("_sb"), col("pos").as("_pb")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b") &&
         col("_sb") * lit(tau) <= col("_sa") && col("_sa") * lit(tau) <= col("_sb"))
-      .select("doc_a", "doc_b").distinct()
-    val inter = cand
-      .join(toks.select(col("id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_nc"))
-    inter
-      .join(sizes.select(col("id").as("doc_a"), col("sz").as("_sa")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("sz").as("_sb")), "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(min("_pa").as("_pa"), min("_pb").as("_pb"),
+        first("_sa").as("_sa"), first("_sb").as("_sb"))
+      .filter(lit(1) + least(col("_sa") - col("_pa"), col("_sb") - col("_pb")) >=
+        lit(tau / (1.0 + tau)) * (col("_sa") + col("_sb")) - lit(1e-6))
+      .select("doc_a", "doc_b")
+    // verify via per-doc SORTED token arrays + the native two-pointer
+    // merge (r12, the Linkage compare-stage pattern): the old
+    // explode-both-sides verify join streamed Σ|doc_a's tokens| rows per
+    // candidate pair through a (doc_b, tok) equi-join and re-aggregated
+    // them; a pair-local merge of two pre-sorted arrays computes the
+    // IDENTICAL intersection count with two array lookups per pair and
+    // no per-token shuffle. docsigs is |docs| rows (bounded-slice
+    // contract), checkpointed once for its two join references.
+    graft.plans.HashExpressions.register(tokens.sparkSession)
+    val docsigs = toks.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("_sig"))
+      .localCheckpoint()
+    cand
+      .join(docsigs.select(col("id").as("doc_a"), col("_sig").as("_siga")),
+        Seq("doc_a"))
+      .join(docsigs.select(col("id").as("doc_b"), col("_sig").as("_sigb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("graft_inter_size_sorted", col("_siga"), col("_sigb"))
+          .cast("long").as("_nc"),
+        size(col("_siga")).cast("long").as("_sa"),
+        size(col("_sigb")).cast("long").as("_sb"))
       .select(col("doc_a"), col("doc_b"),
         (col("_nc").cast("double") / (col("_sa") + col("_sb") - col("_nc")))
           .as("jaccard"))
@@ -924,13 +956,22 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b") &&
         col("_sb") >= col("_sa") * lit(tau))
       .select("doc_a", "doc_b").distinct()
+    // verify via per-doc sorted arrays + native merge — identical
+    // intersection count, no per-token verify shuffle (see
+    // [[prefixFilterJoin]]'s verify stage, r12)
+    graft.plans.HashExpressions.register(tokens.sparkSession)
+    val docsigs = toks.groupBy("id")
+      .agg(sort_array(collect_list(col("tok"))).as("_sig"))
+      .localCheckpoint()
     cand
-      .join(toks.select(col("id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_nc"))
-      .join(sizes.select(col("id").as("doc_a"), col("sz").as("_sa")), "doc_a")
+      .join(docsigs.select(col("id").as("doc_a"), col("_sig").as("_siga")),
+        Seq("doc_a"))
+      .join(docsigs.select(col("id").as("doc_b"), col("_sig").as("_sigb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("_nc").cast("double") / col("_sa")).as("containment"))
+        (call_function("graft_inter_size_sorted", col("_siga"), col("_sigb"))
+          .cast("double") / size(col("_siga")).cast("double"))
+          .as("containment"))
       .filter(col("containment") >= tau)
   }
 

@@ -600,13 +600,20 @@ object GraphAnalytics {
     sized(edges) {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    var hub = e.select(col("src").as("id")).distinct()
-      .withColumn("h", lit(1.0))
+    var hub: DataFrame = null
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
-      val araw = e.join(hub, e("src") === hub("id"))
-        .groupBy(col("dst").as("aid"))
-        .agg(sum(d38(col("h"))).cast("double").as("a"))
+    for (it <- 1 to iters) {
+      // round 1's hub vector is identically 1.0 on every source, so the
+      // join against it degenerates to the grouped decimal sum of 1.0
+      // per dst — the exact form the oracle states (r12: drops the hub
+      // init distinct and the first edge join; decimal adds identical)
+      val araw = (if (it == 1)
+          e.groupBy(col("dst").as("aid"))
+            .agg(sum(d38(lit(1.0))).cast("double").as("a"))
+        else
+          e.join(hub, e("src") === hub("id"))
+            .groupBy(col("dst").as("aid"))
+            .agg(sum(d38(col("h"))).cast("double").as("a")))
         .localCheckpoint() // read twice (norm + scale) per round
       val anorm = araw.agg(
         sqrt(sum(d38(col("a") * col("a"))).cast("double")).as("nrm"))

@@ -76,7 +76,8 @@ object TextQuality {
     * Thresholds are calibrated to the synthetic corpus so both classes
     * occur; the production values from the paper differ only in constants.
     * All metrics are exact (int counts, one double division each). */
-  def gopherMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherMetrics(df: DataFrame, idCol: String, textCol: String,
+                    keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
     df.withColumn("_toks", toks)
       .withColumn("n_words", size(col("_toks")))
@@ -96,9 +97,9 @@ object TextQuality {
           col("mean_word_len").between(4.0, 5.0) &&
           col("stopword_frac") >= 0.03 &&
           col("unique_frac") >= 0.35)
-      .select(col(idCol), col("n_words"), col("mean_word_len"),
-        col("stopword_frac"), col("unique_frac"), col("max_word_len"),
-        col("quality_pass"))
+      .select(col(idCol) +: keep.map(col) ++: Seq(col("n_words"),
+        col("mean_word_len"), col("stopword_frac"), col("unique_frac"),
+        col("max_word_len"), col("quality_pass")): _*)
   }
 
   /** Word-bigram array of a token array: ["a b", "b c", ...]. */

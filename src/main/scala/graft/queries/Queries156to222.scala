@@ -1030,12 +1030,17 @@ private[graft] object Queries156to222 extends QueryModule {
       // decomposes over (pos source, neg source), so U_without(s) =
       // U_total − row_s − col_s + U(s,s) — data valuation for "which
       // source props up / drags down the quality classifier"
+      // classifierScore and gopherMetrics are both row-local withColumn
+      // pipelines that RETAIN their input columns, so they compose into
+      // ONE corpus scan (r12) — the previous two doc_id self-joins
+      // re-scanned the corpus twice and shuffled it twice for the same
+      // (margin, quality_pass, source) rows
       val d = tbl(s, dir, "documents")
-      val scored = TextQuality.classifierScore(d, "doc_id", "text")
-        .select(col("doc_id"), col("margin"))
-        .join(TextQuality.gopherMetrics(d, "doc_id", "text")
-          .select(col("doc_id"), col("quality_pass")), Seq("doc_id"))
-        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val scored = TextQuality.gopherMetrics(
+          TextQuality.classifierScore(d, "doc_id", "text"),
+          "doc_id", "text", keep = Seq("margin", "source"))
+        .select(col("doc_id"), col("margin"), col("quality_pass"),
+          col("source"))
       Evaluation.sourceAblationAuc(scored, "source", "margin",
           "quality_pass")
         .orderBy("source")

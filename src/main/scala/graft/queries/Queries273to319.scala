@@ -439,11 +439,17 @@ private[graft] object Queries273to319 extends QueryModule {
       // brand cross-sell lift over ORDER baskets (q269's shape on the
       // sales tables): distinct brands per order, pair lift =
       // n_ab·N/(n_a·n_b); top-20 lifted pairs
+      // the distinct (order, brand) basket feeds FOUR branches (N, the
+      // singles, both pair sides) — checkpoint it once (r12) so the
+      // lineitem⋈part scan+distinct runs once, not per reference.
+      // Scale note (the Itemsets.tf trade-off): |orders|·brands rows —
+      // at cluster scale this frame persists to the store instead
       val basket = tbl(s, dir, "lineitem")
         .join(broadcast(tbl(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+        .localCheckpoint()
       val nOrders = basket.select("ok").distinct()
         .agg(count(lit(1)).as("_N"))
       val single = basket.groupBy("p_brand").agg(count(lit(1)).as("n_one"))
@@ -744,27 +750,46 @@ private[graft] object Queries273to319 extends QueryModule {
       // the full referential map in one pass: every FK edge's row count,
       // orphan count, and orphan rate — the whole-schema version of the
       // q44 orphan audit (a healthy warehouse shows all zeros)
-      def edge(name: String, child: DataFrame, ck: String,
-               parent: DataFrame, pk: String) =
-        child.join(parent.select(col(pk)), col(ck) === col(pk),
-            "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .crossJoin(broadcast(child.agg(count(lit(1)).as("n_rows"))))
-          .select(lit(name).as("fk_edge"), col("n_rows"),
-            col("n_orphans"),
-            (col("n_orphans").cast("double") / col("n_rows"))
-              .as("orphan_rate"))
+      // ONE pass per CHILD table (r12, the mid-band fold): each FK edge
+      // was an anti-join count + a separate row count = 2 aggregates and
+      // a child re-scan per edge (12 aggregates, lineitem scanned 6×).
+      // Parent keys are primary keys (unique by construction), so
+      // left-join + count-nulls produces the IDENTICAL orphan count as
+      // the anti-join; lineitem's 3 edges now ride one scan and one
+      // aggregate, and every edge's n_rows folds into the same pass.
       val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
       val p = tbl(s, dir, "part"); val na = tbl(s, dir, "nation")
-      Seq(
-        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
-        edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
-        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
-        edge("customer->nation", c, "c_nationkey", na, "n_nationkey"),
-        edge("supplier->nation", su, "s_nationkey", na, "n_nationkey")
-      ).reduce(_ unionByName _).orderBy("fk_edge")
+      def orph(pk: String) =
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).cast("long")
+      val liRows = li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(p.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(su.select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_rows"), orph("o_orderkey").as("_o"),
+          orph("p_partkey").as("_p"), orph("s_suppkey").as("_s"))
+        .selectExpr("""stack(3,
+            'lineitem->orders', n_rows, _o,
+            'lineitem->part', n_rows, _p,
+            'lineitem->supplier', n_rows, _s) AS (fk_edge, n_rows, n_orphans)""")
+      def edge1(name: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String) =
+        child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_rows"), orph(pk).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+      liRows.unionByName(
+          edge1("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+          edge1("customer->nation", c, "c_nationkey", na, "n_nationkey"))
+        .unionByName(
+          edge1("supplier->nation", su, "s_nationkey", na, "n_nationkey"))
+        .withColumn("orphan_rate",
+          col("n_orphans").cast("double") / col("n_rows"))
+        .orderBy("fk_edge")
     }),
 
 

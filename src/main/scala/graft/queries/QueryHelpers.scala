@@ -12,8 +12,22 @@ import graft.pipeline.Embedder
   * store every graph-analytics query serves from. */
 private[graft] object QueryHelpers {
 
+  /** Analyzed base-table relation, memoized per (session, dir, table) —
+    * the catalog-cache move (guide §6 file-listing): a bare
+    * `read.parquet` builds a fresh InMemoryFileIndex (driver file
+    * listing) and re-reads the footer schema on EVERY call, and the
+    * suite calls `tbl` thousands of times per bench pass. The memo
+    * shares one analyzed LogicalRelation per table — zero data is
+    * cached (execution still scans parquet; the driver's correctness
+    * gate reruns compute from the files every time), exactly what a
+    * catalog/metastore would hand out. Keyed by session identity so
+    * tests' sessions never see each other's relations; the test data
+    * dirs are immutable per JVM (stores write to scratch paths). */
+  private val tblCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tblCache.computeIfAbsent((s, dir, name),
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Per-JVM token for the store-writing queries' scratch directories:
     * repeat runs inside one process reuse (and overwrite) the same dirs,
@@ -214,16 +228,22 @@ private[graft] object QueryHelpers {
     * session-zone timestamp type so downstream comparisons against
     * `lit(...).cast("timestamp")` literals keep one type (UTC session →
     * identical instants either way). */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/events.parquet")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  private val eventsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def events(s: SparkSession, dir: String): DataFrame =
+    // memoized like [[tbl]] (events is the most-read table in the suite);
+    // the nanosAsLong conf is set before the one real read, so the
+    // memoized relation is the same one every call produced before
+    eventsCache.computeIfAbsent((s, dir), _ => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(s"$dir/events.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    })
 
   /** Order-independent exact sum of a double expression: accumulate as
     * decimal (exact, commutative), return double. The DuckDB oracle does the
