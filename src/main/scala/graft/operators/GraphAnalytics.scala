@@ -406,9 +406,13 @@ object GraphAnalytics {
     // positional self-join with the range predicate degrades to a
     // per-doc cartesian (len² per doc; 3 s vs sub-second at sf0.1)
     val w = Window.partitionBy("_doc").orderBy("pos")
-    val up = (1 to coWindow).map { o =>
-      pos.withColumn("nbr", lead("term", o).over(w))
-    }.reduce(_ unionByName _)
+    // ALL coWindow leads ride ONE window pass (r12): the per-offset
+    // union re-ran the posexplode + per-doc sort once per offset; the
+    // exploded (term, lead_o) rows are the identical multiset
+    val up = pos
+      .withColumn("_nbrs",
+        array((1 to coWindow).map(o => lead("term", o).over(w)): _*))
+      .select(col("term"), explode(col("_nbrs")).as("nbr"))
       .filter(col("nbr").isNotNull && col("term") =!= col("nbr"))
       .select(least(col("term"), col("nbr")).as("w1"),
         greatest(col("term"), col("nbr")).as("w2"))

@@ -138,18 +138,18 @@ object Stats {
       .partitionBy(col(groupCol))
       .orderBy(col(orderCol).asc, col(tieCol).asc)
       .rowsBetween(-window, -1)
-    // frame list is oldest-first: element i of L is j = L-i+1 steps back
-    val hist = collect_list(col(valueCol)).over(w)
+    // frame list is oldest-first: element i of L is j = L-i+1 steps back.
+    // The weighted fold is the native graft_ewma_wsum (r12): identical
+    // per-term CAST-to-DECIMAL(38,18) + exact decimal accumulation as
+    // the aggregate(zip_with(...)) lambda it replaces (spec-pinned),
+    // without the interpreted per-element HOF cost on every row
+    graft.plans.HashExpressions.register(df.sparkSession)
+    val hist = collect_list(col(valueCol).cast("double")).over(w)
     df.withColumn("_hist", hist)
       .withColumn("_L", size(col("_hist")))
       .filter(col("_L") >= minHistory)
-      .withColumn("_wsum", expr(
-        """aggregate(
-          |  zip_with(_hist, sequence(1, _L),
-          |    (v, i) -> CAST(v / CAST(shiftleft(1L, _L - i + 1) AS DOUBLE)
-          |                   AS DECIMAL(38,18))),
-          |  CAST(0 AS DECIMAL(38,18)),
-          |  (a, x) -> CAST(a + x AS DECIMAL(38,18)))""".stripMargin))
+      .withColumn("_wsum",
+        call_function("graft_ewma_wsum", col("_hist")))
       .withColumn("ewma", col("_wsum").cast("double") /
         (lit(1.0) - lit(1.0) / expr("CAST(shiftleft(1L, _L) AS DOUBLE)")))
       .withColumn("deviation", col(valueCol) - col("ewma"))

@@ -450,6 +450,32 @@ object HashExpressions {
     c
   }
 
+  /** EWMA weighted sum: element i (1-based, oldest first) of an
+    * L-element history weighs 2^-(L-i+1); each term is the double
+    * division CAST to DECIMAL(38,18) (java BigDecimal.valueOf ==
+    * Spark's Cast(double->decimal) literal path, HALF_UP to scale 18).
+    * The running add replays Spark's decimal-precision rule EXACTLY:
+    * (38,18)+(38,18) promotes to precision 39, which allowPrecisionLoss
+    * adjusts to DECIMAL(38,17) — so every intermediate sum rounds
+    * HALF_UP to 17 fraction digits before the lambda's CAST back to
+    * (38,18). Bit-identical to the `aggregate(zip_with(...))` fold it
+    * replaces (spec-pinned, including that per-step rounding). */
+  def ewmaWsumEval(hist: ArrayData): Decimal = {
+    val L = hist.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 1
+    while (i <= L) {
+      val term = java.math.BigDecimal
+        .valueOf(hist.getDouble(i - 1) / (1L << (L - i + 1)).toDouble)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+      acc = acc.add(term)
+        .setScale(17, java.math.RoundingMode.HALF_UP)
+        .setScale(18, java.math.RoundingMode.UNNECESSARY)
+      i += 1
+    }
+    Decimal(acc, 38, 18)
+  }
+
   private val helper = "graft.plans.HashExpressions"
 
   /** Distinct XXH64 hashes of the n-byte windows of a string (the whole
@@ -638,6 +664,21 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** EWMA decimal weighted sum (see [[ewmaWsumEval]]). */
+  case class EwmaWsumExpr(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_ewma_wsum"
+    override def dataType: DataType = DecimalType(38, 18)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expected ARRAY<DOUBLE>, got ${t.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      ewmaWsumEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.ewmaWsumEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** LSH band hashes of a minhash signature (see [[bandHashesEval]]). */
   case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression {
     require(bands >= 1, "graft_band_hashes: need bands >= 1")
@@ -763,6 +804,7 @@ object HashExpressions {
     "graft_minhash_sig" -> (args => MinHashSigExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash64" -> (args => SimHash64Expr(args(0))),
+    "graft_ewma_wsum" -> (args => EwmaWsumExpr(args(0))),
     "graft_band_hashes" -> (args => BandHashesExpr(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_sig_agree" -> (args => SigAgreeExpr(args(0), args(1))),

@@ -167,6 +167,25 @@ class HashExpressionsSpec extends SparkSpec {
     self.foreach(r => assert(r.getInt(0) == 64))
   }
 
+  test("graft_ewma_wsum equals the aggregate(zip_with(...)) decimal fold bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val arrs = (1 to 60).map { _ =>
+      Tuple1((1 to (1 + rnd.nextInt(16))).map(_ =>
+        (rnd.nextDouble() - 0.5) * 2000.0).toArray)
+    }
+    val adf = arrs.toDF("_hist").withColumn("_L", size(col("_hist")))
+    val rows = adf.select(
+      call_function("graft_ewma_wsum", col("_hist")).as("native"),
+      expr(
+        """aggregate(
+          |  zip_with(_hist, sequence(1, _L),
+          |    (v, i) -> CAST(v / CAST(shiftleft(1L, _L - i + 1) AS DOUBLE)
+          |                   AS DECIMAL(38,18))),
+          |  CAST(0 AS DECIMAL(38,18)),
+          |  (a, x) -> CAST(a + x AS DECIMAL(38,18)))""".stripMargin).as("hof")).collect()
+    rows.foreach(r => assert(r.getDecimal(0) == r.getDecimal(1)))
+  }
+
   test("xxhash64-based shingle/token exprs stay available and consistent") {
     val rows = df.select(
       call_function("graft_shingle_hashes", col("text"), lit(5)).as("sh"),

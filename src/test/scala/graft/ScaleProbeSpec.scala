@@ -17,13 +17,23 @@ class ScaleProbeSpec extends SparkSpec {
       .filter(col("doc_id") < 600)
     val toks = d.select(col("doc_id").as("id"),
       explode(Dedup.shingleExpr("text", 5)).as("tok"))
+    // r12: the operator materializes its distinct token frame ONCE
+    // (localCheckpoint), so the slice pushdown lives in THAT plan — the
+    // one the checkpoint executes; rows beyond the slice never leave
+    // the reader (measured flat 6.1→5.9 s at rep 1→8, ScaleProbe)
+    val tokPlan = toks
+      .select(col("id"), xxhash64(col("tok")).as("tok")).distinct()
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(tokPlan.contains("PushedFilters") &&
+      tokPlan.contains("LessThan(doc_id,600)"),
+      tokPlan.linesIterator.take(40).mkString("\n"))
+    // and the join machinery itself reads the materialized frame (no
+    // fresh corpus scans inside the candidate/verify plan)
     val p = Dedup.prefixFilterJoin(toks, "id", "tok", tau = 0.6)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the slice predicate is pushed into every documents scan, so a
-    // corpus 8× larger costs the same: rows beyond the slice never leave
-    // the reader (measured flat 6.1→5.9 s at rep 1→8, ScaleProbe)
-    assert(p.contains("PushedFilters") && p.contains("LessThan(doc_id,600)"),
+    assert(p.contains("Scan ExistingRDD") && !p.contains("PushedFilters"),
       p.linesIterator.take(40).mkString("\n"))
   }
 
